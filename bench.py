@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (collect) after a warm-up of the
+session; timings are per-query wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sample_dms_kinesis_rds_mariadb_spark.plans import queries as _q  # noqa: E402
+from sample_dms_kinesis_rds_mariadb_spark.plans import llm_queries  # noqa: E402,F401
+from sample_dms_kinesis_rds_mariadb_spark.session import get_session  # noqa: E402
+
+HEADLINE = [
+    "envelope_full_load",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "cdc_apply_latest",
+    "per_key_operation_counts",
+    "window_topk_per_group",
+    "distinct_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_topk_cosine",
+    "text_quality",
+    "token_counts",
+    "doc_fingerprints",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(app_name="bench")
+
+    # warm up the JVM/codegen path so per-query numbers measure the plan,
+    # not first-job startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = _q.QUERIES[name]
+        t0 = time.perf_counter()
+        df = spec.spark_fn(spark, sf_dir)
+        # noop sink: forces full computation of every column without
+        # count()-style column pruning or driver-side collect cost
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall clock (engine catalog)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Source catalog: endpoint resolution + table registry.
+
+The reference resolves its sources at task start (endpoint descriptors +
+Secrets Manager credentials — reference dms_sample/stack.py:224-258,
+run.py:47-69). Here an endpoint resolves to a set of (schema, table) →
+DataFrame providers:
+
+- ``parquet``: a directory holding ``<table>.parquet`` files (the driver's
+  testdata layout), schema name taken from endpoint options.
+- ``memory``: DataFrames registered programmatically (used by the e2e tests
+  to seed the reference's authors/accounts/novels fixtures).
+- ``jdbc``: ``spark.read.jdbc`` options passthrough (credential fields may be
+  late-bound through ``credential_provider``) — the direct analog of the
+  reference's MySQL source endpoint (S3).
+
+Listing is metadata-only: selection rules run against ``list_tables()``
+output so non-matching tables are never scanned (SURVEY §4 X1).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sample_dms_kinesis_rds_mariadb_spark.spec import EndpointSpec
+
+
+class SourceCatalog:
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._endpoints: dict[str, EndpointSpec] = {}
+        # (endpoint, schema, table) -> provider
+        self._memory: dict[tuple[str, str, str], Callable[[], DataFrame]] = {}
+        self.credential_provider: Callable[[str], dict] | None = None
+
+    def register_endpoint(self, spec: EndpointSpec) -> None:
+        if spec.engine not in ("parquet", "memory", "jdbc"):
+            raise ValueError(f"unsupported endpoint engine: {spec.engine!r}")
+        self._endpoints[spec.name] = spec
+
+    def register_memory_table(
+        self, endpoint: str, schema: str, table: str, df: DataFrame
+    ) -> None:
+        self._memory[(endpoint, schema, table)] = lambda: df
+
+    def drop_memory_table(self, endpoint: str, schema: str, table: str) -> None:
+        self._memory.pop((endpoint, schema, table), None)
+
+    def list_tables(self, endpoint: str) -> list[tuple[str, str]]:
+        spec = self._endpoints[endpoint]
+        if spec.engine == "memory":
+            return sorted(
+                (s, t) for (e, s, t) in self._memory if e == endpoint
+            )
+        if spec.engine == "parquet":
+            schema = spec.options.get("schema_name", "main")
+            path = spec.options["path"]
+            return sorted(
+                (schema, f[: -len(".parquet")])
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        if spec.engine == "jdbc":
+            # JDBC table listing requires a live connection; callers supply
+            # the table list via options["tables"] = ["schema.table", ...].
+            return sorted(tuple(t.split(".", 1)) for t in spec.options.get("tables", []))
+        raise AssertionError(spec.engine)
+
+    def load(self, endpoint: str, schema: str, table: str) -> DataFrame:
+        spec = self._endpoints[endpoint]
+        if spec.engine == "memory":
+            return self._memory[(endpoint, schema, table)]()
+        if spec.engine == "parquet":
+            return self.spark.read.parquet(
+                os.path.join(spec.options["path"], f"{table}.parquet")
+            )
+        if spec.engine == "jdbc":
+            opts = dict(spec.options)
+            opts.pop("tables", None)
+            if self.credential_provider is not None and "secret_id" in opts:
+                creds = self.credential_provider(opts.pop("secret_id"))
+                opts.update(creds)
+            return (
+                self.spark.read.format("jdbc")
+                .options(**opts)
+                .option("dbtable", f"{schema}.{table}")
+                .load()
+            )
+        raise AssertionError(spec.engine)

@@ -1,0 +1,148 @@
+"""ReplicationEngine — the driver-facing facade (SURVEY §3).
+
+One object plays the role of the reference's whole control plane: the CDK
+stack compile (dms_sample/stack.py → PipelineSpec, SURVEY §3.3), the DMS task
+APIs (start/stop/status/statistics — run.py:140-165, 202-209) and the Kinesis
+consumer (run.py:168-199). All on a single SparkSession; tasks are batch jobs
+or StreamingQueries, the target stream is a StreamStore, replicated tables
+are materialized parquet registered as SQL views.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sample_dms_kinesis_rds_mariadb_spark.catalog import SourceCatalog
+from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+from sample_dms_kinesis_rds_mariadb_spark.sources.changefeed import ChangeFeed
+from sample_dms_kinesis_rds_mariadb_spark.spec import PipelineSpec
+from sample_dms_kinesis_rds_mariadb_spark.streaming.apply import TableMaterializer
+from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import TableRegistry
+from sample_dms_kinesis_rds_mariadb_spark.streaming.statistics import StatisticsService
+from sample_dms_kinesis_rds_mariadb_spark.streaming.task import ReplicationTask
+
+
+class ReplicationEngine:
+    def __init__(self, spark: SparkSession, spec: PipelineSpec, workdir: str) -> None:
+        self.spark = spark
+        self.spec = spec
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+
+        self.catalog = SourceCatalog(spark)
+        self.registry = TableRegistry()
+        self.stats = StatisticsService()
+        self.store = StreamStore(spark, os.path.join(workdir, "stream"), spec.shards)
+        self.materializer = TableMaterializer(
+            spark, self.registry, os.path.join(workdir, "tables")
+        )
+        self._feeds: dict[str, ChangeFeed] = {}
+
+        for ep in spec.endpoints:
+            if ep.engine in ("parquet", "memory", "jdbc"):
+                self.catalog.register_endpoint(ep)
+            if "changefeed_path" in ep.options:
+                self._feeds[ep.name] = ChangeFeed(spark, ep.options["changefeed_path"])
+
+        self.tasks: dict[str, ReplicationTask] = {}
+        for t in spec.tasks:
+            ep = spec.endpoint(t.source)
+            self.tasks[t.task_id] = ReplicationTask(
+                spark,
+                t,
+                self.catalog,
+                self.store,
+                self.stats,
+                self.registry,
+                materializer=self.materializer,
+                changefeed=self._feeds.get(t.source),
+                default_schema=ep.options.get("schema_name", "main"),
+            )
+
+    # -- source-side helpers -------------------------------------------------
+    def changefeed(self, endpoint: str) -> ChangeFeed:
+        return self._feeds[endpoint]
+
+    def register_table(
+        self,
+        endpoint: str,
+        schema_name: str,
+        table_name: str,
+        df: DataFrame,
+        primary_key: str | None = None,
+        defaults: dict[str, str] | None = None,
+    ) -> None:
+        """Seed a source table (the analog of the reference's
+        ``run_queries_on_mysql`` CREATE+INSERT seeding, run.py:89-112)."""
+        self.catalog.register_memory_table(endpoint, schema_name, table_name, df)
+        self.registry.register_from_df(
+            schema_name, table_name, df, primary_key=primary_key, defaults=defaults
+        )
+
+    def drop_table(self, endpoint: str, schema_name: str, table_name: str) -> None:
+        self.catalog.drop_memory_table(endpoint, schema_name, table_name)
+        self.registry.drop(schema_name, table_name)
+
+    # -- task APIs (run.py:140-165) -------------------------------------------
+    def start_task(self, task_id: str) -> None:
+        self.tasks[task_id].start()
+
+    def stop_task(self, task_id: str) -> None:
+        self.tasks[task_id].stop()
+
+    def task_status(self, task_id: str) -> str:
+        return self.tasks[task_id].status
+
+    def wait_for_task_status(
+        self, task_id: str, status: str, retries: int = 240, sleep: float = 0.5
+    ) -> None:
+        self.tasks[task_id].wait_for_status(status, retries=retries, sleep=sleep)
+
+    # -- statistics (run.py:202-209) -------------------------------------------
+    def describe_table_statistics(self, task_id: str) -> list[dict]:
+        return self.stats.table_statistics(task_id)
+
+    def table_statistics_df(self, task_id: str) -> DataFrame:
+        return self.stats.table_statistics_df(self.spark, task_id)
+
+    # -- consumer (run.py:168-199) ----------------------------------------------
+    def consume(
+        self,
+        after_ts: float | None = None,
+        expected_count: int | None = None,
+        retries: int = 240,
+        sleep: float = 0.5,
+    ) -> list[dict]:
+        """Poll the stream until ≥ expected_count records arrive after
+        ``after_ts`` (wait_for_kinesis, run.py:168-199), returning parsed
+        envelope dicts in arrival order."""
+        if expected_count is None:
+            return self.store.consume(after_ts)
+        for _ in range(retries):
+            out = self.store.consume(after_ts)
+            if len(out) >= expected_count:
+                return out
+            time.sleep(sleep)
+        raise TimeoutError(
+            f"expected {expected_count} records, saw {len(out)}"
+        )
+
+    # -- query surface (S4; SURVEY §7 M5) ---------------------------------------
+    def refresh_views(self) -> None:
+        for schema_name, table_name in list(
+            getattr(self.registry, "_tables", {}).keys()
+        ):
+            if self.materializer.exists(schema_name, table_name):
+                self.materializer.register_view(schema_name, table_name)
+
+    def query(self, sql: str) -> DataFrame:
+        """Ad-hoc SQL over replicated/materialized tables — the analog of
+        ``get_query_result`` (run.py:115-137), generalized to full Spark SQL."""
+        self.refresh_views()
+        return self.spark.sql(sql)
+
+    def query_result(self, sql: str) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self.query(sql).collect()]

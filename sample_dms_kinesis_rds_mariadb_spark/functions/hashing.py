@@ -1,0 +1,88 @@
+"""Hashing primitives for near-duplicate detection (north-star ops).
+
+Two families:
+
+- **md5-based** (cross-engine verifiable): identical hex in Spark and DuckDB,
+  used where the operator is oracle-checked. Banded MinHash salts the shingle
+  with the band index, so B independent permutation-approximations come from
+  one hash function.
+- **xxhash64-based** (engine-native fast path): Spark's 64-bit xxhash is the
+  cheap JVM hash for production SimHash fingerprints where cross-engine
+  equality is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+    normalize_text,
+    tokenize,
+    word_ngrams,
+)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text."""
+    return F.array_distinct(word_ngrams(tokenize(normalize_text(text)), n))
+
+
+def minhash_band_signature(shingle: Column, band: Column) -> Column:
+    """One band's hash of one shingle: md5('<band>:<shingle>'). The min over
+    a document's shingles approximates one permutation's MinHash."""
+    return F.md5(F.concat_ws(":", band.cast("string"), shingle))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, bands: int = 4
+) -> DataFrame:
+    """(id, band, signature) — one MinHash signature per document per band.
+
+    Plan shape: explode shingles (tall), cross with the band range via
+    ``explode(sequence(...))`` (constant fan-out), then min-aggregate per
+    (doc, band). All map-side except the final bounded groupBy — scales
+    linearly in corpus size; the shuffle key space is |docs|×|bands|.
+    """
+    tall = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("_shingle"),
+    ).select(
+        "_id",
+        "_shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    )
+    return (
+        tall.groupBy("_id", "band")
+        .agg(F.min(minhash_band_signature(F.col("_shingle"), F.col("band"))).alias("signature"))
+        .select(F.col("_id").alias(id_col), "band", "signature")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (engine-native xxhash64).
+
+    Per token: 64-bit hash; per bit: +1 if set else -1, summed over tokens;
+    fingerprint bit = 1 where the sum is positive. Implemented as explode →
+    per-bit conditional sums (64 aggregate expressions, all codegen'd) →
+    bit-reassembly. One shuffle on the document id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokenize(normalize_text(F.col(text_col)))).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("_id").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp + F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0)
+    return agg.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

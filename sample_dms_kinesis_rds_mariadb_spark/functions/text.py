@@ -1,0 +1,132 @@
+"""Text-analysis functions for training-data pipelines (north-star ops).
+
+All built from `pyspark.sql.functions` primitives — JVM-side, codegen'd, no
+Python UDFs — so they run at full scan speed over 100 TB of documents. The
+md5-based fingerprints are chosen deliberately: md5 produces identical hex in
+every engine, which makes these operators independently verifiable against
+the DuckDB oracle (plans/llm_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE = r"\s+"
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, trim — canonical form for dedup."""
+    return F.lower(F.trim(F.regexp_replace(col, WHITESPACE, " ")))
+
+
+def tokenize(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text → ARRAY<STRING>."""
+    return F.split(F.trim(col), WHITESPACE)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokenize(col))
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams (shingles) from a token array, space-joined.
+
+    Pure expression (transform over an index sequence) — no explode needed at
+    the construction site, so callers choose when to go tall.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + F.lit(j)).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Whole-document fingerprint: md5 of normalized text (SURVEY north-star
+    'document fingerprinting'). Cross-engine stable."""
+    return F.md5(normalize_text(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_count(col: Column) -> Column:
+    """Number of punctuation characters (quality-scoring feature)."""
+    return F.length(col) - F.length(F.regexp_replace(col, r"[!-/:-@\[-`{-~]", ""))
+
+
+def upper_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, "[A-Z]", ""))
+
+
+def digit_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, "[0-9]", ""))
+
+
+# Minimal stopword markers per language for the n-gram/marker language-ID
+# heuristic. Deliberately tiny and deterministic — the operator contract is
+# "same classification in any engine", not linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "los"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-word hit counts over the token set."""
+    toks = F.array_distinct(tokenize(normalize_text(col)))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            hit = F.array_contains(toks, m).cast("int")
+            score = hit if score is None else score + hit
+        out[lang] = score
+    return out
+
+
+def langid_heuristic(col: Column) -> Column:
+    """Marker-based language guess with deterministic tiebreak (alphabetical
+    language order, 'und' = undetermined when no marker hits)."""
+    scores = lang_scores(col)
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit("und")
+    # reverse order so earlier (alphabetical) languages win ties
+    for lang in reversed(langs):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring feature set (integer/boolean only — exact in every
+    engine): lengths, token counts, punctuation/uppercase/digit counts and
+    the derived acceptance flag."""
+    n_chars = char_count(text)
+    n_tokens = token_count(text)
+    n_punct = punct_count(text)
+    n_upper = upper_count(text)
+    n_digit = digit_count(text)
+    # mean token length ×100 as an exact integer (floor)
+    avg_token_len_x100 = F.floor(n_chars * F.lit(100) / n_tokens).cast("long")
+    is_quality = (
+        (n_chars >= 50)
+        & (n_tokens >= 10)
+        & (n_punct * 5 <= n_chars)  # ≤20% punctuation
+        & (n_digit * 2 <= n_chars)  # ≤50% digits
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "n_punct": n_punct.cast("long"),
+        "n_upper": n_upper.cast("long"),
+        "n_digit": n_digit.cast("long"),
+        "avg_token_len_x100": avg_token_len_x100,
+        "is_quality": is_quality,
+    }

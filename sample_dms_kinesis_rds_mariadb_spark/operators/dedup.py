@@ -1,0 +1,157 @@
+"""Deduplication operators for training-data pipelines (north-star ops).
+
+Five dedup families, each designed partition-parallel (no driver-side
+collects, no cross joins outside hash buckets):
+
+- exact: hash-groupBy on a content fingerprint — one shuffle.
+- MinHash+LSH: shingle → banded minhash → bucket join — candidate pairs only
+  form within equal-signature buckets, so the quadratic blowup is bounded by
+  bucket size (the standard LSH guarantee), not corpus size.
+- SimHash: 64-bit fingerprints; near-dup = small hamming distance, candidate
+  generation via band-of-bits bucketing.
+- n-gram Jaccard: exact similarity on candidate pairs (verification step
+  after LSH, or direct vs a probe).
+- embedding cosine: near-dup via vector similarity (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import (
+    hamming64,
+    minhash_signatures,
+    shingles,
+    simhash64,
+)
+from sample_dms_kinesis_rds_mariadb_spark.functions.text import doc_fingerprint
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-content fingerprint.
+    One hash-shuffle on the fingerprint; at 100 TB this is the cheapest
+    possible dedup (map-side partial min, no row data in the shuffle beyond
+    id+hash)."""
+    return (
+        df.select(
+            F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_duplicates"))
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, bands: int = 4
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents sharing a MinHash signature
+    in ≥1 band. Self-join is on (band, signature) — a hash-partitioned
+    equi-join whose fan-out is bucket-bounded. Returns distinct (id_a, id_b)
+    with id_a < id_b."""
+    sigs = minhash_signatures(df, id_col, text_col, n=n, bands=bands)
+    a = sigs.select(
+        F.col("band"), F.col("signature"), F.col(id_col).alias("id_a")
+    )
+    b = sigs.select(
+        F.col("band"), F.col("signature"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "signature"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, bands: int = 4
+) -> DataFrame:
+    """Drop every document that collides with a lower-id document in any LSH
+    band (single-link, one hop). Anti-join keeps the survivors."""
+    pairs = minhash_lsh_candidate_pairs(df, id_col, text_col, n=n, bands=bands)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def ngram_jaccard(set_a: Column, set_b: Column) -> Column:
+    """Exact Jaccard similarity of two shingle-set columns (built-in array
+    intersection/union — JVM-side)."""
+    inter = F.size(F.array_intersect(set_a, set_b))
+    union = F.size(F.array_union(set_a, set_b))
+    return (inter / union).cast("double")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard ≥ threshold.
+    Joins shingle sets onto the (id_a, id_b) pair table — two broadcast-or-
+    shuffle hash joins on ids, similarity evaluated per pair row."""
+    sets = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("shingles")
+    )
+    out = (
+        pairs.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb")),
+            "id_b",
+        )
+        .withColumn("jaccard", ngram_jaccard(F.col("sa"), F.col("sb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document (functions/hashing.py)."""
+    return simhash64(df, id_col, text_col)
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: bucket on 16-bit bands of the
+    fingerprint (a pair within hamming distance ≤ 3 of 64 bits must agree on
+    ≥1 of 4 bands — pigeonhole), then verify exact hamming distance."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    width = 64 // bands
+    banded = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    a = banded.select(
+        "band", "key", F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a")
+    )
+    b = banded.select(
+        "band", "key", F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

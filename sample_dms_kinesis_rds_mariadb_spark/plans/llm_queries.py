@@ -1,0 +1,354 @@
+"""LLM training-data pipeline queries: dedup / similarity / text analysis /
+multimodal, registered in the same catalog as the relational queries.
+
+Cross-engine strategy (see plans/queries.py header): md5 is the shared hash
+primitive — MinHash bands, fingerprints, and exact-dedup keys are therefore
+bit-identical in Spark and DuckDB, making even the *hash-based* dedup
+operators oracle-checkable, not just row-count-checkable. Ops whose oracle
+would require re-implementing the operator in SQL beyond reason (SimHash64,
+LSH-bucketed ANN, multimodal decode) are registered without an oracle and
+covered by unit tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+    doc_fingerprint,
+    lang_scores,
+    langid_heuristic,
+    normalize_text,
+    quality_columns,
+    token_count,
+)
+from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import shingles
+from sample_dms_kinesis_rds_mariadb_spark.operators import dedup, multimodal, similarity
+from sample_dms_kinesis_rds_mariadb_spark.plans.queries import load_table, register
+
+# normalized text in DuckDB SQL — must mirror functions.text.normalize_text
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@register(
+    "dedup_exact",
+    "Exact dedup: lowest doc_id per content fingerprint (hash-groupBy; "
+    "north-star dedup family #1)",
+    oracle=f"""
+        SELECT md5({_NORM_SQL}) AS fingerprint,
+               MIN(doc_id) AS doc_id,
+               COUNT(*) AS n_duplicates
+        FROM documents
+        GROUP BY fingerprint
+        ORDER BY doc_id
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    "MinHash+LSH near-dup candidate pairs: shingle → banded md5-minhash → "
+    "bucket join (north-star dedup family #2; md5 keeps both engines "
+    "bit-identical)",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS t
+          FROM documents
+        ),
+        shingled AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS i
+          )
+        ),
+        sigs AS (
+          SELECT doc_id, band,
+                 MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS signature
+          FROM shingled, LATERAL (SELECT unnest([0,1,2,3]) AS band)
+          GROUP BY doc_id, band
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.signature = b.signature
+         AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidate_pairs(docs, "doc_id", "text").orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_probe",
+    "n-gram Jaccard similarity vs a probe document (north-star dedup family "
+    "#4: exact set similarity, array_intersect/array_union JVM-side)",
+    oracle=f"""
+        WITH sets AS (
+          SELECT doc_id,
+                 list_distinct(sh) AS shingles
+          FROM (
+            SELECT doc_id,
+                   list_transform(
+                     generate_series(1, GREATEST(len(t) - 2, 0)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   ) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS t
+                  FROM documents)
+          )
+        ),
+        probe AS (SELECT shingles AS ps FROM sets WHERE doc_id = 0)
+        SELECT s.doc_id,
+               len(list_intersect(s.shingles, p.ps)) AS n_common,
+               len(s.shingles) + len(p.ps) - len(list_intersect(s.shingles, p.ps)) AS n_union
+        FROM sets s, probe p
+        WHERE s.doc_id <> 0 AND len(list_intersect(s.shingles, p.ps)) > 0
+        ORDER BY s.doc_id
+    """,
+    tags=("dedup",),
+)
+def q_dedup_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sets = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    probe = sets.filter(F.col("doc_id") == 0).select(F.col("sh").alias("ps"))
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("ps")))
+    return (
+        sets.crossJoin(F.broadcast(probe))
+        .filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            inter.alias("n_common"),
+            (F.size("sh") + F.size("ps") - inter).alias("n_union"),
+        )
+        .filter(F.col("n_common") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "simhash_dedup",
+    "SimHash near-dup pairs: 64-bit fingerprint, 16-bit-band bucketing, "
+    "hamming ≤ 3 (north-star dedup family #3; engine-native xxhash64 — "
+    "rows-only check, no cross-engine hash)",
+    oracle=None,
+    tags=("dedup",),
+)
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "embedding_topk_cosine",
+    "Similarity search baseline: exact brute-force cosine top-20 vs the "
+    "vec_id=0 embedding (north-star similarity op; TakeOrdered, no global "
+    "sort)",
+    oracle="""
+        WITH probe AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id,
+               CAST(ROUND(
+                 list_inner_product(CAST(e.embedding AS DOUBLE[]), p.p)
+                 / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_inner_product(p.p, p.p))), 6) AS DECIMAL(18,6)) AS cosine_sim
+        FROM embeddings e, probe p
+        ORDER BY cosine_sim DESC, e.vec_id
+        LIMIT 20
+    """,
+    tags=("similarity",),
+)
+def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.brute_force_topk(emb, probe, k=20)
+    return out.select(
+        "vec_id", F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").alias("cosine_sim")
+    ).orderBy(F.col("cosine_sim").desc(), "vec_id")
+
+
+@register(
+    "embedding_ann_lsh",
+    "Approximate NN: random-hyperplane LSH bucketing + in-bucket scan "
+    "(north-star similarity scale path; approximate ⇒ rows-only check)",
+    oracle=None,
+    tags=("similarity",),
+)
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.lsh_bucketed_topk(emb, probe, k=20)
+    return out.select(
+        "vec_id", F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").alias("cosine_sim")
+    )
+
+
+@register(
+    "lang_id",
+    "Language-ID heuristic: marker-word scores with deterministic tiebreak "
+    "(north-star text-analysis op)",
+    oracle=f"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END) AS s_en,
+                 (CASE WHEN list_contains(t, 'el') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(t, 'la') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(t, 'los') THEN 1 ELSE 0 END) AS s_es,
+                 (CASE WHEN list_contains(t, 'der') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(t, 'und') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(t, 'die') THEN 1 ELSE 0 END) AS s_de,
+                 (CASE WHEN list_contains(t, 'le') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(t, 'et') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(t, 'les') THEN 1 ELSE 0 END) AS s_fr
+          FROM (SELECT doc_id, lang,
+                       list_distinct(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS t
+                FROM documents)
+        )
+        SELECT guessed_lang, COUNT(*) AS n_docs
+        FROM (
+          SELECT doc_id,
+                 CASE
+                   WHEN GREATEST(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                   WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de'
+                   WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+                   WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es'
+                   WHEN s_fr = GREATEST(s_en, s_es, s_de, s_fr) THEN 'fr'
+                 END AS guessed_lang
+          FROM scored
+        )
+        GROUP BY guessed_lang ORDER BY guessed_lang
+    """,
+    tags=("text",),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(langid_heuristic(F.col("text")).alias("guessed_lang"))
+        .groupBy("guessed_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("guessed_lang")
+    )
+
+
+@register(
+    "text_quality",
+    "Quality scoring: per-language acceptance counts from integer-exact "
+    "features (lengths, token/punct/digit counts; north-star text op)",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE is_quality) AS n_quality,
+               SUM(n_tokens) AS total_tokens
+        FROM (
+          SELECT lang,
+                 length(text) AS n_chars,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                 length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                 (length(text) >= 50
+                  AND len(regexp_split_to_array(trim(text), '\\s+')) >= 10
+                  AND (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 5 <= length(text)
+                  AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 2 <= length(text)) AS is_quality
+          FROM documents
+        )
+        GROUP BY lang ORDER BY lang
+    """,
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qc = quality_columns(F.col("text"))
+    return (
+        docs.select(
+            "lang", qc["n_tokens"].alias("n_tokens"), qc["is_quality"].alias("is_quality")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("is_quality"), 1)).alias("n_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "token_counts",
+    "Token counting: whitespace tokenization, totals per source "
+    "(north-star text op)",
+    oracle="""
+        SELECT source,
+               SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+               MIN(len(regexp_split_to_array(trim(text), '\\s+'))) AS min_tokens,
+               MAX(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("text",),
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_count(F.col("text")).cast("long")
+    return (
+        docs.select("source", tc.alias("tc"))
+        .groupBy("source")
+        .agg(
+            F.sum("tc").alias("total_tokens"),
+            F.min("tc").alias("min_tokens"),
+            F.max("tc").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    "Document fingerprinting: md5 of normalized text, distinct fingerprints "
+    "per source (north-star text op)",
+    oracle=f"""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5({_NORM_SQL})) AS distinct_fingerprints
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("text",),
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("distinct_fingerprints"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "multimodal_features",
+    "Multimodal plumbing: binary column + Arrow-batched mapInPandas feature "
+    "extraction (decode stubbed deterministically — rows-only check)",
+    oracle=None,
+    tags=("multimodal",),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    media = multimodal.attach_binary_column(docs, "text", "doc_id")
+    return multimodal.extract_image_features(media, fake_decode=True).orderBy(
+        "media_id"
+    )

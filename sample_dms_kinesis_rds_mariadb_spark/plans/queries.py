@@ -1,0 +1,767 @@
+"""Query catalog: every operator the engine claims, as (Spark plan, DuckDB
+oracle SQL) pairs over the driver's testdata tables.
+
+Each entry maps a SURVEY §2 operator (or an LLM-pipeline operator from the
+north star) to an executable Spark DataFrame program plus an equivalent ANSI
+SQL string the driver runs on DuckDB; names, aliases, and result types are
+kept bit-compatible across both engines:
+
+- double columns are cast to DECIMAL **before** aggregation (order-independent
+  exact arithmetic in both engines; double summation order would differ);
+- aggregate results are cast to the same DECIMAL(38,s) on both sides;
+- every LIMIT is paired with a fully deterministic ORDER BY;
+- md5 (identical hex in both engines) is the cross-engine hash primitive.
+
+Scale notes are in each query's docstring: these plans are written for the
+1000-executor case (broadcast the dimension side, aggregate before join where
+possible, filters first so parquet scans prune), verified by `.explain()` in
+tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    # TIMESTAMP(NANOS) columns surface as raw nano longs (see session.py);
+    # convert to µs-precision timestamps — the same truncation DuckDB applies
+    # when casting ns → its µs TIMESTAMP, so both engines see equal values.
+    try:
+        import pyarrow.parquet as pq
+
+        arrow_schema = pq.read_schema(path)
+        for field in arrow_schema:
+            if str(field.type) == "timestamp[ns]":
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(
+                        F.floor(F.col(field.name) / F.lit(1000)).cast("long")
+                    ),
+                )
+    except Exception:
+        pass
+    return df
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    description: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, description: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(name, description, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def queries_dict() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark_fn for name, spec in QUERIES.items()}
+
+
+def oracle_dict() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}
+
+
+def _dec(col: str, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.3-§2.9). The reference's own workload is
+# tiny projections/counts/lookups (run.py:231-241, tests/test_infra.py:
+# 253-267); the engine generalizes to full Spark SQL — these queries prove
+# the generalized surface against an independent engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    "TPC-H Q1-style grouped aggregation: filter → groupBy → sum/count "
+    "(SURVEY §2.6; partial aggregation map-side, 2-key groupBy shuffle is "
+    "bounded by distinct flag/status pairs — trivially scalable)",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    "TPC-H Q3-style 3-way join + group + top-k (SURVEY §2.5; customer is the "
+    "small side → broadcast; top-k via orderBy+limit = TakeOrdered, no full "
+    "sort at scale)",
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+               CAST(o.o_orderdate AS DATE) AS orderdate
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    return (
+        l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey), l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_volume",
+    "TPC-H Q5-style 6-way star join (SURVEY §2.5 J1 generalized: dims "
+    "broadcast, facts shuffle once on the join key)",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, nation
+    """,
+    tags=("join", "agg"),
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@register(
+    "projection_filter",
+    "Column projection + WHERE (SURVEY §2.4 P1, §2.3 F5: `SELECT first_name, "
+    "last_name FROM authors` generalized; projection/filter push to parquet)",
+    oracle="""
+        SELECT c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS acctbal
+        FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 1000
+        ORDER BY c_custkey
+    """,
+    tags=("projection", "filter"),
+)
+def projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter((F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 1000))
+        .orderBy("c_custkey")
+        .select("c_name", _dec("c_acctbal").cast("decimal(38,2)").alias("acctbal"))
+    )
+
+
+@register(
+    "point_lookup",
+    "Key lookup (SURVEY §2.3 F4: `next(stat for ... if TableName==x)` "
+    "analog — predicate pushdown makes this a pruned scan)",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS totalprice
+        FROM orders WHERE o_orderkey = 42
+    """,
+    tags=("filter",),
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") == 42).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        _dec("o_totalprice").cast("decimal(38,2)").alias("totalprice"),
+    )
+
+
+@register(
+    "count_star_tables",
+    "COUNT(*) per table (SURVEY §2.6 A1: `SELECT COUNT(*) FROM {table}` for "
+    "each table, tests/test_infra.py:253-267)",
+    oracle="""
+        SELECT 'customer' AS table_name, COUNT(*) AS row_count FROM customer
+        UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        UNION ALL SELECT 'events', COUNT(*) FROM events
+        ORDER BY table_name
+    """,
+    tags=("agg",),
+)
+def count_star_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for t in ("customer", "orders", "lineitem", "events"):
+        parts.append(
+            load_table(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"), F.count("*").alias("row_count")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
+@register(
+    "like_filter_select",
+    "SQL-LIKE selection (SURVEY §2.3 F1, §2.9 C4: the `a%` table-mapping "
+    "wildcard applied as a row predicate)",
+    oracle="""
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part WHERE p_name LIKE 'a%'
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("filter", "agg"),
+)
+def like_filter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("a%"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "multi_key_sort",
+    "Multi-key sort (SURVEY §2.7 O1: statistics ordered by (SchemaName, "
+    "TableName), run.py:206-208; range-partitioned sort at scale)",
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey,
+               CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS acctbal
+        FROM supplier
+        ORDER BY s_nationkey, acctbal DESC, s_suppkey
+        LIMIT 100
+    """,
+    tags=("sort", "limit"),
+)
+def multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.select(
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            _dec("s_acctbal").cast("decimal(38,2)").alias("acctbal"),
+        )
+        .orderBy("s_nationkey", F.col("acctbal").desc(), "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "semi_join_exists",
+    "Left-semi join (SURVEY §2.5: EXISTS — customers having ≥1 'F' order)",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_join_not_exists",
+    "Left-anti join (SURVEY §2.5: NOT EXISTS — customers with no orders)",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "fk_join_dimension",
+    "FK dimension join (SURVEY §2.5 J1: novels⋈authors analog — "
+    "nation⋈region broadcast hash join, dimension never shuffles the fact)",
+    oracle="""
+        SELECT r.r_name AS region_name, COUNT(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    tags=("join", "agg"),
+)
+def fk_join_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count("*").alias("n_nations"))
+        .orderBy("region_name")
+    )
+
+
+@register(
+    "union_interleave",
+    "Stream-union semantics (SURVEY §2.8: control+data interleave maps to "
+    "unionByName — here two heterogeneous event selections unioned)",
+    oracle="""
+        SELECT kind, COUNT(*) AS n FROM (
+          SELECT 'purchase' AS kind FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT 'error' AS kind FROM events WHERE event_type = 'error'
+        ) GROUP BY kind ORDER BY kind
+    """,
+    tags=("setop",),
+)
+def union_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "purchase").select(
+        F.lit("purchase").alias("kind")
+    )
+    b = e.filter(F.col("event_type") == "error").select(F.lit("error").alias("kind"))
+    return a.unionByName(b).groupBy("kind").agg(F.count("*").alias("n")).orderBy("kind")
+
+
+@register(
+    "window_topk_per_group",
+    "Window row_number per key (SURVEY §2.9 C7 auto-increment analog; top "
+    "order per customer — hash-partitioned window, no global sort)",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS totalprice
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn = 1 AND o_custkey <= 500
+        ORDER BY o_custkey
+    """,
+    tags=("window",),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("o_custkey") <= 500))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _dec("o_totalprice").cast("decimal(38,2)").alias("totalprice"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "cdc_apply_latest",
+    "CDC upsert semantics as a batch analog (SURVEY §7 M5: last change per "
+    "key wins — the materializer's core plan: hash shuffle on key + "
+    "row_number, exactly how the engine applies micro-batches)",
+    oracle="""
+        SELECT user_id, event_type AS last_event_type, value AS last_value
+        FROM (
+          SELECT user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+        ORDER BY user_id
+    """,
+    tags=("window", "cdc"),
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "per_key_operation_counts",
+    "Conditional-aggregation counters (SURVEY §2.6 A2: the per-table "
+    "Inserts/Updates/Deletes statistics shape — sum(when(op=x,1)) per key)",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS errors,
+               COUNT(*) AS total
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("agg", "cdc"),
+)
+def per_key_operation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def cnt(t):
+        return F.count(F.when(F.col("event_type") == t, 1))
+
+    return (
+        e.groupBy("user_id")
+        .agg(
+            cnt("click").alias("clicks"),
+            cnt("view").alias("views"),
+            cnt("purchase").alias("purchases"),
+            cnt("error").alias("errors"),
+            F.count("*").alias("total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "rollup_totals",
+    "ROLLUP grouping sets (SURVEY §2.6 builtin surface: subtotals + grand "
+    "total in one pass)",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "distinct_count",
+    "COUNT(DISTINCT) (SURVEY §2.6: exact distinct aggregation — two-phase "
+    "partial-distinct shuffle in Spark)",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS distinct_parts,
+               COUNT(DISTINCT l_suppkey) AS distinct_suppliers
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "json_extract_props",
+    "JSON parse (SURVEY §2.9 C2: `json.loads(record['Data'])` analog — "
+    "get_json_object over the events props column)",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY k_value ORDER BY k_value
+    """,
+    tags=("json",),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_value")
+        )
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k_value")
+    )
+
+
+@register(
+    "timestamp_threshold_filter",
+    "Arrival-timestamp predicate (SURVEY §2.3 F3: ApproximateArrivalTimestamp "
+    "> threshold, run.py:187-188)",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("filter", "streaming"),
+)
+def timestamp_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts") > F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "partition_key_concat",
+    "Partition-key computation (SURVEY §2.2 K2, §2.9 C3: "
+    "concat_ws('.', schema, table) routing key)",
+    oracle="""
+        SELECT concat_ws('.', 'main', event_type) AS partition_key, COUNT(*) AS n
+        FROM events GROUP BY partition_key ORDER BY partition_key
+    """,
+    tags=("function",),
+)
+def partition_key_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.concat_ws(".", F.lit("main"), F.col("event_type")).alias("partition_key")
+        )
+        .groupBy("partition_key")
+        .agg(F.count("*").alias("n"))
+        .orderBy("partition_key")
+    )
+
+
+@register(
+    "date_parts_agg",
+    "Timestamp extraction (SURVEY §2.9 C5/C8: unix_timestamp/date literals — "
+    "orders bucketed by year/month)",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+               CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        FROM orders
+        GROUP BY order_year, order_month
+        ORDER BY order_year, order_month
+    """,
+    tags=("function", "agg"),
+)
+def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+@register(
+    "envelope_full_load",
+    "The engine's core operator end-to-end as a batch plan: full-load "
+    "envelope encode (control events + per-row load events, JSON wire "
+    "format) → parse back → aggregate per operation (SURVEY §2.1 S1, §2.2 "
+    "K1-K3, §2.4 P3; all JVM-side create_map/to_json/from_json — one "
+    "codegen'd scan, no shuffle until the bounded group)",
+    oracle="""
+        SELECT * FROM (
+          SELECT 'load' AS operation, COUNT(*) AS n,
+                 CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+          FROM supplier
+          UNION ALL SELECT 'drop-table', 1, NULL
+          UNION ALL SELECT 'create-table', 1, NULL
+        ) ORDER BY operation
+    """,
+    tags=("envelope", "cdc"),
+)
+def envelope_full_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.envelope import (
+        control_events,
+        encode_data_events,
+        parse_json_records,
+        to_json_records,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSettings
+
+    settings = TaskSettings()
+    s = load_table(spark, sf_dir, "supplier")
+    env = control_events(
+        spark,
+        [("main", "supplier", "drop-table"), ("main", "supplier", "create-table")],
+        settings,
+    ).drop("_order").unionByName(
+        encode_data_events(s, "main", "supplier", "load", settings)
+    )
+    parsed = parse_json_records(to_json_records(env))
+    return (
+        parsed.groupBy(F.col("metadata.operation").alias("operation"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("data").getItem("s_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("operation")
+    )
+
+
+@register(
+    "tumbling_window_counts",
+    "Tumbling-window aggregation — the batch-equivalent plan of the "
+    "streaming windowed agg (SURVEY §2.10; Structured Streaming shares this "
+    "incremental plan with watermarks)",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE event_type = 'click'
+        GROUP BY window_start
+        ORDER BY window_start
+        LIMIT 200
+    """,
+    tags=("streaming", "agg"),
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start")
+        .limit(200)
+    )

@@ -1,0 +1,172 @@
+"""Ordered envelope sink — the Kinesis-stream analog (SURVEY §2.2 K1-K3).
+
+The reference's target is a 1-shard Kinesis stream: JSON ``Data`` +
+``PartitionKey`` per record, sequence numbers, arrival timestamps, 24 h
+retention, total arrival order (reference dms_sample/stack.py:354-360,
+run.py:168-199). Here the stream is a parquet-backed append log:
+
+- wire columns: ``Data`` (JSON envelope), ``PartitionKey``, ``shard_id``,
+  ``sequence_number``, ``approximate_arrival_ts``;
+- ``shards=1`` reproduces strict total order — inherently serial at the sink
+  boundary, exactly like one Kinesis shard (the *reference's* scalability
+  limit, kept for contract parity);
+- ``shards>1`` is the scale mode: records hash-route by ``PartitionKey`` so
+  each table's changes stay ordered within a shard (per-key FIFO, the real
+  Kinesis model), and sequence numbers are per-shard. At 100 TB this is the
+  only mode that parallelizes — writers scale with executors because ordering
+  is established per shard via a hash-partitioned window, never a global sort.
+
+Parquet (columnar, splittable, predicate-pushdown on ``sequence_number`` /
+``approximate_arrival_ts``) rather than JSON-lines keeps the read-back path
+scan-efficient at scale.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.envelope import parse_json_records, to_json_records
+
+WIRE_COLUMNS = [
+    "Data",
+    "PartitionKey",
+    "shard_id",
+    "sequence_number",
+    "approximate_arrival_ts",
+]
+
+
+class StreamStore:
+    """Append-only partitioned record stream with per-shard sequence numbers.
+
+    Sequence offsets are driver-side metadata (one counter per shard), the
+    same role Kinesis's shard sequence counter plays — per-record work stays
+    distributed.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, shards: int = 1) -> None:
+        self.spark = spark
+        self.path = path
+        self.shards = shards
+        self._next_seq: dict[int, int] = dict.fromkeys(range(shards), 0)
+        self._lock = threading.Lock()
+        os.makedirs(self._records_path, exist_ok=True)
+
+    @property
+    def _records_path(self) -> str:
+        return os.path.join(self.path, "records")
+
+    def _has_data(self) -> bool:
+        return any(f.endswith(".parquet") for f in os.listdir(self._records_path))
+
+    def append_envelopes(self, env_df: DataFrame) -> int:
+        """Serialize envelope rows (envelope.py shape) and append.
+
+        Rows may carry ``_order`` (within-batch emission order); otherwise
+        batch order is unspecified within the append, matching at-least-once
+        stream semantics (SURVEY §2.10 T1).
+        """
+        return self.append(to_json_records(env_df))
+
+    def append(self, wire_df: DataFrame) -> int:
+        """Append ``Data``/``PartitionKey`` records; returns record count."""
+        has_order = "_order" in wire_df.columns
+        order_col = F.col("_order") if has_order else F.monotonically_increasing_id()
+        df = wire_df.withColumn("_o", order_col).withColumn(
+            "shard_id",
+            F.pmod(F.xxhash64("PartitionKey"), F.lit(self.shards)).cast("int"),
+        )
+        if self.shards == 1:
+            # strict-total-order mode: single window partition, serial by
+            # design (= 1 Kinesis shard, reference stack.py:356)
+            w = Window.partitionBy("shard_id").orderBy("_o")
+        else:
+            w = Window.partitionBy("shard_id").orderBy("_o")
+        df = df.withColumn("_rn", F.row_number().over(w))
+
+        with self._lock:
+            offsets = dict(self._next_seq)
+            arrival = datetime.now(timezone.utc)
+            offset_expr = F.coalesce(
+                *[
+                    F.when(F.col("shard_id") == s, F.lit(o))
+                    for s, o in offsets.items()
+                ]
+            ) if len(offsets) > 1 else F.lit(offsets[0])
+            out = (
+                df.withColumn("sequence_number", (F.col("_rn") + offset_expr).cast("long"))
+                .withColumn("approximate_arrival_ts", F.lit(arrival).cast("timestamp"))
+                .select(*WIRE_COLUMNS)
+            )
+            # persist: the write and the per-shard count would otherwise each
+            # re-evaluate the full upstream lineage
+            out = out.persist()
+            try:
+                out.write.mode("append").parquet(self._records_path)
+                counts = {
+                    r["shard_id"]: r["n"]
+                    for r in out.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+                }
+            finally:
+                out.unpersist()
+            for s, n in counts.items():
+                self._next_seq[s] += n
+            return sum(counts.values())
+
+    def read(
+        self,
+        after_ts: datetime | float | None = None,
+        shard_id: int | None = None,
+    ) -> DataFrame:
+        """Scan the stream in sequence order, optionally filtered by arrival
+        timestamp — the reference consumer's TRIM_HORIZON + threshold filter
+        (run.py:175-188; SURVEY §2.3 F3). Filters push down to parquet.
+        """
+        if not self._has_data():
+            return self.spark.createDataFrame(
+                [],
+                "Data STRING, PartitionKey STRING, shard_id INT, "
+                "sequence_number LONG, approximate_arrival_ts TIMESTAMP",
+            )
+        df = self.spark.read.parquet(self._records_path)
+        if after_ts is not None:
+            if isinstance(after_ts, (int, float)):
+                after_ts = datetime.fromtimestamp(after_ts, tz=timezone.utc)
+            df = df.filter(F.col("approximate_arrival_ts") > F.lit(after_ts))
+        if shard_id is not None:
+            df = df.filter(F.col("shard_id") == shard_id)
+        return df.orderBy("shard_id", "sequence_number")
+
+    def read_envelopes(self, after_ts: datetime | float | None = None) -> DataFrame:
+        """Parsed envelope view of the stream (run.py:196-198 projection)."""
+        return parse_json_records(self.read(after_ts))
+
+    def consume(
+        self,
+        after_ts: datetime | float | None = None,
+        limit: int | None = None,
+        page_size: int = 50,
+    ) -> list[dict]:
+        """Client-side consumption: parsed dicts in arrival order, mirroring
+        ``wait_for_kinesis``'s paged shard scan (run.py:168-199, Limit=50 at
+        :183 → ``page_size`` kept for API parity; paging is a no-op for a
+        batch read).
+        """
+        df = self.read_envelopes(after_ts)
+        rows = df.collect() if limit is None else df.take(limit)
+        out = []
+        for r in rows:
+            d = r.asDict(recursive=True)
+            env = {
+                "data": d["data"],
+                "before-image": d["before-image"],
+                "metadata": d["metadata"],
+                "partition_key": d["partition_key"],
+            }
+            out.append(env)
+        return out

@@ -1,0 +1,137 @@
+"""CDC change-feed source — the binlog-tail analog (SURVEY §2.1 S2).
+
+The reference's CDC tasks tail the MariaDB binlog (ROW format, Full row
+image — reference dms_sample/stack.py:372-376, docker-compose.yml:31) and
+capture committed INSERT/UPDATE/DELETE + DDL in commit order. The engine's
+equivalent is a Structured Streaming source over a directory of JSON-lines
+change records (Debezium-style shape; any Kafka/Kinesis feed carrying the
+same fields plugs in identically via ``readStream.format(...)``):
+
+    {"seq": 7, "schema": "testdb", "table": "authors", "op": "insert",
+     "txn_id": "txn-3", "commit_ts": "2024-01-01T00:00:00",
+     "data": {col: str, ...},      # after-image (ROW/Full ⇒ all columns)
+     "before": {col: str, ...},    # before-image for update/delete
+     "ddl": {"action": "add-column", "column": "is_stock",
+             "type": "boolean", "default": "true"}}   # DDL ops only
+
+``data``/``before`` are MAP<STRING,STRING> transport (schema-stable under
+DDL drift, SURVEY §1.2). ``seq`` is the binlog position: commit order within
+the feed. The file source is replayable from the beginning — the
+TRIM_HORIZON semantics of SURVEY §2.10 T1 — and checkpointable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sample_dms_kinesis_rds_mariadb_spark.spec import SelectionRule, like_to_regex
+
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("txn_id", T.StringType()),
+        T.StructField("commit_ts", T.StringType()),
+        T.StructField("data", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("before", T.MapType(T.StringType(), T.StringType())),
+        T.StructField(
+            "ddl",
+            T.StructType(
+                [
+                    T.StructField("action", T.StringType()),
+                    T.StructField("column", T.StringType()),
+                    T.StructField("type", T.StringType()),
+                    T.StructField("default", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _sql_like_to_spark_pattern(pattern: str) -> str:
+    # Spark's LIKE uses the same %/_ wildcards as the reference's rules.
+    return pattern
+
+
+def rule_predicate(rules: list[SelectionRule]):
+    """Row-level guard for the change stream: the streaming complement of the
+    catalog-level selection pushdown (SURVEY §2.3 F1/F2). Include rules OR'd,
+    exclude rules AND NOT'd, evaluated on (schema, table) columns with
+    Spark-native LIKE (JVM-side, codegen'd).
+    """
+    includes = [r for r in rules if r.action == "include"]
+    excludes = [r for r in rules if r.action == "exclude"]
+    pred = F.lit(False)
+    for r in includes:
+        pred = pred | (
+            F.col("schema").like(_sql_like_to_spark_pattern(r.schema_pattern))
+            & F.col("table").like(_sql_like_to_spark_pattern(r.table_pattern))
+        )
+    for r in excludes:
+        pred = pred & ~(
+            F.col("schema").like(_sql_like_to_spark_pattern(r.schema_pattern))
+            & F.col("table").like(_sql_like_to_spark_pattern(r.table_pattern))
+        )
+    return pred
+
+
+class ChangeFeed:
+    """A directory-backed change feed: producer API (used by tests / local
+    seeding, standing in for the binlog writer) + streaming/batch readers.
+    """
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._seq = 0
+        self._file_no = 0
+        self._lock = threading.Lock()
+
+    # -- producer (binlog-writer stand-in) ---------------------------------
+    def append_changes(self, changes: list[dict]) -> None:
+        """Write one JSON-lines file of change records, assigning commit-order
+        ``seq`` numbers. Atomic per file (write temp, rename) so the
+        streaming file source never sees partial files.
+        """
+        with self._lock:
+            lines = []
+            for c in changes:
+                c = dict(c)
+                self._seq += 1
+                c.setdefault("seq", self._seq)
+                lines.append(json.dumps(c))
+            tmp = os.path.join(self.path, f".tmp-{self._file_no}.json")
+            final = os.path.join(self.path, f"changes-{self._file_no:06d}.json")
+            self._file_no += 1
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.rename(tmp, final)
+
+    # -- consumers ----------------------------------------------------------
+    def read_stream(self, rules: list[SelectionRule] | None = None) -> DataFrame:
+        """Structured Streaming reader (maxFilesPerTrigger bounds batch size,
+        the analog of the reference's 50-record fetch pages, run.py:183)."""
+        df = (
+            self.spark.readStream.schema(FEED_SCHEMA)
+            .option("maxFilesPerTrigger", "8")
+            .json(self.path)
+        )
+        if rules:
+            df = df.filter(rule_predicate(rules))
+        return df
+
+    def read_batch(self, rules: list[SelectionRule] | None = None) -> DataFrame:
+        df = self.spark.read.schema(FEED_SCHEMA).json(self.path)
+        if rules:
+            df = df.filter(rule_predicate(rules))
+        return df

@@ -1,0 +1,92 @@
+"""Full-table snapshot scan — the "full load" source (SURVEY §2.1 S1).
+
+The reference's full-load task reads every row of each selected table once
+and emits drop-table + create-table control events followed by one ``load``
+event per row, then ends in ``stopped`` (reference dms_sample/stack.py:
+141-186; count contracts run.py:247-248, 257-258).
+
+Spark-first: the snapshot is a plain batch scan (parquet / JDBC / in-memory
+view) — Catalyst prunes columns and pushes predicates; the envelope
+projection is all built-in expressions, so the whole per-table pipeline is
+one WholeStageCodegen span and parallelizes by input split. Per-table event
+order (controls first, then rows) is established by a cheap ``_order``
+column, never a global sort: control events get fixed ranks 0 and 1, data
+rows rank ≥ 2 via ``monotonically_increasing_id`` (partition-local, no
+shuffle) — sufficient because the contract orders controls before data, not
+data rows among themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.catalog import SourceCatalog
+from sample_dms_kinesis_rds_mariadb_spark.envelope import (
+    control_events,
+    encode_data_events,
+)
+from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSettings
+
+
+# Per-table order band: table k's events get _order in [k*2^41, (k+1)*2^41).
+# monotonically_increasing_id() < partitions*2^33 stays far below the band
+# width, so bands never overlap and the whole task is ONE DataFrame → one
+# write job, not 2×T driver-scheduled jobs (scale: T tables load in a single
+# distributed job; per-table parallelism comes from input splits).
+_ORDER_BAND = 1 << 41
+
+
+def snapshot_table_events(
+    spark: SparkSession,
+    catalog: SourceCatalog,
+    endpoint: str,
+    schema_name: str,
+    table_name: str,
+    settings: TaskSettings,
+    band: int = 0,
+) -> DataFrame:
+    """Envelope stream for one table's full load: drop-table + create-table
+    controls then one ``load`` event per row (run.py:247-248 contract shape),
+    with ``_order`` marking within-table emission order.
+    """
+    df = catalog.load(endpoint, schema_name, table_name)
+    base = band * _ORDER_BAND
+
+    rows = encode_data_events(df, schema_name, table_name, "load", settings).withColumn(
+        "_order", F.lit(base + 2) + F.monotonically_increasing_id()
+    )
+    if not settings.include_control_records:
+        return rows
+
+    controls = control_events(
+        spark,
+        [
+            (schema_name, table_name, "drop-table"),
+            (schema_name, table_name, "create-table"),
+        ],
+        settings,
+    ).withColumn("_order", (F.col("_order") + F.lit(base)).cast("long"))
+    return controls.unionByName(rows)
+
+
+def snapshot_task_events(
+    spark: SparkSession,
+    catalog: SourceCatalog,
+    endpoint: str,
+    tables: list[tuple[str, str]],
+    settings: TaskSettings,
+) -> DataFrame:
+    """All selected tables' full-load events as ONE DataFrame, ordered
+    drop → create → rows per table, tables in sorted order (the task-level
+    emission order observed in run.py:247-248)."""
+    parts = [
+        snapshot_table_events(
+            spark, catalog, endpoint, schema_name, table_name, settings, band=i
+        )
+        for i, (schema_name, table_name) in enumerate(tables)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

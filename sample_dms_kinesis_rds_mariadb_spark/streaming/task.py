@@ -1,0 +1,239 @@
+"""Replication task lifecycle (SURVEY §2.10 T3/T4/T6/T7).
+
+Tasks are the system's "queries" (SURVEY §1.1 item 4). The reference drives
+them through a status state machine — start-replication, poll
+``describe_replication_tasks`` until running/stopped, stop-replication
+(reference run.py:140-165) — with full-load tasks self-terminating to
+``stopped`` and CDC tasks staying ``running`` until stopped (run.py:246,
+292-293, 323-326).
+
+- Full load = a batch job per selected table (thread-wrapped so the driver
+  API is poll-based like the reference's).
+- CDC = a Structured Streaming query (micro-batch trigger) with a
+  ``foreachBatch`` sink that appends envelopes to the stream store, updates
+  statistics, applies DDL to the registry, and upserts materialized state.
+  Multiple tasks run concurrently on one SparkSession sharing one sink (T6),
+  exactly Spark's multi-StreamingQuery scheduler.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import traceback
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.catalog import SourceCatalog
+from sample_dms_kinesis_rds_mariadb_spark.envelope import control_events
+from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+from sample_dms_kinesis_rds_mariadb_spark.sources.changefeed import ChangeFeed
+from sample_dms_kinesis_rds_mariadb_spark.sources.snapshot import snapshot_task_events
+from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSpec, select_tables
+from sample_dms_kinesis_rds_mariadb_spark.streaming.apply import TableMaterializer
+from sample_dms_kinesis_rds_mariadb_spark.streaming.cdc import encode_change_batch
+from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import TableRegistry
+from sample_dms_kinesis_rds_mariadb_spark.streaming.statistics import StatisticsService
+
+# DMS-compatible task states (observed set: run.py:140-165, 246, 292)
+READY = "ready"
+STARTING = "starting"
+RUNNING = "running"
+STOPPED = "stopped"
+FAILED = "failed"
+
+EXCEPTIONS_TABLE = "awsdms_apply_exceptions"
+
+
+class ReplicationTask:
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: TaskSpec,
+        catalog: SourceCatalog,
+        store: StreamStore,
+        stats: StatisticsService,
+        registry: TableRegistry,
+        materializer: TableMaterializer | None = None,
+        changefeed: ChangeFeed | None = None,
+        default_schema: str = "main",
+    ) -> None:
+        self.spark = spark
+        self.spec = spec
+        self.catalog = catalog
+        self.store = store
+        self.stats = stats
+        self.registry = registry
+        self.materializer = materializer
+        self.changefeed = changefeed
+        self.default_schema = default_schema
+        self.status = READY
+        self.error: str | None = None
+        self._thread: threading.Thread | None = None
+        self._query = None
+        self._lock = threading.Lock()
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self) -> None:
+        """start-replication (reference run.py:140-145)."""
+        with self._lock:
+            if self.status in (STARTING, RUNNING):
+                raise RuntimeError(f"task {self.spec.task_id} already {self.status}")
+            self.status = STARTING
+        if self.spec.migration_type == "full-load":
+            self._thread = threading.Thread(target=self._run_full_load, daemon=True)
+            self._thread.start()
+        else:
+            self._start_cdc()
+
+    def stop(self) -> None:
+        """stop-replication (reference run.py:148-151). Drains in-flight
+        micro-batches first (processAllAvailable) so stop() never truncates a
+        committed change mid-apply — matches DMS's stop-after-commit
+        semantics."""
+        if self._query is not None:
+            try:
+                self._query.processAllAvailable()
+            except Exception:
+                pass
+            self._query.stop()
+            # wait for the query thread to fully terminate
+            while self._query.isActive:
+                time.sleep(0.05)
+            self._query = None
+        self.status = STOPPED
+
+    def wait_for_status(self, status: str, retries: int = 240, sleep: float = 0.5) -> None:
+        """Poll-with-retry-budget (reference run.py:154-165, budgets :23-24)."""
+        for _ in range(retries):
+            if self.status == status:
+                return
+            if self.status == FAILED:
+                raise RuntimeError(
+                    f"task {self.spec.task_id} failed: {self.error}"
+                )
+            time.sleep(sleep)
+        raise TimeoutError(
+            f"task {self.spec.task_id} did not reach {status!r} "
+            f"(currently {self.status!r})"
+        )
+
+    # -- full load (S1) ------------------------------------------------------
+    def _run_full_load(self) -> None:
+        try:
+            self.status = RUNNING
+            tables = select_tables(
+                self.catalog.list_tables(self.spec.source), self.spec.rules
+            )
+            if not tables:
+                self.status = STOPPED
+                return
+            # one DataFrame → one distributed write job for the whole task;
+            # persist so the stats aggregation reuses the computed envelopes
+            # instead of re-evaluating the scan+encode lineage
+            env = snapshot_task_events(
+                self.spark, self.catalog, self.spec.source, tables, self.spec.settings
+            ).persist()
+            try:
+                for schema_name, table_name in tables:
+                    self.stats.mark_table_state(
+                        self.spec.task_id, schema_name, table_name, "Full load"
+                    )
+                self.store.append_envelopes(env)
+                self.stats.record_batch(self.spec.task_id, env)
+                for schema_name, table_name in tables:
+                    self.stats.mark_table_state(
+                        self.spec.task_id, schema_name, table_name, "Table completed"
+                    )
+            finally:
+                env.unpersist()
+            self.status = STOPPED  # full load self-terminates (run.py:246)
+        except Exception:
+            self.error = traceback.format_exc()
+            self.status = FAILED
+
+    # -- CDC (S2) -------------------------------------------------------------
+    def _start_cdc(self) -> None:
+        if self.changefeed is None:
+            raise RuntimeError("CDC task requires a changefeed on its endpoint")
+        self._emit_exceptions_bootstrap()
+        stream = self.changefeed.read_stream(self.spec.rules)
+        pk_by_table = self._pk_lookup()
+
+        def process(batch_df, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            batch_df = batch_df.persist()
+            env = encode_change_batch(batch_df, self.spec.settings, pk_by_table).persist()
+            try:
+                self.store.append_envelopes(env)
+                self.stats.record_batch(self.spec.task_id, env)
+                self._apply_ddl(batch_df)
+                if self.materializer is not None:
+                    self.materializer.apply_change_batch(batch_df)
+            finally:
+                env.unpersist()
+                batch_df.unpersist()
+
+        self._query = (
+            stream.writeStream.foreachBatch(process)
+            .option(
+                "checkpointLocation",
+                f"{self.store.path}/checkpoints/{self.spec.task_id}",
+            )
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        self.status = RUNNING
+
+    def _pk_lookup(self) -> dict[tuple[str, str], str]:
+        out = {}
+        for (s, t), tdef in getattr(self.registry, "_tables", {}).items():
+            out[(s, t)] = tdef.primary_key
+        return out
+
+    def _emit_exceptions_bootstrap(self) -> None:
+        """Exception-table bootstrap control event at CDC task start (T7):
+        the reference expects one ``awsdms_apply_exceptions`` create per CDC
+        task ("2 create apply_dms_exception" for two tasks, run.py:296-297).
+        """
+        env = control_events(
+            self.spark,
+            [(self.default_schema, EXCEPTIONS_TABLE, "create-table")],
+            self.spec.settings,
+        ).withColumn("_order", F.col("_order").cast("long"))
+        self.store.append_envelopes(env)
+        self.stats.record_counts(
+            self.spec.task_id, self.default_schema, EXCEPTIONS_TABLE, "create-table", 1
+        )
+
+    def _apply_ddl(self, batch_df) -> None:
+        """Registry-side schema evolution (T5); bounded collect — DDL events
+        are rare control records, never row-volume."""
+        ddls = (
+            batch_df.filter(F.col("op") == "alter-table")
+            .select("schema", "table", "ddl.*", "seq")
+            .orderBy("seq")
+            .collect()
+        )
+        for r in ddls:
+            self.registry.apply_ddl(
+                r["schema"],
+                r["table"],
+                action=r["action"],
+                column=r["column"],
+                new_type=r["type"],
+                default=r["default"],
+            )
+        drops = (
+            batch_df.filter(F.col("op") == "drop-table")
+            .select("schema", "table")
+            .distinct()
+            .collect()
+        )
+        for r in drops:
+            if self.materializer is not None and self.materializer.exists(
+                r["schema"], r["table"]
+            ):
+                self.materializer.truncate(r["schema"], r["table"])

@@ -1,0 +1,97 @@
+"""Envelope codec unit tests: encode → JSON wire shape → parse roundtrip
+(reference stack.py:210-220, run.py:196-198)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.envelope import (
+    control_events,
+    encode_data_events,
+    parse_json_records,
+    to_json_records,
+)
+from sample_dms_kinesis_rds_mariadb_spark.fixtures import seed_df
+from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSettings
+
+
+def test_load_event_shape(spark):
+    df = seed_df(spark, "authors")
+    env = encode_data_events(df, "testdb", "authors", "load", TaskSettings())
+    rows = env.collect()
+    assert len(rows) == 1
+    r = rows[0].asDict(recursive=True)
+    assert r["data"]["first_name"] == "John"
+    assert r["data"]["author_id"] == "1"
+    assert r["before-image"] is None
+    assert r["metadata"]["record-type"] == "data"
+    assert r["metadata"]["operation"] == "load"
+    assert r["metadata"]["schema-name"] == "testdb"
+    assert r["metadata"]["table-name"] == "authors"
+    assert r["partition_key"] == "testdb.authors"
+
+
+def test_null_columns_included_by_default(spark):
+    # include_null_and_empty (stack.py:215): profile_picture is NULL in seed
+    df = seed_df(spark, "accounts")
+    env = encode_data_events(df, "testdb", "accounts", "load", TaskSettings())
+    r = env.collect()[0].asDict(recursive=True)
+    assert "profile_picture" in r["data"]
+    assert r["data"]["profile_picture"] is None
+
+    env2 = encode_data_events(
+        df, "testdb", "accounts", "load", TaskSettings(include_null_and_empty=False)
+    )
+    r2 = env2.collect()[0].asDict(recursive=True)
+    assert "profile_picture" not in r2["data"]
+
+
+def test_control_events_order_and_shape(spark):
+    env = control_events(
+        spark,
+        [("testdb", "authors", "drop-table"), ("testdb", "authors", "create-table")],
+        TaskSettings(),
+    )
+    rows = [r.asDict(recursive=True) for r in env.orderBy("_order").collect()]
+    assert [r["metadata"]["operation"] for r in rows] == ["drop-table", "create-table"]
+    assert all(r["metadata"]["record-type"] == "control" for r in rows)
+    assert all(r["data"] is None for r in rows)
+
+
+def test_json_roundtrip(spark):
+    df = seed_df(spark, "novels")
+    env = encode_data_events(df, "testdb", "novels", "insert", TaskSettings())
+    wire = to_json_records(env)
+    w = wire.collect()[0]
+    payload = json.loads(w["Data"])
+    assert set(payload.keys()) == {"data", "before-image", "metadata"}
+    assert w["PartitionKey"] == "testdb.novels"
+
+    back = parse_json_records(wire)
+    r = back.orderBy(F.col("data.novel_id")).collect()[0].asDict(recursive=True)
+    assert r["data"]["title"] == "The Great Adventure"
+    assert r["metadata"]["operation"] == "insert"
+    assert r["partition_key"] == "testdb.novels"
+
+
+def test_transaction_details_toggle(spark):
+    df = seed_df(spark, "authors")
+    env = encode_data_events(
+        df,
+        "testdb",
+        "authors",
+        "insert",
+        TaskSettings(include_transaction_details=True),
+        txn_id=F.lit("txn-42"),
+    )
+    assert env.collect()[0]["metadata"]["transaction-id"] == "txn-42"
+
+    env2 = encode_data_events(
+        df,
+        "testdb",
+        "authors",
+        "insert",
+        TaskSettings(include_transaction_details=False),
+        txn_id=F.lit("txn-42"),
+    )
+    assert env2.collect()[0]["metadata"]["transaction-id"] is None

@@ -1,0 +1,182 @@
+"""Unit tests for the LLM-pipeline operators (dedup / similarity / text /
+multimodal) on small controlled inputs — semantics checks complementing the
+DuckDB oracle parity suite."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+    doc_fingerprint,
+    langid_heuristic,
+    quality_columns,
+    token_count,
+)
+from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import shingles
+from sample_dms_kinesis_rds_mariadb_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and once"),  # near dup
+        (4, "completely different content about spark query engines at scale"),
+        (5, "el gato la casa los perros en la ciudad grande espanola hoy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING").cache()
+    df.count()
+    return df
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    out = dedup.dedup_exact(docs, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r["n_duplicates"] for r in out}
+    assert by_id[1] == 2  # docs 1 and 2 collapse, min id kept
+    assert 2 not in by_id
+    assert by_id[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs  # near-dup shares most shingles
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_dedup_minhash_survivors(docs):
+    survivors = {
+        r["doc_id"] for r in dedup.dedup_minhash_lsh(docs, "doc_id", "text").collect()
+    }
+    assert 1 in survivors
+    assert 2 not in survivors and 3 not in survivors
+    assert {4, 5} <= survivors
+
+
+def test_ngram_jaccard_verification(docs):
+    pairs = dedup.minhash_lsh_candidate_pairs(docs, "doc_id", "text")
+    verified = dedup.ngram_jaccard_pairs(
+        docs, pairs, "doc_id", "text", threshold=0.99
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in verified} == {(1, 2)}
+    loose = dedup.ngram_jaccard_pairs(docs, pairs, "doc_id", "text", threshold=0.3)
+    assert {(r["id_a"], r["id_b"]) for r in loose.collect()} >= {(1, 2), (1, 3)}
+
+
+def test_simhash_near_pairs(docs):
+    out = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} >= {(1, 2)}
+    near = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in near} >= {(1, 2), (1, 3)}
+
+
+def test_simhash_fingerprint_stability(docs):
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs, "doc_id", "text").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs, "doc_id", "text").collect()}
+    assert a == b  # deterministic
+    assert a[1] == a[2]  # identical text → identical fingerprint
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(64):
+        angle = (i / 64.0) * math.pi
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>").cache()
+    df.count()
+    return df
+
+
+def test_brute_force_topk_exact(vectors):
+    probe = [1.0, 0.0, 0.0, 0.0]  # = vec 0's direction
+    out = similarity.brute_force_topk(vectors, probe, k=5, id_col="vec_id").collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids[0] == 0  # exact match first
+    assert set(ids) == {0, 1, 2, 3, 4}  # nearest angles
+    sims = [r["cosine_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert sims[0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_contains_true_neighbors(vectors):
+    probe = [1.0, 0.0, 0.0, 0.0]
+    out = similarity.lsh_bucketed_topk(vectors, probe, k=5, id_col="vec_id").collect()
+    ids = [r["vec_id"] for r in out]
+    assert 0 in ids  # the exact hit must survive bucketing
+    exact = {0, 1, 2, 3, 4}
+    assert len(exact & set(ids)) >= 3  # multiprobe recall
+
+
+def test_cosine_self_join_pairs(vectors):
+    out = similarity.cosine_self_join_topk(
+        vectors, threshold=0.999, id_col="vec_id"
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # adjacent angle steps differ by ~2.8° → cosine ≈ 0.9988 < 0.999;
+    # only near-identical directions survive — none at this threshold
+    for a, b in pairs:
+        assert abs(a - b) <= 1
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "  The quick   brown fox! 123  ")], "id INT, text STRING"
+    )
+    row = df.select(
+        token_count(F.col("text")).alias("tc"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+        langid_heuristic(F.col("text")).alias("lang"),
+        *[v.alias(k) for k, v in quality_columns(F.col("text")).items()],
+    ).collect()[0]
+    assert row["tc"] == 6
+    assert row["fp"] == row["fp"].lower() and len(row["fp"]) == 32
+    assert row["lang"] == "en"
+    assert row["n_punct"] == 1
+    assert row["n_digit"] == 3
+    assert not row["is_quality"]  # too short
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id INT, text STRING")
+    out = df.select(shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert sorted(out) == ["a b c", "b c d"]
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine")], "doc_id INT, text STRING"
+    )
+    media = multimodal.attach_binary_column(docs, "text", "doc_id")
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "content",
+        "media_type",
+        "source_uri",
+    ]
+    feats = multimodal.extract_image_features(media, fake_decode=True).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == len(b"hello world")
+    assert 1 <= by_id[1]["width"] <= 2048 and 1 <= by_id[1]["height"] <= 2048
+    # deterministic fake: same content → same dims
+    again = {
+        r["media_id"]: r
+        for r in multimodal.extract_image_features(media, fake_decode=True).collect()
+    }
+    assert again[1]["width"] == by_id[1]["width"]
+    # real decode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x", fake=False)
+
+
+def test_frame_sampling(spark):
+    docs = spark.createDataFrame([(1, "x" * 5000)], "doc_id INT, text STRING")
+    media = multimodal.attach_binary_column(docs, "text", "doc_id")
+    frames = multimodal.sample_frames(media, every_n_bytes=1024).collect()
+    assert len(frames) == 4
+    assert [f["byte_offset"] for f in frames] == [0, 1024, 2048, 3072]

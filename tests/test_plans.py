@@ -1,0 +1,61 @@
+"""Physical-plan checks: the scale properties the engine promises must be
+visible in `.explain()` — filter pushdown to parquet, broadcast joins for
+dimensions, whole-stage codegen in the hot path (SURVEY §4)."""
+
+import pytest
+
+from sample_dms_kinesis_rds_mariadb_spark.plans.queries import QUERIES
+import sample_dms_kinesis_rds_mariadb_spark.plans.llm_queries  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].spark_fn(spark, SF)
+    return df._jdf.queryExecution().explainString("formatted")
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_projection_prunes_columns(spark):
+    plan = _plan(spark, "projection_filter")
+    # ReadSchema must not include unprojected columns like c_nationkey
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "c_nationkey" not in read_schema[0]
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_all_dims(spark):
+    plan = _plan(spark, "q5_region_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "multi_key_sort")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_codegen_in_agg_path(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "WholeStageCodegen" in plan
+
+
+def test_no_cartesian_anywhere(spark):
+    for name, spec in QUERIES.items():
+        if name == "dedup_ngram_jaccard_probe":
+            continue  # deliberate 1-row broadcast cross join vs the probe
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in _plan(spark, "semi_join_exists")
+    assert "LeftAnti" in _plan(spark, "anti_join_not_exists")
