@@ -28,34 +28,36 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams(tokenize(normalize_text(text)), n))
 
 
-def minhash_band_signature(shingle: Column, band: Column) -> Column:
-    """One band's hash of one shingle: md5('<band>:<shingle>'). The min over
-    a document's shingles approximates one permutation's MinHash."""
-    return F.md5(F.concat_ws(":", band.cast("string"), shingle))
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, bands: int = 4
 ) -> DataFrame:
     """(id, band, signature) — one MinHash signature per document per band.
 
-    Plan shape: explode shingles (tall), cross with the band range via
-    ``explode(sequence(...))`` (constant fan-out), then min-aggregate per
-    (doc, band). All map-side except the final bounded groupBy — scales
-    linearly in corpus size; the shuffle key space is |docs|×|bands|.
+    One md5 per shingle; band *b*'s hash is hex slice ``[8b, 8b+8)`` of that
+    digest (md5 bits are uniform, so the slices act as independent hash
+    functions). Plan shape: explode shingles once (no per-band row
+    explosion), aggregate ``bands`` independent slice-mins per document —
+    partial aggregation collapses each partition to <=1 row per doc before
+    the shuffle, so shuffle volume is |docs|*|bands| cells, never
+    corpus-sized — then unpivot to (id, band, signature). bands <= 4
+    (8-hex slices of a 32-hex digest).
     """
+    if not 1 <= bands <= 4:
+        raise ValueError("bands must be 1..4 (8-hex-char md5 slices)")
     tall = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("_shingle"),
-    ).select(
-        "_id",
-        "_shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.explode(shingles(F.col(text_col), n)).alias("_s"),
+    ).select("_id", F.md5(F.col("_s")).alias("_h"))
+    wide = tall.groupBy("_id").agg(
+        *[
+            F.min(F.substring("_h", 1 + 8 * b, 8)).alias(f"_b{b}")
+            for b in range(bands)
+        ]
     )
-    return (
-        tall.groupBy("_id", "band")
-        .agg(F.min(minhash_band_signature(F.col("_shingle"), F.col("band"))).alias("signature"))
-        .select(F.col("_id").alias(id_col), "band", "signature")
+    stack_expr = ", ".join(f"{b}, _b{b}" for b in range(bands))
+    return wide.selectExpr(
+        f"_id AS {id_col}",
+        f"stack({bands}, {stack_expr}) AS (band, signature)",
     )
 
 

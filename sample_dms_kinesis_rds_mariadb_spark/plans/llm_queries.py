@@ -62,16 +62,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         shingled AS (
           SELECT DISTINCT doc_id,
-                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                 md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
           FROM toks, LATERAL (
             SELECT unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS i
           )
         ),
+        wide AS (
+          SELECT doc_id,
+                 MIN(substr(h, 1, 8)) AS b0, MIN(substr(h, 9, 8)) AS b1,
+                 MIN(substr(h, 17, 8)) AS b2, MIN(substr(h, 25, 8)) AS b3
+          FROM shingled GROUP BY doc_id
+        ),
         sigs AS (
-          SELECT doc_id, band,
-                 MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS signature
-          FROM shingled, LATERAL (SELECT unnest([0,1,2,3]) AS band)
-          GROUP BY doc_id, band
+          SELECT doc_id, 0 AS band, b0 AS signature FROM wide
+          UNION ALL SELECT doc_id, 1, b1 FROM wide
+          UNION ALL SELECT doc_id, 2, b2 FROM wide
+          UNION ALL SELECT doc_id, 3, b3 FROM wide
         )
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sigs a JOIN sigs b

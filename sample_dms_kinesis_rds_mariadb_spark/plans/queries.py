@@ -688,6 +688,250 @@ def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionization",
+    "Gaps-and-islands sessionization over the event stream (window lag + "
+    "running sum per user; the batch dual of session windows in Structured "
+    "Streaming — hash-partitioned by user, no global sort)",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions
+        FROM (
+          SELECT user_id,
+                 CASE WHEN epoch(ts - LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("window", "streaming"),
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn(
+            "new_session", F.when(gap > 1800, 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("new_session") + 1).cast("long").alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "median_exact",
+    "Exact interpolated median (percentile) per group — deterministic on "
+    "sorted doubles in both engines",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DECIMAL(18,4)) AS median_qty,
+               CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(18,4)) AS median_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4)
+            .cast("decimal(18,4)")
+            .alias("median_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+            .cast("decimal(18,4)")
+            .alias("median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "having_filter",
+    "GROUP BY + HAVING (post-aggregation predicate): customers with ≥ 12 "
+    "orders",
+    oracle="""
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+        HAVING COUNT(*) >= 12
+        ORDER BY o_custkey
+    """,
+    tags=("agg", "filter"),
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "string_functions",
+    "String scalar functions (SURVEY §2.9 generalized: upper/substr/"
+    "replace/length — all codegen'd)",
+    oracle="""
+        SELECT upper(substr(c_name, 1, 8)) AS name_prefix,
+               replace(c_mktsegment, 'A', '_') AS seg_masked,
+               length(c_name) AS name_len,
+               c_custkey
+        FROM customer
+        WHERE c_custkey <= 100
+        ORDER BY c_custkey
+    """,
+    tags=("function",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") <= 100)
+        .select(
+            F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+            F.regexp_replace("c_mktsegment", "A", "_").alias("seg_masked"),
+            F.length("c_name").alias("name_len"),
+            "c_custkey",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "case_when_buckets",
+    "CASE WHEN range bucketing (value histogram — the engine's conditional "
+    "projection path)",
+    oracle="""
+        SELECT CASE
+                 WHEN o_totalprice < 50000 THEN 'small'
+                 WHEN o_totalprice < 150000 THEN 'medium'
+                 ELSE 'large'
+               END AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("function", "agg"),
+)
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "intersect_except",
+    "Set operations INTERSECT / EXCEPT (SURVEY §2.8 generalized): customer "
+    "keys in both vs only one market segment's order set",
+    oracle="""
+        SELECT 'both' AS side, COUNT(*) AS n FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        UNION ALL
+        SELECT 'only_f', COUNT(*) FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        ORDER BY side
+    """,
+    tags=("setop",),
+)
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f_keys.intersect(o_keys).agg(
+        F.lit("both").alias("side"), F.count("*").alias("n")
+    )
+    # subtract = SQL EXCEPT (set semantics); exceptAll would keep multiset
+    # leftovers for keys that merely appear more often on the left
+    only_f = f_keys.subtract(o_keys).agg(
+        F.lit("only_f").alias("side"), F.count("*").alias("n")
+    )
+    return both.unionByName(only_f).orderBy("side")
+
+
+@register(
+    "correlated_subquery",
+    "Correlated scalar subquery via the SQL API (SURVEY §2.1 S4: the "
+    "interactive SQL surface; Catalyst decorrelates to a join)",
+    oracle="""
+        SELECT o.o_custkey, COUNT(*) AS n_above_own_avg
+        FROM orders o
+        WHERE o.o_totalprice > (
+          SELECT AVG(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        GROUP BY o.o_custkey ORDER BY o.o_custkey
+    """,
+    tags=("join", "sql"),
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_csq")
+    return spark.sql(
+        """
+        SELECT o.o_custkey, COUNT(*) AS n_above_own_avg
+        FROM orders_csq o
+        WHERE o.o_totalprice > (
+          SELECT AVG(o2.o_totalprice) FROM orders_csq o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        GROUP BY o.o_custkey ORDER BY o.o_custkey
+        """
+    )
+
+
+@register(
+    "min_max_by",
+    "min_by / max_by argmin-argmax aggregation (each nation's cheapest and "
+    "priciest part)",
+    oracle="""
+        SELECT p_brand,
+               arg_min(p_name, printf('%012.2f', p_retailprice) || '|' || p_name) AS cheapest_part,
+               arg_max(p_name, printf('%012.2f', p_retailprice) || '|' || p_name) AS priciest_part,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("agg",),
+)
+def min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    # zero-padded price keeps string order = numeric order; name tie-break
+    # makes argmin/argmax deterministic in both engines
+    key = F.concat_ws(
+        "|", F.format_string("%012.2f", F.col("p_retailprice")), F.col("p_name")
+    )
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.min_by("p_name", key).alias("cheapest_part"),
+            F.max_by("p_name", key).alias("priciest_part"),
+            F.count("*").alias("n_parts"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
     "envelope_full_load",
     "The engine's core operator end-to-end as a batch plan: full-load "
     "envelope encode (control events + per-row load events, JSON wire "

@@ -142,6 +142,20 @@ class StreamStore:
             df = df.filter(F.col("shard_id") == shard_id)
         return df.orderBy("shard_id", "sequence_number")
 
+    def read_stream(self) -> DataFrame:
+        """Structured Streaming reader over the stream (SURVEY §2.1 S5 as a
+        stream: downstream consumers tail the sink like a Kinesis shard —
+        `spark.readStream` on the record log, envelope-parseable with
+        parse_json_records)."""
+        return (
+            self.spark.readStream.schema(
+                "Data STRING, PartitionKey STRING, shard_id INT, "
+                "sequence_number LONG, approximate_arrival_ts TIMESTAMP"
+            )
+            .option("maxFilesPerTrigger", "8")
+            .parquet(self._records_path)
+        )
+
     def read_envelopes(self, after_ts: datetime | float | None = None) -> DataFrame:
         """Parsed envelope view of the stream (run.py:196-198 projection)."""
         return parse_json_records(self.read(after_ts))

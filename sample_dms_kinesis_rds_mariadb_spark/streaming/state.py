@@ -1,0 +1,152 @@
+"""Stateful before-image enrichment (SURVEY §2.2 K4, §2.11).
+
+The reference's CDC feed carries full before-images because the source binlog
+runs ROW/Full (dms_sample/stack.py:372-376). When a feed does NOT carry them
+(binlog_row_image=MINIMAL, or a source that only emits after-images), DMS
+still attaches before-images by tracking row state. This operator reproduces
+that: a Structured Streaming stateful transform keyed on (schema, table, pk)
+that remembers each key's last after-image and splices it in as the
+before-image of the next update/delete.
+
+Implementation: ``applyInPandasWithState`` — Arrow-batched per-key state,
+partitioned by key hash across executors, bounded by a processing-time
+timeout (state TTL), exactly the 'PK-keyed state store with TTL' called for
+in SURVEY §7 hard-part (b). State size = one row-image per live key.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ENRICHED_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("txn_id", T.StringType()),
+        T.StructField("commit_ts", T.StringType()),
+        T.StructField("data_json", T.StringType()),
+        T.StructField("before_json", T.StringType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType([T.StructField("last_image_json", T.StringType())])
+
+
+def _enrich_group(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key state function: replay this key's changes in commit order,
+    attaching the remembered last after-image as the before-image where the
+    feed didn't supply one."""
+    last_image: str | None = state.get[0] if state.exists else None
+    out: list[dict[str, Any]] = []
+    for pdf in pdf_iter:
+        for r in pdf.sort_values("seq").itertuples(index=False):
+            before = r.before_json
+            if r.op in ("update", "delete") and (before is None or before == ""):
+                before = last_image
+            if r.op == "delete":
+                last_image = None
+            elif r.op in ("insert", "update", "load"):
+                last_image = r.data_json
+            out.append(
+                {
+                    "seq": r.seq,
+                    "schema": r.schema,
+                    "table": r.table,
+                    "op": r.op,
+                    "txn_id": r.txn_id,
+                    "commit_ts": r.commit_ts,
+                    "data_json": r.data_json,
+                    "before_json": before,
+                }
+            )
+    if last_image is None:
+        state.remove()
+    else:
+        state.update((last_image,))
+        state.setTimeoutDuration(24 * 3600 * 1000)  # 24 h TTL, like retention
+    yield pd.DataFrame(out, columns=[f.name for f in ENRICHED_SCHEMA.fields])
+
+
+def enrich_before_images(feed_df: DataFrame, pk_expr) -> DataFrame:
+    """Wire the stateful enrichment into a (streaming or batch-test) feed
+    DataFrame of changefeed shape. ``pk_expr`` extracts the primary-key value
+    from the ``data`` map (e.g. ``F.element_at(F.col("data"), "id")``).
+
+    Returns the feed with ``before`` filled for update/delete ops. Maps are
+    carried as JSON strings across the Arrow boundary (Arrow-friendly; maps
+    with null values round-trip poorly as Arrow maps).
+    """
+    prepared = feed_df.select(
+        "seq",
+        "schema",
+        "table",
+        "op",
+        "txn_id",
+        "commit_ts",
+        F.to_json(F.col("data")).alias("data_json"),
+        F.to_json(F.col("before")).alias("before_json"),
+        pk_expr.cast("string").alias("_pk"),
+    )
+    enriched = prepared.groupBy("schema", "table", "_pk").applyInPandasWithState(
+        _enrich_group,
+        outputStructType=ENRICHED_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    map_t = "map<string,string>"
+    return enriched.select(
+        "seq",
+        "schema",
+        "table",
+        "op",
+        "txn_id",
+        "commit_ts",
+        F.from_json(F.col("data_json"), map_t).alias("data"),
+        F.from_json(F.col("before_json"), map_t).alias("before"),
+        F.lit(None)
+        .cast(
+            "struct<action:string,column:string,type:string,default:string>"
+        )
+        .alias("ddl"),
+    )
+
+
+def enrich_before_images_batch(feed_df: DataFrame, pk_expr) -> DataFrame:
+    """Batch-mode equivalent (for tests and backfills): the same last-image
+    semantics expressed with a window — lag of the after-image per key in
+    commit order. Demonstrates the batch/streaming duality of the operator."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("schema", "table", "_pk")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prepared = feed_df.withColumn("_pk", pk_expr.cast("string"))
+    last_image = F.last(
+        F.when(F.col("op").isin("insert", "update", "load"), F.col("data")), True
+    ).over(w)
+    return (
+        prepared.withColumn(
+            "before",
+            F.when(
+                F.col("op").isin("update", "delete")
+                & F.col("before").isNull(),
+                last_image,
+            ).otherwise(F.col("before")),
+        )
+        .drop("_pk")
+    )

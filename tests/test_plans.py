@@ -11,8 +11,14 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
     df = QUERIES[name].spark_fn(spark, SF)
-    return df._jdf.queryExecution().explainString("formatted")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 def test_filter_pushdown_reaches_parquet(spark):
@@ -44,8 +50,20 @@ def test_topk_uses_take_ordered(spark):
 
 
 def test_codegen_in_agg_path(spark):
-    plan = _plan(spark, "q1_pricing_summary")
-    assert "WholeStageCodegen" in plan
+    import contextlib
+    import io
+
+    # AQE prints isFinalPlan=false before execution; run the query first so
+    # the final plan (with codegen stages) is inspectable
+    df = QUERIES["q1_pricing_summary"].spark_fn(spark, SF)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert "[codegen id :" in plan
+    assert "== Final Plan ==" in plan
 
 
 def test_no_cartesian_anywhere(spark):

@@ -1,0 +1,155 @@
+"""Structured Streaming unit tests: stateful before-image enrichment
+(applyInPandasWithState), its batch/window dual, watermarked windowed
+aggregation, and the sink's streaming read-back."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.sources.changefeed import FEED_SCHEMA
+from sample_dms_kinesis_rds_mariadb_spark.streaming.state import (
+    enrich_before_images,
+    enrich_before_images_batch,
+)
+
+CHANGES = [
+    {"seq": 1, "schema": "db", "table": "t", "op": "insert", "txn_id": "a",
+     "commit_ts": "2024-01-01T00:00:00", "data": {"id": "1", "v": "one"}},
+    {"seq": 2, "schema": "db", "table": "t", "op": "update", "txn_id": "b",
+     "commit_ts": "2024-01-01T00:00:01", "data": {"id": "1", "v": "two"}},
+    {"seq": 3, "schema": "db", "table": "t", "op": "update", "txn_id": "c",
+     "commit_ts": "2024-01-01T00:00:02", "data": {"id": "1", "v": "three"}},
+    {"seq": 4, "schema": "db", "table": "t", "op": "delete", "txn_id": "d",
+     "commit_ts": "2024-01-01T00:00:03", "data": {"id": "1", "v": "three"}},
+    {"seq": 5, "schema": "db", "table": "t", "op": "insert", "txn_id": "e",
+     "commit_ts": "2024-01-01T00:00:04", "data": {"id": "2", "v": "x"}},
+]
+
+
+def _write_feed(path: str, changes: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "changes-000000.json"), "w") as f:
+        f.write("\n".join(json.dumps(c) for c in changes) + "\n")
+
+
+def _assert_enrichment(rows):
+    by_seq = {r["seq"]: r for r in rows}
+    assert by_seq[2]["before"] == {"id": "1", "v": "one"}
+    assert by_seq[3]["before"] == {"id": "1", "v": "two"}
+    assert by_seq[4]["before"] == {"id": "1", "v": "three"}
+    assert by_seq[1]["before"] is None
+    assert by_seq[5]["before"] is None
+
+
+def test_stateful_before_image_streaming(spark, tmp_path):
+    """K4 via applyInPandasWithState: a feed WITHOUT before-images gets them
+    attached from per-key state."""
+    feed_path = str(tmp_path / "feed")
+    _write_feed(feed_path, CHANGES)
+    stream = spark.readStream.schema(FEED_SCHEMA).json(feed_path)
+    enriched = enrich_before_images(
+        stream, F.element_at(F.col("data"), "id")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r.asDict(recursive=True) for r in spark.sql("SELECT * FROM enriched_sink").collect()]
+    assert len(rows) == 5
+    _assert_enrichment(rows)
+
+
+def test_before_image_batch_dual(spark):
+    """The batch window-lag formulation produces identical enrichment."""
+    df = spark.createDataFrame(
+        [
+            (c["seq"], c["schema"], c["table"], c["op"], c["txn_id"],
+             c["commit_ts"], c["data"], None, None)
+            for c in CHANGES
+        ],
+        FEED_SCHEMA,
+    )
+    out = enrich_before_images_batch(df, F.element_at(F.col("data"), "id"))
+    rows = [r.asDict(recursive=True) for r in out.collect()]
+    _assert_enrichment(rows)
+
+
+def test_watermarked_window_agg(spark, tmp_path):
+    """Streaming tumbling-window count with a watermark (SURVEY §2.10 T2
+    generalized: event-time windowing for late data)."""
+    src = str(tmp_path / "events")
+    os.makedirs(src, exist_ok=True)
+    events = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:10", "event_type": "click"},
+        {"event_id": 2, "ts": "2024-01-01T00:00:50", "event_type": "click"},
+        {"event_id": 3, "ts": "2024-01-01T00:01:10", "event_type": "click"},
+        {"event_id": 4, "ts": "2024-01-01T00:01:20", "event_type": "view"},
+    ]
+    with open(os.path.join(src, "e.json"), "w") as f:
+        f.write("\n".join(json.dumps(e) for e in events))
+    stream = (
+        spark.readStream.schema("event_id LONG, ts STRING, event_type STRING")
+        .json(src)
+        .withColumn("event_time", F.to_timestamp("ts"))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", "1 minute"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT window.start AS s, event_type, n FROM win_sink ORDER BY s, event_type"
+    ).collect()
+    got = [(str(r["s"]), r["event_type"], r["n"]) for r in rows]
+    assert got == [
+        ("2024-01-01 00:00:00", "click", 2),
+        ("2024-01-01 00:01:00", "click", 1),
+        ("2024-01-01 00:01:00", "view", 1),
+    ]
+
+
+def test_stream_store_read_stream(spark, tmp_path):
+    """S5 streaming read-back: tail the sink as a stream and parse envelopes."""
+    from sample_dms_kinesis_rds_mariadb_spark.envelope import (
+        control_events,
+        parse_json_records,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+    from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSettings
+
+    store = StreamStore(spark, str(tmp_path / "stream"), shards=1)
+    env = control_events(
+        spark, [("db", "t", "drop-table"), ("db", "t", "create-table")], TaskSettings()
+    ).withColumn("_order", F.col("_order").cast("long"))
+    store.append_envelopes(env)
+
+    q = (
+        parse_json_records(store.read_stream())
+        .writeStream.format("memory")
+        .queryName("tail_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT metadata.operation AS op, sequence_number FROM tail_sink ORDER BY sequence_number"
+    ).collect()
+    assert [r["op"] for r in rows] == ["drop-table", "create-table"]
+    assert [r["sequence_number"] for r in rows] == [1, 2]
