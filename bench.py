@@ -59,6 +59,33 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # full-load replication throughput: lineitem → envelope encode → ordered
+    # sink write (the engine's S1→K1 path), measured as rows/sec
+    import shutil
+    import tempfile
+
+    from sample_dms_kinesis_rds_mariadb_spark.envelope import (
+        encode_data_events,
+        to_json_records,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.plans.queries import load_table
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+    from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSettings
+
+    tmp = tempfile.mkdtemp(prefix="bench-fl-")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        n_rows = li.count()
+        store = StreamStore(spark, tmp, shards=8)
+        t0 = time.perf_counter()
+        env = encode_data_events(li, "main", "lineitem", "load", TaskSettings())
+        store.append(to_json_records(env))
+        fl_sec = time.perf_counter() - t0
+        timings["full_load_envelope_sink"] = round(fl_sec, 3)
+        fl_rows_per_sec = round(n_rows / fl_sec, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -68,6 +95,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "full_load_rows_per_sec": fl_rows_per_sec,
             }
         )
     )

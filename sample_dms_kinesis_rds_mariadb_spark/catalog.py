@@ -77,15 +77,23 @@ class SourceCatalog:
                 os.path.join(spec.options["path"], f"{table}.parquet")
             )
         if spec.engine == "jdbc":
-            opts = dict(spec.options)
-            opts.pop("tables", None)
-            if self.credential_provider is not None and "secret_id" in opts:
-                creds = self.credential_provider(opts.pop("secret_id"))
-                opts.update(creds)
-            return (
-                self.spark.read.format("jdbc")
-                .options(**opts)
-                .option("dbtable", f"{schema}.{table}")
-                .load()
-            )
+            opts = self.resolve_jdbc_options(spec, schema, table)
+            return self.spark.read.format("jdbc").options(**opts).load()
         raise AssertionError(spec.engine)
+
+    def resolve_jdbc_options(
+        self, spec: EndpointSpec, schema: str, table: str
+    ) -> dict:
+        """Assemble the jdbc reader options, resolving late-bound credentials
+        — the analog of DMS fetching the endpoint secret at task start
+        (reference dms_sample/stack.py:235-249, run.py:64-69). Split out so
+        the resolution logic is testable without a live database."""
+        opts = dict(spec.options)
+        opts.pop("tables", None)
+        opts.pop("schema_name", None)
+        opts.pop("changefeed_path", None)
+        if self.credential_provider is not None and "secret_id" in opts:
+            creds = self.credential_provider(opts.pop("secret_id"))
+            opts.update(creds)
+        opts["dbtable"] = f"{schema}.{table}"
+        return opts

@@ -168,9 +168,24 @@ def control_events(
     for _, _, op in items:
         if op not in CONTROL_OPERATIONS:
             raise ValueError(f"not a control operation: {op!r}")
-    base = spark.createDataFrame(
-        [(i, s, t, o) for i, (s, t, o) in enumerate(items)],
-        "idx INT, schema_name STRING, table_name STRING, operation STRING",
+    # pure-JVM construction (range + literal array explode) — a Python-list
+    # createDataFrame would put a Python-worker scan in every downstream
+    # evaluation of the envelope stream
+    items_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.lit(s).alias("schema_name"),
+                F.lit(t).alias("table_name"),
+                F.lit(o).alias("operation"),
+            )
+            for i, (s, t, o) in enumerate(items)
+        ]
+    )
+    base = (
+        spark.range(1)
+        .select(F.explode(items_arr).alias("it"))
+        .select("it.*")
     )
     ts = event_ts if event_ts is not None else F.current_timestamp()
     out = base.orderBy("idx").select(

@@ -3,9 +3,9 @@
 Two families:
 
 - **md5-based** (cross-engine verifiable): identical hex in Spark and DuckDB,
-  used where the operator is oracle-checked. Banded MinHash salts the shingle
-  with the band index, so B independent permutation-approximations come from
-  one hash function.
+  used where the operator is oracle-checked. Banded MinHash takes one md5 per
+  shingle and slices the digest into per-band hashes, so B independent
+  permutation-approximations come from one hash computation.
 - **xxhash64-based** (engine-native fast path): Spark's 64-bit xxhash is the
   cheap JVM hash for production SimHash fingerprints where cross-engine
   equality is not required.
@@ -20,6 +20,7 @@ from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
     normalize_text,
     tokenize,
     word_ngrams,
+    zip_ngrams,
 )
 
 
@@ -44,10 +45,16 @@ def minhash_signatures(
     """
     if not 1 <= bands <= 4:
         raise ValueError("bands must be 1..4 (8-hex-char md5 slices)")
+    # explode the zip-structs directly and concat in codegen; duplicates are
+    # harmless under min(), so no array_distinct pass is needed
+    toks = tokenize(normalize_text(F.col(text_col)))
     tall = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("_s"),
-    ).select("_id", F.md5(F.col("_s")).alias("_h"))
+        F.explode(zip_ngrams(toks, n)).alias("_g"),
+    ).select(
+        "_id",
+        F.md5(F.concat_ws(" ", *[F.col(f"_g.{i}") for i in range(n)])).alias("_h"),
+    )
     wide = tall.groupBy("_id").agg(
         *[
             F.min(F.substring("_h", 1 + 8 * b, 8)).alias(f"_b{b}")

@@ -157,7 +157,14 @@ class ReplicationTask:
     def _start_cdc(self) -> None:
         if self.changefeed is None:
             raise RuntimeError("CDC task requires a changefeed on its endpoint")
-        self._emit_exceptions_bootstrap()
+        import os
+
+        checkpoint = f"{self.store.path}/checkpoints/{self.spec.task_id}"
+        # bootstrap control event only on FIRST start — a checkpointed
+        # restart resumes the stream, it doesn't re-create the exceptions
+        # table (T7); DMS likewise bootstraps once per task
+        if not os.path.exists(checkpoint):
+            self._emit_exceptions_bootstrap()
         stream = self.changefeed.read_stream(self.spec.rules)
         pk_by_table = self._pk_lookup()
 
@@ -167,21 +174,23 @@ class ReplicationTask:
             batch_df = batch_df.persist()
             env = encode_change_batch(batch_df, self.spec.settings, pk_by_table).persist()
             try:
-                self.store.append_envelopes(env)
-                self.stats.record_batch(self.spec.task_id, env)
+                # effects-before-visibility: registry evolution and table
+                # materialization land BEFORE the events appear in the
+                # stream, so a consumer that has seen an event can rely on
+                # its side effects being queryable (consume-then-query is
+                # race-free)
                 self._apply_ddl(batch_df)
                 if self.materializer is not None:
                     self.materializer.apply_change_batch(batch_df)
+                self.store.append_envelopes(env)
+                self.stats.record_batch(self.spec.task_id, env)
             finally:
                 env.unpersist()
                 batch_df.unpersist()
 
         self._query = (
             stream.writeStream.foreachBatch(process)
-            .option(
-                "checkpointLocation",
-                f"{self.store.path}/checkpoints/{self.spec.task_id}",
-            )
+            .option("checkpointLocation", checkpoint)
             .trigger(processingTime="500 milliseconds")
             .start()
         )

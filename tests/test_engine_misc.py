@@ -1,0 +1,151 @@
+"""Engine-surface tests that don't need a live stream: JDBC option assembly
+(S3), multi-shard per-key ordering (X2 scale mode), CDC checkpoint restart
+semantics, schema-evolution registry (T5), statistics service (A2)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sample_dms_kinesis_rds_mariadb_spark.catalog import SourceCatalog
+from sample_dms_kinesis_rds_mariadb_spark.envelope import encode_data_events
+from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+from sample_dms_kinesis_rds_mariadb_spark.spec import EndpointSpec, TaskSettings
+from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import (
+    TableRegistry,
+    mariadb_type_to_spark,
+)
+from sample_dms_kinesis_rds_mariadb_spark.streaming.statistics import StatisticsService
+
+
+def test_jdbc_option_assembly(spark):
+    cat = SourceCatalog(spark)
+    spec = EndpointSpec(
+        "db1",
+        "jdbc",
+        {
+            "url": "jdbc:mysql://host:3306/db",
+            "secret_id": "db-secret",
+            "tables": ["db.authors", "db.accounts"],
+            "schema_name": "db",
+        },
+    )
+    cat.register_endpoint(spec)
+    assert cat.list_tables("db1") == [("db", "accounts"), ("db", "authors")]
+    # credentials resolve at task start, like Secrets Manager (run.py:64-69)
+    cat.credential_provider = lambda sid: {"user": f"u-{sid}", "password": "p"}
+    opts = cat.resolve_jdbc_options(spec, "db", "authors")
+    assert opts["user"] == "u-db-secret"
+    assert opts["dbtable"] == "db.authors"
+    assert "secret_id" not in opts and "tables" not in opts
+
+
+def test_multi_shard_per_key_order(spark, tmp_path):
+    """Scale mode (shards>1): global order is given up, per-key FIFO is kept
+    — each partition key's records carry increasing sequence numbers in
+    emission order within their shard."""
+    store = StreamStore(spark, str(tmp_path / "s"), shards=4)
+    rows = [(i, f"key-{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "i LONG, pk STRING").select(
+        F.col("i").cast("string").alias("Data"),
+        F.col("pk").alias("PartitionKey"),
+        F.col("i").alias("_order"),
+    )
+    n = store.append(df)
+    assert n == 200
+    got = store.read().collect()
+    assert len(got) == 200
+    # within each key: Data payloads (emission order) must be increasing
+    by_key: dict[str, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r["shard_id"], r["sequence_number"])):
+        by_key.setdefault(r["PartitionKey"], []).append(int(r["Data"]))
+    for key, vals in by_key.items():
+        assert vals == sorted(vals), f"per-key order broken for {key}"
+    # sequence numbers are per-shard contiguous from 1
+    by_shard: dict[int, list[int]] = {}
+    for r in got:
+        by_shard.setdefault(r["shard_id"], []).append(r["sequence_number"])
+    for shard, seqs in by_shard.items():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))
+    assert len(by_shard) > 1  # keys actually spread across shards
+
+
+def test_mariadb_type_mapping():
+    cases = {
+        "INT": T.IntegerType(),
+        "VARCHAR(100)": T.StringType(),
+        "TINYINT UNSIGNED": T.ShortType(),
+        "tinyint(1)": T.BooleanType(),
+        "DECIMAL(10,2)": T.DecimalType(10, 2),
+        "BOOLEAN": T.BooleanType(),
+        "TIMESTAMP": T.TimestampType(),
+        "DATETIME": T.TimestampType(),
+        "TEXT": T.StringType(),
+        "BLOB": T.BinaryType(),
+        "ENUM('red','green','blue')": T.StringType(),
+        "FLOAT": T.FloatType(),
+        "DOUBLE": T.DoubleType(),
+        "DATE": T.DateType(),
+    }
+    for s, t in cases.items():
+        assert mariadb_type_to_spark(s) == t, s
+    with pytest.raises(ValueError):
+        mariadb_type_to_spark("geometry")
+
+
+def test_registry_ddl_sequence(spark):
+    """The reference's exact ALTER sequence (lib/query.py:59-66) applied to
+    the registry, asserted like tests/test_infra.py:693-707."""
+    reg = TableRegistry()
+    df = spark.createDataFrame(
+        [], "author_id INT, email STRING, profile_picture BINARY"
+    )
+    reg.register_from_df("db", "authors", df, primary_key="author_id")
+    reg.apply_ddl("db", "authors", "modify-column", "email", "varchar(100)")
+    reg.apply_ddl("db", "authors", "drop-column", "profile_picture")
+    reg.apply_ddl("db", "authors", "add-column", "is_stock", "boolean", "true")
+    d = {x["Field"]: x for x in reg.describe("db", "authors")}
+    assert d["email"]["Type"] == "string"
+    assert "profile_picture" not in d
+    assert d["is_stock"]["Type"] == "boolean"
+    assert d["is_stock"]["Default"] == "true"
+    assert d["author_id"]["Key"] == "PRI"
+
+
+def test_statistics_from_envelope_batch(spark):
+    svc = StatisticsService()
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id INT, v STRING"
+    )
+    env = encode_data_events(df, "db", "t1", "insert", TaskSettings())
+    svc.record_batch("task-a", env)
+    svc.record_batch("task-a", encode_data_events(df, "db", "t1", "delete", TaskSettings()))
+    svc.record_counts("task-a", "db", "a_table", "create-table", 1)
+    stats = svc.table_statistics("task-a")
+    # sorted by (SchemaName, TableName) — run.py:206-208
+    assert [s["TableName"] for s in stats] == ["a_table", "t1"]
+    t1 = stats[1]
+    assert t1["Inserts"] == 2 and t1["Deletes"] == 2 and t1["FullLoadRows"] == 0
+    # task isolation
+    assert svc.table_statistics("task-b") == []
+
+
+def test_pk_only_before_image(spark):
+    """The pk-only before-image variant noted at reference stack.py:335."""
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.cdc import encode_change_batch
+
+    batch = spark.createDataFrame(
+        [
+            (1, "db", "t", "update", "tx", "2024-01-01T00:00:00",
+             {"id": "1", "v": "new"}, {"id": "1", "v": "old"}, None),
+        ],
+        "seq LONG, schema STRING, table STRING, op STRING, txn_id STRING, "
+        "commit_ts STRING, data MAP<STRING,STRING>, before MAP<STRING,STRING>, "
+        "ddl STRUCT<action:STRING,column:STRING,type:STRING,default:STRING>",
+    )
+    settings = TaskSettings(before_image=True, before_image_type="pk-only")
+    out = encode_change_batch(batch, settings, {("db", "t"): "id"}).collect()
+    assert out[0]["before-image"] == {"id": "1"}  # pk only, v dropped
+    full = encode_change_batch(
+        batch, TaskSettings(before_image=True), {("db", "t"): "id"}
+    ).collect()
+    assert full[0]["before-image"] == {"id": "1", "v": "old"}
