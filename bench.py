@@ -86,6 +86,42 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # CDC apply throughput: lineitem rows as insert change events → envelope
+    # encode (with before-image/txn machinery active) → ordered sink. The
+    # micro-batch hot path (streaming/cdc.py) without trigger overhead.
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.cdc import encode_change_batch
+
+    tmp2 = tempfile.mkdtemp(prefix="bench-cdc-")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        data_map = F.create_map(
+            *[x for c in li.columns for x in (F.lit(c), F.col(c).cast("string"))]
+        )
+        feed = li.select(
+            F.monotonically_increasing_id().alias("seq"),
+            F.lit("main").alias("schema"),
+            F.lit("lineitem").alias("table"),
+            F.lit("insert").alias("op"),
+            F.concat(F.lit("txn-"), (F.col("l_orderkey") % 1000).cast("string")).alias(
+                "txn_id"
+            ),
+            F.lit("2024-01-01T00:00:00").alias("commit_ts"),
+            data_map.alias("data"),
+            F.lit(None).cast("map<string,string>").alias("before"),
+        )
+        store2 = StreamStore(spark, tmp2, shards=8)
+        settings = TaskSettings(before_image=True)
+        t0 = time.perf_counter()
+        env = encode_change_batch(feed, settings, {("main", "lineitem"): "l_orderkey"})
+        store2.append(to_json_records(env))
+        cdc_sec = time.perf_counter() - t0
+        timings["cdc_apply_sink"] = round(cdc_sec, 3)
+        cdc_events_per_sec = round(n_rows / cdc_sec, 1)
+    finally:
+        shutil.rmtree(tmp2, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -96,6 +132,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "full_load_rows_per_sec": fl_rows_per_sec,
+                "cdc_events_per_sec": cdc_events_per_sec,
             }
         )
     )

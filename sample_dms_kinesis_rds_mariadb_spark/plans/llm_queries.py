@@ -346,6 +346,140 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_knn_join",
+    "kNN join: top-3 neighbors for EACH probe vector (probes broadcast, one "
+    "scan of the corpus per batch of probes — the batched form of similarity "
+    "search; window per probe, no global sort)",
+    oracle="""
+        WITH probes AS (
+          SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
+          FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+          SELECT p.probe_id, e.vec_id,
+                 list_inner_product(CAST(e.embedding AS DOUBLE[]), p.p)
+                 / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_inner_product(p.p, p.p))) AS sim
+          FROM embeddings e CROSS JOIN probes p
+          WHERE e.vec_id >= 5
+        )
+        SELECT probe_id, vec_id,
+               CAST(ROUND(sim, 6) AS DECIMAL(18,6)) AS cosine_sim
+        FROM (
+          SELECT probe_id, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                                    ORDER BY sim DESC, vec_id) AS rn
+          FROM scored
+        ) WHERE rn <= 3
+        ORDER BY probe_id, cosine_sim DESC, vec_id
+    """,
+    tags=("similarity", "join"),
+)
+def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), to_double_array(F.col("embedding")).alias("p")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        cosine_similarity(F.col("v"), F.col("p")).alias("sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(F.col("sim"), 6).cast("decimal(18,6)").alias("cosine_sim"),
+        )
+        .orderBy("probe_id", F.col("cosine_sim").desc(), "vec_id")
+    )
+
+
+@register(
+    "dedup_pipeline_verified",
+    "The full near-dup pipeline: MinHash-LSH candidate generation → exact "
+    "n-gram-Jaccard verification (numerator/denominator ints, threshold "
+    "2/3) — candidates bound the quadratic stage, verification is exact",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS t
+          FROM documents
+        ),
+        shingled AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS i
+          )
+        ),
+        hashed AS (SELECT doc_id, md5(shingle) AS h, shingle FROM shingled),
+        wide AS (
+          SELECT doc_id,
+                 MIN(substr(h, 1, 8)) AS b0, MIN(substr(h, 9, 8)) AS b1,
+                 MIN(substr(h, 17, 8)) AS b2, MIN(substr(h, 25, 8)) AS b3
+          FROM hashed GROUP BY doc_id
+        ),
+        sigs AS (
+          SELECT doc_id, 0 AS band, b0 AS signature FROM wide
+          UNION ALL SELECT doc_id, 1, b1 FROM wide
+          UNION ALL SELECT doc_id, 2, b2 FROM wide
+          UNION ALL SELECT doc_id, 3, b3 FROM wide
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sigs a JOIN sigs b
+            ON a.band = b.band AND a.signature = b.signature
+           AND a.doc_id < b.doc_id
+        ),
+        sets AS (
+          SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingled GROUP BY doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sh, sb.sh)) AS n_common,
+               len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS n_union
+        FROM cands c
+        JOIN sets sa ON sa.doc_id = c.id_a
+        JOIN sets sb ON sb.doc_id = c.id_b
+        WHERE len(list_intersect(sa.sh, sb.sh)) * 3
+              >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 2
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
+)
+def q_dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidate_pairs(docs, "doc_id", "text")
+    sets = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        pairs.join(
+            sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")), "id_a"
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")), "id_b"
+        )
+        .select("id_a", "id_b", inter.alias("n_common"), union.alias("n_union"))
+        .filter(F.col("n_common") * 3 >= F.col("n_union") * 2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
     "multimodal_features",
     "Multimodal plumbing: binary column + Arrow-batched mapInPandas feature "
     "extraction (decode stubbed deterministically — rows-only check)",

@@ -561,6 +561,29 @@ def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_totals",
+    "CUBE grouping sets (all subtotal combinations in one pass)",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
     "distinct_count",
     "COUNT(DISTINCT) (SURVEY §2.6: exact distinct aggregation — two-phase "
     "partial-distinct shuffle in Spark)",

@@ -258,6 +258,31 @@ def test_cdc_three_phase_contracts(engine):
     assert all(r["is_stock"] is True for r in stock)
 
 
+def test_cdc_checkpoint_restart(engine):
+    """T1/T4: a stopped CDC task restarted with its checkpoint resumes from
+    the committed offset — no duplicate bootstrap control event, no replay
+    of already-delivered changes."""
+    feed = engine.changefeed("mariadb-source")
+    ts0 = time.time() - 1
+    feed.append_changes([AUTHOR_INSERT])
+    engine.start_task("cdc-task-1")
+    engine.wait_for_task_status("cdc-task-1", "running")
+    first = engine.consume(after_ts=ts0, expected_count=2, retries=120)
+    assert len(first) == 2  # bootstrap + insert
+    engine.stop_task("cdc-task-1")
+
+    feed.append_changes([ACCOUNT_INSERT])
+    engine.start_task("cdc-task-1")
+    engine.wait_for_task_status("cdc-task-1", "running")
+    allev = engine.consume(after_ts=ts0, expected_count=3, retries=120)
+    # exactly one new event: the account insert; no second bootstrap
+    assert len(allev) == 3
+    ops = [(e["metadata"]["operation"], e["metadata"]["table-name"]) for e in allev]
+    assert ops.count(("create-table", "awsdms_apply_exceptions")) == 1
+    assert ("insert", "accounts") in ops
+    engine.stop_task("cdc-task-1")
+
+
 def test_cdc_update_delete_before_image(engine):
     """UPDATE/DELETE carry full-column before-images (stack.py:331-336) and
     the materializer applies them (upsert/delete by PK)."""
