@@ -76,7 +76,7 @@ def main() -> None:
     try:
         li = load_table(spark, sf_dir, "lineitem")
         n_rows = li.count()
-        store = StreamStore(spark, tmp, shards=8)
+        store = StreamStore(spark, tmp, shards=32)
         t0 = time.perf_counter()
         env = encode_data_events(li, "main", "lineitem", "load", TaskSettings())
         store.append(to_json_records(env))
@@ -111,7 +111,7 @@ def main() -> None:
             data_map.alias("data"),
             F.lit(None).cast("map<string,string>").alias("before"),
         )
-        store2 = StreamStore(spark, tmp2, shards=8)
+        store2 = StreamStore(spark, tmp2, shards=32)
         settings = TaskSettings(before_image=True)
         t0 = time.perf_counter()
         env = encode_change_batch(feed, settings, {("main", "lineitem"): "l_orderkey"})

@@ -54,17 +54,27 @@ ENVELOPE_SCHEMA = T.StructType(
 )
 
 
-def _row_as_map(columns: list[str], prefix: str | None = None) -> Column:
+def _row_as_map(
+    columns: list[str],
+    prefix: str | None = None,
+    binary_columns: set[str] | None = None,
+) -> Column:
     """MAP<col_name, string_value> over the given columns (JVM-side).
 
     Null values are preserved in the map (``include_null_and_empty``,
-    reference stack.py:215).
+    reference stack.py:215). Binary columns are base64-encoded — the DMS
+    JSON envelope encodes BLOBs as base64; a raw string cast would attempt a
+    UTF-8 decode of arbitrary bytes.
     """
     pairs: list[Column] = []
     for c in columns:
         ref = F.col(f"{prefix}.{c}") if prefix else F.col(c)
-        pairs.append(F.lit(c))
-        pairs.append(ref.cast("string"))
+        if binary_columns and c in binary_columns:
+            pairs.append(F.lit(c))
+            pairs.append(F.base64(ref))
+        else:
+            pairs.append(F.lit(c))
+            pairs.append(ref.cast("string"))
     return F.create_map(*pairs)
 
 
@@ -124,17 +134,22 @@ def encode_data_events(
     if operation not in DATA_OPERATIONS:
         raise ValueError(f"not a data operation: {operation!r}")
     data_cols = [c for c in df.columns if c not in ("before", "_txn_id", "_commit_ts")]
+    binary_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.BinaryType)
+    }
     ts = event_ts if event_ts is not None else F.current_timestamp()
     txn = txn_id if txn_id is not None else F.lit(None).cast("string")
 
-    data_map = _row_as_map(data_cols)
+    data_map = _row_as_map(data_cols, binary_columns=binary_cols)
     if not settings.include_null_and_empty:
         data_map = F.map_filter(data_map, lambda k, v: v.isNotNull() & (v != F.lit("")))
 
     if before_columns:
         if settings.before_image_type == "pk-only":
             before_columns = before_columns[:1]
-        before_map = _row_as_map(before_columns, prefix="before")
+        before_map = _row_as_map(
+            before_columns, prefix="before", binary_columns=binary_cols
+        )
     else:
         before_map = F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
 

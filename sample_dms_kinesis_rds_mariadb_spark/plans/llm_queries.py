@@ -480,6 +480,22 @@ def q_dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup",
+    "Embedding near-duplicate pairs: LSH-bucketed cosine self-join, top-20 "
+    "most-similar in-bucket pairs (north-star dedup family #5; bucket-bounded "
+    "quadratic — rows-only, bucketing uses seeded random hyperplanes)",
+    oracle=None,
+    tags=("dedup", "similarity"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_self_join_topk(emb, threshold=-1.0)
+    return pairs.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(20).select(
+        "id_a", "id_b", F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").alias("cosine_sim")
+    )
+
+
+@register(
     "multimodal_features",
     "Multimodal plumbing: binary column + Arrow-batched mapInPandas feature "
     "extraction (decode stubbed deterministically — rows-only check)",

@@ -1009,7 +1009,7 @@ def envelope_full_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming windowed agg (SURVEY §2.10; Structured Streaming shares this "
     "incremental plan with watermarks)",
     oracle="""
-        SELECT date_trunc('hour', ts) AS window_start,
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users
         FROM events
@@ -1024,7 +1024,13 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.filter(F.col("event_type") == "click")
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .groupBy(
+            # string-typed window edge: timestamp objects hash differently
+            # across engines once a tz attaches; the formatted form doesn't
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start")
+        )
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),

@@ -74,6 +74,20 @@ def test_json_roundtrip(spark):
     assert r["partition_key"] == "testdb.novels"
 
 
+def test_binary_column_base64(spark):
+    """BLOB columns travel base64 in the envelope (the DMS JSON wire rule),
+    not a lossy UTF-8 cast."""
+    import base64
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\xff\x10binary"))], "id INT, blob BINARY"
+    )
+    env = encode_data_events(df, "db", "t", "load", TaskSettings())
+    r = env.collect()[0].asDict(recursive=True)
+    assert r["data"]["blob"] == base64.b64encode(b"\x00\xff\x10binary").decode()
+    assert r["data"]["id"] == "1"  # non-binary untouched
+
+
 def test_transaction_details_toggle(spark):
     df = seed_df(spark, "authors")
     env = encode_data_events(

@@ -123,6 +123,42 @@ def test_watermarked_window_agg(spark, tmp_path):
     ]
 
 
+def test_session_window_streaming(spark, tmp_path):
+    """Streaming session windows (gap-based) — the streaming counterpart of
+    the batch `sessionization` catalog query."""
+    src = str(tmp_path / "sess")
+    os.makedirs(src, exist_ok=True)
+    events = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00"},   # same session (gap 10m < 30m)
+        {"user_id": 1, "ts": "2024-01-01T02:00:00"},   # new session
+        {"user_id": 2, "ts": "2024-01-01T00:00:00"},
+    ]
+    with open(os.path.join(src, "e.json"), "w") as f:
+        f.write("\n".join(json.dumps(e) for e in events))
+    stream = (
+        spark.readStream.schema("user_id LONG, ts STRING")
+        .json(src)
+        .withColumn("event_time", F.to_timestamp("ts"))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window("event_time", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, n FROM sess_sink ORDER BY user_id, session_window.start"
+    ).collect()
+    assert [(r["user_id"], r["n"]) for r in rows] == [(1, 2), (1, 1), (2, 1)]
+
+
 def test_stream_store_read_stream(spark, tmp_path):
     """S5 streaming read-back: tail the sink as a stream and parse envelopes."""
     from sample_dms_kinesis_rds_mariadb_spark.envelope import (
