@@ -955,6 +955,127 @@ def min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_lead_lag",
+    "lead/lag/first_value window functions: order-to-order price deltas per "
+    "customer (full deterministic frame ordering)",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    - CAST(LAG(o_totalprice) OVER w AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS delta_prev,
+               CAST(CAST(FIRST_VALUE(o_totalprice) OVER w AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS first_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        QUALIFY o_custkey <= 200
+        ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = _dec("o_totalprice")
+    return (
+        o.withColumn("delta_prev", (price - F.lag(price).over(w)).cast("decimal(38,2)"))
+        .withColumn("first_price", F.first(price).over(w).cast("decimal(38,2)"))
+        .filter(F.col("o_custkey") <= 200)
+        .select("o_custkey", "o_orderkey", "delta_prev", "first_price")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "ntile_buckets",
+    "NTILE quartiles over account balances per nation (rank-family window)",
+    oracle="""
+        SELECT s_nationkey, quartile, COUNT(*) AS n,
+               CAST(MIN(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS min_bal
+        FROM (
+          SELECT s_nationkey, s_acctbal,
+                 NTILE(4) OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal, s_suppkey) AS quartile
+          FROM supplier
+        )
+        GROUP BY s_nationkey, quartile
+        ORDER BY s_nationkey, quartile
+    """,
+    tags=("window", "agg"),
+)
+def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("s_nationkey", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(_dec("s_acctbal")).cast("decimal(38,2)").alias("min_bal"),
+        )
+        .orderBy("s_nationkey", "quartile")
+    )
+
+
+@register(
+    "stats_moments",
+    "stddev/variance aggregation (sample moments, rounded to absorb "
+    "summation-order noise in parallel evaluation)",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(ROUND(stddev_samp(o_totalprice), 2) AS DECIMAL(18,2)) AS stddev_price,
+               CAST(ROUND(var_samp(o_totalprice), 1) AS DECIMAL(24,1)) AS var_price,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("stddev_price"),
+            F.round(F.var_samp("o_totalprice"), 1)
+            .cast("decimal(24,1)")
+            .alias("var_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "array_element_stats",
+    "Array/higher-order functions over the embedding column: per-label "
+    "dimensionality and element extrema (aggregate over ARRAY<FLOAT>)",
+    oracle="""
+        SELECT label,
+               COUNT(*) AS n_vectors,
+               MIN(len(embedding)) AS min_dim,
+               MAX(len(embedding)) AS max_dim,
+               CAST(ROUND(MIN(list_min(CAST(embedding AS DOUBLE[]))), 5) AS DECIMAL(18,5)) AS global_min,
+               CAST(ROUND(MAX(list_max(CAST(embedding AS DOUBLE[]))), 5) AS DECIMAL(18,5)) AS global_max
+        FROM embeddings GROUP BY label ORDER BY label
+    """,
+    tags=("function", "similarity"),
+)
+def array_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min(F.size("embedding")).alias("min_dim"),
+            F.max(F.size("embedding")).alias("max_dim"),
+            F.round(F.min(F.array_min(arr)), 5).cast("decimal(18,5)").alias("global_min"),
+            F.round(F.max(F.array_max(arr)), 5).cast("decimal(18,5)").alias("global_max"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
     "envelope_full_load",
     "The engine's core operator end-to-end as a batch plan: full-load "
     "envelope encode (control events + per-row load events, JSON wire "
