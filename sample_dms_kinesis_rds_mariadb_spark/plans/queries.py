@@ -43,6 +43,9 @@ TABLE_NAMES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # runtime-settable; required for TIMESTAMP(NANOS) parquet (events table)
+    # — the caller's session may not have it (e.g. the driver's own session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     # TIMESTAMP(NANOS) columns surface as raw nano longs (see session.py);
     # convert to µs-precision timestamps — the same truncation DuckDB applies
