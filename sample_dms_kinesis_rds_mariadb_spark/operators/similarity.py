@@ -105,6 +105,76 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_assignments(
+    df: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index build: KMeans centroids (Spark ML, seeded ⇒ reproducible)
+    + per-vector nearest-centroid assignment.
+
+    The scale path for repeated probes: cluster once (sampled training at
+    100 TB — `sample_fraction`), store `ivf_list` alongside the vectors
+    (partition/bucket by it), and probes scan only their nearest lists.
+    Returns (assigned_df, centroids).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.select(
+        F.col(id_col), array_to_vector(to_double_array(F.col(vec_col))).alias("features")
+    )
+    train = vecs if sample_fraction >= 1.0 else vecs.sample(sample_fraction, seed)
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    assigned = (
+        model.transform(vecs)
+        .select(
+            id_col,
+            F.col("prediction").alias("ivf_list"),
+            vector_to_array("features").alias("_v"),
+        )
+    )
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    out = df.join(assigned.select(id_col, "ivf_list"), id_col)
+    return out, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 20,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF: score only vectors in the ``n_probe``
+    lists whose centroids are closest to the probe. List pruning happens
+    before any per-vector math — at scale, with the table partitioned by
+    ``ivf_list``, this is partition pruning on the scan."""
+    import numpy as np
+
+    assigned, centroids = ivf_assignments(
+        df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    c = np.asarray(centroids)
+    p = np.asarray(probe, dtype=float)
+    dists = ((c - p) ** 2).sum(axis=1)
+    probe_lists = [int(i) for i in np.argsort(dists)[:n_probe]]
+
+    sim = cosine_similarity(to_double_array(F.col(vec_col)), _probe_lit(probe))
+    return (
+        assigned.filter(F.col("ivf_list").isin(probe_lists))
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_self_join_topk(
     df: DataFrame,
     threshold: float = 0.9,

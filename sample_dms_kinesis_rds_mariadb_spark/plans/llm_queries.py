@@ -480,6 +480,23 @@ def q_dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ann_ivf",
+    "Approximate NN via IVF: seeded KMeans lists + nearest-list probing "
+    "(the partition-pruning ANN scale path; approximate ⇒ rows-only check)",
+    oracle=None,
+    tags=("similarity",),
+)
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.ivf_topk(emb, probe, k=20, n_lists=8, n_probe=3)
+    return out.select(
+        "vec_id",
+        F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").alias("cosine_sim"),
+    )
+
+
+@register(
     "embedding_near_dup",
     "Embedding near-duplicate pairs: LSH-bucketed cosine self-join, top-20 "
     "most-similar in-bucket pairs (north-star dedup family #5; bucket-bounded "

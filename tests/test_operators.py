@@ -113,6 +113,25 @@ def test_lsh_topk_contains_true_neighbors(vectors):
     assert len(exact & set(ids)) >= 3  # multiprobe recall
 
 
+def test_ivf_topk_recall(vectors):
+    probe = [1.0, 0.0, 0.0, 0.0]
+    out = similarity.ivf_topk(
+        vectors, probe, k=5, n_lists=4, n_probe=2, id_col="vec_id"
+    ).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 0 in ids  # exact hit survives list pruning
+    exact = {0, 1, 2, 3, 4}
+    assert len(exact & set(ids)) >= 3
+    # determinism: seeded KMeans ⇒ identical result on re-run
+    again = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            vectors, probe, k=5, n_lists=4, n_probe=2, id_col="vec_id"
+        ).collect()
+    ]
+    assert ids == again
+
+
 def test_cosine_self_join_pairs(vectors):
     out = similarity.cosine_self_join_topk(
         vectors, threshold=0.999, id_col="vec_id"
