@@ -68,6 +68,36 @@ def minhash_signatures(
     )
 
 
+def simhash16_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over DISTINCT tokens with md5-derived bit vectors —
+    the cross-engine-verifiable variant (md5 hex → int is reproducible in
+    any engine; see the DuckDB oracle of catalog query
+    ``simhash_fingerprints``). Same plan shape as ``simhash64``: explode →
+    16 conditional sums per doc → bit reassembly; one shuffle on doc id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(tokenize(normalize_text(F.col(text_col))))
+        ).alias("_tok"),
+    ).withColumn(
+        "_h", F.conv(F.substring(F.md5("_tok"), 1, 4), 16, 10).cast("int")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"_b{b}")
+        for b in range(16)
+    ]
+    agg = toks.groupBy("_id").agg(*bit_sums)
+    fp = F.lit(0)
+    for b in range(16):
+        fp = fp + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.select(F.col("_id").alias(id_col), fp.cast("int").alias("simhash16"))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (engine-native xxhash64).
 
