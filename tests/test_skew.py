@@ -1,0 +1,40 @@
+"""Salted skew-handling: results must equal the direct (unsalted) plans."""
+
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.skew import (
+    salted_aggregate,
+    salted_broadcast_left_join,
+)
+from sample_dms_kinesis_rds_mariadb_spark.plans.queries import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_aggregate_matches_direct(spark):
+    e = load_table(spark, SF, "events")
+    direct = {
+        (r["user_id"],): (r["cnt"], round(r["sum_v"], 4))
+        for r in e.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .collect()
+    }
+    salted = {
+        (r["user_id"],): (r["cnt"], round(r["sum_v"], 4))
+        for r in salted_aggregate(
+            e,
+            ["user_id"],
+            partial_aggs={"cnt": F.count("*"), "sum_v": F.sum("value")},
+            merge_aggs={"cnt": F.sum("cnt"), "sum_v": F.round(F.sum("sum_v"), 4)},
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_join_matches_direct(spark):
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    li = li.withColumnRenamed("l_orderkey", "o_orderkey")
+    direct = li.join(orders, "o_orderkey").count()
+    salted = salted_broadcast_left_join(li, orders, "o_orderkey").count()
+    assert salted == direct
