@@ -101,6 +101,11 @@ class ReplicationEngine:
     ) -> None:
         self.tasks[task_id].wait_for_status(status, retries=retries, sleep=sleep)
 
+    def describe_table(self, schema_name: str, table_name: str) -> list[dict]:
+        """DESCRIBE-equivalent rows (SURVEY §2.1 S6; the analog of the
+        reference's ``get_table_schemas``, tests/test_infra.py:270-282)."""
+        return self.registry.describe(schema_name, table_name)
+
     # -- statistics (run.py:202-209) -------------------------------------------
     def describe_table_statistics(self, task_id: str) -> list[dict]:
         return self.stats.table_statistics(task_id)
