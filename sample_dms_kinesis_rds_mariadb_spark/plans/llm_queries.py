@@ -17,9 +17,7 @@ from pyspark.sql import functions as F
 
 from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
     doc_fingerprint,
-    lang_scores,
     langid_heuristic,
-    normalize_text,
     quality_columns,
     token_count,
 )

@@ -1079,6 +1079,51 @@ def array_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "string_aggregation",
+    "Ordered string aggregation per group (listagg/string_agg semantics via "
+    "sorted collect + join)",
+    oracle="""
+        SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(*) AS n
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=("agg", "function"),
+)
+def string_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "union_distinct",
+    "UNION (distinct) across heterogeneous sources: nation keys appearing "
+    "as customer or supplier nations",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    tags=("setop",),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+@register(
     "envelope_full_load",
     "The engine's core operator end-to-end as a batch plan: full-load "
     "envelope encode (control events + per-row load events, JSON wire "

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sample_dms_kinesis_rds_mariadb_spark.spec import SelectionRule, like_to_regex
+from sample_dms_kinesis_rds_mariadb_spark.spec import SelectionRule
 
 FEED_SCHEMA = T.StructType(
     [

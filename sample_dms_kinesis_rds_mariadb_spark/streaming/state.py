@@ -16,7 +16,6 @@ in SURVEY §7 hard-part (b). State size = one row-image per live key.
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator
 from typing import Any
 
