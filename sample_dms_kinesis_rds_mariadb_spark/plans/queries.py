@@ -1124,6 +1124,133 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "left_outer_join_nulls",
+    "LEFT OUTER join with null-side handling (coalesce over the unmatched "
+    "side): every customer with order count incl. zero",
+    oracle="""
+        SELECT c.c_custkey,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               CASE WHEN o.n_orders IS NULL THEN 'inactive' ELSE 'active' END AS status
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+          ON o.o_custkey = c.c_custkey
+        ORDER BY c.c_custkey
+    """,
+    tags=("join", "function"),
+)
+def left_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.when(F.col("n_orders").isNull(), "inactive")
+            .otherwise("active")
+            .alias("status"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "full_outer_join",
+    "FULL OUTER join: nation keys present on customer and/or supplier side",
+    oracle="""
+        SELECT COALESCE(c.k, s.k) AS nationkey,
+               COALESCE(c.n_cust, 0) AS n_cust,
+               COALESCE(s.n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+          ON c.k = s.k
+        ORDER BY nationkey
+    """,
+    tags=("join",),
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "k", "full_outer")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "date_arithmetic",
+    "Date arithmetic: shipping delay in days (datediff), bucketed",
+    oracle="""
+        SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INT) AS delay_days,
+               COUNT(*) AS n
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+        GROUP BY delay_days
+        ORDER BY delay_days
+        LIMIT 100
+    """,
+    tags=("function", "join"),
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("delay_days")
+        )
+        .groupBy("delay_days")
+        .agg(F.count("*").alias("n"))
+        .orderBy("delay_days")
+        .limit(100)
+    )
+
+
+@register(
+    "regexp_extract_groups",
+    "Regex group extraction over text (regexp_extract): numeric suffix of "
+    "the source tag",
+    oracle="""
+        SELECT CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY src_num ORDER BY src_num
+    """,
+    tags=("function", "text"),
+)
+def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.regexp_extract("source", r"src([0-9]+)", 1).cast("int").alias("src_num")
+        )
+        .groupBy("src_num")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("src_num")
+    )
+
+
+@register(
     "envelope_full_load",
     "The engine's core operator end-to-end as a batch plan: full-load "
     "envelope encode (control events + per-row load events, JSON wire "
