@@ -39,6 +39,9 @@ METADATA_SCHEMA = T.StructType(
         T.StructField("record-type", T.StringType()),
         T.StructField("operation", T.StringType()),
         T.StructField("partition-key-type", T.StringType()),
+        # populated when include_partition_value and the row's PK is known
+        # (stack.py:216); null otherwise — from_json tolerates absence
+        T.StructField("partition-key-value", T.StringType()),
         T.StructField("schema-name", T.StringType()),
         T.StructField("table-name", T.StringType()),
         T.StructField("transaction-id", T.StringType()),
@@ -86,13 +89,16 @@ def _metadata_struct(
     txn_id: Column,
     event_ts: Column,
     settings: TaskSettings,
+    pk_value: Column | None = None,
 ) -> Column:
+    include_pk = settings.include_partition_value and pk_value is not None
     return F.struct(
         F.date_format(event_ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("timestamp"),
         record_type.alias("record-type"),
         operation.alias("operation"),
-        F.lit("schema-table" if settings.partition_include_schema_table else "primary-key").alias(
-            "partition-key-type"
+        F.lit(settings.partition_key_type).alias("partition-key-type"),
+        (pk_value.cast("string") if include_pk else F.lit(None).cast("string")).alias(
+            "partition-key-value"
         ),
         schema_name.alias("schema-name"),
         table_name.alias("table-name"),
@@ -103,15 +109,22 @@ def _metadata_struct(
 
 
 def partition_key_col(settings: TaskSettings, pk_value: Column | None = None) -> Column:
-    """Partition key = ``schema-name.table-name`` (reference stack.py:219),
-    optionally suffixed with the primary-key value (stack.py:216), so all
-    changes of a table hash to one shard/partition (SURVEY §2.2 K2).
+    """Stream routing key (SURVEY §2.2 K2; reference stack.py:216,219).
+
+    - ``schema-table`` mode: ``schema.table`` — all of a table's changes hash
+      to one shard (total order per table, serial per table at the sink).
+    - ``primary-key`` mode: the row's PK value, prefixed ``schema.table.``
+      when ``partition_include_schema_table`` — a single table's rows fan out
+      across every shard (the scale mode; per-PK changes stay FIFO because
+      equal keys hash to the same shard).
     """
     base = F.concat_ws(
         ".", F.col("metadata.`schema-name`"), F.col("metadata.`table-name`")
     )
-    if settings.include_partition_value and pk_value is not None:
-        return F.concat_ws(".", base, pk_value.cast("string"))
+    if settings.partition_key_type == "primary-key" and pk_value is not None:
+        if settings.partition_include_schema_table:
+            return F.concat_ws(".", base, pk_value.cast("string"))
+        return pk_value.cast("string")
     return base
 
 
@@ -124,12 +137,17 @@ def encode_data_events(
     txn_id: Column | None = None,
     event_ts: Column | None = None,
     before_columns: list[str] | None = None,
+    pk_column: str | None = None,
 ) -> DataFrame:
     """Project a typed table DataFrame into envelope rows (record-type=data).
 
     ``before_columns`` names struct-prefixed columns ``before.<col>`` in
     ``df`` to attach as the ``before-image`` map (CDC update/delete; reference
-    stack.py:331-336). Returns columns: envelope fields + ``partition_key``.
+    stack.py:331-336). ``pk_column`` names the table's primary key: it feeds
+    the ``partition-key-value`` metadata field (stack.py:216) and, in
+    ``primary-key`` partition mode, the routing key itself — without it a
+    whole table is one partition key, i.e. one shard, i.e. serial at the
+    sink. Returns columns: envelope fields + ``partition_key``.
     """
     if operation not in DATA_OPERATIONS:
         raise ValueError(f"not a data operation: {operation!r}")
@@ -153,6 +171,7 @@ def encode_data_events(
     else:
         before_map = F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
 
+    pk_value = F.col(pk_column) if pk_column is not None else None
     out = df.select(
         data_map.alias("data"),
         before_map.alias("before-image"),
@@ -164,9 +183,21 @@ def encode_data_events(
             txn.cast("string"),
             ts,
             settings,
+            pk_value=pk_value,
         ).alias("metadata"),
+        *(
+            [pk_value.cast("string").alias("_pk")]
+            if pk_value is not None
+            else []
+        ),
     )
-    return out.withColumn("partition_key", partition_key_col(settings))
+    out = out.withColumn(
+        "partition_key",
+        partition_key_col(
+            settings, F.col("_pk") if pk_value is not None else None
+        ),
+    )
+    return out.drop("_pk") if pk_value is not None else out
 
 
 def control_events(

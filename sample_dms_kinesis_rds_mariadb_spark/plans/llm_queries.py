@@ -92,52 +92,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard_probe",
-    "n-gram Jaccard similarity vs a probe document (north-star dedup family "
-    "#4: exact set similarity, array_intersect/array_union JVM-side)",
-    oracle=f"""
-        WITH sets AS (
-          SELECT doc_id,
-                 list_distinct(sh) AS shingles
-          FROM (
-            SELECT doc_id,
-                   list_transform(
-                     generate_series(1, GREATEST(len(t) - 2, 0)),
-                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                   ) AS sh
-            FROM (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS t
-                  FROM documents)
-          )
-        ),
-        probe AS (SELECT shingles AS ps FROM sets WHERE doc_id = 0)
-        SELECT s.doc_id,
-               len(list_intersect(s.shingles, p.ps)) AS n_common,
-               len(s.shingles) + len(p.ps) - len(list_intersect(s.shingles, p.ps)) AS n_union
-        FROM sets s, probe p
-        WHERE s.doc_id <> 0 AND len(list_intersect(s.shingles, p.ps)) > 0
-        ORDER BY s.doc_id
-    """,
-    tags=("dedup",),
-)
-def q_dedup_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sets = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
-    probe = sets.filter(F.col("doc_id") == 0).select(F.col("sh").alias("ps"))
-    inter = F.size(F.array_intersect(F.col("sh"), F.col("ps")))
-    return (
-        sets.crossJoin(F.broadcast(probe))
-        .filter(F.col("doc_id") != 0)
-        .select(
-            "doc_id",
-            inter.alias("n_common"),
-            (F.size("sh") + F.size("ps") - inter).alias("n_union"),
-        )
-        .filter(F.col("n_common") > 0)
-        .orderBy("doc_id")
-    )
-
-
 _SIMHASH_BIT_SUMS = ",\n                 ".join(
     f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
     for b in range(16)
@@ -180,21 +134,6 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "simhash_dedup",
-    "SimHash near-dup pairs: 64-bit fingerprint, 16-bit-band bucketing, "
-    "hamming ≤ 3 (north-star dedup family #3; engine-native xxhash64 — "
-    "rows-only check, no cross-engine hash)",
-    oracle=None,
-    tags=("dedup",),
-)
-def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
-
-
-@register(
     "embedding_topk_cosine",
     "Similarity search baseline: exact brute-force cosine top-20 vs the "
     "vec_id=0 embedding (north-star similarity op; TakeOrdered, no global "
@@ -204,11 +143,11 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
         )
         SELECT e.vec_id,
-               CAST(ROUND(
+               CAST(CAST(ROUND(
                  list_inner_product(CAST(e.embedding AS DOUBLE[]), p.p)
                  / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
                                             CAST(e.embedding AS DOUBLE[])))
-                    * sqrt(list_inner_product(p.p, p.p))), 6) AS DECIMAL(18,6)) AS cosine_sim
+                    * sqrt(list_inner_product(p.p, p.p))), 6) AS DECIMAL(18,6)) AS DOUBLE) AS cosine_sim
         FROM embeddings e, probe p
         ORDER BY cosine_sim DESC, e.vec_id
         LIMIT 20
@@ -220,24 +159,14 @@ def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     out = similarity.brute_force_topk(emb, probe, k=20)
     return out.select(
-        "vec_id", F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").alias("cosine_sim")
+        "vec_id",
+        # decimal normalization then DOUBLE output: identical float64 bits on
+        # both engines (see plans/queries.py q1 note)
+        F.round(F.col("cosine_sim"), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("cosine_sim"),
     ).orderBy(F.col("cosine_sim").desc(), "vec_id")
-
-
-@register(
-    "embedding_ann_lsh",
-    "Approximate NN: random-hyperplane LSH bucketing + in-bucket scan "
-    "(north-star similarity scale path; approximate ⇒ rows-only check)",
-    oracle=None,
-    tags=("similarity",),
-)
-def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = similarity.lsh_bucketed_topk(emb, probe, k=20)
-    return out.select(
-        "vec_id", F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").alias("cosine_sim")
-    )
 
 
 @register(
@@ -404,7 +333,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE e.vec_id >= 5
         )
         SELECT probe_id, vec_id,
-               CAST(ROUND(sim, 6) AS DECIMAL(18,6)) AS cosine_sim
+               CAST(CAST(ROUND(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cosine_sim
         FROM (
           SELECT probe_id, vec_id, sim,
                  ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -442,7 +371,10 @@ def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             "vec_id",
-            F.round(F.col("sim"), 6).cast("decimal(18,6)").alias("cosine_sim"),
+            F.round(F.col("sim"), 6)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("cosine_sim"),
         )
         .orderBy("probe_id", F.col("cosine_sim").desc(), "vec_id")
     )
@@ -518,6 +450,46 @@ def q_dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# No-oracle (rows-only) queries register LAST: the driver's correctness file
+# records at most 50 entries in registration order, so every oracle-bearing
+# query above must land inside the cap (round-1 lesson — 8 entries were
+# silently unchecked).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simhash_dedup",
+    "SimHash near-dup pairs: 64-bit fingerprint, 16-bit-band bucketing, "
+    "hamming ≤ 3 (north-star dedup family #3; engine-native xxhash64 — "
+    "rows-only check, no cross-engine hash)",
+    oracle=None,
+    tags=("dedup",),
+)
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "embedding_ann_lsh",
+    "Approximate NN: random-hyperplane LSH bucketing + in-bucket scan "
+    "(north-star similarity scale path; approximate ⇒ rows-only check)",
+    oracle=None,
+    tags=("similarity",),
+)
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.lsh_bucketed_topk(emb, probe, k=20)
+    return out.select(
+        "vec_id",
+        F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").cast("double").alias("cosine_sim"),
+    )
+
+
 @register(
     "embedding_ann_ivf",
     "Approximate NN via IVF: seeded KMeans lists + nearest-list probing "
@@ -531,7 +503,7 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.ivf_topk(emb, probe, k=20, n_lists=8, n_probe=3)
     return out.select(
         "vec_id",
-        F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").alias("cosine_sim"),
+        F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").cast("double").alias("cosine_sim"),
     )
 
 
@@ -547,7 +519,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.cosine_self_join_topk(emb, threshold=-1.0)
     return pairs.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(20).select(
-        "id_a", "id_b", F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").alias("cosine_sim")
+        "id_a",
+        "id_b",
+        F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").cast("double").alias("cosine_sim"),
     )
 
 

@@ -116,9 +116,9 @@ def _dec(col: str, scale: int = 2):
     "bounded by distinct flag/status pairs — trivially scalable)",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -136,9 +136,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            # exact decimal arithmetic, rendered as DOUBLE on both engines:
+            # decimal->double is the correctly-rounded nearest double in both
+            # Spark (BigDecimal.doubleValue) and DuckDB, so the driver's value
+            # hash sees identical float64 bits — DECIMAL output columns hash
+            # differently per engine (trailing-zero canonicalization).
+            F.sum(_dec("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -152,7 +157,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort at scale)",
     oracle="""
         SELECT l.l_orderkey,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
                CAST(o.o_orderdate AS DATE) AS orderdate
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -181,7 +186,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey), l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"))
         .select(
             "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate")
         )
@@ -196,7 +201,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast, facts shuffle once on the join key)",
     oracle="""
         SELECT n.n_name AS nation,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         FROM region r
         JOIN nation n ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -229,7 +234,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == n.n_nationkey),
         )
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "nation")
     )
 
@@ -239,7 +244,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Column projection + WHERE (SURVEY §2.4 P1, §2.3 F5: `SELECT first_name, "
     "last_name FROM authors` generalized; projection/filter push to parquet)",
     oracle="""
-        SELECT c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS acctbal
+        SELECT c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
         FROM customer
         WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 1000
         ORDER BY c_custkey
@@ -251,7 +256,7 @@ def projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.filter((F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") > 1000))
         .orderBy("c_custkey")
-        .select("c_name", _dec("c_acctbal").cast("decimal(38,2)").alias("acctbal"))
+        .select("c_name", _dec("c_acctbal").cast("double").alias("acctbal"))
     )
 
 
@@ -261,7 +266,7 @@ def projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analog — predicate pushdown makes this a pruned scan)",
     oracle="""
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS totalprice
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
         FROM orders WHERE o_orderkey = 42
     """,
     tags=("filter",),
@@ -272,7 +277,7 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
-        _dec("o_totalprice").cast("decimal(38,2)").alias("totalprice"),
+        _dec("o_totalprice").cast("double").alias("totalprice"),
     )
 
 
@@ -330,7 +335,7 @@ def like_filter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TableName), run.py:206-208; range-partitioned sort at scale)",
     oracle="""
         SELECT s_suppkey, s_name, s_nationkey,
-               CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS acctbal
+               CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
         FROM supplier
         ORDER BY s_nationkey, acctbal DESC, s_suppkey
         LIMIT 100
@@ -344,7 +349,7 @@ def multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "s_name",
             "s_nationkey",
-            _dec("s_acctbal").cast("decimal(38,2)").alias("acctbal"),
+            _dec("s_acctbal").cast("double").alias("acctbal"),
         )
         .orderBy("s_nationkey", F.col("acctbal").desc(), "s_suppkey")
         .limit(100)
@@ -394,14 +399,16 @@ def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fk_join_dimension",
-    "FK dimension join (SURVEY §2.5 J1: novels⋈authors analog — "
-    "nation⋈region broadcast hash join, dimension never shuffles the fact)",
+    "FK dimension join + ordered string aggregation (SURVEY §2.5 J1: "
+    "novels⋈authors analog — nation⋈region broadcast hash join, dimension "
+    "never shuffles the fact; listagg of member nations per region)",
     oracle="""
-        SELECT r.r_name AS region_name, COUNT(*) AS n_nations
+        SELECT r.r_name AS region_name, COUNT(*) AS n_nations,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name ORDER BY r.r_name
     """,
-    tags=("join", "agg"),
+    tags=("join", "agg", "function"),
 )
 def fk_join_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
@@ -409,31 +416,13 @@ def fk_join_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))
-        .agg(F.count("*").alias("n_nations"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            # sorted collect + concat = deterministic listagg on both engines
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        )
         .orderBy("region_name")
     )
-
-
-@register(
-    "union_interleave",
-    "Stream-union semantics (SURVEY §2.8: control+data interleave maps to "
-    "unionByName — here two heterogeneous event selections unioned)",
-    oracle="""
-        SELECT kind, COUNT(*) AS n FROM (
-          SELECT 'purchase' AS kind FROM events WHERE event_type = 'purchase'
-          UNION ALL
-          SELECT 'error' AS kind FROM events WHERE event_type = 'error'
-        ) GROUP BY kind ORDER BY kind
-    """,
-    tags=("setop",),
-)
-def union_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    a = e.filter(F.col("event_type") == "purchase").select(
-        F.lit("purchase").alias("kind")
-    )
-    b = e.filter(F.col("event_type") == "error").select(F.lit("error").alias("kind"))
-    return a.unionByName(b).groupBy("kind").agg(F.count("*").alias("n")).orderBy("kind")
 
 
 @register(
@@ -442,7 +431,7 @@ def union_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order per customer — hash-partitioned window, no global sort)",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS totalprice
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
         FROM (
           SELECT o_custkey, o_orderkey, o_totalprice,
                  ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -464,7 +453,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            _dec("o_totalprice").cast("decimal(38,2)").alias("totalprice"),
+            _dec("o_totalprice").cast("double").alias("totalprice"),
         )
         .orderBy("o_custkey")
     )
@@ -541,7 +530,7 @@ def per_key_operation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "total in one pass)",
     oracle="""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -554,7 +543,7 @@ def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(_dec("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
@@ -588,15 +577,18 @@ def cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "distinct_count",
-    "COUNT(DISTINCT) (SURVEY §2.6: exact distinct aggregation — two-phase "
-    "partial-distinct shuffle in Spark)",
+    "COUNT(DISTINCT) + HAVING (SURVEY §2.6: exact distinct aggregation — "
+    "two-phase partial-distinct shuffle in Spark; post-aggregation predicate "
+    "keeps only groups with >10 distinct parts)",
     oracle="""
         SELECT l_returnflag,
                COUNT(DISTINCT l_partkey) AS distinct_parts,
                COUNT(DISTINCT l_suppkey) AS distinct_suppliers
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        FROM lineitem GROUP BY l_returnflag
+        HAVING COUNT(DISTINCT l_partkey) > 10
+        ORDER BY l_returnflag
     """,
-    tags=("agg",),
+    tags=("agg", "filter"),
 )
 def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
@@ -606,6 +598,7 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("distinct_parts"),
             F.countDistinct("l_suppkey").alias("distinct_suppliers"),
         )
+        .filter(F.col("distinct_parts") > 10)
         .orderBy("l_returnflag")
     )
 
@@ -685,13 +678,16 @@ def partition_key_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "date_parts_agg",
-    "Timestamp extraction (SURVEY §2.9 C5/C8: unix_timestamp/date literals — "
-    "orders bucketed by year/month)",
+    "Timestamp extraction + date arithmetic (SURVEY §2.9 C5/C8: "
+    "unix_timestamp/date literals — orders bucketed by year/month; "
+    "span_days = datediff over the month's order-date range)",
     oracle="""
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
                CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total,
+               CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                                     CAST(MAX(o_orderdate) AS DATE)) AS INT) AS span_days
         FROM orders
         GROUP BY order_year, order_month
         ORDER BY order_year, order_month
@@ -707,45 +703,12 @@ def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total"),
+            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").cast("double").alias("total"),
+            F.datediff(
+                F.max("o_orderdate").cast("date"), F.min("o_orderdate").cast("date")
+            ).alias("span_days"),
         )
         .orderBy("order_year", "order_month")
-    )
-
-
-@register(
-    "sessionization",
-    "Gaps-and-islands sessionization over the event stream (window lag + "
-    "running sum per user; the batch dual of session windows in Structured "
-    "Streaming — hash-partitioned by user, no global sort)",
-    oracle="""
-        SELECT user_id,
-               COUNT(*) AS n_events,
-               CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions
-        FROM (
-          SELECT user_id,
-                 CASE WHEN epoch(ts - LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        )
-        GROUP BY user_id ORDER BY user_id
-    """,
-    tags=("window", "streaming"),
-)
-def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    return (
-        e.withColumn(
-            "new_session", F.when(gap > 1800, 1).otherwise(0)
-        )
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            (F.sum("new_session") + 1).cast("long").alias("n_sessions"),
-        )
-        .orderBy("user_id")
     )
 
 
@@ -755,8 +718,8 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sorted doubles in both engines",
     oracle="""
         SELECT l_returnflag,
-               CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DECIMAL(18,4)) AS median_qty,
-               CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(18,4)) AS median_price
+               CAST(CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DECIMAL(18,4)) AS DOUBLE) AS median_qty,
+               CAST(CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(18,4)) AS DOUBLE) AS median_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("agg",),
@@ -768,63 +731,14 @@ def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.expr("percentile(l_quantity, 0.5)"), 4)
             .cast("decimal(18,4)")
+            .cast("double")
             .alias("median_qty"),
             F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
             .cast("decimal(18,4)")
+            .cast("double")
             .alias("median_price"),
         )
         .orderBy("l_returnflag")
-    )
-
-
-@register(
-    "having_filter",
-    "GROUP BY + HAVING (post-aggregation predicate): customers with ≥ 12 "
-    "orders",
-    oracle="""
-        SELECT o_custkey, COUNT(*) AS n_orders
-        FROM orders GROUP BY o_custkey
-        HAVING COUNT(*) >= 12
-        ORDER BY o_custkey
-    """,
-    tags=("agg", "filter"),
-)
-def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= 12)
-        .orderBy("o_custkey")
-    )
-
-
-@register(
-    "string_functions",
-    "String scalar functions (SURVEY §2.9 generalized: upper/substr/"
-    "replace/length — all codegen'd)",
-    oracle="""
-        SELECT upper(substr(c_name, 1, 8)) AS name_prefix,
-               replace(c_mktsegment, 'A', '_') AS seg_masked,
-               length(c_name) AS name_len,
-               c_custkey
-        FROM customer
-        WHERE c_custkey <= 100
-        ORDER BY c_custkey
-    """,
-    tags=("function",),
-)
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    return (
-        c.filter(F.col("c_custkey") <= 100)
-        .select(
-            F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
-            F.regexp_replace("c_mktsegment", "A", "_").alias("seg_masked"),
-            F.length("c_name").alias("name_len"),
-            "c_custkey",
-        )
-        .orderBy("c_custkey")
     )
 
 
@@ -839,7 +753,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE 'large'
                END AS bucket,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
         FROM orders GROUP BY bucket ORDER BY bucket
     """,
     tags=("function", "agg"),
@@ -855,7 +769,7 @@ def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bucket.alias("bucket"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total"),
+            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").cast("double").alias("total"),
         )
         .orderBy("bucket")
     )
@@ -863,8 +777,9 @@ def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "intersect_except",
-    "Set operations INTERSECT / EXCEPT (SURVEY §2.8 generalized): customer "
-    "keys in both vs only one market segment's order set",
+    "Set operations INTERSECT / EXCEPT / UNION-distinct (SURVEY §2.8 "
+    "generalized): customer keys in both, only one, or either of two order "
+    "status sets",
     oracle="""
         SELECT 'both' AS side, COUNT(*) AS n FROM (
           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -875,6 +790,12 @@ def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'only_f', COUNT(*) FROM (
           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
           EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        UNION ALL
+        SELECT 'either', COUNT(*) FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          UNION
           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         )
         ORDER BY side
@@ -893,7 +814,12 @@ def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     only_f = f_keys.subtract(o_keys).agg(
         F.lit("only_f").alias("side"), F.count("*").alias("n")
     )
-    return both.unionByName(only_f).orderBy("side")
+    # union().distinct() = SQL UNION (distinct) — dedup happens in one hash
+    # shuffle after the cheap concatenation, no sort
+    either = f_keys.union(o_keys).distinct().agg(
+        F.lit("either").alias("side"), F.count("*").alias("n")
+    )
+    return both.unionByName(only_f).unionByName(either).orderBy("side")
 
 
 @register(
@@ -963,9 +889,9 @@ def min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer (full deterministic frame ordering)",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                    - CAST(LAG(o_totalprice) OVER w AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS delta_prev,
-               CAST(CAST(FIRST_VALUE(o_totalprice) OVER w AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS first_price
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    - CAST(LAG(o_totalprice) OVER w AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS DOUBLE) AS delta_prev,
+               CAST(CAST(CAST(FIRST_VALUE(o_totalprice) OVER w AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS DOUBLE) AS first_price
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         QUALIFY o_custkey <= 200
@@ -978,8 +904,13 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     price = _dec("o_totalprice")
     return (
-        o.withColumn("delta_prev", (price - F.lag(price).over(w)).cast("decimal(38,2)"))
-        .withColumn("first_price", F.first(price).over(w).cast("decimal(38,2)"))
+        o.withColumn(
+            "delta_prev",
+            (price - F.lag(price).over(w)).cast("decimal(38,2)").cast("double"),
+        )
+        .withColumn(
+            "first_price", F.first(price).over(w).cast("decimal(38,2)").cast("double")
+        )
         .filter(F.col("o_custkey") <= 200)
         .select("o_custkey", "o_orderkey", "delta_prev", "first_price")
         .orderBy("o_custkey", "o_orderkey")
@@ -991,7 +922,7 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "NTILE quartiles over account balances per nation (rank-family window)",
     oracle="""
         SELECT s_nationkey, quartile, COUNT(*) AS n,
-               CAST(MIN(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS min_bal
+               CAST(CAST(MIN(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS min_bal
         FROM (
           SELECT s_nationkey, s_acctbal,
                  NTILE(4) OVER (PARTITION BY s_nationkey
@@ -1011,7 +942,7 @@ def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey", "quartile")
         .agg(
             F.count("*").alias("n"),
-            F.min(_dec("s_acctbal")).cast("decimal(38,2)").alias("min_bal"),
+            F.min(_dec("s_acctbal")).cast("decimal(38,2)").cast("double").alias("min_bal"),
         )
         .orderBy("s_nationkey", "quartile")
     )
@@ -1023,8 +954,8 @@ def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "summation-order noise in parallel evaluation)",
     oracle="""
         SELECT o_orderstatus,
-               CAST(ROUND(stddev_samp(o_totalprice), 2) AS DECIMAL(18,2)) AS stddev_price,
-               CAST(ROUND(var_samp(o_totalprice), 1) AS DECIMAL(24,1)) AS var_price,
+               CAST(CAST(ROUND(stddev_samp(o_totalprice), 2) AS DECIMAL(18,2)) AS DOUBLE) AS stddev_price,
+               CAST(CAST(ROUND(var_samp(o_totalprice), 1) AS DECIMAL(24,1)) AS DOUBLE) AS var_price,
                COUNT(*) AS n
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
@@ -1037,9 +968,11 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.stddev_samp("o_totalprice"), 2)
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("stddev_price"),
             F.round(F.var_samp("o_totalprice"), 1)
             .cast("decimal(24,1)")
+            .cast("double")
             .alias("var_price"),
             F.count("*").alias("n"),
         )
@@ -1056,8 +989,8 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_vectors,
                MIN(len(embedding)) AS min_dim,
                MAX(len(embedding)) AS max_dim,
-               CAST(ROUND(MIN(list_min(CAST(embedding AS DOUBLE[]))), 5) AS DECIMAL(18,5)) AS global_min,
-               CAST(ROUND(MAX(list_max(CAST(embedding AS DOUBLE[]))), 5) AS DECIMAL(18,5)) AS global_max
+               CAST(CAST(ROUND(MIN(list_min(CAST(embedding AS DOUBLE[]))), 5) AS DECIMAL(18,5)) AS DOUBLE) AS global_min,
+               CAST(CAST(ROUND(MAX(list_max(CAST(embedding AS DOUBLE[]))), 5) AS DECIMAL(18,5)) AS DOUBLE) AS global_max
         FROM embeddings GROUP BY label ORDER BY label
     """,
     tags=("function", "similarity"),
@@ -1071,56 +1004,17 @@ def array_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
             F.min(F.size("embedding")).alias("min_dim"),
             F.max(F.size("embedding")).alias("max_dim"),
-            F.round(F.min(F.array_min(arr)), 5).cast("decimal(18,5)").alias("global_min"),
-            F.round(F.max(F.array_max(arr)), 5).cast("decimal(18,5)").alias("global_max"),
+            F.round(F.min(F.array_min(arr)), 5)
+            .cast("decimal(18,5)")
+            .cast("double")
+            .alias("global_min"),
+            F.round(F.max(F.array_max(arr)), 5)
+            .cast("decimal(18,5)")
+            .cast("double")
+            .alias("global_max"),
         )
         .orderBy("label")
     )
-
-
-@register(
-    "string_aggregation",
-    "Ordered string aggregation per group (listagg/string_agg semantics via "
-    "sorted collect + join)",
-    oracle="""
-        SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
-               COUNT(*) AS n
-        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
-    """,
-    tags=("agg", "function"),
-)
-def string_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = load_table(spark, sf_dir, "nation")
-    return (
-        n.groupBy("n_regionkey")
-        .agg(
-            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
-            F.count("*").alias("n"),
-        )
-        .orderBy("n_regionkey")
-    )
-
-
-@register(
-    "union_distinct",
-    "UNION (distinct) across heterogeneous sources: nation keys appearing "
-    "as customer or supplier nations",
-    oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
-        UNION
-        SELECT s_nationkey FROM supplier
-        ORDER BY nationkey
-    """,
-    tags=("setop",),
-)
-def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.union(s).distinct().orderBy("nationkey")
 
 
 @register(
@@ -1196,43 +1090,15 @@ def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "date_arithmetic",
-    "Date arithmetic: shipping delay in days (datediff), bucketed",
-    oracle="""
-        SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INT) AS delay_days,
-               COUNT(*) AS n
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        WHERE l.l_shipdate >= o.o_orderdate
-        GROUP BY delay_days
-        ORDER BY delay_days
-        LIMIT 100
-    """,
-    tags=("function", "join"),
-)
-def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
-        .select(
-            F.datediff(
-                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
-            ).alias("delay_days")
-        )
-        .groupBy("delay_days")
-        .agg(F.count("*").alias("n"))
-        .orderBy("delay_days")
-        .limit(100)
-    )
-
-
-@register(
     "regexp_extract_groups",
-    "Regex group extraction over text (regexp_extract): numeric suffix of "
-    "the source tag",
+    "Regex group extraction + string scalar functions (SURVEY §2.9 C8 "
+    "generalized: regexp_extract / upper / substr / replace / length — all "
+    "codegen'd; numeric suffix of the source tag drives the grouping)",
     oracle="""
         SELECT CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num,
+               upper(substr(MIN(source), 1, 3)) AS src_prefix,
+               replace(MIN(source), 'src', 'S#') AS src_masked,
+               MIN(length(source)) AS min_src_len,
                COUNT(*) AS n_docs
         FROM documents GROUP BY src_num ORDER BY src_num
     """,
@@ -1242,10 +1108,16 @@ def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select(
-            F.regexp_extract("source", r"src([0-9]+)", 1).cast("int").alias("src_num")
+            F.regexp_extract("source", r"src([0-9]+)", 1).cast("int").alias("src_num"),
+            F.col("source"),
         )
         .groupBy("src_num")
-        .agg(F.count("*").alias("n_docs"))
+        .agg(
+            F.upper(F.substring(F.min("source"), 1, 3)).alias("src_prefix"),
+            F.regexp_replace(F.min("source"), "src", "S#").alias("src_masked"),
+            F.min(F.length("source")).alias("min_src_len"),
+            F.count("*").alias("n_docs"),
+        )
         .orderBy("src_num")
     )
 
@@ -1260,7 +1132,7 @@ def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT * FROM (
           SELECT 'load' AS operation, COUNT(*) AS n,
-                 CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+                 CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_acctbal
           FROM supplier
           UNION ALL SELECT 'drop-table', 1, NULL
           UNION ALL SELECT 'create-table', 1, NULL
@@ -1293,6 +1165,7 @@ def envelope_full_load(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.col("data").getItem("s_acctbal").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_acctbal"),
         )
         .orderBy("operation")

@@ -81,12 +81,15 @@ class StreamStore:
             "shard_id",
             F.pmod(F.xxhash64("PartitionKey"), F.lit(self.shards)).cast("int"),
         )
-        if self.shards == 1:
-            # strict-total-order mode: single window partition, serial by
-            # design (= 1 Kinesis shard, reference stack.py:356)
-            w = Window.partitionBy("shard_id").orderBy("_o")
-        else:
-            w = Window.partitionBy("shard_id").orderBy("_o")
+        # Per-shard sequencing: hash exchange on shard_id + per-shard sort —
+        # parallel across shards. shards=1 (or a batch whose PartitionKey is
+        # one constant, e.g. schema-table mode with a single table) folds to
+        # a single window partition and runs serial BY DESIGN: per-key FIFO
+        # over one key is inherently serial, exactly one Kinesis shard. The
+        # scale mode is shards>1 + partition_key_type="primary-key" (see
+        # envelope.partition_key_col), which spreads a single table's rows
+        # over every shard; verified by tests/test_bucketing.py plan checks.
+        w = Window.partitionBy("shard_id").orderBy("_o")
         df = df.withColumn("_rn", F.row_number().over(w))
 
         with self._lock:

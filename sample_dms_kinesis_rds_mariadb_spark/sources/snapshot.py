@@ -29,12 +29,18 @@ from sample_dms_kinesis_rds_mariadb_spark.envelope import (
 from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSettings
 
 
-# Per-table order band: table k's events get _order in [k*2^41, (k+1)*2^41).
-# monotonically_increasing_id() < partitions*2^33 stays far below the band
-# width, so bands never overlap and the whole task is ONE DataFrame → one
-# write job, not 2×T driver-scheduled jobs (scale: T tables load in a single
-# distributed job; per-table parallelism comes from input splits).
-_ORDER_BAND = 1 << 41
+# Per-table order band: table k's events get _order in [k*2^55, (k+1)*2^55).
+# monotonically_increasing_id() = partitionId*2^33 + offset, so ids stay
+# below the band width for any scan of < 2^22 (~4M) input partitions — far
+# beyond a single table's split count on any cluster; enforced by an assert
+# in snapshot_table_events. 2^63/2^55 = 256 bands caps one full-load TASK at
+# 255 tables (asserted in snapshot_task_events); larger inventories split
+# into multiple tasks, which is also the reference's operational model (its
+# 4 tasks each select a handful of tables). The whole task stays ONE
+# DataFrame → one write job, not 2×T driver-scheduled jobs.
+_ORDER_BAND = 1 << 55
+_MAX_TABLES_PER_TASK = 255
+_MAX_SCAN_PARTITIONS = 1 << 22
 
 
 def snapshot_table_events(
@@ -45,17 +51,32 @@ def snapshot_table_events(
     table_name: str,
     settings: TaskSettings,
     band: int = 0,
+    pk_column: str | None = None,
 ) -> DataFrame:
     """Envelope stream for one table's full load: drop-table + create-table
     controls then one ``load`` event per row (run.py:247-248 contract shape),
     with ``_order`` marking within-table emission order.
+
+    ``pk_column`` routes each row's partition key by primary key in
+    ``primary-key`` partition mode — REQUIRED for the sink to parallelize a
+    single table's load across shards (without it, one table = one key = one
+    shard = serial).
     """
     df = catalog.load(endpoint, schema_name, table_name)
+    # metadata-only partition count check (no job): the band arithmetic is
+    # only collision-free while mono-ids stay under the band width
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts >= _MAX_SCAN_PARTITIONS:
+        raise ValueError(
+            f"{schema_name}.{table_name}: {n_parts} scan partitions exceeds "
+            f"the order-band capacity ({_MAX_SCAN_PARTITIONS}); coalesce the "
+            "input or split the table across tasks"
+        )
     base = band * _ORDER_BAND
 
-    rows = encode_data_events(df, schema_name, table_name, "load", settings).withColumn(
-        "_order", F.lit(base + 2) + F.monotonically_increasing_id()
-    )
+    rows = encode_data_events(
+        df, schema_name, table_name, "load", settings, pk_column=pk_column
+    ).withColumn("_order", F.lit(base + 2) + F.monotonically_increasing_id())
     if not settings.include_control_records:
         return rows
 
@@ -76,13 +97,27 @@ def snapshot_task_events(
     endpoint: str,
     tables: list[tuple[str, str]],
     settings: TaskSettings,
+    pk_by_table: dict[tuple[str, str], str] | None = None,
 ) -> DataFrame:
     """All selected tables' full-load events as ONE DataFrame, ordered
     drop → create → rows per table, tables in sorted order (the task-level
     emission order observed in run.py:247-248)."""
+    if len(tables) > _MAX_TABLES_PER_TASK:
+        raise ValueError(
+            f"{len(tables)} tables exceeds the per-task band capacity "
+            f"({_MAX_TABLES_PER_TASK}); split the selection across tasks"
+        )
+    pk_by_table = pk_by_table or {}
     parts = [
         snapshot_table_events(
-            spark, catalog, endpoint, schema_name, table_name, settings, band=i
+            spark,
+            catalog,
+            endpoint,
+            schema_name,
+            table_name,
+            settings,
+            band=i,
+            pk_column=pk_by_table.get((schema_name, table_name)),
         )
         for i, (schema_name, table_name) in enumerate(tables)
     ]

@@ -107,6 +107,17 @@ class TaskSettings:
     partition_include_schema_table: bool = True  # stack.py:219
     before_image: bool = False  # CDC only; stack.py:331-336
     before_image_type: str = "all-columns"  # or "pk-only"; stack.py:335
+    # Partition-key routing mode (the DMS Kinesis contract):
+    # - "schema-table": PartitionKey = "schema.table" — one key per table,
+    #   total order per table (the observed envelope's partition-key-type).
+    # - "primary-key": PartitionKey = the row's PK value, prefixed with
+    #   "schema.table." when partition_include_schema_table (its documented
+    #   purpose: spread hot tables across shards). This is the scale mode —
+    #   a single table's load fans out over every shard while per-row order
+    #   (all changes of one PK) stays FIFO.
+    # include_partition_value additionally surfaces the PK value as the
+    # metadata field "partition-key-value" on data events (stack.py:216).
+    partition_key_type: str = "schema-table"
 
 
 @dataclass

@@ -22,23 +22,39 @@ from sample_dms_kinesis_rds_mariadb_spark.envelope import (
 from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSettings
 
 
-def _metadata(settings: TaskSettings, record_type: str) -> Column:
+def _metadata(
+    settings: TaskSettings, record_type: str, pk_value: Column | None = None
+) -> Column:
     ts = F.coalesce(F.to_timestamp(F.col("commit_ts")), F.current_timestamp())
     txn = (
         F.col("txn_id").cast("string")
         if settings.include_transaction_details
         else F.lit(None).cast("string")
     )
+    include_pk = settings.include_partition_value and pk_value is not None
     return F.struct(
         F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("timestamp"),
         F.lit(record_type).alias("record-type"),
         F.col("op").alias("operation"),
-        F.lit(
-            "schema-table" if settings.partition_include_schema_table else "primary-key"
-        ).alias("partition-key-type"),
+        F.lit(settings.partition_key_type).alias("partition-key-type"),
+        (pk_value.cast("string") if include_pk else F.lit(None).cast("string")).alias(
+            "partition-key-value"
+        ),
         F.col("schema").alias("schema-name"),
         F.col("table").alias("table-name"),
         txn.alias("transaction-id"),
+    )
+
+
+def _pk_lookup_expr(pk_by_table: dict[tuple[str, str], str]) -> Column:
+    """MAP<'schema.table', pk_column_name> lookup keyed by the batch row's
+    (schema, table) — resolves each row's primary-key column name JVM-side."""
+    pairs: list[Column] = []
+    for (s, t), pk in pk_by_table.items():
+        pairs.append(F.lit(f"{s}.{t}"))
+        pairs.append(F.lit(pk))
+    return F.element_at(
+        F.create_map(*pairs), F.concat_ws(".", F.col("schema"), F.col("table"))
     )
 
 
@@ -65,23 +81,25 @@ def encode_change_batch(
     if settings.before_image:
         before_map = F.when(F.col("op").isin("update", "delete"), F.col("before"))
         if settings.before_image_type == "pk-only" and pk_by_table:
-            pairs: list[Column] = []
-            for (s, t), pk in pk_by_table.items():
-                pairs.append(F.lit(f"{s}.{t}"))
-                pairs.append(F.lit(pk))
-            pk_lookup = F.element_at(
-                F.create_map(*pairs), F.concat_ws(".", F.col("schema"), F.col("table"))
-            )
+            pk_lookup = _pk_lookup_expr(pk_by_table)
             before_map = F.when(
                 F.col("op").isin("update", "delete"),
                 F.map_filter(F.col("before"), lambda k, v: k == pk_lookup),
             )
 
+    # each row's PK value, pulled from its own data map by the table's PK
+    # column name — feeds partition-key-value metadata and the primary-key
+    # routing mode (one expression, codegen'd; no per-table branching)
+    pk_value: Column | None = None
+    if pk_by_table:
+        pk_value = F.element_at(F.col("data"), _pk_lookup_expr(pk_by_table))
+
     data_events = batch.filter(F.col("op").isin(*DATA_OPERATIONS)).select(
         data_map.alias("data"),
         before_map.alias("before-image"),
-        _metadata(settings, "data").alias("metadata"),
+        _metadata(settings, "data", pk_value=pk_value).alias("metadata"),
         F.col("seq").alias("_order"),
+        *([pk_value.cast("string").alias("_pk")] if pk_value is not None else []),
     )
 
     control_ops = [
@@ -95,7 +113,18 @@ def encode_change_batch(
         null_map.alias("before-image"),
         _metadata(settings, "control").alias("metadata"),
         F.col("seq").alias("_order"),
+        *(
+            [F.lit(None).cast("string").alias("_pk")]
+            if pk_value is not None
+            else []
+        ),
     )
 
     out = data_events.unionByName(control_events)
-    return out.withColumn("partition_key", partition_key_col(settings))
+    out = out.withColumn(
+        "partition_key",
+        partition_key_col(
+            settings, F.col("_pk") if pk_value is not None else None
+        ),
+    )
+    return out.drop("_pk") if pk_value is not None else out

@@ -133,7 +133,12 @@ class ReplicationTask:
             # persist so the stats aggregation reuses the computed envelopes
             # instead of re-evaluating the scan+encode lineage
             env = snapshot_task_events(
-                self.spark, self.catalog, self.spec.source, tables, self.spec.settings
+                self.spark,
+                self.catalog,
+                self.spec.source,
+                tables,
+                self.spec.settings,
+                pk_by_table=self._pk_lookup(),
             ).persist()
             try:
                 for schema_name, table_name in tables:

@@ -69,6 +69,57 @@ def test_multi_shard_per_key_order(spark, tmp_path):
     assert len(by_shard) > 1  # keys actually spread across shards
 
 
+def test_single_table_full_load_spreads_shards(spark, tmp_path):
+    """Round-1 scale-killer regression: a ONE-table full load in primary-key
+    partition mode must (a) carry the PK in the partition key, (b) spread
+    records over many shards, and (c) never plan an Exchange SinglePartition
+    — the schema-table constant key used to fold the sink window to one
+    partition (one core for the whole table)."""
+    import contextlib
+    import io
+
+    from sample_dms_kinesis_rds_mariadb_spark.envelope import to_json_records
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    settings = TaskSettings(partition_key_type="primary-key")
+    env = encode_data_events(df, "main", "t", "load", settings, pk_column="k")
+    wire = to_json_records(env)
+
+    store = StreamStore(spark, str(tmp_path / "s"), shards=32)
+    # plan check on the exact sequencing expression append() uses
+    staged = wire.withColumn("_o", F.monotonically_increasing_id()).withColumn(
+        "shard_id",
+        F.pmod(F.xxhash64("PartitionKey"), F.lit(store.shards)).cast("int"),
+    )
+    from pyspark.sql import Window
+
+    seq = staged.withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("shard_id").orderBy("_o")),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        seq.explain("formatted")
+    plan = buf.getvalue()
+    assert "SinglePartition" not in plan, "sink window folded to one partition"
+
+    n = store.append(wire)
+    assert n == 2000
+    got = store.read().collect()
+    shards_used = {r["shard_id"] for r in got}
+    assert len(shards_used) >= 16  # 32 shards, 2000 distinct keys
+    # partition keys carry the PK value: schema.table.pk
+    assert all(r["PartitionKey"].startswith("main.t.") for r in got)
+    # metadata surfaces the partition value (stack.py:216)
+    import json
+
+    payload = json.loads(got[0]["Data"])
+    assert payload["metadata"]["partition-key-value"] is not None
+    assert payload["metadata"]["partition-key-type"] == "primary-key"
+
+
 def test_mariadb_type_mapping():
     cases = {
         "INT": T.IntegerType(),

@@ -1,6 +1,11 @@
 """Local replica of the driver's correctness gate: run every catalog query on
 Spark AND its oracle SQL on DuckDB over the same parquet, compare row count,
-column names, and order-insensitive values (normalized)."""
+column names, and order-insensitive values.
+
+Round-1 lesson: the driver's value hash canonicalizes DECIMAL rendering
+differently per engine (trailing zeros), so this replica (a) compares floats
+EXACTLY (repr, no rounding) and (b) rejects DECIMAL output columns outright —
+every catalog query must render numeric results as DOUBLE/BIGINT/strings."""
 
 from __future__ import annotations
 
@@ -14,7 +19,8 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+# default matches conftest.SF_ORACLE and the driver's own gate (sf0.01)
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 QUERY_NAMES = sorted(entry_mod.queries().keys())
 ORACLES = entry_mod.oracle_sql()
@@ -30,7 +36,8 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 9))
+        # exact: both engines must produce identical float64 bits
+        return repr(v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
@@ -45,6 +52,35 @@ def ddb():
         path = os.path.join(SF_DIR, f"{t}.parquet")
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
+
+
+def test_no_decimal_output_columns(spark):
+    """DECIMAL result columns hash differently per engine in the driver gate
+    (round-1: 12 queries failed on exactly this) — forbid them repo-wide."""
+    from pyspark.sql.types import DecimalType
+
+    bad = []
+    for name, fn in entry_mod.queries().items():
+        schema = fn(spark, SF_DIR).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, DecimalType):
+                bad.append(f"{name}.{f.name}")
+    assert not bad, f"DECIMAL output columns (driver hash hazard): {bad}"
+
+
+def test_catalog_fits_driver_cap():
+    """The driver records at most 50 correctness entries in registration
+    order; every catalog query must land inside the cap."""
+    assert len(entry_mod.queries()) <= 50
+
+
+def test_oracle_queries_register_before_rows_only():
+    names = list(entry_mod.queries())
+    has_oracle = [n in ORACLES for n in names]
+    first_rows_only = has_oracle.index(False) if False in has_oracle else len(names)
+    assert all(not h for h in has_oracle[first_rows_only:]), (
+        "oracle-bearing queries must register before rows-only ones"
+    )
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)

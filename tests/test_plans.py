@@ -68,8 +68,6 @@ def test_codegen_in_agg_path(spark):
 
 def test_no_cartesian_anywhere(spark):
     for name, spec in QUERIES.items():
-        if name == "dedup_ngram_jaccard_probe":
-            continue  # deliberate 1-row broadcast cross join vs the probe
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
 

@@ -125,7 +125,7 @@ def test_watermarked_window_agg(spark, tmp_path):
 
 def test_session_window_streaming(spark, tmp_path):
     """Streaming session windows (gap-based) — the streaming counterpart of
-    the batch `sessionization` catalog query."""
+    the batch gaps-and-islands sessionization plan."""
     src = str(tmp_path / "sess")
     os.makedirs(src, exist_ok=True)
     events = [
