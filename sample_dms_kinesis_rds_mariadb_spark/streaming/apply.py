@@ -6,20 +6,25 @@ per-table materialized state keyed on the primary key (insert/update upsert,
 delete removes), registered as session views, and the full Spark SQL surface
 runs on top (projections P1/P2, counts A1, the FK join J1, anything else).
 
-Implementation is copy-on-write parquet versions per table: each applied
-batch computes last-writer-wins per key (window over pk by commit ``seq``),
-anti-joins the current version against touched keys, unions the upserts, and
-writes a new version directory. At 100 TB the identical logic is a Delta /
-Iceberg ``MERGE INTO`` (same plan shape: hash join on pk + file rewrite
-limited to touched partitions); plain parquet is used here to stay
-dependency-free. State is re-projected through the evolving TableDef on
-every read, so DDL drift (T5) never invalidates stored files.
+Storage is hash-bucketed copy-on-write parquet: each table's rows live in
+``n_buckets`` PK-hash buckets, each bucket versioned independently. Applying
+a micro-batch rewrites ONLY the buckets holding touched keys — write
+amplification is O(batch keys / n_buckets · table), not O(table) — and
+superseded bucket versions are vacuumed immediately after publish. At 100 TB
+the identical logic is a Delta / Iceberg ``MERGE INTO`` (same plan shape:
+hash join on pk + file rewrite limited to touched files); plain parquet +
+a driver-side bucket→version manifest is used here to stay dependency-free.
+State is re-projected through the evolving TableDef on every read (each
+bucket conformed independently, so buckets written before/after a DDL can
+coexist), so schema drift (T5) never invalidates stored files.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -50,50 +55,164 @@ def conform(df: DataFrame, tdef: TableDef) -> DataFrame:
 
 
 class TableMaterializer:
-    def __init__(self, spark: SparkSession, registry: TableRegistry, path: str) -> None:
+    """Bucketed copy-on-write table state.
+
+    Layout: ``<path>/<schema>.<table>/b<k>/v<NNNNNN>/*.parquet`` — bucket k's
+    current contents are its highest published version (older versions are
+    vacuumed at publish time). The driver-side manifest ``_buckets`` maps
+    (schema, table) → {bucket: (version, has_data)}; an empty bucket keeps a
+    version number but no directory.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: TableRegistry,
+        path: str,
+        n_buckets: int = 16,
+    ) -> None:
         self.spark = spark
         self.registry = registry
         self.path = path
-        self._versions: dict[tuple[str, str], int] = {}
+        self.n_buckets = n_buckets
+        # (schema, table) -> {bucket: (version, has_data)}
+        self._buckets: dict[tuple[str, str], dict[int, tuple[int, bool]]] = {}
         self._lock = threading.Lock()
         os.makedirs(path, exist_ok=True)
 
-    def _dir(self, schema: str, table: str, version: int) -> str:
-        return os.path.join(self.path, f"{schema}.{table}", f"v{version:06d}")
+    # -- layout --------------------------------------------------------------
+    def _table_dir(self, schema: str, table: str) -> str:
+        return os.path.join(self.path, f"{schema}.{table}")
 
+    def _bucket_dir(self, schema: str, table: str, bucket: int, version: int) -> str:
+        return os.path.join(
+            self._table_dir(schema, table), f"b{bucket:04d}", f"v{version:06d}"
+        )
+
+    def _bucket_col(self, pk_col) -> F.Column:
+        # hash on the STRING form of the pk so bucket routing is stable under
+        # modify-column DDL (int pk widened to bigint hashes identically)
+        return F.pmod(F.xxhash64(pk_col.cast("string")), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+
+    # -- read ----------------------------------------------------------------
     def exists(self, schema: str, table: str) -> bool:
-        return (schema, table) in self._versions
+        return (schema, table) in self._buckets
 
     def table(self, schema: str, table: str) -> DataFrame:
-        """Current typed state, conformed to the evolved schema."""
+        """Current typed state, conformed to the evolved schema. Each bucket
+        conforms independently so buckets written across a DDL boundary read
+        back uniformly."""
         tdef = self.registry.get(schema, table)
         with self._lock:
-            v = self._versions.get((schema, table))
-        if v is None:
+            vers = dict(self._buckets.get((schema, table), {}))
+        parts = [
+            conform(
+                self.spark.read.parquet(self._bucket_dir(schema, table, k, v)), tdef
+            )
+            for k, (v, has_data) in sorted(vers.items())
+            if has_data
+        ]
+        if not parts:
             return self.spark.createDataFrame([], tdef.struct)
-        return conform(self.spark.read.parquet(self._dir(schema, table, v)), tdef)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_buckets(
+        self, schema: str, table: str, buckets: list[int], tdef: TableDef
+    ) -> DataFrame:
+        with self._lock:
+            vers = dict(self._buckets.get((schema, table), {}))
+        parts = [
+            conform(
+                self.spark.read.parquet(self._bucket_dir(schema, table, k, v)), tdef
+            )
+            for k in buckets
+            for (v, has_data) in [vers.get(k, (0, False))]
+            if has_data
+        ]
+        if not parts:
+            return self.spark.createDataFrame([], tdef.struct)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def register_view(self, schema: str, table: str) -> None:
+        self.table(schema, table).createOrReplaceTempView(table)
+
+    # -- write ---------------------------------------------------------------
+    def _publish(
+        self,
+        schema: str,
+        table: str,
+        df: DataFrame,
+        touched_buckets: list[int],
+        pk: str,
+    ) -> None:
+        """One distributed write of ``df`` partitioned by PK bucket, then an
+        atomic (driver-side) manifest flip of the touched buckets + vacuum of
+        their superseded versions. Untouched buckets are never read, written,
+        or listed."""
+        tdir = self._table_dir(schema, table)
+        staging = os.path.join(tdir, f".staging-{uuid.uuid4().hex}")
+        (
+            df.withColumn("pkbucket", self._bucket_col(F.col(pk)))
+            .write.mode("overwrite")
+            .partitionBy("pkbucket")
+            .parquet(staging)
+        )
+        try:
+            with self._lock:
+                vers = self._buckets.setdefault((schema, table), {})
+                for k in touched_buckets:
+                    old_v, _ = vers.get(k, (0, False))
+                    new_v = old_v + 1
+                    src = os.path.join(staging, f"pkbucket={k}")
+                    bdir = os.path.join(tdir, f"b{k:04d}")
+                    if os.path.exists(src):
+                        os.makedirs(bdir, exist_ok=True)
+                        os.rename(src, os.path.join(bdir, f"v{new_v:06d}"))
+                        vers[k] = (new_v, True)
+                    else:
+                        vers[k] = (new_v, False)  # bucket emptied
+                    # vacuum: reap every superseded version of this bucket
+                    if os.path.isdir(bdir):
+                        for d in os.listdir(bdir):
+                            if d != f"v{new_v:06d}":
+                                shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        self.register_view(schema, table)
 
     def overwrite(self, schema: str, table: str, df: DataFrame) -> None:
+        """Replace the whole table (initial load / truncate): every bucket is
+        touched by definition."""
         tdef = self.registry.get(schema, table)
-        with self._lock:
-            v = self._versions.get((schema, table), -1) + 1
-            conform(df, tdef).write.mode("overwrite").parquet(self._dir(schema, table, v))
-            self._versions[(schema, table)] = v
-        self.register_view(schema, table)
+        self._publish(
+            schema,
+            table,
+            conform(df, tdef),
+            list(range(self.n_buckets)),
+            tdef.primary_key,
+        )
 
     def truncate(self, schema: str, table: str) -> None:
         tdef = self.registry.get(schema, table)
         self.overwrite(schema, table, self.spark.createDataFrame([], tdef.struct))
 
-    def register_view(self, schema: str, table: str) -> None:
-        self.table(schema, table).createOrReplaceTempView(table)
-
     def apply_change_batch(self, batch: DataFrame) -> None:
         """Apply one change-feed micro-batch (sources/changefeed.py shape) to
         materialized state: per table, last change per primary key wins
         (window by pk ordered by commit ``seq`` desc — a hash-partitioned
-        shuffle on pk, no global sort), then upsert = anti-join current state
-        on touched keys ∪ surviving after-images; delete drops the key.
+        shuffle on pk, no global sort), then upsert = anti-join the TOUCHED
+        BUCKETS' current state on touched keys ∪ surviving after-images;
+        delete drops the key. Touched keys include before-image PKs, so an
+        UPDATE that changes the primary-key value removes the stale old-PK
+        row as well as upserting the new one.
         """
         touched = [
             (r["schema"], r["table"])
@@ -110,11 +229,22 @@ class TableMaterializer:
             except KeyError:
                 continue
             pk = tdef.primary_key
-            changes = batch.filter(
-                (F.col("schema") == schema)
-                & (F.col("table") == table)
-                & F.col("op").isin("insert", "update", "delete")
-            ).withColumn("_pk", F.col("data").getItem(pk))
+            pk_type = tdef.struct[pk].dataType
+            changes = (
+                batch.filter(
+                    (F.col("schema") == schema)
+                    & (F.col("table") == table)
+                    & F.col("op").isin("insert", "update", "delete")
+                )
+                .withColumn("_pk", F.col("data").getItem(pk))
+                .withColumn(
+                    "_before_pk",
+                    F.when(
+                        F.col("op").isin("update", "delete"),
+                        F.col("before").getItem(pk),
+                    ),
+                )
+            )
             w = Window.partitionBy("_pk").orderBy(F.col("seq").desc())
             last = changes.withColumn("_rn", F.row_number().over(w)).filter(
                 F.col("_rn") == 1
@@ -122,9 +252,29 @@ class TableMaterializer:
             survivors = last.filter(F.col("op") != "delete").select(
                 *tdef.typed_projection("data")
             )
-            keys = last.select(F.col("_pk").cast(tdef.struct[pk].dataType).alias(pk))
-            current = self.table(schema, table)
+            # removal set: every after-image pk in the batch ∪ every
+            # before-image pk (catches pk-changing updates whose old row
+            # would otherwise survive as a stale duplicate)
+            keys = (
+                changes.select(F.col("_pk").alias("k"))
+                .unionByName(
+                    changes.filter(F.col("_before_pk").isNotNull()).select(
+                        F.col("_before_pk").alias("k")
+                    )
+                )
+                .distinct()
+                .select(F.col("k").cast(pk_type).alias(pk))
+            )
+            # bounded collect: ≤ n_buckets ints — the bucket manifest update
+            # needs the touched-bucket list driver-side anyway
+            touched_buckets = sorted(
+                r["b"]
+                for r in keys.select(self._bucket_col(F.col(pk)).alias("b"))
+                .distinct()
+                .collect()
+            )
+            current = self._read_buckets(schema, table, touched_buckets, tdef)
             merged = current.join(F.broadcast(keys), pk, "left_anti").unionByName(
                 survivors
             )
-            self.overwrite(schema, table, merged)
+            self._publish(schema, table, merged, touched_buckets, pk)

@@ -1,0 +1,131 @@
+"""Bucketed materializer: write amplification bounded to touched buckets,
+superseded-version vacuum, and pk-changing updates (round-2 items; the
+round-1 materializer rewrote the whole table per micro-batch)."""
+
+import os
+
+import pytest
+
+
+from sample_dms_kinesis_rds_mariadb_spark.sources.changefeed import FEED_SCHEMA
+from sample_dms_kinesis_rds_mariadb_spark.streaming.apply import TableMaterializer
+from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import (
+    TableRegistry,
+)
+
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def mat(spark, tmp_path):
+    registry = TableRegistry()
+    base = spark.createDataFrame(
+        [(i, f"name-{i}", i * 10) for i in range(100)], "id LONG, name STRING, v LONG"
+    ).cache()
+    base.count()
+    registry.register_from_df("testdb", "items", base, primary_key="id")
+    m = TableMaterializer(
+        spark, registry, str(tmp_path / "state"), n_buckets=N_BUCKETS
+    )
+    m.overwrite("testdb", "items", base)
+    return m
+
+
+def _batch(spark, rows):
+    """rows: list of (seq, op, data_dict, before_dict|None)."""
+    payload = [
+        {
+            "seq": seq,
+            "schema": "testdb",
+            "table": "items",
+            "op": op,
+            "txn_id": f"t{seq}",
+            "commit_ts": "2024-01-01T00:00:00",
+            "data": data,
+            "before": before,
+            "ddl": None,
+        }
+        for seq, op, data, before in rows
+    ]
+    df = spark.createDataFrame(payload, FEED_SCHEMA).cache()
+    df.count()
+    return df
+
+
+def _version_snapshot(mat):
+    return {k: v for k, v in mat._buckets[("testdb", "items")].items()}
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, mat):
+    before = _version_snapshot(mat)
+    # one key → exactly one touched bucket
+    mat.apply_change_batch(
+        _batch(spark, [(1, "update", {"id": "5", "name": "renamed", "v": "50"}, None)])
+    )
+    after = _version_snapshot(mat)
+    bumped = [k for k in after if after[k] != before[k]]
+    assert len(bumped) == 1, f"expected 1 bucket rewritten, got {bumped}"
+    got = {r["id"]: r["name"] for r in mat.table("testdb", "items").collect()}
+    assert len(got) == 100
+    assert got[5] == "renamed"
+
+
+def test_vacuum_reaps_superseded_versions(spark, mat):
+    for seq in range(1, 4):
+        mat.apply_change_batch(
+            _batch(
+                spark,
+                [(seq, "update", {"id": "5", "name": f"n{seq}", "v": "50"}, None)],
+            )
+        )
+    # on disk: every bucket dir holds exactly ONE version directory
+    tdir = os.path.join(mat.path, "testdb.items")
+    for b in sorted(os.listdir(tdir)):
+        if not b.startswith("b"):
+            continue
+        versions = os.listdir(os.path.join(tdir, b))
+        assert len(versions) == 1, f"bucket {b} kept {versions}"
+    got = {r["id"]: r["name"] for r in mat.table("testdb", "items").collect()}
+    assert got[5] == "n3"
+
+
+def test_pk_changing_update_removes_stale_row(spark, mat):
+    """ADVICE item: an UPDATE whose after-image carries a NEW pk must remove
+    the old-pk row (from the before-image), not leave a stale duplicate."""
+    mat.apply_change_batch(
+        _batch(
+            spark,
+            [
+                (
+                    1,
+                    "update",
+                    {"id": "105", "name": "moved", "v": "50"},
+                    {"id": "5", "name": "name-5", "v": "50"},
+                )
+            ],
+        )
+    )
+    rows = {r["id"]: r["name"] for r in mat.table("testdb", "items").collect()}
+    assert 105 in rows and rows[105] == "moved"
+    assert 5 not in rows, "stale old-pk row survived a pk-changing update"
+    assert len(rows) == 100
+
+
+def test_delete_then_empty_bucket_reads_clean(spark, mat):
+    # delete every key in one bucket's range; table still reads consistently
+    mat.apply_change_batch(
+        _batch(
+            spark,
+            [
+                (i + 1, "delete", {"id": str(i), "name": f"name-{i}", "v": str(i * 10)}, None)
+                for i in range(100)
+            ],
+        )
+    )
+    assert mat.table("testdb", "items").count() == 0
+    # re-insert works after full emptying
+    mat.apply_change_batch(
+        _batch(spark, [(200, "insert", {"id": "1", "name": "back", "v": "10"}, None)])
+    )
+    got = mat.table("testdb", "items").collect()
+    assert [(r["id"], r["name"]) for r in got] == [(1, "back")]

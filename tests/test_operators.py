@@ -132,6 +132,42 @@ def test_ivf_topk_recall(vectors):
     assert ids == again
 
 
+def test_ivf_index_build_probe_split(vectors, tmp_path):
+    """The registered ANN path: build writes a list-partitioned index once;
+    probe is a partition-pruned scan with NO KMeans fit — the plan must show
+    the ivf_list partition filter, and results must equal the one-shot
+    operator's (same seed ⇒ same clustering)."""
+    import contextlib
+    import io
+
+    probe = [1.0, 0.0, 0.0, 0.0]
+    path = str(tmp_path / "ivf")
+    index = similarity.IvfIndex.build(vectors, path, n_lists=4, id_col="vec_id")
+    assert similarity.IvfIndex.exists(path)
+
+    out_df = index.probe(probe, k=5, n_probe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out_df.explain("formatted")
+    plan = buf.getvalue()
+    # partition pruning: the scan carries a PartitionFilters entry on
+    # ivf_list, so only n_probe list directories are read
+    assert "PartitionFilters" in plan and "ivf_list" in plan
+
+    got = [r["vec_id"] for r in out_df.collect()]
+    one_shot = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            vectors, probe, k=5, n_lists=4, n_probe=2, id_col="vec_id"
+        ).collect()
+    ]
+    assert got == one_shot
+
+    # reload from disk (a later session) probes without rebuilding
+    again = similarity.IvfIndex.load(vectors.sparkSession, path, id_col="vec_id")
+    assert [r["vec_id"] for r in again.probe(probe, k=5, n_probe=2).collect()] == got
+
+
 def test_cosine_self_join_pairs(vectors):
     out = similarity.cosine_self_join_topk(
         vectors, threshold=0.999, id_col="vec_id"
