@@ -35,7 +35,12 @@ class ReplicationEngine:
         self.catalog = SourceCatalog(spark)
         self.registry = TableRegistry()
         self.stats = StatisticsService()
-        self.store = StreamStore(spark, os.path.join(workdir, "stream"), spec.shards)
+        self.store = StreamStore(
+            spark,
+            os.path.join(workdir, "stream"),
+            spec.shards,
+            retention_hours=spec.retention_hours,
+        )
         self.materializer = TableMaterializer(
             spark, self.registry, os.path.join(workdir, "tables")
         )

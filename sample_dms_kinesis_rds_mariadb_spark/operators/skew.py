@@ -53,9 +53,15 @@ def salted_broadcast_left_join(
     key: str,
     salt_buckets: int = 16,
 ) -> DataFrame:
-    """Join a skewed big side to a small side by salting the big side and
-    exploding the small side across all salt values (small side stays
-    broadcastable at `|small| × salt_buckets`)."""
+    """LEFT-join a skewed big side to a small side by salting the big side
+    and exploding the small side across all salt values (small side stays
+    broadcastable at `|small| × salt_buckets`).
+
+    True left semantics: the exploded small side carries EVERY salt value
+    for every key, so a big row matches iff its key exists in ``small`` —
+    unmatched big rows survive with nulls, exactly ``big.join(small, key,
+    "left")``.
+    """
     big_salted = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.rand(seed=7)), F.lit(salt_buckets)).cast("int")
     )
@@ -63,5 +69,5 @@ def salted_broadcast_left_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return big_salted.join(
-        F.broadcast(small_exploded), [key, "_salt"]
+        F.broadcast(small_exploded), [key, "_salt"], "left"
     ).drop("_salt")

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 import threading
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -49,10 +49,17 @@ class StreamStore:
     distributed.
     """
 
-    def __init__(self, spark: SparkSession, path: str, shards: int = 1) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        shards: int = 1,
+        retention_hours: float | None = None,
+    ) -> None:
         self.spark = spark
         self.path = path
         self.shards = shards
+        self.retention_hours = retention_hours
         self._next_seq: dict[int, int] = dict.fromkeys(range(shards), 0)
         self._lock = threading.Lock()
         os.makedirs(self._records_path, exist_ok=True)
@@ -75,6 +82,9 @@ class StreamStore:
 
     def append(self, wire_df: DataFrame) -> int:
         """Append ``Data``/``PartitionKey`` records; returns record count."""
+        # opportunistic trim: footer-stat metadata reads only, amortized here
+        # so long-lived streams never accumulate unbounded history
+        self.trim_expired()
         has_order = "_order" in wire_df.columns
         order_col = F.col("_order") if has_order else F.monotonically_increasing_id()
         df = wire_df.withColumn("_o", order_col).withColumn(
@@ -137,6 +147,15 @@ class StreamStore:
                 "sequence_number LONG, approximate_arrival_ts TIMESTAMP",
             )
         df = self.spark.read.parquet(self._records_path)
+        if self.retention_hours is not None:
+            # Kinesis semantics (reference stack.py:356, 24 h): records older
+            # than the retention window are gone for every consumer,
+            # including TRIM_HORIZON, whether or not the physical trim ran
+            # yet. Pushed down to the parquet scan.
+            horizon = datetime.now(timezone.utc) - timedelta(
+                hours=self.retention_hours
+            )
+            df = df.filter(F.col("approximate_arrival_ts") > F.lit(horizon))
         if after_ts is not None:
             if isinstance(after_ts, (int, float)):
                 after_ts = datetime.fromtimestamp(after_ts, tz=timezone.utc)
@@ -144,6 +163,51 @@ class StreamStore:
         if shard_id is not None:
             df = df.filter(F.col("shard_id") == shard_id)
         return df.orderBy("shard_id", "sequence_number")
+
+    def trim_expired(self, now: datetime | None = None) -> int:
+        """Physically delete record files whose every row is past retention —
+        the file-level trim behind the read-side horizon filter. Uses parquet
+        footer statistics (driver-side metadata only, no Spark job): a file
+        goes when its max ``approximate_arrival_ts`` < horizon. Returns the
+        number of files removed. No-op without a retention policy."""
+        if self.retention_hours is None:
+            return 0
+        import pyarrow.parquet as pq
+
+        now = now or datetime.now(timezone.utc)
+        horizon = now - timedelta(hours=self.retention_hours)
+        arrival_idx = WIRE_COLUMNS.index("approximate_arrival_ts")
+        removed = 0
+        with self._lock:
+            for name in os.listdir(self._records_path):
+                if not name.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(self._records_path, name)
+                file_max = None
+                try:
+                    meta = pq.ParquetFile(fpath).metadata
+                    for rg in range(meta.num_row_groups):
+                        stats = meta.row_group(rg).column(arrival_idx).statistics
+                        if stats is None or not stats.has_min_max:
+                            file_max = None
+                            break
+                        ts = stats.max
+                        if ts.tzinfo is None:
+                            ts = ts.replace(tzinfo=timezone.utc)
+                        file_max = ts if file_max is None else max(file_max, ts)
+                except Exception:
+                    file_max = None
+                if file_max is None:
+                    # INT96 timestamps carry no parquet stats — fall back to
+                    # the file's write time, which equals the batch's arrival
+                    # timestamp (set at append)
+                    file_max = datetime.fromtimestamp(
+                        os.path.getmtime(fpath), tz=timezone.utc
+                    )
+                if file_max < horizon:
+                    os.remove(fpath)
+                    removed += 1
+        return removed
 
     def read_stream(self) -> DataFrame:
         """Structured Streaming reader over the stream (SURVEY §2.1 S5 as a

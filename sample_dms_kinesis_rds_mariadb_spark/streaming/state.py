@@ -49,8 +49,13 @@ def _enrich_group(
     feed didn't supply one."""
     last_image: str | None = state.get[0] if state.exists else None
     out: list[dict[str, Any]] = []
-    for pdf in pdf_iter:
-        for r in pdf.sort_values("seq").itertuples(index=False):
+    # concatenate ALL Arrow chunks before sorting: a key whose rows span
+    # multiple chunks would otherwise replay out of commit order (per-chunk
+    # sorts interleave) and splice wrong before-images
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        for r in merged.sort_values("seq").itertuples(index=False):
             before = r.before_json
             if r.op in ("update", "delete") and (before is None or before == ""):
                 before = last_image

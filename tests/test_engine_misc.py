@@ -120,6 +120,42 @@ def test_single_table_full_load_spreads_shards(spark, tmp_path):
     assert payload["metadata"]["partition-key-type"] == "primary-key"
 
 
+def test_stream_retention_trim_and_horizon(spark, tmp_path):
+    """Reference stack.py:356: 24 h stream retention. Records past the
+    horizon are invisible to every consumer (read-side filter) and their
+    files are physically reaped (trim_expired)."""
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    store = StreamStore(spark, str(tmp_path / "s"), shards=2, retention_hours=24)
+    df = spark.range(50).select(
+        F.col("id").cast("string").alias("Data"),
+        F.concat(F.lit("k-"), F.col("id").cast("string")).alias("PartitionKey"),
+        F.col("id").alias("_order"),
+    )
+    assert store.append(df) == 50
+    assert store.read().count() == 50  # fresh records inside the window
+
+    # a consumer holding a 0-hour policy sees nothing (horizon == now)
+    zero = StreamStore(spark, str(tmp_path / "s"), shards=2, retention_hours=0)
+    assert zero.read().count() == 0
+
+    # physical trim: 25 h later every file's newest record is expired
+    n_files = len(
+        [f for f in os.listdir(store._records_path) if f.endswith(".parquet")]
+    )
+    assert n_files > 0
+    removed = store.trim_expired(
+        now=datetime.now(timezone.utc) + timedelta(hours=25)
+    )
+    assert removed == n_files
+    assert store.read().count() == 0
+    # a retention-free store never trims
+    free = StreamStore(spark, str(tmp_path / "s2"), shards=1)
+    free.append(df)
+    assert free.trim_expired() == 0
+
+
 def test_mariadb_type_mapping():
     cases = {
         "INT": T.IntegerType(),

@@ -31,10 +31,21 @@ def test_salted_aggregate_matches_direct(spark):
     assert salted == direct
 
 
-def test_salted_join_matches_direct(spark):
+def test_salted_join_matches_direct_left(spark):
     li = load_table(spark, SF, "lineitem")
-    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    # restrict the small side so some big-side keys are UNMATCHED — the left
+    # join must keep them with nulls (round-1 version silently inner-joined)
+    orders = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
     li = li.withColumnRenamed("l_orderkey", "o_orderkey")
-    direct = li.join(orders, "o_orderkey").count()
-    salted = salted_broadcast_left_join(li, orders, "o_orderkey").count()
-    assert salted == direct
+    direct = li.join(orders, "o_orderkey", "left")
+    salted = salted_broadcast_left_join(li, orders, "o_orderkey")
+    assert salted.count() == direct.count()
+    assert (
+        salted.filter(F.col("o_orderstatus").isNull()).count()
+        == direct.filter(F.col("o_orderstatus").isNull()).count()
+        > 0
+    )

@@ -67,6 +67,55 @@ def test_stateful_before_image_streaming(spark, tmp_path):
     _assert_enrichment(rows)
 
 
+def test_stateful_enrichment_across_arrow_chunks(spark, tmp_path):
+    """ADVICE regression: one key's rows spanning MULTIPLE Arrow chunks must
+    still replay in seq order (the enrich function concatenates chunks before
+    sorting; per-chunk sorting spliced wrong before-images)."""
+    n = 40
+    changes = [
+        {
+            "seq": i + 1,
+            "schema": "db",
+            "table": "t",
+            "op": "insert" if i == 0 else "update",
+            "txn_id": f"t{i}",
+            "commit_ts": f"2024-01-01T00:00:{i:02d}",
+            "data": {"id": "1", "v": str(i)},
+        }
+        # reversed on disk: chunk-local sorting would "fix" each chunk but
+        # replay the chunks themselves out of order
+        for i in reversed(range(n))
+    ]
+    feed_path = str(tmp_path / "feed")
+    _write_feed(feed_path, changes)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = spark.readStream.schema(FEED_SCHEMA).json(feed_path)
+        enriched = enrich_before_images(stream, F.element_at(F.col("data"), "id"))
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("chunked_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = [
+            r.asDict(recursive=True)
+            for r in spark.sql("SELECT * FROM chunked_sink").collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(rows) == n
+    by_seq = {r["seq"]: r for r in rows}
+    for i in range(1, n):  # update seq=i+1 sees the i-th image
+        assert by_seq[i + 1]["before"] == {"id": "1", "v": str(i - 1)}, (
+            f"seq {i + 1} got before {by_seq[i + 1]['before']}"
+        )
+
+
 def test_before_image_batch_dual(spark):
     """The batch window-lag formulation produces identical enrichment."""
     df = spark.createDataFrame(
