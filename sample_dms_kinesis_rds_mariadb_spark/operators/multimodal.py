@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
-batch shape, `mapInPandas` UDF signatures; the actual media decode is
-STUBBED (the container has no image/audio libraries): ``decode_image``
-raises NotImplementedError unless ``fake=True``, in which case it produces
-a deterministic fake (dimensions derived from the content hash) so the
-pipeline shape is exercisable end-to-end.
+batch shape, `mapInPandas` UDF signatures. ``decode_image`` REALLY decodes
+headerful uncompressed formats that need no external library — PNM
+(PPM P6/P3, PGM P5/P2) and BMP — and keeps an honest stub boundary for
+compressed formats (JPEG/PNG need an image library this container lacks):
+those raise NotImplementedError unless ``fake=True``, which produces a
+deterministic content-hash fake so the pipeline shape stays exercisable.
 
 At scale: binary payloads stay columnar in parquet; metadata-only plans never
 read the binary column (columnar pruning), and decode/feature-extract runs as
@@ -39,25 +40,74 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),  # ppm|pgm|bmp|fake
         T.StructField("sha256", T.StringType()),
     ]
 )
 
+# PNM magic → (channels, format name)
+_PNM_MAGICS = {b"P6": (3, "ppm"), b"P3": (3, "ppm"), b"P5": (1, "pgm"), b"P2": (1, "pgm")}
 
-def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int]:
-    """Decode image dimensions. STUB: real decode needs an image library not
-    present in this container."""
+
+def _parse_pnm_header(content: bytes) -> tuple[int, int]:
+    """width/height from a PNM header: ASCII tokens separated by whitespace,
+    ``#`` comments run to end-of-line (netpbm spec)."""
+    tokens: list[int] = []
+    i = 2  # past the magic
+    limit = min(len(content), 4096)
+    while len(tokens) < 2 and i < limit:
+        c = content[i]
+        if c == ord("#"):
+            while i < limit and content[i] != ord("\n"):
+                i += 1
+        elif chr(c).isspace():
+            i += 1
+        elif chr(c).isdigit():
+            j = i
+            while j < limit and chr(content[j]).isdigit():
+                j += 1
+            tokens.append(int(content[i:j]))
+            i = j
+        else:
+            raise ValueError(f"malformed PNM header byte {c!r} at {i}")
+    if len(tokens) < 2:
+        raise ValueError("truncated PNM header")
+    return tokens[0], tokens[1]
+
+
+def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int, str]:
+    """Decode (width, height, channels, format).
+
+    Real decode for library-free formats: PNM (PPM/PGM, ASCII header) and
+    BMP (BITMAPINFOHEADER, little-endian fields). Compressed formats
+    (JPEG/PNG/…) need an image library this container doesn't have — honest
+    stub boundary: NotImplementedError, or a deterministic content-hash fake
+    with ``fake=True``.
+    """
+    if content[:2] in _PNM_MAGICS:
+        channels, fmt = _PNM_MAGICS[content[:2]]
+        width, height = _parse_pnm_header(content)
+        return width, height, channels, fmt
+    if content[:2] == b"BM" and len(content) >= 30:
+        # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER: width int32 LE at
+        # offset 18, height int32 LE at 22 (negative = top-down), bpp at 28
+        width = int.from_bytes(content[18:22], "little", signed=True)
+        height = abs(int.from_bytes(content[22:26], "little", signed=True))
+        bpp = int.from_bytes(content[28:30], "little")
+        channels = max(1, bpp // 8)
+        return width, height, channels, "bmp"
     if not fake:
         raise NotImplementedError(
-            "image decode requires an image library (PIL/opencv) — "
-            "not available in this environment; pass fake=True for the "
+            "compressed image decode requires an image library (PIL/opencv) "
+            "— not available in this environment; library-free formats "
+            "(PPM/PGM/BMP) decode for real, or pass fake=True for the "
             "deterministic test double"
         )
     h = hashlib.sha256(content).digest()
     width = 1 + (int.from_bytes(h[0:2], "big") % 2048)
     height = 1 + (int.from_bytes(h[2:4], "big") % 2048)
     channels = 1 + (h[4] % 4)
-    return width, height, channels
+    return width, height, channels, "fake"
 
 
 def attach_binary_column(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -67,6 +117,35 @@ def attach_binary_column(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.lit("image").alias("media_type"),
+        F.concat(F.lit("synthetic://"), F.col(id_col).cast("string")).alias("source_uri"),
+    )
+
+
+PPM_WIDTH = 16
+
+
+def attach_ppm_column(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Manufacture VALID binary PPM (P6) images from a text table: the
+    text's utf-8 bytes become the pixel buffer of a 16-wide RGB image. All
+    Spark built-ins (encode/concat/substring on binary) — the payloads are
+    genuinely decodable, so the decode path runs for real with no image
+    library."""
+    # append one full pixel-row of padding (rpad would TRUNCATE longer text):
+    # guarantees ≥ one 48-byte row and keeps the whole text as pixel data
+    padded = F.concat(F.col(text_col), F.lit(" " * (PPM_WIDTH * 3)))
+    raw = F.encode(padded, "utf-8")
+    h = F.floor(F.length(raw) / (PPM_WIDTH * 3)).cast("int")
+    header = F.encode(
+        F.concat(
+            F.lit(f"P6\n{PPM_WIDTH} "), h.cast("string"), F.lit("\n255\n")
+        ),
+        "utf-8",
+    )
+    content = F.concat(header, F.substring(raw, 1, h * PPM_WIDTH * 3))
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        content.alias("content"),
         F.lit("image").alias("media_type"),
         F.concat(F.lit("synthetic://"), F.col(id_col).cast("string")).alias("source_uri"),
     )
@@ -82,7 +161,7 @@ def extract_image_features(df: DataFrame, fake_decode: bool = False) -> DataFram
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                width, height, channels = decode_image(blob, fake=fake_decode)
+                width, height, channels, fmt = decode_image(blob, fake=fake_decode)
                 rows.append(
                     {
                         "media_id": media_id,
@@ -90,6 +169,7 @@ def extract_image_features(df: DataFrame, fake_decode: bool = False) -> DataFram
                         "width": width,
                         "height": height,
                         "channels": channels,
+                        "format": fmt,
                         "sha256": hashlib.sha256(blob).hexdigest(),
                     }
                 )

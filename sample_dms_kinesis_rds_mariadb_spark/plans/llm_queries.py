@@ -543,14 +543,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    "Multimodal plumbing: binary column + Arrow-batched mapInPandas feature "
-    "extraction (decode stubbed deterministically — rows-only check)",
+    "Multimodal pipeline: VALID binary PPM images synthesized from the text "
+    "column, REAL header decode (no image library) via Arrow-batched "
+    "mapInPandas feature extraction — rows-only check",
     oracle=None,
     tags=("multimodal",),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").limit(200)
-    media = multimodal.attach_binary_column(docs, "text", "doc_id")
-    return multimodal.extract_image_features(media, fake_decode=True).orderBy(
+    media = multimodal.attach_ppm_column(docs, "text", "doc_id")
+    return multimodal.extract_image_features(media, fake_decode=False).orderBy(
         "media_id"
     )

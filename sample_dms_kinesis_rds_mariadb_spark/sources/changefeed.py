@@ -135,3 +135,13 @@ class ChangeFeed:
         if rules:
             df = df.filter(rule_predicate(rules))
         return df
+
+    def current_position(self) -> int:
+        """Max committed ``seq`` currently in the feed — the binlog-position
+        handoff point a ``full-load-and-cdc`` task records at snapshot time
+        (changes ≤ position are part of the snapshot; CDC applies only
+        later ones). One bounded aggregation job, run once per task start."""
+        if not any(f.endswith(".json") for f in os.listdir(self.path)):
+            return 0
+        row = self.read_batch().agg(F.max("seq")).first()
+        return int(row[0]) if row[0] is not None else 0

@@ -130,13 +130,17 @@ class TaskSpec:
 
     task_id: str
     source: str  # endpoint name
-    migration_type: str  # "full-load" | "cdc"
+    # "full-load" | "cdc" | "full-load-and-cdc" (the three DMS migration
+    # types; the reference uses only the first two — stack.py:147,99 — the
+    # combined type is the standard generalization: snapshot, then apply
+    # only changes committed after the snapshot position)
+    migration_type: str
     rules: list[SelectionRule]
     settings: TaskSettings = field(default_factory=TaskSettings)
     target: str = "target-stream"
 
     def __post_init__(self) -> None:
-        if self.migration_type not in ("full-load", "cdc"):
+        if self.migration_type not in ("full-load", "cdc", "full-load-and-cdc"):
             raise ValueError(f"invalid migration_type: {self.migration_type!r}")
         if self.migration_type == "cdc" and not self.settings.before_image:
             # reference enables a full-column before image on both CDC tasks

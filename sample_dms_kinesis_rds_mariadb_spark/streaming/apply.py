@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import shutil
 import threading
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -70,13 +71,21 @@ class TableMaterializer:
         registry: TableRegistry,
         path: str,
         n_buckets: int = 16,
+        vacuum_grace_sec: float = 60.0,
     ) -> None:
         self.spark = spark
         self.registry = registry
         self.path = path
         self.n_buckets = n_buckets
+        # superseded versions survive this long before deletion: a reader
+        # whose plan was built just before a publish can still collect()
+        # against the old files (poor-man's snapshot isolation — Delta keeps
+        # whole snapshot history for the same reason). 0 = reap immediately.
+        self.vacuum_grace_sec = vacuum_grace_sec
         # (schema, table) -> {bucket: (version, has_data)}
         self._buckets: dict[tuple[str, str], dict[int, tuple[int, bool]]] = {}
+        # retired version dirs awaiting vacuum: [(path, retired_at_monotonic)]
+        self._retired: list[tuple[str, float]] = []
         self._lock = threading.Lock()
         os.makedirs(path, exist_ok=True)
 
@@ -168,8 +177,9 @@ class TableMaterializer:
         try:
             with self._lock:
                 vers = self._buckets.setdefault((schema, table), {})
+                now = time.monotonic()
                 for k in touched_buckets:
-                    old_v, _ = vers.get(k, (0, False))
+                    old_v, old_has_data = vers.get(k, (0, False))
                     new_v = old_v + 1
                     src = os.path.join(staging, f"pkbucket={k}")
                     bdir = os.path.join(tdir, f"b{k:04d}")
@@ -179,14 +189,34 @@ class TableMaterializer:
                         vers[k] = (new_v, True)
                     else:
                         vers[k] = (new_v, False)  # bucket emptied
-                    # vacuum: reap every superseded version of this bucket
-                    if os.path.isdir(bdir):
-                        for d in os.listdir(bdir):
-                            if d != f"v{new_v:06d}":
-                                shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
+                    if old_has_data:
+                        self._retired.append(
+                            (os.path.join(bdir, f"v{old_v:06d}"), now)
+                        )
+                self._vacuum_locked(now)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         self.register_view(schema, table)
+
+    def _vacuum_locked(self, now: float) -> None:
+        """Reap retired version dirs older than the grace window (caller
+        holds the lock)."""
+        keep: list[tuple[str, float]] = []
+        for path, retired_at in self._retired:
+            if now - retired_at >= self.vacuum_grace_sec:
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                keep.append((path, retired_at))
+        self._retired = keep
+
+    def vacuum(self, all_versions: bool = False) -> None:
+        """Explicit vacuum: reap retired versions past the grace window, or
+        everything retired when ``all_versions`` (safe once no readers hold
+        pre-publish plans)."""
+        with self._lock:
+            self._vacuum_locked(
+                time.monotonic() + (self.vacuum_grace_sec if all_versions else 0)
+            )
 
     def overwrite(self, schema: str, table: str, df: DataFrame) -> None:
         """Replace the whole table (initial load / truncate): every bucket is

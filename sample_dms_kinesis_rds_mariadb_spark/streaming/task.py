@@ -84,6 +84,11 @@ class ReplicationTask:
         if self.spec.migration_type == "full-load":
             self._thread = threading.Thread(target=self._run_full_load, daemon=True)
             self._thread.start()
+        elif self.spec.migration_type == "full-load-and-cdc":
+            self._thread = threading.Thread(
+                target=self._run_full_load_then_cdc, daemon=True
+            )
+            self._thread.start()
         else:
             self._start_cdc()
 
@@ -120,46 +125,89 @@ class ReplicationTask:
         )
 
     # -- full load (S1) ------------------------------------------------------
+    def _full_load_once(self) -> None:
+        """One snapshot pass over the selected tables (no status transitions
+        — shared by the pure full-load and full-load-and-cdc types)."""
+        tables = select_tables(
+            self.catalog.list_tables(self.spec.source), self.spec.rules
+        )
+        if not tables:
+            return
+        # one DataFrame → one distributed write job for the whole task;
+        # persist so the stats aggregation reuses the computed envelopes
+        # instead of re-evaluating the scan+encode lineage
+        env = snapshot_task_events(
+            self.spark,
+            self.catalog,
+            self.spec.source,
+            tables,
+            self.spec.settings,
+            pk_by_table=self._pk_lookup(),
+        ).persist()
+        try:
+            for schema_name, table_name in tables:
+                self.stats.mark_table_state(
+                    self.spec.task_id, schema_name, table_name, "Full load"
+                )
+            self.store.append_envelopes(env)
+            self.stats.record_batch(self.spec.task_id, env)
+            for schema_name, table_name in tables:
+                self.stats.mark_table_state(
+                    self.spec.task_id, schema_name, table_name, "Table completed"
+                )
+        finally:
+            env.unpersist()
+
     def _run_full_load(self) -> None:
         try:
             self.status = RUNNING
-            tables = select_tables(
-                self.catalog.list_tables(self.spec.source), self.spec.rules
-            )
-            if not tables:
-                self.status = STOPPED
-                return
-            # one DataFrame → one distributed write job for the whole task;
-            # persist so the stats aggregation reuses the computed envelopes
-            # instead of re-evaluating the scan+encode lineage
-            env = snapshot_task_events(
-                self.spark,
-                self.catalog,
-                self.spec.source,
-                tables,
-                self.spec.settings,
-                pk_by_table=self._pk_lookup(),
-            ).persist()
-            try:
-                for schema_name, table_name in tables:
-                    self.stats.mark_table_state(
-                        self.spec.task_id, schema_name, table_name, "Full load"
-                    )
-                self.store.append_envelopes(env)
-                self.stats.record_batch(self.spec.task_id, env)
-                for schema_name, table_name in tables:
-                    self.stats.mark_table_state(
-                        self.spec.task_id, schema_name, table_name, "Table completed"
-                    )
-            finally:
-                env.unpersist()
+            self._full_load_once()
             self.status = STOPPED  # full load self-terminates (run.py:246)
         except Exception:
             self.error = traceback.format_exc()
             self.status = FAILED
 
+    def _run_full_load_then_cdc(self) -> None:
+        """DMS migration type ``full-load-and-cdc``: record the feed position,
+        snapshot, then stream only changes committed AFTER the position
+        (binlog handoff — changes at or before it are already in the
+        snapshot). The handoff position persists next to the checkpoint, so
+        a restart resumes CDC (never re-snapshots, never re-filters against
+        a newer position)."""
+        import os
+
+        try:
+            self.status = RUNNING
+            if self.changefeed is None:
+                raise RuntimeError(
+                    "full-load-and-cdc task requires a changefeed on its endpoint"
+                )
+            pos_file = f"{self.store.path}/checkpoints/{self.spec.task_id}.position"
+            if os.path.exists(pos_file):
+                with open(pos_file) as f:
+                    position = int(f.read().strip())  # resume: snapshot done
+            else:
+                position = self.changefeed.current_position()
+                self._full_load_once()
+                # the loaded snapshot is the CDC baseline: materialize it so
+                # post-snapshot upserts/deletes apply onto queryable state
+                if self.materializer is not None:
+                    for s, t in select_tables(
+                        self.catalog.list_tables(self.spec.source), self.spec.rules
+                    ):
+                        self.materializer.overwrite(
+                            s, t, self.catalog.load(self.spec.source, s, t)
+                        )
+                os.makedirs(os.path.dirname(pos_file), exist_ok=True)
+                with open(pos_file, "w") as f:
+                    f.write(str(position))
+            self._start_cdc(after_seq=position)
+        except Exception:
+            self.error = traceback.format_exc()
+            self.status = FAILED
+
     # -- CDC (S2) -------------------------------------------------------------
-    def _start_cdc(self) -> None:
+    def _start_cdc(self, after_seq: int = 0) -> None:
         if self.changefeed is None:
             raise RuntimeError("CDC task requires a changefeed on its endpoint")
         import os
@@ -171,6 +219,10 @@ class ReplicationTask:
         if not os.path.exists(checkpoint):
             self._emit_exceptions_bootstrap()
         stream = self.changefeed.read_stream(self.spec.rules)
+        if after_seq:
+            # binlog-position handoff (full-load-and-cdc): pre-snapshot
+            # changes are already reflected in the loaded state
+            stream = stream.filter(F.col("seq") > after_seq)
         pk_by_table = self._pk_lookup()
 
         def process(batch_df, epoch_id: int) -> None:

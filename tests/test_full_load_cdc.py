@@ -1,0 +1,160 @@
+"""full-load-and-cdc migration type: snapshot, binlog-position handoff, then
+CDC applies ONLY post-snapshot changes; a checkpointed restart resumes CDC
+without re-snapshotting (round-2 stretch item; DMS supports this third
+migration type — the reference uses only the two pure modes)."""
+
+import time
+
+import pytest
+
+from sample_dms_kinesis_rds_mariadb_spark.engine import ReplicationEngine
+from sample_dms_kinesis_rds_mariadb_spark.fixtures import DB_NAME, TABLES, seed_df
+from sample_dms_kinesis_rds_mariadb_spark.spec import (
+    EndpointSpec,
+    PipelineSpec,
+    SelectionRule,
+    TaskSettings,
+    TaskSpec,
+)
+
+EP = "mariadb-source"
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    spec = PipelineSpec(
+        endpoints=[
+            EndpointSpec(
+                EP,
+                "memory",
+                {"schema_name": DB_NAME, "changefeed_path": str(tmp_path / "feed")},
+            )
+        ],
+        tasks=[
+            TaskSpec(
+                "flc-task",
+                EP,
+                "full-load-and-cdc",
+                [SelectionRule(DB_NAME, "novels")],
+                TaskSettings(before_image=True),
+            )
+        ],
+        shards=1,
+    )
+    eng = ReplicationEngine(spark, spec, str(tmp_path / "work"))
+    _, _, pk, defaults = TABLES["novels"]
+    df = seed_df(spark, "novels").cache()
+    df.count()
+    eng.register_table(EP, DB_NAME, "novels", df, pk, defaults)
+    return eng
+
+
+def _wait_for(fn, timeout=60, every=0.5):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if fn():
+            return
+        time.sleep(every)
+    raise TimeoutError("condition not met")
+
+
+def test_full_load_and_cdc_handoff(engine):
+    # a change committed BEFORE the snapshot: its effect is (by definition)
+    # already inside the registered source table. If CDC wrongly replayed it,
+    # the title would flip to the marker value.
+    engine.changefeed(EP).append_changes(
+        [
+            {
+                "schema": DB_NAME,
+                "table": "novels",
+                "op": "update",
+                "txn_id": "pre",
+                "commit_ts": "2024-01-01T00:00:00",
+                "data": {
+                    "novel_id": "1",
+                    "title": "WRONGLY-REPLAYED",
+                    "author_id": "1",
+                },
+            }
+        ]
+    )
+    engine.start_task("flc-task")
+    engine.wait_for_task_status("flc-task", "running")
+    # snapshot contract: drop + create + 2 loads (+1 CDC bootstrap control)
+    events = engine.consume(after_ts=0, expected_count=5)
+    ops = [e["metadata"]["operation"] for e in events]
+    assert ops.count("load") == 2
+    assert ops.count("drop-table") == 1
+    novel_creates = [
+        e
+        for e in events
+        if e["metadata"]["operation"] == "create-table"
+        and e["metadata"]["table-name"] == "novels"
+    ]
+    bootstrap = [
+        e
+        for e in events
+        if e["metadata"]["table-name"] == "awsdms_apply_exceptions"
+    ]
+    assert len(novel_creates) == 1
+    assert len(bootstrap) == 1  # T7 bootstrap rides the CDC start
+
+    # post-snapshot changes: one insert, one update — these MUST apply
+    engine.changefeed(EP).append_changes(
+        [
+            {
+                "schema": DB_NAME,
+                "table": "novels",
+                "op": "insert",
+                "txn_id": "post1",
+                "commit_ts": "2024-01-01T00:00:10",
+                "data": {"novel_id": "9", "title": "Post Snapshot", "author_id": "1"},
+            },
+            {
+                "schema": DB_NAME,
+                "table": "novels",
+                "op": "update",
+                "txn_id": "post2",
+                "commit_ts": "2024-01-01T00:00:11",
+                "data": {"novel_id": "2", "title": "Retitled", "author_id": "1"},
+            },
+        ]
+    )
+    _wait_for(
+        lambda: len(engine.query_result("SELECT * FROM novels")) == 3
+        and engine.query_result(
+            "SELECT title FROM novels WHERE novel_id = 2"
+        )[0]["title"]
+        == "Retitled"
+    )
+    engine.stop_task("flc-task")
+
+    rows = {
+        r["novel_id"]: r["title"]
+        for r in engine.query_result("SELECT novel_id, title FROM novels")
+    }
+    assert rows[9] == "Post Snapshot"
+    assert rows[2] == "Retitled"
+    # the pre-snapshot change was NOT replayed over the snapshot
+    assert rows[1] != "WRONGLY-REPLAYED"
+
+    # restart resumes CDC — no second snapshot (still exactly 2 load events),
+    # and new changes keep applying
+    engine.start_task("flc-task")
+    engine.wait_for_task_status("flc-task", "running")
+    engine.changefeed(EP).append_changes(
+        [
+            {
+                "schema": DB_NAME,
+                "table": "novels",
+                "op": "delete",
+                "txn_id": "post3",
+                "commit_ts": "2024-01-01T00:00:20",
+                "data": {"novel_id": "9", "title": "Post Snapshot", "author_id": "1"},
+            }
+        ]
+    )
+    _wait_for(lambda: len(engine.query_result("SELECT * FROM novels")) == 2)
+    engine.stop_task("flc-task")
+    all_ops = [e["metadata"]["operation"] for e in engine.consume()]
+    assert all_ops.count("load") == 2, "restart must not re-snapshot"

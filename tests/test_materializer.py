@@ -70,7 +70,20 @@ def test_upsert_rewrites_only_touched_buckets(spark, mat):
     assert got[5] == "renamed"
 
 
-def test_vacuum_reaps_superseded_versions(spark, mat):
+def test_vacuum_reaps_superseded_versions(spark, tmp_path):
+    registry = TableRegistry()
+    base = spark.createDataFrame(
+        [(i, f"name-{i}", i * 10) for i in range(100)], "id LONG, name STRING, v LONG"
+    ).cache()
+    base.count()
+    registry.register_from_df("testdb", "items", base, primary_key="id")
+    # zero grace: superseded versions reap at the next publish (the default
+    # 60 s grace protects concurrent readers — see test below)
+    mat = TableMaterializer(
+        spark, registry, str(tmp_path / "state"), n_buckets=N_BUCKETS,
+        vacuum_grace_sec=0,
+    )
+    mat.overwrite("testdb", "items", base)
     for seq in range(1, 4):
         mat.apply_change_batch(
             _batch(
@@ -87,6 +100,21 @@ def test_vacuum_reaps_superseded_versions(spark, mat):
         assert len(versions) == 1, f"bucket {b} kept {versions}"
     got = {r["id"]: r["name"] for r in mat.table("testdb", "items").collect()}
     assert got[5] == "n3"
+
+
+def test_vacuum_grace_protects_inflight_readers(spark, mat):
+    """A plan built against the pre-publish version still collects after a
+    publish: superseded versions survive for vacuum_grace_sec (the fixture
+    uses the 60 s default), then an explicit vacuum(all_versions=True)
+    reaps them."""
+    stale_plan = mat.table("testdb", "items")  # plan holds current paths
+    mat.apply_change_batch(
+        _batch(spark, [(1, "update", {"id": "5", "name": "bumped", "v": "50"}, None)])
+    )
+    assert stale_plan.count() == 100  # old version still on disk
+    assert len(mat._retired) == 1
+    mat.vacuum(all_versions=True)
+    assert not mat._retired
 
 
 def test_pk_changing_update_removes_stale_row(spark, mat):

@@ -224,9 +224,48 @@ def test_multimodal_plumbing(spark):
         for r in multimodal.extract_image_features(media, fake_decode=True).collect()
     }
     assert again[1]["width"] == by_id[1]["width"]
-    # real decode is an explicit stub
+    # compressed formats remain an explicit stub boundary
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"x", fake=False)
+        multimodal.decode_image(b"\x89PNG\r\n", fake=False)
+
+
+def test_decode_image_real_formats():
+    """Library-free decode does REAL work on PPM/PGM/BMP bytes."""
+    ppm = b"P6\n# a comment\n7 3\n255\n" + bytes(7 * 3 * 3)
+    assert multimodal.decode_image(ppm) == (7, 3, 3, "ppm")
+    pgm = b"P5 4 2 255 " + bytes(8)
+    assert multimodal.decode_image(pgm) == (4, 2, 1, "pgm")
+    # minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, 5x9 @ 24bpp
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    header[18:22] = (5).to_bytes(4, "little")
+    header[22:26] = (-9).to_bytes(4, "little", signed=True)  # top-down
+    header[28:30] = (24).to_bytes(2, "little")
+    assert multimodal.decode_image(bytes(header)) == (5, 9, 3, "bmp")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\nnot-a-number\n")
+
+
+def test_multimodal_real_ppm_pipeline(spark):
+    """End-to-end REAL decode: synthesized PPM payloads through the Arrow
+    mapInPandas path with fake_decode=False."""
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 100)], "doc_id INT, text STRING"
+    )
+    media = multimodal.attach_ppm_column(docs, "text", "doc_id")
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_image_features(media, fake_decode=False).collect()
+    }
+    assert feats[1]["format"] == "ppm"
+    assert feats[1]["width"] == multimodal.PPM_WIDTH
+    assert feats[1]["height"] == (11 + 48) // 48  # text + one pad row
+    assert feats[1]["channels"] == 3
+    assert feats[2]["height"] == (100 + 48) // 48
+    # payload really is a parseable PPM
+    raw = media.filter(F.col("media_id") == 2).collect()[0]["content"]
+    w, h, c, fmt = multimodal.decode_image(bytes(raw))
+    assert (w, h, c, fmt) == (16, (100 + 48) // 48, 3, "ppm")
 
 
 def test_frame_sampling(spark):
