@@ -128,16 +128,24 @@ class ReplicationEngine:
     ) -> list[dict]:
         """Poll the stream until ≥ expected_count records arrive after
         ``after_ts`` (wait_for_kinesis, run.py:168-199), returning parsed
-        envelope dicts in arrival order."""
+        envelope dicts in arrival order.
+
+        Polling runs a COUNT on the pruned record scan (no JSON parse, no
+        row materialization — the arrival-ts filter pushes down to parquet);
+        the full envelope collect happens exactly once, after the count
+        threshold is met. Intended for bounded test/verification reads — a
+        production consumer tails ``store.read_stream()`` instead of
+        polling batch reads."""
         if expected_count is None:
             return self.store.consume(after_ts)
+        seen = 0
         for _ in range(retries):
-            out = self.store.consume(after_ts)
-            if len(out) >= expected_count:
-                return out
+            seen = self.store.read(after_ts).count()
+            if seen >= expected_count:
+                return self.store.consume(after_ts)
             time.sleep(sleep)
         raise TimeoutError(
-            f"expected {expected_count} records, saw {len(out)}"
+            f"expected {expected_count} records, saw {seen}"
         )
 
     # -- query surface (S4; SURVEY §7 M5) ---------------------------------------

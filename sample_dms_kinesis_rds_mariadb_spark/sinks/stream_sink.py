@@ -214,7 +214,7 @@ class StreamStore:
         stream: downstream consumers tail the sink like a Kinesis shard —
         `spark.readStream` on the record log, envelope-parseable with
         parse_json_records)."""
-        return (
+        df = (
             self.spark.readStream.schema(
                 "Data STRING, PartitionKey STRING, shard_id INT, "
                 "sequence_number LONG, approximate_arrival_ts TIMESTAMP"
@@ -222,6 +222,15 @@ class StreamStore:
             .option("maxFilesPerTrigger", "8")
             .parquet(self._records_path)
         )
+        if self.retention_hours is not None:
+            # same horizon the batch reader enforces (fixed at stream start —
+            # matching a TRIM_HORIZON subscription, which also evaluates the
+            # horizon once at subscribe time)
+            horizon = datetime.now(timezone.utc) - timedelta(
+                hours=self.retention_hours
+            )
+            df = df.filter(F.col("approximate_arrival_ts") > F.lit(horizon))
+        return df
 
     def read_envelopes(self, after_ts: datetime | float | None = None) -> DataFrame:
         """Parsed envelope view of the stream (run.py:196-198 projection)."""

@@ -154,7 +154,9 @@ class PipelineSpec:
 
     ``shards=1`` reproduces the reference's single-shard total-order stream
     (stack.py:356). Multi-shard mode keeps only per-key order, which is the
-    scale path (per-key = schema.table, stack.py:219).
+    scale path — pair it with ``TaskSettings.partition_key_type=
+    "primary-key"`` so a single table's rows spread over every shard
+    (schema-table keys put a whole table on one shard, stack.py:219).
     """
 
     endpoints: list[EndpointSpec] = field(default_factory=list)
