@@ -116,17 +116,23 @@ class StreamStore:
                 .withColumn("approximate_arrival_ts", F.lit(arrival).cast("timestamp"))
                 .select(*WIRE_COLUMNS)
             )
-            # persist: the write and the per-shard count would otherwise each
-            # re-evaluate the full upstream lineage
-            out = out.persist()
-            try:
-                out.write.mode("append").parquet(self._records_path)
-                counts = {
-                    r["shard_id"]: r["n"]
-                    for r in out.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
-                }
-            finally:
-                out.unpersist()
+            # ONE evaluation of the upstream lineage: the write. Per-shard
+            # counts come from reading BACK the files just written — the
+            # arrival-ts equality filter prunes to this batch's files via
+            # parquet row-group stats, scanning only the new shard_id column.
+            # (The previous design persisted ~the whole wire batch to serve a
+            # second aggregation pass; at 16 GB driver heap those caches
+            # stacked up across appends and produced multi-×10 GC-bound
+            # outliers in the sink benchmarks.)
+            out.write.mode("append").parquet(self._records_path)
+            counts = {
+                r["shard_id"]: r["n"]
+                for r in self.spark.read.parquet(self._records_path)
+                .filter(F.col("approximate_arrival_ts") == F.lit(arrival))
+                .groupBy("shard_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
             for s, n in counts.items():
                 self._next_seq[s] += n
             return sum(counts.values())
