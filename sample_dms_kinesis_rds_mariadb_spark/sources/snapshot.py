@@ -30,17 +30,19 @@ from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSettings
 
 
 # Per-table order band: table k's events get _order in [k*2^55, (k+1)*2^55).
-# monotonically_increasing_id() = partitionId*2^33 + offset, so ids stay
-# below the band width for any scan of < 2^22 (~4M) input partitions — far
-# beyond a single table's split count on any cluster; enforced by an assert
-# in snapshot_table_events. 2^63/2^55 = 256 bands caps one full-load TASK at
+# monotonically_increasing_id() = partitionId*2^33 + offset, so with the scan
+# capped at < 2^21 (~2M) input partitions the ids top out below 2^54 —
+# half a band of headroom over the +2 control-rank offset (the exact-corner
+# overlap at a 2^22 cap was caught by tests/test_properties.py). 2M splits is
+# far beyond any single table's partition count; enforced in
+# snapshot_table_events. 2^63/2^55 = 256 bands caps one full-load TASK at
 # 255 tables (asserted in snapshot_task_events); larger inventories split
 # into multiple tasks, which is also the reference's operational model (its
 # 4 tasks each select a handful of tables). The whole task stays ONE
 # DataFrame → one write job, not 2×T driver-scheduled jobs.
 _ORDER_BAND = 1 << 55
 _MAX_TABLES_PER_TASK = 255
-_MAX_SCAN_PARTITIONS = 1 << 22
+_MAX_SCAN_PARTITIONS = 1 << 21
 
 
 def snapshot_table_events(

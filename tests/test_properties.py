@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis) over the pure-Python kernels — no
+SparkSession, so hundreds of examples run in milliseconds. Complements the
+example-based suites the way the reference's contract tests complement its
+e2e flow (SURVEY §5)."""
+
+import fnmatch
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+    _parse_pnm_header,
+    decode_image,
+)
+from sample_dms_kinesis_rds_mariadb_spark.spec import (
+    SelectionRule,
+    like_match,
+    select_tables,
+)
+
+# -- SQL-LIKE selection rules ------------------------------------------------
+
+_ident = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), max_codepoint=0x7F),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(_ident, _ident)
+def test_like_match_agrees_with_fnmatch_on_percent(prefix, value):
+    """`p%` must behave exactly like the reference's DMS wildcard (glob
+    `p*`): true iff value starts with the literal prefix."""
+    assert like_match(prefix + "%", value) == fnmatch.fnmatchcase(
+        value, prefix + "*"
+    )
+
+
+@given(_ident)
+def test_like_exact_pattern_matches_only_itself(value):
+    assert like_match(value, value)
+    assert like_match("%", value)
+    if value:
+        assert not like_match(value + "x", value)
+
+
+@given(_ident, _ident)
+def test_underscore_matches_exactly_one_char(a, b):
+    pat = a + "_" + b
+    # any single char in the hole matches; empty hole doesn't
+    assert like_match(pat, a + "Q" + b)
+    assert like_match(pat, a + "_" + b)
+    if not (a + b) or "_" not in (a + b):
+        assert like_match(pat, a + b) == (len(a + b) >= len(pat))
+
+
+@given(
+    st.lists(st.tuples(st.just("db"), _ident), min_size=0, max_size=8, unique=True)
+)
+def test_select_tables_include_all_is_identity_sorted(tables):
+    got = select_tables(tables, [SelectionRule("db", "%")])
+    assert got == sorted(set(tables))
+
+
+@given(
+    st.lists(st.tuples(st.just("db"), _ident), min_size=0, max_size=8, unique=True),
+    _ident,
+)
+def test_exclude_rule_removes_matches(tables, excl):
+    rules = [SelectionRule("db", "%"), SelectionRule("db", excl + "%", "exclude")]
+    got = select_tables(tables, rules)
+    assert all(not t.startswith(excl) for _, t in got)
+    kept = [(s, t) for s, t in sorted(set(tables)) if not t.startswith(excl)]
+    assert got == kept
+
+
+# -- PNM header parsing ------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=9999),
+    st.integers(min_value=1, max_value=9999),
+    st.sampled_from([b" ", b"\n", b"\t", b" # comment\n", b"\n# c1\n# c2\n"]),
+)
+@settings(max_examples=200)
+def test_pnm_header_roundtrip(width, height, sep):
+    content = b"P6" + sep + str(width).encode() + sep + str(height).encode() + b" 255\n"
+    assert _parse_pnm_header(content) == (width, height)
+    # header-only decode: cap the pixel payload (decode never reads it)
+    w, h, c, fmt = decode_image(content + bytes(min(width * height * 3, 1024)))
+    assert (w, h, c, fmt) == (width, height, 3, "ppm")
+
+
+@given(st.binary(min_size=0, max_size=64))
+def test_decode_image_never_crashes_with_fake(blob):
+    """Arbitrary bytes either decode (valid magic), or fall through to the
+    deterministic fake — never an unhandled exception."""
+    try:
+        w, h, c, fmt = decode_image(blob, fake=True)
+    except ValueError:
+        # malformed PNM header after a valid magic — a legitimate rejection
+        assert blob[:2] in (b"P6", b"P3", b"P5", b"P2")
+        return
+    assert w >= 0 and h >= 0 and c >= 1
+    assert fmt in ("ppm", "pgm", "bmp", "fake")
+    # determinism
+    assert decode_image(blob, fake=True) == (w, h, c, fmt)
+
+
+# -- order-band arithmetic ---------------------------------------------------
+
+
+@given(
+    st.integers(min_value=0, max_value=254),
+    st.integers(min_value=0, max_value=(1 << 21) - 1),
+    st.integers(min_value=0, max_value=(1 << 33) - 1),
+)
+def test_snapshot_order_bands_never_overlap(band, partition_id, offset):
+    """monotonically_increasing_id = pid*2^33 + offset; within the enforced
+    caps (255 tables, <2^21 partitions) every table's ids stay inside its
+    band and below 2^63. (This property caught a real corner overlap at the
+    old 2^22 cap: pid=2^22-1, offset=2^33-2 landed exactly on the next
+    band's first id.)"""
+    from sample_dms_kinesis_rds_mariadb_spark.sources.snapshot import (
+        _MAX_SCAN_PARTITIONS,
+        _ORDER_BAND,
+    )
+
+    assert partition_id < _MAX_SCAN_PARTITIONS
+
+    mono = partition_id * (1 << 33) + offset
+    order = band * _ORDER_BAND + 2 + mono
+    assert band * _ORDER_BAND <= order < (band + 1) * _ORDER_BAND
+    assert order < (1 << 63)
