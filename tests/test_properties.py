@@ -4,7 +4,6 @@ example-based suites the way the reference's contract tests complement its
 e2e flow (SURVEY §5)."""
 
 import fnmatch
-import re
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
