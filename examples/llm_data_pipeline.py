@@ -1,0 +1,100 @@
+"""End-to-end LLM training-data pipeline over the synthetic testdata:
+
+  documents → language-ID → quality filter → exact dedup → MinHash-LSH
+  near-dup candidates → exact-Jaccard verification → surviving corpus
+  embeddings → IVF index build → ANN probe
+
+Run: python examples/llm_data_pipeline.py  [sf_dir, default sf0.001]
+
+Every stage is a Spark plan from the engine's operator library (see
+SCALE.md for why each shape survives 100 TB); nothing here collects more
+than summaries.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import shingles
+from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+    doc_fingerprint,
+    langid_heuristic,
+    quality_columns,
+    token_count,
+)
+from sample_dms_kinesis_rds_mariadb_spark.operators import dedup, similarity
+from sample_dms_kinesis_rds_mariadb_spark.plans.queries import load_table
+from sample_dms_kinesis_rds_mariadb_spark.session import get_session
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_session(app_name="llm-pipeline-demo")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # 1. language ID + quality features (all codegen'd expressions)
+    qc = quality_columns(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        langid_heuristic(F.col("text")).alias("lang_guess"),
+        token_count(F.col("text")).alias("n_tokens"),
+        qc["is_quality"].alias("is_quality"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    kept = scored.filter(F.col("is_quality"))
+    print("language mix:", dict(
+        (r["lang_guess"], r["n"])
+        for r in kept.groupBy("lang_guess").agg(F.count("*").alias("n")).collect()
+    ))
+
+    # 2. exact dedup: keep lowest doc_id per normalized-content fingerprint
+    uniq = (
+        kept.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+    )
+    n_uniq = uniq.count()
+
+    # 3. near-dup: LSH candidates → exact n-gram Jaccard ≥ 2/3
+    pairs = dedup.minhash_lsh_candidate_pairs(docs, "doc_id", "text")
+    sets = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    verified = (
+        pairs.join(sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
+        .filter(inter * 3 >= union * 2)
+        .select("id_a", "id_b")
+    )
+    near_dup_losers = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = uniq.join(near_dup_losers, "doc_id", "left_anti")
+    n_final = survivors.count()
+    print(
+        f"corpus: {n_docs} docs -> {kept.count()} quality -> "
+        f"{n_uniq} exact-unique -> {n_final} after near-dup removal"
+    )
+
+    # 4. similarity: build the IVF index once, probe it
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_vec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx_path = os.path.join(tempfile.gettempdir(), "llm-demo-ivf")
+    index = (
+        similarity.IvfIndex.load(spark, idx_path)
+        if similarity.IvfIndex.exists(idx_path)
+        else similarity.IvfIndex.build(emb, idx_path, n_lists=8)
+    )
+    top = index.probe(probe_vec, k=5, n_probe=3).collect()
+    print("ANN top-5 for vec 0:", [(r["vec_id"], round(r["cosine_sim"], 4)) for r in top])
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()
