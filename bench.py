@@ -45,9 +45,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session(app_name="bench")
 
-    # warm up the JVM/codegen path so per-query numbers measure the plan,
-    # not first-job startup
+    # warm up the JVM/codegen path AND the parquet reader stack (FS init,
+    # footer reader classes) so per-query numbers measure the plan, not
+    # first-job startup — the tiny region table (5 rows) touches the whole
+    # scan machinery without caching anything the queries use
     spark.range(1000).selectExpr("sum(id)").collect()
+    from sample_dms_kinesis_rds_mariadb_spark.plans.queries import load_table as _lt
+
+    _lt(spark, sf_dir, "region").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
