@@ -234,7 +234,22 @@ class TableMaterializer:
         tdef = self.registry.get(schema, table)
         self.overwrite(schema, table, self.spark.createDataFrame([], tdef.struct))
 
-    def apply_change_batch(self, batch: DataFrame) -> None:
+    def append_rows(self, schema: str, table: str, rows: list[dict]) -> None:
+        """Append driver-built rows (bounded, rare — e.g. apply-exception
+        records): union with current state and republish. Row volume here is
+        control-plane scale, never data scale."""
+        if not rows:
+            return
+        tdef = self.registry.get(schema, table)
+        new = self.spark.createDataFrame(rows, tdef.struct)
+        current = (
+            self.table(schema, table)
+            if self.exists(schema, table)
+            else self.spark.createDataFrame([], tdef.struct)
+        )
+        self.overwrite(schema, table, current.unionByName(new))
+
+    def apply_change_batch(self, batch: DataFrame) -> list[dict]:
         """Apply one change-feed micro-batch (sources/changefeed.py shape) to
         materialized state: per table, last change per primary key wins
         (window by pk ordered by commit ``seq`` desc — a hash-partitioned
@@ -243,7 +258,14 @@ class TableMaterializer:
         delete drops the key. Touched keys include before-image PKs, so an
         UPDATE that changes the primary-key value removes the stale old-PK
         row as well as upserting the new one.
+
+        Returns apply exceptions — one dict per table whose changes could
+        not be applied (unregistered target, apply failure) — which the task
+        records into ``awsdms_apply_exceptions`` (the DMS conflict-logging
+        contract behind the reference's bootstrap event, stack.py/T7). A
+        failing table never blocks the other tables in the batch.
         """
+        exceptions: list[dict] = []
         touched = [
             (r["schema"], r["table"])
             for r in batch.filter(
@@ -257,54 +279,79 @@ class TableMaterializer:
             try:
                 tdef = self.registry.get(schema, table)
             except KeyError:
+                n = batch.filter(
+                    (F.col("schema") == schema) & (F.col("table") == table)
+                ).count()
+                exceptions.append(
+                    {
+                        "schema_name": schema,
+                        "table_name": table,
+                        "statement": f"apply {n} change event(s)",
+                        "error": "table not registered in target schema registry",
+                    }
+                )
                 continue
-            pk = tdef.primary_key
-            pk_type = tdef.struct[pk].dataType
-            changes = (
-                batch.filter(
-                    (F.col("schema") == schema)
-                    & (F.col("table") == table)
-                    & F.col("op").isin("insert", "update", "delete")
+            try:
+                self._apply_table(batch, schema, table, tdef)
+            except Exception as exc:  # noqa: BLE001 — isolate per-table faults
+                exceptions.append(
+                    {
+                        "schema_name": schema,
+                        "table_name": table,
+                        "statement": "apply change batch",
+                        "error": f"{type(exc).__name__}: {exc}",
+                    }
                 )
-                .withColumn("_pk", F.col("data").getItem(pk))
-                .withColumn(
-                    "_before_pk",
-                    F.when(
-                        F.col("op").isin("update", "delete"),
-                        F.col("before").getItem(pk),
-                    ),
+        return exceptions
+
+    def _apply_table(self, batch: DataFrame, schema: str, table: str, tdef) -> None:
+        pk = tdef.primary_key
+        pk_type = tdef.struct[pk].dataType
+        changes = (
+            batch.filter(
+                (F.col("schema") == schema)
+                & (F.col("table") == table)
+                & F.col("op").isin("insert", "update", "delete")
+            )
+            .withColumn("_pk", F.col("data").getItem(pk))
+            .withColumn(
+                "_before_pk",
+                F.when(
+                    F.col("op").isin("update", "delete"),
+                    F.col("before").getItem(pk),
+                ),
+            )
+        )
+        w = Window.partitionBy("_pk").orderBy(F.col("seq").desc())
+        last = changes.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        )
+        survivors = last.filter(F.col("op") != "delete").select(
+            *tdef.typed_projection("data")
+        )
+        # removal set: every after-image pk in the batch ∪ every
+        # before-image pk (catches pk-changing updates whose old row
+        # would otherwise survive as a stale duplicate)
+        keys = (
+            changes.select(F.col("_pk").alias("k"))
+            .unionByName(
+                changes.filter(F.col("_before_pk").isNotNull()).select(
+                    F.col("_before_pk").alias("k")
                 )
             )
-            w = Window.partitionBy("_pk").orderBy(F.col("seq").desc())
-            last = changes.withColumn("_rn", F.row_number().over(w)).filter(
-                F.col("_rn") == 1
-            )
-            survivors = last.filter(F.col("op") != "delete").select(
-                *tdef.typed_projection("data")
-            )
-            # removal set: every after-image pk in the batch ∪ every
-            # before-image pk (catches pk-changing updates whose old row
-            # would otherwise survive as a stale duplicate)
-            keys = (
-                changes.select(F.col("_pk").alias("k"))
-                .unionByName(
-                    changes.filter(F.col("_before_pk").isNotNull()).select(
-                        F.col("_before_pk").alias("k")
-                    )
-                )
-                .distinct()
-                .select(F.col("k").cast(pk_type).alias(pk))
-            )
-            # bounded collect: ≤ n_buckets ints — the bucket manifest update
-            # needs the touched-bucket list driver-side anyway
-            touched_buckets = sorted(
-                r["b"]
-                for r in keys.select(self._bucket_col(F.col(pk)).alias("b"))
-                .distinct()
-                .collect()
-            )
-            current = self._read_buckets(schema, table, touched_buckets, tdef)
-            merged = current.join(F.broadcast(keys), pk, "left_anti").unionByName(
-                survivors
-            )
-            self._publish(schema, table, merged, touched_buckets, pk)
+            .distinct()
+            .select(F.col("k").cast(pk_type).alias(pk))
+        )
+        # bounded collect: ≤ n_buckets ints — the bucket manifest update
+        # needs the touched-bucket list driver-side anyway
+        touched_buckets = sorted(
+            r["b"]
+            for r in keys.select(self._bucket_col(F.col(pk)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        current = self._read_buckets(schema, table, touched_buckets, tdef)
+        merged = current.join(F.broadcast(keys), pk, "left_anti").unionByName(
+            survivors
+        )
+        self._publish(schema, table, merged, touched_buckets, pk)

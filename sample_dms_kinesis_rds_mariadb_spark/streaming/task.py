@@ -45,6 +45,30 @@ FAILED = "failed"
 
 EXCEPTIONS_TABLE = "awsdms_apply_exceptions"
 
+# The DMS apply-exceptions table shape (TASK_NAME/TABLE_OWNER/TABLE_NAME/
+# ERROR_TIME/STATEMENT/ERROR in DMS terms) + a synthetic pk for the
+# materializer's keyed storage.
+_EXCEPTIONS_STRUCT = None  # built lazily to avoid importing types at module load
+
+
+def _exceptions_struct():
+    global _EXCEPTIONS_STRUCT
+    if _EXCEPTIONS_STRUCT is None:
+        from pyspark.sql import types as T
+
+        _EXCEPTIONS_STRUCT = T.StructType(
+            [
+                T.StructField("exception_id", T.LongType(), False),
+                T.StructField("task_name", T.StringType()),
+                T.StructField("table_owner", T.StringType()),
+                T.StructField("table_name", T.StringType()),
+                T.StructField("error_time", T.TimestampType()),
+                T.StructField("statement", T.StringType()),
+                T.StructField("error", T.StringType()),
+            ]
+        )
+    return _EXCEPTIONS_STRUCT
+
 
 class ReplicationTask:
     def __init__(
@@ -213,6 +237,9 @@ class ReplicationTask:
         import os
 
         checkpoint = f"{self.store.path}/checkpoints/{self.spec.task_id}"
+        # the registry is session-scoped: (re)register the exceptions-table
+        # schema on every start so conflict recording works after restarts
+        self._ensure_exceptions_registered()
         # bootstrap control event only on FIRST start — a checkpointed
         # restart resumes the stream, it doesn't re-create the exceptions
         # table (T7); DMS likewise bootstraps once per task
@@ -238,7 +265,9 @@ class ReplicationTask:
                 # race-free)
                 self._apply_ddl(batch_df)
                 if self.materializer is not None:
-                    self.materializer.apply_change_batch(batch_df)
+                    excs = self.materializer.apply_change_batch(batch_df)
+                    if excs:
+                        self._record_apply_exceptions(excs)
                 self.store.append_envelopes(env)
                 self.stats.record_batch(self.spec.task_id, env)
             finally:
@@ -273,6 +302,50 @@ class ReplicationTask:
         self.stats.record_counts(
             self.spec.task_id, self.default_schema, EXCEPTIONS_TABLE, "create-table", 1
         )
+
+    def _ensure_exceptions_registered(self) -> None:
+        """Register the exceptions-table schema so apply conflicts are
+        QUERYABLE over SQL, the way DMS materializes them on the target."""
+        try:
+            self.registry.get(self.default_schema, EXCEPTIONS_TABLE)
+        except KeyError:
+            from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import (
+                TableDef,
+            )
+
+            self.registry.register(
+                TableDef(
+                    schema_name=self.default_schema,
+                    table_name=EXCEPTIONS_TABLE,
+                    struct=_exceptions_struct(),
+                    primary_key="exception_id",
+                )
+            )
+
+    def _record_apply_exceptions(self, excs: list[dict]) -> None:
+        """Persist apply conflicts into ``awsdms_apply_exceptions`` (DMS
+        semantics: a failing change never kills the task; it lands in the
+        exceptions table for inspection). Bounded, rare, control-plane-sized
+        writes."""
+        import time as _time
+        from datetime import datetime, timezone
+
+        if self.materializer is None:
+            return
+        now = datetime.now(timezone.utc)
+        rows = [
+            {
+                "exception_id": _time.time_ns() + i,
+                "task_name": self.spec.task_id,
+                "table_owner": e["schema_name"],
+                "table_name": e["table_name"],
+                "error_time": now,
+                "statement": e["statement"],
+                "error": e["error"],
+            }
+            for i, e in enumerate(excs)
+        ]
+        self.materializer.append_rows(self.default_schema, EXCEPTIONS_TABLE, rows)
 
     def _apply_ddl(self, batch_df) -> None:
         """Registry-side schema evolution (T5); bounded collect — DDL events

@@ -49,6 +49,84 @@ def engine(spark, tmp_path):
     return eng
 
 
+def test_apply_exceptions_recorded(spark, tmp_path):
+    """DMS conflict semantics: a change for a table that doesn't exist on
+    the target neither kills the task nor vanishes — it lands as a row in
+    awsdms_apply_exceptions, queryable over SQL, while valid changes in the
+    same stream keep applying."""
+    spec = PipelineSpec(
+        endpoints=[
+            EndpointSpec(
+                EP,
+                "memory",
+                {"schema_name": DB_NAME, "changefeed_path": str(tmp_path / "feed")},
+            )
+        ],
+        tasks=[
+            TaskSpec(
+                "cdc-any",
+                EP,
+                "cdc",
+                [SelectionRule(DB_NAME, "%")],
+                TaskSettings(before_image=True),
+            )
+        ],
+        shards=1,
+    )
+    eng = ReplicationEngine(spark, spec, str(tmp_path / "work"))
+    _, _, pk, defaults = TABLES["novels"]
+    df = seed_df(spark, "novels").cache()
+    df.count()
+    eng.register_table(EP, DB_NAME, "novels", df, pk, defaults)
+
+    eng.changefeed(EP).append_changes(
+        [
+            {
+                "schema": DB_NAME,
+                "table": "ghosts",  # never registered on the target
+                "op": "insert",
+                "txn_id": "g1",
+                "commit_ts": "2024-01-01T00:00:01",
+                "data": {"ghost_id": "1", "name": "casper"},
+            },
+            {
+                "schema": DB_NAME,
+                "table": "novels",
+                "op": "insert",
+                "txn_id": "n1",
+                "commit_ts": "2024-01-01T00:00:02",
+                "data": {"novel_id": "9", "title": "Fine", "author_id": "1"},
+            },
+        ]
+    )
+    eng.start_task("cdc-any")
+    eng.wait_for_task_status("cdc-any", "running")
+
+    def _applied():
+        try:
+            return any(
+                r["title"] == "Fine"
+                for r in eng.query_result("SELECT title FROM novels")
+            )
+        except Exception:
+            return False  # view appears with the first applied batch
+
+    _wait_for(_applied)
+    eng.stop_task("cdc-any")
+
+    excs = eng.query_result(
+        "SELECT task_name, table_owner, table_name, statement, error "
+        "FROM awsdms_apply_exceptions ORDER BY table_name"
+    )
+    assert len(excs) == 1
+    assert excs[0]["table_name"] == "ghosts"
+    assert excs[0]["task_name"] == "cdc-any"
+    assert "not registered" in excs[0]["error"]
+    # the valid change in the same stream applied
+    titles = {r["title"] for r in eng.query_result("SELECT title FROM novels")}
+    assert "Fine" in titles
+
+
 def _wait_for(fn, timeout=60, every=0.5):
     deadline = time.time() + timeout
     while time.time() < deadline:
