@@ -148,6 +148,69 @@ class ReplicationEngine:
             f"expected {expected_count} records, saw {seen}"
         )
 
+    # -- validation (DMS table validation analog) -------------------------------
+    def validate_table(self, endpoint: str, schema_name: str, table_name: str) -> dict:
+        """DMS-style table validation: compare the SOURCE table against the
+        replicated/materialized TARGET — row counts, an order-independent
+        content checksum, and the number of PK-mismatched rows.
+
+        Scale shape: the checksum is a map-side xxhash64 fold (one scan per
+        side, no shuffle); the mismatch probe is one hash join on the PK.
+        Returns ``{"ValidationState": "Validated" | "Mismatched records",
+        "SourceRows": n, "TargetRows": m, "MismatchedRows": k}`` — the
+        fields DMS surfaces in table statistics when validation is enabled.
+        """
+        from pyspark.sql import functions as F
+
+        tdef = self.registry.get(schema_name, table_name)
+        pk = tdef.primary_key
+        src = self.catalog.load(endpoint, schema_name, table_name)
+        tgt = self.materializer.table(schema_name, table_name)
+
+        def canonical(df: DataFrame):
+            cols = sorted(df.columns)
+            # null-safe canonical row string: concat_ws silently drops nulls,
+            # which would make (NULL,'x') collide with ('x',NULL)
+            parts = [
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols
+            ]
+            return df.select(
+                F.col(pk).cast("string").alias("_pk"),
+                F.xxhash64(F.concat_ws("\x01", *parts)).alias("_rowhash"),
+            )
+
+        s = canonical(src)
+        t = canonical(tgt)
+        agg = [
+            F.count("*").alias("n"),
+            F.sum("_rowhash").alias("checksum"),
+        ]
+        s_stats = s.agg(*agg).first()
+        t_stats = t.agg(*agg).first()
+        mismatched = (
+            s.join(t, "_pk", "full_outer")
+            .filter(
+                s["_rowhash"].isNull()
+                | t["_rowhash"].isNull()
+                | (s["_rowhash"] != t["_rowhash"])
+            )
+            .count()
+        )
+        state = (
+            "Validated"
+            if mismatched == 0 and s_stats["n"] == t_stats["n"]
+            and s_stats["checksum"] == t_stats["checksum"]
+            else "Mismatched records"
+        )
+        return {
+            "SchemaName": schema_name,
+            "TableName": table_name,
+            "ValidationState": state,
+            "SourceRows": s_stats["n"],
+            "TargetRows": t_stats["n"],
+            "MismatchedRows": mismatched,
+        }
+
     # -- query surface (S4; SURVEY §7 M5) ---------------------------------------
     def refresh_views(self) -> None:
         for schema_name, table_name in list(
