@@ -111,8 +111,19 @@ def lsh_bucketed_topk(
     vectors). Bucket filter prunes the scan before any vector math runs."""
     dim = len(probe)
     planes = hyperplanes(dim, n_planes, seed)
-    signs = planes @ np.asarray(probe, dtype=float)
-    probe_bucket = int(sum(1 << i for i, s in enumerate(signs) if s > 0))
+    # sequential left-fold dot, NOT numpy's pairwise/SIMD summation: the
+    # probe's bucket must bit-match the corpus bucketing (Spark F.aggregate
+    # fold / DuckDB list_inner_product are both sequential) — a different
+    # summation order could flip the sign of a near-zero dot product
+    def _seq_dot(plane) -> float:
+        acc = 0.0
+        for x, y in zip(plane, probe):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    probe_bucket = int(
+        sum(1 << i for i, plane in enumerate(planes) if _seq_dot(plane) > 0)
+    )
     buckets = [probe_bucket]
     if multiprobe:
         buckets += [probe_bucket ^ (1 << i) for i in range(n_planes)]

@@ -380,6 +380,67 @@ def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Generate the DuckDB oracle for LSH-bucketed ANN by embedding the
+    seeded hyperplanes as SQL array literals (the same floats the Spark side
+    derives from the seed — repr round-trips float64 exactly in both
+    engines). Bucket bits come from the SIGN of a sequential-fold dot
+    product on both sides (Spark F.aggregate fold == DuckDB
+    list_inner_product), so bucket membership is bit-identical; testdata
+    embeddings are 64-dim at every SF."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+    bucket_expr = "\n         + ".join(
+        f"CASE WHEN list_inner_product(v, {lits[i]}) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(n_planes)
+    )
+    multiprobe = "\n          ".join(
+        f"UNION ALL SELECT xor(pb, {1 << i}) FROM probe" for i in range(n_planes)
+    )
+    return f"""
+        WITH bucketed AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 {bucket_expr} AS bucket
+          FROM embeddings
+        ),
+        probe AS (SELECT v AS p, bucket AS pb FROM bucketed WHERE vec_id = 0),
+        allowed AS (
+          SELECT pb AS b FROM probe
+          {multiprobe}
+        )
+        SELECT b.vec_id,
+               CAST(CAST(ROUND(
+                 list_inner_product(b.v, p.p)
+                 / (sqrt(list_inner_product(b.v, b.v))
+                    * sqrt(list_inner_product(p.p, p.p))), 6) AS DECIMAL(18,6)) AS DOUBLE) AS cosine_sim
+        FROM bucketed b, probe p
+        WHERE b.bucket IN (SELECT b FROM allowed)
+        ORDER BY cosine_sim DESC, b.vec_id
+        LIMIT 20
+    """
+
+
+@register(
+    "embedding_ann_lsh",
+    "Approximate NN: seeded random-hyperplane LSH bucketing + multiprobe "
+    "in-bucket scan (north-star similarity scale path) — FULLY oracle-checked"
+    " by embedding the hyperplanes as SQL literals; bucket membership is "
+    "bit-identical because both engines fold the dot product sequentially",
+    oracle=_lsh_oracle_sql(),
+    tags=("similarity",),
+)
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.lsh_bucketed_topk(emb, probe, k=20)
+    return out.select(
+        "vec_id",
+        F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").cast("double").alias("cosine_sim"),
+    ).orderBy(F.col("cosine_sim").desc(), "vec_id")
+
+
 @register(
     "dedup_pipeline_verified",
     "The full near-dup pipeline: MinHash-LSH candidate generation → exact "
@@ -470,23 +531,6 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
         "id_a", "id_b"
-    )
-
-
-@register(
-    "embedding_ann_lsh",
-    "Approximate NN: random-hyperplane LSH bucketing + in-bucket scan "
-    "(north-star similarity scale path; approximate ⇒ rows-only check)",
-    oracle=None,
-    tags=("similarity",),
-)
-def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = similarity.lsh_bucketed_topk(emb, probe, k=20)
-    return out.select(
-        "vec_id",
-        F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").cast("double").alias("cosine_sim"),
     )
 
 
