@@ -4,10 +4,13 @@ multimodal, registered in the same catalog as the relational queries.
 Cross-engine strategy (see plans/queries.py header): md5 is the shared hash
 primitive — MinHash bands, fingerprints, and exact-dedup keys are therefore
 bit-identical in Spark and DuckDB, making even the *hash-based* dedup
-operators oracle-checkable, not just row-count-checkable. Ops whose oracle
-would require re-implementing the operator in SQL beyond reason (SimHash64,
-LSH-bucketed ANN, multimodal decode) are registered without an oracle and
-covered by unit tests instead.
+operators oracle-checkable, not just row-count-checkable. The LSH ANN
+operators are ALSO fully oracle-checked: the seeded hyperplanes inline into
+the SQL as DOUBLE[] literals and both engines fold dot products
+sequentially, so bucket membership is bit-identical. Only ops whose oracle
+would require re-implementing a seeded native algorithm beyond SQL's reach
+(SimHash64 on xxhash64, IVF's KMeans, multimodal decode) stay rows-only,
+registered last and covered by unit tests instead.
 """
 
 from __future__ import annotations
@@ -422,6 +425,46 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
     """
 
 
+def _bucket_expr_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """The LSH bucket id as a DuckDB expression over a DOUBLE[] column ``v``,
+    with the seeded hyperplanes inlined as array literals."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+    return "\n         + ".join(
+        f"CASE WHEN list_inner_product(v, {lits[i]}) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(n_planes)
+    )
+
+
+def _near_dup_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Oracle for the LSH-bucketed near-dup self-join: pairs share a bucket,
+    ordered by the UNROUNDED cosine (bit-identical doubles on both sides, so
+    the top-20 cut is deterministic), rounded only in the output."""
+    return f"""
+        WITH bucketed AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 {_bucket_expr_sql(n_planes, dim, seed)} AS bucket
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v))) AS sim
+          FROM bucketed a JOIN bucketed b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               CAST(CAST(ROUND(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cosine_sim
+        FROM pairs
+        WHERE sim >= -1.0
+        ORDER BY sim DESC, id_a, id_b
+        LIMIT 20
+    """
+
+
 @register(
     "embedding_ann_lsh",
     "Approximate NN: seeded random-hyperplane LSH bucketing + multiprobe "
@@ -511,6 +554,28 @@ def q_dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_near_dup",
+    "Embedding near-duplicate pairs: LSH-bucketed cosine self-join, top-20 "
+    "most-similar in-bucket pairs (north-star dedup family #5; bucket-"
+    "bounded quadratic — fully oracle-checked via hyperplane SQL literals, "
+    "same cross-engine bucket identity as embedding_ann_lsh)",
+    oracle=_near_dup_oracle_sql(),
+    tags=("dedup", "similarity"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # dim is the dataset contract (64); one explicit lookup at plan-build
+    # time (index-build cost class), not hidden inside the operator per call
+    dim = similarity.embedding_dim(emb)
+    pairs = similarity.cosine_self_join_topk(emb, threshold=-1.0, dim=dim)
+    return pairs.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(20).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").cast("double").alias("cosine_sim"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # No-oracle (rows-only) queries register LAST: the driver's correctness file
 # records at most 50 entries in registration order, so every oracle-bearing
@@ -560,27 +625,6 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = index.probe(probe, k=20, n_probe=3)
     return out.select(
         "vec_id",
-        F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").cast("double").alias("cosine_sim"),
-    )
-
-
-@register(
-    "embedding_near_dup",
-    "Embedding near-duplicate pairs: LSH-bucketed cosine self-join, top-20 "
-    "most-similar in-bucket pairs (north-star dedup family #5; bucket-bounded "
-    "quadratic — rows-only, bucketing uses seeded random hyperplanes)",
-    oracle=None,
-    tags=("dedup", "similarity"),
-)
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    # one explicit dim lookup at plan-build time (index-build cost class),
-    # not hidden inside the operator per call
-    dim = similarity.embedding_dim(emb)
-    pairs = similarity.cosine_self_join_topk(emb, threshold=-1.0, dim=dim)
-    return pairs.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(20).select(
-        "id_a",
-        "id_b",
         F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").cast("double").alias("cosine_sim"),
     )
 
