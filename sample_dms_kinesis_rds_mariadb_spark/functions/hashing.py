@@ -98,6 +98,37 @@ def simhash16_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col("_id").alias(id_col), fp.cast("int").alias("simhash16"))
 
 
+def simhash60_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash over DISTINCT tokens with md5-derived bit vectors —
+    the cross-engine-verifiable wide variant: 15 hex chars of the token's
+    md5 give 60 reproducible bits (fits a signed 64-bit long positively in
+    both engines), so the whole near-dup pipeline built on it is
+    oracle-checkable. Same plan shape as ``simhash64``: explode → 60
+    conditional sums per doc → bit reassembly; one shuffle on doc id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(tokenize(normalize_text(F.col(text_col))))
+        ).alias("_tok"),
+    ).withColumn(
+        "_h", F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"_b{b}")
+        for b in range(60)
+    ]
+    agg = toks.groupBy("_id").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for b in range(60):
+        fp = fp + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return agg.select(F.col("_id").alias(id_col), fp.alias("simhash60"))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (engine-native xxhash64).
 

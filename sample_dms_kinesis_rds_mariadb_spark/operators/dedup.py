@@ -117,6 +117,54 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     return simhash64(df, id_col, text_col)
 
 
+def simhash_near_pairs_md5(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Cross-engine-verifiable SimHash near-dup pairs: 60-bit md5-derived
+    fingerprints, 15-bit-band pigeonhole bucketing (hamming ≤ 3 of 60 bits
+    ⇒ ≥1 of 4 bands agrees), exact hamming verification. Identical shape to
+    ``simhash_near_pairs`` but every bit is reproducible in SQL, so the
+    catalog query carries a full DuckDB oracle."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import simhash60_md5
+
+    fps = simhash60_md5(df, id_col, text_col)
+    width = 60 // bands
+    banded = fps.select(
+        F.col(id_col),
+        F.col("simhash60"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash60"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash60", "bk.band", "bk.key")
+    a = banded.select(
+        "band", "key", F.col(id_col).alias("id_a"), F.col("simhash60").alias("fp_a")
+    )
+    b = banded.select(
+        "band", "key", F.col(id_col).alias("id_b"), F.col("simhash60").alias("fp_b")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
 ) -> DataFrame:

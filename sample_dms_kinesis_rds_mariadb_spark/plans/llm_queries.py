@@ -484,6 +484,64 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("cosine_sim").desc(), "vec_id")
 
 
+_SIMHASH60_BIT_SUMS = ",\n                 ".join(
+    f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(60)
+)
+_SIMHASH60_REASSEMBLE = "\n               + ".join(
+    f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(60)
+)
+_SIMHASH60_BANDS = "\n          ".join(
+    f"UNION ALL SELECT doc_id, f, {i} AS band, (f >> {i * 15}) & 32767 AS key FROM fp"
+    for i in range(1, 4)
+)
+
+
+@register(
+    "simhash_dedup",
+    "SimHash near-dup pairs: 60-bit md5-derived fingerprint, 15-bit-band "
+    "pigeonhole bucketing, hamming ≤ 3 (north-star dedup family #3 — FULLY "
+    "oracle-checked: md5 bits + bit_count(xor) reproduce in SQL)",
+    oracle=f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_distinct(regexp_split_to_array({_NORM_SQL}, '\\s+'))) AS tok
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+        ),
+        bits AS (
+          SELECT doc_id,
+                 {_SIMHASH60_BIT_SUMS}
+          FROM h GROUP BY doc_id
+        ),
+        fp AS (
+          SELECT doc_id,
+               {_SIMHASH60_REASSEMBLE} AS f
+          FROM bits
+        ),
+        banded AS (
+          SELECT doc_id, f, 0 AS band, f & 32767 AS key FROM fp
+          {_SIMHASH60_BANDS}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 3
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
+)
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs_md5(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @register(
     "dedup_pipeline_verified",
     "The full near-dup pipeline: MinHash-LSH candidate generation → exact "
@@ -582,21 +640,6 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query above must land inside the cap (round-1 lesson — 8 entries were
 # silently unchecked).
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "simhash_dedup",
-    "SimHash near-dup pairs: 64-bit fingerprint, 16-bit-band bucketing, "
-    "hamming ≤ 3 (north-star dedup family #3; engine-native xxhash64 — "
-    "rows-only check, no cross-engine hash)",
-    oracle=None,
-    tags=("dedup",),
-)
-def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
 
 
 @register(
