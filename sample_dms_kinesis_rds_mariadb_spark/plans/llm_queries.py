@@ -7,10 +7,10 @@ bit-identical in Spark and DuckDB, making even the *hash-based* dedup
 operators oracle-checkable, not just row-count-checkable. The LSH ANN
 operators are ALSO fully oracle-checked: the seeded hyperplanes inline into
 the SQL as DOUBLE[] literals and both engines fold dot products
-sequentially, so bucket membership is bit-identical. Only ops whose oracle
-would require re-implementing a seeded native algorithm beyond SQL's reach
-(SimHash64 on xxhash64, IVF's KMeans, multimodal decode) stay rows-only,
-registered last and covered by unit tests instead.
+sequentially, so bucket membership is bit-identical; SimHash near-dup pairs
+check via 60-bit md5 fingerprints + bit_count(xor) hamming. Only the two
+ops SQL genuinely cannot replicate (IVF's KMeans clustering, multimodal
+binary decode) stay rows-only, registered last and covered by unit tests.
 """
 
 from __future__ import annotations
