@@ -657,9 +657,19 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    # build-once: the index lives keyed by dataset; later calls (and later
-    # sessions) only probe it — the round-1 per-query KMeans refit is gone
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # build-once: the index lives keyed by dataset IDENTITY (path + source
+    # mtime/size), so later calls and later sessions only probe it — the
+    # round-1 per-query KMeans refit is gone — while a regenerated source
+    # file triggers a fresh build instead of probing a stale index
+    import os as _os
+
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = _os.stat(src)
+        ident = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     path = f"{tempfile.gettempdir()}/spark-graft-ivf-{tag}"
     if similarity.IvfIndex.exists(path):
         index = similarity.IvfIndex.load(spark, path)
