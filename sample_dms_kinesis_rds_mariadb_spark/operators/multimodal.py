@@ -126,23 +126,23 @@ PPM_WIDTH = 16
 
 
 def attach_ppm_column(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Manufacture VALID binary PPM (P6) images from a text table: the
-    text's utf-8 bytes become the pixel buffer of a 16-wide RGB image. All
-    Spark built-ins (encode/concat/substring on binary) — the payloads are
-    genuinely decodable, so the decode path runs for real with no image
-    library."""
-    # append one full pixel-row of padding (rpad would TRUNCATE longer text):
-    # guarantees ≥ one 48-byte row and keeps the whole text as pixel data
-    padded = F.concat(F.col(text_col), F.lit(" " * (PPM_WIDTH * 3)))
-    raw = F.encode(padded, "utf-8")
-    h = F.floor(F.length(raw) / (PPM_WIDTH * 3)).cast("int")
-    header = F.encode(
+    """Manufacture VALID binary PPM (P6) images from a text table: image
+    height scales with the text's length and the pixel buffer is the text's
+    md5 hex repeated to exactly h×16×3 bytes. All Spark built-ins — the
+    payloads are genuinely decodable, so the decode path runs for real with
+    no image library — and every byte is ASCII + hash-derived, so an
+    independent SQL engine can rebuild the identical blob (the
+    ``multimodal_features`` DuckDB oracle hashes the same bytes)."""
+    row_bytes = PPM_WIDTH * 3
+    h = F.floor((F.length(F.col(text_col)) + row_bytes) / row_bytes).cast("int")
+    reps = F.ceil(h * row_bytes / F.lit(32.0)).cast("int")
+    pixels = F.substring(F.repeat(F.md5(F.col(text_col)), reps), 1, h * row_bytes)
+    content = F.encode(
         F.concat(
-            F.lit(f"P6\n{PPM_WIDTH} "), h.cast("string"), F.lit("\n255\n")
+            F.lit(f"P6\n{PPM_WIDTH} "), h.cast("string"), F.lit("\n255\n"), pixels
         ),
         "utf-8",
     )
-    content = F.concat(header, F.substring(raw, 1, h * PPM_WIDTH * 3))
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         content.alias("content"),

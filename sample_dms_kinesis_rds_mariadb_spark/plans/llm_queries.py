@@ -8,9 +8,10 @@ operators oracle-checkable, not just row-count-checkable. The LSH ANN
 operators are ALSO fully oracle-checked: the seeded hyperplanes inline into
 the SQL as DOUBLE[] literals and both engines fold dot products
 sequentially, so bucket membership is bit-identical; SimHash near-dup pairs
-check via 60-bit md5 fingerprints + bit_count(xor) hamming. Only the two
-ops SQL genuinely cannot replicate (IVF's KMeans clustering, multimodal
-binary decode) stay rows-only, registered last and covered by unit tests.
+check via 60-bit md5 fingerprints + bit_count(xor) hamming; even the
+multimodal decode oracle rebuilds the identical PPM blob in SQL and
+sha256-matches it. Only IVF's KMeans clustering is genuinely beyond SQL's
+reach — its query stays rows-only, registered last, covered by unit tests.
 """
 
 from __future__ import annotations
@@ -634,6 +635,47 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_features",
+    "Multimodal pipeline: VALID binary PPM images synthesized from the text "
+    "column (md5-derived ASCII pixel buffer), REAL header decode (no image "
+    "library) via Arrow-batched mapInPandas — FULLY oracle-checked: the "
+    "oracle rebuilds the identical blob in SQL and sha256-matches it",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(FLOOR((length(text) + 48) / 48) AS INT) AS h,
+                 md5(text) AS m
+          FROM documents WHERE doc_id < 200
+        ),
+        built AS (
+          SELECT doc_id, h,
+                 'P6' || chr(10) || '16 ' || CAST(h AS VARCHAR) || chr(10)
+                 || '255' || chr(10)
+                 || substr(repeat(m, CAST(CEIL(h * 48.0 / 32) AS INT)), 1, h * 48)
+                   AS content
+          FROM base
+        )
+        SELECT doc_id AS media_id,
+               strlen(content) AS n_bytes,
+               16 AS width,
+               h AS height,
+               3 AS channels,
+               'ppm' AS format,
+               sha256(content) AS sha256
+        FROM built ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic subset (limit() order is undefined on a parquet scan)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.attach_ppm_column(docs, "text", "doc_id")
+    return multimodal.extract_image_features(media, fake_decode=False).orderBy(
+        "media_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # No-oracle (rows-only) queries register LAST: the driver's correctness file
 # records at most 50 entries in registration order, so every oracle-bearing
@@ -682,17 +724,3 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_features",
-    "Multimodal pipeline: VALID binary PPM images synthesized from the text "
-    "column, REAL header decode (no image library) via Arrow-batched "
-    "mapInPandas feature extraction — rows-only check",
-    oracle=None,
-    tags=("multimodal",),
-)
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").limit(200)
-    media = multimodal.attach_ppm_column(docs, "text", "doc_id")
-    return multimodal.extract_image_features(media, fake_decode=False).orderBy(
-        "media_id"
-    )
