@@ -230,7 +230,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang,
                COUNT(*) AS n_docs,
                COUNT(*) FILTER (WHERE is_quality) AS n_quality,
-               SUM(n_tokens) AS total_tokens
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         FROM (
           SELECT lang,
                  length(text) AS n_chars,
@@ -270,7 +270,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(north-star text op)",
     oracle="""
         SELECT source,
-               SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
                MIN(len(regexp_split_to_array(trim(text), '\\s+'))) AS min_tokens,
                MAX(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens
         FROM documents GROUP BY source ORDER BY source

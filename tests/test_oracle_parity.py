@@ -83,6 +83,21 @@ def test_oracle_queries_register_before_rows_only():
     )
 
 
+def test_no_hugeint_oracle_columns(ddb):
+    """DuckDB SUM(INTEGER/BIGINT) returns HUGEINT (int128), which the driver's
+    value hasher renders differently from Spark's BIGINT even when the values
+    are equal (round-2: token_counts/text_quality failed on exactly this).
+    The local fetchall() path hides it (Python ints compare equal), so check
+    the declared oracle result types directly."""
+    bad = []
+    for name, sql in ORACLES.items():
+        rel = ddb.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            if "HUGEINT" in str(typ).upper() or "INT128" in str(typ).upper():
+                bad.append(f"{name}.{col}: {typ}")
+    assert not bad, f"HUGEINT oracle columns (driver hash hazard): {bad}"
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, ddb, name):
     sdf = entry_mod.queries()[name](spark, SF_DIR)
