@@ -175,11 +175,67 @@ def ivf_assignments(
     return out, centroids
 
 
+def _seq_dot(a, b) -> float:
+    """Sequential left-fold dot product — bit-matches Spark's F.aggregate
+    fold and DuckDB's list_inner_product (numpy uses pairwise/SIMD summation,
+    which can differ in the last bit and flip an argmin near a tie)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
 def _nearest_lists(centroids: list[list[float]], probe: list[float], n_probe: int) -> list[int]:
-    c = np.asarray(centroids)
-    p = np.asarray(probe, dtype=float)
-    dists = ((c - p) ** 2).sum(axis=1)
-    return [int(i) for i in np.argsort(dists)[:n_probe]]
+    """n_probe nearest centroid ids by squared euclidean distance, computed
+    as <p,p> - 2<p,c> + <c,c> with sequential-fold dots so the selection is
+    bit-reproducible against the SQL oracle; ties break to the lowest id."""
+    pp = _seq_dot(probe, probe)
+    d = sorted(
+        (pp - 2 * _seq_dot(probe, c) + _seq_dot(c, c), cid)
+        for cid, c in enumerate(centroids)
+    )
+    return [cid for _, cid in d[:n_probe]]
+
+
+def medoid_centroids(
+    df: DataFrame,
+    medoid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Data-independent "seed-medoid" centroids: the embeddings of FIXED row
+    ids. One bounded driver read (index-build cost class). Because each
+    centroid is a row of the corpus itself, an external engine (the DuckDB
+    correctness oracle) reconstructs them exactly from the same parquet — no
+    clustering step to reproduce. Centroid i is medoid_ids[i]'s embedding."""
+    rows = (
+        df.filter(F.col(id_col).isin([int(i) for i in medoid_ids]))
+        .select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    by_id = {r[0]: [float(x) for x in r[1]] for r in rows}
+    missing = [i for i in medoid_ids if i not in by_id]
+    if missing:
+        raise ValueError(f"medoid ids absent from corpus: {missing}")
+    return [by_id[i] for i in medoid_ids]
+
+
+def assign_to_centroids(
+    vec: Column, centroids: list[list[float]]
+) -> Column:
+    """Nearest-centroid list id as a pure JVM expression, cross-engine
+    bit-reproducible: d2 = <v,v> - 2<v,c> + <c,c> with every dot a
+    sequential left fold, argmin via array_min over (d2, cid) structs so
+    ties break to the LOWEST centroid id (matches the oracle's
+    row_number() OVER (ORDER BY d2, cid))."""
+    v = to_double_array(vec)
+    vv = dot(v, v)
+    cands = []
+    for cid, c in enumerate(centroids):
+        cl = F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+        d2 = vv - F.lit(2.0) * dot(v, cl) + dot(cl, cl)
+        cands.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*cands))["cid"]
 
 
 class IvfIndex:
@@ -221,15 +277,26 @@ class IvfIndex:
         vec_col: str = "embedding",
         seed: int = 42,
         sample_fraction: float = 1.0,
+        centroids: list[list[float]] | None = None,
     ) -> "IvfIndex":
-        assigned, centroids = ivf_assignments(
-            df,
-            n_lists=n_lists,
-            id_col=id_col,
-            vec_col=vec_col,
-            seed=seed,
-            sample_fraction=sample_fraction,
-        )
+        """Cluster (seeded KMeans — the production default) or, when
+        ``centroids`` is given, skip clustering and assign each vector to
+        the nearest provided centroid (e.g. ``medoid_centroids`` — the
+        deterministic, oracle-reproducible variant). Either way the corpus
+        is written PARTITIONED BY ivf_list and probes are pruned scans."""
+        if centroids is not None:
+            assigned = df.withColumn(
+                "ivf_list", assign_to_centroids(F.col(vec_col), centroids)
+            )
+        else:
+            assigned, centroids = ivf_assignments(
+                df,
+                n_lists=n_lists,
+                id_col=id_col,
+                vec_col=vec_col,
+                seed=seed,
+                sample_fraction=sample_fraction,
+            )
         assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
         with open(os.path.join(path, cls.CENTROIDS_FILE), "w") as f:
             json.dump(centroids, f)

@@ -676,21 +676,79 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# No-oracle (rows-only) queries register LAST: the driver's correctness file
-# records at most 50 entries in registration order, so every oracle-bearing
-# query above must land inside the cap (round-1 lesson — 8 entries were
-# silently unchecked).
-# ---------------------------------------------------------------------------
+# Seed-medoid centroids for the ORACLE-CHECKED IVF catalog entry: the
+# embeddings of these FIXED vec_ids (all exist at every SF; 0 is the probe,
+# so it is excluded). Because each centroid is a corpus row, DuckDB rebuilds
+# the identical index assignment from the same parquet — no clustering to
+# reproduce. The KMeans path (IvfIndex.build without centroids) remains the
+# production API and is covered by tests/test_operators.py.
+_IVF_MEDOID_IDS = [7, 61, 127, 199, 263, 331, 401, 467]
+
+
+def _ivf_oracle_sql(medoid_ids: list[int], n_probe: int = 3, k: int = 20) -> str:
+    """DuckDB oracle for medoid-centroid IVF ANN. Assignment distance is
+    d2 = <v,v> - 2<v,c> + <c,c> — every dot a sequential left fold
+    (list_inner_product == Spark's F.aggregate fold), so d2 is bit-identical
+    and the argmin (ties → lowest cid, via ORDER BY d2, cid) matches
+    operators.similarity.assign_to_centroids exactly. Probe-list selection
+    and the final top-k cut order by the UNROUNDED double."""
+    values = ", ".join(f"({cid}, {mid})" for cid, mid in enumerate(medoid_ids))
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+          SELECT m.cid, v.v AS c
+          FROM (VALUES {values}) AS m(cid, mid)
+          JOIN v ON v.vec_id = m.mid
+        ),
+        assigned AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT v.vec_id, v.v, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY list_inner_product(v.v, v.v)
+                              - 2 * list_inner_product(v.v, c.c)
+                              + list_inner_product(c.c, c.c),
+                              c.cid
+                   ) AS rn
+            FROM v CROSS JOIN cents c
+          ) WHERE rn = 1
+        ),
+        probe AS (SELECT v AS p FROM v WHERE vec_id = 0),
+        plists AS (
+          SELECT c.cid
+          FROM cents c CROSS JOIN probe p
+          ORDER BY list_inner_product(p.p, p.p)
+                   - 2 * list_inner_product(p.p, c.c)
+                   + list_inner_product(c.c, c.c),
+                   c.cid
+          LIMIT {n_probe}
+        ),
+        scored AS (
+          SELECT a.vec_id,
+                 list_inner_product(a.v, p.p)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(p.p, p.p))) AS sim
+          FROM assigned a CROSS JOIN probe p
+          WHERE a.cid IN (SELECT cid FROM plists)
+        )
+        SELECT vec_id,
+               CAST(CAST(ROUND(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cosine_sim
+        FROM scored
+        ORDER BY sim DESC, vec_id
+        LIMIT {k}
+    """
 
 
 @register(
     "embedding_ann_ivf",
-    "Approximate NN via a PREBUILT IVF index: seeded KMeans lists written "
-    "partitioned-by-list, probe = partition-pruned scan of the 3 nearest "
-    "lists + TakeOrdered — no clustering in the probe path (the ANN scale "
-    "path; approximate ⇒ rows-only check)",
-    oracle=None,
+    "Approximate NN via a PREBUILT IVF index: seed-medoid centroid lists "
+    "written partitioned-by-list, probe = partition-pruned scan of the 3 "
+    "nearest lists + TakeOrdered — no clustering in the probe path (the ANN "
+    "scale path) — FULLY oracle-checked: centroids are fixed corpus rows, so "
+    "DuckDB reproduces assignment, probe lists, and the top-k cut bit-exactly",
+    oracle=_ivf_oracle_sql(_IVF_MEDOID_IDS),
     tags=("similarity",),
 )
 def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,23 +758,24 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     # build-once: the index lives keyed by dataset IDENTITY (path + source
-    # mtime/size), so later calls and later sessions only probe it — the
-    # round-1 per-query KMeans refit is gone — while a regenerated source
-    # file triggers a fresh build instead of probing a stale index
+    # mtime/size) AND the centroid scheme, so later calls and later sessions
+    # only probe it, while a regenerated source file or a scheme change
+    # triggers a fresh build instead of probing a stale index
     import os as _os
 
     src = _os.path.join(sf_dir, "embeddings.parquet")
     try:
         st = _os.stat(src)
-        ident = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+        ident = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|medoid8"
     except OSError:
-        ident = sf_dir
+        ident = f"{sf_dir}|medoid8"
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     path = f"{tempfile.gettempdir()}/spark-graft-ivf-{tag}"
     if similarity.IvfIndex.exists(path):
         index = similarity.IvfIndex.load(spark, path)
     else:
-        index = similarity.IvfIndex.build(emb, path, n_lists=8)
+        centroids = similarity.medoid_centroids(emb, _IVF_MEDOID_IDS)
+        index = similarity.IvfIndex.build(emb, path, centroids=centroids)
     out = index.probe(probe, k=20, n_probe=3)
     return out.select(
         "vec_id",

@@ -163,9 +163,39 @@ def test_ivf_index_build_probe_split(vectors, tmp_path):
     ]
     assert got == one_shot
 
+
+def test_ivf_medoid_centroids_deterministic(vectors, tmp_path):
+    """The oracle-checkable IVF variant: fixed corpus rows as centroids, no
+    clustering. Assignment must put each medoid in its own list (distance 0,
+    ties to the lowest cid) and the medoid-built probe must keep the exact
+    hit while reading only pruned partitions."""
+    medoid_ids = [0, 16, 32, 48]
+    cents = similarity.medoid_centroids(vectors, medoid_ids, id_col="vec_id")
+    assert len(cents) == 4 and all(len(c) == 4 for c in cents)
+
+    assigned = vectors.withColumn(
+        "ivf_list", similarity.assign_to_centroids(F.col("embedding"), cents)
+    )
+    lists = {r["vec_id"]: r["ivf_list"] for r in assigned.collect()}
+    for cid, mid in enumerate(medoid_ids):
+        assert lists[mid] == cid  # a medoid is its own nearest centroid
+
+    path = str(tmp_path / "ivf-medoid")
+    index = similarity.IvfIndex.build(
+        vectors, path, id_col="vec_id", centroids=cents
+    )
+    out = [r["vec_id"] for r in index.probe([1.0, 0.0, 0.0, 0.0], k=5, n_probe=2).collect()]
+    assert out[0] == 0  # exact hit survives pruning
+
+    with pytest.raises(ValueError):
+        similarity.medoid_centroids(vectors, [0, 9999], id_col="vec_id")
+
     # reload from disk (a later session) probes without rebuilding
     again = similarity.IvfIndex.load(vectors.sparkSession, path, id_col="vec_id")
-    assert [r["vec_id"] for r in again.probe(probe, k=5, n_probe=2).collect()] == got
+    reloaded = [
+        r["vec_id"] for r in again.probe([1.0, 0.0, 0.0, 0.0], k=5, n_probe=2).collect()
+    ]
+    assert reloaded == out
 
 
 def test_cosine_self_join_pairs(vectors):
