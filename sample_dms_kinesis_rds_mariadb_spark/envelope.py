@@ -124,7 +124,12 @@ def partition_key_col(settings: TaskSettings, pk_value: Column | None = None) ->
     if settings.partition_key_type == "primary-key" and pk_value is not None:
         if settings.partition_include_schema_table:
             return F.concat_ws(".", base, pk_value.cast("string"))
-        return pk_value.cast("string")
+        # control events and rows whose table has no known PK carry a null
+        # pk_value; fall back to schema.table routing for them (a real
+        # Kinesis put rejects empty partition keys, and DMS keys control
+        # records by schema/table) instead of collapsing every such event
+        # onto the single shard xxhash64(null) hashes to
+        return F.coalesce(pk_value.cast("string"), base)
     return base
 
 

@@ -109,3 +109,36 @@ def test_transaction_details_toggle(spark):
         txn_id=F.lit("txn-42"),
     )
     assert env2.collect()[0]["metadata"]["transaction-id"] is None
+
+
+def test_primary_key_mode_null_pk_falls_back_to_table_key(spark):
+    """primary-key routing with partition_include_schema_table=False: control
+    events (null _pk) and rows whose table has no known PK must fall back to
+    schema.table — a NULL PartitionKey would collapse every such event onto
+    the one shard xxhash64(null) hashes to, and real Kinesis rejects empty
+    partition keys."""
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.cdc import encode_change_batch
+
+    settings = TaskSettings(
+        partition_key_type="primary-key", partition_include_schema_table=False
+    )
+    batch = (
+        spark.createDataFrame(
+            [
+                (1, "insert", {"id": "7", "v": "x"}, None),
+                (2, "drop-table", None, None),
+                (3, "insert", {"k": "9"}, None),  # table absent from pk_by_table
+            ],
+            "seq LONG, op STRING, data MAP<STRING,STRING>, before MAP<STRING,STRING>",
+        )
+        .withColumn("schema", F.lit("testdb"))
+        .withColumn("table", F.when(F.col("seq") == 3, "orphan").otherwise("novels"))
+        .withColumn("commit_ts", F.lit("2024-01-01T00:00:00Z"))
+        .withColumn("txn_id", F.lit(None).cast("string"))
+    )
+    env = encode_change_batch(batch, settings, pk_by_table={("testdb", "novels"): "id"})
+    keys = {r["_order"]: r["partition_key"] for r in env.collect()}
+    assert keys[1] == "7"  # PK routing for the known table
+    assert keys[2] == "testdb.novels"  # control event falls back to table key
+    assert keys[3] == "testdb.orphan"  # unknown-PK table falls back too
+    assert all(k is not None for k in keys.values())
