@@ -34,30 +34,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, band, signature) — one MinHash signature per document per band.
 
-    One md5 per shingle; band *b*'s hash is hex slice ``[8b, 8b+8)`` of that
-    digest (md5 bits are uniform, so the slices act as independent hash
-    functions). Plan shape: explode shingles once (no per-band row
-    explosion), aggregate ``bands`` independent slice-mins per document —
-    partial aggregation collapses each partition to <=1 row per doc before
-    the shuffle, so shuffle volume is |docs|*|bands| cells, never
-    corpus-sized — then unpivot to (id, band, signature). bands <= 4
-    (8-hex slices of a 32-hex digest).
+    Band *b* (b < 4) hashes are the 8-hex slices ``[8b, 8b+8)`` of one md5
+    per shingle (md5 bits are uniform, so the slices act as independent hash
+    functions); bands beyond 4 slice SALTED digests ``md5('s<k>|' || shingle)``
+    — still one deterministic md5 family, so every band stays
+    SQL-reproducible, and recall can scale with corpus size (100 TB corpora
+    want more bands) without changing the bands<=4 output. Plan shape:
+    explode shingles once (no per-band row explosion), aggregate ``bands``
+    independent slice-mins per document — partial aggregation collapses each
+    partition to <=1 row per doc before the shuffle, so shuffle volume is
+    |docs|*|bands| cells, never corpus-sized — then unpivot to
+    (id, band, signature).
     """
-    if not 1 <= bands <= 4:
-        raise ValueError("bands must be 1..4 (8-hex-char md5 slices)")
+    if bands < 1:
+        raise ValueError("bands must be >= 1")
     # explode the zip-structs directly and concat in codegen; duplicates are
     # harmless under min(), so no array_distinct pass is needed
     toks = tokenize(normalize_text(F.col(text_col)))
+    shingle_txt = F.concat_ws(" ", *[F.col(f"_g.{i}") for i in range(n)])
+    n_digests = (bands + 3) // 4
+    digests = [
+        F.md5(
+            shingle_txt if k == 0 else F.concat(F.lit(f"s{k}|"), shingle_txt)
+        ).alias(f"_h{k}")
+        for k in range(n_digests)
+    ]
     tall = df.select(
         F.col(id_col).alias("_id"),
         F.explode(zip_ngrams(toks, n)).alias("_g"),
-    ).select(
-        "_id",
-        F.md5(F.concat_ws(" ", *[F.col(f"_g.{i}") for i in range(n)])).alias("_h"),
-    )
+    ).select("_id", *digests)
     wide = tall.groupBy("_id").agg(
         *[
-            F.min(F.substring("_h", 1 + 8 * b, 8)).alias(f"_b{b}")
+            F.min(F.substring(f"_h{b // 4}", 1 + 8 * (b % 4), 8)).alias(f"_b{b}")
             for b in range(bands)
         ]
     )

@@ -304,3 +304,41 @@ def test_frame_sampling(spark):
     frames = multimodal.sample_frames(media, every_n_bytes=1024).collect()
     assert len(frames) == 4
     assert [f["byte_offset"] for f in frames] == [0, 1024, 2048, 3072]
+
+
+def test_minhash_bands_beyond_four(docs, spark):
+    """bands > 4 slice salted md5s — more bands for recall at large corpus
+    sizes. Bands 0-3 must be byte-identical to the unsalted bands=4 output
+    (the oracle-checked configuration), identical docs must collide in every
+    band, and each extra band must stay SQL-reproducible (DuckDB recomputes
+    md5('s1|' || shingle))."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import (
+        minhash_signatures,
+    )
+
+    four = minhash_signatures(docs, "doc_id", "text", bands=4).collect()
+    eight = minhash_signatures(docs, "doc_id", "text", bands=8).collect()
+    sig4 = {(r["doc_id"], r["band"]): r["signature"] for r in four}
+    sig8 = {(r["doc_id"], r["band"]): r["signature"] for r in eight}
+    assert {b for _, b in sig8} == set(range(8))
+    for key, sig in sig4.items():
+        assert sig8[key] == sig  # low bands unchanged by the salt ladder
+
+    for b in range(8):
+        assert sig8[(1, b)] == sig8[(2, b)]  # identical docs collide everywhere
+
+    # cross-engine: DuckDB reproduces a salted band signature
+    import duckdb
+
+    text = docs.filter(F.col("doc_id") == 1).first()["text"]
+    expected = duckdb.sql(
+        """
+        SELECT MIN(substr(md5('s1|' || t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))
+        FROM (SELECT regexp_split_to_array(lower(trim($txt$""" + text + """$txt$)), '\\s+') AS t),
+             LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS i)
+        """
+    ).fetchone()[0]
+    assert sig8[(1, 4)] == expected
+
+    with pytest.raises(ValueError):
+        minhash_signatures(docs, "doc_id", "text", bands=0)
