@@ -44,6 +44,10 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) carries no min/max column stats, which
+        # defeats row-group pruning on timestamp predicates (stream reads,
+        # retention trims); TIMESTAMP_MICROS matches Spark's µs precision
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # testdata's events table carries TIMESTAMP(NANOS) parquet, which
         # Spark rejects by default; read as long and convert at load time
         # (plans/queries.py load_table truncates ns → µs like every engine

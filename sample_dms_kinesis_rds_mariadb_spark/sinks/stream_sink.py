@@ -117,18 +117,28 @@ class StreamStore:
                 .select(*WIRE_COLUMNS)
             )
             # ONE evaluation of the upstream lineage: the write. Per-shard
-            # counts come from reading BACK the files just written — the
-            # arrival-ts equality filter prunes to this batch's files via
-            # parquet row-group stats, scanning only the new shard_id column.
-            # (The previous design persisted ~the whole wire batch to serve a
-            # second aggregation pass; at 16 GB driver heap those caches
-            # stacked up across appends and produced multi-×10 GC-bound
-            # outliers in the sink benchmarks.)
+            # counts come from reading BACK exactly the files this write
+            # created (directory diff under the lock) — append cost is
+            # O(batch) regardless of stream history, where the previous
+            # arrival-ts filter re-scanned the whole record log on every
+            # append (INT96 timestamps carry no row-group stats to prune on).
+            # (A persist()-based second aggregation pass is also out: at
+            # 16 GB driver heap those caches stacked up across appends and
+            # produced multi-×10 GC-bound outliers in the sink benchmarks.)
+            before = {
+                f for f in os.listdir(self._records_path) if f.endswith(".parquet")
+            }
             out.write.mode("append").parquet(self._records_path)
+            new_files = [
+                os.path.join(self._records_path, f)
+                for f in os.listdir(self._records_path)
+                if f.endswith(".parquet") and f not in before
+            ]
+            if not new_files:
+                return 0
             counts = {
                 r["shard_id"]: r["n"]
-                for r in self.spark.read.parquet(self._records_path)
-                .filter(F.col("approximate_arrival_ts") == F.lit(arrival))
+                for r in self.spark.read.parquet(*new_files)
                 .groupBy("shard_id")
                 .agg(F.count("*").alias("n"))
                 .collect()
