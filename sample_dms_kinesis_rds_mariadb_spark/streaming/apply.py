@@ -65,6 +65,8 @@ class TableMaterializer:
     version number but no directory.
     """
 
+    MANIFEST_FILE = "_manifest.json"
+
     def __init__(
         self,
         spark: SparkSession,
@@ -193,10 +195,57 @@ class TableMaterializer:
                         self._retired.append(
                             (os.path.join(bdir, f"v{old_v:06d}"), now)
                         )
+                self._save_manifest_locked()
                 self._vacuum_locked(now)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         self.register_view(schema, table)
+
+    def _save_manifest_locked(self) -> None:
+        """Persist the bucket manifest atomically next to the data — the
+        materializer's transaction-log tip. Without it the manifest is
+        process-local and a cross-process restart would see every table
+        empty even though the bucket files are on disk (caller holds the
+        lock; one tiny JSON per publish)."""
+        import json
+
+        data = {
+            f"{s}\t{t}": {str(k): [v, hd] for k, (v, hd) in vers.items()}
+            for (s, t), vers in self._buckets.items()
+        }
+        tmp = os.path.join(self.path, f".manifest-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, os.path.join(self.path, self.MANIFEST_FILE))
+
+    def restore(self) -> list[tuple[str, str]]:
+        """Reload the persisted bucket manifest (cross-process restart: a new
+        materializer over an existing workdir starts with an empty in-memory
+        manifest — CDC would silently apply onto empty state). No-op when
+        state is already loaded or no manifest exists. Session views are
+        re-registered for tables the registry knows; others restore lazily
+        once registered. Returns the restored (schema, table) pairs."""
+        import json
+
+        mf = os.path.join(self.path, self.MANIFEST_FILE)
+        with self._lock:
+            if self._buckets or not os.path.exists(mf):
+                return []
+            with open(mf) as f:
+                data = json.load(f)
+            self._buckets = {
+                (key.split("\t")[0], key.split("\t")[1]): {
+                    int(k): (int(v), bool(hd)) for k, (v, hd) in vers.items()
+                }
+                for key, vers in data.items()
+            }
+            restored = sorted(self._buckets)
+        for s, t in restored:
+            try:
+                self.register_view(s, t)
+            except KeyError:
+                pass  # not registered yet in this process; view comes later
+        return restored
 
     def _vacuum_locked(self, now: float) -> None:
         """Reap retired version dirs older than the grace window (caller

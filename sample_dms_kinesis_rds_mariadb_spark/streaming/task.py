@@ -210,6 +210,23 @@ class ReplicationTask:
             if os.path.exists(pos_file):
                 with open(pos_file) as f:
                     position = int(f.read().strip())  # resume: snapshot done
+                # cross-process restart: the position survives on disk but
+                # the materializer manifest is in-memory — restore it from
+                # its persisted transaction-log tip, else CDC applies onto
+                # empty state and queries silently lose pre-restart rows;
+                # a pre-manifest workdir falls back to re-materializing the
+                # baseline from the source (CDC after `position` re-applies
+                # idempotently: last-change-per-pk upserts)
+                if self.materializer is not None:
+                    restored = self.materializer.restore()
+                    if not restored and not self.materializer._buckets:
+                        for s, t in select_tables(
+                            self.catalog.list_tables(self.spec.source),
+                            self.spec.rules,
+                        ):
+                            self.materializer.overwrite(
+                                s, t, self.catalog.load(self.spec.source, s, t)
+                            )
             else:
                 position = self.changefeed.current_position()
                 self._full_load_once()

@@ -157,3 +157,31 @@ def test_delete_then_empty_bucket_reads_clean(spark, mat):
     )
     got = mat.table("testdb", "items").collect()
     assert [(r["id"], r["name"]) for r in got] == [(1, "back")]
+
+def test_cross_process_restart_restores_manifest(spark, tmp_path, mat):
+    """ADVICE item: the bucket manifest must survive a process restart — a
+    fresh materializer over the same workdir previously started empty, so
+    CDC applied onto nothing and queries silently lost pre-restart rows."""
+    mat.apply_change_batch(
+        _batch(spark, [(1, "update", {"id": "5", "name": "pre-restart", "v": "50"}, None)])
+    )
+    # "new process": fresh registry + materializer over the same directory
+    registry2 = TableRegistry()
+    registry2.register_from_df(
+        "testdb",
+        "items",
+        spark.createDataFrame([], "id LONG, name STRING, v LONG"),
+        primary_key="id",
+    )
+    mat2 = TableMaterializer(spark, registry2, mat.path, n_buckets=N_BUCKETS)
+    assert mat2.restore() == [("testdb", "items")]
+    got = {r["id"]: r["name"] for r in mat2.table("testdb", "items").collect()}
+    assert len(got) == 100
+    assert got[5] == "pre-restart"
+    # CDC keeps applying on the restored state
+    mat2.apply_change_batch(
+        _batch(spark, [(2, "insert", {"id": "500", "name": "post", "v": "1"}, None)])
+    )
+    assert mat2.table("testdb", "items").count() == 101
+    # second restore is a no-op (state already loaded)
+    assert mat2.restore() == []
