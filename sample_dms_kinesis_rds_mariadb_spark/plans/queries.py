@@ -900,24 +900,45 @@ def min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_lead_lag",
-    "lead/lag/first_value window functions: order-to-order price deltas per "
-    "customer (full deterministic frame ordering)",
+    "lead/lag/first_value window functions plus gaps-and-islands "
+    "sessionization: order-to-order price deltas per customer, and a running "
+    "session id that increments whenever >90 days pass between consecutive "
+    "orders (lag gap -> new-session flag -> running sum)",
     oracle="""
-        SELECT o_custkey, o_orderkey,
-               CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                    - CAST(LAG(o_totalprice) OVER w AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS DOUBLE) AS delta_prev,
-               CAST(CAST(CAST(FIRST_VALUE(o_totalprice) OVER w AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS DOUBLE) AS first_price
-        FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        QUALIFY o_custkey <= 200
+        SELECT o_custkey, o_orderkey, delta_prev, first_price,
+               CAST(SUM(new_sess) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+        FROM (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                      - CAST(LAG(o_totalprice) OVER w AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS DOUBLE) AS delta_prev,
+                 CAST(CAST(CAST(FIRST_VALUE(o_totalprice) OVER w AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS DOUBLE) AS first_price,
+                 CASE WHEN date_diff('day', CAST(LAG(o_orderdate) OVER w AS DATE),
+                                     CAST(o_orderdate AS DATE)) > 90
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        )
+        WHERE o_custkey <= 200
         ORDER BY o_custkey, o_orderkey
     """,
     tags=("window",),
 )
 def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function family over one shared sort: lag delta, first_value,
+    and gaps-and-islands sessionization (new session when >90 days separate
+    consecutive orders; session id = running sum of new-session flags).
+    All three expressions reuse the same (o_custkey, order-date) window, so
+    the plan sorts each customer partition once — no extra shuffle or sort
+    per expression at scale."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     price = _dec("o_totalprice")
+    gap_days = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+    )
     return (
         o.withColumn(
             "delta_prev",
@@ -926,8 +947,15 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "first_price", F.first(price).over(w).cast("decimal(38,2)").cast("double")
         )
+        .withColumn("new_sess", F.when(gap_days > 90, F.lit(1)).otherwise(F.lit(0)))
+        .withColumn(
+            "session_id",
+            F.sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
         .filter(F.col("o_custkey") <= 200)
-        .select("o_custkey", "o_orderkey", "delta_prev", "first_price")
+        .select("o_custkey", "o_orderkey", "delta_prev", "first_price", "session_id")
         .orderBy("o_custkey", "o_orderkey")
     )
 
