@@ -80,19 +80,21 @@ def main() -> None:
     li = load_table(spark, sf_dir, "lineitem")
     n_rows = li.count()
 
-    # sink legs run twice, best-of-2: single-run sink timings swing >2× with
-    # host noise (GC/IO bursts) and one outlier would misread as a regression
-    def _best_of(n: int, leg) -> float:
-        best = float("inf")
+    # sink legs run three times, median-of-3: single-run sink timings swing
+    # >2× with host noise (GC/IO bursts), and best-of-N would let the
+    # methodology flatter the number — the median is outlier-robust without
+    # cherry-picking; per-run times are recorded so the spread is auditable
+    def _median_of(n: int, leg) -> tuple[float, list[float]]:
+        runs: list[float] = []
         for _ in range(n):
             tmp = tempfile.mkdtemp(prefix="bench-sink-")
             try:
                 t0 = time.perf_counter()
                 leg(tmp)
-                best = min(best, time.perf_counter() - t0)
+                runs.append(time.perf_counter() - t0)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
-        return best
+        return sorted(runs)[len(runs) // 2], [round(r, 3) for r in runs]
 
     # primary-key partition mode: the row's PK rides the partition key, so
     # a single table's load spreads over all 32 shards (schema-table mode
@@ -106,7 +108,7 @@ def main() -> None:
         )
         store.append(to_json_records(env))
 
-    fl_sec = _best_of(2, _full_load_leg)
+    fl_sec, fl_runs = _median_of(3, _full_load_leg)
     timings["full_load_envelope_sink"] = round(fl_sec, 3)
     fl_rows_per_sec = round(n_rows / fl_sec, 1)
 
@@ -139,7 +141,7 @@ def main() -> None:
         env = encode_change_batch(feed, settings, {("main", "lineitem"): "l_orderkey"})
         store2.append(to_json_records(env))
 
-    cdc_sec = _best_of(2, _cdc_leg)
+    cdc_sec, cdc_runs = _median_of(3, _cdc_leg)
     timings["cdc_apply_sink"] = round(cdc_sec, 3)
     cdc_events_per_sec = round(n_rows / cdc_sec, 1)
 
@@ -154,6 +156,10 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "full_load_rows_per_sec": fl_rows_per_sec,
                 "cdc_events_per_sec": cdc_events_per_sec,
+                "sink_runs": {
+                    "full_load_envelope_sink": fl_runs,
+                    "cdc_apply_sink": cdc_runs,
+                },
             }
         )
     )
