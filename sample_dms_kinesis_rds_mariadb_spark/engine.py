@@ -148,6 +148,22 @@ class ReplicationEngine:
             f"expected {expected_count} records, saw {seen}"
         )
 
+    def get_shard_iterator(
+        self,
+        shard_id: int = 0,
+        iterator_type: str = "TRIM_HORIZON",
+        starting_sequence_number: int | None = None,
+        timestamp: float | None = None,
+    ):
+        """Kinesis ``GetShardIterator`` analog over the target stream — see
+        :meth:`StreamStore.get_shard_iterator` for the iterator types."""
+        return self.store.get_shard_iterator(
+            shard_id=shard_id,
+            iterator_type=iterator_type,
+            starting_sequence_number=starting_sequence_number,
+            timestamp=timestamp,
+        )
+
     # -- validation (DMS table validation analog) -------------------------------
     def validate_table(self, endpoint: str, schema_name: str, table_name: str) -> dict:
         """DMS-style table validation: compare the SOURCE table against the

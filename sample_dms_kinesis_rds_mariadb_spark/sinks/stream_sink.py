@@ -40,6 +40,14 @@ WIRE_COLUMNS = [
     "approximate_arrival_ts",
 ]
 
+ITERATOR_TYPES = (
+    "TRIM_HORIZON",
+    "LATEST",
+    "AT_TIMESTAMP",
+    "AT_SEQUENCE_NUMBER",
+    "AFTER_SEQUENCE_NUMBER",
+)
+
 
 class StreamStore:
     """Append-only partitioned record stream with per-shard sequence numbers.
@@ -63,6 +71,11 @@ class StreamStore:
         self._next_seq: dict[int, int] = dict.fromkeys(range(shards), 0)
         self._lock = threading.Lock()
         os.makedirs(self._records_path, exist_ok=True)
+        # A fresh store over an existing record log (cross-process restart)
+        # must continue the per-shard sequence, not reissue from 0. Recovery
+        # is one bounded groupBy over the log, deferred until the first
+        # operation that actually needs the counters.
+        self._offsets_recovered = not self._has_data()
 
     @property
     def _records_path(self) -> str:
@@ -79,6 +92,30 @@ class StreamStore:
         stream semantics (SURVEY §2.10 T1).
         """
         return self.append(to_json_records(env_df))
+
+    def _recover_offsets(self) -> None:
+        """Continue per-shard sequence counters after a cross-process restart.
+
+        Caller must hold ``self._lock``. One control-plane aggregation over
+        the record log (max sequence per shard — ≤ ``shards`` rows back to the
+        driver), run at most once per store lifetime."""
+        if self._offsets_recovered:
+            return
+        self._offsets_recovered = True
+        if not self._has_data():
+            return
+        rows = (
+            self.spark.read.parquet(self._records_path)
+            .groupBy("shard_id")
+            .agg(F.max("sequence_number").alias("max_seq"))
+            .collect()
+        )
+        for r in rows:
+            # sequence_number = offset + row_number (1-based), so the stored
+            # counter equals the max sequence already issued for the shard
+            self._next_seq[r["shard_id"]] = max(
+                self._next_seq.get(r["shard_id"], 0), r["max_seq"]
+            )
 
     def append(self, wire_df: DataFrame) -> int:
         """Append ``Data``/``PartitionKey`` records; returns record count."""
@@ -103,6 +140,7 @@ class StreamStore:
         df = df.withColumn("_rn", F.row_number().over(w))
 
         with self._lock:
+            self._recover_offsets()
             offsets = dict(self._next_seq)
             arrival = datetime.now(timezone.utc)
             offset_expr = F.coalesce(
@@ -151,10 +189,14 @@ class StreamStore:
         self,
         after_ts: datetime | float | None = None,
         shard_id: int | None = None,
+        from_seq: int | None = None,
     ) -> DataFrame:
         """Scan the stream in sequence order, optionally filtered by arrival
         timestamp — the reference consumer's TRIM_HORIZON + threshold filter
-        (run.py:175-188; SURVEY §2.3 F3). Filters push down to parquet.
+        (run.py:175-188; SURVEY §2.3 F3) — and/or by starting sequence number
+        (``from_seq`` inclusive, the AT_SEQUENCE_NUMBER analog). Filters push
+        down to parquet (sequence_number is INT64 with row-group min/max, so
+        resumed readers skip fully-consumed files at the footer level).
         """
         if not self._has_data():
             return self.spark.createDataFrame(
@@ -178,6 +220,8 @@ class StreamStore:
             df = df.filter(F.col("approximate_arrival_ts") > F.lit(after_ts))
         if shard_id is not None:
             df = df.filter(F.col("shard_id") == shard_id)
+        if from_seq is not None:
+            df = df.filter(F.col("sequence_number") >= from_seq)
         return df.orderBy("shard_id", "sequence_number")
 
     def trim_expired(self, now: datetime | None = None) -> int:
@@ -252,6 +296,55 @@ class StreamStore:
         """Parsed envelope view of the stream (run.py:196-198 projection)."""
         return parse_json_records(self.read(after_ts))
 
+    def get_shard_iterator(
+        self,
+        shard_id: int = 0,
+        iterator_type: str = "TRIM_HORIZON",
+        starting_sequence_number: int | None = None,
+        timestamp: datetime | float | None = None,
+    ) -> "ShardIterator":
+        """Kinesis ``GetShardIterator`` analog (the reference consumer uses
+        TRIM_HORIZON only, run.py:175-179; the other iterator types generalize
+        the same surface):
+
+        - ``TRIM_HORIZON`` — oldest retained record onward;
+        - ``LATEST`` — only records appended after this call (position is the
+          driver-side shard counter, O(1) after offset recovery);
+        - ``AT_TIMESTAMP`` — records with arrival ts > ``timestamp``;
+        - ``AT_SEQUENCE_NUMBER`` / ``AFTER_SEQUENCE_NUMBER`` — resume from an
+          exact checkpoint (inclusive / exclusive).
+
+        The returned iterator is a cursor: each ``get_records`` reads forward
+        from its position and advances it, so repeated calls page through the
+        shard exactly once per record.
+        """
+        it = iterator_type.upper()
+        if it not in ITERATOR_TYPES:
+            raise ValueError(f"unknown iterator_type {iterator_type!r}")
+        if shard_id not in range(self.shards):
+            raise ValueError(f"shard_id {shard_id} out of range 0..{self.shards - 1}")
+        from_seq: int | None = None
+        after_ts: datetime | float | None = None
+        if it == "LATEST":
+            with self._lock:
+                self._recover_offsets()
+                from_seq = self._next_seq[shard_id] + 1
+        elif it == "AT_TIMESTAMP":
+            if timestamp is None:
+                raise ValueError("AT_TIMESTAMP requires timestamp")
+            after_ts = timestamp
+        elif it == "AT_SEQUENCE_NUMBER":
+            if starting_sequence_number is None:
+                raise ValueError("AT_SEQUENCE_NUMBER requires starting_sequence_number")
+            from_seq = starting_sequence_number
+        elif it == "AFTER_SEQUENCE_NUMBER":
+            if starting_sequence_number is None:
+                raise ValueError(
+                    "AFTER_SEQUENCE_NUMBER requires starting_sequence_number"
+                )
+            from_seq = starting_sequence_number + 1
+        return ShardIterator(self, shard_id, from_seq=from_seq, after_ts=after_ts)
+
     def consume(
         self,
         after_ts: datetime | float | None = None,
@@ -275,4 +368,65 @@ class StreamStore:
                 "partition_key": d["partition_key"],
             }
             out.append(env)
+        return out
+
+
+class ShardIterator:
+    """Kinesis ``GetRecords`` cursor over one shard of a :class:`StreamStore`.
+
+    Holds a (shard, next-sequence) position; ``get_records`` returns records
+    at/after the position in sequence order and advances past what it
+    returned. The position is plain driver-side metadata — record reads stay
+    distributed, and the sequence predicate prunes consumed files at the
+    parquet-footer level, so a long-lived tailing consumer pays per call only
+    for the unread suffix of the shard.
+    """
+
+    def __init__(
+        self,
+        store: StreamStore,
+        shard_id: int,
+        from_seq: int | None = None,
+        after_ts: datetime | float | None = None,
+    ) -> None:
+        self.store = store
+        self.shard_id = shard_id
+        self._from_seq = from_seq
+        self._after_ts = after_ts
+
+    def read(self) -> DataFrame:
+        """The unread suffix of the shard as a DataFrame (does not advance)."""
+        return self.store.read(
+            after_ts=self._after_ts, shard_id=self.shard_id, from_seq=self._from_seq
+        )
+
+    def get_records(self, limit: int | None = None) -> list[dict]:
+        """Collect up to ``limit`` records from the current position and
+        advance past them. Returns Kinesis-shaped dicts: parsed envelope under
+        ``Data`` plus ``SequenceNumber`` / ``PartitionKey`` /
+        ``ApproximateArrivalTimestamp`` so callers can checkpoint and resume
+        via AT/AFTER_SEQUENCE_NUMBER."""
+        df = parse_json_records(self.read())
+        rows = df.collect() if limit is None else df.take(limit)
+        out = []
+        for r in rows:
+            d = r.asDict(recursive=True)
+            out.append(
+                {
+                    "Data": {
+                        "data": d["data"],
+                        "before-image": d["before-image"],
+                        "metadata": d["metadata"],
+                        "partition_key": d["partition_key"],
+                    },
+                    "SequenceNumber": d["sequence_number"],
+                    "PartitionKey": d["partition_key"],
+                    "ApproximateArrivalTimestamp": d["approximate_arrival_ts"],
+                }
+            )
+        if out:
+            self._from_seq = out[-1]["SequenceNumber"] + 1
+            # the arrival-ts floor is only the *starting* position; once the
+            # cursor has a concrete sequence it alone defines progress
+            self._after_ts = None
         return out

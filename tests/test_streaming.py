@@ -238,3 +238,77 @@ def test_stream_store_read_stream(spark, tmp_path):
     ).collect()
     assert [r["op"] for r in rows] == ["drop-table", "create-table"]
     assert [r["sequence_number"] for r in rows] == [1, 2]
+
+
+def _wire_batch(spark, pairs):
+    """Build a minimal wire-format batch: (PartitionKey, payload) pairs."""
+    rows = [(json.dumps({"data": {"v": v}, "metadata": {}}), pk) for pk, v in pairs]
+    return spark.createDataFrame(rows, "Data STRING, PartitionKey STRING")
+
+
+def test_shard_iterator_types(spark, tmp_path):
+    """Kinesis iterator surface: TRIM_HORIZON, LATEST, AT/AFTER_SEQUENCE_NUMBER
+    (reference run.py:175-179 uses TRIM_HORIZON; the rest generalize it)."""
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+
+    store = StreamStore(spark, str(tmp_path / "stream"), shards=1)
+    store.append(_wire_batch(spark, [("k", "a"), ("k", "b")]))
+
+    latest = store.get_shard_iterator(0, "LATEST")  # position: after batch 1
+    store.append(_wire_batch(spark, [("k", "c"), ("k", "d")]))
+
+    # TRIM_HORIZON sees everything, in sequence order
+    horizon = store.get_shard_iterator(0, "TRIM_HORIZON")
+    recs = horizon.get_records()
+    assert [r["Data"]["data"]["v"] for r in recs] == ["a", "b", "c", "d"]
+    assert [r["SequenceNumber"] for r in recs] == [1, 2, 3, 4]
+    assert recs[0]["PartitionKey"] == "k"
+    # exhausted cursor returns nothing new
+    assert horizon.get_records() == []
+
+    # LATEST sees only records appended after iterator creation
+    assert [r["Data"]["data"]["v"] for r in latest.get_records()] == ["c", "d"]
+
+    # AT_SEQUENCE_NUMBER is inclusive, AFTER_ exclusive
+    at = store.get_shard_iterator(0, "AT_SEQUENCE_NUMBER", starting_sequence_number=3)
+    assert [r["SequenceNumber"] for r in at.get_records()] == [3, 4]
+    after = store.get_shard_iterator(
+        0, "AFTER_SEQUENCE_NUMBER", starting_sequence_number=3
+    )
+    assert [r["SequenceNumber"] for r in after.get_records()] == [4]
+
+    # paged consumption advances the cursor (GetRecords limit)
+    paged = store.get_shard_iterator(0, "TRIM_HORIZON")
+    assert [r["SequenceNumber"] for r in paged.get_records(limit=3)] == [1, 2, 3]
+    assert [r["SequenceNumber"] for r in paged.get_records(limit=3)] == [4]
+
+    with pytest.raises(ValueError):
+        store.get_shard_iterator(0, "AT_SEQUENCE_NUMBER")
+    with pytest.raises(ValueError):
+        store.get_shard_iterator(5, "LATEST")
+    with pytest.raises(ValueError):
+        store.get_shard_iterator(0, "BOGUS")
+
+
+def test_sequence_offsets_recover_across_processes(spark, tmp_path):
+    """A fresh StreamStore over an existing record log continues the per-shard
+    sequence instead of reissuing from 0 (cross-process restart)."""
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+
+    path = str(tmp_path / "stream")
+    first = StreamStore(spark, path, shards=2)
+    first.append(_wire_batch(spark, [("k1", "a"), ("k2", "b"), ("k1", "c")]))
+
+    # simulate restart: new store object, same path
+    second = StreamStore(spark, path, shards=2)
+    second.append(_wire_batch(spark, [("k1", "d"), ("k2", "e")]))
+
+    rows = second.read().collect()
+    seqs = {}
+    for r in rows:
+        seqs.setdefault(r["shard_id"], []).append(r["sequence_number"])
+    # per shard: strictly increasing, no duplicates
+    for shard, ss in seqs.items():
+        assert ss == sorted(ss), f"shard {shard} out of order: {ss}"
+        assert len(ss) == len(set(ss)), f"shard {shard} duplicated seqs: {ss}"
+    assert sum(len(s) for s in seqs.values()) == 5
