@@ -142,3 +142,33 @@ def test_primary_key_mode_null_pk_falls_back_to_table_key(spark):
     assert keys[2] == "testdb.novels"  # control event falls back to table key
     assert keys[3] == "testdb.orphan"  # unknown-PK table falls back too
     assert all(k is not None for k in keys.values())
+
+
+def test_json_roundtrip_adversarial_strings(spark):
+    """Envelope values survive the JSON wire byte-for-byte: quotes,
+    backslashes, control chars, newlines, unicode (CJK/emoji/RTL),
+    JSON-shaped strings, and long payloads must all parse back identical
+    (the DMS wire is JSON — escaping bugs corrupt replicated data)."""
+    nasty = [
+        'quote " inside',
+        "backslash \\ and \\\\ double",
+        "newline\nand\ttab\rand\fformfeed",
+        "control \x01\x02\x1f chars",
+        "unicode: é中文 \U0001f600 שלום",
+        '{"looks":"like json","n":[1,2]}',
+        "trailing space  ",
+        "",
+        "x" * 5000,
+        "null",
+        "slash / and <html> & amp",
+    ]
+    rows = [(i, s) for i, s in enumerate(nasty)]
+    df = spark.createDataFrame(rows, "id INT, v STRING")
+    env = encode_data_events(df, "db", "t", "load", TaskSettings())
+    back = parse_json_records(to_json_records(env))
+    got = {
+        int(r["data"]["id"]): r["data"]["v"]
+        for r in back.collect()
+    }
+    for i, s in enumerate(nasty):
+        assert got[i] == s, f"row {i} corrupted: {got[i]!r} != {s!r}"
