@@ -110,6 +110,122 @@ def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int, str
     return width, height, channels, "fake"
 
 
+def _parse_pnm_binary(content: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, pixel_data_offset) for binary PNM (P6/P5).
+
+    Netpbm: three ASCII tokens (width, height, maxval) separated by
+    whitespace/comments after the magic; exactly ONE whitespace byte then
+    separates the header from the raw pixel payload."""
+    tokens: list[int] = []
+    i = 2
+    limit = min(len(content), 4096)
+    while len(tokens) < 3 and i < limit:
+        c = content[i]
+        if c == ord("#"):
+            while i < limit and content[i] != ord("\n"):
+                i += 1
+        elif chr(c).isspace():
+            i += 1
+        elif chr(c).isdigit():
+            j = i
+            while j < limit and chr(content[j]).isdigit():
+                j += 1
+            tokens.append(int(content[i:j]))
+            i = j
+        else:
+            raise ValueError(f"malformed PNM header byte {c!r} at {i}")
+    if len(tokens) < 3:
+        raise ValueError("truncated PNM header")
+    return tokens[0], tokens[1], tokens[2], i + 1  # +1: single ws separator
+
+
+def resize_image(
+    content: bytes, width: int, height: int, fake: bool = False
+) -> bytes:
+    """Nearest-neighbor resize, REAL for binary PNM (PPM P6 / PGM P5) —
+    pure numpy over the raw pixel buffer, no image library. Other formats
+    keep the same honest boundary as ``decode_image``: NotImplementedError,
+    or with ``fake=True`` a deterministic valid P6 of the target size whose
+    pixels derive from the content hash (pipeline shape stays exercisable).
+
+    The output is a well-formed binary PNM of the same family (P6→P6,
+    P5→P5) with the source's maxval, so resized payloads feed straight back
+    into ``decode_image`` / ``extract_image_features``.
+    """
+    if width < 1 or height < 1:
+        raise ValueError(f"target size must be positive, got {width}x{height}")
+    import numpy as np
+
+    magic = content[:2]
+    if magic in (b"P6", b"P5"):
+        channels = 3 if magic == b"P6" else 1
+        w, h, maxval, off = _parse_pnm_binary(content)
+        if maxval > 255:
+            raise ValueError("16-bit PNM not supported")
+        need = w * h * channels
+        buf = np.frombuffer(content, dtype=np.uint8, count=need, offset=off)
+        arr = buf.reshape(h, w, channels)
+        rows = (np.arange(height) * h) // height
+        cols = (np.arange(width) * w) // width
+        out = arr[rows][:, cols]
+        header = magic + b"\n%d %d\n%d\n" % (width, height, maxval)
+        return header + out.tobytes()
+    if not fake:
+        raise NotImplementedError(
+            "resize beyond binary PNM requires an image library (PIL/opencv) "
+            "— not available in this environment; pass fake=True for the "
+            "deterministic test double"
+        )
+    dig = hashlib.sha256(content).digest()
+    pixels = np.frombuffer(
+        (dig * (width * height * 3 // len(dig) + 1))[: width * height * 3],
+        dtype=np.uint8,
+    )
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels.tobytes()
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Arrow-batched bulk resize via ``mapInPandas`` — same plumbing shape
+    as ``extract_image_features``: partition-parallel, payloads streamed
+    batch-wise, binary stays columnar end-to-end (a downstream
+    metadata-only projection prunes the resized blob at the parquet scan).
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                resized = resize_image(blob, width, height, fake=fake)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "content": resized,
+                        "width": width,
+                        "height": height,
+                        "format": "ppm" if resized[:2] == b"P6" else "pgm",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
 def attach_binary_column(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Test helper: manufacture a media table from a text table (binary
     payload = utf-8 bytes) — exercises the exact schema/plumbing a real

@@ -342,3 +342,59 @@ def test_minhash_bands_beyond_four(docs, spark):
 
     with pytest.raises(ValueError):
         minhash_signatures(docs, "doc_id", "text", bands=0)
+
+
+def test_resize_image_kernel_exact():
+    """Nearest-neighbor semantics, asserted pixel-by-pixel: a 2x2 P6 scaled
+    to 4x4 duplicates each source pixel into a 2x2 block."""
+    px = bytes([255, 0, 0,  0, 255, 0,      # red  green
+                0, 0, 255,  9, 9, 9])       # blue gray
+    src = b"P6\n2 2\n255\n" + px
+    out = multimodal.resize_image(src, 4, 4)
+    assert multimodal.decode_image(out) == (4, 4, 3, "ppm")
+    w, h, maxval, off = multimodal._parse_pnm_binary(out)
+    assert (w, h, maxval) == (4, 4, 255)
+    body = out[off:]
+    def pixel(x, y):
+        i = (y * 4 + x) * 3
+        return tuple(body[i:i + 3])
+    assert pixel(0, 0) == pixel(1, 1) == (255, 0, 0)
+    assert pixel(2, 0) == pixel(3, 1) == (0, 255, 0)
+    assert pixel(0, 2) == pixel(1, 3) == (0, 0, 255)
+    assert pixel(2, 2) == pixel(3, 3) == (9, 9, 9)
+
+    # identity resize is byte-preserving on the pixel buffer
+    same = multimodal.resize_image(src, 2, 2)
+    _, _, _, off2 = multimodal._parse_pnm_binary(same)
+    assert same[off2:] == px
+
+    # grayscale P5 path
+    pgm = b"P5\n3 1\n255\n" + bytes([10, 20, 30])
+    down = multimodal.resize_image(pgm, 1, 1)
+    assert multimodal.decode_image(down) == (1, 1, 1, "pgm")
+
+    # honest boundary: no library-free resize for compressed formats
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"\x89PNG\r\n", 4, 4)
+    fake = multimodal.resize_image(b"\x89PNG\r\n", 4, 4, fake=True)
+    assert multimodal.decode_image(fake) == (4, 4, 3, "ppm")
+    assert fake == multimodal.resize_image(b"\x89PNG\r\n", 4, 4, fake=True)
+
+
+def test_resize_images_spark_pipeline(spark):
+    """Bulk resize over real PPM payloads: mapInPandas plumbing, resized
+    blobs feed straight back into the real decode path."""
+    docs = spark.createDataFrame(
+        [(1, "short text"), (2, "a much longer text " * 20)], "doc_id INT, text STRING"
+    )
+    media = multimodal.attach_ppm_column(docs, "text", "doc_id")
+    resized = multimodal.resize_images(media, 8, 4)
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_image_features(resized).collect()
+    }
+    assert set(feats) == {1, 2}
+    for r in feats.values():
+        assert (r["width"], r["height"], r["channels"], r["format"]) == (8, 4, 3, "ppm")
+        assert r["n_bytes"] == len(b"P6\n8 4\n255\n") + 8 * 4 * 3

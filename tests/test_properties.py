@@ -132,3 +132,38 @@ def test_snapshot_order_bands_never_overlap(band, partition_id, offset):
     order = band * _ORDER_BAND + 2 + mono
     assert band * _ORDER_BAND <= order < (band + 1) * _ORDER_BAND
     assert order < (1 << 63)
+
+
+# -- nearest-neighbor resize kernel ------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.binary(min_size=12 * 12 * 3, max_size=12 * 12 * 3),
+)
+@settings(max_examples=150)
+def test_resize_shape_and_value_conservation(w, h, nw, nh, raw):
+    """Any binary PPM resized to any size yields a well-formed PPM of
+    exactly the target dims whose every pixel exists in the source (nearest
+    neighbor never invents values); identity resize preserves the buffer."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        _parse_pnm_binary,
+        decode_image,
+        resize_image,
+    )
+
+    src_px = raw[: w * h * 3]
+    src = b"P6\n%d %d\n255\n" % (w, h) + src_px
+    out = resize_image(src, nw, nh)
+    assert decode_image(out) == (nw, nh, 3, "ppm")
+    _, _, maxval, off = _parse_pnm_binary(out)
+    body = out[off:]
+    assert len(body) == nw * nh * 3 and maxval == 255
+    src_pixels = {src_px[i : i + 3] for i in range(0, len(src_px), 3)}
+    assert all(body[i : i + 3] in src_pixels for i in range(0, len(body), 3))
+
+    same = resize_image(src, w, h)
+    assert same[_parse_pnm_binary(same)[3] :] == src_px
