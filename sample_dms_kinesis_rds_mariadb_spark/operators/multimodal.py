@@ -296,6 +296,108 @@ def extract_image_features(df: DataFrame, fake_decode: bool = False) -> DataFram
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),  # PCM16 only, else null
+        T.StructField("format", T.StringType()),  # wav|fake
+    ]
+)
+
+
+def decode_audio(content: bytes, fake: bool = False) -> tuple[int, int, int, int, int, str]:
+    """Decode (sample_rate, channels, bits_per_sample, n_frames, data_offset,
+    format) — REAL for RIFF/WAVE PCM (chunked header walk, little-endian
+    fields, no audio library needed). Compressed codecs (mp3/ogg/aac) keep
+    the same honest boundary as ``decode_image``: NotImplementedError, or a
+    deterministic content-hash fake with ``fake=True``.
+    """
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        pos = 12
+        fmt = None
+        while pos + 8 <= len(content):
+            cid = content[pos : pos + 4]
+            size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if cid == b"fmt ":
+                audio_format = int.from_bytes(content[body : body + 2], "little")
+                if audio_format != 1:  # 1 = PCM; anything else is compressed
+                    raise NotImplementedError(
+                        f"non-PCM WAV (format tag {audio_format}) needs a codec"
+                    )
+                channels = int.from_bytes(content[body + 2 : body + 4], "little")
+                sample_rate = int.from_bytes(content[body + 4 : body + 8], "little")
+                bits = int.from_bytes(content[body + 14 : body + 16], "little")
+                fmt = (sample_rate, channels, bits)
+            elif cid == b"data":
+                if fmt is None:
+                    raise ValueError("WAV data chunk before fmt chunk")
+                sample_rate, channels, bits = fmt
+                frame_bytes = max(1, channels * bits // 8)
+                n_frames = min(size, len(content) - body) // frame_bytes
+                return sample_rate, channels, bits, n_frames, body, "wav"
+            # chunks are word-aligned: odd sizes carry a pad byte
+            pos = body + size + (size & 1)
+        raise ValueError("truncated WAV: no data chunk")
+    if not fake:
+        raise NotImplementedError(
+            "compressed audio decode requires a codec library — not "
+            "available in this environment; PCM WAV decodes for real, or "
+            "pass fake=True for the deterministic test double"
+        )
+    h = hashlib.sha256(content).digest()
+    sample_rate = 8000 * (1 + h[0] % 6)
+    channels = 1 + h[1] % 2
+    n_frames = 1 + int.from_bytes(h[2:5], "big") % 480000
+    return sample_rate, channels, 16, n_frames, 0, "fake"
+
+
+def extract_audio_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
+    """Arrow-batched audio feature extraction via ``mapInPandas`` — the audio
+    twin of ``extract_image_features``. duration/rms compute vectorized
+    (numpy over the PCM buffer), per input split, never collected."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                rate, ch, bits, n_frames, off, fmt = decode_audio(
+                    blob, fake=fake_decode
+                )
+                rms = None
+                if fmt == "wav" and bits == 16 and n_frames:
+                    pcm = np.frombuffer(
+                        blob, dtype="<i2", count=n_frames * ch, offset=off
+                    ).astype(np.float64)
+                    rms = float(np.sqrt(np.mean(pcm * pcm)))
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_bytes": len(blob),
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "bits_per_sample": bits,
+                        "n_frames": n_frames,
+                        "duration_sec": n_frames / rate if rate else 0.0,
+                        "rms": rms,
+                        "format": fmt,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(
+        _extract, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling plumbing stand-in: emit one row per sampled offset of
     each payload (video frame-sample analog). Pure Spark: posexplode over a

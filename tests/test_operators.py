@@ -398,3 +398,67 @@ def test_resize_images_spark_pipeline(spark):
     for r in feats.values():
         assert (r["width"], r["height"], r["channels"], r["format"]) == (8, 4, 3, "ppm")
         assert r["n_bytes"] == len(b"P6\n8 4\n255\n") + 8 * 4 * 3
+
+
+def _wav(samples, rate=8000, channels=1, extra_chunk=False):
+    """Minimal valid RIFF/WAVE PCM16 writer for tests."""
+    import struct
+
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # odd-sized chunk exercises word-alignment padding
+        chunks += b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_audio_real_wav():
+    import math
+
+    import pytest as _pytest
+
+    blob = _wav([1000, -1000, 1000, -1000], rate=8000)
+    rate, ch, bits, n_frames, off, fmt = multimodal.decode_audio(blob)
+    assert (rate, ch, bits, n_frames, fmt) == (8000, 1, 16, 4, "wav")
+    # stereo frames count frames, not samples; odd-size chunk skip works
+    stereo = _wav([1, 2, 3, 4, 5, 6], rate=44100, channels=2, extra_chunk=True)
+    rate, ch, bits, n_frames, _, _ = multimodal.decode_audio(stereo)
+    assert (rate, ch, n_frames) == (44100, 2, 3)
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"\xff\xfb\x90\x00 mp3 frame")
+    fake = multimodal.decode_audio(b"\xff\xfb\x90\x00 mp3 frame", fake=True)
+    assert fake == multimodal.decode_audio(b"\xff\xfb\x90\x00 mp3 frame", fake=True)
+    assert fake[5] == "fake"
+
+    # non-PCM WAV is a codec boundary, not silent garbage
+    import struct
+
+    bad_fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # 85 = mp3-in-wav
+    nonpcm = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+    )
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio(nonpcm)
+    assert math.isclose(4 / 8000, 0.0005)
+
+
+def test_extract_audio_features_spark(spark):
+    """Audio twin of the image plumbing: real RIFF parse + vectorized rms
+    over Arrow batches."""
+    import math
+
+    rows = [
+        (1, bytearray(_wav([1000, -1000, 1000, -1000], rate=8000))),
+        (2, bytearray(_wav([0] * 16000, rate=16000))),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    feats = {
+        r["media_id"]: r for r in multimodal.extract_audio_features(media).collect()
+    }
+    assert feats[1]["format"] == "wav" and feats[1]["n_frames"] == 4
+    assert math.isclose(feats[1]["rms"], 1000.0)
+    assert math.isclose(feats[1]["duration_sec"], 4 / 8000)
+    assert math.isclose(feats[2]["duration_sec"], 1.0) and feats[2]["rms"] == 0.0
