@@ -24,6 +24,7 @@ scan-efficient at scale.
 from __future__ import annotations
 
 import os
+import shutil
 import threading
 from datetime import datetime, timedelta, timezone
 
@@ -268,6 +269,51 @@ class StreamStore:
                     os.remove(fpath)
                     removed += 1
         return removed
+
+    def compact(self, min_files: int = 8) -> int:
+        """Coalesce the record log: every append leaves one file per
+        non-empty shuffle partition, so a long-lived stream's read cost
+        grows O(appends). Compaction rewrites the current files into
+        ``shards``-partitioned, sequence-sorted files — fewer files AND
+        tight per-file ``sequence_number``/arrival row-group stats, so
+        resumed iterators and retention trims prune harder afterwards.
+
+        No-op below ``min_files``. Runs under the store lock (appends and
+        trims are excluded); concurrent *readers* holding an open scan of
+        the old files race with the swap — the single-driver engine model's
+        equivalent of a Kinesis re-shard boundary. Returns the number of
+        files removed by the rewrite (0 = no-op).
+        """
+        with self._lock:
+            old = [
+                f for f in os.listdir(self._records_path) if f.endswith(".parquet")
+            ]
+            if len(old) < min_files:
+                return 0
+            self._recover_offsets()  # sequence state must not depend on files
+            staging = os.path.join(self.path, "_compact_staging")
+            shutil.rmtree(staging, ignore_errors=True)
+            (
+                self.spark.read.parquet(
+                    *[os.path.join(self._records_path, f) for f in old]
+                )
+                .repartition(self.shards, "shard_id")
+                .sortWithinPartitions("shard_id", "sequence_number")
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            new = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+            for f in old:
+                os.remove(os.path.join(self._records_path, f))
+            for i, f in enumerate(new):
+                # all prior .parquet files were just removed — flat names
+                # can't collide, and repeated compactions don't grow them
+                os.rename(
+                    os.path.join(staging, f),
+                    os.path.join(self._records_path, f"compacted-{i:05d}.parquet"),
+                )
+            shutil.rmtree(staging, ignore_errors=True)
+            return len(old) - len(new)
 
     def read_stream(self) -> DataFrame:
         """Structured Streaming reader over the stream (SURVEY §2.1 S5 as a

@@ -312,3 +312,49 @@ def test_sequence_offsets_recover_across_processes(spark, tmp_path):
         assert ss == sorted(ss), f"shard {shard} out of order: {ss}"
         assert len(ss) == len(set(ss)), f"shard {shard} duplicated seqs: {ss}"
     assert sum(len(s) for s in seqs.values()) == 5
+
+
+def test_stream_compaction_preserves_content_and_sequence(spark, tmp_path):
+    """compact() coalesces the record log without changing what any reader
+    sees, and appends afterwards continue the per-shard sequence."""
+    import os
+
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+
+    path = str(tmp_path / "stream")
+    store = StreamStore(spark, path, shards=4)
+    for batch in range(5):
+        store.append(
+            _wire_batch(spark, [(f"k{i}", f"b{batch}v{i}") for i in range(8)])
+        )
+    records_dir = os.path.join(path, "records")
+    n_before = len([f for f in os.listdir(records_dir) if f.endswith(".parquet")])
+    before = [
+        (r["shard_id"], r["sequence_number"], r["Data"])
+        for r in store.read().collect()
+    ]
+    assert len(before) == 40
+
+    removed = store.compact(min_files=2)
+    assert removed > 0
+    n_after = len([f for f in os.listdir(records_dir) if f.endswith(".parquet")])
+    assert n_after < n_before and n_after <= 4  # ≤ one file per shard
+
+    after = [
+        (r["shard_id"], r["sequence_number"], r["Data"])
+        for r in store.read().collect()
+    ]
+    assert after == before
+
+    # appends continue the sequence over the compacted log
+    store.append(_wire_batch(spark, [(f"k{i}", "post") for i in range(8)]))
+    rows = store.read().collect()
+    assert len(rows) == 48
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard_id"], []).append(r["sequence_number"])
+    for ss in per_shard.values():
+        assert ss == list(range(1, len(ss) + 1))  # dense, ordered, no dupes
+
+    # below the threshold it's a no-op
+    assert store.compact(min_files=1000) == 0
