@@ -75,3 +75,29 @@ def test_no_cartesian_anywhere(spark):
 def test_semi_anti_join_operators(spark):
     assert "LeftSemi" in _plan(spark, "semi_join_exists")
     assert "LeftAnti" in _plan(spark, "anti_join_not_exists")
+
+
+def test_shard_iterator_pushes_sequence_filter(spark, tmp_path):
+    """An iterator resumed at a sequence checkpoint must push the
+    sequence_number (and shard_id) predicates into the parquet scan — the
+    mechanism that makes tail reads O(unread suffix)."""
+    import contextlib
+    import io
+
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+
+    store = StreamStore(spark, str(tmp_path / "s"), shards=4)
+    store.append(
+        spark.createDataFrame(
+            [('{"data":{}}', f"k{i}") for i in range(16)],
+            "Data STRING, PartitionKey STRING",
+        )
+    )
+    it = store.get_shard_iterator(2, "AT_SEQUENCE_NUMBER", starting_sequence_number=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        it.read().explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(sequence_number,3)" in plan
+    assert "EqualTo(shard_id,2)" in plan
