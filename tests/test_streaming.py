@@ -358,3 +358,44 @@ def test_stream_compaction_preserves_content_and_sequence(spark, tmp_path):
 
     # below the threshold it's a no-op
     assert store.compact(min_files=1000) == 0
+
+
+def test_concurrent_appends_keep_sequences_dense(spark, tmp_path):
+    """Two writers appending concurrently (T6: concurrent tasks share one
+    stream) must interleave without losing or duplicating sequence numbers."""
+    import threading
+
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+
+    store = StreamStore(spark, str(tmp_path / "stream"), shards=2)
+    batches = [
+        _wire_batch(spark, [(f"k{i}", f"w{w}b{b}") for i in range(6)])
+        for w in range(2)
+        for b in range(3)
+    ]
+    for df in batches:
+        df.cache().count()  # materialize before the threads race
+
+    errs = []
+
+    def writer(dfs):
+        try:
+            for df in dfs:
+                store.append(df)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(batches[:3],))
+    t2 = threading.Thread(target=writer, args=(batches[3:],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+
+    rows = store.read().collect()
+    assert len(rows) == 36
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard_id"], []).append(r["sequence_number"])
+    for ss in per_shard.values():
+        assert sorted(ss) == list(range(1, len(ss) + 1))
+    for df in batches:
+        df.unpersist()
