@@ -60,6 +60,17 @@ def main() -> None:
     print("table statistics (task 1):")
     print(json.dumps(engine.describe_table_statistics("full-load-task-1"), indent=2))
 
+    # --- the literal consumer loop (wait_for_kinesis, run.py:168-199):
+    # GetShardIterator(TRIM_HORIZON) then paged GetRecords(Limit=50)
+    it = engine.get_shard_iterator(0, "TRIM_HORIZON")
+    total = 0
+    while True:
+        page = it.get_records(limit=50)
+        if not page:
+            break
+        total += len(page)
+    print(f"TRIM_HORIZON paged scan: {total} records (= {len(ev1) + len(ev2)})")
+
     # --- CDC flow (run.py:271-329): recreate, capture, alter -----------------
     feed = engine.changefeed("mariadb-source")
     ts3 = time.time()
