@@ -203,3 +203,70 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer, Wilkerson,
+    Aiken, SIGMOD 2003 — the MOSS algorithm): hash every character k-gram,
+    slide a window of ``window`` consecutive hashes, keep each window's
+    minimum. Guarantee: any shared substring of length ≥ k+window-1 between
+    two documents yields at least one shared fingerprint, so matching on
+    (hash) finds local overlap that whole-document hashing misses.
+
+    Tie rule: the (hash, leftmost position) pair — deterministic across
+    partitionings. Hash = crc32 of the utf-8 k-gram (identically computable
+    in plain Python / other engines for verification).
+
+    Scale shape: the k-gram expansion is per-row array work (shifted-slice
+    zip, stays in codegen — no HOF capture, see functions/text.py
+    ``zip_ngrams``); the heavy shuffle is the per-document window, keyed by
+    ``id_col``, with payload (id, pos, hash) — never the text. The closing
+    distinct dedups map-side first (every doc's rows are co-located after
+    the window), so its exchange moves only final fingerprints.
+    Output: one row per selected fingerprint (id, pos, hash).
+    """
+    chars = F.filter(F.split(F.lower(F.col(text_col)), ""), lambda c: c != F.lit(""))
+    grams = F.transform(
+        # arrays_zip of k shifted slices: each element is a struct of k chars
+        F.arrays_zip(
+            *[
+                F.slice(
+                    chars, i + 1, F.greatest(F.size(chars) - F.lit(k - 1), F.lit(0))
+                ).alias(str(i))
+                for i in range(k)
+            ]
+        ),
+        lambda s: F.crc32(
+            F.encode(F.concat_ws("", *[s[str(i)] for i in range(k)]), "utf-8")
+        ),
+    )
+    hashed = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "hash")
+    )
+    from pyspark.sql import Window
+
+    byid = Window.partitionBy(id_col)
+    w_min = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        hashed.withColumn("_n", F.count("*").over(byid))
+        .withColumn("_sel", F.min(F.struct("hash", "pos")).over(w_min))
+        # full windows select (starts 0 .. n-window); a doc with fewer than
+        # `window` grams still fingerprints once via the partial window at 0
+        .filter(F.col("pos") <= F.greatest(F.col("_n") - window, F.lit(0)))
+        .select(
+            F.col(id_col),
+            F.col("_sel.pos").alias("pos"),
+            F.col("_sel.hash").alias("hash"),
+        )
+        .distinct()
+    )

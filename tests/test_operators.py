@@ -462,3 +462,47 @@ def test_extract_audio_features_spark(spark):
     assert math.isclose(feats[1]["rms"], 1000.0)
     assert math.isclose(feats[1]["duration_sec"], 4 / 8000)
     assert math.isclose(feats[2]["duration_sec"], 1.0) and feats[2]["rms"] == 0.0
+
+
+def _winnow_py(text, k=5, window=4):
+    """Independent pure-Python winnowing reference (crc32, leftmost-min tie)."""
+    import zlib
+
+    s = text.lower()
+    grams = [s[i : i + k] for i in range(max(len(s) - k + 1, 0))]
+    hashes = [zlib.crc32(g.encode()) for g in grams]
+    if not hashes:
+        return set()
+    out = set()
+    n = len(hashes)
+    starts = range(max(n - window, 0) + 1)
+    for st in starts:
+        win = hashes[st : st + window]
+        h = min(win)
+        out.add((st + win.index(h), h))
+    return out
+
+
+def test_winnowing_matches_python_reference(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abc"),                      # shorter than k → no grams
+        (3, "abcdefg"),                  # fewer grams than window → 1 fp
+        (4, "aaaaaaaaaaaa"),             # degenerate: all grams identical
+        (5, "the quick brown fox naps under the lazy dog"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id INT, text STRING")
+    got = {}
+    for r in dedup.winnowing_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["hash"]))
+    for doc_id, text in texts:
+        assert got.get(doc_id, set()) == _winnow_py(text), f"doc {doc_id}"
+
+    # the winnowing guarantee in action: docs 1 and 5 share the substrings
+    # "the quick brown fox " and " the lazy dog" (≥ k+window-1 chars) →
+    # they must share at least one fingerprint hash
+    h1 = {h for _, h in got[1]}
+    h5 = {h for _, h in got[5]}
+    assert h1 & h5
+    # and a disjoint doc shares nothing
+    assert not ({h for _, h in got.get(4, set())} & h1)
