@@ -29,6 +29,54 @@ def token_count(col: Column) -> Column:
     return F.size(tokenize(col))
 
 
+# GPT-2-style pre-tokenizer pattern (public, from the GPT-2 release):
+# contractions, letter runs, digit runs, punctuation runs (each with an
+# optional leading space), then residual whitespace. Java regex flavor —
+# \p{L}/\p{N} classes and the (?!\S) lookahead are supported natively.
+BPE_PRETOKEN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def bpe_pretokenize(col: Column) -> Column:
+    """BPE-ish pre-tokenization (the GPT-2 split regex) → ARRAY<STRING>.
+    This is the *pre*-tokenizer: real BPE would further merge within these
+    pieces against a learned vocabulary, so this count upper-bounds and
+    tracks the true BPE token count. Pure JVM regexp — no Python workers."""
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_pretokenize(col))
+
+
+# tiny high-frequency English function-word set: enough signal for a
+# stopword-ratio quality gate without a dictionary dependency
+STOPWORDS = (
+    "the a an and or but of to in on at is are was were be been it "
+    "this that as for with by from not have has had"
+).split()
+
+
+def stopword_count(col: Column) -> Column:
+    """Tokens (lowercased) that are English stopwords. Literal-only lambda —
+    no outer-column capture, stays cheap inside the HOF."""
+    return F.size(
+        F.filter(tokenize(F.lower(col)), lambda t: t.isin(*STOPWORDS))
+    )
+
+
+def stopword_ratio_x100(col: Column) -> Column:
+    """floor(100 × stopwords/tokens) as an exact integer (0 for empty text).
+    Natural English prose typically lands ≥ 10; machine noise near 0."""
+    n = token_count(col)
+    return F.when(n > 0, F.floor(stopword_count(col) * F.lit(100) / n)).otherwise(
+        F.lit(0)
+    ).cast("long")
+
+
 def zip_ngrams(tokens: Column, n: int) -> Column:
     """n-grams as ``arrays_zip`` of n shifted slices → ARRAY<STRUCT>.
 

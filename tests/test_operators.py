@@ -506,3 +506,40 @@ def test_winnowing_matches_python_reference(spark):
     assert h1 & h5
     # and a disjoint doc shares nothing
     assert not ({h for _, h in got.get(4, set())} & h1)
+
+
+def test_bpe_pretokenize_and_stopwords(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        bpe_pretokenize,
+        bpe_token_count,
+        stopword_count,
+        stopword_ratio_x100,
+    )
+
+    rows = [
+        (1, "I'll say it's 2024, don't you?"),
+        (2, "the cat sat on the mat"),
+        (3, "xJ9#qq zz$$7"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            bpe_pretokenize(F.col("text")).alias("pieces"),
+            bpe_token_count(F.col("text")).alias("n_bpe"),
+            stopword_count(F.col("text")).alias("n_stop"),
+            stopword_ratio_x100(F.col("text")).alias("stop_x100"),
+        ).collect()
+    }
+    # GPT-2 split semantics: contractions split off, leading spaces attach
+    assert out[1]["pieces"] == [
+        "I", "'ll", " say", " it", "'s", " 2024", ",", " don", "'t", " you", "?",
+    ]
+    assert out[1]["n_bpe"] == 11
+    # every character is covered by exactly the concatenation of the pieces
+    assert "".join(out[1]["pieces"]) == rows[0][1]
+    assert out[2]["n_stop"] == 3 and out[2]["stop_x100"] == 50  # the, on, the
+    assert out[3]["n_stop"] == 0 and out[3]["stop_x100"] == 0
+    assert out[4]["n_bpe"] == 0 and out[4]["stop_x100"] == 0
