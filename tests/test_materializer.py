@@ -185,3 +185,32 @@ def test_cross_process_restart_restores_manifest(spark, tmp_path, mat):
     assert mat2.table("testdb", "items").count() == 101
     # second restore is a no-op (state already loaded)
     assert mat2.restore() == []
+
+
+def test_reapplying_same_batch_is_idempotent(spark, mat):
+    """At-least-once delivery: a redelivered micro-batch (same change events,
+    same seqs) must leave the materialized table exactly as a single apply
+    did — last-change-per-pk upsert is naturally idempotent."""
+    batch = _batch(
+        spark,
+        [
+            (1, "update", {"id": "3", "name": "renamed", "v": "99"}, None),
+            (2, "insert", {"id": "200", "name": "new", "v": "1"}, None),
+            (3, "delete", {"id": "7", "name": "name-7", "v": "70"}, None),
+        ],
+    )
+    assert mat.apply_change_batch(batch) == []
+    once = sorted(
+        (r["id"], r["name"], r["v"])
+        for r in mat.table("testdb", "items").collect()
+    )
+
+    assert mat.apply_change_batch(batch) == []  # redelivery
+    twice = sorted(
+        (r["id"], r["name"], r["v"])
+        for r in mat.table("testdb", "items").collect()
+    )
+    assert twice == once
+    assert (3, "renamed", 99) in {(r[0], r[1], r[2]) for r in twice}
+    ids = {r[0] for r in twice}
+    assert 200 in ids and 7 not in ids and len(twice) == 100
