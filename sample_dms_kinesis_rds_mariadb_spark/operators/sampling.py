@@ -1,0 +1,92 @@
+"""Deterministic sampling / splitting / corpus mixing for training-data
+pipelines.
+
+All operators key off a content-independent md5 of ``salt|key`` rather than
+Spark's Bernoulli ``sample()``: the kept-set is a pure function of (key,
+salt), so re-runs, retries, and incremental re-processing at 100 TB select
+the SAME rows (no sampling drift between pipeline stages), results are
+reproducible across engines (md5 is the repo's cross-engine hash — any SQL
+engine or plain Python recomputes the exact kept-set), and train/heldout
+splits stay disjoint by construction.
+
+Scale shape: every operator is a stateless narrow filter — no shuffle, no
+driver-side state, trivially partition-parallel, and the filter composes
+with parquet scan pushdown of other predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# resolution of the sampling rate: 1e6 buckets ⇒ rates exact to 1e-6
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 1e6) from md5(salt|key) — first 8 hex chars are
+    32 uniform bits, far beyond the 1e6 resolution."""
+    hx = F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % _BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows, keyed on ``key_col``.
+    Same (key, salt) ⇒ same verdict on every run and every engine."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.filter(_hash_bucket(F.col(key_col), salt) < int(rate * _BUCKETS))
+
+
+def split_train_heldout(
+    df: DataFrame, key_col: str, heldout_frac: float, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive (train, heldout) split — the dedup-safe eval
+    split: a key lands on exactly one side, decided by its hash alone, so
+    re-runs and newly arrived rows never leak across the boundary."""
+    if not 0.0 <= heldout_frac <= 1.0:
+        raise ValueError(f"heldout_frac must be in [0,1], got {heldout_frac}")
+    cut = int(heldout_frac * _BUCKETS)
+    bucket = _hash_bucket(F.col(key_col), salt)
+    return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language quotas).
+    ``rates`` maps stratum value → keep fraction; unlisted strata use
+    ``default_rate``. One narrow filter — the rate lookup is a literal
+    CASE, no join."""
+    for v, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {v!r} must be in [0,1], got {r}")
+    cut = F.lit(int(default_rate * _BUCKETS))
+    for v, r in sorted(rates.items()):
+        cut = F.when(F.col(strata_col) == v, F.lit(int(r * _BUCKETS))).otherwise(cut)
+    return df.filter(_hash_bucket(F.col(key_col), salt) < cut)
+
+
+def mix_corpora(
+    corpora: list[tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixture: down-sample each corpus to its weight (keep
+    fraction in [0,1]) with a per-corpus salt, then union by name. The
+    standard pretraining-mixture shape — deterministic, so the mixture is
+    stable across re-runs and resumable mid-pipeline."""
+    if not corpora:
+        raise ValueError("mix_corpora needs at least one corpus")
+    out: DataFrame | None = None
+    for i, (df, w) in enumerate(corpora):
+        part = hash_sample(df, key_col, w, salt=f"{salt}#{i}")
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+    return out

@@ -543,3 +543,75 @@ def test_bpe_pretokenize_and_stopwords(spark):
     assert out[2]["n_stop"] == 3 and out[2]["stop_x100"] == 50  # the, on, the
     assert out[3]["n_stop"] == 0 and out[3]["stop_x100"] == 0
     assert out[4]["n_bpe"] == 0 and out[4]["stop_x100"] == 0
+
+
+def test_hash_sampling_exact_and_deterministic(spark):
+    """Sampling verdicts are a pure function of (key, salt): the kept-set
+    matches an independent Python md5 computation row-for-row, the split is
+    a disjoint partition, and re-running changes nothing."""
+    import hashlib
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators import sampling
+
+    n = 2000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+
+    def py_bucket(key, salt):
+        hx = hashlib.md5(f"{salt}|{key}".encode()).hexdigest()
+        return int(hx[:8], 16) % 1_000_000
+
+    kept = {r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.3).collect()}
+    expect = {i for i in range(n) if py_bucket(i, "sample") < 300_000}
+    assert kept == expect
+    assert kept == {
+        r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.3).collect()
+    }  # rerun identical
+    assert 0.25 < len(kept) / n < 0.35
+
+    train, held = sampling.split_train_heldout(df, "doc_id", 0.2)
+    tr = {r["doc_id"] for r in train.collect()}
+    he = {r["doc_id"] for r in held.collect()}
+    assert tr | he == set(range(n)) and not (tr & he)
+    # widening the heldout keeps the old heldout inside it (stable boundary)
+    _, held3 = sampling.split_train_heldout(df, "doc_id", 0.3)
+    assert he <= {r["doc_id"] for r in held3.collect()}
+
+
+def test_stratified_sample_and_mix(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators import sampling
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = sampling.stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 1.0, "de": 0.2}, default_rate=0.0
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang.get("en") == 1000          # rate 1.0 keeps all
+    assert "fr" not in by_lang                # default 0.0 drops all
+    assert 120 <= by_lang.get("de", 0) <= 280  # ~200
+
+    web = spark.range(1000).select(F.col("id").alias("doc_id"), F.lit("web").alias("src"))
+    code = spark.range(500).select(
+        (F.col("id") + 10_000).alias("doc_id"), F.lit("code").alias("src")
+    )
+    mixed = sampling.mix_corpora([(web, 0.5), (code, 1.0)], "doc_id")
+    counts = {
+        r["src"]: r["n"]
+        for r in mixed.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["code"] == 500 and 400 <= counts["web"] <= 600
+    # deterministic: the same mixture twice is row-identical
+    a = sorted(r["doc_id"] for r in mixed.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.mix_corpora([(web, 0.5), (code, 1.0)], "doc_id").collect()
+    )
+    assert a == b
