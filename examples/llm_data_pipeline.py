@@ -2,6 +2,7 @@
 
   documents → language-ID → quality filter → exact dedup → MinHash-LSH
   near-dup candidates → exact-Jaccard verification → surviving corpus
+  → deterministic train/heldout split → weighted corpus mixture
   embeddings → IVF index build → ANN probe
 
 Run: python examples/llm_data_pipeline.py  [sf_dir, default sf0.001]
@@ -82,7 +83,22 @@ def main() -> None:
         f"{n_uniq} exact-unique -> {n_final} after near-dup removal"
     )
 
-    # 4. similarity: build the IVF index once, probe it
+    # 4. deterministic split + mixture: heldout never leaks into train
+    # across re-runs (md5-bucket verdicts), and the corpus mixture is a
+    # stable weighted blend, not a Bernoulli draw
+    from sample_dms_kinesis_rds_mariadb_spark.operators import sampling
+
+    train, heldout = sampling.split_train_heldout(survivors, "doc_id", 0.1)
+    mixture = sampling.mix_corpora(
+        [(train, 1.0), (uniq.join(train, "doc_id", "left_semi"), 0.25)],
+        "doc_id",
+    )
+    print(
+        f"split: {train.count()} train / {heldout.count()} heldout; "
+        f"mixture rows: {mixture.count()}"
+    )
+
+    # 5. similarity: build the IVF index once, probe it
     emb = load_table(spark, sf_dir, "embeddings")
     probe_vec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     idx_path = os.path.join(tempfile.gettempdir(), "llm-demo-ivf")
