@@ -399,3 +399,29 @@ def test_concurrent_appends_keep_sequences_dense(spark, tmp_path):
         assert sorted(ss) == list(range(1, len(ss) + 1))
     for df in batches:
         df.unpersist()
+
+
+def test_shard_iterator_at_timestamp(spark, tmp_path):
+    """AT_TIMESTAMP starts at an arrival-ts floor, then pages by sequence."""
+    import time as _time
+
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+
+    store = StreamStore(spark, str(tmp_path / "stream"), shards=1)
+    store.append(_wire_batch(spark, [("k", "old1"), ("k", "old2")]))
+    _time.sleep(0.05)
+    ts = _time.time()
+    _time.sleep(0.05)
+    store.append(_wire_batch(spark, [("k", "new1"), ("k", "new2"), ("k", "new3")]))
+
+    it = store.get_shard_iterator(0, "AT_TIMESTAMP", timestamp=ts)
+    first = it.get_records(limit=2)
+    assert [r["Data"]["data"]["v"] for r in first] == ["new1", "new2"]
+    # after the first page the cursor is sequence-driven: the ts floor is
+    # dropped but nothing re-delivers and nothing is skipped
+    rest = it.get_records()
+    assert [r["Data"]["data"]["v"] for r in rest] == ["new3"]
+    assert it.get_records() == []
+
+    with pytest.raises(ValueError):
+        store.get_shard_iterator(0, "AT_TIMESTAMP")  # timestamp required
