@@ -270,3 +270,35 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+def winnowing_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Local-overlap near-dup pairs via winnowing: documents sharing
+    ``min_shared`` or more selected fingerprints. Candidate pairs form only
+    inside equal-hash buckets (the LSH shape — the join is keyed on the
+    fingerprint hash, never all-pairs), then a count-aggregate keeps pairs
+    with enough independent shared regions. Catches partial-overlap
+    duplicates (shared boilerplate, quoted passages) that whole-document
+    fingerprints miss.
+    Output: (id_a, id_b, shared_fingerprints), id_a < id_b.
+    """
+    fps = winnowing_fingerprints(df, id_col, text_col, k=k, window=window)
+    # one row per (doc, hash): position multiplicity must not inflate the
+    # shared count
+    by_hash = fps.select(id_col, "hash").distinct()
+    a = by_hash.select(F.col("hash"), F.col(id_col).alias("id_a"))
+    b = by_hash.select(F.col("hash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

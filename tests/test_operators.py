@@ -615,3 +615,20 @@ def test_stratified_sample_and_mix(spark):
         for r in sampling.mix_corpora([(web, 0.5), (code, 1.0)], "doc_id").collect()
     )
     assert a == b
+
+
+def test_winnowing_near_dups_finds_partial_overlap(spark):
+    """Docs sharing a long passage pair up; disjoint docs don't."""
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, shared + " and then some unique tail text for document one"),
+        (2, "a completely different opening here but " + shared),
+        (3, "zzz qqq unrelated content xxyy vvww entirely its own words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fingerprints"]
+        for r in dedup.winnowing_near_dups(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
