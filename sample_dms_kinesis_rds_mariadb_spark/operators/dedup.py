@@ -279,6 +279,7 @@ def winnowing_near_dups(
     k: int = 5,
     window: int = 4,
     min_shared: int = 2,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Local-overlap near-dup pairs via winnowing: documents sharing
     ``min_shared`` or more selected fingerprints. Candidate pairs form only
@@ -293,8 +294,19 @@ def winnowing_near_dups(
     # one row per (doc, hash): position multiplicity must not inflate the
     # shared count
     by_hash = fps.select(id_col, "hash").distinct()
-    a = by_hash.select(F.col("hash"), F.col(id_col).alias("id_a"))
-    b = by_hash.select(F.col("hash"), F.col(id_col).alias("id_b"))
+    # document-frequency cap: common k-grams ("the q", " and ") select into
+    # many documents, and a bucket shared by m docs joins m² pairs — at
+    # corpus scale those stop-fingerprints would dominate the join. Dropping
+    # hashes with df > max_df bounds every bucket (the stop-shingle removal
+    # standard in near-dup mining); a fingerprint that common carries no
+    # duplicate signal anyway.
+    from pyspark.sql import Window
+
+    capped = by_hash.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("hash"))
+    ).filter(F.col("_df") <= max_df)
+    a = capped.select(F.col("hash"), F.col(id_col).alias("id_a"))
+    b = capped.select(F.col("hash"), F.col(id_col).alias("id_b"))
     return (
         a.join(b, "hash")
         .filter(F.col("id_a") < F.col("id_b"))
