@@ -96,47 +96,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BIT_SUMS = ",\n                 ".join(
-    f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
-    for b in range(16)
-)
-_SIMHASH_REASSEMBLE = "\n               + ".join(
-    f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
-)
-
-
-@register(
-    "simhash_fingerprints",
-    "Cross-engine-verifiable SimHash: 16-bit fingerprints from md5-derived "
-    "per-token bit vectors over distinct tokens (the md5-hex→int trick "
-    "makes even SimHash oracle-checkable)",
-    oracle=f"""
-        WITH toks AS (
-          SELECT DISTINCT doc_id,
-                 unnest(list_distinct(regexp_split_to_array({_NORM_SQL}, '\\s+'))) AS tok
-          FROM documents
-        ),
-        h AS (
-          SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INT AS hv FROM toks
-        ),
-        bits AS (
-          SELECT doc_id,
-                 {_SIMHASH_BIT_SUMS}
-          FROM h GROUP BY doc_id
-        )
-        SELECT doc_id,
-               CAST({_SIMHASH_REASSEMBLE} AS INT) AS simhash16
-        FROM bits ORDER BY doc_id
-    """,
-    tags=("dedup",),
-)
-def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import simhash16_md5
-
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash16_md5(docs, "doc_id", "text").orderBy("doc_id")
-
-
 @register(
     "embedding_topk_cosine",
     "Similarity search baseline: exact brute-force cosine top-20 vs the "
@@ -501,9 +460,10 @@ _SIMHASH60_BANDS = "\n          ".join(
 
 @register(
     "simhash_dedup",
-    "SimHash near-dup pairs: 60-bit md5-derived fingerprint, 15-bit-band "
-    "pigeonhole bucketing, hamming ≤ 3 (north-star dedup family #3 — FULLY "
-    "oracle-checked: md5 bits + bit_count(xor) reproduce in SQL)",
+    "SimHash fingerprints + near-dup pairs: 60-bit md5-derived fingerprints "
+    "(the fingerprint computation itself is inside this oracle's CTEs), "
+    "15-bit-band pigeonhole bucketing, hamming ≤ 3 (north-star dedup family "
+    "#3 — FULLY oracle-checked: md5 bits + bit_count(xor) reproduce in SQL)",
     oracle=f"""
         WITH toks AS (
           SELECT DISTINCT doc_id,

@@ -540,50 +540,45 @@ def per_key_operation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_totals",
-    "ROLLUP grouping sets (SURVEY §2.6 builtin surface: subtotals + grand "
-    "total in one pass)",
+    "grouping_sets_totals",
+    "GROUPING SETS / ROLLUP / CUBE family in one pass (SURVEY §2.6 builtin "
+    "surface: the four explicit sets (f,s),(f),(s),() equal CUBE(f,s) and "
+    "contain every ROLLUP(f,s) set; GROUPING() markers disambiguate "
+    "subtotal rows from genuine NULL groups)",
     oracle="""
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n,
                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
         FROM lineitem
-        GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                                (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     tags=("agg",),
 )
-def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouping_sets_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multi-set aggregation pass: Spark expands the grouping sets and
+    aggregates them in a single shuffle (no union of 4 scans), the same
+    shape ROLLUP/CUBE lower to — the scale-correct form of subtotal
+    reporting."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
-        l.rollup("l_returnflag", "l_linestatus")
+        l.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
         .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
             F.count("*").alias("n"),
             F.sum(_dec("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
         )
         .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
-    )
-
-
-@register(
-    "cube_totals",
-    "CUBE grouping sets (all subtotal combinations in one pass)",
-    oracle="""
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-        FROM lineitem
-        GROUP BY CUBE(l_returnflag, l_linestatus)
-        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """,
-    tags=("agg",),
-)
-def cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"))
-        .orderBy(
+            "g_rf",
+            "g_ls",
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
         )
@@ -620,25 +615,32 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_extract_props",
-    "JSON parse (SURVEY §2.9 C2: `json.loads(record['Data'])` analog — "
-    "get_json_object over the events props column)",
+    "JSON parse + partition-key computation (SURVEY §2.9 C2: "
+    "`json.loads(record['Data'])` analog via get_json_object over the events "
+    "props column; SURVEY §2.2 K2 / §2.9 C3: concat_ws('.', schema, table) "
+    "routing key — both per-record scalar paths of the envelope encoder, "
+    "grouped together)",
     oracle="""
-        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+        SELECT concat_ws('.', 'main', event_type) AS partition_key,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
                COUNT(*) AS n
         FROM events
-        GROUP BY k_value ORDER BY k_value
+        GROUP BY partition_key, k_value ORDER BY partition_key, k_value
     """,
-    tags=("json",),
+    tags=("json", "function"),
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.select(
-            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_value")
+            F.concat_ws(".", F.lit("main"), F.col("event_type")).alias(
+                "partition_key"
+            ),
+            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_value"),
         )
-        .groupBy("k_value")
+        .groupBy("partition_key", "k_value")
         .agg(F.count("*").alias("n"))
-        .orderBy("k_value")
+        .orderBy("partition_key", "k_value")
     )
 
 
@@ -666,28 +668,6 @@ def timestamp_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("last_event"),
         )
         .orderBy("event_type")
-    )
-
-
-@register(
-    "partition_key_concat",
-    "Partition-key computation (SURVEY §2.2 K2, §2.9 C3: "
-    "concat_ws('.', schema, table) routing key)",
-    oracle="""
-        SELECT concat_ws('.', 'main', event_type) AS partition_key, COUNT(*) AS n
-        FROM events GROUP BY partition_key ORDER BY partition_key
-    """,
-    tags=("function",),
-)
-def partition_key_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.select(
-            F.concat_ws(".", F.lit("main"), F.col("event_type")).alias("partition_key")
-        )
-        .groupBy("partition_key")
-        .agg(F.count("*").alias("n"))
-        .orderBy("partition_key")
     )
 
 
@@ -724,36 +704,6 @@ def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span_days"),
         )
         .orderBy("order_year", "order_month")
-    )
-
-
-@register(
-    "median_exact",
-    "Exact interpolated median (percentile) per group — deterministic on "
-    "sorted doubles in both engines",
-    oracle="""
-        SELECT l_returnflag,
-               CAST(CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DECIMAL(18,4)) AS DOUBLE) AS median_qty,
-               CAST(CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(18,4)) AS DOUBLE) AS median_price
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-    tags=("agg",),
-)
-def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 4)
-            .cast("decimal(18,4)")
-            .cast("double")
-            .alias("median_qty"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
-            .cast("decimal(18,4)")
-            .cast("double")
-            .alias("median_price"),
-        )
-        .orderBy("l_returnflag")
     )
 
 
@@ -993,12 +943,15 @@ def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_moments",
-    "stddev/variance aggregation (sample moments, rounded to absorb "
-    "summation-order noise in parallel evaluation)",
+    "stddev/variance + exact interpolated median aggregation (sample "
+    "moments rounded to absorb summation-order noise in parallel "
+    "evaluation; percentile(0.5) is deterministic on sorted doubles in "
+    "both engines)",
     oracle="""
         SELECT o_orderstatus,
                CAST(CAST(ROUND(stddev_samp(o_totalprice), 2) AS DECIMAL(18,2)) AS DOUBLE) AS stddev_price,
                CAST(CAST(ROUND(var_samp(o_totalprice), 1) AS DECIMAL(24,1)) AS DOUBLE) AS var_price,
+               CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS DOUBLE) AS median_price,
                COUNT(*) AS n
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
@@ -1017,6 +970,10 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(24,1)")
             .cast("double")
             .alias("var_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("median_price"),
             F.count("*").alias("n"),
         )
         .orderBy("o_orderstatus")
