@@ -1207,3 +1207,114 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("window_start")
         .limit(200)
     )
+
+
+@register(
+    "asof_join_enrich",
+    "Backward as-of join: enrich each click event with the latest preceding "
+    "purchase by the same user (SURVEY §2.5 extension — the standard "
+    "temporal companion of the arrival-ordered stream, reference "
+    "run.py:175-188; implemented as union-tag + per-key window carry-forward "
+    "in operators/joins.py — ONE shuffle, zero join operators)",
+    oracle="""
+        WITH probe AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click'
+        ),
+        build AS (
+            SELECT user_id, ts, max_by(value, event_id) AS value
+            FROM (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+                FROM events WHERE event_type = 'purchase'
+            )
+            GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts,
+               b.value AS asof_value
+        FROM probe p ASOF LEFT JOIN build b
+          ON p.user_id = b.user_id AND p.ts >= b.ts
+        ORDER BY p.event_id
+    """,
+    tags=("join", "temporal"),
+)
+def asof_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # pre-aggregate the build side to unique (user_id, ts) so tie-breaking is
+    # deterministic on both engines (max_by event_id picks the same row)
+    build = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    out = asof_join(probe, build, on="user_id", ts="ts")
+    # string-typed timestamps: tz-independent for NTZ on both engines (same
+    # convention as tumbling_window_counts)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.date_format(F.col("asof")["ts"], fmt).alias("asof_ts"),
+        F.col("asof")["value"].alias("asof_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "range_join_incidents",
+    "Interval (range) join: bucket click events into the 5-minute incident "
+    "windows opened by error events, then aggregate per incident (SURVEY "
+    "§2.5 extension; time-bucketed equi-join in operators/joins.py replaces "
+    "the O(n*m) nested-loop Catalyst would pick for a pure inequality join)",
+    oracle="""
+        WITH clicks AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'click'
+        ),
+        incidents AS (
+            SELECT event_id AS incident_id,
+                   CAST(ts AS TIMESTAMP) AS start_ts,
+                   CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS end_ts
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT i.incident_id,
+               COUNT(*) AS n_clicks,
+               CAST(CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
+        FROM clicks c JOIN incidents i
+          ON c.ts >= i.start_ts AND c.ts < i.end_ts
+        GROUP BY i.incident_id
+        ORDER BY i.incident_id
+    """,
+    tags=("join", "temporal", "agg"),
+)
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.operators.joins import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("ts", "value")
+    incidents = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    pairs = range_join(
+        clicks, incidents, ts="ts", start="start_ts", end="end_ts",
+        bucket_seconds=300,
+    )
+    return (
+        pairs.groupBy("incident_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("incident_id")
+    )

@@ -1,0 +1,184 @@
+"""Temporal join operators: as-of join and range (interval) join.
+
+Correctness is checked against a naive per-row Python reference on crafted
+inputs (boundary inclusivity, ties, tolerance, no-match), and the physical
+plans are asserted to have the promised scale shape — the as-of join must
+contain NO join operator at all (union + window), and the range join must
+never degrade to a BroadcastNestedLoopJoin/CartesianProduct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import datetime as dt
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.joins import (
+    asof_join,
+    range_join,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # build side: per-key state updates (like a quote feed)
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 10.0),
+        (1, _ts("2024-01-01 00:05:00"), 11.0),
+        (1, _ts("2024-01-01 00:10:00"), 12.0),
+        (2, _ts("2024-01-01 00:07:00"), 99.0),
+    ]
+    return spark.createDataFrame(rows, "k int, ts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    # probe side, incl. exact-tie ts, before-any-build ts, and a key with no
+    # build rows at all
+    rows = [
+        (100, 1, _ts("2024-01-01 00:03:00")),   # -> 10.0
+        (101, 1, _ts("2024-01-01 00:05:00")),   # tie: inclusive -> 11.0
+        (102, 1, _ts("2024-01-01 00:59:00")),   # -> 12.0 (or null w/ tolerance)
+        (103, 2, _ts("2024-01-01 00:06:59")),   # before any quote -> null
+        (104, 3, _ts("2024-01-01 00:10:00")),   # no quotes for key 3 -> null
+    ]
+    return spark.createDataFrame(rows, "trade_id int, k int, ts timestamp")
+
+
+def test_asof_backward_inclusive(spark, quotes, trades):
+    out = asof_join(trades, quotes, on="k", ts="ts")
+    got = {r["trade_id"]: r["asof"] for r in out.collect()}
+    assert got[100]["px"] == 10.0
+    assert got[101]["px"] == 11.0  # equal ts matches (inclusive >=)
+    assert got[102]["px"] == 12.0
+    assert got[103] is None
+    assert got[104] is None
+    assert out.count() == trades.count()  # left semantics: every probe row
+
+
+def test_asof_tolerance_drops_stale_matches(spark, quotes, trades):
+    out = asof_join(trades, quotes, on="k", ts="ts", tolerance_seconds=600)
+    got = {r["trade_id"]: r["asof"] for r in out.collect()}
+    assert got[100]["px"] == 10.0
+    # trade 102 is 49 min after the last quote: outside the 10-min horizon
+    assert got[102] is None
+
+
+def test_asof_tie_break_picks_greatest(spark, trades):
+    rows = [
+        (1, _ts("2024-01-01 00:05:00"), 1.0, 7),
+        (1, _ts("2024-01-01 00:05:00"), 2.0, 9),
+        (1, _ts("2024-01-01 00:05:00"), 3.0, 8),
+    ]
+    build = spark.createDataFrame(rows, "k int, ts timestamp, px double, seq int")
+    out = asof_join(trades, build, on="k", ts="ts", tie_break="seq")
+    got = {r["trade_id"]: r["asof"] for r in out.collect()}
+    assert got[101]["px"] == 2.0  # seq=9 wins among the tied build rows
+
+
+def test_asof_separate_build_ts_column(spark, trades):
+    rows = [(1, _ts("2024-01-01 00:00:00"), 5.0)]
+    build = spark.createDataFrame(rows, "k int, effective_at timestamp, px double")
+    out = asof_join(trades, build, on="k", ts="ts", build_ts="effective_at")
+    got = {r["trade_id"]: r["asof"] for r in out.collect()}
+    assert got[100]["px"] == 5.0
+    assert got[100]["effective_at"] == _ts("2024-01-01 00:00:00")
+
+
+def test_asof_plan_has_no_join_operator(spark, quotes, trades):
+    import re
+
+    plan = _plan_of(asof_join(trades, quotes, on="k", ts="ts"))
+    assert "Join" not in plan  # union + window: zero join operators
+    assert "Window" in plan
+    # exactly one exchange node: the key hash-partitioning for the window
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+    assert "hashpartitioning(k" in plan
+
+
+@pytest.fixture(scope="module")
+def interval_data(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # == start: included
+            (2, _ts("2024-01-01 00:04:59")),
+            (3, _ts("2024-01-01 00:05:00")),  # == end: excluded (half-open)
+            (4, _ts("2024-01-01 01:00:30")),  # inside the long interval only
+            (5, _ts("2024-01-03 00:00:00")),  # matches nothing
+        ],
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:05:00")),
+            # long interval spanning many buckets
+            (11, _ts("2024-01-01 00:30:00"), _ts("2024-01-01 02:00:00")),
+            # overlapping interval: probe rows can match several intervals
+            (12, _ts("2024-01-01 00:04:00"), _ts("2024-01-01 00:06:00")),
+        ],
+        "iid int, start_ts timestamp, end_ts timestamp",
+    )
+    return probe, intervals
+
+
+def _naive_pairs(probe, intervals):
+    ps = [(r["pid"], r["ts"]) for r in probe.collect()]
+    ivs = [(r["iid"], r["start_ts"], r["end_ts"]) for r in intervals.collect()]
+    return sorted(
+        (pid, iid) for pid, ts in ps for iid, s, e in ivs if s <= ts < e
+    )
+
+
+@pytest.mark.parametrize("bucket_seconds", [60, 300, 3600])
+def test_range_join_matches_naive(spark, interval_data, bucket_seconds):
+    probe, intervals = interval_data
+    out = range_join(
+        probe, intervals, ts="ts", start="start_ts", end="end_ts",
+        bucket_seconds=bucket_seconds,
+    )
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == _naive_pairs(probe, intervals)
+
+
+def test_range_join_no_duplicate_pairs(spark, interval_data):
+    probe, intervals = interval_data
+    out = range_join(
+        probe, intervals, ts="ts", start="start_ts", end="end_ts",
+        bucket_seconds=60,
+    )
+    pairs = [(r["pid"], r["iid"]) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))  # one bucket per probe row: no dedupe needed
+
+
+def test_range_join_plan_is_equi_join(spark, interval_data):
+    probe, intervals = interval_data
+    plan = _plan_of(
+        range_join(probe, intervals, ts="ts", start="start_ts", end="end_ts")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the bucket equi-join plans as a plain equi-join strategy
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_range_join_rejects_column_collision(spark, interval_data):
+    probe, intervals = interval_data
+    with pytest.raises(ValueError, match="collision"):
+        range_join(
+            probe.withColumnRenamed("pid", "iid"), intervals,
+            ts="ts", start="start_ts", end="end_ts",
+        )
