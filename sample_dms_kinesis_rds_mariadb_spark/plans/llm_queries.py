@@ -743,3 +743,47 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "corpus_split",
+    "Deterministic train/heldout split (operators/sampling.py "
+    "split_train_heldout): a doc lands on exactly one side as a pure "
+    "function of md5('split|doc_id') — reproducible across engines and "
+    "re-runs, no Bernoulli drift; a narrow filter, no shuffle. Summarized "
+    "per (source, split)",
+    oracle="""
+        WITH b AS (
+            SELECT source, n_chars,
+                   ('0x' || substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000 AS bucket
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN bucket < 100000 THEN 'heldout' ELSE 'train' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM b
+        GROUP BY source, split
+        ORDER BY source, split
+    """,
+    tags=("llm", "sampling"),
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
+        split_train_heldout,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    train, heldout = split_train_heldout(d, "doc_id", heldout_frac=0.1)
+    both = train.withColumn("split", F.lit("train")).unionByName(
+        heldout.withColumn("split", F.lit("heldout"))
+    )
+    return (
+        both.groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )

@@ -1318,3 +1318,58 @@ def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("incident_id")
     )
+
+
+@register(
+    "session_windows",
+    "Gap-based sessionization: Spark's built-in session_window (the "
+    "Structured Streaming session operator, SURVEY §2.10, run in batch "
+    "mode) groups each user's events into 30-minute-gap sessions, then a "
+    "second aggregation summarizes per user. New session when "
+    "ts >= prev_ts + gap — verified against a lag+cumsum SQL formulation",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        g AS (
+            SELECT user_id,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s
+        ),
+        sess AS (
+            SELECT user_id, sid, COUNT(*) AS n FROM g GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(MAX(n) AS BIGINT) AS max_session_events
+        FROM sess
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("streaming", "agg", "window"),
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
