@@ -182,3 +182,78 @@ def test_range_join_rejects_column_collision(spark, interval_data):
             probe.withColumnRenamed("pid", "iid"), intervals,
             ts="ts", start="start_ts", end="end_ts",
         )
+
+
+# -- randomized cross-checks vs a naive Python reference ---------------------
+# seeded (deterministic) random instances; one Spark job each, covering tie
+# clusters, empty keys, tolerance edges, and zero-width / nested intervals
+
+
+def test_asof_randomized_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(0xA50F)
+    base = dt.datetime(2024, 1, 1)
+    build_rows = [
+        (
+            rng.randint(1, 8),
+            base + dt.timedelta(seconds=rng.randint(0, 3600)),
+            float(i),
+            i,
+        )
+        for i in range(120)
+    ]
+    probe_rows = [
+        (i, rng.randint(1, 10), base + dt.timedelta(seconds=rng.randint(0, 3600)))
+        for i in range(200)
+    ]
+    build = spark.createDataFrame(build_rows, "k int, ts timestamp, px double, seq int")
+    probe = spark.createDataFrame(probe_rows, "pid int, k int, ts timestamp")
+
+    for tol in (None, 300.0):
+        out = asof_join(
+            probe, build, on="k", ts="ts", tie_break="seq", tolerance_seconds=tol
+        )
+        got = {r["pid"]: r["asof"] for r in out.collect()}
+        assert len(got) == len(probe_rows)
+        for pid, k, ts in probe_rows:
+            cands = [b for b in build_rows if b[0] == k and b[1] <= ts]
+            if tol is not None:
+                cands = [b for b in cands if (ts - b[1]).total_seconds() <= tol]
+            if not cands:
+                assert got[pid] is None, (pid, got[pid])
+            else:
+                # greatest ts, then greatest tie-break
+                want = max(cands, key=lambda b: (b[1], b[3]))
+                assert got[pid]["px"] == want[2], (pid, got[pid], want)
+
+
+def test_range_join_randomized_matches_naive(spark):
+    import random
+
+    rng = random.Random(0x7A0E)
+    base = dt.datetime(2024, 1, 1)
+    probe_rows = [
+        (i, base + dt.timedelta(seconds=rng.randint(0, 7200))) for i in range(150)
+    ]
+    iv_rows = []
+    for i in range(60):
+        s = rng.randint(0, 7200)
+        width = rng.choice([0, 1, 60, 600, 3000])  # incl. zero-width intervals
+        iv_rows.append(
+            (i, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + width))
+        )
+    probe = spark.createDataFrame(probe_rows, "pid int, ts timestamp")
+    intervals = spark.createDataFrame(iv_rows, "iid int, start_ts timestamp, end_ts timestamp")
+
+    out = range_join(
+        probe, intervals, ts="ts", start="start_ts", end="end_ts", bucket_seconds=600
+    )
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    want = sorted(
+        (pid, iid)
+        for pid, ts in probe_rows
+        for iid, s, e in iv_rows
+        if s <= ts < e
+    )
+    assert got == want
