@@ -1,0 +1,146 @@
+"""Approximate sketches for corpus curation at 100 TB: quantile thresholds,
+heavy hitters, vocabulary top-k.
+
+Exact order statistics need a global sort (full shuffle of the corpus) and
+exact frequency needs per-key state proportional to cardinality; at 100 TB
+the scale path is a mergeable sketch computed map-side. Everything here
+stays JVM-side (Spark's built-in GK/approx aggregates or plain partial
+aggregation) and nothing collects data rows to the driver — thresholds flow
+back into the plan through a broadcast of a one-row aggregate, so the gate
+composes with any downstream plan.
+
+The typical use is quality gating — "keep documents above the q-th quality
+percentile" — where an approximate threshold is semantically fine: the
+threshold itself is a heuristic, and rel_err on the *rank* (percentile_approx
+guarantees rank error <= accuracy) translates to a boundary fuzz far smaller
+than the noise of any quality score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import hash_sample
+
+
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    rel_err: float = 0.01,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Approximate quantiles of ``col`` via Spark's GK sketch
+    (``percentile_approx``): one mergeable aggregate, no global sort.
+
+    Returns one row per group (or a single row) with an array column
+    ``quantiles`` aligned with ``probs``. ``rel_err`` is the guaranteed
+    rank error: each returned value's true rank is within
+    ``rel_err * n`` of the requested one.
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"probs must be in [0,1], got {p}")
+    accuracy = max(1, int(1.0 / max(rel_err, 1e-6)))
+    agg = F.percentile_approx(
+        F.col(col), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+    ).alias("quantiles")
+    if by:
+        return df.groupBy(*by).agg(agg)
+    return df.agg(agg)
+
+
+def filter_above_quantile(
+    df: DataFrame, col: str, q: float, rel_err: float = 0.01
+) -> DataFrame:
+    """Keep rows with ``col`` >= the approximate ``q``-th quantile.
+
+    The threshold is a ONE-ROW aggregate broadcast back into the plan (a
+    1-row nested-loop broadcast is a constant, not a join explosion) — no
+    ``collect``, no driver round-trip, so the gate chains lazily inside a
+    bigger pipeline and recomputes consistently on retry.
+    """
+    thr = approx_quantiles(df, col, [q], rel_err=rel_err).select(
+        F.element_at("quantiles", 1).alias("_q_threshold")
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(F.col(col) >= F.col("_q_threshold"))
+        .drop("_q_threshold")
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """Exact top-k most frequent values of ``col``.
+
+    groupBy + count is already the scale shape — map-side partial
+    aggregation collapses each partition to its distinct values before the
+    shuffle, and the top-k is TakeOrdered (no global sort). This is exact
+    and preferable whenever distinct-value cardinality is bounded (labels,
+    languages, domains). For unbounded cardinality under a fixed budget,
+    use :func:`heavy_hitters_sampled`.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        df.groupBy(F.col(col).alias("value"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "value")
+        .limit(k)
+    )
+
+
+def heavy_hitters_sampled(
+    df: DataFrame,
+    col: str,
+    key_col: str,
+    k: int = 100,
+    sample_rate: float = 0.01,
+    salt: str = "hh",
+) -> DataFrame:
+    """Estimated top-k frequencies from a deterministic hash sample.
+
+    Rows are sampled by ``md5(salt|key_col)`` (operators/sampling.py) so the
+    sample — and therefore the estimate — is reproducible run-to-run; counts
+    scale up by ``1/sample_rate`` (``n_est``). Relative error for a value
+    with true count c is ~ 1/sqrt(c * rate), so hot values (the ones top-k
+    cares about) are accurate while the long tail never enters the shuffle:
+    per-key state is bounded by the sample's cardinality, not the corpus's.
+    """
+    if not 0.0 < sample_rate <= 1.0:
+        raise ValueError(f"sample_rate must be in (0,1], got {sample_rate}")
+    sampled = hash_sample(df, key_col, sample_rate, salt=salt)
+    return (
+        sampled.groupBy(F.col(col).alias("value"))
+        .agg(F.round(F.count("*") / F.lit(sample_rate)).cast("long").alias("n_est"))
+        .orderBy(F.desc("n_est"), "value")
+        .limit(k)
+    )
+
+
+def top_tokens(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
+    """Vocabulary top-k: most frequent whitespace tokens of normalized text
+    — the first pass of any tokenizer/stopword-list build.
+
+    explode → partial-agg count → TakeOrdered. The explode inflates rows,
+    but the partial aggregation collapses each partition to its distinct
+    tokens before the shuffle, so shuffle volume is bounded by per-partition
+    vocabulary, not token count.
+    """
+    from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import (
+        normalize_text,
+        tokenize,
+    )
+
+    toks = df.select(
+        F.explode(tokenize(normalize_text(F.col(text_col)))).alias("value")
+    )
+    return (
+        toks.groupBy("value")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "value")
+        .limit(k)
+    )
