@@ -98,6 +98,27 @@ def main() -> None:
         f"mixture rows: {mixture.count()}"
     )
 
+    # 4b. prepare for training: quantile quality gate → PII redaction →
+    # token-bounded chunks → greedy sequence packing (per-bucket Arrow)
+    from sample_dms_kinesis_rds_mariadb_spark.operators import chunking, sketches
+
+    gated = sketches.filter_above_quantile(
+        survivors.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("score", F.length("text").cast("double")),
+        "score",
+        q=0.2,  # drop the shortest fifth
+    )
+    clean = gated.withColumn("text", chunking.redact_pii(F.col("text")))
+    chunks = chunking.chunk_by_tokens(clean, "doc_id", "text", max_tokens=128, overlap=16)
+    packed = chunking.pack_sequences(chunks.withColumn(
+        "chunk_key", F.col("doc_id") * 10000 + F.col("chunk_id")
+    ), "chunk_key", "n_tokens", max_len=512, n_buckets=32)
+    n_packs = packed.select("pack_id").distinct().count()
+    print(
+        f"training prep: {gated.count()} gated docs -> {chunks.count()} chunks "
+        f"-> {n_packs} packed sequences (<=512 tokens)"
+    )
+
     # 5. similarity: build the IVF index once, probe it
     emb = load_table(spark, sf_dir, "embeddings")
     probe_vec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]

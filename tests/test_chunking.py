@@ -1,0 +1,152 @@
+"""Chunking / packing / redaction: exact parity with Python references,
+pack-invariant checks, and plan hygiene (chunking must stay JVM-only)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.chunking import (
+    chunk_by_tokens,
+    pack_sequences,
+    pii_counts,
+    redact_pii,
+)
+
+
+def _python_chunks(text: str, max_tokens: int, overlap: int) -> list[list[str]]:
+    toks = text.lower().split()
+    if not toks:
+        return []
+    step = max_tokens - overlap
+    out = []
+    s = 0
+    while True:
+        out.append(toks[s : s + max_tokens])
+        if s + max_tokens >= len(toks):
+            break
+        s += step
+        if s >= len(toks) - overlap and overlap:
+            break
+    return out
+
+
+@pytest.mark.parametrize("max_tokens,overlap", [(4, 0), (4, 1), (3, 2), (10, 0)])
+def test_chunks_match_python_reference(spark, max_tokens, overlap):
+    texts = [
+        "one two three four five six seven eight nine ten",
+        "a b c",
+        "single",
+        "",
+        "exactly four tokens here",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got: dict[int, list[str]] = {}
+    rows = chunk_by_tokens(df, "doc_id", "text", max_tokens, overlap).collect()
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"], r["n_tokens"]))
+    for i, t in enumerate(texts):
+        want = [
+            (j, " ".join(c), len(c))
+            for j, c in enumerate(_python_chunks(t, max_tokens, overlap))
+        ]
+        assert sorted(got.get(i, [])) == want, (i, t, got.get(i), want)
+
+
+def test_chunking_plan_is_jvm_only(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        chunk_by_tokens(df, "doc_id", "text", 2).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan  # narrow map, no shuffle
+    # no Python-worker operators (the scan of a local-rows DataFrame shows
+    # "applySchemaToPythonRDD", which is the test input, not the operator)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_chunk_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "doc_id", "text", 0)
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "doc_id", "text", 4, overlap=4)
+
+
+def test_pack_sequences_invariants(spark):
+    rng = random.Random(0xBEEF)
+    rows = [(i, rng.randint(1, 900)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", max_len=1024, n_buckets=16).cache()
+    res = out.collect()
+    # every document packed exactly once
+    assert sorted(r["doc_id"] for r in res) == [i for i, _ in rows]
+    # no pack exceeds max_len (every doc here is <= max_len)
+    per_pack: dict[int, int] = {}
+    for r in res:
+        per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_tokens"]
+    assert max(per_pack.values()) <= 1024
+    # pack_total column agrees with the recomputed totals
+    for r in res:
+        assert r["pack_total"] == per_pack[r["pack_id"]]
+    # packing efficiency: greedy on ~450-avg docs should fill packs well
+    fill = sum(per_pack.values()) / (len(per_pack) * 1024)
+    assert fill > 0.5, fill
+
+
+def test_pack_oversized_doc_gets_own_pack(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 5000), (3, 60)], "doc_id long, n_tokens long"
+    )
+    res = pack_sequences(df, "doc_id", "n_tokens", max_len=100, n_buckets=1).collect()
+    packs = {r["doc_id"]: r["pack_id"] for r in res}
+    assert packs[2] not in (packs[1], packs[3])
+
+
+def test_pack_deterministic(spark):
+    rows = [(i, (i * 37) % 500 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = sorted(
+        (r["doc_id"], r["pack_id"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", 512, n_buckets=8).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["pack_id"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", 512, n_buckets=8).collect()
+    )
+    assert a == b
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk today"),
+        (2, "server 192.168.1.254 and 8.8.8.8 are up; version 1.2.3.4.5 is not an ip"),
+        (3, "call +1 (555) 123-4567 or 555-123-4567"),
+        (4, "ssn 123-45-6789 leaked"),
+        (5, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r["red"] for r in df.select("id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert "<IP>" in got[2] and "192.168" not in got[2]
+    assert "<PHONE>" in got[3] and "4567" not in got[3]
+    assert got[4] == "ssn <SSN> leaked"
+    assert got[5] == rows[4][1]
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.com c@d.org 10.0.0.1 123-45-6789")], "id int, text string"
+    )
+    cnt = pii_counts(F.col("text"))
+    row = df.select(*[c.alias(k) for k, c in cnt.items()]).first()
+    assert row["email"] == 2
+    assert row["ipv4"] == 1
+    assert row["ssn"] == 1
