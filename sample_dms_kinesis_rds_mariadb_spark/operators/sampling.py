@@ -90,3 +90,21 @@ def mix_corpora(
         part = hash_sample(df, key_col, w, salt=f"{salt}#{i}")
         out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     return out
+
+
+def split_column(
+    df: DataFrame, key_col: str, heldout_frac: float, salt: str = "split"
+) -> DataFrame:
+    """Single-pass variant of :func:`split_train_heldout`: append a
+    ``split`` label column ('train' / 'heldout') instead of returning two
+    filtered frames. Identical verdicts (same md5 buckets, same salt) — but
+    ONE scan of the corpus, where unioning the two filtered frames would
+    scan it twice. Prefer this shape whenever both sides flow into the same
+    downstream plan (per-split statistics, stratified exports)."""
+    if not 0.0 <= heldout_frac <= 1.0:
+        raise ValueError(f"heldout_frac must be in [0,1], got {heldout_frac}")
+    cut = int(heldout_frac * _BUCKETS)
+    bucket = _hash_bucket(F.col(key_col), salt)
+    return df.withColumn(
+        "split", F.when(bucket < cut, F.lit("heldout")).otherwise(F.lit("train"))
+    )

@@ -748,9 +748,10 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_split",
     "Deterministic train/heldout split (operators/sampling.py "
-    "split_train_heldout): a doc lands on exactly one side as a pure "
-    "function of md5('split|doc_id') — reproducible across engines and "
-    "re-runs, no Bernoulli drift; a narrow filter, no shuffle. Summarized "
+    "split_column): a doc lands on exactly one side as a pure function of "
+    "md5('split|doc_id') — reproducible across engines and re-runs, no "
+    "Bernoulli drift. Single-pass label column (ONE corpus scan; the "
+    "two-frame split_train_heldout union would scan twice). Summarized "
     "per (source, split)",
     oracle="""
         WITH b AS (
@@ -771,14 +772,11 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
-        split_train_heldout,
+        split_column,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    train, heldout = split_train_heldout(d, "doc_id", heldout_frac=0.1)
-    both = train.withColumn("split", F.lit("train")).unionByName(
-        heldout.withColumn("split", F.lit("heldout"))
-    )
+    both = split_column(d, "doc_id", heldout_frac=0.1)
     return (
         both.groupBy("source", "split")
         .agg(

@@ -632,3 +632,24 @@ def test_winnowing_near_dups_finds_partial_overlap(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert not any(3 in p for p in pairs)
+
+
+def test_split_column_agrees_with_two_frame_split(spark):
+    """split_column must reproduce split_train_heldout's verdicts exactly
+    (same md5 buckets, same salt) — it is the single-scan shape of the same
+    operator."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
+        split_column,
+        split_train_heldout,
+    )
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "k")
+    train, heldout = split_train_heldout(df, "k", 0.25)
+    labeled = split_column(df, "k", 0.25)
+    got_heldout = {
+        r["k"] for r in labeled.filter("split = 'heldout'").collect()
+    }
+    assert got_heldout == {r["k"] for r in heldout.collect()}
+    assert len(got_heldout) + train.count() == 3000
+    # rate lands near the requested fraction
+    assert abs(len(got_heldout) / 3000 - 0.25) < 0.03

@@ -101,3 +101,31 @@ def test_shard_iterator_pushes_sequence_filter(spark, tmp_path):
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(sequence_number,3)" in plan
     assert "EqualTo(shard_id,2)" in plan
+
+
+def test_corpus_split_is_single_scan(spark):
+    """The split must label rows in one pass — unioning the two filtered
+    split frames would scan the corpus twice (2x IO at 100 TB)."""
+    plan = _plan(spark, "corpus_split")
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_asof_catalog_query_has_no_join(spark):
+    plan = _plan(spark, "asof_join_enrich")
+    assert "Join" not in plan  # union + window formulation
+
+
+def test_range_catalog_query_never_nested_loop(spark):
+    plan = _plan(spark, "range_join_incidents")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_windows_single_scan_no_join(spark):
+    plan = _plan(spark, "session_windows")
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Join" not in plan
