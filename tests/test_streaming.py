@@ -425,3 +425,46 @@ def test_shard_iterator_at_timestamp(spark, tmp_path):
 
     with pytest.raises(ValueError):
         store.get_shard_iterator(0, "AT_TIMESTAMP")  # timestamp required
+
+
+def test_streaming_session_window_with_watermark(spark, tmp_path):
+    """Session windows on a STREAM (SURVEY §2.10; the batch dual is the
+    `session_windows` catalog query): gap-based sessions merge incrementally
+    under a watermark — Spark's MergingSessions operator, not a batch-only
+    trick. Two users, one with a 2-event session and a later singleton."""
+    src = str(tmp_path / "sess_events")
+    os.makedirs(src, exist_ok=True)
+    events = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00"},  # same session (gap < 30m)
+        {"user_id": 1, "ts": "2024-01-01T01:30:00"},  # new session
+        {"user_id": 2, "ts": "2024-01-01T00:05:00"},
+    ]
+    with open(os.path.join(src, "e.json"), "w") as f:
+        f.write("\n".join(json.dumps(e) for e in events))
+    stream = (
+        spark.readStream.schema("user_id LONG, ts STRING")
+        .json(src)
+        .withColumn("event_time", F.to_timestamp("ts"))
+        .withWatermark("event_time", "1 hour")
+        .groupBy("user_id", F.session_window("event_time", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, session_window.start AS s, n FROM sess_sink ORDER BY user_id, s"
+    ).collect()
+    got = [(r["user_id"], str(r["s"]), r["n"]) for r in rows]
+    assert got == [
+        (1, "2024-01-01 00:00:00", 2),
+        (1, "2024-01-01 01:30:00", 1),
+        (2, "2024-01-01 00:05:00", 1),
+    ]
