@@ -163,3 +163,126 @@ def range_join(
         (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
     )
     return joined.drop("_rj_bucket")
+
+
+def asof_join_epoched(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | list[str],
+    ts: str = "ts",
+    build_ts: str | None = None,
+    tolerance_seconds: float | None = None,
+    tie_break: str | None = None,
+    epoch_seconds: int = 3600,
+) -> DataFrame:
+    """Skew-resistant as-of join: identical semantics to :func:`asof_join`,
+    but the per-key window is decomposed into time epochs so a HOT KEY no
+    longer serializes on one task.
+
+    The plain formulation partitions by key alone — fine when per-key row
+    counts are bounded, but a key holding 1% of a 100 TB stream puts 1 TB
+    through a single task's sort. This variant runs three bounded stages:
+
+    1. per-(key, epoch) last build payload — an aggregate (map-side partial,
+       shuffle carries <= one row per key-epoch);
+    2. carry the latest payload across epoch boundaries — a window over the
+       key's EPOCH SUMMARIES (rows = active epochs, not events);
+    3. the original union+window, now partitioned by (key, epoch) with the
+       carried payload injected as a boundary seed row — a hot key spreads
+       over timeline/epoch_seconds partitions.
+
+    Choose ``epoch_seconds`` so a single key-epoch fits a task comfortably
+    (e.g. an hour for second-grade feeds). Ordering uses the epoch-local
+    microsecond offset, so semantics — inclusive >=, tolerance horizon,
+    tie-break — match :func:`asof_join` row-for-row (equality-tested on
+    randomized skewed inputs).
+    """
+    if epoch_seconds < 1:
+        raise ValueError("epoch_seconds must be >= 1")
+    keys = [on] if isinstance(on, str) else list(on)
+    bts = build_ts or ts
+    build_cols = [c for c in build.columns if c not in keys]
+    probe_cols = [c for c in probe.columns if c not in keys]
+    width = int(epoch_seconds) * 1_000_000
+
+    payload = F.struct(
+        F.col(bts).alias(f"{bts}"),
+        *[F.col(c) for c in build_cols if c != bts],
+    )
+    tie = F.col(tie_break) if tie_break is not None else F.lit(0)
+    b = build.select(
+        *keys,
+        _epoch_us(F.col(bts)).alias("_us"),
+        tie.alias("_tie"),
+        payload.alias("_payload"),
+    ).withColumn("_epoch", F.floor(F.col("_us") / F.lit(width)))
+    p = probe.select(
+        *keys,
+        _epoch_us(F.col(ts)).alias("_us"),
+        *probe_cols,
+    ).withColumn("_epoch", F.floor(F.col("_us") / F.lit(width)))
+
+    # stage 1: last build payload per (key, epoch) — max_by on (ts, tie)
+    last_in_epoch = b.groupBy(*keys, "_epoch").agg(
+        F.max_by("_payload", F.struct("_us", "_tie")).alias("_epoch_last")
+    )
+    # stage 2: carry across epochs; the boundary value for epoch e is the
+    # latest payload of any EARLIER epoch (strictly preceding rows)
+    active = (
+        p.select(*keys, "_epoch").union(b.select(*keys, "_epoch")).distinct()
+    )
+    w_epoch = (
+        Window.partitionBy(*keys)
+        .orderBy("_epoch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundaries = (
+        active.join(last_in_epoch, [*keys, "_epoch"], "left")
+        .withColumn("_carried", F.last("_epoch_last", ignorenulls=True).over(w_epoch))
+        .filter(F.col("_carried").isNotNull())
+    )
+
+    # stage 3: per-(key, epoch) ordered carry-forward with boundary seeds.
+    # sides: -1 seed < 0 build < 1 probe at equal _us (inclusive >=)
+    null_probe = [
+        F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_cols
+    ]
+    seed = boundaries.select(
+        *keys,
+        "_epoch",
+        (F.col("_epoch") * F.lit(width)).alias("_us"),
+        F.lit(-1).alias("_side"),
+        F.lit(0).alias("_tie"),
+        F.col("_carried").alias("_payload"),
+        *null_probe,
+    )
+    b3 = b.select(
+        *keys, "_epoch", "_us", F.lit(0).alias("_side"), "_tie", "_payload", *null_probe
+    )
+    p3 = p.select(
+        *keys,
+        "_epoch",
+        "_us",
+        F.lit(1).alias("_side"),
+        F.lit(0).alias("_tie"),
+        F.lit(None).cast(b3.schema["_payload"].dataType).alias("_payload"),
+        *probe_cols,
+    )
+    w = (
+        Window.partitionBy(*keys, "_epoch")
+        .orderBy("_us", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_payload", ignorenulls=True).over(w)
+    if tolerance_seconds is not None:
+        horizon = F.lit(int(tolerance_seconds * 1_000_000))
+        carried = F.when(
+            F.col("_us") - _epoch_us(carried[bts]) <= horizon, carried
+        )
+    return (
+        seed.unionByName(b3)
+        .unionByName(p3)
+        .withColumn(ASOF_STRUCT, carried)
+        .filter(F.col("_side") == 1)
+        .select(*keys, *probe_cols, ASOF_STRUCT)
+    )

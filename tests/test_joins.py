@@ -257,3 +257,60 @@ def test_range_join_randomized_matches_naive(spark):
         if s <= ts < e
     )
     assert got == want
+
+
+def test_asof_epoched_equals_plain_on_skewed_data(spark):
+    """The epoch decomposition must be semantics-preserving: row-for-row
+    equal to the plain per-key window on a skewed randomized instance
+    (one key holds ~70% of all rows), across epoch widths and tolerance."""
+    import random
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.joins import (
+        asof_join_epoched,
+    )
+
+    rng = random.Random(0x5CEB)
+    base = dt.datetime(2024, 1, 1)
+
+    def key():
+        return 1 if rng.random() < 0.7 else rng.randint(2, 6)  # hot key 1
+
+    build_rows = [
+        (key(), base + dt.timedelta(seconds=rng.randint(0, 86400)), float(i), i)
+        for i in range(300)
+    ]
+    probe_rows = [
+        (i, key(), base + dt.timedelta(seconds=rng.randint(0, 86400)))
+        for i in range(400)
+    ]
+    build = spark.createDataFrame(build_rows, "k int, ts timestamp, px double, seq int")
+    probe = spark.createDataFrame(probe_rows, "pid int, k int, ts timestamp")
+
+    for epoch_s, tol in ((3600, None), (600, None), (3600, 1800.0), (86400 * 2, None)):
+        plain = {
+            r["pid"]: r["asof"]
+            for r in asof_join(
+                probe, build, on="k", ts="ts", tie_break="seq",
+                tolerance_seconds=tol,
+            ).collect()
+        }
+        epoched = {
+            r["pid"]: r["asof"]
+            for r in asof_join_epoched(
+                probe, build, on="k", ts="ts", tie_break="seq",
+                tolerance_seconds=tol, epoch_seconds=epoch_s,
+            ).collect()
+        }
+        assert epoched == plain, (epoch_s, tol)
+
+
+def test_asof_epoched_partitions_by_key_and_epoch(spark, quotes, trades):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.joins import (
+        asof_join_epoched,
+    )
+
+    plan = _plan_of(
+        asof_join_epoched(trades, quotes, on="k", ts="ts", epoch_seconds=60)
+    )
+    # the hot-path window must partition on (key, epoch), not key alone
+    assert "hashpartitioning(k" in plan and "_epoch" in plan
