@@ -314,3 +314,158 @@ def winnowing_near_dups(
         .agg(F.count("*").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+class MinHashIndex:
+    """Incremental near-dup index: dedupe NEW batches against the corpus
+    seen so far without recomputing anything over the corpus.
+
+    At 100 TB the batch formulation (`dedup_minhash_lsh`) is a one-shot —
+    re-running it for every arriving batch re-shingles and re-shuffles the
+    whole corpus. This index persists the per-band MinHash signatures as a
+    parquet store PARTITIONED BY band (the same build-once/probe-many split
+    as `similarity.IvfIndex`): probing a batch computes signatures for the
+    NEW documents only and equi-joins them against the store on
+    (band, signature) — shuffle volume is |batch|×bands plus the matched
+    store rows, never corpus-sized. Precedence is arrival order: a new doc
+    colliding with ANY stored signature loses (stored docs are older).
+
+    ``dedup_batch`` appends ALL of the batch's signatures (survivors and
+    losers alike), which makes the incremental result provably equal to the
+    one-shot batch dedup over the concatenated corpus when ids follow
+    arrival order — tested in tests/test_dedup_index.py.
+    """
+
+    META_FILE = "_minhash_meta.json"  # leading _: ignored by parquet readers
+
+    def __init__(
+        self, spark, path: str, id_col: str, n: int, bands: int
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.n = n
+        self.bands = bands
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        path: str,
+        id_col: str,
+        text_col: str,
+        n: int = 3,
+        bands: int = 4,
+    ) -> "MinHashIndex":
+        import json
+        import os
+
+        sigs = minhash_signatures(df, id_col, text_col, n=n, bands=bands)
+        renamed = sigs.withColumnRenamed(id_col, "doc_id")
+        renamed.write.mode("overwrite").partitionBy("band").parquet(path)
+        # persist the store schema: an empty bootstrap (or a store whose
+        # partitions are all empty) has no parquet files to infer from
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in renamed.schema.fields
+        )
+        with open(os.path.join(path, cls.META_FILE), "w") as f:
+            json.dump(
+                {"id_col": id_col, "n": n, "bands": bands, "schema": schema_ddl}, f
+            )
+        idx = cls(df.sparkSession, path, id_col, n, bands)
+        idx._schema_ddl = schema_ddl
+        return idx
+
+    @classmethod
+    def load(cls, spark, path: str) -> "MinHashIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, cls.META_FILE)) as f:
+            meta = json.load(f)
+        idx = cls(spark, path, meta["id_col"], meta["n"], meta["bands"])
+        idx._schema_ddl = meta.get("schema")
+        return idx
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        import os
+
+        return os.path.exists(os.path.join(path, cls.META_FILE))
+
+    # -- operations ----------------------------------------------------------
+
+    def _sigs(self, batch: DataFrame, text_col: str) -> DataFrame:
+        return minhash_signatures(
+            batch, self.id_col, text_col, n=self.n, bands=self.bands
+        )
+
+    def _store(self) -> DataFrame:
+        """The signature store AS OF NOW: the file list is snapshotted at
+        call time and pinned into the plan, so a later ``append`` can never
+        leak into an already-built probe (lazy plans re-list directories on
+        re-execution — e.g. a cache-evicted loser set would otherwise see
+        the batch's own signatures and self-collide). An empty bootstrap
+        store reads as an empty frame with the persisted schema."""
+        import glob
+        import os
+
+        files = sorted(
+            glob.glob(os.path.join(self.path, "band=*", "*.parquet"))
+        )
+        if not files:
+            return self.spark.createDataFrame([], self._schema_ddl)
+        return self.spark.read.option("basePath", self.path).parquet(*files)
+
+    def probe(self, batch: DataFrame, text_col: str) -> DataFrame:
+        """Candidate collisions of the batch against the store: distinct
+        (new_id, stored_id) sharing a signature in >= 1 band. A pruned
+        equi-join on (band, signature); the store side is filtered by the
+        join itself — no corpus-wide recompute."""
+        new_sigs = self._sigs(batch, text_col).withColumnRenamed(
+            self.id_col, "new_id"
+        )
+        store = self._store().select(
+            "band", "signature", F.col("doc_id").alias("stored_id")
+        )
+        return (
+            new_sigs.join(store, ["band", "signature"])
+            .select("new_id", "stored_id")
+            .distinct()
+        )
+
+    def dedup_batch(self, batch: DataFrame, text_col: str) -> DataFrame:
+        """Survivors of the batch: drop docs colliding with the store or
+        with a LOWER-id doc in the same batch, then append the batch's
+        signatures (all of them — keeps incremental == one-shot, and makes
+        later near-dups of a dropped doc still deduplicate). Returns the
+        surviving rows of ``batch``.
+
+        Materializes the loser set before appending so the verdict is
+        computed against the pre-append store (Spark plans are lazy; the
+        append below would otherwise race the probe's scan).
+        """
+        vs_store = self.probe(batch, text_col).select(
+            F.col("new_id").alias(self.id_col)
+        )
+        sigs = self._sigs(batch, text_col)
+        a = sigs.select("band", "signature", F.col(self.id_col).alias("id_a"))
+        b = sigs.select("band", "signature", F.col(self.id_col).alias("id_b"))
+        in_batch = (
+            a.join(b, ["band", "signature"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(F.col("id_b").alias(self.id_col))
+        )
+        losers = vs_store.union(in_batch).distinct().cache()
+        losers.count()  # pin the verdict before the store changes
+        self.append(batch, text_col)
+        return batch.join(losers, self.id_col, "left_anti")
+
+    def append(self, batch: DataFrame, text_col: str) -> None:
+        """Add the batch's signatures to the store (per-band partition
+        append; existing partitions gain files, no rewrite)."""
+        self._sigs(batch, text_col).withColumnRenamed(
+            self.id_col, "doc_id"
+        ).write.mode("append").partitionBy("band").parquet(self.path)

@@ -1,0 +1,101 @@
+"""Incremental MinHash dedup index: the streaming-batch formulation must be
+provably equal to the one-shot corpus dedup, and probes must never trigger a
+corpus-wide recompute."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+    MinHashIndex,
+    dedup_minhash_lsh,
+)
+
+DOCS = [
+    # family A: three near-identical docs across batches
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (101, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (201, "the quick brown fox jumps over the lazy dog near the river banks"),
+    # family B: pair split across batch 1 and 3
+    (2, "spark structured streaming processes change data capture events in order"),
+    (202, "spark structured streaming processes change data capture events in order now"),
+    # uniques
+    (3, "completely unrelated text about cooking pasta with garlic and olive oil"),
+    (102, "another singleton document describing mountain hiking trails in winter"),
+    (203, "a third unique text on the economics of container shipping routes"),
+]
+
+
+def _batches():
+    b1 = [d for d in DOCS if d[0] < 100]
+    b2 = [d for d in DOCS if 100 < d[0] < 200]
+    b3 = [d for d in DOCS if d[0] > 200]
+    return b1, b2, b3
+
+
+def test_incremental_equals_one_shot(spark, tmp_path):
+    b1, b2, b3 = _batches()
+    path = str(tmp_path / "mh-index")
+    schema = "doc_id long, text string"
+
+    idx = MinHashIndex.build(spark.createDataFrame([], schema), path, "doc_id", "text")
+    survivors = []
+    for rows in (b1, b2, b3):
+        batch = spark.createDataFrame(rows, schema)
+        kept = idx.dedup_batch(batch, "text")
+        survivors.extend(r["doc_id"] for r in kept.collect())
+
+    full = spark.createDataFrame(DOCS, schema)
+    want = sorted(
+        r["doc_id"] for r in dedup_minhash_lsh(full, "doc_id", "text").collect()
+    )
+    assert sorted(survivors) == want
+    # sanity on the fixture: the dedup actually dropped the near-dup family
+    assert 101 not in survivors and 201 not in survivors and 202 not in survivors
+    assert {1, 2, 3, 102, 203} <= set(survivors)
+
+
+def test_probe_reports_cross_batch_collisions(spark, tmp_path):
+    b1, _, _ = _batches()
+    path = str(tmp_path / "mh-probe")
+    schema = "doc_id long, text string"
+    idx = MinHashIndex.build(spark.createDataFrame(b1, schema), path, "doc_id", "text")
+    batch2 = spark.createDataFrame(
+        [(101, DOCS[1][1]), (102, "some fresh unique content about gardening")],
+        schema,
+    )
+    pairs = {(r["new_id"], r["stored_id"]) for r in idx.probe(batch2, "text").collect()}
+    assert (101, 1) in pairs
+    assert all(new_id != 102 for new_id, _ in pairs)
+
+
+def test_load_roundtrip_and_exists(spark, tmp_path):
+    path = str(tmp_path / "mh-meta")
+    schema = "doc_id long, text string"
+    assert not MinHashIndex.exists(path)
+    MinHashIndex.build(
+        spark.createDataFrame([(1, "alpha beta gamma delta epsilon")], schema),
+        path, "doc_id", "text", n=2, bands=8,
+    )
+    assert MinHashIndex.exists(path)
+    idx = MinHashIndex.load(spark, path)
+    assert (idx.id_col, idx.n, idx.bands) == ("doc_id", 2, 8)
+
+
+def test_probe_plan_joins_on_band_and_signature(spark, tmp_path):
+    import contextlib
+    import io
+
+    b1, _, _ = _batches()
+    path = str(tmp_path / "mh-plan")
+    schema = "doc_id long, text string"
+    idx = MinHashIndex.build(spark.createDataFrame(b1, schema), path, "doc_id", "text")
+    probe_df = idx.probe(spark.createDataFrame(b1[:1], schema), "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "signature" in plan and "band" in plan
