@@ -318,6 +318,20 @@ class IvfIndex:
     def exists(cls, path: str) -> bool:
         return os.path.exists(os.path.join(path, cls.CENTROIDS_FILE))
 
+    def append(self, df: DataFrame) -> None:
+        """Incrementally add vectors: assign to the STORED centroids (no
+        refit — probe behavior for existing vectors is unchanged) and
+        partition-append to the affected lists. The scale dual of
+        `MinHashIndex.append`: indexing an arriving batch costs
+        |batch| × n_lists distance evaluations and a partitioned write,
+        never a corpus re-cluster. Re-cluster deliberately stays a manual
+        `build` — centroid drift invalidates stored assignments, so it must
+        be an explicit rebuild, not a side effect of ingest."""
+        assigned = df.withColumn(
+            "ivf_list", assign_to_centroids(F.col(self.vec_col), self.centroids)
+        )
+        assigned.write.mode("append").partitionBy("ivf_list").parquet(self.path)
+
     def probe(self, probe: list[float], k: int = 20, n_probe: int = 4) -> DataFrame:
         """Pruned-scan top-k: reads only the n_probe nearest list partitions."""
         probe_lists = _nearest_lists(self.centroids, probe, n_probe)

@@ -653,3 +653,45 @@ def test_split_column_agrees_with_two_frame_split(spark):
     assert len(got_heldout) + train.count() == 3000
     # rate lands near the requested fraction
     assert abs(len(got_heldout) / 3000 - 0.25) < 0.03
+
+
+def test_ivf_index_append_uses_stored_centroids(spark, tmp_path):
+    """Appending vectors must assign against the PERSISTED centroids (no
+    refit) and make the new vectors findable by probes, while existing
+    assignments stay byte-identical."""
+    import os
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import IvfIndex
+
+    def vec(seed):
+        import random
+
+        r = random.Random(seed)
+        return [r.uniform(-1, 1) for _ in range(8)]
+
+    base = [(i, vec(i)) for i in range(50)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf-append")
+    idx = IvfIndex.build(df, path, n_lists=4)
+    before = {
+        (r["vec_id"], r["ivf_list"])
+        for r in spark.read.parquet(path).select("vec_id", "ivf_list").collect()
+    }
+    centroids_before = list(idx.centroids)
+
+    new = spark.createDataFrame(
+        [(100, vec(7))], "vec_id long, embedding array<double>"
+    )  # duplicate of vec 7's embedding: must land in the same list
+    idx.append(new)
+
+    assert idx.centroids == centroids_before  # no refit
+    after = {
+        (r["vec_id"], r["ivf_list"])
+        for r in spark.read.parquet(path).select("vec_id", "ivf_list").collect()
+    }
+    assert before <= after and len(after) == len(before) + 1
+    list_of_7 = {l for v, l in before if v == 7}.pop()
+    assert (100, list_of_7) in after
+    # the appended vector is probe-visible and ranks at the top (cos=1)
+    top = IvfIndex.load(spark, path).probe(vec(7), k=2, n_probe=1).collect()
+    assert {r["vec_id"] for r in top} == {7, 100}
