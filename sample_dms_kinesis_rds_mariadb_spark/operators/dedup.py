@@ -469,3 +469,80 @@ class MinHashIndex:
         self._sigs(batch, text_col).withColumnRenamed(
             self.id_col, "doc_id"
         ).write.mode("append").partitionBy("band").parquet(self.path)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph: (node, component)
+    with ``component`` = the smallest node id in the component.
+
+    Near-dup semantics need TRANSITIVE clusters — if A~B and B~C, one keeper
+    for {A,B,C} even though A and C never collided — which one-hop pair
+    dropping can't give. This is distributed hash-min label propagation:
+    every node starts labeled with itself; each round every node takes the
+    min label over itself and its neighbors (one equi-join + one partial
+    min-aggregate per round, both key-partitioned — no collects, no
+    collect_list hot spots); converged when no label changes. Rounds =
+    graph diameter, and LSH collision clusters are short-diameter by
+    construction, so 3-5 rounds is typical. ``max_iterations`` bounds
+    pathological chains (raises rather than returning wrong clusters).
+    Each round localCheckpoints the labels: the iterated lineage would
+    otherwise grow a new join stage per round and replan everything.
+    """
+    both = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    edges = both.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        propagated = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(propagated, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(graph diameter exceeds the bound); raise max_iterations"
+    )
+
+
+def dedup_connected(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Transitive near-dup removal: keep exactly ONE document (the smallest
+    id) per connected component of the candidate-pair graph; documents in
+    no pair survive untouched. The cluster-correct upgrade of
+    `dedup_minhash_lsh`'s one-hop rule."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -99,3 +99,88 @@ def test_probe_plan_joins_on_band_and_signature(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "signature" in plan and "band" in plan
+
+
+# -- connected components / transitive dedup ---------------------------------
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(0xCC)
+    nodes = list(range(200))
+    edges = {
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(150)
+    }
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    touched = {n for e in edges for n in e}
+    want = _union_find_components(sorted(edges), sorted(touched))
+    assert got == want
+
+
+def test_connected_components_long_chain(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 15-node chain: diameter 14, worst case for label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(16)}
+
+
+def test_connected_components_iteration_bound_raises(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iterations=2)
+
+
+def test_dedup_connected_transitive_clusters(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        dedup_connected,
+    )
+
+    # A~B and B~C but never A~C: transitive dedup keeps only A; doc D is
+    # pair-free and survives
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"] for r in dedup_connected(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 4]
