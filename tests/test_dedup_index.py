@@ -184,3 +184,52 @@ def test_dedup_connected_transitive_clusters(spark):
         r["doc_id"] for r in dedup_connected(docs, pairs, "doc_id").collect()
     )
     assert kept == [1, 4]
+
+
+def test_minhash_index_under_structured_streaming(spark, tmp_path):
+    """The incremental index is the foreachBatch dedup stage of a streaming
+    ingest: batches arrive as files, each micro-batch dedupes against
+    everything seen before and appends survivors to the corpus."""
+    import json
+    import os
+
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    idx_path = str(tmp_path / "stream-idx")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+
+    b1, b2, b3 = _batches()
+    for i, rows in enumerate((b1, b2, b3)):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            f.write("\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows))
+
+    idx = MinHashIndex.build(
+        spark.createDataFrame([], schema), idx_path, "doc_id", "text"
+    )
+
+    def _dedupe_batch(batch_df, _batch_id):
+        kept = idx.dedup_batch(batch_df, "text")
+        kept.write.mode("append").parquet(corpus)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one arrival batch per trigger
+        .json(src)
+        .writeStream.foreachBatch(_dedupe_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    # micro-batch file order is not name-deterministic, so assert the
+    # order-independent invariant: exactly one survivor per near-dup family,
+    # every singleton kept
+    family_a, family_b = {1, 101, 201}, {2, 202}
+    singletons = {3, 102, 203}
+    assert len(kept & family_a) == 1
+    assert len(kept & family_b) == 1
+    assert singletons <= kept
+    assert len(kept) == 5
