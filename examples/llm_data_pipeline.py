@@ -75,8 +75,10 @@ def main() -> None:
         .filter(inter * 3 >= union * 2)
         .select("id_a", "id_b")
     )
-    near_dup_losers = verified.select(F.col("id_b").alias("doc_id")).distinct()
-    survivors = uniq.join(near_dup_losers, "doc_id", "left_anti")
+    # transitive clusters: A~B and B~C collapse to one keeper even when A
+    # and C never collided directly (connected components over the verified
+    # pair graph, hash-min label propagation)
+    survivors = dedup.dedup_connected(uniq, verified, "doc_id")
     n_final = survivors.count()
     print(
         f"corpus: {n_docs} docs -> {kept.count()} quality -> "
