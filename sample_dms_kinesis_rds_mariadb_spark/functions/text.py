@@ -186,3 +186,35 @@ def quality_columns(text: Column) -> dict[str, Column]:
         "avg_token_len_x100": avg_token_len_x100,
         "is_quality": is_quality,
     }
+
+
+def repetition_ratios(text: Column) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher/RefinedWeb quality
+    rules): high values mark boilerplate, scraped templates, and
+    degenerate generations. All built-in array expressions — codegen'd,
+    no shuffle, composable with any filter threshold.
+
+    - ``dup_line_frac``: fraction of non-empty lines that repeat an
+      earlier line.
+    - ``dup_trigram_frac``: fraction of word 3-grams that occur more
+      than once (1 - distinct/total).
+
+    Empty documents score 0.0 on both (nothing repeats in nothing).
+    """
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != F.lit(""))
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    grams = word_ngrams(tokenize(normalize_text(text)), 3)
+    n_grams = F.size(grams)
+    dup_gram = F.when(
+        n_grams > 0,
+        (n_grams - F.size(F.array_distinct(grams))) / n_grams,
+    ).otherwise(F.lit(0.0))
+    return {
+        "dup_line_frac": dup_line.cast("double"),
+        "dup_trigram_frac": dup_gram.cast("double"),
+    }

@@ -546,3 +546,70 @@ def dedup_connected(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: (corpus_id, bench_id, n_shared) for every
+    corpus document sharing >= 1 word n-gram with an eval/benchmark document
+    (the standard 13-gram overlap rule used to scrub eval sets out of
+    pretraining corpora).
+
+    Scale shape: both sides explode to (md5(ngram), id) — ids and 32-hex
+    hashes only, never text, so the shuffle is |ngrams| x ~40 bytes. The
+    benchmark side is tiny by definition (eval sets), so Catalyst broadcasts
+    it; the corpus side streams through map-side. Returns the match counts
+    so callers can threshold (n_shared >= k) before dropping.
+    """
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        normalize_text,
+        tokenize,
+        word_ngrams,
+    )
+
+    b_id = bench_id_col or id_col
+    b_text = bench_text_col or text_col
+
+    def grams(df: DataFrame, idc: str, txt: str, out_id: str) -> DataFrame:
+        toks = tokenize(normalize_text(F.col(txt)))
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.explode(F.array_distinct(word_ngrams(toks, n))).alias("_g"),
+        ).select(out_id, F.md5("_g").alias("gram"))
+
+    c = grams(corpus, id_col, text_col, "corpus_id")
+    b = grams(benchmark, b_id, b_text, "bench_id")
+    return (
+        c.join(F.broadcast(b), "gram")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_shared: int = 1,
+    **kwargs,
+) -> DataFrame:
+    """Drop corpus documents sharing >= ``min_shared`` distinct word
+    n-grams with any benchmark document; anti-join keeps the clean rows."""
+    hits = contamination_pairs(
+        corpus, benchmark, id_col, text_col, n=n, **kwargs
+    )
+    dirty = (
+        hits.filter(F.col("n_shared") >= min_shared)
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(dirty, id_col, "left_anti")

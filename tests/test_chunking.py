@@ -150,3 +150,87 @@ def test_pii_counts(spark):
     assert row["email"] == 2
     assert row["ipv4"] == 1
     assert row["ssn"] == 1
+
+
+# -- decontamination + repetition signals ------------------------------------
+
+
+def test_decontaminate_drops_benchmark_overlaps(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    bench_q = (
+        "what is the capital of france and when was it founded by the romans"
+    )  # 14 tokens -> two 13-grams
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 13-gram verbatim inside a longer doc
+            (1, "quiz answers here " + bench_q + " plus trailing words"),
+            (2, "a completely clean document about growing tomatoes in clay soil at altitude"),
+            # shares shorter fragments only (< 13-gram overlap)
+            (3, "what is the capital of france people often ask in trivia night"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(900, bench_q)], "doc_id long, text string")
+
+    pairs = contamination_pairs(corpus, bench, "doc_id", "text", n=13)
+    hits = {(r["corpus_id"], r["bench_id"]) for r in pairs.collect()}
+    assert hits == {(1, 900)}
+
+    clean = sorted(
+        r["doc_id"] for r in decontaminate(corpus, bench, "doc_id", "text", n=13).collect()
+    )
+    assert clean == [2, 3]
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "word " * 20) for i in range(10)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(1, "word " * 20)], "doc_id long, text string")
+    plan = _plan_of_df(contamination_pairs(corpus, bench, "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def _plan_of_df(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_repetition_ratios(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        repetition_ratios,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line\nother line"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, ""),
+            (4, "go go go go go go"),
+        ],
+        "doc_id long, text string",
+    )
+    r = repetition_ratios(F.col("text"))
+    rows = {
+        row["doc_id"]: row
+        for row in docs.select(
+            "doc_id", *[c.alias(k) for k, c in r.items()]
+        ).collect()
+    }
+    assert rows[1]["dup_line_frac"] == pytest.approx(0.5)  # 2 of 4 repeat
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    assert rows[3]["dup_line_frac"] == 0.0 and rows[3]["dup_trigram_frac"] == 0.0
+    # "go go go go go go": 4 trigrams, 1 distinct -> 0.75
+    assert rows[4]["dup_trigram_frac"] == pytest.approx(0.75)
