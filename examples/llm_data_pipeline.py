@@ -100,13 +100,25 @@ def main() -> None:
         f"mixture rows: {mixture.count()}"
     )
 
-    # 4b. prepare for training: quantile quality gate → PII redaction →
-    # token-bounded chunks → greedy sequence packing (per-bucket Arrow)
+    # 4b. prepare for training: repetition gate → benchmark decontamination
+    # → quantile quality gate → PII redaction → token-bounded chunks →
+    # greedy sequence packing (per-bucket Arrow)
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import repetition_ratios
     from sample_dms_kinesis_rds_mariadb_spark.operators import chunking, sketches
 
-    gated = sketches.filter_above_quantile(
+    rep = repetition_ratios(F.col("text"))
+    candidates = (
         survivors.join(docs.select("doc_id", "text"), "doc_id")
-        .withColumn("score", F.length("text").cast("double")),
+        .filter(rep["dup_line_frac"] < 0.3)          # boilerplate gate
+        .filter(rep["dup_trigram_frac"] < 0.5)
+    )
+    # scrub anything overlapping the (stand-in) eval set at 13-gram level
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import decontaminate
+
+    eval_set = docs.select("doc_id", "text").limit(3)
+    candidates = decontaminate(candidates, eval_set, "doc_id", "text", n=13)
+    gated = sketches.filter_above_quantile(
+        candidates.withColumn("score", F.length("text").cast("double")),
         "score",
         q=0.2,  # drop the shortest fifth
     )
