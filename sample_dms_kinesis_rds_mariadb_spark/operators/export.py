@@ -1,0 +1,90 @@
+"""Training-shard export: the hand-off from the curation pipeline to a
+training data loader.
+
+Loaders want a fixed number of shards, stable shard membership (resumable
+downloads, reproducible epoch order), and a manifest to verify against.
+Shard assignment reuses the deterministic md5 bucketing from
+``operators/sampling.py`` — a pure function of (key, salt), so re-exports
+assign every row to the same shard and any engine can recompute the
+mapping. The write is one hash-partitioned shuffle into ``shard=K/``
+directories; the manifest is a per-shard count aggregate (n_shards rows —
+control-plane sized, never row data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import _hash_bucket
+
+MANIFEST_FILE = "_manifest.json"
+
+
+def shard_column(df: DataFrame, key_col: str, n_shards: int, salt: str = "shard"):
+    """Deterministic shard id in [0, n_shards) from md5(salt|key)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    return df.withColumn(
+        "shard", (_hash_bucket(F.col(key_col), salt) % n_shards).cast("int")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = 64,
+    salt: str = "shard",
+) -> dict:
+    """Write ``df`` as ``path/shard=K/*.parquet`` with stable membership,
+    one output file per shard (what data loaders expect), and a manifest.
+
+    Returns the manifest dict: total rows plus per-shard row counts. The
+    repartition targets one file per shard — at 100 TB pick ``n_shards``
+    so a shard is a sensible file size (e.g. 1-4 GB); shard counts are
+    md5-uniform so sizes stay balanced without a skew pass.
+    """
+    sharded = shard_column(df, key_col, n_shards, salt=salt)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", key_col)  # deterministic file content
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    counts = {
+        int(r["shard"]): r["n"]
+        for r in sharded.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "salt": salt,
+        "total_rows": int(sum(counts.values())),
+        "shard_rows": {str(k): int(v) for k, v in sorted(counts.items())},
+    }
+    with open(os.path.join(path, MANIFEST_FILE), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def verify_shards(spark, path: str) -> bool:
+    """Recount the written shards against the manifest (the loader-side
+    integrity check). Raises on mismatch, returns True when clean."""
+    with open(os.path.join(path, MANIFEST_FILE)) as f:
+        manifest = json.load(f)
+    got = {
+        str(r["shard"]): r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    want = manifest["shard_rows"]
+    if got != want:
+        raise ValueError(f"shard counts diverge from manifest: {got} != {want}")
+    return True

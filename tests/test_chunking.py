@@ -234,3 +234,57 @@ def test_repetition_ratios(spark):
     assert rows[3]["dup_line_frac"] == 0.0 and rows[3]["dup_trigram_frac"] == 0.0
     # "go go go go go go": 4 trigrams, 1 distinct -> 0.75
     assert rows[4]["dup_trigram_frac"] == pytest.approx(0.75)
+
+
+# -- training-shard export ----------------------------------------------------
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.concat(F.lit("doc "), F.col("doc_id"))
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, "doc_id", n_shards=8)
+    assert manifest["total_rows"] == 1000
+    assert len(manifest["shard_rows"]) == 8
+    # md5-uniform: no shard wildly over/under-filled
+    assert all(60 <= n <= 190 for n in manifest["shard_rows"].values())
+    assert verify_shards(spark, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.select("doc_id").distinct().count() == 1000
+
+
+def test_shard_assignment_is_stable_across_exports(spark, tmp_path):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.export import shard_column
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    a = {r["k"]: r["shard"] for r in shard_column(df, "k", 16).collect()}
+    b = {r["k"]: r["shard"] for r in shard_column(df, "k", 16).collect()}
+    assert a == b
+    # membership is a function of the key alone: a subset gets same shards
+    sub = {r["k"]: r["shard"] for r in shard_column(df.filter("k < 100"), "k", 16).collect()}
+    assert sub == {k: v for k, v in a.items() if k < 100}
+
+
+def test_verify_shards_detects_tampering(spark, tmp_path):
+    import glob
+    import os
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "shards-tamper")
+    write_training_shards(df, path, "doc_id", n_shards=4)
+    victim = glob.glob(os.path.join(path, "shard=*", "*.parquet"))[0]
+    os.remove(victim)
+    with pytest.raises(ValueError, match="diverge"):
+        verify_shards(spark, path)
