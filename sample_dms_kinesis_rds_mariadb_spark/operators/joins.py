@@ -48,27 +48,36 @@ def asof_join(
     build_ts: str | None = None,
     tolerance_seconds: float | None = None,
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each probe row, attach the build row with the
-    greatest ``build_ts`` <= probe ``ts`` in the same key group (inclusive).
+    """As-of join (pandas ``merge_asof`` semantics, distributed): for each
+    probe row attach one build row from the same key group —
+
+    - ``backward`` (default): greatest ``build_ts`` <= probe ``ts``;
+    - ``forward``: smallest ``build_ts`` >= probe ``ts``;
+    - ``nearest``: whichever of the two is closer in time (exact tie →
+      backward, matching pandas).
 
     Returns every probe row (left semantics) with one extra struct column
     ``asof`` holding ALL non-key build columns (including the matched build
-    timestamp); NULL when no build row precedes the probe row or the match
-    is older than ``tolerance_seconds``.
+    timestamp); NULL when no build row qualifies or the match is farther
+    than ``tolerance_seconds``.
 
     Ties (several build rows sharing a (key, ts)): the row with the greatest
     ``tie_break`` value wins when given; otherwise which of the tied rows
     wins is unspecified — pre-aggregate the build side to unique (key, ts)
     when exact determinism matters.
 
-    Plan shape: union the two sides tagged build=0 / probe=1, one window
-    ``last(build_struct, ignorenulls=True)`` partitioned by key and ordered
-    by (ts, tag, tie_break) — build rows sort before probe rows at equal ts,
-    which is exactly the inclusive >= contract. One shuffle, one sort, zero
-    join operators; skew is bounded by per-key row counts, same as any
-    windowed aggregation.
+    Plan shape: union the two sides tagged build/probe, ONE hash shuffle on
+    the key and one per-key sort; the match is a windowed
+    ``last``/``first(ignorenulls)`` carry — zero join operators, no
+    explosion regardless of time-range overlap. ``nearest`` evaluates both
+    frame directions over the SAME sort, so it still costs one shuffle +
+    one sort. Skew is bounded by per-key row counts (see
+    :func:`asof_join_epoched` for hot keys).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     bts = build_ts or ts
     build_cols = [c for c in build.columns if c not in keys]
@@ -83,10 +92,13 @@ def asof_join(
         if tie_break is not None
         else F.lit(0)
     )
+    # side ordering: backward/nearest sort build(0) before probe(1) at equal
+    # ts (inclusive <=); forward sorts probe(0) before build(1) (inclusive >=)
+    build_side = 1 if direction == "forward" else 0
     b = build.select(
         *keys,
         F.col(bts).alias("_asof_ts"),
-        F.lit(0).alias("_asof_side"),
+        F.lit(build_side).alias("_asof_side"),
         tie.alias("_asof_tie"),
         payload.alias("_asof_payload"),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_cols],
@@ -94,27 +106,52 @@ def asof_join(
     p = probe.select(
         *keys,
         F.col(ts).alias("_asof_ts"),
-        F.lit(1).alias("_asof_side"),
+        F.lit(1 - build_side).alias("_asof_side"),
         F.lit(0).alias("_asof_tie"),
         F.lit(None).cast(b.schema["_asof_payload"].dataType).alias("_asof_payload"),
         *probe_cols,
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_asof_ts", "_asof_side", "_asof_tie")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # forward picks the FIRST qualifying build row, so the greatest tie must
+    # sort first among equal-ts builds; backward picks the LAST, so ascending
+    tie_order = (
+        F.desc("_asof_tie") if direction == "forward" else F.asc("_asof_tie")
     )
-    carried = F.last("_asof_payload", ignorenulls=True).over(w)
-    if tolerance_seconds is not None:
-        horizon = F.lit(int(tolerance_seconds * 1_000_000))
-        carried = F.when(
-            _epoch_us(F.col("_asof_ts")) - _epoch_us(carried[bts]) <= horizon,
-            carried,
+    base = Window.partitionBy(*keys).orderBy("_asof_ts", "_asof_side", tie_order)
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    horizon = (
+        F.lit(int(tolerance_seconds * 1_000_000))
+        if tolerance_seconds is not None
+        else None
+    )
+    probe_us = _epoch_us(F.col("_asof_ts"))
+
+    def _bounded(carried, sign):
+        if horizon is None:
+            return carried
+        return F.when(sign * (probe_us - _epoch_us(carried[bts])) <= horizon, carried)
+
+    if direction == "backward":
+        carried = _bounded(F.last("_asof_payload", ignorenulls=True).over(w_back), 1)
+    elif direction == "forward":
+        carried = _bounded(F.first("_asof_payload", ignorenulls=True).over(w_fwd), -1)
+    else:  # nearest: backward layout; equal-ts builds belong to the backward
+        # arm (distance 0, unbeatable), strictly-later builds to the forward
+        # arm. Both frames share one (partition, order) → one shuffle + sort.
+        back = _bounded(F.last("_asof_payload", ignorenulls=True).over(w_back), 1)
+        fwd = _bounded(F.first("_asof_payload", ignorenulls=True).over(w_fwd), -1)
+        d_back = probe_us - _epoch_us(back[bts])
+        d_fwd = _epoch_us(fwd[bts]) - probe_us
+        carried = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(d_fwd < d_back, fwd)  # tie (==) falls through to backward
+            .otherwise(back)
         )
     return (
         b.unionByName(p)
         .withColumn(ASOF_STRUCT, carried)
-        .filter(F.col("_asof_side") == 1)
+        .filter(F.col("_asof_side") == F.lit(1 - build_side))
         .select(*keys, *probe_cols, ASOF_STRUCT)
     )
 

@@ -314,3 +314,92 @@ def test_asof_epoched_partitions_by_key_and_epoch(spark, quotes, trades):
     )
     # the hot-path window must partition on (key, epoch), not key alone
     assert "hashpartitioning(k" in plan and "_epoch" in plan
+
+
+def test_asof_forward_and_nearest(spark, quotes, trades):
+    fwd = {
+        r["trade_id"]: r["asof"]
+        for r in asof_join(trades, quotes, on="k", ts="ts", direction="forward").collect()
+    }
+    assert fwd[100]["px"] == 11.0   # next quote at 00:05
+    assert fwd[101]["px"] == 11.0   # equal ts matches forward too (inclusive)
+    assert fwd[102] is None         # nothing after 00:59
+    assert fwd[103]["px"] == 99.0   # 00:07 quote follows 00:06:59
+    near = {
+        r["trade_id"]: r["asof"]
+        for r in asof_join(trades, quotes, on="k", ts="ts", direction="nearest").collect()
+    }
+    assert near[100]["px"] == 11.0  # 00:03: back 00:00 is 3m, fwd 00:05 is 2m
+    assert near[102]["px"] == 12.0  # only a backward match exists
+    assert near[103]["px"] == 99.0  # only a forward match exists
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    build = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1.0),
+            (1, _ts("2024-01-01 00:02:00"), 2.0),
+        ],
+        "k int, ts timestamp, px double",
+    )
+    probe = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-01 00:01:00"))], "pid int, k int, ts timestamp"
+    )
+    got = asof_join(probe, build, on="k", ts="ts", direction="nearest").first()
+    assert got["asof"]["px"] == 1.0  # equidistant -> backward (pandas semantics)
+
+
+def test_asof_randomized_forward_nearest_match_reference(spark):
+    import random
+
+    rng = random.Random(0xFA57)
+    base = dt.datetime(2024, 1, 1)
+    build_rows = [
+        (rng.randint(1, 6), base + dt.timedelta(seconds=rng.randint(0, 3600)), float(i), i)
+        for i in range(100)
+    ]
+    probe_rows = [
+        (i, rng.randint(1, 8), base + dt.timedelta(seconds=rng.randint(0, 3600)))
+        for i in range(150)
+    ]
+    build = spark.createDataFrame(build_rows, "k int, ts timestamp, px double, seq int")
+    probe = spark.createDataFrame(probe_rows, "pid int, k int, ts timestamp")
+
+    for direction, tol in (("forward", None), ("forward", 300.0), ("nearest", None), ("nearest", 600.0)):
+        got = {
+            r["pid"]: r["asof"]
+            for r in asof_join(
+                probe, build, on="k", ts="ts", tie_break="seq",
+                direction=direction, tolerance_seconds=tol,
+            ).collect()
+        }
+        for pid, k, pts in probe_rows:
+            back = [b for b in build_rows if b[0] == k and b[1] <= pts]
+            fwd = [b for b in build_rows if b[0] == k and b[1] >= pts]
+            if tol is not None:
+                back = [b for b in back if (pts - b[1]).total_seconds() <= tol]
+                fwd = [b for b in fwd if (b[1] - pts).total_seconds() <= tol]
+            best_back = max(back, key=lambda b: (b[1], b[3])) if back else None
+            best_fwd = min(fwd, key=lambda b: (b[1], -b[3])) if fwd else None
+            if direction == "forward":
+                want = best_fwd
+            else:
+                if best_back is None:
+                    want = best_fwd
+                elif best_fwd is None:
+                    want = best_back
+                else:
+                    d_b = (pts - best_back[1]).total_seconds()
+                    d_f = (best_fwd[1] - pts).total_seconds()
+                    want = best_fwd if d_f < d_b else best_back
+            if want is None:
+                assert got[pid] is None, (direction, tol, pid)
+            else:
+                assert got[pid] is not None and got[pid]["px"] == want[2], (
+                    direction, tol, pid, got[pid], want,
+                )
+
+
+def test_asof_invalid_direction(spark, quotes, trades):
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, on="k", ts="ts", direction="sideways")
