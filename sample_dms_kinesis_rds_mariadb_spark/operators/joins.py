@@ -163,10 +163,13 @@ def range_join(
     start: str,
     end: str,
     bucket_seconds: int = 300,
+    on: str | list[str] | None = None,
 ) -> DataFrame:
     """Interval-containment join: probe rows whose ``ts`` falls in
-    ``[start, end)`` of an interval row (half-open), with NO equi-key —
-    the pure range-join problem.
+    ``[start, end)`` of an interval row (half-open). With no ``on`` this is
+    the pure range-join problem; with ``on`` (e.g. per-user maintenance
+    windows) the bucket join also equi-matches the key columns, bounding
+    candidates to per-(key, bucket) occupancy.
 
     Plan shape: time is binned into ``bucket_seconds``-wide buckets. Each
     interval row explodes to the buckets it overlaps (an interval of width W
@@ -182,7 +185,8 @@ def range_join(
     Returns inner-join rows with all probe and interval columns (names must
     not collide).
     """
-    overlap = set(probe.columns) & set(intervals.columns)
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    overlap = (set(probe.columns) & set(intervals.columns)) - set(keys)
     if overlap:
         raise ValueError(f"probe/interval column collision: {sorted(overlap)}")
     width = F.lit(int(bucket_seconds) * 1_000_000)
@@ -196,7 +200,7 @@ def range_join(
             )
         ),
     )
-    joined = p.join(iv, on="_rj_bucket", how="inner").filter(
+    joined = p.join(iv, on=["_rj_bucket", *keys], how="inner").filter(
         (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
     )
     return joined.drop("_rj_bucket")

@@ -403,3 +403,31 @@ def test_asof_randomized_forward_nearest_match_reference(spark):
 def test_asof_invalid_direction(spark, quotes, trades):
     with pytest.raises(ValueError, match="direction"):
         asof_join(trades, quotes, on="k", ts="ts", direction="sideways")
+
+
+def test_range_join_with_equi_key(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 00:01:00")),   # user 7 inside user-7 window
+            (2, 8, _ts("2024-01-01 00:01:00")),   # user 8: same time, no window
+            (3, 7, _ts("2024-01-01 09:00:00")),   # user 7 outside any window
+        ],
+        "pid int, user_id int, ts timestamp",
+    )
+    windows = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:05:00")),
+            (8, _ts("2024-01-01 05:00:00"), _ts("2024-01-01 06:00:00")),
+        ],
+        "user_id int, start_ts timestamp, end_ts timestamp",
+    )
+    out = range_join(
+        probe, windows, ts="ts", start="start_ts", end="end_ts", on="user_id"
+    )
+    assert [r["pid"] for r in out.collect()] == [1]
+    # key columns are allowed to share names; other collisions still rejected
+    with pytest.raises(ValueError, match="collision"):
+        range_join(
+            probe.withColumnRenamed("pid", "start_ts"), windows,
+            ts="ts", start="start_ts", end="end_ts", on="user_id",
+        )
