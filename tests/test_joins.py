@@ -431,3 +431,70 @@ def test_range_join_with_equi_key(spark):
             probe.withColumnRenamed("pid", "start_ts"), windows,
             ts="ts", start="start_ts", end="end_ts", on="user_id",
         )
+
+
+def test_asof_time_travel_over_cdc_history(spark):
+    """SCD2-style time travel from the engine's own CDC envelope stream:
+    encode a change batch (inserts + updates with commit timestamps) through
+    the wire codec, parse it back, and as-of join events against the change
+    HISTORY — each event sees the balance that was current at its event
+    time. This is the temporal-join payoff of keeping the change feed:
+    state-as-of-any-time without storing snapshots."""
+    from pyspark.sql import functions as F2
+
+    from sample_dms_kinesis_rds_mariadb_spark.envelope import (
+        parse_json_records,
+        to_json_records,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSettings
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.cdc import (
+        encode_change_batch,
+    )
+
+    changes = [
+        (1, "insert", "2024-01-01T00:00:00", {"id": "7", "balance": "100"}),
+        (2, "update", "2024-01-03T00:00:00", {"id": "7", "balance": "250"}),
+        (3, "update", "2024-01-05T00:00:00", {"id": "7", "balance": "50"}),
+        (4, "insert", "2024-01-02T00:00:00", {"id": "8", "balance": "900"}),
+    ]
+    feed = spark.createDataFrame(
+        [
+            (seq, "main", "accounts", op, f"txn-{seq}", ts, data, None)
+            for seq, op, ts, data in changes
+        ],
+        "seq long, schema string, table string, op string, txn_id string, "
+        "commit_ts string, data map<string,string>, before map<string,string>",
+    )
+    wire = to_json_records(
+        encode_change_batch(
+            feed, TaskSettings(partition_key_type="primary-key"),
+            {("main", "accounts"): "id"},
+        )
+    )
+    parsed = parse_json_records(wire)
+    history = parsed.filter(
+        F2.col("metadata")["operation"].isin("insert", "update")
+    ).select(
+        F2.col("data")["id"].cast("long").alias("account_id"),
+        F2.to_timestamp(F2.col("metadata")["timestamp"]).alias("valid_from"),
+        F2.col("data")["balance"].cast("long").alias("balance"),
+    )
+
+    events = spark.createDataFrame(
+        [
+            (100, 7, "2024-01-02T12:00:00"),  # between insert and 1st update -> 100
+            (101, 7, "2024-01-03T00:00:00"),  # exactly at the update -> 250
+            (102, 7, "2024-01-06T00:00:00"),  # after everything -> 50
+            (103, 8, "2024-01-01T00:00:00"),  # before account 8 existed -> null
+            (104, 8, "2024-01-04T00:00:00"),  # -> 900
+        ],
+        "event_id long, account_id long, ts_s string",
+    ).withColumn("ts", F2.to_timestamp("ts_s")).drop("ts_s")
+
+    out = asof_join(events, history, on="account_id", ts="ts", build_ts="valid_from")
+    got = {r["event_id"]: r["asof"] for r in out.collect()}
+    assert got[100]["balance"] == 100
+    assert got[101]["balance"] == 250
+    assert got[102]["balance"] == 50
+    assert got[103] is None
+    assert got[104]["balance"] == 900
