@@ -498,3 +498,12 @@ def test_asof_time_travel_over_cdc_history(spark):
     assert got[102]["balance"] == 50
     assert got[103] is None
     assert got[104]["balance"] == 900
+
+
+def test_asof_nearest_still_single_shuffle(spark, quotes, trades):
+    import re
+
+    plan = _plan_of(asof_join(trades, quotes, on="k", ts="ts", direction="nearest"))
+    assert "Join" not in plan
+    # both frame directions ride ONE key sort: exactly one exchange
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
