@@ -138,8 +138,24 @@ def asof_join(
     else:  # nearest: backward layout; equal-ts builds belong to the backward
         # arm (distance 0, unbeatable), strictly-later builds to the forward
         # arm. Both frames share one (partition, order) → one shuffle + sort.
+        # The sort's tie order is ascending (backward layout), so the forward
+        # pick can't rely on frame order for ties: max_by over (-us, tie)
+        # selects the smallest build ts and, among equal-ts builds, the
+        # GREATEST tie_break — matching the documented tie rule.
         back = _bounded(F.last("_asof_payload", ignorenulls=True).over(w_back), 1)
-        fwd = _bounded(F.first("_asof_payload", ignorenulls=True).over(w_fwd), -1)
+        fwd = _bounded(
+            F.max_by(
+                "_asof_payload",
+                F.when(
+                    F.col("_asof_payload").isNotNull(),
+                    F.struct(
+                        (-probe_us).alias("neg_us"),
+                        F.col("_asof_tie").alias("tie"),
+                    ),
+                ),
+            ).over(w_fwd),
+            -1,
+        )
         d_back = probe_us - _epoch_us(back[bts])
         d_fwd = _epoch_us(fwd[bts]) - probe_us
         carried = (
@@ -164,6 +180,7 @@ def range_join(
     end: str,
     bucket_seconds: int = 300,
     on: str | list[str] | None = None,
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Interval-containment join: probe rows whose ``ts`` falls in
     ``[start, end)`` of an interval row (half-open). With no ``on`` this is
@@ -184,21 +201,42 @@ def range_join(
 
     Returns inner-join rows with all probe and interval columns (names must
     not collide).
+
+    ``max_buckets_per_interval`` guards against a single open-ended or
+    mistakenly-wide interval (e.g. a year-scale ``end`` with
+    ``bucket_seconds=300``) exploding to ~100k+ bucket rows — past ~2^31
+    elements Spark's ``sequence`` hard-fails the whole job with an opaque
+    error, and long before that the explode skews one task. Offending rows
+    raise with the interval width and the implied bucket count so the caller
+    can widen ``bucket_seconds`` or pre-filter.
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     overlap = (set(probe.columns) & set(intervals.columns)) - set(keys)
     if overlap:
         raise ValueError(f"probe/interval column collision: {sorted(overlap)}")
     width = F.lit(int(bucket_seconds) * 1_000_000)
+    lo = F.floor(_epoch_us(F.col(start)) / width)
+    hi = F.floor(_epoch_us(F.col(end)) / width)
+    n_buckets = hi - lo + F.lit(1)
+    guarded_hi = F.when(
+        n_buckets <= F.lit(int(max_buckets_per_interval)), hi
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "range_join: interval [%s, %s) spans %s buckets of "
+                + f"{int(bucket_seconds)}s (max_buckets_per_interval="
+                + f"{int(max_buckets_per_interval)}); widen bucket_seconds "
+                + "or pre-filter open-ended intervals",
+                F.col(start).cast("string"),
+                F.col(end).cast("string"),
+                n_buckets.cast("string"),
+            )
+        ).cast("long")
+    )
     p = probe.withColumn("_rj_bucket", F.floor(_epoch_us(F.col(ts)) / width))
     iv = intervals.withColumn(
         "_rj_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(_epoch_us(F.col(start)) / width),
-                F.floor(_epoch_us(F.col(end)) / width),
-            )
-        ),
+        F.explode(F.sequence(lo, guarded_hi)),
     )
     joined = p.join(iv, on=["_rj_bucket", *keys], how="inner").filter(
         (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
@@ -234,9 +272,10 @@ def asof_join_epoched(
 
     Choose ``epoch_seconds`` so a single key-epoch fits a task comfortably
     (e.g. an hour for second-grade feeds). Ordering uses the epoch-local
-    microsecond offset, so semantics — inclusive >=, tolerance horizon,
-    tie-break — match :func:`asof_join` row-for-row (equality-tested on
-    randomized skewed inputs).
+    microsecond offset, so semantics — backward as-of (greatest build ts
+    <= probe ts, inclusive), tolerance horizon, tie-break — match
+    :func:`asof_join` row-for-row (equality-tested on randomized skewed
+    inputs).
     """
     if epoch_seconds < 1:
         raise ValueError("epoch_seconds must be >= 1")
@@ -284,7 +323,8 @@ def asof_join_epoched(
     )
 
     # stage 3: per-(key, epoch) ordered carry-forward with boundary seeds.
-    # sides: -1 seed < 0 build < 1 probe at equal _us (inclusive >=)
+    # sides: -1 seed < 0 build < 1 probe at equal _us (inclusive <=:
+    # a build row at exactly the probe ts matches, backward semantics)
     null_probe = [
         F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_cols
     ]

@@ -184,6 +184,30 @@ def test_range_join_rejects_column_collision(spark, interval_data):
         )
 
 
+def test_range_join_guards_runaway_interval(spark, interval_data):
+    probe, intervals = interval_data
+    # a year-wide interval at 300s buckets would explode to ~105k rows; the
+    # guard turns the silent skew/overflow into an explicit per-row error
+    wide = intervals.union(
+        spark.createDataFrame(
+            [(999, _ts("2024-01-01 00:00:00"), _ts("2025-01-01 00:00:00"))],
+            intervals.schema,
+        )
+    )
+    with pytest.raises(Exception, match="max_buckets_per_interval"):
+        range_join(
+            probe, wide, ts="ts", start="start_ts", end="end_ts",
+            bucket_seconds=300, max_buckets_per_interval=10_000,
+        ).collect()
+    # raising the cap (or widening buckets) lets the same data through
+    ok = range_join(
+        probe, wide, ts="ts", start="start_ts", end="end_ts",
+        bucket_seconds=300, max_buckets_per_interval=200_000,
+    )
+    base = range_join(probe, intervals, ts="ts", start="start_ts", end="end_ts")
+    assert ok.count() >= base.count()
+
+
 # -- randomized cross-checks vs a naive Python reference ---------------------
 # seeded (deterministic) random instances; one Spark job each, covering tie
 # clusters, empty keys, tolerance edges, and zero-width / nested intervals
@@ -347,6 +371,29 @@ def test_asof_nearest_tie_prefers_backward(spark):
     )
     got = asof_join(probe, build, on="k", ts="ts", direction="nearest").first()
     assert got["asof"]["px"] == 1.0  # equidistant -> backward (pandas semantics)
+
+
+def test_asof_nearest_forward_tie_picks_greatest(spark):
+    # Two build rows share the same FUTURE ts; the greatest tie_break must
+    # win in nearest mode exactly as it does in plain forward mode. (The
+    # nearest layout sorts ties ascending for the backward arm, so the
+    # forward pick must not lean on frame order — regression for the
+    # first()-picks-smallest bug.)
+    build = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:05:00"), 1.0, 7),
+            (1, _ts("2024-01-01 00:05:00"), 2.0, 9),
+        ],
+        "k int, ts timestamp, px double, seq int",
+    )
+    probe = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-01 00:04:00"))], "pid int, k int, ts timestamp"
+    )
+    for direction in ("forward", "nearest"):
+        got = asof_join(
+            probe, build, on="k", ts="ts", tie_break="seq", direction=direction
+        ).first()
+        assert got["asof"]["px"] == 2.0, direction  # seq=9 wins both ways
 
 
 def test_asof_randomized_forward_nearest_match_reference(spark):
