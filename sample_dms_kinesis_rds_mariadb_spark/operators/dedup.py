@@ -223,12 +223,15 @@ def winnowing_fingerprints(
     partitionings. Hash = crc32 of the utf-8 k-gram (identically computable
     in plain Python / other engines for verification).
 
-    Scale shape: the k-gram expansion is per-row array work (shifted-slice
-    zip, stays in codegen — no HOF capture, see functions/text.py
-    ``zip_ngrams``); the heavy shuffle is the per-document window, keyed by
-    ``id_col``, with payload (id, pos, hash) — never the text. The closing
-    distinct dedups map-side first (every doc's rows are co-located after
-    the window), so its exchange moves only final fingerprints.
+    Scale shape: a NARROW no-shuffle map. The k-gram expansion is per-row
+    array work (shifted-slice zip, stays in codegen — no HOF capture, see
+    functions/text.py ``zip_ngrams``), and the window-minimum selection
+    happens in array space too: slide ``array_min`` over ``window``-wide
+    slices of the (hash, pos) array, ``array_distinct`` the selections, and
+    explode only the SELECTED fingerprints. Nothing is keyed by document —
+    no Exchange anywhere (plan-asserted), so the operator scales like a
+    projection: at 100 TB it is a single pass over the text with output
+    ~2/(window+1) of the gram count.
     Output: one row per selected fingerprint (id, pos, hash).
     """
     chars = F.filter(F.split(F.lower(F.col(text_col)), ""), lambda c: c != F.lit(""))
@@ -246,29 +249,37 @@ def winnowing_fingerprints(
             F.encode(F.concat_ws("", *[s[str(i)] for i in range(k)]), "utf-8")
         ),
     )
-    hashed = df.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "hash")
+    grams_pos = F.transform(
+        grams, lambda h, i: F.struct(h.alias("hash"), i.alias("pos"))
     )
-    from pyspark.sql import Window
-
-    byid = Window.partitionBy(id_col)
-    w_min = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
+    # BIND the hashed-gram array to a column before the sliding-min pass:
+    # embedding the expression inside the next transform's lambda body would
+    # re-evaluate the whole k-gram hashing once PER WINDOW START (O(n²·k)
+    # per doc — measured 20x slower at sf0.01). As a bound attribute the
+    # lambda body is an O(window) slice. The two projections don't collapse
+    # (the alias is referenced multiple times, incl. under a HOF).
+    bound = df.select(F.col(id_col), grams_pos.alias("_gp"))
+    gp = F.col("_gp")
+    n = F.size(gp)
+    # full windows select (starts 0 .. n-window); a doc with fewer than
+    # `window` grams still fingerprints once via the partial window at 0
+    # (slice caps at the array end); zero grams -> NULL -> explode drops row
+    starts = F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0)))
+    selected = F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                starts,
+                lambda i: F.array_min(F.slice(gp, i + F.lit(1), F.lit(window))),
+            )
+        ),
     )
-    return (
-        hashed.withColumn("_n", F.count("*").over(byid))
-        .withColumn("_sel", F.min(F.struct("hash", "pos")).over(w_min))
-        # full windows select (starts 0 .. n-window); a doc with fewer than
-        # `window` grams still fingerprints once via the partial window at 0
-        .filter(F.col("pos") <= F.greatest(F.col("_n") - window, F.lit(0)))
-        .select(
-            F.col(id_col),
-            F.col("_sel.pos").alias("pos"),
-            F.col("_sel.hash").alias("hash"),
-        )
-        .distinct()
+    return bound.select(
+        F.col(id_col), F.explode(selected).alias("_fp")
+    ).select(
+        F.col(id_col),
+        F.col("_fp.pos").alias("pos"),
+        F.col("_fp.hash").alias("hash"),
     )
 
 

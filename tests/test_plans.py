@@ -129,3 +129,26 @@ def test_session_windows_single_scan_no_join(spark):
 
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     assert "Join" not in plan
+
+
+def test_winnowing_fingerprints_no_shuffle(spark):
+    """Fingerprint selection happens in array space — the operator must be
+    a narrow map over the documents scan: zero Exchange, zero Window, zero
+    Sort. (A per-document window formulation would shuffle O(total chars)
+    rows at 100 TB.)"""
+    import contextlib
+    import io
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = winnowing_fingerprints(docs, "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Sort" not in plan
