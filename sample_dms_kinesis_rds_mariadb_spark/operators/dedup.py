@@ -454,9 +454,13 @@ class MinHashIndex:
         later near-dups of a dropped doc still deduplicate). Returns the
         surviving rows of ``batch``.
 
-        Materializes the loser set before appending so the verdict is
-        computed against the pre-append store (Spark plans are lazy; the
-        append below would otherwise race the probe's scan).
+        The loser set (ids only, bounded by the batch size) is collected to
+        the driver BEFORE appending — pinning the verdict against the
+        pre-append store — and anti-joined back as a broadcast literal
+        frame. No cached DataFrame outlives the call (the previous
+        formulation leaked one cache entry per micro-batch in the
+        foreachBatch streaming use), and correctness no longer rides on
+        cache retention.
         """
         vs_store = self.probe(batch, text_col).select(
             F.col("new_id").alias(self.id_col)
@@ -469,10 +473,16 @@ class MinHashIndex:
             .filter(F.col("id_a") < F.col("id_b"))
             .select(F.col("id_b").alias(self.id_col))
         )
-        losers = vs_store.union(in_batch).distinct().cache()
-        losers.count()  # pin the verdict before the store changes
+        loser_ids = [
+            r[0] for r in vs_store.union(in_batch).distinct().collect()
+        ]
         self.append(batch, text_col)
-        return batch.join(losers, self.id_col, "left_anti")
+        if not loser_ids:
+            return batch
+        loser_df = self.spark.createDataFrame(
+            [(i,) for i in loser_ids], batch.select(self.id_col).schema
+        )
+        return batch.join(F.broadcast(loser_df), self.id_col, "left_anti")
 
     def append(self, batch: DataFrame, text_col: str) -> None:
         """Add the batch's signatures to the store (per-band partition

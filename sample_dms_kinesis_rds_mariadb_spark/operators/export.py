@@ -56,9 +56,17 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    # count from the files actually written, not by re-evaluating the lazy
+    # input plan — a non-deterministic source (unseeded sampling, files
+    # changing between the two jobs) would otherwise pin the manifest to
+    # DIFFERENT data than the bytes on disk
+    spark = df.sparkSession
     counts = {
         int(r["shard"]): r["n"]
-        for r in sharded.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
     manifest = {
         "n_shards": n_shards,
