@@ -513,7 +513,12 @@ def connected_components(
     pathological chains (raises rather than returning wrong clusters).
     Each round localCheckpoints the labels: the iterated lineage would
     otherwise grow a new join stage per round and replan everything.
+    Convergence detection rides the SAME job as the label update via
+    ``observe()`` (a node changed iff a neighbor's label undercuts its
+    own), so each round is exactly one Spark job — no second join+count
+    pass per round.
     """
+    from pyspark.sql import Observation
     both = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
@@ -530,8 +535,17 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(propagated, "node", "left")
+            # a node's label changes iff a neighbor min undercuts it; the
+            # comparison is NULL (-> counted 0) for nodes with no neighbors
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("nbr_min") < F.col("label"), 1).otherwise(0)
+                ).alias("changed"),
+            )
             .select(
                 "node",
                 F.least(
@@ -540,14 +554,8 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if not obs.get["changed"]:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds "
