@@ -64,11 +64,17 @@ class StreamStore:
         path: str,
         shards: int = 1,
         retention_hours: float | None = None,
+        auto_compact_files: int | None = 64,
     ) -> None:
         self.spark = spark
         self.path = path
         self.shards = shards
         self.retention_hours = retention_hours
+        # every append leaves >= 1 file, so a long-lived task loop grows the
+        # record log O(appends); when the file count reaches this threshold
+        # append() triggers compact() after releasing the lock. None = the
+        # caller owns compaction scheduling.
+        self.auto_compact_files = auto_compact_files
         self._next_seq: dict[int, int] = dict.fromkeys(range(shards), 0)
         self._lock = threading.Lock()
         os.makedirs(self._records_path, exist_ok=True)
@@ -184,7 +190,20 @@ class StreamStore:
             }
             for s, n in counts.items():
                 self._next_seq[s] += n
-            return sum(counts.values())
+            appended = sum(counts.values())
+        # outside the lock (compact() re-acquires it): bound file-count
+        # growth for long-lived task loops without a caller-side scheduler
+        if self.auto_compact_files is not None:
+            if (
+                sum(
+                    1
+                    for f in os.listdir(self._records_path)
+                    if f.endswith(".parquet")
+                )
+                >= self.auto_compact_files
+            ):
+                self.compact(min_files=self.auto_compact_files)
+        return appended
 
     def read(
         self,
@@ -446,12 +465,19 @@ class ShardIterator:
             after_ts=self._after_ts, shard_id=self.shard_id, from_seq=self._from_seq
         )
 
-    def get_records(self, limit: int | None = None) -> list[dict]:
+    PAGE_SIZE = 50  # the reference consumer's Limit (run.py:183)
+
+    def get_records(self, limit: int | None = PAGE_SIZE) -> list[dict]:
         """Collect up to ``limit`` records from the current position and
         advance past them. Returns Kinesis-shaped dicts: parsed envelope under
         ``Data`` plus ``SequenceNumber`` / ``PartitionKey`` /
         ``ApproximateArrivalTimestamp`` so callers can checkpoint and resume
-        via AT/AFTER_SEQUENCE_NUMBER."""
+        via AT/AFTER_SEQUENCE_NUMBER.
+
+        Defaults to a 50-record page (the reference consumer always pages,
+        run.py:183) so a naive tailing loop can't accidentally materialize
+        a long backlog on the driver; pass ``limit=None`` explicitly to
+        drain the full unread suffix."""
         df = parse_json_records(self.read())
         rows = df.collect() if limit is None else df.take(limit)
         out = []

@@ -360,6 +360,37 @@ def test_stream_compaction_preserves_content_and_sequence(spark, tmp_path):
     assert store.compact(min_files=1000) == 0
 
 
+def test_auto_compaction_bounds_file_count(spark, tmp_path):
+    """A long-lived task loop appends forever; with auto_compact_files set
+    (the default) the record log's file count must stay bounded instead of
+    growing O(appends), and no reader-visible state may change."""
+    import os
+
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+
+    path = str(tmp_path / "stream")
+    store = StreamStore(spark, path, shards=2, auto_compact_files=6)
+    records_dir = os.path.join(path, "records")
+    max_files = 0
+    for batch in range(12):
+        store.append(
+            _wire_batch(spark, [(f"k{i}", f"b{batch}v{i}") for i in range(4)])
+        )
+        max_files = max(
+            max_files,
+            len([f for f in os.listdir(records_dir) if f.endswith(".parquet")]),
+        )
+    # each append adds <= shards files; compaction folds back to <= shards
+    assert max_files <= 6 + 2
+    rows = store.read().collect()
+    assert len(rows) == 48
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard_id"], []).append(r["sequence_number"])
+    for ss in per_shard.values():
+        assert ss == list(range(1, len(ss) + 1))  # dense, ordered, no dupes
+
+
 def test_concurrent_appends_keep_sequences_dense(spark, tmp_path):
     """Two writers appending concurrently (T6: concurrent tasks share one
     stream) must interleave without losing or duplicating sequence numbers."""
