@@ -499,3 +499,103 @@ def test_streaming_session_window_with_watermark(spark, tmp_path):
         (1, "2024-01-01 01:30:00", 1),
         (2, "2024-01-01 00:05:00", 1),
     ]
+
+
+def test_streaming_asof_enrichment_matches_batch(spark, tmp_path):
+    """foreachBatch as-of stage: each micro-batch enriched against
+    TableMaterializer state must be row-equal to the batch asof_join over
+    the same probe rows and the same snapshot (the streaming dual of the
+    SCD2 batch time travel)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.joins import asof_join
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.apply import (
+        TableMaterializer,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.enrichment import (
+        asof_enrich_stage,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import (
+        TableRegistry,
+    )
+
+    # build side: replicated price history in the materializer
+    registry = TableRegistry()
+    prices = spark.createDataFrame(
+        [
+            (pid, k, dt.datetime(2024, 1, 1, 0, m), float(k * 100 + m))
+            for pid, (k, m) in enumerate(
+                (k, m) for k in (1, 2) for m in (0, 5, 10)
+            )
+        ],
+        "price_id LONG, k LONG, effective_ts TIMESTAMP, px DOUBLE",
+    ).cache()
+    prices.count()
+    registry.register_from_df("db", "prices", prices, primary_key="price_id")
+    mat = TableMaterializer(spark, registry, str(tmp_path / "state"), n_buckets=4)
+    mat.overwrite("db", "prices", prices)
+
+    # probe side: an event feed arriving in 3 micro-batches
+    feed_path = str(tmp_path / "events")
+    os.makedirs(feed_path)
+    all_events = []
+    for fno in range(3):
+        batch = [
+            {"pid": fno * 10 + i, "k": 1 + (i % 3), "ts": f"2024-01-01T00:{2 + 3 * i:02d}:30"}
+            for i in range(4)  # k in {1,2,3}: 3 has no build rows -> NULL asof
+        ]
+        all_events.extend(batch)
+        with open(os.path.join(feed_path, f"events-{fno}.json"), "w") as f:
+            f.write("\n".join(json.dumps(e) for e in batch) + "\n")
+
+    out_path = str(tmp_path / "enriched")
+    stage = asof_enrich_stage(
+        lambda: mat.table("db", "prices").drop("price_id"),
+        lambda df, _id: df.write.mode("append").parquet(out_path),
+        on="k",
+        ts="ts",
+        build_ts="effective_ts",
+    )
+    stream = spark.readStream.schema("pid LONG, k LONG, ts TIMESTAMP").option(
+        "maxFilesPerTrigger", "1"
+    ).json(feed_path)
+    q = (
+        stream.writeStream.foreachBatch(stage)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (
+            r.asDict(recursive=True)
+            for r in spark.read.parquet(out_path).collect()
+        ),
+        key=lambda r: r["pid"],
+    )
+    probe = spark.createDataFrame(
+        [(e["pid"], e["k"], dt.datetime.fromisoformat(e["ts"])) for e in all_events],
+        "pid LONG, k LONG, ts TIMESTAMP",
+    )
+    want = sorted(
+        (
+            r.asDict(recursive=True)
+            for r in asof_join(
+                probe,
+                prices.drop("price_id"),
+                on="k",
+                ts="ts",
+                build_ts="effective_ts",
+            ).collect()
+        ),
+        key=lambda r: r["pid"],
+    )
+    assert len(got) == 12
+    assert got == want
+    # sanity: enrichment actually attached state (k=1 at 00:08:30 -> px of
+    # the 00:05 row), and keys without build rows got NULL
+    by_pid = {r["pid"]: r for r in got}
+    assert by_pid[2]["asof"] is None  # k=3: no price history
