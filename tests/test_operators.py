@@ -695,3 +695,77 @@ def test_ivf_index_append_uses_stored_centroids(spark, tmp_path):
     # the appended vector is probe-visible and ranks at the top (cos=1)
     top = IvfIndex.load(spark, path).probe(vec(7), k=2, n_probe=1).collect()
     assert {r["vec_id"] for r in top} == {7, 100}
+
+
+def _bpe_ref(piece, merges):
+    """Independent reference BPE (GPT-2 encoder style: min-ranked pair via
+    get_pairs, rebuild with index scanning) — structurally different from
+    the engine's merge loop."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    word = tuple(piece)
+    while len(word) > 1:
+        pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        bigram = min(pairs, key=lambda p: ranks.get(p, float("inf")))
+        if bigram not in ranks:
+            break
+        first, second = bigram
+        new_word = []
+        i = 0
+        while i < len(word):
+            try:
+                j = word.index(first, i)
+            except ValueError:
+                new_word.extend(word[i:])
+                break
+            new_word.extend(word[i:j])
+            i = j
+            if i < len(word) - 1 and word[i + 1] == second:
+                new_word.append(first + second)
+                i += 2
+            else:
+                new_word.append(word[i])
+                i += 1
+        word = tuple(new_word)
+    return word
+
+
+def test_bpe_exact_counts_match_reference(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        bpe_pretokenize,
+        make_bpe_counter,
+    )
+
+    # a small trained-vocabulary analog: character merges building up common
+    # English chunks (order = priority, as in any public merges.txt)
+    merges = [
+        ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+        ("e", "r"), ("o", "n"), ("a", "t"), (" ", "the"), (" ", "and"),
+        ("in", "g"), ("c", "at"), (" ", "cat"), ("s", "at"), (" s", "at"),
+    ]
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "I'll say it's 2024, don't you?"),
+        (3, "thin thing another"),
+        (4, ""),
+        (5, "aaaa bbbb the the the"),
+        (6, "naïve café — résumé"),  # non-ASCII survives charwise
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    counter = make_bpe_counter(spark, merges)
+    got = {
+        r["id"]: (r["pieces"], r["n"])
+        for r in df.select(
+            "id",
+            bpe_pretokenize(F.col("text")).alias("pieces"),
+            counter(bpe_pretokenize(F.col("text"))).alias("n"),
+        ).collect()
+    }
+    for rid, _text in rows:
+        pieces, n = got[rid]
+        want = sum(len(_bpe_ref(p, merges)) for p in pieces)
+        assert n == want, (rid, pieces, n, want)
+    # merges actually fire: "the" collapses to one token, so the count is
+    # strictly below the pre-token piece character total
+    pieces1, n1 = got[1]
+    assert n1 < sum(len(p) for p in pieces1)
+    assert got[4][1] == 0
