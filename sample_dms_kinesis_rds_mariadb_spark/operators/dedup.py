@@ -211,6 +211,7 @@ def winnowing_fingerprints(
     text_col: str,
     k: int = 5,
     window: int = 4,
+    hash_fn: str = "crc32",
 ) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (Schleimer, Wilkerson,
     Aiken, SIGMOD 2003 — the MOSS algorithm): hash every character k-gram,
@@ -220,8 +221,12 @@ def winnowing_fingerprints(
     (hash) finds local overlap that whole-document hashing misses.
 
     Tie rule: the (hash, leftmost position) pair — deterministic across
-    partitionings. Hash = crc32 of the utf-8 k-gram (identically computable
-    in plain Python / other engines for verification).
+    partitionings. ``hash_fn``: ``"crc32"`` (default — cheapest JVM hash,
+    LONG, identically computable in plain Python via zlib) or ``"md5_32"``
+    (first 8 hex chars of md5 as a STRING — fixed-width lowercase hex
+    orders exactly like the integer it encodes, and md5 is the repo's
+    cross-engine primitive, so this variant is verifiable in DuckDB SQL,
+    which has no crc32). Selection semantics are identical either way.
 
     Scale shape: a NARROW no-shuffle map. The k-gram expansion is per-row
     array work (shifted-slice zip, stays in codegen — no HOF capture, see
@@ -234,6 +239,14 @@ def winnowing_fingerprints(
     ~2/(window+1) of the gram count.
     Output: one row per selected fingerprint (id, pos, hash).
     """
+    if hash_fn == "crc32":
+        def _hash(gram):
+            return F.crc32(F.encode(gram, "utf-8"))
+    elif hash_fn == "md5_32":
+        def _hash(gram):
+            return F.substring(F.md5(gram), 1, 8)
+    else:
+        raise ValueError(f"hash_fn must be crc32 or md5_32, got {hash_fn!r}")
     chars = F.filter(F.split(F.lower(F.col(text_col)), ""), lambda c: c != F.lit(""))
     grams = F.transform(
         # arrays_zip of k shifted slices: each element is a struct of k chars
@@ -245,9 +258,7 @@ def winnowing_fingerprints(
                 for i in range(k)
             ]
         ),
-        lambda s: F.crc32(
-            F.encode(F.concat_ws("", *[s[str(i)] for i in range(k)]), "utf-8")
-        ),
+        lambda s: _hash(F.concat_ws("", *[s[str(i)] for i in range(k)])),
     )
     grams_pos = F.transform(
         grams, lambda h, i: F.struct(h.alias("hash"), i.alias("pos"))
@@ -291,6 +302,7 @@ def winnowing_near_dups(
     window: int = 4,
     min_shared: int = 2,
     max_df: int = 1000,
+    hash_fn: str = "crc32",
 ) -> DataFrame:
     """Local-overlap near-dup pairs via winnowing: documents sharing
     ``min_shared`` or more selected fingerprints. Candidate pairs form only
@@ -301,7 +313,9 @@ def winnowing_near_dups(
     fingerprints miss.
     Output: (id_a, id_b, shared_fingerprints), id_a < id_b.
     """
-    fps = winnowing_fingerprints(df, id_col, text_col, k=k, window=window)
+    fps = winnowing_fingerprints(
+        df, id_col, text_col, k=k, window=window, hash_fn=hash_fn
+    )
     # one row per (doc, hash): position multiplicity must not inflate the
     # shared count
     by_hash = fps.select(id_col, "hash").distinct()

@@ -398,33 +398,6 @@ def _bucket_expr_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
     )
 
 
-def _near_dup_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
-    """Oracle for the LSH-bucketed near-dup self-join: pairs share a bucket,
-    ordered by the UNROUNDED cosine (bit-identical doubles on both sides, so
-    the top-20 cut is deterministic), rounded only in the output."""
-    return f"""
-        WITH bucketed AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                 {_bucket_expr_sql(n_planes, dim, seed)} AS bucket
-          FROM embeddings
-        ),
-        pairs AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 list_inner_product(a.v, b.v)
-                 / (sqrt(list_inner_product(a.v, a.v))
-                    * sqrt(list_inner_product(b.v, b.v))) AS sim
-          FROM bucketed a JOIN bucketed b
-            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        )
-        SELECT id_a, id_b,
-               CAST(CAST(ROUND(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cosine_sim
-        FROM pairs
-        WHERE sim >= -1.0
-        ORDER BY sim DESC, id_a, id_b
-        LIMIT 20
-    """
-
-
 @register(
     "embedding_ann_lsh",
     "Approximate NN: seeded random-hyperplane LSH bucketing + multiprobe "
@@ -573,26 +546,75 @@ def q_dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing catalog parameters: md5_32 hash (cross-engine; production
+# default stays crc32), deterministic doc subset (limit() order is undefined
+# on a parquet scan), df-cap + min_shared bound the bucket joins.
+_WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED, _WINNOW_MAX_DF = 5, 4, 5, 100
+_WINNOW_DOCS = 300
+
+
 @register(
-    "embedding_near_dup",
-    "Embedding near-duplicate pairs: LSH-bucketed cosine self-join, top-20 "
-    "most-similar in-bucket pairs (north-star dedup family #5; bucket-"
-    "bounded quadratic — fully oracle-checked via hyperplane SQL literals, "
-    "same cross-engine bucket identity as embedding_ann_lsh)",
-    oracle=_near_dup_oracle_sql(),
-    tags=("dedup", "similarity"),
+    "winnowing_near_dups",
+    "Winnowing (MOSS) local-overlap near-dup pairs: k-gram rolling hashes, "
+    "array-space sliding window minima (narrow no-shuffle selection), "
+    "df-capped bucket join on shared fingerprints (north-star dedup family "
+    "#5 — FULLY oracle-checked: md5_32 hashes + the (hash|pos) string-min "
+    "trick reproduce the leftmost-min tie rule in SQL)",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, lower(text) AS s FROM documents
+          WHERE doc_id < {_WINNOW_DOCS}
+        ),
+        g AS (
+          SELECT doc_id, i,
+                 substr(md5(substr(s, i, {_WINNOW_K})), 1, 8)
+                   || '|' || lpad(CAST(i AS VARCHAR), 10, '0') AS hp,
+                 GREATEST(len(s) - {_WINNOW_K - 1}, 0) AS n
+          FROM t, LATERAL (
+            SELECT unnest(generate_series(
+              1, GREATEST(len(s) - {_WINNOW_K - 1}, 0))) AS i
+          )
+        ),
+        win AS (
+          SELECT doc_id, i, n,
+                 min(hp) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+                 ) AS sel
+          FROM g
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id, substr(sel, 1, 8) AS h
+          FROM win WHERE i <= GREATEST(n - {_WINNOW_W}, 0) + 1
+        ),
+        capped AS (
+          SELECT doc_id, h FROM fps
+          QUALIFY count(*) OVER (PARTITION BY h) <= {_WINNOW_MAX_DF}
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+        FROM capped a JOIN capped b USING (h)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
 )
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    # dim is the dataset contract (64); one explicit lookup at plan-build
-    # time (index-build cost class), not hidden inside the operator per call
-    dim = similarity.embedding_dim(emb)
-    pairs = similarity.cosine_self_join_topk(emb, threshold=-1.0, dim=dim)
-    return pairs.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(20).select(
-        "id_a",
-        "id_b",
-        F.round(F.col("cosine_sim"), 6).cast("decimal(18,6)").cast("double").alias("cosine_sim"),
+def q_winnowing_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _WINNOW_DOCS
     )
+    return dedup.winnowing_near_dups(
+        docs,
+        "doc_id",
+        "text",
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED,
+        max_df=_WINNOW_MAX_DF,
+        hash_fn="md5_32",
+    ).orderBy("id_a", "id_b")
 
 
 @register(

@@ -464,13 +464,17 @@ def test_extract_audio_features_spark(spark):
     assert math.isclose(feats[2]["duration_sec"], 1.0) and feats[2]["rms"] == 0.0
 
 
-def _winnow_py(text, k=5, window=4):
-    """Independent pure-Python winnowing reference (crc32, leftmost-min tie)."""
+def _winnow_py(text, k=5, window=4, hash_fn="crc32"):
+    """Independent pure-Python winnowing reference (leftmost-min tie)."""
+    import hashlib
     import zlib
 
     s = text.lower()
     grams = [s[i : i + k] for i in range(max(len(s) - k + 1, 0))]
-    hashes = [zlib.crc32(g.encode()) for g in grams]
+    if hash_fn == "crc32":
+        hashes = [zlib.crc32(g.encode()) for g in grams]
+    else:
+        hashes = [hashlib.md5(g.encode()).hexdigest()[:8] for g in grams]
     if not hashes:
         return set()
     out = set()
@@ -492,11 +496,17 @@ def test_winnowing_matches_python_reference(spark):
         (5, "the quick brown fox naps under the lazy dog"),
     ]
     df = spark.createDataFrame(texts, "doc_id INT, text STRING")
-    got = {}
-    for r in dedup.winnowing_fingerprints(df, "doc_id", "text").collect():
-        got.setdefault(r["doc_id"], set()).add((r["pos"], r["hash"]))
-    for doc_id, text in texts:
-        assert got.get(doc_id, set()) == _winnow_py(text), f"doc {doc_id}"
+    for hash_fn in ("crc32", "md5_32"):
+        got = {}
+        for r in dedup.winnowing_fingerprints(
+            df, "doc_id", "text", hash_fn=hash_fn
+        ).collect():
+            got.setdefault(r["doc_id"], set()).add((r["pos"], r["hash"]))
+        for doc_id, text in texts:
+            assert got.get(doc_id, set()) == _winnow_py(text, hash_fn=hash_fn), (
+                hash_fn,
+                doc_id,
+            )
 
     # the winnowing guarantee in action: docs 1 and 5 share the substrings
     # "the quick brown fox " and " the lazy dog" (≥ k+window-1 chars) →
