@@ -37,6 +37,13 @@ HEADLINE = [
     "text_quality",
     "token_counts",
     "doc_fingerprints",
+    # temporal/dedup operator wave (rounds 3-5): tracked round-over-round
+    # like the original legs
+    "asof_join_enrich",
+    "range_join_incidents",
+    "session_windows",
+    "simhash_dedup",
+    "winnowing_near_dups",
 ]
 
 
@@ -63,6 +70,22 @@ def main() -> None:
         # count()-style column pruning or driver-side collect cost
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # transitive-dedup leg: hash-min label propagation over the MinHash LSH
+    # candidate pairs (iterative operator — driver-paced rounds, so it is
+    # timed as its own leg rather than a catalog entry)
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidate_pairs,
+    )
+
+    t0 = time.perf_counter()
+    _docs = _lt(spark, sf_dir, "documents")
+    _cc = connected_components(
+        minhash_lsh_candidate_pairs(_docs, "doc_id", "text")
+    )
+    _cc.write.mode("overwrite").format("noop").save()
+    timings["connected_components_minhash"] = round(time.perf_counter() - t0, 3)
 
     # full-load replication throughput: lineitem → envelope encode → ordered
     # sink write (the engine's S1→K1 path), measured as rows/sec
