@@ -28,6 +28,23 @@ from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import (
 from sample_dms_kinesis_rds_mariadb_spark.functions.text import doc_fingerprint
 
 
+def _pin(df: DataFrame, materialize: bool) -> DataFrame:
+    """Materialize a small per-document signature frame before a self-join.
+
+    Spark evaluates each join side independently — without pinning, the
+    corpus scan + signature computation upstream of an a/b self-join runs
+    TWICE (ReuseExchange does not fire across the differently-projected
+    sides, measured in the executed plans). The signature frames here are
+    tiny relative to the corpus (~8-40 bytes/doc: id + hash), so an eager
+    ``localCheckpoint`` trades bounded executor storage for a whole corpus
+    scan — the right trade at any scale, and ContextCleaner reclaims the
+    checkpoint once the result frame is unreferenced. Pass
+    ``materialize=False`` for a fully lazy plan (e.g. ``.explain`` without
+    execution, or when composing into a larger pinned pipeline).
+    """
+    return df.localCheckpoint(eager=True) if materialize else df
+
+
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: keep the lowest id per normalized-content fingerprint.
     One hash-shuffle on the fingerprint; at 100 TB this is the cheapest
@@ -43,13 +60,21 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_lsh_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing a MinHash signature
     in ≥1 band. Self-join is on (band, signature) — a hash-partitioned
     equi-join whose fan-out is bucket-bounded. Returns distinct (id_a, id_b)
-    with id_a < id_b."""
-    sigs = minhash_signatures(df, id_col, text_col, n=n, bands=bands)
+    with id_a < id_b. The signature frame is pinned before the self-join
+    (see :func:`_pin`) so the corpus is shingled once, not per join side."""
+    sigs = _pin(
+        minhash_signatures(df, id_col, text_col, n=n, bands=bands), materialize
+    )
     a = sigs.select(
         F.col("band"), F.col("signature"), F.col(id_col).alias("id_a")
     )
@@ -118,7 +143,12 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def simhash_near_pairs_md5(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Cross-engine-verifiable SimHash near-dup pairs: 60-bit md5-derived
     fingerprints, 15-bit-band pigeonhole bucketing (hamming ≤ 3 of 60 bits
@@ -127,7 +157,7 @@ def simhash_near_pairs_md5(
     catalog query carries a full DuckDB oracle."""
     from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import simhash60_md5
 
-    fps = simhash60_md5(df, id_col, text_col)
+    fps = _pin(simhash60_md5(df, id_col, text_col), materialize)
     width = 60 // bands
     banded = fps.select(
         F.col(id_col),
@@ -166,12 +196,17 @@ def simhash_near_pairs_md5(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: bucket on 16-bit bands of the
     fingerprint (a pair within hamming distance ≤ 3 of 64 bits must agree on
     ≥1 of 4 bands — pigeonhole), then verify exact hamming distance."""
-    fps = simhash_fingerprints(df, id_col, text_col)
+    fps = _pin(simhash_fingerprints(df, id_col, text_col), materialize)
     width = 64 // bands
     banded = fps.select(
         F.col(id_col),
@@ -303,6 +338,7 @@ def winnowing_near_dups(
     min_shared: int = 2,
     max_df: int = 1000,
     hash_fn: str = "crc32",
+    materialize: bool = True,
 ) -> DataFrame:
     """Local-overlap near-dup pairs via winnowing: documents sharing
     ``min_shared`` or more selected fingerprints. Candidate pairs form only
@@ -310,7 +346,8 @@ def winnowing_near_dups(
     fingerprint hash, never all-pairs), then a count-aggregate keeps pairs
     with enough independent shared regions. Catches partial-overlap
     duplicates (shared boilerplate, quoted passages) that whole-document
-    fingerprints miss.
+    fingerprints miss. The df-capped fingerprint frame is pinned before the
+    self-join (see :func:`_pin`) so the corpus is fingerprinted once.
     Output: (id_a, id_b, shared_fingerprints), id_a < id_b.
     """
     fps = winnowing_fingerprints(
@@ -327,9 +364,12 @@ def winnowing_near_dups(
     # duplicate signal anyway.
     from pyspark.sql import Window
 
-    capped = by_hash.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("hash"))
-    ).filter(F.col("_df") <= max_df)
+    capped = _pin(
+        by_hash.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("hash"))
+        ).filter(F.col("_df") <= max_df),
+        materialize,
+    )
     a = capped.select(F.col("hash"), F.col(id_col).alias("id_a"))
     b = capped.select(F.col("hash"), F.col(id_col).alias("id_b"))
     return (

@@ -383,11 +383,18 @@ def cosine_self_join_topk(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all pairs within one LSH bucket with
     cosine ≥ threshold. The self-join key is the bucket — quadratic only in
-    bucket occupancy (expected n/2^planes), linear in corpus size."""
+    bucket occupancy (expected n/2^planes), linear in corpus size. The
+    bucketed frame is materialized (eager localCheckpoint) before the
+    self-join so the corpus is scanned and hashed once, not per join side
+    (Spark evaluates each side independently; see operators/dedup._pin);
+    ``materialize=False`` keeps the plan fully lazy."""
     b = with_lsh_buckets(df, vec_col, n_planes, seed, dim=dim)
+    if materialize:
+        b = b.localCheckpoint(eager=True)
     a = b.select(
         F.col("lsh_bucket"),
         F.col(id_col).alias("id_a"),
