@@ -413,3 +413,95 @@ def cosine_self_join_topk(
         .select("id_a", "id_b", "cosine_sim")
         .distinct()
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    sample_fraction: float = 1.0,
+    materialize: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then compare pairs ONLY
+    within a cluster — cosine >= ``threshold`` marks a semantic duplicate.
+
+    This is the learned-partition counterpart of the hyperplane-LSH
+    near-dup join (:func:`cosine_self_join_topk`): k-means lists adapt to
+    the data distribution, so semantically close points co-locate even
+    where random hyperplanes would split them. Pairs crossing a cluster
+    boundary are missed BY DESIGN — that is SemDeDup's stated
+    approximation, traded for making the quadratic local to each list.
+
+    ``centroids``: pass a fixed centroid list (e.g. medoids) to skip KMeans
+    — reproducible across engines and runs; otherwise seeded Spark-ML
+    KMeans trains on ``sample_fraction`` of the corpus.
+
+    Scale shape: one corpus pass to assign (pure JVM expression for fixed
+    centroids), the assigned (id, list, vector) frame is pinned
+    (localCheckpoint) before the self-join so assignment runs once, and the
+    join key is ``ivf_list`` — quadratic only within a list. At 100 TB
+    raise ``n_lists`` so per-list occupancy stays bounded (SemDeDup used
+    ~100k clusters for web corpora).
+    Output: (id_a, id_b, cosine_sim), id_a < id_b.
+    """
+    if centroids is not None:
+        assigned = df.select(
+            F.col(id_col),
+            assign_to_centroids(F.col(vec_col), centroids).alias("ivf_list"),
+            to_double_array(F.col(vec_col)).alias("_v"),
+        )
+    else:
+        with_lists, _ = ivf_assignments(
+            df,
+            n_lists=n_lists,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            sample_fraction=sample_fraction,
+        )
+        assigned = with_lists.select(
+            F.col(id_col),
+            F.col("ivf_list"),
+            to_double_array(F.col(vec_col)).alias("_v"),
+        )
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(
+        "ivf_list", F.col(id_col).alias("id_a"), F.col("_v").alias("va")
+    )
+    b = assigned.select(
+        "ivf_list", F.col(id_col).alias("id_b"), F.col("_v").alias("vb")
+    )
+    return (
+        a.join(b, "ivf_list")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Survivors of SemDeDup: drop every row whose embedding has cosine >=
+    ``threshold`` to a LOWER-id row in the same cluster (one-hop, matching
+    ``dedup_minhash_lsh`` semantics; feed :func:`semantic_dedup_pairs`
+    through ``operators.dedup.connected_components`` when transitive
+    clusters are wanted). Keyword args pass through to
+    :func:`semantic_dedup_pairs`."""
+    pairs = semantic_dedup_pairs(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col, **kwargs
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

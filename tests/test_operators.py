@@ -779,3 +779,92 @@ def test_bpe_exact_counts_match_reference(spark):
     pieces1, n1 = got[1]
     assert n1 < sum(len(p) for p in pieces1)
     assert got[4][1] == 0
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """SemDeDup parity: with FIXED centroids, the within-cluster pair set
+    and the survivor set must equal a brute-force Python reference (assign
+    by euclidean argmin, all-pairs cosine inside each cluster)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    centroids = [
+        [10.0 if i == j else 0.0 for i in range(dim)] for j in range(4)
+    ]
+    rows = []
+    for vid in range(40):
+        c = centroids[vid % 4]
+        v = [x + rng.uniform(-1.0, 1.0) for x in c]
+        rows.append((vid, v))
+    # planted near-dups: tiny perturbations of existing rows
+    for vid, src in ((100, 3), (101, 10), (102, 3)):
+        v = [x + rng.uniform(-1e-4, 1e-4) for x in rows[src][1]]
+        rows.append((vid, v))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    threshold = 0.999
+
+    def assign(v):
+        def d2(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+
+        return min(range(len(centroids)), key=lambda c: (d2(v, centroids[c]), c))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    by_cluster = {}
+    for vid, v in rows:
+        by_cluster.setdefault(assign(v), []).append((vid, v))
+    want_pairs = set()
+    for members in by_cluster.values():
+        for i, (ia, va) in enumerate(members):
+            for ib, vb in members[i + 1 :]:
+                lo, hi = min(ia, ib), max(ia, ib)
+                if cos(va, vb) >= threshold:
+                    want_pairs.add((lo, hi))
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.semantic_dedup_pairs(
+            df, threshold=threshold, centroids=centroids
+        ).collect()
+    }
+    assert got_pairs == want_pairs and want_pairs  # planted dups detected
+
+    want_losers = {b for _, b in want_pairs}
+    got_survivors = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            df, threshold=threshold, centroids=centroids
+        ).collect()
+    }
+    assert got_survivors == {vid for vid, _ in rows} - want_losers
+    # the keeper of each planted pair is the ORIGINAL (lower id)
+    assert {3, 10}.issubset(got_survivors)
+    assert {100, 101, 102}.isdisjoint(got_survivors)
+
+
+def test_semantic_dedup_kmeans_path(spark):
+    """The KMeans path (no fixed centroids) runs end-to-end, keeps
+    id-ordering semantics, and its pair set contains the planted
+    perturbation pair regardless of learned cluster boundaries around it."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (vid, [rng.uniform(-1, 1) for _ in range(8)]) for vid in range(30)
+    ]
+    rows.append((99, [x + 1e-5 for x in rows[5][1]]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    pairs = similarity.semantic_dedup_pairs(
+        df, threshold=0.9999, n_lists=3, seed=1
+    ).collect()
+    assert (5, 99) in {(r["id_a"], r["id_b"]) for r in pairs}
+    survivors = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(df, threshold=0.9999, n_lists=3, seed=1).collect()
+    }
+    assert 5 in survivors and 99 not in survivors
