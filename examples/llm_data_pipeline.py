@@ -3,7 +3,7 @@
   documents → language-ID → quality filter → exact dedup → MinHash-LSH
   near-dup candidates → exact-Jaccard verification → surviving corpus
   → deterministic train/heldout split → weighted corpus mixture
-  embeddings → IVF index build → ANN probe
+  embeddings → IVF index build → ANN probe → semantic dedup (SemDeDup)
 
 Run: python examples/llm_data_pipeline.py  [sf_dir, default sf0.001]
 
@@ -144,6 +144,13 @@ def main() -> None:
     )
     top = index.probe(probe_vec, k=5, n_probe=3).collect()
     print("ANN top-5 for vec 0:", [(r["vec_id"], round(r["cosine_sim"], 4)) for r in top])
+
+    # 6. semantic dedup (SemDeDup): drop embedding-space near-dups within
+    # learned clusters — the semantic counterpart of stage 3's lexical LSH
+    sem_survivors = similarity.semantic_dedup(
+        emb, threshold=0.95, n_lists=8
+    ).count()
+    print(f"semantic dedup: {emb.count()} vectors -> {sem_survivors} survivors")
     print("done.")
 
 
