@@ -167,3 +167,41 @@ def test_resize_shape_and_value_conservation(w, h, nw, nh, raw):
 
     same = resize_image(src, w, h)
     assert same[_parse_pnm_binary(same)[3] :] == src_px
+
+
+# -- winnowing guarantee -----------------------------------------------------
+# The MOSS theorem (Schleimer et al. 2003): any shared substring of length
+# >= k + window - 1 between two documents yields at least one shared
+# selected fingerprint. Property-tested on the pure-Python reference that
+# the Spark implementation is example-tested equal to
+# (tests/test_operators.py::test_winnowing_matches_python_reference).
+
+from test_operators import _winnow_py  # noqa: E402
+
+_lower = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x7A),
+    min_size=0,
+    max_size=40,
+)
+_K, _W = 5, 4
+
+
+@given(
+    _lower,
+    _lower,
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x7A),
+        min_size=_K + _W - 1,
+        max_size=24,
+    ),
+    st.integers(0, 40),
+    st.integers(0, 40),
+)
+@settings(max_examples=300)
+def test_winnowing_guarantee_shared_substring(doc_a, doc_b, shared, cut_a, cut_b):
+    a = doc_a[: cut_a % (len(doc_a) + 1)] + shared + doc_a[cut_a % (len(doc_a) + 1) :]
+    b = doc_b[: cut_b % (len(doc_b) + 1)] + shared + doc_b[cut_b % (len(doc_b) + 1) :]
+    for hash_fn in ("crc32", "md5_32"):
+        ha = {h for _, h in _winnow_py(a, _K, _W, hash_fn=hash_fn)}
+        hb = {h for _, h in _winnow_py(b, _K, _W, hash_fn=hash_fn)}
+        assert ha & hb, (a, b, shared)
