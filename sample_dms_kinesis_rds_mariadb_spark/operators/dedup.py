@@ -137,6 +137,47 @@ def ngram_jaccard_pairs(
     return out
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 20,
+) -> DataFrame:
+    """Verify candidate pairs by bounded Levenshtein distance — the
+    strictest verification stage (exact character-level edits), for when
+    Jaccard's bag-of-shingles view is too loose (e.g. near-identical docs
+    differing by a short insertion that shifts every shingle).
+
+    Uses Spark's thresholded ``levenshtein``: the JVM kernel short-circuits
+    to -1 once the running distance exceeds ``max_distance``, so cost per pair
+    is O(len × max_distance), not O(len²) — essential when candidates
+    include long documents. Like :func:`ngram_jaccard_pairs`, the quadratic
+    is bounded by the candidate set (LSH/SimHash/winnowing output), never
+    all-pairs.
+    Output: (id_a, id_b, edit_distance), edit_distance <= max_distance.
+    """
+    texts = df.select(F.col(id_col), F.col(text_col))
+    out = (
+        pairs.join(
+            texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")),
+            "id_a",
+        )
+        .join(
+            texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")),
+            "id_b",
+        )
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("_ta"), F.col("_tb"), max_distance),
+        )
+        # thresholded levenshtein returns -1 past the bound
+        .filter(F.col("edit_distance") >= 0)
+        .select("id_a", "id_b", "edit_distance")
+    )
+    return out
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document (functions/hashing.py)."""
     return simhash64(df, id_col, text_col)

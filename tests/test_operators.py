@@ -868,3 +868,39 @@ def test_semantic_dedup_kmeans_path(spark):
         for r in similarity.semantic_dedup(df, threshold=0.9999, n_lists=3, seed=1).collect()
     }
     assert 5 in survivors and 99 not in survivors
+
+
+def _lev_ref(a, b):
+    """Textbook DP Levenshtein — independent of Spark's kernel."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_reference(spark, docs):
+    pairs = dedup.minhash_lsh_candidate_pairs(docs, "doc_id", "text")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in dedup.edit_distance_pairs(
+            docs, pairs, "doc_id", "text", max_distance=15
+        ).collect()
+    }
+    want = {}
+    for (ia, ib) in {tuple(r) for r in pairs.select("id_a", "id_b").collect()}:
+        d = _lev_ref(texts[ia], texts[ib])
+        if d <= 15:
+            want[(ia, ib)] = d
+    assert got == want and (1, 2) in got and got[(1, 2)] == 0
+    # the bound actually prunes: a tight threshold keeps only exact dups
+    tight = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.edit_distance_pairs(
+            docs, pairs, "doc_id", "text", max_distance=0
+        ).collect()
+    }
+    assert tight == {(1, 2)}
