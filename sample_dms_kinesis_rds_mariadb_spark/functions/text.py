@@ -69,8 +69,9 @@ def make_bpe_counter(spark, merges):
     Scale shape: the merge table ships ONCE per executor via a SparkContext
     broadcast (a 50k-merge GPT-2-class vocab is ~1 MB — broadcast, never a
     per-row closure), the UDF is vectorized over Arrow batches, and a
-    per-task piece cache collapses the Zipfian head (most pieces repeat), so
-    per-row work is a dict hit for common words. The merge loop itself is
+    per-worker piece cache (outliving batches and tasks) collapses the
+    Zipfian head (most pieces repeat), so per-row work is a dict hit for
+    common words. The merge loop itself is
     the standard greedy lowest-rank algorithm (Sennrich et al. 2016; the
     GPT-2 reference encoder): repeatedly merge the best-ranked adjacent
     pair until none ranks.
@@ -110,9 +111,15 @@ def make_bpe_counter(spark, merges):
             word = merged
         return len(word)
 
+    # one cache per Python WORKER process (the closure outlives individual
+    # Arrow batches and tasks — workers are reused), so the Zipfian head of
+    # common pieces is tokenized once per worker, not once per batch; the
+    # cap bounds memory against adversarial vocabularies
+    cache: dict[str, int] = {}
+    _CACHE_CAP = 1_000_000
+
     def bpe_counter(pretokens):
         ranks = bc.value
-        cache: dict[str, int] = {}
 
         def doc_count(pieces) -> int:
             if pieces is None:
@@ -121,6 +128,8 @@ def make_bpe_counter(spark, merges):
             for p in pieces:
                 n = cache.get(p)
                 if n is None:
+                    if len(cache) >= _CACHE_CAP:
+                        cache.clear()
                     n = _n_tokens(p, ranks)
                     cache[p] = n
                 total += n

@@ -155,19 +155,32 @@ def edit_distance_pairs(
     include long documents. Like :func:`ngram_jaccard_pairs`, the quadratic
     is bounded by the candidate set (LSH/SimHash/winnowing output), never
     all-pairs.
+
+    Scan shape: a naive per-side text join would scan the FULL-TEXT corpus
+    twice (the heaviest column in the table). Instead the pairs melt into
+    (id_a, id_b, side, text-id) legs, join the text table ONCE, and a
+    per-pair aggregate pivots the two sides back into columns — one corpus
+    scan, one shuffle keyed on the pair.
     Output: (id_a, id_b, edit_distance), edit_distance <= max_distance.
     """
-    texts = df.select(F.col(id_col), F.col(text_col))
-    out = (
-        pairs.join(
-            texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")),
-            "id_a",
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
+    legs = pairs.select(
+        "id_a", "id_b", F.col("id_a").alias("_tid"), F.lit("a").alias("_side")
+    ).unionByName(
+        pairs.select(
+            "id_a", "id_b", F.col("id_b").alias("_tid"), F.lit("b").alias("_side")
         )
-        .join(
-            texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")),
-            "id_b",
+    )
+    wide = (
+        legs.join(texts, "_tid")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("_side") == "a", F.col("_txt"))).alias("_ta"),
+            F.max(F.when(F.col("_side") == "b", F.col("_txt"))).alias("_tb"),
         )
-        .withColumn(
+    )
+    return (
+        wide.withColumn(
             "edit_distance",
             F.levenshtein(F.col("_ta"), F.col("_tb"), max_distance),
         )
@@ -175,7 +188,6 @@ def edit_distance_pairs(
         .filter(F.col("edit_distance") >= 0)
         .select("id_a", "id_b", "edit_distance")
     )
-    return out
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -549,13 +561,13 @@ class MinHashIndex:
         later near-dups of a dropped doc still deduplicate). Returns the
         surviving rows of ``batch``.
 
-        The loser set (ids only, bounded by the batch size) is collected to
-        the driver BEFORE appending — pinning the verdict against the
-        pre-append store — and anti-joined back as a broadcast literal
-        frame. No cached DataFrame outlives the call (the previous
-        formulation leaked one cache entry per micro-batch in the
-        foreachBatch streaming use), and correctness no longer rides on
-        cache retention.
+        The loser-id frame is MATERIALIZED (eager localCheckpoint) before
+        appending — pinning the verdict against the pre-append store — and
+        anti-joined back distributed. It never touches the driver (a
+        mostly-duplicate bulk batch can have millions of losers), nothing
+        rides on cache retention, and no cached frame outlives the call
+        (ContextCleaner reclaims the checkpoint with the result; the
+        previous .cache() formulation leaked one entry per micro-batch).
         """
         vs_store = self.probe(batch, text_col).select(
             F.col("new_id").alias(self.id_col)
@@ -568,16 +580,11 @@ class MinHashIndex:
             .filter(F.col("id_a") < F.col("id_b"))
             .select(F.col("id_b").alias(self.id_col))
         )
-        loser_ids = [
-            r[0] for r in vs_store.union(in_batch).distinct().collect()
-        ]
-        self.append(batch, text_col)
-        if not loser_ids:
-            return batch
-        loser_df = self.spark.createDataFrame(
-            [(i,) for i in loser_ids], batch.select(self.id_col).schema
+        losers = (
+            vs_store.union(in_batch).distinct().localCheckpoint(eager=True)
         )
-        return batch.join(F.broadcast(loser_df), self.id_col, "left_anti")
+        self.append(batch, text_col)
+        return batch.join(losers, self.id_col, "left_anti")
 
     def append(self, batch: DataFrame, text_col: str) -> None:
         """Add the batch's signatures to the store (per-band partition

@@ -59,15 +59,26 @@ def write_training_shards(
     # count from the files actually written, not by re-evaluating the lazy
     # input plan — a non-deterministic source (unseeded sampling, files
     # changing between the two jobs) would otherwise pin the manifest to
-    # DIFFERENT data than the bytes on disk
+    # DIFFERENT data than the bytes on disk. An all-filtered-out input
+    # writes no data files (just _SUCCESS); that is a valid empty corpus,
+    # not a schema-inference error.
     spark = df.sparkSession
-    counts = {
-        int(r["shard"]): r["n"]
-        for r in spark.read.parquet(path)
-        .groupBy("shard")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    has_files = any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+    )
+    counts = (
+        {
+            int(r["shard"]): r["n"]
+            for r in spark.read.parquet(path)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if has_files
+        else {}
+    )
     manifest = {
         "n_shards": n_shards,
         "key_col": key_col,
@@ -85,13 +96,22 @@ def verify_shards(spark, path: str) -> bool:
     integrity check). Raises on mismatch, returns True when clean."""
     with open(os.path.join(path, MANIFEST_FILE)) as f:
         manifest = json.load(f)
-    got = {
-        str(r["shard"]): r["n"]
-        for r in spark.read.parquet(path)
-        .groupBy("shard")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    has_files = any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+    )
+    got = (
+        {
+            str(r["shard"]): r["n"]
+            for r in spark.read.parquet(path)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if has_files
+        else {}
+    )
     want = manifest["shard_rows"]
     if got != want:
         raise ValueError(f"shard counts diverge from manifest: {got} != {want}")

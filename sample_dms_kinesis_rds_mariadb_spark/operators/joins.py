@@ -218,7 +218,11 @@ def range_join(
     lo = F.floor(_epoch_us(F.col(start)) / width)
     hi = F.floor(_epoch_us(F.col(end)) / width)
     n_buckets = hi - lo + F.lit(1)
-    guarded_hi = F.when(
+    # NULL start/end: n_buckets is NULL, the whole when-chain yields NULL,
+    # sequence(lo, NULL) is NULL and explode drops the row — preserving the
+    # silent-drop semantics an inner join gives NULL keys (only genuinely
+    # wide intervals raise)
+    guarded_hi = F.when(n_buckets.isNull(), F.lit(None).cast("long")).when(
         n_buckets <= F.lit(int(max_buckets_per_interval)), hi
     ).otherwise(
         F.raise_error(

@@ -388,13 +388,13 @@ def cosine_self_join_topk(
     """Embedding near-duplicate pairs: all pairs within one LSH bucket with
     cosine ≥ threshold. The self-join key is the bucket — quadratic only in
     bucket occupancy (expected n/2^planes), linear in corpus size. The
-    bucketed frame is materialized (eager localCheckpoint) before the
-    self-join so the corpus is scanned and hashed once, not per join side
-    (Spark evaluates each side independently; see operators/dedup._pin);
+    bucketed frame is pinned before the self-join so the corpus is
+    scanned and hashed once, not per join side (Spark evaluates each side
+    independently; see :func:`~..operators.dedup._pin` for the rationale);
     ``materialize=False`` keeps the plan fully lazy."""
-    b = with_lsh_buckets(df, vec_col, n_planes, seed, dim=dim)
-    if materialize:
-        b = b.localCheckpoint(eager=True)
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import _pin
+
+    b = _pin(with_lsh_buckets(df, vec_col, n_planes, seed, dim=dim), materialize)
     a = b.select(
         F.col("lsh_bucket"),
         F.col(id_col).alias("id_a"),
@@ -470,8 +470,9 @@ def semantic_dedup_pairs(
             F.col("ivf_list"),
             to_double_array(F.col(vec_col)).alias("_v"),
         )
-    if materialize:
-        assigned = assigned.localCheckpoint(eager=True)
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import _pin
+
+    assigned = _pin(assigned, materialize)
     a = assigned.select(
         "ivf_list", F.col(id_col).alias("id_a"), F.col("_v").alias("va")
     )

@@ -64,16 +64,21 @@ class StreamStore:
         path: str,
         shards: int = 1,
         retention_hours: float | None = None,
-        auto_compact_files: int | None = 64,
+        auto_compact_files: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.shards = shards
         self.retention_hours = retention_hours
         # every append leaves >= 1 file, so a long-lived task loop grows the
-        # record log O(appends); when the file count reaches this threshold
-        # append() triggers compact() after releasing the lock. None = the
-        # caller owns compaction scheduling.
+        # record log O(appends); when set, append() triggers compact() after
+        # releasing the lock once the file count reaches the threshold.
+        # OPT-IN (default None): compaction rewrites/renames record files, so
+        # a concurrent batch reader holding an open scan can hit vanished
+        # files, and a Structured Streaming tail (read_stream) sees the
+        # compacted files as NEW and re-delivers history — enable only on
+        # stores whose readers tolerate a re-shard-style boundary, or drive
+        # compact() yourself at quiet points.
         self.auto_compact_files = auto_compact_files
         self._next_seq: dict[int, int] = dict.fromkeys(range(shards), 0)
         self._lock = threading.Lock()

@@ -288,3 +288,18 @@ def test_verify_shards_detects_tampering(spark, tmp_path):
     os.remove(victim)
     with pytest.raises(ValueError, match="diverge"):
         verify_shards(spark, path)
+
+
+def test_training_shards_empty_input(spark, tmp_path):
+    """An all-filtered-out corpus is a valid (empty) export: manifest with
+    total_rows=0, verify passes — not a parquet schema-inference crash."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    path = str(tmp_path / "shards-empty")
+    manifest = write_training_shards(empty, path, "doc_id", n_shards=4)
+    assert manifest["total_rows"] == 0 and manifest["shard_rows"] == {}
+    assert verify_shards(spark, path)

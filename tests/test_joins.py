@@ -554,3 +554,27 @@ def test_asof_nearest_still_single_shuffle(spark, quotes, trades):
     assert "Join" not in plan
     # both frame directions ride ONE key sort: exactly one exchange
     assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+
+
+def test_range_join_null_bounds_drop_silently(spark, interval_data):
+    """An interval with NULL start/end carries no containment information —
+    it must drop like any NULL join key, not trip the runaway guard."""
+    probe, intervals = interval_data
+    with_null = intervals.union(
+        spark.createDataFrame(
+            [(998, _ts("2024-01-01 00:00:00"), None)], intervals.schema
+        )
+    )
+    base = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            probe, intervals, ts="ts", start="start_ts", end="end_ts"
+        ).collect()
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            probe, with_null, ts="ts", start="start_ts", end="end_ts"
+        ).collect()
+    )
+    assert got == base  # NULL-bounded interval contributes nothing

@@ -361,8 +361,8 @@ def test_stream_compaction_preserves_content_and_sequence(spark, tmp_path):
 
 
 def test_auto_compaction_bounds_file_count(spark, tmp_path):
-    """A long-lived task loop appends forever; with auto_compact_files set
-    (the default) the record log's file count must stay bounded instead of
+    """A long-lived task loop appends forever; with auto_compact_files
+    opted in, the record log's file count must stay bounded instead of
     growing O(appends), and no reader-visible state may change."""
     import os
 
