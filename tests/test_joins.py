@@ -578,3 +578,30 @@ def test_range_join_null_bounds_drop_silently(spark, interval_data):
         ).collect()
     )
     assert got == base  # NULL-bounded interval contributes nothing
+
+
+def test_asof_composite_key(spark):
+    """on= accepts multiple key columns; matches must require BOTH keys."""
+    build = spark.createDataFrame(
+        [
+            (1, "x", _ts("2024-01-01 00:00:00"), 10.0),
+            (1, "y", _ts("2024-01-01 00:00:00"), 20.0),
+            (2, "x", _ts("2024-01-01 00:00:00"), 30.0),
+        ],
+        "k int, side string, ts timestamp, px double",
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, 1, "x", _ts("2024-01-01 00:01:00")),
+            (2, 1, "y", _ts("2024-01-01 00:01:00")),
+            (3, 2, "y", _ts("2024-01-01 00:01:00")),  # no (2, y) build row
+        ],
+        "pid int, k int, side string, ts timestamp",
+    )
+    got = {
+        r["pid"]: r["asof"]
+        for r in asof_join(probe, build, on=["k", "side"], ts="ts").collect()
+    }
+    assert got[1]["px"] == 10.0
+    assert got[2]["px"] == 20.0
+    assert got[3] is None
