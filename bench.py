@@ -22,7 +22,11 @@ from sample_dms_kinesis_rds_mariadb_spark.plans import queries as _q  # noqa: E4
 from sample_dms_kinesis_rds_mariadb_spark.plans import llm_queries  # noqa: E402,F401
 from sample_dms_kinesis_rds_mariadb_spark.session import get_session  # noqa: E402
 
-HEADLINE = [
+# the 14 query legs benched since r1 — with the two sink legs below they
+# form the 16-leg core whose sum is comparable against BENCH_r01..r04 and
+# BASELINE.md; reported separately as "value_core" so adding legs never
+# muddies the round-over-round ratio
+CORE = [
     "envelope_full_load",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -37,6 +41,9 @@ HEADLINE = [
     "text_quality",
     "token_counts",
     "doc_fingerprints",
+]
+
+HEADLINE = CORE + [
     # temporal/dedup operator wave (rounds 3-5): tracked round-over-round
     # like the original legs
     "asof_join_enrich",
@@ -169,11 +176,14 @@ def main() -> None:
     cdc_events_per_sec = round(n_rows / cdc_sec, 1)
 
     total = round(sum(timings.values()), 3)
+    core_legs = CORE + ["full_load_envelope_sink", "cdc_apply_sink"]
+    value_core = round(sum(timings[k] for k in core_legs), 3)
     print(
         json.dumps(
             {
                 "metric": "headline-query wall clock (engine catalog)",
                 "value": total,
+                "value_core": value_core,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

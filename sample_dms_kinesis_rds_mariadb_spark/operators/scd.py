@@ -1,0 +1,80 @@
+"""Slowly-changing-dimension (type 2) history from a change feed.
+
+The engine keeps the full CDC envelope history (reference: the Kinesis
+stream retains every change event, ``run.py:296-314``); ``TableMaterializer``
+(streaming/apply.py) folds it to the LATEST image, and ``asof_join``
+(operators/joins.py) answers point-in-time lookups against the raw history.
+``scd2_history`` is the third classic consumer: materialize the history as a
+versioned dimension table with ``valid_from`` / ``valid_to`` / ``is_current``
+— the shape warehouse joins and the ``range_join`` operator expect.
+
+Scale shape: ONE hash exchange on the key columns + a per-key sort
+(``lead`` window). No self-join — the naive formulation (join each version
+to the next-later version per key) is a corpus² risk under key skew; the
+window form shuffles each row exactly once. Delete events close the open
+interval without emitting a version row, so a reinserted key starts a new
+interval chain with a gap — time travel over the gap correctly finds no row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+RESERVED = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str,
+    op_col: str | None = None,
+    seq_col: str | None = None,
+    delete_ops: tuple[str, ...] = ("delete",),
+) -> DataFrame:
+    """Build an SCD2 version table from one-row-per-change history.
+
+    ``changes``: key columns + attribute columns + ``ts_col`` (change
+    timestamp). With ``op_col``, rows whose op is in ``delete_ops`` close
+    the previous version's interval and emit no version themselves; without
+    it every row is an upsert. ``seq_col`` breaks timestamp ties (later
+    sequence wins the instant; the earlier tied row gets a zero-length
+    interval, which point-in-time consumers never select because interval
+    membership is ``valid_from <= t < valid_to``).
+
+    Output: attribute columns (``ts_col``/``op_col``/``seq_col`` removed)
+    + ``valid_from`` (the change ts), ``valid_to`` (next change ts for the
+    key, NULL while open), ``is_current`` (open interval, not deleted).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    for c in RESERVED:
+        if c in changes.columns:
+            raise ValueError(f"column collision: input already has '{c}'")
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    # valid_to = the NEXT change of any kind (update or delete) for the key:
+    # lead over one per-key sort — deletes participate in the frame (they
+    # close intervals) and are dropped from the output afterwards
+    versioned = changes.withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
+    if op_col is not None:
+        versioned = versioned.filter(~F.col(op_col).isin(*delete_ops))
+    drop = [ts_col] + ([op_col] if op_col else []) + ([seq_col] if seq_col else [])
+    return (
+        versioned.withColumn("valid_from", F.col(ts_col))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(*drop)
+    )
+
+
+def snapshot_at(history: DataFrame, ts) -> DataFrame:
+    """The dimension as of ``ts``: rows whose interval contains the instant
+    (``valid_from <= ts < valid_to``; open intervals extend to +inf). A
+    narrow filter over the SCD2 table — no shuffle, and on a store
+    partitioned by ``is_current`` the common "current snapshot" probe prunes
+    to the open partition."""
+    t = F.lit(ts)
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).drop("valid_to", "is_current")

@@ -71,3 +71,48 @@ def salted_broadcast_left_join(
     return big_salted.join(
         F.broadcast(small_exploded), [key, "_salt"], "left"
     ).drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_n: int = 20,
+) -> DataFrame:
+    """The decision input for the two utilities above: the ``top_n`` hottest
+    keys with their row count and share of the total.
+
+    A key whose ``share`` approaches ``1 / parallelism`` is a straggler
+    candidate — route it through ``salted_aggregate`` /
+    ``salted_broadcast_left_join`` (or trust AQE's skew-join split if it is
+    a join input). Scale shape: the per-key count is a map-side-combined
+    groupBy (the hot key collapses to one partial per upstream partition
+    BEFORE the shuffle, so profiling skew never suffers from it); the total
+    is a one-row aggregate joined in by broadcast; top-n is TakeOrdered —
+    no global sort.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            *keys,
+            "n",
+            (F.col("n") / F.col("_total")).alias("share"),
+        )
+        .orderBy(F.desc("n"), *keys)
+        .limit(top_n)
+    )
+
+
+def partition_size_histogram(df: DataFrame) -> DataFrame:
+    """Rows per physical partition of ``df`` AS CURRENTLY PARTITIONED —
+    the empirical view of whether a chosen partitioning balanced (e.g.
+    after ``repartition(keys)`` or a custom bucketing). One narrow
+    ``spark_partition_id`` tag + a tiny groupBy (≤ #partitions rows)."""
+    return (
+        df.select(F.spark_partition_id().alias("partition_id"))
+        .groupBy("partition_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("partition_id")
+    )

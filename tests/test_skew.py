@@ -49,3 +49,27 @@ def test_salted_join_matches_direct_left(spark):
         == direct.filter(F.col("o_orderstatus").isNull()).count()
         > 0
     )
+
+
+def test_key_skew_profile_finds_hot_key(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    rows = [("hot",)] * 800 + [("warm",)] * 150 + [(f"k{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string")
+    prof = key_skew_profile(df, "k", top_n=3).collect()
+    assert [r["k"] for r in prof] == ["hot", "warm", "k0"]
+    assert prof[0]["n"] == 800 and abs(prof[0]["share"] - 0.8) < 1e-9
+    assert prof[1]["n"] == 150 and abs(prof[1]["share"] - 0.15) < 1e-9
+
+
+def test_partition_size_histogram_sums_to_total(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.skew import (
+        partition_size_histogram,
+    )
+
+    df = spark.range(1000).repartition(8, "id")
+    hist = partition_size_histogram(df).collect()
+    assert sum(r["n"] for r in hist) == 1000
+    assert len(hist) <= 8
