@@ -74,6 +74,25 @@ def main() -> None:
         f"sessions: {stats['sessions']} total, avg {stats['avg_events']} "
         f"events, busiest {stats['max_events']}"
     )
+
+    # 4. SCD2: treat each user's purchases as value changes and build the
+    # versioned dimension — then a point-in-time snapshot, the warehouse
+    # dual of the per-probe as-of in step 1
+    from sample_dms_kinesis_rds_mariadb_spark.operators.scd import (
+        scd2_history,
+        snapshot_at,
+    )
+
+    hist = scd2_history(
+        purchases.select("user_id", "ts", "value"), "user_id", ts_col="ts"
+    )
+    mid = e.agg(F.min("ts") + (F.max("ts") - F.min("ts")) / 2).first()[0]
+    snap = snapshot_at(hist, mid)
+    print(
+        f"scd2: {hist.count()} versions across "
+        f"{hist.select('user_id').distinct().count()} users; "
+        f"{snap.count()} users had purchase state as of {mid}"
+    )
     print("done.")
 
 

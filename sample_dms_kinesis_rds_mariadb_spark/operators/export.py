@@ -39,6 +39,7 @@ def write_training_shards(
     key_col: str,
     n_shards: int = 64,
     salt: str = "shard",
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Write ``df`` as ``path/shard=K/*.parquet`` with stable membership,
     one output file per shard (what data loaders expect), and a manifest.
@@ -47,11 +48,27 @@ def write_training_shards(
     repartition targets one file per shard — at 100 TB pick ``n_shards``
     so a shard is a sensible file size (e.g. 1-4 GB); shard counts are
     md5-uniform so sizes stay balanced without a skew pass.
+
+    ``shuffle_seed`` orders rows WITHIN each shard by ``md5(seed|key)``
+    instead of by key — the deterministic global shuffle training runs
+    want (a loader reading shards round-robin sees a seed-reproducible
+    random document order, decorrelated from ingest/sort order). Same
+    plan shape: the order rides the existing ``sortWithinPartitions``,
+    no extra exchange; different seeds give independent epoch orders
+    while shard MEMBERSHIP (and so the manifest) stays identical.
     """
     sharded = shard_column(df, key_col, n_shards, salt=salt)
+    order_col = (
+        _hash_bucket(F.col(key_col), f"epoch{shuffle_seed}")
+        if shuffle_seed is not None
+        else F.col(key_col)
+    )
     (
         sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", key_col)  # deterministic file content
+        # deterministic file content: key order, or seeded pseudo-random
+        # order (ties under the 1e6-bucket hash resolve by key, keeping
+        # the file byte-stable for a fixed seed)
+        .sortWithinPartitions("shard", order_col, key_col)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
@@ -83,6 +100,7 @@ def write_training_shards(
         "n_shards": n_shards,
         "key_col": key_col,
         "salt": salt,
+        "shuffle_seed": shuffle_seed,
         "total_rows": int(sum(counts.values())),
         "shard_rows": {str(k): int(v) for k, v in sorted(counts.items())},
     }

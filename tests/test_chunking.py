@@ -303,3 +303,46 @@ def test_training_shards_empty_input(spark, tmp_path):
     manifest = write_training_shards(empty, path, "doc_id", n_shards=4)
     assert manifest["total_rows"] == 0 and manifest["shard_rows"] == {}
     assert verify_shards(spark, path)
+
+
+def test_shuffled_export_order_reproducible_and_decorrelated(spark, tmp_path):
+    """shuffle_seed: same membership + manifest, seed-reproducible
+    within-shard order, different seeds give different epoch orders."""
+    import os
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.concat(F.lit("doc "), F.col("doc_id"))
+    )
+
+    def export(seed, sub):
+        path = str(tmp_path / sub)
+        m = write_training_shards(df, path, "doc_id", n_shards=4, shuffle_seed=seed)
+        order = {}
+        for d in sorted(os.listdir(path)):
+            if d.startswith("shard="):
+                k = int(d.split("=")[1])
+                order[k] = [
+                    r["doc_id"]
+                    for r in spark.read.parquet(os.path.join(path, d)).collect()
+                ]
+        return m, order, path
+
+    m1, o1, p1 = export(7, "a")
+    m2, o2, _ = export(7, "b")
+    m3, o3, _ = export(8, "c")
+    m0, o0, _ = export(None, "d")
+    # membership and manifest counts are seed-independent
+    assert m1["shard_rows"] == m2["shard_rows"] == m3["shard_rows"] == m0["shard_rows"]
+    assert {k: sorted(v) for k, v in o1.items()} == {k: sorted(v) for k, v in o0.items()}
+    # same seed => byte-stable order; different seed => different order;
+    # any seed => decorrelated from the key order
+    assert o1 == o2
+    assert o1 != o3
+    assert all(o1[k] != sorted(o1[k]) for k in o1 if len(o1[k]) > 10)
+    assert all(o0[k] == sorted(o0[k]) for k in o0)
+    assert verify_shards(spark, p1)

@@ -172,3 +172,42 @@ def test_scd2_tie_break_zero_length_interval(spark):
     assert rows[20]["valid_to"] is None and rows[20]["is_current"]
     got = snapshot_at(hist, _ts("2024-01-01 00:00:00")).collect()
     assert [r["v"] for r in got] == [20]
+
+
+def test_scd2_randomized_matches_python_reference(spark):
+    """Randomized parity: SCD2 over random change streams must equal an
+    independent per-key Python fold (sort by (ts, seq); valid_to = next
+    change's ts; deletes close without emitting)."""
+    import random
+
+    rng = random.Random(20240814)
+    rows = []
+    for seq in range(300):
+        k = rng.randrange(12)
+        ts = _ts("2024-01-01 00:00:00").replace(
+            day=1 + rng.randrange(28), hour=rng.randrange(24)
+        )
+        op = rng.choice(["insert", "update", "update", "delete"])
+        v = None if op == "delete" else rng.randrange(1000)
+        rows.append((k, v, op, ts, seq))
+
+    expected = set()
+    by_key = {}
+    for k, v, op, ts, seq in rows:
+        by_key.setdefault(k, []).append((ts, seq, op, v))
+    for k, evs in by_key.items():
+        evs.sort()
+        for i, (ts, seq, op, v) in enumerate(evs):
+            if op == "delete":
+                continue
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            expected.add((k, v, ts, nxt, nxt is None))
+
+    df = spark.createDataFrame(
+        rows, "k int, v int, op string, ts timestamp, seq long"
+    )
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, "k", ts_col="ts", op_col="op", seq_col="seq").collect()
+    }
+    assert got == expected
