@@ -1,0 +1,55 @@
+"""One-pass audited filter chains: quality-gate funnels with row accounting.
+
+A curation pipeline wants to report "N in → N after language gate → N after
+quality gate → N after length gate" for every run. The naive way costs one
+``count()`` job per gate — at 100 TB that is G extra scans of the corpus
+(or a persist large enough to hold it). ``audited_filter`` instead attaches
+ONE ``observe`` (Spark's CollectMetrics) carrying a funnel counter per gate
+to the same scan that applies the filters: the metrics ride the action that
+materializes the output (the write/collect the pipeline runs anyway), so
+the audit is free — zero extra jobs, zero extra scans, executor-side
+accumulation only.
+
+Gate conditions are evaluated CUMULATIVELY (a row must pass every earlier
+gate to be counted at a later one), so the report reads as a funnel and the
+ordering of dict entries is the ordering of the gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def audited_filter(
+    df: DataFrame,
+    gates: dict[str, Column],
+) -> tuple[DataFrame, Observation]:
+    """Apply ``gates`` (name → keep-condition, in order) as one filter and
+    return ``(filtered_df, observation)``.
+
+    After ANY action on ``filtered_df`` (or a frame built on it),
+    ``observation.get`` holds ``{"input_rows": N, "after_<gate>": N, ...}``
+    — the funnel counts from that action's single scan. NULL conditions
+    count as failed (SQL filter semantics).
+    """
+    if not gates:
+        raise ValueError("gates must contain at least one condition")
+    obs = Observation("audited_filter")
+    aggs = [F.count(F.lit(1)).alias("input_rows")]
+    acc: Column | None = None
+    for name, cond in gates.items():
+        acc = cond if acc is None else (acc & cond)
+        aggs.append(
+            F.sum(F.when(acc, 1).otherwise(0)).alias(f"after_{name}")
+        )
+    observed = df.observe(obs, *aggs)
+    assert acc is not None
+    return observed.filter(acc), obs
+
+
+def funnel_report(observation: Observation) -> list[tuple[str, int]]:
+    """The observation's metrics as ordered (stage, rows) pairs — input
+    first, then each gate in declaration order."""
+    got = observation.get
+    return [(k, int(v)) for k, v in got.items()]

@@ -144,3 +144,47 @@ def top_tokens(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
         .orderBy(F.desc("n"), "value")
         .limit(k)
     )
+
+
+def distinct_sketch(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable HLL distinct-count sketch of ``value_col`` (per group when
+    ``by`` is given): column ``sketch`` (binary, Apache DataSketches HLL,
+    Spark's public ``hll_sketch_agg``) + ``estimate`` (approx distinct).
+
+    Why a sketch column and not ``approx_count_distinct``: the SKETCH is the
+    mergeable partial — persist per-partition/per-day sketches once, then
+    answer any rollup ("distinct users this quarter") by merging kilobyte
+    sketches instead of rescanning 100 TB. ``lg_k=12`` gives ~1.6% relative
+    standard error in 4 KB; raise to 14-16 for tighter bounds.
+    """
+    keys = by or []
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    out = grouped.agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    )
+    return out.withColumn(
+        "estimate", F.hll_sketch_estimate(F.col("sketch"))
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame,
+    by: list[str] | None = None,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Roll pre-computed HLL sketches up to coarser groups (or one total):
+    ``hll_union_agg`` over kilobyte sketch blobs — the 100 TB rollup that
+    never touches row data. Output shape matches ``distinct_sketch``."""
+    keys = by or []
+    grouped = sketches.groupBy(*keys) if keys else sketches.groupBy()
+    out = grouped.agg(
+        F.hll_union_agg(F.col(sketch_col), F.lit(True)).alias("sketch")
+    )
+    return out.withColumn(
+        "estimate", F.hll_sketch_estimate(F.col("sketch"))
+    )

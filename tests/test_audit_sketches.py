@@ -1,0 +1,91 @@
+"""HLL distinct sketches (mergeable rollups) and one-pass audited filter
+funnels."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.audit import (
+    audited_filter,
+    funnel_report,
+)
+from sample_dms_kinesis_rds_mariadb_spark.operators.sketches import (
+    distinct_sketch,
+    merge_distinct_sketches,
+)
+from sample_dms_kinesis_rds_mariadb_spark.plans.queries import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_distinct_sketch_estimate_within_error(spark):
+    li = load_table(spark, SF, "lineitem")
+    exact = li.select("l_orderkey").distinct().count()
+    est = distinct_sketch(li, "l_orderkey").first()["estimate"]
+    assert abs(est - exact) / exact < 0.05  # lg_k=12 → ~1.6% RSE
+
+
+def test_distinct_sketch_merge_estimates_whole(spark):
+    """Mergeability: per-group sketches unioned must estimate the whole-frame
+    distinct count within the sketch's error bound — the contract that makes
+    per-day sketch tables answer arbitrary rollups. (Union is NOT bit-equal
+    to a one-shot sketch — sparse/dense mode transitions differ — so the
+    assertion is on the estimate, which is what consumers read.)"""
+    li = load_table(spark, SF, "lineitem")
+    exact = li.select("l_orderkey").distinct().count()
+    per_flag = distinct_sketch(li, "l_orderkey", by=["l_returnflag"])
+    assert per_flag.count() == 3
+    merged = merge_distinct_sketches(per_flag).first()["estimate"]
+    assert abs(merged - exact) / exact < 0.05
+
+
+def test_distinct_sketch_partial_rollup(spark):
+    li = load_table(spark, SF, "lineitem")
+    fine = distinct_sketch(li, "l_orderkey", by=["l_returnflag", "l_linestatus"])
+    coarse = merge_distinct_sketches(fine, by=["l_returnflag"])
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for r in coarse.collect():
+        assert abs(r["estimate"] - exact[r["l_returnflag"]]) / exact[r["l_returnflag"]] < 0.05
+
+
+def test_audited_filter_funnel_counts_exact(spark):
+    li = load_table(spark, SF, "lineitem")
+    n = li.count()
+    gates = {
+        "qty": F.col("l_quantity") > 10,
+        "price": F.col("l_extendedprice") < 50000,
+        "flag": F.col("l_returnflag") != "R",
+    }
+    out, obs = audited_filter(li, gates)
+    survivors = out.count()  # the one action; metrics ride it
+    report = dict(funnel_report(obs))
+    # exact cross-check with per-stage counts
+    assert report["input_rows"] == n
+    c1 = li.filter(gates["qty"]).count()
+    c2 = li.filter(gates["qty"] & gates["price"]).count()
+    c3 = li.filter(gates["qty"] & gates["price"] & gates["flag"]).count()
+    assert report["after_qty"] == c1
+    assert report["after_price"] == c2
+    assert report["after_flag"] == c3 == survivors
+    # funnel is monotone by construction
+    vals = [v for _k, v in funnel_report(obs)]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_audited_filter_null_condition_counts_as_failed(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 20)], "id int, v int"
+    )
+    out, obs = audited_filter(df, {"v_big": F.col("v") > 10})
+    assert [r["id"] for r in out.collect()] == [3]
+    assert dict(funnel_report(obs)) == {"input_rows": 3, "after_v_big": 1}
+
+
+def test_audited_filter_requires_gates(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="gates"):
+        audited_filter(df, {})
