@@ -107,10 +107,19 @@ def main() -> None:
     from sample_dms_kinesis_rds_mariadb_spark.operators import chunking, sketches
 
     rep = repetition_ratios(F.col("text"))
-    candidates = (
-        survivors.join(docs.select("doc_id", "text"), "doc_id")
-        .filter(rep["dup_line_frac"] < 0.3)          # boilerplate gate
-        .filter(rep["dup_trigram_frac"] < 0.5)
+    # one-pass funnel: both repetition gates ride a single observe'd scan —
+    # the per-gate drop counts come for free with the next action
+    from sample_dms_kinesis_rds_mariadb_spark.operators.audit import (
+        audited_filter,
+        funnel_report,
+    )
+
+    candidates, gate_obs = audited_filter(
+        survivors.join(docs.select("doc_id", "text"), "doc_id"),
+        {
+            "boilerplate": rep["dup_line_frac"] < 0.3,
+            "trigram_rep": rep["dup_trigram_frac"] < 0.5,
+        },
     )
     # scrub anything overlapping the (stand-in) eval set at 13-gram level
     from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import decontaminate
@@ -132,6 +141,7 @@ def main() -> None:
         f"training prep: {gated.count()} gated docs -> {chunks.count()} chunks "
         f"-> {n_packs} packed sequences (<=512 tokens)"
     )
+    print("repetition-gate funnel (one scan):", funnel_report(gate_obs))
 
     # 5. similarity: build the IVF index once, probe it
     emb = load_table(spark, sf_dir, "embeddings")
