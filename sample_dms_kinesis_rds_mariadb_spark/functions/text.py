@@ -52,14 +52,45 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(bpe_pretokenize(col))
 
 
-def make_bpe_counter(spark, merges):
+def _byte_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte→unicode alphabet (published with the GPT-2 release):
+    a bijection from the 256 byte values to printable unicode chars —
+    printable latin bytes map to themselves, the rest to 256+n — so
+    byte-level merge symbols like ``Ġ`` (= space) are plain dict keys."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+def make_bpe_counter(spark, merges, byte_level: bool = False):
     """EXACT BPE token counts against a learned merges table — the number a
     training pipeline actually budgets with (``bpe_token_count`` above is the
     pre-tokenizer upper bound).
 
     ``merges`` is the ordered merge list of a trained BPE vocabulary (pairs
-    of symbol strings, highest priority first — the ``merges.txt`` format
-    every public BPE release uses). Returns an Arrow-batched ``pandas_udf``
+    of symbol strings, highest priority first — the ``merges.txt`` format).
+    Two symbol conventions exist in the wild, selected by ``byte_level``:
+
+    - ``byte_level=False``: merge symbols are literal characters (including
+      literal spaces) — the convention of character-level BPE releases and
+      hand-built vocabularies.
+    - ``byte_level=True``: merge symbols use the GPT-2 byte→unicode
+      alphabet (``Ġ`` for space, multi-byte chars split into byte symbols)
+      — REQUIRED for GPT-2/RoBERTa-family ``merges.txt`` files; each
+      piece's UTF-8 bytes are mapped through the published alphabet before
+      merging, so counts match the reference encoder exactly.
+
+    Returns an Arrow-batched ``pandas_udf``
     mapping ``ARRAY<STRING>`` pre-token pieces (from :func:`bpe_pretokenize`,
     which stays pure-JVM) to the document's total BPE token count::
 
@@ -82,9 +113,13 @@ def make_bpe_counter(spark, merges):
     bc = spark.sparkContext.broadcast(
         {(a, b): i for i, (a, b) in enumerate(merges)}
     )
+    byte_table = _byte_to_unicode() if byte_level else None
 
     def _n_tokens(piece: str, ranks: dict) -> int:
-        word = list(piece)
+        if byte_table is not None:
+            word = [byte_table[b] for b in piece.encode("utf-8")]
+        else:
+            word = list(piece)
         while len(word) > 1:
             best_rank = None
             best_i = -1

@@ -28,10 +28,17 @@ def audited_filter(
     """Apply ``gates`` (name → keep-condition, in order) as one filter and
     return ``(filtered_df, observation)``.
 
-    After ANY action on ``filtered_df`` (or a frame built on it),
+    After the first action on ``filtered_df`` (or a frame built on it),
     ``observation.get`` holds ``{"input_rows": N, "after_<gate>": N, ...}``
     — the funnel counts from that action's single scan. NULL conditions
     count as failed (SQL filter semantics).
+
+    The counts reflect the rows THAT ACTION processed, and Observation
+    captures the FIRST action permanently — so materialize fully (the
+    pipeline's write/collect/count) before reading the funnel. A
+    short-circuiting first action (``first()``/``take(n)``/``limit``)
+    stops after enough partitions satisfy the limit and would freeze
+    partial counts.
     """
     if not gates:
         raise ValueError("gates must contain at least one condition")
@@ -40,9 +47,10 @@ def audited_filter(
     acc: Column | None = None
     for name, cond in gates.items():
         acc = cond if acc is None else (acc & cond)
-        aggs.append(
-            F.sum(F.when(acc, 1).otherwise(0)).alias(f"after_{name}")
-        )
+        # count(when(...)) not sum(when(...).otherwise(0)): sum is NULL
+        # over zero rows, and an empty input must report a 0-funnel, not
+        # crash the report
+        aggs.append(F.count(F.when(acc, 1)).alias(f"after_{name}"))
     observed = df.observe(obs, *aggs)
     assert acc is not None
     return observed.filter(acc), obs

@@ -221,8 +221,15 @@ def range_join(
     # NULL start/end: n_buckets is NULL, the whole when-chain yields NULL,
     # sequence(lo, NULL) is NULL and explode drops the row — preserving the
     # silent-drop semantics an inner join gives NULL keys (only genuinely
-    # wide intervals raise)
-    guarded_hi = F.when(n_buckets.isNull(), F.lit(None).cast("long")).when(
+    # wide intervals raise). Inverted intervals (end < start ⇒ n_buckets
+    # < 1) contain no timestamp — the refine predicate can never match —
+    # so they drop the same way; without this branch they would BYPASS the
+    # width guard (n_buckets <= max passes for negatives) and explode via
+    # Spark's implicit DESCENDING sequence(lo, hi) — |lo-hi| bucket rows
+    # from one corrupt sentinel date.
+    guarded_hi = F.when(
+        n_buckets.isNull() | (n_buckets < F.lit(1)), F.lit(None).cast("long")
+    ).when(
         n_buckets <= F.lit(int(max_buckets_per_interval)), hi
     ).otherwise(
         F.raise_error(

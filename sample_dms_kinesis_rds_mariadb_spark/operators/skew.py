@@ -109,10 +109,23 @@ def partition_size_histogram(df: DataFrame) -> DataFrame:
     """Rows per physical partition of ``df`` AS CURRENTLY PARTITIONED —
     the empirical view of whether a chosen partitioning balanced (e.g.
     after ``repartition(keys)`` or a custom bucketing). One narrow
-    ``spark_partition_id`` tag + a tiny groupBy (≤ #partitions rows)."""
-    return (
+    ``spark_partition_id`` tag + a tiny groupBy (≤ #partitions rows),
+    densified against the planned partition count so EMPTY partitions show
+    as explicit zero rows — they are precisely the imbalance a user is
+    looking for. (The ``df.rdd`` partition probe may execute upstream
+    shuffle stages under AQE; this is a diagnostic tool, not a pipeline
+    stage.)"""
+    n_parts = df.rdd.getNumPartitions()
+    counts = (
         df.select(F.spark_partition_id().alias("partition_id"))
         .groupBy("partition_id")
         .agg(F.count("*").alias("n"))
+    )
+    all_ids = df.sparkSession.range(n_parts).select(
+        F.col("id").cast("int").alias("partition_id")
+    )
+    return (
+        all_ids.join(counts, "partition_id", "left")
+        .select("partition_id", F.coalesce("n", F.lit(0)).alias("n"))
         .orderBy("partition_id")
     )

@@ -89,3 +89,12 @@ def test_audited_filter_requires_gates(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="gates"):
         audited_filter(df, {})
+
+
+def test_audited_filter_empty_input_reports_zeros(spark):
+    """count(when) not sum(when): an empty frame must report a 0-funnel,
+    not NULL metrics that crash the report."""
+    df = spark.range(10).filter("id < 0")
+    out, obs = audited_filter(df, {"pos": F.col("id") > 5})
+    assert out.count() == 0
+    assert dict(funnel_report(obs)) == {"input_rows": 0, "after_pos": 0}

@@ -605,3 +605,33 @@ def test_asof_composite_key(spark):
     assert got[1]["px"] == 10.0
     assert got[2]["px"] == 20.0
     assert got[3] is None
+
+
+def test_range_join_inverted_interval_drops_not_explodes(spark, interval_data):
+    """end < start contains no timestamp, so the row must DROP — without
+    the n_buckets < 1 branch it would bypass the width guard (negative
+    counts pass `<= max`) and explode through Spark's implicit DESCENDING
+    sequence: here ~3.9e9 bucket rows at 1s buckets, a hard sequence
+    failure."""
+    probe, intervals = interval_data
+    inverted = intervals.union(
+        spark.createDataFrame(
+            [(997, _ts("2024-06-01 00:00:00"), _ts("1900-01-01 00:00:00"))],
+            intervals.schema,
+        )
+    )
+    base = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            probe, intervals, ts="ts", start="start_ts", end="end_ts",
+            bucket_seconds=1,
+        ).collect()
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            probe, inverted, ts="ts", start="start_ts", end="end_ts",
+            bucket_seconds=1,
+        ).collect()
+    )
+    assert got == base

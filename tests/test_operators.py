@@ -904,3 +904,54 @@ def test_edit_distance_pairs_matches_reference(spark, docs):
         ).collect()
     }
     assert tight == {(1, 2)}
+
+
+def test_bpe_byte_level_counts_match_reference(spark):
+    """byte_level=True: pieces run through the published GPT-2 byte→unicode
+    alphabet, so real merges.txt symbols (Ġ = space, bytes of multi-byte
+    chars) match. Counts must equal the char-level reference applied to the
+    byte-mapped text, and hand-computed cases pin the alphabet itself."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        _byte_to_unicode,
+        bpe_pretokenize,
+        make_bpe_counter,
+    )
+
+    table = _byte_to_unicode()
+    assert table[ord(" ")] == "Ġ"  # Ġ — the signature GPT-2 symbol
+    assert table[ord("A")] == "A"  # printable bytes map to themselves
+    assert len(set(table.values())) == 256  # bijection
+
+    merges = [
+        ("t", "h"), ("th", "e"), ("Ġ", "the"),  # builds " the" = Ġthe
+        ("o", "r"), ("e", "or"),
+    ]
+    rows = [
+        (1, "the theory"),
+        (2, "café"),  # é is 2 UTF-8 bytes -> 2 byte tokens, no merges
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    counter = make_bpe_counter(spark, merges, byte_level=True)
+    got = {
+        r["id"]: (r["pieces"], r["n"])
+        for r in df.select(
+            "id",
+            bpe_pretokenize(F.col("text")).alias("pieces"),
+            counter(bpe_pretokenize(F.col("text"))).alias("n"),
+        ).collect()
+    }
+    # independent check: byte-map each piece, then run the char-level ref
+    for rid, _text in rows:
+        pieces, n = got[rid]
+        want = sum(
+            len(_bpe_ref("".join(table[b] for b in p.encode("utf-8")), merges))
+            for p in pieces
+        )
+        assert n == want, (rid, pieces, n, want)
+    # hand-computed: "the"->the(1); " theory"->Ġthe,or,y? no — Ġ,t,h,e,o,r,y
+    # => th => the => Ġthe; o,r => or ; y  => 3 tokens. Total 4.
+    assert got[1][1] == 4
+    # café: c,a,f self-map; é -> 2 byte symbols, no merges fire -> 5
+    assert got[2][1] == 5
+    assert got[3][1] == 0

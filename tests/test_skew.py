@@ -73,3 +73,17 @@ def test_partition_size_histogram_sums_to_total(spark):
     hist = partition_size_histogram(df).collect()
     assert sum(r["n"] for r in hist) == 1000
     assert len(hist) <= 8
+
+
+def test_partition_size_histogram_shows_empty_partitions(spark):
+    """Empty partitions are the imbalance being diagnosed — they must show
+    as explicit zero rows, not vanish from the histogram."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.skew import (
+        partition_size_histogram,
+    )
+
+    df = spark.createDataFrame([("a",)] * 100, "k string").repartition(8, "k")
+    hist = partition_size_histogram(df).collect()
+    assert len(hist) == 8
+    assert sum(r["n"] for r in hist) == 100
+    assert sum(1 for r in hist if r["n"] == 0) == 7  # one key -> one bucket

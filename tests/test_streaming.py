@@ -599,3 +599,15 @@ def test_streaming_asof_enrichment_matches_batch(spark, tmp_path):
     # the 00:05 row), and keys without build rows got NULL
     by_pid = {r["pid"]: r for r in got}
     assert by_pid[2]["asof"] is None  # k=3: no price history
+
+
+def test_auto_compact_threshold_must_exceed_shards(spark, tmp_path):
+    """compact() leaves up to one file per shard, so a threshold <= shards
+    would re-trigger a full-log rewrite on EVERY append — reject at
+    construction."""
+    import pytest as _pytest
+
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+
+    with _pytest.raises(ValueError, match="auto_compact_files"):
+        StreamStore(spark, str(tmp_path / "s"), shards=4, auto_compact_files=4)
