@@ -40,20 +40,12 @@ def audited_filter(
     stops after enough partitions satisfy the limit and would freeze
     partial counts.
     """
-    if not gates:
-        raise ValueError("gates must contain at least one condition")
+    # count(when(...)) not sum(when(...).otherwise(0)): sum is NULL over
+    # zero rows, and an empty input must report a 0-funnel, not crash the
+    # report (inside _funnel_aggs, shared with the streaming dual)
     obs = Observation("audited_filter")
-    aggs = [F.count(F.lit(1)).alias("input_rows")]
-    acc: Column | None = None
-    for name, cond in gates.items():
-        acc = cond if acc is None else (acc & cond)
-        # count(when(...)) not sum(when(...).otherwise(0)): sum is NULL
-        # over zero rows, and an empty input must report a 0-funnel, not
-        # crash the report
-        aggs.append(F.count(F.when(acc, 1)).alias(f"after_{name}"))
-    observed = df.observe(obs, *aggs)
-    assert acc is not None
-    return observed.filter(acc), obs
+    aggs, acc = _funnel_aggs(gates)
+    return df.observe(obs, *aggs).filter(acc), obs
 
 
 def funnel_report(observation: Observation) -> list[tuple[str, int]]:
@@ -61,3 +53,48 @@ def funnel_report(observation: Observation) -> list[tuple[str, int]]:
     first, then each gate in declaration order."""
     got = observation.get
     return [(k, int(v)) for k, v in got.items()]
+
+
+def _funnel_aggs(gates: dict[str, Column]) -> tuple[list[Column], Column]:
+    if not gates:
+        raise ValueError("gates must contain at least one condition")
+    aggs = [F.count(F.lit(1)).alias("input_rows")]
+    acc: Column | None = None
+    for name, cond in gates.items():
+        acc = cond if acc is None else (acc & cond)
+        aggs.append(F.count(F.when(acc, 1)).alias(f"after_{name}"))
+    assert acc is not None
+    return aggs, acc
+
+
+def observed_gates(
+    df: DataFrame,
+    gates: dict[str, Column],
+    name: str = "gates",
+) -> DataFrame:
+    """The STREAMING dual of :func:`audited_filter`: same cumulative funnel
+    counters, attached via a *named* observe — the form Structured
+    Streaming supports. Each micro-batch's funnel arrives in that trigger's
+    progress event (``query.lastProgress["observedMetrics"][name]``; read
+    it with :func:`streaming_funnel`), so a long-running CDC or curation
+    stream reports per-trigger drop rates with zero extra work per batch.
+    Works on batch frames too (metrics then surface through a
+    QueryExecutionListener rather than a return value — for batch, prefer
+    ``audited_filter``)."""
+    aggs, acc = _funnel_aggs(gates)
+    return df.observe(name, *aggs).filter(acc)
+
+
+def streaming_funnel(query, name: str = "gates") -> dict[str, int] | None:
+    """The funnel of the LAST completed trigger of ``query`` (a
+    StreamingQuery whose frame passed through :func:`observed_gates`), or
+    None before the first trigger with data."""
+    progress = query.lastProgress
+    if not progress:
+        return None
+    metrics = progress.get("observedMetrics", {}).get(name)
+    if metrics is None:
+        return None
+    if hasattr(metrics, "asDict"):  # Row in some API versions, dict in others
+        metrics = metrics.asDict()
+    return {k: int(v) for k, v in metrics.items()}

@@ -98,3 +98,34 @@ def test_audited_filter_empty_input_reports_zeros(spark):
     out, obs = audited_filter(df, {"pos": F.col("id") > 5})
     assert out.count() == 0
     assert dict(funnel_report(obs)) == {"input_rows": 0, "after_pos": 0}
+
+
+def test_observed_gates_streaming_funnel(spark, tmp_path):
+    """Streaming dual: the funnel of each micro-batch arrives in that
+    trigger's progress event — per-trigger drop accounting with zero extra
+    jobs on a live stream."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.audit import (
+        observed_gates,
+        streaming_funnel,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.range(100).withColumn("v", F.col("id") % 10)
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("id long, v long").parquet(src)
+    gated = observed_gates(
+        stream, {"v_small": F.col("v") < 5, "id_low": F.col("id") < 50}
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("funnel_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = streaming_funnel(q)
+    assert got == {"input_rows": 100, "after_v_small": 50, "after_id_low": 25}
+    assert spark.sql("SELECT count(*) n FROM funnel_sink").first()["n"] == 25

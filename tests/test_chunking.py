@@ -346,3 +346,44 @@ def test_shuffled_export_order_reproducible_and_decorrelated(spark, tmp_path):
     assert all(o1[k] != sorted(o1[k]) for k in o1 if len(o1[k]) > 10)
     assert all(o0[k] == sorted(o0[k]) for k in o0)
     assert verify_shards(spark, p1)
+
+
+def test_write_range_layout_disjoint_file_ranges(spark, tmp_path):
+    """Zone-map layout: every output file must cover a disjoint sort-key
+    range (checked from the parquet footers themselves), and a range
+    predicate must return exactly the right rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
+        write_range_layout,
+    )
+
+    df = spark.range(0, 10000).withColumn("payload", F.col("id") * 2)
+    # write decorrelated from id order to prove the layout does the sorting
+    path = str(tmp_path / "ranged")
+    write_range_layout(df.orderBy(F.md5(F.col("id").cast("string"))), path, "id", n_files=8)
+
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".parquet"):
+            meta = pq.ParquetFile(os.path.join(path, f)).metadata
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                col = next(
+                    meta.row_group(rg).column(i)
+                    for i in range(meta.num_columns)
+                    if meta.row_group(rg).column(i).path_in_schema == "id"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 8
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b  # disjoint: footer stats prune whole files
+    assert ranges[0][0] == 0 and ranges[-1][1] == 9999
+
+    back = spark.read.parquet(path).filter("id BETWEEN 2500 AND 2599")
+    assert back.count() == 100
