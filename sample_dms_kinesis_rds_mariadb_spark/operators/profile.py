@@ -1,0 +1,96 @@
+"""Corpus profiling: the standing report a curation team runs before and
+after every pipeline change, composed from the engine's sketch/text
+primitives with the minimum number of corpus scans.
+
+``describe_corpus`` answers "what is in this corpus" in TWO jobs total:
+
+1. one whole-corpus aggregate — row count, token-count/char-count GK
+   quantiles, quality share, HLL distinct estimate of the content
+   fingerprint (near-exact duplicate rate without a dedup pass);
+2. one groupBy(language) histogram (map-side combined, ≤ #languages rows).
+
+Everything is a mergeable aggregate — at 100 TB both jobs are one pass over
+the parquet scan each, no collect of row data, no joins. Contrast with the
+naive notebook version: one count() + one approx quantile + one distinct
+count + one filter-count + one groupBy = five scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+    langid_heuristic,
+    quality_columns,
+)
+
+
+def describe_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    quantiles: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99),
+    rel_err: float = 0.01,
+    hll_lg_k: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(summary, lang_mix)``.
+
+    ``summary`` (one row): ``n_docs``, ``n_tokens_total``,
+    ``token_quantiles`` / ``char_quantiles`` (arrays aligned with
+    ``quantiles``), ``quality_share`` (fraction passing the standard
+    gate), ``approx_distinct_docs`` (HLL over the normalized-content md5 —
+    ``n_docs - approx_distinct_docs`` estimates the exact-duplicate count
+    without running dedup), ``dup_rate_est``.
+
+    ``lang_mix``: one row per detected language with ``n`` and ``share``,
+    descending.
+    """
+    text = F.col(text_col)
+    q = quality_columns(text)
+    accuracy = max(1, int(1.0 / max(rel_err, 1e-6)))
+    probs = F.array(*[F.lit(p) for p in quantiles])
+    fingerprint = F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+    prepared = df.select(
+        q["n_tokens"].alias("_tok"),
+        q["n_chars"].alias("_chr"),
+        q["is_quality"].cast("int").alias("_ok"),
+        fingerprint.alias("_fp"),
+    )
+    summary = prepared.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens_total"),
+        F.percentile_approx("_tok", probs, F.lit(accuracy)).alias(
+            "token_quantiles"
+        ),
+        F.percentile_approx("_chr", probs, F.lit(accuracy)).alias(
+            "char_quantiles"
+        ),
+        F.avg("_ok").alias("quality_share"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("_fp"), F.lit(hll_lg_k))
+        ).alias("approx_distinct_docs"),
+    ).withColumn(
+        # clamped at 0: HLL can over-estimate distinct slightly, and a
+        # "-0.2% duplicates" report reads as a bug, not an error bar
+        "dup_rate_est",
+        F.when(
+            F.col("n_docs") > 0,
+            F.greatest(
+                F.lit(0.0),
+                (F.col("n_docs") - F.col("approx_distinct_docs"))
+                / F.col("n_docs"),
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+    counts = df.groupBy(langid_heuristic(text).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    lang_mix = (
+        counts.join(F.broadcast(total))
+        .select("lang", "n", (F.col("n") / F.col("_total")).alias("share"))
+        .orderBy(F.desc("n"), "lang")
+    )
+    return summary, lang_mix

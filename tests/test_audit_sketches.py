@@ -129,3 +129,50 @@ def test_observed_gates_streaming_funnel(spark, tmp_path):
     got = streaming_funnel(q)
     assert got == {"input_rows": 100, "after_v_small": 50, "after_id_low": 25}
     assert spark.sql("SELECT count(*) n FROM funnel_sink").first()["n"] == 25
+
+
+def test_describe_corpus_summary_and_mix(spark):
+    """Corpus profile: exact fields cross-checked against direct
+    computations; duplicate-rate estimate within HLL error of truth."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        langid_heuristic,
+        quality_columns,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.operators.profile import (
+        describe_corpus,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    # make real duplicates: 100 rows repeat an earlier text
+    dup = docs.limit(100).withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = docs.unionByName(dup)
+
+    summary_df, lang_mix_df = describe_corpus(corpus, "text")
+    s = summary_df.first()
+    n = corpus.count()
+    assert s["n_docs"] == n
+    qcols = quality_columns(F.col("text"))
+    direct_tokens = corpus.agg(F.sum(qcols["n_tokens"])).first()[0]
+    assert s["n_tokens_total"] == direct_tokens
+    direct_quality = corpus.filter(qcols["is_quality"]).count() / n
+    assert abs(s["quality_share"] - direct_quality) < 1e-9
+    exact_distinct = (
+        corpus.select(
+            F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+        ).distinct().count()
+    )
+    assert abs(s["approx_distinct_docs"] - exact_distinct) / exact_distinct < 0.05
+    assert 0.0 < s["dup_rate_est"] < 0.5  # ~100/600 injected dupes
+    # quantiles are plausible rank stats: monotone, within observed range
+    tq = s["token_quantiles"]
+    assert list(tq) == sorted(tq)
+
+    mix = {r["lang"]: r["n"] for r in lang_mix_df.collect()}
+    direct_mix = {
+        r["lang"]: r["n"]
+        for r in corpus.groupBy(langid_heuristic(F.col("text")).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert mix == direct_mix
+    assert abs(sum(r["share"] for r in lang_mix_df.collect()) - 1.0) < 1e-9
