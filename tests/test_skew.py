@@ -87,3 +87,59 @@ def test_partition_size_histogram_shows_empty_partitions(spark):
     assert len(hist) == 8
     assert sum(r["n"] for r in hist) == 100
     assert sum(1 for r in hist if r["n"] == 0) == 7  # one key -> one bucket
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Evidence that the session's AQE skew-join handling actually fires:
+    a hot-key sort-merge join ends up SortMergeJoin(skew=true) with the
+    skewed side's AQEShuffleRead marked skewed. Notable constraint (why
+    the dim side is a plain shuffle): OptimizeSkewedJoin matches
+    SMJ(Sort(ShuffleRead), Sort(ShuffleRead)) — an aggregation between the
+    sort and the shuffle read on EITHER side defeats the split, so joins
+    against freshly-aggregated frames should materialize or salt instead
+    of relying on AQE."""
+    conf = spark.conf
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        # local-mode partitions are tiny; lower the size thresholds so the
+        # ~9 MB hot partition (95% of rows on one key, incompressible md5
+        # payload) qualifies as skewed
+        conf.set(keys[0], "262144")
+        conf.set(keys[1], "65536")
+        conf.set(keys[2], "2")
+        conf.set(keys[3], "-1")  # force a shuffle join, not broadcast
+        big = (
+            spark.range(200000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 100 < 95, F.lit(0))
+                .otherwise((F.col("id") % 7) + 1)
+                .cast("int"),
+            )
+            .withColumn("pay", F.md5(F.col("id").cast("string")))
+        )
+        dim = spark.range(8).select(
+            F.col("id").cast("int").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        out = big.join(dim, "k")
+        assert len(out.collect()) == 200000  # finalizes THIS plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "skewed" in plan  # the hot side's AQEShuffleRead
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
