@@ -41,6 +41,19 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
 
+    # 0. profile the raw corpus first — two jobs, mergeable aggregates only
+    from sample_dms_kinesis_rds_mariadb_spark.operators.profile import (
+        describe_corpus,
+    )
+
+    summary, _mix = describe_corpus(docs, "text")
+    s = summary.first()
+    print(
+        f"profile: {s['n_docs']} docs, {s['n_tokens_total']} tokens, "
+        f"median {int(s['token_quantiles'][1])} tok/doc, "
+        f"quality {s['quality_share']:.1%}, est. dup rate {s['dup_rate_est']:.2%}"
+    )
+
     # 1. language ID + quality features (all codegen'd expressions)
     qc = quality_columns(F.col("text"))
     scored = docs.select(
