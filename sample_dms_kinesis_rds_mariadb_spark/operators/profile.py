@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+    doc_fingerprint,
     langid_heuristic,
     quality_columns,
 )
@@ -35,12 +36,15 @@ def describe_corpus(
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(summary, lang_mix)``.
 
-    ``summary`` (one row): ``n_docs``, ``n_tokens_total``,
-    ``token_quantiles`` / ``char_quantiles`` (arrays aligned with
-    ``quantiles``), ``quality_share`` (fraction passing the standard
-    gate), ``approx_distinct_docs`` (HLL over the normalized-content md5 —
-    ``n_docs - approx_distinct_docs`` estimates the exact-duplicate count
-    without running dedup), ``dup_rate_est``.
+    ``summary`` (one row): ``n_docs``, ``n_null_text`` (rows with NULL
+    ``text_col`` — counted explicitly, never blended into the other
+    stats), ``n_tokens_total``, ``token_quantiles`` / ``char_quantiles``
+    (arrays aligned with ``quantiles``), ``quality_share`` (fraction of
+    ALL docs passing the standard gate; NULL text fails),
+    ``approx_distinct_docs`` (HLL over ``doc_fingerprint`` — the SAME
+    normalized-content hash the exact-dedup operator keys on, so the
+    estimate predicts that pass; NULL-text rows are excluded),
+    ``dup_rate_est`` ((non-null docs − distinct) / n_docs, clamped ≥ 0).
 
     ``lang_mix``: one row per detected language with ``n`` and ``share``,
     descending.
@@ -49,16 +53,19 @@ def describe_corpus(
     q = quality_columns(text)
     accuracy = max(1, int(1.0 / max(rel_err, 1e-6)))
     probs = F.array(*[F.lit(p) for p in quantiles])
-    fingerprint = F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
 
     prepared = df.select(
         q["n_tokens"].alias("_tok"),
         q["n_chars"].alias("_chr"),
-        q["is_quality"].cast("int").alias("_ok"),
-        fingerprint.alias("_fp"),
+        # NULL text -> gate columns are NULL; a NULL-text doc FAILS the
+        # gate (coalesce to 0) instead of silently dropping out of the
+        # quality_share denominator
+        F.coalesce(q["is_quality"].cast("int"), F.lit(0)).alias("_ok"),
+        doc_fingerprint(text).alias("_fp"),
     )
     summary = prepared.agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("_fp").isNull(), 1)).alias("n_null_text"),
         F.sum("_tok").alias("n_tokens_total"),
         F.percentile_approx("_tok", probs, F.lit(accuracy)).alias(
             "token_quantiles"
@@ -66,19 +73,27 @@ def describe_corpus(
         F.percentile_approx("_chr", probs, F.lit(accuracy)).alias(
             "char_quantiles"
         ),
-        F.avg("_ok").alias("quality_share"),
+        # avg over the coalesced flag = share of ALL docs; 0.0 on empty
+        F.coalesce(F.avg("_ok"), F.lit(0.0)).alias("quality_share"),
         F.hll_sketch_estimate(
             F.hll_sketch_agg(F.col("_fp"), F.lit(hll_lg_k))
         ).alias("approx_distinct_docs"),
     ).withColumn(
-        # clamped at 0: HLL can over-estimate distinct slightly, and a
-        # "-0.2% duplicates" report reads as a bug, not an error bar
+        # duplicates are counted among NON-NULL docs (HLL never sees NULL
+        # fingerprints); clamped at 0 since HLL can over-estimate distinct
+        # slightly, and "-0.2% duplicates" reads as a bug, not an error bar
         "dup_rate_est",
         F.when(
             F.col("n_docs") > 0,
             F.greatest(
                 F.lit(0.0),
-                (F.col("n_docs") - F.col("approx_distinct_docs"))
+                (
+                    F.col("n_docs")
+                    - F.col("n_null_text")
+                    # NULL estimate (all-NULL corpus: the HLL saw no rows)
+                    # means 0 distinct non-null docs
+                    - F.coalesce(F.col("approx_distinct_docs"), F.lit(0.0))
+                )
                 / F.col("n_docs"),
             ),
         ).otherwise(F.lit(0.0)),

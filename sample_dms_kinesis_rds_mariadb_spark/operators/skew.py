@@ -124,8 +124,16 @@ def partition_size_histogram(df: DataFrame) -> DataFrame:
     all_ids = df.sparkSession.range(n_parts).select(
         F.col("id").cast("int").alias("partition_id")
     )
+    # FULL outer, not left: the rdd probe and the counts aggregation are two
+    # independent executions of df — if the second run plans MORE partitions
+    # (source gained files in between, AQE re-plan), a left join from the
+    # probe's id range would silently DROP those counts and break the
+    # sum(hist) == row-count invariant
     return (
-        all_ids.join(counts, "partition_id", "left")
-        .select("partition_id", F.coalesce("n", F.lit(0)).alias("n"))
+        all_ids.join(counts, "partition_id", "full")
+        .select(
+            "partition_id",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
         .orderBy("partition_id")
     )

@@ -79,14 +79,16 @@ class StreamStore:
         # compacted files as NEW and re-delivers history — enable only on
         # stores whose readers tolerate a re-shard-style boundary, or drive
         # compact() yourself at quiet points.
-        # compact() folds the log to <= shards files, so a threshold at or
-        # below shards would re-trigger on EVERY append — a full-log rewrite
-        # per append, quadratic over the stream's life. Reject it loudly.
-        if auto_compact_files is not None and auto_compact_files <= shards:
+        # compact() folds the log to <= shards files and every append adds
+        # up to shards more, so any threshold <= 2*shards re-triggers a
+        # full-log rewrite after (almost) every append — quadratic over the
+        # stream's life. Reject it loudly with the headroom the math needs.
+        if auto_compact_files is not None and auto_compact_files <= 2 * shards:
             raise ValueError(
                 f"auto_compact_files ({auto_compact_files}) must exceed "
-                f"shards ({shards}): compaction leaves up to one file per "
-                "shard, so a smaller threshold would compact on every append"
+                f"2*shards ({2 * shards}): compaction leaves up to one file "
+                "per shard and each append adds up to one more per shard, so "
+                "a smaller threshold would compact on every append"
             )
         self.auto_compact_files = auto_compact_files
         self._next_seq: dict[int, int] = dict.fromkeys(range(shards), 0)

@@ -143,8 +143,12 @@ def test_describe_corpus_summary_and_mix(spark):
     )
 
     docs = load_table(spark, SF, "documents")
-    # make real duplicates: 100 rows repeat an earlier text
-    dup = docs.limit(100).withColumn("doc_id", F.col("doc_id") + 100000)
+    # make real duplicates: 100 rows repeat an earlier text (ordered limit:
+    # the frame is recomputed per action, so an unordered limit could pick
+    # different rows across the cross-check jobs)
+    dup = docs.orderBy("doc_id").limit(100).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
     corpus = docs.unionByName(dup)
 
     summary_df, lang_mix_df = describe_corpus(corpus, "text")
@@ -176,3 +180,24 @@ def test_describe_corpus_summary_and_mix(spark):
     }
     assert mix == direct_mix
     assert abs(sum(r["share"] for r in lang_mix_df.collect()) - 1.0) < 1e-9
+
+
+def test_describe_corpus_null_text_accounting(spark):
+    """NULL-text docs fail the quality gate (they don't vanish from the
+    denominator) and are never reported as duplicates."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.profile import (
+        describe_corpus,
+    )
+
+    rows = [(1, "a good document with plenty of words in it for the gate, "
+                "long enough to pass every quality threshold easily today"),
+            (2, None), (3, None), (4, "short"),]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    s = describe_corpus(df, "text")[0].first()
+    assert s["n_docs"] == 4 and s["n_null_text"] == 2
+    assert abs(s["quality_share"] - 0.25) < 1e-9  # 1 of ALL 4 docs
+    assert s["dup_rate_est"] == 0.0  # 2 distinct non-null, no dupes
+
+    empty = describe_corpus(df.filter("doc_id < 0"), "text")[0].first()
+    assert empty["n_docs"] == 0
+    assert empty["quality_share"] == 0.0 and empty["dup_rate_est"] == 0.0
