@@ -41,49 +41,73 @@ ENRICHED_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType([T.StructField("last_image_json", T.StringType())])
 
 
-def _enrich_group(
-    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-key state function: replay this key's changes in commit order,
-    attaching the remembered last after-image as the before-image where the
-    feed didn't supply one."""
-    last_image: str | None = state.get[0] if state.exists else None
-    out: list[dict[str, Any]] = []
-    # concatenate ALL Arrow chunks before sorting: a key whose rows span
-    # multiple chunks would otherwise replay out of commit order (per-chunk
-    # sorts interleave) and splice wrong before-images
-    chunks = [pdf for pdf in pdf_iter if len(pdf)]
-    if chunks:
-        merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        for r in merged.sort_values("seq").itertuples(index=False):
-            before = r.before_json
-            if r.op in ("update", "delete") and (before is None or before == ""):
-                before = last_image
-            if r.op == "delete":
-                last_image = None
-            elif r.op in ("insert", "update", "load"):
-                last_image = r.data_json
-            out.append(
-                {
-                    "seq": r.seq,
-                    "schema": r.schema,
-                    "table": r.table,
-                    "op": r.op,
-                    "txn_id": r.txn_id,
-                    "commit_ts": r.commit_ts,
-                    "data_json": r.data_json,
-                    "before_json": before,
-                }
+DEFAULT_TTL_MS = 24 * 3600 * 1000  # mirror the stream's 24 h retention
+
+
+def _make_enrich_group(ttl_ms: int):
+    def _enrich_group(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-key state function: replay this key's changes in commit order,
+        attaching the remembered last after-image as the before-image where
+        the feed didn't supply one."""
+        # TTL eviction: Spark re-invokes the function for a timed-out key
+        # with an EMPTY iterator and hasTimedOut=True. Falling through to
+        # the normal path would re-update the state and re-arm the timeout
+        # — the state would live forever and the TTL would be decorative.
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=[f.name for f in ENRICHED_SCHEMA.fields]
             )
-    if last_image is None:
-        state.remove()
-    else:
-        state.update((last_image,))
-        state.setTimeoutDuration(24 * 3600 * 1000)  # 24 h TTL, like retention
-    yield pd.DataFrame(out, columns=[f.name for f in ENRICHED_SCHEMA.fields])
+            return
+        last_image: str | None = state.get[0] if state.exists else None
+        out: list[dict[str, Any]] = []
+        # concatenate ALL Arrow chunks before sorting: a key whose rows span
+        # multiple chunks would otherwise replay out of commit order
+        # (per-chunk sorts interleave) and splice wrong before-images
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            merged = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            for r in merged.sort_values("seq").itertuples(index=False):
+                before = r.before_json
+                if r.op in ("update", "delete") and (
+                    before is None or before == ""
+                ):
+                    before = last_image
+                if r.op == "delete":
+                    last_image = None
+                elif r.op in ("insert", "update", "load"):
+                    last_image = r.data_json
+                out.append(
+                    {
+                        "seq": r.seq,
+                        "schema": r.schema,
+                        "table": r.table,
+                        "op": r.op,
+                        "txn_id": r.txn_id,
+                        "commit_ts": r.commit_ts,
+                        "data_json": r.data_json,
+                        "before_json": before,
+                    }
+                )
+        if last_image is None:
+            state.remove()
+        else:
+            state.update((last_image,))
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(out, columns=[f.name for f in ENRICHED_SCHEMA.fields])
+
+    return _enrich_group
 
 
-def enrich_before_images(feed_df: DataFrame, pk_expr) -> DataFrame:
+def enrich_before_images(
+    feed_df: DataFrame, pk_expr, ttl_ms: int = DEFAULT_TTL_MS
+) -> DataFrame:
     """Wire the stateful enrichment into a (streaming or batch-test) feed
     DataFrame of changefeed shape. ``pk_expr`` extracts the primary-key value
     from the ``data`` map (e.g. ``F.element_at(F.col("data"), "id")``).
@@ -91,6 +115,13 @@ def enrich_before_images(feed_df: DataFrame, pk_expr) -> DataFrame:
     Returns the feed with ``before`` filled for update/delete ops. Maps are
     carried as JSON strings across the Arrow boundary (Arrow-friendly; maps
     with null values round-trip poorly as Arrow maps).
+
+    ``ttl_ms``: processing-time state TTL. A key idle that long is evicted
+    (hasTimedOut path) — state size stays one image per RECENTLY LIVE key,
+    matching the stream's retention window, instead of one per key ever
+    seen. An update arriving after its key's eviction gets a NULL
+    before-image — the same answer the reference gives past its retention
+    horizon.
     """
     prepared = feed_df.select(
         "seq",
@@ -104,7 +135,7 @@ def enrich_before_images(feed_df: DataFrame, pk_expr) -> DataFrame:
         pk_expr.cast("string").alias("_pk"),
     )
     enriched = prepared.groupBy("schema", "table", "_pk").applyInPandasWithState(
-        _enrich_group,
+        _make_enrich_group(ttl_ms),
         outputStructType=ENRICHED_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -611,3 +611,62 @@ def test_auto_compact_threshold_must_exceed_shards(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="auto_compact_files"):
         StreamStore(spark, str(tmp_path / "s"), shards=4, auto_compact_files=4)
+
+
+def test_stateful_before_image_ttl_evicts_idle_keys(spark, tmp_path):
+    """State TTL: an idle key's image is EVICTED on timeout (the
+    hasTimedOut path must remove, not refresh — falling through to the
+    normal path would re-arm the timeout and the state would live
+    forever). After eviction, an update for the key gets a NULL
+    before-image, like the reference past its retention horizon."""
+    import time as _time
+
+    def ch(seq, op, key, val):
+        return {
+            "seq": seq, "schema": "db", "table": "t", "op": op,
+            "txn_id": f"t{seq}", "commit_ts": f"2024-01-01T00:00:{seq:02d}",
+            "data": {"id": key, "v": val},
+        }
+
+    feed_path = str(tmp_path / "feed")
+    _write_feed(feed_path, [ch(1, "insert", "1", "one")])
+    stream = spark.readStream.schema(FEED_SCHEMA).json(feed_path)
+    enriched = enrich_before_images(
+        stream, F.element_at(F.col("data"), "id"), ttl_ms=500
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ttl_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        def wait_rows(n):
+            for _ in range(120):
+                if spark.sql("SELECT * FROM ttl_sink").count() >= n:
+                    return
+                _time.sleep(0.5)
+            raise AssertionError(f"sink never reached {n} rows")
+
+        wait_rows(1)               # batch 1: key 1 insert -> state stored
+        _time.sleep(1.5)           # let the 500 ms TTL elapse
+        # batch 2 carries only key 2 -> key 1 gets the timeout invocation
+        with open(os.path.join(feed_path, "changes-000001.json"), "w") as f:
+            f.write(json.dumps(ch(2, "insert", "2", "two")) + "\n")
+        wait_rows(2)
+        _time.sleep(0.5)
+        # batch 3: update for key 1 AFTER eviction -> NULL before-image
+        with open(os.path.join(feed_path, "changes-000002.json"), "w") as f:
+            f.write(json.dumps(ch(3, "update", "1", "three")) + "\n")
+        wait_rows(3)
+        rows = {
+            r["seq"]: r.asDict(recursive=True)
+            for r in spark.sql("SELECT * FROM ttl_sink").collect()
+        }
+        assert rows[3]["before"] is None  # state was evicted, not refreshed
+        # (within-TTL splicing is covered by the other streaming tests,
+        # which run at the default 24 h TTL — at a 500 ms TTL every idle
+        # key legitimately evicts between micro-batches)
+    finally:
+        q.stop()
