@@ -59,6 +59,33 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str,
+    ts_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming arm of exact dedup: first occurrence of each
+    normalized-content fingerprint passes, later occurrences (redelivered
+    records on an at-least-once feed, restarted tasks, genuine duplicate
+    documents) are dropped — Spark's ``dropDuplicatesWithinWatermark``
+    keyed on ``doc_fingerprint``.
+
+    State is BOUNDED by the watermark: a fingerprint older than
+    ``delay`` behind the stream's max event time is evicted, so state
+    size tracks the delay window, never the stream's history. That is
+    also the semantic contract: a duplicate arriving later than ``delay``
+    after its original is NOT deduplicated here — cross-window history
+    dedup is ``MinHashIndex.dedup_batch`` / ``dedup_exact`` over the
+    materialized corpus.
+    """
+    return stream_df.withColumn(
+        "_fp", doc_fingerprint(F.col(text_col))
+    ).withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["_fp"]).drop(
+        "_fp"
+    )
+
+
 def minhash_lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,

@@ -233,3 +233,65 @@ def test_minhash_index_under_structured_streaming(spark, tmp_path):
     assert len(kept & family_b) == 1
     assert singletons <= kept
     assert len(kept) == 5
+
+
+def test_dedup_stream_drops_redelivered_and_duplicate_docs(spark, tmp_path):
+    """Streaming exact dedup: across micro-batches, only the FIRST
+    occurrence of each normalized content passes; redeliveries and
+    genuine duplicates drop. State is watermark-bounded."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import dedup_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    write("b0.json", [
+        {"doc_id": 1, "text": "alpha beta", "ets": "2024-01-01T00:00:00"},
+        {"doc_id": 2, "text": "gamma delta", "ets": "2024-01-01T00:00:01"},
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ets string")
+        .json(src)
+        .withColumn("ets", F.to_timestamp("ets"))
+    )
+    q = (
+        dedup_stream(stream, "text", "ets", delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        def wait_rows(n):
+            for _ in range(120):
+                if spark.sql("SELECT * FROM dedup_stream_sink").count() >= n:
+                    return
+                time.sleep(0.5)
+            raise AssertionError(f"sink never reached {n}")
+
+        wait_rows(2)
+        write("b1.json", [
+            # redelivery of doc 1 (same content, same id), a near-identical
+            # WHITESPACE variant (same normalized content), and a new doc
+            {"doc_id": 1, "text": "alpha beta", "ets": "2024-01-01T00:00:02"},
+            {"doc_id": 3, "text": "  alpha   BETA ", "ets": "2024-01-01T00:00:03"},
+            {"doc_id": 4, "text": "epsilon zeta", "ets": "2024-01-01T00:00:04"},
+        ])
+        wait_rows(3)
+        time.sleep(1)
+        got = sorted(
+            r["doc_id"] for r in spark.sql("SELECT * FROM dedup_stream_sink").collect()
+        )
+        assert got == [1, 2, 4]  # 1's redelivery and 3 (normalized dup) dropped
+    finally:
+        q.stop()
