@@ -78,12 +78,24 @@ def dedup_stream(
     after its original is NOT deduplicated here — cross-window history
     dedup is ``MinHashIndex.dedup_batch`` / ``dedup_exact`` over the
     materialized corpus.
+
+    NULL-text records pass through UNTOUCHED: ``doc_fingerprint(NULL)``
+    is NULL and the dedup operator would group every NULL key together —
+    silently dropping unrelated failed-extraction records as "duplicates"
+    of each other. They are routed around the dedup and unioned back.
     """
-    return stream_df.withColumn(
-        "_fp", doc_fingerprint(F.col(text_col))
-    ).withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["_fp"]).drop(
-        "_fp"
+    fp = "_dedup_stream_fp"
+    if fp in stream_df.columns:
+        raise ValueError(f"column collision: input already has '{fp}'")
+    null_text = stream_df.filter(F.col(text_col).isNull())
+    deduped = (
+        stream_df.filter(F.col(text_col).isNotNull())
+        .withColumn(fp, doc_fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark([fp])
+        .drop(fp)
     )
+    return deduped.unionByName(null_text)
 
 
 def minhash_lsh_candidate_pairs(

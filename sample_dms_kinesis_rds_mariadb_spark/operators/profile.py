@@ -43,7 +43,10 @@ def describe_corpus(
     ALL docs passing the standard gate; NULL text fails),
     ``approx_distinct_docs`` (HLL over ``doc_fingerprint`` — the SAME
     normalized-content hash the exact-dedup operator keys on, so the
-    estimate predicts that pass; NULL-text rows are excluded),
+    estimate predicts that pass OVER THE NON-NULL DOCS; NULL-text rows
+    are excluded here and reported as ``n_null_text`` — note
+    ``dedup_exact`` itself would group all NULL fingerprints into one
+    bucket, so filter NULL text before running it),
     ``dup_rate_est`` ((non-null docs − distinct) / n_docs, clamped ≥ 0).
 
     ``lang_mix``: one row per detected language with ``n`` and ``share``,

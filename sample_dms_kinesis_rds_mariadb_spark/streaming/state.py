@@ -116,13 +116,18 @@ def enrich_before_images(
     carried as JSON strings across the Arrow boundary (Arrow-friendly; maps
     with null values round-trip poorly as Arrow maps).
 
-    ``ttl_ms``: processing-time state TTL. A key idle that long is evicted
+    ``ttl_ms``: processing-time state TTL (must be > 0 — Spark's
+    GroupState requires a positive duration, and an invalid value would
+    otherwise kill the query per-task in the executors AFTER deployment
+    instead of here at wiring time). A key idle that long is evicted
     (hasTimedOut path) — state size stays one image per RECENTLY LIVE key,
     matching the stream's retention window, instead of one per key ever
     seen. An update arriving after its key's eviction gets a NULL
     before-image — the same answer the reference gives past its retention
     horizon.
     """
+    if ttl_ms <= 0:
+        raise ValueError(f"ttl_ms must be > 0, got {ttl_ms}")
     prepared = feed_df.select(
         "seq",
         "schema",

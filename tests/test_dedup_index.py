@@ -295,3 +295,68 @@ def test_dedup_stream_drops_redelivered_and_duplicate_docs(spark, tmp_path):
         assert got == [1, 2, 4]  # 1's redelivery and 3 (normalized dup) dropped
     finally:
         q.stop()
+
+
+def test_dedup_stream_null_text_passes_through(spark, tmp_path):
+    """NULL-text records must NOT dedup against each other (NULL
+    fingerprints would otherwise form one key and unrelated
+    failed-extraction records would silently vanish)."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import dedup_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        {"doc_id": 1, "text": None, "ets": "2024-01-01T00:00:00"},
+        {"doc_id": 2, "text": None, "ets": "2024-01-01T00:00:01"},
+        {"doc_id": 3, "text": "real text", "ets": "2024-01-01T00:00:02"},
+        {"doc_id": 4, "text": "real  TEXT", "ets": "2024-01-01T00:00:03"},
+    ]
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ets string")
+        .json(src)
+        .withColumn("ets", F.to_timestamp("ets"))
+    )
+    q = (
+        dedup_stream(stream, "text", "ets", delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("null_dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM null_dedup_sink").collect()
+    )
+    assert got == [1, 2, 3]  # both NULLs survive; 4 dedups against 3
+
+    # column collision guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        dedup_stream(stream.withColumn("_dedup_stream_fp", F.lit(1)), "text", "ets")
+
+
+def test_before_image_ttl_must_be_positive(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.state import (
+        enrich_before_images,
+    )
+
+    df = spark.createDataFrame(
+        [], "seq long, schema string, table string, op string, txn_id string, "
+        "commit_ts string, data map<string,string>, before map<string,string>"
+    )
+    with _pytest.raises(ValueError, match="ttl_ms"):
+        enrich_before_images(df, F.element_at(F.col("data"), "id"), ttl_ms=0)

@@ -601,16 +601,22 @@ def test_streaming_asof_enrichment_matches_batch(spark, tmp_path):
     assert by_pid[2]["asof"] is None  # k=3: no price history
 
 
-def test_auto_compact_threshold_must_exceed_shards(spark, tmp_path):
-    """compact() leaves up to one file per shard, so a threshold <= shards
-    would re-trigger a full-log rewrite on EVERY append — reject at
-    construction."""
+def test_auto_compact_threshold_needs_headroom_over_shards(spark, tmp_path):
+    """compact() leaves up to one file per shard and each append adds up to
+    one more per shard, so any threshold <= 2*shards would re-trigger a
+    full-log rewrite after (almost) every append — reject at construction.
+    The boundary matters: the earlier `> shards` bound still thrashed at
+    auto_compact_files == shards+1..2*shards."""
     import pytest as _pytest
 
     from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
 
     with _pytest.raises(ValueError, match="auto_compact_files"):
-        StreamStore(spark, str(tmp_path / "s"), shards=4, auto_compact_files=4)
+        StreamStore(spark, str(tmp_path / "a"), shards=4, auto_compact_files=4)
+    with _pytest.raises(ValueError, match="auto_compact_files"):
+        # the band the 2*shards bound newly rejects
+        StreamStore(spark, str(tmp_path / "b"), shards=4, auto_compact_files=8)
+    StreamStore(spark, str(tmp_path / "c"), shards=4, auto_compact_files=9)
 
 
 def test_stateful_before_image_ttl_evicts_idle_keys(spark, tmp_path):
