@@ -138,3 +138,28 @@ def test_polling_capture_rejects_bad_initial(spark, tmp_path):
     cat = SourceCatalog(spark)
     with pytest.raises(ValueError, match="initial"):
         JdbcPollingCapture(cat, "e", "s", "t", "c", initial="bogus")
+
+
+def test_polling_cursor_predicate_pushes_to_jdbc(spark, tmp_path):
+    """The increment filter must reach the JDBC WHERE clause — each poll
+    transfers only the increment, never the table."""
+    db, _conn = _seed_derby(spark, tmp_path)
+    cat = SourceCatalog(spark)
+    cat.register_endpoint(
+        EndpointSpec(
+            "derby-poll",
+            "jdbc",
+            {
+                "url": f"jdbc:derby:{db}",
+                "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+                "tables": ["APP.accounts"],
+                "schema_name": "APP",
+            },
+        )
+    )
+    df = cat.load("derby-poll", "APP", "accounts").filter(
+        F.col("VERSION") >= F.lit(5)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan
+    assert "GreaterThanOrEqual(VERSION,5)" in plan  # inside PushedFilters
