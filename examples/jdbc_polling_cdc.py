@@ -17,8 +17,6 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
 from sample_dms_kinesis_rds_mariadb_spark import get_session
 from sample_dms_kinesis_rds_mariadb_spark.catalog import (
     EndpointSpec,
@@ -80,13 +78,8 @@ def main() -> None:
     mat.overwrite("APP", "accounts", shape)
 
     def apply_feed() -> None:
-        batch = feed.read_batch().withColumn(
-            "ddl",
-            F.lit(None).cast(
-                "struct<action:string,column:string,type:string,default:string>"
-            ),
-        )
-        assert mat.apply_change_batch(batch) == []
+        # read_batch already carries the full feed schema (incl. ddl)
+        assert mat.apply_change_batch(feed.read_batch()) == []
 
     n = cap.pump(feed)
     apply_feed()

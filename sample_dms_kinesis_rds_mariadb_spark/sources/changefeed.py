@@ -96,6 +96,22 @@ class ChangeFeed:
         self._seq = 0
         self._file_no = 0
         self._lock = threading.Lock()
+        # a NEW producer over an EXISTING feed directory (capture-agent
+        # restart) must continue the commit order, not reissue seq 1..N —
+        # colliding seqs would let stale pre-restart events win the
+        # applier's last-writer-wins window. File numbering likewise
+        # continues so no committed file is overwritten. One bounded
+        # directory scan + one aggregation, at construction only.
+        existing = [
+            f
+            for f in os.listdir(path)
+            if f.startswith("changes-") and f.endswith(".json")
+        ]
+        if existing:
+            self._file_no = (
+                max(int(f[len("changes-") : -len(".json")]) for f in existing) + 1
+            )
+            self._seq = self.current_position()
 
     # -- producer (binlog-writer stand-in) ---------------------------------
     def append_changes(self, changes: list[dict]) -> None:

@@ -12,24 +12,45 @@ the increments into a :class:`~...changefeed.ChangeFeed` — from there the
 engine's entire CDC machinery (streaming tasks, envelope encode, apply,
 statistics, before-image state) consumes them unchanged.
 
-Documented limits of polling capture, inherent to the technique:
-- **no deletes** (a vanished row never appears in a cursor query; pair with
-  soft-delete columns or periodic reconciliation),
-- **no intermediate versions** (two updates between polls capture once),
-- **cursor discipline** (rows must bump the cursor on change; rows sharing
-  the boundary cursor value are handled by the re-read + fingerprint skip
-  below, never lost and never re-delivered).
+Delivery contract (the same one every polling capture offers):
+- **steady state**: at-least-once capture of rows whose cursor advances;
+  with ``lookback=None`` the boundary re-read + fingerprint skip also makes
+  quiescent polls deliver nothing (effectively exactly-once as long as
+  concurrent commits never land at-or-below an already-observed cursor).
+- **coarse / non-transactional cursors** (e.g. statement-time timestamps,
+  where a stalled transaction can COMMIT a row whose cursor is BELOW an
+  already-observed maximum): set ``lookback`` to the maximum commit delay;
+  each poll then re-reads the ``[hwm - lookback, ∞)`` window and skips rows
+  already delivered by fingerprint — late commits inside the window are
+  captured, duplicates are suppressed, and anything later than ``lookback``
+  is out of contract (reconcile with a periodic snapshot diff).
+- ``initial="now"`` treats everything committed before the start-up
+  boundary read completes as history (including rows racing the two
+  start-up queries — JDBC offers no snapshot isolation across queries).
+- **NULL cursors are out of contract**: a NULL-cursor row is captured by
+  the initial snapshot only and invisible to every later poll (the cursor
+  predicate excludes NULL). Enforce ``NOT NULL`` on the cursor column.
+- deletes and intermediate versions between polls are not captured —
+  inherent to polling.
+
+Restart: pass ``state_path`` to persist the high-water mark + delivered
+fingerprints after every pump; a restarted agent resumes instead of
+re-snapshotting. (``ChangeFeed`` likewise recovers its seq counter from an
+existing feed directory, so post-restart events keep ascending commit
+order.)
 
 Scale shape: the cursor predicate pushes into the JDBC WHERE clause
-(``PushedFilters`` on the JDBC relation), so each poll transfers only the
-increment. The pump's driver hop is increment-sized — the capture agent
-role here is what Debezium/DMS run as a dedicated process; at 100 TB the
-corpus never routes through this path, only the change trickle does.
+(``PushedFilters`` on the JDBC relation — plan-asserted in tests), so each
+poll transfers only the increment. The pump's driver hop is
+increment-sized — the capture-agent role here is what Debezium/DMS run as
+a dedicated process; at 100 TB the corpus never routes through this path,
+only the change trickle does.
 """
 
 from __future__ import annotations
 
 import json
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
@@ -46,7 +67,11 @@ class JdbcPollingCapture:
     ``initial``: ``"snapshot"`` emits every existing row as op
     ``insert`` on the first pump (initial-load semantics); ``"now"``
     starts the mark at the current maximum and captures only subsequent
-    changes.
+    changes. ``lookback``: optional re-read margin subtracted from the
+    mark (same type as the cursor's arithmetic — numeric delta for
+    numeric cursors, ``datetime.timedelta`` for timestamps); see the
+    module docstring for when it is required. ``state_path``: optional
+    JSON file persisting capture state across agent restarts.
     """
 
     def __init__(
@@ -57,6 +82,8 @@ class JdbcPollingCapture:
         table: str,
         cursor_col: str,
         initial: str = "snapshot",
+        lookback=None,
+        state_path: str | None = None,
     ) -> None:
         if initial not in ("snapshot", "now"):
             raise ValueError(f"initial must be 'snapshot' or 'now', got {initial!r}")
@@ -65,90 +92,152 @@ class JdbcPollingCapture:
         self.schema = schema
         self.table = table
         self.cursor_col = cursor_col
+        self.lookback = lookback
+        self.state_path = state_path
         self._hwm = None
-        # fingerprints of rows already delivered AT the high-water mark —
-        # bounded by the rows sharing one cursor value. The re-read of the
-        # inclusive boundary plus this skip gives exactly-once capture even
-        # for coarse cursors (second-granularity timestamps where more rows
-        # can commit at the mark after a poll read it).
-        self._boundary_fps: frozenset = frozenset()
+        # fingerprints of rows already delivered in the re-read window
+        # ([hwm - lookback, ∞), or just the rows AT hwm when lookback is
+        # None) — bounded by that window's row count
+        self._window_fps: frozenset = frozenset()
         self._initial = initial
         self._started = False
+        if state_path and os.path.exists(state_path):
+            with open(state_path) as f:
+                saved = json.load(f)
+            self._hwm = self._decode_hwm(saved["hwm"])
+            self._window_fps = frozenset(saved["window_fps"])
+            self._started = saved["started"]
+
+    # hwm round-trips with a type tag: a datetime cursor restored as a bare
+    # string would silently change the >= filter's comparison semantics
+    @staticmethod
+    def _encode_hwm(v):
+        if isinstance(v, datetime):
+            return {"t": "dt", "v": v.isoformat()}
+        return {"t": "raw", "v": v}
+
+    @staticmethod
+    def _decode_hwm(e):
+        if e is None:
+            return None
+        if e["t"] == "dt":
+            return datetime.fromisoformat(e["v"])
+        return e["v"]
+
+    # -- helpers ------------------------------------------------------------
 
     @staticmethod
     def _fingerprint(data: dict) -> str:
         return json.dumps(data, sort_keys=True, default=str)
 
+    def _resolve_cursor(self, df) -> str:
+        """Spark resolves ``F.col(cursor_col)`` case-insensitively, but
+        ``Row`` access is case-sensitive — resolve once to the actual
+        column name (Derby/MySQL return upper/lower-cased metadata) and
+        fail clearly if absent."""
+        for c in df.columns:
+            if c.lower() == self.cursor_col.lower():
+                return c
+        raise ValueError(
+            f"cursor column {self.cursor_col!r} not found in "
+            f"{self.schema}.{self.table} (columns: {df.columns})"
+        )
+
+    def _floor(self):
+        """Lower bound of the re-read window."""
+        if self._hwm is None:
+            return None
+        if self.lookback is None:
+            return self._hwm
+        return self._hwm - self.lookback
+
+    def _save_state(self) -> None:
+        if not self.state_path:
+            return
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "hwm": None if self._hwm is None else self._encode_hwm(self._hwm),
+                    "window_fps": sorted(self._window_fps),
+                    "started": self._started,
+                },
+                f,
+            )
+        os.replace(tmp, self.state_path)
+
+    def _load(self):
+        return self.catalog.load(self.endpoint, self.schema, self.table)
+
+    # -- the capture --------------------------------------------------------
+
     def pump(self, feed: ChangeFeed) -> int:
-        """One poll: capture rows with cursor >= high-water mark (first
-        call follows ``initial``), skipping boundary rows already
-        delivered; advance the mark; return rows captured. Rows are
+        """One poll: capture rows in the re-read window not yet delivered,
+        advance the mark, persist state, return rows captured. Rows are
         captured in cursor order so ``seq`` assignment preserves commit
         order between polls. Each captured row carries its full image as
         ``data`` (op ``update`` after the initial snapshot — polling
         cannot distinguish insert from update; the applier's per-PK
         upsert makes the distinction immaterial for state)."""
         df = self._load()
+        cursor = self._resolve_cursor(df)
         first = not self._started
         self._started = True
         if first and self._initial == "now":
-            row = df.agg(F.max(self.cursor_col)).first()
+            # start-up boundary: one scan decides both the mark and the
+            # already-history fingerprints (rows racing these queries are
+            # history by the documented "now" contract)
+            row = df.agg(F.max(cursor)).first()
             self._hwm = row[0]
             if self._hwm is not None:
-                # rows AT the mark count as already seen, or the next
-                # poll's inclusive boundary re-read would deliver history
-                self._boundary_fps = frozenset(
-                    self._fingerprint(
-                        {
-                            k: (None if v is None else str(v))
-                            for k, v in r.asDict().items()
-                        }
-                    )
-                    for r in df.filter(
-                        F.col(self.cursor_col) == F.lit(self._hwm)
-                    ).collect()
+                self._window_fps = frozenset(
+                    self._fingerprint(self._stringify(r.asDict()))
+                    for r in df.filter(F.col(cursor) >= F.lit(self._floor()))
+                    .collect()
                 )
+            self._save_state()
             return 0
-        if self._hwm is not None:
-            df = df.filter(F.col(self.cursor_col) >= F.lit(self._hwm))
-        rows = df.orderBy(self.cursor_col).collect()  # increment-sized hop
+        floor = self._floor()
+        if floor is not None:
+            df = df.filter(F.col(cursor) >= F.lit(floor))
+        rows = df.orderBy(cursor).collect()  # increment-sized hop
         op = "insert" if first and self._initial == "snapshot" else "update"
         now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
         changes = []
+        delivered = []  # (cursor_value, fingerprint) of every row seen
         for r in rows:
             d = r.asDict()
-            data = {k: (None if v is None else str(v)) for k, v in d.items()}
+            data = self._stringify(d)
             fp = self._fingerprint(data)
-            if d[self.cursor_col] == self._hwm and fp in self._boundary_fps:
-                continue  # boundary row from the previous poll
+            delivered.append((d[cursor], fp))
+            if fp in self._window_fps:
+                continue  # already delivered in a previous poll's window
             changes.append(
                 {
                     "schema": self.schema,
                     "table": self.table,
                     "op": op,
-                    "txn_id": f"poll-{self.cursor_col}-{d[self.cursor_col]}",
+                    "txn_id": f"poll-{cursor}-{d[cursor]}",
                     "commit_ts": now,
                     "data": data,
                     "before": None,
                 }
             )
-        cursors = [r[self.cursor_col] for r in rows if r[self.cursor_col] is not None]
+        cursors = [c for c, _fp in delivered if c is not None]
         if cursors:
             new_hwm = max(cursors)
-            carried = (
-                self._boundary_fps if new_hwm == self._hwm else frozenset()
-            )
-            self._boundary_fps = carried | frozenset(
-                self._fingerprint(
-                    {k: (None if v is None else str(v)) for k, v in r.asDict().items()}
-                )
-                for r in rows
-                if r[self.cursor_col] == new_hwm
-            )
             self._hwm = new_hwm
+            new_floor = self._floor()
+            self._window_fps = frozenset(
+                fp
+                for c, fp in delivered
+                if c is not None and c >= new_floor
+            )
         if changes:
             feed.append_changes(changes)
+        self._save_state()
         return len(changes)
 
-    def _load(self):
-        return self.catalog.load(self.endpoint, self.schema, self.table)
+    @staticmethod
+    def _stringify(d: dict) -> dict:
+        return {k: (None if v is None else str(v)) for k, v in d.items()}

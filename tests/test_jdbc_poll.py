@@ -27,7 +27,7 @@ def _seed_derby(spark, tmp_path):
     return db, conn
 
 
-def _capture(spark, db):
+def _capture(spark, db, **kwargs):
     cat = SourceCatalog(spark)
     cat.register_endpoint(
         EndpointSpec(
@@ -41,14 +41,15 @@ def _capture(spark, db):
             },
         )
     )
-    return JdbcPollingCapture(
-        cat, "derby-poll", "APP", "accounts", cursor_col="VERSION"
-    )
+    kwargs.setdefault("cursor_col", "VERSION")
+    return JdbcPollingCapture(cat, "derby-poll", "APP", "accounts", **kwargs)
 
 
 def test_polling_capture_exactly_once_increments(spark, tmp_path):
     db, conn = _seed_derby(spark, tmp_path)
-    cap = _capture(spark, db)
+    # lowercase cursor_col on purpose: Spark resolves it case-insensitively
+    # and the capture must resolve the JDBC-returned name for Row access
+    cap = _capture(spark, db, cursor_col="version")
     feed = ChangeFeed(spark, str(tmp_path / "feed"))
 
     # pump 1: initial snapshot — every existing row, op=insert
@@ -68,11 +69,7 @@ def test_polling_capture_exactly_once_increments(spark, tmp_path):
 
     # pump 3: exactly the two changed rows, as updates (full images)
     assert cap.pump(feed) == 2
-    inc = [
-        r
-        for r in feed.read_batch().collect()
-        if r["op"] == "update"
-    ]
+    inc = [r for r in feed.read_batch().collect() if r["op"] == "update"]
     got = {r["data"]["ID"]: r["data"]["BALANCE"] for r in inc}
     assert got == {"1": "150", "3": "300"}
 
@@ -104,13 +101,8 @@ def test_polling_capture_feeds_the_apply_path(spark, tmp_path):
     registry.register_from_df("APP", "accounts", shape, primary_key="ID")
     mat = TableMaterializer(spark, registry, str(tmp_path / "state"), n_buckets=4)
     mat.overwrite("APP", "accounts", shape)
-    batch = feed.read_batch().withColumn(
-        "ddl",
-        F.lit(None).cast(
-            "struct<action:string,column:string,type:string,default:string>"
-        ),
-    )
-    assert mat.apply_change_batch(batch) == []
+    # read_batch already carries the full FEED_SCHEMA (incl. the ddl struct)
+    assert mat.apply_change_batch(feed.read_batch()) == []
     state = {
         r["ID"]: r["BALANCE"] for r in mat.table("APP", "accounts").collect()
     }
@@ -118,12 +110,12 @@ def test_polling_capture_feeds_the_apply_path(spark, tmp_path):
 
 
 def test_polling_capture_initial_now_skips_history(spark, tmp_path):
-    db, _conn = _seed_derby(spark, tmp_path)
-    cap = _capture(spark, db)
-    cap._initial = "now"
+    db, conn = _seed_derby(spark, tmp_path)
+    cap = _capture(spark, db, initial="now")
     feed = ChangeFeed(spark, str(tmp_path / "feed"))
     assert cap.pump(feed) == 0  # history skipped
-    st = _conn.createStatement()
+    assert cap.pump(feed) == 0  # and stays skipped (boundary fingerprints)
+    st = conn.createStatement()
     st.executeUpdate("INSERT INTO accounts VALUES (9, 900, 5)")
     st.close()
     assert cap.pump(feed) == 1
@@ -131,13 +123,87 @@ def test_polling_capture_initial_now_skips_history(spark, tmp_path):
     assert [r["data"]["ID"] for r in rows] == ["9"]
 
 
-def test_polling_capture_rejects_bad_initial(spark, tmp_path):
+def test_polling_capture_lookback_catches_late_commits(spark, tmp_path):
+    """A transaction can COMMIT a row whose cursor is BELOW an
+    already-observed maximum (statement-time timestamps); with
+    ``lookback`` the re-read window picks it up, and already-delivered
+    rows in the window do not re-deliver."""
+    db, conn = _seed_derby(spark, tmp_path)
+    cap = _capture(spark, db, lookback=5)
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    assert cap.pump(feed) == 2  # snapshot at version 1, hwm=1
+    st = conn.createStatement()
+    st.executeUpdate("INSERT INTO accounts VALUES (4, 400, 10)")
+    st.close()
+    assert cap.pump(feed) == 1  # hwm=10, window floor=5
+    # late commit BELOW the observed max but inside the lookback window
+    st = conn.createStatement()
+    st.executeUpdate("INSERT INTO accounts VALUES (5, 500, 7)")
+    st.close()
+    assert cap.pump(feed) == 1  # captured despite cursor 7 < hwm 10
+    assert cap.pump(feed) == 0  # and not re-delivered
+    got = sorted(r["data"]["ID"] for r in feed.read_batch().collect())
+    assert got == ["1", "2", "4", "5"]
+
+
+def test_polling_capture_restart_resumes_from_state(spark, tmp_path):
+    """state_path: a restarted capture agent resumes at the persisted mark
+    instead of re-snapshotting the table into the feed."""
+    db, conn = _seed_derby(spark, tmp_path)
+    state = str(tmp_path / "capture-state.json")
+    cap = _capture(spark, db, state_path=state)
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    assert cap.pump(feed) == 2
+
+    # "restart": new capture instance over the same state file
+    cap2 = _capture(spark, db, state_path=state)
+    feed2 = ChangeFeed(spark, str(tmp_path / "feed"))
+    assert cap2.pump(feed2) == 0  # no re-snapshot
+    st = conn.createStatement()
+    st.executeUpdate("UPDATE accounts SET balance = 111, version = 3 WHERE id = 1")
+    st.close()
+    assert cap2.pump(feed2) == 1  # increments continue
+    rows = feed2.read_batch().orderBy("seq").collect()
+    # the restarted ChangeFeed continued the seq numbering: the new event
+    # sorts AFTER the snapshot events, so last-writer-wins stays correct
+    assert [r["seq"] for r in rows] == [1, 2, 3]
+    assert rows[-1]["data"]["BALANCE"] == "111"
+
+
+def test_changefeed_restart_continues_sequence(spark, tmp_path):
+    """A new producer over an existing feed directory continues seq and
+    file numbering — reissued seqs would let stale events win the
+    applier's last-writer-wins window."""
+    path = str(tmp_path / "feed")
+    a = ChangeFeed(spark, path)
+    a.append_changes([{"schema": "s", "table": "t", "op": "insert",
+                       "txn_id": "x", "commit_ts": "2024-01-01T00:00:00",
+                       "data": {"id": "1"}, "before": None}])
+    a.append_changes([{"schema": "s", "table": "t", "op": "update",
+                       "txn_id": "y", "commit_ts": "2024-01-01T00:00:01",
+                       "data": {"id": "1"}, "before": None}])
+    b = ChangeFeed(spark, path)  # restart
+    b.append_changes([{"schema": "s", "table": "t", "op": "update",
+                       "txn_id": "z", "commit_ts": "2024-01-01T00:00:02",
+                       "data": {"id": "1"}, "before": None}])
+    seqs = sorted(r["seq"] for r in b.read_batch().collect())
+    assert seqs == [1, 2, 3]
+
+
+def test_polling_capture_rejects_bad_initial():
+    import pytest
+
+    with pytest.raises(ValueError, match="initial"):
+        JdbcPollingCapture(object(), "e", "s", "t", "c", initial="bogus")
+
+
+def test_polling_capture_unknown_cursor_column_raises(spark, tmp_path):
     import pytest
 
     db, _conn = _seed_derby(spark, tmp_path)
-    cat = SourceCatalog(spark)
-    with pytest.raises(ValueError, match="initial"):
-        JdbcPollingCapture(cat, "e", "s", "t", "c", initial="bogus")
+    cap = _capture(spark, db, cursor_col="no_such_col")
+    with pytest.raises(ValueError, match="cursor column"):
+        cap.pump(ChangeFeed(spark, str(tmp_path / "feed")))
 
 
 def test_polling_cursor_predicate_pushes_to_jdbc(spark, tmp_path):
