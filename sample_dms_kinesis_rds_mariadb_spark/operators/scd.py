@@ -78,3 +78,53 @@ def snapshot_at(history: DataFrame, ts) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).drop("valid_to", "is_current")
+
+
+def scd2_join(
+    probe: DataFrame,
+    history: DataFrame,
+    on: list[str] | str,
+    ts: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Enrich each probe row with the version valid at its timestamp — the
+    warehouse fact-to-dimension join against an SCD2 table.
+
+    DO NOT feed an SCD2 table to ``range_join`` directly: its NULL-bound
+    drop (correct for malformed intervals) would silently discard every
+    OPEN interval — i.e. all CURRENT versions. This helper routes the two
+    interval shapes to their cheapest correct plans and unions:
+
+    - **closed intervals** (``valid_to`` set): the time-bucketed
+      ``range_join`` equi-join on (key, bucket) — bounded candidates,
+      never a nested loop;
+    - **open intervals** (``valid_to`` NULL — at most ONE per key, by SCD2
+      construction): a plain key equi-join + ``valid_from <= ts`` filter —
+      no bucketing needed, since disjointness guarantees at most one
+      match.
+
+    Inner-join semantics: probe rows in a coverage gap (key deleted at
+    that time, or unknown) are absent — matching ``snapshot_at``, which
+    this is the join-shaped dual of. One shuffle per arm; dimension arms
+    broadcast when small, like any equi-join.
+    """
+    from sample_dms_kinesis_rds_mariadb_spark.operators.joins import range_join
+
+    keys = [on] if isinstance(on, str) else list(on)
+    closed = history.filter(F.col("valid_to").isNotNull()).drop("is_current")
+    open_ = history.filter(F.col("valid_to").isNull()).drop(
+        "valid_to", "is_current"
+    )
+    via_closed = range_join(
+        probe,
+        closed,
+        ts=ts,
+        start="valid_from",
+        end="valid_to",
+        on=keys,
+        bucket_seconds=bucket_seconds,
+    ).drop("valid_to")
+    via_open = probe.join(open_, on=keys, how="inner").filter(
+        F.col("valid_from") <= F.col(ts)
+    )
+    return via_closed.unionByName(via_open)

@@ -211,3 +211,72 @@ def test_scd2_randomized_matches_python_reference(spark):
         for r in scd2_history(df, "k", ts_col="ts", op_col="op", seq_col="seq").collect()
     }
     assert got == expected
+
+
+def test_scd2_join_covers_open_and_closed_intervals(spark, account_changes):
+    """The fact-to-dimension join: CURRENT versions (open intervals) must
+    match — feeding the SCD2 table to range_join directly would silently
+    drop them via the NULL-bound rule."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.scd import scd2_join
+
+    hist = scd2_history(
+        account_changes, "account_id", ts_col="ts", op_col="op", seq_col="seq"
+    )
+    probes = spark.createDataFrame(
+        [
+            (0, 7, _ts("2024-01-02 00:00:00")),  # closed interval -> 100
+            (1, 7, _ts("2024-01-06 00:00:00")),  # OPEN interval -> 50
+            (2, 8, _ts("2024-01-05 00:00:00")),  # delete gap -> no row
+            (3, 8, _ts("2024-01-07 00:00:00")),  # open after re-insert -> 111
+            (4, 9, _ts("2024-01-07 00:00:00")),  # unknown key -> no row
+        ],
+        "pid int, account_id int, ts timestamp",
+    )
+    out = scd2_join(probes, hist, on="account_id", ts="ts")
+    got = {r["pid"]: r["balance"] for r in out.collect()}
+    assert got == {0: 100, 1: 50, 3: 111}
+
+
+def test_scd2_join_randomized_matches_snapshot(spark):
+    """Property: for every probe, scd2_join's match equals the
+    snapshot_at interval lookup at that instant."""
+    import random
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.scd import (
+        scd2_join,
+        snapshot_at,
+    )
+
+    rng = random.Random(99)
+    changes = []
+    for seq in range(120):
+        changes.append(
+            (
+                rng.randrange(6),
+                rng.randrange(1000),
+                rng.choice(["insert", "update", "update", "delete"]),
+                _ts("2024-01-01 00:00:00").replace(
+                    day=1 + rng.randrange(28), hour=rng.randrange(24)
+                ),
+                seq,
+            )
+        )
+    df = spark.createDataFrame(
+        [(k, None if op == "delete" else v, op, t, s) for k, v, op, t, s in changes],
+        "k int, v int, op string, ts timestamp, seq long",
+    )
+    hist = scd2_history(df, "k", ts_col="ts", op_col="op", seq_col="seq")
+    probes = [
+        (i, rng.randrange(7),
+         _ts("2024-01-01 00:00:00").replace(
+             day=1 + rng.randrange(28), hour=rng.randrange(24)))
+        for i in range(40)
+    ]
+    pdf = spark.createDataFrame(probes, "pid int, k int, ts timestamp")
+    got = {
+        r["pid"]: r["v"]
+        for r in scd2_join(pdf, hist, on="k", ts="ts", bucket_seconds=3600).collect()
+    }
+    for pid, k, t in probes:
+        want = {r["k"]: r["v"] for r in snapshot_at(hist, t).collect()}.get(k)
+        assert got.get(pid) == want, (pid, k, t, got.get(pid), want)
