@@ -86,6 +86,7 @@ def scd2_join(
     on: list[str] | str,
     ts: str,
     bucket_seconds: int = 86400,
+    materialize: bool = True,
 ) -> DataFrame:
     """Enrich each probe row with the version valid at its timestamp — the
     warehouse fact-to-dimension join against an SCD2 table.
@@ -107,10 +108,19 @@ def scd2_join(
     that time, or unknown) are absent — matching ``snapshot_at``, which
     this is the join-shaped dual of. One shuffle per arm; dimension arms
     broadcast when small, like any equi-join.
+
+    ``materialize`` (default True) pins ``history`` with an eager
+    localCheckpoint before splitting: the two arms would otherwise each
+    re-execute the full upstream lineage — including ``scd2_history``'s
+    window shuffle over the raw change stream — doubling the dominant
+    cost (same rationale as the dedup self-join pinning,
+    operators/dedup.py ``_pin``). Pass False for a fully lazy plan.
     """
     from sample_dms_kinesis_rds_mariadb_spark.operators.joins import range_join
 
     keys = [on] if isinstance(on, str) else list(on)
+    if materialize:
+        history = history.localCheckpoint(eager=True)
     closed = history.filter(F.col("valid_to").isNotNull()).drop("is_current")
     open_ = history.filter(F.col("valid_to").isNull()).drop(
         "valid_to", "is_current"

@@ -96,15 +96,23 @@ class ChangeFeed:
         self._seq = 0
         self._file_no = 0
         self._lock = threading.Lock()
-        # a NEW producer over an EXISTING feed directory (capture-agent
-        # restart) must continue the commit order, not reissue seq 1..N —
-        # colliding seqs would let stale pre-restart events win the
-        # applier's last-writer-wins window. File numbering likewise
-        # continues so no committed file is overwritten. One bounded
-        # directory scan + one aggregation, at construction only.
+        self._producer_recovered = False
+
+    def _recover_producer_state(self) -> None:
+        """A NEW producer over an EXISTING feed directory (capture-agent
+        restart) must continue the commit order, not reissue seq 1..N —
+        colliding seqs would let stale pre-restart events win the
+        applier's last-writer-wins window. File numbering likewise
+        continues so no committed file is overwritten. LAZY — run under
+        the lock on the first ``append_changes`` only, so pure consumers
+        (the engine constructs one feed per endpoint at startup) never
+        pay the directory scan + aggregation."""
+        if self._producer_recovered:
+            return
+        self._producer_recovered = True
         existing = [
             f
-            for f in os.listdir(path)
+            for f in os.listdir(self.path)
             if f.startswith("changes-") and f.endswith(".json")
         ]
         if existing:
@@ -120,6 +128,7 @@ class ChangeFeed:
         streaming file source never sees partial files.
         """
         with self._lock:
+            self._recover_producer_state()
             lines = []
             for c in changes:
                 c = dict(c)

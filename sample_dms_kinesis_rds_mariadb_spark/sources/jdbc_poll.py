@@ -51,7 +51,8 @@ from __future__ import annotations
 
 import json
 import os
-from datetime import datetime, timezone
+from datetime import date, datetime, timezone
+from decimal import Decimal
 
 from pyspark.sql import functions as F
 
@@ -104,17 +105,40 @@ class JdbcPollingCapture:
         if state_path and os.path.exists(state_path):
             with open(state_path) as f:
                 saved = json.load(f)
+            if saved.get("identity") != self._identity():
+                raise ValueError(
+                    f"state file {state_path} belongs to capture "
+                    f"{saved.get('identity')}, not {self._identity()} — a "
+                    "reused state_path would silently skip history below "
+                    "the wrong mark"
+                )
             self._hwm = self._decode_hwm(saved["hwm"])
             self._window_fps = frozenset(saved["window_fps"])
             self._started = saved["started"]
 
+    def _identity(self) -> list:
+        return [self.endpoint, self.schema, self.table, self.cursor_col]
+
     # hwm round-trips with a type tag: a datetime cursor restored as a bare
-    # string would silently change the >= filter's comparison semantics
+    # string would silently change the >= filter's comparison semantics.
+    # Every JDBC-reachable cursor type is covered (datetime, date, Decimal
+    # — e.g. BIGINT UNSIGNED maps to Decimal — and the JSON natives);
+    # anything else fails HERE, not inside json.dump after the feed append
+    # already happened (which would leave no state and force a re-snapshot
+    # on restart).
     @staticmethod
     def _encode_hwm(v):
         if isinstance(v, datetime):
             return {"t": "dt", "v": v.isoformat()}
-        return {"t": "raw", "v": v}
+        if isinstance(v, date):
+            return {"t": "d", "v": v.isoformat()}
+        if isinstance(v, Decimal):
+            return {"t": "dec", "v": str(v)}
+        if isinstance(v, (int, float, str)):
+            return {"t": "raw", "v": v}
+        raise TypeError(
+            f"unsupported cursor type for state persistence: {type(v).__name__}"
+        )
 
     @staticmethod
     def _decode_hwm(e):
@@ -122,6 +146,10 @@ class JdbcPollingCapture:
             return None
         if e["t"] == "dt":
             return datetime.fromisoformat(e["v"])
+        if e["t"] == "d":
+            return date.fromisoformat(e["v"])
+        if e["t"] == "dec":
+            return Decimal(e["v"])
         return e["v"]
 
     # -- helpers ------------------------------------------------------------
@@ -158,6 +186,7 @@ class JdbcPollingCapture:
         with open(tmp, "w") as f:
             json.dump(
                 {
+                    "identity": self._identity(),
                     "hwm": None if self._hwm is None else self._encode_hwm(self._hwm),
                     "window_fps": sorted(self._window_fps),
                     "started": self._started,
@@ -225,7 +254,13 @@ class JdbcPollingCapture:
             )
         cursors = [c for c, _fp in delivered if c is not None]
         if cursors:
+            # never LOWER the mark: under lookback, the max-cursor row can
+            # vanish from the window (source delete) — a regressed mark
+            # would slide the floor below rows whose fingerprints were
+            # already discarded and re-deliver them as duplicates
             new_hwm = max(cursors)
+            if self._hwm is not None:
+                new_hwm = max(new_hwm, self._hwm)
             self._hwm = new_hwm
             new_floor = self._floor()
             self._window_fps = frozenset(

@@ -229,3 +229,52 @@ def test_polling_cursor_predicate_pushes_to_jdbc(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "JDBCRelation" in plan
     assert "GreaterThanOrEqual(VERSION,5)" in plan  # inside PushedFilters
+
+
+def test_state_file_identity_mismatch_raises(spark, tmp_path):
+    db, _conn = _seed_derby(spark, tmp_path)
+    state = str(tmp_path / "state.json")
+    cap = _capture(spark, db, state_path=state)
+    cap.pump(ChangeFeed(spark, str(tmp_path / "feed")))
+    import pytest
+
+    with pytest.raises(ValueError, match="belongs to capture"):
+        _capture(spark, db, cursor_col="BALANCE", state_path=state)
+
+
+def test_hwm_encoding_covers_jdbc_cursor_types():
+    """date/Decimal cursors must round-trip the persisted mark — a bare
+    json.dump would crash AFTER the feed append, leaving no state and
+    forcing a restart re-snapshot."""
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    enc = JdbcPollingCapture._encode_hwm
+    dec = JdbcPollingCapture._decode_hwm
+    for v in (datetime(2024, 1, 2, 3, 4, 5), date(2024, 1, 2),
+              Decimal("18446744073709551615"), 42, 4.5, "v7"):
+        assert dec(enc(v)) == v and type(dec(enc(v))) is type(v)
+    import pytest
+
+    with pytest.raises(TypeError, match="cursor type"):
+        enc(object())
+
+
+def test_hwm_never_regresses_when_max_row_vanishes(spark, tmp_path):
+    """Under lookback, deleting the max-cursor row at the source must not
+    lower the mark — a regressed floor would re-deliver rows whose
+    fingerprints were already discarded."""
+    db, conn = _seed_derby(spark, tmp_path)
+    cap = _capture(spark, db, lookback=5)
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    assert cap.pump(feed) == 2  # snapshot: versions 1,1 -> hwm=1
+    st = conn.createStatement()
+    st.executeUpdate("INSERT INTO accounts VALUES (4, 400, 10)")
+    st.close()
+    assert cap.pump(feed) == 1  # hwm=10, floor=5; fps for version-1 rows gone
+    st = conn.createStatement()
+    st.executeUpdate("DELETE FROM accounts WHERE id = 4")  # max-cursor row gone
+    st.close()
+    assert cap.pump(feed) == 0  # mark must NOT regress to 1...
+    assert cap.pump(feed) == 0  # ...which would re-deliver rows 1 and 2
+    assert cap._hwm == 10
