@@ -70,6 +70,26 @@ def main() -> None:
         for r in kept.groupBy("lang_guess").agg(F.count("*").alias("n")).collect()
     ))
 
+    # 1b. model-based quality score (hashing-trick linear classifier,
+    # inference entirely in codegen — weights would come from a fastText-
+    # style trainer; here a tiny hand-set vector stands in)
+    from sample_dms_kinesis_rds_mariadb_spark.functions import classify
+
+    import zlib
+
+    clf_dim = 1 << 12
+    weights = [0.0] * clf_dim
+    for w, val in [("the", 0.8), ("and", 0.6), ("of", 0.5), ("click", -1.5),
+                   ("subscribe", -2.0), ("buy", -1.2)]:
+        weights[zlib.crc32(w.encode()) % clf_dim] = val
+    kept = kept.withColumn(
+        "clf_p", classify.classifier_probability(F.col("text"), weights)
+    )
+    print(
+        "classifier p(quality) mean:",
+        round(kept.agg(F.avg("clf_p")).first()[0], 4),
+    )
+
     # 2. exact dedup: keep lowest doc_id per normalized-content fingerprint
     uniq = (
         kept.groupBy("fingerprint")
@@ -155,6 +175,27 @@ def main() -> None:
         f"-> {n_packs} packed sequences (<=512 tokens)"
     )
     print("repetition-gate funnel (one scan):", funnel_report(gate_obs))
+
+    # 4c. per-source cap (no crawl host dominates) → token-budget shard
+    # export: shards hold ~equal TOKENS, the loader's scheduling unit
+    from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
+        write_budget_shards,
+    )
+
+    capped = sampling.cap_per_group(
+        clean.join(docs.select("doc_id", "source"), "doc_id"),
+        "doc_id",
+        "source",
+        n=200,
+    ).withColumn("n_tokens", token_count(F.col("text")))
+    shard_path = os.path.join(tempfile.gettempdir(), "llm-demo-shards")
+    manifest = write_budget_shards(
+        capped, shard_path, "n_tokens", budget=20_000, order_col="doc_id"
+    )
+    print(
+        f"export: {manifest['total_rows']} docs / {manifest['total_size']} tokens "
+        f"into {len(manifest['shard_rows'])} ~20k-token shards"
+    )
 
     # 5. similarity: build the IVF index once, probe it
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1,0 +1,153 @@
+"""Hashing-trick linear text classifier — INFERENCE at scan speed.
+
+The quality-filtering stage most production corpora actually run (CCNet,
+RefinedWeb, fastText-style quality classifiers) is a shallow linear model
+over hashed bag-of-words(+bigram) features, applied to every document.
+That inference loop is embarrassingly per-row, so the engine runs it
+entirely JVM-side: feature hashing is ``crc32 % dim`` (a built-in), the
+weight vector ships as ONE constant-folded array literal inside the plan
+(a 2^15-dim double vector is 256 KB of plan constant — broadcast-free,
+per-executor, never per-row), and the score is a left-fold ``F.aggregate``
+over ``element_at`` lookups. No Python workers, no shuffle, composable
+with any downstream filter — the classifier is just another narrow
+column expression on the corpus scan.
+
+Training is out of scope by design (a one-off driver-side job in any ML
+library); the contract here is that a weight vector trained ANYWHERE maps
+to identical verdicts on 100 TB, reproducibly: crc32 and left-fold double
+addition are bit-stable across engines, so the kept-set is a pure function
+of (text, weights) — verified row-exact against an independent pure-Python
+reference in tests/test_operators.py.
+
+The reference pipeline has no classifier stage (reference run.py consumes
+CDC events only); this belongs to the north-star LLM-pipeline operator
+set ("quality scoring" beyond the rule-based ``quality_columns``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+    normalize_text,
+    tokenize,
+    word_ngrams,
+)
+
+
+def classifier_features(text: Column, *, bigrams: bool = True) -> Column:
+    """Feature strings for the hashed classifier: normalized unigram tokens,
+    optionally followed by space-joined word bigrams (the fastText
+    ``wordNgrams=2`` recipe — bigrams share the unigram hash space, collisions
+    are part of the model). Empty documents yield an empty array."""
+    toks = F.filter(
+        tokenize(normalize_text(text)), lambda t: t != F.lit("")
+    )
+    if not bigrams:
+        return toks
+    return F.concat(toks, word_ngrams(toks, 2))
+
+
+def feature_indices(features: Column, dim: int) -> Column:
+    """Hash each feature string into ``[0, dim)`` via ``crc32 % dim`` —
+    cross-engine reproducible (zlib crc32 in Python, ``crc32()`` in DuckDB)
+    and pure codegen. The literal-only lambda keeps the HOF cheap."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    return F.transform(
+        features,
+        lambda t: (F.crc32(F.encode(t, "utf-8")) % F.lit(dim)).cast("int"),
+    )
+
+
+def linear_score(
+    text: Column,
+    weights: list[float],
+    bias: float = 0.0,
+    *,
+    bigrams: bool = True,
+) -> Column:
+    """Raw classifier margin: ``bias + mean(weights[h(f)] for f in features)``
+    — the fastText shallow-classifier shape (mean, not sum, so long documents
+    don't saturate). Documents with no features score exactly ``bias``.
+
+    ``weights`` becomes one constant-folded array literal (`CreateArray` of
+    foldable children → a single `Literal` before codegen), so the lookup
+    inside the fold is an O(1) ``element_at`` on a plan constant. The fold is
+    left-to-right over features in document order (unigrams then bigrams),
+    making the double sum bit-deterministic — the same order the Python
+    reference uses."""
+    dim = len(weights)
+    wlit = F.lit([float(w) for w in weights])
+    idx = feature_indices(classifier_features(text, bigrams=bigrams), dim)
+    n = F.size(idx)
+    total = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(wlit, i + F.lit(1)),
+    )
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0)) + F.lit(float(bias))
+
+
+def classifier_probability(
+    text: Column,
+    weights: list[float],
+    bias: float = 0.0,
+    *,
+    bigrams: bool = True,
+) -> Column:
+    """Sigmoid of :func:`linear_score` — P(label=1), e.g. "looks like
+    curated text" for a quality classifier trained wiki-vs-crawl."""
+    z = linear_score(text, weights, bias, bigrams=bigrams)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def classifier_keep(
+    text: Column,
+    weights: list[float],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    *,
+    bigrams: bool = True,
+) -> Column:
+    """Boolean keep verdict at ``probability >= threshold`` — drop straight
+    into ``df.filter(...)`` or an ``audited_filter`` gate. Thresholding the
+    margin directly (``score >= logit(threshold)``) would be equivalent;
+    the probability form keeps the threshold in the unit the model card
+    quotes."""
+    return classifier_probability(text, weights, bias, bigrams=bigrams) >= F.lit(
+        float(threshold)
+    )
+
+
+def reference_score(
+    text: str, weights: list[float], bias: float = 0.0, *, bigrams: bool = True
+) -> float:
+    """Independent pure-Python reference of :func:`linear_score` (import-free
+    of Spark) — the parity oracle for tests and for validating a weight
+    vector against a sample before a 100 TB run. Mirrors the exact hash
+    (zlib crc32), feature order, and left-fold addition order."""
+    import re
+    import zlib
+
+    norm = re.sub(r"\s+", " ", text).strip().lower()
+    toks = [t for t in norm.split(" ") if t != ""]
+    feats = list(toks)
+    if bigrams:
+        feats += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    if not feats:
+        return float(bias)
+    total = 0.0
+    for f in feats:
+        total = total + weights[zlib.crc32(f.encode("utf-8")) % len(weights)]
+    return total / len(feats) + float(bias)
+
+
+def reference_probability(
+    text: str, weights: list[float], bias: float = 0.0, *, bigrams: bool = True
+) -> float:
+    z = reference_score(text, weights, bias, bigrams=bigrams)
+    return 1.0 / (1.0 + math.exp(-z))

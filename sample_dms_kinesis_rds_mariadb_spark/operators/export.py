@@ -16,9 +16,10 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import _pin
 from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import _hash_bucket
 
 MANIFEST_FILE = "_manifest.json"
@@ -134,6 +135,138 @@ def verify_shards(spark, path: str) -> bool:
     if got != want:
         raise ValueError(f"shard counts diverge from manifest: {got} != {want}")
     return True
+
+
+def budget_shard_column(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    order_col: str,
+    n_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Assign contiguous token-budget shards: rows sorted by ``order_col``
+    are packed sequentially so each ``shard`` holds ~``budget`` units of
+    ``size_col`` (token counts, byte sizes). The sequence-pack loader's dual
+    of :func:`shard_column` — hash shards balance ROW counts; training jobs
+    budget TOKENS, and a shard is one loader work unit, so equal-token
+    shards equalize step time.
+
+    Assignment is by cumulative starting offset: a row whose running total
+    (of all earlier rows in ``order_col`` order) is ``c`` lands in shard
+    ``floor(c / budget)``. Invariants: shard ids are non-decreasing in
+    ``order_col`` order, and a shard's total never exceeds ``budget`` plus
+    its last row's size (a row straddling a boundary stays whole in the
+    shard where it starts). A single row larger than ``budget`` owns its
+    shard and skips the ids its width covers — numbering has gaps then,
+    which loaders that list directories never notice.
+
+    A global running sum is the textbook anti-pattern (one-partition
+    ``Window.orderBy`` = the whole corpus through a single task), so this
+    runs the classic two-pass distributed prefix sum instead:
+
+    1. range-exchange on ``order_col`` and PIN (``localCheckpoint``) so the
+       physical partition id becomes data — both passes must see the SAME
+       row→partition map, and range boundaries are sampled per evaluation;
+    2. per-partition size totals — a ``n_partitions``-row aggregate
+       collected to the driver (control-plane), turned into exclusive
+       prefix offsets;
+    3. offsets rejoin via a broadcast on the partition id, and the
+       within-partition running sum is a window over ``_pid`` — per-task
+       data, never the global timeline, through any one sort.
+
+    ``order_col`` must be unique (a doc id): it is the total order that
+    makes the assignment deterministic. NULL sizes count as 0.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    spark = df.sparkSession
+    parts = n_partitions or spark.sparkContext.defaultParallelism
+    size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+    ranged = _pin(
+        df.repartitionByRange(parts, F.col(order_col)).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        materialize,
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in ranged.groupBy("_pid").agg(F.sum(size).alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):  # range partitions are ordered by order_col
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    offsets_df = spark.createDataFrame(
+        offsets or [(0, 0)], ["_pid", "_offset"]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets_df), "_pid", "left")
+        .withColumn("_before", F.col("_offset") + F.sum(size).over(w) - size)
+        .withColumn("shard", F.floor(F.col("_before") / F.lit(int(budget))).cast("int"))
+        .drop("_pid", "_offset", "_before")
+    )
+
+
+def write_budget_shards(
+    df: DataFrame,
+    path: str,
+    size_col: str,
+    budget: int,
+    order_col: str,
+    n_partitions: int | None = None,
+) -> dict:
+    """Write token-budget-packed shards as ``path/shard=K/*.parquet`` plus a
+    manifest carrying per-shard row AND token counts (the loader schedules
+    by tokens). Rows inside each shard file are ``order_col``-sorted, so a
+    loader streaming a shard sees the curriculum order the packing used."""
+    sharded = budget_shard_column(
+        df, size_col, budget, order_col, n_partitions=n_partitions
+    )
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions("shard", order_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    has_files = any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+    )
+    stats = (
+        {
+            int(r["shard"]): (r["n"], r["tok"])
+            for r in spark.read.parquet(path)
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.coalesce(F.col(size_col), F.lit(0))).alias("tok"),
+            )
+            .collect()
+        }
+        if has_files
+        else {}
+    )
+    manifest = {
+        "budget": int(budget),
+        "size_col": size_col,
+        "order_col": order_col,
+        "total_rows": int(sum(n for n, _ in stats.values())),
+        "total_size": int(sum(t for _, t in stats.values())),
+        "shard_rows": {str(k): int(n) for k, (n, _) in sorted(stats.items())},
+        "shard_sizes": {str(k): int(t) for k, (_, t) in sorted(stats.items())},
+    }
+    with open(os.path.join(path, MANIFEST_FILE), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
 
 
 def write_range_layout(

@@ -16,7 +16,7 @@ with parquet scan pushdown of other predicates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # resolution of the sampling rate: 1e6 buckets ⇒ rates exact to 1e-6
@@ -90,6 +90,46 @@ def mix_corpora(
         part = hash_sample(df, key_col, w, salt=f"{salt}#{i}")
         out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     return out
+
+
+def cap_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str | list[str],
+    n: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the per-domain/per-source cap
+    corpus recipes apply so one crawl host can't dominate the mixture
+    (RefinedWeb-style). Which rows survive is decided by md5 hash priority
+    (smallest ``md5(salt|key)`` buckets first, key as tiebreak), NOT arrival
+    or file order: the verdict is a pure function of (key, salt, the group's
+    membership), so re-runs reproduce the same kept-set and the choice is an
+    unbiased uniform sample of the group rather than "whatever the scan saw
+    first". Note the membership dependence — unlike :func:`hash_sample`, a
+    cap is relative, so adding rows to an over-cap group can evict
+    previously kept rows; pin the corpus snapshot when that matters.
+
+    Scale shape: one hash shuffle on the group key and a per-group
+    top-``n`` (rank over an ordered window). Per-group data goes through
+    ONE task, which is the cap's semantics (a relative verdict needs the
+    group together); for pathologically hot groups run
+    :func:`~.skew.key_skew_profile` first and pre-thin with
+    :func:`hash_sample` at a rate that leaves ~2-3x the cap, then apply the
+    exact cap to the survivors — the two-stage shape keeps the window's
+    per-task volume bounded without biasing the final kept-set.
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*groups).orderBy(
+        _hash_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= F.lit(int(n)))
+        .drop("_cap_rn")
+    )
 
 
 def split_column(
