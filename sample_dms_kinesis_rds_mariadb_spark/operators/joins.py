@@ -172,6 +172,124 @@ def asof_join(
     )
 
 
+def asof_join_broadcast(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | list[str],
+    ts: str = "ts",
+    build_ts: str | None = None,
+    tolerance_seconds: float | None = None,
+    tie_break: str | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join with ZERO shuffle of the probe side — for the dominant
+    production shape: a huge event stream enriched against a SMALL dimension
+    history (prices, configs, SCD2 snapshots). Semantics are identical to
+    :func:`asof_join` (same directions, tolerance, greatest-``tie_break``
+    rule; row-equality tested on randomized data).
+
+    :func:`asof_join`'s union+window formulation is the right generalization
+    — but it hash-shuffles BOTH sides on the key. When the build side is
+    broadcast-sized, that means shuffling 100 TB of probe rows to enrich
+    against megabytes of history. Here instead:
+
+    1. the build side collapses to one row per key holding its SORTED
+       history as an array of (ts, tie, payload) structs — one aggregation
+       over the small side only (``sort_array`` of ``collect_list``);
+    2. that per-key history joins the probe via **broadcast hash join** —
+       the probe stays exactly where it was scanned, no exchange, no sort;
+    3. the match is selected in ARRAY SPACE per probe row: ``filter`` to
+       the qualifying side of the timestamp, then last element (backward:
+       sort order already puts greatest ts, then greatest tie, last) or
+       ``array_max`` over ``(-ts, tie)`` (forward: smallest ts, greatest
+       tie) — O(history length) per row, all codegen.
+
+    Use when per-key history fits comfortably in a row and the whole build
+    side fits a broadcast (the dimension-table contract); stick with
+    :func:`asof_join` / :func:`asof_join_epoched` when the build side is
+    itself corpus-sized.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    bts = build_ts or ts
+    build_cols = [c for c in build.columns if c not in keys]
+    probe_cols = [c for c in probe.columns if c not in keys]
+
+    payload = F.struct(
+        F.col(bts).alias(f"{bts}"),
+        *[F.col(c) for c in build_cols if c != bts],
+    )
+    tie = F.col(tie_break) if tie_break is not None else F.lit(0)
+    hist = (
+        build.select(
+            *keys,
+            F.struct(
+                _epoch_us(F.col(bts)).alias("us"),
+                tie.alias("tie"),
+                payload.alias("payload"),
+            ).alias("_h"),
+        )
+        .groupBy(*keys)
+        # sort_array orders structs lexicographically: (us asc, tie asc) —
+        # so the LAST qualifying element is greatest-ts/greatest-tie
+        .agg(F.sort_array(F.collect_list("_h")).alias("_hist"))
+    )
+    joined = probe.join(F.broadcast(hist), on=keys, how="left")
+    probe_us = _epoch_us(F.col(ts))
+    horizon = (
+        F.lit(int(tolerance_seconds * 1_000_000))
+        if tolerance_seconds is not None
+        else None
+    )
+
+    def _back():
+        cands = F.filter(F.col("_hist"), lambda h: h["us"] <= probe_us)
+        # try_element_at: an empty candidate list must yield NULL, not an
+        # ANSI out-of-bounds error (Spark 4 defaults ANSI on)
+        m = F.try_element_at(cands, F.lit(-1))
+        if horizon is not None:
+            m = F.when(probe_us - m["us"] <= horizon, m)
+        return m
+
+    def _fwd():
+        cands = F.filter(F.col("_hist"), lambda h: h["us"] >= probe_us)
+        # smallest ts wins; among equal ts the GREATEST tie — array_max over
+        # (-us, tie, payload) struct ordering picks exactly that
+        m = F.array_max(
+            F.transform(
+                cands,
+                lambda h: F.struct(
+                    (-h["us"]).alias("neg_us"),
+                    h["tie"].alias("tie"),
+                    h["payload"].alias("payload"),
+                    h["us"].alias("us"),
+                ),
+            )
+        )
+        if horizon is not None:
+            m = F.when(m["us"] - probe_us <= horizon, m)
+        return m
+
+    if direction == "backward":
+        carried = _back()["payload"]
+    elif direction == "forward":
+        carried = _fwd()["payload"]
+    else:
+        back, fwd = _back(), _fwd()
+        d_back = probe_us - back["us"]
+        d_fwd = fwd["us"] - probe_us
+        carried = (
+            F.when(back.isNull(), fwd["payload"])
+            .when(fwd.isNull(), back["payload"])
+            .when(d_fwd < d_back, fwd["payload"])  # tie -> backward
+            .otherwise(back["payload"])
+        )
+    return joined.withColumn(ASOF_STRUCT, carried).select(
+        *keys, *probe_cols, ASOF_STRUCT
+    )
+
+
 def range_join(
     probe: DataFrame,
     intervals: DataFrame,

@@ -635,3 +635,72 @@ def test_range_join_inverted_interval_drops_not_explodes(spark, interval_data):
         ).collect()
     )
     assert got == base
+
+
+def test_asof_broadcast_equals_plain_all_directions(spark):
+    """asof_join_broadcast must be row-equal to asof_join on randomized
+    data (ties, tolerance, missing keys) for every direction."""
+    import random
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.joins import (
+        asof_join_broadcast,
+    )
+
+    rng = random.Random(0xB0AD)
+    base = dt.datetime(2024, 1, 1)
+    build_rows = [
+        (
+            rng.randint(1, 6),
+            base + dt.timedelta(seconds=rng.choice([0, 60, 60, 300, 900, 1800])),
+            float(i),
+            i,
+        )
+        for i in range(80)
+    ]
+    probe_rows = [
+        (i, rng.randint(1, 8), base + dt.timedelta(seconds=rng.randint(0, 2000)))
+        for i in range(150)
+    ]
+    build = spark.createDataFrame(build_rows, "k int, ts timestamp, px double, seq int")
+    probe = spark.createDataFrame(probe_rows, "pid int, k int, ts timestamp")
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 300.0):
+            kw = dict(
+                on="k", ts="ts", tie_break="seq",
+                tolerance_seconds=tol, direction=direction,
+            )
+            want = {
+                r["pid"]: r["asof"]
+                for r in asof_join(probe, build, **kw).collect()
+            }
+            got = {
+                r["pid"]: r["asof"]
+                for r in asof_join_broadcast(probe, build, **kw).collect()
+            }
+            assert got == want, (direction, tol)
+
+
+def test_asof_broadcast_probe_side_not_shuffled(spark, quotes, trades):
+    """The whole point: the probe side must reach the join without an
+    exchange — only the (small) build side aggregates, then broadcasts."""
+    import re
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.joins import (
+        asof_join_broadcast,
+    )
+
+    plan = _plan_of(asof_join_broadcast(trades, quotes, on="k", ts="ts"))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "Sort" not in plan.replace("sort_array", "")
+    # exactly one hash exchange: the build-side groupBy; none on the probe
+    assert len(re.findall(r"hashpartitioning\(k", plan)) == 1
+
+
+def test_asof_broadcast_invalid_direction(spark, quotes, trades):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.joins import (
+        asof_join_broadcast,
+    )
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join_broadcast(trades, quotes, on="k", ts="ts", direction="sideways")
