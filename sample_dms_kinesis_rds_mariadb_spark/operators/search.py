@@ -142,6 +142,92 @@ def bm25_search(
     )
 
 
+def bm25_batch_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[object, str | list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for EVERY query in one pass — eval-set retrieval
+    ("which corpus docs answer these 10k benchmark questions") where
+    looping :func:`bm25_search` would scan the corpus once per query.
+
+    Returns (query_id, id_col, bm25, rank), rank 1 = best.
+
+    Scale shape: corpus stats + document frequencies for the UNION of all
+    query terms are the same control-plane aggregates as the single-query
+    path. Then ONE corpus scan emits a (doc, term, tf) row per *matching*
+    term only (``array_intersect`` before the explode — never the full
+    token array), the tiny (query_id, term, idf) table broadcast-joins
+    onto it, contributions sum per (query_id, doc), and a per-query window
+    takes top-``k``. The shuffles carry matching (doc, term) pairs and
+    (query, doc) partials — both bounded by hit counts, never corpus ×
+    queries.
+    """
+    qterms = {qid: _query_terms(q) for qid, q in queries.items()}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    n_docs, avgdl = corpus_stats(df, text_col)
+    dfs = term_document_frequencies(df, text_col, all_terms)
+    spark = df.sparkSession
+    qrows = [
+        (qid, t, math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+        for qid, ts in qterms.items()
+        for t in ts
+        if dfs.get(t, 0) > 0 and n_docs > 0
+    ]
+    if not qrows:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.StringType()),
+                    T.StructField(id_col, df.schema[id_col].dataType),
+                    T.StructField("bm25", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+    qdf = spark.createDataFrame(
+        [(str(qid), t, idf) for qid, t, idf in qrows],
+        "query_id string, term string, idf double",
+    )
+    toks = _toks(F.col(text_col))
+    # filter (NOT intersect — intersect dedups and would flatten tf to 1):
+    # one row per OCCURRENCE of a query term, still never the full array
+    matching = F.filter(toks, lambda x: F.array_contains(F.lit(all_terms), x))
+    hits = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.explode(matching).alias("term"),
+    ).groupBy(id_col, "term").agg(
+        F.count("*").alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    tf = F.col("_tf").cast("double")
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl)
+    )
+    contrib = F.col("idf") * tf * F.lit(k1 + 1.0) / denom
+    scored = (
+        hits.join(F.broadcast(qdf), "term")
+        .withColumn("_c", contrib)
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_c").alias("bm25"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select("query_id", id_col, "bm25", "rank")
+    )
+
+
 def reference_bm25(
     docs: dict, query: str | list[str], k1: float = 1.2, b: float = 0.75
 ) -> dict:

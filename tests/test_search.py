@@ -80,3 +80,47 @@ def test_bm25_scoring_plan_is_narrow_takeordered(spark, docs_df):
 def test_query_term_normalization():
     assert search._query_terms("  Quick   QUICK brown ") == ["quick", "brown"]
     assert search._query_terms(["A", "b", "a", ""]) == ["a", "b"]
+
+
+def test_bm25_batch_matches_single_query_path(spark, docs_df):
+    """One-pass batch retrieval must agree with the per-query operator (and
+    so with the Python reference) for every query: same ids, same order,
+    scores equal to float tolerance (groupBy sum order is unordered)."""
+    queries = {
+        "q1": "quick brown fox",
+        "q2": "dog",
+        "q3": "fox fox",          # duplicate terms collapse
+        "q4": "zzz nothing",      # no hits
+    }
+    out = search.bm25_batch_search(docs_df, "doc_id", "text", queries, k=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["bm25"]))
+    for qid in got:
+        got[qid].sort()
+    for qid, q in queries.items():
+        want_rows = search.bm25_search(docs_df, "doc_id", "text", q, k=4).collect()
+        want = [(i + 1, r["doc_id"]) for i, r in enumerate(want_rows)]
+        have = [(rk, d) for rk, d, _ in got.get(qid, [])]
+        assert have == want, qid
+        for (_, _, score), wr in zip(got.get(qid, []), want_rows):
+            assert score == pytest.approx(wr["bm25"], rel=1e-9)
+    assert "q4" not in got
+
+
+def test_bm25_batch_empty_queries(spark, docs_df):
+    out = search.bm25_batch_search(docs_df, "doc_id", "text", {}, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "bm25", "rank"]
+
+
+def test_bm25_batch_plan_broadcasts_query_table(spark, docs_df):
+    out = search.bm25_batch_search(
+        docs_df, "doc_id", "text", {"a": "quick fox", "b": "dog"}, k=3
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
