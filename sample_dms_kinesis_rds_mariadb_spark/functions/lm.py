@@ -1,0 +1,160 @@
+"""N-gram language-model perplexity scoring — the statistical quality
+filter (CCNet-style: score documents against an LM trained on a trusted
+corpus; high perplexity = unlike the reference distribution = candidate
+for down-weighting or removal).
+
+Two halves, split the way the other model operators are:
+
+- TRAINING is a distributed aggregation (`train_ngram_counts`): one
+  corpus scan emits n-gram rows bounded per doc, partial-aggregated
+  counts, TakeOrdered to the top-``vocab_size`` — the model that comes
+  back to the driver is bounded by construction (a vocabulary, not a
+  corpus), exactly like `IvfIndex.build`'s centroids or the BPE merges
+  table.
+- SCORING ships that bounded model ONCE per executor via a SparkContext
+  broadcast and runs as an Arrow-batched ``pandas_udf`` over the
+  pre-tokenized column (`make_perplexity_scorer`) — the documented
+  escape-hatch pattern (`make_bpe_counter` precedent): per-row work is
+  dict lookups, no per-row Python UDF, no shuffle, composable with any
+  downstream gate.
+
+The model is an interpolated bigram LM with add-one-smoothed unigram
+backoff — deliberately simple and fully specified, so an independent
+pure-Python reference reproduces scores exactly (the test contract; this
+repo cannot ship a trained KenLM, and the operator's value is the
+Spark-side shape, which is identical for any n-gram model you load).
+
+No reference-counterpart (reference run.py consumes CDC events); this is
+north-star LLM-pipeline territory ("quality scoring" beyond rules and the
+hashed linear classifier).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+    normalize_text,
+    tokenize,
+    word_ngrams,
+)
+
+BOS = "<s>"
+
+
+def _doc_tokens(col):
+    """Normalized tokens, empty strings dropped, BOS-prefixed so the first
+    real token is scored by a (BOS, token) bigram."""
+    toks = F.filter(tokenize(normalize_text(col)), lambda t: t != F.lit(""))
+    return F.when(F.size(toks) > 0, F.concat(F.array(F.lit(BOS)), toks)).otherwise(
+        toks
+    )
+
+
+def train_ngram_counts(
+    df: DataFrame, text_col: str, vocab_size: int = 65_536
+) -> dict:
+    """Train the bigram model: unigram and bigram counts over the corpus,
+    truncated to the ``vocab_size`` most frequent of each (Zipf's head
+    carries the mass; the tail backs off). Two aggregates, both
+    TakeOrdered-bounded — the returned dict is the bounded model:
+    ``{"unigrams": {tok: n}, "bigrams": {(a, b): n}, "total": N}``."""
+    toks = _doc_tokens(F.col(text_col))
+    uni_rows = (
+        df.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "t")
+        .limit(vocab_size)
+        .collect()
+    )
+    bi_rows = (
+        df.select(F.explode(word_ngrams(toks, 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "g")
+        .limit(vocab_size)
+        .collect()
+    )
+    unigrams = {r["t"]: int(r["n"]) for r in uni_rows}
+    bigrams = {}
+    for r in bi_rows:
+        a, _, b = r["g"].partition(" ")
+        bigrams[(a, b)] = int(r["n"])
+    return {
+        "unigrams": unigrams,
+        "bigrams": bigrams,
+        "total": sum(unigrams.values()),
+    }
+
+
+def _logprob(tokens: list[str], model: dict, lam: float) -> float:
+    """Mean negative log2 probability (bits/token) of the token sequence
+    under interpolated bigram + add-one unigram backoff. Pure function —
+    shared verbatim by the executor UDF and the test reference."""
+    unigrams, bigrams, total = (
+        model["unigrams"],
+        model["bigrams"],
+        model["total"],
+    )
+    v = len(unigrams) + 1  # +1: one shared OOV bucket
+    if not tokens:
+        return 0.0
+    bits = 0.0
+    prev = BOS
+    n_scored = 0
+    for tok in tokens:
+        p_uni = (unigrams.get(tok, 0) + 1.0) / (total + v)
+        c_prev = unigrams.get(prev, 0)
+        p_bi = (bigrams.get((prev, tok), 0) / c_prev) if c_prev > 0 else 0.0
+        p = lam * p_bi + (1.0 - lam) * p_uni
+        bits -= math.log2(p)
+        n_scored += 1
+        prev = tok
+    return bits / n_scored
+
+
+def make_perplexity_scorer(spark, model: dict, lam: float = 0.7):
+    """Arrow-batched scorer: ``ARRAY<STRING>`` tokens (BOS included — feed
+    it :func:`doc_tokens_column`) → mean bits/token (log2 perplexity).
+    The model broadcasts once per executor; per-row work is dict hits."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(model)
+
+    def scorer(tokens):
+        m = bc.value
+
+        def one(seq) -> float:
+            if seq is None or len(seq) == 0:
+                return 0.0
+            # seq[0] is BOS; score the real tokens against running context
+            return _logprob(list(seq[1:]), m, lam)
+
+        return tokens.map(one)
+
+    scorer.__annotations__ = {"tokens": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(scorer)
+
+
+def doc_tokens_column(text_col) -> object:
+    """The tokenization the scorer expects (public so callers pre-compute
+    or persist it): normalized tokens, BOS-prefixed, empties dropped."""
+    return _doc_tokens(text_col)
+
+
+def reference_bits_per_token(
+    text: str, model: dict, lam: float = 0.7
+) -> float:
+    """Independent reference: normalize exactly like the Spark column
+    (regex whitespace collapse, trim, lowercase) then score with the same
+    pure function."""
+    import re
+
+    norm = re.sub(r"\s+", " ", text).strip().lower()
+    toks = [t for t in norm.split(" ") if t]
+    return _logprob(toks, model, lam)
