@@ -5,6 +5,8 @@ e2e flow (SURVEY §5)."""
 
 import fnmatch
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -205,3 +207,96 @@ def test_winnowing_guarantee_shared_substring(doc_a, doc_b, shared, cut_a, cut_b
         ha = {h for _, h in _winnow_py(a, _K, _W, hash_fn=hash_fn)}
         hb = {h for _, h in _winnow_py(b, _K, _W, hash_fn=hash_fn)}
         assert ha & hb, (a, b, shared)
+
+
+# -- BM25 / classifier / LM pure kernels -------------------------------------
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=20)
+
+
+@given(
+    st.dictionaries(st.integers(0, 5), _doc, min_size=1, max_size=6),
+    st.lists(_word, min_size=1, max_size=4),
+)
+def test_bm25_nonnegative_and_zero_iff_no_match(docs_toks, query):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.search import (
+        reference_bm25,
+    )
+
+    docs = {i: " ".join(toks) for i, toks in docs_toks.items()}
+    scores = reference_bm25(docs, query)
+    qset = {t.lower() for t in query}
+    for i, toks in docs_toks.items():
+        assert scores[i] >= 0.0
+        assert (scores[i] > 0.0) == bool(qset & set(toks))
+
+
+@given(
+    st.dictionaries(st.integers(0, 5), _doc, min_size=2, max_size=6),
+    st.lists(_word, min_size=1, max_size=3),
+    st.randoms(use_true_random=False),
+)
+def test_bm25_is_bag_of_words(docs_toks, query, rng):
+    """Scores depend only on token COUNTS: permuting any document's tokens
+    changes nothing (for itself or for other documents)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.search import (
+        reference_bm25,
+    )
+
+    docs = {i: " ".join(toks) for i, toks in docs_toks.items()}
+    before = reference_bm25(docs, query)
+    shuffled = {}
+    for i, toks in docs_toks.items():
+        toks = list(toks)
+        rng.shuffle(toks)
+        shuffled[i] = " ".join(toks)
+    after = reference_bm25(shuffled, query)
+    for i in docs:
+        assert after[i] == pytest.approx(before[i], rel=1e-12)
+
+
+@given(_doc, st.floats(-1.0, 1.0))
+def test_classifier_score_bounded_by_weight_range(toks, bias):
+    """Without bigrams the margin is a mean of weight entries, so it must
+    lie within [min(w), max(w)] + bias (empty docs score exactly bias)."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.classify import (
+        reference_score,
+    )
+
+    weights = [(-1) ** i * (i % 7) / 7.0 for i in range(64)]
+    s = reference_score(" ".join(toks), weights, bias=bias, bigrams=False)
+    if not toks:
+        assert s == bias
+    else:
+        assert min(weights) + bias - 1e-9 <= s <= max(weights) + bias + 1e-9
+
+
+@given(st.lists(_word, min_size=1, max_size=10))
+def test_classifier_whitespace_invariance(toks):
+    from sample_dms_kinesis_rds_mariadb_spark.functions.classify import (
+        reference_score,
+    )
+
+    weights = [((i * 37) % 11 - 5) / 5.0 for i in range(128)]
+    a = reference_score(" ".join(toks), weights)
+    b = reference_score("  " + "\t\n ".join(toks) + "   ", weights)
+    assert a == b
+
+
+@given(_doc)
+def test_lm_bits_strictly_positive_for_nonempty(toks):
+    """Interpolated probabilities are < 1, so bits/token > 0 for any
+    non-empty sequence; empty sequences score exactly 0."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.lm import _logprob
+
+    model = {
+        "unigrams": {"a": 5, "b": 3, "<s>": 2},
+        "bigrams": {("a", "b"): 2, ("<s>", "a"): 2},
+        "total": 10,
+    }
+    bits = _logprob(toks, model, lam=0.7)
+    if toks:
+        assert bits > 0.0
+    else:
+        assert bits == 0.0
