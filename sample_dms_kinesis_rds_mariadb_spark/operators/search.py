@@ -155,7 +155,8 @@ def bm25_batch_search(
     ("which corpus docs answer these 10k benchmark questions") where
     looping :func:`bm25_search` would scan the corpus once per query.
 
-    Returns (query_id, id_col, bm25, rank), rank 1 = best.
+    Returns (query_id, id_col, bm25, rank), rank 1 = best; ``query_id`` is
+    stringified (dict keys of any type come back as their ``str`` form).
 
     Scale shape: corpus stats + document frequencies for the UNION of all
     query terms are the same control-plane aggregates as the single-query
@@ -197,15 +198,21 @@ def bm25_batch_search(
         "query_id string, term string, idf double",
     )
     toks = _toks(F.col(text_col))
-    # filter (NOT intersect — intersect dedups and would flatten tf to 1):
-    # one row per OCCURRENCE of a query term, still never the full array
-    matching = F.filter(toks, lambda x: F.array_contains(F.lit(all_terms), x))
-    hits = df.select(
-        F.col(id_col),
-        F.size(toks).alias("_dl"),
-        F.explode(matching).alias("term"),
-    ).groupBy(id_col, "term").agg(
-        F.count("*").alias("_tf"), F.first("_dl").alias("_dl")
+    # one row per token OCCURRENCE (an array_intersect would dedup and
+    # flatten tf to 1), membership-tested by a broadcast hash join against
+    # the distinct term set — a hash probe per token (an array_contains
+    # scan over a big literal term list would be O(|terms|) per token for
+    # 10k-query batches). Non-matching tokens die map-side inside the
+    # broadcast join; the groupBy shuffle carries only the hits.
+    hits = (
+        df.select(
+            F.col(id_col),
+            F.size(toks).alias("_dl"),
+            F.explode(toks).alias("term"),
+        )
+        .join(F.broadcast(qdf.select("term").distinct()), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("_tf"), F.first("_dl").alias("_dl"))
     )
     tf = F.col("_tf").cast("double")
     denom = tf + F.lit(k1) * (
