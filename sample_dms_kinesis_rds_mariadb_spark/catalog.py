@@ -12,6 +12,12 @@ DataFrame providers:
 - ``jdbc``: ``spark.read.jdbc`` options passthrough (credential fields may be
   late-bound through ``credential_provider``) — the direct analog of the
   reference's MySQL source endpoint (S3).
+- ``jsonl`` / ``csv``: a directory of ``<table>.jsonl`` / ``<table>.csv``
+  files — the wire formats raw corpora actually arrive in. Pass explicit
+  per-table DDL via ``options["schemas"]`` (``{table: "col TYPE, ..."}``):
+  at 100 TB schema INFERENCE is itself a full data scan, so the explicit
+  path is the production path (inference remains a convenience fallback,
+  plus ``header`` for csv).
 
 Listing is metadata-only: selection rules run against ``list_tables()``
 output so non-matching tables are never scanned (SURVEY §4 X1).
@@ -36,7 +42,7 @@ class SourceCatalog:
         self.credential_provider: Callable[[str], dict] | None = None
 
     def register_endpoint(self, spec: EndpointSpec) -> None:
-        if spec.engine not in ("parquet", "memory", "jdbc"):
+        if spec.engine not in ("parquet", "memory", "jdbc", "jsonl", "csv"):
             raise ValueError(f"unsupported endpoint engine: {spec.engine!r}")
         self._endpoints[spec.name] = spec
 
@@ -54,13 +60,14 @@ class SourceCatalog:
             return sorted(
                 (s, t) for (e, s, t) in self._memory if e == endpoint
             )
-        if spec.engine == "parquet":
+        if spec.engine in ("parquet", "jsonl", "csv"):
+            suffix = f".{spec.engine}"
             schema = spec.options.get("schema_name", "main")
             path = spec.options["path"]
             return sorted(
-                (schema, f[: -len(".parquet")])
+                (schema, f[: -len(suffix)])
                 for f in os.listdir(path)
-                if f.endswith(".parquet")
+                if f.endswith(suffix)
             )
         if spec.engine == "jdbc":
             # JDBC table listing requires a live connection; callers supply
@@ -75,6 +82,21 @@ class SourceCatalog:
         if spec.engine == "parquet":
             return self.spark.read.parquet(
                 os.path.join(spec.options["path"], f"{table}.parquet")
+            )
+        if spec.engine in ("jsonl", "csv"):
+            path = os.path.join(
+                spec.options["path"], f"{table}.{spec.engine}"
+            )
+            ddl = spec.options.get("schemas", {}).get(table)
+            reader = self.spark.read
+            if ddl is not None:
+                reader = reader.schema(ddl)
+            if spec.engine == "jsonl":
+                return reader.json(path)
+            return reader.csv(
+                path,
+                header=str(spec.options.get("header", True)).lower() == "true",
+                inferSchema=ddl is None,
             )
         if spec.engine == "jdbc":
             opts = self.resolve_jdbc_options(spec, schema, table)

@@ -297,3 +297,84 @@ def test_pk_only_before_image(spark):
         batch, TaskSettings(before_image=True), {("db", "t"): "id"}
     ).collect()
     assert full[0]["before-image"] == {"id": "1", "v": "old"}
+
+
+def test_jsonl_and_csv_endpoints(spark, tmp_path):
+    """File-format endpoints: the wire formats raw corpora arrive in.
+    Explicit DDL is the production path (no inference scan); the snapshot
+    encode (S1) runs over them exactly like parquet/JDBC sources."""
+    import json as _json
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.snapshot import (
+        snapshot_table_events,
+    )
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    with open(src / "docs.jsonl", "w") as f:
+        for i, t in enumerate(["alpha beta", "gamma"]):
+            f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    with open(src / "ratings.csv", "w") as f:
+        f.write("doc_id,stars\n0,4\n1,5\n")
+
+    cat = SourceCatalog(spark)
+    cat.register_endpoint(
+        EndpointSpec(
+            "corpus-drop",
+            "jsonl",
+            {
+                "path": str(src),
+                "schema_name": "raw",
+                "schemas": {"docs": "doc_id LONG, text STRING"},
+            },
+        )
+    )
+    cat.register_endpoint(
+        EndpointSpec(
+            "ratings-drop",
+            "csv",
+            {
+                "path": str(src),
+                "schema_name": "raw",
+                "schemas": {"ratings": "doc_id LONG, stars INT"},
+            },
+        )
+    )
+    # listing is metadata-only and suffix-scoped per engine
+    assert cat.list_tables("corpus-drop") == [("raw", "docs")]
+    assert cat.list_tables("ratings-drop") == [("raw", "ratings")]
+
+    docs = cat.load("corpus-drop", "raw", "docs")
+    assert docs.schema.simpleString() == "struct<doc_id:bigint,text:string>"
+    assert sorted((r["doc_id"], r["text"]) for r in docs.collect()) == [
+        (0, "alpha beta"),
+        (1, "gamma"),
+    ]
+    ratings = cat.load("ratings-drop", "raw", "ratings")
+    assert sorted((r["doc_id"], r["stars"]) for r in ratings.collect()) == [
+        (0, 4),
+        (1, 5),
+    ]
+
+    env = snapshot_table_events(
+        spark, cat, "corpus-drop", "raw", "docs", TaskSettings(), pk_column="doc_id"
+    )
+    ev = [r.asDict(recursive=True) for r in env.orderBy("_order").collect()]
+    assert [e["metadata"]["operation"] for e in ev] == [
+        "drop-table",
+        "create-table",
+        "load",
+        "load",
+    ]
+    # csv inference fallback still loads (convenience path)
+    cat.register_endpoint(
+        EndpointSpec("ratings-infer", "csv", {"path": str(src), "schema_name": "raw"})
+    )
+    inferred = cat.load("ratings-infer", "raw", "ratings")
+    assert inferred.count() == 2
+
+
+def test_unsupported_endpoint_engine_rejected(spark):
+    cat = SourceCatalog(spark)
+    with pytest.raises(ValueError, match="unsupported"):
+        cat.register_endpoint(EndpointSpec("x", "orc", {}))
