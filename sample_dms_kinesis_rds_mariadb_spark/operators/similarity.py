@@ -21,7 +21,7 @@ import json
 import os
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sample_dms_kinesis_rds_mariadb_spark.functions.vectors import (
@@ -412,6 +412,65 @@ def cosine_self_join_topk(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
         .distinct()
+    )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Mine hard negatives for contrastive training: for each anchor, the
+    ``k`` most cosine-similar vectors with a DIFFERENT ``label_col`` —
+    the pairs that teach an embedding model the most (similar-looking but
+    semantically distinct).
+
+    Returns (anchor_id, negative_id, label, neg_label, cosine_sim, rank),
+    rank 1 = hardest.
+
+    Scale shape: same LSH-bucket discipline as every pair operator here —
+    the corpus is hashed once (pinned), the self-join keys on the bucket
+    (quadratic only in bucket occupancy, expected n/2^planes), the label
+    inequality filters inside the bucket join, and a per-anchor window
+    takes top-``k``. Candidates outside the anchor's bucket are missed —
+    the standard LSH recall trade; lower ``n_planes`` (bigger buckets)
+    buys recall with bucket-occupancy cost. Never an all-pairs join.
+    """
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import _pin
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    b = _pin(with_lsh_buckets(df, vec_col, n_planes, seed, dim=dim), materialize)
+    a = b.select(
+        "lsh_bucket",
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("label"),
+        to_double_array(F.col(vec_col)).alias("va"),
+    )
+    c = b.select(
+        "lsh_bucket",
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("neg_label"),
+        to_double_array(F.col(vec_col)).alias("vb"),
+    )
+    pairs = (
+        a.join(c, "lsh_bucket")
+        .filter(F.col("label") != F.col("neg_label"))
+        .withColumn("cosine_sim", cosine_similarity(F.col("va"), F.col("vb")))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.col("negative_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select("anchor_id", "negative_id", "label", "neg_label", "cosine_sim", "rank")
     )
 
 

@@ -955,3 +955,62 @@ def test_bpe_byte_level_counts_match_reference(spark):
     # café: c,a,f self-map; é -> 2 byte symbols, no merges fire -> 5
     assert got[2][1] == 5
     assert got[3][1] == 0
+
+
+def test_hard_negatives_match_per_bucket_bruteforce(spark):
+    """Contract parity: within each LSH bucket, the mined negatives must be
+    exactly the per-anchor top-k different-label vectors by cosine (ties by
+    negative_id) — computed independently in Python from the operator's own
+    bucket assignments."""
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(0xBEEF)
+    dim = 8
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    k = 4
+    out = similarity.hard_negatives(df, k=k, n_planes=3, seed=7)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["anchor_id"], []).append(
+            (r["rank"], r["negative_id"], r["cosine_sim"])
+        )
+    for v in got.values():
+        v.sort()
+
+    buckets = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in similarity.with_lsh_buckets(df, "embedding", 3, 7).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    by_id = {i: (v, l) for i, v, l in rows}
+    for i, (va, la) in by_id.items():
+        cands = [
+            (j, cos(va, vb))
+            for j, (vb, lb) in by_id.items()
+            if j != i and lb != la and buckets[j] == buckets[i]
+        ]
+        want = sorted(cands, key=lambda t: (-t[1], t[0]))[:k]
+        have = [(nid, sim) for _, nid, sim in got.get(i, [])]
+        assert len(have) == len(want), i
+        for (gn, gs), (wn, ws) in zip(have, want):
+            assert gn == wn and gs == pytest.approx(ws, rel=1e-9), i
+    # sanity: negatives never share the anchor's label, ranks start at 1
+    for r in similarity.hard_negatives(df, k=2, n_planes=3, seed=7).collect():
+        assert r["label"] != r["neg_label"] and r["rank"] in (1, 2)
+
+
+def test_hard_negatives_validation(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "vec_id long, embedding array<double>, label int"
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        similarity.hard_negatives(df, k=0)
