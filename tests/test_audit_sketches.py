@@ -201,3 +201,59 @@ def test_describe_corpus_null_text_accounting(spark):
     empty = describe_corpus(df.filter("doc_id < 0"), "text")[0].first()
     assert empty["n_docs"] == 0
     assert empty["quality_share"] == 0.0 and empty["dup_rate_est"] == 0.0
+
+
+def test_profile_table_one_pass_exact_fields(spark):
+    """profile_table: per-column stats match direct computation; whole
+    profile is ONE aggregate job (single scan in the plan); complex types
+    profile nulls/distinct via their JSON image."""
+    import contextlib
+    import io
+    import re
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0, [1, 2]),
+            (2, "b", None, [3]),
+            (3, None, 30.0, None),
+            (4, "b", 20.0, [1, 2]),
+        ],
+        "id long, s string, x double, arr array<int>",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "s", "x", "arr"}
+    for c in prof:
+        assert prof[c]["n_rows"] == 4
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["null_frac"] == 0.25
+    assert prof["x"]["n_nulls"] == 1
+    assert prof["arr"]["n_nulls"] == 1
+    assert prof["id"]["min"] == "1" and prof["id"]["max"] == "4"
+    assert prof["s"]["min"] == "a" and prof["s"]["max"] == "b"
+    assert prof["x"]["mean"] == pytest.approx(20.0)
+    assert prof["s"]["mean"] is None and prof["arr"]["mean"] is None
+    assert prof["arr"]["min"] is None  # complex: no order stats
+    # distinct estimates exact at this cardinality (HLL far below error)
+    assert prof["id"]["approx_distinct"] == 4
+    assert prof["s"]["approx_distinct"] == 2
+    assert prof["arr"]["approx_distinct"] == 2  # [1,2] repeats
+
+    plan_buf = io.StringIO()
+    with contextlib.redirect_stdout(plan_buf):
+        profile_table(df.select("id", "s")).explain("formatted")
+    plan = plan_buf.getvalue()
+    # one aggregate pass: a single scan feeds the whole profile
+    assert len(re.findall(r"^\(\d+\) Scan", plan, re.M)) == 1
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, columns=["nope"])
+
+
+def test_profile_table_empty_input(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([], "id long, s string")
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == 0 and prof["id"]["null_frac"] == 0.0
+    assert prof["s"]["min"] is None
