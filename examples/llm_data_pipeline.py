@@ -197,6 +197,22 @@ def main() -> None:
         f"into {len(manifest['shard_rows'])} ~20k-token shards"
     )
 
+    # 4d. statistical quality: train a bigram LM on the surviving corpus,
+    # score every doc in bits/token (CCNet-style perplexity gate), and run
+    # a BM25 retrieval probe (eval-set forensics) — all engine operators
+    from sample_dms_kinesis_rds_mariadb_spark.functions import lm
+    from sample_dms_kinesis_rds_mariadb_spark.operators import search
+
+    model = lm.train_ngram_counts(clean, "text", vocab_size=20_000)
+    scorer = lm.make_perplexity_scorer(spark, model)
+    bits = clean.select(
+        scorer(lm.doc_tokens_column(F.col("text"))).alias("bits")
+    )
+    stats = bits.agg(F.avg("bits").alias("avg"), F.max("bits").alias("max")).first()
+    print(f"LM perplexity: avg {stats['avg']:.2f} / max {stats['max']:.2f} bits/token")
+    hits = search.bm25_search(docs, "doc_id", "text", "data quality pipeline", k=3)
+    print("BM25 probe:", [(r["doc_id"], round(r["bm25"], 3)) for r in hits.collect()])
+
     # 5. similarity: build the IVF index once, probe it
     emb = load_table(spark, sf_dir, "embeddings")
     probe_vec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -208,6 +224,11 @@ def main() -> None:
     )
     top = index.probe(probe_vec, k=5, n_probe=3).collect()
     print("ANN top-5 for vec 0:", [(r["vec_id"], round(r["cosine_sim"], 4)) for r in top])
+
+    # 5b. hard negatives for contrastive fine-tuning: most-similar
+    # different-label pairs, LSH-bucketed like every pair operator
+    hn = similarity.hard_negatives(emb, k=2, n_planes=4)
+    print(f"hard negatives mined: {hn.count()} (anchor, negative) pairs")
 
     # 6. semantic dedup (SemDeDup): drop embedding-space near-dups within
     # learned clusters — the semantic counterpart of stage 3's lexical LSH

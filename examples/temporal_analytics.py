@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from sample_dms_kinesis_rds_mariadb_spark.operators.joins import (
     asof_join,
+    asof_join_broadcast,
     asof_join_epoched,
     range_join,
 )
@@ -46,6 +47,14 @@ def main() -> None:
         tolerance_seconds=7 * 86400, epoch_seconds=86400,
     )
     assert epoched.filter(F.col("asof").isNotNull()).count() == with_state
+
+    # zero-probe-shuffle variant (small dimension history): build side
+    # collapses to per-key sorted arrays and broadcasts — the clicks never
+    # exchange. Same semantics, pick by build-side size.
+    broadcasted = asof_join_broadcast(
+        clicks, purchases, on="user_id", ts="ts", tolerance_seconds=7 * 86400
+    )
+    assert broadcasted.filter(F.col("asof").isNotNull()).count() == with_state
 
     # 2. range join: clicks falling inside 5-minute error-incident windows
     incidents = e.filter(F.col("event_type") == "error").select(
