@@ -152,3 +152,108 @@ def test_cap_per_group_deterministic_and_validated(spark):
     assert a == b and len(a) == 7
     with pytest.raises(ValueError):
         cap_per_group(df, "doc_id", "source", -1)
+
+
+def _py_morton(vals: list[int], bits: int) -> int:
+    z = 0
+    for b in range(bits - 1, -1, -1):
+        for v in vals:
+            z = (z << 1) | ((v >> b) & 1)
+    return z
+
+
+def test_zorder_interleave_matches_python(spark):
+    """With pinned ranges the quantization is the exact affine floor map,
+    and the interleave must equal a straightforward Python Morton code."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.export import zorder_column
+
+    bits = 8
+    scale = (1 << bits) - 1
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        [(0, 0), (255, 255), (0, 255), (17, 200), (128, 64), (255, 0)]
+    )]
+    df = spark.createDataFrame(rows, "i long, x double, y double")
+    ranges = {"x": (0.0, 255.0), "y": (0.0, 255.0)}
+    got = {
+        r["i"]: r["_zorder"]
+        for r in zorder_column(df, ["x", "y"], bits=bits, ranges=ranges).collect()
+    }
+    for i, x, y in rows:
+        qx = min(scale, max(0, int((x - 0.0) / 255.0 * scale)))
+        qy = min(scale, max(0, int((y - 0.0) / 255.0 * scale)))
+        assert got[i] == _py_morton([qx, qy], bits), (i, x, y)
+
+
+def test_zorder_nulls_and_degenerate_ranges(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.export import zorder_column
+
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (2, 3.0, 5.0)], "i long, x double, y double"
+    )
+    out = {r["i"]: r["_zorder"] for r in zorder_column(df, ["x", "y"], bits=4).collect()}
+    # y is constant (degenerate range -> 0); NULL x -> 0: row 1 is all-zero
+    assert out[1] == 0
+    with pytest.raises(ValueError, match="bits"):
+        zorder_column(df, ["x"], bits=0)
+    with pytest.raises(ValueError, match="1-3"):
+        zorder_column(df, ["x", "y", "x", "y"])
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """The point of Z-order: per-file bounding boxes are compact in BOTH
+    columns, so a selective predicate on EITHER prunes most files — where
+    a single-column range layout only prunes on its sort key."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
+        write_range_layout,
+        write_zorder_layout,
+    )
+
+    n, files = 20000, 16
+    rng = random.Random(0x20DD)
+    rows = [(rng.randrange(1000), rng.randrange(1000)) for _ in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    def file_boxes(path, col):
+        boxes = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(path, f)).metadata
+            lo, hi = None, None
+            for rg in range(meta.num_row_groups):
+                c = next(
+                    meta.row_group(rg).column(i)
+                    for i in range(meta.num_columns)
+                    if meta.row_group(rg).column(i).path_in_schema == col
+                )
+                lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            boxes.append((lo, hi))
+        return boxes
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder_layout(df, zpath, ["x", "y"], n_files=files, bits=10)
+    rpath = str(tmp_path / "ranged")
+    write_range_layout(df, rpath, "x", n_files=files)
+
+    def hit_files(boxes, lo, hi):
+        return sum(1 for (blo, bhi) in boxes if not (bhi < lo or blo > hi))
+
+    # a 5%-wide predicate on y: the x-sorted layout can't prune at all,
+    # the z-order layout prunes most files
+    z_hits = hit_files(file_boxes(zpath, "y"), 100, 149)
+    r_hits = hit_files(file_boxes(rpath, "y"), 100, 149)
+    assert r_hits == files
+    assert z_hits <= files // 2
+    # and x-predicates still prune on the z-order layout too
+    zx_hits = hit_files(file_boxes(zpath, "x"), 100, 149)
+    assert zx_hits <= files // 2
+    # correctness: the layout changes placement, never content
+    assert spark.read.parquet(zpath).count() == n
+    got = spark.read.parquet(zpath).filter("y BETWEEN 100 AND 149").count()
+    want = df.filter("y BETWEEN 100 AND 149").count()
+    assert got == want
