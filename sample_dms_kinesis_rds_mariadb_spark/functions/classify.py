@@ -32,8 +32,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
-    normalize_text,
-    tokenize,
+    clean_tokens,
+    py_clean_tokens,
     word_ngrams,
 )
 
@@ -43,9 +43,7 @@ def classifier_features(text: Column, *, bigrams: bool = True) -> Column:
     optionally followed by space-joined word bigrams (the fastText
     ``wordNgrams=2`` recipe — bigrams share the unigram hash space, collisions
     are part of the model). Empty documents yield an empty array."""
-    toks = F.filter(
-        tokenize(normalize_text(text)), lambda t: t != F.lit("")
-    )
+    toks = clean_tokens(text)
     if not bigrams:
         return toks
     return F.concat(toks, word_ngrams(toks, 2))
@@ -130,11 +128,9 @@ def reference_score(
     of Spark) — the parity oracle for tests and for validating a weight
     vector against a sample before a 100 TB run. Mirrors the exact hash
     (zlib crc32), feature order, and left-fold addition order."""
-    import re
     import zlib
 
-    norm = re.sub(r"\s+", " ", text).strip().lower()
-    toks = [t for t in norm.split(" ") if t != ""]
+    toks = py_clean_tokens(text)
     feats = list(toks)
     if bigrams:
         feats += [f"{a} {b}" for a, b in zip(toks, toks[1:])]

@@ -37,8 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
-    normalize_text,
-    tokenize,
+    clean_tokens,
+    py_clean_tokens,
     word_ngrams,
 )
 
@@ -46,9 +46,9 @@ BOS = "<s>"
 
 
 def _doc_tokens(col):
-    """Normalized tokens, empty strings dropped, BOS-prefixed so the first
-    real token is scored by a (BOS, token) bigram."""
-    toks = F.filter(tokenize(normalize_text(col)), lambda t: t != F.lit(""))
+    """Normalized tokens (shared :func:`...text.clean_tokens`), BOS-prefixed
+    so the first real token is scored by a (BOS, token) bigram."""
+    toks = clean_tokens(col)
     return F.when(F.size(toks) > 0, F.concat(F.array(F.lit(BOS)), toks)).otherwise(
         toks
     )
@@ -91,6 +91,14 @@ def train_ngram_counts(
     }
 
 
+def _validate_lam(lam: float) -> None:
+    """``lam`` must leave unigram mass: at ``lam == 1.0`` a missing bigram
+    yields p = 0 and ``log2(0)`` kills executor tasks mid-run; the add-one
+    unigram backoff guarantees p > 0 only when ``(1 - lam) > 0``."""
+    if not 0.0 <= lam < 1.0:
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
+
+
 def _logprob(tokens: list[str], model: dict, lam: float) -> float:
     """Mean negative log2 probability (bits/token) of the token sequence
     under interpolated bigram + add-one unigram backoff. Pure function —
@@ -124,6 +132,7 @@ def make_perplexity_scorer(spark, model: dict, lam: float = 0.7):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    _validate_lam(lam)
     bc = spark.sparkContext.broadcast(model)
 
     def scorer(tokens):
@@ -150,11 +159,7 @@ def doc_tokens_column(text_col) -> object:
 def reference_bits_per_token(
     text: str, model: dict, lam: float = 0.7
 ) -> float:
-    """Independent reference: normalize exactly like the Spark column
-    (regex whitespace collapse, trim, lowercase) then score with the same
-    pure function."""
-    import re
-
-    norm = re.sub(r"\s+", " ", text).strip().lower()
-    toks = [t for t in norm.split(" ") if t]
-    return _logprob(toks, model, lam)
+    """Independent reference: normalize with the shared Python mirror of
+    the Spark tokenization, then score with the same pure function."""
+    _validate_lam(lam)
+    return _logprob(py_clean_tokens(text), model, lam)

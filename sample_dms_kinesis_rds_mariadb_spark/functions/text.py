@@ -29,6 +29,24 @@ def token_count(col: Column) -> Column:
     return F.size(tokenize(col))
 
 
+def clean_tokens(col: Column) -> Column:
+    """Normalized tokens with empty strings dropped — ``split('')`` yields
+    ``['']``, which would count empty documents as one-token documents.
+    THE shared tokenization for every scoring operator (BM25, classifier,
+    LM): one definition here keeps their cross-engine references aligned
+    (:func:`py_clean_tokens` is the Python mirror)."""
+    return F.filter(tokenize(normalize_text(col)), lambda t: t != F.lit(""))
+
+
+def py_clean_tokens(text: str) -> list[str]:
+    """Pure-Python mirror of :func:`clean_tokens` for parity references:
+    same whitespace collapse, trim, lowercase, empty-drop."""
+    import re
+
+    norm = re.sub(r"\s+", " ", text).strip().lower()
+    return [t for t in norm.split(" ") if t]
+
+
 # GPT-2-style pre-tokenizer pattern (public, from the GPT-2 release):
 # contractions, letter runs, digit runs, punctuation runs (each with an
 # optional leading space), then residual whitespace. Java regex flavor —

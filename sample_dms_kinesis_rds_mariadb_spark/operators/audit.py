@@ -42,8 +42,11 @@ def audited_filter(
     """
     # count(when(...)) not sum(when(...).otherwise(0)): sum is NULL over
     # zero rows, and an empty input must report a 0-funnel, not crash the
-    # report (inside _funnel_aggs, shared with the streaming dual)
-    obs = Observation("audited_filter")
+    # report (inside _funnel_aggs, shared with the streaming dual).
+    # Unnamed Observation: the name must be unique per plan, and pipelines
+    # legitimately compose several funnels into one action (a fixed name
+    # throws DUPLICATED_METRICS_NAME at analysis time).
+    obs = Observation()
     aggs, acc = _funnel_aggs(gates)
     return df.observe(obs, *aggs).filter(acc), obs
 

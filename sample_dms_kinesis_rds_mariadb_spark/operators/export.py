@@ -25,6 +25,16 @@ from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import _hash_bucket
 MANIFEST_FILE = "_manifest.json"
 
 
+def _has_parquet_files(path: str) -> bool:
+    """True when the written layout holds any data file (an all-filtered-out
+    input writes only _SUCCESS — a valid empty corpus, not a read error)."""
+    return any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+    )
+
+
 def shard_column(df: DataFrame, key_col: str, n_shards: int, salt: str = "shard"):
     """Deterministic shard id in [0, n_shards) from md5(salt|key)."""
     if n_shards < 1:
@@ -81,11 +91,7 @@ def write_training_shards(
     # writes no data files (just _SUCCESS); that is a valid empty corpus,
     # not a schema-inference error.
     spark = df.sparkSession
-    has_files = any(
-        f.endswith(".parquet")
-        for _root, _dirs, files in os.walk(path)
-        for f in files
-    )
+    has_files = _has_parquet_files(path)
     counts = (
         {
             int(r["shard"]): r["n"]
@@ -115,11 +121,7 @@ def verify_shards(spark, path: str) -> bool:
     integrity check). Raises on mismatch, returns True when clean."""
     with open(os.path.join(path, MANIFEST_FILE)) as f:
         manifest = json.load(f)
-    has_files = any(
-        f.endswith(".parquet")
-        for _root, _dirs, files in os.walk(path)
-        for f in files
-    )
+    has_files = _has_parquet_files(path)
     got = (
         {
             str(r["shard"]): r["n"]
@@ -143,7 +145,6 @@ def budget_shard_column(
     budget: int,
     order_col: str,
     n_partitions: int | None = None,
-    materialize: bool = True,
 ) -> DataFrame:
     """Assign contiguous token-budget shards: rows sorted by ``order_col``
     are packed sequentially so each ``shard`` holds ~``budget`` units of
@@ -183,11 +184,16 @@ def budget_shard_column(
     spark = df.sparkSession
     parts = n_partitions or spark.sparkContext.defaultParallelism
     size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+    # the pin is NOT optional here (no materialize=False escape hatch):
+    # both passes must see the same row->partition map, and range
+    # boundaries are re-sampled per evaluation — an unpinned plan over a
+    # non-deterministic source would assign WRONG shard ids silently, and
+    # laziness buys nothing since the totals collect() runs a job anyway
     ranged = _pin(
         df.repartitionByRange(parts, F.col(order_col)).withColumn(
             "_pid", F.spark_partition_id()
         ),
-        materialize,
+        True,
     )
     totals = {
         r["_pid"]: r["t"]
@@ -236,11 +242,7 @@ def write_budget_shards(
         .parquet(path)
     )
     spark = df.sparkSession
-    has_files = any(
-        f.endswith(".parquet")
-        for _root, _dirs, files in os.walk(path)
-        for f in files
-    )
+    has_files = _has_parquet_files(path)
     stats = (
         {
             int(r["shard"]): (r["n"], r["tok"])

@@ -235,7 +235,19 @@ def asof_join_broadcast(
         # so the LAST qualifying element is greatest-ts/greatest-tie
         .agg(F.sort_array(F.collect_list("_h")).alias("_hist"))
     )
-    joined = probe.join(F.broadcast(hist), on=keys, how="left")
+    # null-safe key equality (<=>): asof_join's Window.partitionBy groups
+    # NULL keys together, so NULL-keyed probe rows must match NULL-keyed
+    # build history here too — a plain equi-join would silently drop them.
+    # EqualNullSafe is still an equi-join key, so the plan stays a
+    # BroadcastHashJoin.
+    bhist = F.broadcast(hist)
+    cond = None
+    for k in keys:
+        eq = probe[k].eqNullSafe(hist[k])
+        cond = eq if cond is None else cond & eq
+    joined = probe.join(bhist, cond, "left")
+    for k in keys:
+        joined = joined.drop(hist[k])
     probe_us = _epoch_us(F.col(ts))
     horizon = (
         F.lit(int(tolerance_seconds * 1_000_000))

@@ -211,7 +211,11 @@ class JdbcPollingCapture:
         df = self._load()
         cursor = self._resolve_cursor(df)
         first = not self._started
-        self._started = True
+        # NB: _started flips only AFTER the first poll's queries succeed — a
+        # transient JDBC failure here must leave the capture un-started, or
+        # the scheduler's retry would treat the NEXT poll as non-first
+        # (initial='now' would then deliver the entire table history it was
+        # told to skip; initial='snapshot' would mislabel the snapshot ops)
         if first and self._initial == "now":
             # start-up boundary: one scan decides both the mark and the
             # already-history fingerprints (rows racing these queries are
@@ -224,6 +228,7 @@ class JdbcPollingCapture:
                     for r in df.filter(F.col(cursor) >= F.lit(self._floor()))
                     .collect()
                 )
+            self._started = True
             self._save_state()
             return 0
         floor = self._floor()
@@ -270,6 +275,7 @@ class JdbcPollingCapture:
             )
         if changes:
             feed.append_changes(changes)
+        self._started = True
         self._save_state()
         return len(changes)
 

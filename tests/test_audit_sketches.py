@@ -257,3 +257,20 @@ def test_profile_table_empty_input(spark):
     prof = {r["column"]: r for r in profile_table(df).collect()}
     assert prof["id"]["n_rows"] == 0 and prof["id"]["null_frac"] == 0.0
     assert prof["s"]["min"] is None
+
+
+def test_audited_filter_composes_in_one_plan(spark):
+    """Two funnels composed into one action must not collide on the
+    observation name (regression: a fixed name threw
+    DUPLICATED_METRICS_NAME at analysis time)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.audit import (
+        audited_filter,
+        funnel_report,
+    )
+
+    df = spark.range(100).withColumn("v", F.col("id") % 10)
+    f1, o1 = audited_filter(df, {"low": F.col("v") < 8})
+    f2, o2 = audited_filter(f1, {"even": F.col("v") % 2 == 0})
+    assert f2.count() == 40
+    assert funnel_report(o1) == [("input_rows", 100), ("after_low", 80)]
+    assert funnel_report(o2) == [("input_rows", 80), ("after_even", 40)]

@@ -661,6 +661,14 @@ def test_asof_broadcast_equals_plain_all_directions(spark):
         (i, rng.randint(1, 8), base + dt.timedelta(seconds=rng.randint(0, 2000)))
         for i in range(150)
     ]
+    # NULL keys: the window form groups them together, so the broadcast
+    # form must match them too (null-safe join)
+    build_rows += [
+        (None, base + dt.timedelta(seconds=100), 777.0, 900),
+        (None, base + dt.timedelta(seconds=500), 888.0, 901),
+    ]
+    probe_rows += [(9001, None, base + dt.timedelta(seconds=300)),
+                   (9002, None, base + dt.timedelta(seconds=50))]
     build = spark.createDataFrame(build_rows, "k int, ts timestamp, px double, seq int")
     probe = spark.createDataFrame(probe_rows, "pid int, k int, ts timestamp")
 

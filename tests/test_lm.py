@@ -102,3 +102,11 @@ def test_scoring_is_arrow_batched_not_per_row(spark, corpus_df):
     plan = buf.getvalue()
     assert "ArrowEvalPython" in plan       # vectorized pandas_udf
     assert "BatchEvalPython" not in plan   # never the row-at-a-time path
+
+
+def test_lam_validation(spark, corpus_df):
+    model = lm.train_ngram_counts(corpus_df, "text", vocab_size=100)
+    with pytest.raises(ValueError, match="lam"):
+        lm.make_perplexity_scorer(spark, model, lam=1.0)
+    with pytest.raises(ValueError, match="lam"):
+        lm.reference_bits_per_token("the cat", model, lam=-0.1)
