@@ -346,9 +346,13 @@ def zorder_column(
             quantized.append(F.lit(0).cast("long"))
             continue
         q = F.floor((numeric(c) - F.lit(float(lo))) / F.lit(hi - lo) * scale)
+        # NULL -> 0 BEFORE the clamp: greatest/least SKIP null arguments
+        # (least(scale, NULL) = scale), so clamping first would send NULLs
+        # to the HIGH corner — mixed into the max-value files' footer
+        # stats — instead of the documented low corner
         quantized.append(
-            F.coalesce(
-                F.greatest(F.lit(0), F.least(F.lit(scale), q)), F.lit(0)
+            F.greatest(
+                F.lit(0), F.least(F.lit(scale), F.coalesce(q, F.lit(0)))
             ).cast("long")
         )
     # Column & / | are LOGICAL operators in PySpark — bitwise needs the

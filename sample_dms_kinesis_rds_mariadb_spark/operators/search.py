@@ -230,6 +230,191 @@ def bm25_batch_search(
     )
 
 
+class InvertedIndex:
+    """Persistent inverted index: build postings ONCE, answer every later
+    query from partition-pruned posting reads — no corpus scan at probe
+    time. The lexical dual of ``dedup.MinHashIndex`` / ``similarity
+    .IvfIndex``: the expensive pass (tokenize + explode the corpus) runs
+    once at build, and each query touches only the term buckets it names.
+
+    Layout under ``path``:
+
+    - ``postings/term_bucket=K/``: (term, doc_id, tf, dl) — one row per
+      (document, distinct term), document length DENORMALIZED into the
+      posting so probes never join a lengths table;
+    - ``_index.json``: n_docs, total_tokens (exact avgdl maintenance
+      across appends), n_buckets, id column name.
+
+    Probe cost: read ``|query terms|`` bucket directories (directory-level
+    partition pruning plus parquet dictionary/min-max pruning on ``term``
+    inside them), one term-keyed window for exact document frequencies,
+    one doc-keyed aggregate, TakeOrdered top-k — every stage bounded by
+    the HIT count, never corpus size. Scores are IDENTICAL to
+    :func:`bm25_search` over the same corpus (same idf variant, same
+    stats; parity-tested), because df/N/avgdl are exact, not sampled.
+
+    ``append`` ingests new documents incrementally: postings land in the
+    same bucket layout (existing partitions gain files, no rewrite) and
+    the stats row updates arithmetically — no recompute over the corpus.
+    Term buckets use crc32 so the driver can name the probe buckets
+    without a Spark job.
+    """
+
+    STATS_FILE = "_index.json"
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "doc_id",
+        n_buckets: int = 64,
+    ) -> None:
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.postings_path = os.path.join(path, "postings")
+        stats_path = os.path.join(path, self.STATS_FILE)
+        if os.path.exists(stats_path):
+            import json
+
+            with open(stats_path) as f:
+                st = json.load(f)
+            self.id_col = st["id_col"]
+            self.n_buckets = int(st["n_buckets"])
+            self._n_docs = int(st["n_docs"])
+            self._total_tokens = int(st["total_tokens"])
+        else:
+            if n_buckets < 1:
+                raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+            self.id_col = id_col
+            self.n_buckets = int(n_buckets)
+            self._n_docs = 0
+            self._total_tokens = 0
+
+    def _save_stats(self) -> None:
+        import json
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, self.STATS_FILE), "w") as f:
+            json.dump(
+                {
+                    "id_col": self.id_col,
+                    "n_buckets": self.n_buckets,
+                    "n_docs": self._n_docs,
+                    "total_tokens": self._total_tokens,
+                },
+                f,
+            )
+
+    def _postings(self, df: DataFrame, text_col: str) -> DataFrame:
+        toks = df.withColumn("_toks", _toks(F.col(text_col)))
+        return (
+            toks.select(
+                F.col(self.id_col).alias("doc_id"),
+                F.size("_toks").alias("dl"),
+                F.explode("_toks").alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+            .withColumn(
+                "term_bucket",
+                F.pmod(
+                    F.crc32(F.encode(F.col("term"), "UTF-8")),
+                    F.lit(self.n_buckets),
+                ).cast("int"),
+            )
+        )
+
+    def build(self, df: DataFrame, text_col: str = "text") -> None:
+        """Index the corpus (overwrites any prior index at ``path``)."""
+        self._n_docs = 0
+        self._total_tokens = 0
+        self._postings(df, text_col).write.mode("overwrite").partitionBy(
+            "term_bucket"
+        ).parquet(self.postings_path)
+        self._accumulate_stats(df, text_col)
+
+    def append(self, df: DataFrame, text_col: str = "text") -> None:
+        """Add new documents: bucket-partitioned posting append + an
+        arithmetic stats update — never a corpus recompute. Caller owns id
+        uniqueness (re-appending an id would double-count it, exactly like
+        appending it to the source corpus twice)."""
+        self._postings(df, text_col).write.mode("append").partitionBy(
+            "term_bucket"
+        ).parquet(self.postings_path)
+        self._accumulate_stats(df, text_col)
+
+    def _accumulate_stats(self, df: DataFrame, text_col: str) -> None:
+        # zero-token docs leave no postings but DO count in n_docs/avgdl,
+        # so stats come from the batch frame, not the postings
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(_toks(F.col(text_col)))).alias("tok"),
+        ).first()
+        self._n_docs += int(row["n"])
+        self._total_tokens += int(row["tok"] or 0)
+        self._save_stats()
+
+    def _bucket_of(self, term: str) -> int:
+        import zlib
+
+        # zlib.crc32 == Spark's crc32 (unsigned IEEE), so the driver names
+        # probe buckets without a Spark job
+        return zlib.crc32(term.encode("utf-8")) % self.n_buckets
+
+    def search(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Top-``k`` (doc_id, bm25), best first, from the index alone."""
+        from pyspark.sql import Window
+
+        terms = _query_terms(query)
+        n, avgdl = self._n_docs, (
+            self._total_tokens / self._n_docs if self._n_docs else 0.0
+        )
+        if not terms or n == 0:
+            return self.spark.createDataFrame(
+                [], "doc_id string, bm25 double"
+            )
+        buckets = sorted({self._bucket_of(t) for t in terms})
+        p = (
+            self.spark.read.parquet(self.postings_path)
+            # term_bucket prunes DIRECTORIES before any file opens; the
+            # term filter then prunes row groups via dictionary/min-max
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+        )
+        # exact df per term from the postings themselves — no separate
+        # term-stats table to keep consistent across appends. One shuffle
+        # keyed on term, bounded by hit counts.
+        p = p.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("term"))
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n)) - F.col("_df") + F.lit(0.5))
+            / (F.col("_df") + F.lit(0.5))
+        )
+        tf = F.col("tf").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+        return (
+            p.withColumn("_c", idf * tf * F.lit(k1 + 1.0) / denom)
+            .groupBy("doc_id")
+            .agg(F.sum("_c").alias("bm25"))
+            .orderBy(F.desc("bm25"), F.col("doc_id"))
+            .limit(k)
+        )
+
+
 def reference_bm25(
     docs: dict, query: str | list[str], k1: float = 1.2, b: float = 0.75
 ) -> dict:

@@ -193,6 +193,16 @@ def test_zorder_nulls_and_degenerate_ranges(spark):
     out = {r["i"]: r["_zorder"] for r in zorder_column(df, ["x", "y"], bits=4).collect()}
     # y is constant (degenerate range -> 0); NULL x -> 0: row 1 is all-zero
     assert out[1] == 0
+    # NULL with a NON-degenerate range (regression: greatest/least skip
+    # NULL args, so clamp-then-coalesce sent NULLs to the HIGH corner):
+    # a NULL x must interleave exactly like the range minimum, not the max
+    df2 = spark.createDataFrame(
+        [(1, None), (2, 0.0), (3, 10.0)], "i long, x double"
+    )
+    out2 = {
+        r["i"]: r["_zorder"] for r in zorder_column(df2, ["x"], bits=4).collect()
+    }
+    assert out2[1] == out2[2] == 0 and out2[3] == 15
     with pytest.raises(ValueError, match="bits"):
         zorder_column(df, ["x"], bits=0)
     with pytest.raises(ValueError, match="1-3"):

@@ -124,3 +124,78 @@ def test_bm25_batch_plan_broadcasts_query_table(spark, docs_df):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# InvertedIndex: build-once postings, partition-pruned probes
+
+
+def test_inverted_index_matches_bm25_search(spark, docs_df, tmp_path):
+    """An index probe must rank exactly like the scan operator and score
+    equal to float tolerance (the per-doc sum is unordered in both)."""
+    idx = search.InvertedIndex(spark, str(tmp_path / "ix"), id_col="doc_id")
+    idx.build(docs_df, "text")
+    for query in ("quick brown fox", "dog", "fox fox", "zzz nothing"):
+        want = search.bm25_search(docs_df, "doc_id", "text", query, k=5).collect()
+        got = idx.search(query, k=5).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], query
+        for g, w in zip(got, want):
+            assert g["bm25"] == pytest.approx(w["bm25"], rel=1e-9)
+
+
+def test_inverted_index_append_equals_one_shot(spark, docs_df, tmp_path):
+    """Incremental arrival == one-shot build: append the corpus in three
+    batches, probe, and compare against an index built in one pass. Also
+    re-opens the index from disk (stats round-trip through _index.json)."""
+    items = sorted(DOCS.items())
+    batches = [items[:3], items[3:6], items[6:]]
+    inc = search.InvertedIndex(spark, str(tmp_path / "inc"), id_col="doc_id")
+    for batch in batches:
+        inc.append(spark.createDataFrame(batch, ["doc_id", "text"]), "text")
+    one = search.InvertedIndex(spark, str(tmp_path / "one"), id_col="doc_id")
+    one.build(docs_df, "text")
+    # fresh handle over the incremental path: stats must recover from disk
+    reopened = search.InvertedIndex(spark, str(tmp_path / "inc"))
+    assert reopened._n_docs == one._n_docs
+    assert reopened._total_tokens == one._total_tokens
+    for query in ("quick brown fox", "dog"):
+        a = reopened.search(query, k=5).collect()
+        b = one.search(query, k=5).collect()
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+        for x, y in zip(a, b):
+            assert x["bm25"] == pytest.approx(y["bm25"], rel=1e-12)
+
+
+def test_inverted_index_probe_prunes_partitions(spark, docs_df, tmp_path):
+    """The probe plan must push the term-bucket filter into PartitionFilters
+    (directory pruning — the reason the index beats a corpus scan) and never
+    touch Python."""
+    idx = search.InvertedIndex(spark, str(tmp_path / "ix"), id_col="doc_id")
+    idx.build(docs_df, "text")
+    out = idx.search("quick fox", k=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "term_bucket" in plan.split("PartitionFilters", 1)[1][:300]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the bucket restriction is behavioral, not just cosmetic: plant a
+    # decoy posting for 'quick' in a bucket the probe never names — it
+    # must stay invisible (inputFiles() can't show this; it lists the
+    # relation pre-pruning)
+    decoy_bucket = (idx._bucket_of("quick") + 1) % idx.n_buckets
+    spark.createDataFrame(
+        [(999, 5, "quick", 50)], "doc_id long, dl int, term string, tf long"
+    ).withColumn("term_bucket", F.lit(decoy_bucket)).write.mode(
+        "append"
+    ).partitionBy("term_bucket").parquet(idx.postings_path)
+    assert 999 not in {r["doc_id"] for r in idx.search("quick fox", k=10).collect()}
+
+
+def test_inverted_index_empty_and_absent_cases(spark, docs_df, tmp_path):
+    idx = search.InvertedIndex(spark, str(tmp_path / "ix"), id_col="doc_id")
+    idx.build(docs_df, "text")
+    assert idx.search("zzzz qqqq", k=3).count() == 0   # no matching terms
+    assert idx.search("", k=3).count() == 0            # empty query
+    fresh = search.InvertedIndex(spark, str(tmp_path / "empty"))
+    assert fresh.search("quick", k=3).count() == 0     # empty index
