@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 from sample_dms_kinesis_rds_mariadb_spark.functions.vectors import (
     cosine_similarity,
     dot,
+    quantize_scale,
+    quantize_vector,
+    quantized_cosine,
     to_double_array,
 )
 
@@ -58,6 +61,80 @@ def brute_force_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Append the int8 image of ``vec_col``: ``q_col`` (ARRAY<TINYINT>)
+    + ``scale_col`` (FLOAT) — 4x smaller than float32. Write the result
+    with BOTH forms; coarse scans then column-prune to the byte array
+    (4x less parquet IO) and only rerank touches the full vectors."""
+    v = to_double_array(F.col(vec_col))
+    return df.withColumn(scale_col, quantize_scale(v)).withColumn(
+        q_col, quantize_vector(v, F.col(scale_col))
+    )
+
+
+def quantized_topk_rerank(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 20,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+) -> DataFrame:
+    """Top-``k`` by exact cosine, found via a cheap int8 coarse pass: scan
+    the byte column for quantized cosine (scales cancel — no dequant),
+    TakeOrdered the top ``oversample * k`` candidates, then rerank ONLY
+    those by exact float cosine.
+
+    Scale shape: the corpus-sized scan reads 1/4 the bytes (column
+    pruning to ``q_col``), the exact computation touches ``oversample*k``
+    rows, and both passes are TakeOrdered (per-partition heaps, never a
+    global sort). int8 cosine error is ~1e-3 for unit-ish vectors, so
+    modest oversampling recovers exact-top-k recall — the standard
+    coarse-quantize/rerank ANN recipe (as in IVF-SQ engines).
+
+    ``df`` must carry ``q_col`` (from :func:`quantize_embeddings`, e.g.
+    written at ingest). Ties in the coarse pass break by id for
+    determinism; the rerank re-sorts by exact cosine.
+    """
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    q_probe, _scale = _py_quantize(probe)
+    qp = F.array(*[F.lit(int(x)) for x in q_probe]).cast("array<tinyint>")
+    coarse = (
+        df.select(
+            F.col(id_col),
+            quantized_cosine(F.col(q_col), qp).alias("_qsim"),
+        )
+        .orderBy(F.col("_qsim").desc_nulls_last(), F.col(id_col))
+        .limit(int(oversample) * int(k))
+    )
+    # join FIRST (broadcast hash probe per row — cheap), THEN fold the
+    # exact cosine: projecting the cosine before the join would evaluate
+    # the expensive fold corpus-wide instead of on oversample*k survivors
+    exact = cosine_similarity(to_double_array(F.col(vec_col)), _probe_lit(probe))
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(coarse.select(id_col)), id_col)
+        .select(F.col(id_col), exact.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+
+
+def _py_quantize(vec: list[float]) -> tuple[list[int], float]:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.vectors import (
+        reference_quantize,
+    )
+
+    return reference_quantize([float(x) for x in vec])
 
 
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:

@@ -1014,3 +1014,101 @@ def test_hard_negatives_validation(spark):
     )
     with pytest.raises(ValueError, match="k must be"):
         similarity.hard_negatives(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization + coarse/rerank ANN
+
+
+def test_quantize_matches_python_reference(spark):
+    """Spark quantization (scale + int8 image) must be element-exact vs the
+    pure-Python mirror, including zero vectors and the clamp edge."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.vectors import (
+        reference_quantize,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-3, 3) for _ in range(8)] for _ in range(50)]
+    vecs += [[0.0] * 8, [1e-30] * 8, [-2.5, 2.5, 0.5, -0.5, 1.0, 0.0, 0.0, 3.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    out = {
+        r["vec_id"]: (list(r["qvec"]), r["qscale"])
+        for r in similarity.quantize_embeddings(df).collect()
+    }
+    for i, v in enumerate(vecs):
+        want_q, want_s = reference_quantize(v)
+        got_q, got_s = out[i]
+        assert got_q == want_q, (i, v)
+        assert got_s == pytest.approx(want_s, rel=1e-6)
+
+
+def test_quantized_cosine_close_to_exact(spark, vectors):
+    """int8 cosine error stays tiny (the scales cancel, error comes only
+    from element rounding): every pairwise-vs-probe value within 2e-2."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions import vectors as V
+
+    q = similarity.quantize_embeddings(vectors).cache()
+    probe = [0.6, 0.8, 0.0, 0.0]
+    qp, _s = similarity._py_quantize(probe)
+    qp_lit = F.array(*[F.lit(x) for x in qp]).cast("array<tinyint>")
+    both = q.select(
+        V.cosine_similarity(
+            V.to_double_array(F.col("embedding")), F.array(*[F.lit(x) for x in probe])
+        ).alias("exact"),
+        V.quantized_cosine(F.col("qvec"), qp_lit).alias("approx"),
+    ).collect()
+    assert both
+    for r in both:
+        assert abs(r["exact"] - r["approx"]) < 2e-2
+    q.unpersist()
+
+
+def test_quantized_topk_rerank_matches_exact(spark, vectors):
+    """Coarse int8 + exact rerank must return the exact top-k (these
+    vectors are well separated, so oversample=4 recovers it) with TRUE
+    cosine scores, and full oversampling (== corpus) is exact by
+    construction."""
+    probe = [1.0, 0.0, 0.0, 0.0]
+    q = similarity.quantize_embeddings(vectors).cache()
+    q.count()
+    want = similarity.brute_force_topk(vectors, probe, k=5, id_col="vec_id").collect()
+    got = similarity.quantized_topk_rerank(q, probe, k=5, id_col="vec_id").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["cosine_sim"] == pytest.approx(w["cosine_sim"], rel=1e-12)
+    full = similarity.quantized_topk_rerank(
+        q, probe, k=5, oversample=64, id_col="vec_id"
+    ).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in want]
+    q.unpersist()
+
+
+def test_quantized_zero_vector_never_ranks(spark):
+    """A zero vector quantizes to all-0 / scale 0 and must sort LAST in the
+    coarse pass (NULL quantized cosine), never crash the probe."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    q = similarity.quantize_embeddings(df)
+    out = similarity.quantized_topk_rerank(q, [1.0, 0.0], k=2, id_col="vec_id")
+    assert [r["vec_id"] for r in out.collect()] == [1, 2]
+
+
+def test_quantized_rerank_plan_broadcasts_candidates(spark, vectors):
+    import contextlib
+    import io
+
+    q = similarity.quantize_embeddings(vectors)
+    out = similarity.quantized_topk_rerank(q, [1.0, 0.0, 0.0, 0.0], k=3, id_col="vec_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
