@@ -644,20 +644,22 @@ def connected_components(
 
     Near-dup semantics need TRANSITIVE clusters — if A~B and B~C, one keeper
     for {A,B,C} even though A and C never collided — which one-hop pair
-    dropping can't give. This is distributed hash-min label propagation:
-    every node starts labeled with itself; each round every node takes the
-    min label over itself and its neighbors (one equi-join + one partial
-    min-aggregate per round, both key-partitioned — no collects, no
-    collect_list hot spots); converged when no label changes. Rounds =
-    graph diameter, and LSH collision clusters are short-diameter by
-    construction, so 3-5 rounds is typical. ``max_iterations`` bounds
-    pathological chains (raises rather than returning wrong clusters).
+    dropping can't give. This is distributed hash-min label propagation
+    WITH pointer jumping: every node starts labeled with itself; each
+    round every node takes the min label over itself and its neighbors
+    (one equi-join + one partial min-aggregate, key-partitioned — no
+    collects, no collect_list hot spots), then additionally adopts its
+    label's OWN label (one more equi-join — the path-halving step).
+    Neighbor propagation alone needs diameter rounds; the jump halves
+    label-chain depth each round, so convergence is O(log diameter) —
+    a 1M-long chain (web corpora grow these through chained near-dups)
+    converges in ~20 rounds instead of 1M. ``max_iterations`` still
+    bounds the loop (raises rather than returning wrong clusters).
     Each round localCheckpoints the labels: the iterated lineage would
-    otherwise grow a new join stage per round and replan everything.
+    otherwise grow new join stages per round and replan everything.
     Convergence detection rides the SAME job as the label update via
-    ``observe()`` (a node changed iff a neighbor's label undercuts its
-    own), so each round is exactly one Spark job — no second join+count
-    pass per round.
+    ``observe()`` (changed iff a neighbor min or the jump undercuts the
+    node's label), so each round is exactly one Spark job.
     """
     from pyspark.sql import Observation
     both = pairs.select(
@@ -676,23 +678,42 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # neighbor-min step (label only ever decreases; NULL nbr_min for
+        # isolated nodes keeps the old label)
+        stepped = labels.join(propagated, "node", "left").select(
+            "node",
+            F.col("label").alias("_old"),
+            F.least(
+                F.col("label"), F.coalesce("nbr_min", F.col("label"))
+            ).alias("_mid"),
+        )
+        # pointer jump: adopt label(label(node)) — labels are node ids of
+        # the same component, so the jump stays in-component and only
+        # shortens chains. Self-join on the stepped frame (fresh aliases
+        # give distinct attributes).
+        parent = stepped.select(
+            F.col("node").alias("_p_node"), F.col("_mid").alias("_p_label")
+        )
         obs = Observation()
         new_labels = (
-            labels.join(propagated, "node", "left")
-            # a node's label changes iff a neighbor min undercuts it; the
-            # comparison is NULL (-> counted 0) for nodes with no neighbors
-            .observe(
-                obs,
-                F.sum(
-                    F.when(F.col("nbr_min") < F.col("label"), 1).otherwise(0)
-                ).alias("changed"),
+            stepped.join(
+                parent, stepped["_mid"] == parent["_p_node"], "left"
             )
             .select(
                 "node",
+                F.col("_old"),
                 F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                    F.col("_mid"),
+                    F.coalesce(F.col("_p_label"), F.col("_mid")),
                 ).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") < F.col("_old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("node", "label")
             .localCheckpoint(eager=True)
         )
         labels = new_labels

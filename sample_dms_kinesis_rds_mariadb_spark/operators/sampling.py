@@ -132,6 +132,63 @@ def cap_per_group(
     )
 
 
+def split_leakage_safe(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str,
+    heldout_frac: float,
+    salt: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup-aware ``split`` column: rows connected by ``pairs`` (the
+    output of any dedup candidate operator — MinHash/SimHash/winnowing/
+    embedding) land on the SAME side, so a heldout doc can never have a
+    near-duplicate in train — the eval-contamination failure mode a plain
+    key split cannot prevent.
+
+    Mechanics: ``pairs`` collapse to connected components (hash-min label
+    propagation, distributed); each row's split key becomes its component
+    label (its own key when untouched by any pair), then the verdict is the
+    same md5 bucket rule as :func:`split_column` — deterministic,
+    cross-engine reproducible, and IDENTICAL to ``split_column`` for rows
+    with no near-dups (same salt ⇒ same buckets).
+
+    Scale shape: components run on the PAIR graph (nodes = docs appearing
+    in candidate pairs — the small slice of the corpus), broadcast back
+    onto the corpus as a label lookup; the corpus side stays a narrow scan
+    + broadcast probe. At 100 TB the pair graph is dedup-output-sized
+    (bounded by the candidate generator's bucketing), which is what makes
+    the broadcast safe; for a degenerate graph touching most of the corpus,
+    dedup first — splitting a corpus that is mostly one near-dup cluster is
+    not a meaningful eval split anyway.
+
+    Note the membership dependence: adding a pair can merge two components
+    and move rows between sides (the price of the no-leakage guarantee).
+    Pin the pair set with the corpus snapshot when stability matters.
+    """
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        connected_components,
+    )
+
+    if not 0.0 <= heldout_frac <= 1.0:
+        raise ValueError(f"heldout_frac must be in [0,1], got {heldout_frac}")
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("node"), F.col("component").cast("string").alias("_comp")
+    )
+    labeled = df.join(
+        F.broadcast(comps), df[key_col] == comps["node"], "left"
+    ).drop("node")
+    cut = int(heldout_frac * _BUCKETS)
+    bucket = _hash_bucket(
+        F.coalesce(F.col("_comp"), F.col(key_col).cast("string")), salt
+    )
+    return labeled.withColumn(
+        "split",
+        F.when(bucket < cut, F.lit("heldout")).otherwise(F.lit("train")),
+    ).drop("_comp")
+
+
 def split_column(
     df: DataFrame, key_col: str, heldout_frac: float, salt: str = "split"
 ) -> DataFrame:

@@ -415,6 +415,83 @@ class InvertedIndex:
         )
 
 
+def with_rank(df: DataFrame, score_col: str, id_col: str) -> DataFrame:
+    """Append ``rank`` (1 = best) by descending score, id tiebreak. Meant
+    for the k-row result frames of :func:`bm25_search` /
+    ``similarity.*topk*`` — the input is top-k-sized, so the single-
+    partition window is a driver-trivial sort, not a corpus operation."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    results: list[DataFrame],
+    id_col: str,
+    k: int = 10,
+    rrf_k: int = 60,
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked result lists — the standard hybrid
+    retrieval combiner (lexical BM25 + vector ANN, or N probes of either):
+    ``score(d) = Σ_i w_i / (rrf_k + rank_i(d))`` summed over the lists that
+    returned ``d``; ``rrf_k=60`` per Cormack/Clarke/Buettcher. Rank-based
+    fusion needs no score normalization, which is exactly why it is the
+    default for fusing BM25's unbounded scores with cosine's [-1, 1].
+
+    Each input frame carries (``id_col``, ``rank``) — produce ranks with
+    :func:`with_rank` if you only have scores. Returns top-``k``
+    (id, rrf_score), best first.
+
+    Scale shape: the inputs are top-k result frames (tiny by construction),
+    so the union + per-id sum is a control-plane-sized aggregate no matter
+    how big the corpus behind them was.
+    """
+    if not results:
+        raise ValueError("rrf_fuse needs at least one result frame")
+    w = weights if weights is not None else [1.0] * len(results)
+    if len(w) != len(results):
+        raise ValueError(
+            f"weights ({len(w)}) must match results ({len(results)})"
+        )
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(float(wi)) / (F.lit(float(rrf_k)) + F.col("rank"))).alias(
+                "_c"
+            ),
+        )
+        for r, wi in zip(results, w)
+    ]
+    out: DataFrame | None = None
+    for p in parts:
+        out = p if out is None else out.unionByName(p)
+    return (
+        out.groupBy(id_col)
+        .agg(F.sum("_c").alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(int(k))
+    )
+
+
+def reference_rrf(
+    ranked_lists: list[dict],
+    k: int = 10,
+    rrf_k: int = 60,
+    weights: list[float] | None = None,
+) -> list[tuple]:
+    """Pure-Python mirror of :func:`rrf_fuse` for parity tests.
+    ``ranked_lists`` maps id -> rank (1-based) per list; returns
+    [(id, score)] best first, id tiebreak."""
+    w = weights if weights is not None else [1.0] * len(ranked_lists)
+    scores: dict = {}
+    for lst, wi in zip(ranked_lists, w):
+        for i, r in lst.items():
+            scores[i] = scores.get(i, 0.0) + wi / (rrf_k + r)
+    return sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
+
+
 def reference_bm25(
     docs: dict, query: str | list[str], k1: float = 1.2, b: float = 0.75
 ) -> dict:

@@ -147,14 +147,16 @@ def test_connected_components_long_chain(spark):
         connected_components,
     )
 
-    # a 15-node chain: diameter 14, worst case for label propagation
+    # a 300-node chain: diameter 300 ≫ the 25-round bound — pointer
+    # jumping must converge in O(log diameter) rounds (plain neighbor
+    # propagation would need 300 and raise)
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
     )
     got = {
         r["node"]: r["component"] for r in connected_components(pairs).collect()
     }
-    assert got == {i: 0 for i in range(16)}
+    assert got == {i: 0 for i in range(301)}
 
 
 def test_connected_components_iteration_bound_raises(spark):

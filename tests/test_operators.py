@@ -1112,3 +1112,113 @@ def test_quantized_rerank_plan_broadcasts_candidates(spark, vectors):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion + leakage-safe split
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators import search
+
+    lex = {101: 1, 102: 2, 103: 3, 104: 4}
+    vec = {103: 1, 105: 2, 101: 3}
+    dfs = [
+        spark.createDataFrame(
+            [(i, r) for i, r in d.items()], "doc_id long, rank int"
+        )
+        for d in (lex, vec)
+    ]
+    want = search.reference_rrf([lex, vec], k=4, weights=[1.0, 2.0])
+    got = [
+        (r["doc_id"], r["rrf_score"])
+        for r in search.rrf_fuse(dfs, "doc_id", k=4, weights=[1.0, 2.0]).collect()
+    ]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (gi, gs), (wi, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+    with pytest.raises(ValueError, match="weights"):
+        search.rrf_fuse(dfs, "doc_id", weights=[1.0])
+
+
+def test_rrf_hybrid_bm25_plus_ann_end_to_end(spark):
+    """Fuse a real BM25 top-k with a real cosine top-k: a doc ranked well
+    by BOTH retrievers must outrank one ranked well by only one."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine", [1.0, 0.0]),
+            (2, "query engine spark spark", [0.9, 0.44]),
+            (3, "cooking recipes", [0.95, 0.31]),
+            (4, "unrelated text", [0.0, 1.0]),
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    lex = search.with_rank(
+        search.bm25_search(docs, "doc_id", "text", "spark engine", k=4),
+        "bm25",
+        "doc_id",
+    )
+    vec = search.with_rank(
+        similarity.brute_force_topk(docs, [1.0, 0.0], k=4, id_col="doc_id"),
+        "cosine_sim",
+        "doc_id",
+    )
+    fused = search.rrf_fuse([lex, vec], "doc_id", k=4).collect()
+    # doc 1: top-lexical AND top-vector; docs 3/4 each appear high in only one
+    assert fused[0]["doc_id"] == 1
+
+
+def test_split_leakage_safe_clusters_stay_together(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # chains: 0-1-2 one cluster, 10-11 another; rest untouched
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = sampling.split_leakage_safe(df, pairs, "doc_id", 0.3).collect()
+    side = {r["doc_id"]: r["split"] for r in out}
+    assert len(side) == 200
+    assert side[0] == side[1] == side[2]
+    assert side[10] == side[11]
+    # untouched rows: verdict identical to the plain split (same salt)
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_column(df, "doc_id", 0.3).collect()
+    }
+    for i in range(200):
+        if i not in (0, 1, 2, 10, 11):
+            assert side[i] == plain[i], i
+    # both sides populated and deterministic across re-runs
+    assert {"train", "heldout"} == set(side.values())
+    again = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_leakage_safe(df, pairs, "doc_id", 0.3).collect()
+    }
+    assert again == side
+
+
+def test_split_leakage_safe_end_to_end_with_minhash_pairs(spark):
+    """Wire the real candidate generator in: MinHash pairs over a corpus
+    with planted near-dups; no pair may straddle the split."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators import dedup, sampling
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different content about spark physical plans",
+        "a third unrelated document mentioning nothing in common",
+    ]
+    rows = []
+    for i in range(60):
+        t = base[i % 3] + f" filler {i % 7}"
+        rows.append((i, t))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_candidate_pairs(df, "doc_id", "text")
+    out = sampling.split_leakage_safe(df, pairs, "doc_id", 0.4)
+    side = {r["doc_id"]: r["split"] for r in out.collect()}
+    for p in pairs.collect():
+        assert side[p["id_a"]] == side[p["id_b"]], (p["id_a"], p["id_b"])
