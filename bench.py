@@ -94,6 +94,55 @@ def main() -> None:
     _cc.write.mode("overwrite").format("noop").save()
     timings["connected_components_minhash"] = round(time.perf_counter() - t0, 3)
 
+    # r5 operator-wave legs (library ops, not catalog queries — timed like
+    # the connected-components leg so the new families get round-over-round
+    # tracking):
+    # 1) cross-doc boilerplate removal: stats shuffle + broadcast filter-back
+    from sample_dms_kinesis_rds_mariadb_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    t0 = time.perf_counter()
+    remove_boilerplate_lines(_docs, "text", "source").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    timings["boilerplate_removal"] = round(time.perf_counter() - t0, 3)
+
+    # 2) batch BM25: 32 eval queries answered in one corpus scan
+    from sample_dms_kinesis_rds_mariadb_spark.operators.search import (
+        bm25_batch_search,
+    )
+
+    _qs = {
+        f"q{i}": f"data {w} table"
+        for i, w in enumerate(
+            "query scan join filter group sort window stream merge part "
+            "fast slow small large key row order customer line spark "
+            "index hash range bucket shard batch event state plan code "
+            "read write".split()
+        )
+    }
+    t0 = time.perf_counter()
+    bm25_batch_search(_docs, "doc_id", "text", _qs, k=10).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    timings["bm25_batch_search"] = round(time.perf_counter() - t0, 3)
+
+    # 3) int8 coarse + exact rerank ANN over the embeddings table
+    from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_topk_rerank,
+    )
+
+    _emb = _lt(spark, sf_dir, "embeddings")
+    _probe = [float(x) for x in _emb.limit(1).collect()[0]["embedding"]]
+    t0 = time.perf_counter()
+    _q8 = quantize_embeddings(_emb)
+    quantized_topk_rerank(_q8, _probe, k=20, id_col="vec_id").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    timings["quantized_topk_rerank"] = round(time.perf_counter() - t0, 3)
+
     # full-load replication throughput: lineitem → envelope encode → ordered
     # sink write (the engine's S1→K1 path), measured as rows/sec
     import shutil
