@@ -213,6 +213,42 @@ def main() -> None:
     hits = search.bm25_search(docs, "doc_id", "text", "data quality pipeline", k=3)
     print("BM25 probe:", [(r["doc_id"], round(r["bm25"], 3)) for r in hits.collect()])
 
+    # 4e. cross-doc boilerplate removal: strip lines repeating across most
+    # docs of a source (the line-level dual of the within-doc gates above)
+    from sample_dms_kinesis_rds_mariadb_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    with_src = docs.select("doc_id", "source", "text")
+    stripped = remove_boilerplate_lines(with_src, "text", "source")
+    delta = (
+        with_src.agg(F.sum(F.length("text"))).first()[0]
+        - stripped.agg(F.sum(F.length("text"))).first()[0]
+    )
+    print(f"boilerplate removal: {delta} chars of repeated lines stripped")
+
+    # 4f. leakage-safe split: near-dup clusters (the verified pair graph
+    # from stage 3) land entirely on one side — a heldout doc can never
+    # have a near-duplicate in train
+    safe = sampling.split_leakage_safe(survivors, verified, "doc_id", 0.1)
+    print(
+        "leakage-safe split:",
+        dict(
+            (r["split"], r["n"])
+            for r in safe.groupBy("split").agg(F.count("*").alias("n")).collect()
+        ),
+    )
+
+    # 4g. persistent retrieval: build the inverted index once, probe it
+    # repeatedly (partition-pruned posting reads, no corpus rescans), and
+    # fuse lexical + vector rankings with RRF
+    ix_path = os.path.join(tempfile.gettempdir(), "llm-demo-bm25-ix")
+    ix = search.InvertedIndex(spark, ix_path, id_col="doc_id")
+    ix.build(docs, "text")
+    ix_hits = search.with_rank(
+        ix.search("data quality pipeline", k=10), "bm25", "doc_id"
+    )
+
     # 5. similarity: build the IVF index once, probe it
     emb = load_table(spark, sf_dir, "embeddings")
     probe_vec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -224,6 +260,30 @@ def main() -> None:
     )
     top = index.probe(probe_vec, k=5, n_probe=3).collect()
     print("ANN top-5 for vec 0:", [(r["vec_id"], round(r["cosine_sim"], 4)) for r in top])
+
+    # 5a. int8 coarse + exact rerank: 4x less scan IO on the coarse pass,
+    # true float scores on the survivors
+    q8 = similarity.quantize_embeddings(emb)
+    q_top = similarity.quantized_topk_rerank(q8, probe_vec, k=5, id_col="vec_id")
+    print(
+        "quantized-rerank top-5:",
+        [(r["vec_id"], round(r["cosine_sim"], 4)) for r in q_top.collect()],
+    )
+
+    # 5a'. hybrid fusion: the inverted-index lexical ranks (4g) + the vector
+    # ranks, combined rank-wise (no score normalization needed)
+    vec_hits = search.with_rank(
+        similarity.brute_force_topk(
+            emb.withColumnRenamed("vec_id", "doc_id"), probe_vec, k=10, id_col="doc_id"
+        ),
+        "cosine_sim",
+        "doc_id",
+    )
+    fused = search.rrf_fuse([ix_hits, vec_hits], "doc_id", k=5)
+    print(
+        "hybrid RRF top-5:",
+        [(r["doc_id"], round(r["rrf_score"], 4)) for r in fused.collect()],
+    )
 
     # 5b. hard negatives for contrastive fine-tuning: most-similar
     # different-label pairs, LSH-bucketed like every pair operator

@@ -72,7 +72,14 @@ class SourceCatalog:
         if spec.engine == "jdbc":
             # JDBC table listing requires a live connection; callers supply
             # the table list via options["tables"] = ["schema.table", ...].
-            return sorted(tuple(t.split(".", 1)) for t in spec.options.get("tables", []))
+            entries = spec.options.get("tables", [])
+            bad = [t for t in entries if "." not in t]
+            if bad:
+                raise ValueError(
+                    f"jdbc endpoint {endpoint!r}: options['tables'] entries "
+                    f"must be 'schema.table', got {bad!r}"
+                )
+            return sorted(tuple(t.split(".", 1)) for t in entries)
         raise AssertionError(spec.engine)
 
     def load(self, endpoint: str, schema: str, table: str) -> DataFrame:

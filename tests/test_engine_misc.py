@@ -37,6 +37,13 @@ def test_jdbc_option_assembly(spark):
     assert opts["user"] == "u-db-secret"
     assert opts["dbtable"] == "db.authors"
     assert "secret_id" not in opts and "tables" not in opts
+    # malformed entries fail loudly at listing, not as a downstream
+    # 1-tuple unpack error
+    cat.register_endpoint(
+        EndpointSpec("db2", "jdbc", {"url": "x", "tables": ["noschema"]})
+    )
+    with pytest.raises(ValueError, match="schema.table"):
+        cat.list_tables("db2")
 
 
 def test_jdbc_endpoint_end_to_end(spark, tmp_path):
