@@ -355,12 +355,19 @@ class IvfIndex:
         seed: int = 42,
         sample_fraction: float = 1.0,
         centroids: list[list[float]] | None = None,
+        quantize: bool = False,
     ) -> "IvfIndex":
         """Cluster (seeded KMeans — the production default) or, when
         ``centroids`` is given, skip clustering and assign each vector to
         the nearest provided centroid (e.g. ``medoid_centroids`` — the
         deterministic, oracle-reproducible variant). Either way the corpus
-        is written PARTITIONED BY ivf_list and probes are pruned scans."""
+        is written PARTITIONED BY ivf_list and probes are pruned scans.
+
+        ``quantize=True`` additionally stores the int8 image (``qvec`` +
+        ``qscale``) next to each vector — IVF-SQ: probes can then run
+        their coarse pass over the byte column (1/4 the pruned-scan IO)
+        and rerank the survivors at full precision
+        (``probe(..., coarse='int8')``)."""
         if centroids is not None:
             assigned = df.withColumn(
                 "ivf_list", assign_to_centroids(F.col(vec_col), centroids)
@@ -374,6 +381,8 @@ class IvfIndex:
                 seed=seed,
                 sample_fraction=sample_fraction,
             )
+        if quantize:
+            assigned = quantize_embeddings(assigned, vec_col)
         assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
         with open(os.path.join(path, cls.CENTROIDS_FILE), "w") as f:
             json.dump(centroids, f)
@@ -395,6 +404,11 @@ class IvfIndex:
     def exists(cls, path: str) -> bool:
         return os.path.exists(os.path.join(path, cls.CENTROIDS_FILE))
 
+    def _is_quantized(self) -> bool:
+        """Whether the stored layout carries the int8 image (schema read —
+        parquet footers only, no data scan)."""
+        return "qvec" in self.spark.read.parquet(self.path).columns
+
     def append(self, df: DataFrame) -> None:
         """Incrementally add vectors: assign to the STORED centroids (no
         refit — probe behavior for existing vectors is unchanged) and
@@ -403,18 +417,50 @@ class IvfIndex:
         |batch| × n_lists distance evaluations and a partitioned write,
         never a corpus re-cluster. Re-cluster deliberately stays a manual
         `build` — centroid drift invalidates stored assignments, so it must
-        be an explicit rebuild, not a side effect of ingest."""
+        be an explicit rebuild, not a side effect of ingest. A quantized
+        layout quantizes the batch too (appends must match the schema)."""
         assigned = df.withColumn(
             "ivf_list", assign_to_centroids(F.col(self.vec_col), self.centroids)
         )
+        if self._is_quantized():
+            assigned = quantize_embeddings(assigned, self.vec_col)
         assigned.write.mode("append").partitionBy("ivf_list").parquet(self.path)
 
-    def probe(self, probe: list[float], k: int = 20, n_probe: int = 4) -> DataFrame:
-        """Pruned-scan top-k: reads only the n_probe nearest list partitions."""
+    def probe(
+        self,
+        probe: list[float],
+        k: int = 20,
+        n_probe: int = 4,
+        coarse: str = "exact",
+        oversample: int = 4,
+    ) -> DataFrame:
+        """Pruned-scan top-k: reads only the n_probe nearest list partitions.
+
+        ``coarse='int8'`` (requires a ``quantize=True`` build): the pruned
+        scan column-prunes to the byte image for the candidate pass (1/4
+        the IO), then the ``oversample * k`` survivors rerank at full
+        float precision — returned ``cosine_sim`` values are always exact.
+        """
         probe_lists = _nearest_lists(self.centroids, probe, n_probe)
         scan = self.spark.read.parquet(self.path).filter(
             F.col("ivf_list").isin(probe_lists)
         )
+        if coarse == "int8":
+            if "qvec" not in scan.columns:
+                raise ValueError(
+                    "coarse='int8' needs a quantized layout — build the "
+                    "index with quantize=True"
+                )
+            return quantized_topk_rerank(
+                scan,
+                probe,
+                k=k,
+                oversample=oversample,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+            )
+        if coarse != "exact":
+            raise ValueError(f"coarse must be 'exact' or 'int8', got {coarse!r}")
         sim = cosine_similarity(
             to_double_array(F.col(self.vec_col)), _probe_lit(probe)
         )

@@ -1222,3 +1222,36 @@ def test_split_leakage_safe_end_to_end_with_minhash_pairs(spark):
     side = {r["doc_id"]: r["split"] for r in out.collect()}
     for p in pairs.collect():
         assert side[p["id_a"]] == side[p["id_b"]], (p["id_a"], p["id_b"])
+
+
+def test_ivf_int8_probe_matches_exact(spark, vectors, tmp_path):
+    """IVF-SQ: a quantize=True build probes via the byte column and reranks
+    exactly — same ids and true cosines as the exact probe; unquantized
+    layouts reject coarse='int8' loudly; appends keep the layout."""
+    path = str(tmp_path / "ivfq")
+    idx = similarity.IvfIndex.build(
+        vectors, path, n_lists=4, id_col="vec_id", quantize=True
+    )
+    probe = [1.0, 0.0, 0.0, 0.0]
+    want = idx.probe(probe, k=5, n_probe=4).collect()
+    got = idx.probe(probe, k=5, n_probe=4, coarse="int8").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["cosine_sim"] == pytest.approx(w["cosine_sim"], rel=1e-12)
+    # append quantizes to match the stored schema; new vector is findable
+    extra = spark.createDataFrame(
+        [(999, [1.0, 0.001, 0.0, 0.0])], "vec_id INT, embedding ARRAY<FLOAT>"
+    )
+    idx.append(extra)
+    after = idx.probe(probe, k=2, n_probe=4, coarse="int8").collect()
+    # vec 0 IS the probe direction (cosine 1.0); the appended 999 at
+    # cosine ~0.9999995 must land second
+    assert [r["vec_id"] for r in after] == [0, 999]
+    # plain build: int8 probe refuses
+    plain = similarity.IvfIndex.build(
+        vectors, str(tmp_path / "ivfp"), n_lists=4, id_col="vec_id"
+    )
+    with pytest.raises(ValueError, match="quantize=True"):
+        plain.probe(probe, coarse="int8")
+    with pytest.raises(ValueError, match="coarse"):
+        plain.probe(probe, coarse="fast")
