@@ -357,6 +357,47 @@ class InvertedIndex:
         self._total_tokens += int(row["tok"] or 0)
         self._save_stats()
 
+    def compact(self, min_files: int = 64) -> int:
+        """Rewrite the posting log into one file per term bucket. Every
+        ``append`` adds up to one file per touched bucket, so a streaming
+        ingest grows probe-side file counts O(appends); compaction folds
+        them back (same maintenance contract as ``StreamStore.compact``).
+        Rewrites into a sibling directory and swaps via rename, so a probe
+        started before the swap keeps its snapshot of the old files.
+        Single-writer (like build/append — the caller owns write
+        serialization). No-op below ``min_files``; returns files removed.
+        """
+        import os
+        import shutil
+
+        n_files = sum(
+            1
+            for _r, _d, files in os.walk(self.postings_path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        if n_files < min_files:
+            return 0
+        tmp = self.postings_path + ".compact"
+        (
+            self.spark.read.parquet(self.postings_path)
+            .repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(tmp)
+        )
+        old = self.postings_path + ".old"
+        os.rename(self.postings_path, old)
+        os.rename(tmp, self.postings_path)
+        shutil.rmtree(old, ignore_errors=True)
+        n_after = sum(
+            1
+            for _r, _d, files in os.walk(self.postings_path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        return n_files - n_after
+
     def _bucket_of(self, term: str) -> int:
         import zlib
 

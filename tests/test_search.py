@@ -199,3 +199,34 @@ def test_inverted_index_empty_and_absent_cases(spark, docs_df, tmp_path):
     assert idx.search("", k=3).count() == 0            # empty query
     fresh = search.InvertedIndex(spark, str(tmp_path / "empty"))
     assert fresh.search("quick", k=3).count() == 0     # empty index
+
+
+def test_inverted_index_compact_preserves_results(spark, docs_df, tmp_path):
+    """Compaction folds append-accumulated posting files to ~one per bucket
+    without changing any probe result."""
+    import os
+
+    idx = search.InvertedIndex(spark, str(tmp_path / "ix"), id_col="doc_id", n_buckets=8)
+    items = sorted(DOCS.items())
+    for i in range(0, len(items), 2):
+        idx.append(
+            spark.createDataFrame(items[i : i + 2], ["doc_id", "text"]), "text"
+        )
+
+    def _n_files():
+        return sum(
+            1
+            for _r, _d, fs in os.walk(idx.postings_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before_files = _n_files()
+    before = idx.search("quick brown fox", k=5).collect()
+    assert idx.compact(min_files=1000) == 0          # below threshold: no-op
+    removed = idx.compact(min_files=1)
+    assert removed > 0 and _n_files() == before_files - removed
+    after = idx.search("quick brown fox", k=5).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in after] == [
+        (r["doc_id"], r["bm25"]) for r in before
+    ]
