@@ -116,6 +116,16 @@ def enrich_before_images(
     carried as JSON strings across the Arrow boundary (Arrow-friendly; maps
     with null values round-trip poorly as Arrow maps).
 
+    TRIGGER CHOICE: run this under a processing-time trigger (the engine's
+    CDC tasks do) and stop the query explicitly. Do NOT rely on
+    ``Trigger.AvailableNow`` terminating: a stateful operator with a
+    processing-time timeout reports "requires another batch" until its
+    state empties, so an availableNow query spins EMPTY micro-batches for
+    the remaining TTL instead of stopping — a silent CPU leak on a shared
+    session. For bounded/backfill runs use
+    :func:`enrich_before_images_batch` (identical semantics, one window),
+    or drain the sink to the expected row count and ``stop()``.
+
     ``ttl_ms``: processing-time state TTL (must be > 0 — Spark's
     GroupState requires a positive duration, and an invalid value would
     otherwise kill the query per-task in the executors AFTER deployment

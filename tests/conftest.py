@@ -17,3 +17,34 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 def spark():
     s = get_session(app_name="engine-tests", cpus=8, shuffle_partitions=8)
     yield s
+
+
+def await_finished(q, timeout: int = 300) -> None:
+    """awaitTermination returns False on timeout WITHOUT raising; a loaded
+    box would then read a half-written sink and fail on row content. Assert
+    completion so a slow run fails loudly as a timeout instead."""
+    finished = q.awaitTermination(timeout)
+    if not finished:
+        q.stop()
+    assert finished, f"bounded stream did not finish within {timeout}s"
+
+
+def drain_memory_sink(spark, q, table: str, n_rows: int, timeout: float = 120.0) -> None:
+    """For STATEFUL availableNow queries (applyInPandasWithState with a
+    processing-time timeout): the stateful operator reports 'requires
+    another batch' until its state empties, so availableNow spins empty
+    batches for the whole TTL instead of terminating — awaiting
+    termination either hangs or (with the old silent timeout) leaks a
+    spinning query into the shared session. Wait for the expected sink
+    rows instead, then stop the query explicitly."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if spark.sql(f"SELECT count(*) FROM {table}").first()[0] >= n_rows:
+            q.stop()
+            q.awaitTermination(60)
+            return
+        time.sleep(0.5)
+    q.stop()
+    raise AssertionError(f"sink {table} never reached {n_rows} rows in {timeout}s")

@@ -2,6 +2,8 @@
 funnels."""
 
 import pytest
+
+from tests.conftest import await_finished
 from pyspark.sql import functions as F
 
 from sample_dms_kinesis_rds_mariadb_spark.operators.audit import (
@@ -125,7 +127,7 @@ def test_observed_gates_streaming_funnel(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
     got = streaming_funnel(q)
     assert got == {"input_rows": 100, "after_v_small": 50, "after_id_low": 25}
     assert spark.sql("SELECT count(*) n FROM funnel_sink").first()["n"] == 25

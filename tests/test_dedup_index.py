@@ -5,6 +5,8 @@ corpus-wide recompute."""
 from __future__ import annotations
 
 import pytest
+
+from tests.conftest import await_finished
 from pyspark.sql import functions as F
 
 from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
@@ -223,7 +225,7 @@ def test_minhash_index_under_structured_streaming(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_finished(q)
 
     kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     # micro-batch file order is not name-deterministic, so assert the
@@ -335,7 +337,7 @@ def test_dedup_stream_null_text_passes_through(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
     got = sorted(
         r["doc_id"] for r in spark.sql("SELECT * FROM null_dedup_sink").collect()
     )

@@ -7,6 +7,8 @@ import os
 import time
 
 import pytest
+
+from tests.conftest import await_finished, drain_memory_sink
 from pyspark.sql import functions as F
 
 from sample_dms_kinesis_rds_mariadb_spark.sources.changefeed import FEED_SCHEMA
@@ -61,7 +63,9 @@ def test_stateful_before_image_streaming(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # stateful + ProcessingTimeTimeout: availableNow never self-terminates
+    # (the operator requires batches until state empties) — drain and stop
+    drain_memory_sink(spark, q, "enriched_sink", 5)
     rows = [r.asDict(recursive=True) for r in spark.sql("SELECT * FROM enriched_sink").collect()]
     assert len(rows) == 5
     _assert_enrichment(rows)
@@ -101,7 +105,7 @@ def test_stateful_enrichment_across_arrow_chunks(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        drain_memory_sink(spark, q, "chunked_sink", n)
         rows = [
             r.asDict(recursive=True)
             for r in spark.sql("SELECT * FROM chunked_sink").collect()
@@ -160,7 +164,7 @@ def test_watermarked_window_agg(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
     rows = spark.sql(
         "SELECT window.start AS s, event_type, n FROM win_sink ORDER BY s, event_type"
     ).collect()
@@ -201,7 +205,7 @@ def test_session_window_streaming(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
     rows = spark.sql(
         "SELECT user_id, n FROM sess_sink ORDER BY user_id, session_window.start"
     ).collect()
@@ -232,7 +236,7 @@ def test_stream_store_read_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
     rows = spark.sql(
         "SELECT metadata.operation AS op, sequence_number FROM tail_sink ORDER BY sequence_number"
     ).collect()
@@ -489,7 +493,7 @@ def test_streaming_session_window_with_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
     rows = spark.sql(
         "SELECT user_id, session_window.start AS s, n FROM sess_sink ORDER BY user_id, s"
     ).collect()
@@ -567,7 +571,7 @@ def test_streaming_asof_enrichment_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_finished(q)
 
     got = sorted(
         (
@@ -681,8 +685,14 @@ def test_stateful_before_image_ttl_evicts_idle_keys(spark, tmp_path):
 def _write_json_batches(path, batches):
     os.makedirs(path)
     for i, batch in enumerate(batches):
-        with open(os.path.join(path, f"b{i}.json"), "w") as f:
+        p = os.path.join(path, f"b{i}.json")
+        with open(p, "w") as f:
             f.write("\n".join(json.dumps(e) for e in batch) + "\n")
+        # FileStreamSource orders files by MODIFICATION TIME; same-second
+        # writes tie and can replay a LATE file first, advancing the
+        # watermark past the early rows (which then drop as late data) —
+        # pin strictly increasing mtimes so batch order is the list order
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
 def test_stream_interval_join_inner_matches_batch(spark, tmp_path):
@@ -727,7 +737,12 @@ def test_stream_interval_join_inner_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # awaitTermination returns False on timeout WITHOUT raising — assert it,
+    # or a slow box reads a half-written sink and fails on row content
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+    assert finished, "availableNow stream did not finish within 300s"
 
     got = sorted(
         (r["click_id"], r["purchase_id"])
