@@ -92,6 +92,42 @@ def mix_corpora(
     return out
 
 
+def temperature_weights(
+    sizes: dict[str, float], alpha: float = 0.3, target_fraction: float = 1.0
+) -> dict[str, float]:
+    """Per-corpus keep fractions implementing temperature sampling: corpus
+    ``i`` is represented proportionally to ``size_i ** alpha`` (the
+    multilingual/multi-source rebalancing recipe — ``alpha=1`` keeps natural
+    proportions, ``alpha=0`` equalizes corpora, ``alpha≈0.3`` is the common
+    compromise that up-weights small sources without drowning large ones).
+
+    Returns {name: keep_fraction in (0, 1]} for :func:`mix_corpora`:
+    fractions are scaled so the most over-sampled corpus keeps exactly
+    ``target_fraction`` of its rows (sampling can only DOWN-sample — rates
+    above 1 would silently under-represent; scaling to the binding corpus
+    preserves the *ratios*, which is what the temperature defines).
+
+    Driver-side arithmetic over |corpora| numbers — compute ``sizes`` once
+    (``df.count()`` or manifest metadata) and reuse.
+    """
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(f"target_fraction must be in (0,1], got {target_fraction}")
+    for k, v in sizes.items():
+        if v <= 0:
+            raise ValueError(f"size for {k!r} must be > 0, got {v}")
+    total = sum(sizes.values())
+    desired = {k: (v / total) ** alpha for k, v in sizes.items()}
+    dtotal = sum(desired.values())
+    # keep_i ∝ desired_share_i / natural_share_i; normalize so max == target
+    raw = {k: (desired[k] / dtotal) / (sizes[k] / total) for k in sizes}
+    peak = max(raw.values())
+    return {k: target_fraction * r / peak for k, r in raw.items()}
+
+
 def cap_per_group(
     df: DataFrame,
     key_col: str,

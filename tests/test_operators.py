@@ -1255,3 +1255,29 @@ def test_ivf_int8_probe_matches_exact(spark, vectors, tmp_path):
         plain.probe(probe, coarse="int8")
     with pytest.raises(ValueError, match="coarse"):
         plain.probe(probe, coarse="fast")
+
+
+def test_temperature_weights_math():
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    sizes = {"big": 900.0, "small": 100.0}
+    # alpha=1: natural proportions -> uniform keep rate (= target on both)
+    w1 = temperature_weights(sizes, alpha=1.0)
+    assert w1["big"] == pytest.approx(1.0) and w1["small"] == pytest.approx(1.0)
+    # alpha=0: equal representation -> big keeps 1/9th of small's rate
+    w0 = temperature_weights(sizes, alpha=0.0)
+    assert w0["small"] == pytest.approx(1.0)
+    assert w0["big"] == pytest.approx(100.0 / 900.0)
+    # intermediate alpha: expected-row ratios follow size^alpha exactly
+    w = temperature_weights(sizes, alpha=0.3)
+    got_ratio = (sizes["big"] * w["big"]) / (sizes["small"] * w["small"])
+    assert got_ratio == pytest.approx((900.0 / 100.0) ** 0.3)
+    # the binding corpus keeps exactly target_fraction
+    w_half = temperature_weights(sizes, alpha=0.0, target_fraction=0.5)
+    assert max(w_half.values()) == pytest.approx(0.5)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(sizes, alpha=2.0)
+    with pytest.raises(ValueError, match="size"):
+        temperature_weights({"x": 0.0})
