@@ -51,6 +51,7 @@ HEADLINE = CORE + [
     "session_windows",
     "simhash_dedup",
     "winnowing_near_dups",
+    "semantic_dedup",
 ]
 
 

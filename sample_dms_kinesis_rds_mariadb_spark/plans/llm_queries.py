@@ -280,7 +280,10 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_knn_join",
     "kNN join: top-3 neighbors for EACH probe vector (probes broadcast, one "
     "scan of the corpus per batch of probes — the batched form of similarity "
-    "search; window per probe, no global sort)",
+    "search; window per probe, no global sort). EXTRA: displaced from the "
+    "50-cap catalog by semantic_dedup (its mechanism — broadcast probes + "
+    "cosine + per-probe window — stays covered by embedding_topk_cosine and "
+    "this pytest-parity entry)",
     oracle="""
         WITH probes AS (
           SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
@@ -306,6 +309,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY probe_id, cosine_sim DESC, vec_id
     """,
     tags=("similarity", "join"),
+    extra=True,
 )
 def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -765,6 +769,81 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_THRESHOLD = 0.4  # testdata embeddings are near-orthogonal; 0.4
+# yields a realistic within-cluster duplicate rate at the sf0.01 gate
+
+
+def _semdedup_oracle_sql(medoid_ids: list[int], threshold: float) -> str:
+    """DuckDB oracle for SemDeDup survivors over seed-medoid clusters.
+
+    Assignment reproduces ``assign_to_centroids`` bit-exactly (fold dots,
+    argmin ties to lowest cid); the within-cluster pair predicate compares
+    the UNROUNDED cosine against the threshold — both engines compute the
+    identical float64, so the >= cut agrees bit-for-bit. Survivor rule is
+    ``semantic_dedup``'s one-hop lowest-id keeper: drop every id appearing
+    as the GREATER member of a qualifying pair."""
+    values = ", ".join(f"({cid}, {mid})" for cid, mid in enumerate(medoid_ids))
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+          SELECT m.cid, v.v AS c
+          FROM (VALUES {values}) AS m(cid, mid)
+          JOIN v ON v.vec_id = m.mid
+        ),
+        assigned AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT v.vec_id, v.v, c.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY list_inner_product(v.v, v.v)
+                              - 2 * list_inner_product(v.v, c.c)
+                              + list_inner_product(c.c, c.c),
+                              c.cid
+                   ) AS rn
+            FROM v CROSS JOIN cents c
+          ) WHERE rn = 1
+        ),
+        losers AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE list_inner_product(a.v, b.v)
+                / (sqrt(list_inner_product(a.v, a.v))
+                   * sqrt(list_inner_product(b.v, b.v))) >= {threshold!r}
+        )
+        SELECT a.vec_id, CAST(a.cid AS INT) AS ivf_list
+        FROM assigned a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
+        ORDER BY a.vec_id
+    """
+
+
+@register(
+    "semantic_dedup",
+    "SemDeDup semantic deduplication (Abbas et al. 2023): cluster the "
+    "embedding space (seed-medoid centroids here, so DuckDB reproduces the "
+    "assignment bit-exactly; KMeans is the production path), compare cosine "
+    "ONLY within a cluster, drop every vector with cosine >= threshold to a "
+    "lower-id cluster-mate. Quadratic work is local to each list — the "
+    "100 TB shape is n_lists scaled to bound per-list occupancy",
+    oracle=_semdedup_oracle_sql(_IVF_MEDOID_IDS, _SEMDEDUP_THRESHOLD),
+    tags=("similarity", "dedup"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.medoid_centroids(emb, _IVF_MEDOID_IDS)
+    survivors = similarity.semantic_dedup(
+        emb, threshold=_SEMDEDUP_THRESHOLD, centroids=cents
+    ).select("vec_id")
+    assigned = emb.select(
+        "vec_id",
+        similarity.assign_to_centroids(F.col("embedding"), cents)
+        .cast("int")
+        .alias("ivf_list"),
+    )
+    return survivors.join(assigned, "vec_id").orderBy("vec_id")
 
 
 @register(

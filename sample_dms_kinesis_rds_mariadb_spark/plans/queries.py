@@ -93,12 +93,24 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# Oracle-checked queries OUTSIDE the driver's 50-entry correctness cap: the
+# pytest parity harness (tests/test_oracle_parity.py) runs these against
+# DuckDB exactly like catalog entries, but they don't occupy a driver slot —
+# used when a new operator family earns a catalog seat and the displaced
+# query's mechanism still deserves cross-engine coverage.
+EXTRA_QUERIES: dict[str, QuerySpec] = {}
+
 
 def register(
-    name: str, description: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+    name: str,
+    description: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    extra: bool = False,
 ):
     def deco(fn):
-        QUERIES[name] = QuerySpec(name, description, fn, oracle, tags)
+        target = EXTRA_QUERIES if extra else QUERIES
+        target[name] = QuerySpec(name, description, fn, oracle, tags)
         return fn
 
     return deco

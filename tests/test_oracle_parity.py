@@ -22,8 +22,17 @@ import __spark_entry__ as entry_mod
 # default matches conftest.SF_ORACLE and the driver's own gate (sf0.01)
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
-QUERY_NAMES = sorted(entry_mod.queries().keys())
-ORACLES = entry_mod.oracle_sql()
+# catalog entries (the driver's 50-cap correctness gate) PLUS extra
+# oracle-checked queries displaced from the cap (plans.queries.EXTRA_QUERIES)
+# — the parity contract is identical for both
+_ALL_QUERIES = dict(entry_mod.queries())
+_ALL_ORACLES = dict(entry_mod.oracle_sql())
+for _name, _spec in entry_mod._q.EXTRA_QUERIES.items():
+    _ALL_QUERIES[_name] = _spec.spark_fn
+    if _spec.oracle:
+        _ALL_ORACLES[_name] = _spec.oracle
+QUERY_NAMES = sorted(_ALL_QUERIES)
+ORACLES = _ALL_ORACLES
 
 
 def _norm(v):
@@ -60,7 +69,7 @@ def test_no_decimal_output_columns(spark):
     from pyspark.sql.types import DecimalType
 
     bad = []
-    for name, fn in entry_mod.queries().items():
+    for name, fn in _ALL_QUERIES.items():
         schema = fn(spark, SF_DIR).schema
         for f in schema.fields:
             if isinstance(f.dataType, DecimalType):
@@ -100,7 +109,7 @@ def test_no_hugeint_oracle_columns(ddb):
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, ddb, name):
-    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    sdf = _ALL_QUERIES[name](spark, SF_DIR)
     srows = sdf.collect()
     scols = sdf.columns
 
