@@ -804,3 +804,78 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(dirty, id_col, "left_anti")
+
+
+def contamination_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Per-document contamination FRACTION — the graded companion to
+    :func:`contamination_pairs`'s hit counts: for each corpus document,
+    the share of its distinct word ``n``-grams that appear anywhere in the
+    benchmark. The verbatim rule (any shared 13-gram ⇒ drop) is the
+    standard scrub, but graded scores are what audits report and what
+    callers need to pick a threshold below 1-gram-trips-it (e.g. drop at
+    score >= 0.8, review at >= 0.2).
+
+    Output: (``id_col``, n_grams, n_matched, score) for EVERY corpus row —
+    documents shorter than ``n`` tokens have no n-grams and score 0.0
+    (nothing to leak at the tested gram size), and unmatched documents
+    score 0.0 rather than dropping out, so the frame joins back 1:1.
+
+    Scale shape: per-doc gram totals are a NARROW column
+    (``size(array_distinct(...))`` — no shuffle); the match side explodes
+    corpus grams to (id, md5) rows, semi-joins the broadcast benchmark
+    gram set (eval sets are tiny by definition), and aggregates per id
+    with map-side partials — the only shuffle carries matched ids, never
+    text. The final score join is id-keyed on two per-doc frames.
+    """
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        normalize_text,
+        tokenize,
+        word_ngrams,
+    )
+
+    b_id = bench_id_col or id_col
+    b_text = bench_text_col or text_col
+
+    grams = F.array_distinct(
+        word_ngrams(tokenize(normalize_text(F.col(text_col))), n)
+    )
+    totals = corpus.select(
+        F.col(id_col), F.size(grams).alias("n_grams"), grams.alias("_grams")
+    )
+    c = totals.select(
+        id_col, F.explode("_grams").alias("_g")
+    ).select(id_col, F.md5("_g").alias("gram"))
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(tokenize(normalize_text(F.col(b_text))), n)
+                )
+            ).alias("_g")
+        )
+        .select(F.md5("_g").alias("gram"))
+        .distinct()
+    )
+    matched = (
+        c.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        totals.drop("_grams")
+        .join(matched, id_col, "left")
+        .withColumn("n_matched", F.coalesce(F.col("n_matched"), F.lit(0)))
+        .withColumn(
+            "score",
+            F.when(F.col("n_grams") > 0,
+                   F.col("n_matched") / F.col("n_grams")).otherwise(F.lit(0.0)),
+        )
+    )

@@ -387,3 +387,50 @@ def test_write_range_layout_disjoint_file_ranges(spark, tmp_path):
 
     back = spark.read.parquet(path).filter("id BETWEEN 2500 AND 2599")
     assert back.count() == 100
+
+
+def test_contamination_scores_exact_fractions(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        contamination_scores,
+    )
+
+    def py_grams(text: str, n: int) -> set[str]:
+        import re
+
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_q = (
+        "what is the capital of france and when was it founded by the romans"
+    )
+    corpus_rows = [
+        (1, "quiz answers here " + bench_q + " plus trailing words"),
+        (2, "a completely clean document about tomatoes grown in clay soil "
+            "in a greenhouse at altitude with irrigation and some patience"),
+        (3, bench_q),          # verbatim benchmark doc -> score 1.0
+        (4, "too short"),      # < n tokens -> 0 grams, score 0.0
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(900, bench_q)], "doc_id long, text string")
+
+    n = 13
+    bench_grams = py_grams(bench_q, n)
+    expected = {}
+    for doc_id, text in corpus_rows:
+        g = py_grams(text, n)
+        matched = len(g & bench_grams)
+        expected[doc_id] = (len(g), matched, matched / len(g) if g else 0.0)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_matched"], r["score"])
+        for r in contamination_scores(corpus, bench, "doc_id", "text", n=n).collect()
+    }
+    assert set(got) == set(expected)          # every corpus row present 1:1
+    for doc_id, (ng, nm, sc) in expected.items():
+        assert got[doc_id][0] == ng, doc_id
+        assert got[doc_id][1] == nm, doc_id
+        assert got[doc_id][2] == pytest.approx(sc), doc_id
+    assert got[3][2] == 1.0                  # verbatim benchmark doc
+    assert got[2][2] == 0.0                  # clean doc
+    assert 0.0 < got[1][2] < 1.0             # partial inclusion is graded
+    assert got[4] == (0, 0, 0.0)             # sub-n-token doc
