@@ -304,15 +304,38 @@ def assign_to_centroids(
     bit-reproducible: d2 = <v,v> - 2<v,c> + <c,c> with every dot a
     sequential left fold, argmin via array_min over (d2, cid) structs so
     ties break to the LOWEST centroid id (matches the oracle's
-    row_number() OVER (ORDER BY d2, cid))."""
+    row_number() OVER (ORDER BY d2, cid)).
+
+    The centroid loop runs in DATA space (one ``transform`` over a single
+    nested-array literal), not in expression space: the per-centroid
+    formulation inlined 2 fold-dots per centroid into the plan, and past a
+    few dozen centroids Catalyst analysis + codegen of that tree dominated
+    the whole job (seconds of driver time per query). The folds themselves
+    are unchanged — same sequential order, bit-identical result."""
     v = to_double_array(vec)
     vv = dot(v, v)
-    cands = []
-    for cid, c in enumerate(centroids):
-        cl = F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
-        d2 = vv - F.lit(2.0) * dot(v, cl) + dot(cl, cl)
-        cands.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*cands))["cid"]
+    cents = F.lit([[float(x) for x in c] for c in centroids]).cast(
+        "array<array<double>>"
+    )
+    # <c,c> is constant per centroid: fold it HERE in Python — a sequential
+    # left fold over float64 is the identical IEEE-754 op sequence Spark's
+    # F.aggregate would run, so the literal is bit-equal to the runtime fold
+    # it replaces (and halves the per-row fold work)
+    ccs = []
+    for c in centroids:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        ccs.append(acc)
+    cc_lit = F.lit(ccs).cast("array<double>")
+    cands = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (vv - F.lit(2.0) * dot(v, c) + F.element_at(cc_lit, i + 1)).alias("d2"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+    return F.array_min(cands)["cid"]
 
 
 class IvfIndex:
@@ -625,12 +648,15 @@ def semantic_dedup_pairs(
     KMeans trains on ``sample_fraction`` of the corpus.
 
     Scale shape: one corpus pass to assign (pure JVM expression for fixed
-    centroids), the assigned (id, list, vector) frame is pinned
-    (localCheckpoint) before the self-join so assignment runs once, and the
-    join key is ``ivf_list`` — quadratic only within a list. At 100 TB
-    raise ``n_lists`` so per-list occupancy stays bounded (SemDeDup used
-    ~100k clusters for web corpora).
+    centroids), ONE shuffle to group members by ``ivf_list``, then pair
+    generation and the cosine cut run join-free in array space — quadratic
+    only within a list. At 100 TB raise ``n_lists`` so per-list occupancy
+    stays bounded (SemDeDup used ~100k clusters for web corpora; occupancy
+    also bounds the per-cluster member-array row width here).
     Output: (id_a, id_b, cosine_sim), id_a < id_b.
+
+    ``materialize`` is retained for API compatibility; the join-free shape
+    consumes the assignment exactly once, so there is nothing to pin.
     """
     if centroids is not None:
         assigned = df.select(
@@ -652,21 +678,56 @@ def semantic_dedup_pairs(
             F.col("ivf_list"),
             to_double_array(F.col(vec_col)).alias("_v"),
         )
-    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import _pin
-
-    assigned = _pin(assigned, materialize)
-    a = assigned.select(
-        "ivf_list", F.col(id_col).alias("id_a"), F.col("_v").alias("va")
+    # pair generation is JOIN-FREE: group each cluster's (id, vector)
+    # members into one id-sorted array, give every member the SLICE of
+    # strictly-greater-id members, and explode — id_a < id_b by the sort,
+    # each unordered pair produced exactly once. One shuffle (the groupBy),
+    # no checkpoint, no self-join. (The previous formulation self-joined a
+    # localCheckpoint on ivf_list; besides the extra shuffle it tripped a
+    # Spark 4.1 executor-side lambda-binding failure —
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — when the fold-cosine consumed
+    # renamed vector columns from both sides of the deduplicated scan.)
+    # Row width is bounded by per-cluster occupancy, the quantity SemDeDup
+    # already requires you to bound via n_lists.
+    # each member's L2 norm folds ONCE here (narrow, pre-shuffle) instead of
+    # once per pair — the pair cosine below is a single fold + one divide,
+    # with the exact float sequence dot/(sqrt(dot aa)*sqrt(dot bb)) the
+    # all-in-one cosine_similarity would produce (same ops, same order)
+    norm = F.sqrt(dot(F.col("_v"), F.col("_v")))
+    members = assigned.groupBy("ivf_list").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("_v").alias("v"),
+                    norm.alias("n"),
+                )
+            )
+        ).alias("_ms")
     )
-    b = assigned.select(
-        "ivf_list", F.col(id_col).alias("id_b"), F.col("_v").alias("vb")
+    lhs = members.select(
+        "ivf_list",
+        F.posexplode("_ms").alias("_i", "_a"),
+        F.col("_ms"),
+    ).select(
+        F.col("_a").alias("_a"),
+        # 1-based slice from position _i+2: every member AFTER _a
+        F.expr("slice(_ms, _i + 2, size(_ms))").alias("_rest"),
+    )
+    na, nb = F.col("_a.n"), F.col("_b.n")
+    sim = F.when(
+        (na > 0) & (nb > 0), dot(F.col("_a.v"), F.col("_b.v")) / (na * nb)
     )
     return (
-        a.join(b, "ivf_list")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        lhs.select(
+            "_a", F.explode("_rest").alias("_b")
+        )
+        .select(
+            F.col("_a.id").alias("id_a"),
+            F.col("_b.id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
     )
 
 
@@ -688,3 +749,157 @@ def semantic_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def knn_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact batched kNN join: the ``k`` most cosine-similar corpus rows for
+    EVERY probe row, in ONE corpus scan. Output (probe_id, id, cosine_sim,
+    rank), rank 1 = best; ties break to the lower corpus id.
+
+    Scale shape: the probe side is broadcast (an eval/query batch — small by
+    contract), candidates are scored in codegen, and the top-k cut is a
+    per-probe window over probe-partitioned data — no global sort, and the
+    corpus is never shuffled (only the (probe, corpus) score rows move,
+    bounded by |probes| x |corpus| — batch probes accordingly, or use
+    :func:`lsh_knn_join` when the product is too large).
+    """
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        to_double_array(F.col(probe_vec_col)).alias("_p"),
+    )
+    c = corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("_v")
+    )
+    scored = c.join(F.broadcast(p)).select(
+        "probe_id",
+        id_col,
+        cosine_similarity(F.col("_v"), F.col("_p")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, "cosine_sim", "rank")
+    )
+
+
+def lsh_knn_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate batched kNN join — the SCALE form of :func:`knn_join`
+    when |probes| x |corpus| scoring is too much: both sides hash to
+    sign-LSH buckets with the SAME seeded hyperplanes, each probe expands to
+    its own bucket (+ hamming-distance-1 neighbors with ``multiprobe``), and
+    scoring runs only inside the bucket equi-join. Same output columns as
+    :func:`knn_join`; a probe with zero candidates simply has no rows.
+
+    Scale shape: candidates per probe drop from |corpus| to expected
+    (1 + n_planes) x |corpus| / 2^n_planes — the equi-join on ``lsh_bucket``
+    is a plain hash join (broadcast here: the exploded probe side stays
+    small), never a nested loop. A (probe, corpus) pair can meet in at most
+    ONE bucket — the corpus row has exactly one bucket and the probe's
+    expansion list is distinct — so no dedup pass is needed before the
+    window. Recall is tunable via ``n_planes``/``multiprobe``; measure with
+    :func:`topk_recall` against an exact :func:`knn_join` on a probe sample.
+    """
+    if dim is None:
+        dim = embedding_dim(corpus, vec_col)
+    planes = hyperplanes(dim, n_planes, seed)
+    c = with_lsh_buckets(corpus, vec_col, n_planes, seed, dim=dim).select(
+        F.col(id_col),
+        to_double_array(F.col(vec_col)).alias("_v"),
+        F.col("lsh_bucket"),
+    )
+    p = with_lsh_buckets(
+        probes.select(
+            F.col(probe_id_col).alias("probe_id"),
+            F.col(probe_vec_col).alias("_pvec"),
+        ),
+        "_pvec",
+        n_planes,
+        seed,
+        dim=dim,
+    )
+    if multiprobe and n_planes > 0:
+        expansion = F.array(
+            F.col("lsh_bucket"),
+            *[
+                F.col("lsh_bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+    else:
+        expansion = F.array(F.col("lsh_bucket"))
+    p = p.select(
+        "probe_id",
+        to_double_array(F.col("_pvec")).alias("_p"),
+        F.explode(expansion).alias("lsh_bucket"),
+    )
+    scored = c.join(F.broadcast(p), "lsh_bucket").select(
+        "probe_id",
+        id_col,
+        cosine_similarity(F.col("_v"), F.col("_p")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, "cosine_sim", "rank")
+    )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    probe_id_col: str = "probe_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN quality measurement: per-probe recall of an approximate top-k
+    result against the exact one — recall@k = |approx ∩ exact| / |exact|.
+    Feed it :func:`lsh_knn_join` (or IVF probes) vs :func:`knn_join` over
+    the SAME probe sample; average the ``recall`` column for the headline
+    number. Probes with no approx rows (empty buckets) score 0.0, so the
+    output is 1:1 with the exact side's probes and the average is honest.
+
+    Both inputs are top-k frames (|probes| x k rows), so every join and
+    aggregate here is control-plane-sized regardless of corpus scale.
+    """
+    e = exact.groupBy(F.col(probe_id_col).alias("probe_id")).agg(
+        F.count("*").alias("n_exact")
+    )
+    hits = (
+        approx.select(F.col(probe_id_col).alias("probe_id"), id_col)
+        .join(
+            exact.select(F.col(probe_id_col).alias("probe_id"), id_col),
+            ["probe_id", id_col],
+        )
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        e.join(hits, "probe_id", "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn("recall", F.col("n_hit") / F.col("n_exact"))
+    )

@@ -772,6 +772,16 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_THRESHOLD = 0.4  # testdata embeddings are near-orthogonal; 0.4
 # yields a realistic within-cluster duplicate rate at the sf0.01 gate
 
+# SemDeDup gets its OWN centroid list, wider than the IVF query's 8: the
+# quadratic inside each cluster is the whole cost, so cluster count is the
+# scale knob (SemDeDup's ~100k clusters at web scale). 32 seed-medoid ids,
+# all < 500 so they exist at every SF.
+_SEMDEDUP_MEDOID_IDS = [
+    3, 17, 29, 43, 59, 71, 89, 101, 113, 131, 149, 163, 179, 193, 211, 227,
+    241, 257, 271, 283, 307, 317, 337, 353, 367, 383, 397, 413, 433, 449,
+    463, 479,
+]
+
 
 def _semdedup_oracle_sql(medoid_ids: list[int], threshold: float) -> str:
     """DuckDB oracle for SemDeDup survivors over seed-medoid clusters.
@@ -828,16 +838,21 @@ def _semdedup_oracle_sql(medoid_ids: list[int], threshold: float) -> str:
     "ONLY within a cluster, drop every vector with cosine >= threshold to a "
     "lower-id cluster-mate. Quadratic work is local to each list — the "
     "100 TB shape is n_lists scaled to bound per-list occupancy",
-    oracle=_semdedup_oracle_sql(_IVF_MEDOID_IDS, _SEMDEDUP_THRESHOLD),
+    oracle=_semdedup_oracle_sql(_SEMDEDUP_MEDOID_IDS, _SEMDEDUP_THRESHOLD),
     tags=("similarity", "dedup"),
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.medoid_centroids(emb, _IVF_MEDOID_IDS)
+    cents = similarity.medoid_centroids(emb, _SEMDEDUP_MEDOID_IDS)
+    # testdata embeddings land in ONE parquet split, which would serialize
+    # the per-row assignment folds on a single task; spread the small input
+    # across the session's parallelism first (a real corpus arrives in many
+    # splits and needs no such step — the shuffle moved here is 5k rows)
+    wide = emb.repartition(spark.sparkContext.defaultParallelism)
     survivors = similarity.semantic_dedup(
-        emb, threshold=_SEMDEDUP_THRESHOLD, centroids=cents
+        wide, threshold=_SEMDEDUP_THRESHOLD, centroids=cents
     ).select("vec_id")
-    assigned = emb.select(
+    assigned = wide.select(
         "vec_id",
         similarity.assign_to_centroids(F.col("embedding"), cents)
         .cast("int")

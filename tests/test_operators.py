@@ -1281,3 +1281,80 @@ def test_temperature_weights_math():
         temperature_weights(sizes, alpha=2.0)
     with pytest.raises(ValueError, match="size"):
         temperature_weights({"x": 0.0})
+
+
+def test_knn_join_matches_per_probe_bruteforce(vectors):
+    probes = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.knn_join(vectors, probes, k=5).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == {0, 1, 2}
+    for pid, rows in by_probe.items():
+        rows.sort(key=lambda r: r["rank"])
+        # parity vs the single-probe exact operator
+        probe_vec = [
+            float(x)
+            for x in vectors.filter(F.col("vec_id") == pid).first()["embedding"]
+        ]
+        expect = similarity.brute_force_topk(vectors, probe_vec, k=5).collect()
+        assert [r["vec_id"] for r in rows] == [e["vec_id"] for e in expect]
+        for r, e in zip(rows, expect):
+            assert r["cosine_sim"] == pytest.approx(e["cosine_sim"], abs=1e-9)
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_lsh_knn_join_zero_planes_equals_exact(vectors):
+    probes = vectors.filter(F.col("vec_id").isin(0, 7, 33)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = similarity.knn_join(vectors, probes, k=4)
+    approx = similarity.lsh_knn_join(vectors, probes, k=4, n_planes=0)
+    # one bucket (0) holds everything -> candidate set == corpus == exact
+    a = sorted(map(tuple, approx.collect()))
+    e = sorted(map(tuple, exact.collect()))
+    assert a == e
+    rec = similarity.topk_recall(approx, exact).collect()
+    assert all(r["recall"] == 1.0 for r in rec) and len(rec) == 3
+
+
+def test_lsh_knn_join_recall_and_plan(vectors):
+    probes = vectors.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    approx = similarity.lsh_knn_join(
+        vectors, probes, k=5, n_planes=4, seed=7, multiprobe=True
+    )
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    exact = similarity.knn_join(vectors, probes, k=5)
+    rec = similarity.topk_recall(approx, exact).collect()
+    assert len(rec) == 8
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rec)
+    # every approx hit must carry the SAME score the exact side computed
+    escore = {
+        (r["probe_id"], r["vec_id"]): r["cosine_sim"] for r in exact.collect()
+    }
+    for r in approx.collect():
+        key = (r["probe_id"], r["vec_id"])
+        if key in escore:
+            assert r["cosine_sim"] == escore[key]
+
+
+def test_topk_recall_math(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "probe_id int, vec_id int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)],  # probe 3 returned nothing
+        "probe_id int, vec_id int",
+    )
+    got = {
+        r["probe_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in similarity.topk_recall(approx, exact).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (2, 2, 1.0), 3: (1, 0, 0.0)}
