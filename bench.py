@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sample_dms_kinesis_rds_mariadb_spark.plans import queries as _q  # noqa: E402
 from sample_dms_kinesis_rds_mariadb_spark.plans import llm_queries  # noqa: E402,F401
-from sample_dms_kinesis_rds_mariadb_spark.session import get_session  # noqa: E402
+from sample_dms_kinesis_rds_mariadb_spark.session import (  # noqa: E402
+    get_session,
+    widen_small_input,
+)
 
 # the 14 query legs benched since r1 — with the two sink legs below they
 # form the 16-leg core whose sum is comparable against BENCH_r01..r04 and
@@ -88,7 +91,9 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    _docs = _lt(spark, sf_dir, "documents")
+    # widen: testdata "documents" is one single-row-group parquet file, so
+    # every tokenize/explode stage below would otherwise run on one task
+    _docs = widen_small_input(_lt(spark, sf_dir, "documents"))
     _cc = connected_components(
         minhash_lsh_candidate_pairs(_docs, "doc_id", "text")
     )

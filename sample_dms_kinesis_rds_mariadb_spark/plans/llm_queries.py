@@ -28,6 +28,7 @@ from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
 from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import shingles
 from sample_dms_kinesis_rds_mariadb_spark.operators import dedup, multimodal, similarity
 from sample_dms_kinesis_rds_mariadb_spark.plans.queries import load_table, register
+from sample_dms_kinesis_rds_mariadb_spark.session import widen_small_input
 
 # normalized text in DuckDB SQL — must mirror functions.text.normalize_text
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -90,7 +91,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # widen: the shingle+minhash map stage is the cost center and testdata
+    # arrives as one single-row-group file (see session.widen_small_input)
+    docs = widen_small_input(load_table(spark, sf_dir, "documents"))
     return dedup.minhash_lsh_candidate_pairs(docs, "doc_id", "text").orderBy(
         "id_a", "id_b"
     )
@@ -474,7 +477,7 @@ _SIMHASH60_BANDS = "\n          ".join(
     tags=("dedup",),
 )
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_small_input(load_table(spark, sf_dir, "documents"))
     return dedup.simhash_near_pairs_md5(docs, "doc_id", "text", max_hamming=3).orderBy(
         "id_a", "id_b"
     )
@@ -606,8 +609,8 @@ _WINNOW_DOCS = 300
     tags=("dedup",),
 )
 def q_winnowing_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _WINNOW_DOCS
+    docs = widen_small_input(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _WINNOW_DOCS)
     )
     return dedup.winnowing_near_dups(
         docs,
@@ -845,10 +848,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.medoid_centroids(emb, _SEMDEDUP_MEDOID_IDS)
     # testdata embeddings land in ONE parquet split, which would serialize
-    # the per-row assignment folds on a single task; spread the small input
-    # across the session's parallelism first (a real corpus arrives in many
-    # splits and needs no such step — the shuffle moved here is 5k rows)
-    wide = emb.repartition(spark.sparkContext.defaultParallelism)
+    # the per-row assignment folds on a single task (widen_small_input
+    # no-ops on real many-split corpora)
+    wide = widen_small_input(emb)
     survivors = similarity.semantic_dedup(
         wide, threshold=_SEMDEDUP_THRESHOLD, centroids=cents
     ).select("vec_id")

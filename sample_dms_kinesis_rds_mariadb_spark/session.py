@@ -62,3 +62,29 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def widen_small_input(df, min_splits: int | None = None):
+    """Spread a SMALL scan across the session's parallelism before
+    compute-heavy narrow stages (tokenize/explode/fold pipelines).
+
+    A parquet row group is the atomic read split, so a table that arrives
+    as a handful of single-row-group files serializes every downstream
+    narrow stage onto that many tasks no matter how many cores the session
+    has — the local-testdata shape (one file, one row group per table). A
+    real corpus arrives in thousands of splits, where this helper must
+    cost nothing: it no-ops whenever the source already reports at least
+    ``min_splits`` (default: the session's default parallelism) input
+    files, so the repartition shuffle only ever moves inputs small enough
+    to have too few files. Sources with no file listing (in-memory frames)
+    are treated as small.
+    """
+    spark = df.sparkSession
+    target = min_splits or spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)

@@ -152,3 +152,24 @@ def test_winnowing_fingerprints_no_shuffle(spark):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Sort" not in plan
+
+
+def test_widen_small_input(spark, tmp_path):
+    from sample_dms_kinesis_rds_mariadb_spark.session import widen_small_input
+
+    # single-file source -> spread to the session's parallelism
+    p1 = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(p1)
+    one = spark.read.parquet(p1)
+    widened = widen_small_input(one)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert widened.count() == 100
+    # many-file source at/above the target -> untouched (no extra shuffle)
+    target = 4
+    p2 = str(tmp_path / "many")
+    spark.range(100).repartition(target).write.parquet(p2)
+    many = spark.read.parquet(p2)
+    assert widen_small_input(many, min_splits=target) is many
+    # in-memory frames (no file listing) are treated as small
+    mem = spark.range(10)
+    assert widen_small_input(mem, min_splits=2).rdd.getNumPartitions() == 2
