@@ -903,3 +903,88 @@ def topk_recall(
         .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
         .withColumn("recall", F.col("n_hit") / F.col("n_exact"))
     )
+
+
+def nearest_lists_expr(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """The ``n_probe`` nearest centroid ids for a VECTOR COLUMN, as an
+    ARRAY<INT> expression — the batch dual of the driver-side
+    :func:`_nearest_lists`. Same bit-reproducible d2 folds and
+    lowest-cid tie-break as :func:`assign_to_centroids` (whose argmin is
+    exactly this with ``n_probe=1``); centroid data rides one nested-array
+    literal so plan size stays O(1) in centroid count."""
+    v = to_double_array(vec)
+    vv = dot(v, v)
+    cents = F.lit([[float(x) for x in c] for c in centroids]).cast(
+        "array<array<double>>"
+    )
+    ccs = []
+    for c in centroids:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        ccs.append(acc)
+    cc_lit = F.lit(ccs).cast("array<double>")
+    cands = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (vv - F.lit(2.0) * dot(v, c) + F.element_at(cc_lit, i + 1)).alias("d2"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(cands), 1, int(n_probe)), lambda s: s["cid"]
+    )
+
+
+def ivf_knn_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate batched kNN join over LEARNED partitions — the IVF dual
+    of :func:`lsh_knn_join`, completing the batch-ANN matrix (exact
+    :func:`knn_join` / hyperplane :func:`lsh_knn_join` / centroid-list
+    here). Corpus rows go to their nearest-centroid list, every probe
+    expands to its ``n_probe`` nearest lists, and scoring runs only inside
+    the list equi-join. Output (probe_id, id, cosine_sim, rank) like the
+    siblings; ``n_probe = len(centroids)`` degenerates to the exact join.
+
+    Scale shape: the list assignment is the same one scan an
+    ``IvfIndex.build`` performs (pass the index's stored centroids to probe
+    a prebuilt layout semantically); candidates per probe are the occupancy
+    of its ``n_probe`` lists; the exploded probe side stays
+    |probes| x n_probe and broadcasts, so the corpus never shuffles. A
+    (probe, corpus) pair meets in at most one list — the probe's expansion
+    is distinct — so no dedup pass follows.
+    """
+    assigned = corpus.select(
+        F.col(id_col),
+        to_double_array(F.col(vec_col)).alias("_v"),
+        assign_to_centroids(F.col(vec_col), centroids).alias("ivf_list"),
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        to_double_array(F.col(probe_vec_col)).alias("_p"),
+        F.explode(
+            nearest_lists_expr(F.col(probe_vec_col), centroids, n_probe)
+        ).alias("ivf_list"),
+    )
+    scored = assigned.join(F.broadcast(p), "ivf_list").select(
+        "probe_id",
+        id_col,
+        cosine_similarity(F.col("_v"), F.col("_p")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, "cosine_sim", "rank")
+    )

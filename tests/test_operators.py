@@ -1358,3 +1358,58 @@ def test_topk_recall_math(spark):
         for r in similarity.topk_recall(approx, exact).collect()
     }
     assert got == {1: (2, 1, 0.5), 2: (2, 2, 1.0), 3: (1, 0, 0.0)}
+
+
+def test_ivf_knn_join_full_probe_equals_exact(vectors):
+    cents = similarity.medoid_centroids(vectors, [0, 16, 32, 48])
+    probes = vectors.filter(F.col("vec_id").isin(2, 40)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = similarity.knn_join(vectors, probes, k=4)
+    full = similarity.ivf_knn_join(
+        vectors, probes, cents, k=4, n_probe=len(cents)
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_knn_join_pruned_probe(vectors):
+    cents = similarity.medoid_centroids(vectors, [0, 16, 32, 48])
+    probes = vectors.filter(F.col("vec_id").isin(2, 40)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    approx = similarity.ivf_knn_join(vectors, probes, cents, k=4, n_probe=1)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = approx.collect()
+    # candidates come only from the probe's own list: every returned
+    # neighbor must share the probe's assignment
+    assigned = {
+        r["vec_id"]: r["ivf_list"]
+        for r in vectors.select(
+            "vec_id",
+            similarity.assign_to_centroids(F.col("embedding"), cents).alias(
+                "ivf_list"
+            ),
+        ).collect()
+    }
+    for r in rows:
+        assert assigned[r["vec_id"]] == assigned[r["probe_id"]]
+    exact = similarity.knn_join(vectors, probes, k=4)
+    rec = similarity.topk_recall(approx, exact).collect()
+    assert len(rec) == 2 and all(0.0 <= r["recall"] <= 1.0 for r in rec)
+    # the unit-circle fixture is dense around each probe, so its own-list
+    # neighbors include the true top ones: recall must be positive
+    assert sum(r["recall"] for r in rec) > 0
+
+
+def test_nearest_lists_expr_matches_driver_reference(vectors):
+    cents = similarity.medoid_centroids(vectors, [0, 16, 32, 48])
+    rows = vectors.select(
+        "vec_id",
+        similarity.nearest_lists_expr(F.col("embedding"), cents, 2).alias("ls"),
+    ).collect()
+    got = {r["vec_id"]: list(r["ls"]) for r in rows}
+    raw = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in vectors.collect()}
+    for vid, vec in raw.items():
+        assert got[vid] == similarity._nearest_lists(cents, vec, 2), vid
