@@ -2,8 +2,10 @@
 
   documents → language-ID → quality filter → exact dedup → MinHash-LSH
   near-dup candidates → exact-Jaccard verification → surviving corpus
-  → deterministic train/heldout split → weighted corpus mixture
+  → deterministic train/heldout split → temperature (size^alpha) mixture
+  → graded benchmark decontamination
   embeddings → IVF index build → ANN probe → semantic dedup (SemDeDup)
+  → batch kNN-join retrieval eval (exact truth vs IVF candidates, recall@k)
 
 Run: python examples/llm_data_pipeline.py  [sf_dir, default sf0.001]
 
@@ -296,6 +298,55 @@ def main() -> None:
         emb, threshold=0.95, n_lists=8
     ).count()
     print(f"semantic dedup: {emb.count()} vectors -> {sem_survivors} survivors")
+
+    # 7. graded benchmark decontamination: the verbatim 13-gram rule drops
+    # hard hits; the score column is what an audit reports (fraction of a
+    # doc's distinct n-grams found anywhere in the eval set)
+    bench = docs.limit(3).select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    scores = dedup.contamination_scores(
+        docs, bench, "doc_id", "text", bench_id_col="bid", bench_text_col="btext"
+    )
+    n_dirty = scores.filter(F.col("score") >= 0.8).count()
+    print(f"decontamination audit: {n_dirty} docs >= 0.8 contaminated")
+
+    # 8. batched retrieval evaluation: exact kNN join as ground truth, the
+    # IVF-pruned batch join as the candidate, recall@k as the quality gate
+    # for the ANN configuration actually deployed
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    cents = similarity.medoid_centroids(emb, [7, 61, 127, 199, 263, 331])
+    truth = similarity.knn_join(emb, probes, k=10)
+    cand = similarity.ivf_knn_join(emb, probes, cents, k=10, n_probe=2)
+    avg_recall = (
+        similarity.topk_recall(cand, truth).agg(F.avg("recall")).first()[0]
+    )
+    print(f"IVF batch ANN recall@10 (n_probe=2/6): {avg_recall:.2f}")
+
+    # 9. temperature-weighted mixture: size^alpha rebalancing of the split
+    # corpora before packing/export (alpha=0.3 up-weights small sources)
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
+        mix_corpora,
+        temperature_weights,
+    )
+
+    by_src = docs.join(survivors.select("doc_id"), "doc_id")
+    sizes = {
+        r["source"]: float(r["n"])
+        for r in by_src.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    w = temperature_weights(sizes, alpha=0.3)
+    mixed = mix_corpora(
+        [(by_src.filter(F.col("source") == src), w[src]) for src in sizes],
+        key_col="doc_id",
+    )
+    print(
+        "temperature mixture (alpha=0.3):",
+        {k: round(v, 3) for k, v in sorted(w.items())},
+        f"-> {mixed.count()} rows",
+    )
     print("done.")
 
 
