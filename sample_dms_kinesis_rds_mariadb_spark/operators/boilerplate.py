@@ -113,10 +113,19 @@ def remove_boilerplate_lines(
     stats = boilerplate_line_stats(
         df, text_col, group_col, min_docs=min_docs, min_doc_frac=min_doc_frac
     )
-    bp = (
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import _pin
+
+    # the guard job below and the filter-back join would each re-evaluate
+    # the full stats pipeline (corpus explode + two shuffles) — pin the
+    # tiny per-group hash-set frame so the stats run once; the internal
+    # ``_bp_group`` alias keeps a caller's own column literally named
+    # "group" intact after the join (drop("group") would take both)
+    bp = _pin(
         stats.filter(F.col("is_boilerplate"))
         .groupBy("group")
         .agg(F.collect_set("line_hash").alias("_bp_hashes"))
+        .select(F.col("group").alias("_bp_group"), "_bp_hashes"),
+        True,
     )
     worst = bp.agg(F.max(F.size("_bp_hashes")).alias("m")).first()["m"]
     if worst is not None and worst > max_lines_per_group:
@@ -128,8 +137,8 @@ def remove_boilerplate_lines(
     # null-safe: a NULL group is still a group (groupBy keyed it), so its
     # docs must see their own boilerplate set; <=> keeps the BHJ equi-join
     joined = df.join(
-        F.broadcast(bp), df[group_col].eqNullSafe(bp["group"]), "left"
-    ).drop("group")
+        F.broadcast(bp), df[group_col].eqNullSafe(bp["_bp_group"]), "left"
+    ).drop("_bp_group")
     kept = F.filter(
         F.split(F.col(text_col), _LINE_SEP),
         lambda l: (F.trim(l) == F.lit(""))

@@ -814,6 +814,7 @@ def contamination_scores(
     bench_id_col: str | None = None,
     bench_text_col: str | None = None,
     n: int = 13,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document contamination FRACTION — the graded companion to
     :func:`contamination_pairs`'s hit counts: for each corpus document,
@@ -828,12 +829,15 @@ def contamination_scores(
     (nothing to leak at the tested gram size), and unmatched documents
     score 0.0 rather than dropping out, so the frame joins back 1:1.
 
-    Scale shape: per-doc gram totals are a NARROW column
-    (``size(array_distinct(...))`` — no shuffle); the match side explodes
-    corpus grams to (id, md5) rows, semi-joins the broadcast benchmark
-    gram set (eval sets are tiny by definition), and aggregates per id
-    with map-side partials — the only shuffle carries matched ids, never
-    text. The final score join is id-keyed on two per-doc frames.
+    Scale shape: the (id, n_grams, md5-gram-array) frame is computed ONCE
+    and pinned (eager localCheckpoint; ``materialize=False`` keeps it lazy
+    at the cost of re-expanding grams for each consumer) — both the match
+    leg and the totals leg read it, so the n-gram expansion, the operator's
+    dominant cost, runs a single time. The match side explodes the pinned
+    grams to (id, md5) rows, semi-joins the broadcast benchmark gram set
+    (eval sets are tiny by definition), and aggregates per id with
+    map-side partials — the only shuffle carries matched ids, never text.
+    The final score join is id-keyed on two per-doc frames.
     """
     from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
         normalize_text,
@@ -844,15 +848,19 @@ def contamination_scores(
     b_id = bench_id_col or id_col
     b_text = bench_text_col or text_col
 
-    grams = F.array_distinct(
-        word_ngrams(tokenize(normalize_text(F.col(text_col))), n)
+    grams = F.transform(
+        F.array_distinct(
+            word_ngrams(tokenize(normalize_text(F.col(text_col))), n)
+        ),
+        F.md5,  # hash INSIDE the pinned frame: 32-hex cells, never raw text
     )
-    totals = corpus.select(
-        F.col(id_col), F.size(grams).alias("n_grams"), grams.alias("_grams")
+    totals = _pin(
+        corpus.select(
+            F.col(id_col), F.size(grams).alias("n_grams"), grams.alias("_grams")
+        ),
+        materialize,
     )
-    c = totals.select(
-        id_col, F.explode("_grams").alias("_g")
-    ).select(id_col, F.md5("_g").alias("gram"))
+    c = totals.select(id_col, F.explode("_grams").alias("gram"))
     bench_grams = (
         benchmark.select(
             F.explode(

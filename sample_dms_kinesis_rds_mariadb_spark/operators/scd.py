@@ -58,7 +58,13 @@ def scd2_history(
     # close intervals) and are dropped from the output afterwards
     versioned = changes.withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
     if op_col is not None:
-        versioned = versioned.filter(~F.col(op_col).isin(*delete_ops))
+        # NULL ops are upserts, not deletes: a bare NOT-isin is NULL for a
+        # NULL op, and a NULL filter verdict DROPS the row — it would still
+        # close the previous version via lead() but emit no version of its
+        # own, leaving a silent hole in the key's timeline
+        versioned = versioned.filter(
+            F.coalesce(~F.col(op_col).isin(*delete_ops), F.lit(True))
+        )
     drop = [ts_col] + ([op_col] if op_col else []) + ([seq_col] if seq_col else [])
     return (
         versioned.withColumn("valid_from", F.col(ts_col))

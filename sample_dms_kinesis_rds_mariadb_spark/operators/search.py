@@ -113,7 +113,12 @@ def bm25_scores(
             F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / F.lit(avgdl)
         )
         score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / denom
-    return bound.withColumn("bm25", score).drop("_bm25_toks")
+    # NULL text tokenizes to NULL, which would poison the sum to NULL —
+    # the documented contract is 0.0 for documents matching no term,
+    # degenerate documents included
+    return bound.withColumn("bm25", F.coalesce(score, F.lit(0.0))).drop(
+        "_bm25_toks"
+    )
 
 
 def bm25_search(
@@ -199,6 +204,12 @@ def bm25_batch_search(
     # scan over a big literal term list would be O(|terms|) per token for
     # 10k-query batches). Non-matching tokens die map-side inside the
     # broadcast join; the groupBy shuffle carries only the hits.
+    # NB: binding the token array to a column first ("select toks alias,
+    # then size/explode it") does NOT deduplicate the work here — measured
+    # on the optimized plan it yields THREE tokenizations per row (the
+    # optimizer collapses the projection back through the Generate and
+    # keeps the alias), vs two for this direct form. bm25_scores' bind
+    # helps there because its |terms|+1 consumers sit in one Project.
     hits = (
         df.select(
             F.col(id_col),
@@ -284,6 +295,9 @@ class InvertedIndex:
             self.n_buckets = int(st["n_buckets"])
             self._n_docs = int(st["n_docs"])
             self._total_tokens = int(st["total_tokens"])
+            # legacy indexes predate the NULL-text distinction: every doc
+            # tokenized, so the text-doc count equals the doc count
+            self._n_text_docs = int(st.get("n_text_docs", st["n_docs"]))
         else:
             if n_buckets < 1:
                 raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
@@ -291,6 +305,7 @@ class InvertedIndex:
             self.n_buckets = int(n_buckets)
             self._n_docs = 0
             self._total_tokens = 0
+            self._n_text_docs = 0
 
     def _save_stats(self) -> None:
         import json
@@ -304,6 +319,7 @@ class InvertedIndex:
                     "n_buckets": self.n_buckets,
                     "n_docs": self._n_docs,
                     "total_tokens": self._total_tokens,
+                    "n_text_docs": self._n_text_docs,
                 },
                 f,
             )
@@ -331,6 +347,7 @@ class InvertedIndex:
         """Index the corpus (overwrites any prior index at ``path``)."""
         self._n_docs = 0
         self._total_tokens = 0
+        self._n_text_docs = 0
         self._postings(df, text_col).write.mode("overwrite").partitionBy(
             "term_bucket"
         ).parquet(self.postings_path)
@@ -348,12 +365,19 @@ class InvertedIndex:
 
     def _accumulate_stats(self, df: DataFrame, text_col: str) -> None:
         # zero-token docs leave no postings but DO count in n_docs/avgdl,
-        # so stats come from the batch frame, not the postings
+        # so stats come from the batch frame, not the postings. The avgdl
+        # denominator counts only rows whose text tokenizes (non-NULL) —
+        # the same rows F.avg(size(...)) admits in corpus_stats — so index
+        # scores stay IDENTICAL to bm25_search even on corpora with NULL
+        # text; n_docs (the idf N) still counts every row, as there too.
+        sizes = F.size(_toks(F.col(text_col)))
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.size(_toks(F.col(text_col)))).alias("tok"),
+            F.count(sizes).alias("n_text"),
+            F.sum(sizes).alias("tok"),
         ).first()
         self._n_docs += int(row["n"])
+        self._n_text_docs += int(row["n_text"])
         self._total_tokens += int(row["tok"] or 0)
         self._save_stats()
 
@@ -398,6 +422,29 @@ class InvertedIndex:
         )
         return n_files - n_after
 
+    def _empty_result(self) -> DataFrame:
+        """Empty (doc_id, bm25) frame with the REAL doc_id type from the
+        postings, so empty-query/empty-index results union and join cleanly
+        with populated ones; string only when nothing was ever indexed."""
+        from pyspark.sql import types as T
+
+        id_type: T.DataType = T.StringType()
+        try:
+            id_type = self.spark.read.parquet(self.postings_path).schema[
+                "doc_id"
+            ].dataType
+        except Exception:
+            pass
+        return self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc_id", id_type),
+                    T.StructField("bm25", T.DoubleType()),
+                ]
+            ),
+        )
+
     def _bucket_of(self, term: str) -> int:
         import zlib
 
@@ -417,12 +464,10 @@ class InvertedIndex:
 
         terms = _query_terms(query)
         n, avgdl = self._n_docs, (
-            self._total_tokens / self._n_docs if self._n_docs else 0.0
+            self._total_tokens / self._n_text_docs if self._n_text_docs else 0.0
         )
         if not terms or n == 0:
-            return self.spark.createDataFrame(
-                [], "doc_id string, bm25 double"
-            )
+            return self._empty_result()
         buckets = sorted({self._bucket_of(t) for t in terms})
         p = (
             self.spark.read.parquet(self.postings_path)

@@ -127,3 +127,24 @@ def test_removal_plan_is_broadcast_plus_narrow_filter(spark, docs_df):
     # stats/bp aggregates, all of which sit under the broadcast side
     doc_side = plan.split("BroadcastHashJoin", 1)[0]
     assert "Exchange" not in doc_side.rsplit("Scan", 1)[-1]
+
+
+def test_remove_boilerplate_group_named_group(spark):
+    """A caller whose grouping column is literally named 'group' must get
+    it back — the join cleanup may only drop the internal alias."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "g1", "keep me\nSHARED FOOTER"),
+        (2, "g1", "other text\nSHARED FOOTER"),
+        (3, "g2", "solo doc no footer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, group string, text string")
+    out = remove_boilerplate_lines(df, "text", "group")
+    assert "group" in out.columns
+    got = {r["doc_id"]: (r["group"], r["text"]) for r in out.collect()}
+    assert got[1] == ("g1", "keep me")
+    assert got[2] == ("g1", "other text")
+    assert got[3] == ("g2", "solo doc no footer")

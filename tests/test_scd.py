@@ -280,3 +280,29 @@ def test_scd2_join_randomized_matches_snapshot(spark):
     for pid, k, t in probes:
         want = {r["k"]: r["v"] for r in snapshot_at(hist, t).collect()}.get(k)
         assert got.get(pid) == want, (pid, k, t, got.get(pid), want)
+
+
+def test_scd2_null_op_is_upsert_not_silent_drop(spark):
+    """A NULL op must emit a version (upsert semantics) — a bare NOT-isin
+    filter would drop it while lead() still closed the prior interval,
+    leaving a hole where a live version belongs."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.scd import (
+        scd2_history,
+        snapshot_at,
+    )
+
+    rows = [
+        (1, "a", 100, "insert"),
+        (1, "b", 200, None),      # glitched/sparse op column
+        (1, "c", 300, "update"),
+    ]
+    df = spark.createDataFrame(rows, "k int, v string, ts long, op string")
+    hist = scd2_history(df, "k", "ts", op_col="op").collect()
+    assert len(hist) == 3
+    by_from = {r["valid_from"]: r for r in hist}
+    assert by_from[100]["valid_to"] == 200
+    assert by_from[200]["v"] == "b" and by_from[200]["valid_to"] == 300
+    snap = snapshot_at(
+        scd2_history(df, "k", "ts", op_col="op"), 250
+    ).collect()
+    assert [r["v"] for r in snap] == ["b"]

@@ -230,3 +230,45 @@ def test_inverted_index_compact_preserves_results(spark, docs_df, tmp_path):
     assert [(r["doc_id"], r["bm25"]) for r in after] == [
         (r["doc_id"], r["bm25"]) for r in before
     ]
+
+
+def test_null_text_scores_zero_and_index_parity(spark, tmp_path):
+    """NULL-text rows: bm25_scores gives the documented 0.0 (not a
+    sum-poisoning NULL), and the inverted index's avgdl admits the same
+    rows F.avg does in corpus_stats, keeping index scores IDENTICAL to
+    bm25_search on corpora that contain NULL text."""
+    rows = [
+        (1, "the quick brown fox jumps over lazy dogs"),
+        (2, None),
+        (3, "quick queries need quick answers the answer is quick"),
+        (4, "unrelated prose about gardening tomatoes in clay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    df.count()
+    scored = {
+        r["doc_id"]: r["bm25"]
+        for r in search.bm25_scores(df, "text", "quick answer").collect()
+    }
+    assert scored[2] == 0.0 and scored[4] == 0.0
+    assert scored[3] > scored[1] > 0.0
+
+    ix = search.InvertedIndex(spark, str(tmp_path / "ix"))
+    ix.build(df, "text")
+    got = [(r["doc_id"], r["bm25"]) for r in ix.search("quick answer", k=4).collect()]
+    want = [
+        (r["doc_id"], r["bm25"])
+        for r in search.bm25_search(df, "doc_id", "text", "quick answer", k=4).collect()
+    ]
+    assert got == want  # exact, incl. the avgdl denominator
+
+
+def test_inverted_index_empty_result_keeps_id_type(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(10, "alpha beta"), (20, "beta gamma")], "doc_id long, text string"
+    )
+    ix = search.InvertedIndex(spark, str(tmp_path / "ix2"))
+    ix.build(df, "text")
+    empty = ix.search("", k=3)
+    hit = ix.search("beta", k=3)
+    assert empty.schema["doc_id"].dataType == hit.schema["doc_id"].dataType
+    assert empty.unionByName(hit).count() == 2  # unions cleanly
