@@ -540,21 +540,35 @@ def cosine_self_join_topk(
     ``materialize=False`` keeps the plan fully lazy."""
     from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import _pin
 
-    b = _pin(with_lsh_buckets(df, vec_col, n_planes, seed, dim=dim), materialize)
+    # the L2 norm folds ONCE per row inside the pinned frame, not per pair:
+    # the pair similarity below is a single fold + divide with the exact
+    # float sequence cosine_similarity produces (dot/(sqrt(aa)*sqrt(bb)))
+    b = _pin(
+        with_lsh_buckets(df, vec_col, n_planes, seed, dim=dim)
+        .withColumn("_v", to_double_array(F.col(vec_col)))
+        .withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v")))),
+        materialize,
+    )
     a = b.select(
         F.col("lsh_bucket"),
         F.col(id_col).alias("id_a"),
-        to_double_array(F.col(vec_col)).alias("va"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
     )
     c = b.select(
         F.col("lsh_bucket"),
         F.col(id_col).alias("id_b"),
-        to_double_array(F.col(vec_col)).alias("vb"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    sim = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
     )
     return (
         a.join(c, "lsh_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cosine_sim", sim)
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
         .distinct()
@@ -592,23 +606,36 @@ def hard_negatives(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    b = _pin(with_lsh_buckets(df, vec_col, n_planes, seed, dim=dim), materialize)
+    # per-row norm folded once in the pinned frame (see
+    # cosine_self_join_topk): pair cost drops to one fold + divide
+    b = _pin(
+        with_lsh_buckets(df, vec_col, n_planes, seed, dim=dim)
+        .withColumn("_v", to_double_array(F.col(vec_col)))
+        .withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v")))),
+        materialize,
+    )
     a = b.select(
         "lsh_bucket",
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("label"),
-        to_double_array(F.col(vec_col)).alias("va"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
     )
     c = b.select(
         "lsh_bucket",
         F.col(id_col).alias("negative_id"),
         F.col(label_col).alias("neg_label"),
-        to_double_array(F.col(vec_col)).alias("vb"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    sim = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
     )
     pairs = (
         a.join(c, "lsh_bucket")
         .filter(F.col("label") != F.col("neg_label"))
-        .withColumn("cosine_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cosine_sim", sim)
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cosine_sim"), F.col("negative_id")
