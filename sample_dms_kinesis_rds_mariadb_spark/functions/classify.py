@@ -12,12 +12,16 @@ over ``element_at`` lookups. No Python workers, no shuffle, composable
 with any downstream filter — the classifier is just another narrow
 column expression on the corpus scan.
 
-Training is out of scope by design (a one-off driver-side job in any ML
-library); the contract here is that a weight vector trained ANYWHERE maps
-to identical verdicts on 100 TB, reproducibly: crc32 and left-fold double
-addition are bit-stable across engines, so the kept-set is a pure function
-of (text, weights) — verified row-exact against an independent pure-Python
-reference in tests/test_operators.py.
+A weight vector trained ANYWHERE maps to identical verdicts on 100 TB,
+reproducibly: crc32 and left-fold double addition are bit-stable across
+engines, so the kept-set is a pure function of (text, weights) — verified
+row-exact against an independent pure-Python reference.
+:func:`train_classifier` closes the loop distributed when no external
+weights exist: full-batch logistic GD where each step is one corpus scan
+(the margin is literally the inference expression with the current
+weights inlined) plus a dim-bounded gradient collect — Spark ML's
+HashingTF is deliberately NOT used (murmur3 hashing would silently break
+train/serve parity with the crc32 inference path).
 
 The reference pipeline has no classifier stage (reference run.py consumes
 CDC events only); this belongs to the north-star LLM-pipeline operator
@@ -147,3 +151,98 @@ def reference_probability(
 ) -> float:
     z = reference_score(text, weights, bias, bigrams=bigrams)
     return 1.0 / (1.0 + math.exp(-z))
+
+
+def train_classifier(
+    df,
+    text_col: str,
+    label_col: str,
+    dim: int = 2**15,
+    *,
+    bigrams: bool = True,
+    iterations: int = 30,
+    learning_rate: float = 1.0,
+    l2: float = 0.0,
+    materialize: bool = True,
+) -> tuple[list[float], float, list[float]]:
+    """Train the hashed linear classifier DISTRIBUTED, closing the loop
+    with :func:`linear_score`: logistic regression by full-batch gradient
+    descent where every step is plain DataFrame algebra over the SAME
+    crc32 feature hashing inference uses (Spark ML's HashingTF hashes with
+    murmur3 and would silently break train/serve parity).
+
+    ``label_col``: 0/1. Returns (weights, bias, per-iteration log-loss).
+
+    Scale shape: the corpus tokenizes ONCE into a pinned (label, feature
+    indices, n_features) frame; each iteration is one scan computing the
+    per-doc margin with the current weights as a constant-folded literal
+    (exactly the inference expression), one explode+groupBy carrying
+    (index, error/n) pairs, and a collect bounded by ``dim`` rows — never
+    by corpus size. Deterministic up to float reduction order in the
+    per-index sums (assert on held-out accuracy, not weight bits).
+    """
+    if dim < 1 or iterations < 1:
+        raise ValueError("dim and iterations must be >= 1")
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import _pin
+
+    feats = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        feature_indices(
+            classifier_features(F.col(text_col), bigrams=bigrams), dim
+        ).alias("_idx"),
+    ).withColumn("_n", F.size("_idx"))
+    feats = _pin(feats, materialize)
+    n_docs = feats.count()
+    if n_docs == 0:
+        raise ValueError("training frame is empty")
+
+    weights = [0.0] * dim
+    bias = 0.0
+    losses: list[float] = []
+    for _ in range(iterations):
+        w_lit = F.lit(weights).cast("array<double>")
+        total = F.aggregate(
+            F.col("_idx"),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(w_lit, i + 1),
+        )
+        margin = (
+            F.when(F.col("_n") > 0, total / F.col("_n")).otherwise(F.lit(0.0))
+            + F.lit(bias)
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        scored = feats.select(
+            "_idx",
+            "_n",
+            (p - F.col("_y")).alias("_err"),
+            # clamped log-loss: exact 0/1 probabilities would log(0)
+            (
+                -(
+                    F.col("_y") * F.log(F.greatest(p, F.lit(1e-12)))
+                    + (F.lit(1.0) - F.col("_y"))
+                    * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-12)))
+                )
+            ).alias("_loss"),
+        )
+        head = scored.agg(
+            F.avg("_err").alias("gb"), F.avg("_loss").alias("loss")
+        ).first()
+        grad_rows = (
+            scored.filter(F.col("_n") > 0)
+            .select(
+                F.explode("_idx").alias("i"),
+                (F.col("_err") / F.col("_n")).alias("_g"),
+            )
+            .groupBy("i")
+            .agg(F.sum("_g").alias("g"))
+            .collect()
+        )
+        grad = [0.0] * dim
+        for r in grad_rows:
+            grad[int(r["i"])] = float(r["g"]) / n_docs
+        weights = [
+            w - learning_rate * (g + l2 * w) for w, g in zip(weights, grad)
+        ]
+        bias -= learning_rate * float(head["gb"])
+        losses.append(float(head["loss"]))
+    return weights, bias, losses

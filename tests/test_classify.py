@@ -117,3 +117,52 @@ def test_classifier_plan_is_narrow_jvm_only(spark, weights):
 def test_dim_validation():
     with pytest.raises(ValueError):
         classify.feature_indices(F.lit(["x"]), 0)
+
+
+def test_train_classifier_learns_separable_corpus(spark):
+    """End-to-end train/serve loop: GD training on a separable corpus must
+    drive the loss down monotonically-ish and the TRAINED weights, fed to
+    the codegen inference path, must classify held-out docs correctly."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.classify import (
+        classifier_keep,
+        reference_probability,
+        train_classifier,
+    )
+
+    good = ["curated encyclopedia article about {}", "well written essay on {}"]
+    bad = ["buy cheap {} now click here", "winner winner free {} prize claim"]
+    topics = ["history", "biology", "music", "trade", "soil", "ships"]
+    rows = []
+    for i, t in enumerate(topics):
+        rows.append((i * 4 + 0, good[0].format(t), 1))
+        rows.append((i * 4 + 1, good[1].format(t), 1))
+        rows.append((i * 4 + 2, bad[0].format(t), 0))
+        rows.append((i * 4 + 3, bad[1].format(t), 0))
+    train = spark.createDataFrame(rows[:-4], "id long, text string, y int")
+    held = rows[-4:]  # last topic never seen in training
+
+    w, b, losses = train_classifier(
+        train, "text", "y", dim=512, iterations=40, learning_rate=20.0
+    )
+    assert losses[-1] < losses[0] * 0.5  # training actually converged
+    # held-out verdicts via the Python reference (== codegen inference)
+    for _id, text, y in held:
+        p = reference_probability(text, w, b)
+        assert (p >= 0.5) == bool(y), (text, p)
+    # and through the actual Spark filter surface
+    hdf = spark.createDataFrame(held, "id long, text string, y int")
+    kept = {r["id"] for r in hdf.filter(classifier_keep(F.col("text"), w, b)).collect()}
+    assert kept == {r[0] for r in held if r[2] == 1}
+
+
+def test_train_classifier_validation(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.functions.classify import (
+        train_classifier,
+    )
+
+    empty = spark.createDataFrame([], "text string, y int")
+    with pytest.raises(ValueError, match="empty"):
+        train_classifier(empty, "text", "y", dim=8, iterations=1)
+    df = spark.createDataFrame([("a", 1)], "text string, y int")
+    with pytest.raises(ValueError, match="dim"):
+        train_classifier(df, "text", "y", dim=0)
