@@ -887,3 +887,101 @@ def contamination_scores(
                    F.col("n_matched") / F.col("n_grams")).otherwise(F.lit(0.0)),
         )
     )
+
+
+def repeated_span_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 50,
+    min_docs: int = 2,
+    max_span_df: int | None = 10_000,
+) -> DataFrame:
+    """(id, pos) start positions of every length-``span`` token window
+    whose content recurs in at least ``min_docs`` DISTINCT documents — the
+    detection half of ExactSubstr deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": long
+    verbatim repeats are memorization fuel and train-test leak vectors
+    that document-level dedup misses).
+
+    Scale shape: each document emits (id, pos, md5-of-span) rows — the
+    shuffle carries ids + 32-hex hashes + ints, never text; span hashes
+    with fewer than ``min_docs`` distinct docs die in the first aggregate
+    (map-side partial via the per-doc DISTINCT). ``max_span_df`` drops
+    pathological stop-spans (a boilerplate span in millions of docs would
+    join back a row per occurrence); NULL disables the cap.
+    """
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        normalize_text,
+        tokenize,
+        word_ngrams,
+    )
+
+    if span < 1 or min_docs < 2:
+        raise ValueError("span must be >= 1 and min_docs >= 2")
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                word_ngrams(tokenize(normalize_text(F.col(text_col))), span),
+                F.md5,
+            )
+        ).alias("pos", "h"),
+    )
+    counts = (
+        grams.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("_d"))
+        .filter(F.col("_d") >= F.lit(int(min_docs)))
+    )
+    if max_span_df is not None:
+        counts = counts.filter(F.col("_d") <= F.lit(int(max_span_df)))
+    return grams.join(counts.select("h"), "h").select(id_col, "pos")
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 50,
+    min_docs: int = 2,
+    max_span_df: int | None = 10_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rewrite ``text_col`` (or append ``out_col``) with every token
+    covered by a cross-document repeated span removed — the removal half
+    of ExactSubstr dedup. Output text is whitespace-normalized (it is
+    rebuilt from the token stream), like the line-level
+    ``remove_boilerplate_lines`` normalizes line joins.
+
+    Scale shape: detection as in :func:`repeated_span_positions`; the
+    per-doc start positions collapse to ONE array row per affected doc
+    and left-join back (docs with no repeats pass through untouched);
+    the mask runs in array space — token ``i`` survives unless some start
+    ``p`` in the doc's list covers it (cost |positions| per token, bounded
+    by per-doc hits).
+    """
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+
+    out = out_col or text_col
+    hits = repeated_span_positions(
+        df, id_col, text_col, span=span, min_docs=min_docs, max_span_df=max_span_df
+    )
+    starts = hits.groupBy(id_col).agg(F.collect_set("pos").alias("_starts"))
+    joined = df.join(starts, id_col, "left")
+    toks = tokenize(normalize_text(F.col(text_col)))
+    kept = F.filter(
+        toks,
+        lambda t, i: F.coalesce(
+            ~F.exists(
+                F.col("_starts"),
+                lambda p: (p <= i) & (i < p + F.lit(int(span))),
+            ),
+            F.lit(True),  # no repeated spans in this doc
+        ),
+    )
+    return joined.withColumn(out, F.array_join(kept, " ")).drop("_starts")

@@ -434,3 +434,83 @@ def test_contamination_scores_exact_fractions(spark):
     assert got[2][2] == 0.0                  # clean doc
     assert 0.0 < got[1][2] < 1.0             # partial inclusion is graded
     assert got[4] == (0, 0, 0.0)             # sub-n-token doc
+
+
+def test_remove_repeated_spans_matches_python_reference(spark):
+    """ExactSubstr-style span removal: exact parity vs an independent
+    Python implementation, incl. overlap merging, untouched docs, and a
+    doc made entirely of a repeated span."""
+    from collections import defaultdict
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_span_positions,
+    )
+
+    span = 4
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens -> two 4-gram starts
+    rows = [
+        (1, "intro words " + shared + " closing remarks here"),
+        (2, "other doc leading text " + shared + " and a tail"),
+        (3, "a completely unrelated document about nothing shared"),
+        (4, shared),  # entirely covered
+    ]
+
+    def py_tokens(text):
+        import re
+
+        return re.sub(r"\s+", " ", text).strip().lower().split(" ")
+
+    gram_docs = defaultdict(set)
+    for i, t in rows:
+        toks = py_tokens(t)
+        for p in range(len(toks) - span + 1):
+            gram_docs[" ".join(toks[p : p + span])].add(i)
+    dup = {g for g, ids in gram_docs.items() if len(ids) >= 2}
+    expected = {}
+    exp_positions = defaultdict(set)
+    for i, t in rows:
+        toks = py_tokens(t)
+        covered = set()
+        for p in range(len(toks) - span + 1):
+            if " ".join(toks[p : p + span]) in dup:
+                covered.update(range(p, p + span))
+                exp_positions[i].add(p)
+        expected[i] = " ".join(
+            tok for j, tok in enumerate(toks) if j not in covered
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_pos = defaultdict(set)
+    for r in repeated_span_positions(df, "doc_id", "text", span=span).collect():
+        got_pos[r["doc_id"]].add(r["pos"])
+    assert got_pos == exp_positions
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(df, "doc_id", "text", span=span).collect()
+    }
+    assert got == expected
+    assert got[3] == " ".join(py_tokens(rows[2][1]))  # untouched
+    assert got[4] == ""                               # fully removed
+
+
+def test_repeated_span_df_cap_and_validation(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_span_positions,
+    )
+
+    rows = [(i, "the same exact line everywhere") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # df-cap: a span in all 5 docs is dropped when max_span_df < 5
+    capped = repeated_span_positions(
+        df, "doc_id", "text", span=3, max_span_df=4
+    )
+    assert capped.count() == 0
+    uncapped = remove_repeated_spans(
+        df, "doc_id", "text", span=3, max_span_df=None, out_col="clean"
+    )
+    assert all(r["clean"] == "" for r in uncapped.collect())
+    with pytest.raises(ValueError, match="span"):
+        repeated_span_positions(df, "doc_id", "text", span=0)
