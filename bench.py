@@ -114,6 +114,18 @@ def main() -> None:
     ).format("noop").save()
     timings["boilerplate_removal"] = round(time.perf_counter() - t0, 3)
 
+    # 1b) ExactSubstr repeated-span removal: (id,pos,hash) shuffle +
+    # array-space masking
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    t0 = time.perf_counter()
+    remove_repeated_spans(_docs, "doc_id", "text", span=8).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    timings["repeated_span_removal"] = round(time.perf_counter() - t0, 3)
+
     # 2) batch BM25: 32 eval queries answered in one corpus scan
     from sample_dms_kinesis_rds_mariadb_spark.operators.search import (
         bm25_batch_search,
