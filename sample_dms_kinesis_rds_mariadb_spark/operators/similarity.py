@@ -657,6 +657,7 @@ def semantic_dedup_pairs(
     centroids: list[list[float]] | None = None,
     sample_fraction: float = 1.0,
     materialize: bool = True,
+    list_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -685,7 +686,17 @@ def semantic_dedup_pairs(
     ``materialize`` is retained for API compatibility; the join-free shape
     consumes the assignment exactly once, so there is nothing to pin.
     """
-    if centroids is not None:
+    if list_col is not None:
+        # reuse a precomputed assignment (a pinned frame, or an IvfIndex's
+        # stored layout) — assignment is the expensive half when centroids
+        # number in the dozens, so callers that need the list id anyway
+        # should compute it once and pass it through
+        assigned = df.select(
+            F.col(id_col),
+            F.col(list_col).alias("ivf_list"),
+            to_double_array(F.col(vec_col)).alias("_v"),
+        )
+    elif centroids is not None:
         assigned = df.select(
             F.col(id_col),
             assign_to_centroids(F.col(vec_col), centroids).alias("ivf_list"),

@@ -849,18 +849,31 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = similarity.medoid_centroids(emb, _SEMDEDUP_MEDOID_IDS)
     # testdata embeddings land in ONE parquet split, which would serialize
     # the per-row assignment folds on a single task (widen_small_input
-    # no-ops on real many-split corpora)
+    # no-ops on real many-split corpora); assignment — the expensive half
+    # at 32 centroids — runs ONCE into a pinned frame that both the pair
+    # stage (list_col passthrough) and the output columns reuse
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import _pin
+
     wide = widen_small_input(emb)
-    survivors = similarity.semantic_dedup(
-        wide, threshold=_SEMDEDUP_THRESHOLD, centroids=cents
-    ).select("vec_id")
-    assigned = wide.select(
-        "vec_id",
-        similarity.assign_to_centroids(F.col("embedding"), cents)
-        .cast("int")
-        .alias("ivf_list"),
+    assigned = _pin(
+        wide.select(
+            "vec_id",
+            "embedding",
+            similarity.assign_to_centroids(F.col("embedding"), cents)
+            .cast("int")
+            .alias("ivf_list"),
+        ),
+        True,
     )
-    return survivors.join(assigned, "vec_id").orderBy("vec_id")
+    pairs = similarity.semantic_dedup_pairs(
+        assigned, threshold=_SEMDEDUP_THRESHOLD, list_col="ivf_list"
+    )
+    losers = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        assigned.join(losers, "vec_id", "left_anti")
+        .select("vec_id", "ivf_list")
+        .orderBy("vec_id")
+    )
 
 
 @register(
