@@ -94,8 +94,10 @@ def simhash16_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over DISTINCT tokens with md5-derived bit vectors —
     the cross-engine-verifiable variant (md5 hex → int is reproducible in
     any engine; see the DuckDB oracle of catalog query
-    ``simhash_fingerprints``). Same plan shape as ``simhash64``: explode →
-    16 conditional sums per doc → bit reassembly; one shuffle on doc id.
+    ``simhash_fingerprints``). Still the explode → 16 conditional sums →
+    bit-reassembly shape with one doc-id shuffle (simhash60/64 moved to
+    the no-shuffle array-space form; this narrow variant is not in a hot
+    path and keeps the historical formulation as its reference).
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
@@ -162,7 +164,11 @@ def simhash60_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda tk: F.conv(F.substring(F.md5(tk), 1, 15), 16, 10).cast("long"),
     )
     fp = _simhash_fp(hashes, [1 << b for b in range(60)])
-    return df.select(F.col(id_col), fp.alias("simhash60"))
+    # NULL text folds to a NULL fingerprint; the explode formulation
+    # emitted NO row for such docs — keep that output contract
+    return df.select(F.col(id_col), fp.alias("simhash60")).filter(
+        F.col("simhash60").isNotNull()
+    )
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -180,7 +186,10 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     masks = [1 << b for b in range(63)] + [-(1 << 63)]
     fp = _simhash_fp(hashes, masks)
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    # NULL text -> no row, matching the explode formulation (see simhash60)
+    return df.select(F.col(id_col), fp.alias("simhash")).filter(
+        F.col("simhash").isNotNull()
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -896,6 +896,7 @@ def repeated_span_positions(
     span: int = 50,
     min_docs: int = 2,
     max_span_df: int | None = 10_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id, pos) start positions of every length-``span`` token window
     whose content recurs in at least ``min_docs`` DISTINCT documents — the
@@ -919,14 +920,20 @@ def repeated_span_positions(
 
     if span < 1 or min_docs < 2:
         raise ValueError("span must be >= 1 and min_docs >= 2")
-    grams = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                word_ngrams(tokenize(normalize_text(F.col(text_col))), span),
-                F.md5,
-            )
-        ).alias("pos", "h"),
+    # pin: the counts aggregate and the join-back probe both consume this
+    # frame, and the tokenize + span-ngram + md5 expansion is the dominant
+    # cost — unpinned it evaluates once per consumer (the _pin rationale)
+    grams = _pin(
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    word_ngrams(tokenize(normalize_text(F.col(text_col))), span),
+                    F.md5,
+                )
+            ).alias("pos", "h"),
+        ),
+        materialize,
     )
     counts = (
         grams.select("h", id_col)
@@ -948,6 +955,7 @@ def remove_repeated_spans(
     min_docs: int = 2,
     max_span_df: int | None = 10_000,
     out_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Rewrite ``text_col`` (or append ``out_col``) with every token
     covered by a cross-document repeated span removed — the removal half
@@ -969,7 +977,13 @@ def remove_repeated_spans(
 
     out = out_col or text_col
     hits = repeated_span_positions(
-        df, id_col, text_col, span=span, min_docs=min_docs, max_span_df=max_span_df
+        df,
+        id_col,
+        text_col,
+        span=span,
+        min_docs=min_docs,
+        max_span_df=max_span_df,
+        materialize=materialize,
     )
     starts = hits.groupBy(id_col).agg(F.collect_set("pos").alias("_starts"))
     joined = df.join(starts, id_col, "left")

@@ -542,11 +542,15 @@ def cosine_self_join_topk(
 
     # the L2 norm folds ONCE per row inside the pinned frame, not per pair:
     # the pair similarity below is a single fold + divide with the exact
-    # float sequence cosine_similarity produces (dot/(sqrt(aa)*sqrt(bb)))
+    # float sequence cosine_similarity produces (dot/(sqrt(aa)*sqrt(bb))).
+    # The pin keeps ONLY the columns the join consumes — checkpointing the
+    # caller's full frame would persist the original vector column and all
+    # unrelated metadata alongside the float64 copy
     b = _pin(
         with_lsh_buckets(df, vec_col, n_planes, seed, dim=dim)
         .withColumn("_v", to_double_array(F.col(vec_col)))
-        .withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v")))),
+        .withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+        .select(id_col, "lsh_bucket", "_v", "_n"),
         materialize,
     )
     a = b.select(
@@ -606,12 +610,13 @@ def hard_negatives(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # per-row norm folded once in the pinned frame (see
+    # per-row norm folded once in the pinned, column-pruned frame (see
     # cosine_self_join_topk): pair cost drops to one fold + divide
     b = _pin(
         with_lsh_buckets(df, vec_col, n_planes, seed, dim=dim)
         .withColumn("_v", to_double_array(F.col(vec_col)))
-        .withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v")))),
+        .withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+        .select(id_col, label_col, "lsh_bucket", "_v", "_n"),
         materialize,
     )
     a = b.select(

@@ -1413,3 +1413,22 @@ def test_nearest_lists_expr_matches_driver_reference(vectors):
     raw = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in vectors.collect()}
     for vid, vec in raw.items():
         assert got[vid] == similarity._nearest_lists(cents, vec, 2), vid
+
+
+def test_simhash_null_text_emits_no_row(spark):
+    """NULL-text docs must emit NO fingerprint row (the explode-era output
+    contract the array-space rewrite preserves) — a NULL fingerprint row
+    would cluster every NULL-text doc as one 'duplicate' group downstream."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import (
+        simhash60_md5,
+        simhash64,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some real text here"), (2, None), (3, "other real words")],
+        "doc_id long, text string",
+    )
+    for fn, col in ((simhash60_md5, "simhash60"), (simhash64, "simhash")):
+        rows = fn(df, "doc_id", "text").collect()
+        assert sorted(r["doc_id"] for r in rows) == [1, 3]
+        assert all(r[col] is not None for r in rows)
