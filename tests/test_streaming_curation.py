@@ -1,0 +1,142 @@
+"""End-to-end STREAMING corpus curation: the full batch pipeline (quality
+gate -> benchmark decontamination -> incremental near-dup dedup) run as a
+foreachBatch stage over arriving files, asserted row-equal to the same
+stages applied batch-by-batch in arrival order — the streaming dual of
+examples/llm_data_pipeline.py's curation front half."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.functions.text import quality_columns
+from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+    MinHashIndex,
+    decontaminate,
+)
+from tests.test_streaming import await_finished
+
+SCHEMA = "doc_id long, text string"
+
+_BENCH_Q = (
+    "which river is the longest river in the world measured from source "
+    "to mouth exactly"
+)
+
+
+# distinct bodies (shared templates would make EVERYTHING a MinHash
+# near-dup); each >= 50 chars / >= 10 tokens so the quality gate passes
+_RIVERS = (
+    "broad rivers carve valleys and carry sediment downstream across "
+    "continents feeding floodplains deltas and the communities along them"
+)
+_GLACIERS = (
+    "slow glaciers grind bedrock into flour while storing ancient ice "
+    "that records centuries of climate in compressed seasonal layers"
+)
+_VOLCANOES = (
+    "explosive volcanoes build islands from repeated eruptions as magma "
+    "cools into basalt shields and steep layered stratocones over time"
+)
+_DESERTS = (
+    "arid deserts bloom briefly after rainfall when dormant seeds race "
+    "through germination flowering and seed set before the moisture ends"
+)
+
+
+def _batches():
+    b1 = [
+        (1, _RIVERS),
+        (2, "short junk"),                                # quality-fail
+        (3, _GLACIERS),
+    ]
+    b2 = [
+        (101, _RIVERS + " indeed"),                       # near-dup of 1
+        (102, "quiz answer " + _BENCH_Q + " plus trailing words filler"),  # contaminated
+        (103, _VOLCANOES),
+    ]
+    b3 = [
+        (201, _DESERTS),
+        (202, _GLACIERS + " truly"),                      # near-dup of 3
+    ]
+    return b1, b2, b3
+
+
+def _gate(df):
+    qc = quality_columns(F.col("text"))
+    return df.filter(qc["is_quality"])
+
+
+def test_streaming_curation_equals_sequential_batch(spark, tmp_path):
+    bench = spark.createDataFrame(
+        [(900, _BENCH_Q)], "bench_id long, btext string"
+    ).cache()
+    bench.count()
+
+    # ---- reference: the same stages applied batch-by-batch in order ----
+    ref_idx = MinHashIndex.build(
+        spark.createDataFrame([], SCHEMA),
+        str(tmp_path / "ref-idx"),
+        "doc_id",
+        "text",
+    )
+    expected: set[int] = set()
+    for rows in _batches():
+        df = spark.createDataFrame(rows, SCHEMA)
+        clean = decontaminate(
+            _gate(df), bench, "doc_id", "text",
+            bench_id_col="bench_id", bench_text_col="btext", n=13,
+        )
+        kept = ref_idx.dedup_batch(clean, "text")
+        expected |= {r["doc_id"] for r in kept.collect()}
+
+    # ---- streaming: identical stages inside foreachBatch ----
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(_batches()):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            f.write(
+                "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows)
+            )
+    idx = MinHashIndex.build(
+        spark.createDataFrame([], SCHEMA),
+        str(tmp_path / "stream-idx"),
+        "doc_id",
+        "text",
+    )
+
+    def _curate(batch_df, _bid):
+        clean = decontaminate(
+            _gate(batch_df), bench, "doc_id", "text",
+            bench_id_col="bench_id", bench_text_col="btext", n=13,
+        )
+        idx.dedup_batch(clean, "text").write.mode("append").parquet(corpus)
+
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(_curate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_finished(q)
+
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    # every gate did its job...
+    assert 2 not in got          # quality-failed
+    assert 102 not in got        # benchmark-contaminated
+    assert len(got & {1, 101}) == 1 and len(got & {3, 202}) == 1  # dedup
+    assert {103, 201} <= got     # clean singletons survive
+    # ...and the stream is row-equal to the sequential batch pipeline,
+    # up to micro-batch arrival order within near-dup families: file
+    # order is not name-deterministic, so compare family-collapsed sets
+    def collapse(s):
+        fam = {1: "A", 101: "A", 3: "B", 202: "B"}
+        return {fam.get(d, d) for d in s}
+
+    assert collapse(got) == collapse(expected)
