@@ -202,3 +202,57 @@ def profile_table(
         for i, c in enumerate(cols)
     ]
     return one.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def write_data_card(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    name: str | None = None,
+    extra: dict | None = None,
+    **describe_kwargs,
+) -> dict:
+    """Write a corpus DATA CARD — the JSON artifact a curation run ships
+    alongside its output so downstream consumers (and audits) see what
+    the corpus is without scanning it: size/token/char distributions,
+    quality share, estimated duplicate rate, and the language mix, all
+    from :func:`describe_corpus`'s two bounded jobs.
+
+    ``extra`` merges caller metadata verbatim (source description,
+    pipeline git rev, gate thresholds...). Returns the card dict and
+    writes it to ``path`` (driver-side — the card is a few KB; the
+    corpus itself never reaches the driver). Keyword args pass through
+    to :func:`describe_corpus`.
+    """
+    import json
+    import os
+
+    summary, lang_mix = describe_corpus(df, text_col, **describe_kwargs)
+    s = summary.first().asDict()
+    card = {
+        "name": name,
+        "n_docs": int(s["n_docs"]),
+        "n_null_text": int(s["n_null_text"]),
+        "n_tokens_total": int(s["n_tokens_total"] or 0),
+        "token_quantiles": [float(x) for x in (s["token_quantiles"] or [])],
+        "char_quantiles": [float(x) for x in (s["char_quantiles"] or [])],
+        "quality_share": float(s["quality_share"]),
+        "approx_distinct_docs": (
+            None
+            if s["approx_distinct_docs"] is None
+            else float(s["approx_distinct_docs"])
+        ),
+        "dup_rate_est": float(s["dup_rate_est"]),
+        "lang_mix": {
+            r["lang"]: {"n": int(r["n"]), "share": float(r["share"])}
+            for r in lang_mix.collect()
+        },
+    }
+    if extra:
+        card["extra"] = dict(extra)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(card, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)  # atomic: readers never see a torn card
+    return card

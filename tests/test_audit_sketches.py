@@ -276,3 +276,31 @@ def test_audited_filter_composes_in_one_plan(spark):
     assert f2.count() == 40
     assert funnel_report(o1) == [("input_rows", 100), ("after_low", 80)]
     assert funnel_report(o2) == [("input_rows", 80), ("after_even", 40)]
+
+
+def test_write_data_card_roundtrip(spark, tmp_path):
+    import json
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.profile import (
+        write_data_card,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away today"),
+        (2, "the quick brown fox jumps over the lazy dog and runs far away today"),
+        (3, None),
+        (4, "el rio mas largo la montana los valles y la costa del mar azul aqui"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "cards" / "corpus.json")
+    card = write_data_card(
+        df, path, name="unit-corpus", extra={"rev": "abc123"}
+    )
+    on_disk = json.load(open(path))
+    assert on_disk == card
+    assert card["name"] == "unit-corpus" and card["extra"] == {"rev": "abc123"}
+    assert card["n_docs"] == 4 and card["n_null_text"] == 1
+    assert card["dup_rate_est"] > 0         # the verbatim duplicate shows up
+    assert set(card["lang_mix"]) >= {"en", "es"}
+    assert 0.0 <= card["quality_share"] <= 1.0
+    assert len(card["token_quantiles"]) == 4
