@@ -347,6 +347,22 @@ def main() -> None:
         {k: round(v, 3) for k, v in sorted(w.items())},
         f"-> {mixed.count()} rows",
     )
+
+    # 10. ship the data card with the curated corpus — the JSON artifact
+    # downstream consumers read instead of scanning 100 TB
+    from sample_dms_kinesis_rds_mariadb_spark.operators.profile import (
+        write_data_card,
+    )
+
+    card_path = os.path.join(tempfile.gettempdir(), "llm-pipeline-card.json")
+    card = write_data_card(
+        mixed, card_path, name="demo-mixture", extra={"alpha": 0.3}
+    )
+    print(
+        f"data card -> {card_path}: {card['n_docs']} docs, "
+        f"quality {card['quality_share']:.1%}, "
+        f"dup est {card['dup_rate_est']:.2%}"
+    )
     print("done.")
 
 
