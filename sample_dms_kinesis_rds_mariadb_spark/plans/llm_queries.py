@@ -916,3 +916,106 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+_SPAN = 8  # testdata docs repeat 8-token templates across documents
+
+
+@register(
+    "repeated_span_positions",
+    "ExactSubstr detection (Lee et al. 2022): (doc_id, pos) of every "
+    "8-token window recurring in >= 2 distinct documents — shuffle carries "
+    "ids+md5+ints only. EXTRA: oracle-checked by the pytest parity harness "
+    "outside the 50-cap catalog",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(t[i:i+{_SPAN - 1}], ' ')) AS h
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, GREATEST(len(t) - {_SPAN} + 1, 0))) AS i
+          )
+        ),
+        dup AS (
+          SELECT h FROM (
+            SELECT h, COUNT(DISTINCT doc_id) AS d FROM grams GROUP BY h
+          ) WHERE d >= 2 AND d <= 10000
+        )
+        SELECT g.doc_id, CAST(g.pos AS INT) AS pos
+        FROM grams g JOIN dup USING (h)
+        ORDER BY g.doc_id, pos
+    """,
+    tags=("dedup",),
+    extra=True,
+)
+def q_repeated_span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen_small_input(load_table(spark, sf_dir, "documents"))
+    return (
+        dedup.repeated_span_positions(docs, "doc_id", "text", span=_SPAN)
+        .select("doc_id", F.col("pos").cast("int").alias("pos"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "contamination_scores",
+    "Graded benchmark contamination: per-doc fraction of distinct 13-grams "
+    "found anywhere in the benchmark (docs 0-4 stand in as the eval set). "
+    "EXTRA: oracle-checked by the pytest parity harness outside the 50-cap "
+    "catalog",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS t
+          FROM documents
+        ),
+        gr AS (
+          SELECT doc_id, md5(array_to_string(t[i:i+12], ' ')) AS h
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, GREATEST(len(t) - 12, 0))) AS i
+          )
+        ),
+        gset AS (SELECT DISTINCT doc_id, h FROM gr),
+        totals AS (
+          SELECT doc_id, CAST(COUNT(*) AS INT) AS n_grams
+          FROM gset GROUP BY doc_id
+        ),
+        bench AS (SELECT DISTINCT h FROM gset WHERE doc_id < 5),
+        matched AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+          FROM gset JOIN bench USING (h) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(t.n_grams, 0) AS INT) AS n_grams,
+               CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+               CASE WHEN COALESCE(t.n_grams, 0) > 0
+                    THEN CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / t.n_grams
+                    ELSE 0.0 END AS score
+        FROM documents d
+        LEFT JOIN totals t USING (doc_id)
+        LEFT JOIN matched m USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    tags=("dedup", "text"),
+    extra=True,
+)
+def q_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen_small_input(load_table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    return (
+        dedup.contamination_scores(
+            docs, bench, "doc_id", "text",
+            bench_id_col="bid", bench_text_col="btext", n=13,
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            "score",
+        )
+        .orderBy("doc_id")
+    )
