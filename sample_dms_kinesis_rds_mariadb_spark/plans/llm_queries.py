@@ -1019,3 +1019,80 @@ def q_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _lsh_knn_join_oracle_sql(n_planes: int = 8, k: int = 5) -> str:
+    """DuckDB oracle for the batched LSH kNN join: both sides bucket with
+    the same inlined hyperplanes (bit-identical fold dots — the proven
+    `_lsh_oracle_sql` machinery), probes expand to their bucket + hamming-1
+    neighbors, and a pair can meet in at most one bucket, so the SQL needs
+    no dedup either."""
+    multiprobe = "\n          ".join(
+        f"UNION ALL SELECT probe_id, p, xor(b, {1 << i}) AS b FROM probes"
+        for i in range(n_planes)
+    )
+    return f"""
+        WITH bucketed AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 {_bucket_expr_sql(n_planes)} AS bucket
+          FROM embeddings
+        ),
+        probes AS (
+          SELECT vec_id AS probe_id, v AS p, bucket AS b
+          FROM bucketed WHERE vec_id < 5
+        ),
+        expanded AS (
+          SELECT probe_id, p, b FROM probes
+          {multiprobe}
+        ),
+        scored AS (
+          SELECT e.probe_id, c.vec_id,
+                 list_inner_product(c.v, e.p)
+                 / (sqrt(list_inner_product(c.v, c.v))
+                    * sqrt(list_inner_product(e.p, e.p))) AS sim
+          FROM bucketed c JOIN expanded e ON c.bucket = e.b
+          WHERE c.vec_id >= 5
+        )
+        SELECT probe_id, vec_id,
+               CAST(CAST(ROUND(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cosine_sim,
+               CAST(rn AS INT) AS rank
+        FROM (
+          SELECT probe_id, vec_id, sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY probe_id ORDER BY sim DESC, vec_id
+                 ) AS rn
+          FROM scored
+        ) WHERE rn <= {k}
+        ORDER BY probe_id, rank
+    """
+
+
+@register(
+    "lsh_knn_join",
+    "Batched approximate kNN join: probes expand to their sign-LSH bucket "
+    "+ hamming-1 neighbors, scoring only inside the bucket equi-join — the "
+    "scale form of the exact kNN join. EXTRA: oracle-checked by the pytest "
+    "parity harness outside the 50-cap catalog (hyperplanes inlined as SQL "
+    "literals, bucket membership bit-identical)",
+    oracle=_lsh_knn_join_oracle_sql(),
+    tags=("similarity", "join"),
+    extra=True,
+)
+def q_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    out = similarity.lsh_knn_join(
+        corpus, probes, k=5, n_planes=8, seed=42, multiprobe=True, dim=64
+    )
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round(F.col("cosine_sim"), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("cosine_sim"),
+        "rank",
+    ).orderBy("probe_id", "rank")
