@@ -1096,3 +1096,88 @@ def q_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cosine_sim"),
         "rank",
     ).orderBy("probe_id", "rank")
+
+
+def _ivf_knn_join_oracle_sql(
+    medoid_ids: list[int], n_probe: int = 2, k: int = 5
+) -> str:
+    """DuckDB oracle for the batched IVF kNN join: seed-medoid assignment
+    (bit-identical d2 folds, ties to lowest cid — the `_ivf_oracle_sql`
+    machinery), per-probe nearest-list expansion via the same ranking, and
+    scoring only where the corpus row's list is among the probe's lists."""
+    values = ", ".join(f"({cid}, {mid})" for cid, mid in enumerate(medoid_ids))
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+          SELECT m.cid, v.v AS c
+          FROM (VALUES {values}) AS m(cid, mid)
+          JOIN v ON v.vec_id = m.mid
+        ),
+        ranked AS (
+          SELECT v.vec_id, v.v, c.cid,
+                 row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_inner_product(v.v, v.v)
+                            - 2 * list_inner_product(v.v, c.c)
+                            + list_inner_product(c.c, c.c),
+                            c.cid
+                 ) AS rn
+          FROM v CROSS JOIN cents c
+        ),
+        assigned AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
+        plists AS (
+          SELECT vec_id AS probe_id, v AS p, cid
+          FROM ranked WHERE vec_id < 5 AND rn <= {n_probe}
+        ),
+        scored AS (
+          SELECT e.probe_id, a.vec_id,
+                 list_inner_product(a.v, e.p)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(e.p, e.p))) AS sim
+          FROM assigned a JOIN plists e ON a.cid = e.cid
+          WHERE a.vec_id >= 5
+        )
+        SELECT probe_id, vec_id,
+               CAST(CAST(ROUND(sim, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cosine_sim,
+               CAST(rn AS INT) AS rank
+        FROM (
+          SELECT probe_id, vec_id, sim,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY probe_id ORDER BY sim DESC, vec_id
+                 ) AS rn
+          FROM scored
+        ) WHERE rn <= {k}
+        ORDER BY probe_id, rank
+    """
+
+
+@register(
+    "ivf_knn_join",
+    "Batched approximate kNN join over LEARNED partitions: corpus assigned "
+    "to nearest seed-medoid lists, probes expand to their 2 nearest lists "
+    "— the IVF dual of lsh_knn_join, completing the batch-ANN oracle trio. "
+    "EXTRA: oracle-checked by the pytest parity harness outside the 50-cap "
+    "catalog",
+    oracle=_ivf_knn_join_oracle_sql(_IVF_MEDOID_IDS),
+    tags=("similarity", "join"),
+    extra=True,
+)
+def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.medoid_centroids(emb, _IVF_MEDOID_IDS)
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    out = similarity.ivf_knn_join(corpus, probes, cents, k=5, n_probe=2)
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round(F.col("cosine_sim"), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("cosine_sim"),
+        "rank",
+    ).orderBy("probe_id", "rank")
