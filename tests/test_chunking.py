@@ -514,3 +514,51 @@ def test_repeated_span_df_cap_and_validation(spark):
     assert all(r["clean"] == "" for r in uncapped.collect())
     with pytest.raises(ValueError, match="span"):
         repeated_span_positions(df, "doc_id", "text", span=0)
+
+
+def test_remove_repeated_spans_randomized_parity(spark):
+    """Randomized corpus (small alphabet forces organic cross-doc span
+    collisions) vs the independent Python reference — one Spark job."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(0xC0FFEE)
+    vocab = [f"w{i}" for i in range(12)]
+    span = 5
+    rows = []
+    for d in range(40):
+        n = rng.randint(3, 30)  # some docs shorter than the span
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant one guaranteed repeat across two docs
+    planted = " ".join(vocab[:span])
+    rows[5] = (5, rows[5][1] + " " + planted)
+    rows[17] = (17, planted + " " + rows[17][1])
+
+    gram_docs = defaultdict(set)
+    for i, t in rows:
+        toks = t.split(" ")
+        for p in range(len(toks) - span + 1):
+            gram_docs[" ".join(toks[p : p + span])].add(i)
+    dup = {g for g, ids in gram_docs.items() if len(ids) >= 2}
+    expected = {}
+    for i, t in rows:
+        toks = t.split(" ")
+        covered = set()
+        for p in range(len(toks) - span + 1):
+            if " ".join(toks[p : p + span]) in dup:
+                covered.update(range(p, p + span))
+        expected[i] = " ".join(
+            tok for j, tok in enumerate(toks) if j not in covered
+        )
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(df, "doc_id", "text", span=span).collect()
+    }
+    assert got == expected
+    assert any(got[i] != t for i, t in rows)  # something was actually removed
