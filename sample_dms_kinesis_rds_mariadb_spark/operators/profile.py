@@ -250,9 +250,21 @@ def write_data_card(
     }
     if extra:
         card["extra"] = dict(extra)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(card, f, indent=2, sort_keys=True)
-    os.replace(tmp, path)  # atomic: readers never see a torn card
+    import tempfile
+
+    out_dir = os.path.dirname(path) or "."
+    os.makedirs(out_dir, exist_ok=True)
+    # unique tmp per writer (a FIXED tmp name would let a concurrent writer
+    # truncate it mid-dump and publish torn bytes), then atomic rename
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".card.tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(card, f, indent=2, sort_keys=True)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return card

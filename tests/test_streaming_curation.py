@@ -74,6 +74,13 @@ def test_streaming_curation_equals_sequential_batch(spark, tmp_path):
         [(900, _BENCH_Q)], "bench_id long, btext string"
     ).cache()
     bench.count()
+    try:
+        _run_curation(spark, tmp_path, bench)
+    finally:
+        bench.unpersist()  # keep the suite-shared session cache-leak-free
+
+
+def _run_curation(spark, tmp_path, bench):
 
     # ---- reference: the same stages applied batch-by-batch in order ----
     ref_idx = MinHashIndex.build(
