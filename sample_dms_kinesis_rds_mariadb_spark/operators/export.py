@@ -25,13 +25,20 @@ from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import _hash_bucket
 MANIFEST_FILE = "_manifest.json"
 
 
-def _has_parquet_files(path: str) -> bool:
+_FORMATS = {"parquet": ".parquet", "jsonl": ".json"}
+
+
+def _has_data_files(path: str, ext: str = ".parquet") -> bool:
     """True when the written layout holds any data file (an all-filtered-out
     input writes only _SUCCESS — a valid empty corpus, not a read error)."""
     return any(
-        f.endswith(".parquet")
-        for _root, _dirs, files in os.walk(path)
-        for f in files
+        f.endswith(ext) for _root, _dirs, files in os.walk(path) for f in files
+    )
+
+
+def _read_shards(spark, path: str, fmt: str):
+    return (
+        spark.read.json(path) if fmt == "jsonl" else spark.read.parquet(path)
     )
 
 
@@ -51,9 +58,14 @@ def write_training_shards(
     n_shards: int = 64,
     salt: str = "shard",
     shuffle_seed: int | None = None,
+    format: str = "parquet",
 ) -> dict:
-    """Write ``df`` as ``path/shard=K/*.parquet`` with stable membership,
-    one output file per shard (what data loaders expect), and a manifest.
+    """Write ``df`` as ``path/shard=K/*`` with stable membership, one
+    output file per shard (what data loaders expect), and a manifest.
+    ``format``: ``parquet`` (columnar, the analytical default) or
+    ``jsonl`` (one JSON object per line — what most training loaders and
+    text-pipeline tools ingest directly); same layout, manifest, and
+    verification either way.
 
     Returns the manifest dict: total rows plus per-shard row counts. The
     repartition targets one file per shard — at 100 TB pick ``n_shards``
@@ -68,6 +80,8 @@ def write_training_shards(
     no extra exchange; different seeds give independent epoch orders
     while shard MEMBERSHIP (and so the manifest) stays identical.
     """
+    if format not in _FORMATS:
+        raise ValueError(f"format must be one of {sorted(_FORMATS)}, got {format!r}")
     sharded = shard_column(df, key_col, n_shards, salt=salt)
     order_col = (
         _hash_bucket(F.col(key_col), f"epoch{shuffle_seed}")
@@ -82,7 +96,8 @@ def write_training_shards(
         .sortWithinPartitions("shard", order_col, key_col)
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
+        .format("json" if format == "jsonl" else "parquet")
+        .save(path)
     )
     # count from the files actually written, not by re-evaluating the lazy
     # input plan — a non-deterministic source (unseeded sampling, files
@@ -91,11 +106,11 @@ def write_training_shards(
     # writes no data files (just _SUCCESS); that is a valid empty corpus,
     # not a schema-inference error.
     spark = df.sparkSession
-    has_files = _has_parquet_files(path)
+    has_files = _has_data_files(path, _FORMATS[format])
     counts = (
         {
             int(r["shard"]): r["n"]
-            for r in spark.read.parquet(path)
+            for r in _read_shards(spark, path, format)
             .groupBy("shard")
             .agg(F.count("*").alias("n"))
             .collect()
@@ -108,6 +123,7 @@ def write_training_shards(
         "key_col": key_col,
         "salt": salt,
         "shuffle_seed": shuffle_seed,
+        "format": format,
         "total_rows": int(sum(counts.values())),
         "shard_rows": {str(k): int(v) for k, v in sorted(counts.items())},
     }
@@ -121,11 +137,12 @@ def verify_shards(spark, path: str) -> bool:
     integrity check). Raises on mismatch, returns True when clean."""
     with open(os.path.join(path, MANIFEST_FILE)) as f:
         manifest = json.load(f)
-    has_files = _has_parquet_files(path)
+    fmt = manifest.get("format", "parquet")  # pre-format manifests: parquet
+    has_files = _has_data_files(path, _FORMATS[fmt])
     got = (
         {
             str(r["shard"]): r["n"]
-            for r in spark.read.parquet(path)
+            for r in _read_shards(spark, path, fmt)
             .groupBy("shard")
             .agg(F.count("*").alias("n"))
             .collect()
@@ -242,7 +259,7 @@ def write_budget_shards(
         .parquet(path)
     )
     spark = df.sparkSession
-    has_files = _has_parquet_files(path)
+    has_files = _has_data_files(path)
     stats = (
         {
             int(r["shard"]): (r["n"], r["tok"])
