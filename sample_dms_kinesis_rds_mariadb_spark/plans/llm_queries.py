@@ -535,7 +535,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def q_dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_small_input(load_table(spark, sf_dir, "documents"))
     pairs = dedup.minhash_lsh_candidate_pairs(docs, "doc_id", "text")
     sets = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
