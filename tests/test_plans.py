@@ -173,3 +173,17 @@ def test_widen_small_input(spark, tmp_path):
     # in-memory frames (no file listing) are treated as small
     mem = spark.range(10)
     assert widen_small_input(mem, min_splits=2).rdd.getNumPartitions() == 2
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """The SemDeDup catalog query must stay join-free in its pair stage:
+    no nested-loop/cartesian anywhere, no Python workers, and the only
+    joins are the id-keyed anti/inner joins of the keeper stage."""
+    from sample_dms_kinesis_rds_mariadb_spark.plans.queries import QUERIES
+
+    df = QUERIES["semantic_dedup"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
