@@ -241,3 +241,106 @@ def split_column(
     return df.withColumn(
         "split", F.when(bucket < cut, F.lit("heldout")).otherwise(F.lit("train"))
     )
+
+
+def temperature_rates(
+    sizes: dict[str, float],
+    alpha: float = 0.3,
+    max_rate: float | None = None,
+) -> dict[str, float]:
+    """Temperature sampling RATES that may exceed 1 — the up-sampling form
+    of :func:`temperature_weights`: the LARGEST corpus keeps rate 1.0
+    (every row, once) and smaller corpora get rates > 1, i.e. fractional
+    EPOCH counts (the "N epochs of Wikipedia" recipe real mixtures use,
+    rather than throwing away large-corpus rows to fix the ratios).
+
+    ``max_rate`` caps repetition (over-repeating a tiny corpus degrades
+    models before it balances them); capped corpora fall below their
+    temperature share — deliberately visible, not silently renormalized.
+    Feed the result to :func:`mix_corpora_epochs`.
+    """
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    if max_rate is not None and max_rate < 1.0:
+        raise ValueError(f"max_rate must be >= 1, got {max_rate}")
+    for k, v in sizes.items():
+        if v <= 0:
+            raise ValueError(f"size for {k!r} must be > 0, got {v}")
+    total = sum(sizes.values())
+    desired = {k: (v / total) ** alpha for k, v in sizes.items()}
+    dtotal = sum(desired.values())
+    raw = {k: (desired[k] / dtotal) / (sizes[k] / total) for k in sizes}
+    biggest = max(sizes, key=lambda k: (sizes[k], k))
+    scale = raw[biggest]
+    rates = {k: r / scale for k, r in raw.items()}
+    if max_rate is not None:
+        rates = {k: min(r, float(max_rate)) for k, r in rates.items()}
+    return rates
+
+
+def replicate_fraction(
+    df: DataFrame,
+    key_col: str,
+    times: float,
+    epoch_col: str = "epoch",
+    salt: str = "epoch",
+) -> DataFrame:
+    """``times`` deterministic copies of ``df`` — ``floor(times)`` full
+    epochs plus an md5-sampled fraction of one more — with ``epoch_col``
+    tagging which repetition each row belongs to (loaders shuffle epochs
+    independently; dedup-by-key consumers can drop it).
+
+    The fractional epoch uses the same stateless hash-bucket rule as
+    :func:`hash_sample`, so membership is reproducible across runs and
+    engines. ``times <= 1`` degenerates to a plain deterministic sample
+    (one partial epoch). A narrow union of filters — no shuffle.
+    """
+    if times < 0:
+        raise ValueError(f"times must be >= 0, got {times}")
+    if epoch_col in df.columns:
+        raise ValueError(f"column collision: input already has '{epoch_col}'")
+    k = int(times)
+    frac = times - k
+    parts = [
+        df.withColumn(epoch_col, F.lit(i).cast("int")) for i in range(k)
+    ]
+    if frac > 0:
+        parts.append(
+            hash_sample(df, key_col, frac, salt=f"{salt}#{k}").withColumn(
+                epoch_col, F.lit(k).cast("int")
+            )
+        )
+    if not parts:
+        return df.filter(F.lit(False)).withColumn(
+            epoch_col, F.lit(0).cast("int")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mix_corpora_epochs(
+    corpora: list[tuple[DataFrame, float]],
+    key_col: str,
+    epoch_col: str = "epoch",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted mixture where rates may EXCEED 1: each corpus contributes
+    ``rate`` epochs of itself (full copies + a deterministic fractional
+    epoch via :func:`replicate_fraction`), unioned by name. The
+    up-sampling dual of :func:`mix_corpora` — pair with
+    :func:`temperature_rates`. Output carries ``epoch_col``; expected
+    rows = Σ rate_i × |corpus_i|.
+    """
+    if not corpora:
+        raise ValueError("mix_corpora_epochs needs at least one corpus")
+    out: DataFrame | None = None
+    for i, (df, rate) in enumerate(corpora):
+        part = replicate_fraction(
+            df, key_col, rate, epoch_col=epoch_col, salt=f"{salt}#{i}"
+        )
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+    return out

@@ -1432,3 +1432,64 @@ def test_simhash_null_text_emits_no_row(spark):
         rows = fn(df, "doc_id", "text").collect()
         assert sorted(r["doc_id"] for r in rows) == [1, 3]
         assert all(r[col] is not None for r in rows)
+
+
+def test_temperature_rates_upsample_math():
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
+        temperature_rates,
+    )
+
+    sizes = {"big": 900.0, "small": 100.0}
+    r1 = temperature_rates(sizes, alpha=1.0)
+    assert r1 == {"big": 1.0, "small": pytest.approx(1.0)}
+    r0 = temperature_rates(sizes, alpha=0.0)
+    assert r0["big"] == pytest.approx(1.0)
+    assert r0["small"] == pytest.approx(9.0)  # equalized -> 9 epochs
+    r = temperature_rates(sizes, alpha=0.3)
+    got_ratio = (sizes["big"] * r["big"]) / (sizes["small"] * r["small"])
+    assert got_ratio == pytest.approx((900.0 / 100.0) ** 0.3)
+    capped = temperature_rates(sizes, alpha=0.0, max_rate=4.0)
+    assert capped["small"] == 4.0 and capped["big"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="max_rate"):
+        temperature_rates(sizes, max_rate=0.5)
+
+
+def test_replicate_fraction_and_epoch_mixture(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
+        hash_sample,
+        mix_corpora_epochs,
+        replicate_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    rep = replicate_fraction(df, "doc_id", 2.5, salt="t")
+    rows = rep.collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], set()).add(r["doc_id"])
+    # two full epochs, identical membership
+    assert by_epoch[0] == by_epoch[1] == {i for i in range(400)}
+    # fractional epoch: the deterministic hash_sample subset, ~50%
+    frac = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.5, salt="t#2").collect()}
+    assert by_epoch[2] == frac
+    assert 120 <= len(frac) <= 280
+    # determinism
+    again = replicate_fraction(df, "doc_id", 2.5, salt="t").collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in rows) == sorted(
+        (r["doc_id"], r["epoch"]) for r in again
+    )
+    # times <= 1 degenerates to a plain sample; times == 0 -> empty
+    assert replicate_fraction(df, "doc_id", 0.0, salt="t").count() == 0
+    one = replicate_fraction(df, "doc_id", 1.0, salt="t")
+    assert one.count() == 400 and one.select("epoch").distinct().count() == 1
+    with pytest.raises(ValueError, match="collision"):
+        replicate_fraction(rep, "doc_id", 1.0)
+
+    small = spark.createDataFrame(
+        [(1000 + i, f"rare {i}") for i in range(50)], "doc_id long, text string"
+    )
+    mixed = mix_corpora_epochs([(df, 1.0), (small, 3.0)], key_col="doc_id")
+    assert mixed.count() == 400 + 150
+    assert mixed.filter(F.col("doc_id") >= 1000).count() == 150
