@@ -300,3 +300,53 @@ def test_lm_bits_strictly_positive_for_nonempty(toks):
         assert bits > 0.0
     else:
         assert bits == 0.0
+
+
+_sizes = st.dictionaries(
+    st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6),
+    st.floats(min_value=1.0, max_value=1e9, allow_nan=False),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_sizes, st.floats(min_value=0.0, max_value=1.0))
+def test_temperature_weights_properties(sizes, alpha):
+    """For ANY corpus sizes and temperature: weights stay in (0, 1], the
+    binding corpus keeps exactly 1.0, and expected-row ratios follow
+    size^alpha (the defining temperature property)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    w = temperature_weights(sizes, alpha=alpha)
+    assert set(w) == set(sizes)
+    assert all(0.0 < v <= 1.0 + 1e-12 for v in w.values())
+    assert max(w.values()) == pytest.approx(1.0)
+    names = sorted(sizes)
+    a0 = names[0]
+    for b in names[1:]:
+        got = (sizes[a0] * w[a0]) / (sizes[b] * w[b])
+        want = (sizes[a0] / sizes[b]) ** alpha
+        assert got == pytest.approx(want, rel=1e-9)
+
+
+@given(_sizes, st.floats(min_value=0.0, max_value=1.0))
+def test_temperature_rates_properties(sizes, alpha):
+    """Rates: every rate >= ~ the smallest, the LARGEST corpus sits at
+    exactly 1.0, rates are >= 1 - eps for all (never under-represent),
+    and expected-row ratios follow size^alpha."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
+        temperature_rates,
+    )
+
+    r = temperature_rates(sizes, alpha=alpha)
+    biggest = max(sizes, key=lambda k: (sizes[k], k))
+    assert r[biggest] == pytest.approx(1.0)
+    assert all(v >= 1.0 - 1e-9 for v in r.values())
+    names = sorted(sizes)
+    a0 = names[0]
+    for b in names[1:]:
+        got = (sizes[a0] * r[a0]) / (sizes[b] * r[b])
+        want = (sizes[a0] / sizes[b]) ** alpha
+        assert got == pytest.approx(want, rel=1e-9)
