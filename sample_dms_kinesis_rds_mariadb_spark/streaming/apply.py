@@ -371,23 +371,42 @@ class TableMaterializer:
                 ),
             )
         )
-        w = Window.partitionBy("_pk").orderBy(F.col("seq").desc())
-        last = changes.withColumn("_rn", F.row_number().over(w)).filter(
+        # per-KEY action model: each event acts on its after-image key
+        # (upsert/delete at seq), and — when the before-image names a
+        # DIFFERENT key (pk-changing update, or a delete whose after image
+        # is null) — ALSO as a delete of that old key at the same seq. The
+        # last action per key by seq then decides. Partitioning the window
+        # on the after-image pk alone is wrong twice over: a same-batch
+        # insert of key k survives its own pk-changing update away from k
+        # (the two events sit in different partitions), and a null-data
+        # delete's partition is NULL so it never outranks k's earlier
+        # events — both resurrect rows the source no longer has.
+        after_actions = changes.filter(F.col("_pk").isNotNull()).select(
+            F.col("_pk").alias("_k"), "seq", "op", "data"
+        )
+        before_actions = (
+            changes.filter(
+                F.col("_before_pk").isNotNull()
+                & (F.col("_pk").isNull() | (F.col("_before_pk") != F.col("_pk")))
+            )
+            .select(
+                F.col("_before_pk").alias("_k"),
+                "seq",
+                F.lit("delete").alias("op"),
+                "data",
+            )
+        )
+        actions = after_actions.unionByName(before_actions)
+        w = Window.partitionBy("_k").orderBy(F.col("seq").desc())
+        last = actions.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") == 1
         )
         survivors = last.filter(F.col("op") != "delete").select(
             *tdef.typed_projection("data")
         )
-        # removal set: every after-image pk in the batch ∪ every
-        # before-image pk (catches pk-changing updates whose old row
-        # would otherwise survive as a stale duplicate)
+        # removal set: every key any action touched
         keys = (
-            changes.select(F.col("_pk").alias("k"))
-            .unionByName(
-                changes.filter(F.col("_before_pk").isNotNull()).select(
-                    F.col("_before_pk").alias("k")
-                )
-            )
+            actions.select(F.col("_k").alias("k"))
             .distinct()
             .select(F.col("k").cast(pk_type).alias(pk))
         )

@@ -214,3 +214,59 @@ def test_reapplying_same_batch_is_idempotent(spark, mat):
     assert (3, "renamed", 99) in {(r[0], r[1], r[2]) for r in twice}
     ids = {r[0] for r in twice}
     assert 200 in ids and 7 not in ids and len(twice) == 100
+
+
+def test_same_batch_pk_change_does_not_resurrect_old_key(spark, mat):
+    """insert(id=200) then a pk-changing update 200→201 in ONE batch: only
+    id=201 may survive — the after-image-partitioned window used to let
+    both rows through (the superseded insert sat in its own partition)."""
+    batch = _batch(
+        spark,
+        [
+            (1001, "insert", {"id": "200", "name": "n", "v": "1"}, None),
+            (
+                1002,
+                "update",
+                {"id": "201", "name": "n", "v": "2"},
+                {"id": "200", "name": "n", "v": "1"},
+            ),
+        ],
+    )
+    assert mat.apply_change_batch(batch) == []
+    rows = {r["id"]: r["v"] for r in mat.table("testdb", "items").collect()}
+    assert 200 not in rows
+    assert rows[201] == 2
+
+
+def test_null_data_delete_supersedes_same_batch_insert(spark, mat):
+    """A MINIMAL-image delete (null after image, key only in before) must
+    delete the key even when the same batch inserted it — the null _pk
+    partition used to never outrank the insert's partition."""
+    batch = _batch(
+        spark,
+        [
+            (1101, "insert", {"id": "300", "name": "x", "v": "5"}, None),
+            (1102, "delete", None, {"id": "300", "name": "x", "v": "5"}),
+        ],
+    )
+    assert mat.apply_change_batch(batch) == []
+    ids = {r["id"] for r in mat.table("testdb", "items").collect()}
+    assert 300 not in ids
+
+
+def test_same_batch_pk_chain_collapses(spark, mat):
+    """A chain 400→401→402 in one batch leaves exactly the final key."""
+    batch = _batch(
+        spark,
+        [
+            (1201, "insert", {"id": "400", "name": "c", "v": "1"}, None),
+            (1202, "update", {"id": "401", "name": "c", "v": "2"},
+             {"id": "400", "name": "c", "v": "1"}),
+            (1203, "update", {"id": "402", "name": "c", "v": "3"},
+             {"id": "401", "name": "c", "v": "2"}),
+        ],
+    )
+    assert mat.apply_change_batch(batch) == []
+    rows = {r["id"]: r["v"] for r in mat.table("testdb", "items").collect()}
+    assert 400 not in rows and 401 not in rows
+    assert rows[402] == 3
