@@ -99,7 +99,9 @@ class ReplicationEngine:
         self.tasks[task_id].stop()
 
     def task_status(self, task_id: str) -> str:
-        return self.tasks[task_id].status
+        t = self.tasks[task_id]
+        t._refresh_status()  # a dead query must not report running forever
+        return t.status
 
     def wait_for_task_status(
         self, task_id: str, status: str, retries: int = 240, sleep: float = 0.5

@@ -97,6 +97,7 @@ class ReplicationTask:
         self._thread: threading.Thread | None = None
         self._query = None
         self._lock = threading.Lock()
+        self._stop_requested = threading.Event()
 
     # -- lifecycle ----------------------------------------------------------
     def start(self) -> None:
@@ -105,6 +106,7 @@ class ReplicationTask:
             if self.status in (STARTING, RUNNING):
                 raise RuntimeError(f"task {self.spec.task_id} already {self.status}")
             self.status = STARTING
+            self._stop_requested.clear()
         if self.spec.migration_type == "full-load":
             self._thread = threading.Thread(target=self._run_full_load, daemon=True)
             self._thread.start()
@@ -114,6 +116,13 @@ class ReplicationTask:
             )
             self._thread.start()
         else:
+            # cross-process restart of a pure-CDC task: the on-disk bucket
+            # manifest must be reloaded BEFORE the stream resumes, or the
+            # first apply merges onto empty state and its manifest save
+            # erases every other table's versions (restore() no-ops when
+            # state is live or no manifest exists)
+            if self.materializer is not None:
+                self.materializer.restore()
             self._start_cdc()
 
     def stop(self) -> None:
@@ -121,6 +130,12 @@ class ReplicationTask:
         micro-batches first (processAllAvailable) so stop() never truncates a
         committed change mid-apply — matches DMS's stop-after-commit
         semantics."""
+        # signal first: a full-load(-and-cdc) thread that has not started
+        # its CDC query yet must NOT start it after we return — without the
+        # flag, stop() during the snapshot phase was a silent no-op race
+        # (status flipped to stopped, then the thread set it back to
+        # running and left an unstoppable query behind)
+        self._stop_requested.set()
         if self._query is not None:
             try:
                 self._query.processAllAvailable()
@@ -136,6 +151,7 @@ class ReplicationTask:
     def wait_for_status(self, status: str, retries: int = 240, sleep: float = 0.5) -> None:
         """Poll-with-retry-budget (reference run.py:154-165, budgets :23-24)."""
         for _ in range(retries):
+            self._refresh_status()
             if self.status == status:
                 return
             if self.status == FAILED:
@@ -242,6 +258,9 @@ class ReplicationTask:
                 os.makedirs(os.path.dirname(pos_file), exist_ok=True)
                 with open(pos_file, "w") as f:
                     f.write(str(position))
+            if self._stop_requested.is_set():
+                self.status = STOPPED  # stop() arrived during the snapshot
+                return
             self._start_cdc(after_seq=position)
         except Exception:
             self.error = traceback.format_exc()
@@ -267,12 +286,13 @@ class ReplicationTask:
             # binlog-position handoff (full-load-and-cdc): pre-snapshot
             # changes are already reflected in the loaded state
             stream = stream.filter(F.col("seq") > after_seq)
-        pk_by_table = self._pk_lookup()
-
         def process(batch_df, epoch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             batch_df = batch_df.persist()
+            # fresh per batch (cheap driver dict): a table registered after
+            # task start routes by its real pk instead of falling back
+            pk_by_table = self._pk_lookup()
             env = encode_change_batch(batch_df, self.spec.settings, pk_by_table).persist()
             try:
                 # effects-before-visibility: registry evolution and table
@@ -280,11 +300,11 @@ class ReplicationTask:
                 # stream, so a consumer that has seen an event can rely on
                 # its side effects being queryable (consume-then-query is
                 # race-free)
-                self._apply_ddl(batch_df)
+                excs = self._apply_ddl(batch_df)
                 if self.materializer is not None:
-                    excs = self.materializer.apply_change_batch(batch_df)
-                    if excs:
-                        self._record_apply_exceptions(excs)
+                    excs += self._apply_changes_around_drops(batch_df)
+                if excs:
+                    self._record_apply_exceptions(excs)
                 self.store.append_envelopes(env)
                 self.stats.record_batch(self.spec.task_id, env)
             finally:
@@ -299,11 +319,68 @@ class ReplicationTask:
         )
         self.status = RUNNING
 
+    def _refresh_status(self) -> None:
+        """Reconcile ``status`` with the streaming query's liveness: a query
+        killed by an executor/driver exception would otherwise leave the
+        task claiming ``running`` forever (stop() nulls ``_query`` before
+        setting stopped, so a clean stop never reaches this path)."""
+        q = self._query
+        if q is None or self.status != RUNNING:
+            return
+        try:
+            if q.isActive:
+                return
+            exc = q.exception()
+        except Exception:
+            return
+        if exc is not None:
+            self.error = str(exc)
+            self.status = FAILED
+        else:
+            self.status = STOPPED
+
+    def _apply_changes_around_drops(self, batch_df) -> list[dict]:
+        """Apply data changes and drop-table truncations in COMMIT (seq)
+        order: a drop truncates only the changes that precede it, and
+        changes after the drop (a re-created table) land on the truncated
+        state. Drop-free batches — the overwhelming case — apply in one
+        call. Truncating before ALL data changes regardless of seq (the
+        previous shape) resurrected pre-drop inserts onto a table the
+        source had emptied."""
+        drops = (
+            batch_df.filter(F.col("op") == "drop-table")
+            .select("schema", "table", "seq")
+            .orderBy("seq")
+            .collect()
+        )
+        if not drops:
+            return self.materializer.apply_change_batch(batch_df)
+        excs: list[dict] = []
+        prev = None
+        for d in drops:
+            seg = batch_df.filter(
+                (F.col("seq") <= d["seq"])
+                if prev is None
+                else ((F.col("seq") > prev) & (F.col("seq") <= d["seq"]))
+            )
+            excs += self.materializer.apply_change_batch(seg)
+            if self.materializer.exists(d["schema"], d["table"]):
+                self.materializer.truncate(d["schema"], d["table"])
+            prev = d["seq"]
+        excs += self.materializer.apply_change_batch(
+            batch_df.filter(F.col("seq") > prev)
+        )
+        return excs
+
     def _pk_lookup(self) -> dict[tuple[str, str], str]:
-        out = {}
-        for (s, t), tdef in getattr(self.registry, "_tables", {}).items():
-            out[(s, t)] = tdef.primary_key
-        return out
+        # snapshot under the registry's own lock: concurrent register()
+        # from another task/thread must not blow up the dict iteration
+        lock = getattr(self.registry, "_lock", None)
+        tables = getattr(self.registry, "_tables", {})
+        if lock is not None:
+            with lock:
+                return {k: td.primary_key for k, td in tables.items()}
+        return {k: td.primary_key for k, td in tables.items()}
 
     def _emit_exceptions_bootstrap(self) -> None:
         """Exception-table bootstrap control event at CDC task start (T7):
@@ -364,32 +441,37 @@ class ReplicationTask:
         ]
         self.materializer.append_rows(self.default_schema, EXCEPTIONS_TABLE, rows)
 
-    def _apply_ddl(self, batch_df) -> None:
+    def _apply_ddl(self, batch_df) -> list[dict]:
         """Registry-side schema evolution (T5); bounded collect — DDL events
-        are rare control records, never row-volume."""
+        are rare control records, never row-volume. Per-statement fault
+        isolation, like data applies: a malformed/unknown-table DDL lands
+        in the exceptions table instead of killing the streaming query
+        (drop-table truncation happens seq-interleaved with data changes —
+        see :meth:`_apply_changes_around_drops`)."""
         ddls = (
             batch_df.filter(F.col("op") == "alter-table")
             .select("schema", "table", "ddl.*", "seq")
             .orderBy("seq")
             .collect()
         )
+        excs: list[dict] = []
         for r in ddls:
-            self.registry.apply_ddl(
-                r["schema"],
-                r["table"],
-                action=r["action"],
-                column=r["column"],
-                new_type=r["type"],
-                default=r["default"],
-            )
-        drops = (
-            batch_df.filter(F.col("op") == "drop-table")
-            .select("schema", "table")
-            .distinct()
-            .collect()
-        )
-        for r in drops:
-            if self.materializer is not None and self.materializer.exists(
-                r["schema"], r["table"]
-            ):
-                self.materializer.truncate(r["schema"], r["table"])
+            try:
+                self.registry.apply_ddl(
+                    r["schema"],
+                    r["table"],
+                    action=r["action"],
+                    column=r["column"],
+                    new_type=r["type"],
+                    default=r["default"],
+                )
+            except Exception as exc:  # noqa: BLE001 — isolate per statement
+                excs.append(
+                    {
+                        "schema_name": r["schema"],
+                        "table_name": r["table"],
+                        "statement": f"alter-table {r['action']} {r['column']}",
+                        "error": f"{type(exc).__name__}: {exc}",
+                    }
+                )
+        return excs
