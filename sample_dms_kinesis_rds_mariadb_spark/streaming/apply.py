@@ -153,7 +153,13 @@ class TableMaterializer:
         return out
 
     def register_view(self, schema: str, table: str) -> None:
-        self.table(schema, table).createOrReplaceTempView(table)
+        """Register BOTH a schema-qualified view (``{schema}_{table}`` —
+        temp views are single-part names) and the bare table name. With two
+        schemas holding the same table name, the bare view is last-writer-
+        wins; the qualified views stay unambiguous."""
+        df = self.table(schema, table)
+        df.createOrReplaceTempView(f"{schema}_{table}")
+        df.createOrReplaceTempView(table)
 
     # -- write ---------------------------------------------------------------
     def _publish(

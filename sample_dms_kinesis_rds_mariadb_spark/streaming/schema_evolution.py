@@ -26,6 +26,14 @@ from pyspark.sql import types as T
 _MARIADB_TYPES: list[tuple[str, T.DataType]] = [
     ("tinyint unsigned", T.ShortType()),
     ("tinyint(1)", T.BooleanType()),
+    # unsigned integers widen one level: the same-width signed type would
+    # overflow-to-NULL for values past the signed max (silent corruption);
+    # bigint unsigned exceeds every integral Spark type, so exact decimal
+    ("smallint unsigned", T.IntegerType()),
+    ("mediumint unsigned", T.IntegerType()),
+    ("int unsigned", T.LongType()),
+    ("integer unsigned", T.LongType()),
+    ("bigint unsigned", T.DecimalType(20, 0)),
     ("tinyint", T.ByteType()),
     ("smallint", T.ShortType()),
     ("bigint", T.LongType()),
@@ -48,6 +56,11 @@ _MARIADB_TYPES: list[tuple[str, T.DataType]] = [
 
 def mariadb_type_to_spark(type_str: str) -> T.DataType:
     s = type_str.strip().lower()
+    if "unsigned" in s and "(" in s and s.index("(") < s.index("unsigned"):
+        # MariaDB DESCRIBE renders e.g. "int(10) unsigned" — drop the
+        # display width so the "<base> unsigned" prefixes above match
+        s = (s[: s.index("(")] + s[s.index(")") + 1 :]).strip()
+        s = " ".join(s.split())
     if s.startswith("decimal"):
         if "(" in s:
             inner = s[s.index("(") + 1 : s.index(")")]

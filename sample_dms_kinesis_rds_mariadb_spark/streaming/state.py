@@ -138,7 +138,15 @@ def enrich_before_images(
     """
     if ttl_ms <= 0:
         raise ValueError(f"ttl_ms must be > 0, got {ttl_ms}")
-    prepared = feed_df.select(
+    ddl_t = "struct<action:string,column:string,type:string,default:string>"
+    data_ops = ("insert", "update", "delete", "load")
+    # ONLY data ops go through the stateful operator; control records
+    # (alter-table/drop-table/create-table...) bypass it UNTOUCHED — the
+    # fixed Arrow output schema has no ddl column, so routing them through
+    # used to null out every DDL payload in the enriched feed, breaking
+    # any downstream schema-evolution stage
+    rest = feed_df.filter(~F.col("op").isin(*data_ops))
+    prepared = feed_df.filter(F.col("op").isin(*data_ops)).select(
         "seq",
         "schema",
         "table",
@@ -157,7 +165,7 @@ def enrich_before_images(
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
     map_t = "map<string,string>"
-    return enriched.select(
+    out = enriched.select(
         "seq",
         "schema",
         "table",
@@ -166,12 +174,20 @@ def enrich_before_images(
         "commit_ts",
         F.from_json(F.col("data_json"), map_t).alias("data"),
         F.from_json(F.col("before_json"), map_t).alias("before"),
-        F.lit(None)
-        .cast(
-            "struct<action:string,column:string,type:string,default:string>"
-        )
-        .alias("ddl"),
+        F.lit(None).cast(ddl_t).alias("ddl"),
     )
+    passthrough = rest.select(
+        "seq",
+        "schema",
+        "table",
+        "op",
+        "txn_id",
+        "commit_ts",
+        F.col("data").cast(map_t).alias("data"),
+        F.col("before").cast(map_t).alias("before"),
+        F.col("ddl").cast(ddl_t).alias("ddl"),
+    )
+    return out.unionByName(passthrough)
 
 
 def enrich_before_images_batch(feed_df: DataFrame, pk_expr) -> DataFrame:

@@ -270,3 +270,22 @@ def test_same_batch_pk_chain_collapses(spark, mat):
     rows = {r["id"]: r["v"] for r in mat.table("testdb", "items").collect()}
     assert 400 not in rows and 401 not in rows
     assert rows[402] == 3
+
+
+def test_schema_qualified_views(spark, tmp_path):
+    """Two schemas holding the same table name: the qualified views stay
+    distinct (the bare view is last-writer-wins by documented rule)."""
+    registry = TableRegistry()
+    a = spark.createDataFrame([(1, "from-db1")], "id LONG, v STRING")
+    b = spark.createDataFrame([(2, "from-db2")], "id LONG, v STRING")
+    registry.register_from_df("db1", "orders", a, primary_key="id")
+    registry.register_from_df("db2", "orders", b, primary_key="id")
+    m = TableMaterializer(spark, registry, str(tmp_path / "st"), n_buckets=2)
+    m.overwrite("db1", "orders", a)
+    m.overwrite("db2", "orders", b)
+    m.register_view("db1", "orders")
+    m.register_view("db2", "orders")
+    assert spark.sql("SELECT v FROM db1_orders").collect()[0]["v"] == "from-db1"
+    assert spark.sql("SELECT v FROM db2_orders").collect()[0]["v"] == "from-db2"
+    # bare name resolves to the most recently registered schema
+    assert spark.sql("SELECT v FROM orders").collect()[0]["v"] == "from-db2"

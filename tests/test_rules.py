@@ -47,3 +47,25 @@ def test_underscore_wildcard():
     assert not like_match("a%", "novels")
     # literal regex chars must not leak through
     assert not like_match("a.c", "abc")
+
+
+def test_unsigned_integer_types_widen():
+    """Unsigned MariaDB integers widen one level (same-width signed would
+    overflow past the signed max and cast to NULL — silent corruption);
+    display widths like 'int(10) unsigned' normalize away first."""
+    from pyspark.sql import types as T
+
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import (
+        mariadb_type_to_spark,
+    )
+
+    assert mariadb_type_to_spark("smallint unsigned") == T.IntegerType()
+    assert mariadb_type_to_spark("int unsigned") == T.LongType()
+    assert mariadb_type_to_spark("integer unsigned") == T.LongType()
+    assert mariadb_type_to_spark("int(10) unsigned") == T.LongType()
+    assert mariadb_type_to_spark("bigint(20) unsigned") == T.DecimalType(20, 0)
+    assert mariadb_type_to_spark("tinyint unsigned") == T.ShortType()
+    # signed forms unchanged
+    assert mariadb_type_to_spark("int") == T.IntegerType()
+    assert mariadb_type_to_spark("bigint") == T.LongType()
+    assert mariadb_type_to_spark("tinyint(1)") == T.BooleanType()

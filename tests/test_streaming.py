@@ -783,3 +783,70 @@ def test_stream_interval_join_validation(spark, tmp_path):
     collide = spark.createDataFrame([], "k LONG, ts2 TIMESTAMP, v LONG")
     with pytest.raises(ValueError, match="collision"):
         stream_interval_join(df, collide, "k", left_ts="ts", right_ts="ts2")
+
+
+def test_enrichment_passes_ddl_events_through(spark, tmp_path):
+    """Control records must survive the before-image enrichment UNTOUCHED:
+    the stateful operator's fixed Arrow schema has no ddl column, so an
+    alter-table routed through it used to come out with ddl=NULL —
+    destroying the payload any downstream schema-evolution stage needs."""
+    changes = [
+        {
+            "seq": 1,
+            "schema": "db",
+            "table": "t",
+            "op": "insert",
+            "txn_id": "t1",
+            "commit_ts": "2024-01-01T00:00:01",
+            "data": {"id": "1", "v": "a"},
+        },
+        {
+            "seq": 2,
+            "schema": "db",
+            "table": "t",
+            "op": "alter-table",
+            "commit_ts": "2024-01-01T00:00:02",
+            "ddl": {
+                "action": "add-column",
+                "column": "extra",
+                "type": "varchar(10)",
+                "default": "x",
+            },
+        },
+        {
+            "seq": 3,
+            "schema": "db",
+            "table": "t",
+            "op": "update",
+            "txn_id": "t3",
+            "commit_ts": "2024-01-01T00:00:03",
+            "data": {"id": "1", "v": "b"},
+        },
+    ]
+    feed_path = str(tmp_path / "feed")
+    _write_feed(feed_path, changes)
+    stream = spark.readStream.schema(FEED_SCHEMA).json(feed_path)
+    enriched = enrich_before_images(stream, F.element_at(F.col("data"), "id"))
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ddl_passthrough_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_memory_sink(spark, q, "ddl_passthrough_sink", 3)
+    rows = {
+        r["seq"]: r.asDict(recursive=True)
+        for r in spark.sql("SELECT * FROM ddl_passthrough_sink").collect()
+    }
+    assert len(rows) == 3
+    ddl = rows[2]["ddl"]
+    assert ddl == {
+        "action": "add-column",
+        "column": "extra",
+        "type": "varchar(10)",
+        "default": "x",
+    }
+    # and the data ops still enriched normally around it
+    assert rows[3]["before"] == {"id": "1", "v": "a"}
