@@ -45,13 +45,9 @@ def conform(df: DataFrame, tdef: TableDef) -> DataFrame:
         if f.name in df.columns:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
-            d = tdef.defaults.get(f.name)
-            if d is None:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-            elif d.strip().lower() == "current_timestamp":
-                cols.append(F.current_timestamp().cast(f.dataType).alias(f.name))
-            else:
-                cols.append(F.lit(d).cast(f.dataType).alias(f.name))
+            # shared default interpretation (TableDef.default_column): the
+            # map-transport and stored-parquet paths must fill identically
+            cols.append(tdef.default_column(f.name, f.dataType).alias(f.name))
     return df.select(*cols)
 
 

@@ -83,6 +83,20 @@ class TableDef:
     # column (DEFAULT TRUE / CURRENT_TIMESTAMP — lib/query.py:8,30,31,50,65)
     defaults: dict[str, str] = field(default_factory=dict)
 
+    def default_column(self, name: str, dtype) -> Column:
+        """The typed default expression for a column — THE single
+        interpretation of stored default strings (``current_timestamp``
+        special-cased, everything else a cast literal; NULL when no
+        default). Both the map-transport projection below and the stored-
+        parquet conform path (streaming/apply.py) use this, so a new
+        default kind lands in one place."""
+        d = self.defaults.get(name)
+        if d is None:
+            return F.lit(None).cast(dtype)
+        if d.strip().lower() == "current_timestamp":
+            return F.current_timestamp().cast(dtype)
+        return F.lit(d).cast(dtype)
+
     def typed_projection(self, data_col: str = "data") -> list[Column]:
         """Project a MAP<STRING,STRING> transport column into typed columns,
         applying column defaults for absent keys (SURVEY §2.9 C6)."""
@@ -90,12 +104,7 @@ class TableDef:
         for f in self.struct.fields:
             c = F.col(data_col).getItem(f.name).cast(f.dataType)
             if f.name in self.defaults:
-                d = self.defaults[f.name].strip().lower()
-                if d == "current_timestamp":
-                    dcol = F.current_timestamp().cast(f.dataType)
-                else:
-                    dcol = F.lit(self.defaults[f.name]).cast(f.dataType)
-                c = F.coalesce(c, dcol)
+                c = F.coalesce(c, self.default_column(f.name, f.dataType))
             cols.append(c.alias(f.name))
         return cols
 
