@@ -45,6 +45,9 @@ class ReplicationEngine:
             spark, self.registry, os.path.join(workdir, "tables")
         )
         self._feeds: dict[str, ChangeFeed] = {}
+        # (materializer.state_version, registry.version) behind the
+        # currently registered SQL views — see query()
+        self._views_version: tuple[int, int] | None = None
 
         for ep in spec.endpoints:
             if ep.engine in ("parquet", "memory", "jdbc"):
@@ -182,6 +185,11 @@ class ReplicationEngine:
 
         tdef = self.registry.get(schema_name, table_name)
         pk = tdef.primary_key
+        if pk is None:
+            raise ValueError(
+                f"{schema_name}.{table_name} has no primary key; validation "
+                "compares rows BY KEY — register the table with primary_key"
+            )
         src = self.catalog.load(endpoint, schema_name, table_name)
         tgt = self.materializer.table(schema_name, table_name)
 
@@ -231,16 +239,23 @@ class ReplicationEngine:
 
     # -- query surface (S4; SURVEY §7 M5) ---------------------------------------
     def refresh_views(self) -> None:
-        for schema_name, table_name in list(
-            getattr(self.registry, "_tables", {}).keys()
-        ):
+        for schema_name, table_name in self.registry.tables():
             if self.materializer.exists(schema_name, table_name):
                 self.materializer.register_view(schema_name, table_name)
 
     def query(self, sql: str) -> DataFrame:
         """Ad-hoc SQL over replicated/materialized tables — the analog of
-        ``get_query_result`` (run.py:115-137), generalized to full Spark SQL."""
-        self.refresh_views()
+        ``get_query_result`` (run.py:115-137), generalized to full Spark SQL.
+
+        View registration is VERSIONED: views rebuild only when the
+        materializer published/truncated/restored state or the registry's
+        schemas changed since the last query — the common repeated-query
+        case skips the O(tables × buckets) plan reconstruction entirely.
+        """
+        version = (self.materializer.state_version, self.registry.version)
+        if version != self._views_version:
+            self.refresh_views()
+            self._views_version = version
         return self.spark.sql(sql)
 
     def query_result(self, sql: str) -> list[dict]:

@@ -156,7 +156,22 @@ def encode_data_events(
     """
     if operation not in DATA_OPERATIONS:
         raise ValueError(f"not a data operation: {operation!r}")
-    data_cols = [c for c in df.columns if c not in ("before", "_txn_id", "_commit_ts")]
+    # exclude the CDC-attached transport columns from the data map — but
+    # "before" only when it IS the attached image (struct/map typed): a
+    # USER column named before is real data and must ship. The
+    # underscore-prefixed _txn_id/_commit_ts stay reserved transport names
+    # (the CDC encoder owns that namespace).
+    def _is_attached(name: str) -> bool:
+        if name not in df.columns:
+            return False
+        if name == "before":
+            return isinstance(
+                df.schema[name].dataType, (T.StructType, T.MapType)
+            )
+        return True
+
+    attached = {c for c in ("before", "_txn_id", "_commit_ts") if _is_attached(c)}
+    data_cols = [c for c in df.columns if c not in attached]
     binary_cols = {
         f.name for f in df.schema.fields if isinstance(f.dataType, T.BinaryType)
     }
@@ -169,7 +184,17 @@ def encode_data_events(
 
     if before_columns:
         if settings.before_image_type == "pk-only":
-            before_columns = before_columns[:1]
+            # select the PK by NAME when known — truncating to the first
+            # listed column silently picked whatever the caller happened to
+            # order first, losing the key the pk-only image exists to carry
+            if pk_column is not None:
+                pk_before = f"before.{pk_column}"
+                before_columns = [
+                    c for c in before_columns
+                    if c == pk_before or c.split(".", 1)[-1] == pk_column
+                ] or before_columns[:1]
+            else:
+                before_columns = before_columns[:1]
         before_map = _row_as_map(
             before_columns, prefix="before", binary_columns=binary_cols
         )

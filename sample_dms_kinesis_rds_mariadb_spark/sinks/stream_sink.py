@@ -97,12 +97,30 @@ class StreamStore:
         # A fresh store over an existing record log (cross-process restart)
         # must continue the per-shard sequence, not reissue from 0. Recovery
         # is one bounded groupBy over the log, deferred until the first
-        # operation that actually needs the counters.
-        self._offsets_recovered = not self._has_data()
+        # operation that actually needs the counters. The persisted sequence
+        # floor (written at trim time) must ALSO trigger recovery: a store
+        # whose every record file was retention-trimmed has no data files,
+        # but reissuing from 0 would hand out duplicate sequence numbers
+        # and strand AFTER_SEQUENCE_NUMBER checkpoints.
+        self._offsets_recovered = not self._has_data() and not os.path.exists(
+            self._seq_floor_path
+        )
 
     @property
     def _records_path(self) -> str:
         return os.path.join(self.path, "records")
+
+    @property
+    def _seq_floor_path(self) -> str:
+        return os.path.join(self.path, "_seq_floor.json")
+
+    def _save_seq_floor_locked(self) -> None:
+        import json as _json
+
+        tmp = self._seq_floor_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({str(k): v for k, v in self._next_seq.items()}, f)
+        os.replace(tmp, self._seq_floor_path)
 
     def _has_data(self) -> bool:
         return any(f.endswith(".parquet") for f in os.listdir(self._records_path))
@@ -125,6 +143,18 @@ class StreamStore:
         if self._offsets_recovered:
             return
         self._offsets_recovered = True
+        if os.path.exists(self._seq_floor_path):
+            import json as _json
+
+            try:
+                with open(self._seq_floor_path) as f:
+                    floor = _json.load(f)
+                for k, v in floor.items():
+                    self._next_seq[int(k)] = max(
+                        self._next_seq.get(int(k), 0), int(v)
+                    )
+            except (ValueError, OSError):
+                pass  # corrupt floor: the record-log scan below still rules
         if not self._has_data():
             return
         rows = (
@@ -258,7 +288,17 @@ class StreamStore:
             df = df.filter(F.col("shard_id") == shard_id)
         if from_seq is not None:
             df = df.filter(F.col("sequence_number") >= from_seq)
-        return df.orderBy("shard_id", "sequence_number")
+        # ARRIVAL order across shards (ties -> shard, then sequence): the
+        # old (shard_id, sequence_number) order returned ALL of shard 0 —
+        # oldest first — before any shard-1 record, so a limited consume on
+        # a multi-shard store could return stale shard-0 history while
+        # newer-but-earlier-arriving records on other shards were omitted,
+        # contradicting the documented arrival-order contract. Per-shard
+        # sequence order is preserved (a shard's arrival ts is
+        # non-decreasing in sequence; ties fall through to sequence).
+        return df.orderBy(
+            "approximate_arrival_ts", "shard_id", "sequence_number"
+        )
 
     def trim_expired(self, now: datetime | None = None) -> int:
         """Physically delete record files whose every row is past retention —
@@ -275,6 +315,9 @@ class StreamStore:
         arrival_idx = WIRE_COLUMNS.index("approximate_arrival_ts")
         removed = 0
         with self._lock:
+            # load the counters from the log WHILE its files still exist —
+            # the persisted floor below is only as good as what we read here
+            self._recover_offsets()
             for name in os.listdir(self._records_path):
                 if not name.endswith(".parquet"):
                     continue
@@ -303,6 +346,12 @@ class StreamStore:
                 if file_max < horizon:
                     os.remove(fpath)
                     removed += 1
+            if removed:
+                # counters were recovered above while the files still
+                # existed; persist them so a LATER process opening a fully
+                # trimmed (file-less) store continues the sequence instead
+                # of reissuing from 0
+                self._save_seq_floor_locked()
         return removed
 
     def compact(self, min_files: int = 8) -> int:

@@ -132,15 +132,28 @@ class ChangeFeed:
             lines = []
             for c in changes:
                 c = dict(c)
-                self._seq += 1
-                c.setdefault("seq", self._seq)
+                if "seq" in c and c["seq"] is not None:
+                    # keep the auto counter ahead of explicit seqs: a later
+                    # auto-assigned seq BELOW a caller-supplied one would
+                    # let the stale explicit event outrank newer changes in
+                    # the applier's last-writer-per-key window
+                    self._seq = max(self._seq, int(c["seq"]))
+                else:
+                    self._seq += 1
+                    c["seq"] = self._seq
                 lines.append(json.dumps(c))
             tmp = os.path.join(self.path, f".tmp-{self._file_no}.json")
             final = os.path.join(self.path, f"changes-{self._file_no:06d}.json")
             self._file_no += 1
-        with open(tmp, "w") as f:
-            f.write("\n".join(lines) + "\n")
-        os.rename(tmp, final)
+            # write + rename stay UNDER the lock: releasing it first let a
+            # concurrent producer publish a HIGHER-numbered (later-seq) file
+            # before this one became visible, so the streaming file source
+            # delivered newer changes in an earlier micro-batch and the
+            # stale batch overwrote state (cross-batch, where the per-key
+            # window can't see the newer seq)
+            with open(tmp, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            os.rename(tmp, final)
 
     # -- consumers ----------------------------------------------------------
     def read_stream(self, rules: list[SelectionRule] | None = None) -> DataFrame:

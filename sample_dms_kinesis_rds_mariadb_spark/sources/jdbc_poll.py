@@ -273,6 +273,18 @@ class JdbcPollingCapture:
                 for c, fp in delivered
                 if c is not None and c >= new_floor
             )
+        elif delivered:
+            # no orderable cursor value observed yet (every row's cursor is
+            # NULL): there is no floor to hide rows behind, so EVERY such
+            # row stays permanently inside the re-read window — remember
+            # their fingerprints or each poll re-collects and re-delivers
+            # the whole table forever. The window set is table-sized in
+            # this degenerate all-NULL phase (normally it is lookback-
+            # bounded); it collapses back to the window once a real cursor
+            # value appears.
+            self._window_fps = self._window_fps | frozenset(
+                fp for _c, fp in delivered
+            )
         if changes:
             feed.append_changes(changes)
         self._started = True

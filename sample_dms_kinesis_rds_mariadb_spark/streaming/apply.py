@@ -84,6 +84,9 @@ class TableMaterializer:
         self._buckets: dict[tuple[str, str], dict[int, tuple[int, bool]]] = {}
         # retired version dirs awaiting vacuum: [(path, retired_at_monotonic)]
         self._retired: list[tuple[str, float]] = []
+        # bumped on every state mutation (publish/restore); consumers cache
+        # view registrations against it
+        self.state_version = 0
         self._lock = threading.Lock()
         os.makedirs(path, exist_ok=True)
 
@@ -198,6 +201,7 @@ class TableMaterializer:
                             (os.path.join(bdir, f"v{old_v:06d}"), now)
                         )
                 self._save_manifest_locked()
+                self.state_version += 1
                 self._vacuum_locked(now)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
@@ -242,6 +246,7 @@ class TableMaterializer:
                 for key, vers in data.items()
             }
             restored = sorted(self._buckets)
+            self.state_version += 1
         for s, t in restored:
             try:
                 self.register_view(s, t)

@@ -115,10 +115,20 @@ class TableRegistry:
     def __init__(self) -> None:
         self._tables: dict[tuple[str, str], TableDef] = {}
         self._lock = threading.Lock()
+        # bumped on every mutation — consumers (engine view registration)
+        # cache against it instead of rebuilding on every read
+        self.version = 0
+
+    def tables(self) -> list[tuple[str, str]]:
+        """Registered (schema, table) pairs — the public listing (callers
+        must not reach into ``_tables``)."""
+        with self._lock:
+            return sorted(self._tables)
 
     def register(self, tdef: TableDef) -> None:
         with self._lock:
             self._tables[(tdef.schema_name, tdef.table_name)] = tdef
+            self.version += 1
 
     def register_from_df(
         self,
@@ -145,6 +155,7 @@ class TableRegistry:
     def drop(self, schema_name: str, table_name: str) -> None:
         with self._lock:
             self._tables.pop((schema_name, table_name), None)
+            self.version += 1
 
     def describe(self, schema_name: str, table_name: str) -> list[dict]:
         """DESCRIBE-equivalent rows (SURVEY §2.1 S6; tests/test_infra.py:270-282)."""
@@ -198,4 +209,5 @@ class TableRegistry:
             else:
                 raise ValueError(f"unknown DDL action: {action!r}")
             tdef.struct = T.StructType(fields)
+            self.version += 1
             return tdef

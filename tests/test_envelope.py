@@ -172,3 +172,49 @@ def test_json_roundtrip_adversarial_strings(spark):
     }
     for i, s in enumerate(nasty):
         assert got[i] == s, f"row {i} corrupted: {got[i]!r} != {s!r}"
+
+
+def test_user_column_named_before_ships_in_data(spark):
+    """A source table whose OWN column is literally named 'before' (plain
+    string, not the CDC-attached image struct) must keep it in the data
+    map — the unconditional exclusion silently truncated such rows."""
+    from sample_dms_kinesis_rds_mariadb_spark.envelope import encode_data_events
+    from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSettings
+
+    df = spark.createDataFrame(
+        [(1, "prior-value")], "id LONG, before STRING"
+    )
+    env = encode_data_events(
+        df, "db", "t", "load", TaskSettings(), pk_column="id"
+    ).collect()
+    assert env[0]["data"]["before"] == "prior-value"
+
+
+def test_pk_only_before_image_selects_pk_by_name(spark):
+    """pk-only before images must carry the PRIMARY KEY whatever the
+    caller's before_columns ordering (the old [:1] truncation kept the
+    first listed column instead)."""
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.envelope import encode_data_events
+    from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSettings
+
+    df = spark.createDataFrame(
+        [(2, "new-name")], "id LONG, name STRING"
+    ).select(
+        "id",
+        "name",
+        F.struct(
+            F.lit("old-name").alias("name"), F.col("id").alias("id")
+        ).alias("before"),  # pk listed SECOND
+    )
+    env = encode_data_events(
+        df,
+        "db",
+        "t",
+        "update",
+        TaskSettings(before_image=True, before_image_type="pk-only"),
+        before_columns=["name", "id"],  # pk listed SECOND
+        pk_column="id",
+    ).collect()
+    assert env[0]["before-image"] == {"id": "2"}

@@ -278,3 +278,38 @@ def test_hwm_never_regresses_when_max_row_vanishes(spark, tmp_path):
     assert cap.pump(feed) == 0  # mark must NOT regress to 1...
     assert cap.pump(feed) == 0  # ...which would re-deliver rows 1 and 2
     assert cap._hwm == 10
+
+
+def test_all_null_cursor_snapshot_does_not_redeliver(spark, tmp_path):
+    """A table whose cursor column is NULL in every row: the initial
+    snapshot captures it once; subsequent polls must deliver NOTHING (the
+    missing high-water mark used to re-collect and re-deliver the whole
+    table as updates on every poll), and a row that later GAINS a cursor
+    value resumes normal incremental capture."""
+    db = str(tmp_path / "nulldb")
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log")
+    )
+    conn = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{db};create=true"
+    )
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE accounts (id INT PRIMARY KEY, balance INT, version INT)"
+    )
+    st.executeUpdate("INSERT INTO accounts VALUES (1, 100, NULL), (2, 200, NULL)")
+    st.close()
+    cap = _capture(spark, db)
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+
+    assert cap.pump(feed) == 2      # snapshot: both NULL-cursor rows, once
+    assert cap.pump(feed) == 0      # NOT the whole table again
+    assert cap.pump(feed) == 0
+
+    # a real cursor value appears: normal incremental capture resumes
+    st = conn.createStatement()
+    st.executeUpdate("UPDATE accounts SET balance = 150, version = 1 WHERE id = 1")
+    st.close()
+    assert cap.pump(feed) == 1
+    assert cap.pump(feed) == 0

@@ -850,3 +850,50 @@ def test_enrichment_passes_ddl_events_through(spark, tmp_path):
     }
     # and the data ops still enriched normally around it
     assert rows[3]["before"] == {"id": "1", "v": "a"}
+
+
+def test_changefeed_explicit_seq_advances_counter(spark, tmp_path):
+    """Caller-supplied seq values must pull the auto counter forward: a
+    later auto-assigned seq BELOW an explicit one would let the stale
+    explicit event outrank newer changes in last-writer-per-key applies."""
+    from sample_dms_kinesis_rds_mariadb_spark.sources.changefeed import ChangeFeed
+
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    feed.append_changes(
+        [{"schema": "db", "table": "t", "op": "insert", "seq": 100,
+          "commit_ts": "2024-01-01T00:00:00", "data": {"id": "1"}}]
+    )
+    feed.append_changes(
+        [{"schema": "db", "table": "t", "op": "update",
+          "commit_ts": "2024-01-01T00:00:01", "data": {"id": "1"}}]
+    )
+    seqs = sorted(r["seq"] for r in feed.read_batch().collect())
+    assert seqs == [100, 101]
+
+
+def test_sequence_floor_survives_full_retention_trim(spark, tmp_path):
+    """All record files trimmed away + cross-process reopen: new appends
+    must CONTINUE the per-shard sequence (duplicate sequence numbers would
+    break AFTER_SEQUENCE_NUMBER checkpoints and Kinesis semantics)."""
+    from datetime import datetime, timedelta, timezone
+
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import StreamStore
+
+    path = str(tmp_path / "store")
+    s1 = StreamStore(spark, path, shards=1, retention_hours=1)
+    df = spark.createDataFrame(
+        [(f"d{i}", "k") for i in range(5)], "Data STRING, PartitionKey STRING"
+    )
+    s1.append(df)
+    max_before = max(
+        r["sequence_number"] for r in s1.read().collect()
+    )
+    # trim EVERYTHING (pretend far future)
+    removed = s1.trim_expired(now=datetime.now(timezone.utc) + timedelta(days=10))
+    assert removed >= 1
+    # cross-process restart over the fully trimmed store
+    s2 = StreamStore(spark, path, shards=1, retention_hours=1)
+    s2.append(df)
+    seqs = sorted(r["sequence_number"] for r in s2.read().collect())
+    assert seqs[0] == max_before + 1  # continued, not reissued from 1
+    assert len(seqs) == 5
