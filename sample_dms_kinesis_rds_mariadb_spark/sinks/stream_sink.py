@@ -257,7 +257,8 @@ class StreamStore:
         shard_id: int | None = None,
         from_seq: int | None = None,
     ) -> DataFrame:
-        """Scan the stream in sequence order, optionally filtered by arrival
+        """Scan the stream in ARRIVAL order (ties: shard, then sequence;
+        per-shard sequence order preserved), optionally filtered by arrival
         timestamp — the reference consumer's TRIM_HORIZON + threshold filter
         (run.py:175-188; SURVEY §2.3 F3) — and/or by starting sequence number
         (``from_seq`` inclusive, the AT_SEQUENCE_NUMBER analog). Filters push
