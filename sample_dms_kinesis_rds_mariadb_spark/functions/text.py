@@ -26,7 +26,10 @@ def tokenize(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    return F.size(tokenize(col))
+    # split('') yields [''] — an empty document has ZERO tokens, not one
+    # (NULL text stays NULL: trim(NULL) is NULL, so the when falls through
+    # to size(NULL)); the DuckDB oracles carry the matching CASE
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokenize(col)))
 
 
 def clean_tokens(col: Column) -> Column:
@@ -40,10 +43,13 @@ def clean_tokens(col: Column) -> Column:
 
 def py_clean_tokens(text: str) -> list[str]:
     """Pure-Python mirror of :func:`clean_tokens` for parity references:
-    same whitespace collapse, trim, lowercase, empty-drop."""
+    same whitespace collapse, trim, lowercase, empty-drop. The whitespace
+    class is the ASCII one Java's ``\s`` matches — Python's ``\s`` also
+    matches Unicode whitespace (NBSP & co., common in scraped HTML), which
+    would silently tokenize differently from the Spark side."""
     import re
 
-    norm = re.sub(r"\s+", " ", text).strip().lower()
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text).strip().lower()
     return [t for t in norm.split(" ") if t]
 
 
@@ -314,8 +320,11 @@ def quality_columns(text: Column) -> dict[str, Column]:
     n_punct = punct_count(text)
     n_upper = upper_count(text)
     n_digit = digit_count(text)
-    # mean token length ×100 as an exact integer (floor)
-    avg_token_len_x100 = F.floor(n_chars * F.lit(100) / n_tokens).cast("long")
+    # mean token length ×100 as an exact integer (floor); 0 for zero-token
+    # docs (division would be NULL now that empty docs count 0 tokens)
+    avg_token_len_x100 = F.when(
+        n_tokens > 0, F.floor(n_chars * F.lit(100) / n_tokens)
+    ).otherwise(F.lit(0)).cast("long")
     is_quality = (
         (n_chars >= 50)
         & (n_tokens >= 10)

@@ -45,11 +45,10 @@ def chunk_by_tokens(
     if not 0 <= overlap < max_tokens:
         raise ValueError("overlap must be in [0, max_tokens)")
     step = max_tokens - overlap
-    # split('') yields [''], not []: drop empty tokens so blank documents
-    # produce zero chunks
-    toks = F.filter(
-        tokenize(normalize_text(F.col(text_col))), lambda t: t != F.lit("")
-    )
+    # THE shared tokenization (drops the [''] a blank doc splits to)
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import clean_tokens
+
+    toks = clean_tokens(F.col(text_col))
     # chunk starts: 1, 1+step, 1+2*step, ... (slice() is 1-based); the last
     # chunk starts at or before the final token. The sequence stops at
     # size-overlap so an overlap-only tail never forms its own chunk.
@@ -101,6 +100,12 @@ def pack_sequences(
     from pyspark.sql.types import LongType, StructField, StructType
 
     tagged = df.withColumn(
+        # NULL sizes count as 0 (the budget_shard_column rule): a NULL long
+        # becomes NaN at the Arrow boundary and astype('int64') would kill
+        # the whole job with an opaque pandas error
+        n_tokens_col,
+        F.coalesce(F.col(n_tokens_col), F.lit(0)),
+    ).withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
     )
     # fresh StructType: StructType.add mutates in place, which would corrupt

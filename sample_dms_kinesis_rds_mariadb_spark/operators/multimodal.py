@@ -49,29 +49,40 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 _PNM_MAGICS = {b"P6": (3, "ppm"), b"P3": (3, "ppm"), b"P5": (1, "pgm"), b"P2": (1, "pgm")}
 
 
-def _parse_pnm_header(content: bytes) -> tuple[int, int]:
-    """width/height from a PNM header: ASCII tokens separated by whitespace,
-    ``#`` comments run to end-of-line (netpbm spec)."""
+def _pnm_tokens(content: bytes, n: int) -> tuple[list[int], int]:
+    """First ``n`` ASCII integer tokens after a PNM magic, plus the scan
+    offset just past the last token: whitespace-separated, ``#`` comments
+    run to end-of-line (netpbm spec). THE single header scanner — both the
+    header probe (2 tokens) and the binary-pixel path (3 tokens + payload
+    offset) read through it, so a parsing fix lands once. ASCII-only digit
+    test: ``chr(byte).isdigit()`` would accept Unicode digits like ``²``
+    that ``int()`` rejects on byte slices."""
     tokens: list[int] = []
     i = 2  # past the magic
     limit = min(len(content), 4096)
-    while len(tokens) < 2 and i < limit:
+    while len(tokens) < n and i < limit:
         c = content[i]
         if c == ord("#"):
             while i < limit and content[i] != ord("\n"):
                 i += 1
         elif chr(c).isspace():
             i += 1
-        elif chr(c).isdigit():
+        elif 0x30 <= c <= 0x39:
             j = i
-            while j < limit and chr(content[j]).isdigit():
+            while j < limit and 0x30 <= content[j] <= 0x39:
                 j += 1
             tokens.append(int(content[i:j]))
             i = j
         else:
             raise ValueError(f"malformed PNM header byte {c!r} at {i}")
-    if len(tokens) < 2:
+    if len(tokens) < n:
         raise ValueError("truncated PNM header")
+    return tokens, i
+
+
+def _parse_pnm_header(content: bytes) -> tuple[int, int]:
+    """width/height from a PNM header."""
+    tokens, _ = _pnm_tokens(content, 2)
     return tokens[0], tokens[1]
 
 
@@ -93,6 +104,12 @@ def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int, str
         # offset 18, height int32 LE at 22 (negative = top-down), bpp at 28
         width = int.from_bytes(content[18:22], "little", signed=True)
         height = abs(int.from_bytes(content[22:26], "little", signed=True))
+        # negative HEIGHT means top-down row order (valid, abs above);
+        # negative/zero WIDTH has no meaning in the BMP spec — reject the
+        # malformed header instead of emitting negative dimensions into
+        # downstream area/size math
+        if width <= 0:
+            raise ValueError(f"malformed BMP: non-positive width {width}")
         bpp = int.from_bytes(content[28:30], "little")
         channels = max(1, bpp // 8)
         return width, height, channels, "bmp"
@@ -116,26 +133,7 @@ def _parse_pnm_binary(content: bytes) -> tuple[int, int, int, int]:
     Netpbm: three ASCII tokens (width, height, maxval) separated by
     whitespace/comments after the magic; exactly ONE whitespace byte then
     separates the header from the raw pixel payload."""
-    tokens: list[int] = []
-    i = 2
-    limit = min(len(content), 4096)
-    while len(tokens) < 3 and i < limit:
-        c = content[i]
-        if c == ord("#"):
-            while i < limit and content[i] != ord("\n"):
-                i += 1
-        elif chr(c).isspace():
-            i += 1
-        elif chr(c).isdigit():
-            j = i
-            while j < limit and chr(content[j]).isdigit():
-                j += 1
-            tokens.append(int(content[i:j]))
-            i = j
-        else:
-            raise ValueError(f"malformed PNM header byte {c!r} at {i}")
-    if len(tokens) < 3:
-        raise ValueError("truncated PNM header")
+    tokens, i = _pnm_tokens(content, 3)
     return tokens[0], tokens[1], tokens[2], i + 1  # +1: single ws separator
 
 

@@ -109,6 +109,12 @@ def heavy_hitters_sampled(
     with true count c is ~ 1/sqrt(c * rate), so hot values (the ones top-k
     cares about) are accurate while the long tail never enters the shuffle:
     per-key state is bounded by the sample's cardinality, not the corpus's.
+
+    PRECONDITION: ``key_col`` must be a row-unique id UNCORRELATED with
+    ``col`` (hash sampling keeps ALL rows of kept keys — cluster sampling).
+    Passing ``key_col == col`` or any correlated key makes ``n_est``
+    either ~1/rate× a value's true count or 0; the error formula above
+    holds only for row-unique keys.
     """
     if not 0.0 < sample_rate <= 1.0:
         raise ValueError(f"sample_rate must be in (0,1], got {sample_rate}")
@@ -130,14 +136,11 @@ def top_tokens(df: DataFrame, text_col: str, k: int = 1000) -> DataFrame:
     tokens before the shuffle, so shuffle volume is bounded by per-partition
     vocabulary, not token count.
     """
-    from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import (
-        normalize_text,
-        tokenize,
-    )
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import clean_tokens
 
-    toks = df.select(
-        F.explode(tokenize(normalize_text(F.col(text_col)))).alias("value")
-    )
+    # clean_tokens drops the '' a blank doc splits to — without it every
+    # empty/whitespace-only document votes the empty string into the vocab
+    toks = df.select(F.explode(clean_tokens(F.col(text_col))).alias("value"))
     return (
         toks.groupBy("value")
         .agg(F.count("*").alias("n"))

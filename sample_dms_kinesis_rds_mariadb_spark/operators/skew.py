@@ -17,6 +17,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_col(salt_buckets: int):
+    """Uniform random salt bucket in one codegen op — rand() is already
+    uniform, so hashing it first (the previous form) was redundant work;
+    one definition also keeps the two salted operators' salt TYPE aligned."""
+    return (F.rand(seed=7) * F.lit(salt_buckets)).cast("int")
+
+
 def salted_aggregate(
     df: DataFrame,
     key_cols: list[str],
@@ -37,7 +44,7 @@ def salted_aggregate(
         )
     """
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.rand(seed=7)), F.lit(salt_buckets))
+        "_salt", _salt_col(salt_buckets)
     )
     phase1 = salted.groupBy(*key_cols, "_salt").agg(
         *[c.alias(name) for name, c in partial_aggs.items()]
@@ -63,7 +70,7 @@ def salted_broadcast_left_join(
     "left")``.
     """
     big_salted = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.rand(seed=7)), F.lit(salt_buckets)).cast("int")
+        "_salt", _salt_col(salt_buckets)
     )
     small_exploded = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

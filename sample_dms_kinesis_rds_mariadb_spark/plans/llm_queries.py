@@ -196,11 +196,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
           SELECT lang,
                  length(text) AS n_chars,
-                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                 (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens,
                  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
                  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
                  (length(text) >= 50
-                  AND len(regexp_split_to_array(trim(text), '\\s+')) >= 10
+                  AND (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 10
                   AND (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 5 <= length(text)
                   AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 2 <= length(text)) AS is_quality
           FROM documents
@@ -232,9 +232,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(north-star text op)",
     oracle="""
         SELECT source,
-               CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
-               MIN(len(regexp_split_to_array(trim(text), '\\s+'))) AS min_tokens,
-               MAX(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens
+               CAST(SUM((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)) AS BIGINT) AS total_tokens,
+               MIN((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)) AS min_tokens,
+               MAX((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)) AS max_tokens
         FROM documents GROUP BY source ORDER BY source
     """,
     tags=("text",),

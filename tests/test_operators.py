@@ -1493,3 +1493,50 @@ def test_replicate_fraction_and_epoch_mixture(spark):
     mixed = mix_corpora_epochs([(df, 1.0), (small, 3.0)], key_col="doc_id")
     assert mixed.count() == 400 + 150
     assert mixed.filter(F.col("doc_id") >= 1000).count() == 150
+
+
+def test_bmp_negative_width_rejected():
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    bad = bytearray(b"BM" + b"\x00" * 40)
+    bad[18:22] = (-16).to_bytes(4, "little", signed=True)   # width
+    bad[22:26] = (16).to_bytes(4, "little", signed=True)    # height
+    bad[28:30] = (24).to_bytes(2, "little")                 # bpp
+    with pytest.raises(ValueError, match="width"):
+        decode_image(bytes(bad))
+    # negative HEIGHT stays valid (top-down row order)
+    bad[18:22] = (16).to_bytes(4, "little", signed=True)
+    bad[22:26] = (-16).to_bytes(4, "little", signed=True)
+    w, h, c, fmt = decode_image(bytes(bad))
+    assert (w, h, fmt) == (16, 16, "bmp")
+
+
+def test_empty_doc_counts_zero_tokens(spark):
+    """split('') yields [''] — empty/whitespace docs must report 0 tokens
+    (they inflated corpus token stats by 1 each), with NULL text staying
+    NULL and avg token length 0 instead of a division error."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        quality_columns,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words"), (4, None)],
+        "id long, text string",
+    )
+    qc = quality_columns(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            token_count(F.col("text")).alias("n"),
+            qc["n_tokens"].alias("qn"),
+            qc["avg_token_len_x100"].alias("avg"),
+        ).collect()
+    }
+    assert rows[1]["n"] == 0 and rows[2]["n"] == 0
+    assert rows[3]["n"] == 2
+    assert rows[4]["n"] is None
+    assert rows[1]["avg"] == 0 and rows[2]["avg"] == 0
