@@ -42,7 +42,7 @@ def clean_tokens(col: Column) -> Column:
 
 
 def py_clean_tokens(text: str) -> list[str]:
-    """Pure-Python mirror of :func:`clean_tokens` for parity references:
+    r"""Pure-Python mirror of :func:`clean_tokens` for parity references:
     same whitespace collapse, trim, lowercase, empty-drop. The whitespace
     class is the ASCII one Java's ``\s`` matches — Python's ``\s`` also
     matches Unicode whitespace (NBSP & co., common in scraped HTML), which
