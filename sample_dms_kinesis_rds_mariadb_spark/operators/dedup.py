@@ -856,7 +856,12 @@ def contamination_scores(
     )
     totals = _pin(
         corpus.select(
-            F.col(id_col), F.size(grams).alias("n_grams"), grams.alias("_grams")
+            F.col(id_col),
+            # NULL text ⇒ grams is NULL ⇒ ANSI size() is NULL — coalesce to 0
+            # so the documented 1:1 contract (n_grams for EVERY corpus row)
+            # holds for NULL-text rows too, matching score's 0.0
+            F.coalesce(F.size(grams), F.lit(0)).alias("n_grams"),
+            grams.alias("_grams"),
         ),
         materialize,
     )

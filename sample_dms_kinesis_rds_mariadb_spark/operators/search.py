@@ -403,6 +403,12 @@ class InvertedIndex:
         if n_files < min_files:
             return 0
         tmp = self.postings_path + ".compact"
+        old = self.postings_path + ".old"
+        # a crashed prior compact can strand either sibling; os.rename onto
+        # an existing non-empty directory raises and would leave the index
+        # half-swapped — clear both before starting
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         (
             self.spark.read.parquet(self.postings_path)
             .repartition("term_bucket")
@@ -410,7 +416,6 @@ class InvertedIndex:
             .partitionBy("term_bucket")
             .parquet(tmp)
         )
-        old = self.postings_path + ".old"
         os.rename(self.postings_path, old)
         os.rename(tmp, self.postings_path)
         shutil.rmtree(old, ignore_errors=True)
@@ -466,11 +471,22 @@ class InvertedIndex:
         n, avgdl = self._n_docs, (
             self._total_tokens / self._n_text_docs if self._n_text_docs else 0.0
         )
-        if not terms or n == 0:
+        # _n_text_docs == 0: docs were indexed but none tokenized (all
+        # NULL/empty text) — the postings write produced no parquet files,
+        # so the read below would fail schema inference; there is nothing
+        # to score either way
+        if not terms or n == 0 or self._n_text_docs == 0:
             return self._empty_result()
         buckets = sorted({self._bucket_of(t) for t in terms})
+        try:
+            postings = self.spark.read.parquet(self.postings_path)
+        except Exception:
+            # n_docs > 0 but no postings files: every indexed doc had
+            # NULL/empty/whitespace text, so the partitioned write produced
+            # nothing to infer a schema from — nothing to score
+            return self._empty_result()
         p = (
-            self.spark.read.parquet(self.postings_path)
+            postings
             # term_bucket prunes DIRECTORIES before any file opens; the
             # term filter then prunes row groups via dictionary/min-max
             .filter(F.col("term_bucket").isin(buckets))

@@ -136,14 +136,21 @@ class ReplicationTask:
         # (status flipped to stopped, then the thread set it back to
         # running and left an unstoppable query behind)
         self._stop_requested.set()
-        if self._query is not None:
+        # read _query under the task lock: the full-load-and-cdc thread
+        # starts its CDC query inside the same lock after re-checking the
+        # flag, so this read happens either before that block (the thread
+        # will see the flag and never start) or after it (q is the live
+        # query and gets stopped) — never in between
+        with self._lock:
+            q = self._query
+        if q is not None:
             try:
-                self._query.processAllAvailable()
+                q.processAllAvailable()
             except Exception:
                 pass
-            self._query.stop()
+            q.stop()
             # wait for the query thread to fully terminate
-            while self._query.isActive:
+            while q.isActive:
                 time.sleep(0.05)
             self._query = None
         self.status = STOPPED
@@ -258,10 +265,18 @@ class ReplicationTask:
                 os.makedirs(os.path.dirname(pos_file), exist_ok=True)
                 with open(pos_file, "w") as f:
                     f.write(str(position))
-            if self._stop_requested.is_set():
-                self.status = STOPPED  # stop() arrived during the snapshot
-                return
-            self._start_cdc(after_seq=position)
+            # flag-check + query start are ATOMIC under the lock: without
+            # it, stop() could set the flag between the check and
+            # _start_cdc(), see _query still None, report STOPPED, and the
+            # thread would then start an unstoppable query behind it.
+            # stop() reads _query under the same lock, so it either runs
+            # before this block (we see the flag and never start) or after
+            # it (it sees the started query and stops it).
+            with self._lock:
+                if self._stop_requested.is_set():
+                    self.status = STOPPED  # stop() arrived during the snapshot
+                    return
+                self._start_cdc(after_seq=position)
         except Exception:
             self.error = traceback.format_exc()
             self.status = FAILED

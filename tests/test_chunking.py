@@ -562,3 +562,26 @@ def test_remove_repeated_spans_randomized_parity(spark):
     }
     assert got == expected
     assert any(got[i] != t for i, t in rows)  # something was actually removed
+
+
+def test_contamination_scores_null_text_counts_zero_grams(spark):
+    """NULL-text rows must still appear 1:1 with n_grams = 0 (not NULL —
+    ANSI size(NULL) would leak through), n_matched = 0, score 0.0, matching
+    the DuckDB oracle's COALESCE(n_grams, 0)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        contamination_scores,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "one two three four"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "one two three")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_matched"], r["score"])
+        for r in contamination_scores(corpus, bench, "doc_id", "text", n=3).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (0, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
+    assert got[1][0] == 2 and got[1][1] == 1

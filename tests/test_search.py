@@ -272,3 +272,50 @@ def test_inverted_index_empty_result_keeps_id_type(spark, tmp_path):
     hit = ix.search("beta", k=3)
     assert empty.schema["doc_id"].dataType == hit.schema["doc_id"].dataType
     assert empty.unionByName(hit).count() == 2  # unions cleanly
+
+
+def test_inverted_index_all_null_text_corpus_searches_empty(spark, tmp_path):
+    """An index built over docs that ALL have NULL/empty text has n_docs > 0
+    but zero postings files — search must return the empty frame, not crash
+    on schema inference over the fileless postings dir."""
+    # "" tokenizes to an empty (non-NULL) array: it counts as a text doc
+    # yet yields zero postings — the fileless-dir case must survive even
+    # when _n_text_docs > 0
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "")], "doc_id long, text string"
+    )
+    ix = search.InvertedIndex(spark, str(tmp_path / "nulls"))
+    ix.build(df, "text")
+    assert ix._n_docs == 3
+    assert ix.search("anything", k=3).count() == 0
+    only_null = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+    ix2 = search.InvertedIndex(spark, str(tmp_path / "nulls2"))
+    ix2.build(only_null, "text")
+    assert ix2._n_text_docs == 0
+    assert ix2.search("anything", k=3).count() == 0
+
+
+def test_inverted_index_compact_survives_stale_dirs(spark, docs_df, tmp_path):
+    """A crashed prior compact can strand postings.old / postings.compact;
+    the next compact must clear them and complete the swap."""
+    import os
+
+    idx = search.InvertedIndex(spark, str(tmp_path / "ix"), id_col="doc_id", n_buckets=8)
+    items = sorted(DOCS.items())
+    for i in range(0, len(items), 2):
+        idx.append(
+            spark.createDataFrame(items[i : i + 2], ["doc_id", "text"]), "text"
+        )
+    before = idx.search("quick brown fox", k=5).collect()
+    # strand non-empty leftovers of a crashed compact
+    for leftover in (idx.postings_path + ".old", idx.postings_path + ".compact"):
+        os.makedirs(os.path.join(leftover, "term_bucket=0"), exist_ok=True)
+        with open(os.path.join(leftover, "term_bucket=0", "junk.parquet"), "w") as f:
+            f.write("not parquet")
+    assert idx.compact(min_files=1) > 0
+    assert not os.path.exists(idx.postings_path + ".old")
+    assert not os.path.exists(idx.postings_path + ".compact")
+    after = idx.search("quick brown fox", k=5).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in after] == [
+        (r["doc_id"], r["bm25"]) for r in before
+    ]
