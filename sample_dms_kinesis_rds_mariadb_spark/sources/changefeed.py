@@ -155,6 +155,69 @@ class ChangeFeed:
                 f.write("\n".join(lines) + "\n")
             os.rename(tmp, final)
 
+    def append_changes_df(self, changes_df: DataFrame, mono_col: str, max_mono: int) -> int:
+        """Distributed append: publish a batch of change records written
+        EXECUTOR-SIDE — no row ever crosses the driver. This is the bulk
+        path for table-sized batches (a polling capture's initial snapshot,
+        a reconciliation diff); the driver-hop :meth:`append_changes` stays
+        the increment path.
+
+        ``changes_df`` must carry the feed record columns (schema, table,
+        op, txn_id, commit_ts, data, before) plus ``mono_col`` holding
+        ``monotonically_increasing_id()`` values computed on a PINNED frame
+        (the caller owns pinning — localCheckpoint — so re-evaluation can't
+        reshuffle ids between the caller's agg and this write); ``max_mono``
+        is the frame's max id (the caller reads it in the same aggregation
+        that sizes the batch, so no extra job here).
+
+        Seqs are ``base + 1 + mono``: unique, strictly above every prior
+        seq, and strictly below every later append's — but SPARSE (the
+        partition stride of mono ids), which is a binlog POSITION, not a row
+        number, and record order within the batch is partition order, not
+        commit order. Both are sound for what this path carries: snapshot /
+        diff batches have per-key-unique records, so the applier's per-key
+        max-seq verdict is order-independent, and nothing in the engine
+        assumes dense seqs. Files publish by atomic rename (same contract
+        as :meth:`append_changes`), so the streaming reader never sees a
+        partial file; the write job runs under the producer lock so no
+        concurrent producer can interleave a lower-seq file afterwards.
+        """
+        import glob
+        import shutil
+        import uuid
+
+        with self._lock:
+            self._recover_producer_state()
+            base = self._seq
+            # leading _: invisible to the Spark readers scanning self.path
+            stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
+            out = changes_df.withColumn(
+                "seq", (F.lit(base + 1) + F.col(mono_col)).cast("long")
+            ).select(
+                "seq", "schema", "table", "op", "txn_id", "commit_ts",
+                "data", "before",
+            )
+            # ignoreNullFields=false: explicit nulls, byte-shape parity with
+            # the json.dumps records append_changes writes
+            out.write.mode("overwrite").option(
+                "ignoreNullFields", "false"
+            ).json(stage)
+            n_files = 0
+            try:
+                for p in sorted(glob.glob(os.path.join(stage, "part-*.json"))):
+                    if os.path.getsize(p) == 0:
+                        continue  # empty input partition
+                    final = os.path.join(
+                        self.path, f"changes-{self._file_no:06d}.json"
+                    )
+                    self._file_no += 1
+                    os.rename(p, final)
+                    n_files += 1
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+            self._seq = base + 1 + int(max_mono)
+            return n_files
+
     # -- consumers ----------------------------------------------------------
     def read_stream(self, rules: list[SelectionRule] | None = None) -> DataFrame:
         """Structured Streaming reader (maxFilesPerTrigger bounds batch size,

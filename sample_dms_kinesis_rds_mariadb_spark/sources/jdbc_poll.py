@@ -31,7 +31,11 @@ Delivery contract (the same one every polling capture offers):
   the initial snapshot only and invisible to every later poll (the cursor
   predicate excludes NULL). Enforce ``NOT NULL`` on the cursor column.
 - deletes and intermediate versions between polls are not captured —
-  inherent to polling.
+  inherent to polling. The delete half is recoverable without binlog
+  access: :meth:`JdbcPollingCapture.reconcile` key-diffs the source
+  against the materialized replica and emits ``op=delete`` events for
+  vanished primary keys (the standard snapshot-reconciliation recipe);
+  intermediate versions remain out of contract.
 
 Restart: pass ``state_path`` to persist the high-water mark + delivered
 fingerprints after every pump; a restarted agent resumes instead of
@@ -44,7 +48,12 @@ Scale shape: the cursor predicate pushes into the JDBC WHERE clause
 poll transfers only the increment. The pump's driver hop is
 increment-sized — the capture-agent role here is what Debezium/DMS run as
 a dedicated process; at 100 TB the corpus never routes through this path,
-only the change trickle does.
+only the change trickle does. The FIRST pump under ``initial="snapshot"``
+is the exception that used to break the rule: it is table-sized, so it
+routes through :meth:`ChangeFeed.append_changes_df` — an executor-side
+encode + write with no driver hop; only the boundary window's rows (the
+lookback-bounded fingerprint set every later poll needs) are collected.
+``reconcile`` likewise diffs and writes distributed, collecting nothing.
 """
 
 from __future__ import annotations
@@ -231,11 +240,15 @@ class JdbcPollingCapture:
             self._started = True
             self._save_state()
             return 0
+        if first and self._initial == "snapshot":
+            return self._initial_snapshot(feed, df, cursor)
         floor = self._floor()
         if floor is not None:
             df = df.filter(F.col(cursor) >= F.lit(floor))
         rows = df.orderBy(cursor).collect()  # increment-sized hop
-        op = "insert" if first and self._initial == "snapshot" else "update"
+        # polling cannot distinguish insert from update; the applier's
+        # per-PK upsert makes the distinction immaterial for state
+        op = "update"
         now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
         changes = []
         delivered = []  # (cursor_value, fingerprint) of every row seen
@@ -290,6 +303,178 @@ class JdbcPollingCapture:
         self._started = True
         self._save_state()
         return len(changes)
+
+    def _initial_snapshot(self, feed: ChangeFeed, df, cursor: str) -> int:
+        """First pump, ``initial="snapshot"``: emit every existing row as op
+        ``insert`` WITHOUT routing the table through the driver. The frame
+        is pinned once (eager localCheckpoint — one consistent JDBC read
+        serves sizing, the write, and the boundary fingerprints; executor
+        storage is disk-backed, so a 100 GB table costs spill, not a driver
+        OOM), encoded to change records with built-in expressions, and
+        published executor-side via :meth:`ChangeFeed.append_changes_df`.
+        The only collect is the boundary window (``cursor >= floor`` — the
+        lookback-bounded set every subsequent poll re-reads anyway), taken
+        from the SAME pinned frame so its fingerprints describe exactly the
+        rows that were delivered.
+
+        Within-snapshot seq order is partition order, not cursor order:
+        snapshot rows are per-PK unique, so the applier's per-key max-seq
+        verdict — and every later increment, whose seqs are all higher —
+        is unaffected (the same contract as the S1 full-load encoder, which
+        orders controls before data but not data rows among themselves).
+
+        The degenerate all-NULL-cursor table keeps the driver path: its
+        re-read window is permanently table-sized (module contract), so the
+        fingerprint set is table-sized no matter where the encode runs.
+        """
+        cols = df.columns
+        now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+        data = F.create_map(
+            *[x for c in cols for x in (F.lit(c), F.col(c).cast("string"))]
+        )
+        pinned = (
+            df.withColumn("_data", data)
+            .withColumn("_mono", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        agg = pinned.agg(
+            F.max(F.col(cursor)).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("_mono").alias("mx"),
+        ).first()
+        hwm, total = agg["m"], agg["n"]
+        if total == 0:
+            self._started = True
+            self._save_state()
+            return 0
+        if hwm is None:
+            # all-NULL cursor: deliver driver-side and remember every
+            # fingerprint (the permanent re-read window — see docstring)
+            rows = pinned.select(*cols).collect()
+            changes, fps = [], []
+            for r in rows:
+                d = r.asDict()
+                rec = self._stringify(d)
+                fps.append(self._fingerprint(rec))
+                changes.append(
+                    {
+                        "schema": self.schema,
+                        "table": self.table,
+                        "op": "insert",
+                        "txn_id": f"poll-{cursor}-{d[cursor]}",
+                        "commit_ts": now,
+                        "data": rec,
+                        "before": None,
+                    }
+                )
+            feed.append_changes(changes)
+            self._window_fps = frozenset(fps)
+            self._started = True
+            self._save_state()
+            return len(changes)
+        changes_df = pinned.select(
+            F.lit(self.schema).alias("schema"),
+            F.lit(self.table).alias("table"),
+            F.lit("insert").alias("op"),
+            # NULL-cursor rows keep the driver path's textual 'None'
+            F.concat(
+                F.lit(f"poll-{cursor}-"),
+                F.coalesce(F.col(cursor).cast("string"), F.lit("None")),
+            ).alias("txn_id"),
+            F.lit(now).alias("commit_ts"),
+            F.col("_data").alias("data"),
+            F.lit(None).cast("map<string,string>").alias("before"),
+            F.col("_mono"),
+        )
+        feed.append_changes_df(changes_df, "_mono", int(agg["mx"]))
+        self._hwm = hwm
+        # boundary fingerprints: Python stringification (identical to what
+        # every later poll computes), over the pinned frame's ORIGINAL
+        # typed columns — never the Spark-cast transport strings, whose
+        # formatting differs (e.g. booleans 'true' vs 'True')
+        boundary = (
+            pinned.filter(F.col(cursor) >= F.lit(self._floor()))
+            .select(*cols)
+            .collect()
+        )
+        self._window_fps = frozenset(
+            self._fingerprint(self._stringify(r.asDict())) for r in boundary
+        )
+        self._started = True
+        self._save_state()
+        return int(total)
+
+    def reconcile(self, feed: ChangeFeed, replica_df, pk_col: str) -> int:
+        """Delete capture by snapshot key-diff: polling observes only rows
+        that EXIST with an advanced cursor, so source deletes are invisible
+        to :meth:`pump` (module contract; the reference's delete events —
+        run.py:305 — flow through the binlog). ``reconcile`` closes the gap
+        the way every polling replication product does: anti-join the
+        materialized replica's primary-key set against the source's current
+        keys and emit ``op=delete`` for each key the source no longer has.
+
+        ``replica_df`` is the engine's materialized state for this table
+        (``materializer.table(schema, table)``); ``pk_col`` its primary-key
+        column. Events carry the key in ``before`` (Debezium/DMS delete
+        shape: before-image key, no after image) — the applier's
+        before-image leg turns that into a key delete.
+
+        Fully distributed: both sides prune to the pk column (column
+        pruning reaches the JDBC scan), the anti-join shuffles ids only,
+        and the events publish executor-side via ``append_changes_df`` —
+        a mass-delete reconciliation never touches the driver. Run it on a
+        schedule coarser than the poll (deletes tolerate the window) or
+        after any suspected mass-delete.
+
+        Races are benign in the upsert model: a key deleted after the
+        source read simply waits for the next reconcile; a key re-inserted
+        after it gets re-captured by the next pump (higher cursor ⇒ higher
+        seq than this delete, so the applier keeps the re-insert). Returns
+        the number of delete events emitted.
+        """
+        # compare in the REPLICA's pk type (the registered target type):
+        # string-space comparison would false-diff types whose text forms
+        # differ (DECIMAL '100.00' vs INT '100')
+        pk_type = replica_df.schema[pk_col].dataType
+        source_keys = self._load().select(
+            F.col(self._resolve_column(pk_col)).cast(pk_type).alias("_k")
+        )
+        replica_keys = replica_df.select(F.col(pk_col).alias("_k"))
+        gone = (
+            replica_keys.join(source_keys, "_k", "left_anti")
+            .withColumn("_mono", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        agg = gone.agg(F.count(F.lit(1)).alias("n"), F.max("_mono").alias("mx")).first()
+        if agg["n"] == 0:
+            return 0
+        now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+        changes_df = gone.select(
+            F.lit(self.schema).alias("schema"),
+            F.lit(self.table).alias("table"),
+            F.lit("delete").alias("op"),
+            F.concat(F.lit(f"reconcile-{pk_col}-"), F.col("_k")).alias("txn_id"),
+            F.lit(now).alias("commit_ts"),
+            F.lit(None).cast("map<string,string>").alias("data"),
+            F.map_from_arrays(
+                F.array(F.lit(pk_col)), F.array(F.col("_k").cast("string"))
+            ).alias("before"),
+            F.col("_mono"),
+        )
+        feed.append_changes_df(changes_df, "_mono", int(agg["mx"]))
+        return int(agg["n"])
+
+    def _resolve_column(self, col_name: str) -> str:
+        """Case-insensitive resolution for an arbitrary column (the JDBC
+        metadata casing problem ``_resolve_cursor`` solves for the cursor)."""
+        df = self._load()
+        for c in df.columns:
+            if c.lower() == col_name.lower():
+                return c
+        raise ValueError(
+            f"column {col_name!r} not found in {self.schema}.{self.table} "
+            f"(columns: {df.columns})"
+        )
 
     @staticmethod
     def _stringify(d: dict) -> dict:

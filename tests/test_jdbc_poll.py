@@ -313,3 +313,168 @@ def test_all_null_cursor_snapshot_does_not_redeliver(spark, tmp_path):
     st.close()
     assert cap.pump(feed) == 1
     assert cap.pump(feed) == 0
+
+
+def test_initial_snapshot_never_collects_the_table(spark, tmp_path, monkeypatch):
+    """The r5 scale nit: the first pump must NOT route the table through
+    the driver. The snapshot publishes executor-side
+    (ChangeFeed.append_changes_df); the only collect is the boundary
+    window (rows at cursor >= hwm — here 1 of the 2 rows)."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract base
+    # in PySpark 4, its classic implementation owns collect()
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    db, conn = _seed_derby(spark, tmp_path)
+    # distinct cursor values so the boundary window < table size
+    st = conn.createStatement()
+    st.executeUpdate("UPDATE accounts SET version = 2 WHERE id = 2")
+    st.close()
+    cap = _capture(spark, db)
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+
+    collected = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    assert cap.pump(feed) == 2
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    # every driver hop during the snapshot pump is sub-table-sized:
+    # aggregations (1 row) and the 1-row boundary window — never the table
+    assert collected and max(collected) == 1
+    rows = feed.read_batch().collect()
+    assert sorted(r["data"]["ID"] for r in rows) == ["1", "2"]
+    assert {r["op"] for r in rows} == {"insert"}
+    seqs = [r["seq"] for r in rows]
+    assert len(set(seqs)) == 2  # unique commit positions
+    # increments continue ABOVE every snapshot seq
+    st = conn.createStatement()
+    st.executeUpdate("INSERT INTO accounts VALUES (3, 300, 9)")
+    st.close()
+    assert cap.pump(feed) == 1
+    inc = [r for r in feed.read_batch().collect() if r["op"] == "update"]
+    assert inc[0]["seq"] > max(seqs)
+    # quiescent poll: boundary fingerprints from the distributed snapshot
+    # still suppress re-delivery
+    assert cap.pump(feed) == 0
+
+
+def test_reconcile_captures_source_deletes(spark, tmp_path):
+    """VERDICT r6 item 2: a row deleted at the source disappears from the
+    replica after reconcile, and statistics count the delete."""
+    from sample_dms_kinesis_rds_mariadb_spark.spec import TaskSettings
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.apply import (
+        TableMaterializer,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.cdc import (
+        encode_change_batch,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import (
+        TableRegistry,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.statistics import (
+        StatisticsService,
+    )
+
+    db, conn = _seed_derby(spark, tmp_path)
+    cap = _capture(spark, db)
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    cap.pump(feed)
+
+    registry = TableRegistry()
+    shape = spark.createDataFrame([], "ID long, BALANCE long, VERSION long")
+    registry.register_from_df("APP", "accounts", shape, primary_key="ID")
+    mat = TableMaterializer(spark, registry, str(tmp_path / "state"), n_buckets=4)
+    mat.overwrite("APP", "accounts", shape)
+    assert mat.apply_change_batch(feed.read_batch()) == []
+    assert {r["ID"] for r in mat.table("APP", "accounts").collect()} == {1, 2}
+
+    st = conn.createStatement()
+    st.executeUpdate("DELETE FROM accounts WHERE id = 1")
+    st.close()
+    assert cap.pump(feed) == 0  # polling alone cannot see the delete
+    assert cap.reconcile(feed, mat.table("APP", "accounts"), "ID") == 1
+
+    # the whole feed re-applies idempotently: the delete's higher seq wins
+    assert mat.apply_change_batch(feed.read_batch()) == []
+    state = {r["ID"]: r["BALANCE"] for r in mat.table("APP", "accounts").collect()}
+    assert state == {2: 200}
+
+    # statistics count the delete (the reference's per-op replication stats)
+    stats = StatisticsService()
+    env = encode_change_batch(feed.read_batch(), TaskSettings())
+    stats.record_batch("reconcile-task", env)
+    table_stats = {
+        r["TableName"]: r for r in stats.table_statistics("reconcile-task")
+    }
+    assert table_stats["accounts"]["Deletes"] == 1
+
+    # converged: a second reconcile finds nothing
+    assert cap.reconcile(feed, mat.table("APP", "accounts"), "ID") == 0
+
+
+def test_append_changes_df_interleaves_with_driver_appends(spark, tmp_path):
+    """Distributed appends slot into the feed's seq order: every batch's
+    seqs sit strictly above prior appends and below later ones, a restarted
+    producer recovers the position, and records round-trip (incl. NULLs)."""
+    from pyspark.sql import functions as F
+
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    feed.append_changes(
+        [
+            {
+                "schema": "s", "table": "t", "op": "insert", "txn_id": "a",
+                "commit_ts": "2024-01-01T00:00:00",
+                "data": {"id": "1", "v": None}, "before": None,
+            }
+        ]
+    )
+    batch = (
+        spark.range(5)
+        .select(
+            F.lit("s").alias("schema"),
+            F.lit("t").alias("table"),
+            F.lit("insert").alias("op"),
+            F.concat(F.lit("bulk-"), F.col("id")).alias("txn_id"),
+            F.lit("2024-01-01T00:00:01").alias("commit_ts"),
+            F.create_map(F.lit("id"), (F.col("id") + 10).cast("string")).alias("data"),
+            F.lit(None).cast("map<string,string>").alias("before"),
+        )
+        .withColumn("_mono", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    mx = batch.agg(F.max("_mono")).first()[0]
+    assert feed.append_changes_df(batch, "_mono", int(mx)) >= 1
+    feed.append_changes(
+        [
+            {
+                "schema": "s", "table": "t", "op": "update", "txn_id": "z",
+                "commit_ts": "2024-01-01T00:00:02",
+                "data": {"id": "1"}, "before": {"id": "1"},
+            }
+        ]
+    )
+    rows = {r["txn_id"]: r for r in feed.read_batch().collect()}
+    assert len(rows) == 7
+    bulk_seqs = [r["seq"] for t, r in rows.items() if t.startswith("bulk-")]
+    assert rows["a"]["seq"] < min(bulk_seqs) < max(bulk_seqs) < rows["z"]["seq"]
+    assert len(set(bulk_seqs)) == 5
+    assert rows["bulk-3"]["data"]["id"] == "13"
+    assert rows["a"]["data"]["v"] is None and rows["a"]["before"] is None
+    # a NEW producer over the directory continues above everything
+    feed2 = ChangeFeed(spark, str(tmp_path / "feed"))
+    feed2.append_changes(
+        [
+            {
+                "schema": "s", "table": "t", "op": "insert", "txn_id": "post",
+                "commit_ts": "2024-01-01T00:00:03",
+                "data": {"id": "9"}, "before": None,
+            }
+        ]
+    )
+    all_rows = {r["txn_id"]: r["seq"] for r in feed2.read_batch().collect()}
+    assert all_rows["post"] > max(all_rows[t] for t in all_rows if t != "post")
