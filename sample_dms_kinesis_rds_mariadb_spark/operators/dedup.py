@@ -496,13 +496,30 @@ class MinHashIndex:
     META_FILE = "_minhash_meta.json"  # leading _: ignored by parquet readers
 
     def __init__(
-        self, spark, path: str, id_col: str, n: int, bands: int
+        self,
+        spark,
+        path: str,
+        id_col: str,
+        n: int,
+        bands: int,
+        auto_compact_files: int | None = None,
     ) -> None:
+        if auto_compact_files is not None and auto_compact_files <= 2 * bands:
+            raise ValueError(
+                f"auto_compact_files ({auto_compact_files}) must exceed "
+                f"2 x bands ({2 * bands}) or every append re-triggers a "
+                "full store rewrite"
+            )
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.n = n
         self.bands = bands
+        # opt-in maintenance for long-lived ingest loops (the same contract
+        # as StreamStore.auto_compact_files): append re-compacts when the
+        # store's file count reaches the threshold, so probe-side listing
+        # cost stays bounded without a caller-side scheduler
+        self.auto_compact_files = auto_compact_files
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -515,6 +532,7 @@ class MinHashIndex:
         text_col: str,
         n: int = 3,
         bands: int = 4,
+        auto_compact_files: int | None = None,
     ) -> "MinHashIndex":
         import json
         import os
@@ -531,18 +549,26 @@ class MinHashIndex:
             json.dump(
                 {"id_col": id_col, "n": n, "bands": bands, "schema": schema_ddl}, f
             )
-        idx = cls(df.sparkSession, path, id_col, n, bands)
+        idx = cls(
+            df.sparkSession, path, id_col, n, bands,
+            auto_compact_files=auto_compact_files,
+        )
         idx._schema_ddl = schema_ddl
         return idx
 
     @classmethod
-    def load(cls, spark, path: str) -> "MinHashIndex":
+    def load(
+        cls, spark, path: str, auto_compact_files: int | None = None
+    ) -> "MinHashIndex":
         import json
         import os
 
         with open(os.path.join(path, cls.META_FILE)) as f:
             meta = json.load(f)
-        idx = cls(spark, path, meta["id_col"], meta["n"], meta["bands"])
+        idx = cls(
+            spark, path, meta["id_col"], meta["n"], meta["bands"],
+            auto_compact_files=auto_compact_files,
+        )
         idx._schema_ddl = meta.get("schema")
         return idx
 
@@ -627,10 +653,35 @@ class MinHashIndex:
 
     def append(self, batch: DataFrame, text_col: str) -> None:
         """Add the batch's signatures to the store (per-band partition
-        append; existing partitions gain files, no rewrite)."""
+        append; existing partitions gain files, no rewrite). With
+        ``auto_compact_files`` set, folds the store back to ~one file per
+        band whenever the file count reaches the threshold."""
         self._sigs(batch, text_col).withColumnRenamed(
             self.id_col, "doc_id"
         ).write.mode("append").partitionBy("band").parquet(self.path)
+        if self.auto_compact_files is not None:
+            import glob
+            import os
+
+            n = len(glob.glob(os.path.join(self.path, "band=*", "*.parquet")))
+            if n >= self.auto_compact_files:
+                self.compact(min_files=self.auto_compact_files)
+
+    def compact(self, min_files: int = 64) -> int:
+        """Fold append-accumulated signature files back to ~one per band —
+        every ``append``/``dedup_batch`` adds a file per touched band, so a
+        streaming ingest pays O(appends) file listings per probe without
+        this. Rename-swap (same contract as ``InvertedIndex.compact`` /
+        ``StreamStore.compact``); the ``_minhash_meta.json`` sidecar is
+        carried over. Probe results are identical before/after (tested).
+        No-op below ``min_files``; returns files removed."""
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            compact_partitioned_store,
+        )
+
+        return compact_partitioned_store(
+            self.spark, self.path, "band", min_files=min_files
+        )
 
 
 def connected_components(

@@ -390,42 +390,17 @@ class InvertedIndex:
         started before the swap keeps its snapshot of the old files.
         Single-writer (like build/append — the caller owns write
         serialization). No-op below ``min_files``; returns files removed.
+        Stale ``.compact`` / ``.old`` siblings from a crashed prior run are
+        cleared before the rewrite (the swap's renames must never hit an
+        existing directory).
         """
-        import os
-        import shutil
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            compact_partitioned_store,
+        )
 
-        n_files = sum(
-            1
-            for _r, _d, files in os.walk(self.postings_path)
-            for f in files
-            if f.endswith(".parquet")
+        return compact_partitioned_store(
+            self.spark, self.postings_path, "term_bucket", min_files=min_files
         )
-        if n_files < min_files:
-            return 0
-        tmp = self.postings_path + ".compact"
-        old = self.postings_path + ".old"
-        # a crashed prior compact can strand either sibling; os.rename onto
-        # an existing non-empty directory raises and would leave the index
-        # half-swapped — clear both before starting
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        (
-            self.spark.read.parquet(self.postings_path)
-            .repartition("term_bucket")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(tmp)
-        )
-        os.rename(self.postings_path, old)
-        os.rename(tmp, self.postings_path)
-        shutil.rmtree(old, ignore_errors=True)
-        n_after = sum(
-            1
-            for _r, _d, files in os.walk(self.postings_path)
-            for f in files
-            if f.endswith(".parquet")
-        )
-        return n_files - n_after
 
     def _empty_result(self) -> DataFrame:
         """Empty (doc_id, bm25) frame with the REAL doc_id type from the

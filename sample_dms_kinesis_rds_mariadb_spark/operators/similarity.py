@@ -360,12 +360,23 @@ class IvfIndex:
         centroids: list[list[float]],
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        auto_compact_files: int | None = None,
     ) -> None:
+        n_lists = len(centroids)
+        if auto_compact_files is not None and auto_compact_files <= 2 * n_lists:
+            raise ValueError(
+                f"auto_compact_files ({auto_compact_files}) must exceed "
+                f"2 x n_lists ({2 * n_lists}) or every append re-triggers "
+                "a full store rewrite"
+            )
         self.spark = spark
         self.path = path
         self.centroids = centroids
         self.id_col = id_col
         self.vec_col = vec_col
+        # opt-in maintenance for long-lived ingest loops (same contract as
+        # StreamStore/MinHashIndex auto_compact_files)
+        self.auto_compact_files = auto_compact_files
 
     @classmethod
     def build(
@@ -379,6 +390,7 @@ class IvfIndex:
         sample_fraction: float = 1.0,
         centroids: list[list[float]] | None = None,
         quantize: bool = False,
+        auto_compact_files: int | None = None,
     ) -> "IvfIndex":
         """Cluster (seeded KMeans — the production default) or, when
         ``centroids`` is given, skip clustering and assign each vector to
@@ -409,7 +421,10 @@ class IvfIndex:
         assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
         with open(os.path.join(path, cls.CENTROIDS_FILE), "w") as f:
             json.dump(centroids, f)
-        return cls(df.sparkSession, path, centroids, id_col, vec_col)
+        return cls(
+            df.sparkSession, path, centroids, id_col, vec_col,
+            auto_compact_files=auto_compact_files,
+        )
 
     @classmethod
     def load(
@@ -418,10 +433,14 @@ class IvfIndex:
         path: str,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        auto_compact_files: int | None = None,
     ) -> "IvfIndex":
         with open(os.path.join(path, cls.CENTROIDS_FILE)) as f:
             centroids = json.load(f)
-        return cls(spark, path, centroids, id_col, vec_col)
+        return cls(
+            spark, path, centroids, id_col, vec_col,
+            auto_compact_files=auto_compact_files,
+        )
 
     @classmethod
     def exists(cls, path: str) -> bool:
@@ -448,6 +467,29 @@ class IvfIndex:
         if self._is_quantized():
             assigned = quantize_embeddings(assigned, self.vec_col)
         assigned.write.mode("append").partitionBy("ivf_list").parquet(self.path)
+        if self.auto_compact_files is not None:
+            import glob
+
+            n = len(glob.glob(os.path.join(self.path, "ivf_list=*", "*.parquet")))
+            if n >= self.auto_compact_files:
+                self.compact(min_files=self.auto_compact_files)
+
+    def compact(self, min_files: int = 64) -> int:
+        """Fold append-accumulated list files back to ~one per list —
+        every ``append`` adds a file per touched ``ivf_list``, so a
+        streaming ingest pays O(appends) listings per probe without this.
+        Rename-swap (same contract as ``InvertedIndex.compact``); the
+        ``_ivf_centroids.json`` sidecar is carried over, and a quantized
+        layout round-trips unchanged. Probe results are identical
+        before/after (tested). No-op below ``min_files``; returns files
+        removed."""
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            compact_partitioned_store,
+        )
+
+        return compact_partitioned_store(
+            self.spark, self.path, "ivf_list", min_files=min_files
+        )
 
     def probe(
         self,

@@ -364,3 +364,64 @@ def test_before_image_ttl_must_be_positive(spark):
     )
     with _pytest.raises(ValueError, match="ttl_ms"):
         enrich_before_images(df, F.element_at(F.col("data"), "id"), ttl_ms=0)
+
+
+def test_minhash_index_compact_bounds_files_and_preserves_probes(spark, tmp_path):
+    """VERDICT r6 item 3: appends grow one file per band per batch; compact
+    folds them back (rename-swap, meta sidecar carried) with probe results
+    identical pre/post and further appends still working."""
+    import glob
+    import os
+
+    path = str(tmp_path / "mh-compact")
+    schema = "doc_id long, text string"
+    idx = MinHashIndex.build(spark.createDataFrame([], schema), path, "doc_id", "text")
+    for i, (doc_id, text) in enumerate(DOCS):
+        idx.append(spark.createDataFrame([(doc_id, text)], schema), "text")
+
+    def n_files():
+        return len(glob.glob(os.path.join(path, "band=*", "*.parquet")))
+
+    probe_batch = spark.createDataFrame(
+        [(999, "the quick brown fox jumps over the lazy dog near the river bank")],
+        schema,
+    )
+    before_files = n_files()
+    before = sorted(
+        (r["new_id"], r["stored_id"])
+        for r in idx.probe(probe_batch, "text").collect()
+    )
+    assert before  # the near-dup family collides
+    assert idx.compact(min_files=10_000) == 0          # below threshold: no-op
+    removed = idx.compact(min_files=1)
+    assert removed > 0 and n_files() == before_files - removed
+    # a RE-LOADED index (fresh meta read) probes identically
+    reloaded = MinHashIndex.load(spark, path)
+    after = sorted(
+        (r["new_id"], r["stored_id"])
+        for r in reloaded.probe(probe_batch, "text").collect()
+    )
+    assert after == before
+    # appends continue on the compacted layout
+    reloaded.append(probe_batch, "text")
+    assert (999, 999) not in after
+    again = reloaded.probe(probe_batch, "text").collect()
+    assert any(r["stored_id"] == 999 for r in again)
+
+
+def test_minhash_index_compact_survives_stale_dirs(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "mh-stale")
+    schema = "doc_id long, text string"
+    idx = MinHashIndex.build(
+        spark.createDataFrame(DOCS, schema), path, "doc_id", "text"
+    )
+    for leftover in (path + ".old", path + ".compact"):
+        os.makedirs(os.path.join(leftover, "band=0"), exist_ok=True)
+        with open(os.path.join(leftover, "band=0", "junk.parquet"), "w") as f:
+            f.write("not parquet")
+    assert idx.compact(min_files=1) >= 0
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".compact")
+    assert MinHashIndex.exists(path)  # meta sidecar survived the swap

@@ -1540,3 +1540,63 @@ def test_empty_doc_counts_zero_tokens(spark):
     assert rows[3]["n"] == 2
     assert rows[4]["n"] is None
     assert rows[1]["avg"] == 0 and rows[2]["avg"] == 0
+
+
+def test_ivf_index_compact_bounds_files_and_preserves_probes(spark, tmp_path):
+    """VERDICT r6 item 3: per-list append files fold back via rename-swap;
+    centroid sidecar carried, probes identical, quantized layout intact."""
+    import glob
+    import os
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import IvfIndex
+
+    def vec(seed):
+        import random
+
+        r = random.Random(seed)
+        return [r.uniform(-1, 1) for _ in range(8)]
+
+    df = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf-compact")
+    idx = IvfIndex.build(df, path, n_lists=4, quantize=True)
+    for i in range(40, 52):
+        idx.append(
+            spark.createDataFrame(
+                [(i, vec(i))], "vec_id long, embedding array<double>"
+            )
+        )
+
+    def n_files():
+        return len(glob.glob(os.path.join(path, "ivf_list=*", "*.parquet")))
+
+    before_files = n_files()
+    before = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in idx.probe(vec(43), k=5, n_probe=4).collect()
+    ]
+    before_int8 = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in idx.probe(vec(43), k=5, n_probe=4, coarse="int8").collect()
+    ]
+    assert idx.compact(min_files=10_000) == 0
+    removed = idx.compact(min_files=1)
+    assert removed > 0 and n_files() == before_files - removed
+    reloaded = IvfIndex.load(spark, path)
+    assert reloaded.centroids == idx.centroids  # sidecar survived
+    after = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in reloaded.probe(vec(43), k=5, n_probe=4).collect()
+    ]
+    after_int8 = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in reloaded.probe(vec(43), k=5, n_probe=4, coarse="int8").collect()
+    ]
+    assert after == before and after_int8 == before_int8
+    # appends continue on the compacted layout
+    reloaded.append(
+        spark.createDataFrame([(900, vec(43))], "vec_id long, embedding array<double>")
+    )
+    top = reloaded.probe(vec(43), k=2, n_probe=1).collect()
+    assert {r["vec_id"] for r in top} == {43, 900}
