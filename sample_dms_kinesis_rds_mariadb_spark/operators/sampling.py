@@ -128,12 +128,72 @@ def temperature_weights(
     return {k: target_fraction * r / peak for k, r in raw.items()}
 
 
+def prethin_for_cap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str | list[str],
+    n: int,
+    salt: str = "cap",
+    factor: float = 3.0,
+    top_n: int = 100,
+) -> DataFrame:
+    """Map-side pre-thin of pathologically hot groups before an exact
+    :func:`cap_per_group` — the two-stage recipe that keeps the cap
+    window's per-task volume bounded without biasing the kept-set.
+
+    Consults :func:`~.skew.key_skew_profile` (control-plane: ``top_n``
+    rows) for groups whose count exceeds ``factor * n``, and filters each
+    to the rows whose CAP-PRIORITY bucket — the same ``md5(salt|key)``
+    the cap's window orders by — falls below a per-group cut sized to
+    leave ``~factor * n`` expected survivors. Because the filter and the
+    cap share the priority order, the result is EXACTLY the unthinned
+    cap's kept-set whenever a hot group retains at least ``n`` survivors:
+    the cap keeps the ``n`` smallest priority buckets, and all of them sit
+    below any cut that admits ``>= n`` rows. Under-fill probability is the
+    lower Poisson tail P(X < n | mean = factor*n) — ~1e-5 at the default
+    factor for ``n >= 10``; raise ``factor`` for smaller caps.
+
+    Scale shape: the profile is a map-side-combined groupBy (the hot key
+    collapses to one partial per upstream partition BEFORE its shuffle);
+    the thin itself is a stateless narrow filter (the per-group cut is a
+    literal CASE over ``top_n`` hot groups, no join) — so the hot group
+    never rides a shuffle at full size; only its ``~factor * n``
+    survivors reach the cap's window task.
+    """
+    from sample_dms_kinesis_rds_mariadb_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    if n <= 0:
+        return df
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    hot = key_skew_profile(df, groups, top_n=top_n).collect()
+    cuts: list[tuple[tuple, int]] = []
+    for r in hot:
+        if r["n"] > factor * n:
+            cut = min(_BUCKETS, int(factor * n * _BUCKETS / r["n"]) + 1)
+            cuts.append((tuple(r[g] for g in groups), cut))
+    if not cuts:
+        return df
+    bucket = _hash_bucket(F.col(key_col), salt)
+    cut_expr: Column = F.lit(_BUCKETS)  # non-hot groups keep everything
+    for gvals, cut in sorted(cuts, key=lambda x: (str(x[0]), x[1])):
+        cond = F.lit(True)
+        for g, v in zip(groups, gvals):
+            cond = cond & F.col(g).eqNullSafe(F.lit(v))
+        cut_expr = F.when(cond, F.lit(cut)).otherwise(cut_expr)
+    return df.filter(bucket < cut_expr)
+
+
 def cap_per_group(
     df: DataFrame,
     key_col: str,
     group_col: str | list[str],
     n: int,
     salt: str = "cap",
+    prethin: bool = False,
+    prethin_factor: float = 3.0,
+    prethin_top_n: int = 100,
 ) -> DataFrame:
     """Keep at most ``n`` rows per group — the per-domain/per-source cap
     corpus recipes apply so one crawl host can't dominate the mixture
@@ -149,15 +209,21 @@ def cap_per_group(
     Scale shape: one hash shuffle on the group key and a per-group
     top-``n`` (rank over an ordered window). Per-group data goes through
     ONE task, which is the cap's semantics (a relative verdict needs the
-    group together); for pathologically hot groups run
-    :func:`~.skew.key_skew_profile` first and pre-thin with
-    :func:`hash_sample` at a rate that leaves ~2-3x the cap, then apply the
-    exact cap to the survivors — the two-stage shape keeps the window's
-    per-task volume bounded without biasing the final kept-set.
+    group together); for pathologically hot groups pass ``prethin=True``,
+    which runs :func:`prethin_for_cap` first — a priority-consistent
+    map-side thin of the profiled hot groups that bounds the window's
+    per-task volume while reproducing the unthinned kept-set exactly
+    (see its docstring for the guarantee and its Poisson under-fill
+    bound, tunable via ``prethin_factor`` / ``prethin_top_n``).
     """
     if n < 0:
         raise ValueError(f"n must be >= 0, got {n}")
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    if prethin:
+        df = prethin_for_cap(
+            df, key_col, groups, n, salt=salt,
+            factor=prethin_factor, top_n=prethin_top_n,
+        )
     w = Window.partitionBy(*groups).orderBy(
         _hash_bucket(F.col(key_col), salt), F.col(key_col)
     )

@@ -303,3 +303,53 @@ def test_jsonl_shard_export_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="format"):
         write_training_shards(df, str(tmp_path / "x"), "doc_id", format="csv")
+
+
+def test_cap_per_group_prethin_bounds_hot_group_and_matches_exact(spark):
+    """VERDICT r6 item 8: prethin=True bounds the window's per-task rows
+    for a pathologically hot group (the survivors reaching the window are
+    ~factor*n, not the group) while the kept-set equals the unthinned
+    exact cap — the pre-thin shares the cap's priority hash, so it can
+    only remove rows the cap would have discarded anyway."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
+        prethin_for_cap,
+    )
+
+    rng = random.Random(21)
+    # one group with 5000 rows, four normal groups with ~50 each
+    rows = [(f"h{i}", "hot") for i in range(5000)] + [
+        (f"c{i}", f"cold{rng.randint(0, 3)}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    n = 20
+
+    exact = sorted(
+        (r["doc_id"], r["source"])
+        for r in cap_per_group(df, "doc_id", "source", n).collect()
+    )
+    thinned = sorted(
+        (r["doc_id"], r["source"])
+        for r in cap_per_group(
+            df, "doc_id", "source", n, prethin=True
+        ).collect()
+    )
+    assert thinned == exact
+    assert sum(1 for _, s in thinned if s == "hot") == n
+
+    # the volume actually reaching the cap window: the hot group shrinks
+    # to ~factor*n survivors, cold groups are untouched (exact cap there)
+    survivors = prethin_for_cap(df, "doc_id", "source", n).collect()
+    per_group: dict[str, int] = {}
+    for r in survivors:
+        per_group[r["source"]] = per_group.get(r["source"], 0) + 1
+    assert n <= per_group["hot"] <= 6 * n  # bounded, with comfortable slack
+    assert sum(v for k, v in per_group.items() if k != "hot") == 200
+
+    # unbiasedness sanity: the kept hot rows are the same rows a pure
+    # hash-priority top-n picks — i.e. a deterministic uniform sample,
+    # not "whatever the scan saw first"
+    want_hot = sorted(
+        [f"h{i}" for i in range(5000)],
+        key=lambda k: _ref_cap_rank(k, "cap"),
+    )[:n]
+    assert sorted(k for k, s in thinned if s == "hot") == sorted(want_hot)
