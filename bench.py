@@ -63,11 +63,21 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session(app_name="bench")
 
+    # host-load context (VERDICT r5: cross-round comparisons needed
+    # forensic A/Bs to separate host drift from code — stamp the run so
+    # they don't): loadavg at start, and a fixed-work CALIBRATION timing
+    # (pure-JVM arithmetic, no IO, no repo code) whose round-over-round
+    # ratio estimates the host speed delta independent of any code change
+    loadavg_start = list(os.getloadavg())
+
     # warm up the JVM/codegen path AND the parquet reader stack (FS init,
     # footer reader classes) so per-query numbers measure the plan, not
     # first-job startup — the tiny region table (5 rows) touches the whole
     # scan machinery without caching anything the queries use
     spark.range(1000).selectExpr("sum(id)").collect()
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * id % 1000)").collect()
+    calibration_sec = round(time.perf_counter() - t0, 3)
     from sample_dms_kinesis_rds_mariadb_spark.plans.queries import load_table as _lt
 
     _lt(spark, sf_dir, "region").count()
@@ -160,6 +170,91 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
     timings["quantized_topk_rerank"] = round(time.perf_counter() - t0, 3)
+
+    # r6 additions: the r5 operator families that had no bench leg
+    # (VERDICT r6 item 4) — all library legs like the ones above; CORE
+    # stays frozen so the round-over-round ratio is unaffected.
+    from pyspark.sql import functions as F
+
+    # 5) distributed classifier training (bounded iters) + pure-codegen
+    # inference over the corpus
+    from sample_dms_kinesis_rds_mariadb_spark.functions.classify import (
+        classifier_probability,
+        train_classifier,
+    )
+
+    _lab = _docs.withColumn("label", (F.length("text") % 2).cast("int"))
+    t0 = time.perf_counter()
+    # bounded work: per-iteration cost is plan-compile + one corpus scan
+    # (dim-independent), inference cost tracks the weight-literal size —
+    # 2 iterations x 4k dims exercises the full train/serve path without
+    # letting a constant-cost leg dominate the bench
+    _w, _b, _ = train_classifier(
+        _lab, "text", "label", dim=2**12, iterations=2
+    )
+    timings["classifier_train"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _docs.select(
+        "doc_id", classifier_probability(F.col("text"), _w, _b).alias("p")
+    ).write.mode("overwrite").format("noop").save()
+    timings["classifier_inference"] = round(time.perf_counter() - t0, 3)
+
+    # 6) n-gram LM: corpus-trained counts + Arrow-batched perplexity scores
+    from sample_dms_kinesis_rds_mariadb_spark.functions.lm import (
+        doc_tokens_column,
+        make_perplexity_scorer,
+        train_ngram_counts,
+    )
+
+    t0 = time.perf_counter()
+    _model = train_ngram_counts(_docs, "text", vocab_size=32_768)
+    _scorer = make_perplexity_scorer(spark, _model)
+    _docs.select(
+        "doc_id", _scorer(doc_tokens_column(F.col("text"))).alias("bpt")
+    ).write.mode("overwrite").format("noop").save()
+    timings["lm_perplexity_scoring"] = round(time.perf_counter() - t0, 3)
+
+    # 7) graded contamination scores against a 64-doc benchmark set
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        contamination_scores,
+    )
+
+    _bench_docs = _docs.select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("btext")
+    ).limit(64)
+    t0 = time.perf_counter()
+    contamination_scores(
+        _docs, _bench_docs, "doc_id", "text",
+        bench_id_col="bench_id", bench_text_col="btext",
+    ).write.mode("overwrite").format("noop").save()
+    timings["contamination_scores"] = round(time.perf_counter() - t0, 3)
+
+    # 8) token-budget shard assignment (two-pass distributed prefix sum)
+    from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
+        budget_shard_column,
+    )
+
+    t0 = time.perf_counter()
+    budget_shard_column(
+        _docs.withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+"))),
+        "n_tokens",
+        budget=100_000,
+        order_col="doc_id",
+    ).write.mode("overwrite").format("noop").save()
+    timings["budget_shard_column"] = round(time.perf_counter() - t0, 3)
+
+    # 9) LSH-bucketed hard-negative mining over the embeddings table
+    from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    t0 = time.perf_counter()
+    hard_negatives(
+        _emb.withColumn("label", (F.col("vec_id") % 2).cast("int")),
+        k=5,
+        id_col="vec_id",
+    ).write.mode("overwrite").format("noop").save()
+    timings["hard_negatives"] = round(time.perf_counter() - t0, 3)
 
     # full-load replication throughput: lineitem → envelope encode → ordered
     # sink write (the engine's S1→K1 path), measured as rows/sec
@@ -260,6 +355,14 @@ def main() -> None:
                     "full_load_envelope_sink": fl_runs,
                     "cdc_apply_sink": cdc_runs,
                 },
+                # host-drift forensics (VERDICT r6 item 5): compare
+                # calibration_sec across rounds to separate host speed
+                # changes from code changes before reading any leg delta
+                "loadavg": {
+                    "start": loadavg_start,
+                    "end": list(os.getloadavg()),
+                },
+                "calibration_sec": calibration_sec,
             }
         )
     )
