@@ -97,6 +97,20 @@ def main() -> None:
     state = {r["ID"]: r["BALANCE"] for r in mat.table("APP", "accounts").collect()}
     print(f"incremental poll: {n} rows captured -> state {state}")
     assert state == {1: 150, 2: 200, 3: 300}
+
+    # --- delete capture: snapshot key-diff reconciliation ------------------
+    # polling cannot observe deletes (a vanished row never advances the
+    # cursor); reconcile() anti-joins the replica's PK set against the
+    # source's and emits op=delete events — fully distributed, ids only
+    st = conn.createStatement()
+    st.executeUpdate("DELETE FROM accounts WHERE id = 2")
+    st.close()
+    assert cap.pump(feed) == 0  # invisible to the poll, by design
+    n = cap.reconcile(feed, mat.table("APP", "accounts"), "ID")
+    apply_feed()
+    state = {r["ID"]: r["BALANCE"] for r in mat.table("APP", "accounts").collect()}
+    print(f"reconcile: {n} delete(s) captured -> state {state}")
+    assert state == {1: 150, 3: 300}
     print("done.")
 
 

@@ -1181,3 +1181,46 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cosine_sim"),
         "rank",
     ).orderBy("probe_id", "rank")
+
+
+@register(
+    "cap_per_group_sources",
+    "Per-source document cap (operators/sampling.py cap_per_group) run "
+    "through the prethin=True two-stage path: hot groups are map-side "
+    "thinned on the cap's own md5 priority before the window, and the "
+    "kept-set must still hash-match the plain SQL top-n — the prethin "
+    "exactness guarantee, proven against the oracle. EXTRA: oracle-checked "
+    "by the pytest parity harness outside the 50-cap catalog",
+    oracle="""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5('cap' || '|' ||
+                             CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 1000000,
+                            doc_id
+                 ) AS rn
+          FROM documents
+        )
+        SELECT doc_id, source FROM ranked
+        WHERE rn <= 50
+        ORDER BY source, doc_id
+    """,
+    tags=("sampling",),
+    extra=True,
+)
+def q_cap_per_group_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cap_per_group(
+            docs, "doc_id", "source", 50,
+            prethin=True, prethin_factor=3.0,
+        )
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
