@@ -591,10 +591,21 @@ class MinHashIndex:
         leak into an already-built probe (lazy plans re-list directories on
         re-execution — e.g. a cache-evicted loser set would otherwise see
         the batch's own signatures and self-collide). An empty bootstrap
-        store reads as an empty frame with the persisted schema."""
+        store reads as an empty frame with the persisted schema.
+
+        The pinned-file-list snapshot also means a ``compact`` (manual or
+        ``auto_compact_files``-triggered) INVALIDATES plans built before
+        it — materialize probe results (collect / localCheckpoint) before
+        any call that may compact, the order ``dedup_batch`` itself
+        follows (losers are checkpointed before its append)."""
         import glob
         import os
 
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            heal_partitioned_store,
+        )
+
+        heal_partitioned_store(self.path)
         files = sorted(
             glob.glob(os.path.join(self.path, "band=*", "*.parquet"))
         )
@@ -655,14 +666,23 @@ class MinHashIndex:
         """Add the batch's signatures to the store (per-band partition
         append; existing partitions gain files, no rewrite). With
         ``auto_compact_files`` set, folds the store back to ~one file per
-        band whenever the file count reaches the threshold."""
+        band whenever the file count reaches the threshold — which, like a
+        manual ``compact``, invalidates probe plans built earlier (see
+        ``_store``); materialize in-flight probe results first."""
+        import glob
+        import os
+
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            heal_partitioned_store,
+        )
+
+        # a parquet append would silently re-CREATE a path deleted by a
+        # crashed compact, orphaning the store's history in .compact/.old
+        heal_partitioned_store(self.path)
         self._sigs(batch, text_col).withColumnRenamed(
             self.id_col, "doc_id"
         ).write.mode("append").partitionBy("band").parquet(self.path)
         if self.auto_compact_files is not None:
-            import glob
-            import os
-
             n = len(glob.glob(os.path.join(self.path, "band=*", "*.parquet")))
             if n >= self.auto_compact_files:
                 self.compact(min_files=self.auto_compact_files)

@@ -358,6 +358,13 @@ class InvertedIndex:
         arithmetic stats update — never a corpus recompute. Caller owns id
         uniqueness (re-appending an id would double-count it, exactly like
         appending it to the source corpus twice)."""
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            heal_partitioned_store,
+        )
+
+        # a parquet append would silently re-CREATE a path deleted by a
+        # crashed compact, orphaning the postings in .compact/.old
+        heal_partitioned_store(self.postings_path)
         self._postings(df, text_col).write.mode("append").partitionBy(
             "term_bucket"
         ).parquet(self.postings_path)
@@ -453,15 +460,25 @@ class InvertedIndex:
         if not terms or n == 0 or self._n_text_docs == 0:
             return self._empty_result()
         buckets = sorted({self._bucket_of(t) for t in terms})
-        try:
-            postings = self.spark.read.parquet(self.postings_path)
-        except Exception:
-            # n_docs > 0 but no postings files: every indexed doc had
-            # NULL/empty/whitespace text, so the partitioned write produced
-            # nothing to infer a schema from — nothing to score
+        # n_docs > 0 but no postings files: every indexed doc had
+        # NULL/empty/whitespace text, so the partitioned write produced
+        # nothing to infer a schema from — nothing to score. An explicit
+        # file check, NOT a try/except around the read: swallowing read
+        # errors would silently turn store corruption into "no hits"
+        import glob
+        import os
+
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            heal_partitioned_store,
+        )
+
+        heal_partitioned_store(self.postings_path)
+        if not glob.glob(
+            os.path.join(self.postings_path, "term_bucket=*", "*.parquet")
+        ):
             return self._empty_result()
         p = (
-            postings
+            self.spark.read.parquet(self.postings_path)
             # term_bucket prunes DIRECTORIES before any file opens; the
             # term filter then prunes row groups via dictionary/min-max
             .filter(F.col("term_bucket").isin(buckets))

@@ -460,7 +460,17 @@ class IvfIndex:
         never a corpus re-cluster. Re-cluster deliberately stays a manual
         `build` — centroid drift invalidates stored assignments, so it must
         be an explicit rebuild, not a side effect of ingest. A quantized
-        layout quantizes the batch too (appends must match the schema)."""
+        layout quantizes the batch too (appends must match the schema).
+        With ``auto_compact_files`` set, a threshold-crossing append
+        compacts — invalidating probe plans built earlier (Spark pins
+        concrete file paths); materialize in-flight probe results first."""
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            heal_partitioned_store,
+        )
+
+        # a parquet append would silently re-CREATE a path deleted by a
+        # crashed compact, orphaning the store's history in .compact/.old
+        heal_partitioned_store(self.path)
         assigned = df.withColumn(
             "ivf_list", assign_to_centroids(F.col(self.vec_col), self.centroids)
         )
@@ -506,6 +516,11 @@ class IvfIndex:
         the IO), then the ``oversample * k`` survivors rerank at full
         float precision — returned ``cosine_sim`` values are always exact.
         """
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            heal_partitioned_store,
+        )
+
+        heal_partitioned_store(self.path)
         probe_lists = _nearest_lists(self.centroids, probe, n_probe)
         scan = self.spark.read.parquet(self.path).filter(
             F.col("ivf_list").isin(probe_lists)

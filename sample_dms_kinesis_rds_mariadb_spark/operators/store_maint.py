@@ -34,6 +34,30 @@ def _count_parquet_files(path: str) -> int:
     )
 
 
+def heal_partitioned_store(path: str) -> bool:
+    """Recover a store whose :func:`compact_partitioned_store` crashed
+    between its two renames — the only window where ``path`` itself is
+    missing. In that window the ``.compact`` sibling is COMPLETE (the
+    rewrite and sidecar copy finish before the first rename), so recovery
+    promotes it; a bare ``.old`` (no ``.compact``) rolls back instead.
+    Idempotent and cheap (two existence checks when healthy); the index
+    stores call it from their append/probe entrypoints so a crashed
+    compact can never make an append silently re-create an EMPTY store
+    over the orphaned data. Returns True if a repair happened."""
+    if os.path.exists(path):
+        return False
+    tmp = path + ".compact"
+    old = path + ".old"
+    if os.path.isdir(tmp):
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return True
+    if os.path.isdir(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def compact_partitioned_store(
     spark, path: str, partition_col: str, min_files: int = 64
 ) -> int:
@@ -45,13 +69,17 @@ def compact_partitioned_store(
     Driver-side sidecar metadata (leading-underscore regular files in the
     store root, e.g. ``_minhash_meta.json`` / ``_ivf_centroids.json`` —
     invisible to parquet readers) is carried into the new layout before the
-    swap, so a crash between the renames can lose at most the OLD layout,
-    never the metadata.
+    swap. A crash between the two renames leaves ``path`` missing with the
+    complete ``.compact`` sibling on disk — :func:`heal_partitioned_store`
+    (run automatically at the next compact/append/probe) promotes it, so
+    no committed data or metadata is ever lost.
 
     Single-writer, like append (the caller owns write serialization);
-    stale ``.compact`` / ``.old`` siblings from a crashed prior run are
-    cleared first so the swap's renames never hit an existing directory.
+    a prior crashed run is healed first (:func:`heal_partitioned_store`),
+    then stale ``.compact`` / ``.old`` siblings are cleared so the swap's
+    renames never hit an existing directory.
     """
+    heal_partitioned_store(path)
     n_files = _count_parquet_files(path)
     if n_files < min_files:
         return 0

@@ -167,18 +167,21 @@ class JdbcPollingCapture:
     def _fingerprint(data: dict) -> str:
         return json.dumps(data, sort_keys=True, default=str)
 
-    def _resolve_cursor(self, df) -> str:
-        """Spark resolves ``F.col(cursor_col)`` case-insensitively, but
-        ``Row`` access is case-sensitive — resolve once to the actual
-        column name (Derby/MySQL return upper/lower-cased metadata) and
-        fail clearly if absent."""
+    def _resolve_column(self, df, col_name: str, what: str = "column") -> str:
+        """Spark resolves ``F.col(...)`` case-insensitively, but ``Row``
+        access is case-sensitive — resolve once to the actual column name
+        (Derby/MySQL return upper/lower-cased metadata) and fail clearly
+        if absent."""
         for c in df.columns:
-            if c.lower() == self.cursor_col.lower():
+            if c.lower() == col_name.lower():
                 return c
         raise ValueError(
-            f"cursor column {self.cursor_col!r} not found in "
+            f"{what} {col_name!r} not found in "
             f"{self.schema}.{self.table} (columns: {df.columns})"
         )
+
+    def _resolve_cursor(self, df) -> str:
+        return self._resolve_column(df, self.cursor_col, what="cursor column")
 
     def _floor(self):
         """Lower bound of the re-read window."""
@@ -328,6 +331,13 @@ class JdbcPollingCapture:
         fingerprint set is table-sized no matter where the encode runs.
         """
         cols = df.columns
+        for reserved in ("_data", "_mono"):
+            if reserved in cols:
+                raise ValueError(
+                    f"{self.schema}.{self.table} has a column named "
+                    f"{reserved!r}, which the snapshot encoder reserves — "
+                    "rename it or view-project it away at the endpoint"
+                )
         now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
         data = F.create_map(
             *[x for c in cols for x in (F.lit(c), F.col(c).cast("string"))]
@@ -432,12 +442,13 @@ class JdbcPollingCapture:
         seq than this delete, so the applier keeps the re-insert). Returns
         the number of delete events emitted.
         """
+        df = self._load()
         # compare in the REPLICA's pk type (the registered target type):
         # string-space comparison would false-diff types whose text forms
         # differ (DECIMAL '100.00' vs INT '100')
         pk_type = replica_df.schema[pk_col].dataType
-        source_keys = self._load().select(
-            F.col(self._resolve_column(pk_col)).cast(pk_type).alias("_k")
+        source_keys = df.select(
+            F.col(self._resolve_column(df, pk_col)).cast(pk_type).alias("_k")
         )
         replica_keys = replica_df.select(F.col(pk_col).alias("_k"))
         gone = (
@@ -462,19 +473,30 @@ class JdbcPollingCapture:
             F.col("_mono"),
         )
         feed.append_changes_df(changes_df, "_mono", int(agg["mx"]))
+        self._forget_vanished_fingerprints(df)
         return int(agg["n"])
 
-    def _resolve_column(self, col_name: str) -> str:
-        """Case-insensitive resolution for an arbitrary column (the JDBC
-        metadata casing problem ``_resolve_cursor`` solves for the cursor)."""
-        df = self._load()
-        for c in df.columns:
-            if c.lower() == col_name.lower():
-                return c
-        raise ValueError(
-            f"column {col_name!r} not found in {self.schema}.{self.table} "
-            f"(columns: {df.columns})"
+    def _forget_vanished_fingerprints(self, df) -> None:
+        """Drop re-read-window fingerprints whose rows the source no longer
+        has. Without this, a row deleted and then re-inserted IDENTICALLY
+        (same cursor value — e.g. a restore from backup) would be skipped
+        by every later poll's fingerprint check while the reconcile-emitted
+        delete had already removed it from the replica — a permanent silent
+        divergence reconcile itself can never repair (it only diffs
+        replica-minus-source). Pruning to the fingerprints still present
+        re-arms delivery for exactly the vanished rows; the collect is the
+        same window-bounded read every pump performs."""
+        if not self._window_fps:
+            return
+        cursor = self._resolve_cursor(df)
+        floor = self._floor()
+        if floor is not None:
+            df = df.filter(F.col(cursor) >= F.lit(floor))
+        current = frozenset(
+            self._fingerprint(self._stringify(r.asDict())) for r in df.collect()
         )
+        self._window_fps = self._window_fps & current
+        self._save_state()
 
     @staticmethod
     def _stringify(d: dict) -> dict:

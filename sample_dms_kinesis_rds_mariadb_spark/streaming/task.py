@@ -123,7 +123,15 @@ class ReplicationTask:
             # state is live or no manifest exists)
             if self.materializer is not None:
                 self.materializer.restore()
-            self._start_cdc()
+            # same atomicity as the full-load-and-cdc thread: a stop()
+            # racing this start must either be seen here (flag set before
+            # we take the lock → never start) or see the started query
+            # (its _query read takes the same lock) — never slip between
+            with self._lock:
+                if self._stop_requested.is_set():
+                    self.status = STOPPED
+                    return
+                self._start_cdc()
 
     def stop(self) -> None:
         """stop-replication (reference run.py:148-151). Drains in-flight

@@ -425,3 +425,52 @@ def test_minhash_index_compact_survives_stale_dirs(spark, tmp_path):
     assert not os.path.exists(path + ".old")
     assert not os.path.exists(path + ".compact")
     assert MinHashIndex.exists(path)  # meta sidecar survived the swap
+
+
+def test_crashed_compact_heals_on_next_access(spark, tmp_path):
+    """A compact() that died between its two renames leaves the store path
+    missing with the COMPLETE .compact sibling on disk; the next access
+    (probe/append/compact) must promote it — and an append must never
+    silently re-create an empty store over the orphaned data."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "mh-crash")
+    schema = "doc_id long, text string"
+    idx = MinHashIndex.build(
+        spark.createDataFrame(DOCS, schema), path, "doc_id", "text"
+    )
+    probe_batch = spark.createDataFrame(
+        [(999, "the quick brown fox jumps over the lazy dog near the river bank")],
+        schema,
+    )
+    before = sorted(
+        (r["new_id"], r["stored_id"])
+        for r in idx.probe(probe_batch, "text").collect()
+    )
+    assert before
+    # simulate the crash window: .compact complete (incl. sidecar), path
+    # renamed away to .old, second rename never happened
+    shutil.copytree(path, path + ".compact")
+    os.rename(path, path + ".old")
+    assert not os.path.exists(path)
+
+    after = sorted(
+        (r["new_id"], r["stored_id"])
+        for r in idx.probe(probe_batch, "text").collect()
+    )
+    assert after == before                      # healed, nothing lost
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".compact")
+    assert MinHashIndex.exists(path)            # sidecar promoted too
+
+    # append path heals as well (would otherwise re-create an empty store)
+    shutil.copytree(path, path + ".compact")
+    os.rename(path, path + ".old")
+    idx.append(probe_batch, "text")
+    again = idx.probe(probe_batch, "text").collect()
+    assert any(r["stored_id"] == 999 for r in again)   # new data present
+    assert sorted(
+        (r["new_id"], r["stored_id"]) for r in again if r["stored_id"] != 999
+    ) == before                                        # old data survived

@@ -478,3 +478,46 @@ def test_append_changes_df_interleaves_with_driver_appends(spark, tmp_path):
     )
     all_rows = {r["txn_id"]: r["seq"] for r in feed2.read_batch().collect()}
     assert all_rows["post"] > max(all_rows[t] for t in all_rows if t != "post")
+
+
+def test_reconcile_rearms_identical_reinsert(spark, tmp_path):
+    """A row deleted at the source and later RE-INSERTED IDENTICALLY (same
+    cursor value — e.g. restored from backup) must reach the replica
+    again: reconcile prunes the vanished row's boundary fingerprint, so
+    the next pump's fingerprint skip no longer suppresses it."""
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.apply import (
+        TableMaterializer,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import (
+        TableRegistry,
+    )
+
+    db, conn = _seed_derby(spark, tmp_path)
+    cap = _capture(spark, db)
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    assert cap.pump(feed) == 2  # snapshot; both rows at hwm=1 fingerprinted
+
+    registry = TableRegistry()
+    shape = spark.createDataFrame([], "ID long, BALANCE long, VERSION long")
+    registry.register_from_df("APP", "accounts", shape, primary_key="ID")
+    mat = TableMaterializer(spark, registry, str(tmp_path / "state"), n_buckets=4)
+    mat.overwrite("APP", "accounts", shape)
+    assert mat.apply_change_batch(feed.read_batch()) == []
+
+    st = conn.createStatement()
+    st.executeUpdate("DELETE FROM accounts WHERE id = 1")
+    st.close()
+    assert cap.reconcile(feed, mat.table("APP", "accounts"), "ID") == 1
+    assert mat.apply_change_batch(feed.read_batch()) == []
+    assert {r["ID"] for r in mat.table("APP", "accounts").collect()} == {2}
+
+    # identical re-insert: same PK, same data, same (unadvanced) cursor
+    st = conn.createStatement()
+    st.executeUpdate("INSERT INTO accounts VALUES (1, 100, 1)")
+    st.close()
+    assert cap.pump(feed) == 1  # NOT suppressed by the stale fingerprint
+    assert mat.apply_change_batch(feed.read_batch()) == []
+    state = {r["ID"]: r["BALANCE"] for r in mat.table("APP", "accounts").collect()}
+    assert state == {1: 100, 2: 200}
+    # and the re-delivered row's fingerprint re-arms the skip: quiescent
+    assert cap.pump(feed) == 0

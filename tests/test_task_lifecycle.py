@@ -190,3 +190,101 @@ def test_stop_during_snapshot_phase_never_starts_cdc(spark, tmp_path):
     task._run_full_load_then_cdc()
     assert task._query is None
     assert task.status == "stopped"
+
+
+def test_stop_racing_cdc_start_stops_the_started_query(spark, tmp_path):
+    """The r5 advisory race: stop() arriving AFTER the load thread passed
+    its flag-check but BEFORE _start_cdc() finished must still stop the
+    query. The fix makes flag-check + query start atomic under the task
+    lock and has stop() read _query under the same lock — so stop() either
+    prevents the start or sees the started query; it can never thread the
+    gap, mark STOPPED, and leave an unstoppable query running."""
+    import threading
+
+    from sample_dms_kinesis_rds_mariadb_spark.fixtures import seed_df
+    from sample_dms_kinesis_rds_mariadb_spark.spec import (
+        EndpointSpec,
+        PipelineSpec,
+        SelectionRule,
+        TaskSettings,
+        TaskSpec,
+    )
+
+    spec = PipelineSpec(
+        endpoints=[
+            EndpointSpec(
+                "mariadb-source",
+                "memory",
+                {
+                    "schema_name": DB_NAME,
+                    "changefeed_path": str(tmp_path / "feed"),
+                },
+            )
+        ],
+        tasks=[
+            TaskSpec(
+                "flc-task",
+                "mariadb-source",
+                "full-load-and-cdc",
+                [SelectionRule(DB_NAME, "novels")],
+                TaskSettings(),
+            )
+        ],
+        shards=1,
+    )
+    eng = ReplicationEngine(spark, spec, str(tmp_path / "work"))
+    _, _, pk, defaults = TABLES["novels"]
+    df = seed_df(spark, "novels").cache()
+    df.count()
+    eng.register_table("mariadb-source", DB_NAME, "novels", df, pk, defaults)
+    task = eng.tasks["flc-task"]
+
+    entered = threading.Event()
+    orig_start = task._start_cdc
+
+    def slow_start(after_seq=0):
+        # we are INSIDE the lock-guarded window the race targets: signal
+        # the main thread to call stop() now, then dawdle so stop() is
+        # provably concurrent with the query start
+        entered.set()
+        time.sleep(1.0)
+        orig_start(after_seq=after_seq)
+
+    task._start_cdc = slow_start
+    t = threading.Thread(target=task._run_full_load_then_cdc, daemon=True)
+    t.start()
+    assert entered.wait(120)
+    task.stop()  # races the in-flight _start_cdc for the lock
+    t.join(120)
+    assert not t.is_alive()
+    assert task.status == "stopped"
+    assert task._query is None
+
+
+def test_stop_racing_pure_cdc_start_stops_the_started_query(spark, tmp_path):
+    """The same start/stop atomicity for a PURE-CDC task: start() runs
+    _start_cdc() under the task lock with a flag re-check, so a stop()
+    racing it either prevents the start or stops the started query —
+    never returns STOPPED while an unstoppable query spins up behind it."""
+    import threading
+
+    eng = _mk_engine(spark, tmp_path)
+    task = eng.tasks["cdc-task-1"]
+
+    entered = threading.Event()
+    orig_start = task._start_cdc
+
+    def slow_start(after_seq=0):
+        entered.set()
+        time.sleep(1.0)
+        orig_start(after_seq=after_seq)
+
+    task._start_cdc = slow_start
+    t = threading.Thread(target=task.start, daemon=True)
+    t.start()
+    assert entered.wait(120)
+    task.stop()
+    t.join(120)
+    assert not t.is_alive()
+    assert task.status == "stopped"
+    assert task._query is None
