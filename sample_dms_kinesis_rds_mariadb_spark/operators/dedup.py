@@ -877,6 +877,173 @@ def decontaminate(
     return corpus.join(dirty, id_col, "left_anti")
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 13,
+    min_shared: int = 1,
+    fpp: float = 0.01,
+    materialize: bool = True,
+) -> DataFrame:
+    """:func:`decontaminate` for LARGE benchmark suites — row-identical
+    output, different scale shape. The exact path broadcasts the benchmark
+    gram set (~40 B/gram as md5 hex); a combined eval suite with tens of
+    millions of grams turns that "tiny" broadcast into a per-executor
+    gigabyte. This variant broadcasts a deterministic BLOOM FILTER instead
+    (~``1.44 log2(1/fpp)`` bits/gram — ~10 bits at the default 1% fpp,
+    ~30x smaller) and keeps the result EXACT with a two-stage plan:
+
+    1. **Bloom pass** (one corpus scan, Arrow-batched): flag documents
+       whose Bloom-positive gram count reaches ``min_shared``. Blooms have
+       no false negatives, so the flagged set is a SUPERSET of the truly
+       contaminated one — an unflagged document is provably clean.
+    2. **Exact verify on the flagged slice only**: the flagged documents'
+       grams hash-join the benchmark's (distributed shuffle join, NO
+       broadcast — affordable because it runs on the contaminated+FP
+       slice, not the corpus), re-applying :func:`decontaminate`'s exact
+       per-(corpus, bench) ``n_shared >= min_shared`` rule.
+
+    The filter itself builds DISTRIBUTED: per-gram bit positions reduce to
+    (word, OR-mask) pairs map-side, and the driver collects at most
+    ``m/64`` words — bounded by the FILTER size, never the gram count.
+    Hashing is Kirsch-Mitzenmacher double hashing over two 52-bit md5
+    chunks (pure codegen); the probe side is a broadcast numpy array +
+    Arrow ``pandas_udf``, the same serve shape as the LM scorer.
+    """
+    import math
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        normalize_text,
+        tokenize,
+        word_ngrams,
+    )
+
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0,1), got {fpp}")
+    b_id = bench_id_col or id_col
+    b_text = bench_text_col or text_col
+
+    def gram_md5s(txt_col):
+        return F.transform(
+            F.array_distinct(word_ngrams(tokenize(normalize_text(txt_col)), n)),
+            F.md5,
+        )
+
+    # two independent 52-bit chunks of each gram's md5 (13 hex chars each);
+    # h2 forced odd so double hashing never degenerates to one position
+    def h1_of(md5s):
+        return F.transform(
+            md5s, lambda h: F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+        )
+
+    def h2_of(md5s):
+        return F.transform(
+            md5s,
+            lambda h: F.conv(F.substring(h, 14, 13), 16, 10)
+            .cast("long")
+            .bitwiseOR(F.lit(1)),
+        )
+
+    bench_grams = _pin(
+        benchmark.select(
+            F.col(b_id).alias("bench_id"),
+            F.explode(gram_md5s(F.col(b_text))).alias("gram"),
+        ).distinct(),
+        materialize,
+    )
+    n_grams = bench_grams.select("gram").distinct().count()
+    if n_grams == 0:
+        return corpus
+
+    m = max(64, int(math.ceil(-n_grams * math.log(fpp) / (math.log(2) ** 2))))
+    k = min(8, max(1, round(m / n_grams * math.log(2))))
+
+    # distributed build: gram -> k positions -> (word, OR-mask); the
+    # driver sees <= m/64 (word, mask) rows — filter-sized, not gram-sized
+    hpairs = bench_grams.select(
+        F.conv(F.substring("gram", 1, 13), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("gram", 14, 13), 16, 10)
+        .cast("long")
+        .bitwiseOR(F.lit(1))
+        .alias("h2"),
+    )
+    words = (
+        hpairs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"), "h1", "h2"
+        )
+        .select(
+            ((F.col("h1") + F.col("i") * F.col("h2")) % F.lit(m)).alias("pos")
+        )
+        .select(
+            F.expr("pos DIV 64").alias("word"),
+            # SQL form: the python F.shiftleft only takes a literal shift
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    )
+    import numpy as np
+
+    bits = np.zeros((m + 63) // 64, dtype=np.int64)
+    for r in words:
+        bits[int(r["word"])] = np.int64(r["mask"])
+    bc = corpus.sparkSession.sparkContext.broadcast(bits)
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def bloom_hits(hs1, hs2):
+        arr = bc.value
+
+        def one(a, b) -> int:
+            if a is None or len(a) == 0:
+                return 0
+            av = np.asarray(a, dtype=np.int64)
+            bv = np.asarray(b, dtype=np.int64)
+            hit = np.ones(len(av), dtype=bool)
+            for i in range(k):
+                pos = (av + i * bv) % m
+                hit &= ((arr[pos >> 6] >> (pos & 63)) & 1) == 1
+            return int(hit.sum())
+
+        return pd.Series([one(a, b) for a, b in zip(hs1, hs2)])
+
+    bloom_hits.__annotations__ = {
+        "hs1": pd.Series, "hs2": pd.Series, "return": pd.Series
+    }
+    bloom_udf = pandas_udf("int")(bloom_hits)
+
+    md5s = gram_md5s(F.col(text_col))
+    flagged = corpus.select(F.col(id_col)).where(
+        bloom_udf(h1_of(md5s), h2_of(md5s)) >= F.lit(int(min_shared))
+    )
+    flagged = _pin(flagged, materialize)
+
+    # exact verify on the flagged slice: decontaminate's per-(corpus,
+    # bench) n_shared rule via a DISTRIBUTED hash join — no broadcast
+    c_grams = (
+        corpus.join(flagged, id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("corpus_id"),
+            F.explode(gram_md5s(F.col(text_col))).alias("gram"),
+        )
+    )
+    dirty = (
+        c_grams.join(bench_grams.hint("shuffle_hash"), "gram")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(dirty, id_col, "left_anti")
+
+
 def contamination_scores(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1224,3 +1224,48 @@ def q_cap_per_group_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+@register(
+    "decontaminate_bloom",
+    "Bloom-prefiltered benchmark decontamination (docs 0-4 as the eval "
+    "set): distributed-built Bloom flags candidates, exact verify on the "
+    "flagged slice — survivors must hash-match plain SQL's exact 13-gram "
+    "rule, proving the two-stage path drops nothing extra and misses "
+    "nothing. EXTRA: oracle-checked by the pytest parity harness outside "
+    "the 50-cap catalog",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS t
+          FROM documents
+        ),
+        gr AS (
+          SELECT doc_id, md5(array_to_string(t[i:i+12], ' ')) AS h
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, GREATEST(len(t) - 12, 0))) AS i
+          )
+        ),
+        gset AS (SELECT DISTINCT doc_id, h FROM gr),
+        bench AS (SELECT DISTINCT h FROM gset WHERE doc_id < 5),
+        dirty AS (SELECT DISTINCT doc_id FROM gset JOIN bench USING (h))
+        SELECT d.doc_id, d.source
+        FROM documents d LEFT JOIN dirty USING (doc_id)
+        WHERE dirty.doc_id IS NULL
+        ORDER BY d.doc_id
+    """,
+    tags=("dedup", "text"),
+    extra=True,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen_small_input(load_table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    return (
+        dedup.decontaminate_bloom(
+            docs, bench, "doc_id", "text",
+            bench_id_col="bid", bench_text_col="btext", n=13,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

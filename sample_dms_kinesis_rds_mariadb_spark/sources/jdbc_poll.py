@@ -30,6 +30,11 @@ Delivery contract (the same one every polling capture offers):
 - **NULL cursors are out of contract**: a NULL-cursor row is captured by
   the initial snapshot only and invisible to every later poll (the cursor
   predicate excludes NULL). Enforce ``NOT NULL`` on the cursor column.
+- **source schema changes are picked up by the next poll** (the data map
+  is built from the frame's current columns; MAP transport is
+  schema-stable), at the cost of ONE re-delivery of the re-read window —
+  an ALTER changes every row's fingerprint, so the boundary skip
+  re-arms. At-least-once under DDL, absorbed by the applier's upsert.
 - deletes and intermediate versions between polls are not captured —
   inherent to polling. The delete half is recoverable without binlog
   access: :meth:`JdbcPollingCapture.reconcile` key-diffs the source

@@ -585,3 +585,64 @@ def test_contamination_scores_null_text_counts_zero_grams(spark):
     assert got[2] == (0, 0, 0.0)
     assert got[3] == (0, 0, 0.0)
     assert got[1][0] == 2 and got[1][1] == 1
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """decontaminate_bloom is row-identical to decontaminate: the Bloom
+    pass can only over-flag (no false negatives), and the exact verify on
+    the flagged slice removes every false positive — tested across
+    min_shared thresholds, NULL text, and a deliberately terrible
+    fpp=0.5 filter that floods the verify stage with false positives."""
+    import random
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    rng = random.Random(13)
+    words = [f"w{i}" for i in range(120)]
+    bench_rows = [
+        (900 + i, " ".join(rng.choice(words) for _ in range(30)))
+        for i in range(6)
+    ]
+    corpus_rows = []
+    for i in range(60):
+        body = " ".join(rng.choice(words) for _ in range(40))
+        if i % 7 == 0:  # splice in a verbatim benchmark span
+            b = bench_rows[i % len(bench_rows)][1]
+            body = body + " " + b
+        corpus_rows.append((i, body))
+    corpus_rows += [(1000, None), (1001, "too short")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    for min_shared, fpp, n in ((1, 0.01, 13), (3, 0.01, 5), (1, 0.5, 13)):
+        exact = sorted(
+            r["doc_id"]
+            for r in decontaminate(
+                corpus, bench, "doc_id", "text", n=n, min_shared=min_shared
+            ).collect()
+        )
+        bloom = sorted(
+            r["doc_id"]
+            for r in decontaminate_bloom(
+                corpus, bench, "doc_id", "text",
+                n=n, min_shared=min_shared, fpp=fpp,
+            ).collect()
+        )
+        assert bloom == exact, (min_shared, fpp, n)
+    # fixture sanity: something was actually dropped
+    assert len(exact) < len(corpus_rows)
+
+
+def test_decontaminate_bloom_empty_benchmark_is_identity(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        decontaminate_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "some words here repeated often enough")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    assert decontaminate_bloom(corpus, bench, "doc_id", "text").count() == 1
