@@ -187,3 +187,40 @@ def test_semantic_dedup_plan_shape(spark):
     assert "CartesianProduct" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_decontaminate_bloom_plan_shape(spark):
+    """The Bloom path's scale promises must be visible in the plan: the
+    corpus probe is Arrow-batched (never row-at-a-time Python), and the
+    exact-verify gram join honors its shuffle_hash hint — the benchmark
+    gram frame must NOT ride a broadcast (avoiding that broadcast is the
+    operator's entire reason to exist)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        decontaminate_bloom,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.plans.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    # materialize=False keeps the Bloom probe in the plan (the default
+    # eagerly pins the flagged frame, so the probe has already run by the
+    # time a consumer explains — the plan then shows no Python at all)
+    out = decontaminate_bloom(
+        docs, bench, "doc_id", "text",
+        bench_id_col="bid", bench_text_col="btext", n=13,
+        materialize=False,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ShuffledHashJoin" in plan
