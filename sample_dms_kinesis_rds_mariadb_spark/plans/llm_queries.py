@@ -1269,3 +1269,54 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "url_domain_counts",
+    "URL canonicalization + eTLD+1 extraction (functions/url.py) over "
+    "URLs synthesized from the documents table (scheme/www/port/tracking-"
+    "param/fragment noise injected): per-registered-domain doc counts and "
+    "the lexicographically-first canonical URL must hash-match the oracle's "
+    "directly-constructed expectations — proving scheme lowering, www/port/"
+    "fragment stripping, tracking-param removal, param sorting, and the "
+    "multi-label-suffix domain rule in one query. EXTRA: oracle-checked by "
+    "the pytest parity harness outside the 50-cap catalog",
+    oracle="""
+        SELECT lower(source) || '.co.uk' AS domain,
+               COUNT(*) AS n_docs,
+               'http://' || lower(source) || '.co.uk/docs/' ||
+                   lpad(CAST(MIN(doc_id) AS VARCHAR), 8, '0') || '?a=1&b=2'
+                   AS sample_url
+        FROM documents
+        GROUP BY source
+        ORDER BY domain
+    """,
+    tags=("text",),
+    extra=True,
+)
+def q_url_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.url import (
+        canonical_url,
+        url_registered_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://WWW."),
+        F.col("source"),
+        F.lit(".CO.UK:80/docs/"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        F.lit("?utm_source=x&b=2&a=1#frag"),
+    )
+    return (
+        docs.select(
+            canonical_url(url).alias("canon"),
+            url_registered_domain(url).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("canon").alias("sample_url"),
+        )
+        .orderBy("domain")
+    )

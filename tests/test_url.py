@@ -1,0 +1,158 @@
+"""URL normalization: the codegen canonicalizer must match an independent
+urllib-based Python reference implementing the same documented contract,
+across a generated matrix of URL shapes."""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.functions.url import (
+    canonical_url,
+    url_dedup_key,
+    url_host,
+    url_registered_domain,
+)
+
+_TRACKING = re.compile(r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src|spm)(=.*)?$")
+
+
+def ref_canonical(url: str | None) -> str | None:
+    """Independent reference: urllib parsing + the documented rules."""
+    from urllib.parse import urlsplit
+
+    if url is None:
+        return None
+    if "://" not in url:
+        url = "http://" + url
+    s = urlsplit(url)
+    scheme = s.scheme.lower()
+    host = (s.hostname or "").lower().rstrip(".")
+    if host.startswith("www."):
+        host = host[4:]
+    port = s.port
+    if (scheme == "http" and port == 80) or (scheme == "https" and port == 443):
+        port = None
+    path = s.path.rstrip("/") or "/"
+    params = sorted(
+        p for p in s.query.split("&") if p and not _TRACKING.match(p)
+    )
+    out = f"{scheme}://{host}"
+    if port is not None:
+        out += f":{port}"
+    out += path
+    if params:
+        out += "?" + "&".join(params)
+    return out
+
+
+def _cases() -> list[str]:
+    fixed = [
+        "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+        "example.com/path",
+        "http://user:pw@HOST.example.org.:8080//x//",
+        "http://example.com",
+        "http://example.com/?utm_source=a&gclid=1&fbclid=2",
+        "https://sub.shop.co.uk/item?z=1&y=2&ref=abc",
+        "http://example.com:80/",
+        "http://example.com:8080",
+        "FTP://Files.Example.net/pub/",
+        "https://example.com/a?x=1&x=0",
+        "http://www.www-prefixed.com/",
+        "http://example.com/trailing///",
+    ]
+    # generated matrix: scheme x www x port x path x query x fragment
+    parts = itertools.product(
+        ["http://", "HTTPS://", ""],
+        ["", "www.", "WWW."],
+        ["site.example.com", "shop.co.uk"],
+        ["", ":80", ":443", ":9000"],
+        ["", "/", "/a/b", "/a/b/"],
+        ["", "?b=2&a=1", "?utm_source=t&k=v", "?ref=r"],
+        ["", "#frag"],
+    )
+    gen = ["".join(p) for p in parts]
+    return fixed + gen
+
+
+def test_canonical_url_matches_reference(spark):
+    cases = _cases()
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(cases)], "i long, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, u in enumerate(cases):
+        assert got[i] == ref_canonical(u), u
+    # NULL propagates
+    ndf = spark.createDataFrame([(1, None)], "i long, url string")
+    row = ndf.select(
+        canonical_url(F.col("url")).alias("c"),
+        url_dedup_key(F.col("url")).alias("k"),
+    ).first()
+    assert row["c"] is None and row["k"] is None
+
+
+def test_dedup_key_collides_exactly_on_canonical_equality(spark):
+    a = "HTTPS://WWW.Example.COM:443/a/?utm_source=x&b=2&a=1#frag"
+    b = "https://example.com/a?a=1&b=2"
+    c = "https://example.com/a?a=1&b=3"
+    df = spark.createDataFrame([(a,), (b,), (c,)], ["url"])
+    keys = [r["k"] for r in df.select(url_dedup_key(F.col("url")).alias("k")).collect()]
+    assert keys[0] == keys[1] != keys[2]
+
+
+def test_registered_domain(spark):
+    cases = {
+        "http://a.b.example.com/x": "example.com",
+        "https://www.shop.co.uk/": "shop.co.uk",
+        "http://deep.sub.shop.co.uk": "shop.co.uk",
+        "http://user@pages.github.io:8080/p": "pages.github.io",
+        "http://localhost:8080/": "localhost",
+        "http://example.com": "example.com",
+        "http://www.gov.uk": "gov.uk",
+    }
+    df = spark.createDataFrame(list(cases.items()), ["url", "want"])
+    for r in df.select(
+        "url", "want", url_registered_domain(F.col("url")).alias("got")
+    ).collect():
+        assert r["got"] == r["want"], r["url"]
+    # custom suffixes extend the set
+    row = (
+        spark.createDataFrame([("http://x.apps.example/",)], ["url"])
+        .select(
+            url_registered_domain(
+                F.col("url"), extra_suffixes=("apps.example",)
+            ).alias("d")
+        )
+        .first()
+    )
+    assert row["d"] == "x.apps.example"
+    # is_host=True skips URL parsing
+    row = (
+        spark.createDataFrame([("a.b.co.jp",)], ["h"])
+        .select(url_registered_domain(F.col("h"), is_host=True).alias("d"))
+        .first()
+    )
+    assert row["d"] == "b.co.jp"
+
+
+def test_per_domain_cap_composes(spark):
+    """The intended composition: registered domain as the cap group key."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    rows = [(f"http://www.Hot.example.com/p/{i}?utm_source=x",) for i in range(50)]
+    rows += [(f"https://cold{i}.org/",) for i in range(5)]
+    df = spark.createDataFrame(rows, ["url"]).withColumn(
+        "domain", url_registered_domain(F.col("url"))
+    )
+    capped = cap_per_group(df, "url", "domain", 10)
+    by_dom: dict[str, int] = {}
+    for r in capped.collect():
+        by_dom[r["domain"]] = by_dom.get(r["domain"], 0) + 1
+    assert by_dom["example.com"] == 10
+    assert sum(v for k, v in by_dom.items() if k != "example.com") == 5
