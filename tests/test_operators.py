@@ -1600,3 +1600,40 @@ def test_ivf_index_compact_bounds_files_and_preserves_probes(spark, tmp_path):
     )
     top = reloaded.probe(vec(43), k=2, n_probe=1).collect()
     assert {r["vec_id"] for r in top} == {43, 900}
+
+
+def test_ivf_index_crashed_compact_heals(spark, tmp_path):
+    """IVF dual of the MinHash heal test: a compact crashed between its
+    renames is repaired by the next probe/append, centroid sidecar intact."""
+    import os
+    import shutil
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import IvfIndex
+
+    def vec(seed):
+        import random
+
+        r = random.Random(seed)
+        return [r.uniform(-1, 1) for _ in range(8)]
+
+    df = spark.createDataFrame(
+        [(i, vec(i)) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf-heal")
+    idx = IvfIndex.build(df, path, n_lists=4)
+    before = [(r["vec_id"], r["cosine_sim"]) for r in idx.probe(vec(9), k=3).collect()]
+
+    shutil.copytree(path, path + ".compact")
+    os.rename(path, path + ".old")
+    after = [(r["vec_id"], r["cosine_sim"]) for r in idx.probe(vec(9), k=3).collect()]
+    assert after == before
+    assert os.path.exists(path) and not os.path.exists(path + ".old")
+    assert IvfIndex.exists(path)
+
+    shutil.copytree(path, path + ".compact")
+    os.rename(path, path + ".old")
+    idx.append(
+        spark.createDataFrame([(99, vec(9))], "vec_id long, embedding array<double>")
+    )
+    top = idx.probe(vec(9), k=2, n_probe=1).collect()
+    assert {r["vec_id"] for r in top} == {9, 99}  # old + new data both live
