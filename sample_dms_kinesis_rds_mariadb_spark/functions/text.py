@@ -372,3 +372,101 @@ def repetition_ratios(text: Column) -> dict[str, Column]:
         "dup_line_frac": dup_line.cast("double"),
         "dup_trigram_frac": dup_gram.cast("double"),
     }
+
+
+# the 8 "required words" of the published Gopher rule (Rae et al. 2021,
+# Appendix A) — distinct from the broader STOPWORDS ratio gate above
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# bullet glyphs the line rule recognizes (unicode bullets + '-'/'*')
+_BULLET_RE = r"^(•|‣|▪|●|\*|-)"
+
+
+def gopher_quality_flags(text: Column) -> dict[str, Column]:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A), each rule as a named boolean column plus the conjunction
+    — the standard crawl gate alongside :func:`quality_columns`'s counts
+    and :func:`repetition_ratios`. All built-in string/array expressions
+    (codegen, no shuffle). NULL/empty text fails ``gopher_pass`` (the
+    word-count rule trips; the per-line rules hold vacuously — zero
+    lines have no bullets):
+
+    - ``ok_word_count``: 50 <= words <= 100_000
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+    - ``ok_symbol_ratio``: (# of '#' or ellipsis / words) <= 0.1
+    - ``ok_bullet_lines``: <= 90% of non-empty lines start with a bullet
+    - ``ok_ellipsis_lines``: <= 30% of non-empty lines end with ellipsis
+    - ``ok_alpha_words``: >= 80% of words contain an alphabetic char
+    - ``ok_required_words``: >= 2 of the 8 Gopher required words appear
+    - ``gopher_pass``: all of the above
+
+    Ratio thresholds are exact integer cross-multiplications (no float
+    division), so the verdicts reproduce bit-identically in any engine.
+    """
+    # clean_tokens, not raw split: split('') yields [''] and would count
+    # empty documents as one-token documents
+    toks = clean_tokens(text)
+    n_words = F.coalesce(F.size(toks), F.lit(0))
+    n_chars_in_words = F.coalesce(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)), F.lit(0)
+    )
+    ok_word_count = (n_words >= 50) & (n_words <= 100_000)
+    ok_mean_word_len = (n_words > 0) & (
+        (n_chars_in_words >= n_words * 3) & (n_chars_in_words <= n_words * 10)
+    )
+    hashes = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    # each '...' (or unicode ellipsis) counts as ONE symbol: count glyph
+    # occurrences via the length delta divided by the glyph length
+    dots3 = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    uni_ellipsis = F.length(text) - F.length(
+        F.regexp_replace(text, "…", "")
+    )
+    n_symbols = F.coalesce(
+        (hashes + dots3 + uni_ellipsis).cast("long"), F.lit(0)
+    )
+    ok_symbol_ratio = (n_words > 0) & (n_symbols * 10 <= n_words)
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != F.lit(""))
+    n_lines = F.coalesce(F.size(lines), F.lit(0))
+    bullet_lines = F.coalesce(
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(_BULLET_RE))),
+        F.lit(0),
+    )
+    ellipsis_lines = F.coalesce(
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+        ),
+        F.lit(0),
+    )
+    ok_bullet_lines = (n_lines == 0) | (bullet_lines * 10 <= n_lines * 9)
+    ok_ellipsis_lines = (n_lines == 0) | (ellipsis_lines * 10 <= n_lines * 3)
+    alpha_words = F.coalesce(
+        F.size(F.filter(toks, lambda t: t.rlike(r"[a-zA-Z]"))), F.lit(0)
+    )
+    ok_alpha_words = (n_words > 0) & (alpha_words * 10 >= n_words * 8)
+    required_hits = F.coalesce(
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+            )
+        ),
+        F.lit(0),
+    )
+    ok_required_words = required_hits >= 2
+    flags = {
+        "ok_word_count": ok_word_count,
+        "ok_mean_word_len": ok_mean_word_len,
+        "ok_symbol_ratio": ok_symbol_ratio,
+        "ok_bullet_lines": ok_bullet_lines,
+        "ok_ellipsis_lines": ok_ellipsis_lines,
+        "ok_alpha_words": ok_alpha_words,
+        "ok_required_words": ok_required_words,
+    }
+    gopher_pass = F.lit(True)
+    for c in flags.values():
+        gopher_pass = gopher_pass & c
+    out = {k: F.coalesce(v, F.lit(False)) for k, v in flags.items()}
+    out["gopher_pass"] = F.coalesce(gopher_pass, F.lit(False))
+    return out

@@ -1320,3 +1320,79 @@ def q_url_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+@register(
+    "gopher_quality_flags",
+    "The published Gopher document-quality rule set (Rae et al. 2021 App. "
+    "A) as per-doc boolean verdicts — word count, mean word length, symbol "
+    "ratio, bullet/ellipsis line fractions, alphabetic-word fraction, "
+    "required words, and the conjunction — integer cross-multiplication "
+    "thresholds so both engines produce bit-identical booleans. EXTRA: "
+    "oracle-checked by the pytest parity harness outside the 50-cap catalog",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(
+                   regexp_split_to_array(
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                     '\\s+'),
+                   x -> x <> '') AS t,
+                 COALESCE(list_filter(
+                   regexp_split_to_array(text, '\n'),
+                   l -> trim(l) <> ''), []) AS lines
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 COALESCE(len(t), 0) AS n_words,
+                 COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS n_chars,
+                 COALESCE(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))), 0) AS alpha,
+                 COALESCE(len(list_filter(list_distinct(t),
+                   x -> x IN ('the','be','to','of','and','that','have','with'))), 0) AS req,
+                 COALESCE(length(text) - length(replace(text, '#', '')), 0)
+                   + COALESCE((length(text) - length(replace(text, '...', ''))) // 3, 0)
+                   + COALESCE(length(text) - length(replace(text, chr(8230), '')), 0) AS n_sym,
+                 COALESCE(len(lines), 0) AS n_lines,
+                 COALESCE(len(list_filter(lines,
+                   l -> regexp_matches(trim(l), '^(' || chr(8226) || '|' || chr(8227) || '|' || chr(9642) || '|' || chr(9679) || '|\\*|-)'))), 0) AS bullets,
+                 COALESCE(len(list_filter(lines,
+                   l -> regexp_matches(trim(l), '(\\.\\.\\.|' || chr(8230) || ')$'))), 0) AS ells
+          FROM base
+        )
+        SELECT doc_id,
+               n_words BETWEEN 50 AND 100000 AS ok_word_count,
+               n_words > 0 AND n_chars BETWEEN 3 * n_words AND 10 * n_words AS ok_mean_word_len,
+               n_words > 0 AND n_sym * 10 <= n_words AS ok_symbol_ratio,
+               n_lines = 0 OR bullets * 10 <= n_lines * 9 AS ok_bullet_lines,
+               n_lines = 0 OR ells * 10 <= n_lines * 3 AS ok_ellipsis_lines,
+               n_words > 0 AND alpha * 10 >= n_words * 8 AS ok_alpha_words,
+               req >= 2 AS ok_required_words,
+               (n_words BETWEEN 50 AND 100000)
+                 AND (n_words > 0 AND n_chars BETWEEN 3 * n_words AND 10 * n_words)
+                 AND (n_words > 0 AND n_sym * 10 <= n_words)
+                 AND (n_lines = 0 OR bullets * 10 <= n_lines * 9)
+                 AND (n_lines = 0 OR ells * 10 <= n_lines * 3)
+                 AND (n_words > 0 AND alpha * 10 >= n_words * 8)
+                 AND (req >= 2) AS gopher_pass
+        FROM m
+        ORDER BY doc_id
+    """,
+    tags=("text",),
+    extra=True,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(F.col("text"))
+    cols = [
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_required_words", "gopher_pass",
+    ]
+    return docs.select(
+        "doc_id", *[flags[c].alias(c) for c in cols]
+    ).orderBy("doc_id")

@@ -646,3 +646,82 @@ def test_decontaminate_bloom_empty_benchmark_is_identity(spark):
     )
     bench = spark.createDataFrame([(9, None)], "doc_id long, text string")
     assert decontaminate_bloom(corpus, bench, "doc_id", "text").count() == 1
+
+
+def test_gopher_quality_flags_match_python_reference(spark):
+    """Every Gopher rule verdict must match an independent Python
+    implementation of the published rule set (Rae et al. 2021, App. A),
+    over documents engineered to trip each rule individually."""
+    import re
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        GOPHER_REQUIRED_WORDS,
+        gopher_quality_flags,
+        py_clean_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    def ref(text):
+        toks = py_clean_tokens(text) if text is not None else []
+        n_words = len(toks)
+        n_chars = sum(len(t) for t in toks)
+        t = text or ""
+        ok_wc = 50 <= n_words <= 100_000
+        ok_mwl = n_words > 0 and 3 * n_words <= n_chars <= 10 * n_words
+        n_sym = t.count("#") + t.count("...") + t.count("\u2026")
+        ok_sym = n_words > 0 and n_sym * 10 <= n_words
+        lines = [l for l in t.split("\n") if l.strip()]
+        bullets = sum(
+            1 for l in lines
+            if re.match(r"^(\u2022|\u2023|\u25aa|\u25cf|\*|-)", l.strip())
+        )
+        ells = sum(
+            1 for l in lines if re.search(r"(\.\.\.|\u2026)$", l.strip())
+        )
+        ok_bul = len(lines) == 0 or bullets * 10 <= len(lines) * 9
+        ok_ell = len(lines) == 0 or ells * 10 <= len(lines) * 3
+        alpha = sum(1 for x in toks if re.search(r"[a-zA-Z]", x))
+        ok_alpha = n_words > 0 and alpha * 10 >= n_words * 8
+        ok_req = len(set(toks) & set(GOPHER_REQUIRED_WORDS)) >= 2
+        flags = (ok_wc, ok_mwl, ok_sym, ok_bul, ok_ell, ok_alpha, ok_req)
+        return flags + (all(flags),)
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and runs with great "
+        "energy to have fun in fields of green grass where sunlight warms "
+        "every blade and the gentle wind carries seeds to distant meadows "
+        "beyond the old stone wall that farmers built many years ago here "
+        "while birds sing from tall branches above them all day long"
+    )
+    cases = [
+        good,                                        # passes everything
+        "too few words here",                        # word count
+        good.replace("the", "a a a a a a"),          # mean word len low-ish
+        good + " " + "#" * 40,                       # symbol ratio (hashes)
+        "\n".join("- " + l for l in good.split(" ")),  # bullet lines
+        "\n".join(l + "..." for l in good.split(" ")), # ellipsis lines
+        good + " " + " ".join(["123"] * 60),         # alpha-word fraction
+        good.replace("the", "cat").replace("that", "dog")
+            .replace("and", "fox").replace("to", "run")
+            .replace("with", "big").replace("of", "sky"), # required words
+        "",                                          # empty
+        None,                                        # NULL
+        good + "\u2026 done \u2022 yes",           # unicode glyphs
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, text string"
+    )
+    flags = gopher_quality_flags(F.col("text"))
+    cols = [
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_required_words", "gopher_pass",
+    ]
+    got = {
+        r["i"]: tuple(r[c] for c in cols)
+        for r in df.select("i", *[flags[c].alias(c) for c in cols]).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == ref(c), (i, repr(c)[:60], got[i], ref(c))
+    assert got[0][-1] is True          # the good doc passes outright
+    assert sum(g[-1] for g in got.values()) < len(cases)  # others trip
