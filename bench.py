@@ -229,6 +229,31 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     timings["contamination_scores"] = round(time.perf_counter() - t0, 3)
 
+    # 7b) Bloom-prefiltered decontamination (same benchmark set): Bloom
+    # build + flag pass + exact verify on the flagged slice
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        decontaminate_bloom,
+    )
+
+    t0 = time.perf_counter()
+    decontaminate_bloom(
+        _docs, _bench_docs, "doc_id", "text",
+        bench_id_col="bench_id", bench_text_col="btext",
+    ).write.mode("overwrite").format("noop").save()
+    timings["decontaminate_bloom"] = round(time.perf_counter() - t0, 3)
+
+    # 7c) Gopher quality gate: one pure-codegen corpus scan
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    t0 = time.perf_counter()
+    _fl = gopher_quality_flags(F.col("text"))
+    _docs.select(
+        "doc_id", *[c.alias(k) for k, c in _fl.items()]
+    ).write.mode("overwrite").format("noop").save()
+    timings["gopher_quality_flags"] = round(time.perf_counter() - t0, 3)
+
     # 8) token-budget shard assignment (two-pass distributed prefix sum)
     from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
         budget_shard_column,

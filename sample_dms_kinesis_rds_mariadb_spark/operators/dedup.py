@@ -797,15 +797,53 @@ def connected_components(
 
 
 def dedup_connected(
-    df: DataFrame, pairs: DataFrame, id_col: str
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    keep: str = "min_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Transitive near-dup removal: keep exactly ONE document (the smallest
-    id) per connected component of the candidate-pair graph; documents in
-    no pair survive untouched. The cluster-correct upgrade of
-    `dedup_minhash_lsh`'s one-hop rule."""
+    """Transitive near-dup removal: keep exactly ONE document per connected
+    component of the candidate-pair graph; documents in no pair survive
+    untouched. The cluster-correct upgrade of `dedup_minhash_lsh`'s
+    one-hop rule.
+
+    ``keep`` picks the survivor: ``"min_id"`` (default — deterministic and
+    join-free) keeps the smallest id; ``"best"`` keeps the member with the
+    highest ``quality_col`` (ties break to the smaller id) — what
+    production pipelines actually want, since a near-dup cluster usually
+    mixes a clean original with mangled re-crawls and the arbitrary-member
+    rule throws away quality for free. Equal quality everywhere makes
+    ``"best"`` identical to ``"min_id"`` (the hash-min component label IS
+    the smallest member id).
+
+    Scale shape (both modes): components run on the PAIR graph; the
+    ``"best"`` window runs on the labeled slice only (docs that appear in
+    a pair — candidate-generator-bounded, never the corpus), partitioned
+    by component, and the final anti-join is id-keyed.
+    """
     comps = connected_components(pairs)
-    losers = comps.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
+    if keep == "min_id":
+        losers = comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    if keep != "best":
+        raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
+    if quality_col is None:
+        raise ValueError("keep='best' requires quality_col")
+    from pyspark.sql import Window
+
+    labeled = df.join(
+        comps.withColumnRenamed("node", id_col), id_col, "inner"
+    ).select(id_col, quality_col, "component")
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality_col), F.col(id_col)
+    )
+    losers = (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col)
     )
     return df.join(losers, id_col, "left_anti")
 

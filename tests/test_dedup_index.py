@@ -474,3 +474,51 @@ def test_crashed_compact_heals_on_next_access(spark, tmp_path):
     assert sorted(
         (r["new_id"], r["stored_id"]) for r in again if r["stored_id"] != 999
     ) == before                                        # old data survived
+
+
+def test_dedup_connected_keep_best_quality(spark):
+    """keep='best' keeps the highest-quality member per near-dup cluster
+    (ties to the smaller id); untouched docs always survive; equal quality
+    degenerates to the min_id rule."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        dedup_connected,
+    )
+
+    # clusters {1,2,3} and {10,11}; 20 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.5),   # best: 2
+            (10, 0.7), (11, 0.7),           # tie -> smaller id: 10
+            (20, 0.1),                       # untouched
+        ],
+        "doc_id long, quality double",
+    )
+    best = sorted(
+        r["doc_id"]
+        for r in dedup_connected(
+            df, pairs, "doc_id", keep="best", quality_col="quality"
+        ).collect()
+    )
+    assert best == [2, 10, 20]
+    # equal quality everywhere == the min_id rule
+    flat = df.withColumn("quality", F.lit(1.0))
+    a = sorted(
+        r["doc_id"]
+        for r in dedup_connected(
+            flat, pairs, "doc_id", keep="best", quality_col="quality"
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"] for r in dedup_connected(df, pairs, "doc_id").collect()
+    )
+    assert a == b == [1, 10, 20]
+    # arg validation
+    import pytest
+
+    with pytest.raises(ValueError, match="keep must be"):
+        dedup_connected(df, pairs, "doc_id", keep="nope")
+    with pytest.raises(ValueError, match="quality_col"):
+        dedup_connected(df, pairs, "doc_id", keep="best")
