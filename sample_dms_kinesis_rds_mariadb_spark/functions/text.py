@@ -427,15 +427,23 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
         (hashes + dots3 + uni_ellipsis).cast("long"), F.lit(0)
     )
     ok_symbol_ratio = (n_words > 0) & (n_symbols * 10 <= n_words)
-    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != F.lit(""))
+    # CRLF-safe line semantics, aligned bit-for-bit with the DuckDB oracle
+    # and the Python reference: split on \r?\n and trim ALL whitespace
+    # (F.trim strips spaces only; Java rlike '$' would also match before a
+    # trailing \r while RE2/Python do not — trimming first removes both
+    # divergences)
+    def _ltrim(l):
+        return F.regexp_replace(l, r"^\s+|\s+$", "")
+
+    lines = F.filter(F.split(text, r"\r?\n"), lambda l: _ltrim(l) != F.lit(""))
     n_lines = F.coalesce(F.size(lines), F.lit(0))
     bullet_lines = F.coalesce(
-        F.size(F.filter(lines, lambda l: F.trim(l).rlike(_BULLET_RE))),
+        F.size(F.filter(lines, lambda l: _ltrim(l).rlike(_BULLET_RE))),
         F.lit(0),
     )
     ellipsis_lines = F.coalesce(
         F.size(
-            F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+            F.filter(lines, lambda l: _ltrim(l).rlike(r"(\.\.\.|…)$"))
         ),
         F.lit(0),
     )

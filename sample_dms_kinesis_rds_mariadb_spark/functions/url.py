@@ -15,10 +15,13 @@ extends it for quality gating.
 Canonicalization contract (documented here, asserted in tests/test_url.py
 against an independent Python reference):
 
-- missing scheme ⇒ ``http://`` assumed; scheme lowercased
+- missing scheme ⇒ ``http://`` assumed; protocol-relative ``//host/x``
+  treated as scheme-relative (``http`` assumed); scheme lowercased
 - host: lowercased, userinfo (``user:pass@``) stripped, trailing dot
   stripped, leading ``www.`` stripped, default ports (http:80, https:443)
-  stripped, other ports kept
+  stripped NUMERICALLY (``:0080`` is the default too), other ports kept
+  in numeric form (``:0900`` ⇒ ``:900``); non-numeric ports are out of
+  contract and dropped
 - path: empty ⇒ ``/``; trailing slashes stripped except on the root
 - query: tracking params dropped (``utm_*``, ``gclid``, ``fbclid``,
   ``msclkid``, ``mc_eid``, ``igshid``, ``ref``, ``ref_src``, ``spm``),
@@ -56,8 +59,12 @@ _TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src|spm)
 
 
 def _with_scheme(url: Column) -> Column:
-    return F.when(url.contains("://"), url).otherwise(
-        F.concat(F.lit("http://"), url)
+    # protocol-relative '//host/path' is scheme-relative, not path: prefix
+    # only 'http:' or the host would parse as an empty authority
+    return (
+        F.when(url.contains("://"), url)
+        .when(url.startswith("//"), F.concat(F.lit("http:"), url))
+        .otherwise(F.concat(F.lit("http://"), url))
     )
 
 
@@ -99,7 +106,9 @@ def url_path(url: Column) -> Column:
 def url_query_canonical(url: Column) -> Column:
     """Query with tracking params dropped and the rest sorted by their
     full ``k=v`` text; '' when nothing survives."""
-    qs = F.regexp_extract(_with_scheme(url), r"\?([^#]*)", 1)
+    # query must come BEFORE any '#': a '?' inside the fragment is part of
+    # the fragment and drops with it (the documented contract)
+    qs = F.regexp_extract(_with_scheme(url), r"^[^#]*?\?([^#]*)", 1)
     params = F.filter(
         F.split(qs, "&"),
         lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
@@ -112,13 +121,18 @@ def canonical_url(url: Column) -> Column:
     URL-dedup key. NULL in ⇒ NULL out."""
     scheme = url_scheme(url)
     host = url_host(url)
-    port = url_port(url)
-    default_port = ((scheme == "http") & (port == "80")) | (
-        (scheme == "https") & (port == "443")
+    # numeric comparison + numeric rendering: ':0080' is the default http
+    # port and ':0900' canonicalizes to ':900' (string comparison missed
+    # both); a NULL cast (no port) renders nothing
+    # try_cast: '' (no port) and malformed ports become NULL, never an
+    # ANSI cast error mid-scan
+    port_num = url_port(url).try_cast("int")
+    default_port = ((scheme == "http") & (port_num == 80)) | (
+        (scheme == "https") & (port_num == 443)
     )
     port_part = F.when(
-        (port == "") | default_port, F.lit("")
-    ).otherwise(F.concat(F.lit(":"), port))
+        port_num.isNull() | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port_num.cast("string")))
     q = url_query_canonical(url)
     q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
     return F.concat(scheme, F.lit("://"), host, port_part, url_path(url), q_part)
@@ -140,7 +154,10 @@ def url_registered_domain(
     or three when the last two are a known multi-label public suffix
     (``co.uk``-style; see module docstring for the PSL caveat). Pass
     ``is_host=True`` when the column already holds bare hosts."""
-    host = url_or_host if is_host else url_host(url_or_host)
+    # hostnames are case-insensitive (RFC 4343): lower even when the
+    # caller passes bare hosts, or mixed-case input would miss the suffix
+    # set and split one site across cap groups
+    host = F.lower(url_or_host) if is_host else url_host(url_or_host)
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))

@@ -834,10 +834,16 @@ def dedup_connected(
         raise ValueError("keep='best' requires quality_col")
     from pyspark.sql import Window
 
+    # private label name: df may legitimately carry its own 'component'
+    # column (e.g. from an earlier connected_components inspection pass)
     labeled = df.join(
-        comps.withColumnRenamed("node", id_col), id_col, "inner"
-    ).select(id_col, quality_col, "component")
-    w = Window.partitionBy("component").orderBy(
+        comps.select(
+            F.col("node").alias(id_col), F.col("component").alias("_cc_label")
+        ),
+        id_col,
+        "inner",
+    ).select(id_col, quality_col, "_cc_label")
+    w = Window.partitionBy("_cc_label").orderBy(
         F.desc(quality_col), F.col(id_col)
     )
     losers = (
@@ -915,6 +921,23 @@ def decontaminate(
     return corpus.join(dirty, id_col, "left_anti")
 
 
+# the Bloom double-hash pair: two independent 52-bit chunks of the gram's
+# md5 (13 hex chars each; 52 bits keep k*h2 sums inside int64), h2 forced
+# odd so Kirsch-Mitzenmacher probing never degenerates to one position.
+# ONE definition shared by filter BUILD and PROBE — divergence between the
+# two would be silent false negatives (missed contamination).
+def _bloom_h1(md5_col: Column) -> Column:
+    return F.conv(F.substring(md5_col, 1, 13), 16, 10).cast("long")
+
+
+def _bloom_h2(md5_col: Column) -> Column:
+    return (
+        F.conv(F.substring(md5_col, 14, 13), 16, 10)
+        .cast("long")
+        .bitwiseOR(F.lit(1))
+    )
+
+
 def decontaminate_bloom(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -971,21 +994,6 @@ def decontaminate_bloom(
             F.md5,
         )
 
-    # two independent 52-bit chunks of each gram's md5 (13 hex chars each);
-    # h2 forced odd so double hashing never degenerates to one position
-    def h1_of(md5s):
-        return F.transform(
-            md5s, lambda h: F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
-        )
-
-    def h2_of(md5s):
-        return F.transform(
-            md5s,
-            lambda h: F.conv(F.substring(h, 14, 13), 16, 10)
-            .cast("long")
-            .bitwiseOR(F.lit(1)),
-        )
-
     bench_grams = _pin(
         benchmark.select(
             F.col(b_id).alias("bench_id"),
@@ -1001,13 +1009,12 @@ def decontaminate_bloom(
     k = min(8, max(1, round(m / n_grams * math.log(2))))
 
     # distributed build: gram -> k positions -> (word, OR-mask); the
-    # driver sees <= m/64 (word, mask) rows — filter-sized, not gram-sized
+    # driver sees <= m/64 (word, mask) rows — filter-sized, not gram-sized.
+    # _bloom_h1/_bloom_h2 are the SAME expressions the probe side uses —
+    # build/probe hash divergence would mean silent false negatives
     hpairs = bench_grams.select(
-        F.conv(F.substring("gram", 1, 13), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring("gram", 14, 13), 16, 10)
-        .cast("long")
-        .bitwiseOR(F.lit(1))
-        .alias("h2"),
+        _bloom_h1(F.col("gram")).alias("h1"),
+        _bloom_h2(F.col("gram")).alias("h2"),
     )
     words = (
         hpairs.select(
@@ -1058,7 +1065,8 @@ def decontaminate_bloom(
 
     md5s = gram_md5s(F.col(text_col))
     flagged = corpus.select(F.col(id_col)).where(
-        bloom_udf(h1_of(md5s), h2_of(md5s)) >= F.lit(int(min_shared))
+        bloom_udf(F.transform(md5s, _bloom_h1), F.transform(md5s, _bloom_h2))
+        >= F.lit(int(min_shared))
     )
     flagged = _pin(flagged, materialize)
 

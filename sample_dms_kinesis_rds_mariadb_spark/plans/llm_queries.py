@@ -1339,8 +1339,8 @@ def q_url_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      '\\s+'),
                    x -> x <> '') AS t,
                  COALESCE(list_filter(
-                   regexp_split_to_array(text, '\n'),
-                   l -> trim(l) <> ''), []) AS lines
+                   regexp_split_to_array(text, '\r?\n'),
+                   l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g') <> ''), []) AS lines
           FROM documents
         ),
         m AS (
@@ -1355,9 +1355,9 @@ def q_url_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + COALESCE(length(text) - length(replace(text, chr(8230), '')), 0) AS n_sym,
                  COALESCE(len(lines), 0) AS n_lines,
                  COALESCE(len(list_filter(lines,
-                   l -> regexp_matches(trim(l), '^(' || chr(8226) || '|' || chr(8227) || '|' || chr(9642) || '|' || chr(9679) || '|\\*|-)'))), 0) AS bullets,
+                   l -> regexp_matches(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '^(' || chr(8226) || '|' || chr(8227) || '|' || chr(9642) || '|' || chr(9679) || '|\\*|-)'))), 0) AS bullets,
                  COALESCE(len(list_filter(lines,
-                   l -> regexp_matches(trim(l), '(\\.\\.\\.|' || chr(8230) || ')$'))), 0) AS ells
+                   l -> regexp_matches(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '(\\.\\.\\.|' || chr(8230) || ')$'))), 0) AS ells
           FROM base
         )
         SELECT doc_id,

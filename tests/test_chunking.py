@@ -670,7 +670,7 @@ def test_gopher_quality_flags_match_python_reference(spark):
         ok_mwl = n_words > 0 and 3 * n_words <= n_chars <= 10 * n_words
         n_sym = t.count("#") + t.count("...") + t.count("\u2026")
         ok_sym = n_words > 0 and n_sym * 10 <= n_words
-        lines = [l for l in t.split("\n") if l.strip()]
+        lines = [l for l in re.split(r"\r?\n", t) if l.strip()]
         bullets = sum(
             1 for l in lines
             if re.match(r"^(\u2022|\u2023|\u25aa|\u25cf|\*|-)", l.strip())
@@ -707,6 +707,9 @@ def test_gopher_quality_flags_match_python_reference(spark):
         "",                                          # empty
         None,                                        # NULL
         good + "\u2026 done \u2022 yes",           # unicode glyphs
+        "\r\n".join(l + "..." for l in good.split(" ")),  # CRLF + ellipsis lines
+        "\n".join("\t- " + l for l in good.split(" ")),   # tab-indented bullets
+        good + "\r\n\t \r\nmore words here",           # blank CRLF/tab lines
     ]
     df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cases)], "i long, text string"

@@ -26,7 +26,7 @@ def ref_canonical(url: str | None) -> str | None:
     if url is None:
         return None
     if "://" not in url:
-        url = "http://" + url
+        url = ("http:" + url) if url.startswith("//") else ("http://" + url)
     s = urlsplit(url)
     scheme = s.scheme.lower()
     host = (s.hostname or "").lower().rstrip(".")
@@ -62,6 +62,10 @@ def _cases() -> list[str]:
         "https://example.com/a?x=1&x=0",
         "http://www.www-prefixed.com/",
         "http://example.com/trailing///",
+        "http://example.com/a#frag?x=1",        # '?' INSIDE the fragment
+        "//cdn.example.com/lib.js?v=3",         # protocol-relative
+        "http://example.com:0080/a",            # leading-zero default port
+        "https://example.com:0900/a",           # leading-zero custom port
     ]
     # generated matrix: scheme x www x port x path x query x fragment
     parts = itertools.product(
