@@ -1043,31 +1043,59 @@ def decontaminate_bloom(
     from pyspark.sql.functions import pandas_udf
 
     def bloom_hits(hs1, hs2):
+        # vectorized across the WHOLE Arrow batch, not per row: flatten
+        # every row's gram hashes into one array, test all k bits in k
+        # vectorized passes, then fold back to per-row counts with
+        # add.reduceat — the per-row-Python-loop formulation was ~5x
+        # slower and this probe is the operator's corpus-sized stage
         arr = bc.value
-
-        def one(a, b) -> int:
+        n_rows = len(hs1)
+        out = np.zeros(n_rows, dtype=np.int32)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in hs1),
+            dtype=np.int64,
+            count=n_rows,
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(out)
+        flat1 = np.empty(total, dtype=np.int64)
+        flat2 = np.empty(total, dtype=np.int64)
+        off = 0
+        for a, b in zip(hs1, hs2):
             if a is None or len(a) == 0:
-                return 0
-            av = np.asarray(a, dtype=np.int64)
-            bv = np.asarray(b, dtype=np.int64)
-            hit = np.ones(len(av), dtype=bool)
-            for i in range(k):
-                pos = (av + i * bv) % m
-                hit &= ((arr[pos >> 6] >> (pos & 63)) & 1) == 1
-            return int(hit.sum())
-
-        return pd.Series([one(a, b) for a, b in zip(hs1, hs2)])
+                continue
+            ln = len(a)
+            flat1[off : off + ln] = a
+            flat2[off : off + ln] = b
+            off += ln
+        hit = np.ones(total, dtype=bool)
+        for i in range(k):
+            pos = (flat1 + i * flat2) % m
+            hit &= ((arr[pos >> 6] >> (pos & 63)) & 1) == 1
+        nz = lens > 0
+        starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+        out[nz] = np.add.reduceat(hit.astype(np.int32), starts)
+        return pd.Series(out)
 
     bloom_hits.__annotations__ = {
         "hs1": pd.Series, "hs2": pd.Series, "return": pd.Series
     }
     bloom_udf = pandas_udf("int")(bloom_hits)
 
-    md5s = gram_md5s(F.col(text_col))
-    flagged = corpus.select(F.col(id_col)).where(
-        bloom_udf(F.transform(md5s, _bloom_h1), F.transform(md5s, _bloom_h2))
-        >= F.lit(int(min_shared))
+    # project the gram-md5 array ONCE, then derive both hash arrays from
+    # the projected column — inlining gram_md5s into each transform would
+    # run the n-gram expansion (the flag pass's dominant cost) twice
+    probe = corpus.select(
+        F.col(id_col), gram_md5s(F.col(text_col)).alias("_g")
     )
+    flagged = probe.select(
+        F.col(id_col),
+        F.transform("_g", _bloom_h1).alias("_h1"),
+        F.transform("_g", _bloom_h2).alias("_h2"),
+    ).where(
+        bloom_udf(F.col("_h1"), F.col("_h2")) >= F.lit(int(min_shared))
+    ).select(id_col)
     flagged = _pin(flagged, materialize)
 
     # exact verify on the flagged slice: decontaminate's per-(corpus,
