@@ -1042,59 +1042,64 @@ def decontaminate_bloom(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def bloom_hits(hs1, hs2):
-        # vectorized across the WHOLE Arrow batch, not per row: flatten
-        # every row's gram hashes into one array, test all k bits in k
-        # vectorized passes, then fold back to per-row counts with
-        # add.reduceat — the per-row-Python-loop formulation was ~5x
-        # slower and this probe is the operator's corpus-sized stage
+    def bloom_hits(hs):
+        # ONE argument carrying per-gram [h1, h2] pairs interleaved into a
+        # single flat array. Two separate array arguments would make
+        # Catalyst inline the gram expansion (this pass's dominant cost)
+        # into EACH ArrowEvalPython input — measured 2x the scan work.
+        # Vectorized across the WHOLE Arrow batch: flatten every row's
+        # pairs into one array, test all k bits in k vectorized passes,
+        # fold back per row with add.reduceat (the per-row-Python-loop
+        # formulation was ~5x slower).
         arr = bc.value
-        n_rows = len(hs1)
+        n_rows = len(hs)
         out = np.zeros(n_rows, dtype=np.int32)
+        # per-row GRAM counts (each gram contributes an [h1, h2] pair)
         lens = np.fromiter(
-            (0 if a is None else len(a) for a in hs1),
+            (0 if a is None else len(a) // 2 for a in hs),
             dtype=np.int64,
             count=n_rows,
         )
         total = int(lens.sum())
         if total == 0:
             return pd.Series(out)
-        flat1 = np.empty(total, dtype=np.int64)
-        flat2 = np.empty(total, dtype=np.int64)
+        flat = np.empty(2 * total, dtype=np.int64)
         off = 0
-        for a, b in zip(hs1, hs2):
+        for a in hs:
             if a is None or len(a) == 0:
                 continue
-            ln = len(a)
-            flat1[off : off + ln] = a
-            flat2[off : off + ln] = b
-            off += ln
+            flat[off : off + len(a)] = a
+            off += len(a)
+        # rows contribute even-length runs, so the h1/h2 alternation is
+        # preserved across row boundaries
+        h1 = flat[0::2]
+        h2 = flat[1::2]
         hit = np.ones(total, dtype=bool)
         for i in range(k):
-            pos = (flat1 + i * flat2) % m
+            pos = (h1 + i * h2) % m
             hit &= ((arr[pos >> 6] >> (pos & 63)) & 1) == 1
         nz = lens > 0
         starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
         out[nz] = np.add.reduceat(hit.astype(np.int32), starts)
         return pd.Series(out)
 
-    bloom_hits.__annotations__ = {
-        "hs1": pd.Series, "hs2": pd.Series, "return": pd.Series
-    }
+    bloom_hits.__annotations__ = {"hs": pd.Series, "return": pd.Series}
     bloom_udf = pandas_udf("int")(bloom_hits)
 
-    # project the gram-md5 array ONCE, then derive both hash arrays from
-    # the projected column — inlining gram_md5s into each transform would
-    # run the n-gram expansion (the flag pass's dominant cost) twice
-    probe = corpus.select(
-        F.col(id_col), gram_md5s(F.col(text_col)).alias("_g")
+    # a SINGLE transform over the gram array, producing interleaved
+    # [h1, h2] pairs: the gram expansion is referenced exactly once in
+    # the UDF's input (two separate hash-array arguments would each
+    # inline it — Catalyst substitutes projection aliases back into the
+    # ArrowEvalPython inputs, so aliasing does not deduplicate it), and
+    # no named intermediate columns means no collision with id_col
+    pairs_expr = F.flatten(
+        F.transform(
+            gram_md5s(F.col(text_col)),
+            lambda h: F.array(_bloom_h1(h), _bloom_h2(h)),
+        )
     )
-    flagged = probe.select(
-        F.col(id_col),
-        F.transform("_g", _bloom_h1).alias("_h1"),
-        F.transform("_g", _bloom_h2).alias("_h2"),
-    ).where(
-        bloom_udf(F.col("_h1"), F.col("_h2")) >= F.lit(int(min_shared))
+    flagged = corpus.where(
+        bloom_udf(pairs_expr) >= F.lit(int(min_shared))
     ).select(id_col)
     flagged = _pin(flagged, materialize)
 
