@@ -393,7 +393,10 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
 
     - ``ok_word_count``: 50 <= words <= 100_000
     - ``ok_mean_word_len``: mean word length in [3, 10]
-    - ``ok_symbol_ratio``: (# of '#' or ellipsis / words) <= 0.1
+    - ``ok_symbol_ratio``: hash-to-word ratio <= 0.1 AND
+      ellipsis-to-word ratio <= 0.1 — two INDEPENDENT verdicts, per the
+      published wording "for either the hash symbol or the ellipsis"
+      (a doc with 0.07 of each passes; pooling them would over-filter)
     - ``ok_bullet_lines``: <= 90% of non-empty lines start with a bullet
     - ``ok_ellipsis_lines``: <= 30% of non-empty lines end with ellipsis
     - ``ok_alpha_words``: >= 80% of words contain an alphabetic char
@@ -423,10 +426,15 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
     uni_ellipsis = F.length(text) - F.length(
         F.regexp_replace(text, "…", "")
     )
-    n_symbols = F.coalesce(
-        (hashes + dots3 + uni_ellipsis).cast("long"), F.lit(0)
+    n_hashes = F.coalesce(hashes.cast("long"), F.lit(0))
+    n_ellipses = F.coalesce((dots3 + uni_ellipsis).cast("long"), F.lit(0))
+    # per-class thresholds ("either the hash symbol or the ellipsis"):
+    # each symbol class must independently stay <= 10% of words
+    ok_symbol_ratio = (
+        (n_words > 0)
+        & (n_hashes * 10 <= n_words)
+        & (n_ellipses * 10 <= n_words)
     )
-    ok_symbol_ratio = (n_words > 0) & (n_symbols * 10 <= n_words)
     # CRLF-safe line semantics, aligned bit-for-bit with the DuckDB oracle
     # and the Python reference: split on \r?\n and trim ALL whitespace
     # (F.trim strips spaces only; Java rlike '$' would also match before a

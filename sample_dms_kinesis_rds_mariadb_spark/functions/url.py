@@ -27,8 +27,9 @@ against an independent Python reference):
   ``msclkid``, ``mc_eid``, ``igshid``, ``ref``, ``ref_src``, ``spm``),
   the rest SORTED by their full ``k=v`` text; empty query dropped
 - fragment: dropped
-- bracketed IPv6 hosts are out of contract (vanishing in crawl data);
-  they pass through with the bracket content treated as an opaque host
+- bracketed IPv6 authorities: the whole ``[...]`` passes through as an
+  opaque host (colons inside brackets are address separators); only a
+  ``:<digits>`` after the closing bracket is treated as a port
 
 `url_registered_domain` is the eTLD+1 heuristic over a built-in set of
 common multi-label public suffixes (``co.uk``-style). The full Public
@@ -83,16 +84,27 @@ def _host_port(url: Column) -> Column:
 
 def url_host(url: Column) -> Column:
     """Canonical host: lowercased, userinfo/port/trailing-dot stripped,
-    leading ``www.`` stripped. NULL in ⇒ NULL out."""
+    leading ``www.`` stripped. A bracketed IPv6 authority keeps its whole
+    ``[...]`` content as the host (colons inside brackets are address
+    separators, not a port delimiter). NULL in ⇒ NULL out."""
     hp = _host_port(url)
-    host = F.lower(F.regexp_extract(hp, r"^([^:]*)", 1))
+    host = F.when(
+        hp.startswith("["),
+        F.regexp_extract(hp, r"^(\[[^\]]*\]?)", 1),
+    ).otherwise(F.regexp_extract(hp, r"^([^:]*)", 1))
+    host = F.lower(host)
     host = F.regexp_replace(host, r"\.$", "")
     return F.regexp_replace(host, r"^www\.", "")
 
 
 def url_port(url: Column) -> Column:
-    """Explicit port as a string, '' when absent."""
-    return F.regexp_extract(_host_port(url), r":(\d+)$", 1)
+    """Explicit port as a string, '' when absent. For a bracketed IPv6
+    authority only a ``:<digits>`` AFTER the closing bracket is a port."""
+    hp = _host_port(url)
+    return F.when(
+        hp.startswith("["),
+        F.regexp_extract(hp, r"^\[[^\]]*\]:(\d+)$", 1),
+    ).otherwise(F.regexp_extract(hp, r":(\d+)$", 1))
 
 
 def url_path(url: Column) -> Column:

@@ -1350,9 +1350,9 @@ def q_url_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  COALESCE(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))), 0) AS alpha,
                  COALESCE(len(list_filter(list_distinct(t),
                    x -> x IN ('the','be','to','of','and','that','have','with'))), 0) AS req,
-                 COALESCE(length(text) - length(replace(text, '#', '')), 0)
-                   + COALESCE((length(text) - length(replace(text, '...', ''))) // 3, 0)
-                   + COALESCE(length(text) - length(replace(text, chr(8230), '')), 0) AS n_sym,
+                 COALESCE(length(text) - length(replace(text, '#', '')), 0) AS n_hash,
+                 COALESCE((length(text) - length(replace(text, '...', ''))) // 3, 0)
+                   + COALESCE(length(text) - length(replace(text, chr(8230), '')), 0) AS n_ell,
                  COALESCE(len(lines), 0) AS n_lines,
                  COALESCE(len(list_filter(lines,
                    l -> regexp_matches(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '^(' || chr(8226) || '|' || chr(8227) || '|' || chr(9642) || '|' || chr(9679) || '|\\*|-)'))), 0) AS bullets,
@@ -1363,14 +1363,16 @@ def q_url_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                n_words BETWEEN 50 AND 100000 AS ok_word_count,
                n_words > 0 AND n_chars BETWEEN 3 * n_words AND 10 * n_words AS ok_mean_word_len,
-               n_words > 0 AND n_sym * 10 <= n_words AS ok_symbol_ratio,
+               n_words > 0 AND n_hash * 10 <= n_words
+                 AND n_ell * 10 <= n_words AS ok_symbol_ratio,
                n_lines = 0 OR bullets * 10 <= n_lines * 9 AS ok_bullet_lines,
                n_lines = 0 OR ells * 10 <= n_lines * 3 AS ok_ellipsis_lines,
                n_words > 0 AND alpha * 10 >= n_words * 8 AS ok_alpha_words,
                req >= 2 AS ok_required_words,
                (n_words BETWEEN 50 AND 100000)
                  AND (n_words > 0 AND n_chars BETWEEN 3 * n_words AND 10 * n_words)
-                 AND (n_words > 0 AND n_sym * 10 <= n_words)
+                 AND (n_words > 0 AND n_hash * 10 <= n_words
+                      AND n_ell * 10 <= n_words)
                  AND (n_lines = 0 OR bullets * 10 <= n_lines * 9)
                  AND (n_lines = 0 OR ells * 10 <= n_lines * 3)
                  AND (n_words > 0 AND alpha * 10 >= n_words * 8)

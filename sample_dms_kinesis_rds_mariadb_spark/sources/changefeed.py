@@ -167,17 +167,24 @@ class ChangeFeed:
         ``monotonically_increasing_id()`` values computed on a PINNED frame
         (the caller owns pinning — localCheckpoint — so re-evaluation can't
         reshuffle ids between the caller's agg and this write); ``max_mono``
-        is the frame's max id (the caller reads it in the same aggregation
-        that sizes the batch, so no extra job here).
+        is the frame's max id, used only by the sparse fallback below.
 
-        Seqs are ``base + 1 + mono``: unique, strictly above every prior
-        seq, and strictly below every later append's — but SPARSE (the
-        partition stride of mono ids), which is a binlog POSITION, not a row
-        number, and record order within the batch is partition order, not
-        commit order. Both are sound for what this path carries: snapshot /
-        diff batches have per-key-unique records, so the applier's per-key
-        max-seq verdict is order-independent, and nothing in the engine
-        assumes dense seqs. Files publish by atomic rename (same contract
+        Seqs are DENSE: ``base + 1 .. base + n`` in mono order, computed
+        arithmetically from the mono ids' documented layout (partition id
+        in the upper bits, per-partition record number in the lower 33) —
+        one tiny per-partition-counts aggregation (collect bounded by the
+        partition count), a broadcast-literal offset map, NO shuffle of the
+        batch. Repeated bulk appends therefore advance the counter by row
+        count, never by the ~2^33-per-partition stride of raw mono ids
+        (which would silently walk the int64 range on wide frames). If a
+        future Spark changes the mono layout (lower bits no longer dense
+        per partition — detected in the same aggregation), the method falls
+        back to the old sparse ``base + 1 + mono`` seqs after asserting
+        int64 headroom, and fails loudly when even that would overflow.
+        Record order within the batch is partition order, not commit order
+        — sound for what this path carries: snapshot / diff batches have
+        per-key-unique records, so the applier's per-key max-seq verdict is
+        order-independent. Files publish by atomic rename (same contract
         as :meth:`append_changes`), so the streaming reader never sees a
         partial file; the write job runs under the producer lock so no
         concurrent producer can interleave a lower-seq file afterwards.
@@ -186,14 +193,56 @@ class ChangeFeed:
         import shutil
         import uuid
 
+        mask = (1 << 33) - 1
         with self._lock:
             self._recover_producer_state()
             base = self._seq
+            per_pid = (
+                changes_df.groupBy(
+                    F.shiftright(F.col(mono_col), 33).alias("_pid")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.max(F.col(mono_col).bitwiseAND(F.lit(mask))).alias("_mx"),
+                )
+                .orderBy("_pid")
+                .collect()
+            )
+            total = sum(int(r["_n"]) for r in per_pid)
+            if total == 0:
+                return 0
+            if all(int(r["_mx"]) == int(r["_n"]) - 1 for r in per_pid):
+                # dense layout confirmed: seq = base + 1 + offset[pid] + row
+                offsets, acc = {}, 0
+                for r in per_pid:
+                    offsets[int(r["_pid"])] = acc
+                    acc += int(r["_n"])
+                off_map = F.create_map(
+                    *[
+                        F.lit(x).cast("long")
+                        for kv in offsets.items()
+                        for x in kv
+                    ]
+                )
+                dense = F.element_at(
+                    off_map, F.shiftright(F.col(mono_col), 33).cast("long")
+                ) + F.col(mono_col).bitwiseAND(F.lit(mask))
+                seq_expr = (F.lit(base + 1) + dense).cast("long")
+                advance = total
+            else:
+                # unknown mono layout: sparse seqs, with the headroom check
+                # that makes exhaustion loud instead of silently corrupting
+                # commit order
+                if base + 1 + int(max_mono) >= 1 << 62:
+                    raise RuntimeError(
+                        f"feed seq headroom exhausted: base={base}, "
+                        f"max_mono={max_mono} — compact/rebuild the feed"
+                    )
+                seq_expr = (F.lit(base + 1) + F.col(mono_col)).cast("long")
+                advance = 1 + int(max_mono)
             # leading _: invisible to the Spark readers scanning self.path
             stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
-            out = changes_df.withColumn(
-                "seq", (F.lit(base + 1) + F.col(mono_col)).cast("long")
-            ).select(
+            out = changes_df.withColumn("seq", seq_expr).select(
                 "seq", "schema", "table", "op", "txn_id", "commit_ts",
                 "data", "before",
             )
@@ -215,7 +264,7 @@ class ChangeFeed:
                     n_files += 1
             finally:
                 shutil.rmtree(stage, ignore_errors=True)
-            self._seq = base + 1 + int(max_mono)
+            self._seq = base + advance
             return n_files
 
     # -- consumers ----------------------------------------------------------

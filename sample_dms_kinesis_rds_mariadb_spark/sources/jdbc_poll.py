@@ -42,6 +42,14 @@ Delivery contract (the same one every polling capture offers):
   vanished primary keys (the standard snapshot-reconciliation recipe);
   intermediate versions remain out of contract.
 
+Canonical payload format: every ``data`` value is the source column
+rendered with Spark ``cast('string')`` semantics — booleans
+``true``/``false``, timestamps ``yyyy-MM-dd HH:mm:ss`` (fractional part
+only when nonzero, trailing zeros trimmed), decimals at declared scale —
+on EVERY delivery path (initial snapshot, pump increments, reconcile);
+one source row renders byte-identically no matter which path delivered
+it, and the dedup fingerprints are computed from those same strings.
+
 Restart: pass ``state_path`` to persist the high-water mark + delivered
 fingerprints after every pump; a restarted agent resumes instead of
 re-snapshotting. (``ChangeFeed`` likewise recovers its seq counter from an
@@ -172,6 +180,28 @@ class JdbcPollingCapture:
     def _fingerprint(data: dict) -> str:
         return json.dumps(data, sort_keys=True, default=str)
 
+    def _with_data_map(self, df):
+        """Append ``_data``: every column rendered to the feed's canonical
+        string form. ONE renderer — Spark ``cast('string')`` semantics
+        (booleans ``true``/``false``, timestamps ``yyyy-MM-dd HH:mm:ss``
+        with trailing fractional zeros trimmed, decimals at declared
+        scale) — shared by every delivery path (initial snapshot, pump
+        increments, boundary fingerprints, reconcile's vanished-row
+        pruning), so the payload and the dedup fingerprint for a given
+        source row are byte-identical no matter which path delivered it."""
+        cols = df.columns
+        for reserved in ("_data", "_mono"):
+            if reserved in cols:
+                raise ValueError(
+                    f"{self.schema}.{self.table} has a column named "
+                    f"{reserved!r}, which the capture encoder reserves — "
+                    "rename it or view-project it away at the endpoint"
+                )
+        data = F.create_map(
+            *[x for c in cols for x in (F.lit(c), F.col(c).cast("string"))]
+        )
+        return df.withColumn("_data", data)
+
     def _resolve_column(self, df, col_name: str, what: str = "column") -> str:
         """Spark resolves ``F.col(...)`` case-insensitively, but ``Row``
         access is case-sensitive — resolve once to the actual column name
@@ -241,8 +271,11 @@ class JdbcPollingCapture:
             self._hwm = row[0]
             if self._hwm is not None:
                 self._window_fps = frozenset(
-                    self._fingerprint(self._stringify(r.asDict()))
-                    for r in df.filter(F.col(cursor) >= F.lit(self._floor()))
+                    self._fingerprint(dict(r["_data"]))
+                    for r in self._with_data_map(
+                        df.filter(F.col(cursor) >= F.lit(self._floor()))
+                    )
+                    .select("_data")
                     .collect()
                 )
             self._started = True
@@ -253,7 +286,8 @@ class JdbcPollingCapture:
         floor = self._floor()
         if floor is not None:
             df = df.filter(F.col(cursor) >= F.lit(floor))
-        rows = df.orderBy(cursor).collect()  # increment-sized hop
+        # increment-sized hop; _data carries the canonical cast-string map
+        rows = self._with_data_map(df).orderBy(cursor).collect()
         # polling cannot distinguish insert from update; the applier's
         # per-PK upsert makes the distinction immaterial for state
         op = "update"
@@ -261,10 +295,9 @@ class JdbcPollingCapture:
         changes = []
         delivered = []  # (cursor_value, fingerprint) of every row seen
         for r in rows:
-            d = r.asDict()
-            data = self._stringify(d)
+            data = dict(r["_data"])
             fp = self._fingerprint(data)
-            delivered.append((d[cursor], fp))
+            delivered.append((r[cursor], fp))
             if fp in self._window_fps:
                 continue  # already delivered in a previous poll's window
             changes.append(
@@ -272,7 +305,10 @@ class JdbcPollingCapture:
                     "schema": self.schema,
                     "table": self.table,
                     "op": op,
-                    "txn_id": f"poll-{cursor}-{d[cursor]}",
+                    # canonical-string cursor value, same rendering as the
+                    # snapshot path's cast-string txn_id
+                    "txn_id": f"poll-{cursor}-"
+                    + (data[cursor] if data[cursor] is not None else "None"),
                     "commit_ts": now,
                     "data": data,
                     "before": None,
@@ -335,20 +371,9 @@ class JdbcPollingCapture:
         re-read window is permanently table-sized (module contract), so the
         fingerprint set is table-sized no matter where the encode runs.
         """
-        cols = df.columns
-        for reserved in ("_data", "_mono"):
-            if reserved in cols:
-                raise ValueError(
-                    f"{self.schema}.{self.table} has a column named "
-                    f"{reserved!r}, which the snapshot encoder reserves — "
-                    "rename it or view-project it away at the endpoint"
-                )
         now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
-        data = F.create_map(
-            *[x for c in cols for x in (F.lit(c), F.col(c).cast("string"))]
-        )
         pinned = (
-            df.withColumn("_data", data)
+            self._with_data_map(df)
             .withColumn("_mono", F.monotonically_increasing_id())
             .localCheckpoint(eager=True)
         )
@@ -364,19 +389,20 @@ class JdbcPollingCapture:
             return 0
         if hwm is None:
             # all-NULL cursor: deliver driver-side and remember every
-            # fingerprint (the permanent re-read window — see docstring)
-            rows = pinned.select(*cols).collect()
+            # fingerprint (the permanent re-read window — see docstring);
+            # payload is the same canonical _data map as every other path
+            rows = pinned.select("_data").collect()
             changes, fps = [], []
             for r in rows:
-                d = r.asDict()
-                rec = self._stringify(d)
+                rec = dict(r["_data"])
                 fps.append(self._fingerprint(rec))
                 changes.append(
                     {
                         "schema": self.schema,
                         "table": self.table,
                         "op": "insert",
-                        "txn_id": f"poll-{cursor}-{d[cursor]}",
+                        # every cursor is NULL in this branch
+                        "txn_id": f"poll-{cursor}-None",
                         "commit_ts": now,
                         "data": rec,
                         "before": None,
@@ -403,17 +429,15 @@ class JdbcPollingCapture:
         )
         feed.append_changes_df(changes_df, "_mono", int(agg["mx"]))
         self._hwm = hwm
-        # boundary fingerprints: Python stringification (identical to what
-        # every later poll computes), over the pinned frame's ORIGINAL
-        # typed columns — never the Spark-cast transport strings, whose
-        # formatting differs (e.g. booleans 'true' vs 'True')
+        # boundary fingerprints from the SAME pinned _data maps that were
+        # delivered — byte-identical to what every later poll computes
         boundary = (
             pinned.filter(F.col(cursor) >= F.lit(self._floor()))
-            .select(*cols)
+            .select("_data")
             .collect()
         )
         self._window_fps = frozenset(
-            self._fingerprint(self._stringify(r.asDict())) for r in boundary
+            self._fingerprint(dict(r["_data"])) for r in boundary
         )
         self._started = True
         self._save_state()
@@ -498,11 +522,8 @@ class JdbcPollingCapture:
         if floor is not None:
             df = df.filter(F.col(cursor) >= F.lit(floor))
         current = frozenset(
-            self._fingerprint(self._stringify(r.asDict())) for r in df.collect()
+            self._fingerprint(dict(r["_data"]))
+            for r in self._with_data_map(df).select("_data").collect()
         )
         self._window_fps = self._window_fps & current
         self._save_state()
-
-    @staticmethod
-    def _stringify(d: dict) -> dict:
-        return {k: (None if v is None else str(v)) for k, v in d.items()}

@@ -668,8 +668,15 @@ def test_gopher_quality_flags_match_python_reference(spark):
         t = text or ""
         ok_wc = 50 <= n_words <= 100_000
         ok_mwl = n_words > 0 and 3 * n_words <= n_chars <= 10 * n_words
-        n_sym = t.count("#") + t.count("...") + t.count("\u2026")
-        ok_sym = n_words > 0 and n_sym * 10 <= n_words
+        # per-class ("either the hash symbol or the ellipsis"): each
+        # symbol class independently <= 10% of words
+        n_hash = t.count("#")
+        n_ell = t.count("...") + t.count("\u2026")
+        ok_sym = (
+            n_words > 0
+            and n_hash * 10 <= n_words
+            and n_ell * 10 <= n_words
+        )
         lines = [l for l in re.split(r"\r?\n", t) if l.strip()]
         bullets = sum(
             1 for l in lines
@@ -710,6 +717,11 @@ def test_gopher_quality_flags_match_python_reference(spark):
         "\r\n".join(l + "..." for l in good.split(" ")),  # CRLF + ellipsis lines
         "\n".join("\t- " + l for l in good.split(" ")),   # tab-indented bullets
         good + "\r\n\t \r\nmore words here",           # blank CRLF/tab lines
+        # 0.07 hash + 0.07 ellipsis ratios: passes the per-class rule but
+        # would fail a pooled 0.1 threshold — pins the published semantics
+        good + " " + "# " * 4 + "... " * 4,
+        good + " " + "# " * 7,                       # hashes alone > 0.1
+        good + " " + "... " * 7,                     # ellipses alone > 0.1
     ]
     df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cases)], "i long, text string"
@@ -728,3 +740,8 @@ def test_gopher_quality_flags_match_python_reference(spark):
         assert got[i] == ref(c), (i, repr(c)[:60], got[i], ref(c))
     assert got[0][-1] is True          # the good doc passes outright
     assert sum(g[-1] for g in got.values()) < len(cases)  # others trip
+    # pin the per-class (not pooled) symbol-ratio semantics: 0.06 hash +
+    # 0.06 ellipsis passes, but either class alone above 0.1 fails
+    assert got[len(cases) - 3][2] is True
+    assert got[len(cases) - 2][2] is False
+    assert got[len(cases) - 1][2] is False

@@ -602,3 +602,122 @@ def test_distributed_snapshot_feeds_a_live_stream(spark, tmp_path):
         assert len(ids) == 32
     finally:
         q.stop()
+
+
+def test_canonical_payload_encoding_across_paths(spark, tmp_path):
+    """Feed-contract check: one source row renders byte-identically whether
+    delivered by the initial snapshot (executor-side encode) or a later
+    pump (driver-side encode) — Spark cast('string') semantics on every
+    path (booleans 'true', decimals at declared scale, timestamps without
+    a trailing zero fraction)."""
+    db = str(tmp_path / "typedb")
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log")
+    )
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE flags (id INT PRIMARY KEY, active BOOLEAN, "
+        "amt DECIMAL(10,2), ts TIMESTAMP, version INT)"
+    )
+    st.executeUpdate(
+        "INSERT INTO flags VALUES "
+        "(1, true, 12.50, TIMESTAMP('2024-03-01 10:30:00'), 1)"
+    )
+    st.close()
+    cat = SourceCatalog(spark)
+    cat.register_endpoint(
+        EndpointSpec(
+            "derby-typed",
+            "jdbc",
+            {
+                "url": f"jdbc:derby:{db}",
+                "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+                "tables": ["APP.flags"],
+                "schema_name": "APP",
+            },
+        )
+    )
+    cap = JdbcPollingCapture(cat, "derby-typed", "APP", "flags", cursor_col="version")
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    assert cap.pump(feed) == 1  # snapshot path
+    st = conn.createStatement()
+    st.executeUpdate(
+        "INSERT INTO flags VALUES "
+        "(2, true, 12.50, TIMESTAMP('2024-03-01 10:30:00'), 2)"
+    )
+    st.close()
+    assert cap.pump(feed) == 1  # increment path
+    rows = {r["data"]["ID"]: dict(r["data"]) for r in feed.read_batch().collect()}
+    snap, inc = rows["1"], rows["2"]
+    # same source values => same canonical strings, regardless of path
+    for col in ("ACTIVE", "AMT", "TS"):
+        assert snap[col] == inc[col], (col, snap[col], inc[col])
+    assert snap["ACTIVE"] == "true"  # Spark cast, never Python str(True)
+    assert snap["AMT"] == "12.50"  # declared scale kept
+    assert snap["TS"] == "2024-03-01 10:30:00"  # no trailing fraction
+
+
+def test_append_changes_df_assigns_dense_seqs(spark, tmp_path):
+    """Bulk appends must advance the feed position by ROW COUNT, not by the
+    ~2^33-per-partition stride of raw monotonically_increasing_id values —
+    repeated snapshot/reconcile batches on wide frames would otherwise walk
+    the int64 seq range."""
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    feed.append_changes(
+        [
+            {
+                "schema": "S",
+                "table": "T",
+                "op": "insert",
+                "txn_id": "t0",
+                "commit_ts": "2024-01-01T00:00:00",
+                "data": {"ID": "0"},
+                "before": None,
+            }
+        ]
+    )
+    base = feed.current_position()
+    n = 40
+    batch = (
+        spark.range(n)
+        .repartition(8)  # multiple partitions => strided mono ids
+        .select(
+            F.lit("S").alias("schema"),
+            F.lit("T").alias("table"),
+            F.lit("insert").alias("op"),
+            F.concat(F.lit("t"), F.col("id")).alias("txn_id"),
+            F.lit("2024-01-01T00:00:00").alias("commit_ts"),
+            F.map_from_arrays(
+                F.array(F.lit("ID")), F.array(F.col("id").cast("string"))
+            ).alias("data"),
+            F.lit(None).cast("map<string,string>").alias("before"),
+            F.monotonically_increasing_id().alias("_mono"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = batch.agg(F.max("_mono")).first()[0]
+    assert mx > n  # mono ids really are sparse across partitions
+    assert feed.append_changes_df(batch, "_mono", int(mx)) >= 1
+    seqs = sorted(
+        r["seq"] for r in feed.read_batch().filter(F.col("seq") > base).collect()
+    )
+    # dense: exactly base+1 .. base+n, no gaps
+    assert seqs == list(range(base + 1, base + n + 1))
+    assert feed.current_position() == base + n
+    # a later driver-side append continues from the dense position
+    feed.append_changes(
+        [
+            {
+                "schema": "S",
+                "table": "T",
+                "op": "insert",
+                "txn_id": "tz",
+                "commit_ts": "2024-01-01T00:00:01",
+                "data": {"ID": "z"},
+                "before": None,
+            }
+        ]
+    )
+    assert feed.current_position() == base + n + 1

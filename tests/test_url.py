@@ -30,6 +30,10 @@ def ref_canonical(url: str | None) -> str | None:
     s = urlsplit(url)
     scheme = s.scheme.lower()
     host = (s.hostname or "").lower().rstrip(".")
+    if ":" in host:
+        # urlsplit strips the brackets; the engine contract keeps the
+        # whole bracketed authority as an opaque host
+        host = "[" + host + "]"
     if host.startswith("www."):
         host = host[4:]
     port = s.port
@@ -66,6 +70,10 @@ def _cases() -> list[str]:
         "//cdn.example.com/lib.js?v=3",         # protocol-relative
         "http://example.com:0080/a",            # leading-zero default port
         "https://example.com:0900/a",           # leading-zero custom port
+        "http://[2001:db8::1]:8080/a",          # bracketed IPv6 + port
+        "https://[2001:DB8::1]/x/",             # IPv6, case + trailing slash
+        "http://[::1]:80/",                     # IPv6 + default port strip
+        "http://user@[::1]:9000/p?b=2&a=1",     # IPv6 + userinfo + query
     ]
     # generated matrix: scheme x www x port x path x query x fragment
     parts = itertools.product(
