@@ -487,6 +487,12 @@ def decode_binlog(
         raise ValueError(f"{path} is not a binlog file (bad magic)")
     pos = max(start_pos, 4)
     checksum = 0  # unknown until the FDE; 4 when CRC32 trailers present
+    # a resume past the FDE must still learn the checksum algorithm from
+    # it — every later event's framing depends on the trailer width
+    if pos > 4 and len(blob) >= 4 + HEADER_LEN:
+        _t, et0, _s, es0, _l, _f = struct.unpack_from("<IBIIIH", blob, 4)
+        if et0 == FORMAT_DESCRIPTION_EVENT and 4 + es0 <= len(blob):
+            checksum = 4 if blob[4 + es0 - 5] == 1 else 0
     table_maps: dict[int, _TableMap] = {}
     records: list[dict] = []
     txn_buf: list[dict] = []

@@ -1,0 +1,527 @@
+"""File-based binlog ROW-event decoder: fixture binlogs synthesized by the
+INDEPENDENT writer in tests/binlog_writer.py, decoded by
+sources/binlog.py, driving the engine's existing CDC contracts — the
+reference's actual CDC wire format (stack.py:372-376 ROW/Full) closed
+end-to-end."""
+
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+from binlog_writer import (
+    BLOB,
+    DATE,
+    DATETIME2,
+    DOUBLE,
+    FLOAT,
+    INT24,
+    LONG,
+    LONGLONG,
+    NEWDECIMAL,
+    SHORT,
+    TIMESTAMP2,
+    TINY,
+    VARCHAR,
+    YEAR,
+    BinlogWriter,
+    Col,
+)
+from sample_dms_kinesis_rds_mariadb_spark.engine import ReplicationEngine
+from sample_dms_kinesis_rds_mariadb_spark.fixtures import (
+    DB_NAME,
+    TABLES,
+    reference_pipeline,
+)
+from sample_dms_kinesis_rds_mariadb_spark.sources.binlog import (
+    BinlogTail,
+    decode_binlog,
+)
+from sample_dms_kinesis_rds_mariadb_spark.sources.changefeed import ChangeFeed
+
+
+def test_decode_roundtrip_all_types(tmp_path):
+    cols = [
+        Col("c_tiny", TINY),
+        Col("c_short", SHORT),
+        Col("c_int24", INT24),
+        Col("c_long", LONG),
+        Col("c_ll", LONGLONG),
+        Col("c_f", FLOAT),
+        Col("c_d", DOUBLE),
+        Col("c_year", YEAR),
+        Col("c_date", DATE),
+        Col("c_dt", DATETIME2, (0,)),
+        Col("c_dt6", DATETIME2, (6,)),
+        Col("c_ts", TIMESTAMP2, (0,)),
+        Col("c_v", VARCHAR, (80,)),
+        Col("c_vlong", VARCHAR, (400,)),
+        Col("c_blob", BLOB, (2,)),
+        Col("c_text", BLOB, (2,)),
+        Col("c_dec", NEWDECIMAL, (10, 2)),
+        Col("c_null", VARCHAR, (10,)),
+    ]
+    row = {
+        "c_tiny": -5,
+        "c_short": 1234,
+        "c_int24": -70000,
+        "c_long": 2**31 - 1,
+        "c_ll": -(2**40),
+        "c_f": 1.5,
+        "c_d": 60.5,
+        "c_year": 1999,
+        "c_date": (1980, 1, 31),
+        "c_dt": (2021, 1, 1, 12, 0, 0),
+        "c_dt6": (2021, 6, 30, 23, 59, 59, 123456),
+        "c_ts": (1_600_000_000,),
+        "c_v": "héllo",
+        "c_vlong": "x" * 300,
+        "c_blob": b"\x00\xff\x01",
+        "c_text": "plain text",
+        "c_dec": "-12345.67",
+        "c_null": None,
+    }
+    path = str(tmp_path / "b.bin")
+    w = BinlogWriter(path)
+    w.begin("testdb")
+    w.write_rows("testdb", "t", cols, [row])
+    w.xid()
+    w.flush()
+    recs, _pos = decode_binlog(path)
+    assert len(recs) == 1
+    r = recs[0]
+    assert (r["schema"], r["table"], r["op"]) == ("testdb", "t", "insert")
+    assert r["txn_id"] == "xid-1"
+    assert r["before"] is None
+    d = r["data"]
+    assert d["c_tiny"] == "-5"
+    assert d["c_short"] == "1234"
+    assert d["c_int24"] == "-70000"
+    assert d["c_long"] == str(2**31 - 1)
+    assert d["c_ll"] == str(-(2**40))
+    assert d["c_f"] == "1.5"
+    assert d["c_d"] == "60.5"
+    assert d["c_year"] == "1999"
+    assert d["c_date"] == "1980-01-31"
+    assert d["c_dt"] == "2021-01-01 12:00:00"
+    assert d["c_dt6"] == "2021-06-30 23:59:59.123456"
+    assert d["c_ts"] == "2020-09-13 12:26:40"  # UTC
+    assert d["c_v"] == "héllo"
+    assert d["c_vlong"] == "x" * 300
+    assert d["c_blob"] == "0x00ff01"  # non-UTF8 BLOB -> hex
+    assert d["c_text"] == "plain text"  # TEXT (BLOB-coded) -> utf-8
+    assert d["c_dec"] == "-12345.67"
+    assert d["c_null"] is None
+
+
+def test_decimal_corner_cases(tmp_path):
+    cols = [
+        Col("a", NEWDECIMAL, (20, 4)),
+        Col("b", NEWDECIMAL, (9, 0)),
+        Col("c", NEWDECIMAL, (5, 5)),
+    ]
+    rows = [
+        {"a": "1234567890123456.7890", "b": "42", "c": "0.00001"},
+        {"a": "-0.0001", "b": "-999999999", "c": "0.99999"},
+        {"a": "0.0000", "b": "0", "c": "0.00000"},
+    ]
+    path = str(tmp_path / "d.bin")
+    w = BinlogWriter(path)
+    w.begin("db")
+    w.write_rows("db", "t", cols, rows)
+    w.xid()
+    w.flush()
+    recs, _ = decode_binlog(path)
+    got = [r["data"] for r in recs]
+    assert got[0] == {"a": "1234567890123456.7890", "b": "42", "c": "0.00001"}
+    assert got[1] == {"a": "-0.0001", "b": "-999999999", "c": "0.99999"}
+    assert got[2] == {"a": "0.0000", "b": "0", "c": "0.00000"}
+
+
+@pytest.mark.parametrize("v2", [False, True])
+def test_update_and_delete_images(tmp_path, v2):
+    """UPDATE_ROWS paired (before, after) images -> before/data maps;
+    DELETE_ROWS image -> before only. Identical in v1 (MariaDB) and v2
+    (MySQL 5.6+) framing."""
+    cols = [Col("id", LONG), Col("name", VARCHAR, (40,))]
+    path = str(tmp_path / "u.bin")
+    w = BinlogWriter(path, v2=v2)
+    w.begin("db")
+    w.update_rows(
+        "db", "t", cols,
+        [
+            ({"id": 1, "name": "old"}, {"id": 1, "name": "new"}),
+            ({"id": 2, "name": "x"}, {"id": 2, "name": None}),
+        ],
+    )
+    w.delete_rows("db", "t", cols, [{"id": 3, "name": "gone"}])
+    w.xid()
+    w.flush()
+    recs, _ = decode_binlog(path)
+    assert [r["op"] for r in recs] == ["update", "update", "delete"]
+    assert recs[0]["before"] == {"id": "1", "name": "old"}
+    assert recs[0]["data"] == {"id": "1", "name": "new"}
+    assert recs[1]["data"] == {"id": "2", "name": None}
+    assert recs[2]["before"] == {"id": "3", "name": "gone"}
+    assert recs[2]["data"] is None
+    # one commit covers all three
+    assert len({r["txn_id"] for r in recs}) == 1
+
+
+def test_column_name_sources(tmp_path):
+    """Names come from the optional-metadata TLV when present, the caller
+    registry when not, positional col_i as last resort; a wrong-arity
+    registry fails loudly."""
+    cols = [Col("id", LONG), Col("v", VARCHAR, (10,))]
+    row = {"id": 7, "v": "a"}
+
+    with_md = str(tmp_path / "md.bin")
+    w = BinlogWriter(with_md, with_names=True)
+    w.begin("db")
+    w.write_rows("db", "t", cols, [row])
+    w.xid()
+    w.flush()
+    recs, _ = decode_binlog(with_md)
+    assert recs[0]["data"] == {"id": "7", "v": "a"}
+
+    bare = str(tmp_path / "bare.bin")
+    w = BinlogWriter(bare, with_names=False)
+    w.begin("db")
+    w.write_rows("db", "t", cols, [row])
+    w.xid()
+    w.flush()
+    recs, _ = decode_binlog(bare, column_names={("db", "t"): ["id", "v"]})
+    assert recs[0]["data"] == {"id": "7", "v": "a"}
+    recs, _ = decode_binlog(bare, column_names={"t": ["id", "v"]})
+    assert recs[0]["data"] == {"id": "7", "v": "a"}
+    recs, _ = decode_binlog(bare)
+    assert recs[0]["data"] == {"col_0": "7", "col_1": "a"}
+    with pytest.raises(ValueError, match="2 columns"):
+        decode_binlog(bare, column_names={("db", "t"): ["only_one"]})
+
+
+def test_crc32_validation(tmp_path):
+    cols = [Col("id", LONG)]
+    path = str(tmp_path / "c.bin")
+    w = BinlogWriter(path, checksum=True)
+    w.begin("db")
+    w.write_rows("db", "t", cols, [{"id": 1}])
+    w.xid()
+    w.flush()
+    blob = bytearray(open(path, "rb").read())
+    blob[-30] ^= 0xFF  # corrupt a committed event body
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        decode_binlog(path)
+
+
+def test_no_checksum_files_decode(tmp_path):
+    cols = [Col("id", LONG)]
+    path = str(tmp_path / "n.bin")
+    w = BinlogWriter(path, checksum=False)
+    w.begin("db")
+    w.write_rows("db", "t", cols, [{"id": 5}])
+    w.xid()
+    w.flush()
+    recs, _ = decode_binlog(path)
+    assert recs[0]["data"] == {"id": "5"}
+
+
+def test_ddl_control_records(tmp_path):
+    path = str(tmp_path / "ddl.bin")
+    w = BinlogWriter(path)
+    w.query("testdb", "CREATE TABLE authors (author_id INT PRIMARY KEY)")
+    w.query("testdb", "ALTER TABLE novels ADD COLUMN is_stock boolean DEFAULT true")
+    w.query("testdb", "ALTER TABLE accounts DROP COLUMN profile_picture")
+    w.query("testdb", "ALTER TABLE authors MODIFY COLUMN email varchar(100)")
+    w.query("testdb", "DROP TABLE IF EXISTS legacy")
+    w.flush()
+    recs, _ = decode_binlog(path)
+    assert [r["op"] for r in recs] == [
+        "create-table", "alter-table", "alter-table", "alter-table",
+        "drop-table",
+    ]
+    assert recs[0]["table"] == "authors"
+    assert recs[1]["ddl"] == {
+        "action": "add-column", "column": "is_stock", "type": "boolean",
+        "default": "true",
+    }
+    assert recs[2]["ddl"] == {
+        "action": "drop-column", "column": "profile_picture",
+    }
+    assert recs[3]["ddl"] == {
+        "action": "modify-column", "column": "email", "type": "varchar(100)",
+    }
+    assert recs[4]["table"] == "legacy"
+    assert all(r["schema"] == "testdb" for r in recs)
+
+
+def test_tail_resume_and_uncommitted_holdback(tmp_path, spark):
+    """BinlogTail pumps only newly-COMMITTED events: a transaction without
+    its XID yet (binlog still being written) is held back and re-read after
+    the commit lands; state_path survives agent restarts."""
+    cols = [Col("id", LONG), Col("v", VARCHAR, (20,))]
+    path = str(tmp_path / "t.bin")
+    state = str(tmp_path / "t.state")
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+
+    w = BinlogWriter(path)
+    w.begin("db")
+    w.write_rows("db", "t", cols, [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    w.xid()
+    w.flush()
+    tail = BinlogTail(path, state_path=state)
+    assert tail.pump(feed) == 2
+
+    # an OPEN transaction at EOF: held back entirely
+    w.begin("db")
+    w.write_rows("db", "t", cols, [{"id": 3, "v": "c"}])
+    w.flush()
+    assert tail.pump(feed) == 0
+
+    # commit lands -> exactly the one held-back row, even after a restart
+    w.xid()
+    w.flush()
+    restarted = BinlogTail(path, state_path=state)
+    assert restarted.pump(feed) == 1
+    assert restarted.pump(feed) == 0  # quiescent: no redelivery
+    rows = feed.read_batch().collect()
+    assert sorted(r["data"]["id"] for r in rows) == ["1", "2", "3"]
+    assert len(rows) == 3
+
+
+def test_rollback_discards_rows(tmp_path):
+    cols = [Col("id", LONG)]
+    path = str(tmp_path / "r.bin")
+    w = BinlogWriter(path)
+    w.begin("db")
+    w.write_rows("db", "t", cols, [{"id": 1}])
+    w.query("db", "ROLLBACK")
+    w.begin("db")
+    w.write_rows("db", "t", cols, [{"id": 2}])
+    w.xid()
+    w.flush()
+    recs, _ = decode_binlog(path)
+    assert [r["data"]["id"] for r in recs] == ["2"]
+
+
+# -- e2e: fixture binlog drives the reference CDC contract ------------------
+
+AUTHOR_COLS = [
+    Col("author_id", LONG),
+    Col("first_name", VARCHAR, (80,)),
+    Col("last_name", VARCHAR, (80,)),
+    Col("date_of_birth", DATE),
+    Col("nationality", VARCHAR, (80,)),
+    Col("biography", VARCHAR, (400,)),
+    Col("email", VARCHAR, (120,)),
+    Col("phone_number", VARCHAR, (40,)),
+    Col("active", TINY),
+    Col("created_at", DATETIME2, (0,)),
+]
+AUTHOR_ROW = {
+    "author_id": 1,
+    "first_name": "John",
+    "last_name": "Doe",
+    "date_of_birth": (1980, 1, 1),
+    "nationality": "American",
+    "biography": "Biography of John Doe.",
+    "email": "john.doe@example.com",
+    "phone_number": "123-456-7890",
+    "active": 1,
+    "created_at": (2021, 1, 1, 12, 0, 0),
+}
+ACCOUNT_COLS = [
+    Col("id", LONG),
+    Col("name", VARCHAR, (80,)),
+    Col("age", SHORT),
+    Col("birth_date", DATE),
+    Col("account_balance", NEWDECIMAL, (10, 2)),
+    Col("is_active", TINY),
+    Col("signup_time", DATETIME2, (0,)),
+    Col("last_login", DATETIME2, (0,)),
+    Col("bio", VARCHAR, (400,)),
+    Col("profile_picture", BLOB, (2,)),
+    Col("favorite_color", VARCHAR, (40,)),
+    Col("height", DOUBLE),
+    Col("weight", DOUBLE),
+]
+ACCOUNT_ROW = {
+    "id": 1,
+    "name": "Alice",
+    "age": 30,
+    "birth_date": (1991, 5, 21),
+    "account_balance": "1500.00",
+    "is_active": 1,
+    "signup_time": (2021, 1, 8, 9, 0, 0),
+    "last_login": (2021, 3, 10, 8, 0, 0),
+    "bio": "Bio of Alice",
+    "profile_picture": None,
+    "favorite_color": "red",
+    "height": 1.5,
+    "weight": 60.5,
+}
+NOVEL_COLS = [
+    Col("novel_id", LONG),
+    Col("title", VARCHAR, (200,)),
+    Col("author_id", LONG),
+    Col("publish_date", DATE),
+    Col("isbn", VARCHAR, (40,)),
+    Col("genre", VARCHAR, (40,)),
+    Col("page_count", LONG),
+    Col("publisher", VARCHAR, (80,)),
+    Col("language", VARCHAR, (40,)),
+    Col("available_copies", LONG),
+    Col("total_copies", LONG),
+    Col("created_at", DATETIME2, (0,)),
+]
+NOVEL_ROWS = [
+    {
+        "novel_id": 1,
+        "title": "The Great Adventure",
+        "author_id": 1,
+        "publish_date": (2020, 6, 1),
+        "isbn": "978-3-16-148410-0",
+        "genre": "Adventure",
+        "page_count": 300,
+        "publisher": "Adventure Press",
+        "language": "English",
+        "available_copies": 10,
+        "total_copies": 20,
+        "created_at": (2021, 1, 2, 10, 0, 0),
+    },
+    {
+        "novel_id": 2,
+        "title": "Journey to the Stars",
+        "author_id": 1,
+        "publish_date": (2021, 4, 10),
+        "isbn": "978-0-11-322456-7",
+        "genre": "Science Fiction",
+        "page_count": 350,
+        "publisher": "SciFi Universe",
+        "language": "English",
+        "available_copies": 12,
+        "total_copies": 25,
+        "created_at": (2021, 4, 11, 10, 0, 0),
+    },
+]
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    spec = reference_pipeline(str(tmp_path / "feed"))
+    eng = ReplicationEngine(spark, spec, str(tmp_path / "work"))
+    for table, (schema, _, pk, defaults) in TABLES.items():
+        eng.register_table(
+            "mariadb-source", DB_NAME, table,
+            spark.createDataFrame([], schema), pk, defaults,
+        )
+    yield eng
+    for t in ("cdc-task-1", "cdc-task-2"):
+        try:
+            eng.stop_task(t)
+        except Exception:
+            pass
+
+
+def test_binlog_file_drives_cdc_contract(engine, tmp_path):
+    """The 5/4/3 reference contract (run.py:271-329) fed ENTIRELY from a
+    binlog file: create phase 5 events, insert phase 4 data events with
+    xid txn grouping, alter phase 3 control events + registry evolution,
+    then UPDATE_ROWS paired before-images materialized."""
+    feed = engine.changefeed("mariadb-source")
+    path = str(tmp_path / "mariadb-bin.000001")
+    tail = BinlogTail(path, state_path=str(tmp_path / "tail.state"))
+    w = BinlogWriter(path)
+
+    # Phase A: CREATEs land in the binlog before the tasks start
+    ts_create = time.time() - 1
+    for t in ("authors", "accounts", "novels"):
+        w.query(DB_NAME, f"CREATE TABLE {t} (dummy INT)")
+    w.flush()
+    assert tail.pump(feed) == 3
+    engine.start_task("cdc-task-1")
+    engine.start_task("cdc-task-2")
+    engine.wait_for_task_status("cdc-task-1", "running")
+    engine.wait_for_task_status("cdc-task-2", "running")
+    events = engine.consume(after_ts=ts_create, expected_count=5, retries=120)
+    assert len(events) == 5  # 2 bootstrap + 3 CREATE
+    assert all(e["metadata"]["record-type"] == "control" for e in events)
+
+    # Phase B: row events in two transactions -> 4 data events
+    time.sleep(0.3)
+    ts_insert = time.time()
+    w.begin(DB_NAME)
+    w.write_rows(DB_NAME, "authors", AUTHOR_COLS, [AUTHOR_ROW])
+    w.write_rows(DB_NAME, "accounts", ACCOUNT_COLS, [ACCOUNT_ROW])
+    w.xid()
+    w.begin(DB_NAME)
+    w.write_rows(DB_NAME, "novels", NOVEL_COLS, NOVEL_ROWS)
+    w.xid()
+    w.flush()
+    assert tail.pump(feed) == 4
+    events = engine.consume(after_ts=ts_insert, expected_count=4, retries=120)
+    assert len(events) == 4
+    by_table = {}
+    for e in events:
+        by_table.setdefault(e["metadata"]["table-name"], []).append(e)
+    assert {t: len(v) for t, v in by_table.items()} == {
+        "authors": 1, "accounts": 1, "novels": 2,
+    }
+    assert all(e["before-image"] is None for e in events)
+    # xid commit grouping: both rows of txn 1 share the id, novels differ
+    assert (
+        by_table["authors"][0]["metadata"]["transaction-id"]
+        == by_table["accounts"][0]["metadata"]["transaction-id"]
+        == "xid-1"
+    )
+    assert by_table["novels"][0]["metadata"]["transaction-id"] == "xid-2"
+
+    # Phase C: ALTERs via QUERY events -> 3 control events + evolution
+    time.sleep(0.3)
+    ts_alter = time.time()
+    w.query(DB_NAME, "ALTER TABLE authors MODIFY COLUMN email varchar(100)")
+    w.query(DB_NAME, "ALTER TABLE accounts DROP COLUMN profile_picture")
+    w.query(DB_NAME, "ALTER TABLE novels ADD COLUMN is_stock boolean DEFAULT true")
+    w.flush()
+    assert tail.pump(feed) == 3
+    events = engine.consume(after_ts=ts_alter, expected_count=3, retries=120)
+    assert len(events) == 3
+    assert all(e["metadata"]["operation"] == "alter-table" for e in events)
+    accounts_fields = [
+        d["Field"] for d in engine.registry.describe(DB_NAME, "accounts")
+    ]
+    assert "profile_picture" not in accounts_fields
+    novels = engine.registry.get(DB_NAME, "novels")
+    assert novels.struct["is_stock"].dataType == T.BooleanType()
+    assert novels.defaults["is_stock"] == "true"
+
+    # materialized state from binlog-decoded strings
+    assert (
+        engine.query("SELECT COUNT(*) AS c FROM novels").collect()[0]["c"] == 2
+    )
+    names = engine.query_result("SELECT first_name, last_name FROM authors")
+    assert names == [{"first_name": "John", "last_name": "Doe"}]
+
+    # Phase D: UPDATE_ROWS paired images + DELETE_ROWS through the engine
+    time.sleep(0.3)
+    ts_mut = time.time()
+    after = dict(AUTHOR_ROW, first_name="Jane")
+    w.begin(DB_NAME)
+    w.update_rows(DB_NAME, "authors", AUTHOR_COLS, [(AUTHOR_ROW, after)])
+    w.delete_rows(DB_NAME, "novels", NOVEL_COLS, [NOVEL_ROWS[1]])
+    w.xid()
+    w.flush()
+    assert tail.pump(feed) == 2
+    events = engine.consume(after_ts=ts_mut, expected_count=2, retries=120)
+    upd = next(e for e in events if e["metadata"]["operation"] == "update")
+    assert upd["data"]["first_name"] == "Jane"
+    assert upd["before-image"]["first_name"] == "John"  # paired image (K4)
+    dele = next(e for e in events if e["metadata"]["operation"] == "delete")
+    assert dele["before-image"]["title"] == "Journey to the Stars"
+    assert (
+        engine.query("SELECT COUNT(*) AS c FROM novels").collect()[0]["c"] == 1
+    )
+    assert engine.query_result("SELECT first_name FROM authors") == [
+        {"first_name": "Jane"}
+    ]
