@@ -30,11 +30,18 @@ Delivery contract (the same one every polling capture offers):
 - **NULL cursors are out of contract**: a NULL-cursor row is captured by
   the initial snapshot only and invisible to every later poll (the cursor
   predicate excludes NULL). Enforce ``NOT NULL`` on the cursor column.
-- **source schema changes are picked up by the next poll** (the data map
-  is built from the frame's current columns; MAP transport is
-  schema-stable), at the cost of ONE re-delivery of the re-read window —
-  an ALTER changes every row's fingerprint, so the boundary skip
-  re-arms. At-least-once under DDL, absorbed by the applier's upsert.
+- **source schema changes are CAPTURED by the next poll**: each pump
+  fingerprints the JDBC frame's (column, type) list and diffs it against
+  the previous poll's, emitting ``alter-table`` control events
+  (add-column / drop-column / modify-column, the same structured ``ddl``
+  payload the binlog QUERY path produces) BEFORE that poll's data rows —
+  so the engine's schema-evolution contract (registry evolution + Ddls
+  statistics, reference run.py:313-314) holds on the polling path too.
+  Data-wise the ALTER also changes every window row's fingerprint, so
+  the boundary skip re-arms: at-least-once under DDL (one window
+  re-delivery), absorbed by the applier's upsert. Column DEFAULTs are
+  not visible through the JDBC frame, so ``add-column`` events carry no
+  default (registry evolution adds the column nullable).
 - deletes and intermediate versions between polls are not captured —
   inherent to polling. The delete half is recoverable without binlog
   access: :meth:`JdbcPollingCapture.reconcile` key-diffs the source
@@ -124,6 +131,9 @@ class JdbcPollingCapture:
         self._window_fps: frozenset = frozenset()
         self._initial = initial
         self._started = False
+        # last observed (column, rendered type) list — the per-poll schema
+        # fingerprint the DDL diff runs against; None until first observed
+        self._schema_cols: list[list[str]] | None = None
         if state_path and os.path.exists(state_path):
             with open(state_path) as f:
                 saved = json.load(f)
@@ -137,6 +147,7 @@ class JdbcPollingCapture:
             self._hwm = self._decode_hwm(saved["hwm"])
             self._window_fps = frozenset(saved["window_fps"])
             self._started = saved["started"]
+            self._schema_cols = saved.get("schema_cols")
 
     def _identity(self) -> list:
         return [self.endpoint, self.schema, self.table, self.cursor_col]
@@ -237,6 +248,7 @@ class JdbcPollingCapture:
                     "hwm": None if self._hwm is None else self._encode_hwm(self._hwm),
                     "window_fps": sorted(self._window_fps),
                     "started": self._started,
+                    "schema_cols": self._schema_cols,
                 },
                 f,
             )
@@ -244,6 +256,84 @@ class JdbcPollingCapture:
 
     def _load(self):
         return self.catalog.load(self.endpoint, self.schema, self.table)
+
+    # -- DDL capture --------------------------------------------------------
+
+    @staticmethod
+    def _render_type(dt) -> str:
+        """Spark JDBC frame type → the MariaDB-style type name the engine's
+        schema-evolution contract consumes (mariadb_type_to_spark is the
+        inverse on the applier side)."""
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.ByteType):
+            return "tinyint"
+        if isinstance(dt, T.ShortType):
+            return "smallint"
+        if isinstance(dt, T.IntegerType):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "bigint"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision},{dt.scale})"
+        if isinstance(dt, T.DateType):
+            return "date"
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return "timestamp"
+        if isinstance(dt, T.BinaryType):
+            return "blob"
+        return "text"  # strings and anything exotic transport as text
+
+    def _capture_ddl(self, df) -> list[dict]:
+        """Per-poll schema fingerprint diff: compare the JDBC frame's
+        (column, type) list against the previous poll's and return
+        ``alter-table`` control records for every difference, in the feed's
+        structured ``ddl`` shape (the same contract the binlog QUERY path
+        emits — reference alter contract run.py:313-314). First observation
+        seeds the fingerprint and emits nothing (the initial snapshot/'now'
+        boundary already carries the starting schema)."""
+        now_cols = [[f.name, self._render_type(f.dataType)] for f in df.schema.fields]
+        if self._schema_cols is None:
+            self._schema_cols = now_cols
+            return []
+        if now_cols == self._schema_cols:
+            return []
+        old = {n: t for n, t in self._schema_cols}
+        new = {n: t for n, t in now_cols}
+        ts = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+
+        def _rec(action: str, column: str, type_str: str | None) -> dict:
+            ddl = {"action": action, "column": column}
+            if type_str is not None:
+                ddl["type"] = type_str
+            return {
+                "schema": self.schema,
+                "table": self.table,
+                "op": "alter-table",
+                "txn_id": f"poll-ddl-{action}-{column}",
+                "commit_ts": ts,
+                "ddl": ddl,
+            }
+
+        records = [
+            _rec("add-column", n, t) for n, t in new.items() if n not in old
+        ]
+        records += [
+            _rec("modify-column", n, t)
+            for n, t in new.items()
+            if n in old and old[n] != t
+        ]
+        records += [
+            _rec("drop-column", n, None) for n in old if n not in new
+        ]
+        self._schema_cols = now_cols
+        return records
 
     # -- the capture --------------------------------------------------------
 
@@ -257,6 +347,12 @@ class JdbcPollingCapture:
         upsert makes the distinction immaterial for state)."""
         df = self._load()
         cursor = self._resolve_cursor(df)
+        # DDL capture first: control events precede this poll's data rows
+        # (binlog order — the ALTER committed before the rows that follow);
+        # the first poll just seeds the fingerprint
+        ddl = self._capture_ddl(df)
+        if ddl:
+            feed.append_changes(ddl)
         first = not self._started
         # NB: _started flips only AFTER the first poll's queries succeed — a
         # transient JDBC failure here must leave the capture un-started, or
