@@ -345,14 +345,32 @@ class JdbcPollingCapture:
         ``data`` (op ``update`` after the initial snapshot — polling
         cannot distinguish insert from update; the applier's per-PK
         upsert makes the distinction immaterial for state)."""
+        ddl, staged, commit = self._stage(feed)
+        if ddl:
+            feed.append_changes(ddl)
+        if staged is None:
+            return commit  # first pump: published directly, commit = count
+        if staged:
+            feed.append_changes([rec for _cv, rec in staged])
+        commit()
+        return len(staged)
+
+    def _stage(self, feed: ChangeFeed):
+        """Capture one poll WITHOUT publishing the increment: returns
+        ``(ddl_records, staged, commit)`` where ``staged`` is
+        ``[(cursor_value, record), ...]`` in cursor order and ``commit()``
+        applies the hwm/fingerprint/state mutation — the split that lets
+        :class:`PollCycleCoordinator` merge several tables' increments
+        into one cursor-ordered publish. First pumps (initial snapshot /
+        ``'now'`` boundary) are per-table bulk loads, not orderable
+        increments: they publish directly to ``feed`` and return
+        ``staged=None`` with their row count in place of ``commit``."""
         df = self._load()
         cursor = self._resolve_cursor(df)
         # DDL capture first: control events precede this poll's data rows
         # (binlog order — the ALTER committed before the rows that follow);
         # the first poll just seeds the fingerprint
         ddl = self._capture_ddl(df)
-        if ddl:
-            feed.append_changes(ddl)
         first = not self._started
         # NB: _started flips only AFTER the first poll's queries succeed — a
         # transient JDBC failure here must leave the capture un-started, or
@@ -376,9 +394,9 @@ class JdbcPollingCapture:
                 )
             self._started = True
             self._save_state()
-            return 0
+            return ddl, None, 0
         if first and self._initial == "snapshot":
-            return self._initial_snapshot(feed, df, cursor)
+            return ddl, None, self._initial_snapshot(feed, df, cursor)
         floor = self._floor()
         if floor is not None:
             df = df.filter(F.col(cursor) >= F.lit(floor))
@@ -388,7 +406,7 @@ class JdbcPollingCapture:
         # per-PK upsert makes the distinction immaterial for state
         op = "update"
         now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
-        changes = []
+        staged = []  # (cursor_value, record) in cursor order
         delivered = []  # (cursor_value, fingerprint) of every row seen
         for r in rows:
             data = dict(r["_data"])
@@ -396,53 +414,57 @@ class JdbcPollingCapture:
             delivered.append((r[cursor], fp))
             if fp in self._window_fps:
                 continue  # already delivered in a previous poll's window
-            changes.append(
-                {
-                    "schema": self.schema,
-                    "table": self.table,
-                    "op": op,
-                    # canonical-string cursor value, same rendering as the
-                    # snapshot path's cast-string txn_id
-                    "txn_id": f"poll-{cursor}-"
-                    + (data[cursor] if data[cursor] is not None else "None"),
-                    "commit_ts": now,
-                    "data": data,
-                    "before": None,
-                }
+            staged.append(
+                (
+                    r[cursor],
+                    {
+                        "schema": self.schema,
+                        "table": self.table,
+                        "op": op,
+                        # canonical-string cursor value, same rendering as
+                        # the snapshot path's cast-string txn_id
+                        "txn_id": f"poll-{cursor}-"
+                        + (data[cursor] if data[cursor] is not None else "None"),
+                        "commit_ts": now,
+                        "data": data,
+                        "before": None,
+                    },
+                )
             )
-        cursors = [c for c, _fp in delivered if c is not None]
-        if cursors:
-            # never LOWER the mark: under lookback, the max-cursor row can
-            # vanish from the window (source delete) — a regressed mark
-            # would slide the floor below rows whose fingerprints were
-            # already discarded and re-deliver them as duplicates
-            new_hwm = max(cursors)
-            if self._hwm is not None:
-                new_hwm = max(new_hwm, self._hwm)
-            self._hwm = new_hwm
-            new_floor = self._floor()
-            self._window_fps = frozenset(
-                fp
-                for c, fp in delivered
-                if c is not None and c >= new_floor
-            )
-        elif delivered:
-            # no orderable cursor value observed yet (every row's cursor is
-            # NULL): there is no floor to hide rows behind, so EVERY such
-            # row stays permanently inside the re-read window — remember
-            # their fingerprints or each poll re-collects and re-delivers
-            # the whole table forever. The window set is table-sized in
-            # this degenerate all-NULL phase (normally it is lookback-
-            # bounded); it collapses back to the window once a real cursor
-            # value appears.
-            self._window_fps = self._window_fps | frozenset(
-                fp for _c, fp in delivered
-            )
-        if changes:
-            feed.append_changes(changes)
-        self._started = True
-        self._save_state()
-        return len(changes)
+
+        def commit() -> None:
+            cursors = [c for c, _fp in delivered if c is not None]
+            if cursors:
+                # never LOWER the mark: under lookback, the max-cursor row
+                # can vanish from the window (source delete) — a regressed
+                # mark would slide the floor below rows whose fingerprints
+                # were already discarded and re-deliver them as duplicates
+                new_hwm = max(cursors)
+                if self._hwm is not None:
+                    new_hwm = max(new_hwm, self._hwm)
+                self._hwm = new_hwm
+                new_floor = self._floor()
+                self._window_fps = frozenset(
+                    fp
+                    for c, fp in delivered
+                    if c is not None and c >= new_floor
+                )
+            elif delivered:
+                # no orderable cursor value observed yet (every row's cursor
+                # is NULL): there is no floor to hide rows behind, so EVERY
+                # such row stays permanently inside the re-read window —
+                # remember their fingerprints or each poll re-collects and
+                # re-delivers the whole table forever. The window set is
+                # table-sized in this degenerate all-NULL phase (normally it
+                # is lookback-bounded); it collapses back to the window once
+                # a real cursor value appears.
+                self._window_fps = self._window_fps | frozenset(
+                    fp for _c, fp in delivered
+                )
+            self._started = True
+            self._save_state()
+
+        return ddl, staged, commit
 
     def _initial_snapshot(self, feed: ChangeFeed, df, cursor: str) -> int:
         """First pump, ``initial="snapshot"``: emit every existing row as op
@@ -623,3 +645,63 @@ class JdbcPollingCapture:
         )
         self._window_fps = self._window_fps & current
         self._save_state()
+
+
+class PollCycleCoordinator:
+    """Cross-table commit-order coordination for multiple polled captures
+    sharing one feed. The reference's binlog gives ONE global commit order
+    across all tables of a task (SURVEY §2.1 S2); N independent captures
+    pumping one feed interleave at pump granularity — table A's whole
+    increment lands before table B's even when their commits interleaved.
+    The coordinator closes that gap for each poll cycle: every capture
+    STAGES its increment (:meth:`JdbcPollingCapture._stage` — no publish,
+    no state mutation), the staged rows are merged and sorted by cursor
+    value ACROSS tables, published in one append (so feed ``seq`` order
+    matches cursor order), and only then does each capture commit its
+    high-water mark.
+
+    Requires all captures to share a comparable cursor domain — a global
+    version counter or an ``updated_at`` timestamp, the standard
+    cross-table ordering key (the binlog analog: one log, one position).
+    Mixed cursor types fail the sort BEFORE any publish or state
+    mutation, so a failed cycle leaves every capture un-advanced and
+    retryable. Ties (equal cursors) keep per-capture order, captures in
+    construction order.
+
+    First pumps are exempt by design: an initial snapshot is a per-table
+    bulk load whose rows are per-key-unique — cross-table order is
+    immaterial (the applier's per-key max-seq verdict never compares rows
+    of different tables from the same load), and it publishes
+    executor-side where a driver-side merge would defeat the distributed
+    path. DDL control events publish before the cycle's data rows, as on
+    the binlog path.
+    """
+
+    def __init__(self, captures: list[JdbcPollingCapture]) -> None:
+        self.captures = list(captures)
+
+    def pump_cycle(self, feed: ChangeFeed) -> int:
+        """One coordinated cycle across every capture; returns total rows
+        published (first-pump bulk loads included)."""
+        total = 0
+        all_ddl: list[dict] = []
+        staged_all: list[tuple] = []
+        commits = []
+        for cap in self.captures:
+            ddl, staged, commit = cap._stage(feed)
+            all_ddl.extend(ddl)
+            if staged is None:
+                total += commit  # first pump: already published, int count
+            else:
+                staged_all.extend(staged)
+                commits.append(commit)
+        # sort before ANY publish/state mutation: incomparable cursor
+        # domains raise here and the cycle is cleanly retryable
+        staged_all.sort(key=lambda cv_rec: (cv_rec[0] is not None, cv_rec[0]))
+        if all_ddl:
+            feed.append_changes(all_ddl)
+        if staged_all:
+            feed.append_changes([rec for _cv, rec in staged_all])
+        for commit in commits:
+            commit()
+        return total + len(staged_all)

@@ -498,3 +498,86 @@ class ReplicationTask:
                     }
                 )
         return excs
+
+
+class PollingReplicationTask(ReplicationTask):
+    """A CDC task whose source is a :class:`~...jdbc_poll.JdbcPollingCapture`
+    run as a FIRST-CLASS task, not a manual pump loop: the reference's task
+    state machine (start-replication → running → stop-replication,
+    run.py:140-165) wrapped around polling capture (SURVEY §2.1 S2b).
+
+    Composition: a daemon pumper thread calls ``capture.pump(changefeed)``
+    every ``poll_interval`` seconds (the capture-agent role Debezium/DMS run
+    as a dedicated process), while the inherited CDC streaming query
+    consumes the feed — envelope encode, statistics, registry evolution
+    (the capture's DDL control events), materialized apply all ride the
+    same machinery as binlog-fed tasks.
+
+    Lifecycle guarantees:
+    - ``start()`` reaches RUNNING only after the streaming query is live;
+      the pumper starts after it, so the first pump's events are consumed
+      by a running stream.
+    - ``stop()`` signals the pumper, JOINS it (an in-flight pump completes
+      and its events are drained — no straggler pump can append after the
+      stream stops), then drains + stops the query (stop-after-commit).
+    - a pump exception lands the task in FAILED with the traceback in
+      ``error`` (the scheduler-visible failure the reference polls for);
+      the capture's own state persistence (``state_path``) makes a
+      restarted task resume from the saved high-water mark instead of
+      re-snapshotting.
+    """
+
+    def __init__(self, *args, capture, poll_interval: float = 1.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.changefeed is None:
+            raise ValueError("PollingReplicationTask requires a changefeed")
+        self.capture = capture
+        self.poll_interval = poll_interval
+        self.polls = 0  # completed pump count (observable by tests/monitors)
+        self._pump_thread: threading.Thread | None = None
+        self._pump_stop = threading.Event()
+
+    def start(self) -> None:
+        with self._lock:
+            if self.status in (STARTING, RUNNING):
+                raise RuntimeError(
+                    f"task {self.spec.task_id} already {self.status}"
+                )
+            self.status = STARTING
+            self._stop_requested.clear()
+            self._pump_stop.clear()
+        # cross-process restart: reload materialized state before the
+        # stream resumes (same contract as the pure-CDC start path)
+        if self.materializer is not None:
+            self.materializer.restore()
+        with self._lock:
+            if self._stop_requested.is_set():
+                self.status = STOPPED
+                return
+            self._start_cdc()
+        # pumper starts AFTER the query: its first append is consumed by a
+        # live stream. A stop() racing this point has already set
+        # _pump_stop, so the loop exits before its first pump.
+        self._pump_thread = threading.Thread(target=self._pump_loop, daemon=True)
+        self._pump_thread.start()
+
+    def _pump_loop(self) -> None:
+        try:
+            while not self._pump_stop.is_set():
+                self.capture.pump(self.changefeed)
+                self.polls += 1
+                self._pump_stop.wait(self.poll_interval)
+        except Exception:
+            self.error = traceback.format_exc()
+            self.status = FAILED
+
+    def stop(self) -> None:
+        # order matters: pumper signalled AND JOINED before the query
+        # drains, so every appended change is consumed and no pump runs
+        # after STOPPED is reported
+        self._pump_stop.set()
+        t = self._pump_thread
+        if t is not None:
+            t.join()
+            self._pump_thread = None
+        super().stop()

@@ -813,3 +813,172 @@ def test_polling_ddl_capture_e2e(spark, tmp_path):
         if r["ddl"]["action"] == "drop-column"
     ]
     assert len(drops) == 1 and drops[0]["ddl"]["column"] == "NICKNAME"
+
+
+def test_polling_task_lifecycle(spark, tmp_path):
+    """VERDICT r6 item 3: JdbcPollingCapture under the ReplicationTask
+    lifecycle — reaches RUNNING, pumps on schedule, stop() lands STOPPED
+    with no straggler pump, restart resumes from persisted capture state
+    (no re-snapshot)."""
+    import time
+
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import (
+        StreamStore,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.spec import (
+        SelectionRule,
+        TaskSpec,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.apply import (
+        TableMaterializer,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import (
+        TableRegistry,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.statistics import (
+        StatisticsService,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.task import (
+        PollingReplicationTask,
+    )
+
+    db, conn = _seed_derby(spark, tmp_path)
+    state = str(tmp_path / "cap.state")
+    cap = _capture(spark, db, state_path=state)
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+
+    spec = TaskSpec(
+        "poll-task-1", "derby-poll", "cdc",
+        [SelectionRule("%", "%", "include")],
+    )
+    store = StreamStore(spark, str(tmp_path / "stream"))
+    stats = StatisticsService()
+    registry = TableRegistry()
+    shape = spark.createDataFrame([], "ID long, BALANCE long, VERSION long")
+    registry.register_from_df("APP", "accounts", shape, primary_key="ID")
+    mat = TableMaterializer(spark, registry, str(tmp_path / "state"), n_buckets=4)
+    mat.overwrite("APP", "accounts", shape)
+
+    def mk_task(capture):
+        return PollingReplicationTask(
+            spark, spec, capture.catalog, store, stats, registry,
+            materializer=mat, changefeed=feed,
+            capture=capture, poll_interval=0.3,
+        )
+
+    def wait_for(pred, timeout=60):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return
+            time.sleep(0.2)
+        raise TimeoutError("condition not met")
+
+    task = mk_task(cap)
+    task.start()
+    task.wait_for_status("running")
+    # pumps on schedule: snapshot lands, then steady polls keep counting
+    wait_for(lambda: task.polls >= 2)
+    wait_for(lambda: mat.table("APP", "accounts").count() == 2)
+
+    st = conn.createStatement()
+    st.executeUpdate("INSERT INTO accounts VALUES (3, 300, 2)")
+    st.close()
+    wait_for(lambda: mat.table("APP", "accounts").count() == 3)
+
+    # stop: STOPPED, in-flight pump joined, and NO straggler pump after
+    task.stop()
+    assert task.status == "stopped"
+    polls_at_stop = task.polls
+    feed_at_stop = feed.read_batch().count()
+    time.sleep(1.0)
+    assert task.polls == polls_at_stop
+    assert feed.read_batch().count() == feed_at_stop
+
+    # restart resumes from persisted capture state: the source advanced
+    # while stopped; no re-snapshot (no new op=insert events), just the
+    # increment
+    st = conn.createStatement()
+    st.executeUpdate("INSERT INTO accounts VALUES (4, 400, 3)")
+    st.close()
+    cap2 = _capture(spark, db, state_path=state)
+    task2 = mk_task(cap2)
+    task2.start()
+    task2.wait_for_status("running")
+    wait_for(lambda: mat.table("APP", "accounts").count() == 4)
+    task2.stop()
+    assert task2.status == "stopped"
+    ops = [r["op"] for r in feed.read_batch().collect()]
+    assert ops.count("insert") == 2  # initial snapshot only, never redone
+    assert ops.count("update") >= 2  # the two increments
+
+    # statistics rode the same machinery (A2 on the polling path)
+    by_name = {
+        r["TableName"]: r for r in stats.table_statistics("poll-task-1")
+    }
+    assert by_name["accounts"]["Inserts"] == 2
+    assert by_name["accounts"]["Updates"] >= 2
+
+
+def test_poll_cycle_coordinator_orders_across_tables(spark, tmp_path):
+    """VERDICT r6 item 4: two tables' interleaved commits captured in ONE
+    poll cycle must publish in global cursor order — feed seq order
+    matches cursor order ACROSS tables, the binlog's one-log-one-position
+    property on the polling path."""
+    from sample_dms_kinesis_rds_mariadb_spark.sources.jdbc_poll import (
+        PollCycleCoordinator,
+    )
+
+    db = str(tmp_path / "coorddb")
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log")
+    )
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE ta (id INT PRIMARY KEY, val INT, version INT)")
+    st.executeUpdate("CREATE TABLE tb (id INT PRIMARY KEY, val INT, version INT)")
+    st.executeUpdate("INSERT INTO ta VALUES (1, 10, 1)")
+    st.executeUpdate("INSERT INTO tb VALUES (1, 20, 2)")
+    st.close()
+
+    cat = SourceCatalog(spark)
+    cat.register_endpoint(
+        EndpointSpec(
+            "derby-co",
+            "jdbc",
+            {
+                "url": f"jdbc:derby:{db}",
+                "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+                "tables": ["APP.ta", "APP.tb"],
+                "schema_name": "APP",
+            },
+        )
+    )
+    cap_a = JdbcPollingCapture(cat, "derby-co", "APP", "ta", "version")
+    cap_b = JdbcPollingCapture(cat, "derby-co", "APP", "tb", "version")
+    coord = PollCycleCoordinator([cap_a, cap_b])
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+
+    assert coord.pump_cycle(feed) == 2  # both initial snapshots
+
+    # interleaved commits across the two tables before the next cycle:
+    # the global version counter orders them ta(3), tb(4), ta(5), tb(6)
+    st = conn.createStatement()
+    st.executeUpdate("INSERT INTO ta VALUES (2, 11, 3)")
+    st.executeUpdate("INSERT INTO tb VALUES (2, 21, 4)")
+    st.executeUpdate("INSERT INTO ta VALUES (3, 12, 5)")
+    st.executeUpdate("INSERT INTO tb VALUES (3, 22, 6)")
+    st.close()
+    assert coord.pump_cycle(feed) == 4
+    inc = (
+        feed.read_batch()
+        .filter("op = 'update'")
+        .orderBy("seq")
+        .collect()
+    )
+    # seq order == cursor order across tables (NOT per-table blocks)
+    assert [(r["table"], r["data"]["VERSION"]) for r in inc] == [
+        ("ta", "3"), ("tb", "4"), ("ta", "5"), ("tb", "6"),
+    ]
+    assert coord.pump_cycle(feed) == 0  # quiescent, both captures advanced
