@@ -125,6 +125,62 @@ def classifier_keep(
     )
 
 
+def _arrow_margin(bweights):
+    """Arrow-batched margin kernel over a broadcast weight vector — the
+    large-dim twin of the constant-folded literal in :func:`linear_score`.
+    Bit-identical to the literal path and the Python reference: the
+    per-document fold is ``np.cumsum`` over the gathered weights, which
+    accumulates strictly left-to-right (unlike ``np.sum``'s pairwise
+    reduction), i.e. exactly the left-fold order the other paths use."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def margin(idx):
+        import numpy as np
+
+        w = bweights.value
+        out = np.zeros(len(idx), dtype=np.float64)
+        for k, arr in enumerate(idx):
+            if arr is None:
+                continue  # NULL text: 0 features, margin 0.0 (+bias later)
+            a = np.asarray(arr, dtype=np.int64)
+            if a.size:
+                out[k] = np.cumsum(w[a])[-1] / a.size
+        return pd.Series(out)
+
+    # concrete class objects, not stringified hints: `from __future__
+    # import annotations` would leave 'pd.Series' unresolvable from a
+    # factory-local import (same pattern as the LM scorer, lm.py)
+    margin.__annotations__ = {"idx": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(margin)
+
+
+def linear_score_broadcast(
+    text: Column,
+    weights,
+    bias: float = 0.0,
+    *,
+    spark,
+    bigrams: bool = True,
+) -> Column:
+    """:func:`linear_score` for fastText-scale dims (2^20+), where a plan
+    literal stops being cheap: a 2^20-dim double vector is ~8 MB of plan
+    constant PER expression, serialized into every plan that references
+    it, and ``element_at`` over a literal that size no longer
+    constant-folds usefully. Here the weight vector rides ONE Spark
+    broadcast (per-executor, torrent transport — the same serve shape as
+    the LM scorer, ``functions/lm.py``) and the margin is an
+    Arrow-batched kernel; the plan carries only the UDF reference.
+    Verdicts are bit-identical to :func:`linear_score` (sequential
+    ``cumsum`` fold — see :func:`_arrow_margin`)."""
+    import numpy as np
+
+    w = np.asarray(weights, dtype=np.float64)
+    bw = spark.sparkContext.broadcast(w)
+    idx = feature_indices(classifier_features(text, bigrams=bigrams), len(w))
+    return _arrow_margin(bw)(idx) + F.lit(float(bias))
+
+
 def reference_score(
     text: str, weights: list[float], bias: float = 0.0, *, bigrams: bool = True
 ) -> float:
@@ -164,6 +220,7 @@ def train_classifier(
     learning_rate: float = 1.0,
     l2: float = 0.0,
     materialize: bool = True,
+    broadcast_threshold: int = 2**16,
 ) -> tuple[list[float], float, list[float]]:
     """Train the hashed linear classifier DISTRIBUTED, closing the loop
     with :func:`linear_score`: logistic regression by full-batch gradient
@@ -180,6 +237,16 @@ def train_classifier(
     (index, error/n) pairs, and a collect bounded by ``dim`` rows — never
     by corpus size. Deterministic up to float reduction order in the
     per-index sums (assert on held-out accuracy, not weight bits).
+
+    Above ``broadcast_threshold`` the per-iteration margin swaps the plan
+    literal for a broadcast weight vector + Arrow kernel
+    (:func:`linear_score_broadcast`'s shape): at fastText-scale dims
+    (2^20+) the literal costs megabytes of serialized plan PER ITERATION
+    and defeats constant folding, while the broadcast ships once per
+    executor. The two paths produce bit-identical MARGINS (sequential
+    cumsum fold); end-to-end trajectories agree up to the per-index
+    gradient-sum reduction order noted above, so the threshold is a pure
+    performance knob.
     """
     if dim < 1 or iterations < 1:
         raise ValueError("dim and iterations must be >= 1")
@@ -196,20 +263,35 @@ def train_classifier(
     if n_docs == 0:
         raise ValueError("training frame is empty")
 
+    use_broadcast = dim > broadcast_threshold
+    spark = df.sparkSession
     weights = [0.0] * dim
     bias = 0.0
     losses: list[float] = []
     for _ in range(iterations):
-        w_lit = F.lit(weights).cast("array<double>")
-        total = F.aggregate(
-            F.col("_idx"),
-            F.lit(0.0),
-            lambda acc, i: acc + F.element_at(w_lit, i + 1),
-        )
-        margin = (
-            F.when(F.col("_n") > 0, total / F.col("_n")).otherwise(F.lit(0.0))
-            + F.lit(bias)
-        )
+        bw = None
+        if use_broadcast:
+            import numpy as np
+
+            bw = spark.sparkContext.broadcast(
+                np.asarray(weights, dtype=np.float64)
+            )
+            # the kernel returns 0.0 for empty-feature docs — same verdict
+            # as the literal path's otherwise(0.0)
+            margin = _arrow_margin(bw)(F.col("_idx")) + F.lit(bias)
+        else:
+            w_lit = F.lit(weights).cast("array<double>")
+            total = F.aggregate(
+                F.col("_idx"),
+                F.lit(0.0),
+                lambda acc, i: acc + F.element_at(w_lit, i + 1),
+            )
+            margin = (
+                F.when(F.col("_n") > 0, total / F.col("_n")).otherwise(
+                    F.lit(0.0)
+                )
+                + F.lit(bias)
+            )
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
         from pyspark.sql import Observation
 
@@ -251,4 +333,6 @@ def train_classifier(
         ]
         bias -= learning_rate * float(head["gb"])
         losses.append(float(head["loss"]))
+        if bw is not None:
+            bw.unpersist()  # this iteration's jobs are done; free executors
     return weights, bias, losses

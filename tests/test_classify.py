@@ -166,3 +166,109 @@ def test_train_classifier_validation(spark):
     df = spark.createDataFrame([("a", 1)], "text string, y int")
     with pytest.raises(ValueError, match="dim"):
         train_classifier(df, "text", "y", dim=0)
+
+
+def test_broadcast_training_matches_literal_path(spark):
+    """VERDICT r6 item 5: the broadcast+Arrow margin path must reproduce
+    the plan-literal path's training trajectory. The margins themselves
+    are bit-identical (sequential cumsum fold — asserted in the serving
+    test below); the end-to-end weights agree up to the documented
+    per-index gradient-sum float reduction order (1-ulp noise), so
+    broadcast_threshold is a pure performance knob."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.classify import (
+        train_classifier,
+    )
+
+    rows = [
+        (0, "curated encyclopedia article about history", 1),
+        (1, "well written essay on music and trade", 1),
+        (2, "buy cheap pills now click here", 0),
+        (3, "winner winner free prize claim now", 0),
+        (4, "", 0),  # empty doc exercises the 0-feature branch
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, y int")
+    kw = dict(dim=64, iterations=5, learning_rate=5.0, l2=0.01)
+    w_lit, b_lit, loss_lit = train_classifier(df, "text", "y", **kw)
+    w_bc, b_bc, loss_bc = train_classifier(
+        df, "text", "y", broadcast_threshold=0, **kw
+    )
+    for a, b in zip(w_lit, w_bc):
+        assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-15), (a, b)
+    assert math.isclose(b_lit, b_bc, rel_tol=1e-12)
+    for a, b in zip(loss_lit, loss_bc):
+        assert math.isclose(a, b, rel_tol=1e-12)
+
+
+def test_broadcast_serving_matches_literal_and_bounds_plan(spark):
+    """linear_score_broadcast == linear_score bit-exact at small dim; at
+    dim=2^20 the broadcast plan stays KB-sized (the literal path would
+    serialize an ~8 MB constant) and runs Arrow-batched, never
+    row-at-a-time Python."""
+    import random
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.classify import (
+        linear_score,
+        linear_score_broadcast,
+    )
+
+    texts = [
+        ("a", "curated encyclopedia article about history"),
+        ("b", "buy cheap pills now click here now"),
+        ("c", ""),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(texts, "id string, text string")
+    rng = random.Random(7)
+    w_small = [rng.uniform(-1, 1) for _ in range(256)]
+    got = df.select(
+        "id",
+        linear_score(F.col("text"), w_small, 0.25).alias("lit"),
+        linear_score_broadcast(
+            F.col("text"), w_small, 0.25, spark=spark
+        ).alias("bc"),
+    ).collect()
+    for r in got:
+        assert r["lit"] == r["bc"], r  # bit-exact
+
+    # fastText-scale dim: bounded plan, Arrow-batched execution
+    dim = 2**20
+    w_big = [0.0] * dim
+    for i in range(0, dim, 4097):
+        w_big[i] = rng.uniform(-1, 1)
+    scored = df.select(
+        linear_score_broadcast(F.col("text"), w_big, 0.0, spark=spark).alias(
+            "s"
+        )
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scored.explain("extended")
+    plan = buf.getvalue()
+    assert len(plan) < 100_000, f"plan blew up to {len(plan)} chars"
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert scored.count() == 4  # and it actually executes
+
+
+def test_broadcast_training_learns_at_large_dim(spark):
+    """dim=2^20 training runs with bounded per-iteration plans and the
+    loss still goes down (the broadcast path is the default above the
+    threshold — no caller opt-in needed)."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.classify import (
+        reference_probability,
+        train_classifier,
+    )
+
+    rows = []
+    for i, t in enumerate(["history", "biology", "music", "trade"]):
+        rows.append((i * 2, f"curated encyclopedia article about {t}", 1))
+        rows.append((i * 2 + 1, f"buy cheap {t} now click here", 0))
+    df = spark.createDataFrame(rows, "id long, text string, y int")
+    w, b, losses = train_classifier(
+        df, "text", "y", dim=2**20, iterations=10, learning_rate=10.0
+    )
+    assert len(w) == 2**20
+    assert losses[-1] < losses[0] * 0.7
+    assert reference_probability(
+        "well curated encyclopedia article about ships", w, b
+    ) > reference_probability("buy cheap ships now click here", w, b)
