@@ -2,11 +2,14 @@
 
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
 batch shape, `mapInPandas` UDF signatures. ``decode_image`` REALLY decodes
-headerful uncompressed formats that need no external library — PNM
-(PPM P6/P3, PGM P5/P2) and BMP — and keeps an honest stub boundary for
-compressed formats (JPEG/PNG need an image library this container lacks):
-those raise NotImplementedError unless ``fake=True``, which produces a
-deterministic content-hash fake so the pipeline shape stays exercisable.
+library-free formats — PNM (PPM P6/P3, PGM P5/P2), BMP, and PNG
+(``decode_png``: stdlib-zlib inflate + the five standard scanline filters;
+non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, CRC-verified chunks)
+— and keeps an honest stub boundary for the rest (JPEG needs a DCT
+library this container lacks; 16-bit/palette/interlaced PNG raise from
+``decode_png``): those raise NotImplementedError unless ``fake=True``,
+which produces a deterministic content-hash fake so the pipeline shape
+stays exercisable.
 
 At scale: binary payloads stay columnar in parquet; metadata-only plans never
 read the binary column (columnar pruning), and decode/feature-extract runs as
@@ -47,6 +50,118 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 # PNM magic → (channels, format name)
 _PNM_MAGICS = {b"P6": (3, "ppm"), b"P3": (3, "ppm"), b"P5": (1, "pgm"), b"P2": (1, "pgm")}
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type → channels (3 = palette: indices into an RGB palette, so the
+# EFFECTIVE pixel is 3-channel — that's what metadata reports; the pixel
+# decoder rejects palette images, see decode_png)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(content: bytes):
+    """Yield (type, data) for each chunk, CRC32-verified (the spec's CRC
+    covers type+data). Stops at IEND."""
+    import zlib
+
+    pos = 8
+    while pos + 12 <= len(content):
+        ln = int.from_bytes(content[pos : pos + 4], "big")
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(content[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch at offset {pos}")
+        yield typ, data
+        pos += 12 + ln
+        if typ == b"IEND":
+            return
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _png_ihdr(content: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, bit_depth, color_type, interlace) from IHDR."""
+    typ, ihdr = next(_png_chunks(content))
+    if typ != b"IHDR" or len(ihdr) != 13:
+        raise ValueError("PNG: first chunk must be a 13-byte IHDR")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    return width, height, ihdr[8], ihdr[9], ihdr[12]
+
+
+def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
+    """FULL pixel decode of a non-interlaced 8-bit PNG — stdlib zlib
+    inflate of the concatenated IDAT stream, then the five standard
+    scanline filters (None/Sub/Up/Average/Paeth) undone in sequence.
+    Returns ``(width, height, channels, pixels)`` with ``pixels`` the raw
+    row-major 8-bit buffer (the same shape a PNM payload carries).
+
+    Supported: color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at
+    bit depth 8, interlace 0 — the overwhelming share of real-world PNGs.
+    Palette (needs PLTE expansion), 16-bit, and Adam7 interlacing raise
+    NotImplementedError; malformed streams (bad CRC, truncated data,
+    wrong pixel count) raise ValueError.
+    """
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    width, height, bit_depth, color_type, interlace = _png_ihdr(content)
+    if bit_depth != 8 or color_type not in (0, 2, 4, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG subformat not supported (bit_depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace}): only "
+            "non-interlaced 8-bit gray/gray+alpha/RGB/RGBA decode here"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    idat = b"".join(d for t, d in _png_chunks(content) if t == b"IDAT")
+    if not idat:
+        raise ValueError("PNG has no IDAT data")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG pixel data is {len(raw)} bytes, expected "
+            f"{height * (1 + stride)} for {width}x{height}x{channels}"
+        )
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    bpp = channels  # bytes per pixel at depth 8
+    pos = 0
+    for y in range(height):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"PNG: unknown filter type {f} on row {y}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
 
 
 def _pnm_tokens(content: bytes, n: int) -> tuple[list[int], int]:
@@ -113,12 +228,19 @@ def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int, str
         bpp = int.from_bytes(content[28:30], "little")
         channels = max(1, bpp // 8)
         return width, height, channels, "bmp"
+    if content[:8] == _PNG_MAGIC:
+        # metadata needs only the (CRC-verified) IHDR — every PNG
+        # subformat reports here, including ones decode_png can't expand
+        width, height, _depth, color_type, _il = _png_ihdr(content)
+        if color_type not in _PNG_CHANNELS:
+            raise ValueError(f"PNG: invalid color type {color_type}")
+        return width, height, _PNG_CHANNELS[color_type], "png"
     if not fake:
         raise NotImplementedError(
-            "compressed image decode requires an image library (PIL/opencv) "
-            "— not available in this environment; library-free formats "
-            "(PPM/PGM/BMP) decode for real, or pass fake=True for the "
-            "deterministic test double"
+            "JPEG/other compressed decode requires an image library "
+            "(PIL/opencv) — not available in this environment; PPM/PGM/BMP/"
+            "PNG decode for real, or pass fake=True for the deterministic "
+            "test double"
         )
     h = hashlib.sha256(content).digest()
     width = 1 + (int.from_bytes(h[0:2], "big") % 2048)
@@ -140,19 +262,25 @@ def _parse_pnm_binary(content: bytes) -> tuple[int, int, int, int]:
 def resize_image(
     content: bytes, width: int, height: int, fake: bool = False
 ) -> bytes:
-    """Nearest-neighbor resize, REAL for binary PNM (PPM P6 / PGM P5) —
-    pure numpy over the raw pixel buffer, no image library. Other formats
-    keep the same honest boundary as ``decode_image``: NotImplementedError,
-    or with ``fake=True`` a deterministic valid P6 of the target size whose
-    pixels derive from the content hash (pipeline shape stays exercisable).
+    """Nearest-neighbor resize, REAL for binary PNM (PPM P6 / PGM P5) and
+    decodable PNG — pure numpy over the raw pixel buffer, no image
+    library. Other formats keep the same honest boundary as
+    ``decode_image``: NotImplementedError, or with ``fake=True`` a
+    deterministic valid P6 of the target size whose pixels derive from
+    the content hash (pipeline shape stays exercisable).
 
-    The output is a well-formed binary PNM of the same family (P6→P6,
-    P5→P5) with the source's maxval, so resized payloads feed straight back
-    into ``decode_image`` / ``extract_image_features``.
+    The output is a well-formed binary PNM (P6→P6, P5→P5; PNG → P6 for
+    color / P5 for gray, alpha dropped) so resized payloads feed straight
+    back into ``decode_image`` / ``extract_image_features``.
     """
     if width < 1 or height < 1:
         raise ValueError(f"target size must be positive, got {width}x{height}")
     import numpy as np
+
+    def _nn(arr, h, w):
+        rows = (np.arange(height) * h) // height
+        cols = (np.arange(width) * w) // width
+        return arr[rows][:, cols]
 
     magic = content[:2]
     if magic in (b"P6", b"P5"):
@@ -163,10 +291,16 @@ def resize_image(
         need = w * h * channels
         buf = np.frombuffer(content, dtype=np.uint8, count=need, offset=off)
         arr = buf.reshape(h, w, channels)
-        rows = (np.arange(height) * h) // height
-        cols = (np.arange(width) * w) // width
-        out = arr[rows][:, cols]
+        out = _nn(arr, h, w)
         header = magic + b"\n%d %d\n%d\n" % (width, height, maxval)
+        return header + out.tobytes()
+    if content[:8] == _PNG_MAGIC:
+        w, h, channels, pixels = decode_png(content)
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
+        arr = arr[:, :, : 3 if channels >= 3 else 1]  # drop alpha plane
+        out = _nn(arr, h, w)
+        out_magic = b"P6" if out.shape[2] == 3 else b"P5"
+        header = out_magic + b"\n%d %d\n255\n" % (width, height)
         return header + out.tobytes()
     if not fake:
         raise NotImplementedError(
