@@ -32,9 +32,16 @@ against an independent Python reference):
   ``:<digits>`` after the closing bracket is treated as a port
 
 `url_registered_domain` is the eTLD+1 heuristic over a built-in set of
-common multi-label public suffixes (``co.uk``-style). The full Public
-Suffix List is external data this environment cannot fetch; pass
-``extra_suffixes`` to extend the set where precision matters.
+common multi-label public suffixes (``co.uk``-style). Where precision
+matters, pass ``extra_suffixes`` to extend the set — or load the FULL
+Public Suffix List (user-supplied file; external data this environment
+cannot fetch itself) with :func:`load_psl` and pass it as ``psl=``:
+the complete algorithm (exact rules at any depth, ``*.ck`` wildcards,
+``!www.ck`` exceptions, longest-match, implicit ``*`` default) compiles
+to the same codegen shape — per-depth ``isin`` membership tests, which
+Catalyst converts to hash-set ``InSet`` lookups above the conversion
+threshold, so even the ~9k-rule real PSL costs O(1) set probes per row,
+never a literal comparison chain.
 """
 
 from __future__ import annotations
@@ -157,14 +164,79 @@ def url_dedup_key(url: Column) -> Column:
     return F.md5(canonical_url(url))
 
 
+class PublicSuffixList:
+    """Compiled Public Suffix List rules, bucketed by label depth for the
+    per-depth ``isin`` membership tests :func:`url_registered_domain`
+    emits. Build via :func:`parse_psl` / :func:`load_psl`."""
+
+    def __init__(
+        self,
+        exact: dict[int, list[str]],
+        wildcards: dict[int, list[str]],
+        exceptions: dict[int, list[str]],
+    ) -> None:
+        self.exact = exact          # depth -> exact suffix rules
+        self.wildcards = wildcards  # parent depth -> wildcard parents
+        self.exceptions = exceptions  # depth -> exception rule domains
+
+    @property
+    def n_rules(self) -> int:
+        return sum(
+            len(v)
+            for d in (self.exact, self.wildcards, self.exceptions)
+            for v in d.values()
+        )
+
+
+def parse_psl(lines) -> PublicSuffixList:
+    """Parse PSL-format lines (publicsuffix.org/list/ syntax): one rule
+    per line up to the first whitespace, ``//`` comments and blanks
+    skipped, ``*.`` prefix = wildcard (matches exactly one extra label),
+    ``!`` prefix = exception (the domain itself is registrable). Rules
+    are lowercased; hosts must be supplied in matching (punycode or
+    unicode) form."""
+    exact: dict[int, list[str]] = {}
+    wildcards: dict[int, list[str]] = {}
+    exceptions: dict[int, list[str]] = {}
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            dom = rule[1:]
+            exceptions.setdefault(dom.count(".") + 1, []).append(dom)
+        elif rule.startswith("*."):
+            parent = rule[2:]
+            wildcards.setdefault(parent.count(".") + 1, []).append(parent)
+        else:
+            exact.setdefault(rule.count(".") + 1, []).append(rule)
+    return PublicSuffixList(exact, wildcards, exceptions)
+
+
+def load_psl(path: str) -> PublicSuffixList:
+    """Load a user-supplied PSL file (see module docstring)."""
+    with open(path, encoding="utf-8") as f:
+        return parse_psl(f)
+
+
 def url_registered_domain(
     url_or_host: Column,
     extra_suffixes: tuple[str, ...] = (),
     is_host: bool = False,
+    psl: PublicSuffixList | None = None,
 ) -> Column:
-    """eTLD+1 (the per-domain cap / mixing key): the last two host labels,
-    or three when the last two are a known multi-label public suffix
-    (``co.uk``-style; see module docstring for the PSL caveat). Pass
+    """eTLD+1 (the per-domain cap / mixing key).
+
+    Default mode: the last two host labels, or three when the last two
+    are a known multi-label public suffix (``co.uk``-style built-in set
+    + ``extra_suffixes``). With ``psl=`` (a :func:`load_psl` result) the
+    COMPLETE PSL algorithm runs instead: among all matching rules the
+    longest wins, ``*.parent`` wildcards match exactly one extra label,
+    ``!domain`` exceptions override (the exception domain itself is the
+    registrable domain), and the implicit ``*`` default makes every bare
+    TLD a suffix. A host that IS a public suffix returns unchanged (same
+    contract as the default mode's single-label fallthrough). Pass
     ``is_host=True`` when the column already holds bare hosts."""
     # hostnames are case-insensitive (RFC 4343): lower even when the
     # caller passes bare hosts, or mixed-case input would miss the suffix
@@ -172,14 +244,51 @@ def url_registered_domain(
     host = F.lower(url_or_host) if is_host else url_host(url_or_host)
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    suffixes = tuple(MULTI_SUFFIXES) + tuple(extra_suffixes)
-    is_multi = last2.isin(*suffixes)
-    return (
-        F.when(
-            (n >= 3) & is_multi,
-            F.concat_ws(".", F.element_at(parts, -3), last2),
+
+    if psl is None:
+        last2 = F.concat_ws(
+            ".", F.element_at(parts, -2), F.element_at(parts, -1)
         )
-        .when(n >= 2, last2)
-        .otherwise(host)
+        suffixes = tuple(MULTI_SUFFIXES) + tuple(extra_suffixes)
+        is_multi = last2.isin(*suffixes)
+        return (
+            F.when(
+                (n >= 3) & is_multi,
+                F.concat_ws(".", F.element_at(parts, -3), last2),
+            )
+            .when(n >= 2, last2)
+            .otherwise(host)
+        )
+
+    def lastk(k: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.element_at(parts, -i) for i in range(k, 0, -1)]
+        )
+
+    # suffix length = longest matching rule (implicit '*' default = 1);
+    # each depth is ONE isin (InSet hash probe) over that depth's rules
+    cands = [F.lit(1)]
+    for k, vals in sorted(psl.exact.items()):
+        cands.append(
+            F.when((n >= k) & lastk(k).isin(*vals), F.lit(k)).otherwise(0)
+        )
+    for m, parents in sorted(psl.wildcards.items()):
+        # '*.parent': one extra label must exist in the wildcard slot
+        cands.append(
+            F.when(
+                (n >= m + 1) & lastk(m).isin(*parents), F.lit(m + 1)
+            ).otherwise(0)
+        )
+    suffix_len = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    # exceptions override everything: the rule domain is registrable,
+    # so the public suffix is the rule minus its leftmost label
+    for k, vals in sorted(psl.exceptions.items()):
+        suffix_len = F.when(
+            (n >= k) & lastk(k).isin(*vals), F.lit(k - 1)
+        ).otherwise(suffix_len)
+    reg_len = F.least(suffix_len + 1, n)
+    start = n - reg_len + 1
+    # NULL guard: concat_ws renders all-NULL as '' — NULL in, NULL out
+    return F.when(
+        host.isNotNull(), F.concat_ws(".", F.slice(parts, start, reg_len))
     )
