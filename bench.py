@@ -362,6 +362,26 @@ def main() -> None:
     timings["cdc_apply_sink"] = round(cdc_sec, 3)
     cdc_events_per_sec = round(n_rows / cdc_sec, 1)
 
+    # warm-run medians (VERDICT r6 item 8): first execution of a leg costs
+    # 2-3x steady state (BASELINE.md:100-104 — plan compile, codegen,
+    # first-scan FS init), which is most of the remaining bench noise.
+    # value_core stays FROZEN as the single-shot sum (comparable back to
+    # BENCH_r01); value_core_warm re-runs each CORE query leg 3x now that
+    # the single-shot pass warmed it and sums per-leg medians plus the
+    # sink medians (already median-of-3 by construction).
+    warm: dict[str, float] = {}
+    for name in CORE:
+        spec = _q.QUERIES[name]
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.spark_fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        warm[name] = round(sorted(runs)[1], 3)
+    value_core_warm = round(sum(warm.values()) + fl_sec + cdc_sec, 3)
+
     total = round(sum(timings.values()), 3)
     core_legs = CORE + ["full_load_envelope_sink", "cdc_apply_sink"]
     value_core = round(sum(timings[k] for k in core_legs), 3)
@@ -371,8 +391,10 @@ def main() -> None:
                 "metric": "headline-query wall clock (engine catalog)",
                 "value": total,
                 "value_core": value_core,
+                "value_core_warm": value_core_warm,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "full_load_rows_per_sec": fl_rows_per_sec,
                 "cdc_events_per_sec": cdc_events_per_sec,
