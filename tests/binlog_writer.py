@@ -17,6 +17,7 @@ MAGIC = b"\xfebin"
 TINY, SHORT, LONG, FLOAT, DOUBLE = 1, 2, 3, 4, 5
 LONGLONG, INT24, DATE, DATETIME2, TIMESTAMP2 = 8, 9, 10, 18, 17
 YEAR, VARCHAR, BLOB, NEWDECIMAL, STRING = 13, 15, 252, 246, 254
+ENUM = 247
 
 
 class Col:
@@ -108,7 +109,9 @@ class BinlogWriter:
         body += bytes([len(schema.encode())]) + schema.encode() + b"\x00"
         body += bytes([len(table.encode())]) + table.encode() + b"\x00"
         body += self._lenenc(len(cols))
-        body += bytes(c.ctype for c in cols)
+        # ENUM transports with column type byte STRING; the real type rides
+        # in the metadata pair (format spec)
+        body += bytes(STRING if c.ctype == ENUM else c.ctype for c in cols)
         meta = b""
         for c in cols:
             if c.ctype == VARCHAR:
@@ -121,6 +124,16 @@ class BinlogWriter:
                 meta += bytes([c.meta[0]])
             elif c.ctype in (FLOAT, DOUBLE):
                 meta += bytes([4 if c.ctype == FLOAT else 8])
+            elif c.ctype == STRING:
+                # CHAR(n): byte0 = real type with the two high length bits
+                # folded (inverted) into bits 4-5, byte1 = low length byte
+                max_len = c.meta[0]
+                meta += bytes(
+                    [STRING ^ (((max_len >> 8) & 0x03) << 4), max_len & 0xFF]
+                )
+            elif c.ctype == ENUM:
+                # transported as STRING with real_type=ENUM + pack size
+                meta += bytes([ENUM, c.meta[0]])
         body += self._lenenc(len(meta)) + meta
         body += bytes((len(cols) + 7) // 8)              # nullability bitmap
         if self.with_names:
@@ -188,6 +201,13 @@ class BinlogWriter:
             return len(raw).to_bytes(c.meta[0], "little") + raw
         if t == NEWDECIMAL:
             return self._encode_decimal(v, *c.meta)
+        if t == STRING:  # CHAR(n): same length-prefix rule as VARCHAR
+            raw = v.encode("utf-8")
+            pre = (bytes([len(raw)]) if c.meta[0] < 256
+                   else struct.pack("<H", len(raw)))
+            return pre + raw
+        if t == ENUM:  # packed index, little-endian, meta[0] bytes
+            return int(v).to_bytes(c.meta[0], "little")
         raise NotImplementedError(f"writer does not encode type {t}")
 
     @staticmethod

@@ -525,3 +525,34 @@ def test_binlog_file_drives_cdc_contract(engine, tmp_path):
     assert engine.query_result("SELECT first_name FROM authors") == [
         {"first_name": "Jane"}
     ]
+
+
+def test_char_and_enum_decode(tmp_path):
+    """MYSQL_TYPE_STRING columns: CHAR(n) text (length-prefixed, with the
+    high length bits folded into metadata byte 0) and ENUM (real type in
+    the metadata pair, packed 1/2-byte index)."""
+    from binlog_writer import ENUM, STRING
+
+    cols = [
+        Col("code", STRING, (8,)),       # CHAR(8)
+        Col("wide", STRING, (300,)),     # CHAR > 255: 2-byte length prefix
+        Col("status", ENUM, (1,)),       # 1-byte enum index
+        Col("bigenum", ENUM, (2,)),      # 2-byte enum index
+    ]
+    rows = [
+        {"code": "AB", "wide": "y" * 280, "status": 3, "bigenum": 400},
+        {"code": "", "wide": "", "status": 1, "bigenum": 1},
+    ]
+    path = str(tmp_path / "s.bin")
+    w = BinlogWriter(path)
+    w.begin("db")
+    w.write_rows("db", "t", cols, rows)
+    w.xid()
+    w.flush()
+    recs, _ = decode_binlog(path)
+    assert recs[0]["data"] == {
+        "code": "AB", "wide": "y" * 280, "status": "3", "bigenum": "400",
+    }
+    assert recs[1]["data"] == {
+        "code": "", "wide": "", "status": "1", "bigenum": "1",
+    }
