@@ -1323,6 +1323,80 @@ def q_url_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "psl_registered_domain",
+    "Full Public Suffix List algorithm (functions/url.py, psl= mode) over "
+    "hosts synthesized from the documents table to hit every rule class — "
+    "exact multi-depth (com / co.uk), *.ck wildcard, !www.ck exception, "
+    "private-section suffix (blogspot.com), implicit * default — against "
+    "an oracle that constructs the expected registrable domain directly "
+    "per rule class. EXTRA: oracle-checked by the pytest parity harness "
+    "outside the 50-cap catalog",
+    oracle="""
+        SELECT doc_id,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'h' || doc_id || '.sub.example.com'
+                 WHEN 1 THEN 'h' || doc_id || '.shop.co.uk'
+                 WHEN 2 THEN 'h' || doc_id || '.foo.ck'
+                 WHEN 3 THEN 'h' || doc_id || '.www.ck'
+                 WHEN 4 THEN 'h' || doc_id || '.something.zz'
+                 ELSE 'me' || doc_id || '.blogspot.com'
+               END AS host,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'example.com'
+                 WHEN 1 THEN 'shop.co.uk'
+                 WHEN 2 THEN 'h' || doc_id || '.foo.ck'
+                 WHEN 3 THEN 'www.ck'
+                 WHEN 4 THEN 'something.zz'
+                 ELSE 'me' || doc_id || '.blogspot.com'
+               END AS domain
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("text",),
+    extra=True,
+)
+def q_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.url import (
+        parse_psl,
+        url_registered_domain,
+    )
+
+    psl = parse_psl(
+        ["com", "uk", "co.uk", "*.ck", "!www.ck", "blogspot.com", "zz"]
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    host = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("h"), did, F.lit(".sub.example.com")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.lit("h"), did, F.lit(".shop.co.uk")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(F.lit("h"), did, F.lit(".foo.ck")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.lit("h"), did, F.lit(".www.ck")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(F.lit("h"), did, F.lit(".something.zz")),
+        )
+        .otherwise(F.concat(F.lit("me"), did, F.lit(".blogspot.com")))
+    )
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        url_registered_domain(host, is_host=True, psl=psl).alias("domain"),
+    ).orderBy("doc_id")
+
+
+@register(
     "gopher_quality_flags",
     "The published Gopher document-quality rule set (Rae et al. 2021 App. "
     "A) as per-doc boolean verdicts — word count, mean word length, symbol "
