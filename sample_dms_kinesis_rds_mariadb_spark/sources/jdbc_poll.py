@@ -705,3 +705,25 @@ class PollCycleCoordinator:
         for commit in commits:
             commit()
         return total + len(staged_all)
+
+    def pump(self, feed: ChangeFeed) -> int:
+        """Capture-compatible alias for :meth:`pump_cycle`, so a
+        coordinator drops into anything that schedules a capture — in
+        particular :class:`~...task.PollingReplicationTask`, which makes
+        a coordinated multi-table cycle a first-class task."""
+        return self.pump_cycle(feed)
+
+    def reconcile(self, feed: ChangeFeed, replica_for, pk_cols) -> int:
+        """Delete-reconcile every capture in one call: ``replica_for`` is
+        ``(schema, table) -> replica_df`` (e.g. ``materializer.table``),
+        ``pk_cols`` the matching pk column map (or one shared name).
+        Returns total delete events emitted."""
+        total = 0
+        for cap in self.captures:
+            pk = (
+                pk_cols
+                if isinstance(pk_cols, str)
+                else pk_cols[(cap.schema, cap.table)]
+            )
+            total += cap.reconcile(feed, replica_for(cap.schema, cap.table), pk)
+        return total

@@ -982,3 +982,111 @@ def test_poll_cycle_coordinator_orders_across_tables(spark, tmp_path):
         ("ta", "3"), ("tb", "4"), ("ta", "5"), ("tb", "6"),
     ]
     assert coord.pump_cycle(feed) == 0  # quiescent, both captures advanced
+
+
+def test_coordinator_under_task_lifecycle(spark, tmp_path):
+    """A PollCycleCoordinator drops into PollingReplicationTask as the
+    capture: two tables pump as one task with globally cursor-ordered
+    cycles, both materialize, stop lands STOPPED cleanly."""
+    import time
+
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import (
+        StreamStore,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.sources.jdbc_poll import (
+        PollCycleCoordinator,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.spec import (
+        SelectionRule,
+        TaskSpec,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.apply import (
+        TableMaterializer,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import (
+        TableRegistry,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.statistics import (
+        StatisticsService,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.task import (
+        PollingReplicationTask,
+    )
+
+    db = str(tmp_path / "ctaskdb")
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log")
+    )
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE ta (id INT PRIMARY KEY, val INT, version INT)")
+    st.executeUpdate("CREATE TABLE tb (id INT PRIMARY KEY, val INT, version INT)")
+    st.executeUpdate("INSERT INTO ta VALUES (1, 10, 1)")
+    st.executeUpdate("INSERT INTO tb VALUES (1, 20, 2)")
+    st.close()
+
+    cat = SourceCatalog(spark)
+    cat.register_endpoint(
+        EndpointSpec(
+            "derby-ct",
+            "jdbc",
+            {
+                "url": f"jdbc:derby:{db}",
+                "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+                "tables": ["APP.ta", "APP.tb"],
+                "schema_name": "APP",
+            },
+        )
+    )
+    coord = PollCycleCoordinator(
+        [
+            JdbcPollingCapture(cat, "derby-ct", "APP", t, "version")
+            for t in ("ta", "tb")
+        ]
+    )
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    registry = TableRegistry()
+    shape = spark.createDataFrame([], "ID long, VAL long, VERSION long")
+    mat = TableMaterializer(spark, registry, str(tmp_path / "state"), n_buckets=4)
+    for t in ("ta", "tb"):
+        registry.register_from_df("APP", t, shape, primary_key="ID")
+        mat.overwrite("APP", t, shape)
+    task = PollingReplicationTask(
+        spark,
+        TaskSpec("coord-task", "derby-ct", "cdc", [SelectionRule("%", "%", "include")]),
+        cat, StreamStore(spark, str(tmp_path / "stream")),
+        StatisticsService(), registry,
+        materializer=mat, changefeed=feed,
+        capture=coord, poll_interval=0.3,
+    )
+    task.start()
+    task.wait_for_status("running")
+
+    def wait_for(pred, timeout=60):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return
+            time.sleep(0.2)
+        raise TimeoutError("condition not met")
+
+    wait_for(lambda: mat.table("APP", "ta").count() == 1)
+    wait_for(lambda: mat.table("APP", "tb").count() == 1)
+    st = conn.createStatement()
+    st.executeUpdate("INSERT INTO ta VALUES (2, 11, 3)")
+    st.executeUpdate("INSERT INTO tb VALUES (2, 21, 4)")
+    st.close()
+    wait_for(lambda: mat.table("APP", "ta").count() == 2)
+    wait_for(lambda: mat.table("APP", "tb").count() == 2)
+    task.stop()
+    assert task.status == "stopped"
+    # both increments delivered exactly once (cross-TABLE order within one
+    # cycle is pinned by test_poll_cycle_coordinator_orders_across_tables;
+    # here the inserts may race a cycle boundary, which legitimately
+    # splits them across cycles)
+    inc = feed.read_batch().filter("op = 'update'").collect()
+    assert sorted((r["table"], r["data"]["VERSION"]) for r in inc) == [
+        ("ta", "3"), ("tb", "4"),
+    ]
+    assert len({r["seq"] for r in inc}) == 2
