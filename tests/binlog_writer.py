@@ -16,6 +16,7 @@ MAGIC = b"\xfebin"
 # column type codes (public spec)
 TINY, SHORT, LONG, FLOAT, DOUBLE = 1, 2, 3, 4, 5
 LONGLONG, INT24, DATE, DATETIME2, TIMESTAMP2 = 8, 9, 10, 18, 17
+TIME2 = 19
 YEAR, VARCHAR, BLOB, NEWDECIMAL, STRING = 13, 15, 252, 246, 254
 ENUM = 247
 
@@ -120,7 +121,7 @@ class BinlogWriter:
                 meta += bytes([c.meta[0], c.meta[1]])
             elif c.ctype == BLOB:
                 meta += bytes([c.meta[0]])
-            elif c.ctype in (DATETIME2, TIMESTAMP2):
+            elif c.ctype in (DATETIME2, TIMESTAMP2, TIME2):
                 meta += bytes([c.meta[0]])
             elif c.ctype in (FLOAT, DOUBLE):
                 meta += bytes([4 if c.ctype == FLOAT else 8])
@@ -186,6 +187,16 @@ class BinlogWriter:
             secs, *rest = v if isinstance(v, tuple) else (v,)
             micros = rest[0] if rest else 0
             out = secs.to_bytes(4, "big")
+            fsp = c.meta[0] if c.meta else 0
+            nb = (fsp + 1) // 2
+            if nb:
+                out += (micros // 10 ** (6 - 2 * nb)).to_bytes(nb, "big")
+            return out
+        if t == TIME2:
+            h, m, sec, *rest = v
+            micros = rest[0] if rest else 0
+            packed = 0x800000 | (h << 12) | (m << 6) | sec  # non-negative
+            out = packed.to_bytes(3, "big")
             fsp = c.meta[0] if c.meta else 0
             nb = (fsp + 1) // 2
             if nb:

@@ -556,3 +556,18 @@ def test_char_and_enum_decode(tmp_path):
     assert recs[1]["data"] == {
         "code": "", "wide": "", "status": "1", "bigenum": "1",
     }
+
+
+def test_time2_decode(tmp_path):
+    from binlog_writer import TIME2
+
+    cols = [Col("t0", TIME2, (0,)), Col("t6", TIME2, (6,))]
+    row = {"t0": (13, 45, 9), "t6": (2, 3, 4, 567890)}
+    path = str(tmp_path / "t2.bin")
+    w = BinlogWriter(path)
+    w.begin("db")
+    w.write_rows("db", "t", cols, [row])
+    w.xid()
+    w.flush()
+    recs, _ = decode_binlog(path)
+    assert recs[0]["data"] == {"t0": "13:45:09", "t6": "02:03:04.567890"}
