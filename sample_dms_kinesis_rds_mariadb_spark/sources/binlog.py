@@ -481,6 +481,18 @@ def decode_binlog(
     returned ``end_pos`` stays at the transaction's start so the next call
     re-reads it after the commit lands.
     """
+    records, end_pos, _next_file = _decode_file(path, column_names, start_pos)
+    return records, end_pos
+
+
+def _decode_file(
+    path: str,
+    column_names: dict | None = None,
+    start_pos: int = 0,
+) -> tuple[list[dict], int, str | None]:
+    """:func:`decode_binlog` plus the ROTATE pointer: the third element is
+    the successor file name when this file ends in a ROTATE event (the
+    server's log-chain link), else None."""
     with open(path, "rb") as f:
         blob = f.read()
     if blob[:4] != BINLOG_MAGIC:
@@ -498,6 +510,7 @@ def decode_binlog(
     txn_buf: list[dict] = []
     txn_start = pos
     committed_pos = pos
+    next_file: str | None = None
 
     while pos + HEADER_LEN <= len(blob):
         ts, etype, _server_id, esize, log_pos, _flags = struct.unpack_from(
@@ -556,16 +569,24 @@ def decode_binlog(
             _commit(records, txn_buf, f"xid-{xid}")
             txn_buf = []
             committed_pos = body_end
+        elif etype == ROTATE_EVENT:
+            # post-header: successor start position (u64); payload: the
+            # successor file name — the log-chain link a server writes as
+            # the last event before switching files (servers never rotate
+            # mid-transaction, so txn_buf is empty here in real logs)
+            next_file = body[8:].decode("utf-8")
+            if not txn_buf:
+                committed_pos = body_end
         else:
-            # ROTATE/STOP/GTID/ANNOTATE/...: self-describing skip
+            # STOP/GTID/ANNOTATE/...: self-describing skip
             if not txn_buf:
                 committed_pos = body_end
         pos = body_end
         if not txn_buf:
             txn_start = pos
     if txn_buf:
-        return records, min(committed_pos, txn_start)
-    return records, committed_pos
+        return records, min(committed_pos, txn_start), next_file
+    return records, committed_pos, next_file
 
 
 def _commit(records: list[dict], txn_buf: list[dict], txn_id: str) -> None:
@@ -623,12 +644,18 @@ def _decode_rows(body, op, ver, table_maps, tstr) -> list[dict]:
 
 
 class BinlogTail:
-    """Restartable capture agent over a binlog FILE: each :meth:`pump`
-    decodes newly-committed events past the saved offset and appends them
-    to the feed (the same agent contract as
+    """Restartable capture agent over a binlog file CHAIN: each
+    :meth:`pump` decodes newly-committed events past the saved offset and
+    appends them to the feed (the same agent contract as
     :class:`~.jdbc_poll.JdbcPollingCapture` — driver-side, trickle-sized;
-    the corpus never routes through here). ``state_path`` persists the
-    resume offset across restarts."""
+    the corpus never routes through here). A file ending in a ROTATE
+    event links to its successor (``mariadb-bin.000001`` →
+    ``.000002``, resolved relative to the current file's directory);
+    pump follows the chain as far as the successors exist, and remembers
+    a pending rotation whose successor has not shipped yet so a later
+    pump picks it up. ``state_path`` persists (head, current file,
+    offset, pending rotation) across restarts — construct with the same
+    HEAD file; resumption lands on whatever chain file was current."""
 
     def __init__(
         self,
@@ -636,31 +663,60 @@ class BinlogTail:
         column_names: dict | None = None,
         state_path: str | None = None,
     ) -> None:
+        self.head = path
         self.path = path
         self.column_names = column_names
         self.state_path = state_path
         self._pos = 0
+        self._next_file: str | None = None
         if state_path and os.path.exists(state_path):
             with open(state_path) as f:
                 saved = json.load(f)
-            if saved.get("path") != path:
+            saved_head = saved.get("head", saved.get("path"))
+            if saved_head != path:
                 raise ValueError(
-                    f"state file {state_path} tracks {saved.get('path')}, "
-                    f"not {path}"
+                    f"state file {state_path} tracks chain head "
+                    f"{saved_head}, not {path}"
                 )
+            self.path = saved.get("path", path)
             self._pos = int(saved["pos"])
+            self._next_file = saved.get("next_file")
+
+    def _resolve(self, name: str) -> str:
+        return os.path.join(os.path.dirname(self.path) or ".", name)
 
     def pump(self, feed) -> int:
-        """Decode + append newly-committed records; returns how many."""
-        records, end_pos = decode_binlog(
-            self.path, self.column_names, start_pos=self._pos
-        )
-        if records:
-            feed.append_changes(records)
-        self._pos = end_pos
+        """Decode + append newly-committed records, following rotations;
+        returns how many records were appended."""
+        total = 0
+        while True:
+            if self._next_file is not None:
+                candidate = self._resolve(self._next_file)
+                if not os.path.exists(candidate) or candidate == self.path:
+                    break  # successor not shipped yet (or malformed
+                    #        self-rotation); retry next pump
+                self.path, self._pos, self._next_file = candidate, 0, None
+            records, end_pos, next_file = _decode_file(
+                self.path, self.column_names, start_pos=self._pos
+            )
+            if records:
+                feed.append_changes(records)
+                total += len(records)
+            self._pos = end_pos
+            if next_file is None:
+                break
+            self._next_file = next_file
         if self.state_path:
             tmp = self.state_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"path": self.path, "pos": self._pos}, f)
+                json.dump(
+                    {
+                        "head": self.head,
+                        "path": self.path,
+                        "pos": self._pos,
+                        "next_file": self._next_file,
+                    },
+                    f,
+                )
             os.replace(tmp, self.state_path)
-        return len(records)
+        return total

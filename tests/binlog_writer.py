@@ -99,6 +99,11 @@ class BinlogWriter:
     def begin(self, schema: str = "") -> None:
         self.query(schema, "BEGIN")
 
+    def rotate(self, next_name: str) -> None:
+        """ROTATE event: position u64 (successor start = 4, past the
+        magic) + successor file name — the last event of a finished log."""
+        self._event(4, struct.pack("<Q", 4) + next_name.encode())
+
     def xid(self) -> int:
         self._xid += 1
         self._event(16, struct.pack("<Q", self._xid))

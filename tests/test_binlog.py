@@ -571,3 +571,69 @@ def test_time2_decode(tmp_path):
     w.flush()
     recs, _ = decode_binlog(path)
     assert recs[0]["data"] == {"t0": "13:45:09", "t6": "02:03:04.567890"}
+
+
+def test_rotate_follows_the_file_chain(tmp_path, spark):
+    """A file ending in ROTATE links to its successor: pump follows the
+    chain when the successor exists, holds a pending rotation when it has
+    not shipped yet, and a restarted tail resumes inside the successor."""
+    cols = [Col("id", LONG)]
+    f1 = str(tmp_path / "bin.000001")
+    f2 = str(tmp_path / "bin.000002")
+    state = str(tmp_path / "chain.state")
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+
+    w1 = BinlogWriter(f1)
+    w1.begin("db")
+    w1.write_rows("db", "t", cols, [{"id": 1}])
+    w1.xid()
+    w1.rotate("bin.000002")
+    w1.flush()
+
+    tail = BinlogTail(f1, state_path=state)
+    assert tail.pump(feed) == 1  # successor not shipped: rotation pending
+    assert tail.pump(feed) == 0
+
+    w2 = BinlogWriter(f2)
+    w2.begin("db")
+    w2.write_rows("db", "t", cols, [{"id": 2}, {"id": 3}])
+    w2.xid()
+    w2.flush()
+    assert tail.pump(feed) == 2  # chain followed into the new file
+
+    # restart from state: lands on file 2, no redelivery, still tailing
+    restarted = BinlogTail(f1, state_path=state)
+    assert restarted.pump(feed) == 0
+    w2.begin("db")
+    w2.write_rows("db", "t", cols, [{"id": 4}])
+    w2.xid()
+    w2.flush()
+    assert restarted.pump(feed) == 1
+    ids = sorted(r["data"]["id"] for r in feed.read_batch().collect())
+    assert ids == ["1", "2", "3", "4"]
+
+    # a different head is rejected (wrong chain)
+    with pytest.raises(ValueError, match="chain head"):
+        BinlogTail(f2, state_path=state)
+
+
+def test_rotate_chain_in_one_pump(tmp_path, spark):
+    """Both files already on disk: ONE pump walks the whole chain."""
+    cols = [Col("id", LONG)]
+    f1 = str(tmp_path / "a.000001")
+    f2 = str(tmp_path / "a.000002")
+    w1 = BinlogWriter(f1)
+    w1.begin("db")
+    w1.write_rows("db", "t", cols, [{"id": 1}])
+    w1.xid()
+    w1.rotate("a.000002")
+    w1.flush()
+    w2 = BinlogWriter(f2)
+    w2.begin("db")
+    w2.write_rows("db", "t", cols, [{"id": 2}])
+    w2.xid()
+    w2.flush()
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    tail = BinlogTail(f1)
+    assert tail.pump(feed) == 2
+    assert tail.pump(feed) == 0
