@@ -637,3 +637,26 @@ def test_rotate_chain_in_one_pump(tmp_path, spark):
     tail = BinlogTail(f1)
     assert tail.pump(feed) == 2
     assert tail.pump(feed) == 0
+
+
+def test_ddl_regex_edges(tmp_path):
+    """Backticked identifiers, IF (NOT) EXISTS, mixed case, and non-DDL
+    statements (which must NOT emit control records)."""
+    path = str(tmp_path / "edge.bin")
+    w = BinlogWriter(path)
+    w.query("db", "create table if not exists `Orders` (id INT)")
+    w.query("db", "ALTER TABLE `Orders` ADD `note` varchar(20) DEFAULT 'n/a'")
+    w.query("db", "alter table Orders drop column `note`")
+    w.query("db", "DROP TABLE `Orders`")
+    w.query("db", "ANALYZE TABLE Orders")       # not DDL we track
+    w.query("db", "GRANT SELECT ON db.* TO x")  # ignored
+    w.flush()
+    recs, _ = decode_binlog(path)
+    assert [r["op"] for r in recs] == [
+        "create-table", "alter-table", "alter-table", "drop-table",
+    ]
+    assert recs[0]["table"] == "Orders"
+    assert recs[1]["ddl"]["action"] == "add-column"
+    assert recs[1]["ddl"]["column"] == "note"
+    assert recs[1]["ddl"]["default"] == "n/a"
+    assert recs[2]["ddl"] == {"action": "drop-column", "column": "note"}
