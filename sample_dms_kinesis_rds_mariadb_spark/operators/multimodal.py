@@ -204,12 +204,29 @@ def _parse_pnm_header(content: bytes) -> tuple[int, int]:
 def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int, str]:
     """Decode (width, height, channels, format).
 
-    Real decode for library-free formats: PNM (PPM/PGM, ASCII header) and
-    BMP (BITMAPINFOHEADER, little-endian fields). Compressed formats
-    (JPEG/PNG/…) need an image library this container doesn't have — honest
-    stub boundary: NotImplementedError, or a deterministic content-hash fake
-    with ``fake=True``.
+    Real decode for library-free formats: PNM (PPM/PGM, ASCII header), BMP
+    (BITMAPINFOHEADER, little-endian fields), and PNG (CRC-verified IHDR).
+    JPEG/other compressed formats need an image library this container
+    doesn't have — honest stub boundary: NotImplementedError, or a
+    deterministic content-hash fake with ``fake=True``. Under ``fake=True``
+    a corrupt/truncated payload of a REAL format (bad PNG CRC, malformed
+    BMP header) also falls back to the fake instead of raising — the fake
+    mode's contract is that any bytes produce a row, so a pipeline dry-run
+    over a dirty corpus stays exercisable.
     """
+    if fake:
+        try:
+            return _decode_image_real(content)
+        except (ValueError, NotImplementedError, IndexError):
+            h = hashlib.sha256(content).digest()
+            width = 1 + (int.from_bytes(h[0:2], "big") % 2048)
+            height = 1 + (int.from_bytes(h[2:4], "big") % 2048)
+            channels = 1 + (h[4] % 4)
+            return width, height, channels, "fake"
+    return _decode_image_real(content)
+
+
+def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
     if content[:2] in _PNM_MAGICS:
         channels, fmt = _PNM_MAGICS[content[:2]]
         width, height = _parse_pnm_header(content)
@@ -235,18 +252,12 @@ def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int, str
         if color_type not in _PNG_CHANNELS:
             raise ValueError(f"PNG: invalid color type {color_type}")
         return width, height, _PNG_CHANNELS[color_type], "png"
-    if not fake:
-        raise NotImplementedError(
-            "JPEG/other compressed decode requires an image library "
-            "(PIL/opencv) — not available in this environment; PPM/PGM/BMP/"
-            "PNG decode for real, or pass fake=True for the deterministic "
-            "test double"
-        )
-    h = hashlib.sha256(content).digest()
-    width = 1 + (int.from_bytes(h[0:2], "big") % 2048)
-    height = 1 + (int.from_bytes(h[2:4], "big") % 2048)
-    channels = 1 + (h[4] % 4)
-    return width, height, channels, "fake"
+    raise NotImplementedError(
+        "JPEG/other compressed decode requires an image library "
+        "(PIL/opencv) — not available in this environment; PPM/PGM/BMP/"
+        "PNG decode for real, or pass fake=True for the deterministic "
+        "test double"
+    )
 
 
 def _parse_pnm_binary(content: bytes) -> tuple[int, int, int, int]:
@@ -282,32 +293,41 @@ def resize_image(
         cols = (np.arange(width) * w) // width
         return arr[rows][:, cols]
 
-    magic = content[:2]
-    if magic in (b"P6", b"P5"):
-        channels = 3 if magic == b"P6" else 1
-        w, h, maxval, off = _parse_pnm_binary(content)
-        if maxval > 255:
-            raise ValueError("16-bit PNM not supported")
-        need = w * h * channels
-        buf = np.frombuffer(content, dtype=np.uint8, count=need, offset=off)
-        arr = buf.reshape(h, w, channels)
-        out = _nn(arr, h, w)
-        header = magic + b"\n%d %d\n%d\n" % (width, height, maxval)
-        return header + out.tobytes()
-    if content[:8] == _PNG_MAGIC:
-        w, h, channels, pixels = decode_png(content)
-        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
-        arr = arr[:, :, : 3 if channels >= 3 else 1]  # drop alpha plane
-        out = _nn(arr, h, w)
-        out_magic = b"P6" if out.shape[2] == 3 else b"P5"
-        header = out_magic + b"\n%d %d\n255\n" % (width, height)
-        return header + out.tobytes()
-    if not fake:
+    def _resize_real():
+        magic = content[:2]
+        if magic in (b"P6", b"P5"):
+            channels = 3 if magic == b"P6" else 1
+            w, h, maxval, off = _parse_pnm_binary(content)
+            if maxval > 255:
+                raise ValueError("16-bit PNM not supported")
+            need = w * h * channels
+            buf = np.frombuffer(content, dtype=np.uint8, count=need, offset=off)
+            arr = buf.reshape(h, w, channels)
+            out = _nn(arr, h, w)
+            header = magic + b"\n%d %d\n%d\n" % (width, height, maxval)
+            return header + out.tobytes()
+        if content[:8] == _PNG_MAGIC:
+            w, h, channels, pixels = decode_png(content)
+            arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
+            arr = arr[:, :, : 3 if channels >= 3 else 1]  # drop alpha plane
+            out = _nn(arr, h, w)
+            out_magic = b"P6" if out.shape[2] == 3 else b"P5"
+            header = out_magic + b"\n%d %d\n255\n" % (width, height)
+            return header + out.tobytes()
         raise NotImplementedError(
-            "resize beyond binary PNM requires an image library (PIL/opencv) "
-            "— not available in this environment; pass fake=True for the "
-            "deterministic test double"
+            "resize beyond binary PNM/PNG requires an image library "
+            "(PIL/opencv) — not available in this environment; pass "
+            "fake=True for the deterministic test double"
         )
+
+    if not fake:
+        return _resize_real()
+    try:
+        # corrupt/truncated real-format payloads also fall back to the
+        # fake: fake mode's contract is any bytes → a valid P6 output
+        return _resize_real()
+    except (ValueError, NotImplementedError, IndexError):
+        pass
     dig = hashlib.sha256(content).digest()
     pixels = np.frombuffer(
         (dig * (width * height * 3 // len(dig) + 1))[: width * height * 3],

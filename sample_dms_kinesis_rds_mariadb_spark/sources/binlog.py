@@ -94,19 +94,24 @@ T_BLOB, T_VAR_STRING, T_STRING = 252, 253, 254
 BINLOG_MAGIC = b"\xfebin"
 HEADER_LEN = 19  # v4 common header
 
-_DDL_ADD = re.compile(
-    r"ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+([\w()',\s]+?)"
-    r"(?:\s+DEFAULT\s+'?([^'\s;]+)'?)?\s*;?\s*$",
-    re.IGNORECASE,
+_DDL_ALTER = re.compile(r"ALTER\s+TABLE\s+`?(\w+)`?\s+(.+)$",
+                        re.IGNORECASE | re.DOTALL)
+# words that follow ADD/DROP in index/constraint clauses — NOT column names
+# (a genuine column with one of these names arrives backticked, which the
+# clause regexes capture and the check below honors)
+_NON_COLUMN_WORDS = {
+    "index", "key", "primary", "unique", "constraint", "foreign",
+    "fulltext", "spatial", "partition", "check",
+}
+_CLAUSE_ADD = re.compile(
+    r"ADD\s+(COLUMN\s+)?(`?)(\w+)`?\s+(.+?)"
+    r"(?:\s+DEFAULT\s+'?([^'\s]+)'?)?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
-_DDL_DROP_COL = re.compile(
-    r"ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+(?:COLUMN\s+)?`?(\w+)`?\s*;?\s*$",
-    re.IGNORECASE,
-)
-_DDL_MODIFY = re.compile(
-    r"ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+(?:COLUMN\s+)?`?(\w+)`?\s+"
-    r"([\w()',\s]+?)\s*;?\s*$",
-    re.IGNORECASE,
+_CLAUSE_DROP = re.compile(r"DROP\s+(COLUMN\s+)?(`?)(\w+)`?\s*$", re.IGNORECASE)
+_CLAUSE_MODIFY = re.compile(
+    r"MODIFY\s+(COLUMN\s+)?(`?)(\w+)`?\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _DDL_CREATE = re.compile(r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?",
                          re.IGNORECASE)
@@ -326,16 +331,37 @@ def _read_timestamp2(body, pos, fsp):
 
 
 def _read_time2(body, pos, fsp):
-    v = int.from_bytes(body[pos : pos + 3], "big")
-    pos += 3
-    sign = "" if v & 0x800000 else "-"
-    if not v & 0x800000:
-        v = (1 << 24) - v
+    """TIME2: 3-byte big-endian int part offset by 0x800000, plus
+    (fsp+1)//2 fraction bytes. Negative values store the COMPLEMENT over
+    the combined (int, frac) quantity — for fsp 1-4 the borrow propagates
+    from the fraction into the int part (intpart++ / frac -= 0x100**nb,
+    the my_time.c inverse); fsp 5-6 is one 6-byte integer offset by
+    0x800000000000. The sign therefore comes from the combined packed
+    value, never from the int part alone."""
+    nb = (fsp + 1) // 2
+    if nb == 3:  # fsp 5-6: single 6-byte quantity, fraction in microseconds
+        packed = int.from_bytes(body[pos : pos + 6], "big") - 0x800000000000
+        pos += 6
+    else:
+        intpart = int.from_bytes(body[pos : pos + 3], "big") - 0x800000
+        pos += 3
+        frac = int.from_bytes(body[pos : pos + nb], "big") if nb else 0
+        pos += nb
+        if intpart < 0 and frac:
+            intpart += 1
+            frac -= 0x100**nb
+        packed = (intpart << 24) + frac * (10 ** (6 - 2 * nb) if nb else 1)
+    negative = packed < 0
+    if negative:
+        packed = -packed
+    micros = packed & 0xFFFFFF
+    v = packed >> 24
     hours = (v >> 12) & 0x3FF
     minutes = (v >> 6) & 0x3F
     seconds = v & 0x3F
-    s = f"{sign}{hours:02d}:{minutes:02d}:{seconds:02d}"
-    s, pos = _append_frac(body, pos, fsp, s)
+    s = f"{'-' if negative else ''}{hours:02d}:{minutes:02d}:{seconds:02d}"
+    if fsp:
+        s += f".{micros:06d}"[: 1 + fsp]
     return s, pos
 
 
@@ -415,51 +441,94 @@ def _bitmap_cols(body, pos, n_cols):
 
 # -- DDL --------------------------------------------------------------------
 
-def _ddl_record(schema: str, sql: str, ts: str, log_pos: int) -> dict | None:
-    """QUERY-event SQL → control record, or None for non-DDL statements."""
-    stmt = sql.strip()
-    m = _DDL_DROP_COL.match(stmt)
+def _split_clauses(text: str) -> list[str]:
+    """Split an ALTER TABLE body on top-level commas — commas inside
+    parentheses (``decimal(10,2)``, ``enum('a','b')``) or quoted strings
+    stay put."""
+    out, buf, depth, quote = [], [], 0, None
+    for ch in text:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            buf.append(ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _parse_alter_clause(clause: str) -> dict | None:
+    """One ALTER clause → structured ddl dict, or None for clauses that do
+    not change the row schema (ADD/DROP INDEX, ADD PRIMARY KEY / UNIQUE /
+    CONSTRAINT / FOREIGN KEY, RENAME, ...). An explicit COLUMN keyword or
+    backticked identifier always means a column, even one named ``key``."""
+    m = _CLAUSE_DROP.match(clause)
+    if m and (m.group(1) or m.group(2)
+              or m.group(3).lower() not in _NON_COLUMN_WORDS):
+        return {"action": "drop-column", "column": m.group(3)}
+    m = _CLAUSE_MODIFY.match(clause)
     if m:
         return {
-            "schema": schema, "table": m.group(1), "op": "alter-table",
-            "txn_id": f"ddl-{log_pos}", "commit_ts": ts,
-            "ddl": {"action": "drop-column", "column": m.group(2)},
+            "action": "modify-column", "column": m.group(3),
+            "type": m.group(4).strip().lower(),
         }
-    m = _DDL_MODIFY.match(stmt)
-    if m:
-        return {
-            "schema": schema, "table": m.group(1), "op": "alter-table",
-            "txn_id": f"ddl-{log_pos}", "commit_ts": ts,
-            "ddl": {
-                "action": "modify-column", "column": m.group(2),
-                "type": m.group(3).strip().lower(),
-            },
-        }
-    m = _DDL_ADD.match(stmt)
-    if m:
+    m = _CLAUSE_ADD.match(clause)
+    if m and (m.group(1) or m.group(2)
+              or m.group(3).lower() not in _NON_COLUMN_WORDS):
         ddl = {
-            "action": "add-column", "column": m.group(2),
-            "type": m.group(3).strip().lower(),
+            "action": "add-column", "column": m.group(3),
+            "type": m.group(4).strip().lower(),
         }
-        if m.group(4) is not None:
-            ddl["default"] = m.group(4)
-        return {
-            "schema": schema, "table": m.group(1), "op": "alter-table",
-            "txn_id": f"ddl-{log_pos}", "commit_ts": ts, "ddl": ddl,
-        }
+        if m.group(5) is not None:
+            ddl["default"] = m.group(5)
+        return ddl
+    return None
+
+
+def _ddl_records(schema: str, sql: str, ts: str, log_pos: int) -> list[dict]:
+    """QUERY-event SQL → control records (one per schema-changing ALTER
+    clause; multi-clause ALTERs emit one record each, sharing the
+    statement's txn_id), or [] for non-DDL statements."""
+    stmt = sql.strip().rstrip(";").strip()
+    m = _DDL_ALTER.match(stmt)
+    if m:
+        table, body = m.group(1), m.group(2)
+        recs = []
+        for clause in _split_clauses(body):
+            ddl = _parse_alter_clause(clause)
+            if ddl is not None:
+                recs.append({
+                    "schema": schema, "table": table, "op": "alter-table",
+                    "txn_id": f"ddl-{log_pos}", "commit_ts": ts, "ddl": ddl,
+                })
+        return recs
     m = _DDL_CREATE.match(stmt)
     if m:
-        return {
+        return [{
             "schema": schema, "table": m.group(1), "op": "create-table",
             "txn_id": f"ddl-{log_pos}", "commit_ts": ts,
-        }
+        }]
     m = _DDL_DROP_TBL.match(stmt)
     if m:
-        return {
+        return [{
             "schema": schema, "table": m.group(1), "op": "drop-table",
             "txn_id": f"ddl-{log_pos}", "commit_ts": ts,
-        }
-    return None
+        }]
+    return []
 
 
 # -- the decoder ------------------------------------------------------------
@@ -492,56 +561,77 @@ def _decode_file(
 ) -> tuple[list[dict], int, str | None]:
     """:func:`decode_binlog` plus the ROTATE pointer: the third element is
     the successor file name when this file ends in a ROTATE event (the
-    server's log-chain link), else None."""
+    server's log-chain link), else None.
+
+    Reads only ``[start_pos, EOF)`` — a 1-second tail loop against a file
+    approaching the server's ``max_binlog_size`` pays O(increment) per
+    pump, not O(file). The returned resume offset is the position just
+    before the first event of any still-open transaction (or after the
+    last committed one), so a held-back transaction is re-read FROM ITS
+    BEGIN — including its TABLE_MAP — once the commit lands; events inside
+    an open transaction (SAVEPOINT queries, row events, rotations) never
+    advance it.
+    """
     with open(path, "rb") as f:
-        blob = f.read()
-    if blob[:4] != BINLOG_MAGIC:
-        raise ValueError(f"{path} is not a binlog file (bad magic)")
-    pos = max(start_pos, 4)
-    checksum = 0  # unknown until the FDE; 4 when CRC32 trailers present
-    # a resume past the FDE must still learn the checksum algorithm from
-    # it — every later event's framing depends on the trailer width
-    if pos > 4 and len(blob) >= 4 + HEADER_LEN:
-        _t, et0, _s, es0, _l, _f = struct.unpack_from("<IBIIIH", blob, 4)
-        if et0 == FORMAT_DESCRIPTION_EVENT and 4 + es0 <= len(blob):
-            checksum = 4 if blob[4 + es0 - 5] == 1 else 0
+        if f.read(4) != BINLOG_MAGIC:
+            raise ValueError(f"{path} is not a binlog file (bad magic)")
+        base = max(start_pos, 4)
+        checksum = 0  # unknown until the FDE; 4 when CRC32 trailers present
+        if base > 4:
+            # a resume past the FDE must still learn the checksum algorithm
+            # from it — every later event's framing depends on trailer width
+            hdr = f.read(HEADER_LEN)
+            if len(hdr) == HEADER_LEN:
+                _t, et0, _s, es0, _l, _fl = struct.unpack("<IBIIIH", hdr)
+                body_len = es0 - HEADER_LEN
+                if et0 == FORMAT_DESCRIPTION_EVENT and body_len >= 5:
+                    fde = f.read(body_len)
+                    if len(fde) == body_len:
+                        # last 5 bytes: alg(1)+crc32(4) when the server
+                        # logs checksums (5.6.1+/MariaDB 5.3+ layout)
+                        checksum = 4 if fde[-5] == 1 else 0
+            f.seek(base)
+        blob = f.read()  # positions below are relative; absolute = base + rel
+    n = len(blob)
     table_maps: dict[int, _TableMap] = {}
     records: list[dict] = []
     txn_buf: list[dict] = []
-    txn_start = pos
-    committed_pos = pos
+    in_txn = False  # BEGIN seen, commit not yet — txn_buf may still be empty
+    committed = 0  # relative resume offset
     next_file: str | None = None
+    rel = 0
 
-    while pos + HEADER_LEN <= len(blob):
+    while rel + HEADER_LEN <= n:
         ts, etype, _server_id, esize, log_pos, _flags = struct.unpack_from(
-            "<IBIIIH", blob, pos
+            "<IBIIIH", blob, rel
         )
-        if esize < HEADER_LEN or pos + esize > len(blob):
+        if esize < HEADER_LEN or rel + esize > n:
             break  # truncated trailing event — resume here next pump
-        body_end = pos + esize
+        body_end = rel + esize
         if etype == FORMAT_DESCRIPTION_EVENT:
-            # checksum algorithm: last 5 bytes are alg(1)+crc32(4) when
-            # the server logs checksums (5.6.1+/MariaDB 5.3+ layout)
             alg = blob[body_end - 5]
             checksum = 4 if alg == 1 else 0
-            pos = body_end
-            committed_pos = txn_start = pos
+            rel = body_end
+            committed = rel
             continue
         if checksum:
             crc_stored = struct.unpack_from("<I", blob, body_end - 4)[0]
-            crc_actual = zlib.crc32(blob[pos : body_end - 4]) & 0xFFFFFFFF
+            crc_actual = zlib.crc32(blob[rel : body_end - 4]) & 0xFFFFFFFF
             if crc_stored != crc_actual:
                 raise ValueError(
-                    f"binlog CRC32 mismatch at offset {pos} "
+                    f"binlog CRC32 mismatch at offset {base + rel} "
                     f"(stored {crc_stored:#x}, computed {crc_actual:#x})"
                 )
-        body = blob[pos + HEADER_LEN : body_end - checksum]
+        body = blob[rel + HEADER_LEN : body_end - checksum]
         tstr = datetime.fromtimestamp(ts, tz=timezone.utc).strftime(
             "%Y-%m-%dT%H:%M:%S"
         )
+        open_txn = in_txn or bool(txn_buf)
         if etype == TABLE_MAP_EVENT:
             tid, tmap = _parse_table_map(body, column_names)
             table_maps[tid] = tmap
+            # never advances the resume offset: a held-back transaction
+            # must re-read its TABLE_MAP along with its row events
         elif etype in _ROWS_EVENTS:
             op, ver = _ROWS_EVENTS[etype]
             txn_buf.extend(_decode_rows(body, op, ver, table_maps, tstr))
@@ -549,44 +639,47 @@ def _decode_file(
             schema, sql = _parse_query(body)
             stmt = sql.strip().upper()
             if stmt == "BEGIN":
-                txn_start = pos
+                in_txn = True
                 txn_buf = []
             elif stmt in ("COMMIT", "ROLLBACK"):
                 if stmt == "COMMIT":
                     _commit(records, txn_buf, f"txn-{log_pos}")
                 txn_buf = []
-                committed_pos = body_end
+                in_txn = False
+                committed = body_end
             else:
-                rec = _ddl_record(schema, sql, tstr, log_pos)
-                if rec is not None:
+                recs = _ddl_records(schema, sql, tstr, log_pos)
+                if recs:
                     # DDL auto-commits any open transaction first
                     _commit(records, txn_buf, f"txn-{log_pos}")
                     txn_buf = []
-                    records.append(rec)
-                committed_pos = body_end
+                    in_txn = False
+                    records.extend(recs)
+                    committed = body_end
+                elif not open_txn:
+                    # non-DDL query (SAVEPOINT, SET, ...) inside an open
+                    # transaction must NOT advance the resume offset
+                    committed = body_end
         elif etype == XID_EVENT:
             xid = struct.unpack_from("<Q", body, 0)[0]
             _commit(records, txn_buf, f"xid-{xid}")
             txn_buf = []
-            committed_pos = body_end
+            in_txn = False
+            committed = body_end
         elif etype == ROTATE_EVENT:
             # post-header: successor start position (u64); payload: the
             # successor file name — the log-chain link a server writes as
             # the last event before switching files (servers never rotate
-            # mid-transaction, so txn_buf is empty here in real logs)
+            # mid-transaction, so no open txn here in real logs)
             next_file = body[8:].decode("utf-8")
-            if not txn_buf:
-                committed_pos = body_end
+            if not open_txn:
+                committed = body_end
         else:
             # STOP/GTID/ANNOTATE/...: self-describing skip
-            if not txn_buf:
-                committed_pos = body_end
-        pos = body_end
-        if not txn_buf:
-            txn_start = pos
-    if txn_buf:
-        return records, min(committed_pos, txn_start), next_file
-    return records, committed_pos, next_file
+            if not open_txn:
+                committed = body_end
+        rel = body_end
+    return records, base + committed, next_file
 
 
 def _commit(records: list[dict], txn_buf: list[dict], txn_id: str) -> None:
@@ -689,12 +782,23 @@ class BinlogTail:
         """Decode + append newly-committed records, following rotations;
         returns how many records were appended."""
         total = 0
+        visited = {os.path.realpath(self.path)}
         while True:
             if self._next_file is not None:
                 candidate = self._resolve(self._next_file)
-                if not os.path.exists(candidate) or candidate == self.path:
-                    break  # successor not shipped yet (or malformed
-                    #        self-rotation); retry next pump
+                if not os.path.exists(candidate):
+                    break  # successor not shipped yet; retry next pump
+                real = os.path.realpath(candidate)
+                if real in visited:
+                    # a rotation CYCLE (self-rotation or A→B→A) would
+                    # re-decode and re-append the same records forever —
+                    # fail loudly; this is a corrupt/misnamed chain, not a
+                    # state a real server writes
+                    raise ValueError(
+                        f"binlog rotation cycle: {candidate} already "
+                        "visited in this pump (corrupt log chain)"
+                    )
+                visited.add(real)
                 self.path, self._pos, self._next_file = candidate, 0, None
             records, end_pos, next_file = _decode_file(
                 self.path, self.column_names, start_pos=self._pos

@@ -56,6 +56,11 @@ only when nonzero, trailing zeros trimmed), decimals at declared scale —
 on EVERY delivery path (initial snapshot, pump increments, reconcile);
 one source row renders byte-identically no matter which path delivered
 it, and the dedup fingerprints are computed from those same strings.
+Persisted state stamps this rendering as ``fp_format`` — a state file
+written under an older rendering restores fine, but its window
+fingerprints cannot match newly-computed ones, so the first pump after
+the upgrade re-delivers the re-read window once (at-least-once, absorbed
+by the applier's upsert); ``fp_format_migrated`` flags that condition.
 
 Restart: pass ``state_path`` to persist the high-water mark + delivered
 fingerprints after every pump; a restarted agent resumes instead of
@@ -86,6 +91,11 @@ from decimal import Decimal
 from pyspark.sql import functions as F
 
 from sample_dms_kinesis_rds_mariadb_spark.sources.changefeed import ChangeFeed
+
+# fingerprint rendering version stamped into persisted state: bump whenever
+# the canonical _data string encoding changes (v2 = Spark cast('string')
+# semantics on every path; v1, unstamped, was Python str())
+_FP_FORMAT = "cast-string-v2"
 
 
 class JdbcPollingCapture:
@@ -129,6 +139,11 @@ class JdbcPollingCapture:
         # ([hwm - lookback, ∞), or just the rows AT hwm when lookback is
         # None) — bounded by that window's row count
         self._window_fps: frozenset = frozenset()
+        # True when a restored state predates the current fingerprint
+        # rendering (see _FP_FORMAT) — its window fingerprints cannot match
+        # the new rendering, so the first pump re-delivers the window once
+        # (absorbed by the applier's upsert; at-least-once contract)
+        self.fp_format_migrated = False
         self._initial = initial
         self._started = False
         # last observed (column, rendered type) list — the per-poll schema
@@ -148,6 +163,10 @@ class JdbcPollingCapture:
             self._window_fps = frozenset(saved["window_fps"])
             self._started = saved["started"]
             self._schema_cols = saved.get("schema_cols")
+            self.fp_format_migrated = (
+                bool(self._window_fps)
+                and saved.get("fp_format") != _FP_FORMAT
+            )
 
     def _identity(self) -> list:
         return [self.endpoint, self.schema, self.table, self.cursor_col]
@@ -249,6 +268,7 @@ class JdbcPollingCapture:
                     "window_fps": sorted(self._window_fps),
                     "started": self._started,
                     "schema_cols": self._schema_cols,
+                    "fp_format": _FP_FORMAT,
                 },
                 f,
             )
@@ -290,20 +310,23 @@ class JdbcPollingCapture:
             return "blob"
         return "text"  # strings and anything exotic transport as text
 
-    def _capture_ddl(self, df) -> list[dict]:
+    def _capture_ddl(self, df) -> tuple[list[dict], list[list[str]]]:
         """Per-poll schema fingerprint diff: compare the JDBC frame's
         (column, type) list against the previous poll's and return
-        ``alter-table`` control records for every difference, in the feed's
-        structured ``ddl`` shape (the same contract the binlog QUERY path
-        emits — reference alter contract run.py:313-314). First observation
-        seeds the fingerprint and emits nothing (the initial snapshot/'now'
-        boundary already carries the starting schema)."""
+        ``(alter_table_records, now_cols)`` — one record per difference, in
+        the feed's structured ``ddl`` shape (the same contract the binlog
+        QUERY path emits — reference alter contract run.py:313-314). First
+        observation emits nothing (the initial snapshot/'now' boundary
+        already carries the starting schema).
+
+        Does NOT mutate ``self._schema_cols`` — the caller commits
+        ``now_cols`` only AFTER the records (and the poll's data) publish,
+        so a failed cycle leaves the diff re-detectable and the control
+        events re-emittable on retry (at-least-once, like every feed
+        delivery; the registry's DDL application is idempotent)."""
         now_cols = [[f.name, self._render_type(f.dataType)] for f in df.schema.fields]
-        if self._schema_cols is None:
-            self._schema_cols = now_cols
-            return []
-        if now_cols == self._schema_cols:
-            return []
+        if self._schema_cols is None or now_cols == self._schema_cols:
+            return [], now_cols
         old = {n: t for n, t in self._schema_cols}
         new = {n: t for n, t in now_cols}
         ts = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
@@ -332,8 +355,7 @@ class JdbcPollingCapture:
         records += [
             _rec("drop-column", n, None) for n in old if n not in new
         ]
-        self._schema_cols = now_cols
-        return records
+        return records, now_cols
 
     # -- the capture --------------------------------------------------------
 
@@ -369,8 +391,9 @@ class JdbcPollingCapture:
         cursor = self._resolve_cursor(df)
         # DDL capture first: control events precede this poll's data rows
         # (binlog order — the ALTER committed before the rows that follow);
-        # the first poll just seeds the fingerprint
-        ddl = self._capture_ddl(df)
+        # the first poll just seeds the fingerprint. now_cols commits to
+        # self._schema_cols only inside commit() / after first-pump publish
+        ddl, now_cols = self._capture_ddl(df)
         first = not self._started
         # NB: _started flips only AFTER the first poll's queries succeed — a
         # transient JDBC failure here must leave the capture un-started, or
@@ -393,15 +416,25 @@ class JdbcPollingCapture:
                     .collect()
                 )
             self._started = True
+            self._schema_cols = now_cols
             self._save_state()
             return ddl, None, 0
         if first and self._initial == "snapshot":
+            self._schema_cols = now_cols
             return ddl, None, self._initial_snapshot(feed, df, cursor)
         floor = self._floor()
         if floor is not None:
             df = df.filter(F.col(cursor) >= F.lit(floor))
         # increment-sized hop; _data carries the canonical cast-string map
-        rows = self._with_data_map(df).orderBy(cursor).collect()
+        # (project to cursor + _data before collect — the loop below reads
+        # nothing else, and the raw typed columns would double the driver
+        # transfer on wide tables)
+        rows = (
+            self._with_data_map(df)
+            .select(F.col(cursor), "_data")
+            .orderBy(cursor)
+            .collect()
+        )
         # polling cannot distinguish insert from update; the applier's
         # per-PK upsert makes the distinction immaterial for state
         op = "update"
@@ -462,6 +495,7 @@ class JdbcPollingCapture:
                     fp for _c, fp in delivered
                 )
             self._started = True
+            self._schema_cols = now_cols
             self._save_state()
 
         return ddl, staged, commit

@@ -186,6 +186,12 @@ class TableRegistry:
         - ``drop-column``: remove (profile_picture, :63)
         - ``add-column``: append with optional default (is_stock BOOLEAN
           DEFAULT TRUE, :65)
+
+        Idempotent under re-delivery (the feed's at-least-once contract —
+        a capture retrying a failed cycle re-emits its alter-table
+        records): adding an already-present column retypes it in place
+        instead of appending a duplicate field; dropping an absent column
+        is a no-op.
         """
         with self._lock:
             tdef = self._tables[(schema_name, table_name)]
@@ -201,9 +207,19 @@ class TableRegistry:
                 fields = [f for f in fields if f.name != column]
                 tdef.defaults.pop(column, None)
             elif action == "add-column":
-                fields.append(
-                    T.StructField(column, mariadb_type_to_spark(new_type), True)
-                )
+                if any(f.name == column for f in fields):
+                    fields = [
+                        T.StructField(
+                            f.name, mariadb_type_to_spark(new_type), f.nullable
+                        )
+                        if f.name == column
+                        else f
+                        for f in fields
+                    ]
+                else:
+                    fields.append(
+                        T.StructField(column, mariadb_type_to_spark(new_type), True)
+                    )
                 if default is not None:
                     tdef.defaults[column] = default
             else:

@@ -198,14 +198,36 @@ class BinlogWriter:
                 out += (micros // 10 ** (6 - 2 * nb)).to_bytes(nb, "big")
             return out
         if t == TIME2:
-            h, m, sec, *rest = v
-            micros = rest[0] if rest else 0
-            packed = 0x800000 | (h << 12) | (m << 6) | sec  # non-negative
-            out = packed.to_bytes(3, "big")
+            # tuple (h, m, s[, micros]) for non-negative times, or a signed
+            # int of total microseconds (covers negative times, including
+            # -0:00:00.x which a signed hour cannot express)
             fsp = c.meta[0] if c.meta else 0
             nb = (fsp + 1) // 2
+            if isinstance(v, int):
+                sign = -1 if v < 0 else 1
+                secs, micros = divmod(abs(v), 1_000_000)
+                h, m, sec = secs // 3600, secs // 60 % 60, secs % 60
+            else:
+                h, m, sec, *rest = v
+                micros = rest[0] if rest else 0
+                sign = 1
+            hms = (h << 12) | (m << 6) | sec
+            if nb == 3:  # fsp 5-6: one 6-byte quantity, micros included
+                packed = sign * ((hms << 24) + micros)
+                return (packed + 0x800000000000).to_bytes(6, "big")
+            scaled = micros // 10 ** (6 - 2 * nb) if nb else 0
+            # server encoding (my_time.c): int part stored as floor of the
+            # signed packed value >> 24, fraction as the signed remainder's
+            # two's-complement byte(s) — negative-with-fraction borrows
+            if sign < 0 and scaled:
+                intpart = -hms - 1
+                fbytes = (0x100**nb) - scaled
+            else:
+                intpart = sign * hms
+                fbytes = scaled
+            out = (intpart + 0x800000).to_bytes(3, "big")
             if nb:
-                out += (micros // 10 ** (6 - 2 * nb)).to_bytes(nb, "big")
+                out += fbytes.to_bytes(nb, "big")
             return out
         if t == VARCHAR:
             raw = v.encode("utf-8")

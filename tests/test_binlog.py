@@ -660,3 +660,170 @@ def test_ddl_regex_edges(tmp_path):
     assert recs[1]["ddl"]["column"] == "note"
     assert recs[1]["ddl"]["default"] == "n/a"
     assert recs[2]["ddl"] == {"action": "drop-column", "column": "note"}
+
+
+def test_ddl_index_clauses_emit_nothing(tmp_path):
+    """ALTER clauses that do not change the row schema — ADD INDEX / KEY /
+    PRIMARY KEY / UNIQUE / CONSTRAINT / FOREIGN KEY and their DROP twins —
+    must NOT emit alter-table records (a bogus add-column named 'INDEX'
+    would evolve a garbage column into the registry)."""
+    path = str(tmp_path / "idx.bin")
+    w = BinlogWriter(path)
+    w.query("db", "ALTER TABLE t ADD INDEX idx_name (col)")
+    w.query("db", "ALTER TABLE t ADD PRIMARY KEY (id)")
+    w.query("db", "ALTER TABLE t ADD UNIQUE KEY uq (a, b)")
+    w.query("db", "ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (a) REFERENCES o(id)")
+    w.query("db", "ALTER TABLE t ADD FULLTEXT INDEX ft (body)")
+    w.query("db", "ALTER TABLE t DROP INDEX idx_name")
+    w.query("db", "ALTER TABLE t DROP PRIMARY KEY")
+    w.query("db", "ALTER TABLE t DROP FOREIGN KEY fk")
+    w.flush()
+    recs, _ = decode_binlog(path)
+    assert recs == []
+
+
+def test_ddl_multi_clause_alter(tmp_path):
+    """A multi-clause ALTER emits one record per schema-changing clause,
+    in clause order, all sharing the statement's txn_id; index clauses
+    interleaved among them are skipped; commas inside type parentheses
+    (decimal(10,2), enum('a','b')) do not split clauses."""
+    path = str(tmp_path / "multi.bin")
+    w = BinlogWriter(path)
+    w.query(
+        "db",
+        "ALTER TABLE t ADD COLUMN c1 INT, ADD INDEX ix (c1), "
+        "ADD COLUMN c2 decimal(10,2) DEFAULT 0, DROP COLUMN old1, "
+        "MODIFY COLUMN e enum('a','b')",
+    )
+    w.flush()
+    recs, _ = decode_binlog(path)
+    assert [r["ddl"]["action"] for r in recs] == [
+        "add-column", "add-column", "drop-column", "modify-column",
+    ]
+    assert recs[0]["ddl"] == {"action": "add-column", "column": "c1", "type": "int"}
+    assert recs[1]["ddl"] == {
+        "action": "add-column", "column": "c2", "type": "decimal(10,2)",
+        "default": "0",
+    }
+    assert recs[2]["ddl"] == {"action": "drop-column", "column": "old1"}
+    assert recs[3]["ddl"] == {
+        "action": "modify-column", "column": "e", "type": "enum('a','b')",
+    }
+    assert len({r["txn_id"] for r in recs}) == 1
+
+
+def test_ddl_backticked_keyword_column(tmp_path):
+    """A column genuinely named like an index keyword arrives backticked
+    (or with an explicit COLUMN keyword) and must parse as a column."""
+    path = str(tmp_path / "kw.bin")
+    w = BinlogWriter(path)
+    w.query("db", "ALTER TABLE t ADD `key` int")
+    w.query("db", "ALTER TABLE t ADD COLUMN `index` varchar(10)")
+    w.query("db", "ALTER TABLE t DROP COLUMN `key`")
+    w.flush()
+    recs, _ = decode_binlog(path)
+    assert [r["ddl"]["column"] for r in recs] == ["key", "index", "key"]
+    assert [r["ddl"]["action"] for r in recs] == [
+        "add-column", "add-column", "drop-column",
+    ]
+
+
+def test_savepoint_in_open_txn_does_not_poison_resume(tmp_path, spark):
+    """A non-DDL QUERY (SAVEPOINT/SET) inside an open transaction must not
+    advance the resume offset: the held-back transaction must be re-read
+    FROM ITS BEGIN — including its TABLE_MAP — once the commit lands.
+    Before the fix, the resume offset landed past the TABLE_MAP and every
+    later pump crashed with 'ROWS event for unknown table id'."""
+    cols = [Col("id", LONG)]
+    path = str(tmp_path / "sp.bin")
+    state = str(tmp_path / "sp.state")
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+
+    w = BinlogWriter(path)
+    w.begin("db")
+    w.write_rows("db", "t", cols, [{"id": 1}])
+    w.query("db", "SAVEPOINT s1")
+    w.flush()
+    tail = BinlogTail(path, state_path=state)
+    assert tail.pump(feed) == 0  # open txn held back
+
+    w.xid()
+    w.flush()
+    restarted = BinlogTail(path, state_path=state)
+    assert restarted.pump(feed) == 1
+    assert restarted.pump(feed) == 0
+
+
+def test_time2_negative_values(tmp_path):
+    """Negative TIME2 stores the complement over the combined (int, frac)
+    quantity — the borrow propagates from the fraction into the int part.
+    Covers fsp 0 / 2 / 6 and the -0:00:00.5 case a signed hour cannot
+    express (writer encodes signed total microseconds)."""
+    from binlog_writer import TIME2
+
+    cols = [
+        Col("t0", TIME2, (0,)),
+        Col("t2", TIME2, (2,)),
+        Col("t6", TIME2, (6,)),
+    ]
+    row = {
+        "t0": -(1 * 3600 + 2 * 60 + 3) * 1_000_000,      # -01:02:03
+        "t2": -500_000,                                   # -00:00:00.50
+        "t6": -((2 * 3600 + 3 * 60 + 4) * 1_000_000 + 567_890),
+    }
+    path = str(tmp_path / "tneg.bin")
+    w = BinlogWriter(path)
+    w.begin("db")
+    w.write_rows("db", "t", cols, [row])
+    w.xid()
+    w.flush()
+    recs, _ = decode_binlog(path)
+    assert recs[0]["data"] == {
+        "t0": "-01:02:03",
+        "t2": "-00:00:00.50",
+        "t6": "-02:03:04.567890",
+    }
+
+
+def test_time2_positive_int_encoding_matches_tuple(tmp_path):
+    """The writer's signed-int input and tuple input agree for positive
+    times (guards the shared encode path)."""
+    from binlog_writer import TIME2
+
+    cols = [Col("a", TIME2, (2,)), Col("b", TIME2, (2,))]
+    row = {"a": (13, 45, 9, 120_000), "b": (13 * 3600 + 45 * 60 + 9) * 1_000_000 + 120_000}
+    path = str(tmp_path / "tpos.bin")
+    w = BinlogWriter(path)
+    w.begin("db")
+    w.write_rows("db", "t", cols, [row])
+    w.xid()
+    w.flush()
+    recs, _ = decode_binlog(path)
+    assert recs[0]["data"]["a"] == recs[0]["data"]["b"] == "13:45:09.12"
+
+
+def test_rotation_cycle_fails_loudly(tmp_path, spark):
+    """A rotation CYCLE (A→B→A, a corrupt/misnamed chain) must raise
+    instead of re-decoding the same files forever and appending duplicate
+    records on every pump."""
+    cols = [Col("id", LONG)]
+    f1 = str(tmp_path / "c.000001")
+    f2 = str(tmp_path / "c.000002")
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+
+    w1 = BinlogWriter(f1)
+    w1.begin("db")
+    w1.write_rows("db", "t", cols, [{"id": 1}])
+    w1.xid()
+    w1.rotate("c.000002")
+    w1.flush()
+    w2 = BinlogWriter(f2)
+    w2.begin("db")
+    w2.write_rows("db", "t", cols, [{"id": 2}])
+    w2.xid()
+    w2.rotate("c.000001")  # cycle back
+    w2.flush()
+
+    tail = BinlogTail(f1)
+    with pytest.raises(ValueError, match="rotation cycle"):
+        tail.pump(feed)

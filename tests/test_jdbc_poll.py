@@ -1090,3 +1090,95 @@ def test_coordinator_under_task_lifecycle(spark, tmp_path):
         ("ta", "3"), ("tb", "4"),
     ]
     assert len({r["seq"] for r in inc}) == 2
+
+
+def test_failed_cycle_retains_ddl_for_retry(spark, tmp_path):
+    """A cycle that stages but never publishes (sort failure, feed error)
+    must leave the DDL diff re-detectable: _stage does not commit the
+    schema fingerprint, so the retry re-emits the alter-table records.
+    Before the fix, _capture_ddl mutated the fingerprint inside _stage and
+    a failed cycle dropped the ALTER permanently."""
+    db, conn = _seed_derby(spark, tmp_path)
+    cap = _capture(spark, db)
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    assert cap.pump(feed) == 2  # snapshot seeds the schema fingerprint
+
+    st = conn.createStatement()
+    st.executeUpdate("ALTER TABLE accounts ADD COLUMN tier INT")
+    st.close()
+
+    # stage twice WITHOUT committing — simulating two failed cycles
+    ddl1, staged1, _commit1 = cap._stage(feed)
+    ddl2, staged2, _commit2 = cap._stage(feed)
+    assert len(ddl1) == 1 and ddl1[0]["ddl"]["action"] == "add-column"
+    assert len(ddl2) == 1 and ddl2[0]["ddl"]["column"] == ddl1[0]["ddl"]["column"]
+    # nothing was published by staging alone
+    assert feed.read_batch().filter("op = 'alter-table'").count() == 0
+
+    # the real pump then delivers the DDL exactly once
+    cap.pump(feed)
+    assert feed.read_batch().filter("op = 'alter-table'").count() == 1
+    # and a further pump is quiescent (fingerprint committed with the pump)
+    assert cap.pump(feed) == 0
+    assert feed.read_batch().filter("op = 'alter-table'").count() == 1
+
+
+def test_registry_ddl_idempotent_under_redelivery(spark):
+    """At-least-once DDL transport: applying the same add-column twice
+    must not append a duplicate field; dropping an absent column is a
+    no-op (the capture retry path re-emits alter-table records)."""
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import (
+        TableRegistry,
+    )
+
+    registry = TableRegistry()
+    registry.register_from_df(
+        "APP", "accounts",
+        spark.createDataFrame([], "ID long, BALANCE long"),
+        primary_key="ID",
+    )
+    registry.apply_ddl("APP", "accounts", "add-column", "TIER", "int", None)
+    registry.apply_ddl("APP", "accounts", "add-column", "TIER", "int", None)
+    names = [d["Field"] for d in registry.describe("APP", "accounts")]
+    assert names.count("TIER") == 1
+    registry.apply_ddl("APP", "accounts", "drop-column", "TIER", None, None)
+    registry.apply_ddl("APP", "accounts", "drop-column", "TIER", None, None)
+    names = [d["Field"] for d in registry.describe("APP", "accounts")]
+    assert "TIER" not in names
+
+
+def test_fp_format_migration_flag(spark, tmp_path):
+    """A state file written under an older fingerprint rendering restores
+    fine but flags fp_format_migrated: its window fingerprints cannot
+    match the current rendering, so the first pump re-delivers the window
+    once (documented at-least-once) instead of crashing or silently
+    diverging."""
+    import json as _json
+
+    db, conn = _seed_derby(spark, tmp_path)
+    state = str(tmp_path / "cap.state")
+    cap = _capture(spark, db, state_path=state)
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    assert cap.pump(feed) == 2
+
+    # current-format restore: no migration flag, quiescent pump
+    cap2 = _capture(spark, db, state_path=state)
+    assert cap2.fp_format_migrated is False
+    assert cap2.pump(feed) == 0
+
+    # simulate a pre-stamp state file (older rendering)
+    with open(state) as f:
+        saved = _json.load(f)
+    del saved["fp_format"]
+    with open(state, "w") as f:
+        _json.dump(saved, f)
+    cap3 = _capture(spark, db, state_path=state)
+    assert cap3.fp_format_migrated is True
+    # the window re-delivers at most once (here: fps still match because
+    # the stored strings happen to be the same rendering; the flag is the
+    # contract surface, delivery stays at-least-once either way)
+    n = cap3.pump(feed)
+    assert n in (0, 2)
+    # after that pump the state is re-stamped with the current format
+    cap4 = _capture(spark, db, state_path=state)
+    assert cap4.fp_format_migrated is False

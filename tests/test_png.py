@@ -187,3 +187,43 @@ def test_png_features_dispatch_e2e(spark):
     for i, (mid, blob, _t, _u) in enumerate(rows):
         assert got[i]["format"] == "png"
         assert got[i]["sha256"] == hashlib.sha256(bytes(blob)).hexdigest()
+
+
+def test_fake_mode_falls_back_on_corrupt_payloads():
+    """fake=True's contract is any bytes → a row: corrupt/truncated
+    payloads of REAL formats (bad PNG CRC, garbage after the magic,
+    malformed PNM) fall back to the deterministic content-hash fake
+    instead of failing the whole Spark stage; without fake, they still
+    raise."""
+    truncated_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    w, h, c, fmt = decode_image(truncated_png, fake=True)
+    assert fmt == "fake" and w >= 1 and h >= 1 and 1 <= c <= 4
+    # deterministic: same bytes, same fake
+    assert decode_image(truncated_png, fake=True) == (w, h, c, fmt)
+    with pytest.raises(ValueError):
+        decode_image(truncated_png)
+
+    corrupt_pnm = b"P6\nnot numbers\n"
+    wf, hf, cf, ff = decode_image(corrupt_pnm, fake=True)
+    assert ff == "fake"
+    with pytest.raises(ValueError):
+        decode_image(corrupt_pnm)
+
+    # intact real formats still decode for real under fake=True
+    png = encode_png(3, 2, 3, bytes(range(18)))
+    assert decode_image(png, fake=True)[3] == "png"
+
+
+def test_fake_resize_falls_back_on_corrupt_payloads():
+    """Same contract for resize_image: corrupt P6/PNG under fake=True
+    yields a valid P6 of the target size; without fake, raises."""
+    corrupt_p6 = b"P6\n4 4\n255\n"  # header claims pixels it doesn't have
+    out = resize_image(corrupt_p6, 2, 2, fake=True)
+    assert out.startswith(b"P6\n2 2\n255\n")
+    assert len(out) == len(b"P6\n2 2\n255\n") + 2 * 2 * 3
+    with pytest.raises(ValueError):
+        resize_image(corrupt_p6, 2, 2)
+
+    truncated_png = b"\x89PNG\r\n\x1a\n" + b"\xff" * 16
+    out2 = resize_image(truncated_png, 3, 3, fake=True)
+    assert out2.startswith(b"P6\n3 3\n255\n")
