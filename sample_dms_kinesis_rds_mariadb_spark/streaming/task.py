@@ -506,6 +506,13 @@ class PollingReplicationTask(ReplicationTask):
     state machine (start-replication → running → stop-replication,
     run.py:140-165) wrapped around polling capture (SURVEY §2.1 S2b).
 
+    ``capture`` is duck-typed — anything with ``pump(feed) -> int`` and its
+    own persistence qualifies: :class:`~...jdbc_poll.JdbcPollingCapture`,
+    a :class:`~...jdbc_poll.PollCycleCoordinator` (multi-table cycles), or
+    a :class:`~...binlog.BinlogTail` (a binlog FILE chain as a first-class
+    CDC task — the reference's actual wire format under the same
+    lifecycle).
+
     Composition: a daemon pumper thread calls ``capture.pump(changefeed)``
     every ``poll_interval`` seconds (the capture-agent role Debezium/DMS run
     as a dedicated process), while the inherited CDC streaming query
