@@ -254,6 +254,21 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     timings["gopher_quality_flags"] = round(time.perf_counter() - t0, 3)
 
+    # 7d) C4 line cleaning + page gate: one pure-codegen corpus scan
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        c4_clean_text,
+        c4_quality_flags,
+    )
+
+    t0 = time.perf_counter()
+    _c4 = c4_quality_flags(F.col("text"))
+    _docs.select(
+        "doc_id",
+        F.length(c4_clean_text(F.col("text"))).alias("clean_len"),
+        *[c.alias(k) for k, c in _c4.items()],
+    ).write.mode("overwrite").format("noop").save()
+    timings["c4_quality_flags"] = round(time.perf_counter() - t0, 3)
+
     # 8) token-budget shard assignment (two-pass distributed prefix sum)
     from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
         budget_shard_column,

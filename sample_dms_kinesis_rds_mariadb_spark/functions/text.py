@@ -486,3 +486,123 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
     out = {k: F.coalesce(v, F.lit(False)) for k, v in flags.items()}
     out["gopher_pass"] = F.coalesce(gopher_pass, F.lit(False))
     return out
+
+
+# -- C4 cleaning rules ------------------------------------------------------
+# The published C4 heuristics (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2): line
+# rules keep only lines that end in a terminal punctuation mark, have at
+# least 5 words, and mention neither "javascript" nor a cookie/policy
+# boilerplate phrase; page rules drop any page containing "lorem ipsum" or
+# a curly bracket, or with too few sentences after line cleaning.
+
+C4_TERMINAL_PUNCT_RE = r'[.!?"]$'  # period, exclamation, question, end quote
+C4_POLICY_SUBSTRINGS = (
+    "terms of use", "privacy policy", "cookie policy", "uses cookies",
+    "use of cookies", "use cookies",
+)
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 5
+
+
+def _c4_trim(l: Column) -> Column:
+    # trim ALL whitespace (incl. tabs / stray \r), same CRLF-safe
+    # semantics as gopher_quality_flags
+    return F.regexp_replace(l, r"^\s+|\s+$", "")
+
+
+def c4_kept_lines(
+    text: Column, min_words_per_line: int = C4_MIN_WORDS_PER_LINE
+) -> Column:
+    """``array<string>`` of the (trimmed) lines the C4 LINE rules keep:
+    non-empty, ending in a terminal punctuation mark (``.!?"``) but not in
+    an ellipsis, at least ``min_words_per_line`` whitespace words, no
+    "javascript", and none of the cookie/policy boilerplate phrases. All
+    built-in array/string expressions — codegen, no shuffle."""
+
+    def _keep(l: Column) -> Column:
+        low = F.lower(l)
+        ends_ok = l.rlike(C4_TERMINAL_PUNCT_RE) & ~l.rlike(r"\.\.\.$")
+        words = F.size(
+            F.filter(F.split(l, r"\s+"), lambda w: w != F.lit(""))
+        )
+        keep = (
+            (l != F.lit(""))
+            & ends_ok
+            & (words >= min_words_per_line)
+            & ~low.contains("javascript")
+        )
+        for p in C4_POLICY_SUBSTRINGS:
+            keep = keep & ~low.contains(p)
+        return keep
+
+    return F.filter(F.transform(F.split(text, r"\r?\n"), _c4_trim), _keep)
+
+
+def c4_clean_text(
+    text: Column, min_words_per_line: int = C4_MIN_WORDS_PER_LINE
+) -> Column:
+    """The C4 line-level transform: the document with only the kept lines,
+    newline-joined (the cleaned page the page rules then judge)."""
+    return F.array_join(c4_kept_lines(text, min_words_per_line), "\n")
+
+
+def c4_quality_flags(
+    text: Column,
+    min_sentences: int = C4_MIN_SENTENCES,
+    badwords: tuple = (),
+) -> dict[str, Column]:
+    """The C4 PAGE rules as named boolean verdicts plus the conjunction —
+    the second published crawl gate alongside :func:`gopher_quality_flags`.
+    NULL text fails ``c4_pass``.
+
+    - ``no_lorem_ipsum``: "lorem ipsum" (case-insensitive) nowhere in the
+      raw page.
+    - ``no_curly_brace``: no ``{`` anywhere in the raw page (the paper's
+      wording — "any page that contained a curly bracket"; the original
+      implementation only checked surviving lines, so this is the
+      stricter, simpler reading).
+    - ``ok_sentence_count``: at least ``min_sentences`` sentences among
+      the KEPT lines, counting sentences as terminal-mark (``.!?``)
+      occurrences — a deterministic cross-engine proxy for the original's
+      nltk sentence tokenizer (an ASCII ellipsis therefore counts 3; C4's
+      line rules already drop ellipsis-terminated lines).
+    - ``no_bad_words``: none of the ``badwords`` appear — single words
+      match token-wise against :func:`clean_tokens`, phrases (containing
+      a space) match substring-wise against the lowered page. The
+      published rule uses the external "List of Dirty, Naughty, Obscene
+      or Otherwise Bad Words"; pass it in as data (default empty tuple =
+      rule passes vacuously).
+    - ``c4_pass``: all of the above.
+    """
+    low = F.lower(F.coalesce(text, F.lit("")))
+    no_lorem = ~low.contains("lorem ipsum")
+    no_curly = ~F.coalesce(text, F.lit("")).contains("{")
+    cleaned = c4_clean_text(text)
+    n_sentences = F.coalesce(
+        F.length(cleaned)
+        - F.length(F.regexp_replace(cleaned, r"[.!?]", "")),
+        F.lit(0),
+    )
+    ok_sentences = n_sentences >= min_sentences
+    word_bads = [w for w in badwords if " " not in w]
+    phrase_bads = [w for w in badwords if " " in w]
+    no_bad = F.lit(True)
+    if word_bads:
+        no_bad = no_bad & ~F.arrays_overlap(
+            clean_tokens(text), F.array(*[F.lit(w.lower()) for w in word_bads])
+        )
+    for p in phrase_bads:
+        no_bad = no_bad & ~low.contains(p.lower())
+    flags = {
+        "no_lorem_ipsum": no_lorem,
+        "no_curly_brace": no_curly,
+        "ok_sentence_count": ok_sentences,
+        "no_bad_words": no_bad,
+    }
+    c4_pass = F.lit(True)
+    for c in flags.values():
+        c4_pass = c4_pass & c
+    out = {k: F.coalesce(v, F.lit(False)) for k, v in flags.items()}
+    out["c4_pass"] = F.coalesce(c4_pass, F.lit(False))
+    return out

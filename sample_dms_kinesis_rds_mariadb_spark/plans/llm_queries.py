@@ -1472,3 +1472,111 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", *[flags[c].alias(c) for c in cols]
     ).orderBy("doc_id")
+
+
+# shared kept-lines CTE for the two C4 legs: mirror of functions.text's
+# c4_kept_lines (trim all whitespace, terminal-punct-not-ellipsis ending,
+# >= 5 whitespace words, no javascript / policy boilerplate)
+_C4_KEPT_SQL = """
+          SELECT doc_id,
+                 COALESCE(text, '') AS t,
+                 list_filter(
+                   list_transform(
+                     regexp_split_to_array(COALESCE(text, ''), '\\r?\\n'),
+                     l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')),
+                   l -> l <> ''
+                     AND regexp_matches(l, '[.!?"]$')
+                     AND NOT regexp_matches(l, '\\.\\.\\.$')
+                     AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                         w -> w <> '')) >= 5
+                     AND NOT contains(lower(l), 'javascript')
+                     AND NOT contains(lower(l), 'terms of use')
+                     AND NOT contains(lower(l), 'privacy policy')
+                     AND NOT contains(lower(l), 'cookie policy')
+                     AND NOT contains(lower(l), 'uses cookies')
+                     AND NOT contains(lower(l), 'use of cookies')
+                     AND NOT contains(lower(l), 'use cookies')
+                 ) AS kept
+          FROM documents
+"""
+
+
+@register(
+    "c4_line_cleaning",
+    "The C4 line-level transform (Raffel et al. 2020 §2.2): per document, "
+    "the count of lines the line rules keep and the newline-joined cleaned "
+    "page — terminal-punctuation ending, >= 5 words, no javascript/policy "
+    "boilerplate. EXTRA: oracle-checked by the pytest parity harness "
+    "outside the 50-cap catalog",
+    oracle="""
+        WITH base AS (""" + _C4_KEPT_SQL + """
+        )
+        SELECT doc_id,
+               COALESCE(len(kept), 0) AS n_kept_lines,
+               COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+        FROM base
+        ORDER BY doc_id
+    """,
+    tags=("text",),
+    extra=True,
+)
+def q_c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        c4_clean_text,
+        c4_kept_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.size(c4_kept_lines(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("n_kept_lines"),
+        F.coalesce(c4_clean_text(F.col("text")), F.lit("")).alias("cleaned"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "c4_quality_flags",
+    "The published C4 page rules (Raffel et al. 2020 §2.2) as per-doc "
+    "boolean verdicts — no lorem ipsum, no curly bracket, sentence count "
+    "over the kept lines, and the conjunction — alongside the Gopher gate. "
+    "EXTRA: oracle-checked by the pytest parity harness outside the 50-cap "
+    "catalog",
+    oracle="""
+        WITH base AS (""" + _C4_KEPT_SQL + """
+        ),
+        m AS (
+          SELECT doc_id,
+                 NOT contains(lower(t), 'lorem ipsum') AS no_lorem_ipsum,
+                 NOT contains(t, '{') AS no_curly_brace,
+                 COALESCE(list_sum(list_transform(kept,
+                   l -> length(l) - length(regexp_replace(l, '[.!?]', '', 'g')))),
+                   0) AS n_sentences
+          FROM base
+        )
+        SELECT doc_id,
+               no_lorem_ipsum,
+               no_curly_brace,
+               n_sentences >= 5 AS ok_sentence_count,
+               no_lorem_ipsum AND no_curly_brace
+                 AND n_sentences >= 5 AS c4_pass
+        FROM m
+        ORDER BY doc_id
+    """,
+    tags=("text",),
+    extra=True,
+)
+def q_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        c4_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = c4_quality_flags(F.col("text"))
+    cols = [
+        "no_lorem_ipsum", "no_curly_brace", "ok_sentence_count", "c4_pass",
+    ]
+    return docs.select(
+        "doc_id", *[flags[c].alias(c) for c in cols]
+    ).orderBy("doc_id")

@@ -745,3 +745,105 @@ def test_gopher_quality_flags_match_python_reference(spark):
     assert got[len(cases) - 3][2] is True
     assert got[len(cases) - 2][2] is False
     assert got[len(cases) - 1][2] is False
+
+
+def test_c4_rules_match_python_reference(spark):
+    """Every C4 line/page verdict must match an independent Python
+    implementation of the published rules (Raffel et al. 2020, §2.2),
+    over documents engineered to trip each rule individually."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        C4_POLICY_SUBSTRINGS,
+        c4_clean_text,
+        c4_quality_flags,
+    )
+
+    def ref_kept(text):
+        out = []
+        for l in re.split(r"\r?\n", text or ""):
+            l = re.sub(r"^\s+|\s+$", "", l)
+            low = l.lower()
+            if not l:
+                continue
+            if not re.search(r'[.!?"]$', l) or re.search(r"\.\.\.$", l):
+                continue
+            if len([w for w in re.split(r"\s+", l) if w]) < 5:
+                continue
+            if "javascript" in low:
+                continue
+            if any(p in low for p in C4_POLICY_SUBSTRINGS):
+                continue
+            out.append(l)
+        return out
+
+    def ref_flags(text):
+        t = text or ""
+        kept = ref_kept(text)
+        no_lorem = "lorem ipsum" not in t.lower()
+        no_curly = "{" not in t
+        n_sent = sum(len(re.findall(r"[.!?]", l)) for l in kept)
+        ok_sent = n_sent >= 5
+        return (no_lorem, no_curly, ok_sent,
+                no_lorem and no_curly and ok_sent)
+
+    good = "\n".join(
+        "This line has enough words and ends properly%s" % p
+        for p in (".", "!", "?", '."', ".")
+    )
+    cases = [
+        good,                                        # passes everything
+        good + "\nshort line.",                      # <5-word line dropped
+        good + "\nThis line has no terminal punctuation at all",
+        good + "\nThis trailing line ends in an ellipsis so it goes...",
+        good + "\nEnable JavaScript to view the comments powered here.",
+        good + "\nPlease read our privacy policy before continuing on.",
+        good.replace("properly.", "properly") ,      # fewer sentences
+        good + "\nlorem ipsum dolor sit amet and so on it goes.",
+        good + "\nconst x = { a: 1 }; is code in the page.",
+        "",                                          # empty
+        None,                                        # NULL
+        good.replace("\n", "\r\n"),                  # CRLF
+        "   \t \n" + good + "\n  \t",                # blank/whitespace lines
+        'He said "this quoted line has enough words to stay."\n' + good,
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, text string"
+    )
+    fl = c4_quality_flags(F.col("text"))
+    cols = ["no_lorem_ipsum", "no_curly_brace", "ok_sentence_count", "c4_pass"]
+    got = {
+        r["i"]: (tuple(r[c] for c in cols), r["clean"])
+        for r in df.select(
+            "i",
+            F.coalesce(c4_clean_text(F.col("text")), F.lit("")).alias("clean"),
+            *[fl[c].alias(c) for c in cols],
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i][0] == ref_flags(c), (i, repr(c)[:60], got[i][0], ref_flags(c))
+        assert got[i][1] == "\n".join(ref_kept(c)), (i, repr(c)[:60])
+    assert got[0][0][-1] is True
+    assert sum(g[0][-1] for g in got.values()) < len(cases)
+
+    # badwords: single words match token-wise, phrases substring-wise
+    bw = ("badword", "two part")
+    fl_bw = c4_quality_flags(F.col("text"), badwords=bw)
+    df2 = spark.createDataFrame(
+        [
+            (0, good),
+            (1, good + "\nThis line mentions badword in it clearly."),
+            (2, good + "\nThis one has a two part phrase inside it."),
+            (3, good + "\nBadWording as a longer token does not match."),
+        ],
+        "i long, text string",
+    )
+    got2 = {
+        r["i"]: r["nb"]
+        for r in df2.select(
+            "i", fl_bw["no_bad_words"].alias("nb")
+        ).collect()
+    }
+    assert got2 == {0: True, 1: False, 2: False, 3: True}
