@@ -269,6 +269,18 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     timings["c4_quality_flags"] = round(time.perf_counter() - t0, 3)
 
+    # 7e) full Gopher repetition table: per-doc array sorts + folds, one scan
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        gopher_repetition_flags,
+    )
+
+    t0 = time.perf_counter()
+    _rep = gopher_repetition_flags(F.col("text"))
+    _docs.select(
+        "doc_id", *[c.alias(k) for k, c in _rep.items()]
+    ).write.mode("overwrite").format("noop").save()
+    timings["gopher_repetition_flags"] = round(time.perf_counter() - t0, 3)
+
     # 8) token-budget shard assignment (two-pass distributed prefix sum)
     from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
         budget_shard_column,

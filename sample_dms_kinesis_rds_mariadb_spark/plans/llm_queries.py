@@ -1580,3 +1580,146 @@ def q_c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", *[flags[c].alias(c) for c in cols]
     ).orderBy("doc_id")
+
+
+# long-form gram table for the repetition oracle: n=0 marks lines, n=1
+# paragraphs, n>=2 word n-grams (mirror of functions.text's clean_tokens /
+# word_ngrams and gopher_repetition_flags' unit splitting)
+_REP_BASE_SQL = """
+          SELECT doc_id,
+                 COALESCE(length(text), 0) AS n_len,
+                 list_filter(
+                   regexp_split_to_array(
+                     lower(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))),
+                     '\\s+'),
+                   x -> x <> '') AS t,
+                 list_filter(
+                   list_transform(
+                     regexp_split_to_array(COALESCE(text, ''), '\\r?\\n'),
+                     l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')),
+                   l -> l <> '') AS lines,
+                 list_filter(
+                   list_transform(
+                     regexp_split_to_array(COALESCE(text, ''), '(\\r?\\n){2,}'),
+                     l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')),
+                   l -> l <> '') AS paras
+          FROM documents
+"""
+
+_REP_GRAMS_SQL = "\n UNION ALL ".join(
+    f"""SELECT doc_id, {n} AS n,
+            unnest(list_transform(range(1, greatest(len(t) - {n} + 1, 0) + 1),
+                                  i -> array_to_string(t[i:i + {n - 1}], ' '))) AS gram
+        FROM base"""
+    for n in range(2, 11)
+)
+
+
+@register(
+    "gopher_repetition_flags",
+    "The FULL published Gopher repetition rule set (Rae et al. 2021 Table "
+    "A1) as per-doc boolean verdicts — duplicate line/paragraph fractions "
+    "and character fractions, top 2/3/4-gram character coverage, duplicate "
+    "5..10-gram character fractions, and the conjunction; integer "
+    "cross-multiplication thresholds for bit-identical cross-engine "
+    "booleans. EXTRA: oracle-checked by the pytest parity harness outside "
+    "the 50-cap catalog",
+    oracle="""
+        WITH base AS (""" + _REP_BASE_SQL + """
+        ),
+        long AS (
+          SELECT doc_id, 0 AS n, unnest(lines) AS gram FROM base
+          UNION ALL
+          SELECT doc_id, 1 AS n, unnest(paras) AS gram FROM base
+          UNION ALL
+          """ + _REP_GRAMS_SQL + """
+        ),
+        cnt AS (
+          SELECT doc_id, n, gram, count(*) AS c FROM long GROUP BY ALL
+        ),
+        agg AS (
+          SELECT doc_id, n, max(c) AS mc,
+                 COALESCE(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS dcount,
+                 COALESCE(sum(CASE WHEN c > 1 THEN (c - 1) * length(gram) END), 0) AS dchars
+          FROM cnt GROUP BY ALL
+        ),
+        ml AS (
+          SELECT cnt.doc_id, cnt.n, max(length(cnt.gram)) AS ml
+          FROM cnt
+          JOIN agg ON cnt.doc_id = agg.doc_id AND cnt.n = agg.n AND cnt.c = agg.mc
+          GROUP BY ALL
+        ),
+        per AS (
+          SELECT a.doc_id, a.n, a.mc, a.dcount, a.dchars, m.ml
+          FROM agg a JOIN ml m ON a.doc_id = m.doc_id AND a.n = m.n
+        ),
+        piv AS (
+          SELECT b.doc_id, b.n_len,
+                 COALESCE(len(b.lines), 0) AS n_lines,
+                 COALESCE(len(b.paras), 0) AS n_paras,
+                 COALESCE(max(CASE WHEN p.n = 0 THEN p.dcount END), 0) AS dup_lines,
+                 COALESCE(max(CASE WHEN p.n = 0 THEN p.dchars END), 0) AS dup_line_chars,
+                 COALESCE(max(CASE WHEN p.n = 1 THEN p.dcount END), 0) AS dup_paras,
+                 COALESCE(max(CASE WHEN p.n = 1 THEN p.dchars END), 0) AS dup_para_chars,
+                 COALESCE(max(CASE WHEN p.n = 2 AND p.mc >= 2 THEN p.mc * p.ml END), 0) AS top2,
+                 COALESCE(max(CASE WHEN p.n = 3 AND p.mc >= 2 THEN p.mc * p.ml END), 0) AS top3,
+                 COALESCE(max(CASE WHEN p.n = 4 AND p.mc >= 2 THEN p.mc * p.ml END), 0) AS top4,
+                 COALESCE(max(CASE WHEN p.n = 5 THEN p.dchars END), 0) AS d5,
+                 COALESCE(max(CASE WHEN p.n = 6 THEN p.dchars END), 0) AS d6,
+                 COALESCE(max(CASE WHEN p.n = 7 THEN p.dchars END), 0) AS d7,
+                 COALESCE(max(CASE WHEN p.n = 8 THEN p.dchars END), 0) AS d8,
+                 COALESCE(max(CASE WHEN p.n = 9 THEN p.dchars END), 0) AS d9,
+                 COALESCE(max(CASE WHEN p.n = 10 THEN p.dchars END), 0) AS d10
+          FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
+          GROUP BY ALL
+        )
+        SELECT doc_id,
+               dup_lines * 10 <= n_lines * 3 AS ok_dup_line_frac,
+               dup_paras * 10 <= n_paras * 3 AS ok_dup_para_frac,
+               dup_line_chars * 10 <= n_len * 2 AS ok_dup_line_char_frac,
+               dup_para_chars * 10 <= n_len * 2 AS ok_dup_para_char_frac,
+               top2 * 100 <= n_len * 20 AS ok_top_2gram_chars,
+               top3 * 100 <= n_len * 18 AS ok_top_3gram_chars,
+               top4 * 100 <= n_len * 16 AS ok_top_4gram_chars,
+               d5 * 100 <= n_len * 15 AS ok_dup_5gram_chars,
+               d6 * 100 <= n_len * 14 AS ok_dup_6gram_chars,
+               d7 * 100 <= n_len * 13 AS ok_dup_7gram_chars,
+               d8 * 100 <= n_len * 12 AS ok_dup_8gram_chars,
+               d9 * 100 <= n_len * 11 AS ok_dup_9gram_chars,
+               d10 * 100 <= n_len * 10 AS ok_dup_10gram_chars,
+               (dup_lines * 10 <= n_lines * 3)
+                 AND (dup_paras * 10 <= n_paras * 3)
+                 AND (dup_line_chars * 10 <= n_len * 2)
+                 AND (dup_para_chars * 10 <= n_len * 2)
+                 AND (top2 * 100 <= n_len * 20)
+                 AND (top3 * 100 <= n_len * 18)
+                 AND (top4 * 100 <= n_len * 16)
+                 AND (d5 * 100 <= n_len * 15)
+                 AND (d6 * 100 <= n_len * 14)
+                 AND (d7 * 100 <= n_len * 13)
+                 AND (d8 * 100 <= n_len * 12)
+                 AND (d9 * 100 <= n_len * 11)
+                 AND (d10 * 100 <= n_len * 10) AS repetition_pass
+        FROM piv
+        ORDER BY doc_id
+    """,
+    tags=("text",),
+    extra=True,
+)
+def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        gopher_repetition_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_repetition_flags(F.col("text"))
+    cols = [
+        "ok_dup_line_frac", "ok_dup_para_frac", "ok_dup_line_char_frac",
+        "ok_dup_para_char_frac", "ok_top_2gram_chars", "ok_top_3gram_chars",
+        "ok_top_4gram_chars", "ok_dup_5gram_chars", "ok_dup_6gram_chars",
+        "ok_dup_7gram_chars", "ok_dup_8gram_chars", "ok_dup_9gram_chars",
+        "ok_dup_10gram_chars", "repetition_pass",
+    ]
+    return docs.select(
+        "doc_id", *[flags[c].alias(c) for c in cols]
+    ).orderBy("doc_id")

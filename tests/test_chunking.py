@@ -847,3 +847,112 @@ def test_c4_rules_match_python_reference(spark):
         ).collect()
     }
     assert got2 == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_gopher_repetition_flags_match_python_reference(spark):
+    """Every rule of the FULL Gopher repetition table (Rae et al. 2021,
+    Table A1) must match an independent Python implementation, over
+    documents engineered to trip each rule individually."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        gopher_repetition_flags,
+        py_clean_tokens,
+    )
+
+    def units(t, pattern):
+        return [
+            u for u in (re.sub(r"^\s+|\s+$", "", x) for x in re.split(pattern, t))
+            if u
+        ]
+
+    def dup_beyond_first(xs):
+        c = Counter(xs)
+        return (
+            sum(v - 1 for v in c.values() if v > 1),
+            sum((v - 1) * len(k) for k, v in c.items() if v > 1),
+        )
+
+    def top_cov(grams):
+        c = Counter(grams)
+        if not c:
+            return 0
+        mc = max(c.values())
+        if mc < 2:
+            return 0
+        return mc * max(len(g) for g, v in c.items() if v == mc)
+
+    def ref(text):
+        t = text or ""
+        n_len = len(t)
+        lines = units(t, r"\r?\n")
+        paras = units(t, r"(?:\r?\n){2,}")
+        dl, dlc = dup_beyond_first(lines)
+        dp, dpc = dup_beyond_first(paras)
+        toks = py_clean_tokens(t)
+
+        def grams(n):
+            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+        out = [
+            dl * 10 <= len(lines) * 3,
+            dp * 10 <= len(paras) * 3,
+            dlc * 10 <= n_len * 2,
+            dpc * 10 <= n_len * 2,
+        ]
+        for n, thr in ((2, 20), (3, 18), (4, 16)):
+            out.append(top_cov(grams(n)) * 100 <= n_len * thr)
+        for n, thr in ((5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10)):
+            _c, dch = dup_beyond_first(grams(n))
+            out.append(dch * 100 <= n_len * thr)
+        return tuple(out) + (all(out),)
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    rep10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    cases = [
+        base,                                         # clean: passes all
+        "\n".join([base, "dup line here", "dup line here", "dup line here"]),
+        "\n\n".join([base, "dup para", "dup para", "dup para"]),
+        # one huge duplicated line among many short ones: char frac trips
+        "\n".join(["a."] * 30 + [base, base]),
+        "\n\n".join(["b."] * 30 + [base, base]),
+        base + " " + "tick tock " * 30,               # top 2-gram coverage
+        base + " " + "one two three " * 20,           # top 3-gram
+        base + " " + "a b c d " * 20,                 # top 4-gram
+        base + " " + " ".join([rep10] * 6),           # dup 5..10-gram chars
+        "",                                           # empty: vacuous pass
+        None,                                         # NULL: vacuous pass
+        base.replace(" ", "\r\n") + "\r\n" + base.replace(" ", "\r\n"),  # CRLF dup lines
+        "   \n\t\n" + base,                           # whitespace-only units
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, text string"
+    )
+    fl = gopher_repetition_flags(F.col("text"))
+    cols = [
+        "ok_dup_line_frac", "ok_dup_para_frac", "ok_dup_line_char_frac",
+        "ok_dup_para_char_frac", "ok_top_2gram_chars", "ok_top_3gram_chars",
+        "ok_top_4gram_chars", "ok_dup_5gram_chars", "ok_dup_6gram_chars",
+        "ok_dup_7gram_chars", "ok_dup_8gram_chars", "ok_dup_9gram_chars",
+        "ok_dup_10gram_chars", "repetition_pass",
+    ]
+    got = {
+        r["i"]: tuple(r[c] for c in cols)
+        for r in df.select("i", *[fl[c].alias(c) for c in cols]).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == ref(c), (i, repr(c)[:60], got[i], ref(c))
+    assert got[0][-1] is True
+    assert sum(g[-1] for g in got.values()) < len(cases)
+    # each engineered trip case fails at least its targeted family
+    assert got[1][0] is False      # dup line fraction
+    assert got[2][1] is False      # dup paragraph fraction
+    assert got[5][4] is False      # top 2-gram chars
+    assert got[8][7] is False      # dup 5-gram chars
