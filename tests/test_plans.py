@@ -224,3 +224,32 @@ def test_decontaminate_bloom_plan_shape(spark):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_quality_gates_single_scan_no_python(spark):
+    """The three published quality gates (Gopher rules, C4 rules, full
+    Gopher repetition table) must each be a narrow projection over the
+    documents scan: zero Exchange, zero Python eval (Batch or Arrow), zero
+    Window — at 100 TB they cost exactly one pass over the corpus."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        c4_quality_flags,
+        gopher_quality_flags,
+        gopher_repetition_flags,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for fn in (gopher_quality_flags, c4_quality_flags, gopher_repetition_flags):
+        flags = fn(F.col("text"))
+        df = docs.select("doc_id", *[c.alias(k) for k, c in flags.items()])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, fn.__name__
+        assert "EvalPython" not in plan, fn.__name__
+        assert "Window" not in plan, fn.__name__
