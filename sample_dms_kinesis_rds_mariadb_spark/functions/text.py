@@ -203,6 +203,127 @@ def make_bpe_counter(spark, merges, byte_level: bool = False):
     return pandas_udf("long")(bpe_counter)
 
 
+def bpe_piece_counts(df, text_col: str):
+    """ONE distributed corpus scan → (piece, n) frequency table: pretokenize
+    (pure-JVM GPT-2 regex), explode, hash-aggregate. This is the entire
+    distributed half of BPE *training* — the standard trainer shape
+    (SentencePiece / HF tokenizers do exactly this): count word-like pieces
+    once over the corpus, then learn merges on the bounded frequency table.
+    Partial aggregation collapses the explode map-side, so the shuffle
+    carries ≤ |distinct pieces| rows per partition, never corpus-sized."""
+    return (
+        df.select(F.explode(bpe_pretokenize(F.col(text_col))).alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def train_bpe(
+    df,
+    text_col: str,
+    n_merges: int,
+    byte_level: bool = False,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge list from a corpus — the trainer dual of
+    :func:`make_bpe_counter` (its ``merges`` input is exactly this output).
+
+    Algorithm (Sennrich et al. 2016, the subword-nmt trainer): split each
+    piece into symbols (characters, or the GPT-2 byte→unicode alphabet when
+    ``byte_level``), then repeatedly merge the most frequent adjacent
+    symbol pair, ``n_merges`` times or until the best pair drops below
+    ``min_pair_count``. Ties break on the lexicographically smallest pair,
+    so the result is DETERMINISTIC — independent of corpus partitioning,
+    row order, and dict iteration order.
+
+    Scale shape: the corpus is touched by ONE distributed scan
+    (:func:`bpe_piece_counts`); the driver collects only the (piece, count)
+    frequency table — bounded by the corpus's distinct-piece vocabulary,
+    the same control-plane bound as the n-gram LM's vocab collect, NOT by
+    corpus size. The merge loop maintains pair counts incrementally (only
+    words containing the merged pair are re-paired per iteration), so
+    driver cost is O(affected-words × word-length) per merge.
+
+    Verified in tests/test_bpe_train.py against an independent
+    recount-from-scratch reference (the incremental update is the classic
+    trainer bug surface), plus apply-parity through ``make_bpe_counter``.
+    """
+    rows = bpe_piece_counts(df, text_col).collect()
+    byte_table = _byte_to_unicode() if byte_level else None
+
+    def symbolize(piece: str) -> tuple[str, ...]:
+        if byte_table is not None:
+            return tuple(byte_table[b] for b in piece.encode("utf-8"))
+        return tuple(piece)
+
+    words: list[tuple[tuple[str, ...], int]] = [
+        (symbolize(r["piece"]), int(r["n"])) for r in rows
+    ]
+    # pair -> total adjacent-occurrence count (overlaps included, the
+    # subword-nmt convention); pair -> word ids that contain it
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wid, (syms, cnt) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_words.setdefault(p, set()).add(wid)
+
+    def merge_word(syms: tuple[str, ...], pair: tuple[str, str]):
+        # left-to-right non-overlapping — MUST match make_bpe_counter's
+        # apply loop or trained merges would disagree with their own counter
+        out = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        best, best_n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best_n < min_pair_count:
+            break
+        merges.append(best)
+        for wid in list(pair_words.get(best, ())):
+            syms, cnt = words[wid]
+            new_syms = merge_word(syms, best)
+            # full word-level delta: subtract old adjacencies, add new
+            for seq, sign in ((syms, -cnt), (new_syms, cnt)):
+                for i in range(len(seq) - 1):
+                    p = (seq[i], seq[i + 1])
+                    n = pair_counts.get(p, 0) + sign
+                    if n > 0:
+                        pair_counts[p] = n
+                    else:
+                        pair_counts.pop(p, None)
+                    ws = pair_words.setdefault(p, set())
+                    if sign > 0:
+                        ws.add(wid)
+            words[wid] = (new_syms, cnt)
+            # membership cleanup: drop this word from pairs it no longer has
+            old_pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+            new_pairs = {
+                (new_syms[i], new_syms[i + 1]) for i in range(len(new_syms) - 1)
+            }
+            for p in old_pairs - new_pairs:
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wid)
+                    if not ws:
+                        pair_words.pop(p, None)
+                        pair_counts.pop(p, None)
+    return merges
+
+
 # tiny high-frequency English function-word set: enough signal for a
 # stopword-ratio quality gate without a dictionary dependency
 STOPWORDS = (

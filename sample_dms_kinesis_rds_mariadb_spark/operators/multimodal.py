@@ -2,14 +2,15 @@
 
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
 batch shape, `mapInPandas` UDF signatures. ``decode_image`` REALLY decodes
-library-free formats — PNM (PPM P6/P3, PGM P5/P2), BMP, and PNG
+library-free formats — PNM (PPM P6/P3, PGM P5/P2), BMP, PNG
 (``decode_png``: stdlib-zlib inflate + the five standard scanline filters;
-non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, CRC-verified chunks)
-— and keeps an honest stub boundary for the rest (JPEG needs a DCT
-library this container lacks; 16-bit/palette/interlaced PNG raise from
-``decode_png``): those raise NotImplementedError unless ``fake=True``,
-which produces a deterministic content-hash fake so the pipeline shape
-stays exercisable.
+non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, CRC-verified chunks),
+and baseline JPEG (``operators/jpeg.py``: full T.81 Huffman-sequential
+decode, 4:2:0/4:2:2/4:4:4, restart intervals) — and keeps an honest stub
+boundary for the rest (progressive/arithmetic JPEG, 16-bit/palette/
+interlaced PNG raise): those raise NotImplementedError unless
+``fake=True``, which produces a deterministic content-hash fake so the
+pipeline shape stays exercisable.
 
 At scale: binary payloads stay columnar in parquet; metadata-only plans never
 read the binary column (columnar pruning), and decode/feature-extract runs as
@@ -43,7 +44,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
-        T.StructField("format", T.StringType()),  # ppm|pgm|bmp|fake
+        T.StructField("format", T.StringType()),  # ppm|pgm|bmp|png|jpeg|fake
         T.StructField("sha256", T.StringType()),
     ]
 )
@@ -252,11 +253,20 @@ def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
         if color_type not in _PNG_CHANNELS:
             raise ValueError(f"PNG: invalid color type {color_type}")
         return width, height, _PNG_CHANNELS[color_type], "png"
+    if content[:2] == b"\xff\xd8":
+        # metadata needs only the SOF frame header — every JPEG flavor
+        # reports here, including progressive files decode_jpeg can't expand
+        from sample_dms_kinesis_rds_mariadb_spark.operators.jpeg import (
+            parse_jpeg_header,
+        )
+
+        width, height, nf = parse_jpeg_header(content)
+        return width, height, nf, "jpeg"
     raise NotImplementedError(
-        "JPEG/other compressed decode requires an image library "
-        "(PIL/opencv) — not available in this environment; PPM/PGM/BMP/"
-        "PNG decode for real, or pass fake=True for the deterministic "
-        "test double"
+        "unrecognized compressed image format — PPM/PGM/BMP/PNG/JPEG "
+        "decode for real (stdlib + numpy), other formats need an image "
+        "library this environment doesn't have; pass fake=True for the "
+        "deterministic test double"
     )
 
 
@@ -273,8 +283,9 @@ def _parse_pnm_binary(content: bytes) -> tuple[int, int, int, int]:
 def resize_image(
     content: bytes, width: int, height: int, fake: bool = False
 ) -> bytes:
-    """Nearest-neighbor resize, REAL for binary PNM (PPM P6 / PGM P5) and
-    decodable PNG — pure numpy over the raw pixel buffer, no image
+    """Nearest-neighbor resize, REAL for binary PNM (PPM P6 / PGM P5),
+    decodable PNG, and baseline JPEG — pure numpy over the raw pixel
+    buffer, no image
     library. Other formats keep the same honest boundary as
     ``decode_image``: NotImplementedError, or with ``fake=True`` a
     deterministic valid P6 of the target size whose pixels derive from
@@ -314,10 +325,21 @@ def resize_image(
             out_magic = b"P6" if out.shape[2] == 3 else b"P5"
             header = out_magic + b"\n%d %d\n255\n" % (width, height)
             return header + out.tobytes()
+        if content[:2] == b"\xff\xd8":
+            from sample_dms_kinesis_rds_mariadb_spark.operators.jpeg import (
+                decode_jpeg,
+            )
+
+            w, h, channels, pixels = decode_jpeg(content)
+            arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
+            out = _nn(arr, h, w)
+            out_magic = b"P6" if out.shape[2] == 3 else b"P5"
+            header = out_magic + b"\n%d %d\n255\n" % (width, height)
+            return header + out.tobytes()
         raise NotImplementedError(
-            "resize beyond binary PNM/PNG requires an image library "
-            "(PIL/opencv) — not available in this environment; pass "
-            "fake=True for the deterministic test double"
+            "resize beyond binary PNM/PNG/baseline-JPEG requires an image "
+            "library (PIL/opencv) — not available in this environment; "
+            "pass fake=True for the deterministic test double"
         )
 
     if not fake:
