@@ -479,18 +479,53 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("bits_per_sample", T.IntegerType()),
         T.StructField("n_frames", T.LongType()),
         T.StructField("duration_sec", T.DoubleType()),
-        T.StructField("rms", T.DoubleType()),  # PCM16 only, else null
-        T.StructField("format", T.StringType()),  # wav|fake
+        T.StructField("rms", T.DoubleType()),  # native sample units
+        T.StructField("format", T.StringType()),  # wav|wav-float|wav-alaw|wav-ulaw|fake
     ]
 )
 
 
+# WAV format tags this module decodes for real (all table/arithmetic
+# expansions — no codec library): PCM, IEEE float, G.711 A-law/µ-law
+_WAV_TAGS = {1: "wav", 3: "wav-float", 6: "wav-alaw", 7: "wav-ulaw"}
+
+
+def _g711_tables():
+    """(ulaw, alaw) 256-entry byte→linear16 expansion tables, computed
+    from the published G.711 formulas (the sun g711.c reference
+    arithmetic): µ-law complements the code, t = ((m<<3)+0x84)<<seg,
+    result ±(t-0x84); A-law XORs 0x55, seg 0: (m<<4)+8, seg≥1:
+    ((m<<4)+0x108)<<(seg-1); A-law's transmitted sign bit SET means
+    positive, µ-law's (post-complement) means negative."""
+    import numpy as np
+
+    ulaw = np.zeros(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.zeros(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        m = a & 0x0F
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t = (m << 4) + 8
+        else:
+            t = ((m << 4) + 0x108) << (seg - 1)
+        alaw[code] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
 def decode_audio(content: bytes, fake: bool = False) -> tuple[int, int, int, int, int, str]:
     """Decode (sample_rate, channels, bits_per_sample, n_frames, data_offset,
-    format) — REAL for RIFF/WAVE PCM (chunked header walk, little-endian
-    fields, no audio library needed). Compressed codecs (mp3/ogg/aac) keep
-    the same honest boundary as ``decode_image``: NotImplementedError, or a
-    deterministic content-hash fake with ``fake=True``.
+    format) — REAL for RIFF/WAVE PCM, IEEE float32, and G.711 A-law/µ-law
+    (chunked header walk, little-endian fields, no audio library needed;
+    WAVE_FORMAT_EXTENSIBLE resolves through its SubFormat GUID). Formats:
+    ``wav`` (PCM) / ``wav-float`` / ``wav-alaw`` / ``wav-ulaw``.
+    Compressed codecs (mp3/ogg/aac) keep the same honest boundary as
+    ``decode_image``: NotImplementedError, or a deterministic content-hash
+    fake with ``fake=True``.
     """
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         pos = 12
@@ -501,21 +536,28 @@ def decode_audio(content: bytes, fake: bool = False) -> tuple[int, int, int, int
             body = pos + 8
             if cid == b"fmt ":
                 audio_format = int.from_bytes(content[body : body + 2], "little")
-                if audio_format != 1:  # 1 = PCM; anything else is compressed
+                if audio_format == 0xFFFE and size >= 40:
+                    # EXTENSIBLE: the real tag is the SubFormat GUID's
+                    # first two bytes (body+24)
+                    audio_format = int.from_bytes(
+                        content[body + 24 : body + 26], "little"
+                    )
+                if audio_format not in _WAV_TAGS:
                     raise NotImplementedError(
-                        f"non-PCM WAV (format tag {audio_format}) needs a codec"
+                        f"WAV format tag {audio_format} needs a codec "
+                        "(PCM/float/G.711 decode for real)"
                     )
                 channels = int.from_bytes(content[body + 2 : body + 4], "little")
                 sample_rate = int.from_bytes(content[body + 4 : body + 8], "little")
                 bits = int.from_bytes(content[body + 14 : body + 16], "little")
-                fmt = (sample_rate, channels, bits)
+                fmt = (sample_rate, channels, bits, _WAV_TAGS[audio_format])
             elif cid == b"data":
                 if fmt is None:
                     raise ValueError("WAV data chunk before fmt chunk")
-                sample_rate, channels, bits = fmt
+                sample_rate, channels, bits, kind = fmt
                 frame_bytes = max(1, channels * bits // 8)
                 n_frames = min(size, len(content) - body) // frame_bytes
-                return sample_rate, channels, bits, n_frames, body, "wav"
+                return sample_rate, channels, bits, n_frames, body, kind
             # chunks are word-aligned: odd sizes carry a pad byte
             pos = body + size + (size & 1)
         raise ValueError("truncated WAV: no data chunk")
@@ -547,11 +589,28 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = False) -> DataFram
                     blob, fake=fake_decode
                 )
                 rms = None
-                if fmt == "wav" and bits == 16 and n_frames:
-                    pcm = np.frombuffer(
-                        blob, dtype="<i2", count=n_frames * ch, offset=off
-                    ).astype(np.float64)
-                    rms = float(np.sqrt(np.mean(pcm * pcm)))
+                if n_frames:
+                    # rms in each format's NATIVE sample domain: 16-bit
+                    # integer units for PCM and (expanded) G.711, nominal
+                    # [-1, 1] for IEEE float
+                    vals = None
+                    if fmt == "wav" and bits == 16:
+                        vals = np.frombuffer(
+                            blob, dtype="<i2", count=n_frames * ch, offset=off
+                        )
+                    elif fmt == "wav-float" and bits == 32:
+                        vals = np.frombuffer(
+                            blob, dtype="<f4", count=n_frames * ch, offset=off
+                        )
+                    elif fmt in ("wav-ulaw", "wav-alaw") and bits == 8:
+                        codes = np.frombuffer(
+                            blob, dtype=np.uint8, count=n_frames * ch, offset=off
+                        )
+                        ulaw, alaw = _g711_tables()
+                        vals = (ulaw if fmt == "wav-ulaw" else alaw)[codes]
+                    if vals is not None:
+                        v = vals.astype(np.float64)
+                        rms = float(np.sqrt(np.mean(v * v)))
                 rows.append(
                     {
                         "media_id": media_id,

