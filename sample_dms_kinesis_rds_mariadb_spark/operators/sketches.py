@@ -191,3 +191,85 @@ def merge_distinct_sketches(
     return out.withColumn(
         "estimate", F.hll_sketch_estimate(F.col("sketch"))
     )
+
+
+def _cms_cells(value: F.Column, depth: int, width: int) -> F.Column:
+    """ARRAY<STRUCT<r,c>> of the value's count-min cells: row r uses
+    xxhash64 salted with r (deterministic across runs/engines), column =
+    pmod(hash, width). Inline array — no per-row explode cost until the
+    caller chooses to explode."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(F.xxhash64(F.lit(r), value), F.lit(width)).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 8192,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable count-min sketch of ``col`` frequencies (per group when
+    ``by`` is given): sparse cell rows ``(by..., r, c, cnt)`` — the
+    point-frequency twin of :func:`distinct_sketch`'s HLL. Persist
+    per-day/per-shard sketches once; answer "how often did THIS domain /
+    token / url appear" over any span by merging ≤ depth×width cell rows
+    per sketch instead of rescanning the corpus. Estimates are biased UP
+    only (classic CMS guarantee): error ≤ e/width × N with prob 1-e^-depth.
+
+    Scale shape: the corpus-sized shuffle is the per-item exact count
+    (needed by any frequency computation); cells fan out from the DISTINCT
+    items only, and the result is bounded by depth×width rows per group
+    regardless of corpus size. Build/merge/query must share depth+width
+    (cell hashes are salted xxhash64, engine-stable).
+    """
+    keys = list(by or [])
+    items = (
+        df.groupBy(*keys, F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cell", F.explode(_cms_cells(F.col("value"), depth, width)))
+    )
+    return (
+        items.groupBy(*keys, F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge count-min sketches (same depth/width): cell-wise sum — the
+    union sketch is EXACTLY the sketch of the unioned corpora, so rollups
+    lose nothing vs re-sketching (asserted cell-identical in tests).
+    Coarser ``by`` than the build's rolls groups up, like
+    :func:`merge_distinct_sketches`."""
+    keys = list(by or [])
+    return sketches.groupBy(*keys, "r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 8192,
+) -> DataFrame:
+    """Approximate frequency of each item in ``items[col]``: min over the
+    item's depth cells (a cell absent from the sparse sketch is 0). The
+    SKETCH side broadcasts — it is ≤ depth×width cell rows by construction
+    regardless of corpus size — so arbitrarily many probe items stream
+    through a broadcast hash join with no shuffle on either side.
+    Queries an UNGROUPED sketch — filter a grouped build to one group (or
+    roll groups up via :func:`cms_merge` with ``by=[]``) first."""
+    probes = items.select(F.col(col).alias("value")).distinct().withColumn(
+        "cell", F.explode(_cms_cells(F.col("value"), depth, width))
+    ).select("value", F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+    joined = probes.join(F.broadcast(sketch), ["r", "c"], "left").na.fill(
+        {"cnt": 0}
+    )
+    return joined.groupBy("value").agg(F.min("cnt").alias("estimate"))

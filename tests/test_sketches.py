@@ -140,3 +140,91 @@ def test_validation_errors(scored):
         heavy_hitters(scored, "source", k=0)
     with pytest.raises(ValueError):
         heavy_hitters_sampled(scored, "source", key_col="doc_id", sample_rate=0.0)
+
+
+def test_cms_estimate_upper_bounds_and_equals_exact_when_wide(zipf):
+    """CMS guarantees estimate >= true count always; with width >> distinct
+    items, collisions vanish and every estimate is EXACT."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sketches import (
+        cms_build,
+        cms_query,
+    )
+
+    exact = {
+        r["v"]: r["n"]
+        for r in zipf.groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    items = zipf.select("v").distinct()
+    # narrow sketch: upper bound only
+    sk = cms_build(zipf, "v", depth=4, width=64)
+    est = {
+        r["value"]: r["estimate"]
+        for r in cms_query(sk, items, "v", depth=4, width=64).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # wide sketch: exact
+    skw = cms_build(zipf, "v", depth=4, width=65536)
+    estw = {
+        r["value"]: r["estimate"]
+        for r in cms_query(skw, items, "v", depth=4, width=65536).collect()
+    }
+    assert estw == exact
+    # unseen item estimates stay small (bounded by collision mass)
+    ghost = zipf.sparkSession.createDataFrame([("nope",)], "v string")
+    g = cms_query(skw, ghost, "v", depth=4, width=65536).collect()[0]
+    assert g["estimate"] <= 2
+
+
+def test_cms_merge_is_exactly_the_union_sketch(zipf):
+    """Cell-wise: sketch(A) + sketch(B) == sketch(A ∪ B) with NO loss —
+    the property that makes per-day sketches a sound rollup substrate."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    a = zipf.filter(F.col("rid") % 2 == 0)
+    b = zipf.filter(F.col("rid") % 2 == 1)
+    merged = cms_merge(cms_build(a, "v", 4, 512).unionAll(cms_build(b, "v", 4, 512)))
+    direct = cms_build(zipf, "v", 4, 512)
+    as_rows = lambda df: sorted(map(tuple, df.select("r", "c", "cnt").collect()))
+    assert as_rows(merged) == as_rows(direct)
+
+
+def test_cms_grouped_build_and_rollup(zipf):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+
+    grouped = cms_build(
+        zipf.withColumn("day", (F.col("rid") % 3).cast("string")),
+        "v",
+        depth=3,
+        width=1024,
+        by=["day"],
+    )
+    assert grouped.groupBy("day").count().count() == 3
+    total = cms_merge(grouped, by=[])
+    direct = cms_build(zipf, "v", depth=3, width=1024)
+    as_rows = lambda df: sorted(map(tuple, df.select("r", "c", "cnt").collect()))
+    assert as_rows(total) == as_rows(direct)
+    # rollup query equals direct-build query
+    items = zipf.select("v").distinct().limit(5)
+    q1 = {r["value"]: r["estimate"] for r in cms_query(total, items, "v", 3, 1024).collect()}
+    q2 = {r["value"]: r["estimate"] for r in cms_query(direct, items, "v", 3, 1024).collect()}
+    assert q1 == q2
+
+
+def test_cms_query_broadcasts_items_not_sketch(zipf):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sketches import (
+        cms_build,
+        cms_query,
+    )
+
+    sk = cms_build(zipf, "v", depth=3, width=256)
+    plan = cms_query(sk, zipf.select("v").distinct(), "v", 3, 256)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
