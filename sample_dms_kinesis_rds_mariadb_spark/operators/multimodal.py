@@ -3,14 +3,16 @@
 The Spark-side plumbing is real and tested — schema, partitioning, Arrow
 batch shape, `mapInPandas` UDF signatures. ``decode_image`` REALLY decodes
 library-free formats — PNM (PPM P6/P3, PGM P5/P2), BMP, PNG
-(``decode_png``: stdlib-zlib inflate + the five standard scanline filters;
-non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, CRC-verified chunks),
-and baseline JPEG (``operators/jpeg.py``: full T.81 Huffman-sequential
-decode, 4:2:0/4:2:2/4:4:4, restart intervals) — and keeps an honest stub
-boundary for the rest (progressive/arithmetic JPEG, 16-bit/palette/
-interlaced PNG raise): those raise NotImplementedError unless
-``fake=True``, which produces a deterministic content-hash fake so the
-pipeline shape stays exercisable.
+(``decode_png``: stdlib-zlib inflate + the five standard scanline
+filters, COMPLETE pixel-layout coverage — all five color types incl.
+PLTE palette + tRNS transparency, bit depths 1/2/4/8/16, Adam7
+interlacing, CRC-verified chunks), and baseline JPEG
+(``operators/jpeg.py``: full T.81 Huffman-sequential decode,
+4:2:0/4:2:2/4:4:4, restart intervals) — and keeps an honest stub
+boundary for the rest (progressive/arithmetic JPEG raises
+NotImplementedError) unless ``fake=True``, which produces a
+deterministic content-hash fake so the pipeline shape stays
+exercisable.
 
 At scale: binary payloads stay columnar in parquet; metadata-only plans never
 read the binary column (columnar pruning), and decode/feature-extract runs as
@@ -53,9 +55,9 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 _PNM_MAGICS = {b"P6": (3, "ppm"), b"P3": (3, "ppm"), b"P5": (1, "pgm"), b"P2": (1, "pgm")}
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-# color type → channels (3 = palette: indices into an RGB palette, so the
-# EFFECTIVE pixel is 3-channel — that's what metadata reports; the pixel
-# decoder rejects palette images, see decode_png)
+# color type → EFFECTIVE channels (3 = palette: indices expand through
+# PLTE to RGB — or RGBA when a tRNS chunk adds transparency, which the
+# metadata path detects separately)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
 
 
@@ -91,48 +93,38 @@ def _png_ihdr(content: bytes) -> tuple[int, int, int, int, int]:
     return width, height, ihdr[8], ihdr[9], ihdr[12]
 
 
-def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
-    """FULL pixel decode of a non-interlaced 8-bit PNG — stdlib zlib
-    inflate of the concatenated IDAT stream, then the five standard
-    scanline filters (None/Sub/Up/Average/Paeth) undone in sequence.
-    Returns ``(width, height, channels, pixels)`` with ``pixels`` the raw
-    row-major 8-bit buffer (the same shape a PNM payload carries).
+# color type → raw channels IN THE CODESTREAM (palette = 1 index channel)
+_PNG_RAW_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type (PNG spec §11.2.2)
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Supported: color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at
-    bit depth 8, interlace 0 — the overwhelming share of real-world PNGs.
-    Palette (needs PLTE expansion), 16-bit, and Adam7 interlacing raise
-    NotImplementedError; malformed streams (bad CRC, truncated data,
-    wrong pixel count) raise ValueError.
-    """
-    import zlib
 
-    if content[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG (bad signature)")
-    width, height, bit_depth, color_type, interlace = _png_ihdr(content)
-    if bit_depth != 8 or color_type not in (0, 2, 4, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"PNG subformat not supported (bit_depth={bit_depth}, "
-            f"color_type={color_type}, interlace={interlace}): only "
-            "non-interlaced 8-bit gray/gray+alpha/RGB/RGBA decode here"
-        )
-    channels = _PNG_CHANNELS[color_type]
-    idat = b"".join(d for t, d in _png_chunks(content) if t == b"IDAT")
-    if not idat:
-        raise ValueError("PNG has no IDAT data")
-    raw = zlib.decompress(idat)
-    stride = width * channels
-    if len(raw) != height * (1 + stride):
-        raise ValueError(
-            f"PNG pixel data is {len(raw)} bytes, expected "
-            f"{height * (1 + stride)} for {width}x{height}x{channels}"
-        )
-    out = bytearray(height * stride)
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, rchan: int, depth: int):
+    """Undo the five scanline filters over one (sub)image of ``h`` rows;
+    returns (list of unfiltered byte rows, new offset into ``raw``)."""
+    bits_pp = rchan * depth
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
+    rows = []
     prev = bytearray(stride)
-    bpp = channels  # bytes per pixel at depth 8
-    pos = 0
-    for y in range(height):
+    for y in range(h):
+        if pos >= len(raw):
+            raise ValueError("PNG pixel data truncated mid-image")
         f = raw[pos]
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        if len(line) != stride:
+            raise ValueError("PNG pixel data truncated mid-row")
         pos += 1 + stride
         if f == 1:  # Sub
             for i in range(bpp, stride):
@@ -160,9 +152,115 @@ def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
                 line[i] = (line[i] + pred) & 0xFF
         elif f != 0:
             raise ValueError(f"PNG: unknown filter type {f} on row {y}")
-        out[y * stride : (y + 1) * stride] = line
+        rows.append(bytes(line))
         prev = line
-    return width, height, channels, bytes(out)
+    return rows, pos
+
+
+def _png_row_samples(row: bytes, w: int, rchan: int, depth: int):
+    """One unfiltered byte row → w*rchan UNSCALED samples (numpy uint8):
+    depth 8 passes through, 16 keeps the most-significant byte (the
+    standard 8-bit reduction), sub-byte depths unpack MSB-first."""
+    import numpy as np
+
+    n = w * rchan
+    buf = np.frombuffer(row, dtype=np.uint8)
+    if depth == 8:
+        return buf[:n]
+    if depth == 16:
+        return buf[0 : 2 * n : 2]
+    bits = np.unpackbits(buf)
+    vals = bits[: (len(bits) // depth) * depth].reshape(-1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=1).astype(np.uint8)[:n]
+
+
+def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
+    """FULL pixel decode of a PNG — stdlib zlib inflate of the
+    concatenated IDAT stream, the five standard scanline filters
+    (None/Sub/Up/Average/Paeth) undone in sequence, then sample
+    expansion. Returns ``(width, height, channels, pixels)`` with
+    ``pixels`` a row-major 8-bit buffer (the same shape a PNM payload
+    carries).
+
+    COMPLETE coverage of the spec's pixel layouts: all five color types
+    (gray, RGB, palette, gray+alpha, RGBA), every legal bit depth (1/2/
+    4/8/16 — sub-byte gray scales to 0..255; 16-bit keeps the
+    most-significant byte, the standard 8-bit reduction), Adam7
+    interlacing (seven sub-images unfiltered independently and
+    re-woven), palette expansion through PLTE, and tRNS palette
+    transparency (output becomes RGBA). Malformed streams (bad CRC,
+    truncated data, illegal depth/type combos, out-of-range palette
+    indices) raise ValueError.
+    """
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    width, height, depth, color_type, interlace = _png_ihdr(content)
+    if color_type not in _PNG_RAW_CHANNELS:
+        raise ValueError(f"PNG: invalid color type {color_type}")
+    if depth not in _PNG_VALID_DEPTHS[color_type]:
+        raise ValueError(
+            f"PNG: illegal bit depth {depth} for color type {color_type}"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: invalid interlace method {interlace}")
+    rchan = _PNG_RAW_CHANNELS[color_type]
+    idat = bytearray()
+    plte = None
+    trns = None
+    for typ, data in _png_chunks(content):
+        if typ == b"IDAT":
+            idat += data
+        elif typ == b"PLTE" and plte is None:
+            plte = data
+        elif typ == b"tRNS" and trns is None:
+            trns = data
+    if not idat:
+        raise ValueError("PNG has no IDAT data")
+    raw = zlib.decompress(bytes(idat))
+
+    img = np.zeros((height, width, rchan), dtype=np.uint8)
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows, pos = _png_unfilter(raw, pos, pw, ph, rchan, depth)
+        sub = np.stack(
+            [_png_row_samples(r, pw, rchan, depth) for r in rows]
+        ).reshape(ph, pw, rchan)
+        img[y0::dy, x0::dx] = sub
+    if pos != len(raw):
+        raise ValueError(
+            f"PNG pixel data is {len(raw)} bytes, {len(raw) - pos} beyond "
+            "the expected image payload"
+        )
+
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        rgb = pal[idx]
+        if trns is not None:
+            alpha_tab = np.full(256, 255, dtype=np.uint8)
+            alpha_tab[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            out = np.concatenate([rgb, alpha_tab[idx][..., None]], axis=-1)
+            return width, height, 4, out.tobytes()
+        return width, height, 3, rgb.tobytes()
+    if depth < 8:  # sub-byte gray: scale to full 8-bit range
+        img = (img.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    return width, height, rchan, img.tobytes()
 
 
 def _pnm_tokens(content: bytes, n: int) -> tuple[list[int], int]:
@@ -247,12 +345,22 @@ def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
         channels = max(1, bpp // 8)
         return width, height, channels, "bmp"
     if content[:8] == _PNG_MAGIC:
-        # metadata needs only the (CRC-verified) IHDR — every PNG
-        # subformat reports here, including ones decode_png can't expand
+        # metadata needs only the (CRC-verified) header chunks, never the
+        # pixel payload
         width, height, _depth, color_type, _il = _png_ihdr(content)
         if color_type not in _PNG_CHANNELS:
             raise ValueError(f"PNG: invalid color type {color_type}")
-        return width, height, _PNG_CHANNELS[color_type], "png"
+        channels = _PNG_CHANNELS[color_type]
+        if color_type == 3:
+            # palette transparency expands to RGBA in decode_png — report
+            # the same effective channel count (tRNS precedes IDAT by spec)
+            for typ, _data in _png_chunks(content):
+                if typ == b"tRNS":
+                    channels = 4
+                    break
+                if typ == b"IDAT":
+                    break
+        return width, height, channels, "png"
     if content[:2] == b"\xff\xd8":
         # metadata needs only the SOF frame header — every JPEG flavor
         # reports here, including progressive files decode_jpeg can't expand

@@ -123,8 +123,31 @@ def test_png_crc_tamper_detected():
         decode_png(bytes(blob))
 
 
-def test_png_unsupported_subformats():
-    # palette (color type 3): header metadata works, pixel decode refuses
+_ADAM7_W = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png_ex(
+    width: int,
+    height: int,
+    color_type: int,
+    depth: int,
+    samples: list[int],
+    plte: bytes | None = None,
+    trns: bytes | None = None,
+    interlace: bool = False,
+    filter_type: int = 0,
+) -> bytes:
+    """Generalized independent encoder (spec-derived): any color type /
+    bit depth / Adam7 interlace; ``samples`` is the flat row-major list of
+    RAW channel values (palette indices for type 3, 16-bit ints for depth
+    16). ``filter_type`` 0 (None) or 2 (Up) is applied per row — Up on
+    interlaced data verifies the decoder resets its predecessor row at
+    every pass boundary."""
+    rchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
     def chunk(typ, data):
         return (
             struct.pack(">I", len(data))
@@ -133,16 +156,159 @@ def test_png_unsupported_subformats():
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", 5, 5, 8, 3, 0, 0, 0)
-    pal = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
-    assert decode_image(pal) == (5, 5, 3, "png")  # palette = 3 effective
-    with pytest.raises(NotImplementedError, match="color_type=3"):
-        decode_png(pal)
-    # 16-bit
-    ihdr16 = struct.pack(">IIBBBBB", 5, 5, 16, 2, 0, 0, 0)
-    deep = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="bit_depth=16"):
-        decode_png(deep)
+    def pack_row(vals):
+        if depth == 8:
+            return bytes(vals)
+        if depth == 16:
+            return b"".join(struct.pack(">H", v) for v in vals)
+        out = bytearray()
+        acc = nb = 0
+        for v in vals:
+            acc = (acc << depth) | v
+            nb += depth
+            if nb == 8:
+                out.append(acc)
+                acc = nb = 0
+        if nb:
+            out.append(acc << (8 - nb))
+        return bytes(out)
+
+    grid = [
+        [
+            samples[(y * width + x) * rchan : (y * width + x + 1) * rchan]
+            for x in range(width)
+        ]
+        for y in range(height)
+    ]
+    raw = bytearray()
+    passes = _ADAM7_W if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in passes:
+        ys = range(y0, height, dy)
+        xs = range(x0, width, dx)
+        if not len(ys) or not len(xs):
+            continue
+        rows = [pack_row([v for x in xs for v in grid[y][x]]) for y in ys]
+        prev = bytes(len(rows[0]))
+        for row in rows:
+            raw.append(filter_type)
+            if filter_type == 2:
+                raw += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+            else:
+                raw += row
+            prev = row
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    body = chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += chunk(b"PLTE", plte)
+    if trns is not None:
+        body += chunk(b"tRNS", trns)
+    body += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def test_png_palette_decode_with_and_without_trns():
+    rng = random.Random(13)
+    w, h = 9, 6
+    pal = bytes(rng.randrange(256) for _ in range(16 * 3))
+    idx = [rng.randrange(16) for _ in range(w * h)]
+    blob = encode_png_ex(w, h, 3, 8, idx, plte=pal)
+    gw, gh, gc, got = decode_png(blob)
+    want = b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+    assert (gw, gh, gc) == (w, h, 3) and got == want
+    assert decode_image(blob) == (w, h, 3, "png")
+    # tRNS: output grows an alpha plane; metadata reports 4 channels too
+    trns = bytes([10, 200, 255])
+    blob_t = encode_png_ex(w, h, 3, 8, idx, plte=pal, trns=trns)
+    gw, gh, gc, got = decode_png(blob_t)
+    alpha = [trns[i] if i < len(trns) else 255 for i in idx]
+    want_a = b"".join(
+        pal[i * 3 : i * 3 + 3] + bytes([a]) for i, a in zip(idx, alpha)
+    )
+    assert (gc, got) == (4, want_a)
+    assert decode_image(blob_t) == (w, h, 4, "png")
+    # sub-byte palette indices (4-bit)
+    idx4 = [rng.randrange(16) for _ in range(w * h)]
+    blob4 = encode_png_ex(w, h, 3, 4, idx4, plte=pal)
+    assert decode_png(blob4)[3] == b"".join(pal[i * 3 : i * 3 + 3] for i in idx4)
+
+
+def test_png_16bit_keeps_high_byte():
+    rng = random.Random(17)
+    w, h = 7, 5
+    vals = [rng.randrange(65536) for _ in range(w * h * 3)]
+    blob = encode_png_ex(w, h, 2, 16, vals)
+    gw, gh, gc, got = decode_png(blob)
+    assert (gw, gh, gc) == (w, h, 3)
+    assert got == bytes(v >> 8 for v in vals)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_scales_to_8bit(depth):
+    rng = random.Random(19 + depth)
+    w, h = 11, 4  # odd width: rows end mid-byte
+    vals = [rng.randrange(1 << depth) for _ in range(w * h)]
+    blob = encode_png_ex(w, h, 0, depth, vals)
+    gw, gh, gc, got = decode_png(blob)
+    assert (gw, gh, gc) == (w, h, 1)
+    assert got == bytes(v * 255 // ((1 << depth) - 1) for v in vals)
+
+
+def test_png_adam7_interlace_matches_sequential():
+    """Interlaced and sequential encodings of the same pixels decode
+    byte-identically; Up-filtered rows prove per-pass predecessor reset."""
+    rng = random.Random(23)
+    w, h = 13, 11  # non-multiples of 8: ragged pass dimensions
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    plain = encode_png(w, h, 3, pixels)
+    inter = encode_png_ex(w, h, 2, 8, list(pixels), interlace=True)
+    inter_up = encode_png_ex(
+        w, h, 2, 8, list(pixels), interlace=True, filter_type=2
+    )
+    assert decode_png(plain)[3] == pixels
+    assert decode_png(inter)[3] == pixels
+    assert decode_png(inter_up)[3] == pixels
+    # tiny images where some passes are EMPTY
+    tiny = bytes(rng.randrange(256) for _ in range(3 * 2 * 3))
+    assert decode_png(encode_png_ex(3, 2, 2, 8, list(tiny), interlace=True))[3] == tiny
+
+
+def test_png_malformed_layouts_raise():
+    rng = random.Random(29)
+    # illegal depth/type combo (16-bit palette)
+    blob = encode_png_ex(4, 4, 3, 8, [0] * 16, plte=bytes(48))
+    bad = bytearray(blob)
+    # IHDR depth byte: offset 8 (sig) + 8 (len+type) + 8 (w+h)
+    bad[24] = 16
+    import struct as _s
+
+    crc = zlib.crc32(bytes(bad[12:29])) & 0xFFFFFFFF
+    bad[29:33] = _s.pack(">I", crc)
+    with pytest.raises(ValueError, match="illegal bit depth"):
+        decode_png(bytes(bad))
+    # palette image without PLTE
+    raw = zlib.compress(bytes(b for _ in range(4) for b in ([0] + [0] * 4)))
+
+    def chunk(typ, data):
+        return (
+            _s.pack(">I", len(data)) + typ + data
+            + _s.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    no_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
+    # out-of-range palette index
+    oor = encode_png_ex(2, 2, 3, 8, [0, 1, 2, 9], plte=bytes(9))  # 3 entries
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(oor)
+    assert rng  # keep the fixture import style consistent
 
 
 def test_png_resize_to_pnm():
