@@ -1,19 +1,19 @@
-"""Pure-Python baseline JPEG decoder (ITU-T T.81) — stdlib + numpy only.
+"""Pure-Python JPEG decoder (ITU-T T.81) — stdlib + numpy only.
 
-Closes the last compressed-image boundary in ``operators/multimodal.py``:
-``decode_image`` previously parsed PNM/BMP/PNG for real and raised
-``NotImplementedError`` for JPEG. This module decodes BASELINE sequential
-DCT JPEGs (SOF0, and SOF1 extended-sequential — the overwhelming share of
-real-world JPEG/JFIF files) end-to-end: marker segments, DQT (8- and
-16-bit precision), DHT canonical Huffman tables, DRI/RSTn restart
-intervals, interleaved single-scan entropy data with 0xFF00 byte
-unstuffing, per-block dequantize → dezigzag → IDCT (vectorized numpy
-einsum over all blocks at once), nearest-neighbor chroma upsampling for
-subsampled components (4:2:0 / 4:2:2 / 4:4:4), and JFIF YCbCr→RGB.
+Closes the compressed-image boundary in ``operators/multimodal.py``:
+decodes BASELINE/extended sequential (SOF0/1) and PROGRESSIVE (SOF2)
+Huffman-coded JPEGs end-to-end — marker segments, DQT (8- and 16-bit
+precision), DHT canonical Huffman tables (redefinable between scans),
+DRI/RSTn restart intervals, 0xFF00 byte unstuffing, multi-scan frames
+(spectral selection + successive approximation: DC/AC first and
+refinement passes, EOB runs, the cross-block correction-bit protocol),
+per-block dequantize → dezigzag → IDCT (vectorized numpy einsum over all
+blocks at once), nearest-neighbor chroma upsampling for subsampled
+components (4:2:0 / 4:2:2 / 4:4:4), and JFIF YCbCr→RGB.
 
-Honest boundaries (raise ``NotImplementedError``): progressive (SOF2),
-arithmetic coding (SOF9+), hierarchical, 12-bit precision, and
-non-interleaved multi-scan files. Malformed streams raise ``ValueError``.
+Honest boundaries (raise ``NotImplementedError``): arithmetic coding
+(SOF9+), lossless (SOF3), hierarchical/differential, and 12-bit
+precision. Malformed streams raise ``ValueError``.
 
 Scale note: this is the CORRECTNESS reference for the decode boundary —
 entropy decode is a per-symbol Python loop (the IDCT and color transform
@@ -22,11 +22,14 @@ library when one is available. The Spark-side plumbing
 (``extract_image_features`` / ``resize_images`` ``mapInPandas`` dispatch)
 is identical either way, which is the part that matters for the engine.
 
-Verified in ``tests/test_jpeg.py`` against an INDEPENDENT spec-derived
-encoder (forward DCT + standard Annex K tables, written against T.81, not
-against this decoder): round-trip error bounds on random images, an
-EXACT flat-field reconstruction, restart-marker pixel equality vs the
-unrestarted encoding, and subsampling layouts.
+Verified in ``tests/test_jpeg.py`` and ``tests/test_jpeg_progressive.py``
+against an INDEPENDENT spec-derived encoder (forward DCT + standard
+Annex K tables, written against T.81, not against this decoder):
+round-trip error bounds on random images, an EXACT flat-field
+reconstruction, restart-marker pixel equality, and the central
+progressive property — the progressive encoder frames the SAME quantized
+coefficients as the baseline encoder, so decode must be BIT-IDENTICAL
+across framings.
 """
 
 from __future__ import annotations
@@ -193,12 +196,110 @@ def _entropy_segments(content: bytes, start: int) -> tuple[list[bytes], int]:
     return segs, i
 
 
+def _refine_nonzero(blk, z: int, bit: int, reader: "_BitReader") -> None:
+    # correction bit for an already-visible coefficient (T.81 G.1.2.3):
+    # magnitude gains `bit` when the stream says so and the bit isn't set
+    if reader.read_bit():
+        v = int(blk[z])
+        if v & bit == 0:
+            blk[z] = v + (bit if v > 0 else -bit)
+
+
+def _decode_block_baseline(blk, reader, dc, ac, preds, ci) -> None:
+    s = reader.decode(dc)
+    if s > 11:
+        raise ValueError(f"DC category {s} out of range")
+    preds[ci] += _extend(reader.read_bits(s), s)
+    blk[0] = preds[ci]
+    k = 1
+    while k < 64:
+        rs = reader.decode(ac)
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        blk[ZIGZAG[k]] = _extend(reader.read_bits(size), size)
+        k += 1
+
+
+def _decode_block_ac_first(blk, reader, ac, ss, se, al, eobrun) -> None:
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac)
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r < 15:
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += reader.read_bits(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run overflows spectral band")
+            blk[ZIGZAG[k]] = _extend(reader.read_bits(size), size) << al
+            k += 1
+
+
+def _decode_block_ac_refine(blk, reader, ac, ss, se, al, eobrun) -> None:
+    bit = 1 << al
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        for k in range(ss, se + 1):
+            z = ZIGZAG[k]
+            if blk[z] != 0:
+                _refine_nonzero(blk, z, bit, reader)
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac)
+        r, size = rs >> 4, rs & 0x0F
+        val = 0
+        if size == 0:
+            if r < 15:
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += reader.read_bits(r)
+                r = 64  # EOB mid-block: refine the rest, then stop
+            # r == 15: ZRL — pass over 16 zero-history slots
+        else:
+            if size != 1:
+                raise ValueError("AC refinement magnitude must be 1")
+            val = bit if reader.read_bit() else -bit
+        while k <= se:
+            z = ZIGZAG[k]
+            if blk[z] != 0:
+                _refine_nonzero(blk, z, bit, reader)
+            else:
+                if r == 0:
+                    if val != 0:
+                        blk[z] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+
+
 def decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
-    """FULL pixel decode of a baseline JPEG.
+    """FULL pixel decode of a Huffman-coded JPEG — baseline/extended
+    sequential (SOF0/1, single- or multi-scan) AND progressive (SOF2:
+    spectral selection + successive approximation, DC/AC first and
+    refinement scans, EOB runs, cross-block correction-bit protocol).
 
     Returns ``(width, height, channels, pixels)`` with ``pixels`` a
     row-major uint8 buffer — RGB for 3-component YCbCr frames, single
-    plane for grayscale. See the module docstring for supported layouts.
+    plane for grayscale. See the module docstring for the remaining
+    honest boundaries (arithmetic coding, lossless, hierarchical,
+    12-bit).
     """
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
@@ -206,12 +307,15 @@ def decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
     dc_tables: dict[int, _Huff] = {}
     ac_tables: dict[int, _Huff] = {}
     frame = None        # (width, height, [(cid, h, v, tq), ...])
+    progressive = False
     restart_interval = 0
-    scan = None         # ([(comp_idx, td, ta), ...], data_start)
+    coef: list[np.ndarray] = []   # per comp: (BY, BX, 64) raster-order ints
+    geom = None         # (hmax, vmax, mcus_x, mcus_y, [(bw, bh)])
+    saw_scan = False
 
     i = 2
     n = len(content)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if content[i] != 0xFF:
             raise ValueError(f"JPEG: expected marker at offset {i}")
         marker = content[i + 1]
@@ -223,6 +327,8 @@ def decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
+        if i + 4 > n:
+            raise ValueError("JPEG: truncated segment header")
         seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
         seg = content[i + 4 : i + 2 + seg_len]
         if seg_len < 2 or len(seg) != seg_len - 2:
@@ -247,7 +353,7 @@ def decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
                 for zz, v in enumerate(vals):
                     raster[ZIGZAG[zz]] = v
                 qtables[tq] = raster
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT — tables may be redefined between scans
             p = 0
             while p + 17 <= len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
@@ -264,9 +370,8 @@ def decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("DRI: truncated")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker in _SOF_MARKERS:
-            if marker not in _BASELINE_SOFS:
+            if marker not in (0xC0, 0xC1, 0xC2):
                 kind = {
-                    0xC2: "progressive",
                     0xC3: "lossless",
                     0xC5: "differential sequential",
                     0xC6: "differential progressive",
@@ -274,12 +379,13 @@ def decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
                 }.get(marker, "arithmetic-coded" if marker >= 0xC9 else "unknown")
                 raise NotImplementedError(
                     f"JPEG {kind} (SOF{marker - 0xC0}) decode not supported — "
-                    "baseline/extended sequential Huffman only"
+                    "Huffman sequential/progressive only"
                 )
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(
-                    f"{precision}-bit JPEG not supported (8-bit baseline only)"
+                    f"{precision}-bit JPEG not supported (8-bit only)"
                 )
             height, width = struct.unpack(">HH", seg[1:5])
             nf = seg[5]
@@ -295,107 +401,172 @@ def decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
                 hv = seg[7 + c * 3]
                 comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + c * 3]))
             frame = (width, height, comps)
-        elif marker == 0xDA:  # SOS
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, h, v, _ in comps:
+                if h < 1 or v < 1 or hmax % h or vmax % v:
+                    raise NotImplementedError(
+                        f"unsupported sampling factors h={h} v={v} "
+                        "(must divide max)"
+                    )
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            dims = []
+            coef = []
+            for _, ch, cv, _tq in comps:
+                # true block grid (ceil of the component's sample dims);
+                # the ALLOCATION is the MCU-padded grid interleaved scans
+                # cover
+                comp_w = -(-width * ch // hmax)
+                comp_h = -(-height * cv // vmax)
+                bw = -(-comp_w // 8)
+                bh = -(-comp_h // 8)
+                dims.append((bw, bh))
+                coef.append(
+                    np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
+                )
+            geom = (hmax, vmax, mcus_x, mcus_y, dims)
+        elif marker == 0xDA:  # SOS: decode this scan's entropy data now
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
+            width, height, comps = frame
+            hmax, vmax, mcus_x, mcus_y, dims = geom
             ns = seg[0]
-            if ns != len(frame[2]):
-                raise NotImplementedError(
-                    "non-interleaved multi-scan JPEG not supported"
-                )
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("SOS: truncated scan header")
             scan_comps = []
             for c in range(ns):
                 cs = seg[1 + c * 2]
                 tt = seg[2 + c * 2]
                 idx = next(
-                    (k for k, fc in enumerate(frame[2]) if fc[0] == cs), None
+                    (k for k, fc in enumerate(comps) if fc[0] == cs), None
                 )
                 if idx is None:
                     raise ValueError(f"SOS references unknown component {cs}")
                 scan_comps.append((idx, tt >> 4, tt & 0x0F))
-            scan = (scan_comps, i + 2 + seg_len)
-            break  # entropy data follows; single-scan decode
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            if se > 63 or ss > se:
+                raise ValueError(f"SOS: bad spectral range {ss}..{se}")
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("sequential scan carries progressive params")
+            if progressive and ss == 0 and se != 0:
+                raise ValueError("progressive scan mixes DC and AC")
+            if progressive and ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+
+            segments, end = _entropy_segments(content, i + 2 + seg_len)
+            preds = [0] * len(comps)
+            eobrun = [0]
+
+            # resolve the tables this scan actually uses
+            use = []
+            for ci, td, ta in scan_comps:
+                dc = ac = None
+                if ss == 0 and (not progressive or ah == 0):
+                    dc = dc_tables.get(td)
+                    if dc is None:
+                        raise ValueError("SOS references missing DC table")
+                if not progressive or ss > 0:
+                    ac = ac_tables.get(ta)
+                    if ac is None:
+                        raise ValueError("SOS references missing AC table")
+                use.append((ci, dc, ac))
+
+            # multi-component scans interleave by MCU; single-component
+            # scans are non-interleaved by definition (T.81) and walk the
+            # component's TRUE block grid, not the MCU-padded one
+            interleaved = ns > 1
+            if interleaved:
+                n_units = mcus_x * mcus_y
+            else:
+                bw, bh = dims[scan_comps[0][0]]
+                n_units = bw * bh
+
+            seg_idx = 0
+            reader = _BitReader(segments[0])
+            for u in range(n_units):
+                if restart_interval and u and u % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG: missing restart segment")
+                    reader = _BitReader(segments[seg_idx])
+                    preds = [0] * len(comps)
+                    eobrun[0] = 0
+                if interleaved:
+                    my, mx = divmod(u, mcus_x)
+                    for (ci, dc, ac) in use:
+                        _, ch, cv, _tq = comps[ci]
+                        for v in range(cv):
+                            for h in range(ch):
+                                blk = coef[ci][my * cv + v, mx * ch + h]
+                                if not progressive:
+                                    _decode_block_baseline(
+                                        blk, reader, dc, ac, preds, ci
+                                    )
+                                elif ah == 0:  # DC first
+                                    sz = reader.decode(dc)
+                                    if sz > 11:
+                                        raise ValueError(
+                                            f"DC category {sz} out of range"
+                                        )
+                                    preds[ci] += _extend(
+                                        reader.read_bits(sz), sz
+                                    )
+                                    blk[0] = preds[ci] << al
+                                else:  # DC refinement: one raw bit
+                                    if reader.read_bit():
+                                        blk[0] = int(blk[0]) | (1 << al)
+                else:
+                    ci, dc, ac = use[0]
+                    by, bx = divmod(u, dims[ci][0])
+                    blk = coef[ci][by, bx]
+                    if not progressive:
+                        _decode_block_baseline(blk, reader, dc, ac, preds, ci)
+                    elif ss == 0 and ah == 0:
+                        sz = reader.decode(dc)
+                        if sz > 11:
+                            raise ValueError(f"DC category {sz} out of range")
+                        preds[ci] += _extend(reader.read_bits(sz), sz)
+                        blk[0] = preds[ci] << al
+                    elif ss == 0:
+                        if reader.read_bit():
+                            blk[0] = int(blk[0]) | (1 << al)
+                    elif ah == 0:
+                        _decode_block_ac_first(
+                            blk, reader, ac, ss, se, al, eobrun
+                        )
+                    else:
+                        _decode_block_ac_refine(
+                            blk, reader, ac, ss, se, al, eobrun
+                        )
+            saw_scan = True
+            i = end
+            continue
         # APPn / COM / DNL etc.: skip
         i += 2 + seg_len
 
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG: missing SOF or SOS")
     width, height, comps = frame
-    scan_comps, data_start = scan
+    hmax, vmax, mcus_x, mcus_y, dims = geom
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for _, h, v, _ in comps:
-        if h < 1 or v < 1 or hmax % h or vmax % v:
-            raise NotImplementedError(
-                f"unsupported sampling factors h={h} v={v} (must divide max)"
-            )
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-
-    segments, _end = _entropy_segments(content, data_start)
-
-    # entropy decode: per-component coefficient stacks + block coordinates
-    coefs: list[list[np.ndarray]] = [[] for _ in comps]
-    positions: list[list[tuple[int, int]]] = [[] for _ in comps]
-    preds = [0] * len(comps)
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("JPEG: missing restart segment")
-            reader = _BitReader(segments[seg_idx])
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
-        for comp_idx, td, ta in scan_comps:
-            _, ch, cv, tq = comps[comp_idx]
-            if tq not in qtables:
-                raise ValueError(f"SOF references missing quant table {tq}")
-            dc = dc_tables.get(td)
-            ac = ac_tables.get(ta)
-            if dc is None or ac is None:
-                raise ValueError("SOS references missing Huffman table")
-            for v in range(cv):
-                for h in range(ch):
-                    block = np.zeros(64, dtype=np.int32)
-                    s = reader.decode(dc)
-                    if s > 11:
-                        raise ValueError(f"DC category {s} out of range")
-                    diff = _extend(reader.read_bits(s), s)
-                    preds[comp_idx] += diff
-                    block[0] = preds[comp_idx]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode(ac)
-                        r, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if r == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run overflows block")
-                        block[ZIGZAG[k]] = _extend(reader.read_bits(size), size)
-                        k += 1
-                    coefs[comp_idx].append(block)
-                    positions[comp_idx].append((my * cv + v, mx * ch + h))
-
-    # dequantize + IDCT all blocks of each component at once, assemble
+    # dequantize + IDCT every block of each component at once, assemble
     planes = []
-    for comp_idx, (_, ch, cv, tq) in enumerate(comps):
-        blocks = np.stack(coefs[comp_idx]).astype(np.float64)  # (nb, 64)
-        blocks *= qtables[tq][None, :]
-        blocks = blocks.reshape(-1, 8, 8)
+    for ci, (_, ch, cv, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError(f"SOF references missing quant table {tq}")
+        by_n, bx_n = mcus_y * cv, mcus_x * ch
+        arr = coef[ci].astype(np.float64) * qtables[tq][None, None, :]
+        blocks = arr.reshape(by_n * bx_n, 8, 8)
         pixels = np.einsum("ux,nuv,vy->nxy", _M, blocks, _M, optimize=True)
         pixels = np.clip(np.round(pixels + 128.0), 0, 255)
-        by_n, bx_n = mcus_y * cv, mcus_x * ch
-        plane4 = np.zeros((by_n, bx_n, 8, 8))
-        pos = np.asarray(positions[comp_idx])
-        plane4[pos[:, 0], pos[:, 1]] = pixels
-        plane = plane4.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
+        plane = (
+            pixels.reshape(by_n, bx_n, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_n * 8, bx_n * 8)
+        )
         # upsample subsampled chroma by replication, crop to frame dims
         if ch != hmax or cv != vmax:
             plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)

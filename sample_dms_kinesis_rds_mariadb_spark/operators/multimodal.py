@@ -6,11 +6,12 @@ library-free formats — PNM (PPM P6/P3, PGM P5/P2), BMP, PNG
 (``decode_png``: stdlib-zlib inflate + the five standard scanline
 filters, COMPLETE pixel-layout coverage — all five color types incl.
 PLTE palette + tRNS transparency, bit depths 1/2/4/8/16, Adam7
-interlacing, CRC-verified chunks), and baseline JPEG
-(``operators/jpeg.py``: full T.81 Huffman-sequential decode,
-4:2:0/4:2:2/4:4:4, restart intervals) — and keeps an honest stub
-boundary for the rest (progressive/arithmetic JPEG raises
-NotImplementedError) unless ``fake=True``, which produces a
+interlacing, CRC-verified chunks), and Huffman-coded JPEG
+(``operators/jpeg.py``: full T.81 baseline AND progressive decode,
+4:2:0/4:2:2/4:4:4, restart intervals, multi-scan successive
+approximation) — and keeps an honest stub boundary for the rest
+(arithmetic-coded/lossless JPEG raises NotImplementedError) unless
+``fake=True``, which produces a
 deterministic content-hash fake so the pipeline shape stays
 exercisable.
 
@@ -445,7 +446,7 @@ def resize_image(
             header = out_magic + b"\n%d %d\n255\n" % (width, height)
             return header + out.tobytes()
         raise NotImplementedError(
-            "resize beyond binary PNM/PNG/baseline-JPEG requires an image "
+            "resize beyond binary PNM/PNG/Huffman-JPEG requires an image "
             "library (PIL/opencv) — not available in this environment; "
             "pass fake=True for the deterministic test double"
         )

@@ -7,7 +7,10 @@ round-trip agreement on random inputs is evidence both are correct
 (independent errors would not cancel).
 
 Supports grayscale, YCbCr 4:4:4 and 4:2:0, quality scaling (IJG
-convention), and DRI/RSTn restart intervals.
+convention), DRI/RSTn restart intervals, and PROGRESSIVE framing
+(``encode_jpeg_progressive``: spectral selection + successive
+approximation over the same quantized coefficients, so cross-framing
+decode equality is a bit-exact oracle).
 """
 
 from __future__ import annotations
@@ -219,14 +222,12 @@ def _dht(tc, th, bits, vals):
     return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    quality: int = 90,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline JFIF JPEG."""
+def _prepare_coefficients(pixels, quality, subsampling):
+    """Shared front half of baseline and progressive encoding: color
+    transform, subsampling, padding, FDCT, quantization. Returns
+    (gray, h, w, comps, coef, lum_q, chrom_q, hmax, vmax, mcus_x, mcus_y)
+    with coef[k] the (blocks_y, blocks_x, 64) zigzag-ordered quantized
+    coefficients of component k over the MCU-padded grid."""
     pixels = np.asarray(pixels, dtype=np.float64)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -271,6 +272,21 @@ def encode_jpeg(
             mode="edge",
         )
         coef.append(_fdct_quant(plane, qmap[tq].astype(np.float64)))
+    return gray, h, w, comps, coef, lum_q, chrom_q, hmax, vmax, mcus_x, mcus_y
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline JFIF JPEG."""
+    (gray, h, w, comps, coef, lum_q, chrom_q,
+     hmax, vmax, mcus_x, mcus_y) = _prepare_coefficients(
+        pixels, quality, subsampling
+    )
 
     out = bytearray(b"\xff\xd8")
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -318,5 +334,242 @@ def encode_jpeg(
                     preds[k] = _encode_block(bw, zz, preds[k], dc_codes, ac_codes)
     bw.pad_to_byte()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# flat AC table holding ALL 256 symbols (255 at length 9 + 1 at length
+# 10 — a DHT count byte maxes at 255) — progressive AC scans emit EOBn
+# symbols (0x10..0xE0) the standard Annex K tables don't contain
+AC_FLAT = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
+class _ProgState:
+    """Per-scan progressive entropy state: pending EOB run + TWO
+    correction-bit buffers (the T.81 G.1.2.3 / libjpeg protocol): ``be``
+    holds bits of blocks already absorbed into the pending EOB run —
+    they flush right after the EOBn symbol; ``br`` holds the CURRENT
+    block's bits — they flush only after this block's own next symbol
+    (ZRL or newly-nonzero code), never with the EOBn. Conflating the two
+    puts current-block bits before the block's first symbol, which a
+    decoder then reads as Huffman garbage."""
+
+    def __init__(self, bw, ac_codes):
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.be = []   # correction bits of EOB-run-absorbed blocks
+        self.br = []   # correction bits of the block being encoded
+
+    def flush_br(self):
+        for b in self.br:
+            self.bw.write(1, b)
+        self.br = []
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.bw.write(*self.ac[r << 4])
+            if r:
+                self.bw.write(r, self.eobrun - (1 << r))
+            self.eobrun = 0
+            for b in self.be:
+                self.bw.write(1, b)
+            self.be = []
+
+    def end_of_block(self):
+        self.eobrun += 1
+        self.be += self.br
+        self.br = []
+        if self.eobrun == 0x7FFF:
+            self.emit_eobrun()
+
+
+def _ac_first_block(ps, zz, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        ps.emit_eobrun()
+        while r > 15:
+            ps.bw.write(*ps.ac[0xF0])
+            r -= 16
+        s = t.bit_length()
+        ps.bw.write(*ps.ac[(r << 4) | s])
+        ps.bw.write(s, t if v > 0 else ((1 << s) - 1 - t))
+        r = 0
+    if r > 0:
+        ps.end_of_block()
+
+
+def _ac_refine_block(ps, zz, ss, se, al):
+    # last newly-visible position: ZRLs may only be emitted inside this
+    # span — past it, zeros and correction bits fold into the EOB run
+    eob_pos = ss - 1
+    for k in range(ss, se + 1):
+        if (abs(int(zz[k])) >> al) == 1:
+            eob_pos = k
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        # ANY nonzero settles pending ZRLs first (libjpeg ordering: the
+        # buffered bits may not span a ZRL boundary on the wire)
+        while r > 15 and k <= eob_pos:
+            ps.emit_eobrun()
+            ps.bw.write(*ps.ac[0xF0])
+            r -= 16
+            ps.flush_br()
+        if t > 1:
+            # already visible: buffer its correction bit (LSB of the
+            # shifted magnitude); does NOT break the zero-history run
+            ps.br.append(t & 1)
+            continue
+        # t == 1: newly visible in this scan
+        ps.emit_eobrun()
+        ps.bw.write(*ps.ac[(r << 4) | 1])
+        ps.bw.write(1, 1 if v > 0 else 0)
+        ps.flush_br()
+        r = 0
+    if r > 0 or ps.br:
+        ps.end_of_block()
+
+
+# default scan scripts: interleaved DC first + refine, per-component
+# spectral bands, two successive-approximation levels
+PROGRESSIVE_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+)
+
+PROGRESSIVE_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 2, 1),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    script=None,
+) -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2): spectral selection + successive
+    approximation over the SAME quantized coefficients the baseline
+    encoder writes, so a correct decoder must reconstruct bit-identical
+    pixels from both framings. ``script`` entries are
+    (component_indices, Ss, Se, Ah, Al)."""
+    (gray, h, w, comps, coef, lum_q, chrom_q,
+     hmax, vmax, mcus_x, mcus_y) = _prepare_coefficients(
+        pixels, quality, subsampling
+    )
+    if script is None:
+        script = PROGRESSIVE_SCRIPT_GRAY if gray else PROGRESSIVE_SCRIPT_COLOR
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt(0, lum_q)
+    if not gray:
+        out += _dqt(1, chrom_q)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += _seg(0xC2, sof)
+    out += _dht(0, 0, *DC_LUM)
+    out += _dht(1, 0, *AC_FLAT)
+    if not gray:
+        out += _dht(0, 1, *DC_CHROM)
+        out += _dht(1, 1, *AC_FLAT)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    dc_codes = {0: _build_codes(*DC_LUM), 1: _build_codes(*DC_CHROM)}
+    ac_flat_codes = _build_codes(*AC_FLAT)
+
+    for comp_ids, ss, se, ah, al in script:
+        ns = len(comp_ids)
+        sos = bytes([ns])
+        for ci in comp_ids:
+            table = 0 if ci == 0 else 1
+            sos += bytes([comps[ci][0], (table << 4) | table])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+
+        bw = _BitWriter()
+        ps = _ProgState(bw, ac_flat_codes)
+        preds = {ci: 0 for ci in comp_ids}
+        rst = 0
+        interleaved = ns > 1
+        if interleaved:
+            n_units = mcus_x * mcus_y
+        else:
+            ci0 = comp_ids[0]
+            _, hs, vs, _ = comps[ci0]
+            bw_blocks = -(--(-w * hs // hmax) // 8)
+            comp_w = -(-w * hs // hmax)
+            comp_h = -(-h * vs // vmax)
+            bw_blocks = -(-comp_w // 8)
+            bh_blocks = -(-comp_h // 8)
+            n_units = bw_blocks * bh_blocks
+
+        def emit_dc(ci, zz):
+            dc = int(zz[0])
+            if ah == 0:  # DC first: diff-code the point-transformed DC
+                diff = (dc >> al) - preds[ci]
+                preds[ci] = dc >> al
+                s = abs(diff).bit_length()
+                bw.write(*dc_codes[0 if ci == 0 else 1][s])
+                if s:
+                    bits = diff if diff >= 0 else diff + (1 << s) - 1
+                    bw.write(s, bits & ((1 << s) - 1))
+            else:  # DC refinement: one raw bit, no Huffman
+                bw.write(1, (dc >> al) & 1)
+
+        for u in range(n_units):
+            if restart_interval and u and u % restart_interval == 0:
+                ps.emit_eobrun()
+                bw.pad_to_byte()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                for ci in preds:
+                    preds[ci] = 0
+            if interleaved:
+                my, mx = divmod(u, mcus_x)
+                for ci in comp_ids:
+                    _, hs, vs, _ = comps[ci]
+                    for v in range(vs):
+                        for hh in range(hs):
+                            emit_dc(ci, coef[ci][my * vs + v, mx * hs + hh])
+            else:
+                by, bx = divmod(u, bw_blocks)
+                zz = coef[comp_ids[0]][by, bx]
+                if ss == 0:
+                    emit_dc(comp_ids[0], zz)
+                elif ah == 0:
+                    _ac_first_block(ps, zz, ss, se, al)
+                else:
+                    _ac_refine_block(ps, zz, ss, se, al)
+        ps.emit_eobrun()
+        bw.pad_to_byte()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

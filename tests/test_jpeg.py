@@ -106,12 +106,18 @@ def test_unsupported_subformats_raise_honestly():
     img = _smooth(16, 16)
     blob = bytearray(encode_jpeg(img, quality=80))
     sof = blob.find(b"\xff\xc0")
-    # progressive: flip SOF0 -> SOF2 (decode refuses; header parse still works)
+    # SOF2 marker with a baseline-style full-band scan header is MALFORMED
+    # progressive (a real progressive stream is exercised positively in
+    # test_jpeg_progressive.py) — and the metadata path still reports dims
     prog = bytes(blob[:sof + 1]) + b"\xc2" + bytes(blob[sof + 2 :])
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(prog)
     assert parse_jpeg_header(prog) == (16, 16, 1)
     assert decode_image(prog) == (16, 16, 1, "jpeg")  # metadata-only path
+    # arithmetic coding keeps the honest NotImplementedError boundary
+    arith = bytes(blob[:sof + 1]) + b"\xc9" + bytes(blob[sof + 2 :])
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
     # 12-bit precision (byte right after the SOF length)
     deep = bytearray(blob)
     deep[sof + 4] = 12
