@@ -47,7 +47,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
-        T.StructField("format", T.StringType()),  # ppm|pgm|bmp|png|jpeg|fake
+        T.StructField("format", T.StringType()),  # ppm|pgm|bmp|png|jpeg|gif|fake
         T.StructField("sha256", T.StringType()),
     ]
 )
@@ -364,13 +364,21 @@ def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
         return width, height, channels, "png"
     if content[:2] == b"\xff\xd8":
         # metadata needs only the SOF frame header — every JPEG flavor
-        # reports here, including progressive files decode_jpeg can't expand
+        # reports here, including ones decode_jpeg can't expand
         from sample_dms_kinesis_rds_mariadb_spark.operators.jpeg import (
             parse_jpeg_header,
         )
 
         width, height, nf = parse_jpeg_header(content)
         return width, height, nf, "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        # block-structure walk only; pixel data stays LZW-compressed
+        from sample_dms_kinesis_rds_mariadb_spark.operators.gif import (
+            gif_header,
+        )
+
+        width, height, channels = gif_header(content)
+        return width, height, channels, "gif"
     raise NotImplementedError(
         "unrecognized compressed image format — PPM/PGM/BMP/PNG/JPEG "
         "decode for real (stdlib + numpy), other formats need an image "
@@ -445,8 +453,18 @@ def resize_image(
             out_magic = b"P6" if out.shape[2] == 3 else b"P5"
             header = out_magic + b"\n%d %d\n255\n" % (width, height)
             return header + out.tobytes()
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            from sample_dms_kinesis_rds_mariadb_spark.operators.gif import (
+                decode_gif,
+            )
+
+            w, h, channels, pixels = decode_gif(content)
+            arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
+            out = _nn(arr[:, :, :3], h, w)  # alpha dropped for PNM
+            header = b"P6" + b"\n%d %d\n255\n" % (width, height)
+            return header + out.tobytes()
         raise NotImplementedError(
-            "resize beyond binary PNM/PNG/Huffman-JPEG requires an image "
+            "resize beyond binary PNM/PNG/JPEG/GIF requires an image "
             "library (PIL/opencv) — not available in this environment; "
             "pass fake=True for the deterministic test double"
         )
