@@ -253,6 +253,24 @@ def _prepare_coefficients(pixels, quality, subsampling):
             cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
             cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
             planes = [yp, cb, cr]
+        elif subsampling == "4:2:2":
+            comps = [(1, 2, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            hmax, vmax = 2, 1
+            # MCUs are 16 wide x 8 tall: pad rows to 8, columns to 16
+            ph = -(-h // 8) * 8
+            pw = -(-w // 16) * 16
+
+            def _pad2(pl):
+                return np.pad(
+                    pl, ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])),
+                    mode="edge",
+                )
+
+            yp, cb, cr = _pad2(y), _pad2(cb), _pad2(cr)
+            # horizontal-only 2x1 box average
+            cb = cb.reshape(cb.shape[0], cb.shape[1] // 2, 2).mean(2)
+            cr = cr.reshape(cr.shape[0], cr.shape[1] // 2, 2).mean(2)
+            planes = [yp, cb, cr]
         elif subsampling == "4:4:4":
             comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
             hmax = vmax = 1

@@ -68,6 +68,17 @@ def test_rgb_444_roundtrip():
     assert abs(arr - img).mean() < 4.0
 
 
+def test_rgb_422_roundtrip():
+    img = _smooth(37, 51, 3, seed=13)
+    blob = encode_jpeg(img, quality=92, subsampling="4:2:2")
+    arr, (w, h, c) = _decode_arr(blob)
+    assert (w, h, c) == (51, 37, 3)
+    assert abs(arr - img).mean() < 5.0
+    # DRI framing decodes pixel-identically (MCUs are 16x8 here)
+    with_dri = encode_jpeg(img, quality=92, subsampling="4:2:2", restart_interval=3)
+    assert decode_jpeg(with_dri)[3] == decode_jpeg(blob)[3]
+
+
 def test_rgb_420_roundtrip_odd_dims():
     # odd dims force both luma edge-crop and chroma upsample crop
     img = _smooth(37, 51, 3, seed=13)

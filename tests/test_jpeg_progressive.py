@@ -57,7 +57,7 @@ def test_progressive_equals_baseline_gray():
     assert parse_jpeg_header(encode_jpeg_progressive(g, 90)) == (49, 33, 1)
 
 
-@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0", "4:2:2"])
 def test_progressive_equals_baseline_color(sub):
     c = _smooth(37, 51, 3, seed=13)
     assert decode_jpeg(encode_jpeg_progressive(c, 85, sub)) == decode_jpeg(
