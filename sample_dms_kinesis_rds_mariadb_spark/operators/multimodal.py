@@ -47,7 +47,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
-        T.StructField("format", T.StringType()),  # ppm|pgm|bmp|png|jpeg|gif|fake
+        T.StructField("format", T.StringType()),  # ppm|pgm|bmp|png|jpeg|gif|tiff|fake
         T.StructField("sha256", T.StringType()),
     ]
 )
@@ -379,6 +379,14 @@ def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
 
         width, height, channels = gif_header(content)
         return width, height, channels, "gif"
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        # first-IFD walk only; strips stay compressed
+        from sample_dms_kinesis_rds_mariadb_spark.operators.tiff import (
+            tiff_header,
+        )
+
+        width, height, channels = tiff_header(content)
+        return width, height, channels, "tiff"
     raise NotImplementedError(
         "unrecognized compressed image format — PPM/PGM/BMP/PNG/JPEG "
         "decode for real (stdlib + numpy), other formats need an image "
@@ -463,8 +471,20 @@ def resize_image(
             out = _nn(arr[:, :, :3], h, w)  # alpha dropped for PNM
             header = b"P6" + b"\n%d %d\n255\n" % (width, height)
             return header + out.tobytes()
+        if content[:4] in (b"II*\x00", b"MM\x00*"):
+            from sample_dms_kinesis_rds_mariadb_spark.operators.tiff import (
+                decode_tiff,
+            )
+
+            w, h, channels, pixels = decode_tiff(content)
+            arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
+            arr = arr[:, :, : 3 if channels >= 3 else 1]  # drop alpha plane
+            out = _nn(arr, h, w)
+            out_magic = b"P6" if out.shape[2] == 3 else b"P5"
+            header = out_magic + b"\n%d %d\n255\n" % (width, height)
+            return header + out.tobytes()
         raise NotImplementedError(
-            "resize beyond binary PNM/PNG/JPEG/GIF requires an image "
+            "resize beyond binary PNM/PNG/JPEG/GIF/TIFF requires an image "
             "library (PIL/opencv) — not available in this environment; "
             "pass fake=True for the deterministic test double"
         )

@@ -1,0 +1,248 @@
+"""Pure-Python baseline TIFF decoder — stdlib + numpy only.
+
+Completes the engine's real-decode still-image set (PNM/BMP/PNG/JPEG/GIF)
+with the remaining interchange format: both byte orders (II/MM), IFD
+walking with inline-vs-offset values, strip assembly, Compression 1
+(none), 32773 (PackBits) and 5 (TIFF-flavor LZW: MSB-first bit packing
+and the spec's "early change" width switch — one code EARLIER than GIF's
+LZW), Predictor 2 (horizontal differencing), photometric interpretations
+WhiteIsZero / BlackIsZero / RGB / Palette (16-bit colormap scaled), and
+alpha via ExtraSamples.
+
+Lossless throughout, so tests assert EXACT pixel bytes against an
+INDEPENDENT spec-derived writer (``tests/tiff_writer.py``).
+
+Honest boundaries (``NotImplementedError``): tiled layout, bit depths
+other than 8, planar configuration 2, JPEG-in-TIFF and other
+compressions. Malformed streams raise ``ValueError``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 9: 4}
+
+
+def _read_ifd(content: bytes, bo: str, pos: int) -> tuple[dict, int]:
+    """One IFD: {tag: [values...]}, plus the next-IFD offset."""
+    if pos + 2 > len(content):
+        raise ValueError("TIFF: truncated IFD header")
+    n = int.from_bytes(content[pos : pos + 2], bo)
+    pos += 2
+    if pos + 12 * n + 4 > len(content):
+        raise ValueError("TIFF: truncated IFD")
+    tags: dict[int, list[int]] = {}
+    for e in range(n):
+        ep = pos + 12 * e
+        tag = int.from_bytes(content[ep : ep + 2], bo)
+        typ = int.from_bytes(content[ep + 2 : ep + 4], bo)
+        cnt = int.from_bytes(content[ep + 4 : ep + 8], bo)
+        size = _TYPE_SIZES.get(typ)
+        if size is None:
+            continue  # unknown type: skip tag (spec-sanctioned)
+        total = size * cnt
+        if total <= 4:
+            raw = content[ep + 8 : ep + 8 + total]
+        else:
+            off = int.from_bytes(content[ep + 8 : ep + 12], bo)
+            if off + total > len(content):
+                raise ValueError(f"TIFF: tag {tag} data out of bounds")
+            raw = content[off : off + total]
+        tags[tag] = [
+            int.from_bytes(raw[i * size : (i + 1) * size], bo)
+            for i in range(cnt)
+        ]
+    next_off = int.from_bytes(content[pos + 12 * n : pos + 12 * n + 4], bo)
+    return tags, next_off
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while len(out) < expected:
+        if i >= n:
+            raise ValueError("TIFF: PackBits data exhausted")
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            if i + c + 1 > n:
+                raise ValueError("TIFF: PackBits literal truncated")
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i >= n:
+                raise ValueError("TIFF: PackBits repeat truncated")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: noop
+    return bytes(out[:expected])
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (spec §13): 8-bit symbols, CLEAR=256, EOI=257,
+    MSB-first bit packing, EARLY width change (the table's next code ==
+    2^w - 1 already widens, one step before GIF's convention)."""
+    clear, eoi = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    code_size = 9
+    prev: bytes | None = None
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while len(out) < expected:
+        while nbits < code_size:
+            if pos >= n:
+                raise ValueError("TIFF: LZW data exhausted")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - code_size)) & ((1 << code_size) - 1)
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"TIFF: LZW code {code} before any output")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"TIFF: LZW code {code} out of range")
+        out += entry
+        prev = entry
+        # EARLY change: widen when the NEXT append would get 2^w - 1
+        if len(table) == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+    return bytes(out[:expected])
+
+
+def decode_tiff(content: bytes) -> tuple[int, int, int, bytes]:
+    """FULL pixel decode of the first image in a baseline 8-bit TIFF.
+    Returns ``(width, height, channels, pixels)`` — gray, RGB, or RGBA
+    (ExtraSamples / palette handled; WhiteIsZero inverted to the usual
+    black-is-zero convention)."""
+    bo = _tiff_byte_order(content)
+    ifd_off = int.from_bytes(content[4:8], bo)
+    tags, _next = _read_ifd(content, bo, ifd_off)
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF: missing required tag {tag}")
+            return default
+        return v[0]
+
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported (strips only)")
+    width = one(256)
+    height = one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(
+            f"TIFF bit depths {bits} not supported (8-bit samples only)"
+        )
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar TIFF (PlanarConfiguration=2)")
+    compression = one(259, 1)
+    photometric = one(262)
+    predictor = one(317, 1)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing or mismatched strip tags")
+    rows_per_strip = one(278, height)
+
+    stride = width * spp
+    raw = bytearray()
+    remaining_rows = height
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(content):
+            raise ValueError("TIFF: strip out of bounds")
+        strip_rows = min(rows_per_strip, remaining_rows)
+        expected = strip_rows * stride
+        chunk = content[off : off + cnt]
+        if compression == 1:
+            if len(chunk) < expected:
+                raise ValueError("TIFF: uncompressed strip short")
+            data = chunk[:expected]
+        elif compression == 32773:
+            data = _unpackbits(chunk, expected)
+        elif compression == 5:
+            data = _lzw_decode_tiff(chunk, expected)
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {compression} not supported "
+                "(none/PackBits/LZW decode here)"
+            )
+        raw += data
+        remaining_rows -= strip_rows
+    if remaining_rows > 0:
+        raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(height, stride)
+    if predictor == 2:
+        # horizontal differencing per sample: cumulative sum along the row
+        arr = (
+            np.cumsum(arr.reshape(height, width, spp), axis=1, dtype=np.uint32)
+            % 256
+        ).astype(np.uint8).reshape(height, stride)
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    arr = arr.reshape(height, width, spp)
+
+    if photometric == 3:  # palette
+        cmap = tags.get(320)
+        if not cmap or len(cmap) % 3:
+            raise ValueError("TIFF: palette image missing valid ColorMap")
+        n_pal = len(cmap) // 3
+        pal = np.array(
+            [cmap[0:n_pal], cmap[n_pal : 2 * n_pal], cmap[2 * n_pal :]],
+            dtype=np.uint32,
+        ).T  # (n, 3), 16-bit values
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("TIFF: palette index out of range")
+        rgb = (pal[idx] >> 8).astype(np.uint8)
+        return width, height, 3, rgb.tobytes()
+    if photometric == 0:  # WhiteIsZero: invert to black-is-zero
+        arr = 255 - arr
+    channels = spp
+    return width, height, channels, arr.tobytes()
+
+
+def _tiff_byte_order(content: bytes) -> str:
+    if content[:4] == b"II*\x00":
+        return "little"
+    if content[:4] == b"MM\x00*":
+        return "big"
+    raise ValueError("not a TIFF (bad byte-order signature)")
+
+
+def tiff_header(content: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the first IFD only — no strip
+    decode; channels reports the palette-expanded count."""
+    bo = _tiff_byte_order(content)
+    tags, _ = _read_ifd(content, bo, int.from_bytes(content[4:8], bo))
+    if 256 not in tags or 257 not in tags:
+        raise ValueError("TIFF: missing dimensions")
+    spp = tags.get(277, [1])[0]
+    if tags.get(262, [1])[0] == 3:
+        spp = 3  # palette expands to RGB
+    return tags[256][0], tags[257][0], spp

@@ -1,0 +1,124 @@
+"""Baseline TIFF decode (operators/tiff.py) vs the INDEPENDENT
+spec-derived writer in tests/tiff_writer.py — TIFF is lossless here, so
+every check is EXACT pixel bytes: both byte orders, strip assembly,
+PackBits, TIFF-flavor LZW (early width change), Predictor 2, photometric
+interpretations, palette expansion, alpha, and the dispatch wiring."""
+
+import numpy as np
+import pytest
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+    decode_image,
+    extract_image_features,
+    resize_image,
+)
+from sample_dms_kinesis_rds_mariadb_spark.operators.tiff import (
+    _lzw_decode_tiff,
+    _unpackbits,
+    decode_tiff,
+    tiff_header,
+)
+from tests.tiff_writer import _packbits, _TiffLZW, write_tiff
+
+
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("none", {}),
+        ("big-endian", {"big_endian": True}),
+        ("strips", {"rows_per_strip": 5}),
+        ("packbits", {"compression": 32773, "rows_per_strip": 4}),
+        ("lzw", {"compression": 5}),
+        ("lzw-pred2", {"compression": 5, "predictor": 2}),
+        ("lzw-pred2-strips", {"compression": 5, "predictor": 2, "rows_per_strip": 3}),
+    ],
+)
+def test_tiff_rgb_roundtrip_exact(name, kw):
+    rng = np.random.default_rng(hash(name) % 2**32)
+    img = rng.integers(0, 256, (19, 29, 3)).astype(np.uint8)
+    blob = write_tiff(img, **kw)
+    w, h, c, px = decode_tiff(blob)
+    assert (w, h, c) == (29, 19, 3)
+    assert px == img.tobytes()
+
+
+def test_tiff_gray_alpha_and_photometric():
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (23, 37)).astype(np.uint8)
+    assert decode_tiff(write_tiff(g))[3] == g.tobytes()
+    # WhiteIsZero inverts to the usual convention
+    assert decode_tiff(write_tiff(g, photometric=0))[3] == (255 - g).tobytes()
+    rgba = rng.integers(0, 256, (10, 14, 4)).astype(np.uint8)
+    w, h, c, px = decode_tiff(write_tiff(rgba, compression=5))
+    assert c == 4 and px == rgba.tobytes()
+
+
+def test_tiff_palette_expands_colormap():
+    rng = np.random.default_rng(13)
+    idx = rng.integers(0, 16, (9, 11)).astype(np.uint8)
+    cmap = [int(v) for v in rng.integers(0, 65536, 48)]
+    blob = write_tiff(idx, photometric=3, colormap=cmap)
+    w, h, c, px = decode_tiff(blob)
+    pal = np.array(cmap, dtype=np.uint32).reshape(3, 16).T
+    assert c == 3 and px == (pal[idx] >> 8).astype(np.uint8).tobytes()
+    assert tiff_header(blob) == (11, 9, 3)
+
+
+def test_tiff_lzw_early_change_fuzz():
+    """TIFF LZW widens one code EARLIER than GIF — fuzz across every
+    width boundary and the dictionary reset."""
+    rng = np.random.default_rng(17)
+    for t in range(20):
+        n = int(rng.integers(100, 50000))
+        if t % 2:
+            data = bytes(rng.integers(0, 256, n).astype(np.uint8))
+        else:
+            runs = []
+            while sum(map(len, runs)) < n:
+                runs.append(
+                    bytes([int(rng.integers(0, 8))]) * int(rng.integers(1, 60))
+                )
+            data = b"".join(runs)[:n]
+        assert _lzw_decode_tiff(_TiffLZW().compress(data), n) == data
+
+
+def test_tiff_packbits_fuzz():
+    rng = np.random.default_rng(19)
+    for t in range(20):
+        n = int(rng.integers(1, 3000))
+        data = bytes(
+            rng.integers(0, 4 if t % 2 else 256, n).astype(np.uint8)
+        )
+        assert _unpackbits(_packbits(data), n) == data
+
+
+def test_tiff_boundaries_raise():
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    blob = bytearray(write_tiff(img))
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX" + bytes(blob[2:]))
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(blob[: len(blob) // 2]))
+    # unsupported compression tag (JPEG-in-TIFF = 7)
+    from tests.tiff_writer import write_tiff as _wt
+
+    with pytest.raises(ValueError):
+        _wt(img, compression=7)  # the writer itself refuses
+
+
+def test_tiff_dispatch_and_features_e2e(spark):
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (12, 18, 3)).astype(np.uint8)
+    blob = write_tiff(img, compression=5, predictor=2)
+    assert decode_image(blob) == (18, 12, 3, "tiff")
+    out = resize_image(blob, 9, 6)
+    assert out.startswith(b"P6\n9 6\n255\n")
+    big = write_tiff(img, big_endian=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob), "image", "s://1"), (2, bytearray(big), "image", "s://2")],
+        "media_id long, content binary, media_type string, source_uri string",
+    )
+    got = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    for i in (1, 2):
+        assert (got[i]["width"], got[i]["height"], got[i]["format"]) == (18, 12, "tiff")

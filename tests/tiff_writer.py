@@ -1,0 +1,203 @@
+"""Independent baseline TIFF writer for decoder tests — composed from the
+TIFF 6.0 specification (IFD layout, strip tags, PackBits, TIFF-flavor
+LZW with MSB-first packing and EARLY width change, Predictor 2), NOT
+from the decoder under test. Lossless, so parity is exact-byte."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _packbits(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while (
+            i < n
+            and i - lit_start < 128
+            and not (i + 1 < n and data[i] == data[i + 1])
+        ):
+            i += 1
+        out.append(i - lit_start - 1)
+        out += data[lit_start:i]
+    return bytes(out)
+
+
+class _TiffLZW:
+    """TIFF-flavor LZW compressor: MSB-first packing, CLEAR=256, EOI=257,
+    EARLY width change (post-emit, when next_code == 2^w - 1)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+        self._reset()
+
+    def _reset(self):
+        self.table = {bytes([i]): i for i in range(256)}
+        self.next_code = 258
+        self.code_size = 9
+
+    def _emit(self, code: int):
+        self.acc = (self.acc << self.code_size) | code
+        self.nbits += self.code_size
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+
+    def compress(self, data: bytes) -> bytes:
+        self._emit(256)  # CLEAR
+        buf = b""
+        for b in data:
+            cand = buf + bytes([b])
+            if cand in self.table:
+                buf = cand
+                continue
+            self._emit(self.table[buf])
+            # EARLY change: widen post-emit one code sooner than GIF
+            if (
+                self.next_code == (1 << self.code_size) - 1
+                and self.code_size < 12
+            ):
+                self.code_size += 1
+            if self.next_code >= 4094:
+                self._emit(256)
+                self._reset()
+            else:
+                self.table[cand] = self.next_code
+                self.next_code += 1
+            buf = bytes([b])
+        if buf:
+            self._emit(self.table[buf])
+        self._emit(257)  # EOI
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+        return bytes(self.out)
+
+
+def write_tiff(
+    pixels: np.ndarray,
+    compression: int = 1,
+    predictor: int = 1,
+    photometric: int | None = None,
+    colormap: list[int] | None = None,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Minimal single-IFD TIFF: ``pixels`` is (h, w) gray / palette
+    indices or (h, w, c) with c in (3, 4). compression: 1 none,
+    5 LZW, 32773 PackBits."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    h, w = pixels.shape[:2]
+    spp = 1 if pixels.ndim == 2 else pixels.shape[2]
+    if photometric is None:
+        photometric = 1 if spp == 1 else 2
+    bo = "big" if big_endian else "little"
+    rps = rows_per_strip or h
+    flat = pixels.reshape(h, w * spp)
+
+    def enc_strip(rows: np.ndarray) -> bytes:
+        data = rows
+        if predictor == 2:
+            r3 = rows.reshape(rows.shape[0], w, spp).astype(np.int16)
+            diff = r3.copy()
+            diff[:, 1:, :] = (r3[:, 1:, :] - r3[:, :-1, :]) % 256
+            data = diff.astype(np.uint8).reshape(rows.shape[0], w * spp)
+        raw = data.tobytes()
+        if compression == 1:
+            return raw
+        if compression == 32773:
+            # PackBits operates per ROW per spec
+            stride = w * spp
+            return b"".join(
+                _packbits(raw[i : i + stride])
+                for i in range(0, len(raw), stride)
+            )
+        if compression == 5:
+            return _TiffLZW().compress(raw)
+        raise ValueError(compression)
+
+    strips = [
+        enc_strip(flat[y : y + rps]) for y in range(0, h, rps)
+    ]
+
+    entries = []  # (tag, type, count, values)
+    entries.append((256, 3, 1, [w]))
+    entries.append((257, 3, 1, [h]))
+    entries.append((258, 3, spp, [8] * spp))
+    entries.append((259, 3, 1, [compression]))
+    entries.append((262, 3, 1, [photometric]))
+    entries.append((277, 3, 1, [spp]))
+    entries.append((278, 3, 1, [rps]))
+    if predictor != 1:
+        entries.append((317, 3, 1, [predictor]))
+    if spp == 4:
+        entries.append((338, 3, 1, [2]))  # unassociated alpha
+    if colormap is not None:
+        entries.append((320, 3, len(colormap), list(colormap)))
+
+    # layout: header(8) + IFD + out-of-line tag data + strips
+    n_entries = len(entries) + 2  # + StripOffsets + StripByteCounts
+    ifd_size = 2 + 12 * n_entries + 4
+    data_pos = 8 + ifd_size
+    extra = bytearray()
+
+    def val_bytes(typ, values):
+        size = {3: 2, 4: 4}[typ]
+        return b"".join(int(v).to_bytes(size, bo) for v in values)
+
+    strip_offsets = []
+    strip_pos = data_pos
+    # reserve out-of-line space for big tag values first
+    pending = []
+    for tag, typ, cnt, values in entries:
+        raw = val_bytes(typ, values)
+        pending.append((tag, typ, cnt, raw))
+        if len(raw) > 4:
+            strip_pos += len(raw)
+    # strip offset/count arrays may themselves be out-of-line
+    so_raw_len = 4 * len(strips)
+    sc_raw_len = 4 * len(strips)
+    if so_raw_len > 4:
+        strip_pos += so_raw_len
+    if sc_raw_len > 4:
+        strip_pos += sc_raw_len
+    p = strip_pos
+    for sdata in strips:
+        strip_offsets.append(p)
+        p += len(sdata)
+
+    pending.append((273, 4, len(strips), val_bytes(4, strip_offsets)))
+    pending.append((279, 4, len(strips), val_bytes(4, [len(s) for s in strips])))
+    pending.sort(key=lambda e: e[0])
+
+    out = bytearray()
+    out += (b"II*\x00" if bo == "little" else b"MM\x00*")
+    out += (8).to_bytes(4, bo)
+    out += len(pending).to_bytes(2, bo)
+    data_cursor = data_pos
+    ool = bytearray()
+    for tag, typ, cnt, raw in pending:
+        out += tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + cnt.to_bytes(4, bo)
+        if len(raw) <= 4:
+            out += raw + b"\x00" * (4 - len(raw))
+        else:
+            out += data_cursor.to_bytes(4, bo)
+            ool += raw
+            data_cursor += len(raw)
+    out += (0).to_bytes(4, bo)  # no next IFD
+    out += ool
+    for sdata in strips:
+        out += sdata
+    return bytes(out)
