@@ -881,3 +881,64 @@ def gopher_repetition_flags(text: Column) -> dict[str, Column]:
     # comparisons above are NULL-safe already via coalesced inputs
     out["repetition_pass"] = F.coalesce(rep_pass, F.lit(False))
     return out
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Write a trained merge list in the standard ``merges.txt`` format
+    (the GPT-2/HF tokenizers convention: ``#version`` header, one
+    space-separated pair per line, priority order) — so :func:`train_bpe`
+    output drops into any tokenizer library, and their files load here.
+
+    The format is only well-defined for symbols free of whitespace —
+    which is exactly what the GPT-2 byte alphabet guarantees (space is
+    ``Ġ``). Char-level merges (``train_bpe(byte_level=False)``) can
+    contain literal-space symbols the format cannot represent; those
+    raise here rather than writing an ambiguous file."""
+    for a, b in merges:
+        if any(ch.isspace() for ch in a + b) or not a or not b:
+            raise ValueError(
+                f"merge pair {(a, b)!r} not representable in merges.txt "
+                "(train with byte_level=True for interchange files)"
+            )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Read a ``merges.txt`` file (``#`` header lines skipped) into the
+    ordered pair list :func:`make_bpe_counter` consumes."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2:
+                raise ValueError(f"malformed merges line: {line!r}")
+            merges.append((parts[0], parts[1]))
+    return merges
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], byte_level: bool = False
+) -> list[str]:
+    """The token vocabulary a merge list induces: the base alphabet (the
+    256-symbol GPT-2 byte alphabet when ``byte_level``, else every symbol
+    appearing in the merges) followed by each merge's joined token in
+    priority order — the id assignment convention of the reference
+    encoders."""
+    if byte_level:
+        alphabet = [c for _, c in sorted(
+            (b, ch) for b, ch in _byte_to_unicode().items()
+        )]
+    else:
+        seen: dict[str, None] = {}
+        for a, b in merges:
+            for sym in (a, b):
+                for ch in sym:
+                    seen.setdefault(ch, None)
+        alphabet = sorted(seen)
+    return alphabet + [a + b for a, b in merges]

@@ -184,3 +184,43 @@ def test_piece_counts_is_one_scan(spark):
     # one exchange (the final hash aggregate), partial agg before it
     assert plan.count("Exchange") == 1
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_merges_txt_roundtrip_and_vocab(spark, tmp_path):
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        bpe_vocab,
+        load_merges,
+        save_merges,
+    )
+
+    import pytest
+
+    df = spark.createDataFrame([(t,) for t in _corpus(seed=31)], "text string")
+    # char-level merges can hold literal-space symbols the space-separated
+    # format cannot represent — save refuses those
+    with pytest.raises(ValueError, match="byte_level"):
+        save_merges(train_bpe(df, "text", n_merges=20), str(tmp_path / "x"))
+    merges = train_bpe(df, "text", n_merges=20, byte_level=True)
+    p = str(tmp_path / "merges.txt")
+    save_merges(merges, p)
+    with open(p, encoding="utf-8") as f:
+        first = f.readline()
+    assert first.startswith("#version")
+    assert load_merges(p) == merges
+    # loaded merges drive the counter identically
+    c1 = make_bpe_counter(spark, merges, byte_level=True)
+    c2 = make_bpe_counter(spark, load_merges(p), byte_level=True)
+    row = df.limit(1).select(
+        c1(bpe_pretokenize(F.col("text"))).alias("a"),
+        c2(bpe_pretokenize(F.col("text"))).alias("b"),
+    ).collect()[0]
+    assert row["a"] == row["b"]
+    vocab = bpe_vocab(merges, byte_level=True)
+    assert len(vocab) == 256 + len(merges)
+    assert vocab[-1] == merges[-1][0] + merges[-1][1]
+    # every merge output token appears after its operands' positions
+    pos = {tok: i for i, tok in enumerate(vocab)}
+    for a, b in merges:
+        assert pos[a + b] > max(pos.get(a, -1), pos.get(b, -1))
+    cvocab = bpe_vocab([("a", "b"), ("ab", "c")])
+    assert cvocab == ["a", "b", "c", "ab", "abc"]
