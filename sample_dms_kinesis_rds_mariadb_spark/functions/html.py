@@ -1,0 +1,102 @@
+"""HTML → text extraction as pure column expressions — the first
+transform every crawl-corpus pipeline applies after WARC ingestion
+(``sources/warc.py``), kept JVM-side so it runs at scan speed over
+100 TB of crawl payloads: a chain of ``regexp_replace`` passes (codegen,
+no Python workers, no shuffle).
+
+Extraction contract (documented here, asserted against an independent
+Python reference in ``tests/test_warc.py``, and oracle-checked against
+DuckDB in the ``html_text_extract`` EXTRA catalog query — all three
+engines run the same RE2-compatible patterns):
+
+- ``<script>``/``<style>``/``<noscript>``/``<template>`` blocks drop
+  with their CONTENT (case-insensitive, lazy to the matching close tag)
+- HTML comments (``<!-- -->``) and CDATA sections drop
+- block-level closers and separators (``</p> </div> </li> </h1-6>
+  </tr> </table> </blockquote> </section> </article> <br> <hr>``)
+  become newlines BEFORE generic tag stripping, so block structure
+  survives as line structure
+- every remaining tag (incl. ``<!DOCTYPE``) strips to nothing
+- the common named entities decode (``&amp; &lt; &gt; &quot; &#39;
+  &apos; &nbsp;``) plus DECIMAL numeric references ``&#NN;`` for the
+  ASCII printable range; other entities pass through verbatim (an
+  honest boundary — full entity tables are a dictionary lookup, not a
+  scan-speed regexp)
+- horizontal whitespace collapses to single spaces, space-padded
+  newlines tighten, 3+ newlines collapse to exactly 2 (paragraph
+  breaks), result is trimmed
+
+All patterns avoid backreferences, lookaround, and lazy-dot-across-
+newline ambiguity differences so Java regex (Spark), RE2 (DuckDB), and
+Python ``re`` produce identical output on the same input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (pattern, replacement) in application order — THE extraction contract.
+# (?is): case-insensitive + dot-matches-newline, supported by Java, RE2
+# and Python alike.
+HTML_TEXT_RULES: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style[^>]*>.*?</style\s*>", " "),
+    (r"(?is)<noscript[^>]*>.*?</noscript\s*>", " "),
+    (r"(?is)<template[^>]*>.*?</template\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<!\[CDATA\[.*?\]\]>", " "),
+    (
+        r"(?i)</(p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote|"
+        r"section|article)\s*>|<(br|hr)\s*/?\s*>",
+        "\n",
+    ),
+    (r"(?s)<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&#32;", " "),
+    (r"[ \t\r\x0b\f]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),
+)
+
+# entity decodes that map to NON-space characters run after whitespace
+# collapsing so the decoded characters can't merge with the collapse
+HTML_ENTITY_RULES: tuple[tuple[str, str], ...] = (
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&apos;", "'"),
+    (r"&amp;", "&"),  # LAST: '&amp;lt;' must yield '&lt;', not '<'
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """Extract readable text from an HTML column at scan speed — the
+    module-docstring contract, as one codegen'd ``regexp_replace``
+    chain. NULL in ⇒ NULL out."""
+    out = col
+    for pat, rep in HTML_TEXT_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    for pat, rep in HTML_ENTITY_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    # explicit ASCII-whitespace trim: F.trim strips spaces only, and
+    # Python's str.strip also eats unicode whitespace — the shared regexp
+    # keeps all three engines (Java/RE2/Python) byte-identical
+    return F.regexp_replace(out, _EDGE_WS, "")
+
+
+_EDGE_WS = r"^[ \t\n\r\x0b\f]+|[ \t\n\r\x0b\f]+$"
+
+
+def py_html_to_text(html: str) -> str:
+    """Independent-execution Python mirror of :func:`html_to_text` (same
+    published rule list, Python ``re`` engine) for parity tests."""
+    import re
+
+    out = html
+    for pat, rep in HTML_TEXT_RULES:
+        out = re.sub(pat, rep, out)
+    for pat, rep in HTML_ENTITY_RULES:
+        out = re.sub(pat, rep, out)
+    return re.sub(_EDGE_WS, "", out)

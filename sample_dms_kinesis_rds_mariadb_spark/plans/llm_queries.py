@@ -1723,3 +1723,71 @@ def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", *[flags[c].alias(c) for c in cols]
     ).orderBy("doc_id")
+
+
+def _duck_html_chain(expr: str) -> str:
+    """Fold the published HTML extraction rule list into nested DuckDB
+    regexp_replace calls — the oracle executes the IDENTICAL patterns
+    (RE2 and Java agree on every construct the rules use), so the
+    html_text_extract hash comparison verifies the full chain."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.html import (
+        _EDGE_WS,
+        HTML_ENTITY_RULES,
+        HTML_TEXT_RULES,
+    )
+
+    out = expr
+    for pat, rep in tuple(HTML_TEXT_RULES) + tuple(HTML_ENTITY_RULES):
+        pat_sql = pat.replace("'", "''")
+        rep_sql = "chr(10)" if rep == "\n" else "'" + rep.replace("'", "''") + "'"
+        out = f"regexp_replace({out}, '{pat_sql}', {rep_sql}, 'g')"
+    return f"regexp_replace({out}, '{_EDGE_WS}', '', 'g')"
+
+
+_HTML_ORACLE_EXPR = _duck_html_chain(
+    "'<html><head><title>t</title><style>p '\n"
+    "            || '{ color: red }</style><script>var x = \"<b>no</b>\";'\n"
+    "            || '</script></head><body><!-- hidden --><h1>' || source\n"
+    "            || '</h1><p>' || text || ' &amp; tail</p><div>doc<br>'\n"
+    "            || CAST(doc_id AS VARCHAR) || '</div></body></html>'"
+)
+
+
+@register(
+    "html_text_extract",
+    "HTML→text extraction (functions/html.py::html_to_text) over HTML "
+    "synthesized from the documents table (script/style/comment blocks, "
+    "entities, block tags wrapped around real document text): the oracle "
+    "folds the IDENTICAL published rule chain into DuckDB regexp_replace "
+    "calls, so the value hash proves the whole extraction contract — "
+    "script/style content removal, block-structure newlines, tag "
+    "stripping, entity decoding, whitespace collapse — across engines. "
+    "EXTRA: oracle-checked by the pytest parity harness outside the "
+    "50-cap catalog",
+    oracle=f"""
+        SELECT doc_id,
+               {_HTML_ORACLE_EXPR} AS text
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("text",),
+    extra=True,
+)
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.html import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>t</title><style>p { color: red }</style>'
+              '<script>var x = "<b>no</b>";</script></head><body>'
+              "<!-- hidden --><h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; tail</p><div>doc<br>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</div></body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_to_text(html).alias("text")
+    ).orderBy("doc_id")
