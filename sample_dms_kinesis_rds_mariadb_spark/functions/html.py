@@ -17,11 +17,11 @@ engines run the same RE2-compatible patterns):
   become newlines BEFORE generic tag stripping, so block structure
   survives as line structure
 - every remaining tag (incl. ``<!DOCTYPE``) strips to nothing
-- the common named entities decode (``&amp; &lt; &gt; &quot; &#39;
-  &apos; &nbsp;``) plus DECIMAL numeric references ``&#NN;`` for the
-  ASCII printable range; other entities pass through verbatim (an
-  honest boundary — full entity tables are a dictionary lookup, not a
-  scan-speed regexp)
+- the common named entities decode (``&amp; &lt; &gt; &quot;
+  &apos; &nbsp;``) plus the two numeric references that dominate real
+  markup (``&#39;`` apostrophe, ``&#32;`` space); other entities pass
+  through verbatim (an honest boundary — full entity tables are a
+  dictionary lookup, not a scan-speed regexp)
 - horizontal whitespace collapses to single spaces, space-padded
   newlines tighten, 3+ newlines collapse to exactly 2 (paragraph
   breaks), result is trimmed
