@@ -100,3 +100,38 @@ def py_html_to_text(html: str) -> str:
     for pat, rep in HTML_ENTITY_RULES:
         out = re.sub(pat, rep, out)
     return re.sub(_EDGE_WS, "", out)
+
+
+# anchor-href extraction: attribute value in either quote style; the
+# character class (no quotes/angle brackets) keeps Java, RE2 and Python
+# agreeing on where the value ends
+HTML_LINK_PATTERN = (
+    "(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"<>]*)\""
+    "|(?is)<a\\s[^>]*?href\\s*=\\s*'([^'<>]*)'"
+)
+
+
+def html_links(col: Column) -> Column:
+    """ARRAY<STRING> of anchor href values, document order — the crawl
+    link-graph feedstock (``operators/graph.py::pagerank`` consumes the
+    (src, dst) edges this yields after URL canonicalization). Pure
+    codegen: two ``regexp_extract_all`` passes (one per quote style,
+    concatenated) keep the pattern free of cross-engine alternation-
+    group ambiguity."""
+    dq = F.regexp_extract_all(
+        col, F.lit("(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"<>]*)\""), 1
+    )
+    sq = F.regexp_extract_all(
+        col, F.lit("(?is)<a\\s[^>]*?href\\s*=\\s*'([^'<>]*)'"), 1
+    )
+    return F.concat(dq, sq)
+
+
+def py_html_links(html: str) -> list[str]:
+    """Python mirror of :func:`html_links` (same two patterns, same
+    double-then-single ordering) for parity tests."""
+    import re
+
+    dq = re.findall(r"(?is)<a\s[^>]*?href\s*=\s*\"([^\"<>]*)\"", html)
+    sq = re.findall(r"(?is)<a\s[^>]*?href\s*=\s*'([^'<>]*)'", html)
+    return dq + sq
