@@ -1,0 +1,157 @@
+"""robots.txt (RFC 9309) compliance for crawl curation — enforcement as
+a JOIN, not a UDF.
+
+A responsible crawl pipeline filters its URL frontier through each
+site's robots rules. The Spark-first shape: PARSE robots.txt files once
+(driver/executor-side Python over the robots corpus — control-plane
+sized: one small file per domain) into RULE ROWS ``(domain, allow,
+pattern, precedence, regex)``, then evaluate any number of URLs with a
+domain-keyed equi-join + ``rlike`` + a longest-match aggregate — all
+JVM-side, shuffling only (url, domain, path) and rule rows, never
+payloads. At 100 TB of frontier the rules side is tiny per domain and
+broadcastable.
+
+Semantics (RFC 9309): groups of ``User-agent`` lines followed by
+``Allow``/``Disallow`` rules; every group matching our agent token
+combines (falling back to the ``*`` groups); empty ``Disallow:`` means
+no rule;
+patterns are byte-prefix matches with ``*`` wildcards and an optional
+``$`` end anchor; among matching rules the LONGEST pattern wins, and on
+a length tie ``Allow`` wins; a URL matching no rule is allowed.
+Verified against an independent straightforward Python matcher and the
+RFC's own examples in ``tests/test_robots.py``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def robots_pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern → anchored Java/RE2-safe regex: literal
+    chars escaped, ``*`` → ``.*``, trailing ``$`` → end anchor."""
+    anchor_end = pattern.endswith("$")
+    body = pattern[:-1] if anchor_end else pattern
+    parts = [re.escape(p) for p in body.split("*")]
+    return "^" + ".*".join(parts) + ("$" if anchor_end else "")
+
+
+def parse_robots(content: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Parse one robots.txt into the rule list applying to ``agent``:
+    ``[(allow, pattern), ...]``. Group selection per RFC 9309 §2.2.1:
+    ALL groups whose ``User-agent`` tokens equal ``agent``
+    (case-insensitive) COMBINE into one rule set; otherwise all ``*``
+    groups combine; otherwise no rules (everything allowed).
+    Comments (``#``) strip to end of line; unknown directives and
+    ``Sitemap``/``Crawl-delay`` lines are ignored for matching."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    in_header = True
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_header:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_header = True
+            cur_agents.append(value.lower())
+        elif key in ("allow", "disallow"):
+            if not cur_agents:
+                continue  # rules before any user-agent line: ignored
+            in_header = False
+            if value == "":
+                continue  # empty pattern = no rule (RFC 9309 §2.2.2)
+            cur_rules.append((key == "allow", value))
+        # sitemap / crawl-delay / unknown: ignored for matching
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    agent = agent.lower()
+    # RFC 9309 §2.2.1: ALL groups matching the agent combine into one
+    specific = [r for agents, rules in groups if agent in agents for r in rules]
+    if agent != "*" and specific:
+        return specific
+    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+
+ROBOTS_RULES_SCHEMA = T.StructType(
+    [
+        T.StructField("domain", T.StringType(), False),
+        T.StructField("allow", T.BooleanType(), False),
+        T.StructField("pattern", T.StringType(), False),
+        T.StructField("precedence", T.IntegerType(), False),
+        T.StructField("regex", T.StringType(), False),
+    ]
+)
+
+
+def compile_robots_rules(
+    spark, robots: list[tuple[str, str]], agent: str = "*"
+) -> DataFrame:
+    """(domain, robots_txt) pairs → the rule-row DataFrame
+    :func:`robots_filter` joins against. Parsing cost is per robots FILE
+    (control-plane sized); at larger scale run the same compile inside
+    ``mapInPandas`` over a robots corpus table."""
+    rows = []
+    for domain, content in robots:
+        for allow, pattern in parse_robots(content, agent=agent):
+            rows.append(
+                (
+                    domain,
+                    allow,
+                    pattern,
+                    len(pattern),
+                    robots_pattern_regex(pattern),
+                )
+            )
+    return spark.createDataFrame(rows, ROBOTS_RULES_SCHEMA)
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """Append an ``allowed`` verdict to each URL row: domain-keyed join
+    to the rule rows, ``rlike`` match, then the RFC's longest-match
+    resolution as one aggregate — ``max_by`` over (precedence, allow)
+    makes Allow win length ties; rows matching no rule are allowed.
+    Everything JVM-side; broadcast the rules when they fit."""
+    r = rules.select(
+        F.col("domain").alias("_r_domain"),
+        "allow",
+        "precedence",
+        F.col("regex").alias("_r_regex"),
+    )
+    matched = (
+        urls.select(domain_col, path_col)
+        .distinct()
+        .join(r, F.col(domain_col) == F.col("_r_domain"), "inner")
+        # column-valued pattern: RLIKE the SQL operator (the per-row
+        # pattern compile is bounded by rules-per-domain; pre-group by
+        # pattern if a single domain carries pathological rule counts)
+        .where(F.expr(f"{path_col} RLIKE _r_regex"))
+        .groupBy(domain_col, path_col)
+        .agg(
+            F.max_by(
+                "allow",
+                F.struct(
+                    F.col("precedence"),
+                    F.col("allow").cast("int").alias("a"),
+                ),
+            ).alias("_verdict")
+        )
+    )
+    return urls.join(matched, [domain_col, path_col], "left").withColumn(
+        "allowed", F.coalesce(F.col("_verdict"), F.lit(True))
+    ).drop("_verdict")

@@ -1,0 +1,133 @@
+"""robots.txt compliance (operators/robots.py) vs an independent
+straightforward Python matcher, RFC 9309's own precedence examples, and
+the join-based Spark evaluation end-to-end."""
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.robots import (
+    compile_robots_rules,
+    parse_robots,
+    robots_filter,
+    robots_pattern_regex,
+)
+
+
+def _py_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
+    """Independent matcher: direct longest-match scan (allow wins ties),
+    wildcard handled by its own translation — NOT the module's."""
+    best = None  # (length, allow)
+    for allow, pattern in rules:
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = ".*".join(re.escape(p) for p in body.split("*"))
+        rx = "^" + rx + ("$" if anchored else "")
+        if re.match(rx, path):
+            key = (len(pattern), allow)
+            if best is None or key > best:
+                best = key
+    return True if best is None else best[1]
+
+
+ROBOTS = """
+# example robots file
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: *
+Allow: /public/
+Disallow: /
+Allow: /foo/*/bar
+Disallow: /foo/*/bar/deep$
+Allow: /dual
+Disallow: /dual
+"""
+
+
+def test_parse_groups_and_agent_selection():
+    star = parse_robots(ROBOTS, agent="*")
+    assert (False, "/private/") not in star
+    assert (True, "/public/") in star and (False, "/") in star
+    goog = parse_robots(ROBOTS, agent="GoogleBot")
+    assert goog == [(False, "/private/")]
+    assert parse_robots("", agent="*") == []
+    # rules before any user-agent line are ignored; empty Disallow = none
+    assert parse_robots("Disallow: /x\nUser-agent: *\nDisallow:") == []
+
+
+def test_rfc_precedence_semantics():
+    rules = parse_robots(ROBOTS, agent="*")
+    # longest match wins: /public/x matched by Allow /public/ (len 8)
+    # over Disallow / (len 1)
+    assert _py_allowed(rules, "/public/x") is True
+    assert _py_allowed(rules, "/elsewhere") is False
+    # wildcard + $ anchor: deeper disallow is LONGER and wins
+    assert _py_allowed(rules, "/foo/a/bar") is True
+    assert _py_allowed(rules, "/foo/a/bar/deep") is False
+    assert _py_allowed(rules, "/foo/a/bar/deeper") is True  # $ fails
+    # equal-length tie: Allow wins
+    assert _py_allowed(rules, "/dual") is True
+
+
+def test_pattern_translation():
+    assert robots_pattern_regex("/a/*/b$") == r"^/a/.*/b$"
+    assert robots_pattern_regex("/p") == "^/p"
+    # regex metacharacters in paths stay literal
+    rx = robots_pattern_regex("/q?.x")
+    assert re.match(rx, "/q?.x") and not re.match(rx, "/qz.x")
+
+
+def test_robots_filter_matches_python_reference(spark):
+    rng = random.Random(11)
+    rules_df = compile_robots_rules(
+        spark,
+        [("a.example", ROBOTS), ("b.example", "User-agent: *\nDisallow: /no/")],
+        agent="*",
+    )
+    parsed = {
+        "a.example": parse_robots(ROBOTS, "*"),
+        "b.example": parse_robots("User-agent: *\nDisallow: /no/", "*"),
+        "c.example": [],  # no robots file at all
+    }
+    paths = [
+        "/public/x", "/elsewhere", "/foo/a/bar", "/foo/a/bar/deep",
+        "/foo/a/bar/deeper", "/dual", "/no/way", "/yes/way", "/",
+    ] + [f"/r/{rng.randrange(100)}" for _ in range(20)]
+    rows = sorted(
+        {(d, p) for d in ("a.example", "b.example", "c.example") for p in paths}
+    )
+    urls = spark.createDataFrame(rows, "domain string, path string")
+    got = {
+        (r["domain"], r["path"]): r["allowed"]
+        for r in robots_filter(urls, rules_df).collect()
+    }
+    assert len(got) == len(rows)
+    for d, p in rows:
+        assert got[(d, p)] == _py_allowed(parsed[d], p), (d, p)
+
+
+def test_robots_filter_keeps_extra_columns(spark):
+    rules_df = compile_robots_rules(
+        spark, [("a.example", "User-agent: *\nDisallow: /x")], agent="*"
+    )
+    urls = spark.createDataFrame(
+        [("a.example", "/x/1", 10), ("a.example", "/y", 20)],
+        "domain string, path string, score int",
+    )
+    out = {r["path"]: (r["allowed"], r["score"]) for r in robots_filter(urls, rules_df).collect()}
+    assert out == {"/x/1": (False, 10), "/y": (True, 20)}
+
+
+def test_matching_groups_combine_per_rfc():
+    txt = (
+        "User-agent: botA\nDisallow: /one\n\n"
+        "User-agent: *\nDisallow: /star\n\n"
+        "User-agent: botA\nUser-agent: botB\nDisallow: /two\n"
+    )
+    # all groups naming botA combine; the * group does NOT apply to botA
+    assert parse_robots(txt, "botA") == [(False, "/one"), (False, "/two")]
+    assert parse_robots(txt, "botB") == [(False, "/two")]
+    assert parse_robots(txt, "other") == [(False, "/star")]
