@@ -102,15 +102,6 @@ def py_html_to_text(html: str) -> str:
     return re.sub(_EDGE_WS, "", out)
 
 
-# anchor-href extraction: attribute value in either quote style; the
-# character class (no quotes/angle brackets) keeps Java, RE2 and Python
-# agreeing on where the value ends
-HTML_LINK_PATTERN = (
-    "(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"<>]*)\""
-    "|(?is)<a\\s[^>]*?href\\s*=\\s*'([^'<>]*)'"
-)
-
-
 def html_links(col: Column) -> Column:
     """ARRAY<STRING> of anchor href values, document order — the crawl
     link-graph feedstock (``operators/graph.py::pagerank`` consumes the

@@ -60,7 +60,6 @@ for _u in range(8):
 
 _SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
-_BASELINE_SOFS = {0xC0, 0xC1}  # huffman sequential (incl. extended)
 
 
 class _Huff:
