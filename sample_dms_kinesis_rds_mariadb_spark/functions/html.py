@@ -126,3 +126,15 @@ def py_html_links(html: str) -> list[str]:
     dq = re.findall(r"(?is)<a\s[^>]*?href\s*=\s*\"([^\"<>]*)\"", html)
     sq = re.findall(r"(?is)<a\s[^>]*?href\s*=\s*'([^'<>]*)'", html)
     return dq + sq
+
+
+def sitemap_urls(col: Column) -> Column:
+    """ARRAY<STRING> of ``<loc>`` values from a sitemap / sitemap-index
+    XML column — with :func:`html_links` and ``operators/robots.py``
+    this completes the crawl-frontier toolkit (robots ``Sitemap:``
+    lines → sitemap fetch → URL list → robots_filter → frontier).
+    Pure codegen; CDATA-wrapped and plain text both match."""
+    locs = F.regexp_extract_all(
+        col, F.lit(r"(?is)<loc\s*>\s*(?:<!\[CDATA\[)?([^<\]]+)"), 1
+    )
+    return F.transform(locs, lambda s: F.trim(s))

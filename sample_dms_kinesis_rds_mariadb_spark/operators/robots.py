@@ -155,3 +155,56 @@ def robots_filter(
     return urls.join(matched, [domain_col, path_col], "left").withColumn(
         "allowed", F.coalesce(F.col("_verdict"), F.lit(True))
     ).drop("_verdict")
+
+
+def parse_sitemaps(content: str) -> list[str]:
+    """``Sitemap:`` directive URLs from a robots.txt — sitemap lines are
+    group-independent per RFC 9309 §2.2.4 (they apply file-wide)."""
+    out = []
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if line.lower().startswith("sitemap:"):
+            v = line.partition(":")[2].strip()
+            if v:
+                out.append(v)
+    return out
+
+
+def parse_crawl_delay(content: str, agent: str = "*") -> float | None:
+    """``Crawl-delay`` seconds for ``agent`` (de-facto extension; not in
+    RFC 9309 but honored by most crawlers): same group selection as
+    :func:`parse_robots`; the MAXIMUM across combined groups wins
+    (politest interpretation). None when absent or malformed."""
+    groups: list[tuple[list[str], list[float]]] = []
+    cur_agents: list[str] = []
+    cur_delays: list[float] = []
+    in_header = True
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_header:
+                groups.append((cur_agents, cur_delays))
+                cur_agents, cur_delays = [], []
+                in_header = True
+            cur_agents.append(value.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            if not cur_agents:
+                continue
+            in_header = False
+            if key == "crawl-delay":
+                try:
+                    cur_delays.append(float(value))
+                except ValueError:
+                    pass
+    if cur_agents:
+        groups.append((cur_agents, cur_delays))
+    agent = agent.lower()
+    specific = [d for agents, ds in groups if agent in agents for d in ds]
+    if agent == "*" or not specific:
+        specific = [d for agents, ds in groups if "*" in agents for d in ds]
+    return max(specific) if specific else None

@@ -131,3 +131,39 @@ def test_matching_groups_combine_per_rfc():
     assert parse_robots(txt, "botA") == [(False, "/one"), (False, "/two")]
     assert parse_robots(txt, "botB") == [(False, "/two")]
     assert parse_robots(txt, "other") == [(False, "/star")]
+
+
+def test_sitemaps_and_crawl_delay():
+    from sample_dms_kinesis_rds_mariadb_spark.operators.robots import (
+        parse_crawl_delay,
+        parse_sitemaps,
+    )
+
+    txt = (
+        "Sitemap: https://ex.com/s1.xml\n"
+        "User-agent: botA\nCrawl-delay: 2\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 0.5\n"
+        "Sitemap: https://ex.com/s2.xml # trailing comment\n"
+        "User-agent: botA\nCrawl-delay: 7\n"
+    )
+    assert parse_sitemaps(txt) == [
+        "https://ex.com/s1.xml", "https://ex.com/s2.xml",
+    ]
+    assert parse_crawl_delay(txt, "botA") == 7.0  # max across combined groups
+    assert parse_crawl_delay(txt, "other") == 0.5
+    assert parse_crawl_delay("User-agent: *\nDisallow: /", "*") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon", "*") is None
+
+
+def test_sitemap_urls_extraction(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.functions.html import sitemap_urls
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://ex.com/a </loc></url>"
+        "<url><LOC><![CDATA[https://ex.com/b?x=1]]></LOC></url>"
+        "<url><lastmod>2026-01-01</lastmod></url></urlset>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    got = df.select(sitemap_urls(F.col("xml")).alias("u")).collect()[0]["u"]
+    assert list(got) == ["https://ex.com/a", "https://ex.com/b?x=1"]
