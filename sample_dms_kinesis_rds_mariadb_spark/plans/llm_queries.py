@@ -1791,3 +1791,41 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", html_to_text(html).alias("text")
     ).orderBy("doc_id")
+
+
+@register(
+    "nfc_normalized_texts",
+    "Unicode NFC normalization (functions/unicode.py, Arrow-batched "
+    "unicodedata) over document text with a DECOMPOSED suffix appended "
+    "in-query (e + combining acute, a + combining ring) so the "
+    "normalizer has real composition work: the oracle runs DuckDB's "
+    "utf8proc-backed nfc_normalize on the identical strings — value "
+    "hashes prove the two independent Unicode implementations agree. "
+    "EXTRA: oracle-checked by the pytest parity harness outside the "
+    "50-cap catalog",
+    oracle="""
+        SELECT doc_id,
+               nfc_normalize(
+                   text || ' e' || chr(769) || ' a' || chr(778) || ' fin'
+               ) AS norm_text
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("text",),
+    extra=True,
+)
+def q_nfc_normalized_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.unicode import (
+        make_unicode_normalizer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # DECOMPOSED on the Spark side (combining marks) — the
+    # normalizer must do real composition work for the hashes
+    # to meet the oracle
+    suffix = " e\u0301 a\u030a fin"
+    norm = make_unicode_normalizer("NFC")
+    return docs.select(
+        "doc_id",
+        norm(F.concat(F.col("text"), F.lit(suffix))).alias("norm_text"),
+    ).orderBy("doc_id")

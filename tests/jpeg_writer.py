@@ -591,3 +591,50 @@ def encode_jpeg_progressive(
         out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_multiscan(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """BASELINE (SOF0) but NON-INTERLEAVED: one full-band Ns=1 scan per
+    component (T.81 allows it; rare but legal) — same quantized
+    coefficients as encode_jpeg, so decode must be pixel-identical."""
+    (gray, h, w, comps, coef, lum_q, chrom_q,
+     hmax, vmax, mcus_x, mcus_y) = _prepare_coefficients(
+        pixels, quality, subsampling
+    )
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt(0, lum_q)
+    if not gray:
+        out += _dqt(1, chrom_q)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += _seg(0xC0, sof)
+    out += _dht(0, 0, *DC_LUM)
+    out += _dht(1, 0, *AC_LUM)
+    if not gray:
+        out += _dht(0, 1, *DC_CHROM)
+        out += _dht(1, 1, *AC_CHROM)
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        table = 0 if ci == 0 else 1
+        out += _seg(0xDA, bytes([1, cid, (table << 4) | table, 0, 63, 0]))
+        dc_codes = _build_codes(*(DC_LUM if ci == 0 else DC_CHROM))
+        ac_codes = _build_codes(*(AC_LUM if ci == 0 else AC_CHROM))
+        bw = _BitWriter()
+        # non-interleaved scans walk the component's TRUE block grid
+        comp_w = -(-w * hs // hmax)
+        comp_h = -(-h * vs // vmax)
+        bw_blocks = -(-comp_w // 8)
+        bh_blocks = -(-comp_h // 8)
+        pred = 0
+        for by in range(bh_blocks):
+            for bx in range(bw_blocks):
+                pred = _encode_block(
+                    bw, coef[ci][by, bx], pred, dc_codes, ac_codes
+                )
+        bw.pad_to_byte()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -185,3 +185,18 @@ def test_jpeg_features_dispatch_e2e(spark):
     for i, (mid, blob, _t, _u) in enumerate(rows):
         assert got[i]["format"] == "jpeg"
         assert got[i]["sha256"] == hashlib.sha256(bytes(blob)).hexdigest()
+
+
+def test_baseline_multiscan_non_interleaved_decodes_identically():
+    """T.81 allows baseline frames split into one Ns=1 scan per
+    component; same quantized coefficients as the interleaved framing,
+    so decoded pixels must be EXACTLY equal."""
+    from tests.jpeg_writer import encode_jpeg_multiscan
+
+    for sub in ("4:4:4", "4:2:0"):
+        img = _smooth(29, 43, 3, seed=57)
+        inter = decode_jpeg(encode_jpeg(img, quality=87, subsampling=sub))
+        multi = decode_jpeg(encode_jpeg_multiscan(img, quality=87, subsampling=sub))
+        assert multi == inter, sub
+    g = _smooth(21, 19, seed=58)
+    assert decode_jpeg(encode_jpeg_multiscan(g)) == decode_jpeg(encode_jpeg(g))
