@@ -55,9 +55,12 @@ def pagerank(
     ``max_iterations`` synchronized rounds, whichever is first."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=True)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .dropna()  # a NULL endpoint is no edge (joins would drop it
+        # asymmetrically otherwise, leaking a phantom node row)
+        .localCheckpoint(eager=True)
+    )
     deg = out_degrees(e).localCheckpoint(eager=True)
     n = deg.count()
     if n == 0:

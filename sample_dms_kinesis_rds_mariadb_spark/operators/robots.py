@@ -140,7 +140,7 @@ def robots_filter(
         # column-valued pattern: RLIKE the SQL operator (the per-row
         # pattern compile is bounded by rules-per-domain; pre-group by
         # pattern if a single domain carries pathological rule counts)
-        .where(F.expr(f"{path_col} RLIKE _r_regex"))
+        .where(F.expr(f"`{path_col}` RLIKE _r_regex"))
         .groupBy(domain_col, path_col)
         .agg(
             F.max_by(

@@ -42,8 +42,13 @@ def _gunzip_members(blob: bytes) -> bytes:
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(blob[pos:])
-        out += d.flush()
+        try:
+            out += d.decompress(blob[pos:])
+            out += d.flush()
+        except zlib.error as exc:
+            raise ValueError(
+                f"WARC: corrupt gzip member at offset {pos}: {exc}"
+            ) from exc
         consumed = len(blob) - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("WARC: gzip member consumed no bytes")
