@@ -138,3 +138,46 @@ def sitemap_urls(col: Column) -> Column:
         col, F.lit(r"(?is)<loc\s*>\s*(?:<!\[CDATA\[)?([^<\]]+)"), 1
     )
     return F.transform(locs, lambda s: F.trim(s))
+
+
+# href + anchor-text in one pattern (groups 1/2); extracting each group
+# with the SAME pattern guarantees equal match counts, so arrays_zip is
+# positionally safe
+_ANCHOR_PATTERN = (
+    "(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"<>]*)\"[^>]*>(.*?)</a\\s*>"
+)
+
+
+def html_link_anchors(col: Column) -> Column:
+    """ARRAY<STRUCT<href,anchor>> of double-quoted links WITH their
+    anchor text (inner tags stripped, whitespace collapsed, trimmed) —
+    anchor text is the classic relevance/quality signal attached to
+    link-graph edges. Pure codegen: two ``regexp_extract_all`` passes
+    over one shared pattern + ``arrays_zip`` + a ``transform`` cleanup.
+    Single-quoted hrefs (see :func:`html_links`) are out of this
+    function's contract — the zip needs one pattern for positional
+    pairing."""
+    hrefs = F.regexp_extract_all(col, F.lit(_ANCHOR_PATTERN), 1)
+    texts = F.regexp_extract_all(col, F.lit(_ANCHOR_PATTERN), 2)
+    cleaned = F.transform(
+        texts,
+        lambda t: F.trim(
+            F.regexp_replace(
+                F.regexp_replace(t, r"(?s)<[^>]*>", " "), r"\s+", " "
+            )
+        ),
+    )
+    return F.arrays_zip(hrefs.alias("href"), cleaned.alias("anchor"))
+
+
+def py_html_link_anchors(html: str) -> list[tuple[str, str]]:
+    """Python mirror of :func:`html_link_anchors` for parity tests."""
+    import re
+
+    out = []
+    for href, text in re.findall(
+        r"(?is)<a\s[^>]*?href\s*=\s*\"([^\"<>]*)\"[^>]*>(.*?)</a\s*>", html
+    ):
+        t = re.sub(r"\s+", " ", re.sub(r"(?s)<[^>]*>", " ", text)).strip()
+        out.append((href, t))
+    return out

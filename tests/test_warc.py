@@ -177,3 +177,35 @@ def test_warc_to_text_pipeline_e2e(spark):
     # record identity survives: uri ↔ doc tail pairing
     one = [r for r in texts if r["target_uri"] == "https://site1.example/2"]
     assert len(one) == 1 and "doc 1-2 tail" in one[0]["text"]
+
+
+def test_html_link_anchors_parity(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.functions.html import (
+        html_link_anchors,
+        py_html_link_anchors,
+    )
+
+    docs = [
+        '<a href="https://a.ex/x">plain text</a> mid '
+        '<a class="k" href="https://b.ex/y"><b>bold</b> and <i>italic</i></a>'
+        '<a href="https://c.ex/z">  spaced\n  out  </a>',
+        '<a href="https://no.close/x">unclosed anchor',
+        "no anchors here",
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i long, html string"
+    )
+    got = {
+        r["i"]: [(p["href"], p["anchor"]) for p in r["pairs"]]
+        for r in df.select(
+            "i", html_link_anchors(F.col("html")).alias("pairs")
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == py_html_link_anchors(d), i
+    assert got[0] == [
+        ("https://a.ex/x", "plain text"),
+        ("https://b.ex/y", "bold and italic"),
+        ("https://c.ex/z", "spaced out"),
+    ]
+    assert got[1] == [] and got[2] == []
