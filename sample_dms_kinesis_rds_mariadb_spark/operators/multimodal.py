@@ -326,6 +326,63 @@ def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int, str
     return _decode_image_real(content)
 
 
+def decode_bmp(content: bytes) -> tuple[int, int, int, bytes]:
+    """FULL pixel decode of an uncompressed (BI_RGB) BMP — 24/32-bit
+    truecolor and 8-bit palette, both row orders (positive height =
+    bottom-up, negative = top-down), 4-byte row padding, BGR(A)→RGB(A).
+    Compressed BMPs (RLE/bitfields) raise NotImplementedError; malformed
+    headers raise ValueError."""
+    import numpy as np
+
+    if content[:2] != b"BM" or len(content) < 54:
+        raise ValueError("not a BMP (bad header)")
+    pix_off = int.from_bytes(content[10:14], "little")
+    width = int.from_bytes(content[18:22], "little", signed=True)
+    raw_h = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if width <= 0 or raw_h == 0:
+        raise ValueError(f"malformed BMP dimensions {width}x{raw_h}")
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} not supported (BI_RGB only)"
+        )
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported (8/24/32)")
+    height = abs(raw_h)
+    top_down = raw_h < 0
+    stride = (width * bpp // 8 + 3) & ~3
+    need = stride * height
+    if pix_off + need > len(content):
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=need, offset=pix_off
+    ).reshape(height, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette: BGRA quads between the info header and the pixels
+        hdr_size = int.from_bytes(content[14:18], "little")
+        pal_start = 14 + hdr_size
+        n_pal = max((pix_off - pal_start) // 4, 0)
+        if n_pal == 0:
+            raise ValueError("8-bit BMP missing color table")
+        pal = np.frombuffer(
+            content, dtype=np.uint8, count=n_pal * 4, offset=pal_start
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRx -> RGB
+        idx = rows[:, :width]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        return width, height, 3, pal[idx].tobytes()
+    ch = bpp // 8
+    px = rows[:, : width * ch].reshape(height, width, ch)
+    if ch == 3:
+        px = px[:, :, ::-1]  # BGR -> RGB
+    else:
+        px = px[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
+    return width, height, ch, np.ascontiguousarray(px).tobytes()
+
+
 def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
     if content[:2] in _PNM_MAGICS:
         channels, fmt = _PNM_MAGICS[content[:2]]
@@ -450,6 +507,13 @@ def resize_image(
             out_magic = b"P6" if out.shape[2] == 3 else b"P5"
             header = out_magic + b"\n%d %d\n255\n" % (width, height)
             return header + out.tobytes()
+        if content[:2] == b"BM":
+            w, h, channels, pixels = decode_bmp(content)
+            arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
+            arr = arr[:, :, : 3 if channels >= 3 else 1]  # drop alpha plane
+            out = _nn(arr, h, w)
+            header = b"P6" + b"\n%d %d\n255\n" % (width, height)
+            return header + out.tobytes()
         if content[:2] == b"\xff\xd8":
             from sample_dms_kinesis_rds_mariadb_spark.operators.jpeg import (
                 decode_jpeg,
@@ -484,7 +548,7 @@ def resize_image(
             header = out_magic + b"\n%d %d\n255\n" % (width, height)
             return header + out.tobytes()
         raise NotImplementedError(
-            "resize beyond binary PNM/PNG/JPEG/GIF/TIFF requires an image "
+            "resize beyond binary PNM/BMP/PNG/JPEG/GIF/TIFF requires an image "
             "library (PIL/opencv) — not available in this environment; "
             "pass fake=True for the deterministic test double"
         )
