@@ -46,13 +46,21 @@ def pagerank(
     damping: float = 0.85,
     max_iterations: int = 40,
     tol: float = 1e-6,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list → ``(node, rank)``, ranks
     summing to 1. Parallel edges count with their multiplicity
     (pre-``distinct()`` the edges for simple-graph semantics); dangling
-    nodes redistribute their mass uniformly (the standard convention).
-    Stops when the L1 rank change drops below ``tol`` or after
-    ``max_iterations`` synchronized rounds, whichever is first."""
+    nodes redistribute their mass to the teleport distribution. Stops
+    when the L1 rank change drops below ``tol`` or after
+    ``max_iterations`` synchronized rounds, whichever is first.
+
+    ``seeds`` (a one-column DataFrame of node ids) switches to
+    PERSONALIZED PageRank — the teleport (and dangling) mass lands
+    uniformly on the seed set instead of all nodes, the standard
+    seed-expansion move for crawl curation ("rank relative to trusted
+    domains"). Seeds absent from the graph are ignored; an empty
+    effective seed set raises."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     e = (
@@ -66,12 +74,35 @@ def pagerank(
     if n == 0:
         return deg.select("node", F.lit(0.0).alias("rank"))
 
+    # teleport weight per node: uniform 1/n, or 1/|seeds∩graph| on the
+    # seed set for personalized ranking (0 elsewhere)
+    if seeds is not None:
+        seed_col = seeds.columns[0]
+        sset = seeds.select(F.col(seed_col).alias("node")).distinct()
+        deg = deg.join(
+            sset.withColumn("_is_seed", F.lit(True)), "node", "left"
+        )
+        n_seeds = deg.where(F.col("_is_seed")).count()
+        if n_seeds == 0:
+            raise ValueError("no seed appears in the graph")
+        deg = deg.select(
+            "node",
+            "out_deg",
+            F.when(F.col("_is_seed"), 1.0 / n_seeds)
+            .otherwise(0.0)
+            .alias("teleport"),
+        ).localCheckpoint(eager=True)
+    else:
+        deg = deg.select(
+            "node", "out_deg", F.lit(1.0 / n).alias("teleport")
+        )
+
     # ranks carry out_deg so each round needs no extra degree join;
     # the first dangling mass comes from the init frame's own observe
     obs0 = Observation()
     ranks = (
         deg.select(
-            "node", "out_deg", F.lit(1.0 / n).alias("rank")
+            "node", "out_deg", "teleport", F.col("teleport").alias("rank")
         )
         .observe(
             obs0,
@@ -94,15 +125,17 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         obs = Observation()
-        base = (1.0 - damping) / n + damping * dangling / n
+        # teleport + dangling mass both follow the teleport distribution
+        scale = (1.0 - damping) + damping * dangling
         new_ranks = (
             ranks.join(contribs, "node", "left")
             .select(
                 "node",
                 "out_deg",
+                "teleport",
                 F.col("rank").alias("_old"),
                 (
-                    F.lit(base)
+                    F.lit(scale) * F.col("teleport")
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
             )
@@ -113,7 +146,7 @@ def pagerank(
                     F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)
                 ).alias("dangling"),
             )
-            .select("node", "out_deg", "rank")
+            .select("node", "out_deg", "teleport", "rank")
             .localCheckpoint(eager=True)
         )
         ranks = new_ranks

@@ -208,3 +208,42 @@ def parse_crawl_delay(content: str, agent: str = "*") -> float | None:
     if agent == "*" or not specific:
         specific = [d for agents, ds in groups if "*" in agents for d in ds]
     return max(specific) if specific else None
+
+
+def robots_rules_from_corpus(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Distributed rule compilation over a robots CORPUS table (one row
+    per domain, e.g. Common Crawl's robotstxt responses routed through
+    ``sources/warc.py``): the same parse as :func:`compile_robots_rules`
+    running inside Arrow-batched ``mapInPandas`` — partition-parallel,
+    nothing collected, output schema identical so :func:`robots_filter`
+    consumes either."""
+    import pandas as pd
+
+    def _compile(batches):
+        for pdf in batches:
+            rows = []
+            for domain, content in zip(pdf[domain_col], pdf[text_col]):
+                if content is None:
+                    continue
+                for allow, pattern in parse_robots(content, agent=agent):
+                    rows.append(
+                        {
+                            "domain": domain,
+                            "allow": allow,
+                            "pattern": pattern,
+                            "precedence": len(pattern),
+                            "regex": robots_pattern_regex(pattern),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ROBOTS_RULES_SCHEMA.fields]
+            )
+
+    return df.select(domain_col, text_col).mapInPandas(
+        _compile, schema=ROBOTS_RULES_SCHEMA
+    )

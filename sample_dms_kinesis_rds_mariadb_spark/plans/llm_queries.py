@@ -1829,3 +1829,58 @@ def q_nfc_normalized_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         norm(F.concat(F.col("text"), F.lit(suffix))).alias("norm_text"),
     ).orderBy("doc_id")
+
+
+@register(
+    "extracted_links",
+    "Anchor-href extraction (functions/html.py::html_links — both quote "
+    "styles, pure codegen regexp_extract_all) over HTML synthesized from "
+    "the documents table (one double-quoted and one single-quoted link "
+    "per doc, plus an href-less anchor as a negative): exploded (doc_id, "
+    "href) rows hash-match the oracle running the IDENTICAL patterns "
+    "through DuckDB's RE2 regexp_extract_all. EXTRA: oracle-checked by "
+    "the pytest parity harness outside the 50-cap catalog",
+    oracle="""
+        WITH pages AS (
+            SELECT doc_id,
+                   '<p>pre</p><a href="https://' || lower(source)
+                   || '.example/d/' || doc_id || '">t</a>'
+                   || '<a name=skip>no href</a>'
+                   || '<a class=''z'' href=''https://m.' || lower(source)
+                   || '.example/m/' || doc_id || '''><b>m</b></a>' AS html
+            FROM documents
+        )
+        SELECT doc_id, UNNEST(list_concat(
+            regexp_extract_all(html,
+                '(?is)<a\\s[^>]*?href\\s*=\\s*"([^"<>]*)"', 1),
+            regexp_extract_all(html,
+                '(?is)<a\\s[^>]*?href\\s*=\\s*''([^''<>]*)''', 1)
+        )) AS href
+        FROM pages
+        ORDER BY doc_id, href
+    """,
+    tags=("text",),
+    extra=True,
+)
+def q_extracted_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.html import html_links
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<p>pre</p><a href="https://'),
+        F.lower(F.col("source")),
+        F.lit(".example/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">t</a><a name=skip>no href</a>'
+              "<a class='z' href='https://m."),
+        F.lower(F.col("source")),
+        F.lit(".example/m/"),
+        F.col("doc_id").cast("string"),
+        F.lit("'><b>m</b></a>"),
+    )
+    return (
+        docs.select(
+            "doc_id", F.explode(html_links(html)).alias("href")
+        )
+        .orderBy("doc_id", "href")
+    )

@@ -167,3 +167,31 @@ def test_sitemap_urls_extraction(spark):
     df = spark.createDataFrame([(xml,)], "xml string")
     got = df.select(sitemap_urls(F.col("xml")).alias("u")).collect()[0]["u"]
     assert list(got) == ["https://ex.com/a", "https://ex.com/b?x=1"]
+
+
+def test_distributed_rule_compile_matches_driver_compile(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.robots import (
+        robots_rules_from_corpus,
+    )
+
+    corpus = [
+        ("a.example", ROBOTS),
+        ("b.example", "User-agent: *\nDisallow: /no/"),
+        ("c.example", None),  # fetched nothing: contributes no rules
+    ]
+    driver = compile_robots_rules(
+        spark, [(d, t) for d, t in corpus if t is not None], agent="*"
+    )
+    dist = robots_rules_from_corpus(
+        spark.createDataFrame(corpus, "domain string, robots_txt string"),
+        agent="*",
+    )
+    as_rows = lambda df: sorted(map(tuple, df.collect()))
+    assert as_rows(dist) == as_rows(driver)
+    # and it feeds robots_filter identically
+    urls = spark.createDataFrame(
+        [("a.example", "/public/x"), ("b.example", "/no/1")],
+        "domain string, path string",
+    )
+    got = {r["path"]: r["allowed"] for r in robots_filter(urls, dist).collect()}
+    assert got == {"/public/x": True, "/no/1": False}
