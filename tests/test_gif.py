@@ -169,3 +169,33 @@ def test_gif_resize_and_features_e2e(spark):
     assert (r["width"], r["height"], r["channels"], r["format"]) == (
         w, h, 3, "gif",
     )
+
+
+def test_gif_restore_previous_disposal():
+    """Disposal 3 (restore-to-previous): the frame's pixels show for its
+    own frame index, then the canvas reverts to the pre-frame state for
+    subsequent frames."""
+    w, h, n = 10, 8, 8
+    pal = _palette(n, seed=30)
+    base = _indices(w, h, n, seed=31)
+    overlay = _indices(4, 4, n, seed=32)
+    final = _indices(3, 2, n, seed=33)
+    frames = [
+        {"indices": base, "disposal": 1},
+        {  # temporary overlay: disposal 3 restores what was underneath
+            "indices": overlay, "left": 2, "top": 2,
+            "width": 4, "height": 4, "disposal": 3,
+        },
+        {"indices": final, "left": 0, "top": 0, "width": 3, "height": 2},
+    ]
+    blob = write_gif(frames, w, h, pal)
+    pal_arr = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+    base_arr = pal_arr[np.frombuffer(base, np.uint8).reshape(h, w)]
+    # frame 1 shows the overlay
+    want1 = base_arr.copy()
+    want1[2:6, 2:6] = pal_arr[np.frombuffer(overlay, np.uint8).reshape(4, 4)]
+    assert decode_gif(blob, frame=1)[3] == want1.tobytes()
+    # frame 2: overlay reverted to BASE pixels, new patch at origin
+    want2 = base_arr.copy()
+    want2[0:2, 0:3] = pal_arr[np.frombuffer(final, np.uint8).reshape(2, 3)]
+    assert decode_gif(blob, frame=2)[3] == want2.tobytes()
