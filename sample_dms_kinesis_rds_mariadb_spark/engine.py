@@ -207,9 +207,16 @@ class ReplicationEngine:
 
         s = canonical(src)
         t = canonical(tgt)
+        # order-independent fold: XOR, not SUM — xxhash64 spans the full
+        # signed-64 range, so a running SUM exits int64 almost surely once
+        # row counts are non-trivial and throws ARITHMETIC_OVERFLOW under
+        # the session's ANSI mode. XOR never overflows, stays a map-side
+        # partial aggregate, and rows are distinct per PK (the hash covers
+        # every column incl. the key), so XOR self-cancellation needs a
+        # genuine duplicate row — impossible here.
         agg = [
             F.count("*").alias("n"),
-            F.sum("_rowhash").alias("checksum"),
+            F.expr("bit_xor(_rowhash)").alias("checksum"),
         ]
         s_stats = s.agg(*agg).first()
         t_stats = t.agg(*agg).first()

@@ -1385,3 +1385,64 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "table_checksum",
+    "Order-independent per-group content checksum — the cross-engine mirror "
+    "of engine.validate_table's fold (engine.py canonical(): sorted columns, "
+    "null-safe \\x01-joined canonical string, hash, overflow-free "
+    "order-independent aggregate). DuckDB has no xxhash64, so both sides "
+    "hash with md5 and fold the first 15 hex chars (60 bits, < int64) as an "
+    "unbounded-precision SUM — proving the checksum MECHANISM survives "
+    "full-table row counts on an independent engine. Output rendered as "
+    "string (the parity harness rejects DECIMAL columns).",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(CONCAT('0x', SUBSTR(md5(
+                   CONCAT_WS(chr(1),
+                       COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'NULL'),
+                       COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'NULL'),
+                       COALESCE(o_orderstatus, chr(0) || 'NULL'),
+                       COALESCE(printf('%.2f', o_totalprice), chr(0) || 'NULL'),
+                       COALESCE(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                                chr(0) || 'NULL'),
+                       COALESCE(o_orderpriority, chr(0) || 'NULL')
+                   )), 1, 15)) AS BIGINT)) AS VARCHAR) AS content_checksum
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("validation", "agg"),
+    extra=True,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    canonical = F.concat_ws(
+        "\x01",
+        F.coalesce(F.col("o_orderkey").cast("string"), F.lit("\x00NULL")),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit("\x00NULL")),
+        F.coalesce(F.col("o_orderstatus"), F.lit("\x00NULL")),
+        F.coalesce(
+            F.format_string("%.2f", F.col("o_totalprice")), F.lit("\x00NULL")
+        ),
+        F.coalesce(
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"), F.lit("\x00NULL")
+        ),
+        F.coalesce(F.col("o_orderpriority"), F.lit("\x00NULL")),
+    )
+    return (
+        o.select(
+            "o_orderstatus",
+            F.conv(F.substring(F.md5(canonical), 1, 15), 16, 10)
+            .cast("decimal(38,0)")
+            .alias("_h"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("_h").cast("string").alias("content_checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )

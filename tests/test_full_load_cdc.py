@@ -275,3 +275,68 @@ def test_full_load_and_cdc_handoff(engine):
     engine.stop_task("flc-task")
     all_ops = [e["metadata"]["operation"] for e in engine.consume()]
     assert all_ops.count("load") == 2, "restart must not re-snapshot"
+
+
+def test_table_validation_checksum_survives_ansi_overflow(spark, tmp_path):
+    """Regression (round-8 verdict item 1): the order-independent content
+    checksum used to be SUM(xxhash64(...)) — full-range signed-64 values
+    whose running sum exits int64 almost surely once row counts are
+    non-trivial, throwing ARITHMETIC_OVERFLOW under the session's ANSI
+    mode. 20k deterministic rows (no timestamp defaults, so the hashes —
+    and the old code's overflow — are reproducible) make the old failure
+    certain; the XOR fold must validate cleanly and still catch a
+    single-row drift."""
+    from pyspark.sql import functions as F
+
+    spec = PipelineSpec(
+        endpoints=[EndpointSpec(EP, "memory", {"schema_name": DB_NAME})],
+        tasks=[],
+        shards=1,
+    )
+    eng = ReplicationEngine(spark, spec, str(tmp_path / "work"))
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("int").alias("row_id"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("payload"),
+        )
+        .cache()
+    )
+    df.count()
+    # certainty check for the OLD failure mode: the int64 running sum of
+    # these exact row hashes leaves [-2^63, 2^63) (computed overflow-free
+    # in decimal), so SUM-based checksumming could not have survived ANSI
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+        for c in sorted(df.columns)
+    ]
+    dec_sum = (
+        df.select(
+            F.xxhash64(F.concat_ws("\x01", *parts))
+            .cast("decimal(38,0)")
+            .alias("h")
+        )
+        .agg(F.sum("h").alias("s"))
+        .first()["s"]
+    )
+    assert abs(int(dec_sum)) >= 2**63, "fixture no longer overflow-certain"
+
+    eng.register_table(EP, DB_NAME, "wide_rows", df, primary_key="row_id")
+    eng.materializer.overwrite(DB_NAME, "wide_rows", df)
+
+    v = eng.validate_table(EP, DB_NAME, "wide_rows")
+    assert v["ValidationState"] == "Validated"
+    assert v["SourceRows"] == v["TargetRows"] == n
+    assert v["MismatchedRows"] == 0
+
+    drifted = df.withColumn(
+        "payload",
+        F.when(F.col("row_id") == 123, F.lit("tampered")).otherwise(
+            F.col("payload")
+        ),
+    )
+    eng.materializer.overwrite(DB_NAME, "wide_rows", drifted)
+    v = eng.validate_table(EP, DB_NAME, "wide_rows")
+    assert v["ValidationState"] == "Mismatched records"
+    assert v["MismatchedRows"] == 1
