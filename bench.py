@@ -11,6 +11,7 @@ session; timings are per-query wall clock.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -69,6 +70,40 @@ def main() -> None:
     # (pure-JVM arithmetic, no IO, no repo code) whose round-over-round
     # ratio estimates the host speed delta independent of any code change
     loadavg_start = list(os.getloadavg())
+
+    # exclusive-runs protocol guard (VERDICT r7 item 2: BENCH_r07 was taken
+    # under concurrent load and was unusable for cross-round deltas). A
+    # busy box at start → the reading is STAMPED contaminated rather than
+    # refused (refusing would lose the round's bench entirely; the stamp
+    # tells every later reader to ignore the deltas). Threshold overridable
+    # for boxes with a different core count.
+    load_limit = float(os.environ.get("SPARK_GRAFT_LOAD_LIMIT", "1.5"))
+    contaminated = loadavg_start[0] > load_limit
+    if contaminated:
+        print(
+            f"WARNING: loadavg {loadavg_start[0]:.2f} > {load_limit} at start — "
+            "exclusive-runs protocol violated; stamping contaminated=true",
+            file=sys.stderr,
+        )
+
+    # previous round's calibration for on-the-spot drift comparison: the
+    # highest-numbered BENCH_r*.json next to this script
+    calibration_prev = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if prev_benches:
+        try:
+            with open(prev_benches[-1]) as f:
+                prev = json.load(f)
+            # the driver wraps bench stdout in {"parsed": {...}, ...}
+            prev = prev.get("parsed", prev) or {}
+            calibration_prev = {
+                "file": os.path.basename(prev_benches[-1]),
+                "calibration_sec": prev.get("calibration_sec"),
+                "loadavg_start": (prev.get("loadavg") or {}).get("start"),
+            }
+        except Exception:
+            pass
 
     # warm up the JVM/codegen path AND the parquet reader stack (FS init,
     # footer reader classes) so per-query numbers measure the plan, not
@@ -437,6 +472,8 @@ def main() -> None:
                     "end": list(os.getloadavg()),
                 },
                 "calibration_sec": calibration_sec,
+                "calibration_prev": calibration_prev,
+                "contaminated": contaminated,
             }
         )
     )
