@@ -253,3 +253,92 @@ def test_quality_gates_single_scan_no_python(spark):
         assert "Exchange" not in plan, fn.__name__
         assert "EvalPython" not in plan, fn.__name__
         assert "Window" not in plan, fn.__name__
+
+def test_quality_gate_projections_codegen_contract(spark):
+    """VERDICT r7 item 3: gopher_repetition_flags builds 11 array
+    sort+fold aggregates in one projection — the worry was a silent
+    huge-method codegen fallback turning the gate into a per-row
+    interpreter at 100 TB. Investigation result (documented here as the
+    asserted contract): Spark's higher-order array functions
+    (transform/filter/aggregate lambdas) are CodegenFallback BY DESIGN —
+    any projection containing one is excluded from WholeStageCodegen no
+    matter how small, so "split into two projections" cannot help. What
+    the gates DO guarantee, and what this test pins:
+
+    1. runtime survives spark.sql.codegen.factoryMode=CODEGEN_ONLY — the
+       projection factory codegens; per-expression interpretation happens
+       only inside Spark's own HOF eval, never via a compile failure;
+    2. the ONLY codegen exclusion cause present is a higher-order lambda
+       (plan contains `lambdafunction`) — an accidental giant-method or
+       unsupported-expression fallback in a future edit would trip the
+       control assertion below;
+    3. a lambda-free projection of the same shape DOES get a WholeStage
+       codegen id — proving the detection machinery actually detects.
+    """
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        c4_quality_flags,
+        gopher_quality_flags,
+        gopher_repetition_flags,
+    )
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def project_has_codegen_id(plan: str) -> bool:
+        return any(
+            "codegen id" in ln
+            for ln in plan.splitlines()
+            if ln.strip().startswith("(") and "Project" in ln
+        )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    synth = spark.createDataFrame(
+        [
+            ("s1", "la " * 500),
+            ("s2", "\n".join(["same line"] * 40)),
+            ("s3", "\n\n".join(["para one", "para one", "para two"] * 10)),
+            ("s4", ""),
+            ("s5", None),
+        ],
+        "doc_id string, text string",
+    )
+    base = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text").unionByName(synth)
+    # plan probes run on a plain scan: AQE wraps union plans in an
+    # AdaptiveSparkPlan whose formatted explain omits codegen ids until
+    # the final plan materializes
+    scan = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # control: a lambda-free projection whole-stage-codegens — the
+    # "codegen id" probe is live, not vacuous
+    control = scan.select(
+        "doc_id", F.length(F.regexp_replace("text", r"\s+", " ")).alias("n")
+    )
+    assert project_has_codegen_id(plan_of(control))
+
+    prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try:
+        for fn in (gopher_quality_flags, c4_quality_flags, gopher_repetition_flags):
+            flags = fn(F.col("text"))
+            df = base.select("doc_id", *[c.alias(k) for k, c in flags.items()])
+            # CODEGEN_ONLY: a factory compile failure raises instead of
+            # silently degrading — execute to completion
+            assert df.count() == base.count(), fn.__name__
+
+            plan = plan_of(
+                scan.select("doc_id", *[c.alias(k) for k, c in flags.items()])
+            )
+            if not project_has_codegen_id(plan):
+                # exclusion must be attributable to the documented HOF
+                # limitation, nothing else
+                assert "lambdafunction" in plan, (fn.__name__, plan[:2000])
+    finally:
+        spark.conf.set("spark.sql.codegen.factoryMode", prev)
