@@ -15,24 +15,53 @@ import os
 
 from pyspark.sql import SparkSession
 
+_STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
 
 def get_session(
     app_name: str = "dms-spark-engine",
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``. Shuffle partitions
     default to the core count — for local mode there is no benefit to the
     stock 200; on a cluster callers pass an explicit value sized to the data.
+
+    ``state_store`` (or ``$SPARK_GRAFT_STATE_STORE``) picks the streaming
+    state-store backend: ``"hdfs"`` (default — every key's state lives on
+    the executor JVM heap between checkpoints) or ``"rocksdb"`` (state
+    spills to local SSD; the backend for production stateful streaming —
+    the before-image cache keeps one row image PER SOURCE KEY for the TTL
+    window, so at 10^9 hot keys the heap-backed store OOMs while RocksDB
+    pages; see SCALE.md's streaming-state sizing). The provider is a
+    runtime SQLConf — per-session here, but individual queries can flip it
+    via ``spark.conf.set`` before ``start()`` as the RocksDB tests do.
     """
     if cpus is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         n = os.cpu_count() or 8 if cpus == "*" else int(cpus)
         shuffle_partitions = max(int(n), 8)
+    if state_store is None:
+        state_store = os.environ.get("SPARK_GRAFT_STATE_STORE", "hdfs")
+    if state_store not in _STATE_STORE_PROVIDERS:
+        raise ValueError(
+            f"state_store must be one of {sorted(_STATE_STORE_PROVIDERS)}, "
+            f"got {state_store!r}"
+        )
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -56,6 +85,10 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            _STATE_STORE_PROVIDERS[state_store],
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
