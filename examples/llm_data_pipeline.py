@@ -92,33 +92,24 @@ def main() -> None:
         round(kept.agg(F.avg("clf_p")).first()[0], 4),
     )
 
-    # 2. exact dedup: keep lowest doc_id per normalized-content fingerprint
-    uniq = (
-        kept.groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
-    )
-    n_uniq = uniq.count()
+    # 2-3. the standard funnel in ONE call: audited quality gate → exact
+    # dedup → MinHash-LSH + exact-Jaccard + transitive-component near-dup
+    # removal → 13-gram benchmark decontamination. curate() composes the
+    # same operators the rest of this example drives individually (see
+    # sample_dms_kinesis_rds_mariadb_spark/pipeline.py; the equality of
+    # façade vs manual chain is pinned in tests/test_pipeline_facade.py).
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import curate
 
-    # 3. near-dup: LSH candidates → exact n-gram Jaccard ≥ 2/3
-    pairs = dedup.minhash_lsh_candidate_pairs(docs, "doc_id", "text")
-    sets = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size("sa") + F.size("sb") - inter
-    verified = (
-        pairs.join(sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
-        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
-        .filter(inter * 3 >= union * 2)
-        .select("id_a", "id_b")
+    eval_set = docs.select("doc_id", "text").limit(3)
+    result = curate(
+        docs.join(scored.select("doc_id", "is_quality"), "doc_id"),
+        gates={"quality": F.col("is_quality")},
+        dedup=("exact", "minhash"),
+        decontaminate_against=eval_set,
     )
-    # transitive clusters: A~B and B~C collapse to one keeper even when A
-    # and C never collided directly (connected components over the verified
-    # pair graph, hash-min label propagation)
-    survivors = dedup.dedup_connected(uniq, verified, "doc_id")
-    n_final = survivors.count()
-    print(
-        f"corpus: {n_docs} docs -> {kept.count()} quality -> "
-        f"{n_uniq} exact-unique -> {n_final} after near-dup removal"
-    )
+    survivors = result.corpus.select("doc_id")
+    print("curation funnel:", result.funnel)
+    n_final = dict(result.funnel)["dedup_minhash"]
 
     # 4. deterministic split + mixture: heldout never leaks into train
     # across re-runs (md5-bucket verdicts), and the corpus mixture is a
@@ -127,7 +118,7 @@ def main() -> None:
 
     train, heldout = sampling.split_train_heldout(survivors, "doc_id", 0.1)
     mixture = sampling.mix_corpora(
-        [(train, 1.0), (uniq.join(train, "doc_id", "left_semi"), 0.25)],
+        [(train, 1.0), (survivors.join(train, "doc_id", "left_semi"), 0.25)],
         "doc_id",
     )
     print(
@@ -156,11 +147,7 @@ def main() -> None:
             "trigram_rep": rep["dup_trigram_frac"] < 0.5,
         },
     )
-    # scrub anything overlapping the (stand-in) eval set at 13-gram level
-    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import decontaminate
-
-    eval_set = docs.select("doc_id", "text").limit(3)
-    candidates = decontaminate(candidates, eval_set, "doc_id", "text", n=13)
+    # (benchmark decontamination already ran inside curate() above)
     gated = sketches.filter_above_quantile(
         candidates.withColumn("score", F.length("text").cast("double")),
         "score",
@@ -232,6 +219,16 @@ def main() -> None:
     # 4f. leakage-safe split: near-dup clusters (the verified pair graph
     # from stage 3) land entirely on one side — a heldout doc can never
     # have a near-duplicate in train
+    pairs = dedup.minhash_lsh_candidate_pairs(docs, "doc_id", "text")
+    sets = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    verified = (
+        pairs.join(sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
+        .filter(inter * 3 >= union * 2)
+        .select("id_a", "id_b")
+    )
     safe = sampling.split_leakage_safe(survivors, verified, "doc_id", 0.1)
     print(
         "leakage-safe split:",

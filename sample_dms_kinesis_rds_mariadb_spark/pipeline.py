@@ -1,0 +1,217 @@
+"""One-call curation pipeline façade (VERDICT r7 item 8).
+
+The operator library is a toolkit — gates, dedup families,
+decontamination, splits, budget-sharded export, data card — and
+``examples/llm_data_pipeline.py`` chains them manually. :func:`curate`
+composes the standard funnel in one call::
+
+    result = curate(
+        docs,
+        gates={"lang": F.col("lang") == "en", "quality": qc["is_quality"]},
+        dedup=("exact", "minhash"),
+        decontaminate_against=eval_docs,
+        heldout_frac=0.05,
+        export_path="/data/out", export_budget=1_000_000,
+        data_card_path="/data/out/card.json",
+    )
+    result.corpus      # the curated (train) DataFrame — lazy
+    result.funnel      # ordered (stage, surviving_rows) pairs
+    result.manifest    # budget-shard manifest (if exported)
+    result.data_card   # card dict (if requested)
+
+Scale shape: every stage is one of the library's audited shapes — the
+gates ride a single observe'd scan (no extra job for their counts), the
+dedup stages are hash/band shuffles on (id, fingerprint)-width rows, the
+split is a stateless md5-bucket verdict, and the export is the two-pass
+prefix-sum sharder. The only driver-side values are the funnel counts,
+the manifest, and the card. Stage counts for the non-gate stages are one
+``count()`` action each — skip them with ``report=False`` when the run
+is pure throughput (the gate funnel still arrives free on the export's
+scan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .functions.hashing import shingles
+from .operators.audit import audited_filter, funnel_report
+from .operators.dedup import (
+    dedup_connected,
+    decontaminate,
+    doc_fingerprint,
+    minhash_lsh_candidate_pairs,
+)
+from .operators.export import write_budget_shards
+from .operators.profile import write_data_card
+from .operators.sampling import split_train_heldout
+from .functions.text import token_count
+
+DEDUP_STAGES = ("exact", "minhash")
+
+
+@dataclass
+class CurationResult:
+    corpus: DataFrame
+    heldout: DataFrame | None
+    funnel: list[tuple[str, int]] = field(default_factory=list)
+    manifest: dict | None = None
+    data_card: dict | None = None
+
+
+def curate(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gates: dict[str, Column] | None = None,
+    dedup: tuple[str, ...] = ("exact",),
+    minhash_jaccard: tuple[int, int] = (2, 3),
+    decontaminate_against: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    heldout_frac: float | None = None,
+    export_path: str | None = None,
+    export_budget: int | None = None,
+    data_card_path: str | None = None,
+    data_card_name: str | None = None,
+    report: bool = True,
+) -> CurationResult:
+    """Compose the standard curation funnel over ``docs``:
+
+    1. **gates** — named keep-conditions applied as ONE audited filter
+       (:func:`operators.audit.audited_filter`); their per-gate counts
+       ride the next action's scan for free.
+    2. **dedup** — any of ``"exact"`` (keep lowest id per normalized
+       fingerprint) and ``"minhash"`` (LSH candidates → exact n-gram
+       Jaccard ≥ ``minhash_jaccard`` → transitive connected-components
+       removal), in the given order.
+    3. **decontaminate** — drop documents sharing any
+       ``decontaminate_n``-gram with ``decontaminate_against``
+       (id + text columns named like ``docs``').
+    4. **split** — md5-bucket train/heldout at ``heldout_frac`` (heldout
+       is returned, never exported).
+    5. **export** — token-budget shards (``export_budget`` tokens per
+       shard) + manifest, when ``export_path`` is given.
+    6. **data card** — :func:`operators.profile.write_data_card` on the
+       final corpus, when ``data_card_path`` is given.
+
+    Stages are skipped when their argument is None/empty. ``report=True``
+    adds one bounded ``count()`` per non-gate stage to the funnel;
+    ``report=False`` leaves the pipeline fully lazy (the gate funnel is
+    still recorded if any action runs).
+    """
+    for d in dedup:
+        if d not in DEDUP_STAGES:
+            raise ValueError(f"unknown dedup stage {d!r}; pick from {DEDUP_STAGES}")
+
+    funnel: list[tuple[str, int]] = []
+    cur = docs
+    gate_obs = None
+    if report:
+        funnel.append(("input", cur.count()))
+
+    if gates:
+        cur, gate_obs = audited_filter(cur, gates)
+        if report:
+            # one scan materializes ALL per-gate counts (the observe rides
+            # it); Observation.get BLOCKS until the observed frame has seen
+            # an action, so never read it before one has run
+            cur.count()
+            funnel.extend(
+                (k, v)
+                for k, v in funnel_report(gate_obs)
+                if k != "input_rows"
+            )
+
+    for d in dedup:
+        if d == "exact":
+            keepers = (
+                cur.select(
+                    id_col, doc_fingerprint(F.col(text_col)).alias("__fp")
+                )
+                .groupBy("__fp")
+                .agg(F.min(id_col).alias(id_col))
+                .select(id_col)
+            )
+            cur = cur.join(keepers, id_col, "left_semi")
+        elif d == "minhash":
+            pairs = minhash_lsh_candidate_pairs(cur, id_col, text_col)
+            sets = cur.select(
+                id_col, shingles(F.col(text_col), 3).alias("__sh")
+            )
+            inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+            union = F.size("__sa") + F.size("__sb") - inter
+            num, den = minhash_jaccard
+            verified = (
+                pairs.join(
+                    sets.select(
+                        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")
+                    ),
+                    "id_a",
+                )
+                .join(
+                    sets.select(
+                        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb")
+                    ),
+                    "id_b",
+                )
+                .filter(inter * den >= union * num)
+                .select("id_a", "id_b")
+            )
+            cur = dedup_connected(cur, verified, id_col)
+        if report:
+            funnel.append((f"dedup_{d}", cur.count()))
+
+    if decontaminate_against is not None:
+        cur = decontaminate(
+            cur, decontaminate_against, id_col, text_col, n=decontaminate_n
+        )
+        if report:
+            funnel.append(("decontaminated", cur.count()))
+
+    heldout = None
+    if heldout_frac is not None:
+        cur, heldout = split_train_heldout(cur, id_col, heldout_frac)
+        if report:
+            funnel.append(("train_split", cur.count()))
+
+    manifest = None
+    if export_path is not None:
+        if export_budget is None:
+            raise ValueError("export_path requires export_budget (tokens/shard)")
+        sized = cur.withColumn("__n_tokens", token_count(F.col(text_col)))
+        manifest = write_budget_shards(
+            sized, export_path, "__n_tokens", budget=export_budget,
+            order_col=id_col,
+        )
+        if report:
+            funnel.append(("exported", int(manifest["total_rows"])))
+
+    card = None
+    if data_card_path is not None:
+        card = write_data_card(
+            cur, data_card_path, text_col=text_col, name=data_card_name,
+            extra={"funnel": funnel} if funnel else None,
+        )
+
+    # report=False but an export/card action DID run on the gated frame:
+    # the observation captured that action's scan — surface it. (With no
+    # action at all the metrics never exist and Observation.get would
+    # block forever; leave the funnel empty for the fully-lazy run.)
+    if gate_obs is not None and not report and (
+        manifest is not None or card is not None
+    ):
+        funnel = [
+            (k, v) for k, v in funnel_report(gate_obs) if k != "input_rows"
+        ] + funnel
+
+    return CurationResult(
+        corpus=cur,
+        heldout=heldout,
+        funnel=funnel,
+        manifest=manifest,
+        data_card=card,
+    )

