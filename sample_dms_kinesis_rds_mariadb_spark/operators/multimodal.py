@@ -31,6 +31,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sample_dms_kinesis_rds_mariadb_spark.operators.exif import (
+    image_orientation_icc,
+)
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -49,6 +53,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("channels", T.IntegerType()),
         T.StructField("format", T.StringType()),  # ppm|pgm|bmp|png|jpeg|gif|tiff|fake
         T.StructField("sha256", T.StringType()),
+        # EXIF orientation (1..8, JPEG/TIFF only) + embedded-ICC presence —
+        # the two fields curation filters on without a pixel decode
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("has_icc_profile", T.BooleanType(), False),
     ]
 )
 
@@ -663,6 +671,7 @@ def extract_image_features(df: DataFrame, fake_decode: bool = False) -> DataFram
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
                 width, height, channels, fmt = decode_image(blob, fake=fake_decode)
+                orientation, has_icc = image_orientation_icc(blob)
                 rows.append(
                     {
                         "media_id": media_id,
@@ -672,6 +681,8 @@ def extract_image_features(df: DataFrame, fake_decode: bool = False) -> DataFram
                         "channels": channels,
                         "format": fmt,
                         "sha256": hashlib.sha256(blob).hexdigest(),
+                        "orientation": orientation,
+                        "has_icc_profile": has_icc,
                     }
                 )
             yield pd.DataFrame(rows)

@@ -651,7 +651,9 @@ def q_winnowing_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                h AS height,
                3 AS channels,
                'ppm' AS format,
-               sha256(content) AS sha256
+               sha256(content) AS sha256,
+               CAST(NULL AS INT) AS orientation,
+               FALSE AS has_icc_profile
         FROM built ORDER BY media_id
     """,
     tags=("multimodal",),

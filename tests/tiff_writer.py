@@ -94,6 +94,7 @@ def write_tiff(
     colormap: list[int] | None = None,
     rows_per_strip: int | None = None,
     big_endian: bool = False,
+    extra_entries: list | None = None,
 ) -> bytes:
     """Minimal single-IFD TIFF: ``pixels`` is (h, w) gray / palette
     indices or (h, w, c) with c in (3, 4). compression: 1 none,
@@ -147,8 +148,12 @@ def write_tiff(
     if colormap is not None:
         entries.append((320, 3, len(colormap), list(colormap)))
 
+    # caller-supplied raw entries, e.g. (274, 3, 1, raw2bytes) orientation
+    # or (34675, 7, len(icc), icc_bytes) — raw VALUE bytes, not ints
+    extras = list(extra_entries or [])
+
     # layout: header(8) + IFD + out-of-line tag data + strips
-    n_entries = len(entries) + 2  # + StripOffsets + StripByteCounts
+    n_entries = len(entries) + 2 + len(extras)  # + StripOffsets/ByteCounts
     ifd_size = 2 + 12 * n_entries + 4
     data_pos = 8 + ifd_size
     extra = bytearray()
@@ -163,6 +168,10 @@ def write_tiff(
     pending = []
     for tag, typ, cnt, values in entries:
         raw = val_bytes(typ, values)
+        pending.append((tag, typ, cnt, raw))
+        if len(raw) > 4:
+            strip_pos += len(raw)
+    for tag, typ, cnt, raw in extras:
         pending.append((tag, typ, cnt, raw))
         if len(raw) > 4:
             strip_pos += len(raw)
