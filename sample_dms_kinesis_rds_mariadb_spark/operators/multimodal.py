@@ -335,11 +335,12 @@ def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int, str
 
 
 def decode_bmp(content: bytes) -> tuple[int, int, int, bytes]:
-    """FULL pixel decode of an uncompressed (BI_RGB) BMP — 24/32-bit
-    truecolor and 8-bit palette, both row orders (positive height =
-    bottom-up, negative = top-down), 4-byte row padding, BGR(A)→RGB(A).
-    Compressed BMPs (RLE/bitfields) raise NotImplementedError; malformed
-    headers raise ValueError."""
+    """FULL pixel decode of a BMP — uncompressed (BI_RGB) 24/32-bit
+    truecolor and 1/4/8-bit palette, plus RLE-compressed 8-bit (BI_RLE8)
+    and 4-bit (BI_RLE4) palette images, both row orders (positive
+    height = bottom-up, negative = top-down), 4-byte row padding,
+    BGR(A)→RGB(A). Bitfields compression (BI_BITFIELDS) raises
+    NotImplementedError; malformed headers raise ValueError."""
     import numpy as np
 
     if content[:2] != b"BM" or len(content) < 54:
@@ -351,15 +352,41 @@ def decode_bmp(content: bytes) -> tuple[int, int, int, bytes]:
     compression = int.from_bytes(content[30:34], "little")
     if width <= 0 or raw_h == 0:
         raise ValueError(f"malformed BMP dimensions {width}x{raw_h}")
-    if compression != 0:
+    if compression not in (0, 1, 2):
         raise NotImplementedError(
-            f"BMP compression {compression} not supported (BI_RGB only)"
+            f"BMP compression {compression} not supported (BI_RGB/BI_RLE8/BI_RLE4)"
         )
-    if bpp not in (8, 24, 32):
-        raise NotImplementedError(f"{bpp}-bit BMP not supported (8/24/32)")
+    if compression == 0 and bpp not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported (1/4/8/24/32)")
     height = abs(raw_h)
     top_down = raw_h < 0
-    stride = (width * bpp // 8 + 3) & ~3
+
+    def palette() -> np.ndarray:
+        # BGRA quads between the info header and the pixels
+        hdr_size = int.from_bytes(content[14:18], "little")
+        pal_start = 14 + hdr_size
+        n_pal = max((pix_off - pal_start) // 4, 0)
+        if n_pal == 0:
+            raise ValueError(f"{bpp}-bit BMP missing color table")
+        return np.frombuffer(
+            content, dtype=np.uint8, count=n_pal * 4, offset=pal_start
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRx -> RGB
+
+    if compression in (1, 2):
+        # BI_RLE8 / BI_RLE4: pairs of (count, value); count==0 escapes to
+        # end-of-line / end-of-bitmap / delta / absolute mode. The spec
+        # only defines RLE for bottom-up storage (positive height).
+        if (compression, bpp) not in ((1, 8), (2, 4)):
+            raise ValueError(f"BI_RLE{8 if compression == 1 else 4} with {bpp} bpp")
+        if top_down:
+            raise ValueError("RLE BMP must be bottom-up (positive height)")
+        idx = _decode_bmp_rle(content[pix_off:], width, height, rle4=compression == 2)
+        pal = palette()
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        return width, height, 3, pal[idx[::-1]].tobytes()
+
+    stride = (width * bpp + 31) // 32 * 4
     need = stride * height
     if pix_off + need > len(content):
         raise ValueError("BMP pixel data truncated")
@@ -368,18 +395,18 @@ def decode_bmp(content: bytes) -> tuple[int, int, int, bytes]:
     ).reshape(height, stride)
     if not top_down:
         rows = rows[::-1]
-    if bpp == 8:
-        # palette: BGRA quads between the info header and the pixels
-        hdr_size = int.from_bytes(content[14:18], "little")
-        pal_start = 14 + hdr_size
-        n_pal = max((pix_off - pal_start) // 4, 0)
-        if n_pal == 0:
-            raise ValueError("8-bit BMP missing color table")
-        pal = np.frombuffer(
-            content, dtype=np.uint8, count=n_pal * 4, offset=pal_start
-        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRx -> RGB
-        idx = rows[:, :width]
-        if int(idx.max(initial=0)) >= n_pal:
+    if bpp in (1, 4, 8):
+        pal = palette()
+        if bpp == 8:
+            idx = rows[:, :width]
+        elif bpp == 4:
+            nib = np.empty((height, stride * 2), dtype=np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0x0F
+            idx = nib[:, :width]
+        else:
+            idx = np.unpackbits(rows, axis=1)[:, :width]
+        if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("BMP palette index out of range")
         return width, height, 3, pal[idx].tobytes()
     ch = bpp // 8
@@ -389,6 +416,69 @@ def decode_bmp(content: bytes) -> tuple[int, int, int, bytes]:
     else:
         px = px[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
     return width, height, ch, np.ascontiguousarray(px).tobytes()
+
+
+def _decode_bmp_rle(data: bytes, width: int, height: int, rle4: bool):
+    """Expand a BI_RLE8/BI_RLE4 stream to a (height, width) uint8 index
+    array in STORAGE row order (row 0 = bottom row). Pixels never written
+    (skipped by end-of-line or delta escapes) stay palette index 0, the
+    conventional background fill. Encoded runs of RLE4 alternate the two
+    nibbles of the value byte; absolute mode packs literal nibbles
+    high-first and pads each literal block to a 2-byte boundary."""
+    import numpy as np
+
+    out = np.zeros((height, width), dtype=np.uint8)
+    x = y = pos = 0
+    while pos + 2 <= len(data):
+        count, val = data[pos], data[pos + 1]
+        pos += 2
+        if count > 0:  # encoded run
+            if y >= height:
+                raise ValueError("RLE BMP run past last row")
+            n = min(count, width - x)
+            if rle4:
+                pair = ((val >> 4, val & 0x0F) * ((n + 1) // 2))[:n]
+                out[y, x : x + n] = pair
+            else:
+                out[y, x : x + n] = val
+            x += n
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta: dx right, dy up (= toward later storage rows)
+            if pos + 2 > len(data):
+                raise ValueError("RLE BMP truncated delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > width or y > height:
+                raise ValueError("RLE BMP delta out of bounds")
+        else:  # absolute mode: val literal pixels, padded to 2-byte boundary
+            if y >= height:
+                raise ValueError("RLE BMP absolute run past last row")
+            n = min(val, width - x)
+            if rle4:
+                nbytes = (val + 1) // 2
+                if pos + nbytes > len(data):
+                    raise ValueError("RLE BMP truncated absolute run")
+                lit = data[pos : pos + nbytes]
+                nib = [
+                    (lit[i // 2] >> 4) if i % 2 == 0 else (lit[i // 2] & 0x0F)
+                    for i in range(val)
+                ]
+                out[y, x : x + n] = nib[:n]
+                pos += nbytes + (nbytes & 1)
+            else:
+                if pos + val > len(data):
+                    raise ValueError("RLE BMP truncated absolute run")
+                out[y, x : x + n] = np.frombuffer(
+                    data, dtype=np.uint8, count=val, offset=pos
+                )[:n]
+                pos += val + (val & 1)
+            x += n
+    raise ValueError("RLE BMP stream ended without end-of-bitmap escape")
 
 
 def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
