@@ -1,0 +1,203 @@
+"""MP4 / ISO base media file format (ISO/IEC 14496-12) metadata walk —
+spec-derived, no media library.
+
+Extracts the curation-relevant container surface without touching sample
+data: brand (ftyp), movie duration (mvhd, v0/v1), per-track kind +
+codec fourcc (tkhd/mdia/mdhd/hdlr/stsd), video dimensions, audio sample
+rate/channels, and iTunes-style ilst title/artist when present. QuickTime
+.mov shares the structure and parses identically.
+
+Sample decode (avc1/hev1/mp4a payloads) is a codec-library boundary —
+``NotImplementedError`` — same contract as the other media modules.
+
+At scale: a pure box-tree walk over byte offsets; per-payload bounded
+work inside Arrow-batched ``mapInPandas``
+(``multimodal.extract_media_metadata``), nothing collected.
+"""
+
+from __future__ import annotations
+
+
+def _boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end).
+    Handles 64-bit largesize (size==1) and to-end-of-file (size==0)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"malformed box {typ!r} at {pos}: size {size}")
+        yield typ, body, pos + size
+        pos += size
+
+
+def _find(data: bytes, start: int, end: int, typ: bytes):
+    for t, a, b in _boxes(data, start, end):
+        if t == typ:
+            return a, b
+    return None
+
+
+# container boxes the track walk descends through
+_ITUNES_KEYS = {b"\xa9nam": "title", b"\xa9ART": "artist", b"\xa9alb": "album"}
+
+
+def _parse_tracks(data: bytes, moov_a: int, moov_b: int) -> list[dict]:
+    tracks = []
+    for t, a, b in _boxes(data, moov_a, moov_b):
+        if t != b"trak":
+            continue
+        track: dict = {"kind": None, "codec": None, "width": None,
+                       "height": None, "sample_rate": None, "channels": None,
+                       "duration_sec": None}
+        mdia = _find(data, a, b, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
+        timescale = None
+        if mdhd is not None:
+            ver = data[mdhd[0]]
+            if ver == 1:
+                timescale = int.from_bytes(data[mdhd[0] + 20 : mdhd[0] + 24], "big")
+                dur = int.from_bytes(data[mdhd[0] + 24 : mdhd[0] + 32], "big")
+            else:
+                timescale = int.from_bytes(data[mdhd[0] + 12 : mdhd[0] + 16], "big")
+                dur = int.from_bytes(data[mdhd[0] + 16 : mdhd[0] + 20], "big")
+            if timescale:
+                track["duration_sec"] = dur / timescale
+        hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
+        if hdlr is not None:
+            handler = data[hdlr[0] + 8 : hdlr[0] + 12]
+            track["kind"] = {b"vide": "video", b"soun": "audio"}.get(
+                handler, handler.decode("latin-1").strip()
+            )
+        minf = _find(data, mdia[0], mdia[1], b"minf")
+        if minf is None:
+            tracks.append(track)
+            continue
+        stbl = _find(data, minf[0], minf[1], b"stbl")
+        stsd = _find(data, stbl[0], stbl[1], b"stsd") if stbl else None
+        if stsd is not None:
+            # stsd: version/flags (4) + entry_count (4), then sample entries
+            n = int.from_bytes(data[stsd[0] + 4 : stsd[0] + 8], "big")
+            if n >= 1:
+                for typ, ea, eb in _boxes(data, stsd[0] + 8, stsd[1]):
+                    track["codec"] = typ.decode("latin-1").strip()
+                    if track["kind"] == "video" and eb - ea >= 28:
+                        # VisualSampleEntry: 6 reserved + 2 data_ref_index +
+                        # 16 predefined/reserved, then width/height uint16
+                        track["width"] = int.from_bytes(
+                            data[ea + 24 : ea + 26], "big"
+                        )
+                        track["height"] = int.from_bytes(
+                            data[ea + 26 : ea + 28], "big"
+                        )
+                    elif track["kind"] == "audio" and eb - ea >= 28:
+                        # AudioSampleEntry: 6+2 then 8 reserved, channelcount
+                        # uint16, samplesize, predefined, reserved, then
+                        # samplerate as 16.16 fixed
+                        track["channels"] = int.from_bytes(
+                            data[ea + 16 : ea + 18], "big"
+                        )
+                        track["sample_rate"] = int.from_bytes(
+                            data[ea + 24 : ea + 26], "big"
+                        )
+                    break
+        tracks.append(track)
+    return tracks
+
+
+def _parse_ilst(data: bytes, moov_a: int, moov_b: int) -> dict:
+    """iTunes-style metadata: moov/udta/meta/ilst/<key>/data."""
+    udta = _find(data, moov_a, moov_b, b"udta")
+    if udta is None:
+        return {}
+    meta = _find(data, udta[0], udta[1], b"meta")
+    if meta is None:
+        return {}
+    # meta is a FullBox: 4 bytes version/flags precede its children
+    ilst = _find(data, meta[0] + 4, meta[1], b"ilst")
+    if ilst is None:
+        return {}
+    out = {}
+    for t, a, b in _boxes(data, ilst[0], ilst[1]):
+        key = _ITUNES_KEYS.get(t)
+        if key is None:
+            continue
+        d = _find(data, a, b, b"data")
+        if d is None:
+            continue
+        # data box: 4-byte type indicator (1 = UTF-8) + 4-byte locale
+        if int.from_bytes(data[d[0] : d[0] + 4], "big") == 1:
+            try:
+                out[key] = data[d[0] + 8 : d[1]].decode("utf-8")
+            except UnicodeDecodeError:
+                pass
+    return out
+
+
+def mp4_metadata(content: bytes) -> dict:
+    """Walk an MP4/MOV container.
+
+    Returns: container='mp4', brand, duration_sec (mvhd), tracks (list of
+    per-track dicts), width/height/codec of the first video track,
+    sample_rate/channels of the first audio track, tags (ilst
+    title/artist/album). Raises ValueError if there is no ftyp/moov
+    structure.
+    """
+    brand = None
+    moov = None
+    for typ, a, b in _boxes(content, 0, len(content)):
+        if typ == b"ftyp":
+            brand = content[a : a + 4].decode("latin-1").strip()
+        elif typ == b"moov":
+            moov = (a, b)
+    if moov is None:
+        # QuickTime allows moov-before-mdat and no ftyp; require moov at
+        # least — without it there is no container to describe
+        raise ValueError("not an ISO-BMFF file: no moov box")
+    mvhd = _find(content, moov[0], moov[1], b"mvhd")
+    duration = None
+    if mvhd is not None:
+        ver = content[mvhd[0]]
+        if ver == 1:
+            ts = int.from_bytes(content[mvhd[0] + 20 : mvhd[0] + 24], "big")
+            dur = int.from_bytes(content[mvhd[0] + 24 : mvhd[0] + 32], "big")
+        else:
+            ts = int.from_bytes(content[mvhd[0] + 12 : mvhd[0] + 16], "big")
+            dur = int.from_bytes(content[mvhd[0] + 16 : mvhd[0] + 20], "big")
+        if ts:
+            duration = dur / ts
+    tracks = _parse_tracks(content, moov[0], moov[1])
+    video = next((t for t in tracks if t["kind"] == "video"), None)
+    audio = next((t for t in tracks if t["kind"] == "audio"), None)
+    return {
+        "container": "mp4",
+        "brand": brand,
+        "duration_sec": duration,
+        "tracks": tracks,
+        "width": video["width"] if video else None,
+        "height": video["height"] if video else None,
+        "video_codec": video["codec"] if video else None,
+        "audio_codec": audio["codec"] if audio else None,
+        "sample_rate": audio["sample_rate"] if audio else None,
+        "channels": audio["channels"] if audio else None,
+        "tags": _parse_ilst(content, moov[0], moov[1]),
+    }
+
+
+def decode_mp4_samples(content: bytes) -> bytes:
+    """Sample (frame/audio) decode is a codec-library boundary — the
+    container walk (``mp4_metadata``) is the real, tested surface."""
+    raise NotImplementedError(
+        "MP4 sample decode requires codec libraries (H.264/AAC) — "
+        "mp4_metadata() extracts the container metadata for real"
+    )

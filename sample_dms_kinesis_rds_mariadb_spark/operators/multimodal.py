@@ -962,3 +962,133 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         "frame_no",
         (F.col("offset_step") * every_n_bytes).alias("byte_offset"),
     )
+
+
+MEDIA_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("container", T.StringType()),  # mp3|mp4|flac|ogg|wav|unknown
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("audio_codec", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+    ]
+)
+
+
+def media_container_metadata(content: bytes) -> dict:
+    """Dispatch a payload to the matching container parser (MP3 / MP4 /
+    FLAC / Ogg / WAV) and normalize to the MEDIA_METADATA_SCHEMA field
+    set. Unrecognized or malformed payloads come back as
+    container='unknown' with null fields — the curation contract is one
+    row per payload, never a throw (same spirit as fake-mode decode)."""
+    out = {
+        "container": "unknown", "duration_sec": None, "sample_rate": None,
+        "channels": None, "bitrate_kbps": None, "width": None, "height": None,
+        "video_codec": None, "audio_codec": None, "title": None, "artist": None,
+    }
+    try:
+        if content[:3] == b"ID3" or (
+            len(content) > 1 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0
+        ):
+            from sample_dms_kinesis_rds_mariadb_spark.operators.mp3 import (
+                mp3_metadata,
+            )
+
+            m = mp3_metadata(content)
+            out.update(
+                container="mp3",
+                duration_sec=m["duration_sec"],
+                sample_rate=m["sample_rate"],
+                channels=m["channels"],
+                bitrate_kbps=m["bitrate_kbps"],
+                audio_codec=f"mp{m['layer']}",
+                title=m["tags"].get("title"),
+                artist=m["tags"].get("artist"),
+            )
+        elif content[4:8] in (b"ftyp", b"moov", b"mdat", b"wide", b"free"):
+            from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import (
+                mp4_metadata,
+            )
+
+            m = mp4_metadata(content)
+            out.update(
+                container="mp4",
+                duration_sec=m["duration_sec"],
+                sample_rate=m["sample_rate"],
+                channels=m["channels"],
+                width=m["width"],
+                height=m["height"],
+                video_codec=m["video_codec"],
+                audio_codec=m["audio_codec"],
+                title=m["tags"].get("title"),
+                artist=m["tags"].get("artist"),
+            )
+        elif content[:4] == b"fLaC":
+            from sample_dms_kinesis_rds_mariadb_spark.operators.flac import (
+                flac_metadata,
+            )
+
+            m = flac_metadata(content)
+            out.update(
+                container="flac",
+                duration_sec=m["duration_sec"],
+                sample_rate=m["sample_rate"],
+                channels=m["channels"],
+                audio_codec="flac",
+                title=m["tags"].get("title"),
+                artist=m["tags"].get("artist"),
+            )
+        elif content[:4] == b"OggS":
+            from sample_dms_kinesis_rds_mariadb_spark.operators.ogg import (
+                ogg_metadata,
+            )
+
+            m = ogg_metadata(content)
+            out.update(
+                container="ogg",
+                duration_sec=m["duration_sec"],
+                sample_rate=m["sample_rate"],
+                channels=m["channels"],
+                audio_codec=m["codec"],
+            )
+        elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            rate, ch, bits, n_frames, _off, kind = decode_audio(content)
+            out.update(
+                container="wav",
+                duration_sec=n_frames / rate if rate else None,
+                sample_rate=rate,
+                channels=ch,
+                bitrate_kbps=rate * ch * bits / 1000 if rate else None,
+                audio_codec=kind,
+            )
+    except (ValueError, NotImplementedError, IndexError):
+        pass
+    return out
+
+
+def extract_media_metadata(df: DataFrame) -> DataFrame:
+    """Arrow-batched container-metadata extraction over MP3/MP4/FLAC/Ogg/
+    WAV payloads via ``mapInPandas`` — the audio/video-container twin of
+    ``extract_image_features``. One linear header walk per payload,
+    per input split, nothing collected."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                meta = media_container_metadata(blob)
+                rows.append({"media_id": media_id, "n_bytes": len(blob), **meta})
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(
+        _extract, schema=MEDIA_METADATA_SCHEMA
+    )

@@ -1,0 +1,382 @@
+"""MP3 / MP4 / FLAC / Ogg container metadata vs INDEPENDENT spec-composed
+writers — every fixture is built byte-by-byte from the published format
+layouts (ISO 11172-3 frame arithmetic, ISO 14496-12 boxes, RFC 9639
+STREAMINFO packing, RFC 3533/7845 pages), never from the parser under
+test."""
+
+import struct
+
+import pytest
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.flac import (
+    decode_flac_audio,
+    flac_metadata,
+)
+from sample_dms_kinesis_rds_mariadb_spark.operators.mp3 import (
+    decode_mp3_audio,
+    mp3_metadata,
+    parse_frame_header,
+    parse_id3v1,
+    parse_id3v2,
+)
+from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import (
+    decode_mp4_samples,
+    mp4_metadata,
+)
+from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+    media_container_metadata,
+)
+from sample_dms_kinesis_rds_mariadb_spark.operators.ogg import (
+    ogg_metadata,
+)
+
+
+# --- MP3 ------------------------------------------------------------------
+
+def mp3_frame(
+    bitrate_idx=9, sr_idx=0, padding=0, mono=False, mpeg1=True, layer3=True
+) -> bytes:
+    """One MPEG audio frame, header packed bit-by-bit per ISO 11172-3
+    §2.4.1.3, zero-filled payload of independently computed length.
+    Defaults: MPEG1 Layer III, bitrate index 9 (128 kbps), 44100 Hz."""
+    b1 = 0xFF
+    version = 0b11 if mpeg1 else 0b10
+    layer = 0b01 if layer3 else 0b10  # else Layer II
+    b2 = 0b11100000 | (version << 3) | (layer << 1) | 1  # no CRC
+    b3 = (bitrate_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b4 = (0b11 << 6) if mono else 0  # channel mode
+    hdr = bytes([b1, b2, b3, b4])
+    # independent length arithmetic (Layer II/III): SPF/8 * bitrate / rate
+    mpeg1_rates = (44100, 48000, 32000)
+    mpeg2_rates = (22050, 24000, 16000)
+    rate = (mpeg1_rates if mpeg1 else mpeg2_rates)[sr_idx]
+    l3_table = (
+        (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+        if mpeg1
+        else (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    )
+    l2_table = (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+    kbps = (l3_table if layer3 else l2_table)[bitrate_idx - 1]
+    spf = 1152 if (not layer3 or mpeg1) else 576
+    frame_len = spf // 8 * (kbps * 1000) // rate + padding
+    return hdr + b"\x00" * (frame_len - 4)
+
+
+def test_mp3_frame_header_fields():
+    h = parse_frame_header(mp3_frame()[:4])
+    assert (h["version"], h["layer"]) == ("1", 3)
+    assert (h["bitrate_kbps"], h["sample_rate"], h["channels"]) == (128, 44100, 2)
+    # 144 * 128000 / 44100 = 417 (truncated), no padding
+    assert h["frame_len"] == 417 and h["samples"] == 1152
+    h2 = parse_frame_header(mp3_frame(padding=1, mono=True)[:4])
+    assert h2["frame_len"] == 418 and h2["channels"] == 1
+    # MPEG2 Layer III: 576 samples, 72*kbps/rate
+    h3 = parse_frame_header(mp3_frame(mpeg1=False, bitrate_idx=4, sr_idx=0)[:4])
+    assert (h3["version"], h3["samples"]) == ("2", 576)
+    assert h3["frame_len"] == 72 * 32000 // 22050
+    with pytest.raises(ValueError):
+        parse_frame_header(b"\xff\xe0\x00\x00")  # reserved version bits...
+    with pytest.raises(ValueError):
+        parse_frame_header(b"\x00\x00\x00\x00")
+
+
+def test_mp3_cbr_walk_and_duration():
+    n = 25
+    blob = b"".join(mp3_frame() for _ in range(n))
+    m = mp3_metadata(blob)
+    assert m["n_frames"] == n and m["vbr"] is False
+    assert m["duration_sec"] == pytest.approx(n * 1152 / 44100)
+    assert m["bitrate_kbps"] == pytest.approx(128, rel=0.01)
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+
+
+def test_mp3_resync_over_junk():
+    blob = b"JUNK" + mp3_frame() + b"\xff\x00garbage" + mp3_frame()
+    m = mp3_metadata(blob)
+    assert m["n_frames"] == 2
+
+
+def xing_frame(n_frames: int, n_bytes: int) -> bytes:
+    """First frame carrying a Xing header (MPEG1 stereo: side info 32)."""
+    f = bytearray(mp3_frame())
+    off = 4 + 32
+    f[off : off + 4] = b"Xing"
+    f[off + 4 : off + 8] = struct.pack(">I", 0x3)  # frames|bytes
+    f[off + 8 : off + 12] = struct.pack(">I", n_frames)
+    f[off + 12 : off + 16] = struct.pack(">I", n_bytes)
+    return bytes(f)
+
+
+def test_mp3_xing_vbr_duration():
+    audio = b"".join(mp3_frame() for _ in range(5))
+    blob = xing_frame(1000, 500_000) + audio
+    m = mp3_metadata(blob)
+    # Xing wins over the walk: 1000 frames * 1152 / 44100
+    assert m["n_frames"] == 1000 and m["vbr"] is True
+    assert m["duration_sec"] == pytest.approx(1000 * 1152 / 44100)
+    assert m["bitrate_kbps"] == pytest.approx(
+        500_000 * 8 / (1000 * 1152 / 44100) / 1000
+    )
+
+
+def id3v2_tag(major=3, unsync=False) -> bytes:
+    """Independent ID3v2 writer: TIT2 (latin-1) + TPE1 (utf-16 BOM)."""
+
+    def frame(fid: bytes, payload: bytes) -> bytes:
+        if major == 2:
+            return fid[:3] + len(payload).to_bytes(3, "big") + payload
+        if major == 4:
+            sz = bytes(
+                (len(payload) >> s) & 0x7F for s in (21, 14, 7, 0)
+            )
+            return fid + sz + b"\x00\x00" + payload
+        return fid + struct.pack(">I", len(payload)) + b"\x00\x00" + payload
+
+    tit = b"TT2" if major == 2 else b"TIT2"
+    tpe = b"TP1" if major == 2 else b"TPE1"
+    body = frame(tit, b"\x00Spec Title") + frame(
+        tpe, b"\x01" + "Artist é".encode("utf-16")
+    )
+    if unsync:
+        body = body.replace(b"\xff", b"\xff\x00")
+    flags = 0x80 if unsync else 0
+    size = bytes(((len(body) >> s) & 0x7F) for s in (21, 14, 7, 0))
+    return b"ID3" + bytes([major, 0, flags]) + size + body
+
+
+@pytest.mark.parametrize("major", [2, 3, 4])
+def test_id3v2_versions(major):
+    tags, total = parse_id3v2(id3v2_tag(major=major))
+    assert tags == {"title": "Spec Title", "artist": "Artist é"}
+    assert total == len(id3v2_tag(major=major))
+
+
+def test_id3v2_unsync_and_id3v1_merge():
+    tags, _ = parse_id3v2(id3v2_tag(unsync=True))
+    assert tags["artist"] == "Artist é"  # utf-16 BOM FF FE survives
+    v1 = (
+        b"TAG" + b"Old Title".ljust(30, b"\x00") + b"Old Artist".ljust(30, b"\x00")
+        + b"Old Album".ljust(30, b"\x00") + b"1999" + b"\x00" * 30 + b"\xff"
+    )
+    assert parse_id3v1(v1 + b"x") == {}  # must be the LAST 128 bytes
+    blob = id3v2_tag() + mp3_frame() + v1
+    m = mp3_metadata(blob)
+    # v2 wins where both define a key; v1 fills the rest
+    assert m["tags"]["title"] == "Spec Title"
+    assert m["tags"]["album"] == "Old Album" and m["tags"]["year"] == "1999"
+    assert m["n_frames"] == 1
+
+
+def test_mp3_decode_boundary():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_mp3_audio(mp3_frame())
+
+
+# --- MP4 ------------------------------------------------------------------
+
+def box(typ: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return struct.pack(">I", 1) + typ + struct.pack(">Q", 16 + len(payload)) + payload
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def full(version: int, payload: bytes) -> bytes:
+    return bytes([version, 0, 0, 0]) + payload
+
+
+def mvhd(timescale: int, duration: int, v1: bool = False) -> bytes:
+    if v1:
+        body = full(1, struct.pack(">QQIQ", 0, 0, timescale, duration) + b"\x00" * 80)
+    else:
+        body = full(0, struct.pack(">IIII", 0, 0, timescale, duration) + b"\x00" * 80)
+    return box(b"mvhd", body)
+
+
+def video_trak(w: int, h: int, codec: bytes = b"avc1") -> bytes:
+    mdhd = box(b"mdhd", full(0, struct.pack(">IIII", 0, 0, 30000, 90000) + b"\x00\x00\x00\x00"))
+    hdlr = box(b"hdlr", full(0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"v\x00"))
+    entry = box(codec, b"\x00" * 24 + struct.pack(">HH", w, h) + b"\x00" * 50)
+    stsd = box(b"stsd", full(0, struct.pack(">I", 1) + entry))
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    return box(b"trak", mdia)
+
+
+def audio_trak(rate: int, ch: int, codec: bytes = b"mp4a") -> bytes:
+    mdhd = box(b"mdhd", full(1, struct.pack(">QQIQ", 0, 0, rate, rate * 7) + b"\x00\x00\x00\x00"))
+    hdlr = box(b"hdlr", full(0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"s\x00"))
+    # AudioSampleEntry: 6 reserved + 2 dri + 8 reserved + ch + samplesize
+    # + 4 predef/reserved + rate as 16.16
+    entry = box(
+        codec,
+        b"\x00" * 8 + b"\x00" * 8 + struct.pack(">HH", ch, 16)
+        + b"\x00" * 4 + struct.pack(">I", rate << 16),
+    )
+    stsd = box(b"stsd", full(0, struct.pack(">I", 1) + entry))
+    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", box(b"stbl", stsd)))
+    return box(b"trak", mdia)
+
+
+def ilst_tags(title: str, artist: str) -> bytes:
+    def item(key: bytes, val: str) -> bytes:
+        data = box(b"data", struct.pack(">II", 1, 0) + val.encode())
+        return box(key, data)
+
+    ilst = box(b"ilst", item(b"\xa9nam", title) + item(b"\xa9ART", artist))
+    meta = box(b"meta", full(0, box(b"hdlr", full(0, b"\x00" * 4 + b"mdir" + b"\x00" * 10)) + ilst))
+    return box(b"udta", meta)
+
+
+def test_mp4_full_walk():
+    moov = box(
+        b"moov",
+        mvhd(600, 4200) + video_trak(1920, 1080) + audio_trak(48000, 2)
+        + ilst_tags("A Film", "A Studio"),
+    )
+    blob = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + box(b"mdat", b"\x00" * 64)
+    m = mp4_metadata(blob)
+    assert m["brand"] == "isom" and m["duration_sec"] == pytest.approx(7.0)
+    assert (m["width"], m["height"], m["video_codec"]) == (1920, 1080, "avc1")
+    assert (m["sample_rate"], m["channels"], m["audio_codec"]) == (48000, 2, "mp4a")
+    assert m["tags"] == {"title": "A Film", "artist": "A Studio"}
+    kinds = [t["kind"] for t in m["tracks"]]
+    assert kinds == ["video", "audio"]
+    # per-track durations come from each mdhd timescale
+    assert m["tracks"][0]["duration_sec"] == pytest.approx(3.0)
+    assert m["tracks"][1]["duration_sec"] == pytest.approx(7.0)
+
+
+def test_mp4_v1_and_largesize():
+    moov = box(b"moov", mvhd(1000, 2500, v1=True), largesize=True)
+    blob = box(b"ftyp", b"mp42\x00\x00\x00\x00") + moov
+    m = mp4_metadata(blob)
+    assert m["brand"] == "mp42" and m["duration_sec"] == pytest.approx(2.5)
+    with pytest.raises(ValueError, match="moov"):
+        mp4_metadata(box(b"ftyp", b"isom") + box(b"mdat", b"xx"))
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_mp4_samples(blob)
+
+
+# --- FLAC -----------------------------------------------------------------
+
+def flac_blob(
+    rate=44100, ch=2, bps=16, total=441000, tags=None, md5=b"\xab" * 16
+) -> bytes:
+    packed = (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)        # min/max block size
+        + (0).to_bytes(3, "big")              # min frame size (unknown)
+        + (65535).to_bytes(3, "big")          # max frame size
+        + packed.to_bytes(8, "big")
+        + md5
+    )
+    assert len(streaminfo) == 34
+    blocks = bytes([0x00]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    if tags:
+        vendor = b"spec-writer"
+        comments = [f"{k}={v}".encode() for k, v in tags.items()]
+        vc = struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", len(comments))
+        for c in comments:
+            vc += struct.pack("<I", len(c)) + c
+        blocks += bytes([0x84]) + len(vc).to_bytes(3, "big") + vc
+    else:
+        blocks = bytes([0x80]) + blocks[1:]  # mark streaminfo last
+    return b"fLaC" + blocks
+
+
+def test_flac_streaminfo_and_tags():
+    m = flac_metadata(flac_blob(tags={"TITLE": "Song", "Artist": "Band", "x": "y"}))
+    assert (m["sample_rate"], m["channels"], m["bits_per_sample"]) == (44100, 2, 16)
+    assert m["total_samples"] == 441000
+    assert m["duration_sec"] == pytest.approx(10.0)
+    assert m["md5"] == "ab" * 16
+    assert m["tags"] == {"title": "Song", "artist": "Band"}
+    m2 = flac_metadata(flac_blob(rate=96000, ch=6, bps=24, total=96000 * 3))
+    assert (m2["sample_rate"], m2["channels"], m2["bits_per_sample"]) == (96000, 6, 24)
+    assert m2["duration_sec"] == pytest.approx(3.0)
+    with pytest.raises(ValueError, match="fLaC"):
+        flac_metadata(b"RIFF....")
+    with pytest.raises(NotImplementedError):
+        decode_flac_audio(flac_blob())
+
+
+# --- Ogg ------------------------------------------------------------------
+
+def ogg_page(serial: int, granule: int, payload: bytes, bos=False, seq=0) -> bytes:
+    segs = []
+    rest = len(payload)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    hdr = (
+        b"OggS" + bytes([0, 0x02 if bos else 0])
+        + struct.pack("<q", granule) + struct.pack("<I", serial)
+        + struct.pack("<I", seq) + b"\x00" * 4 + bytes([len(segs)]) + bytes(segs)
+    )
+    return hdr + payload
+
+
+def test_ogg_opus():
+    head = b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312) + struct.pack("<I", 48000) + b"\x00" * 3
+    blob = (
+        ogg_page(7, 0, head, bos=True)
+        + ogg_page(7, -1, b"OpusTags...", seq=1)
+        + ogg_page(7, 96312, b"\x00" * 100, seq=2)
+    )
+    m = ogg_metadata(blob)
+    assert (m["codec"], m["channels"], m["sample_rate"]) == ("opus", 2, 48000)
+    # (96312 - 312 preskip) / 48000
+    assert m["duration_sec"] == pytest.approx(2.0)
+
+
+def test_ogg_vorbis():
+    head = b"\x01vorbis" + struct.pack("<I", 0) + bytes([2]) + struct.pack("<I", 44100) + b"\x00" * 13
+    blob = ogg_page(3, 0, head, bos=True) + ogg_page(3, 88200, b"\x00" * 10, seq=1)
+    m = ogg_metadata(blob)
+    assert (m["codec"], m["channels"], m["sample_rate"]) == ("vorbis", 2, 44100)
+    assert m["duration_sec"] == pytest.approx(2.0)
+    with pytest.raises(ValueError, match="OggS"):
+        ogg_metadata(b"not ogg")
+
+
+# --- unified dispatch -----------------------------------------------------
+
+def test_media_container_dispatch():
+    assert media_container_metadata(flac_blob())["container"] == "flac"
+    assert media_container_metadata(b"".join(mp3_frame() for _ in range(3)))["container"] == "mp3"
+    blob = box(b"ftyp", b"isom\x00\x00\x00\x00") + box(b"moov", mvhd(600, 600))
+    assert media_container_metadata(blob)["container"] == "mp4"
+    m = media_container_metadata(b"garbage bytes here")
+    assert m["container"] == "unknown" and m["duration_sec"] is None
+    # id3-tagged mp3 with title flows through the unified row
+    tagged = id3v2_tag() + mp3_frame()
+    m2 = media_container_metadata(tagged)
+    assert m2["title"] == "Spec Title" and m2["audio_codec"] == "mp3"
+
+
+def test_extract_media_metadata_spark(spark):
+    """Unified container-metadata extraction as Arrow-batched mapInPandas:
+    one row per payload, mixed containers in one batch, unknowns kept."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        extract_media_metadata,
+    )
+
+    rows = [
+        (1, bytearray(id3v2_tag() + b"".join(mp3_frame() for _ in range(10)))),
+        (2, bytearray(flac_blob(tags={"TITLE": "FlacSong"}))),
+        (3, bytearray(
+            box(b"ftyp", b"isom\x00\x00\x00\x00")
+            + box(b"moov", mvhd(600, 1800) + video_trak(640, 480))
+        )),
+        (4, bytearray(b"not a media file at all")),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    out = {r["media_id"]: r for r in extract_media_metadata(media).collect()}
+    assert out[1]["container"] == "mp3" and out[1]["title"] == "Spec Title"
+    assert out[1]["duration_sec"] == pytest.approx(10 * 1152 / 44100)
+    assert out[2]["container"] == "flac" and out[2]["title"] == "FlacSong"
+    assert out[3]["container"] == "mp4" and out[3]["width"] == 640
+    assert out[3]["duration_sec"] == pytest.approx(3.0)
+    assert out[4]["container"] == "unknown" and out[4]["n_bytes"] == 23
