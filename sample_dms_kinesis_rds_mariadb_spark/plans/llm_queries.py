@@ -1185,6 +1185,132 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+# PQ: 8-entry seed-medoid codebooks over m=4 subspaces of the 64-dim
+# embeddings (dsub=16) — same SQL-reconstructable-medoid trick as IVF
+_PQ_MEDOID_IDS = [7, 61, 127, 199, 263, 331, 401, 467]
+_PQ_M = 4
+_PQ_DSUB = 16
+
+
+def _pq_adc_oracle_sql(medoid_ids: list[int], k: int = 10) -> str:
+    """DuckDB oracle for PQ ADC top-k: rebuild the seed-medoid codebooks by
+    slicing the SAME parquet rows, encode every corpus vector per subspace
+    with the bit-identical d2 argmin (ties to lowest cid — the IVF oracle's
+    machinery), then score by ADC cosine: Σ_j <p_j, c_j> over
+    sqrt(<p,p>)·sqrt(Σ_j <c_j,c_j>) — exactly the distance to the
+    reconstruction. ROUND(,6) absorbs the j-summation-order difference
+    between Spark's fixed left-to-right add chain and SQL SUM."""
+    values = ", ".join(f"({cid}, {mid})" for cid, mid in enumerate(medoid_ids))
+    subs = ", ".join(f"({j})" for j in range(1, _PQ_M + 1))
+    d = _PQ_DSUB
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        probe AS (SELECT v AS p FROM v WHERE vec_id = 0),
+        subs AS (SELECT j FROM (VALUES {subs}) AS s(j)),
+        med AS (
+          SELECT m.cid, v.v FROM (VALUES {values}) AS m(cid, mid)
+          JOIN v ON v.vec_id = m.mid
+        ),
+        books AS (
+          SELECT s.j, med.cid,
+                 list_slice(med.v, (s.j-1)*{d}+1, s.j*{d}) AS c
+          FROM subs s CROSS JOIN med
+        ),
+        slices AS (
+          SELECT c.vec_id, s.j,
+                 list_slice(c.v, (s.j-1)*{d}+1, s.j*{d}) AS sub
+          FROM (SELECT vec_id, v FROM v WHERE vec_id >= 5) c
+          CROSS JOIN subs s
+        ),
+        encoded AS (
+          SELECT vec_id, j, cid, c FROM (
+            SELECT sl.vec_id, sl.j, b.cid, b.c,
+                   row_number() OVER (
+                     PARTITION BY sl.vec_id, sl.j
+                     ORDER BY list_inner_product(sl.sub, sl.sub)
+                              - 2 * list_inner_product(sl.sub, b.c)
+                              + list_inner_product(b.c, b.c),
+                              b.cid
+                   ) AS rn
+            FROM slices sl JOIN books b ON b.j = sl.j
+          ) WHERE rn = 1
+        ),
+        scored AS (
+          SELECT e.vec_id,
+                 SUM(list_inner_product(
+                       list_slice(p.p, (e.j-1)*{d}+1, e.j*{d}), e.c)) AS ip,
+                 SUM(list_inner_product(e.c, e.c)) AS cc
+          FROM encoded e CROSS JOIN probe p
+          GROUP BY e.vec_id
+        ),
+        final AS (
+          SELECT s.vec_id,
+                 s.ip / (sqrt(list_inner_product(p.p, p.p)) * sqrt(s.cc))
+                   AS cosv
+          FROM scored s CROSS JOIN probe p
+        )
+        SELECT vec_id,
+               CAST(CAST(ROUND(cosv, 6) AS DECIMAL(18,6)) AS DOUBLE)
+                 AS adc_cosine,
+               CAST(rn AS INT) AS rank
+        FROM (
+          SELECT vec_id, cosv,
+                 ROW_NUMBER() OVER (ORDER BY cosv DESC, vec_id) AS rn
+          FROM final
+        ) WHERE rn <= {k}
+        ORDER BY rank
+    """
+
+
+@register(
+    "pq_adc_topk",
+    "Product-quantization ANN (operators/pq.py): seed-medoid codebooks over "
+    "4 subspaces, pure-JVM per-subspace encode (no UDF), asymmetric-distance "
+    "cosine top-k where a row's score is EXACTLY the probe-to-reconstruction "
+    "cosine — codes are 4 bytes vs 512, and the embedding column is never "
+    "read at probe time. EXTRA: oracle-checked by the pytest parity harness "
+    "outside the 50-cap catalog",
+    oracle=_pq_adc_oracle_sql(_PQ_MEDOID_IDS),
+    tags=("similarity",),
+    extra=True,
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.vectors import (
+        to_double_array,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.medoid_pq_codebooks(emb, _PQ_MEDOID_IDS, m=_PQ_M)
+    probe = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(to_double_array(F.col("embedding")))
+        .first()[0]
+    ]
+    codes = pq.pq_encode(emb.filter(F.col("vec_id") >= 5), books)
+    out = pq.pq_adc_topk(codes, books, probe, k=10, metric="cosine")
+    w = F.row_number().over(
+        Window.orderBy(F.col("adc_cosine").desc(), F.col("vec_id"))
+    )
+    return (
+        out.withColumn("rank", w)
+        .select(
+            "vec_id",
+            F.round(F.col("adc_cosine"), 6)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("adc_cosine"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
 @register(
     "cap_per_group_sources",
     "Per-source document cap (operators/sampling.py cap_per_group) run "

@@ -1,0 +1,128 @@
+"""Product quantization vs independent numpy references: encode must pick
+the truly-nearest codebook entry per subspace (brute force over the
+books), ADC distances must equal scoring the RECONSTRUCTION exactly (the
+defining PQ identity), recall through the coarse→rerank path, and the
+no-UDF / pruned-scan / TakeOrdered plan shape."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.operators import pq as pqm
+from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import (
+    brute_force_topk,
+)
+
+
+def _corpus(spark, n=120, dim=8, seed=0, n_clusters=6):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 5, (n_clusters, dim))
+    vecs = centers[rng.integers(0, n_clusters, n)] + rng.normal(0, 0.4, (n, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>"),
+        vecs,
+    )
+
+
+@pytest.fixture(scope="module")
+def pq_setup(spark):
+    df, vecs = _corpus(spark)
+    books = pqm.train_pq(df, m=4, k=8, seed=7)
+    return df, vecs, books
+
+
+def test_train_pq_shapes_and_dim_check(spark, pq_setup):
+    df, vecs, books = pq_setup
+    assert len(books) == 4
+    assert all(len(b) == 8 for b in books)
+    assert all(len(c) == 2 for b in books for c in b)
+    with pytest.raises(ValueError, match="divisible"):
+        pqm.train_pq(df, m=3)
+
+
+def test_pq_encode_matches_numpy_argmin(spark, pq_setup):
+    df, vecs, books = pq_setup
+    got = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pqm.pq_encode(df, books).collect()
+    }
+    for i, v in enumerate(vecs):
+        want = []
+        for j, book in enumerate(books):
+            sub = v[j * 2 : (j + 1) * 2]
+            d2 = [float(np.sum((sub - np.array(c)) ** 2)) for c in book]
+            want.append(int(np.argmin(d2)))
+        assert got[i] == want, f"row {i}"
+
+
+def test_adc_equals_reconstruction_distance(spark, pq_setup):
+    df, vecs, books = pq_setup
+    codes = pqm.pq_encode(df, books)
+    probe = [float(x) for x in vecs[0]]
+    l2 = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pqm.pq_adc_topk(codes, books, probe, k=120, metric="l2").collect()
+    }
+    cos = {
+        r["vec_id"]: r["adc_cosine"]
+        for r in pqm.pq_adc_topk(codes, books, probe, k=120, metric="cosine").collect()
+    }
+    ip = {
+        r["vec_id"]: r["adc_ip"]
+        for r in pqm.pq_adc_topk(codes, books, probe, k=120, metric="ip").collect()
+    }
+    code_by_id = {r["vec_id"]: list(r["pq_code"]) for r in codes.collect()}
+    p = np.array(probe)
+    for vid, code in code_by_id.items():
+        recon = np.array(pqm.pq_reconstruct(code, books))
+        assert l2[vid] == pytest.approx(float(np.sum((p - recon) ** 2)), rel=1e-12)
+        assert ip[vid] == pytest.approx(float(p @ recon), rel=1e-12)
+        want_cos = float(
+            p @ recon / (math.sqrt(p @ p) * math.sqrt(recon @ recon))
+        )
+        assert cos[vid] == pytest.approx(want_cos, rel=1e-12)
+
+
+def test_pq_compression_recall_and_rerank(spark, pq_setup):
+    df, vecs, books = pq_setup
+    probe = [float(x) for x in vecs[3]]
+    exact_ids = {r["vec_id"] for r in brute_force_topk(df, probe, k=10).collect()}
+    # coarse ADC alone: approximate — measure, expect clustered data to
+    # keep most of the neighborhood
+    coarse = pqm.pq_adc_topk(pqm.pq_encode(df, books), books, probe, k=10)
+    coarse_ids = {r["vec_id"] for r in coarse.collect()}
+    r_coarse = len(coarse_ids & exact_ids) / len(exact_ids)
+    # rerank re-scores 4x candidates exactly: recall must not drop
+    rerank = pqm.pq_topk_rerank(df, books, probe, k=10, coarse_factor=4)
+    rerank_ids = {r["vec_id"] for r in rerank.collect()}
+    r_rerank = len(rerank_ids & exact_ids) / len(exact_ids)
+    assert r_coarse >= 0.5
+    assert r_rerank >= r_coarse
+    assert r_rerank >= 0.7
+    # rerank scores are EXACT cosines: spot-check against numpy
+    p = np.array(probe)
+    for r in rerank.collect():
+        v = vecs[r["vec_id"]]
+        want = float(p @ v / (np.linalg.norm(p) * np.linalg.norm(v)))
+        assert r["cosine_sim"] == pytest.approx(want, rel=1e-9)
+
+
+def test_pq_medoid_codebooks_and_plan_shape(spark, pq_setup):
+    df, vecs, books_ = pq_setup
+    books = pqm.medoid_pq_codebooks(df, [0, 5, 9], m=4)
+    # codebook entries are exactly the medoid rows' slices
+    for j in range(4):
+        for c, mid in enumerate([0, 5, 9]):
+            assert books[j][c] == pytest.approx(
+                [float(x) for x in vecs[mid][j * 2 : (j + 1) * 2]]
+            )
+    codes = pqm.pq_encode(df, books)
+    out = pqm.pq_adc_topk(codes, books, [float(x) for x in vecs[1]], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert out.count() == 5
