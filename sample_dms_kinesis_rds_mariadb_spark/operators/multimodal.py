@@ -542,12 +542,52 @@ def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
 
         width, height, channels = tiff_header(content)
         return width, height, channels, "tiff"
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        width, height, channels = webp_header(content)
+        return width, height, channels, "webp"
     raise NotImplementedError(
         "unrecognized compressed image format — PPM/PGM/BMP/PNG/JPEG "
         "decode for real (stdlib + numpy), other formats need an image "
         "library this environment doesn't have; pass fake=True for the "
         "deterministic test double"
     )
+
+
+def webp_header(content: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a WebP container — all three frame
+    layouts per the WebP container/bitstream specs: 'VP8 ' lossy (start
+    code 9D 01 2A, 14-bit dims), 'VP8L' lossless (0x2F signature, packed
+    14-bit dims + alpha bit), 'VP8X' extended (24-bit canvas dims, alpha
+    flag). Pixel decode stays a codec boundary (VP8 arithmetic decoder)."""
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WebP chunk")
+        if cid == b"VP8 ":
+            # 3-byte frame tag, then the keyframe start code
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 keyframe start code missing")
+            width = int.from_bytes(body[6:8], "little") & 0x3FFF
+            height = int.from_bytes(body[8:10], "little") & 0x3FFF
+            return width, height, 3
+        if cid == b"VP8L":
+            if body[0] != 0x2F:
+                raise ValueError("VP8L signature byte missing")
+            bits = int.from_bytes(body[1:5], "little")
+            width = (bits & 0x3FFF) + 1
+            height = ((bits >> 14) & 0x3FFF) + 1
+            alpha = (bits >> 28) & 1
+            return width, height, 4 if alpha else 3
+        if cid == b"VP8X":
+            flags = body[0]
+            width = int.from_bytes(body[4:7], "little") + 1
+            height = int.from_bytes(body[7:10], "little") + 1
+            return width, height, 4 if flags & 0x10 else 3
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    raise ValueError("WebP container has no VP8/VP8L/VP8X chunk")
 
 
 def _parse_pnm_binary(content: bytes) -> tuple[int, int, int, int]:

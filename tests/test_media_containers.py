@@ -380,3 +380,42 @@ def test_extract_media_metadata_spark(spark):
     assert out[3]["container"] == "mp4" and out[3]["width"] == 640
     assert out[3]["duration_sec"] == pytest.approx(3.0)
     assert out[4]["container"] == "unknown" and out[4]["n_bytes"] == 23
+
+
+# --- WebP -----------------------------------------------------------------
+
+def _webp(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    body = b"WEBP"
+    for cid, payload in chunks:
+        body += cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_webp_header_all_layouts():
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        decode_image,
+        webp_header,
+    )
+
+    # VP8 lossy: 3-byte frame tag + 9D 01 2A + dims (320x240)
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
+    blob = _webp([(b"VP8 ", vp8 + b"\x00" * 10)])
+    assert webp_header(blob) == (320, 240, 3)
+    assert decode_image(blob) == (320, 240, 3, "webp")
+    # VP8L lossless: 0x2F + packed 14-bit (w-1, h-1) + alpha bit
+    w, h = 100, 50
+    bits = (w - 1) | ((h - 1) << 14) | (1 << 28)
+    blob_l = _webp([(b"VP8L", bytes([0x2F]) + struct.pack("<I", bits))])
+    assert webp_header(blob_l) == (100, 50, 4)
+    # VP8X extended: alpha flag + 24-bit canvas dims
+    vp8x = bytes([0x10, 0, 0, 0]) + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little")
+    blob_x = _webp([(b"VP8X", vp8x), (b"VP8 ", vp8 + b"\x00" * 4)])
+    assert webp_header(blob_x) == (1920, 1080, 4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="start code"):
+        webp_header(_webp([(b"VP8 ", b"\x00" * 12)]))
+    with _pytest.raises(ValueError, match="no VP8"):
+        webp_header(_webp([(b"EXIF", b"\x00\x00")]))
