@@ -343,6 +343,43 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     timings["hard_negatives"] = round(time.perf_counter() - t0, 3)
 
+    # 11) PQ ANN (r8): seed-medoid codebooks (bounded driver read) →
+    # pure-JVM per-subspace encode → ADC cosine over 8-byte codes →
+    # exact rerank of the 4x candidate slice — the compressed-corpus
+    # probe path (codes are m bytes vs 4·dim; the embedding column is
+    # read only for the rerank candidates)
+    from sample_dms_kinesis_rds_mariadb_spark.operators import pq as _pqm
+
+    _n_emb = _emb.count()  # vec_id is 0..n-1 in the testdata tables
+    _pq_medoids = [(i * max(_n_emb // 16, 1) + 7) % _n_emb for i in range(16)]
+    t0 = time.perf_counter()
+    _books = _pqm.medoid_pq_codebooks(_emb, _pq_medoids, m=8)
+    _pqm.pq_topk_rerank(
+        _emb, _books, _probe, k=20, coarse_factor=4
+    ).write.mode("overwrite").format("noop").save()
+    timings["pq_adc_rerank"] = round(time.perf_counter() - t0, 3)
+
+    # 12) WordPiece tokenizer: training is ONE distributed piece-count
+    # scan + driver merge loop; inference is the Arrow-batched greedy
+    # longest-match pass over the corpus
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        bpe_pretokenize,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.functions.tokenizers import (
+        make_wordpiece_tokenizer,
+        train_wordpiece,
+    )
+
+    t0 = time.perf_counter()
+    _wp_vocab = train_wordpiece(_docs, "text", vocab_size=512)
+    timings["wordpiece_train"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _wp_tok = make_wordpiece_tokenizer(spark, _wp_vocab)
+    _docs.select(
+        "doc_id", F.size(_wp_tok(bpe_pretokenize(F.col("text")))).alias("n")
+    ).write.mode("overwrite").format("noop").save()
+    timings["wordpiece_tokenize"] = round(time.perf_counter() - t0, 3)
+
     # 10) WARC→curation front door (VERDICT r7 item 5): multi-member-gzip
     # WARC corpus → warc_records (Arrow mapInPandas) → html_to_text →
     # Gopher quality gate, measured as records/s and compressed bytes/s.
