@@ -12,6 +12,8 @@ DataFrame providers:
 - ``jdbc``: ``spark.read.jdbc`` options passthrough (credential fields may be
   late-bound through ``credential_provider``) — the direct analog of the
   reference's MySQL source endpoint (S3).
+- ``orc``: same layout with ``<table>.orc`` — Spark-builtin columnar
+  alternative; pushdown/pruning behave like parquet.
 - ``jsonl`` / ``csv``: a directory of ``<table>.jsonl`` / ``<table>.csv``
   files — the wire formats raw corpora actually arrive in. Pass explicit
   per-table DDL via ``options["schemas"]`` (``{table: "col TYPE, ..."}``):
@@ -42,7 +44,7 @@ class SourceCatalog:
         self.credential_provider: Callable[[str], dict] | None = None
 
     def register_endpoint(self, spec: EndpointSpec) -> None:
-        if spec.engine not in ("parquet", "memory", "jdbc", "jsonl", "csv"):
+        if spec.engine not in ("parquet", "orc", "memory", "jdbc", "jsonl", "csv"):
             raise ValueError(f"unsupported endpoint engine: {spec.engine!r}")
         self._endpoints[spec.name] = spec
 
@@ -60,7 +62,7 @@ class SourceCatalog:
             return sorted(
                 (s, t) for (e, s, t) in self._memory if e == endpoint
             )
-        if spec.engine in ("parquet", "jsonl", "csv"):
+        if spec.engine in ("parquet", "orc", "jsonl", "csv"):
             suffix = f".{spec.engine}"
             schema = spec.options.get("schema_name", "main")
             path = spec.options["path"]
@@ -89,6 +91,14 @@ class SourceCatalog:
         if spec.engine == "parquet":
             return self.spark.read.parquet(
                 os.path.join(spec.options["path"], f"{table}.parquet")
+            )
+        if spec.engine == "orc":
+            # ORC is Spark-builtin (no extra package) and columnar like
+            # parquet: predicate pushdown + column pruning both apply, so
+            # a table graduating from csv/jsonl staging keeps its scan
+            # characteristics either way
+            return self.spark.read.orc(
+                os.path.join(spec.options["path"], f"{table}.orc")
             )
         if spec.engine in ("jsonl", "csv"):
             path = os.path.join(
