@@ -423,3 +423,59 @@ def make_unigram_tokenizer(spark, logp: dict[str, float], max_piece_len: int = 8
 
     ug_tokenizer.__annotations__ = {"pretokens": pd.Series, "return": pd.Series}
     return pandas_udf("array<string>")(ug_tokenizer)
+
+
+# --- artifact interchange -------------------------------------------------
+
+
+def save_wordpiece_vocab(vocab: list[str], path: str) -> None:
+    """Write a WordPiece vocabulary in the BERT ``vocab.txt`` convention:
+    one token per line, line number = token id — drops into any BERT-style
+    tokenizer, and their files load here. Tokens containing newlines are
+    unrepresentable and raise."""
+    for t in vocab:
+        if "\n" in t or "\r" in t:
+            raise ValueError(f"token {t!r} not representable in vocab.txt")
+    with open(path, "w", encoding="utf-8") as f:
+        for t in vocab:
+            f.write(t + "\n")
+
+
+def load_wordpiece_vocab(path: str) -> list[str]:
+    """Read a BERT-style ``vocab.txt`` (one token per line, id = line
+    number). Blank interior lines are preserved as tokens only when BERT
+    files do so; trailing newline is not a token."""
+    with open(path, encoding="utf-8") as f:
+        lines = f.read().split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    return lines
+
+
+def save_unigram_model(logp: dict[str, float], path: str) -> None:
+    """Write a unigram model in the SentencePiece-export convention: one
+    ``token<TAB>log_prob`` per line, sorted by descending probability then
+    token (deterministic files). ``repr``-precision floats round-trip
+    bit-exactly through ``load_unigram_model``."""
+    for t in logp:
+        if "\n" in t or "\t" in t or "\r" in t:
+            raise ValueError(f"token {t!r} not representable in model tsv")
+    with open(path, "w", encoding="utf-8") as f:
+        for t in sorted(logp, key=lambda t: (-logp[t], t)):
+            f.write(f"{t}\t{logp[t]!r}\n")
+
+
+def load_unigram_model(path: str) -> dict[str, float]:
+    """Read a ``token<TAB>log_prob`` model file back into the dict
+    :func:`unigram_tokenize` / :func:`make_unigram_tokenizer` consume."""
+    out: dict[str, float] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            tok, _, lp = line.partition("\t")
+            if not lp:
+                raise ValueError(f"malformed unigram model line: {line!r}")
+            out[tok] = float(lp)
+    return out

@@ -242,3 +242,38 @@ def test_unigram_tokenize_and_spark_parity(spark):
         assert list(r["toks"]) == expect
         # lossless: concatenation reconstructs the pretokens
         assert "".join(r["toks"]) == "".join(_PY_PRETOKEN.findall(r["text"]))
+
+
+def test_artifact_interchange_roundtrip(spark, tmp_path):
+    """vocab.txt (BERT convention) and unigram tsv round-trip exactly;
+    a tokenizer rebuilt from the loaded artifacts segments identically."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.tokenizers import (
+        load_unigram_model,
+        load_wordpiece_vocab,
+        save_unigram_model,
+        save_wordpiece_vocab,
+    )
+
+    texts = _random_corpus(19)
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    vocab = train_wordpiece(df, "text", 60)
+    vp = tmp_path / "vocab.txt"
+    save_wordpiece_vocab(vocab, str(vp))
+    loaded = load_wordpiece_vocab(str(vp))
+    assert loaded == vocab
+    # ids are line numbers: the BERT contract
+    assert loaded.index("[UNK]") == vocab.index("[UNK]")
+    for piece in ("the", "running", "unhappy"):
+        assert wordpiece_tokenize(piece, set(loaded)) == wordpiece_tokenize(
+            piece, set(vocab)
+        )
+    with pytest.raises(ValueError, match="not representable"):
+        save_wordpiece_vocab(["ok", "bad\ntoken"], str(vp))
+
+    model = train_unigram(df, "text", vocab_size=50)
+    mp = tmp_path / "unigram.tsv"
+    save_unigram_model(model, str(mp))
+    loaded_m = load_unigram_model(str(mp))
+    assert loaded_m == model  # repr round-trip: bit-exact floats
+    for piece in (" the", " lowest"):
+        assert unigram_tokenize(piece, loaded_m) == unigram_tokenize(piece, model)
