@@ -163,3 +163,104 @@ def reference_bits_per_token(
     the Spark tokenization, then score with the same pure function."""
     _validate_lam(lam)
     return _logprob(py_clean_tokens(text), model, lam)
+
+
+# --- interpolated Kneser-Ney (Chen & Goodman 1999) ------------------------
+
+
+def train_kn_model(
+    df: DataFrame, text_col: str, vocab_size: int = 65_536,
+    discount: float = 0.75,
+) -> dict:
+    """Train an interpolated Kneser-Ney bigram model — the smoothing family
+    KenLM implements and CCNet's quality filter actually uses, as the
+    upgrade over the add-one model of :func:`train_ngram_counts`.
+
+    Corpus cost is identical (the same two bounded aggregates); the KN
+    statistics — per-context fan-out N1+(v·), per-word continuation count
+    N1+(·w), distinct-bigram total — derive from the RETAINED bigram
+    table on the driver (the model is fully specified by its own counts,
+    so truncation keeps train/score consistent). Returns the
+    ``train_ngram_counts`` dict extended with ``n1_fore``, ``n1_back``,
+    ``n_bigrams``, ``discount``.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    model = train_ngram_counts(df, text_col, vocab_size)
+    n1_fore: dict[str, int] = {}
+    n1_back: dict[str, int] = {}
+    for (a, b), _n in model["bigrams"].items():
+        n1_fore[a] = n1_fore.get(a, 0) + 1
+        n1_back[b] = n1_back.get(b, 0) + 1
+    model["n1_fore"] = n1_fore
+    model["n1_back"] = n1_back
+    model["n_bigrams"] = len(model["bigrams"])
+    model["discount"] = discount
+    return model
+
+
+def _kn_prob(prev: str, tok: str, model: dict) -> float:
+    """P_KN(tok | prev): absolute discounting with continuation-probability
+    backoff —
+
+        P(w|v) = max(c(vw) - D, 0)/c(v) + D·N1+(v·)/c(v) · P_cont(w)
+        P_cont(w) = (N1+(·w) + 1) / (N1+(··) + V + 1)
+
+    P_cont carries add-one smoothing over V+1 buckets (shared OOV bucket,
+    mirroring the add-one model) so every token has p > 0; contexts with
+    no retained bigrams back off to P_cont alone. Pure function — shared
+    verbatim by the executor UDF and the test reference."""
+    unigrams = model["unigrams"]
+    d = model["discount"]
+    v = len(unigrams) + 1
+    p_cont = (model["n1_back"].get(tok, 0) + 1.0) / (model["n_bigrams"] + v)
+    c_prev = unigrams.get(prev, 0)
+    fan_out = model["n1_fore"].get(prev, 0)
+    if c_prev > 0 and fan_out > 0:
+        c_bi = model["bigrams"].get((prev, tok), 0)
+        return max(c_bi - d, 0.0) / c_prev + d * fan_out / c_prev * p_cont
+    return p_cont
+
+
+def _kn_logprob(tokens: list[str], model: dict) -> float:
+    """Mean negative log2 probability (bits/token) under interpolated KN."""
+    if not tokens:
+        return 0.0
+    bits = 0.0
+    prev = BOS
+    for tok in tokens:
+        bits -= math.log2(_kn_prob(prev, tok, model))
+        prev = tok
+    return bits / len(tokens)
+
+
+def make_kn_perplexity_scorer(spark, model: dict):
+    """Arrow-batched KN scorer — same contract as
+    :func:`make_perplexity_scorer` (``ARRAY<STRING>`` BOS-prefixed tokens →
+    bits/token; broadcast model, dict-hit per-row work)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    for key in ("n1_fore", "n1_back", "n_bigrams", "discount"):
+        if key not in model:
+            raise ValueError(f"not a KN model (missing {key!r}); use train_kn_model")
+    bc = spark.sparkContext.broadcast(model)
+
+    def scorer(tokens):
+        m = bc.value
+
+        def one(seq) -> float:
+            if seq is None or len(seq) == 0:
+                return 0.0
+            return _kn_logprob(list(seq[1:]), m)
+
+        return tokens.map(one)
+
+    scorer.__annotations__ = {"tokens": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(scorer)
+
+
+def reference_kn_bits_per_token(text: str, model: dict) -> float:
+    """Independent-entry reference: shared Python tokenization mirror +
+    the same pure scoring function."""
+    return _kn_logprob(py_clean_tokens(text), model)

@@ -110,3 +110,90 @@ def test_lam_validation(spark, corpus_df):
         lm.make_perplexity_scorer(spark, model, lam=1.0)
     with pytest.raises(ValueError, match="lam"):
         lm.reference_bits_per_token("the cat", model, lam=-0.1)
+
+
+# --- interpolated Kneser-Ney ----------------------------------------------
+
+
+def _ref_kn_bits(tokens: list[str], corpus: list[str], d: float) -> float:
+    """INDEPENDENT Kneser-Ney reference straight from the published
+    equations (Chen & Goodman 1999), computed from raw Python counts —
+    no code shared with functions/lm.py beyond the token convention."""
+    import math
+
+    c = _py_counts(corpus)
+    uni, bi = c["unigrams"], c["bigrams"]
+    fan = Counter(a for (a, _b) in bi)
+    cont = Counter(b for (_a, b) in bi)
+    v = len(uni) + 1
+    nbi = len(bi)
+
+    def p_cont(w):
+        return (cont.get(w, 0) + 1.0) / (nbi + v)
+
+    def p(wv, w):
+        cv = uni.get(wv, 0)
+        if cv > 0 and fan.get(wv, 0) > 0:
+            return (
+                max(bi.get((wv, w), 0) - d, 0.0) / cv
+                + d * fan[wv] / cv * p_cont(w)
+            )
+        return p_cont(w)
+
+    seq = [lm.BOS] + tokens
+    bits = -sum(math.log2(p(a, b)) for a, b in zip(seq, seq[1:]))
+    return bits / len(tokens)
+
+
+def test_kn_matches_independent_reference(spark, corpus_df):
+    model = lm.train_kn_model(corpus_df, "text", discount=0.75)
+    for text in CORPUS + ["the cat", "zebra quux flurble", "dogs chased rugs"]:
+        got = lm.reference_kn_bits_per_token(text, model)
+        want = _ref_kn_bits(_py_tokens(text), CORPUS, 0.75)
+        assert got == pytest.approx(want, rel=1e-12), text
+
+
+def test_kn_probabilities_normalize(spark, corpus_df):
+    """For a seen context, summing P_KN(w|v) over every seen token plus the
+    leftover continuation mass of unseen buckets must equal 1: the
+    discount mass is exactly redistributed."""
+    model = lm.train_kn_model(corpus_df, "text")
+    uni = model["unigrams"]
+    v = len(uni) + 1
+    for ctx in ("the", "cat", lm.BOS):
+        total = sum(lm._kn_prob(ctx, w, model) for w in uni)
+        # unseen tokens all share the same continuation term: (0+1)/(N+V)
+        d = model["discount"]
+        lam = d * model["n1_fore"][ctx] / uni[ctx]
+        unseen_each = lam * (1.0 / (model["n_bigrams"] + v))
+        # buckets outside the seen vocab: exactly v - len(uni) + ... the
+        # +1 OOV bucket (p_cont denominators count V+1 buckets)
+        total += unseen_each * 1  # the single shared OOV bucket
+        assert total == pytest.approx(1.0, abs=1e-9), ctx
+
+
+def test_kn_quality_direction_and_spark_parity(spark, corpus_df):
+    model = lm.train_kn_model(corpus_df, "text")
+    scorer = lm.make_kn_perplexity_scorer(spark, model)
+    out = corpus_df.select(
+        "text", scorer(lm.doc_tokens_column(F.col("text"))).alias("bpt")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    for r in out.collect():
+        assert r["bpt"] == pytest.approx(
+            lm.reference_kn_bits_per_token(r["text"], model), rel=1e-12
+        )
+    in_dist = lm.reference_kn_bits_per_token("the cat sat on the mat", model)
+    gibberish = lm.reference_kn_bits_per_token("zxq qzx flurble wibble", model)
+    assert gibberish > in_dist
+    # the KN signature (the "San Francisco" effect): after an UNSEEN
+    # context the backoff prefers words seen in MANY contexts over words
+    # pinned to one context — 'sat' follows {cat, dog} (continuation 2)
+    # while 'mat' only ever follows 'the' (continuation 1)
+    assert model["n1_back"]["sat"] > model["n1_back"]["mat"]
+    assert lm._kn_prob("zebra", "sat", model) > lm._kn_prob("zebra", "mat", model)
+    with pytest.raises(ValueError, match="discount"):
+        lm.train_kn_model(corpus_df, "text", discount=1.5)
+    with pytest.raises(ValueError, match="KN model"):
+        lm.make_kn_perplexity_scorer(spark, lm.train_ngram_counts(corpus_df, "text"))
