@@ -1185,6 +1185,95 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+@register(
+    "chunked_documents",
+    "Token-window chunking (operators/chunking.py chunk_by_tokens): "
+    "max_tokens=40 / overlap=10 sliding windows as pure JVM array algebra "
+    "(sequence → slice → posexplode, one narrow no-shuffle projection), "
+    "oracled against the equivalent generate_series + list_slice SQL — "
+    "start grid, tail rule (no overlap-only tail chunk), chunk ids and "
+    "reassembled text all hash-checked. EXTRA: oracle-checked by the "
+    "pytest parity harness outside the 50-cap catalog",
+    oracle=r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(
+                   str_split(
+                     lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                   x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 300
+        ),
+        s AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, GREATEST(len(toks) - 10, 1), 30))
+                   AS st
+          FROM t WHERE len(toks) > 0
+        ),
+        c AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY st) - 1 AS INT) AS chunk_id,
+                 list_slice(toks, st, st + 39) AS ctoks
+          FROM s
+        )
+        SELECT doc_id, chunk_id,
+               array_to_string(ctoks, ' ') AS chunk_text,
+               CAST(len(ctoks) AS INT) AS n_tokens
+        FROM c
+        ORDER BY doc_id, chunk_id
+    """,
+    tags=("chunking",),
+    extra=True,
+)
+def q_chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.operators.chunking import (
+        chunk_by_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return chunk_by_tokens(
+        docs, "doc_id", "text", max_tokens=40, overlap=10
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "budget_shards",
+    "Token-budget shard assignment (operators/export.py "
+    "budget_shard_column): the two-pass DISTRIBUTED prefix sum (range "
+    "exchange pinned, per-partition totals collected as control-plane "
+    "offsets, within-partition window) must equal the textbook global "
+    "running-sum window the oracle runs — floor(cumulative-start / budget). "
+    "EXTRA: oracle-checked by the pytest parity harness outside the 50-cap "
+    "catalog",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS sz,
+               CAST(FLOOR(
+                 (SUM(length(text)) OVER (
+                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - length(text)) / 10000.0
+               ) AS INT) AS shard
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("export",),
+    extra=True,
+)
+def q_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
+        budget_shard_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("sz"), "text"
+    )
+    return (
+        budget_shard_column(docs, "sz", budget=10_000, order_col="doc_id")
+        .select("doc_id", "sz", "shard")
+        .orderBy("doc_id")
+    )
+
+
 # PQ: 8-entry seed-medoid codebooks over m=4 subspaces of the 64-dim
 # embeddings (dsub=16) — same SQL-reconstructable-medoid trick as IVF
 _PQ_MEDOID_IDS = [7, 61, 127, 199, 263, 331, 401, 467]
