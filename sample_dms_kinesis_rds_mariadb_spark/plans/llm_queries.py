@@ -1186,6 +1186,134 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sampled_frames",
+    "Video frame-sampling plumbing (operators/multimodal.py "
+    "sample_frames): one row per 64-byte offset of each payload via "
+    "posexplode over a computed sequence — pure Spark, no Python in the "
+    "hot path; the oracle reproduces the offset grid with "
+    "generate_series over the same utf-8 payload lengths. EXTRA: "
+    "oracle-checked by the pytest parity harness outside the 50-cap "
+    "catalog",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, octet_length(encode(text)) AS n
+          FROM documents WHERE doc_id < 300
+        ),
+        s AS (
+          SELECT doc_id,
+                 unnest(generate_series(
+                   0, GREATEST(CAST(FLOOR(n / 64.0) AS INT) - 1, 0))) AS step
+          FROM t
+        )
+        SELECT doc_id AS media_id,
+               CAST(step AS INT) AS frame_no,
+               CAST(step * 64 AS INT) AS byte_offset
+        FROM s
+        ORDER BY media_id, frame_no
+    """,
+    tags=("multimodal",),
+    extra=True,
+)
+def q_sampled_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.attach_binary_column(docs, "text", "doc_id")
+    return multimodal.sample_frames(media, every_n_bytes=64).orderBy(
+        "media_id", "frame_no"
+    )
+
+
+@register(
+    "pii_redaction",
+    "PII redaction + audit counts (operators/chunking.py redact_pii / "
+    "pii_counts): the codegen regexp_replace chain (emails→IPv4→phones→"
+    "SSNs, order-sensitive) and per-kind match counts, oracled against "
+    "DuckDB's RE2 with the same patterns — the fixture text embeds every "
+    "PII kind via md5-derived digits so the corpus genuinely exercises "
+    "each rule. EXTRA: oracle-checked by the pytest parity harness "
+    "outside the 50-cap catalog",
+    oracle=r"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' contact u' || substr(md5(text), 1, 4)
+                   || '@ex' || substr(md5(text), 5, 2) || '.com or call '
+                   || CAST(100 + CAST(('0x' || substr(md5(text), 9, 2))::BIGINT
+                           AS INT) % 900 AS VARCHAR)
+                   || '-555-'
+                   || lpad(CAST(CAST(('0x' || substr(md5(text), 11, 3))::BIGINT
+                           AS INT) % 10000 AS VARCHAR), 4, '0')
+                   || ' ip 10.0.'
+                   || CAST(CAST(('0x' || substr(md5(text), 14, 2))::BIGINT
+                           AS INT) % 256 AS VARCHAR)
+                   || '.7 ssn 123-45-6789' AS s
+          FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(s,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b',
+                     '<IP>', 'g'),
+                   '(?:\+?[0-9]{1,3}[-. ]?)?(?:\([0-9]{3}\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b',
+                   '<PHONE>', 'g'),
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g')
+                 AS redacted,
+               CAST(len(regexp_extract_all(s,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                 AS n_email,
+               CAST(len(regexp_extract_all(s,
+                 '\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b')) AS INT)
+                 AS n_ipv4,
+               CAST(len(regexp_extract_all(s,
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn
+        FROM t
+        ORDER BY doc_id
+    """,
+    tags=("chunking", "pii"),
+    extra=True,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.operators.chunking import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    md5 = F.md5(F.col("text"))
+    s = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.substring(md5, 1, 4),
+        F.lit("@ex"), F.substring(md5, 5, 2), F.lit(".com or call "),
+        (
+            F.lit(100)
+            + F.conv(F.substring(md5, 9, 2), 16, 10).cast("int") % 900
+        ).cast("string"),
+        F.lit("-555-"),
+        F.lpad(
+            (F.conv(F.substring(md5, 11, 3), 16, 10).cast("int") % 10000)
+            .cast("string"),
+            4,
+            "0",
+        ),
+        F.lit(" ip 10.0."),
+        (F.conv(F.substring(md5, 14, 2), 16, 10).cast("int") % 256).cast(
+            "string"
+        ),
+        F.lit(".7 ssn 123-45-6789"),
+    )
+    counts = pii_counts(s)
+    return docs.select(
+        "doc_id",
+        redact_pii(s).alias("redacted"),
+        counts["email"].cast("int").alias("n_email"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        counts["ssn"].cast("int").alias("n_ssn"),
+    ).orderBy("doc_id")
+
+
+@register(
     "chunked_documents",
     "Token-window chunking (operators/chunking.py chunk_by_tokens): "
     "max_tokens=40 / overlap=10 sliding windows as pure JVM array algebra "
