@@ -1,0 +1,335 @@
+"""Binlog over TCP — a spec-derived MySQL/MariaDB client-protocol
+replication client (the reference's actual CDC transport: DMS connects to
+the MariaDB endpoint and streams ROW binlog events over the wire,
+dms_sample/stack.py:354-376).
+
+Implements the client side of the public MySQL client/server protocol:
+packet framing (3-byte LE length + sequence id), the v10 initial
+handshake, HandshakeResponse41 with ``mysql_native_password``
+authentication (SHA1(pw) XOR SHA1(scramble·SHA1(SHA1(pw)))), COM_QUERY
+for the checksum-handshake session variable, COM_REGISTER_SLAVE, and
+COM_BINLOG_DUMP — after which the server streams raw binlog events (each
+packet: 0x00 OK byte + the 19-byte-header event), terminated by EOF/ERR.
+
+Architecture: the client SPOOLS the stream to local binlog files
+(``BinlogSpool``) — magic + events, switching files on ROTATE — exactly
+the ``mysqlbinlog --read-from-remote-server --raw`` shape. The existing
+file machinery (``decode_binlog`` / ``BinlogTail``) then consumes the
+spool unchanged: one decoder, two transports, and the spool doubles as a
+replayable local archive of the replication stream (resume offsets stay
+meaningful across restarts).
+
+Tested against an in-process fake server that implements the SERVER side
+of the same spec independently (tests/test_binlog_net.py) — handshake,
+auth verification, dump streaming from fixture binlogs. A live MariaDB
+cannot run in this container; the protocol bytes are the public contract
+either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import socket
+import struct
+
+from sample_dms_kinesis_rds_mariadb_spark.sources.binlog import (
+    BINLOG_MAGIC,
+    HEADER_LEN,
+)
+
+ROTATE_EVENT = 4
+FORMAT_DESCRIPTION_EVENT = 15
+
+# capability flags (public protocol constants)
+CLIENT_LONG_PASSWORD = 0x1
+CLIENT_PROTOCOL_41 = 0x200
+CLIENT_SECURE_CONNECTION = 0x8000
+CLIENT_PLUGIN_AUTH = 0x80000
+
+COM_QUERY = 0x03
+COM_BINLOG_DUMP = 0x12
+COM_REGISTER_SLAVE = 0x15
+
+
+def native_password_scramble(password: str, scramble: bytes) -> bytes:
+    """``mysql_native_password``: SHA1(pw) XOR SHA1(scramble + SHA1(SHA1(pw))).
+    Empty password → empty auth response (the protocol's convention)."""
+    if not password:
+        return b""
+    sha_pw = hashlib.sha1(password.encode("utf-8")).digest()
+    sha_sha_pw = hashlib.sha1(sha_pw).digest()
+    mix = hashlib.sha1(scramble + sha_sha_pw).digest()
+    return bytes(a ^ b for a, b in zip(sha_pw, mix))
+
+
+class ProtocolError(RuntimeError):
+    pass
+
+
+class ServerError(RuntimeError):
+    """An ERR packet from the server (code + message)."""
+
+    def __init__(self, code: int, message: str) -> None:
+        super().__init__(f"server error {code}: {message}")
+        self.code = code
+        self.message = message
+
+
+def _parse_err(payload: bytes) -> ServerError:
+    code = struct.unpack_from("<H", payload, 1)[0]
+    msg = payload[3:]
+    if msg[:1] == b"#":  # SQL-state marker: '#' + 5 chars
+        msg = msg[6:]
+    return ServerError(code, msg.decode("utf-8", "replace"))
+
+
+class BinlogDumpClient:
+    """Client side of the replication protocol. Use as::
+
+        with BinlogDumpClient(host, port, user, password) as c:
+            c.connect()
+            for event in c.dump("mysql-bin.000001", 4):
+                ...raw 19-byte-header event bytes...
+
+    or spool to files with :class:`BinlogSpool`.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str,
+        password: str = "",
+        server_id: int = 1234,
+        timeout: float = 30.0,
+    ) -> None:
+        self.host, self.port = host, port
+        self.user, self.password = user, password
+        self.server_id = server_id
+        self.timeout = timeout
+        self._sock: socket.socket | None = None
+        self._seq = 0
+
+    # -- framing ------------------------------------------------------------
+    def _recv_exact(self, n: int) -> bytes:
+        assert self._sock is not None
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise ProtocolError("connection closed mid-packet")
+            buf += chunk
+        return buf
+
+    def _read_packet(self) -> bytes:
+        hdr = self._recv_exact(4)
+        length = int.from_bytes(hdr[:3], "little")
+        self._seq = (hdr[3] + 1) & 0xFF
+        return self._recv_exact(length)
+
+    def _send_packet(self, payload: bytes) -> None:
+        assert self._sock is not None
+        if len(payload) >= 0xFFFFFF:
+            raise ProtocolError("multi-packet payloads not supported")
+        self._sock.sendall(
+            len(payload).to_bytes(3, "little") + bytes([self._seq]) + payload
+        )
+        self._seq = (self._seq + 1) & 0xFF
+
+    # -- handshake ----------------------------------------------------------
+    def connect(self) -> None:
+        self._sock = socket.create_connection(
+            (self.host, self.port), timeout=self.timeout
+        )
+        greeting = self._read_packet()
+        if greeting[:1] == b"\xff":
+            raise _parse_err(greeting)
+        if greeting[0] != 0x0A:
+            raise ProtocolError(f"unsupported protocol version {greeting[0]}")
+        pos = 1
+        end = greeting.index(b"\x00", pos)  # server version string
+        pos = end + 1
+        pos += 4  # thread id
+        auth1 = greeting[pos : pos + 8]
+        pos += 8 + 1  # scramble part 1 + filler
+        pos += 2 + 1 + 2 + 2  # caps-low, charset, status, caps-high
+        auth_len = greeting[pos]
+        pos += 1 + 10  # auth data len + reserved
+        # part 2: max(13, auth_len - 8) bytes, NUL-terminated inside
+        part2_len = max(13, auth_len - 8)
+        auth2 = greeting[pos : pos + part2_len].rstrip(b"\x00")
+        scramble = auth1 + auth2
+        caps = (
+            CLIENT_LONG_PASSWORD
+            | CLIENT_PROTOCOL_41
+            | CLIENT_SECURE_CONNECTION
+            | CLIENT_PLUGIN_AUTH
+        )
+        auth_resp = native_password_scramble(self.password, scramble)
+        payload = (
+            struct.pack("<IIB", caps, 1 << 24, 33)  # caps, max packet, utf8
+            + b"\x00" * 23
+            + self.user.encode("utf-8")
+            + b"\x00"
+            + bytes([len(auth_resp)])
+            + auth_resp
+            + b"mysql_native_password\x00"
+        )
+        self._send_packet(payload)
+        reply = self._read_packet()
+        if reply[:1] == b"\xff":
+            raise _parse_err(reply)
+        if reply[:1] != b"\x00":
+            raise ProtocolError(f"unexpected auth reply {reply[:1]!r}")
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+    def __enter__(self) -> BinlogDumpClient:
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- commands -----------------------------------------------------------
+    def _command(self, payload: bytes) -> bytes:
+        """Send a command packet (sequence resets to 0) and return the first
+        response packet."""
+        self._seq = 0
+        self._send_packet(payload)
+        reply = self._read_packet()
+        if reply[:1] == b"\xff":
+            raise _parse_err(reply)
+        return reply
+
+    def query_ok(self, sql: str) -> None:
+        """COM_QUERY for statements that answer with OK (SET ...). Result
+        sets are out of scope for a replication client — loudly so."""
+        reply = self._command(bytes([COM_QUERY]) + sql.encode("utf-8"))
+        if reply[:1] != b"\x00":
+            raise ProtocolError(
+                "query_ok() is for OK-answering statements; got a result set"
+            )
+
+    def register_slave(self) -> None:
+        """COM_REGISTER_SLAVE — how a replica announces itself (hostname/
+        user/password fields empty: the common client behavior)."""
+        payload = bytes([COM_REGISTER_SLAVE]) + struct.pack("<I", self.server_id)
+        payload += b"\x00" * 3  # empty hostname/user/password (lenenc 0 each)
+        payload += struct.pack("<HII", 0, 0, 0)  # port, rank, master id
+        self._command(payload)
+
+    def dump(self, filename: str, pos: int = 4):
+        """COM_BINLOG_DUMP: yield raw binlog events (19-byte header + body,
+        exactly the file framing) until EOF. The checksum handshake
+        (``@master_binlog_checksum``) rides in ``query_ok`` before this —
+        servers refuse the dump otherwise when checksums are on."""
+        if pos < 4:
+            pos = 4
+        self._seq = 0
+        payload = bytes([COM_BINLOG_DUMP]) + struct.pack(
+            "<IHI", pos, 0, self.server_id
+        ) + filename.encode("utf-8")
+        self._send_packet(payload)
+        while True:
+            packet = self._read_packet()
+            marker = packet[:1]
+            if marker == b"\xff":
+                raise _parse_err(packet)
+            if marker == b"\xfe" and len(packet) < 9:
+                return  # EOF
+            if marker != b"\x00":
+                raise ProtocolError(f"unexpected dump packet marker {marker!r}")
+            event = packet[1:]
+            if len(event) < HEADER_LEN:
+                raise ProtocolError("short binlog event in dump stream")
+            yield event
+
+
+class BinlogSpool:
+    """Spool a replication stream to local binlog FILES the existing
+    ``decode_binlog`` / ``BinlogTail`` machinery consumes unchanged.
+
+    Files are byte-faithful to the server's own logs: magic + every event
+    as received, a ROTATE event both closes the current file (it is the
+    file's last event, as on the server) and names its successor. The
+    initial "fake rotate" a server may send at dump start (timestamp 0,
+    before any FDE) selects the first file name instead of closing one.
+    """
+
+    def __init__(self, spool_dir: str) -> None:
+        self.dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self._fh = None
+        self._current: str | None = None
+        # CRC32 trailer width, learned from the FDE exactly like the file
+        # decoder does — needed to slice the successor name out of ROTATE
+        # events (the 4 trailer bytes can be printable; guessing is wrong)
+        self._checksum = 0
+
+    def _open(self, name: str) -> None:
+        self._close()
+        self._current = name
+        self._fh = open(os.path.join(self.dir, name), "ab")
+        if self._fh.tell() == 0:
+            self._fh.write(BINLOG_MAGIC)
+
+    def _close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def feed(self, event: bytes) -> None:
+        """Append one raw event; switches files on ROTATE."""
+        etype = event[4]
+        ts = struct.unpack_from("<I", event, 0)[0]
+        if etype == FORMAT_DESCRIPTION_EVENT:
+            # alg byte sits 5 bytes from the end (alg + the FDE's own CRC
+            # slot) whether or not checksums are on — the file decoder's rule
+            self._checksum = 4 if event[-5] == 1 else 0
+        if etype == ROTATE_EVENT:
+            if ts == 0:
+                # dump-start pseudo-rotate: restates the current file name,
+                # never written to disk (it is not part of any log file)
+                return
+            name_end = len(event) - self._checksum
+            next_name = event[HEADER_LEN + 8 : name_end].decode("utf-8")
+            if self._fh is not None:
+                self._fh.write(event)
+            self._open(next_name)
+            return
+        if self._fh is None:
+            raise ProtocolError(
+                "event before the spool file was named — BinlogSpool.run "
+                "opens the start file explicitly"
+            )
+        self._fh.write(event)
+        self._fh.flush()
+
+    def run(
+        self,
+        client: BinlogDumpClient,
+        filename: str,
+        pos: int = 4,
+        max_events: int | None = None,
+    ) -> int:
+        """Drive a connected client's dump into the spool. Returns the
+        number of events spooled. ``max_events`` bounds the pump for
+        tests/backfills; None = until the server ends the stream."""
+        self._open(filename)
+        n = 0
+        for event in client.dump(filename, pos):
+            self.feed(event)
+            n += 1
+            if max_events is not None and n >= max_events:
+                break
+        self._close()
+        return n
+
+    def close(self) -> None:
+        self._close()

@@ -1,0 +1,182 @@
+"""Test-side fake MySQL/MariaDB replication SERVER — an INDEPENDENT
+implementation of the server half of the public client/server protocol
+(written from the protocol spec, not from the client under test):
+v10 greeting, mysql_native_password verification, OK/ERR packets,
+COM_QUERY / COM_REGISTER_SLAVE acks, and COM_BINLOG_DUMP streaming raw
+events out of fixture binlog FILES (following ROTATE chains like a real
+server's dump thread)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import socket
+import struct
+import threading
+
+HEADER_LEN = 19
+ROTATE_EVENT = 4
+FDE_EVENT = 15
+
+
+def _expected_token(password: str, scramble: bytes) -> bytes:
+    if not password:
+        return b""
+    sha_pw = hashlib.sha1(password.encode()).digest()
+    mix = hashlib.sha1(scramble + hashlib.sha1(sha_pw).digest()).digest()
+    return bytes(a ^ b for a, b in zip(sha_pw, mix))
+
+
+def _send(conn: socket.socket, payload: bytes, seq: int) -> int:
+    conn.sendall(len(payload).to_bytes(3, "little") + bytes([seq & 0xFF]) + payload)
+    return (seq + 1) & 0xFF
+
+
+def _recv_exact(conn: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("client closed")
+        buf += chunk
+    return buf
+
+
+def _recv_packet(conn: socket.socket) -> tuple[bytes, int]:
+    hdr = _recv_exact(conn, 4)
+    return _recv_exact(conn, int.from_bytes(hdr[:3], "little")), hdr[3]
+
+
+_OK = b"\x00\x00\x00\x02\x00\x00\x00"  # OK, 0 affected, 0 insert-id, status, warnings
+
+
+def _err(code: int, msg: str) -> bytes:
+    return b"\xff" + struct.pack("<H", code) + b"#HY000" + msg.encode()
+
+
+def _file_events(path: str):
+    """Yield raw events of one binlog file (past the 4-byte magic)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    pos = 4
+    while pos + HEADER_LEN <= len(blob):
+        esize = struct.unpack_from("<I", blob, pos + 9)[0]
+        if esize < HEADER_LEN or pos + esize > len(blob):
+            break
+        yield pos, blob[pos : pos + esize]
+        pos += esize
+
+
+class FakeMySQLServer:
+    """One-connection-at-a-time fake server streaming fixture binlogs."""
+
+    def __init__(self, binlog_dir: str, user: str, password: str) -> None:
+        self.dir = binlog_dir
+        self.user, self.password = user, password
+        self.queries: list[str] = []
+        self.registered: list[int] = []
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(4)
+        self.port = self._sock.getsockname()[1]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            try:
+                self._handle(conn)
+            except (ConnectionError, OSError):
+                pass
+            finally:
+                conn.close()
+
+    def _handle(self, conn: socket.socket) -> None:
+        scramble = os.urandom(20)
+        # v10 greeting: proto, version, thread id, auth1(8), filler,
+        # caps-low, charset, status, caps-high, auth-len, reserved(10),
+        # auth2(12 + NUL), plugin name
+        greeting = (
+            b"\x0a" + b"10.11.6-MariaDB-fake\x00"
+            + struct.pack("<I", 42)
+            + scramble[:8] + b"\x00"
+            + struct.pack("<H", 0xFFFF) + b"\x21" + struct.pack("<H", 2)
+            + struct.pack("<H", 0x000F)
+            + bytes([21])  # auth data length (20 + NUL)
+            + b"\x00" * 10
+            + scramble[8:20] + b"\x00"
+            + b"mysql_native_password\x00"
+        )
+        seq = _send(conn, greeting, 0)
+        resp, _seq_in = _recv_packet(conn)
+        # HandshakeResponse41: caps(4) maxpkt(4) charset(1) zeros(23) user\0
+        pos = 4 + 4 + 1 + 23
+        end = resp.index(b"\x00", pos)
+        user = resp[pos:end].decode()
+        pos = end + 1
+        alen = resp[pos]
+        token = resp[pos + 1 : pos + 1 + alen]
+        if user != self.user or token != _expected_token(self.password, scramble):
+            _send(conn, _err(1045, f"Access denied for user '{user}'"), 2)
+            return
+        _send(conn, _OK, 2)
+        while True:
+            payload, _ = _recv_packet(conn)
+            cmd = payload[0]
+            if cmd == 0x03:  # COM_QUERY
+                self.queries.append(payload[1:].decode())
+                _send(conn, _OK, 1)
+            elif cmd == 0x15:  # COM_REGISTER_SLAVE
+                self.registered.append(struct.unpack_from("<I", payload, 1)[0])
+                _send(conn, _OK, 1)
+            elif cmd == 0x12:  # COM_BINLOG_DUMP
+                start_pos, _flags, _sid = struct.unpack_from("<IHI", payload, 1)
+                fname = payload[11:].decode()
+                self._stream_dump(conn, fname, start_pos)
+                return
+            else:
+                _send(conn, _err(1047, f"unknown command {cmd}"), 1)
+
+    def _stream_dump(self, conn: socket.socket, fname: str, start: int) -> None:
+        seq = 1
+        # dump-start pseudo-rotate (timestamp 0) restating the file name —
+        # what a real dump thread sends first
+        fake_rot = (
+            struct.pack("<IBIIIH", 0, ROTATE_EVENT, 1,
+                        HEADER_LEN + 8 + len(fname), 0, 0)
+            + struct.pack("<Q", start) + fname.encode()
+        )
+        seq = _send(conn, b"\x00" + fake_rot, seq)
+        current = fname
+        first = True
+        while current:
+            path = os.path.join(self.dir, current)
+            nxt = None
+            checksum = 0
+            for off, ev in _file_events(path):
+                etype = ev[4]
+                if etype == FDE_EVENT:
+                    checksum = 4 if ev[-5] == 1 else 0
+                if etype == ROTATE_EVENT:
+                    nxt = ev[HEADER_LEN + 8 : len(ev) - checksum].decode()
+                # first file: skip events before the requested offset,
+                # except the FDE which every dump replays (clients need the
+                # checksum algorithm no matter where they resume)
+                if first and off < start and etype != FDE_EVENT:
+                    continue
+                seq = _send(conn, b"\x00" + ev, seq)
+            current, first = nxt, False
+        _send(conn, b"\xfe\x00\x00\x02\x00", seq)  # EOF
