@@ -224,11 +224,11 @@ class BinlogDumpClient:
         payload += struct.pack("<HII", 0, 0, 0)  # port, rank, master id
         self._command(payload)
 
-    def dump(self, filename: str, pos: int = 4):
-        """COM_BINLOG_DUMP: yield raw binlog events (19-byte header + body,
-        exactly the file framing) until EOF. The checksum handshake
-        (``@master_binlog_checksum``) rides in ``query_ok`` before this —
-        servers refuse the dump otherwise when checksums are on."""
+    def start_dump(self, filename: str, pos: int = 4) -> None:
+        """Send COM_BINLOG_DUMP; events then arrive via :meth:`next_event`.
+        The checksum handshake (``@master_binlog_checksum``) rides in
+        ``query_ok`` before this — servers refuse the dump otherwise when
+        checksums are on."""
         if pos < 4:
             pos = 4
         self._seq = 0
@@ -236,18 +236,56 @@ class BinlogDumpClient:
             "<IHI", pos, 0, self.server_id
         ) + filename.encode("utf-8")
         self._send_packet(payload)
+
+    def next_event(self, wait: float | None = None) -> bytes | None:
+        """One raw binlog event from an open dump (19-byte header + body,
+        exactly the file framing).
+
+        ``wait``: maximum seconds to wait AT A PACKET BOUNDARY for the
+        next packet — returns None when it elapses with nothing in flight
+        (the dump stays open). Once a packet's first byte arrives the rest
+        is read under the normal socket timeout, so a boundary timeout can
+        never desynchronize the framing. ``wait=None`` blocks. Raises
+        ``EOFError`` when the server ends the stream, ``ServerError`` on
+        an ERR packet."""
+        assert self._sock is not None
+        if wait is not None:
+            self._sock.settimeout(wait)
+            try:
+                first = self._sock.recv(1)
+            except (TimeoutError, socket.timeout):
+                return None
+            finally:
+                self._sock.settimeout(self.timeout)
+            if not first:
+                raise ProtocolError("connection closed between packets")
+            hdr = first + self._recv_exact(3)
+        else:
+            hdr = self._recv_exact(4)
+        length = int.from_bytes(hdr[:3], "little")
+        self._seq = (hdr[3] + 1) & 0xFF
+        packet = self._recv_exact(length)
+        marker = packet[:1]
+        if marker == b"\xff":
+            raise _parse_err(packet)
+        if marker == b"\xfe" and len(packet) < 9:
+            raise EOFError("server ended the binlog dump")
+        if marker != b"\x00":
+            raise ProtocolError(f"unexpected dump packet marker {marker!r}")
+        event = packet[1:]
+        if len(event) < HEADER_LEN:
+            raise ProtocolError("short binlog event in dump stream")
+        return event
+
+    def dump(self, filename: str, pos: int = 4):
+        """Generator convenience over :meth:`start_dump`/:meth:`next_event`:
+        yield events until server EOF."""
+        self.start_dump(filename, pos)
         while True:
-            packet = self._read_packet()
-            marker = packet[:1]
-            if marker == b"\xff":
-                raise _parse_err(packet)
-            if marker == b"\xfe" and len(packet) < 9:
-                return  # EOF
-            if marker != b"\x00":
-                raise ProtocolError(f"unexpected dump packet marker {marker!r}")
-            event = packet[1:]
-            if len(event) < HEADER_LEN:
-                raise ProtocolError("short binlog event in dump stream")
+            try:
+                event = self.next_event(None)
+            except EOFError:
+                return
             yield event
 
 
@@ -311,6 +349,17 @@ class BinlogSpool:
         self._fh.write(event)
         self._fh.flush()
 
+    def open_file(self, name: str) -> None:
+        """Open (or append to) a spool file explicitly — the dump's start
+        file; later files open themselves on ROTATE."""
+        self._open(name)
+
+    def learn_checksum(self, fde_event: bytes) -> None:
+        """Take the checksum algorithm from a replayed FDE WITHOUT writing
+        it (mid-file resume: the server re-sends the FDE, but the spool
+        file already contains its copy)."""
+        self._checksum = 4 if fde_event[-5] == 1 else 0
+
     def run(
         self,
         client: BinlogDumpClient,
@@ -333,3 +382,128 @@ class BinlogSpool:
 
     def close(self) -> None:
         self._close()
+
+
+class NetworkBinlogCapture:
+    """Live network CDC as a first-class capture agent: the duck-typed
+    ``pump(feed) -> int`` contract :class:`PollingReplicationTask`
+    consumes, backed by the replication socket.
+
+    Each pump (1) window-reads the open dump — waiting at most
+    ``read_window`` seconds at a packet boundary, so a quiet server costs
+    one bounded wait, and an active one drains whatever is in flight —
+    appending events to the :class:`BinlogSpool`; then (2) replays
+    newly-committed records out of the spool through the EXISTING
+    :class:`~.binlog.BinlogTail` (rotation chains, txn holdback, resume
+    offsets all unchanged).
+
+    Restart/reconnect: the resume point is DERIVED FROM THE SPOOL (last
+    file, its byte size — always an event boundary since only whole
+    events are written); a server that ends or drops the stream is
+    re-dialed on the next pump from that point, and the FDE the server
+    replays on a mid-file resume is consumed for its checksum algorithm
+    but not re-written (the spool file already has its copy). Unreachable
+    server ⇒ pump returns 0 and retries later — capture agents must
+    degrade to "no new data", not kill the task, on transient network
+    failure.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str,
+        password: str,
+        spool_dir: str,
+        first_file: str,
+        state_path: str | None = None,
+        column_names: dict | None = None,
+        server_id: int = 1234,
+        read_window: float = 0.25,
+        checksum_stmt: str = "SET @master_binlog_checksum= 'CRC32'",
+    ) -> None:
+        self.host, self.port = host, port
+        self.user, self.password = user, password
+        self.spool_dir = spool_dir
+        self.first_file = first_file
+        self.state_path = state_path
+        self.column_names = column_names
+        self.server_id = server_id
+        self.read_window = read_window
+        self.checksum_stmt = checksum_stmt
+        self._spool = BinlogSpool(spool_dir)
+        self._client: BinlogDumpClient | None = None
+        self._tail = None
+        self._skip_fde = False
+
+    def _resume_point(self) -> tuple[str, int]:
+        files = sorted(
+            f for f in os.listdir(self.spool_dir) if not f.startswith(".")
+        )
+        if not files:
+            return self.first_file, 4
+        last = files[-1]
+        return last, max(os.path.getsize(os.path.join(self.spool_dir, last)), 4)
+
+    def _connect(self) -> None:
+        client = BinlogDumpClient(
+            self.host, self.port, self.user, self.password,
+            server_id=self.server_id,
+        )
+        client.connect()
+        if self.checksum_stmt:
+            client.query_ok(self.checksum_stmt)
+        client.register_slave()
+        fname, pos = self._resume_point()
+        self._spool.open_file(fname)
+        self._skip_fde = pos > 4
+        client.start_dump(fname, pos)
+        self._client = client
+
+    def _disconnect(self) -> None:
+        if self._client is not None:
+            self._client.close()
+            self._client = None
+        self._spool.close()
+
+    def pump(self, feed) -> int:
+        import time as _time
+
+        if self._client is None:
+            try:
+                self._connect()
+            except OSError:
+                return 0  # transient: unreachable server, retry next pump
+        end = _time.monotonic() + self.read_window
+        try:
+            while True:
+                wait = end - _time.monotonic()
+                if wait <= 0:
+                    break
+                event = self._client.next_event(wait)
+                if event is None:
+                    break
+                if event[4] == FORMAT_DESCRIPTION_EVENT and self._skip_fde:
+                    self._spool.learn_checksum(event)
+                    self._skip_fde = False
+                    continue
+                self._spool.feed(event)
+        except (EOFError, ProtocolError, OSError):
+            # stream ended or broke: spool keeps everything already read;
+            # next pump re-dials from the spool's high-water mark
+            self._disconnect()
+        from sample_dms_kinesis_rds_mariadb_spark.sources.binlog import (
+            BinlogTail,
+        )
+
+        first_path = os.path.join(self.spool_dir, self.first_file)
+        if self._tail is None and os.path.exists(first_path):
+            self._tail = BinlogTail(
+                first_path,
+                column_names=self.column_names,
+                state_path=self.state_path,
+            )
+        return self._tail.pump(feed) if self._tail is not None else 0
+
+    def close(self) -> None:
+        self._disconnect()

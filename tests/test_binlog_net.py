@@ -177,3 +177,165 @@ def test_checksumless_chain_round_trips(tmp_path):
                 assert f.read() == want, fname
     finally:
         srv.close()
+
+
+def test_network_capture_reconnect_and_growing_log(tmp_path, spark):
+    """NetworkBinlogCapture pumps incrementally: drain + EOF disconnect,
+    commits appended to the server's log AFTER the first dump arrive on a
+    later pump via reconnect-from-spool-high-water; nothing re-delivers."""
+    from tests.fake_mysql_server import FakeMySQLServer
+
+    srv_dir = str(tmp_path / "srv")
+    os.makedirs(srv_dir)
+    f1 = os.path.join(srv_dir, "bin.000001")
+    w = BinlogWriter(f1)
+    w.begin("db")
+    w.write_rows("db", "t", COLS, [{"id": 1, "v": "one"}])
+    w.xid()
+    w.flush()
+    srv = FakeMySQLServer(srv_dir, user="repl", password="pw")
+    try:
+        from sample_dms_kinesis_rds_mariadb_spark.sources.binlog_net import (
+            NetworkBinlogCapture,
+        )
+
+        cap = NetworkBinlogCapture(
+            "127.0.0.1", srv.port, "repl", "pw",
+            spool_dir=str(tmp_path / "spool"),
+            first_file="bin.000001",
+            state_path=str(tmp_path / "tail.state"),
+        )
+        feed = ChangeFeed(spark, str(tmp_path / "feed"))
+        assert cap.pump(feed) == 1
+        assert cap.pump(feed) == 0  # caught up: reconnect finds nothing new
+
+        # server's log grows (a commit + a rotation into a new file)
+        w.begin("db")
+        w.write_rows("db", "t", COLS, [{"id": 2, "v": "two"}])
+        w.xid()
+        w.rotate("bin.000002")
+        w.flush()
+        w2 = BinlogWriter(os.path.join(srv_dir, "bin.000002"))
+        w2.begin("db")
+        w2.write_rows("db", "t", COLS, [{"id": 3, "v": "three"}])
+        w2.xid()
+        w2.flush()
+        got = 0
+        for _ in range(4):
+            got += cap.pump(feed)
+            if got >= 2:
+                break
+        assert got == 2
+        ids = sorted(r["data"]["id"] for r in feed.read_batch().collect())
+        assert ids == ["1", "2", "3"]
+        # the spool mirrors the server's chain byte-for-byte
+        for fname in ("bin.000001", "bin.000002"):
+            with open(os.path.join(srv_dir, fname), "rb") as f:
+                want = f.read()
+            with open(os.path.join(tmp_path / "spool", fname), "rb") as f:
+                assert f.read() == want, fname
+        cap.close()
+    finally:
+        srv.close()
+
+
+def test_network_capture_drives_task_lifecycle(tmp_path, spark):
+    """The reference's full transport under the task state machine: a
+    PollingReplicationTask whose capture is the NETWORK client — RUNNING,
+    server-side commits materialize on schedule, STOPPED cleanly."""
+    import time as _time
+
+    from tests.fake_mysql_server import FakeMySQLServer
+
+    from sample_dms_kinesis_rds_mariadb_spark.catalog import SourceCatalog
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import (
+        StreamStore,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.sources.binlog_net import (
+        NetworkBinlogCapture,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.spec import (
+        SelectionRule,
+        TaskSpec,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.apply import (
+        TableMaterializer,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.schema_evolution import (
+        TableRegistry,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.statistics import (
+        StatisticsService,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.streaming.task import (
+        PollingReplicationTask,
+    )
+
+    cols = [Col("id", LONG), Col("balance", LONG)]
+    srv_dir = str(tmp_path / "srv")
+    os.makedirs(srv_dir)
+    w = BinlogWriter(os.path.join(srv_dir, "bin.000001"))
+    w.begin("appdb")
+    w.write_rows("appdb", "accounts", cols,
+                 [{"id": 1, "balance": 100}, {"id": 2, "balance": 200}])
+    w.xid()
+    w.flush()
+    srv = FakeMySQLServer(srv_dir, user="repl", password="pw")
+    try:
+        feed = ChangeFeed(spark, str(tmp_path / "feed"))
+        cap = NetworkBinlogCapture(
+            "127.0.0.1", srv.port, "repl", "pw",
+            spool_dir=str(tmp_path / "spool"),
+            first_file="bin.000001",
+            state_path=str(tmp_path / "tail.state"),
+        )
+        spec = TaskSpec(
+            "netlog-task-1", "binlog-src", "cdc",
+            [SelectionRule("%", "%", "include")],
+        )
+        store = StreamStore(spark, str(tmp_path / "stream"))
+        stats = StatisticsService()
+        registry = TableRegistry()
+        shape = spark.createDataFrame([], "id long, balance long")
+        registry.register_from_df("appdb", "accounts", shape, primary_key="id")
+        mat = TableMaterializer(
+            spark, registry, str(tmp_path / "state"), n_buckets=4
+        )
+        mat.overwrite("appdb", "accounts", shape)
+        task = PollingReplicationTask(
+            spark, spec, SourceCatalog(spark), store, stats, registry,
+            materializer=mat, changefeed=feed,
+            capture=cap, poll_interval=0.3,
+        )
+
+        def wait_for(pred, timeout=90):
+            deadline = _time.time() + timeout
+            while _time.time() < deadline:
+                if pred():
+                    return
+                _time.sleep(0.2)
+            raise TimeoutError("condition not met")
+
+        task.start()
+        task.wait_for_status("running")
+        wait_for(lambda: mat.table("appdb", "accounts").count() == 2)
+
+        # a commit on the SERVER mid-run reaches the materialized table
+        w.begin("appdb")
+        w.update_rows("appdb", "accounts", cols,
+                      [({"id": 2, "balance": 200}, {"id": 2, "balance": 250})])
+        w.xid()
+        w.flush()
+        wait_for(lambda: {
+            (r["id"], r["balance"])
+            for r in mat.table("appdb", "accounts").collect()
+        } == {(1, 100), (2, 250)})
+        task.stop()
+        assert task.status == "stopped"
+        by_name = {
+            r["TableName"]: r for r in stats.table_statistics("netlog-task-1")
+        }
+        assert by_name["accounts"]["Inserts"] == 2
+        assert by_name["accounts"]["Updates"] == 1
+    finally:
+        srv.close()
