@@ -264,3 +264,36 @@ def reference_kn_bits_per_token(text: str, model: dict) -> float:
     """Independent-entry reference: shared Python tokenization mirror +
     the same pure scoring function."""
     return _kn_logprob(py_clean_tokens(text), model)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str,
+    probs: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by perplexity
+    percentile (head = lowest = most in-distribution — the slice CCNet
+    keeps or upsamples).
+
+    Scale shape: thresholds come from ONE exact ``percentile`` aggregate
+    (a len(probs)-double driver value — NOT a global sort, NOT a global
+    NTILE window, which would funnel the corpus through one task);
+    assignment is then a narrow CASE over the score column. At 100 TB
+    swap the exact percentile for ``approx_percentile`` — one line, same
+    plan shape, documented accuracy trade.
+    """
+    if len(labels) != len(probs) + 1:
+        raise ValueError(
+            f"need len(probs)+1 labels, got {len(labels)} for {len(probs)}"
+        )
+    ths = df.select(
+        F.percentile(F.col(score_col), F.lit(list(probs))).alias("t")
+    ).first()["t"]
+    expr = None
+    for th, label in zip(ths, labels):
+        cond = F.col(score_col) <= F.lit(float(th))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = expr.otherwise(labels[-1])
+    return df.withColumn(bucket_col, expr)

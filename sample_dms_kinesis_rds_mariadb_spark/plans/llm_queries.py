@@ -1186,6 +1186,44 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ccnet_perplexity_buckets",
+    "CCNet head/middle/tail bucketing (functions/lm.py perplexity_buckets): "
+    "thresholds from ONE exact percentile aggregate (never a global "
+    "NTILE/sort), assignment a narrow CASE — oracled against DuckDB's "
+    "quantile_cont with the same linear-interpolation definition (the "
+    "score is an integer length so interpolated thresholds are "
+    "bit-stable cross-engine). EXTRA: oracle-checked by the pytest "
+    "parity harness outside the 50-cap catalog",
+    oracle="""
+        WITH s AS (
+          SELECT doc_id, CAST(length(text) AS DOUBLE) AS score
+          FROM documents
+        ),
+        t AS (
+          SELECT quantile_cont(score, [1.0/3, 2.0/3]) AS th FROM s
+        )
+        SELECT doc_id, score,
+               CASE WHEN score <= th[1] THEN 'head'
+                    WHEN score <= th[2] THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM s CROSS JOIN t
+        ORDER BY doc_id
+    """,
+    tags=("lm", "sampling"),
+    extra=True,
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.lm import (
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("score")
+    )
+    return perplexity_buckets(docs, "score").orderBy("doc_id")
+
+
+@register(
     "sampled_frames",
     "Video frame-sampling plumbing (operators/multimodal.py "
     "sample_frames): one row per 64-byte offset of each payload via "

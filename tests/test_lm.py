@@ -197,3 +197,14 @@ def test_kn_quality_direction_and_spark_parity(spark, corpus_df):
         lm.train_kn_model(corpus_df, "text", discount=1.5)
     with pytest.raises(ValueError, match="KN model"):
         lm.make_kn_perplexity_scorer(spark, lm.train_ngram_counts(corpus_df, "text"))
+
+
+def test_perplexity_buckets_validation_and_shape(spark, corpus_df):
+    from sample_dms_kinesis_rds_mariadb_spark.functions import lm as _lm
+
+    scored = corpus_df.select(F.length("text").cast("double").alias("s"))
+    out = _lm.perplexity_buckets(scored, "s")
+    got = {r["ppl_bucket"] for r in out.collect()}
+    assert got <= {"head", "middle", "tail"} and "head" in got
+    with pytest.raises(ValueError, match="labels"):
+        _lm.perplexity_buckets(scored, "s", probs=(0.5,), labels=("a", "b", "c"))
