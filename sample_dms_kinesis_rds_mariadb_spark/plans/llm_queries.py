@@ -1186,6 +1186,47 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_user_history",
+    "SCD2 version table from a change feed (operators/scd.py "
+    "scd2_history): one hash exchange + lead window (never the corpus² "
+    "next-version self-join), delete ops ('error' events here) close "
+    "intervals without emitting versions — interval bounds, tie-broken "
+    "ordering and is_current all hash-checked against the equivalent SQL "
+    "window. EXTRA: oracle-checked by the pytest parity harness outside "
+    "the 50-cap catalog",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, value, ts, event_type,
+                 lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS valid_to
+          FROM events
+        )
+        SELECT user_id, value, ts AS valid_from, valid_to,
+               (valid_to IS NULL) AS is_current
+        FROM v
+        WHERE COALESCE(event_type <> 'error', TRUE)
+        ORDER BY user_id, valid_from
+    """,
+    tags=("scd", "temporal"),
+    extra=True,
+)
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.operators.scd import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", "event_id", "event_type"
+    )
+    hist = scd2_history(
+        ev, "user_id", "ts", op_col="event_type", seq_col="event_id",
+        delete_ops=("error",),
+    )
+    return hist.select(
+        "user_id", "value", "valid_from", "valid_to", "is_current"
+    ).orderBy("user_id", "valid_from")
+
+
+@register(
     "ccnet_perplexity_buckets",
     "CCNet head/middle/tail bucketing (functions/lm.py perplexity_buckets): "
     "thresholds from ONE exact percentile aggregate (never a global "
