@@ -72,6 +72,10 @@ def curate(
     minhash_jaccard: tuple[int, int] = (2, 3),
     decontaminate_against: DataFrame | None = None,
     decontaminate_n: int = 13,
+    dsir_target: DataFrame | None = None,
+    dsir_n: int | None = None,
+    dsir_dim: int = 8192,
+    dsir_seed: str = "dsir",
     heldout_frac: float | None = None,
     export_path: str | None = None,
     export_budget: int | None = None,
@@ -91,11 +95,15 @@ def curate(
     3. **decontaminate** — drop documents sharing any
        ``decontaminate_n``-gram with ``decontaminate_against``
        (id + text columns named like ``docs``').
-    4. **split** — md5-bucket train/heldout at ``heldout_frac`` (heldout
+    4. **DSIR selection** — keep the ``dsir_n`` documents most like
+       ``dsir_target`` by hashed-n-gram importance weight
+       (:func:`operators.dsir.dsir_select`, Gumbel-top-k, deterministic
+       under ``dsir_seed``).
+    5. **split** — md5-bucket train/heldout at ``heldout_frac`` (heldout
        is returned, never exported).
-    5. **export** — token-budget shards (``export_budget`` tokens per
+    6. **export** — token-budget shards (``export_budget`` tokens per
        shard) + manifest, when ``export_path`` is given.
-    6. **data card** — :func:`operators.profile.write_data_card` on the
+    7. **data card** — :func:`operators.profile.write_data_card` on the
        final corpus, when ``data_card_path`` is given.
 
     Stages are skipped when their argument is None/empty. ``report=True``
@@ -171,6 +179,18 @@ def curate(
         )
         if report:
             funnel.append(("decontaminated", cur.count()))
+
+    if dsir_target is not None:
+        if dsir_n is None:
+            raise ValueError("dsir_target requires dsir_n (documents to keep)")
+        from .operators.dsir import dsir_select
+
+        cur = dsir_select(
+            cur, dsir_target, text_col, n=dsir_n, id_col=id_col,
+            dim=dsir_dim, seed=dsir_seed,
+        ).drop("dsir_log_w", "dsir_key")
+        if report:
+            funnel.append(("dsir_selected", cur.count()))
 
     heldout = None
     if heldout_frac is not None:

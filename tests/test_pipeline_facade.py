@@ -125,3 +125,26 @@ def test_curate_rejects_unknown_dedup(spark, docs):
 def test_curate_export_requires_budget(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="export_budget"):
         curate(docs, dedup=(), export_path=str(tmp_path / "x"))
+
+
+def test_curate_dsir_stage_matches_manual_select(spark, docs):
+    """The DSIR stage in the façade == dsir_select chained manually: same
+    kept ids, same funnel entry, score columns dropped from the corpus."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dsir import dsir_select
+
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    res = curate(
+        docs,
+        gates={"min_len": F.length("text") >= 10},
+        dedup=(),
+        dsir_target=target,
+        dsir_n=25,
+        dsir_dim=512,
+    )
+    manual = docs.filter(F.length("text") >= 10)
+    want = dsir_select(manual, target, "text", n=25, id_col="doc_id", dim=512)
+    assert _ids(res.corpus) == _ids(want)
+    assert ("dsir_selected", 25) in res.funnel
+    assert "dsir_log_w" not in res.corpus.columns
+    with pytest.raises(ValueError, match="dsir_n"):
+        curate(docs, dsir_target=target)
