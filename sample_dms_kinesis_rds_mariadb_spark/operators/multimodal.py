@@ -838,8 +838,105 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 # WAV format tags this module decodes for real (all table/arithmetic
-# expansions — no codec library): PCM, IEEE float, G.711 A-law/µ-law
-_WAV_TAGS = {1: "wav", 3: "wav-float", 6: "wav-alaw", 7: "wav-ulaw"}
+# expansions — no codec library): PCM, IEEE float, G.711 A-law/µ-law,
+# IMA/DVI ADPCM (tag 0x11)
+_WAV_TAGS = {1: "wav", 3: "wav-float", 6: "wav-alaw", 7: "wav-ulaw",
+             0x11: "wav-adpcm"}
+
+# IMA ADPCM quantizer tables (the published IMA/DVI algorithm)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode_nibbles(nibbles, pred: int, index: int, out: list) -> tuple[int, int]:
+    """Expand a nibble run with the IMA state machine; appends to out,
+    returns the (pred, index) state for the next run."""
+    for n in nibbles:
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        if n & 8:
+            diff = -diff
+        pred = max(-32768, min(32767, pred + diff))
+        index = max(0, min(88, index + _IMA_INDEX[n]))
+        out.append(pred)
+    return pred, index
+
+
+def decode_wav_adpcm_samples(content: bytes):
+    """FULL decode of an IMA-ADPCM WAVE (format tag 0x11) to interleaved
+    int16 samples — the published IMA/DVI state machine, block-based: each
+    block opens with a per-channel 4-byte header (predictor int16, step
+    index, reserved) whose predictor IS the block's first sample, then
+    4-byte nibble groups round-robin across channels (8 nibbles per
+    group). Returns (sample_rate, channels, numpy int16 array, frames)."""
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt ":
+            tag = int.from_bytes(content[body : body + 2], "little")
+            if tag != 0x11:
+                raise ValueError(f"not IMA ADPCM (format tag {tag})")
+            channels = int.from_bytes(content[body + 2 : body + 4], "little")
+            rate = int.from_bytes(content[body + 4 : body + 8], "little")
+            block_align = int.from_bytes(content[body + 12 : body + 14], "little")
+            fmt = (rate, channels, block_align)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            rate, channels, block_align = fmt
+            data = content[body : body + size]
+            per_chan: list[list[int]] = [[] for _ in range(channels)]
+            for bstart in range(0, len(data) - 4 * channels + 1, block_align):
+                block = data[bstart : bstart + block_align]
+                states = []
+                for c in range(channels):
+                    h = block[c * 4 : c * 4 + 4]
+                    pred = int.from_bytes(h[0:2], "little", signed=True)
+                    index = min(h[2], 88)
+                    per_chan[c].append(pred)  # header predictor = sample 0
+                    states.append((pred, index))
+                p = 4 * channels
+                while p + 4 * channels <= len(block):
+                    for c in range(channels):
+                        grp = block[p + c * 4 : p + c * 4 + 4]
+                        nibs = []
+                        for byte in grp:
+                            nibs.append(byte & 0x0F)
+                            nibs.append(byte >> 4)
+                        states[c] = _ima_decode_nibbles(
+                            nibs, states[c][0], states[c][1], per_chan[c]
+                        )
+                    p += 4 * channels
+            frames = min(len(ch) for ch in per_chan) if channels else 0
+            out = np.empty(frames * channels, dtype=np.int16)
+            for c in range(channels):
+                out[c::channels] = np.asarray(
+                    per_chan[c][:frames], dtype=np.int16
+                )
+            return rate, channels, out, frames
+        pos = body + size + (size & 1)
+    raise ValueError("truncated WAV: no data chunk")
 
 
 def _g711_tables():
@@ -901,14 +998,30 @@ def decode_audio(content: bytes, fake: bool = False) -> tuple[int, int, int, int
                     )
                 channels = int.from_bytes(content[body + 2 : body + 4], "little")
                 sample_rate = int.from_bytes(content[body + 4 : body + 8], "little")
+                block_align = int.from_bytes(content[body + 12 : body + 14], "little")
                 bits = int.from_bytes(content[body + 14 : body + 16], "little")
-                fmt = (sample_rate, channels, bits, _WAV_TAGS[audio_format])
+                fmt = (sample_rate, channels, bits, _WAV_TAGS[audio_format],
+                       block_align)
             elif cid == b"data":
                 if fmt is None:
                     raise ValueError("WAV data chunk before fmt chunk")
-                sample_rate, channels, bits, kind = fmt
+                sample_rate, channels, bits, kind, block_align = fmt
+                avail = min(size, len(content) - body)
+                if kind == "wav-adpcm":
+                    # block layout: per-channel 4-byte header (whose
+                    # predictor is sample 0) + 4-byte nibble groups
+                    if block_align <= 4 * channels:
+                        raise ValueError("IMA ADPCM block_align too small")
+                    spb = (block_align - 4 * channels) * 2 // channels + 1
+                    n_blocks, rem = divmod(avail, block_align)
+                    n_frames = n_blocks * spb
+                    if rem > 4 * channels:
+                        n_frames += (rem - 4 * channels) * 2 // channels + 1
+                    elif rem >= 4 * channels and rem > 0:
+                        n_frames += 1
+                    return sample_rate, channels, bits, n_frames, body, kind
                 frame_bytes = max(1, channels * bits // 8)
-                n_frames = min(size, len(content) - body) // frame_bytes
+                n_frames = avail // frame_bytes
                 return sample_rate, channels, bits, n_frames, body, kind
             # chunks are word-aligned: odd sizes carry a pad byte
             pos = body + size + (size & 1)
@@ -960,6 +1073,8 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = False) -> DataFram
                         )
                         ulaw, alaw = _g711_tables()
                         vals = (ulaw if fmt == "wav-ulaw" else alaw)[codes]
+                    elif fmt == "wav-adpcm":
+                        _r, _c, vals, _n = decode_wav_adpcm_samples(blob)
                     if vals is not None:
                         v = vals.astype(np.float64)
                         rms = float(np.sqrt(np.mean(v * v)))
