@@ -1156,3 +1156,73 @@ def bpe_vocab(
                     seen.setdefault(ch, None)
         alphabet = sorted(seen)
     return alphabet + [a + b for a, b in merges]
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy of the character distribution (bits/char) — the
+    RedPajama-v2-style randomness signal (near 0 = one repeated char =
+    boilerplate/padding; high = diverse text). Pure codegen, no UDF, no
+    explode: sort the char array, find run BOUNDARIES (positions whose
+    char differs from the next), difference adjacent boundaries into run
+    lengths, fold -p·log2(p) over the runs — the same sorted-adjacency
+    array discipline as the Gopher repetition folds. Empty/NULL-safe
+    (entropy 0). Summation runs in sorted-char order, so the double fold
+    is deterministic and cross-engine comparable at fixed rounding."""
+    # EVERY reuse below goes through a lambda-bound variable: a non-trivial
+    # expression referenced inside a higher-order-function lambda is
+    # RE-EVALUATED per element (an O(n²)-per-row trap) — so the sorted
+    # array binds via transform-over-one-element, and the boundary array
+    # binds again before the run-length zip
+    raw = F.array_sort(F.split(text, ""))
+
+    def _ent(chars):
+        n = F.size(chars)
+        bounds = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == n)
+            | (F.element_at(chars, i) != F.element_at(chars, i + 1)),
+        )
+
+        def _from_bounds(b):
+            nd = n.cast("double")
+            prev = F.concat(
+                F.array(F.lit(0)),
+                F.slice(b, F.lit(1), F.greatest(F.size(b) - 1, F.lit(0))),
+            )
+            runs = F.zip_with(b, prev, lambda hi, lo: hi - lo)
+            return -F.aggregate(
+                runs,
+                F.lit(0.0),
+                lambda acc, r: acc
+                + (r.cast("double") / nd) * F.log2(r.cast("double") / nd),
+            )
+
+        return F.element_at(F.transform(F.array(bounds), _from_bounds), 1)
+
+    ent = F.element_at(F.transform(F.array(raw), _ent), 1)
+    return F.when(F.length(text) > 0, ent).otherwise(F.lit(0.0))
+
+
+def make_compression_ratio(spark):
+    """Arrow-batched deflate-compressibility signal: zlib-compressed size
+    over raw utf-8 size (level 6). Low ratio = highly repetitive text —
+    the published crawl-quality heuristic complementary to the Gopher
+    repetition rules (catches long-range redundancy n-gram rules miss).
+    Python-side by necessity (no JVM deflate expression), but Arrow-batched
+    with bounded per-row work; empty documents ratio 0."""
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    def ratio(texts):
+        def one(t) -> float:
+            if not t:
+                return 0.0
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(ratio)

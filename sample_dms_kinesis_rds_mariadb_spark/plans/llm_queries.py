@@ -1186,6 +1186,58 @@ def q_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "char_entropy_signal",
+    "Character-entropy quality signal (functions/text.py char_entropy): "
+    "Shannon bits/char as a PURE-CODEGEN sorted-run fold (no UDF, no "
+    "explode — run lengths from adjacent-difference over sorted-array "
+    "boundaries), oracled against the straightforward per-char unnest + "
+    "histogram SQL; ROUND(,6) absorbs the summation-order difference. "
+    "EXTRA: oracle-checked by the pytest parity harness outside the "
+    "50-cap catalog",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id < 300 AND length(text) > 0
+        ),
+        ch AS (
+          SELECT doc_id, substr(text, i, 1) AS c, length(text) AS n
+          FROM t, LATERAL (
+            SELECT unnest(generate_series(1, length(text))) AS i
+          )
+        ),
+        h AS (
+          SELECT doc_id, n, COUNT(*) AS cnt
+          FROM ch GROUP BY doc_id, c, n
+        )
+        SELECT doc_id,
+               CAST(CAST(ROUND(
+                 -SUM((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 6)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS entropy
+        FROM h
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+    extra=True,
+)
+def q_char_entropy_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        char_entropy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & (F.length("text") > 0)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(char_entropy(F.col("text")), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("entropy"),
+    ).orderBy("doc_id")
+
+
+@register(
     "scd2_user_history",
     "SCD2 version table from a change feed (operators/scd.py "
     "scd2_history): one hash exchange + lead window (never the corpus² "

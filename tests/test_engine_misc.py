@@ -383,8 +383,9 @@ def test_jsonl_and_csv_endpoints(spark, tmp_path):
 
 def test_unsupported_endpoint_engine_rejected(spark):
     cat = SourceCatalog(spark)
+    # avro needs the external spark-avro package — not a supported engine
     with pytest.raises(ValueError, match="unsupported"):
-        cat.register_endpoint(EndpointSpec("x", "orc", {}))
+        cat.register_endpoint(EndpointSpec("x", "avro", {}))
 
 
 def test_orc_endpoint(spark, tmp_path):

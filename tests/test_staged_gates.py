@@ -118,3 +118,69 @@ def test_staged_column_collision_raises(spark):
     df = spark.createDataFrame([(1, "x", 1)], "doc_id long, text string, __gq_toks int")
     with pytest.raises(ValueError, match="collision"):
         with_gopher_quality_flags(df, "text")
+
+
+def test_char_entropy_matches_python_and_edge_cases(spark):
+    """char_entropy (pure-codegen sorted-run fold) vs a Python Counter
+    entropy, plus the signal direction and empty/degenerate edges."""
+    import math
+    from collections import Counter
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        char_entropy,
+    )
+
+    texts = [
+        "aaaaaaaa",                      # zero entropy
+        "abababab",                      # exactly 1 bit/char
+        "the quick brown fox jumps",     # diverse
+        "héllo wörld — ünïcode",         # multibyte chars count as chars
+        "",                              # empty -> 0
+        "x",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    out = df.select("i", char_entropy(F.col("t")).alias("e"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no UDF of any kind
+    got = {r["i"]: r["e"] for r in out.collect()}
+
+    def py_entropy(t):
+        if not t:
+            return 0.0
+        c = Counter(t)
+        n = len(t)
+        return -sum((k / n) * math.log2(k / n) for k in c.values())
+
+    for i, t in enumerate(texts):
+        assert got[i] == pytest.approx(py_entropy(t), abs=1e-12), repr(t)
+    assert got[0] == 0.0 and got[1] == pytest.approx(1.0) and got[5] == 0.0
+    assert got[2] > got[1] > got[0]
+
+
+def test_compression_ratio_signal(spark):
+    """make_compression_ratio: Arrow-batched, parity vs direct zlib, and
+    the direction (repetitive text compresses far better)."""
+    import zlib
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        make_compression_ratio,
+    )
+
+    texts = [
+        "spam " * 400,
+        "The heterogeneous quartz formations exhibit unusual banding; "
+        "mineralogists dispute their provenance across several basins.",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    ratio = make_compression_ratio(spark)
+    out = df.select("i", ratio(F.col("t")).alias("r"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    got = {r["i"]: r["r"] for r in out.collect()}
+    for i, t in enumerate(texts):
+        want = (
+            len(zlib.compress(t.encode(), 6)) / len(t.encode()) if t else 0.0
+        )
+        assert got[i] == pytest.approx(want, rel=1e-12)
+    assert got[0] < 0.05 < got[1]
