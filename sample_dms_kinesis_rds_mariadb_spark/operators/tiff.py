@@ -13,8 +13,9 @@ Lossless throughout, so tests assert EXACT pixel bytes against an
 INDEPENDENT spec-derived writer (``tests/tiff_writer.py``).
 
 Honest boundaries (``NotImplementedError``): tiled layout, bit depths
-other than 8, planar configuration 2, JPEG-in-TIFF and other
-compressions. Malformed streams raise ``ValueError``.
+other than 8, JPEG-in-TIFF and other compressions. Deflate (8/32946)
+and planar configuration 2 decode for real (r8). Malformed streams
+raise ``ValueError``.
 """
 
 from __future__ import annotations
@@ -158,53 +159,94 @@ def decode_tiff(content: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(
             f"TIFF bit depths {bits} not supported (8-bit samples only)"
         )
-    if one(284, 1) != 1:
-        raise NotImplementedError("planar TIFF (PlanarConfiguration=2)")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF: invalid PlanarConfiguration {planar}")
     compression = one(259, 1)
     photometric = one(262)
     predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF: missing or mismatched strip tags")
     rows_per_strip = one(278, height)
 
-    stride = width * spp
-    raw = bytearray()
-    remaining_rows = height
-    for off, cnt in zip(offsets, counts):
-        if off + cnt > len(content):
-            raise ValueError("TIFF: strip out of bounds")
-        strip_rows = min(rows_per_strip, remaining_rows)
-        expected = strip_rows * stride
-        chunk = content[off : off + cnt]
+    def decompress(chunk: bytes, expected: int) -> bytes:
         if compression == 1:
             if len(chunk) < expected:
                 raise ValueError("TIFF: uncompressed strip short")
-            data = chunk[:expected]
-        elif compression == 32773:
-            data = _unpackbits(chunk, expected)
-        elif compression == 5:
-            data = _lzw_decode_tiff(chunk, expected)
-        else:
-            raise NotImplementedError(
-                f"TIFF compression {compression} not supported "
-                "(none/PackBits/LZW decode here)"
-            )
-        raw += data
-        remaining_rows -= strip_rows
-    if remaining_rows > 0:
-        raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+            return chunk[:expected]
+        if compression == 32773:
+            return _unpackbits(chunk, expected)
+        if compression == 5:
+            return _lzw_decode_tiff(chunk, expected)
+        if compression in (8, 32946):  # Adobe deflate / legacy deflate
+            import zlib
 
-    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(height, stride)
-    if predictor == 2:
+            data = zlib.decompress(chunk)
+            if len(data) < expected:
+                raise ValueError("TIFF: deflate strip short")
+            return data[:expected]
+        raise NotImplementedError(
+            f"TIFF compression {compression} not supported "
+            "(none/PackBits/LZW/Deflate decode here)"
+        )
+
+    def read_strips(strip_list, sample_width: int) -> bytes:
+        raw = bytearray()
+        remaining = height
+        for off, cnt in strip_list:
+            if off + cnt > len(content):
+                raise ValueError("TIFF: strip out of bounds")
+            strip_rows = min(rows_per_strip, remaining)
+            raw += decompress(content[off : off + cnt], strip_rows * sample_width)
+            remaining -= strip_rows
+        if remaining > 0:
+            raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+        return bytes(raw)
+
+    def undiff(a: np.ndarray, nchan: int) -> np.ndarray:
         # horizontal differencing per sample: cumulative sum along the row
-        arr = (
-            np.cumsum(arr.reshape(height, width, spp), axis=1, dtype=np.uint32)
+        h_, stride_ = a.shape
+        return (
+            np.cumsum(
+                a.reshape(h_, stride_ // nchan, nchan), axis=1, dtype=np.uint32
+            )
             % 256
-        ).astype(np.uint8).reshape(height, stride)
-    elif predictor != 1:
-        raise NotImplementedError(f"TIFF predictor {predictor}")
+        ).astype(np.uint8).reshape(h_, stride_)
+
+    if planar == 2 and spp > 1:
+        # plane-by-plane strips: all strips of channel 0, then channel 1...
+        per_plane = (height + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) != per_plane * spp:
+            raise ValueError(
+                f"TIFF: planar strip count {len(offsets)} != "
+                f"{per_plane} strips x {spp} planes"
+            )
+        planes = []
+        for c in range(spp):
+            sl = list(
+                zip(
+                    offsets[c * per_plane : (c + 1) * per_plane],
+                    counts[c * per_plane : (c + 1) * per_plane],
+                )
+            )
+            p = np.frombuffer(read_strips(sl, width), dtype=np.uint8).reshape(
+                height, width
+            )
+            if predictor == 2:
+                p = undiff(p, 1)
+            planes.append(p)
+        arr = np.stack(planes, axis=2).reshape(height, width * spp)
+    else:
+        stride = width * spp
+        arr = np.frombuffer(
+            read_strips(list(zip(offsets, counts)), stride), dtype=np.uint8
+        ).reshape(height, stride)
+        if predictor == 2:
+            arr = undiff(arr, spp)
     arr = arr.reshape(height, width, spp)
 
     if photometric == 3:  # palette

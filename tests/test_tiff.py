@@ -122,3 +122,52 @@ def test_tiff_dispatch_and_features_e2e(spark):
     got = {r["media_id"]: r for r in extract_image_features(df).collect()}
     for i in (1, 2):
         assert (got[i]["width"], got[i]["height"], got[i]["format"]) == (18, 12, "tiff")
+
+
+@pytest.mark.parametrize("compression", [1, 8])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_tiff_deflate_and_planar(compression, predictor):
+    """r8 boundaries closed: Deflate strips (compression 8) and
+    PlanarConfiguration=2 (plane-by-plane strips), alone and combined
+    with Predictor 2 and multi-strip layouts — exact pixel parity."""
+    rng = np.random.default_rng(77 + compression + predictor)
+    rgb = rng.integers(0, 256, (11, 7, 3)).astype(np.uint8)
+    # deflate chunky
+    blob = write_tiff(rgb, compression=compression, predictor=predictor,
+                      rows_per_strip=4)
+    w, h, c, px = decode_tiff(blob)
+    assert (w, h, c) == (7, 11, 3) and px == rgb.tobytes()
+    # planar, same options
+    blob_p = write_tiff(rgb, compression=compression, predictor=predictor,
+                        rows_per_strip=4, planar=2)
+    w, h, c, px = decode_tiff(blob_p)
+    assert (w, h, c) == (7, 11, 3) and px == rgb.tobytes()
+
+
+def test_tiff_planar_lzw_packbits_and_bigendian():
+    rng = np.random.default_rng(101)
+    rgba = rng.integers(0, 256, (6, 9, 4)).astype(np.uint8)
+    for comp in (5, 32773):
+        blob = write_tiff(rgba, compression=comp, rows_per_strip=3, planar=2)
+        w, h, c, px = decode_tiff(blob)
+        assert (w, h, c) == (9, 6, 4) and px == rgba.tobytes()
+    blob_be = write_tiff(rgba, compression=8, planar=2, big_endian=True)
+    w, h, c, px = decode_tiff(blob_be)
+    assert px == rgba.tobytes()
+
+
+def test_tiff_planar_strip_count_mismatch():
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (4, 4, 3)).astype(np.uint8)
+    blob = bytearray(write_tiff(rgb, planar=2, rows_per_strip=2))
+    # corrupt the SamplesPerPixel tag to 4: strip count no longer matches
+    import struct as _s
+
+    n = int.from_bytes(blob[8:10], "little")
+    for i in range(n):
+        off = 10 + 12 * i
+        tag = int.from_bytes(blob[off : off + 2], "little")
+        if tag == 277:
+            blob[off + 8 : off + 10] = _s.pack("<H", 4)
+    with pytest.raises(ValueError, match="planar strip count"):
+        decode_tiff(bytes(blob))

@@ -95,10 +95,12 @@ def write_tiff(
     rows_per_strip: int | None = None,
     big_endian: bool = False,
     extra_entries: list | None = None,
+    planar: int = 1,
 ) -> bytes:
     """Minimal single-IFD TIFF: ``pixels`` is (h, w) gray / palette
     indices or (h, w, c) with c in (3, 4). compression: 1 none,
-    5 LZW, 32773 PackBits."""
+    5 LZW, 32773 PackBits, 8 Deflate. planar=2 writes plane-by-plane
+    strips (all strips of channel 0, then 1, ...)."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     h, w = pixels.shape[:2]
     spp = 1 if pixels.ndim == 2 else pixels.shape[2]
@@ -127,11 +129,47 @@ def write_tiff(
             )
         if compression == 5:
             return _TiffLZW().compress(raw)
+        if compression == 8:
+            import zlib
+
+            return zlib.compress(raw, 6)
         raise ValueError(compression)
 
-    strips = [
-        enc_strip(flat[y : y + rps]) for y in range(0, h, rps)
-    ]
+    if planar == 2 and spp > 1:
+        # per-plane strip sequences; predictor differencing is per plane
+        # (single-sample rows), so reuse enc_strip with spp temporarily 1
+        strips = []
+        for c in range(spp):
+            plane = pixels[:, :, c]
+            for y in range(0, h, rps):
+                rows = plane[y : y + rps]
+                if predictor == 2:
+                    d = rows.astype(np.int16).copy()
+                    d[:, 1:] = (rows[:, 1:].astype(np.int16) - rows[:, :-1]) % 256
+                    raw = d.astype(np.uint8).tobytes()
+                else:
+                    raw = rows.tobytes()
+                if compression == 1:
+                    strips.append(raw)
+                elif compression == 32773:
+                    strips.append(
+                        b"".join(
+                            _packbits(raw[i : i + w])
+                            for i in range(0, len(raw), w)
+                        )
+                    )
+                elif compression == 5:
+                    strips.append(_TiffLZW().compress(raw))
+                elif compression == 8:
+                    import zlib
+
+                    strips.append(zlib.compress(raw, 6))
+                else:
+                    raise ValueError(compression)
+    else:
+        strips = [
+            enc_strip(flat[y : y + rps]) for y in range(0, h, rps)
+        ]
 
     entries = []  # (tag, type, count, values)
     entries.append((256, 3, 1, [w]))
@@ -141,6 +179,8 @@ def write_tiff(
     entries.append((262, 3, 1, [photometric]))
     entries.append((277, 3, 1, [spp]))
     entries.append((278, 3, 1, [rps]))
+    if planar != 1:
+        entries.append((284, 3, 1, [planar]))
     if predictor != 1:
         entries.append((317, 3, 1, [predictor]))
     if spp == 4:
