@@ -380,6 +380,36 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     timings["wordpiece_tokenize"] = round(time.perf_counter() - t0, 3)
 
+    # 13) media-container metadata sweep (r8): synthesized CBR MP3 payloads
+    # (spec-composed frames — header + zero payload, Layer III 128 kbps
+    # 44.1 kHz + ID3v2 title) through the unified mapInPandas metadata leg
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        extract_media_metadata,
+    )
+
+    def _mp3_blob(i: int, n_frames: int = 96) -> bytes:
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413  # 417 B
+        title = f"doc-{i}".encode()
+        payload = b"TIT2" + len(title + b"\x00").to_bytes(4, "big") + b"\x00\x00" + b"\x00" + title
+        sz = len(payload)
+        ss = bytes(((sz >> s) & 0x7F) for s in (21, 14, 7, 0))
+        return b"ID3\x03\x00\x00" + ss + payload + frame * n_frames
+
+    _sf_num = float(sf) if sf.replace(".", "").isdigit() else 0.1
+    _n_media = max(int(2000 * _sf_num), 200)
+    _media_rows = [(i, bytearray(_mp3_blob(i))) for i in range(_n_media)]
+    _media = spark.createDataFrame(
+        _media_rows, "media_id LONG, content BINARY"
+    ).repartition(32)
+    t0 = time.perf_counter()
+    extract_media_metadata(_media).write.mode("overwrite").format("noop").save()
+    media_sec = time.perf_counter() - t0
+    timings["media_metadata_sweep"] = round(media_sec, 3)
+    media_pipeline = {
+        "payloads": _n_media,
+        "payloads_per_sec": round(_n_media / media_sec, 1),
+    }
+
     # 10) WARC→curation front door (VERDICT r7 item 5): multi-member-gzip
     # WARC corpus → warc_records (Arrow mapInPandas) → html_to_text →
     # Gopher quality gate, measured as records/s and compressed bytes/s.
@@ -545,6 +575,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "full_load_rows_per_sec": fl_rows_per_sec,
                 "warc_pipeline": warc_pipeline,
+                "media_pipeline": media_pipeline,
                 "cdc_events_per_sec": cdc_events_per_sec,
                 "sink_runs": {
                     "full_load_envelope_sink": fl_runs,
