@@ -202,6 +202,47 @@ def main() -> None:
     hits = search.bm25_search(docs, "doc_id", "text", "data quality pipeline", k=3)
     print("BM25 probe:", [(r["doc_id"], round(r["bm25"], 3)) for r in hits.collect()])
 
+    # 4d'. r8 statistical stages: interpolated Kneser-Ney (the smoothing
+    # KenLM/CCNet actually use), head/middle/tail perplexity buckets,
+    # DSIR target matching, and a corpus-trained WordPiece tokenizer
+    kn = lm.train_kn_model(clean, "text", vocab_size=20_000)
+    kn_scorer = lm.make_kn_perplexity_scorer(spark, kn)
+    scored = clean.select(
+        "doc_id", "text",
+        kn_scorer(lm.doc_tokens_column(F.col("text"))).alias("bpt"),
+    )
+    buckets = lm.perplexity_buckets(scored, "bpt")
+    print(
+        "CCNet buckets:",
+        {
+            r["ppl_bucket"]: r["n"]
+            for r in buckets.groupBy("ppl_bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        },
+    )
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dsir import dsir_select
+
+    target = clean.filter(F.col("doc_id") % 5 == 0)  # stand-in trusted set
+    picked = dsir_select(clean, target, "text", n=50, id_col="doc_id", dim=4096)
+    print("DSIR selected:", picked.count(), "target-like docs")
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        bpe_pretokenize,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.functions.tokenizers import (
+        make_wordpiece_tokenizer,
+        train_wordpiece,
+    )
+
+    wp_vocab = train_wordpiece(clean, "text", vocab_size=1024)
+    wp = make_wordpiece_tokenizer(spark, wp_vocab)
+    n_tok = clean.select(
+        F.sum(F.size(wp(bpe_pretokenize(F.col("text"))))).alias("n")
+    ).first()["n"]
+    print(f"WordPiece: vocab {len(wp_vocab)}, corpus tokens {n_tok}")
+
     # 4e. cross-doc boilerplate removal: strip lines repeating across most
     # docs of a source (the line-level dual of the within-doc gates above)
     from sample_dms_kinesis_rds_mariadb_spark.operators.boilerplate import (
