@@ -250,3 +250,46 @@ def pq_topk_rerank(
         F.broadcast(coarse.select(id_col)), on=id_col, how="inner"
     )
     return brute_force_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def save_pq_codebooks(
+    codebooks: list[list[list[float]]], path: str, metric_note: str | None = None
+) -> None:
+    """Persist codebooks as driver-side JSON (the IvfIndex centroid
+    convention): build once, probe from any later session. repr-precision
+    floats round-trip bit-exactly, so a reloaded book encodes and scores
+    identically."""
+    import json
+
+    m = len(codebooks)
+    k = len(codebooks[0]) if m else 0
+    dsub = len(codebooks[0][0]) if k else 0
+    blob = {
+        "format": "pq-codebooks-v1",
+        "m": m,
+        "k": k,
+        "dsub": dsub,
+        "note": metric_note,
+        "books": [[[repr(x) for x in c] for c in book] for book in codebooks],
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(blob, f)
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_pq_codebooks(path: str) -> list[list[list[float]]]:
+    import json
+
+    with open(path) as f:
+        blob = json.load(f)
+    if blob.get("format") != "pq-codebooks-v1":
+        raise ValueError(f"{path} is not a PQ codebook artifact")
+    books = [
+        [[float(x) for x in c] for c in book] for book in blob["books"]
+    ]
+    if len(books) != blob["m"] or any(len(b) != blob["k"] for b in books):
+        raise ValueError(f"{path}: codebook shape disagrees with its header")
+    return books

@@ -126,3 +126,28 @@ def test_pq_medoid_codebooks_and_plan_shape(spark, pq_setup):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert out.count() == 5
+
+
+def test_pq_codebook_artifact_roundtrip(spark, pq_setup, tmp_path):
+    """Persisted codebooks reload bit-exactly; a reloaded book produces
+    identical codes and ADC scores (build-once / probe-later contract)."""
+    df, vecs, books = pq_setup
+    p = str(tmp_path / "books.json")
+    pqm.save_pq_codebooks(books, p, metric_note="cosine")
+    loaded = pqm.load_pq_codebooks(p)
+    assert loaded == books  # repr round-trip: bit-exact floats
+    probe = [float(x) for x in vecs[2]]
+    a = pqm.pq_adc_topk(pqm.pq_encode(df, books), books, probe, k=7).collect()
+    b = pqm.pq_adc_topk(pqm.pq_encode(df, loaded), loaded, probe, k=7).collect()
+    assert [(r["vec_id"], r["adc_cosine"]) for r in a] == [
+        (r["vec_id"], r["adc_cosine"]) for r in b
+    ]
+    import json
+
+    with open(p) as f:
+        blob = json.load(f)
+    blob["format"] = "something-else"
+    with open(p, "w") as f:
+        json.dump(blob, f)
+    with pytest.raises(ValueError, match="not a PQ codebook"):
+        pqm.load_pq_codebooks(p)
