@@ -65,7 +65,7 @@ def train_wordpiece(
     (only words containing the merged pair are re-paired), plus symbol
     unigram counts for the score's denominator.
 
-    Verified in tests/test_wordpiece.py against an independent
+    Verified in tests/test_tokenizers.py against an independent
     recount-from-scratch trainer and hand-checked tokenizations.
     """
     rows = bpe_piece_counts(df, text_col).collect()

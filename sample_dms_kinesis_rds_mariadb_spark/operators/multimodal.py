@@ -1016,7 +1016,12 @@ def decode_audio(content: bytes, fake: bool = False) -> tuple[int, int, int, int
                     n_blocks, rem = divmod(avail, block_align)
                     n_frames = n_blocks * spb
                     if rem > 4 * channels:
-                        n_frames += (rem - 4 * channels) * 2 // channels + 1
+                        # decode_wav_adpcm_samples only consumes complete
+                        # 4-byte-per-channel nibble groups (8 samples each),
+                        # so round the partial tail down to whole groups
+                        n_frames += (
+                            (rem - 4 * channels) // (4 * channels)
+                        ) * 8 + 1
                     elif rem >= 4 * channels and rem > 0:
                         n_frames += 1
                     return sample_rate, channels, bits, n_frames, body, kind

@@ -105,7 +105,10 @@ class FakeMySQLServer:
                 conn.close()
 
     def _handle(self, conn: socket.socket) -> None:
-        scramble = os.urandom(20)
+        # Real MySQL/MariaDB servers never put NUL bytes in the scramble
+        # (the greeting's auth2 part is NUL-terminated, so a trailing 0x00
+        # in the scramble itself would be ambiguous to clients).
+        scramble = bytes(1 + b % 255 for b in os.urandom(20))
         # v10 greeting: proto, version, thread id, auth1(8), filler,
         # caps-low, charset, status, caps-high, auth-len, reserved(10),
         # auth2(12 + NUL), plugin name

@@ -539,6 +539,35 @@ def test_ima_adpcm_decode_matches_encoder_reconstruction():
     assert abs(n_frames - frames) <= 1
 
 
+def test_ima_adpcm_truncated_tail_estimate_matches_decoder():
+    """A truncated payload whose tail is not 4-byte-group aligned: the
+    metadata frame estimate must equal what decode_wav_adpcm_samples can
+    actually decode (whole nibble groups only), never more."""
+    import math
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav_adpcm_samples,
+    )
+
+    n = 505
+    sig = [int(9000 * math.sin(i / 7)) for i in range(n)]
+    block_samples = 249  # 128-byte mono blocks
+    blocks, _recon = _ima_encode(sig, block_samples)
+    block_align = 4 + (block_samples - 1) // 2
+    # cut mid-way through the second block, at several non-group-aligned
+    # offsets past the 4-byte header (header + k bytes, k % 4 != 0)
+    for extra in (1, 2, 3, 5, 6, 7, 9, 11):
+        cut = block_align + 4 + extra
+        blob = _adpcm_wav(blocks[:cut], 8000, 1, block_align)
+        _r, _c, out, frames_dec = decode_wav_adpcm_samples(blob)
+        _r2, _c2, _bits, n_frames, _off, kind = decode_audio(blob)
+        assert kind == "wav-adpcm"
+        assert n_frames == frames_dec == len(out), (
+            f"cut={cut}: estimate {n_frames} vs decoded {frames_dec}"
+        )
+
+
 def test_ima_adpcm_stereo_and_features(spark):
     """Stereo blocks round-robin 4-byte nibble groups per channel; the
     Arrow features leg computes rms from the decoded stream."""
