@@ -62,6 +62,24 @@ HEADLINE = CORE + [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # wait-for-quiet gate (VERDICT r8 item 3: stamping contaminated wasn't
+    # enough — the r7 AND r8 driver artifacts were both taken under load).
+    # Before starting the JVM, wait (bounded) for the box to go quiet so
+    # whatever moment the driver runs bench, the artifact is clean. Only if
+    # the box never quiets do we fall through and stamp contaminated.
+    load_limit = float(os.environ.get("SPARK_GRAFT_LOAD_LIMIT", "1.5"))
+    quiet_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
+    waited_sec = 0.0
+    while os.getloadavg()[0] > load_limit and waited_sec < quiet_wait:
+        print(
+            f"loadavg {os.getloadavg()[0]:.2f} > {load_limit}; waiting for "
+            f"quiet ({waited_sec:.0f}/{quiet_wait:.0f}s)...",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        waited_sec += 30
+
     spark = get_session(app_name="bench")
 
     # host-load context (VERDICT r5: cross-round comparisons needed
@@ -73,11 +91,10 @@ def main() -> None:
 
     # exclusive-runs protocol guard (VERDICT r7 item 2: BENCH_r07 was taken
     # under concurrent load and was unusable for cross-round deltas). A
-    # busy box at start → the reading is STAMPED contaminated rather than
-    # refused (refusing would lose the round's bench entirely; the stamp
-    # tells every later reader to ignore the deltas). Threshold overridable
-    # for boxes with a different core count.
-    load_limit = float(os.environ.get("SPARK_GRAFT_LOAD_LIMIT", "1.5"))
+    # still-busy box after the quiet wait → the reading is STAMPED
+    # contaminated rather than refused (refusing would lose the round's
+    # bench entirely; the stamp tells every later reader to ignore the
+    # deltas). Threshold overridable for boxes with a different core count.
     contaminated = loadavg_start[0] > load_limit
     if contaminated:
         print(
@@ -591,6 +608,7 @@ def main() -> None:
                 "calibration_sec": calibration_sec,
                 "calibration_prev": calibration_prev,
                 "contaminated": contaminated,
+                "quiet_wait_sec": waited_sec,
             }
         )
     )
