@@ -376,6 +376,22 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     timings["pq_adc_rerank"] = round(time.perf_counter() - t0, 3)
 
+    # 11b) batch ADC (r9): a 32-probe eval set answered in ONE codes scan
+    # + ONE plan compile — vs 32 Catalyst compiles + 32 jobs through the
+    # per-probe path (8.2 s/probe cold in BENCH_r08: the scale-killer this
+    # leg exists to watch). LUTs travel as a broadcast frame, the top-k
+    # cut is a map-side WindowGroupLimit.
+    _probe_rows = _emb.limit(32).collect()
+    _probes = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in _probe_rows
+    }
+    t0 = time.perf_counter()
+    _pqm.pq_batch_topk_rerank(
+        _emb, _books, _probes, k=20, coarse_factor=4
+    ).write.mode("overwrite").format("noop").save()
+    timings["pq_adc_batch32"] = round(time.perf_counter() - t0, 3)
+
     # 12) WordPiece tokenizer: training is ONE distributed piece-count
     # scan + driver merge loop; inference is the Arrow-batched greedy
     # longest-match pass over the corpus

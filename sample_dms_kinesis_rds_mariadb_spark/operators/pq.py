@@ -224,6 +224,145 @@ def pq_adc_topk(
     )
 
 
+def pq_adc_batch_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    probes: dict[object, list[float]],
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance top-``k`` for EVERY probe in ONE codes scan —
+    the batch dual of :func:`pq_adc_topk`, the same eval-set shape as
+    ``search.bm25_batch_search`` / ``similarity.knn_join``.
+
+    :func:`pq_adc_topk` inlines the probe's m×k LUT into the plan as
+    literals, so a Q-probe eval set costs Q Catalyst compiles + Q jobs
+    (8.2 s cold per probe measured at sf0.1 — a driver-side bottleneck at
+    exactly the workload PQ exists for). Here the LUTs travel as DATA: a
+    (probe_id, lut, <p,p>) frame (Q·m·k doubles — an eval batch is small
+    by contract) broadcasts onto the codes scan, every (probe, row) score
+    is m element_at adds in codegen, and a per-probe window takes the
+    top-``k``. One plan compile, one scan, regardless of Q.
+
+    Returns (probe_id, id_col, <score>, rank), rank 1 = best, score
+    column named exactly as the per-probe op (adc_dist / adc_ip /
+    adc_cosine); probe ids come back stringified. Scores are BIT-EQUAL to
+    :func:`pq_adc_topk` (same left-fold add order, same double values —
+    asserted in tests/test_pq.py).
+
+    Scale shape: the corpus never shuffles — only the (probe_id, id,
+    score) rows move into the per-probe window, bounded by Q × |codes|;
+    batch probes accordingly (the same contract as ``knn_join``, whose
+    LSH-bucketed dual applies when the product is too large).
+    """
+    if metric not in ("l2", "ip", "cosine"):
+        raise ValueError(f"unknown metric {metric!r} (l2|ip|cosine)")
+    spark = codes_df.sparkSession
+    m = len(codebooks)
+    rows = []
+    for qid, p in probes.items():
+        pv = [float(x) for x in p]
+        l2_lut, ip_lut, pp = _adc_luts(pv, codebooks)
+        lut = l2_lut if metric == "l2" else ip_lut
+        rows.append((str(qid), [[float(x) for x in r] for r in lut], pp))
+    pdf = spark.createDataFrame(
+        rows, "probe_id string, _lut array<array<double>>, _pp double"
+    )
+    scored = codes_df.select(F.col(id_col), F.col(code_col)).join(
+        F.broadcast(pdf)
+    )
+    # Σ_j lut[j][code_j], left-fold add in the SAME j order as _lut_sum so
+    # batch scores bit-match the per-probe literal path
+    total = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_lut"), j + 1),
+            F.element_at(F.col(code_col), j + 1) + 1,
+        )
+        total = term if total is None else total + term
+    if metric == "l2":
+        score, name, asc = total, "adc_dist", True
+    elif metric == "ip":
+        score, name, asc = total, "adc_ip", False
+    else:
+        # reconstruction norm is probe-INDEPENDENT: keep it a plan literal
+        # (one m×k table shared by every probe — a single compile)
+        cc_lut = [[_seq_dot(c, c) for c in book] for book in codebooks]
+        rec_norm2 = _lut_sum(cc_lut, F.col(code_col))
+        score = total / (F.sqrt(F.col("_pp")) * F.sqrt(rec_norm2))
+        name, asc = "adc_cosine", False
+    from pyspark.sql import Window
+
+    order = F.col(name).asc() if asc else F.col(name).desc()
+    w = Window.partitionBy("probe_id").orderBy(order, F.col(id_col).asc())
+    return (
+        scored.withColumn(name, score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select("probe_id", id_col, name, "rank")
+    )
+
+
+def pq_batch_topk_rerank(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    probes: dict[object, list[float]],
+    k: int = 10,
+    coarse_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """Batch two-stage PQ search: ONE ADC pass over the code column picks
+    ``k·coarse_factor`` candidates per probe, then only the (probe,
+    candidate) pairs are re-scored with exact cosine against full
+    vectors. Output (probe_id, id_col, cosine_sim, rank) — the
+    ``knn_join`` contract; per-probe results equal running
+    :func:`pq_topk_rerank` probe-by-probe (asserted in tests).
+
+    Scale shape: coarse output is Q·k·factor rows → broadcast onto the
+    corpus (an id hash probe per row, corpus never shuffles); the exact
+    fold runs on survivors only; the probe-vector frame (Q·D doubles)
+    broadcasts onto those."""
+    if codes_df is None:
+        codes_df = pq_encode(corpus, codebooks, vec_col=vec_col)
+    coarse = pq_adc_batch_topk(
+        codes_df, codebooks, probes, k=k * coarse_factor, metric="cosine",
+        id_col=id_col,
+    )
+    spark = corpus.sparkSession
+    pv = spark.createDataFrame(
+        [(str(qid), [float(x) for x in p]) for qid, p in probes.items()],
+        "probe_id string, _p array<double>",
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    cand = corpus.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(coarse.select("probe_id", id_col)), id_col
+    )
+    scored = cand.join(F.broadcast(pv), "probe_id").select(
+        "probe_id",
+        F.col(id_col),
+        cosine_similarity(
+            to_double_array(F.col(vec_col)), F.col("_p")
+        ).alias("cosine_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select("probe_id", id_col, "cosine_sim", "rank")
+    )
+
+
 def pq_topk_rerank(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],

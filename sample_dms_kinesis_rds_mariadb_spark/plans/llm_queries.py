@@ -1659,6 +1659,125 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_adc_batch_oracle_sql(
+    medoid_ids: list[int], n_probes: int = 4, k: int = 10
+) -> str:
+    """DuckDB oracle for BATCH PQ ADC: the single-probe oracle generalized
+    to a probe SET (vec_id < n_probes) with a per-probe ranking window —
+    every (probe, corpus row) ADC cosine is the probe-to-reconstruction
+    cosine, top-k per probe. ROUND(,6) absorbs the j-summation-order
+    difference as in the single-probe entry."""
+    values = ", ".join(f"({cid}, {mid})" for cid, mid in enumerate(medoid_ids))
+    subs = ", ".join(f"({j})" for j in range(1, _PQ_M + 1))
+    d = _PQ_DSUB
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        probes AS (
+          SELECT CAST(vec_id AS VARCHAR) AS probe_id, v AS p
+          FROM v WHERE vec_id < {n_probes}
+        ),
+        subs AS (SELECT j FROM (VALUES {subs}) AS s(j)),
+        med AS (
+          SELECT m.cid, v.v FROM (VALUES {values}) AS m(cid, mid)
+          JOIN v ON v.vec_id = m.mid
+        ),
+        books AS (
+          SELECT s.j, med.cid,
+                 list_slice(med.v, (s.j-1)*{d}+1, s.j*{d}) AS c
+          FROM subs s CROSS JOIN med
+        ),
+        slices AS (
+          SELECT c.vec_id, s.j,
+                 list_slice(c.v, (s.j-1)*{d}+1, s.j*{d}) AS sub
+          FROM (SELECT vec_id, v FROM v WHERE vec_id >= 5) c
+          CROSS JOIN subs s
+        ),
+        encoded AS (
+          SELECT vec_id, j, cid, c FROM (
+            SELECT sl.vec_id, sl.j, b.cid, b.c,
+                   row_number() OVER (
+                     PARTITION BY sl.vec_id, sl.j
+                     ORDER BY list_inner_product(sl.sub, sl.sub)
+                              - 2 * list_inner_product(sl.sub, b.c)
+                              + list_inner_product(b.c, b.c),
+                              b.cid
+                   ) AS rn
+            FROM slices sl JOIN books b ON b.j = sl.j
+          ) WHERE rn = 1
+        ),
+        scored AS (
+          SELECT pr.probe_id, e.vec_id,
+                 SUM(list_inner_product(
+                       list_slice(pr.p, (e.j-1)*{d}+1, e.j*{d}), e.c)) AS ip,
+                 SUM(list_inner_product(e.c, e.c)) AS cc,
+                 ANY_VALUE(list_inner_product(pr.p, pr.p)) AS pp
+          FROM encoded e CROSS JOIN probes pr
+          GROUP BY pr.probe_id, e.vec_id
+        ),
+        final AS (
+          SELECT probe_id, vec_id, ip / (sqrt(pp) * sqrt(cc)) AS cosv
+          FROM scored
+        )
+        SELECT probe_id, vec_id,
+               CAST(CAST(ROUND(cosv, 6) AS DECIMAL(18,6)) AS DOUBLE)
+                 AS adc_cosine,
+               CAST(rn AS INT) AS rank
+        FROM (
+          SELECT probe_id, vec_id, cosv,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY probe_id ORDER BY cosv DESC, vec_id
+                 ) AS rn
+          FROM final
+        ) WHERE rn <= {k}
+        ORDER BY probe_id, rank
+    """
+
+
+@register(
+    "pq_adc_batch_topk",
+    "BATCH product-quantization ANN (operators/pq.py pq_adc_batch_topk): a "
+    "4-probe eval set answered in ONE codes scan + ONE plan compile — LUTs "
+    "travel as a broadcast (probe_id, lut, pp) frame instead of plan "
+    "literals, per-probe top-k via a map-side WindowGroupLimit window. The "
+    "batch dual that kills the per-probe Catalyst-compile bottleneck. "
+    "EXTRA: oracle-checked by the pytest parity harness outside the 50-cap "
+    "catalog",
+    oracle=_pq_adc_batch_oracle_sql(_PQ_MEDOID_IDS),
+    tags=("similarity",),
+    extra=True,
+)
+def q_pq_adc_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.vectors import (
+        to_double_array,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.medoid_pq_codebooks(emb, _PQ_MEDOID_IDS, m=_PQ_M)
+    probes = {
+        int(r["_id"]): [float(x) for x in r["_v"]]
+        for r in emb.filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("_id"),
+            to_double_array(F.col("embedding")).alias("_v"),
+        )
+        .collect()
+    }
+    codes = pq.pq_encode(emb.filter(F.col("vec_id") >= 5), books)
+    out = pq.pq_adc_batch_topk(codes, books, probes, k=10, metric="cosine")
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round(F.col("adc_cosine"), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("adc_cosine"),
+        "rank",
+    ).orderBy("probe_id", "rank")
+
+
 @register(
     "cap_per_group_sources",
     "Per-source document cap (operators/sampling.py cap_per_group) run "

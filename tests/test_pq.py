@@ -128,6 +128,87 @@ def test_pq_medoid_codebooks_and_plan_shape(spark, pq_setup):
     assert out.count() == 5
 
 
+def test_pq_adc_batch_matches_per_probe_bitwise(spark, pq_setup):
+    """The batch op must return EXACTLY the per-probe op's (id, score)
+    list — bit-equal scores, same tie-broken order — for every metric."""
+    df, vecs, books = pq_setup
+    codes = pqm.pq_encode(df, books).cache()
+    codes.count()
+    probes = {f"p{i}": [float(x) for x in vecs[i]] for i in (0, 3, 7, 50)}
+    try:
+        for metric, score_col in (
+            ("l2", "adc_dist"), ("ip", "adc_ip"), ("cosine", "adc_cosine")
+        ):
+            batch = pqm.pq_adc_batch_topk(
+                codes, books, probes, k=9, metric=metric
+            ).collect()
+            by_probe: dict[str, list] = {}
+            for r in sorted(batch, key=lambda r: (r["probe_id"], r["rank"])):
+                by_probe.setdefault(r["probe_id"], []).append(
+                    (r["vec_id"], r[score_col])
+                )
+            for qid, p in probes.items():
+                single = [
+                    (r["vec_id"], r[score_col])
+                    for r in pqm.pq_adc_topk(
+                        codes, books, p, k=9, metric=metric
+                    ).collect()
+                ]
+                assert by_probe[qid] == single, f"{metric}/{qid}"
+    finally:
+        codes.unpersist()
+
+
+def test_pq_adc_batch_single_scan_plan(spark, pq_setup):
+    """One codes scan + one broadcast regardless of probe count: the
+    whole point of the batch dual (the per-probe op costs Q compiles +
+    Q jobs). Also: no Python eval, no cartesian product."""
+    df, vecs, books = pq_setup
+    codes = pqm.pq_encode(df, books)
+    probes = {i: [float(x) for x in vecs[i]] for i in range(20)}
+    out = pqm.pq_adc_batch_topk(codes, books, probes, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus relation appears exactly once (one scan feeds all probes)
+    assert plan.count("ExistingRDD") + plan.count("LocalTableScan") >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    rows = out.collect()
+    assert len(rows) == 20 * 5
+    # each probe yields exactly ranks 1..5, scores non-increasing (NB: the
+    # self vector need NOT be rank 1 — ADC scores RECONSTRUCTIONS, and
+    # several vectors can share a code, ties breaking to the lowest id)
+    by_probe: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["probe_id"], r["rank"])):
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert len(by_probe) == 20
+    for qid, rs in by_probe.items():
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5], qid
+        sims = [r["adc_cosine"] for r in rs]
+        assert all(a >= b for a, b in zip(sims, sims[1:])), qid
+
+
+def test_pq_batch_rerank_matches_per_probe(spark, pq_setup):
+    df, vecs, books = pq_setup
+    probes = {f"p{i}": [float(x) for x in vecs[i]] for i in (1, 4, 11)}
+    batch = pqm.pq_batch_topk_rerank(
+        df, books, probes, k=6, coarse_factor=4
+    ).collect()
+    by_probe: dict[str, list] = {}
+    for r in sorted(batch, key=lambda r: (r["probe_id"], r["rank"])):
+        by_probe.setdefault(r["probe_id"], []).append(
+            (r["vec_id"], r["cosine_sim"])
+        )
+    for qid, p in probes.items():
+        single = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in pqm.pq_topk_rerank(
+                df, books, p, k=6, coarse_factor=4
+            ).collect()
+        ]
+        assert by_probe[qid] == single, qid
+
+
 def test_pq_codebook_artifact_roundtrip(spark, pq_setup, tmp_path):
     """Persisted codebooks reload bit-exactly; a reloaded book produces
     identical codes and ADC scores (build-once / probe-later contract)."""
