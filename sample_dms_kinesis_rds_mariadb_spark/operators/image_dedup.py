@@ -1,0 +1,278 @@
+"""Perceptual image dedup — dHash/pHash 64-bit fingerprints computed over
+the repo's REAL pixel decoders, plus a pigeonhole-banded hamming self-join
+for near-duplicate pairs: the multimodal dual of the text near-dup family
+in ``operators/dedup.py`` (simhash banding at ``simhash_near_pairs``).
+
+Why it exists: the multimodal pipeline decodes pixels for real
+(``operators/multimodal.py``, ``operators/jpeg.py`` …) and dedups TEXT
+eight ways, but a multimodal training corpus hits the same image
+re-encoded, resized, and recompressed constantly — byte-level sha256
+dedup misses every one of them. Perceptual hashes fingerprint the IMAGE
+CONTENT: the published dHash (difference hash — Krawetz) and pHash
+(DCT low-frequency hash) reduce any decodable payload to 64 bits whose
+hamming distance tracks visual similarity.
+
+Determinism contract (what makes fingerprints oracle-checkable):
+
+- decode + nearest-neighbor resize reuse ``multimodal.resize_image``
+  (floor index map ``src = (dst * src_len) // dst_len``) — the exact
+  pixel selection an independent SQL engine can replay;
+- grayscale is the INTEGER ITU-R BT.601 weighted sum
+  ``299·R + 587·G + 114·B`` with NO division (fingerprint bits only
+  compare lumas within one image, so the /1000 scale is irrelevant and
+  dropping it keeps every intermediate an exact int64 — bit-identical in
+  any engine); single-channel images use ``1000·v`` for the same scale;
+- dHash bit ``i*8 + j`` is ``gray[i][j] > gray[i][j+1]`` over the 9×8
+  grid, packed row-major, wrapped to a SIGNED 64-bit value (Spark
+  BIGINT).
+
+Scale shape: fingerprinting is one ``mapInPandas`` Arrow pass
+(partition-parallel, the binary column never shuffles); the near-dup
+join banding splits the 64-bit fingerprint into ``max_hamming + 1``
+contiguous bands so any pair within the threshold MUST agree on at least
+one band (pigeonhole) — candidates meet in a (band, key) equi-join,
+exact hamming verifies, and no all-pairs comparison ever happens.
+Transitive clustering / survivor choice reuses
+``dedup.connected_components`` / ``dedup.dedup_connected``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import _pin
+from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+    _parse_pnm_binary,
+    resize_image,
+)
+
+_GRAY_W = (299, 587, 114)  # BT.601 luma weights ×1000 — integer, no division
+
+
+def small_gray(
+    content: bytes, width: int, height: int, fake: bool = False
+) -> np.ndarray:
+    """Decode + nearest-neighbor resize to ``height×width`` and reduce to
+    the integer luma plane (int64 ``299R+587G+114B``; ``1000·v`` for
+    grayscale sources). All real formats ``resize_image`` handles
+    (PNM/BMP/PNG/JPEG/GIF/TIFF) decode for real; ``fake=True`` keeps the
+    any-bytes-produce-a-row dry-run contract."""
+    blob = resize_image(content, width, height, fake=fake)
+    channels = 3 if blob[:2] == b"P6" else 1
+    _w, _h, _maxval, off = _parse_pnm_binary(blob)
+    arr = np.frombuffer(
+        blob, dtype=np.uint8, count=width * height * channels, offset=off
+    ).reshape(height, width, channels).astype(np.int64)
+    if channels == 3:
+        return (
+            _GRAY_W[0] * arr[:, :, 0]
+            + _GRAY_W[1] * arr[:, :, 1]
+            + _GRAY_W[2] * arr[:, :, 2]
+        )
+    return 1000 * arr[:, :, 0]
+
+
+def _pack_signed64(bits: np.ndarray) -> int:
+    """Pack a flat boolean array (64 entries, index = bit position) into a
+    signed 64-bit int (Spark BIGINT two's complement)."""
+    v = 0
+    for b, on in enumerate(bits):
+        if on:
+            v |= 1 << b
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash64(content: bytes, fake: bool = False) -> int:
+    """The published dHash (difference hash): 9×8 grayscale, bit
+    ``i*8 + j`` = ``gray[i][j] > gray[i][j+1]`` — 8 horizontal-gradient
+    bits per row, 64 total, row-major, signed-64 packed."""
+    g = small_gray(content, 9, 8, fake=fake)
+    bits = (g[:, :8] > g[:, 1:]).reshape(64)
+    return _pack_signed64(bits)
+
+
+def _dct2_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the standard definition):
+    D[k, m] = a_k · cos(π·(2m+1)·k / (2n)), a_0 = sqrt(1/n),
+    a_k = sqrt(2/n)."""
+    k = np.arange(n).reshape(-1, 1).astype(np.float64)
+    m = np.arange(n).reshape(1, -1).astype(np.float64)
+    d = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    d[0, :] *= np.sqrt(1.0 / n)
+    d[1:, :] *= np.sqrt(2.0 / n)
+    return d
+
+
+_DCT32 = _dct2_matrix(32)
+
+
+def phash64(content: bytes, fake: bool = False) -> int:
+    """The published pHash: 32×32 grayscale → 2-D orthonormal DCT-II →
+    top-left 8×8 low-frequency block → bit = coefficient > median of the
+    63 AC coefficients (DC excluded from the median, per the classic
+    pHash; the DC position still gets a bit — trivially 1 for any
+    non-degenerate image). Row-major, signed-64 packed."""
+    g = small_gray(content, 32, 32, fake=fake).astype(np.float64) / 1000.0
+    coef = _DCT32 @ g @ _DCT32.T
+    block = coef[:8, :8].reshape(64)
+    med = float(np.median(block[1:]))
+    return _pack_signed64(block > med)
+
+
+IMAGE_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_fingerprints(df: DataFrame, fake_decode: bool = False) -> DataFrame:
+    """(media_id, dhash, phash) via one Arrow ``mapInPandas`` pass — the
+    canonical multimodal plumbing (``extract_image_features`` shape):
+    partition-parallel, one decode feeds both hashes, the binary column
+    never shuffles. Undecodable payloads raise unless ``fake_decode``."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "dhash": dhash64(blob, fake=fake_decode),
+                        "phash": phash64(blob, fake=fake_decode),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(
+        _fp, schema=IMAGE_FP_SCHEMA
+    )
+
+
+def _band_bounds(bands: int, width: int = 64) -> list[tuple[int, int]]:
+    """Split ``width`` bits into ``bands`` contiguous (offset, size) chunks,
+    sizes differing by at most 1 (64 isn't divisible by e.g. 5 or 11)."""
+    base, extra = divmod(width, bands)
+    out, off = [], 0
+    for i in range(bands):
+        size = base + (1 if i < extra else 0)
+        out.append((off, size))
+        off += size
+    return out
+
+
+def banded_hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "media_id",
+    fp_col: str = "dhash",
+    max_hamming: int = 7,
+    bands: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for every pair within ``max_hamming`` bits —
+    EXACT (not approximate): with ``bands > max_hamming`` (the default
+    ``max_hamming + 1``), a qualifying pair differs in fewer bits than
+    there are bands, so at least one band is bit-identical (pigeonhole)
+    and the (band, key) equi-join is guaranteed to surface it; exact
+    ``bit_count(xor)`` then verifies. Same shape as
+    ``dedup.simhash_near_pairs`` but over an arbitrary 64-bit BIGINT
+    fingerprint column with uneven band widths.
+
+    Scale shape: candidates meet only inside equal (band, key) buckets —
+    never all-pairs; ``materialize`` pins the fingerprint frame so the
+    self-join's two sides are computed once."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole guarantee"
+        )
+    if not 1 <= bands <= 64:
+        raise ValueError(f"bands must be in [1, 64], got {bands}")
+    pinned = _pin(fps.select(id_col, fp_col), materialize)
+    banded = pinned.select(
+        F.col(id_col),
+        F.col(fp_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(fp_col), off)
+                        .bitwiseAND(F.lit((1 << size) - 1))
+                        .alias("key"),
+                    )
+                    for i, (off, size) in enumerate(_band_bounds(bands))
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, fp_col, "bk.band", "bk.key")
+    a = banded.select(
+        "band", "key", F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a")
+    )
+    b = banded.select(
+        "band", "key", F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_near_pairs(
+    df: DataFrame,
+    method: str = "dhash",
+    max_hamming: int = 7,
+    bands: int | None = None,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Near-duplicate image pairs end-to-end: real decode → dHash/pHash →
+    banded hamming self-join. (id_a, id_b, hamming)."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"method must be 'dhash' or 'phash', got {method!r}")
+    fps = image_fingerprints(df, fake_decode=fake_decode).select(
+        "media_id", method
+    )
+    return banded_hamming_pairs(
+        fps, id_col="media_id", fp_col=method,
+        max_hamming=max_hamming, bands=bands,
+    )
+
+
+def dedup_images(
+    df: DataFrame,
+    method: str = "dhash",
+    max_hamming: int = 7,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Keep ONE image per transitive near-dup cluster (smallest media_id —
+    deterministic): pairs → ``dedup.connected_components`` hash-min
+    labels → anti-join the losers. Images in no pair survive untouched."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        dedup_connected,
+    )
+
+    pairs = image_near_pairs(
+        df, method=method, max_hamming=max_hamming, fake_decode=fake_decode
+    )
+    return dedup_connected(df, pairs, "media_id", keep="min_id")

@@ -1778,6 +1778,82 @@ def q_pq_adc_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+_DHASH_ROWS = ", ".join(f"({i})" for i in range(8))
+_DHASH_COLS = ", ".join(f"({j})" for j in range(9))
+
+
+@register(
+    "image_dhash_fingerprints",
+    "Perceptual image fingerprints (operators/image_dedup.py): VALID binary "
+    "PPM images synthesized from the text column, REAL pixel decode + "
+    "nearest-neighbor 9x8 resize + integer BT.601 luma + difference-hash "
+    "bit-pack, all via Arrow mapInPandas — FULLY oracle-checked: the oracle "
+    "rebuilds the identical pixel bytes in SQL and replays the whole "
+    "decode->resize->luma->bit chain (floor index map, weighted-sum "
+    "comparisons, per-32-bit-half packing). EXTRA: oracle-checked by the "
+    "pytest parity harness outside the 50-cap catalog",
+    oracle=f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(FLOOR((length(text) + 48) / 48) AS INT) AS h,
+                 md5(text) AS m
+          FROM documents WHERE doc_id < 300
+        ),
+        px AS (
+          SELECT doc_id, h,
+                 substr(repeat(m, CAST(CEIL(h * 48.0 / 32) AS INT)),
+                        1, h * 48) AS pixels
+          FROM base
+        ),
+        ri AS (SELECT i FROM (VALUES {_DHASH_ROWS}) AS r(i)),
+        cj AS (SELECT j FROM (VALUES {_DHASH_COLS}) AS c(j)),
+        -- integer luma at each of the 8x9 resized positions: source pixel
+        -- (i*h)//8, (j*16)//9 of the 16-wide RGB buffer, no division
+        lum AS (
+          SELECT p.doc_id, ri.i, cj.j,
+                 299 * ascii(substr(p.pixels,
+                       ((ri.i * p.h) // 8) * 48 + ((cj.j * 16) // 9) * 3 + 1, 1))
+               + 587 * ascii(substr(p.pixels,
+                       ((ri.i * p.h) // 8) * 48 + ((cj.j * 16) // 9) * 3 + 2, 1))
+               + 114 * ascii(substr(p.pixels,
+                       ((ri.i * p.h) // 8) * 48 + ((cj.j * 16) // 9) * 3 + 3, 1))
+                 AS w
+          FROM px p CROSS JOIN ri CROSS JOIN cj
+        ),
+        bits AS (
+          SELECT a.doc_id, a.i, a.j,
+                 CASE WHEN a.w > b.w THEN 1 ELSE 0 END AS bit
+          FROM lum a JOIN lum b
+            ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1
+          WHERE a.j < 8
+        )
+        SELECT doc_id AS media_id,
+               CAST(SUM(CASE WHEN i * 8 + j >= 32
+                    THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j - 32))
+                    ELSE 0 END) AS BIGINT) AS dhash_hi,
+               CAST(SUM(CASE WHEN i * 8 + j < 32
+                    THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j))
+                    ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM bits GROUP BY doc_id ORDER BY media_id
+    """,
+    tags=("multimodal", "dedup"),
+    extra=True,
+)
+def q_image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.operators import image_dedup
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.attach_ppm_column(docs, "text", "doc_id")
+    fps = image_dedup.image_fingerprints(media, fake_decode=False)
+    # split the signed-64 fingerprint into two unsigned 32-bit halves so
+    # the SQL oracle never needs 64-bit overflow arithmetic
+    return fps.select(
+        "media_id",
+        F.shiftrightunsigned(F.col("dhash"), 32).alias("dhash_hi"),
+        F.col("dhash").bitwiseAND(F.lit(0xFFFFFFFF)).alias("dhash_lo"),
+    ).orderBy("media_id")
+
+
 @register(
     "cap_per_group_sources",
     "Per-source document cap (operators/sampling.py cap_per_group) run "

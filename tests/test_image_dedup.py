@@ -1,0 +1,236 @@
+"""Perceptual image dedup vs independent references: dHash/pHash computed
+by plain-loop reimplementations over known pixel matrices, cross-format
+fingerprint invariance (same pixels through PPM and GIF must hash
+identically — both decoders are lossless), banded-join exactness vs a
+brute-force all-pairs reference, perturbation/brightness invariants, and
+the Arrow/no-cartesian plan shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sample_dms_kinesis_rds_mariadb_spark.operators import image_dedup as idd
+
+
+def _ppm(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def _pgm(px: np.ndarray) -> bytes:
+    h, w = px.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def _ref_gray(px: np.ndarray) -> list[list[int]]:
+    """Independent integer luma (plain loops)."""
+    h, w, _ = px.shape
+    return [
+        [
+            299 * int(px[i][j][0]) + 587 * int(px[i][j][1]) + 114 * int(px[i][j][2])
+            for j in range(w)
+        ]
+        for i in range(h)
+    ]
+
+
+def _ref_resize(g: list[list[int]], out_h: int, out_w: int) -> list[list[int]]:
+    """Independent nearest-neighbor: src = (dst * src_len) // dst_len."""
+    h, w = len(g), len(g[0])
+    return [
+        [g[(i * h) // out_h][(j * w) // out_w] for j in range(out_w)]
+        for i in range(out_h)
+    ]
+
+
+def _ref_dhash(px: np.ndarray) -> int:
+    g = _ref_resize(_ref_gray(px), 8, 9)
+    v = 0
+    for i in range(8):
+        for j in range(8):
+            if g[i][j] > g[i][j + 1]:
+                v |= 1 << (i * 8 + j)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _ref_phash(px: np.ndarray) -> int:
+    import math
+
+    g = _ref_resize(_ref_gray(px), 32, 32)
+    gf = [[x / 1000.0 for x in row] for row in g]
+    # independent direct-summation DCT-II (no matrix algebra)
+    coef = [[0.0] * 8 for _ in range(8)]
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for i in range(32):
+                ci = math.cos(math.pi * (2 * i + 1) * u / 64)
+                for j in range(32):
+                    s += gf[i][j] * ci * math.cos(math.pi * (2 * j + 1) * v / 64)
+            au = math.sqrt(1 / 32) if u == 0 else math.sqrt(2 / 32)
+            av = math.sqrt(1 / 32) if v == 0 else math.sqrt(2 / 32)
+            coef[u][v] = au * av * s
+    flat = [coef[u][v] for u in range(8) for v in range(8)]
+    # 63 AC values -> odd count -> median is the 31st sorted value
+    med = sorted(flat[1:])[31]
+    bits = 0
+    for b, x in enumerate(flat):
+        if x > med:
+            bits |= 1 << b
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def _rand_px(rng, h=40, w=56):
+    return rng.integers(20, 236, (h, w, 3), dtype=np.int64)
+
+
+def test_dhash_matches_independent_reference():
+    rng = np.random.default_rng(11)
+    for _ in range(6):
+        px = _rand_px(rng, int(rng.integers(9, 70)), int(rng.integers(10, 90)))
+        assert idd.dhash64(_ppm(px)) == _ref_dhash(px)
+
+
+def test_phash_matches_independent_reference():
+    rng = np.random.default_rng(13)
+    for _ in range(3):
+        px = _rand_px(rng, 48, 36)
+        got = idd.phash64(_ppm(px))
+        want = _ref_phash(px)
+        # DCT summation order differs (matrix vs direct loops): bits near
+        # the median can flip only if a coefficient is within float noise
+        # of it — require exact equality, which holds because coefficients
+        # on random images sit far (>> 1e-9) from the median
+        assert bin((got ^ want) & ((1 << 64) - 1)).count("1") == 0
+
+
+def test_fingerprints_invariant_across_lossless_formats(spark):
+    """Identical pixels through PPM and GIF (both decode losslessly) must
+    produce the IDENTICAL fingerprint — the whole point of hashing decoded
+    content, not bytes."""
+    from tests.gif_writer import write_gif
+
+    rng = np.random.default_rng(7)
+    # GIF needs a power-of-two palette: 16 colors
+    palette = rng.integers(0, 256, (16, 3), dtype=np.int64)
+    idx = rng.integers(0, 16, (24, 33))
+    px = palette[idx]
+    gif = write_gif(
+        [{"indices": idx.astype(np.uint8).tobytes()}],
+        33,
+        24,
+        palette.astype(np.uint8).tobytes(),
+    )
+    assert idd.dhash64(_ppm(px)) == idd.dhash64(gif)
+    assert idd.phash64(_ppm(px)) == idd.phash64(gif)
+
+
+def test_brightness_shift_invariance():
+    """dHash compares neighbors; pHash thresholds AC coefficients on their
+    median — a global +c (no clipping) changes only the DC coefficient,
+    so both hashes are exactly invariant."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(40, 200, (30, 30, 3), dtype=np.int64)
+    brighter = px + 20
+    assert idd.dhash64(_ppm(px)) == idd.dhash64(_ppm(brighter))
+    assert idd.phash64(_ppm(px)) == idd.phash64(_ppm(brighter))
+
+
+def test_grayscale_source_and_perturbation():
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (40, 40), dtype=np.int64)
+    base = idd.dhash64(_pgm(g))
+    # small local perturbation: few bits move
+    g2 = g.copy()
+    g2[5, 5:9] = 255 - g2[5, 5:9]
+    pert = idd.dhash64(_pgm(g2))
+    ham = bin((base ^ pert) & ((1 << 64) - 1)).count("1")
+    assert ham <= 8
+    # unrelated image: far away
+    g3 = rng.integers(0, 256, (40, 40), dtype=np.int64)
+    far = bin((base ^ idd.dhash64(_pgm(g3))) & ((1 << 64) - 1)).count("1")
+    assert far > 16
+
+
+def test_banded_pairs_exact_vs_bruteforce(spark):
+    """The banded join is EXACT for hamming <= bands-1: compare against an
+    all-pairs reference on random fingerprints with planted near-dups,
+    across even and uneven band splits."""
+    rng = np.random.default_rng(42)
+    fps = [int(x) for x in rng.integers(-(2**63), 2**63, 60, dtype=np.int64)]
+    # plant near-dups: copies of fp[k] with a few flipped bits
+    for k, flips in ((0, 2), (1, 4), (2, 7), (3, 0)):
+        v = fps[k] & ((1 << 64) - 1)
+        for b in rng.choice(64, flips, replace=False):
+            v ^= 1 << int(b)
+        fps.append(v - (1 << 64) if v >= (1 << 63) else v)
+    df = spark.createDataFrame(
+        [(i, fp) for i, fp in enumerate(fps)], "media_id LONG, dhash LONG"
+    )
+    for max_h, bands in ((7, None), (4, 5), (3, 11)):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in idd.banded_hamming_pairs(
+                df, max_hamming=max_h, bands=bands
+            ).collect()
+        }
+        want = set()
+        for i in range(len(fps)):
+            for j in range(i + 1, len(fps)):
+                h = bin((fps[i] ^ fps[j]) & ((1 << 64) - 1)).count("1")
+                if h <= max_h:
+                    want.add((i, j, h))
+        assert got == want, f"max_hamming={max_h}, bands={bands}"
+    with pytest.raises(ValueError, match="pigeonhole"):
+        idd.banded_hamming_pairs(df, max_hamming=5, bands=4)
+
+
+def _media_df(spark, blobs):
+    return spark.createDataFrame(
+        [
+            (i, bytearray(b), "image", f"synthetic://{i}")
+            for i, b in enumerate(blobs)
+        ],
+        "media_id LONG, content BINARY, media_type STRING, source_uri STRING",
+    )
+
+
+def test_image_near_pairs_and_dedup_e2e(spark):
+    """Decode -> fingerprint -> banded pairs -> transitive dedup, on real
+    PPM payloads: A ~ B ~ C transitively clusters even if A and C never
+    pair; the unrelated image survives."""
+    rng = np.random.default_rng(21)
+    base = rng.integers(30, 226, (36, 48, 3), dtype=np.int64)
+    near1 = base.copy()
+    near1[3, 4:7] += 5  # tiny local change
+    near2 = near1.copy()
+    near2[20, 10:12] -= 5
+    other = rng.integers(30, 226, (36, 48, 3), dtype=np.int64)
+    df = _media_df(spark, [_ppm(p) for p in (base, near1, near2, other)])
+    pairs = idd.image_near_pairs(df, method="dhash", max_hamming=7).collect()
+    pair_set = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in pair_set or (0, 2) in pair_set
+    assert not any(3 in p for p in pair_set)
+    kept = sorted(
+        r["media_id"] for r in idd.dedup_images(df, max_hamming=7).collect()
+    )
+    # transitive: {0,1,2} one cluster (0,1 and 1,2 pair at minimum) -> keep 0
+    assert kept == [0, 3]
+
+
+def test_fingerprint_plan_shape(spark):
+    """Fingerprinting is ONE Arrow pass; the pair join has no cartesian
+    product and no Python in the join/verify stages."""
+    rng = np.random.default_rng(2)
+    df = _media_df(
+        spark, [_ppm(_rand_px(rng, 20, 20)) for _ in range(6)]
+    )
+    fps = idd.image_fingerprints(df)
+    plan = fps._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    pairs = idd.banded_hamming_pairs(
+        fps.select("media_id", "dhash"), max_hamming=7
+    )
+    pplan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pplan
+    assert "BroadcastNestedLoopJoin" not in pplan
