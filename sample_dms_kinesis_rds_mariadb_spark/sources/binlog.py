@@ -39,8 +39,15 @@ Decoded surface:
   contract consumes (reference alter contract: run.py:313-314).
 - **XID (16)**: commit marker; buffered row events get ``txn_id =
   "xid-<n>"`` in commit order (DDL auto-commits as ``ddl-<log_pos>``).
-- Everything else (ROTATE, STOP, MariaDB GTID/ANNOTATE/CHECKPOINT, …)
-  is skipped by the self-describing event_size — unknown event types
+- **GTID (MariaDB 162, MySQL 33)**: decoded into the canonical GTID
+  string (``domain-server_id-seq_no`` / ``uuid:gno``); the GTID of the
+  last COMMITTED transaction is the high-water :class:`BinlogTail`
+  persists — the failover-safe replication coordinate (file+offset is
+  meaningless on a promoted replica; the GTID is not). A non-STANDALONE
+  MariaDB GTID event opens the transaction bracket (MariaDB writes it
+  instead of BEGIN).
+- Everything else (ROTATE, STOP, MariaDB ANNOTATE/CHECKPOINT/GTID_LIST,
+  …) is skipped by the self-describing event_size — unknown event types
   never derail the scan.
 
 Value rendering follows the feed's MAP<STRING,STRING> transport:
@@ -74,6 +81,9 @@ TABLE_MAP_EVENT = 19
 QUERY_EVENT = 2
 XID_EVENT = 16
 ROTATE_EVENT = 4
+GTID_LOG_EVENT_MYSQL = 33      # MySQL 5.6+: flags(1) sid(16) gno(8 LE)
+GTID_EVENT_MARIADB = 162       # MariaDB 10+: seq_no(8) domain(4) flags2(1)
+GTID_LIST_EVENT_MARIADB = 163
 WRITE_ROWS_V1, UPDATE_ROWS_V1, DELETE_ROWS_V1 = 23, 24, 25
 WRITE_ROWS_V2, UPDATE_ROWS_V2, DELETE_ROWS_V2 = 30, 31, 32
 _ROWS_EVENTS = {
@@ -550,7 +560,9 @@ def decode_binlog(
     returned ``end_pos`` stays at the transaction's start so the next call
     re-reads it after the commit lands.
     """
-    records, end_pos, _next_file = _decode_file(path, column_names, start_pos)
+    records, end_pos, _next_file, _gtid = _decode_file(
+        path, column_names, start_pos
+    )
     return records, end_pos
 
 
@@ -558,10 +570,14 @@ def _decode_file(
     path: str,
     column_names: dict | None = None,
     start_pos: int = 0,
-) -> tuple[list[dict], int, str | None]:
-    """:func:`decode_binlog` plus the ROTATE pointer: the third element is
-    the successor file name when this file ends in a ROTATE event (the
-    server's log-chain link), else None.
+) -> tuple[list[dict], int, str | None, str | None]:
+    """:func:`decode_binlog` plus the ROTATE pointer and the GTID
+    high-water: the third element is the successor file name when this
+    file ends in a ROTATE event (the server's log-chain link), else None;
+    the fourth is the GTID of the last COMMITTED transaction in the
+    scanned range (MariaDB ``domain-server_id-seq_no`` or MySQL
+    ``uuid:gno``), else None — the failover-safe replication coordinate
+    :class:`BinlogTail` persists.
 
     Reads only ``[start_pos, EOF)`` — a 1-second tail loop against a file
     approaching the server's ``max_binlog_size`` pays O(increment) per
@@ -599,6 +615,8 @@ def _decode_file(
     in_txn = False  # BEGIN seen, commit not yet — txn_buf may still be empty
     committed = 0  # relative resume offset
     next_file: str | None = None
+    pending_gtid: str | None = None  # GTID of the txn currently decoding
+    last_gtid: str | None = None  # GTID of the last COMMITTED txn
     rel = 0
 
     while rel + HEADER_LEN <= n:
@@ -644,6 +662,9 @@ def _decode_file(
             elif stmt in ("COMMIT", "ROLLBACK"):
                 if stmt == "COMMIT":
                     _commit(records, txn_buf, f"txn-{log_pos}")
+                    if pending_gtid is not None:
+                        last_gtid = pending_gtid
+                pending_gtid = None  # a rolled-back GTID is not a high-water
                 txn_buf = []
                 in_txn = False
                 committed = body_end
@@ -656,6 +677,9 @@ def _decode_file(
                     in_txn = False
                     records.extend(recs)
                     committed = body_end
+                    if pending_gtid is not None:
+                        last_gtid = pending_gtid
+                        pending_gtid = None
                 elif not open_txn:
                     # non-DDL query (SAVEPOINT, SET, ...) inside an open
                     # transaction must NOT advance the resume offset
@@ -666,6 +690,31 @@ def _decode_file(
             txn_buf = []
             in_txn = False
             committed = body_end
+            if pending_gtid is not None:
+                last_gtid = pending_gtid
+                pending_gtid = None
+        elif etype == GTID_EVENT_MARIADB:
+            # MariaDB: seq_no(8 LE) domain_id(4 LE) flags2(1); the GTID
+            # string is domain-server_id-seq_no. A non-STANDALONE GTID
+            # event marks the start of a transaction (MariaDB writes it
+            # INSTEAD of BEGIN); never advances the resume offset, so a
+            # held-back transaction re-reads its GTID with its rows.
+            seq_no = struct.unpack_from("<Q", body, 0)[0]
+            domain = struct.unpack_from("<I", body, 8)[0]
+            flags2 = body[12] if len(body) > 12 else 0
+            pending_gtid = f"{domain}-{_server_id}-{seq_no}"
+            if not (flags2 & 0x01):  # FL_STANDALONE unset → txn bracket
+                in_txn = True
+                txn_buf = []
+        elif etype == GTID_LOG_EVENT_MYSQL:
+            # MySQL 5.6+: flags(1) sid(16) gno(8 LE signed) [+ logical ts]
+            sid = body[1:17].hex()
+            gno = struct.unpack_from("<q", body, 17)[0]
+            pending_gtid = (
+                f"{sid[:8]}-{sid[8:12]}-{sid[12:16]}-{sid[16:20]}-"
+                f"{sid[20:]}:{gno}"
+            )
+            # MySQL still writes the BEGIN query event; no txn bracket here
         elif etype == ROTATE_EVENT:
             # post-header: successor start position (u64); payload: the
             # successor file name — the log-chain link a server writes as
@@ -679,7 +728,7 @@ def _decode_file(
             if not open_txn:
                 committed = body_end
         rel = body_end
-    return records, base + committed, next_file
+    return records, base + committed, next_file, last_gtid
 
 
 def _commit(records: list[dict], txn_buf: list[dict], txn_id: str) -> None:
@@ -762,6 +811,10 @@ class BinlogTail:
         self.state_path = state_path
         self._pos = 0
         self._next_file: str | None = None
+        # GTID of the last committed transaction shipped — the
+        # failover-safe coordinate (file+offset dies with the primary's
+        # log names; the GTID survives onto any promoted replica)
+        self.gtid: str | None = None
         if state_path and os.path.exists(state_path):
             with open(state_path) as f:
                 saved = json.load(f)
@@ -774,6 +827,7 @@ class BinlogTail:
             self.path = saved.get("path", path)
             self._pos = int(saved["pos"])
             self._next_file = saved.get("next_file")
+            self.gtid = saved.get("gtid")
 
     def _resolve(self, name: str) -> str:
         return os.path.join(os.path.dirname(self.path) or ".", name)
@@ -800,13 +854,15 @@ class BinlogTail:
                     )
                 visited.add(real)
                 self.path, self._pos, self._next_file = candidate, 0, None
-            records, end_pos, next_file = _decode_file(
+            records, end_pos, next_file, last_gtid = _decode_file(
                 self.path, self.column_names, start_pos=self._pos
             )
             if records:
                 feed.append_changes(records)
                 total += len(records)
             self._pos = end_pos
+            if last_gtid is not None:
+                self.gtid = last_gtid
             if next_file is None:
                 break
             self._next_file = next_file
@@ -819,6 +875,7 @@ class BinlogTail:
                         "path": self.path,
                         "pos": self._pos,
                         "next_file": self._next_file,
+                        "gtid": self.gtid,
                     },
                     f,
                 )

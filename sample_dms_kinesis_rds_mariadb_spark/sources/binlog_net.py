@@ -63,6 +63,23 @@ def native_password_scramble(password: str, scramble: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(sha_pw, mix))
 
 
+def sha2_password_scramble(password: str, scramble: bytes) -> bytes:
+    """``caching_sha2_password`` (MySQL 8 default): XOR(SHA256(pw),
+    SHA256(SHA256(SHA256(pw)) + nonce)) — the published fast-auth token.
+    Empty password → empty response."""
+    if not password:
+        return b""
+    p1 = hashlib.sha256(password.encode("utf-8")).digest()
+    p2 = hashlib.sha256(hashlib.sha256(p1).digest() + scramble).digest()
+    return bytes(a ^ b for a, b in zip(p1, p2))
+
+
+_AUTH_PLUGINS = {
+    "mysql_native_password": native_password_scramble,
+    "caching_sha2_password": sha2_password_scramble,
+}
+
+
 class ProtocolError(RuntimeError):
     pass
 
@@ -158,15 +175,33 @@ class BinlogDumpClient:
         pos += 1 + 10  # auth data len + reserved
         # part 2: max(13, auth_len - 8) bytes, NUL-terminated inside
         part2_len = max(13, auth_len - 8)
-        auth2 = greeting[pos : pos + part2_len].rstrip(b"\x00")
+        part2 = greeting[pos : pos + part2_len]
+        pos += part2_len
+        auth2 = part2.rstrip(b"\x00")
         scramble = auth1 + auth2
+        # the server announces its default auth plugin after the scramble;
+        # answer in kind (MariaDB: mysql_native_password; MySQL 8:
+        # caching_sha2_password) and let an auth-switch correct us if the
+        # ACCOUNT uses a different plugin than the server default
+        plugin = "mysql_native_password"
+        if pos < len(greeting):
+            end = greeting.find(b"\x00", pos)
+            name = greeting[pos : end if end != -1 else len(greeting)]
+            if name:
+                plugin = name.decode("utf-8", "replace")
+        scramble_fn = _AUTH_PLUGINS.get(plugin)
+        if scramble_fn is None:
+            # unknown server plugin: offer native and rely on auth-switch
+            plugin, scramble_fn = (
+                "mysql_native_password", native_password_scramble,
+            )
         caps = (
             CLIENT_LONG_PASSWORD
             | CLIENT_PROTOCOL_41
             | CLIENT_SECURE_CONNECTION
             | CLIENT_PLUGIN_AUTH
         )
-        auth_resp = native_password_scramble(self.password, scramble)
+        auth_resp = scramble_fn(self.password, scramble)
         payload = (
             struct.pack("<IIB", caps, 1 << 24, 33)  # caps, max packet, utf8
             + b"\x00" * 23
@@ -174,14 +209,51 @@ class BinlogDumpClient:
             + b"\x00"
             + bytes([len(auth_resp)])
             + auth_resp
-            + b"mysql_native_password\x00"
+            + plugin.encode("utf-8")
+            + b"\x00"
         )
         self._send_packet(payload)
-        reply = self._read_packet()
-        if reply[:1] == b"\xff":
-            raise _parse_err(reply)
-        if reply[:1] != b"\x00":
-            raise ProtocolError(f"unexpected auth reply {reply[:1]!r}")
+        self._finish_auth()
+
+    def _finish_auth(self) -> None:
+        """Drive the post-HandshakeResponse auth conversation to OK/ERR:
+        AuthSwitchRequest (0xFE + plugin + NUL + new scramble — the
+        account's plugin differs from what we offered: recompute and send
+        the raw token) and caching_sha2's AuthMoreData (0x01 0x03 =
+        fast-auth success, an OK follows; 0x01 0x04 = full auth, which
+        needs TLS or server-RSA key exchange — an honest boundary here)."""
+        for _ in range(4):  # auth conversations are short; never loop forever
+            reply = self._read_packet()
+            first = reply[:1]
+            if first == b"\xff":
+                raise _parse_err(reply)
+            if first == b"\x00":
+                return
+            if first == b"\xfe":
+                # AuthSwitchRequest: plugin name NUL, then the new scramble
+                # (trailing NUL per the protocol)
+                end = reply.index(b"\x00", 1)
+                plugin = reply[1:end].decode("utf-8", "replace")
+                new_scramble = reply[end + 1 :].rstrip(b"\x00")
+                fn = _AUTH_PLUGINS.get(plugin)
+                if fn is None:
+                    raise ProtocolError(
+                        f"server requested unsupported auth plugin {plugin!r}"
+                    )
+                self._send_packet(fn(self.password, new_scramble))
+                continue
+            if first == b"\x01":
+                marker = reply[1] if len(reply) > 1 else -1
+                if marker == 0x03:  # caching_sha2 fast-auth success
+                    continue  # the OK packet follows
+                if marker == 0x04:
+                    raise ProtocolError(
+                        "caching_sha2_password full authentication requires "
+                        "TLS or RSA key exchange — connect over TLS, or "
+                        "prime the server's auth cache first"
+                    )
+            raise ProtocolError(f"unexpected auth reply {first!r}")
+        raise ProtocolError("authentication conversation did not converge")
 
     def close(self) -> None:
         if self._sock is not None:
@@ -236,6 +308,20 @@ class BinlogDumpClient:
             "<IHI", pos, 0, self.server_id
         ) + filename.encode("utf-8")
         self._send_packet(payload)
+
+    def start_dump_gtid(self, gtid: str) -> None:
+        """Start a dump positioned by GTID instead of (file, offset) — the
+        MariaDB convention: the client ships its GTID position in the
+        ``@slave_connect_state`` session variable, then sends a regular
+        COM_BINLOG_DUMP with an EMPTY file name; the server locates the
+        first event group AFTER that GTID and begins there (its dump-start
+        pseudo-rotate names the actual file). This is what failover needs:
+        file+offset is meaningless on a promoted replica, the GTID is not.
+        """
+        if "'" in gtid or "\\" in gtid:
+            raise ValueError(f"malformed GTID {gtid!r}")
+        self.query_ok(f"SET @slave_connect_state='{gtid}'")
+        self.start_dump("", 4)
 
     def next_event(self, wait: float | None = None) -> bytes | None:
         """One raw binlog event from an open dump (19-byte header + body,
@@ -384,6 +470,22 @@ class BinlogSpool:
         self._close()
 
 
+def _pseudo_rotate_name(event: bytes) -> str:
+    """File name out of a dump-start pseudo-rotate. The checksum width is
+    unknown this early (the FDE follows later), so parse the full payload
+    and fall back to stripping a 4-byte CRC when the tail bytes are not
+    valid printable UTF-8 (binlog file names are ASCII in practice)."""
+    raw = event[HEADER_LEN + 8 :]
+    for candidate in (raw, raw[:-4]):
+        try:
+            name = candidate.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if name and all(32 <= ord(c) < 127 for c in name):
+            return name
+    raise ProtocolError(f"unparseable dump-start rotate name {raw!r}")
+
+
 class NetworkBinlogCapture:
     """Live network CDC as a first-class capture agent: the duck-typed
     ``pump(feed) -> int`` contract :class:`PollingReplicationTask`
@@ -421,6 +523,7 @@ class NetworkBinlogCapture:
         server_id: int = 1234,
         read_window: float = 0.25,
         checksum_stmt: str = "SET @master_binlog_checksum= 'CRC32'",
+        resume_gtid: str | None = None,
     ) -> None:
         self.host, self.port = host, port
         self.user, self.password = user, password
@@ -431,10 +534,18 @@ class NetworkBinlogCapture:
         self.server_id = server_id
         self.read_window = read_window
         self.checksum_stmt = checksum_stmt
+        # failover coordinate: when the spool is EMPTY (fresh host, lost
+        # disk, promoted-replica cutover) and a GTID high-water survives
+        # (BinlogTail state carries it), connect by GTID — the server
+        # names the start file via its dump-start pseudo-rotate, and the
+        # fresh spool file begins exactly at the first un-shipped txn.
+        # A non-empty spool always resumes by (file, offset) as before.
+        self.resume_gtid = resume_gtid
         self._spool = BinlogSpool(spool_dir)
         self._client: BinlogDumpClient | None = None
         self._tail = None
         self._skip_fde = False
+        self._awaiting_name = False
 
     def _resume_point(self) -> tuple[str, int]:
         files = sorted(
@@ -454,10 +565,18 @@ class NetworkBinlogCapture:
         if self.checksum_stmt:
             client.query_ok(self.checksum_stmt)
         client.register_slave()
-        fname, pos = self._resume_point()
-        self._spool.open_file(fname)
-        self._skip_fde = pos > 4
-        client.start_dump(fname, pos)
+        spooled = [
+            f for f in os.listdir(self.spool_dir) if not f.startswith(".")
+        ]
+        if not spooled and self.resume_gtid:
+            self._awaiting_name = True
+            self._skip_fde = False  # fresh spool file needs the FDE copy
+            client.start_dump_gtid(self.resume_gtid)
+        else:
+            fname, pos = self._resume_point()
+            self._spool.open_file(fname)
+            self._skip_fde = pos > 4
+            client.start_dump(fname, pos)
         self._client = client
 
     def _disconnect(self) -> None:
@@ -483,6 +602,19 @@ class NetworkBinlogCapture:
                 event = self._client.next_event(wait)
                 if event is None:
                     break
+                if self._awaiting_name:
+                    if event[4] == ROTATE_EVENT:
+                        # GTID dump: the server's pseudo-rotate names the
+                        # file the resume landed in — open the fresh spool
+                        # file under that name (not written: it is not part
+                        # of any log file)
+                        self.first_file = _pseudo_rotate_name(event)
+                        self._spool.open_file(self.first_file)
+                        self._awaiting_name = False
+                        continue
+                    raise ProtocolError(
+                        "GTID dump did not start with the naming rotate"
+                    )
                 if event[4] == FORMAT_DESCRIPTION_EVENT and self._skip_fde:
                     self._spool.learn_checksum(event)
                     self._skip_fde = False

@@ -104,6 +104,21 @@ class BinlogWriter:
         magic) + successor file name — the last event of a finished log."""
         self._event(4, struct.pack("<Q", 4) + next_name.encode())
 
+    def gtid(self, domain: int, seq_no: int, standalone: bool = False) -> None:
+        """MariaDB GTID_EVENT (162): seq_no u64, domain u32, flags2 u8.
+        FL_STANDALONE (0x01) marks a non-transactional event group (DDL);
+        otherwise the GTID event opens the transaction (MariaDB writes it
+        instead of BEGIN)."""
+        body = struct.pack("<QIB", seq_no, domain, 0x01 if standalone else 0)
+        self._event(162, body)
+
+    def gtid_mysql(self, sid: bytes, gno: int) -> None:
+        """MySQL GTID_LOG_EVENT (33): flags u8, sid (16-byte uuid), gno
+        u64 LE — MySQL still writes BEGIN after it."""
+        if len(sid) != 16:
+            raise ValueError("sid must be 16 bytes")
+        self._event(33, bytes([1]) + sid + struct.pack("<q", gno))
+
     def xid(self) -> int:
         self._xid += 1
         self._event(16, struct.pack("<Q", self._xid))

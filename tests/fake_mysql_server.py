@@ -10,11 +10,15 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import socket
 import struct
 import threading
 
 HEADER_LEN = 19
+_CONNECT_STATE = re.compile(
+    r"SET\s+@slave_connect_state\s*=\s*'([^']*)'", re.IGNORECASE
+)
 ROTATE_EVENT = 4
 FDE_EVENT = 15
 
@@ -25,6 +29,23 @@ def _expected_token(password: str, scramble: bytes) -> bytes:
     sha_pw = hashlib.sha1(password.encode()).digest()
     mix = hashlib.sha1(scramble + hashlib.sha1(sha_pw).digest()).digest()
     return bytes(a ^ b for a, b in zip(sha_pw, mix))
+
+
+def _expected_sha2_token(password: str, scramble: bytes) -> bytes:
+    """caching_sha2_password fast-auth token, computed independently from
+    the published algorithm: XOR(SHA256(pw), SHA256(SHA256(SHA256(pw)) +
+    nonce))."""
+    if not password:
+        return b""
+    p1 = hashlib.sha256(password.encode()).digest()
+    p2 = hashlib.sha256(hashlib.sha256(p1).digest() + scramble).digest()
+    return bytes(a ^ b for a, b in zip(p1, p2))
+
+
+_TOKEN_FNS = {
+    "mysql_native_password": _expected_token,
+    "caching_sha2_password": _expected_sha2_token,
+}
 
 
 def _send(conn: socket.socket, payload: bytes, seq: int) -> int:
@@ -70,9 +91,23 @@ def _file_events(path: str):
 class FakeMySQLServer:
     """One-connection-at-a-time fake server streaming fixture binlogs."""
 
-    def __init__(self, binlog_dir: str, user: str, password: str) -> None:
+    def __init__(
+        self,
+        binlog_dir: str,
+        user: str,
+        password: str,
+        auth_plugin: str = "mysql_native_password",
+        switch_to: str | None = None,
+    ) -> None:
+        """``auth_plugin``: the server default advertised in the greeting
+        (``caching_sha2_password`` = a MySQL 8 server). ``switch_to``:
+        always answer the HandshakeResponse with an AuthSwitchRequest to
+        this plugin and a FRESH scramble (the account-uses-a-different-
+        plugin path every real server exercises)."""
         self.dir = binlog_dir
         self.user, self.password = user, password
+        self.auth_plugin = auth_plugin
+        self.switch_to = switch_to
         self.queries: list[str] = []
         self.registered: list[int] = []
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -121,10 +156,11 @@ class FakeMySQLServer:
             + bytes([21])  # auth data length (20 + NUL)
             + b"\x00" * 10
             + scramble[8:20] + b"\x00"
-            + b"mysql_native_password\x00"
+            + self.auth_plugin.encode() + b"\x00"
         )
         seq = _send(conn, greeting, 0)
-        resp, _seq_in = _recv_packet(conn)
+        resp, seq_in = _recv_packet(conn)
+        seq = (seq_in + 1) & 0xFF
         # HandshakeResponse41: caps(4) maxpkt(4) charset(1) zeros(23) user\0
         pos = 4 + 4 + 1 + 23
         end = resp.index(b"\x00", pos)
@@ -132,15 +168,45 @@ class FakeMySQLServer:
         pos = end + 1
         alen = resp[pos]
         token = resp[pos + 1 : pos + 1 + alen]
-        if user != self.user or token != _expected_token(self.password, scramble):
-            _send(conn, _err(1045, f"Access denied for user '{user}'"), 2)
+        pos += 1 + alen
+        client_plugin = "mysql_native_password"
+        if pos < len(resp):
+            nul = resp.find(b"\x00", pos)
+            name = resp[pos : nul if nul != -1 else len(resp)]
+            if name:
+                client_plugin = name.decode()
+        # the ACCOUNT's plugin: switch_to overrides the server default
+        account_plugin = self.switch_to or self.auth_plugin
+        cur_scramble = scramble
+        if self.switch_to is not None or client_plugin != account_plugin:
+            # AuthSwitchRequest with a FRESH scramble (real-server behavior)
+            cur_scramble = bytes(1 + b % 255 for b in os.urandom(20))
+            seq = _send(
+                conn,
+                b"\xfe" + account_plugin.encode() + b"\x00"
+                + cur_scramble + b"\x00",
+                seq,
+            )
+            token, seq_in = _recv_packet(conn)
+            seq = (seq_in + 1) & 0xFF
+        expected = _TOKEN_FNS[account_plugin](self.password, cur_scramble)
+        if user != self.user or token != expected:
+            _send(conn, _err(1045, f"Access denied for user '{user}'"), seq)
             return
-        _send(conn, _OK, 2)
+        if account_plugin == "caching_sha2_password":
+            # fast-auth success marker, then OK (the MySQL 8 cached path)
+            seq = _send(conn, b"\x01\x03", seq)
+        _send(conn, _OK, seq)
+        connect_state: str | None = None
         while True:
             payload, _ = _recv_packet(conn)
             cmd = payload[0]
             if cmd == 0x03:  # COM_QUERY
-                self.queries.append(payload[1:].decode())
+                sql = payload[1:].decode()
+                self.queries.append(sql)
+                m = _CONNECT_STATE.match(sql)
+                if m:
+                    connect_state = m.group(1)
                 _send(conn, _OK, 1)
             elif cmd == 0x15:  # COM_REGISTER_SLAVE
                 self.registered.append(struct.unpack_from("<I", payload, 1)[0])
@@ -148,10 +214,33 @@ class FakeMySQLServer:
             elif cmd == 0x12:  # COM_BINLOG_DUMP
                 start_pos, _flags, _sid = struct.unpack_from("<IHI", payload, 1)
                 fname = payload[11:].decode()
+                if not fname and connect_state is not None:
+                    # MariaDB GTID positioning: empty file name + the
+                    # @slave_connect_state session variable — locate the
+                    # first event group AFTER that GTID
+                    fname, start_pos = self._gtid_start(connect_state)
                 self._stream_dump(conn, fname, start_pos)
                 return
             else:
                 _send(conn, _err(1047, f"unknown command {cmd}"), 1)
+
+    def _gtid_start(self, gtid: str) -> tuple[str, int]:
+        """(file, offset) of the first MariaDB GTID event STRICTLY AFTER
+        the given ``domain-server-seq`` position, scanning the chain in
+        name order like a real dump thread walks its index. Nothing newer
+        -> the last file with an offset past EOF (FDE replays, then EOF)."""
+        domain, _server, seq = (int(x) for x in gtid.split("-"))
+        files = sorted(
+            f for f in os.listdir(self.dir) if not f.startswith(".")
+        )
+        for fname in files:
+            for off, ev in _file_events(os.path.join(self.dir, fname)):
+                if ev[4] == 162:  # MariaDB GTID_EVENT
+                    s = struct.unpack_from("<Q", ev, HEADER_LEN)[0]
+                    d = struct.unpack_from("<I", ev, HEADER_LEN + 8)[0]
+                    if d == domain and s > seq:
+                        return fname, off
+        return files[-1], 1 << 60
 
     def _stream_dump(self, conn: socket.socket, fname: str, start: int) -> None:
         seq = 1

@@ -339,3 +339,207 @@ def test_network_capture_drives_task_lifecycle(tmp_path, spark):
         assert by_name["accounts"]["Updates"] == 1
     finally:
         srv.close()
+
+
+# -- GTID + caching_sha2_password (r9) --------------------------------------
+
+
+def test_sha2_scramble_is_the_published_formula():
+    """caching_sha2_password against a hand-computed vector."""
+    import hashlib
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.binlog_net import (
+        sha2_password_scramble,
+    )
+
+    scramble = bytes(range(20))
+    pw = "s3cret"
+    p1 = hashlib.sha256(pw.encode()).digest()
+    want = bytes(
+        a ^ b
+        for a, b in zip(
+            p1,
+            hashlib.sha256(hashlib.sha256(p1).digest() + scramble).digest(),
+        )
+    )
+    assert sha2_password_scramble(pw, scramble) == want
+    assert sha2_password_scramble("", scramble) == b""
+
+
+def _write_gtid_chain(srv_dir):
+    """Two-file chain, every txn GTID-stamped (MariaDB style: the GTID
+    event OPENS the txn, no BEGIN): file1 has seqs 1-3, file2 has seq 4."""
+    os.makedirs(srv_dir, exist_ok=True)
+    w1 = BinlogWriter(os.path.join(srv_dir, "bin.000001"))
+    for seq in (1, 2, 3):
+        w1.gtid(0, seq)
+        w1.write_rows("db", "t", COLS, [{"id": seq, "v": f"v{seq}"}])
+        w1.xid()
+    w1.rotate("bin.000002")
+    w1.flush()
+    w2 = BinlogWriter(os.path.join(srv_dir, "bin.000002"))
+    w2.gtid(0, 4)
+    w2.write_rows("db", "t", COLS, [{"id": 4, "v": "v4"}])
+    w2.xid()
+    w2.flush()
+
+
+def test_gtid_decode_and_tail_high_water(tmp_path, spark):
+    """The file decoder tracks the GTID of the last COMMITTED txn; the
+    tail persists it across restarts; an uncommitted trailing txn never
+    advances it; the MySQL uuid:gno flavor decodes too."""
+    import json
+
+    path = str(tmp_path / "g.000001")
+    w = BinlogWriter(path)
+    w.gtid(0, 1)  # MariaDB style: GTID opens the txn
+    w.write_rows("db", "t", COLS, [{"id": 1, "v": "a"}])
+    w.xid()
+    w.gtid(0, 2, standalone=True)  # standalone GTID brackets the DDL
+    w.query("db", "CREATE TABLE t2 (id INT)")
+    w.gtid(0, 3)  # open txn, never committed (still being written)
+    w.write_rows("db", "t", COLS, [{"id": 9, "v": "x"}])
+    w.flush()
+    feed = ChangeFeed(spark, str(tmp_path / "feed"))
+    state = str(tmp_path / "tail.state")
+    tail = BinlogTail(path, state_path=state)
+    n = tail.pump(feed)
+    assert n == 2  # insert + create-table; open txn held back
+    assert tail.gtid == "0-1-2"  # the DDL's standalone GTID committed last
+    with open(state) as f:
+        assert json.load(f)["gtid"] == "0-1-2"
+    # restart: high-water reloads
+    tail2 = BinlogTail(path, state_path=state)
+    assert tail2.gtid == "0-1-2"
+    # MySQL flavor
+    path2 = str(tmp_path / "m.000001")
+    w2 = BinlogWriter(path2)
+    sid = bytes(range(16))
+    w2.gtid_mysql(sid, 7)
+    w2.begin("db")
+    w2.write_rows("db", "t", COLS, [{"id": 5, "v": "m"}])
+    w2.xid()
+    w2.flush()
+    t3 = BinlogTail(path2)
+    assert t3.pump(feed) == 1
+    u = sid.hex()
+    assert t3.gtid == f"{u[:8]}-{u[8:12]}-{u[12:16]}-{u[16:20]}-{u[20:]}:7"
+
+
+def test_gtid_resume_across_rotation_e2e(tmp_path, spark):
+    """The failover story: a fresh host with an EMPTY spool and only the
+    GTID high-water resumes mid-chain — the server locates the first txn
+    AFTER the GTID (mid-file1 here), its pseudo-rotate names the spool
+    file, and only un-shipped txns arrive; the chain still follows the
+    rotation into file2."""
+    from tests.fake_mysql_server import FakeMySQLServer
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.binlog_net import (
+        NetworkBinlogCapture,
+    )
+
+    srv_dir = str(tmp_path / "srv")
+    _write_gtid_chain(srv_dir)
+    srv = FakeMySQLServer(srv_dir, user="repl", password="pw")
+    try:
+        # phase 1: a normal replica ships everything and records the gtid
+        feed_a = ChangeFeed(spark, str(tmp_path / "feed-a"))
+        cap_a = NetworkBinlogCapture(
+            "127.0.0.1", srv.port, "repl", "pw",
+            spool_dir=str(tmp_path / "spool-a"),
+            first_file="bin.000001",
+            state_path=str(tmp_path / "tail-a.state"),
+        )
+        got = 0
+        for _ in range(4):
+            got += cap_a.pump(feed_a)
+            if got >= 4:
+                break
+        assert got == 4
+        assert cap_a._tail.gtid == "0-1-4"
+        cap_a.close()
+
+        # phase 2: failover — fresh spool, resume by GTID "0-1-2"
+        feed_b = ChangeFeed(spark, str(tmp_path / "feed-b"))
+        cap_b = NetworkBinlogCapture(
+            "127.0.0.1", srv.port, "repl", "pw",
+            spool_dir=str(tmp_path / "spool-b"),
+            first_file="ignored-in-gtid-mode",
+            state_path=str(tmp_path / "tail-b.state"),
+            resume_gtid="0-1-2",
+        )
+        got = 0
+        for _ in range(4):
+            got += cap_b.pump(feed_b)
+            if got >= 2:
+                break
+        assert got == 2  # txns 3 and 4 only — nothing re-delivered
+        ids = sorted(r["data"]["id"] for r in feed_b.read_batch().collect())
+        assert ids == ["3", "4"]
+        # the server named the spool file via its pseudo-rotate
+        assert cap_b.first_file == "bin.000001"
+        assert cap_b._tail.gtid == "0-1-4"
+        # the GTID position travelled as @slave_connect_state
+        assert any("@slave_connect_state" in q for q in srv.queries)
+        cap_b.close()
+    finally:
+        srv.close()
+
+
+def test_caching_sha2_fast_auth(tmp_path):
+    """A MySQL-8-style server (caching_sha2_password default): the client
+    answers the greeting with the SHA256 fast-auth token and drives the
+    0x01 0x03 + OK conversation; wrong password is denied."""
+    from tests.fake_mysql_server import FakeMySQLServer
+
+    srv_dir = str(tmp_path / "srv")
+    _write_chain(srv_dir)
+    srv = FakeMySQLServer(
+        srv_dir, user="repl", password="pw8",
+        auth_plugin="caching_sha2_password",
+    )
+    try:
+        spool_dir = str(tmp_path / "spool")
+        with BinlogDumpClient("127.0.0.1", srv.port, "repl", "pw8") as c:
+            c.connect()
+            n = BinlogSpool(spool_dir).run(c, "bin.000001", 4)
+        assert n > 0
+        recs, _ = decode_binlog(os.path.join(spool_dir, "bin.000001"))
+        assert [r["op"] for r in recs] == ["insert", "update"]
+        with BinlogDumpClient("127.0.0.1", srv.port, "repl", "nope") as c:
+            with pytest.raises(ServerError, match="Access denied"):
+                c.connect()
+    finally:
+        srv.close()
+
+
+@pytest.mark.parametrize(
+    "greeting_plugin,account_plugin",
+    [
+        ("caching_sha2_password", "mysql_native_password"),
+        ("mysql_native_password", "caching_sha2_password"),
+    ],
+)
+def test_auth_switch_request(tmp_path, greeting_plugin, account_plugin):
+    """The account's plugin differs from the server default: the server
+    answers the HandshakeResponse with an AuthSwitchRequest carrying a
+    FRESH scramble; the client recomputes with the requested plugin. Both
+    switch directions; wrong password still denied through the switch."""
+    from tests.fake_mysql_server import FakeMySQLServer
+
+    srv_dir = str(tmp_path / "srv")
+    _write_chain(srv_dir)
+    srv = FakeMySQLServer(
+        srv_dir, user="repl", password="swpw",
+        auth_plugin=greeting_plugin, switch_to=account_plugin,
+    )
+    try:
+        with BinlogDumpClient("127.0.0.1", srv.port, "repl", "swpw") as c:
+            c.connect()
+            n = BinlogSpool(str(tmp_path / "spool")).run(c, "bin.000001", 4)
+        assert n > 0
+        with BinlogDumpClient("127.0.0.1", srv.port, "repl", "bad") as c:
+            with pytest.raises(ServerError, match="Access denied"):
+                c.connect()
+    finally:
+        srv.close()
