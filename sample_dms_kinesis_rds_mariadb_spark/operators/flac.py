@@ -1,16 +1,28 @@
-"""FLAC container metadata — spec-derived (the flac format spec /
-RFC 9639), no codec library.
+"""FLAC container metadata AND full lossless frame decode — spec-derived
+(the flac format spec / RFC 9639), no codec library.
 
-Parses the metadata-block chain: STREAMINFO (sample rate, channels,
-bits per sample, total samples → exact duration, raw-audio MD5) and
-VORBIS_COMMENT (title/artist/album tags). Frame decode (rice-coded
-subframes) is the usual codec boundary: ``NotImplementedError``.
+``flac_metadata`` parses the metadata-block chain: STREAMINFO (sample
+rate, channels, bits per sample, total samples → exact duration,
+raw-audio MD5) and VORBIS_COMMENT (title/artist/album tags).
 
-At scale: bounded per-payload header walk inside Arrow-batched
-``mapInPandas`` (``multimodal.extract_media_metadata``).
+``decode_flac_samples`` (r9) decodes the audio frames themselves — FLAC
+is losslessly decodable in pure Python: frame headers (UTF-8-coded
+frame number, CRC-8), subframe types CONSTANT / VERBATIM / FIXED
+(orders 0-4) / LPC (quantized-coefficient prediction with arithmetic
+shift), Rice-coded residuals (both 4- and 5-bit parameter methods,
+escape-coded raw partitions, partition orders), wasted-bits shifting,
+stereo decorrelation (left/side, right/side, mid/side), frame CRC-16
+verification, and the STREAMINFO MD5 check over the decoded stream —
+every integrity hook the format defines is enforced, which makes decode
+bit-exact-testable against an independent encoder.
+
+At scale: bounded per-payload walk inside Arrow-batched ``mapInPandas``
+(``multimodal.extract_media_metadata`` / ``extract_audio_features``).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 _TAG_KEYS = {"title": "title", "artist": "artist", "album": "album"}
 
@@ -82,8 +94,305 @@ def flac_metadata(content: bytes) -> dict:
     return {"container": "flac", **info, "duration_sec": duration, "tags": tags}
 
 
+# -- frame decode (r9) -------------------------------------------------------
+
+_SS_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial 0x8005, init 0 — the whole-frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitReader:
+    """MSB-first bit reader with byte-position tracking (the CRC spans
+    need exact byte boundaries)."""
+
+    def __init__(self, data: bytes, byte_pos: int) -> None:
+        self.data = data
+        self.pos = byte_pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        while n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC frame")
+            avail = 8 - self.bit
+            take = n if n < avail else avail
+            v = (v << take) | (
+                (self.data[self.pos] >> (avail - take)) & ((1 << take) - 1)
+            )
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+            n -= take
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _utf8_number(br: _BitReader) -> int:
+    """The frame header's UTF-8-style coded frame/sample number."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x80
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 2 or n > 7:
+        raise ValueError("malformed UTF-8 coded number in frame header")
+    v = b0 & (0xFF >> (n + 1))
+    for _ in range(n - 1):
+        c = br.read(8)
+        if (c >> 6) != 0b10:
+            raise ValueError("malformed UTF-8 coded number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _residual(br: _BitReader, block_size: int, pred_order: int) -> list[int]:
+    """Rice-coded residual: 2-bit method (4- or 5-bit parameters), 4-bit
+    partition order, per-partition parameter with escape-coded raw
+    fallback; zigzag decode."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved residual coding method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if block_size % nparts or (block_size >> porder) <= pred_order:
+        raise ValueError("invalid residual partition order")
+    out: list[int] = []
+    for part in range(nparts):
+        n = (block_size >> porder) - (pred_order if part == 0 else 0)
+        param = br.read(plen)
+        if param == escape:
+            bits = br.read(5)
+            for _ in range(n):
+                out.append(br.read_signed(bits) if bits else 0)
+        else:
+            for _ in range(n):
+                u = (br.unary() << param) | (br.read(param) if param else 0)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _subframe(br: _BitReader, bps: int, block_size: int) -> list[int]:
+    if br.read(1) != 0:
+        raise ValueError("subframe header padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        samples = [br.read_signed(eff)] * block_size
+    elif stype == 1:  # VERBATIM
+        samples = [br.read_signed(eff) for _ in range(block_size)]
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        samples = [br.read_signed(eff) for _ in range(order)]
+        for r in _residual(br, block_size, order):
+            i = len(samples)
+            if order == 0:
+                s = r
+            elif order == 1:
+                s = r + samples[i - 1]
+            elif order == 2:
+                s = r + 2 * samples[i - 1] - samples[i - 2]
+            elif order == 3:
+                s = (r + 3 * samples[i - 1] - 3 * samples[i - 2]
+                     + samples[i - 3])
+            else:
+                s = (r + 4 * samples[i - 1] - 6 * samples[i - 2]
+                     + 4 * samples[i - 3] - samples[i - 4])
+            samples.append(s)
+    elif stype >= 32:  # LPC, order 1-32
+        order = (stype & 31) + 1
+        samples = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid qlp coefficient precision (0b1111)")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        for r in _residual(br, block_size, order):
+            i = len(samples)
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * samples[i - 1 - j]
+            samples.append(r + (acc >> shift))
+    else:
+        raise ValueError(f"reserved subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def _audio_start(content: bytes) -> int:
+    """Byte offset of the first audio frame (just past the metadata chain)."""
+    pos = 4
+    while pos + 4 <= len(content):
+        last = content[pos] & 0x80
+        pos += 4 + int.from_bytes(content[pos + 1 : pos + 4], "big")
+        if last:
+            return pos
+    raise ValueError("unterminated FLAC metadata chain")
+
+
+def decode_flac_samples(content: bytes):
+    """FULL lossless decode of a FLAC stream to interleaved integer
+    samples. Returns ``(sample_rate, channels, numpy int32 array
+    (interleaved), n_frames)`` — the ``decode_wav_adpcm_samples`` shape.
+
+    Verifies every integrity hook the format defines: frame-header CRC-8,
+    whole-frame CRC-16, and (for byte-aligned sample sizes) the
+    STREAMINFO MD5 of the decoded stream — a corrupted payload raises
+    ``ValueError`` instead of returning wrong audio.
+    """
+    import numpy as np
+
+    meta = flac_metadata(content)
+    info_bps = meta["bits_per_sample"]
+    info_ch = meta["channels"]
+    p = _audio_start(content)
+    per_chan: list[list[int]] = [[] for _ in range(info_ch)]
+    while p + 2 <= len(content):
+        b0, b1 = content[p], content[p + 1]
+        if not (b0 == 0xFF and (b1 >> 2) == 0x3E):
+            raise ValueError(f"bad frame sync at byte {p}")
+        br = _BitReader(content, p)
+        br.read(16)  # sync(14) + reserved + blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        chan = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise ValueError("frame header reserved bit set")
+        _utf8_number(br)
+        if bs_code == 0:
+            raise ValueError("reserved block size code 0")
+        if bs_code == 1:
+            block_size = 192
+        elif bs_code <= 5:
+            block_size = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            block_size = br.read(8) + 1
+        elif bs_code == 7:
+            block_size = br.read(16) + 1
+        else:
+            block_size = 256 << (bs_code - 8)
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid sample rate code 15")
+        if br.bit:
+            raise ValueError("frame header not byte-aligned before CRC-8")
+        crc8_at = br.pos
+        if _crc8(content[p:crc8_at]) != br.read(8):
+            raise ValueError(f"frame header CRC-8 mismatch at byte {p}")
+        if ss_code == 3:
+            raise ValueError("reserved sample size code 3")
+        bps = _SS_CODES.get(ss_code, info_bps)
+        if chan <= 7:
+            n_ch = chan + 1
+            sizes = [bps] * n_ch
+        elif chan in (8, 9, 10):
+            n_ch = 2
+            side = 1 if chan in (8, 10) else 0  # 9 stores (side, right)
+            sizes = [bps + (1 if i == side else 0) for i in range(2)]
+        else:
+            raise ValueError(f"reserved channel assignment {chan}")
+        if n_ch != info_ch:
+            raise ValueError(
+                f"frame channel count {n_ch} != STREAMINFO {info_ch}"
+            )
+        subs = [_subframe(br, sizes[i], block_size) for i in range(n_ch)]
+        br.align()
+        crc16_at = br.pos
+        if _crc16(content[p:crc16_at]) != br.read(16):
+            raise ValueError(f"frame CRC-16 mismatch at byte {p}")
+        if chan == 8:  # left/side
+            left, s = subs
+            subs = [left, [a - b for a, b in zip(left, s)]]
+        elif chan == 9:  # side, right
+            s, right = subs
+            subs = [[a + b for a, b in zip(right, s)], right]
+        elif chan == 10:  # mid/side
+            mid, s = subs
+            left, right = [], []
+            for m, sd in zip(mid, s):
+                m = (m << 1) | (sd & 1)
+                left.append((m + sd) >> 1)
+                right.append((m - sd) >> 1)
+            subs = [left, right]
+        for c in range(info_ch):
+            per_chan[c].extend(subs[c])
+        p = br.pos
+    n_frames = len(per_chan[0])
+    if meta["total_samples"] and n_frames != meta["total_samples"]:
+        raise ValueError(
+            f"decoded {n_frames} samples, STREAMINFO declares "
+            f"{meta['total_samples']}"
+        )
+    out = np.empty(n_frames * info_ch, dtype=np.int32)
+    for c in range(info_ch):
+        out[c::info_ch] = per_chan[c]
+    md5_declared = meta["md5"]
+    if md5_declared != "0" * 32 and info_bps % 8 == 0:
+        width = info_bps // 8
+        raw = b"".join(
+            int(v).to_bytes(width, "little", signed=True) for v in out
+        )
+        if hashlib.md5(raw).hexdigest() != md5_declared:
+            raise ValueError("decoded audio MD5 != STREAMINFO MD5")
+    return meta["sample_rate"], info_ch, out, n_frames
+
+
 def decode_flac_audio(content: bytes) -> bytes:
-    raise NotImplementedError(
-        "FLAC frame decode (rice-coded subframes) requires a codec "
-        "implementation out of scope — flac_metadata() is the real surface"
-    )
+    """Decoded stream as little-endian signed PCM bytes at the stream's
+    own sample width (byte-aligned sizes; 12/20-bit streams raise)."""
+    _rate, _ch, out, _n = decode_flac_samples(content)
+    meta = flac_metadata(content)
+    if meta["bits_per_sample"] % 8:
+        raise ValueError("non-byte-aligned sample size: use decode_flac_samples")
+    width = meta["bits_per_sample"] // 8
+    return b"".join(int(v).to_bytes(width, "little", signed=True) for v in out)

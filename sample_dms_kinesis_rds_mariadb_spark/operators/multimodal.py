@@ -976,6 +976,19 @@ def decode_audio(content: bytes, fake: bool = False) -> tuple[int, int, int, int
     ``decode_image``: NotImplementedError, or a deterministic content-hash
     fake with ``fake=True``.
     """
+    if content[:4] == b"fLaC":
+        # FLAC decodes for real (operators/flac.py, r9): STREAMINFO gives
+        # the stream geometry; data_offset 0 (samples are frame-coded, not
+        # a contiguous buffer — rms goes through decode_flac_samples)
+        from sample_dms_kinesis_rds_mariadb_spark.operators.flac import (
+            flac_metadata,
+        )
+
+        meta = flac_metadata(content)
+        return (
+            meta["sample_rate"], meta["channels"], meta["bits_per_sample"],
+            meta["total_samples"], 0, "flac",
+        )
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         pos = 12
         fmt = None
@@ -1080,6 +1093,12 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = False) -> DataFram
                         vals = (ulaw if fmt == "wav-ulaw" else alaw)[codes]
                     elif fmt == "wav-adpcm":
                         _r, _c, vals, _n = decode_wav_adpcm_samples(blob)
+                    elif fmt == "flac":
+                        from sample_dms_kinesis_rds_mariadb_spark.operators.flac import (  # noqa: E501
+                            decode_flac_samples,
+                        )
+
+                        _r, _c, vals, _n = decode_flac_samples(blob)
                     if vals is not None:
                         v = vals.astype(np.float64)
                         rms = float(np.sqrt(np.mean(v * v)))

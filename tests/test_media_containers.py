@@ -297,7 +297,9 @@ def test_flac_streaminfo_and_tags():
     assert m2["duration_sec"] == pytest.approx(3.0)
     with pytest.raises(ValueError, match="fLaC"):
         flac_metadata(b"RIFF....")
-    with pytest.raises(NotImplementedError):
+    # frame decode is REAL now (r9, tests/test_flac.py): a metadata-only
+    # blob that declares samples but carries no frames must refuse loudly
+    with pytest.raises(ValueError, match="declares"):
         decode_flac_audio(flac_blob())
 
 
