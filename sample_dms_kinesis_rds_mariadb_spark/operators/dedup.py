@@ -938,43 +938,34 @@ def _bloom_h2(md5_col: Column) -> Column:
     )
 
 
-def decontaminate_bloom(
-    corpus: DataFrame,
+class DecontaminationBloom:
+    """Build-once Bloom artifact for :func:`decontaminate_bloom`: the bit
+    array (numpy int64 words), its geometry (m bits, k hashes, gram size
+    n), and the PINNED benchmark gram frame the exact-verify stage joins.
+    Build it once per benchmark (``build_decontamination_bloom``) and pass
+    it to every later call — a streaming curation loop otherwise re-counts
+    and re-reduces the benchmark grams on every micro-batch."""
+
+    def __init__(self, bits, m: int, k: int, n: int, bench_grams) -> None:
+        self.bits = bits
+        self.m = m
+        self.k = k
+        self.n = n
+        self.bench_grams = bench_grams
+
+
+def build_decontamination_bloom(
     benchmark: DataFrame,
-    id_col: str,
-    text_col: str,
-    bench_id_col: str | None = None,
-    bench_text_col: str | None = None,
+    bench_id_col: str,
+    bench_text_col: str,
     n: int = 13,
-    min_shared: int = 1,
     fpp: float = 0.01,
     materialize: bool = True,
-) -> DataFrame:
-    """:func:`decontaminate` for LARGE benchmark suites — row-identical
-    output, different scale shape. The exact path broadcasts the benchmark
-    gram set (~40 B/gram as md5 hex); a combined eval suite with tens of
-    millions of grams turns that "tiny" broadcast into a per-executor
-    gigabyte. This variant broadcasts a deterministic BLOOM FILTER instead
-    (~``1.44 log2(1/fpp)`` bits/gram — ~10 bits at the default 1% fpp,
-    ~30x smaller) and keeps the result EXACT with a two-stage plan:
-
-    1. **Bloom pass** (one corpus scan, Arrow-batched): flag documents
-       whose Bloom-positive gram count reaches ``min_shared``. Blooms have
-       no false negatives, so the flagged set is a SUPERSET of the truly
-       contaminated one — an unflagged document is provably clean.
-    2. **Exact verify on the flagged slice only**: the flagged documents'
-       grams hash-join the benchmark's (distributed shuffle join, NO
-       broadcast — affordable because it runs on the contaminated+FP
-       slice, not the corpus), re-applying :func:`decontaminate`'s exact
-       per-(corpus, bench) ``n_shared >= min_shared`` rule.
-
-    The filter itself builds DISTRIBUTED: per-gram bit positions reduce to
-    (word, OR-mask) pairs map-side, and the driver collects at most
-    ``m/64`` words — bounded by the FILTER size, never the gram count.
-    Hashing is Kirsch-Mitzenmacher double hashing over two 52-bit md5
-    chunks (pure codegen); the probe side is a broadcast numpy array +
-    Arrow ``pandas_udf``, the same serve shape as the LM scorer.
-    """
+) -> DecontaminationBloom | None:
+    """Distributed Bloom build over the benchmark's distinct word n-grams
+    (per-gram positions reduce to (word, OR-mask) map-side; the driver
+    collects at most m/64 words — filter-sized, never gram-sized).
+    Returns None for an empty benchmark (nothing to decontaminate)."""
     import math
 
     from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
@@ -985,8 +976,6 @@ def decontaminate_bloom(
 
     if not 0.0 < fpp < 1.0:
         raise ValueError(f"fpp must be in (0,1), got {fpp}")
-    b_id = bench_id_col or id_col
-    b_text = bench_text_col or text_col
 
     def gram_md5s(txt_col):
         return F.transform(
@@ -996,20 +985,18 @@ def decontaminate_bloom(
 
     bench_grams = _pin(
         benchmark.select(
-            F.col(b_id).alias("bench_id"),
-            F.explode(gram_md5s(F.col(b_text))).alias("gram"),
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(gram_md5s(F.col(bench_text_col))).alias("gram"),
         ).distinct(),
         materialize,
     )
     n_grams = bench_grams.select("gram").distinct().count()
     if n_grams == 0:
-        return corpus
+        return None
 
     m = max(64, int(math.ceil(-n_grams * math.log(fpp) / (math.log(2) ** 2))))
     k = min(8, max(1, round(m / n_grams * math.log(2))))
 
-    # distributed build: gram -> k positions -> (word, OR-mask); the
-    # driver sees <= m/64 (word, mask) rows — filter-sized, not gram-sized.
     # _bloom_h1/_bloom_h2 are the SAME expressions the probe side uses —
     # build/probe hash divergence would mean silent false negatives
     hpairs = bench_grams.select(
@@ -1037,7 +1024,80 @@ def decontaminate_bloom(
     bits = np.zeros((m + 63) // 64, dtype=np.int64)
     for r in words:
         bits[int(r["word"])] = np.int64(r["mask"])
-    bc = corpus.sparkSession.sparkContext.broadcast(bits)
+    return DecontaminationBloom(bits, m, k, n, bench_grams)
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 13,
+    min_shared: int = 1,
+    fpp: float = 0.01,
+    materialize: bool = True,
+    prebuilt: DecontaminationBloom | None = None,
+) -> DataFrame:
+    """:func:`decontaminate` for LARGE benchmark suites — row-identical
+    output, different scale shape. The exact path broadcasts the benchmark
+    gram set (~40 B/gram as md5 hex); a combined eval suite with tens of
+    millions of grams turns that "tiny" broadcast into a per-executor
+    gigabyte. This variant broadcasts a deterministic BLOOM FILTER instead
+    (~``1.44 log2(1/fpp)`` bits/gram — ~10 bits at the default 1% fpp,
+    ~30x smaller) and keeps the result EXACT with a two-stage plan:
+
+    1. **Bloom pass** (one corpus scan, Arrow-batched): flag documents
+       whose Bloom-positive gram count reaches ``min_shared``. Blooms have
+       no false negatives, so the flagged set is a SUPERSET of the truly
+       contaminated one — an unflagged document is provably clean.
+    2. **Exact verify on the flagged slice only**: the flagged documents'
+       grams hash-join the benchmark's (distributed shuffle join, NO
+       broadcast — affordable because it runs on the contaminated+FP
+       slice, not the corpus), re-applying :func:`decontaminate`'s exact
+       per-(corpus, bench) ``n_shared >= min_shared`` rule.
+
+    The filter itself builds DISTRIBUTED: per-gram bit positions reduce to
+    (word, OR-mask) pairs map-side, and the driver collects at most
+    ``m/64`` words — bounded by the FILTER size, never the gram count.
+    Hashing is Kirsch-Mitzenmacher double hashing over two 52-bit md5
+    chunks (pure codegen); the probe side is a broadcast numpy array +
+    Arrow ``pandas_udf``, the same serve shape as the LM scorer.
+    """
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        normalize_text,
+        tokenize,
+        word_ngrams,
+    )
+
+    if prebuilt is None:
+        if benchmark is None:
+            raise ValueError("pass a benchmark frame or a prebuilt bloom")
+        prebuilt = build_decontamination_bloom(
+            benchmark,
+            bench_id_col or id_col,
+            bench_text_col or text_col,
+            n=n,
+            fpp=fpp,
+            materialize=materialize,
+        )
+        if prebuilt is None:
+            return corpus  # empty benchmark: nothing to scrub
+    bench_grams = prebuilt.bench_grams
+    m, k, n = prebuilt.m, prebuilt.k, prebuilt.n
+
+    def gram_md5s(txt_col):
+        return F.transform(
+            F.array_distinct(word_ngrams(tokenize(normalize_text(txt_col)), n)),
+            F.md5,
+        )
+
+    import numpy as np
+
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        np.asarray(prebuilt.bits, dtype=np.int64)
+    )
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

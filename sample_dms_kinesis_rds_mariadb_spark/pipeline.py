@@ -54,6 +54,171 @@ DEDUP_STAGES = ("exact", "minhash")
 
 
 @dataclass
+class StreamingCuration:
+    """Handle for a running :func:`curate_stream`: the StreamingQuery, the
+    incremental MinHash index, and the per-trigger funnel log."""
+
+    query: object  # pyspark.sql.streaming.StreamingQuery
+    index: object  # operators.dedup.MinHashIndex
+    funnel_path: str
+
+    def funnel(self) -> list[dict]:
+        """Per-micro-batch stage counts, in trigger order (one JSON object
+        per completed batch: batch_id, input, decontaminated, kept)."""
+        import json
+        import os
+
+        if not os.path.exists(self.funnel_path):
+            return []
+        with open(self.funnel_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def gate_progress(self) -> list[dict]:
+        """The gate funnel per trigger, read from the streaming progress
+        events' observed metrics (``observed_gates`` attaches them to the
+        scan — zero extra jobs)."""
+        out = []
+        for p in self.query.recentProgress:
+            m = (p.get("observedMetrics") or {}).get("curate_gates")
+            if m is not None:
+                out.append(dict(m.asDict()) if hasattr(m, "asDict") else dict(m))
+        return out
+
+
+def curate_stream(
+    stream: DataFrame,
+    *,
+    index_path: str,
+    output_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gates: dict[str, Column] | None = None,
+    decontaminate_against: DataFrame | None = None,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    decontaminate_n: int = 13,
+    decontaminate_fpp: float = 0.01,
+    minhash_n: int = 3,
+    minhash_bands: int = 4,
+    auto_compact_files: int | None = None,
+    funnel_path: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingCuration:
+    """The STREAMING dual of :func:`curate`: gates → Bloom benchmark
+    decontamination → incremental MinHash near-dup dedup → parquet append,
+    composed as one ``foreachBatch`` stage over an arriving stream.
+
+    Stage shapes (each the library's audited streaming form):
+
+    1. **gates** ride the stream itself via :func:`operators.audit
+       .observed_gates` — the per-trigger gate funnel arrives in every
+       progress event's observed metrics (``gate_progress()``), zero
+       extra jobs.
+    2. **decontamination** uses a Bloom filter BUILT ONCE at setup
+       (:func:`operators.dedup.build_decontamination_bloom`); each
+       micro-batch pays one Arrow probe pass + an exact verify join
+       bounded to its flagged slice — the benchmark is never re-scanned.
+    3. **dedup** is the incremental :class:`operators.dedup.MinHashIndex`
+       (created at ``index_path`` or resumed if one exists): each batch
+       probes the store on (band, signature) and appends its own
+       signatures — batch-shuffle-sized, never corpus-sized, with
+       ``auto_compact_files`` bounding store file counts on long runs.
+    4. survivors append to ``output_path`` (parquet) and the per-batch
+       stage counts append to ``funnel_path`` (JSONL) — multi-batch
+       arrival is row-equal to running the batch stages sequentially per
+       arrival (tested), and family-equal to the one-shot batch
+       :func:`curate` (first-arrival vs lowest-id survivor).
+    """
+    import json
+    import os
+
+    from .operators.dedup import (
+        MinHashIndex,
+        build_decontamination_bloom,
+        decontaminate_bloom,
+    )
+    from .operators.audit import observed_gates
+
+    spark = stream.sparkSession
+    if funnel_path is None:
+        funnel_path = output_path.rstrip("/") + ".funnel.jsonl"
+
+    cur = stream
+    if gates:
+        cur = observed_gates(cur, gates, name="curate_gates")
+
+    bloom = None
+    if decontaminate_against is not None:
+        bloom = build_decontamination_bloom(
+            decontaminate_against,
+            bench_id_col or id_col,
+            bench_text_col or text_col,
+            n=decontaminate_n,
+            fpp=decontaminate_fpp,
+        )
+
+    if MinHashIndex.exists(index_path):
+        index = MinHashIndex.load(
+            spark, index_path, auto_compact_files=auto_compact_files
+        )
+    else:
+        empty = spark.createDataFrame(
+            [], stream.select(id_col, text_col).schema
+        )
+        index = MinHashIndex.build(
+            empty, index_path, id_col, text_col,
+            n=minhash_n, bands=minhash_bands,
+            auto_compact_files=auto_compact_files,
+        )
+
+    def _curate_batch(batch_df, batch_id) -> None:
+        # pin the micro-batch ONCE: every action below would otherwise
+        # re-execute the observed gate scan (foreachBatch frames re-run
+        # their lineage per action), multiplying the per-trigger observed
+        # metrics by the action count — the checkpoint fires them exactly
+        # once per trigger and the stages read the pinned rows
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_in = batch_df.count()
+        clean = batch_df
+        if bloom is not None:
+            clean = decontaminate_bloom(
+                batch_df, None, id_col, text_col, prebuilt=bloom
+            )
+        n_clean = clean.count() if bloom is not None else n_in
+        kept = index.dedup_batch(clean, text_col)
+        kept.write.mode("append").parquet(output_path)
+        # count what THIS batch kept from its own written files (never a
+        # full re-read of the accumulated output)
+        n_kept = kept.count()
+        with open(funnel_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "batch_id": int(batch_id),
+                        "input": int(n_in),
+                        "decontaminated": int(n_clean),
+                        "kept": int(n_kept),
+                    }
+                )
+                + "\n"
+            )
+
+    writer = cur.writeStream.foreachBatch(_curate_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    os.makedirs(os.path.dirname(funnel_path) or ".", exist_ok=True)
+    return StreamingCuration(
+        query=writer.start(), index=index, funnel_path=funnel_path
+    )
+
+
+@dataclass
 class CurationResult:
     corpus: DataFrame
     heldout: DataFrame | None

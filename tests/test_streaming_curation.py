@@ -228,3 +228,132 @@ def test_streaming_curation_auto_compact_bounds_store_files(spark, tmp_path):
     assert len(
         glob.glob(os.path.join(plain.path, "band=*", "*.parquet"))
     ) > ceiling + bands
+
+
+def test_curate_stream_facade_equals_batch_curate(spark, tmp_path):
+    """pipeline.curate_stream (VERDICT r8 item 6): one call composes
+    gates -> build-once Bloom decontamination -> incremental MinHash dedup
+    -> parquet append. Multi-batch arrival must equal the one-shot batch
+    facade up to near-dup family order (first-arrival vs lowest-id
+    survivor), the per-trigger gate funnel must arrive in the progress
+    events' observed metrics, and the per-batch stage funnel in the JSONL
+    log."""
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import (
+        curate,
+        curate_stream,
+    )
+
+    bench = spark.createDataFrame(
+        [(900, _BENCH_Q)], "bench_id long, btext string"
+    ).cache()
+    bench.count()
+    gates = {"quality": quality_columns(F.col("text"))["is_quality"]}
+    try:
+        src = str(tmp_path / "incoming")
+        os.makedirs(src, exist_ok=True)
+        for i, rows in enumerate(_batches()):
+            with open(os.path.join(src, f"b{i}.json"), "w") as f:
+                f.write(
+                    "\n".join(
+                        json.dumps({"doc_id": d, "text": t}) for d, t in rows
+                    )
+                )
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        run = curate_stream(
+            stream,
+            index_path=str(tmp_path / "idx"),
+            output_path=str(tmp_path / "corpus"),
+            checkpoint=str(tmp_path / "ckpt"),
+            gates=gates,
+            decontaminate_against=bench,
+            bench_id_col="bench_id",
+            bench_text_col="btext",
+        )
+        await_finished(run.query)
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+        }
+
+        # one-shot batch facade over the SAME docs
+        all_rows = [r for rows in _batches() for r in rows]
+        docs = spark.createDataFrame(all_rows, SCHEMA)
+        res = curate(
+            docs,
+            gates=gates,
+            dedup=("minhash",),
+            decontaminate_against=bench.select(
+                F.col("bench_id").alias("doc_id"),
+                F.col("btext").alias("text"),
+            ),
+            report=False,
+        )
+        expected = {r["doc_id"] for r in res.corpus.collect()}
+
+        def collapse(s):
+            fam = {1: "A", 101: "A", 3: "B", 202: "B"}
+            return {fam.get(d, d) for d in s}
+
+        assert collapse(got) == collapse(expected)
+        assert 2 not in got and 102 not in got
+
+        # per-batch stage funnel (JSONL): 3 batches, monotone stage counts
+        funnel = run.funnel()
+        assert len(funnel) == 3
+        assert sum(f["input"] for f in funnel) == 7  # post-gate rows
+        assert all(f["decontaminated"] <= f["input"] for f in funnel)
+        assert all(f["kept"] <= f["decontaminated"] for f in funnel)
+        assert sum(f["kept"] for f in funnel) == len(got)
+
+        # per-trigger GATE funnel rides the progress events (observe)
+        gate_rows = run.gate_progress()
+        assert gate_rows, "no observed gate metrics in progress events"
+        assert sum(g["input_rows"] for g in gate_rows) == 8
+        assert sum(g["after_quality"] for g in gate_rows) == 7
+    finally:
+        bench.unpersist()
+
+
+def test_curate_stream_resumes_existing_index(spark, tmp_path):
+    """A second curate_stream run against the SAME index path resumes it:
+    re-arriving near-dups of already-kept docs are dropped, not re-kept."""
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import curate_stream
+
+    src1 = str(tmp_path / "in1")
+    os.makedirs(src1, exist_ok=True)
+    with open(os.path.join(src1, "a.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": _RIVERS}))
+    run1 = curate_stream(
+        spark.readStream.schema(SCHEMA).json(src1),
+        index_path=str(tmp_path / "idx"),
+        output_path=str(tmp_path / "corpus"),
+        checkpoint=str(tmp_path / "ck1"),
+    )
+    await_finished(run1.query)
+
+    src2 = str(tmp_path / "in2")
+    os.makedirs(src2, exist_ok=True)
+    with open(os.path.join(src2, "b.json"), "w") as f:
+        f.write(
+            json.dumps({"doc_id": 50, "text": _RIVERS + " again"})
+            + "\n"
+            + json.dumps({"doc_id": 51, "text": _DESERTS})
+        )
+    run2 = curate_stream(
+        spark.readStream.schema(SCHEMA).json(src2),
+        index_path=str(tmp_path / "idx"),
+        output_path=str(tmp_path / "corpus"),
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    await_finished(run2.query)
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert got == {1, 51}  # 50 deduped against the RESUMED index
