@@ -266,6 +266,158 @@ def reference_kn_bits_per_token(text: str, model: dict) -> float:
     return _kn_logprob(py_clean_tokens(text), model)
 
 
+def train_kn_trigram_model(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 65_536,
+    discount: float = 0.75,
+    discount3: float | None = None,
+) -> dict:
+    """Interpolated TRIGRAM Kneser-Ney (Chen & Goodman 1999) — CCNet's
+    published setup is a 5-gram KenLM; the trigram with pruned context
+    tables closes most of the bigram model's gap at the same bounded
+    shape: ONE extra corpus aggregate (trigram counts, TakeOrdered to
+    ``vocab_size`` rows — Zipf's head carries the mass) on top of
+    :func:`train_kn_model`'s two.
+
+    The model dict extends the bigram KN model with:
+
+    - ``trigrams``: raw counts c(uvw) — the highest order scores with RAW
+      counts, per Chen-Goodman;
+    - ``n1_fore2``: per-(u,v) fan-out N1+(uv·) — the top level's backoff
+      weight;
+    - ``cont2`` / ``cont2_ctx`` / ``cont2_fan``: the middle order's
+      CONTINUATION statistics derived from the retained trigram table —
+      N1+(·vw), N1+(·v·) and |{w: N1+(·vw)>0}| — the defining KN move
+      (the middle order asks "how many contexts does vw complete", not
+      "how often");
+    - ``discount3``: the top level's absolute discount (defaults to
+      ``discount``).
+
+    All statistics derive from the RETAINED tables, so truncation keeps
+    train/score self-consistent (the same contract as the bigram model).
+    """
+    if discount3 is None:
+        discount3 = discount
+    if not 0.0 < discount3 < 1.0:
+        raise ValueError(f"discount3 must be in (0, 1), got {discount3}")
+    model = train_kn_model(df, text_col, vocab_size, discount)
+    toks = _doc_tokens(F.col(text_col))
+    tri_rows = (
+        df.select(F.explode(word_ngrams(toks, 3)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "g")
+        .limit(vocab_size)
+        .collect()
+    )
+    trigrams: dict[tuple[str, str, str], int] = {}
+    for r in tri_rows:
+        u, _, rest = r["g"].partition(" ")
+        v, _, w = rest.partition(" ")
+        trigrams[(u, v, w)] = int(r["n"])
+    n1_fore2: dict[tuple[str, str], int] = {}
+    cont2: dict[tuple[str, str], int] = {}
+    cont2_ctx: dict[str, int] = {}
+    cont2_fan: dict[str, int] = {}
+    for (u, v, w) in trigrams:
+        n1_fore2[(u, v)] = n1_fore2.get((u, v), 0) + 1
+        key = (v, w)
+        if key not in cont2:
+            cont2_fan[v] = cont2_fan.get(v, 0) + 1
+        cont2[key] = cont2.get(key, 0) + 1  # distinct (u,·,·) per key
+        cont2_ctx[v] = cont2_ctx.get(v, 0) + 1
+    model["trigrams"] = trigrams
+    model["n1_fore2"] = n1_fore2
+    model["cont2"] = cont2
+    model["cont2_ctx"] = cont2_ctx
+    model["cont2_fan"] = cont2_fan
+    model["discount3"] = discount3
+    return model
+
+
+def _kn3_middle(v: str, w: str, model: dict) -> float:
+    """Middle order of the trigram KN: continuation counts (how many
+    distinct predecessors complete v·w) with absolute discounting, backing
+    off to the add-one-smoothed unigram continuation probability."""
+    d = model["discount"]
+    v_buckets = len(model["unigrams"]) + 1
+    p_cont = (model["n1_back"].get(w, 0) + 1.0) / (
+        model["n_bigrams"] + v_buckets
+    )
+    ctx = model["cont2_ctx"].get(v, 0)
+    if ctx > 0:
+        c = model["cont2"].get((v, w), 0)
+        fan = model["cont2_fan"].get(v, 0)
+        return max(c - d, 0.0) / ctx + d * fan / ctx * p_cont
+    return p_cont
+
+
+def _kn3_prob(u: str, v: str, w: str, model: dict) -> float:
+    """P_KN(w | u, v): raw-count absolute discounting at the top order,
+    continuation-count middle order, add-one unigram continuation floor —
+    every token has p > 0. Pure function — shared verbatim by the
+    executor UDF and the test reference."""
+    p2 = _kn3_middle(v, w, model)
+    c_uv = model["bigrams"].get((u, v), 0)
+    fan3 = model["n1_fore2"].get((u, v), 0)
+    if c_uv > 0 and fan3 > 0:
+        d3 = model["discount3"]
+        c_tri = model["trigrams"].get((u, v, w), 0)
+        return max(c_tri - d3, 0.0) / c_uv + d3 * fan3 / c_uv * p2
+    return p2
+
+
+def _kn3_logprob(tokens: list[str], model: dict) -> float:
+    """Mean negative log2 probability (bits/token) under interpolated
+    trigram KN. Context starts at (BOS, BOS): the first real token backs
+    off to the trained (BOS, token) middle order — self-consistent with
+    the single-BOS training prefix."""
+    if not tokens:
+        return 0.0
+    bits = 0.0
+    prev2 = prev1 = BOS
+    for tok in tokens:
+        bits -= math.log2(_kn3_prob(prev2, prev1, tok, model))
+        prev2, prev1 = prev1, tok
+    return bits / len(tokens)
+
+
+def make_kn3_perplexity_scorer(spark, model: dict):
+    """Arrow-batched trigram-KN scorer — same contract as
+    :func:`make_perplexity_scorer` (``ARRAY<STRING>`` BOS-prefixed tokens
+    → bits/token; broadcast model, dict-hit per-row work)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    for key in ("trigrams", "n1_fore2", "cont2", "cont2_ctx", "discount3"):
+        if key not in model:
+            raise ValueError(
+                f"not a trigram KN model (missing {key!r}); "
+                "use train_kn_trigram_model"
+            )
+    bc = spark.sparkContext.broadcast(model)
+
+    def scorer(tokens):
+        m = bc.value
+
+        def one(seq) -> float:
+            if seq is None or len(seq) == 0:
+                return 0.0
+            return _kn3_logprob(list(seq[1:]), m)
+
+        return tokens.map(one)
+
+    scorer.__annotations__ = {"tokens": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(scorer)
+
+
+def reference_kn3_bits_per_token(text: str, model: dict) -> float:
+    """Independent-entry reference: shared Python tokenization mirror +
+    the same pure scoring function."""
+    return _kn3_logprob(py_clean_tokens(text), model)
+
+
 def perplexity_buckets(
     df: DataFrame,
     score_col: str,
