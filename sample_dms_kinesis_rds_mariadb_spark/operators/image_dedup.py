@@ -259,6 +259,154 @@ def image_near_pairs(
     )
 
 
+VIDEO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_dhash", T.LongType()),
+    ]
+)
+
+
+def video_fingerprints(
+    df: DataFrame, every_k: int = 1, fake_decode: bool = False
+) -> DataFrame:
+    """Per-frame dHash fingerprints for video payloads: every ``k``-th
+    REAL frame of each MJPEG AVI (the in-repo container + JPEG decoders)
+    reduced to a 64-bit dHash — ONE Arrow ``mapInPandas`` pass, container
+    → frames → pixels → bits without the binary column ever shuffling.
+    Output (media_id, frame_no, frame_dhash)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.avi import (
+        video_frames,
+    )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                for frame_no, frame in video_frames(blob, every_k=every_k):
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_no": frame_no,
+                            "frame_dhash": dhash64(frame, fake=fake_decode),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FP_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        _fp, schema=VIDEO_FP_SCHEMA
+    )
+
+
+def video_near_pairs(
+    df: DataFrame,
+    every_k: int = 1,
+    max_hamming: int = 7,
+    bands: int | None = None,
+    min_frac: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs: two videos are near-dups when a large
+    fraction of their sampled frames match perceptually (per-frame dHash
+    within ``max_hamming`` bits) — the re-encoded/trimmed/re-muxed
+    duplicate class a multimodal training corpus hits constantly, which
+    byte hashing and single-image dedup both miss.
+
+    Output per pair (id_a < id_b): ``matched_frames`` (distinct frames of
+    ``id_a`` with a perceptual match in ``id_b`` — can exceed the shorter
+    video's length when similar neighboring frames cross-match),
+    ``aligned_matches`` (the largest subset sharing ONE temporal offset
+    frame_b − frame_a — the consistency guard: genuine duplicates match
+    along a single alignment, coincidental frame hits scatter), and
+    ``match_frac`` = aligned_matches / min(n_frames) — the temporally
+    consistent overlap share; pairs below ``min_frac`` drop.
+
+    Scale shape: the frame-hash table is (videos × frames/k) narrow rows;
+    candidates meet ONLY in the pigeonhole (band, key) buckets (exact for
+    ``max_hamming`` — same guarantee as :func:`banded_hamming_pairs`);
+    per-pair aggregation is bounded by matched pairs. Never all-pairs on
+    videos or frames."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole guarantee"
+        )
+    fps = _pin(video_fingerprints(df, every_k=every_k), materialize)
+    n_frames = fps.groupBy("media_id").agg(
+        F.count("*").alias("n_frames")
+    )
+    banded = fps.select(
+        "media_id",
+        "frame_no",
+        "frame_dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("frame_dhash"), off)
+                        .bitwiseAND(F.lit((1 << size) - 1))
+                        .alias("key"),
+                    )
+                    for i, (off, size) in enumerate(_band_bounds(bands))
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "frame_no", "frame_dhash", "bk.band", "bk.key")
+    a = banded.select(
+        "band", "key",
+        F.col("media_id").alias("id_a"),
+        F.col("frame_no").alias("frame_a"),
+        F.col("frame_dhash").alias("fp_a"),
+    )
+    b = banded.select(
+        "band", "key",
+        F.col("media_id").alias("id_b"),
+        F.col("frame_no").alias("frame_b"),
+        F.col("frame_dhash").alias("fp_b"),
+    )
+    matches = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            <= F.lit(int(max_hamming))
+        )
+        .select("id_a", "frame_a", "id_b", "frame_b")
+        .distinct()
+    )
+    per_offset = matches.groupBy(
+        "id_a", "id_b", (F.col("frame_b") - F.col("frame_a")).alias("_off")
+    ).agg(F.count_distinct("frame_a").alias("_n"))
+    aligned = per_offset.groupBy("id_a", "id_b").agg(
+        F.max("_n").alias("aligned_matches")
+    )
+    matched = matches.groupBy("id_a", "id_b").agg(
+        F.count_distinct("frame_a").alias("matched_frames")
+    )
+    return (
+        matched.join(aligned, ["id_a", "id_b"])
+        .join(n_frames.select(F.col("media_id").alias("id_a"),
+                              F.col("n_frames").alias("_na")), "id_a")
+        .join(n_frames.select(F.col("media_id").alias("id_b"),
+                              F.col("n_frames").alias("_nb")), "id_b")
+        .withColumn(
+            "match_frac",
+            F.col("aligned_matches") / F.least("_na", "_nb"),
+        )
+        .filter(F.col("match_frac") >= F.lit(float(min_frac)))
+        .select(
+            "id_a", "id_b", "matched_frames", "aligned_matches", "match_frac"
+        )
+    )
+
+
 def dedup_images(
     df: DataFrame,
     method: str = "dhash",

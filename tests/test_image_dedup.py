@@ -2,8 +2,9 @@
 by plain-loop reimplementations over known pixel matrices, cross-format
 fingerprint invariance (same pixels through PPM and GIF must hash
 identically — both decoders are lossless), banded-join exactness vs a
-brute-force all-pairs reference, perturbation/brightness invariants, and
-the Arrow/no-cartesian plan shape."""
+brute-force all-pairs reference, perturbation/brightness invariants,
+the Arrow/no-cartesian plan shape, and video near-dups (re-encode /
+trim / unrelated classes over real MJPEG AVIs)."""
 
 import numpy as np
 import pytest
@@ -234,3 +235,104 @@ def test_fingerprint_plan_shape(spark):
     pplan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in pplan
     assert "BroadcastNestedLoopJoin" not in pplan
+
+
+# -- video near-dups (r9) -----------------------------------------------------
+
+
+def _mjpeg_avi(frame_arrays, quality=90):
+    from tests.avi_writer import write_avi
+    from tests.jpeg_writer import encode_jpeg
+
+    h, w, _ = frame_arrays[0].shape
+    frames = [
+        encode_jpeg(a.astype(np.uint8), quality=quality) for a in frame_arrays
+    ]
+    return write_avi(frames, w, h)
+
+
+def test_video_fingerprints_real_decode(spark):
+    """Container -> frames -> pixels -> dHash: the per-frame fingerprint of
+    an MJPEG AVI equals dhash64 of the embedded JPEG bytes directly."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators import (
+        image_dedup as idd,
+    )
+    from tests.jpeg_writer import encode_jpeg
+
+    rng = np.random.default_rng(31)
+    arrays = [
+        np.clip(rng.normal(128, 40, (32, 48, 3)), 0, 255) for _ in range(4)
+    ]
+    jpegs = [encode_jpeg(a.astype(np.uint8)) for a in arrays]
+    from tests.avi_writer import write_avi
+
+    blob = write_avi(jpegs, 48, 32)
+    df = _media_df(spark, [blob])
+    got = {
+        r["frame_no"]: r["frame_dhash"]
+        for r in idd.video_fingerprints(df).collect()
+    }
+    assert got == {i: idd.dhash64(j) for i, j in enumerate(jpegs)}
+
+
+def test_video_near_pairs_reencode_trim_and_unrelated(spark):
+    """The duplicate classes that matter: B = A re-encoded at a lower JPEG
+    quality (lossy — byte hashes all differ), C = A trimmed by one frame
+    (temporal shift), D = unrelated. A~B and A~C pair with a dominant
+    alignment; D pairs with nothing."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators import (
+        image_dedup as idd,
+    )
+
+    rng = np.random.default_rng(17)
+    # smooth frames (quantization-stable gradients + blobs)
+    base_frames = []
+    yy, xx = np.mgrid[0:32, 0:48]
+    for i in range(6):
+        a = (
+            128
+            + 60 * np.sin(xx / (4.0 + i) + i)
+            + 50 * np.cos(yy / (5.0 + 0.5 * i))
+        )
+        base_frames.append(np.clip(a, 0, 255)[..., None].repeat(3, axis=2))
+    vid_a = _mjpeg_avi(base_frames, quality=92)
+    vid_b = _mjpeg_avi(base_frames, quality=70)      # re-encode
+    vid_c = _mjpeg_avi(base_frames[1:], quality=92)  # trim first frame
+    other = [
+        np.clip(rng.normal(128, 55, (32, 48, 3)), 0, 255) for _ in range(6)
+    ]
+    vid_d = _mjpeg_avi(other, quality=92)
+    df = _media_df(spark, [vid_a, vid_b, vid_c, vid_d])
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in idd.video_near_pairs(
+            df, max_hamming=10, min_frac=0.6
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # re-encode: every frame matches at offset 0
+    ab = pairs[(0, 1)]
+    assert ab["aligned_matches"] == 6 and ab["match_frac"] == 1.0
+    assert ab["matched_frames"] >= 6
+    # trim: the 5 shared frames align at one offset (smooth neighboring
+    # frames may ALSO cross-match, which is why matched_frames alone is
+    # not the dedup signal)
+    ac = pairs[(0, 2)]
+    assert ac["aligned_matches"] == 5 and ac["match_frac"] == 1.0
+    assert ac["matched_frames"] >= 5
+
+
+def test_video_near_pairs_plan_no_cartesian(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators import (
+        image_dedup as idd,
+    )
+
+    frames = [
+        np.full((16, 16, 3), 40 * i % 255, dtype=np.int64) for i in range(3)
+    ]
+    df = _media_df(spark, [_mjpeg_avi(frames)] * 2)
+    out = idd.video_near_pairs(df, min_frac=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
