@@ -386,6 +386,48 @@ def main() -> None:
         f"-> {mixed.count()} rows",
     )
 
+    # 9'. r9 stages: trigram Kneser-Ney (one extra bounded aggregate buys
+    # the full Chen-Goodman chain), batch-probe PQ over compressed codes
+    # (the whole eval set answered in ONE plan compile + ONE codes scan),
+    # and perceptual image dedup over real decoded pixels
+    kn3 = lm.train_kn_trigram_model(clean, "text", vocab_size=20_000)
+    kn3_scorer = lm.make_kn3_perplexity_scorer(spark, kn3)
+    avg3 = (
+        clean.select(
+            kn3_scorer(lm.doc_tokens_column(F.col("text"))).alias("b")
+        )
+        .agg(F.avg("b"))
+        .first()[0]
+    )
+    print(f"trigram KN: avg {avg3:.2f} bits/token")
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators import pq as pq_ops
+
+    books = pq_ops.train_pq(emb, m=4, k=16)
+    codes = pq_ops.pq_encode(emb, books)
+    pq_probes = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    batch_hits = pq_ops.pq_batch_topk_rerank(emb, books, pq_probes, k=5,
+                                             codes_df=codes)
+    print(
+        f"batch PQ: {batch_hits.count()} reranked hits for "
+        f"{len(pq_probes)} probes in one codes scan"
+    )
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators import (
+        image_dedup,
+        multimodal,
+    )
+
+    media = multimodal.attach_ppm_column(docs, "text", "doc_id")
+    img_pairs = image_dedup.image_near_pairs(media, max_hamming=7)
+    print(
+        f"perceptual image dedup: {img_pairs.count()} near-dup pairs "
+        "(dHash over real decoded pixels, banded hamming join)"
+    )
+
     # 10. ship the data card with the curated corpus — the JSON artifact
     # downstream consumers read instead of scanning 100 TB
     from sample_dms_kinesis_rds_mariadb_spark.operators.profile import (
