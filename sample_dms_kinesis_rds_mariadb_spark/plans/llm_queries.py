@@ -1720,14 +1720,18 @@ def _pq_adc_batch_oracle_sql(
           SELECT probe_id, vec_id, ip / (sqrt(pp) * sqrt(cc)) AS cosv
           FROM scored
         )
-        SELECT probe_id, vec_id,
-               CAST(CAST(ROUND(cosv, 6) AS DECIMAL(18,6)) AS DOUBLE)
-                 AS adc_cosine,
-               CAST(rn AS INT) AS rank
+        -- rank on the ROUNDED score: near-equal sums can order differently
+        -- across engines (summation-order float noise); at 6 decimals both
+        -- see identical values and the vec_id tie-break is deterministic
+        SELECT probe_id, vec_id, adc_cosine, CAST(rn AS INT) AS rank
         FROM (
-          SELECT probe_id, vec_id, cosv,
+          SELECT probe_id, vec_id,
+                 CAST(CAST(ROUND(cosv, 6) AS DECIMAL(18,6)) AS DOUBLE)
+                   AS adc_cosine,
                  ROW_NUMBER() OVER (
-                   PARTITION BY probe_id ORDER BY cosv DESC, vec_id
+                   PARTITION BY probe_id
+                   ORDER BY CAST(CAST(ROUND(cosv, 6) AS DECIMAL(18,6))
+                                 AS DOUBLE) DESC, vec_id
                  ) AS rn
           FROM final
         ) WHERE rn <= {k}
@@ -1766,16 +1770,29 @@ def q_pq_adc_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
     codes = pq.pq_encode(emb.filter(F.col("vec_id") >= 5), books)
-    out = pq.pq_adc_batch_topk(codes, books, probes, k=10, metric="cosine")
-    return out.select(
+    # over-fetch, then re-rank on the ROUNDED score: near-equal ADC sums
+    # can order differently across engines (summation-order float noise);
+    # at 6 decimals both engines see identical values and the vec_id
+    # tie-break is deterministic
+    from pyspark.sql import Window
+
+    out = pq.pq_adc_batch_topk(codes, books, probes, k=30, metric="cosine")
+    rounded = out.select(
         "probe_id",
         "vec_id",
         F.round(F.col("adc_cosine"), 6)
         .cast("decimal(18,6)")
         .cast("double")
         .alias("adc_cosine"),
-        "rank",
-    ).orderBy("probe_id", "rank")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("vec_id")
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("probe_id", "rank")
+    )
 
 
 _DHASH_ROWS = ", ".join(f"({i})" for i in range(8))
