@@ -302,6 +302,109 @@ def video_fingerprints(
     )
 
 
+def sequence_near_pairs(
+    fps: DataFrame,
+    fp_col: str,
+    fp_bits: int = 64,
+    id_col: str = "media_id",
+    frame_col: str = "frame_no",
+    max_hamming: int = 7,
+    bands: int | None = None,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs of FRAME SEQUENCES (videos, audio streams):
+    given per-frame fingerprints (id, frame_no, fp of ``fp_bits`` bits),
+    find id pairs where a large fraction of frames match perceptually
+    along ONE temporal alignment. The shared engine behind
+    :func:`video_near_pairs` and ``audio_dedup.audio_near_pairs``.
+
+    Output (id_a < id_b, matched_frames, aligned_matches, match_frac):
+    ``aligned_matches`` is the largest match subset sharing one offset
+    frame_b − frame_a (genuine duplicates align; coincidental hits
+    scatter) and ``match_frac`` = aligned_matches / min(n_frames).
+
+    Scale shape: pigeonhole banding over the fingerprint (exact for
+    ``max_hamming`` — bands > max_hamming chunks), (band, key) equi-join
+    candidates only, per-pair aggregation bounded by matched pairs —
+    never all-pairs on sequences or frames."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole guarantee"
+        )
+    if not 1 <= bands <= fp_bits:
+        raise ValueError(f"bands must be in [1, {fp_bits}], got {bands}")
+    n_frames = fps.groupBy(id_col).agg(F.count("*").alias("n_frames"))
+    banded = fps.select(
+        F.col(id_col),
+        F.col(frame_col),
+        F.col(fp_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(fp_col), off)
+                        .bitwiseAND(F.lit((1 << size) - 1))
+                        .alias("key"),
+                    )
+                    for i, (off, size) in enumerate(
+                        _band_bounds(bands, width=fp_bits)
+                    )
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, frame_col, fp_col, "bk.band", "bk.key")
+    a = banded.select(
+        "band", "key",
+        F.col(id_col).alias("id_a"),
+        F.col(frame_col).alias("frame_a"),
+        F.col(fp_col).alias("fp_a"),
+    )
+    b = banded.select(
+        "band", "key",
+        F.col(id_col).alias("id_b"),
+        F.col(frame_col).alias("frame_b"),
+        F.col(fp_col).alias("fp_b"),
+    )
+    matches = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            <= F.lit(int(max_hamming))
+        )
+        .select("id_a", "frame_a", "id_b", "frame_b")
+        .distinct()
+    )
+    per_offset = matches.groupBy(
+        "id_a", "id_b", (F.col("frame_b") - F.col("frame_a")).alias("_off")
+    ).agg(F.count_distinct("frame_a").alias("_n"))
+    aligned = per_offset.groupBy("id_a", "id_b").agg(
+        F.max("_n").alias("aligned_matches")
+    )
+    matched = matches.groupBy("id_a", "id_b").agg(
+        F.count_distinct("frame_a").alias("matched_frames")
+    )
+    return (
+        matched.join(aligned, ["id_a", "id_b"])
+        .join(n_frames.select(F.col(id_col).alias("id_a"),
+                              F.col("n_frames").alias("_na")), "id_a")
+        .join(n_frames.select(F.col(id_col).alias("id_b"),
+                              F.col("n_frames").alias("_nb")), "id_b")
+        .withColumn(
+            "match_frac",
+            F.col("aligned_matches") / F.least("_na", "_nb"),
+        )
+        .filter(F.col("match_frac") >= F.lit(float(min_frac)))
+        .select(
+            "id_a", "id_b", "matched_frames", "aligned_matches", "match_frac"
+        )
+    )
+
+
 def video_near_pairs(
     df: DataFrame,
     every_k: int = 1,
@@ -326,84 +429,13 @@ def video_near_pairs(
     consistent overlap share; pairs below ``min_frac`` drop.
 
     Scale shape: the frame-hash table is (videos × frames/k) narrow rows;
-    candidates meet ONLY in the pigeonhole (band, key) buckets (exact for
-    ``max_hamming`` — same guarantee as :func:`banded_hamming_pairs`);
-    per-pair aggregation is bounded by matched pairs. Never all-pairs on
-    videos or frames."""
-    if bands is None:
-        bands = max_hamming + 1
-    if bands <= max_hamming:
-        raise ValueError(
-            f"bands={bands} must exceed max_hamming={max_hamming} for the "
-            "pigeonhole guarantee"
-        )
+    the matching itself is :func:`sequence_near_pairs` (pigeonhole
+    banding, alignment aggregate — never all-pairs on videos or
+    frames)."""
     fps = _pin(video_fingerprints(df, every_k=every_k), materialize)
-    n_frames = fps.groupBy("media_id").agg(
-        F.count("*").alias("n_frames")
-    )
-    banded = fps.select(
-        "media_id",
-        "frame_no",
-        "frame_dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("frame_dhash"), off)
-                        .bitwiseAND(F.lit((1 << size) - 1))
-                        .alias("key"),
-                    )
-                    for i, (off, size) in enumerate(_band_bounds(bands))
-                ]
-            )
-        ).alias("bk"),
-    ).select("media_id", "frame_no", "frame_dhash", "bk.band", "bk.key")
-    a = banded.select(
-        "band", "key",
-        F.col("media_id").alias("id_a"),
-        F.col("frame_no").alias("frame_a"),
-        F.col("frame_dhash").alias("fp_a"),
-    )
-    b = banded.select(
-        "band", "key",
-        F.col("media_id").alias("id_b"),
-        F.col("frame_no").alias("frame_b"),
-        F.col("frame_dhash").alias("fp_b"),
-    )
-    matches = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-            <= F.lit(int(max_hamming))
-        )
-        .select("id_a", "frame_a", "id_b", "frame_b")
-        .distinct()
-    )
-    per_offset = matches.groupBy(
-        "id_a", "id_b", (F.col("frame_b") - F.col("frame_a")).alias("_off")
-    ).agg(F.count_distinct("frame_a").alias("_n"))
-    aligned = per_offset.groupBy("id_a", "id_b").agg(
-        F.max("_n").alias("aligned_matches")
-    )
-    matched = matches.groupBy("id_a", "id_b").agg(
-        F.count_distinct("frame_a").alias("matched_frames")
-    )
-    return (
-        matched.join(aligned, ["id_a", "id_b"])
-        .join(n_frames.select(F.col("media_id").alias("id_a"),
-                              F.col("n_frames").alias("_na")), "id_a")
-        .join(n_frames.select(F.col("media_id").alias("id_b"),
-                              F.col("n_frames").alias("_nb")), "id_b")
-        .withColumn(
-            "match_frac",
-            F.col("aligned_matches") / F.least("_na", "_nb"),
-        )
-        .filter(F.col("match_frac") >= F.lit(float(min_frac)))
-        .select(
-            "id_a", "id_b", "matched_frames", "aligned_matches", "match_frac"
-        )
+    return sequence_near_pairs(
+        fps, "frame_dhash", fp_bits=64,
+        max_hamming=max_hamming, bands=bands, min_frac=min_frac,
     )
 
 
