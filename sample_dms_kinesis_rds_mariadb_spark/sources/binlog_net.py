@@ -50,6 +50,8 @@ CLIENT_PLUGIN_AUTH = 0x80000
 COM_QUERY = 0x03
 COM_BINLOG_DUMP = 0x12
 COM_REGISTER_SLAVE = 0x15
+COM_BINLOG_DUMP_GTID = 0x1E
+BINLOG_THROUGH_GTID = 0x04  # COM_BINLOG_DUMP_GTID flags
 
 
 def native_password_scramble(password: str, scramble: bytes) -> bytes:
@@ -309,19 +311,51 @@ class BinlogDumpClient:
         ) + filename.encode("utf-8")
         self._send_packet(payload)
 
-    def start_dump_gtid(self, gtid: str) -> None:
-        """Start a dump positioned by GTID instead of (file, offset) — the
-        MariaDB convention: the client ships its GTID position in the
-        ``@slave_connect_state`` session variable, then sends a regular
-        COM_BINLOG_DUMP with an EMPTY file name; the server locates the
-        first event group AFTER that GTID and begins there (its dump-start
-        pseudo-rotate names the actual file). This is what failover needs:
-        file+offset is meaningless on a promoted replica, the GTID is not.
+    def start_dump_gtid(self, gtid: str, flavor: str = "mariadb") -> None:
+        """Start a dump positioned by GTID instead of (file, offset) — what
+        failover needs: file+offset is meaningless on a promoted replica,
+        the GTID is not.
+
+        ``flavor="mariadb"``: the client ships its GTID position
+        (``domain-server-seq``) in the ``@slave_connect_state`` session
+        variable, then sends a regular COM_BINLOG_DUMP with an EMPTY file
+        name; the server locates the first event group AFTER that GTID
+        (its dump-start pseudo-rotate names the actual file).
+
+        ``flavor="mysql"``: COM_BINLOG_DUMP_GTID (0x1E) carrying the
+        EXECUTED gtid set built from the ``uuid:gno`` high-water — the
+        SID block encodes {sid: [1, gno+1)} (end-exclusive interval), and
+        the server streams every transaction OUTSIDE that set.
         """
-        if "'" in gtid or "\\" in gtid:
-            raise ValueError(f"malformed GTID {gtid!r}")
-        self.query_ok(f"SET @slave_connect_state='{gtid}'")
-        self.start_dump("", 4)
+        if flavor == "mariadb":
+            if "'" in gtid or "\\" in gtid:
+                raise ValueError(f"malformed GTID {gtid!r}")
+            self.query_ok(f"SET @slave_connect_state='{gtid}'")
+            self.start_dump("", 4)
+            return
+        if flavor != "mysql":
+            raise ValueError(f"unknown GTID flavor {flavor!r}")
+        uuid_part, _, gno_part = gtid.rpartition(":")
+        sid = bytes.fromhex(uuid_part.replace("-", ""))
+        if len(sid) != 16:
+            raise ValueError(f"malformed MySQL GTID {gtid!r}")
+        gno = int(gno_part)
+        sid_block = (
+            struct.pack("<Q", 1)  # one sid
+            + sid
+            + struct.pack("<Q", 1)  # one interval
+            + struct.pack("<qq", 1, gno + 1)  # [1, gno+1) executed
+        )
+        fname = b""
+        payload = (
+            bytes([COM_BINLOG_DUMP_GTID])
+            + struct.pack("<HI", BINLOG_THROUGH_GTID, self.server_id)
+            + struct.pack("<I", len(fname)) + fname
+            + struct.pack("<Q", 4)
+            + struct.pack("<I", len(sid_block)) + sid_block
+        )
+        self._seq = 0
+        self._send_packet(payload)
 
     def next_event(self, wait: float | None = None) -> bytes | None:
         """One raw binlog event from an open dump (19-byte header + body,
@@ -524,6 +558,7 @@ class NetworkBinlogCapture:
         read_window: float = 0.25,
         checksum_stmt: str = "SET @master_binlog_checksum= 'CRC32'",
         resume_gtid: str | None = None,
+        gtid_flavor: str = "mariadb",
     ) -> None:
         self.host, self.port = host, port
         self.user, self.password = user, password
@@ -541,6 +576,7 @@ class NetworkBinlogCapture:
         # fresh spool file begins exactly at the first un-shipped txn.
         # A non-empty spool always resumes by (file, offset) as before.
         self.resume_gtid = resume_gtid
+        self.gtid_flavor = gtid_flavor
         self._spool = BinlogSpool(spool_dir)
         self._client: BinlogDumpClient | None = None
         self._tail = None
@@ -571,7 +607,7 @@ class NetworkBinlogCapture:
         if not spooled and self.resume_gtid:
             self._awaiting_name = True
             self._skip_fde = False  # fresh spool file needs the FDE copy
-            client.start_dump_gtid(self.resume_gtid)
+            client.start_dump_gtid(self.resume_gtid, flavor=self.gtid_flavor)
         else:
             fname, pos = self._resume_point()
             self._spool.open_file(fname)

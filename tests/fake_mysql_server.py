@@ -221,6 +221,34 @@ class FakeMySQLServer:
                     fname, start_pos = self._gtid_start(connect_state)
                 self._stream_dump(conn, fname, start_pos)
                 return
+            elif cmd == 0x1E:  # COM_BINLOG_DUMP_GTID (MySQL flavor)
+                # flags(2) server_id(4) fname_len(4) fname pos(8)
+                # data_len(4) sid-block
+                pos = 1
+                _flags, _sid = struct.unpack_from("<HI", payload, pos)
+                pos += 6
+                (flen,) = struct.unpack_from("<I", payload, pos)
+                pos += 4 + flen
+                pos += 8  # binlog pos
+                (_dlen,) = struct.unpack_from("<I", payload, pos)
+                pos += 4
+                (n_sids,) = struct.unpack_from("<Q", payload, pos)
+                pos += 8
+                executed: dict[bytes, list[tuple[int, int]]] = {}
+                for _ in range(n_sids):
+                    sid = payload[pos : pos + 16]
+                    pos += 16
+                    (n_iv,) = struct.unpack_from("<Q", payload, pos)
+                    pos += 8
+                    ivs = []
+                    for _ in range(n_iv):
+                        lo, hi = struct.unpack_from("<qq", payload, pos)
+                        pos += 16
+                        ivs.append((lo, hi))  # [lo, hi) end-exclusive
+                    executed[sid] = ivs
+                fname, start_pos = self._gtid_start_mysql(executed)
+                self._stream_dump(conn, fname, start_pos)
+                return
             else:
                 _send(conn, _err(1047, f"unknown command {cmd}"), 1)
 
@@ -239,6 +267,25 @@ class FakeMySQLServer:
                     s = struct.unpack_from("<Q", ev, HEADER_LEN)[0]
                     d = struct.unpack_from("<I", ev, HEADER_LEN + 8)[0]
                     if d == domain and s > seq:
+                        return fname, off
+        return files[-1], 1 << 60
+
+    def _gtid_start_mysql(
+        self, executed: dict[bytes, list[tuple[int, int]]]
+    ) -> tuple[str, int]:
+        """(file, offset) of the first MySQL GTID_LOG_EVENT (33) whose
+        (sid, gno) falls OUTSIDE the client's executed set — the
+        COM_BINLOG_DUMP_GTID contract."""
+        files = sorted(
+            f for f in os.listdir(self.dir) if not f.startswith(".")
+        )
+        for fname in files:
+            for off, ev in _file_events(os.path.join(self.dir, fname)):
+                if ev[4] == 33:  # GTID_LOG_EVENT: flags(1) sid(16) gno(8)
+                    sid = ev[HEADER_LEN + 1 : HEADER_LEN + 17]
+                    (gno,) = struct.unpack_from("<q", ev, HEADER_LEN + 17)
+                    ivs = executed.get(sid, [])
+                    if not any(lo <= gno < hi for lo, hi in ivs):
                         return fname, off
         return files[-1], 1 << 60
 

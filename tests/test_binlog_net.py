@@ -543,3 +543,59 @@ def test_auth_switch_request(tmp_path, greeting_plugin, account_plugin):
                 c.connect()
     finally:
         srv.close()
+
+
+def test_mysql_gtid_resume_via_binlog_dump_gtid(tmp_path, spark):
+    """The MySQL-8 flavor of GTID failover: COM_BINLOG_DUMP_GTID carries
+    the executed set ({sid: [1, gno+1)}); the server streams every
+    transaction OUTSIDE it. Fresh spool + uuid:gno high-water receives
+    only un-shipped txns across a rotation."""
+    from tests.fake_mysql_server import FakeMySQLServer
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.binlog_net import (
+        NetworkBinlogCapture,
+    )
+
+    sid = bytes(range(16))
+    srv_dir = str(tmp_path / "srv")
+    os.makedirs(srv_dir)
+    w1 = BinlogWriter(os.path.join(srv_dir, "bin.000001"))
+    for gno in (1, 2, 3):
+        w1.gtid_mysql(sid, gno)
+        w1.begin("db")  # MySQL still writes BEGIN after the GTID event
+        w1.write_rows("db", "t", COLS, [{"id": gno, "v": f"v{gno}"}])
+        w1.xid()
+    w1.rotate("bin.000002")
+    w1.flush()
+    w2 = BinlogWriter(os.path.join(srv_dir, "bin.000002"))
+    w2.gtid_mysql(sid, 4)
+    w2.begin("db")
+    w2.write_rows("db", "t", COLS, [{"id": 4, "v": "v4"}])
+    w2.xid()
+    w2.flush()
+    srv = FakeMySQLServer(srv_dir, user="repl", password="pw")
+    try:
+        u = sid.hex()
+        uuid = f"{u[:8]}-{u[8:12]}-{u[12:16]}-{u[16:20]}-{u[20:]}"
+        feed = ChangeFeed(spark, str(tmp_path / "feed"))
+        cap = NetworkBinlogCapture(
+            "127.0.0.1", srv.port, "repl", "pw",
+            spool_dir=str(tmp_path / "spool"),
+            first_file="ignored-in-gtid-mode",
+            state_path=str(tmp_path / "tail.state"),
+            resume_gtid=f"{uuid}:2",
+            gtid_flavor="mysql",
+        )
+        got = 0
+        for _ in range(4):
+            got += cap.pump(feed)
+            if got >= 2:
+                break
+        assert got == 2  # txns gno=3 and gno=4 only
+        ids = sorted(r["data"]["id"] for r in feed.read_batch().collect())
+        assert ids == ["3", "4"]
+        assert cap.first_file == "bin.000001"  # resume landed mid-file1
+        assert cap._tail.gtid == f"{uuid}:4"
+        cap.close()
+    finally:
+        srv.close()
