@@ -1872,6 +1872,105 @@ def q_image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_alignment_near_dups",
+    "Frame-sequence near-dup matching engine (operators/image_dedup.py "
+    "sequence_near_pairs — the shared core behind video AND audio "
+    "perceptual dedup): synthetic 32-bit frame fingerprints derived from "
+    "md5 (SQL-rebuildable) with planted shared-frame structure; the "
+    "pigeonhole-banded candidate join + exact hamming verify + "
+    "temporal-alignment aggregate must reproduce the brute-force all-pairs "
+    "SQL exactly. EXTRA: oracle-checked by the pytest parity harness "
+    "outside the 50-cap catalog",
+    oracle="""
+        WITH frames AS (
+          SELECT doc_id % 20 AS media_id,
+                 CAST(doc_id // 20 AS INT) AS frame_no,
+                 ('0x' || substr(md5(
+                    CASE WHEN doc_id % 20 >= 10 AND doc_id // 20 < 15
+                         THEN 'f' || CAST(doc_id % 20 - 10 AS VARCHAR)
+                              || '|' || CAST(doc_id // 20 AS VARCHAR)
+                         ELSE 'f' || CAST(doc_id % 20 AS VARCHAR)
+                              || '|' || CAST(doc_id // 20 AS VARCHAR)
+                    END), 1, 8))::BIGINT AS fp
+          FROM documents WHERE doc_id < 400
+        ),
+        n AS (
+          SELECT media_id, COUNT(*) AS n_frames FROM frames GROUP BY 1
+        ),
+        hits AS (
+          SELECT a.media_id AS id_a, a.frame_no AS frame_a,
+                 b.media_id AS id_b, b.frame_no AS frame_b
+          FROM frames a JOIN frames b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ),
+        per_off AS (
+          SELECT id_a, id_b, frame_b - frame_a AS off,
+                 COUNT(DISTINCT frame_a) AS n
+          FROM hits GROUP BY 1, 2, 3
+        ),
+        agg AS (
+          SELECT h.id_a, h.id_b,
+                 COUNT(DISTINCT h.frame_a) AS matched_frames,
+                 (SELECT MAX(n) FROM per_off p
+                  WHERE p.id_a = h.id_a AND p.id_b = h.id_b)
+                   AS aligned_matches
+          FROM hits h GROUP BY 1, 2
+        )
+        SELECT agg.id_a, agg.id_b,
+               CAST(matched_frames AS BIGINT) AS matched_frames,
+               CAST(aligned_matches AS BIGINT) AS aligned_matches,
+               CAST(CAST(ROUND(
+                 aligned_matches * 1.0 / LEAST(na.n_frames, nb.n_frames), 6)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS match_frac
+        FROM agg
+        JOIN n na ON na.media_id = agg.id_a
+        JOIN n nb ON nb.media_id = agg.id_b
+        WHERE aligned_matches * 1.0 / LEAST(na.n_frames, nb.n_frames) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    tags=("multimodal", "dedup"),
+    extra=True,
+)
+def q_sequence_alignment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.operators.image_dedup import (
+        sequence_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    media_id = (F.col("doc_id") % 20).alias("media_id")
+    frame_no = F.floor(F.col("doc_id") / 20).cast("int").alias("frame_no")
+    # videos 10..19 share frames 0..14 with video v-10 (identical keys →
+    # identical fingerprints); every other frame is md5-random
+    key = F.when(
+        (F.col("doc_id") % 20 >= 10) & (F.floor(F.col("doc_id") / 20) < 15),
+        F.concat(
+            F.lit("f"), (F.col("doc_id") % 20 - 10).cast("string"),
+            F.lit("|"), F.floor(F.col("doc_id") / 20).cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("f"), (F.col("doc_id") % 20).cast("string"),
+            F.lit("|"), F.floor(F.col("doc_id") / 20).cast("string"),
+        )
+    )
+    fp = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long").alias("fp")
+    frames = docs.select(media_id, frame_no, fp)
+    out = sequence_near_pairs(
+        frames, "fp", fp_bits=32, max_hamming=3, bands=4, min_frac=0.5
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("matched_frames").cast("bigint").alias("matched_frames"),
+        F.col("aligned_matches").cast("bigint").alias("aligned_matches"),
+        F.round(F.col("match_frac"), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("match_frac"),
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "cap_per_group_sources",
     "Per-source document cap (operators/sampling.py cap_per_group) run "
     "through the prethin=True two-stage path: hot groups are map-side "
