@@ -463,6 +463,54 @@ def main() -> None:
     ).format("noop").save()
     timings["image_dhash_near_dups"] = round(time.perf_counter() - t0, 3)
 
+    # 9c) perceptual audio dedup (r9): synthesized WAV payloads (tone
+    # mixtures; every 4th is its predecessor time-shifted by two hops —
+    # a planted near-dup family) → real PCM decode → Haitsma-Kalker
+    # spectral fingerprints (Arrow) → banded sequence matching.
+    # Synthesis is untimed fixture work, like the WARC corpus.
+    import struct as _struct
+
+    import numpy as _np
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.audio_dedup import (
+        audio_near_pairs,
+    )
+
+    def _tone_wav(sig) -> bytes:
+        pcm = _np.clip(sig, -32000, 32000).astype("<i2").tobytes()
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = (
+            b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(pcm)) + pcm
+        )
+        return (
+            b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        )
+
+    _n_audio = max(int(800 * _sf_num), 80)
+    _t = _np.arange(26000) / 8000.0
+    _payloads = []
+    _prev = None
+    for i in range(_n_audio):
+        if i % 4 == 3 and _prev is not None:
+            sig = _prev[2048:]  # two-hop trim: near-dup of predecessor
+        else:
+            sig = (
+                6000 * _np.sin(2 * _np.pi * (300 + 13 * i) * _t)
+                + 3000 * _np.sin(2 * _np.pi * (700 + 29 * i) * _t + 0.5)
+                + 1200 * _np.sin(2 * _np.pi * (1500 + 7 * i) * _t + 1.1)
+            )
+            _prev = sig
+        _payloads.append((i, bytearray(_tone_wav(sig))))
+    _audio_df = spark.createDataFrame(
+        _payloads, "media_id LONG, content BINARY"
+    ).repartition(32)
+    t0 = time.perf_counter()
+    audio_near_pairs(
+        _audio_df, max_hamming=6, min_frac=0.5
+    ).write.mode("overwrite").format("noop").save()
+    timings["audio_fp_near_dups"] = round(time.perf_counter() - t0, 3)
+
     # 10) WARC→curation front door (VERDICT r7 item 5): multi-member-gzip
     # WARC corpus → warc_records (Arrow mapInPandas) → html_to_text →
     # Gopher quality gate, measured as records/s and compressed bytes/s.
