@@ -447,6 +447,78 @@ class KafkaClient:
         raise KafkaProtocolError("ListOffsets", -1)
 
 
+class KafkaRelay:
+    """Incremental StreamStore → Kafka delivery agent — the self-managed
+    analog of pointing the replication task's target endpoint at Kafka
+    instead of the managed stream: each :meth:`pump` pages every shard's
+    UNREAD suffix through a :class:`~.stream_sink.ShardIterator` cursor
+    and produces one record batch per page (message key = partition key,
+    store shard → topic partition, so per-key ordering carries over).
+    The per-shard sequence high-water persists to ``state_path``, so a
+    restarted relay resumes via AFTER_SEQUENCE_NUMBER and never
+    re-delivers.
+
+    Scale shape: a driver-side trickle agent like the capture agents —
+    the iterator's sequence predicate prunes consumed files at the
+    parquet-footer level, so each pump costs O(unread suffix)."""
+
+    def __init__(
+        self,
+        store,
+        client: KafkaClient,
+        topic: str,
+        state_path: str | None = None,
+    ) -> None:
+        import os
+
+        self.store = store
+        self.client = client
+        self.topic = topic
+        self.state_path = state_path
+        self._next_seq: dict[int, int] = {}
+        if state_path and os.path.exists(state_path):
+            with open(state_path) as f:
+                saved = json.load(f)
+            self._next_seq = {int(k): int(v) for k, v in saved.items()}
+        parts = client.metadata([topic])[topic]
+        if not parts:
+            raise ValueError(f"topic {topic!r} has no partitions")
+        self._n_parts = len(parts)
+
+    def _iterator(self, shard: int):
+        if shard in self._next_seq:
+            return self.store.get_shard_iterator(
+                shard, "AT_SEQUENCE_NUMBER",
+                starting_sequence_number=self._next_seq[shard],
+            )
+        return self.store.get_shard_iterator(shard, "TRIM_HORIZON")
+
+    def pump(self, page: int = 200) -> int:
+        """Relay every unread record; returns how many were delivered."""
+        import os
+
+        total = 0
+        for shard in range(self.store.shards):
+            it = self._iterator(shard)
+            while True:
+                recs = it.get_records(limit=page)
+                if not recs:
+                    break
+                produce_events(
+                    self.client, self.topic,
+                    [r["Data"] for r in recs],
+                    partition=shard % self._n_parts,
+                )
+                self._next_seq[shard] = recs[-1]["SequenceNumber"] + 1
+                total += len(recs)
+        if self.state_path and total:
+            tmp = self.state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({str(k): v for k, v in self._next_seq.items()}, f)
+            os.replace(tmp, self.state_path)
+        return total
+
+
 # -- envelope adapters --------------------------------------------------------
 
 

@@ -166,3 +166,61 @@ def test_cdc_contract_through_kafka(spark, tmp_path):
                 eng.stop_task(t)
             except Exception:
                 pass
+
+
+def test_kafka_relay_incremental_no_redelivery(spark, tmp_path):
+    """StreamStore -> Kafka relay: pump delivers the unread suffix only,
+    the sequence high-water survives a relay RESTART (state file), and
+    per-key ordering carries into the topic."""
+    from sample_dms_kinesis_rds_mariadb_spark.sinks.stream_sink import (
+        StreamStore,
+    )
+
+    store = StreamStore(spark, str(tmp_path / "stream"))
+
+    def _events(lo, hi):
+        return [
+            {
+                "data": {"id": str(i)},
+                "before-image": None,
+                "metadata": {"operation": "insert", "table-name": "t"},
+                "partition_key": f"k{i % 3}",
+            }
+            for i in range(lo, hi)
+        ]
+
+    df1 = spark.createDataFrame(
+        [(json.dumps(e, sort_keys=True), e["partition_key"]) for e in _events(0, 7)],
+        "Data STRING, PartitionKey STRING",
+    )
+    store.append(df1)
+
+    broker = FakeKafkaBroker()
+    try:
+        state = str(tmp_path / "relay.state")
+        with kf.KafkaClient("127.0.0.1", broker.port) as c:
+            relay = kf.KafkaRelay(store, c, "dms-relay", state_path=state)
+            assert relay.pump() == 7
+            assert relay.pump() == 0  # caught up: nothing re-delivers
+
+            # more records arrive; only the suffix ships
+            df2 = spark.createDataFrame(
+                [
+                    (json.dumps(e, sort_keys=True), e["partition_key"])
+                    for e in _events(7, 10)
+                ],
+                "Data STRING, PartitionKey STRING",
+            )
+            store.append(df2)
+            assert relay.pump() == 3
+
+        # restart: a NEW relay over the same state file sees nothing new
+        with kf.KafkaClient("127.0.0.1", broker.port) as c2:
+            relay2 = kf.KafkaRelay(store, c2, "dms-relay", state_path=state)
+            assert relay2.pump() == 0
+            got = kf.consume_events(c2, "dms-relay", 0)
+        assert [e["data"]["id"] for e in got] == [str(i) for i in range(10)]
+        keys = [k for k, _v in broker.logs[("dms-relay", 0)]]
+        assert keys == [f"k{i % 3}".encode() for i in range(10)]
+    finally:
+        broker.close()
