@@ -85,6 +85,77 @@ class StreamingCuration:
         return out
 
 
+def curate_media(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    min_width: int | None = None,
+    min_height: int | None = None,
+    dedup: tuple[str, ...] = ("sha256", "dhash"),
+    dhash_max_hamming: int = 7,
+    report: bool = True,
+) -> CurationResult:
+    """The MEDIA dual of :func:`curate`: decode gate → exact byte dedup →
+    perceptual near-dup dedup over a binary media table (the
+    ``MEDIA_SCHEMA`` shape), with the same funnel accounting.
+
+    1. **decode gate** — one Arrow metadata pass
+       (``multimodal.extract_image_features`` with the any-bytes-row
+       contract); payloads whose REAL decode fails drop, as do images
+       under ``min_width``/``min_height``.
+    2. **sha256 dedup** — keep the lowest id per payload digest (byte
+       duplicates: the same file crawled twice).
+    3. **dhash dedup** — transitive perceptual dedup
+       (:func:`operators.image_dedup.dedup_images`): re-encodes, format
+       conversions and mild edits of the same image collapse to one
+       survivor (keep-lowest-id).
+
+    Stages are skipped when absent from ``dedup`` / gates are None.
+    Returns the surviving media rows plus the funnel."""
+    from .operators.image_dedup import dedup_images
+    from .operators.multimodal import extract_image_features
+
+    for d in dedup:
+        if d not in ("sha256", "dhash"):
+            raise ValueError(f"unknown media dedup stage {d!r}")
+    funnel: list[tuple[str, int]] = []
+    cur = media
+    if report:
+        funnel.append(("input", cur.count()))
+
+    # decode gate: fake_decode=True makes undecodable payloads surface as
+    # format='fake' rows instead of failing the task — the gate drops them
+    feats = extract_image_features(
+        cur.select(id_col, "content"), fake_decode=True
+    ).select(id_col, "format", "width", "height", "sha256")
+    keep = F.col("format") != "fake"
+    if min_width is not None:
+        keep = keep & (F.col("width") >= min_width)
+    if min_height is not None:
+        keep = keep & (F.col("height") >= min_height)
+    kept_feats = feats.filter(keep)
+    cur = cur.join(kept_feats.select(id_col), id_col, "left_semi")
+    if report:
+        funnel.append(("decodable", cur.count()))
+
+    if "sha256" in dedup:
+        keepers = (
+            kept_feats.groupBy("sha256")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        cur = cur.join(keepers, id_col, "left_semi")
+        if report:
+            funnel.append(("dedup_sha256", cur.count()))
+
+    if "dhash" in dedup:
+        cur = dedup_images(cur, max_hamming=dhash_max_hamming)
+        if report:
+            funnel.append(("dedup_dhash", cur.count()))
+
+    return CurationResult(corpus=cur, heldout=None, funnel=funnel)
+
+
 def curate_stream(
     stream: DataFrame,
     *,

@@ -148,3 +148,56 @@ def test_curate_dsir_stage_matches_manual_select(spark, docs):
     assert "dsir_log_w" not in res.corpus.columns
     with pytest.raises(ValueError, match="dsir_n"):
         curate(docs, dsir_target=target)
+
+
+def test_curate_media_facade(spark):
+    """The media dual of curate(): decode gate (corrupt payload + tiny
+    image drop), sha256 dedup (byte duplicate), dhash dedup (a GIF
+    re-encode of the same pixels collapses with its PPM original), and
+    the funnel accounts for every stage."""
+    import numpy as np
+
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import curate_media
+    from tests.gif_writer import write_gif
+
+    rng = np.random.default_rng(9)
+
+    def ppm(px):
+        h, w, _ = px.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+    palette = rng.integers(0, 256, (16, 3), dtype=np.int64)
+    idx = rng.integers(0, 16, (24, 32))
+    base_px = palette[idx]
+    other_px = rng.integers(0, 256, (24, 32, 3), dtype=np.int64)
+    blobs = [
+        ppm(base_px),                               # 0: original
+        ppm(base_px),                               # 1: exact byte dup -> sha
+        write_gif(                                  # 2: same pixels as GIF
+            [{"indices": idx.astype(np.uint8).tobytes()}],
+            32, 24, palette.astype(np.uint8).tobytes(),
+        ),
+        ppm(other_px),                              # 3: unrelated survivor
+        b"\x00\x01not-an-image",                    # 4: decode-gate drop
+        ppm(rng.integers(0, 256, (4, 4, 3), dtype=np.int64)),  # 5: too small
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(b), "image", f"s://{i}") for i, b in enumerate(blobs)],
+        "media_id LONG, content BINARY, media_type STRING, source_uri STRING",
+    )
+    res = curate_media(media, min_width=8, min_height=8)
+    kept = sorted(r["media_id"] for r in res.corpus.collect())
+    assert kept == [0, 3]  # 1 sha-deduped, 2 dhash-deduped, 4+5 gated
+    assert res.funnel == [
+        ("input", 6),
+        ("decodable", 4),
+        ("dedup_sha256", 3),
+        ("dedup_dhash", 2),
+    ]
+    # stages are skippable
+    res2 = curate_media(media, dedup=("sha256",))
+    assert sorted(r["media_id"] for r in res2.corpus.collect()) == [0, 2, 3, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown media dedup"):
+        curate_media(media, dedup=("phash-typo",))
