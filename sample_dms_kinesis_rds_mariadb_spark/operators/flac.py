@@ -389,10 +389,12 @@ def decode_flac_samples(content: bytes):
 
 def decode_flac_audio(content: bytes) -> bytes:
     """Decoded stream as little-endian signed PCM bytes at the stream's
-    own sample width (byte-aligned sizes; 12/20-bit streams raise)."""
-    _rate, _ch, out, _n = decode_flac_samples(content)
+    own sample width (byte-aligned sizes; 12/20-bit streams raise —
+    BEFORE the expensive frame decode: the metadata-only parse is
+    O(header))."""
     meta = flac_metadata(content)
     if meta["bits_per_sample"] % 8:
         raise ValueError("non-byte-aligned sample size: use decode_flac_samples")
+    _rate, _ch, out, _n = decode_flac_samples(content)
     width = meta["bits_per_sample"] // 8
     return b"".join(int(v).to_bytes(width, "little", signed=True) for v in out)

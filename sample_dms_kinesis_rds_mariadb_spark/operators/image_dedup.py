@@ -171,6 +171,53 @@ def _band_bounds(bands: int, width: int = 64) -> list[tuple[int, int]]:
     return out
 
 
+def _signed64(mask: int) -> int:
+    """A bit mask as the SIGNED 64-bit value Spark's LongType literal
+    accepts — the 64-bit band of a bands=1 split is all ones, which only
+    fits as -1 (two's complement)."""
+    return mask - (1 << 64) if mask >= (1 << 63) else mask
+
+
+def _validate_bands(bands: int | None, max_hamming: int, fp_bits: int) -> int:
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole guarantee"
+        )
+    if not 1 <= bands <= fp_bits:
+        raise ValueError(f"bands must be in [1, {fp_bits}], got {bands}")
+    return bands
+
+
+def _banded(
+    fps: DataFrame, keep_cols: list[str], fp_col: str, bands: int,
+    fp_bits: int,
+) -> DataFrame:
+    """Explode each fingerprint row into its (band, key) bucket rows —
+    the shared pigeonhole construction behind :func:`banded_hamming_pairs`
+    and :func:`sequence_near_pairs`."""
+    return fps.select(
+        *[F.col(c) for c in keep_cols],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(fp_col), off)
+                        .bitwiseAND(F.lit(_signed64((1 << size) - 1)))
+                        .alias("key"),
+                    )
+                    for i, (off, size) in enumerate(
+                        _band_bounds(bands, width=fp_bits)
+                    )
+                ]
+            )
+        ).alias("bk"),
+    ).select(*keep_cols, "bk.band", "bk.key")
+
+
 def banded_hamming_pairs(
     fps: DataFrame,
     id_col: str = "media_id",
@@ -191,33 +238,9 @@ def banded_hamming_pairs(
     Scale shape: candidates meet only inside equal (band, key) buckets —
     never all-pairs; ``materialize`` pins the fingerprint frame so the
     self-join's two sides are computed once."""
-    if bands is None:
-        bands = max_hamming + 1
-    if bands <= max_hamming:
-        raise ValueError(
-            f"bands={bands} must exceed max_hamming={max_hamming} for the "
-            "pigeonhole guarantee"
-        )
-    if not 1 <= bands <= 64:
-        raise ValueError(f"bands must be in [1, 64], got {bands}")
+    bands = _validate_bands(bands, max_hamming, 64)
     pinned = _pin(fps.select(id_col, fp_col), materialize)
-    banded = pinned.select(
-        F.col(id_col),
-        F.col(fp_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col(fp_col), off)
-                        .bitwiseAND(F.lit((1 << size) - 1))
-                        .alias("key"),
-                    )
-                    for i, (off, size) in enumerate(_band_bounds(bands))
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, fp_col, "bk.band", "bk.key")
+    banded = _banded(pinned, [id_col, fp_col], fp_col, bands, 64)
     a = banded.select(
         "band", "key", F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a")
     )
@@ -327,36 +350,9 @@ def sequence_near_pairs(
     ``max_hamming`` — bands > max_hamming chunks), (band, key) equi-join
     candidates only, per-pair aggregation bounded by matched pairs —
     never all-pairs on sequences or frames."""
-    if bands is None:
-        bands = max_hamming + 1
-    if bands <= max_hamming:
-        raise ValueError(
-            f"bands={bands} must exceed max_hamming={max_hamming} for the "
-            "pigeonhole guarantee"
-        )
-    if not 1 <= bands <= fp_bits:
-        raise ValueError(f"bands must be in [1, {fp_bits}], got {bands}")
+    bands = _validate_bands(bands, max_hamming, fp_bits)
     n_frames = fps.groupBy(id_col).agg(F.count("*").alias("n_frames"))
-    banded = fps.select(
-        F.col(id_col),
-        F.col(frame_col),
-        F.col(fp_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col(fp_col), off)
-                        .bitwiseAND(F.lit((1 << size) - 1))
-                        .alias("key"),
-                    )
-                    for i, (off, size) in enumerate(
-                        _band_bounds(bands, width=fp_bits)
-                    )
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, frame_col, fp_col, "bk.band", "bk.key")
+    banded = _banded(fps, [id_col, frame_col, fp_col], fp_col, bands, fp_bits)
     a = banded.select(
         "band", "key",
         F.col(id_col).alias("id_a"),

@@ -254,9 +254,12 @@ def curate_stream(
         n_in = batch_df.count()
         clean = batch_df
         if bloom is not None:
+            # pin the decontaminated frame too: the count below plus the
+            # index probe/in-batch signatures/append/write would otherwise
+            # re-run the Bloom Arrow pass + verify join ~5x per trigger
             clean = decontaminate_bloom(
                 batch_df, None, id_col, text_col, prebuilt=bloom
-            )
+            ).localCheckpoint(eager=True)
         n_clean = clean.count() if bloom is not None else n_in
         kept = index.dedup_batch(clean, text_col)
         kept.write.mode("append").parquet(output_path)

@@ -454,9 +454,12 @@ class KafkaRelay:
     UNREAD suffix through a :class:`~.stream_sink.ShardIterator` cursor
     and produces one record batch per page (message key = partition key,
     store shard → topic partition, so per-key ordering carries over).
-    The per-shard sequence high-water persists to ``state_path``, so a
-    restarted relay resumes via AFTER_SEQUENCE_NUMBER and never
-    re-delivers.
+    The per-shard sequence high-water persists to ``state_path`` AFTER
+    EVERY PRODUCED PAGE, so a restarted relay resumes from the exact
+    sequence after the last persisted page — delivery is at-least-once
+    with re-delivery bounded to ONE page (a crash between produce and
+    persist re-sends that page; Kafka consumers dedup on the envelope's
+    sequence/partition key as usual).
 
     Scale shape: a driver-side trickle agent like the capture agents —
     the iterator's sequence predicate prunes consumed files at the
@@ -493,10 +496,20 @@ class KafkaRelay:
             )
         return self.store.get_shard_iterator(shard, "TRIM_HORIZON")
 
-    def pump(self, page: int = 200) -> int:
-        """Relay every unread record; returns how many were delivered."""
+    def _persist(self) -> None:
         import os
 
+        if not self.state_path:
+            return
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in self._next_seq.items()}, f)
+        os.replace(tmp, self.state_path)
+
+    def pump(self, page: int = 200) -> int:
+        """Relay every unread record; returns how many were delivered.
+        State persists per produced page — a mid-pump failure re-delivers
+        at most the in-flight page on restart, never earlier pages."""
         total = 0
         for shard in range(self.store.shards):
             it = self._iterator(shard)
@@ -510,12 +523,8 @@ class KafkaRelay:
                     partition=shard % self._n_parts,
                 )
                 self._next_seq[shard] = recs[-1]["SequenceNumber"] + 1
+                self._persist()
                 total += len(recs)
-        if self.state_path and total:
-            tmp = self.state_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({str(k): v for k, v in self._next_seq.items()}, f)
-            os.replace(tmp, self.state_path)
         return total
 
 
@@ -541,10 +550,23 @@ def produce_events(
 def consume_events(
     client: KafkaClient, topic: str, offset: int = 0, partition: int = 0
 ) -> list[dict]:
-    """Fetch from ``offset`` and decode the JSON envelopes, in offset
-    order."""
-    rows = client.fetch(topic, partition, offset)
+    """Decode EVERY JSON envelope from ``offset`` to the log end, in
+    offset order. A single Fetch is capped at ``max_bytes`` (the broker
+    truncates, and the batch decoder drops the cut trailing batch), so
+    this loops fetches until no forward progress — a topic larger than
+    one fetch window is drained, never silently truncated."""
+    out: list[tuple[int, bytes]] = []
+    next_off = offset
+    while True:
+        rows = client.fetch(topic, partition, next_off)
+        if not rows:
+            break
+        out.extend((o, v) for o, _k, v in rows)
+        new_next = max(o for o, _k, _v in rows) + 1
+        if new_next <= next_off:
+            break  # no forward progress: defensive stop
+        next_off = new_next
     return [
         json.loads(v.decode("utf-8"))
-        for _off, _k, v in sorted(rows, key=lambda r: r[0])
+        for _off, v in sorted(out, key=lambda r: r[0])
     ]

@@ -504,13 +504,17 @@ class BinlogSpool:
         self._close()
 
 
-def _pseudo_rotate_name(event: bytes) -> str:
-    """File name out of a dump-start pseudo-rotate. The checksum width is
-    unknown this early (the FDE follows later), so parse the full payload
-    and fall back to stripping a 4-byte CRC when the tail bytes are not
-    valid printable UTF-8 (binlog file names are ASCII in practice)."""
+def _pseudo_rotate_name(event: bytes, checksummed: bool) -> str:
+    """File name out of a dump-start pseudo-rotate. The FDE (which says
+    whether events carry CRC-32 trailers) only arrives LATER, so the
+    caller passes what it negotiated: a client that set
+    ``@master_binlog_checksum`` gets a checksummed pseudo-rotate (strip
+    the 4 trailer bytes FIRST — ~2% of CRCs are all-printable and would
+    otherwise decode into a wrong name with 4 junk characters), a client
+    that didn't gets the bare name."""
     raw = event[HEADER_LEN + 8 :]
-    for candidate in (raw, raw[:-4]):
+    order = (raw[:-4], raw) if checksummed else (raw, raw[:-4])
+    for candidate in order:
         try:
             name = candidate.decode("utf-8")
         except UnicodeDecodeError:
@@ -605,6 +609,13 @@ class NetworkBinlogCapture:
             f for f in os.listdir(self.spool_dir) if not f.startswith(".")
         ]
         if not spooled and self.resume_gtid:
+            # GTID failover invalidates every FILE coordinate by
+            # definition (the fresh spool file shares a name with the old
+            # primary's log but not its bytes): drop the stale tail state
+            # so BinlogTail starts the new spool from its beginning — the
+            # server already positioned the stream past shipped txns
+            if self.state_path and os.path.exists(self.state_path):
+                os.remove(self.state_path)
             self._awaiting_name = True
             self._skip_fde = False  # fresh spool file needs the FDE copy
             client.start_dump_gtid(self.resume_gtid, flavor=self.gtid_flavor)
@@ -643,8 +654,11 @@ class NetworkBinlogCapture:
                         # GTID dump: the server's pseudo-rotate names the
                         # file the resume landed in — open the fresh spool
                         # file under that name (not written: it is not part
-                        # of any log file)
-                        self.first_file = _pseudo_rotate_name(event)
+                        # of any log file). Checksummed iff we negotiated
+                        # checksums on this connection.
+                        self.first_file = _pseudo_rotate_name(
+                            event, checksummed=bool(self.checksum_stmt)
+                        )
                         self._spool.open_file(self.first_file)
                         self._awaiting_name = False
                         continue

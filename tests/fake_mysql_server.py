@@ -198,6 +198,7 @@ class FakeMySQLServer:
             seq = _send(conn, b"\x01\x03", seq)
         _send(conn, _OK, seq)
         connect_state: str | None = None
+        wants_checksum = False
         while True:
             payload, _ = _recv_packet(conn)
             cmd = payload[0]
@@ -207,6 +208,8 @@ class FakeMySQLServer:
                 m = _CONNECT_STATE.match(sql)
                 if m:
                     connect_state = m.group(1)
+                if "master_binlog_checksum" in sql and "CRC32" in sql:
+                    wants_checksum = True
                 _send(conn, _OK, 1)
             elif cmd == 0x15:  # COM_REGISTER_SLAVE
                 self.registered.append(struct.unpack_from("<I", payload, 1)[0])
@@ -219,7 +222,7 @@ class FakeMySQLServer:
                     # @slave_connect_state session variable — locate the
                     # first event group AFTER that GTID
                     fname, start_pos = self._gtid_start(connect_state)
-                self._stream_dump(conn, fname, start_pos)
+                self._stream_dump(conn, fname, start_pos, wants_checksum)
                 return
             elif cmd == 0x1E:  # COM_BINLOG_DUMP_GTID (MySQL flavor)
                 # flags(2) server_id(4) fname_len(4) fname pos(8)
@@ -247,7 +250,7 @@ class FakeMySQLServer:
                         ivs.append((lo, hi))  # [lo, hi) end-exclusive
                     executed[sid] = ivs
                 fname, start_pos = self._gtid_start_mysql(executed)
-                self._stream_dump(conn, fname, start_pos)
+                self._stream_dump(conn, fname, start_pos, wants_checksum)
                 return
             else:
                 _send(conn, _err(1047, f"unknown command {cmd}"), 1)
@@ -289,15 +292,26 @@ class FakeMySQLServer:
                         return fname, off
         return files[-1], 1 << 60
 
-    def _stream_dump(self, conn: socket.socket, fname: str, start: int) -> None:
+    def _stream_dump(
+        self, conn: socket.socket, fname: str, start: int,
+        wants_checksum: bool = False,
+    ) -> None:
+        import zlib
+
         seq = 1
         # dump-start pseudo-rotate (timestamp 0) restating the file name —
-        # what a real dump thread sends first
+        # what a real dump thread sends first; carries a CRC-32 trailer
+        # iff the client negotiated @master_binlog_checksum (real-server
+        # behavior — the trailer bytes can be printable, so clients must
+        # strip by negotiation, not by guessing)
+        trailer = 4 if wants_checksum else 0
         fake_rot = (
             struct.pack("<IBIIIH", 0, ROTATE_EVENT, 1,
-                        HEADER_LEN + 8 + len(fname), 0, 0)
+                        HEADER_LEN + 8 + len(fname) + trailer, 0, 0)
             + struct.pack("<Q", start) + fname.encode()
         )
+        if wants_checksum:
+            fake_rot += struct.pack("<I", zlib.crc32(fake_rot) & 0xFFFFFFFF)
         seq = _send(conn, b"\x00" + fake_rot, seq)
         current = fname
         first = True

@@ -599,3 +599,65 @@ def test_mysql_gtid_resume_via_binlog_dump_gtid(tmp_path, spark):
         cap.close()
     finally:
         srv.close()
+
+
+def test_gtid_failover_reuses_old_state_path(tmp_path, spark):
+    """THE shipped failover combination (review finding): the replica's
+    state_path survives but the spool doesn't. The GTID reconnect must
+    drop the stale (path, pos) coordinates — the fresh spool file shares
+    the old log's NAME but not its bytes — and ship exactly the
+    un-shipped transactions. Also exercises the CHECKSUMMED dump-start
+    pseudo-rotate (the capture negotiates CRC32, so the server appends a
+    trailer the name parse must strip)."""
+    import shutil
+
+    from tests.fake_mysql_server import FakeMySQLServer
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.binlog_net import (
+        NetworkBinlogCapture,
+    )
+
+    srv_dir = str(tmp_path / "srv")
+    _write_gtid_chain(srv_dir)
+    srv = FakeMySQLServer(srv_dir, user="repl", password="pw")
+    try:
+        state = str(tmp_path / "tail.state")
+        feed_a = ChangeFeed(spark, str(tmp_path / "feed-a"))
+        cap_a = NetworkBinlogCapture(
+            "127.0.0.1", srv.port, "repl", "pw",
+            spool_dir=str(tmp_path / "spool"),
+            first_file="bin.000001",
+            state_path=state,
+        )
+        got = 0
+        for _ in range(4):
+            got += cap_a.pump(feed_a)
+            if got >= 4:
+                break
+        assert got == 4
+        gtid = cap_a._tail.gtid
+        assert gtid == "0-1-4"
+        cap_a.close()
+
+        # disaster: the spool disk dies; the state file survives
+        shutil.rmtree(str(tmp_path / "spool"))
+        feed_b = ChangeFeed(spark, str(tmp_path / "feed-b"))
+        cap_b = NetworkBinlogCapture(
+            "127.0.0.1", srv.port, "repl", "pw",
+            spool_dir=str(tmp_path / "spool"),
+            first_file="bin.000001",
+            state_path=state,          # SAME state file as before
+            resume_gtid="0-1-2",       # high-water from the old tail
+        )
+        got = 0
+        for _ in range(4):
+            got += cap_b.pump(feed_b)
+            if got >= 2:
+                break
+        assert got == 2  # txns 3 and 4 only; stale offsets never consulted
+        ids = sorted(r["data"]["id"] for r in feed_b.read_batch().collect())
+        assert ids == ["3", "4"]
+        assert cap_b.first_file == "bin.000001"  # CRC-stripped name parse
+        cap_b.close()
+    finally:
+        srv.close()

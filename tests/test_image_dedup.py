@@ -336,3 +336,29 @@ def test_video_near_pairs_plan_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_banded_pairs_max_hamming_zero_exact_dups(spark):
+    """max_hamming=0 (exact fingerprint duplicates) uses ONE 64-bit band
+    whose all-ones mask only fits a LongType literal as -1 — regression
+    for the literal-overflow found in review."""
+    fps = [5, -7, 5, 123, -7, 5]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(fps)], "media_id LONG, dhash LONG"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in idd.banded_hamming_pairs(df, max_hamming=0).collect()
+    }
+    assert got == {(0, 2), (0, 5), (2, 5), (1, 4)}
+    # and through the sequence engine at fp_bits=64
+    seq = spark.createDataFrame(
+        [(0, 0, 11), (0, 1, -22), (1, 0, 11), (1, 1, -22), (2, 0, 99), (2, 1, 98)],
+        "media_id LONG, frame_no INT, fp LONG",
+    )
+    pairs = idd.sequence_near_pairs(
+        seq, "fp", fp_bits=64, max_hamming=0, min_frac=0.9
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["aligned_matches"]) for r in pairs] == [
+        (0, 1, 2)
+    ]
