@@ -440,10 +440,17 @@ def dedup_images(
     method: str = "dhash",
     max_hamming: int = 7,
     fake_decode: bool = False,
+    keep: str = "min_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Keep ONE image per transitive near-dup cluster (smallest media_id —
-    deterministic): pairs → ``dedup.connected_components`` hash-min
-    labels → anti-join the losers. Images in no pair survive untouched."""
+    """Keep ONE image per transitive near-dup cluster: pairs →
+    ``dedup.connected_components`` hash-min labels → anti-join the
+    losers. ``keep="min_id"`` (default, deterministic) keeps the
+    smallest media_id; ``keep="best"`` keeps the member with the highest
+    ``quality_col`` (e.g. pixel count or a caption score — a near-dup
+    image cluster usually mixes an original with recompressed thumbnails,
+    and the arbitrary-member rule throws resolution away for free).
+    Images in no pair survive untouched."""
     from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
         dedup_connected,
     )
@@ -451,4 +458,6 @@ def dedup_images(
     pairs = image_near_pairs(
         df, method=method, max_hamming=max_hamming, fake_decode=fake_decode
     )
-    return dedup_connected(df, pairs, "media_id", keep="min_id")
+    return dedup_connected(
+        df, pairs, "media_id", keep=keep, quality_col=quality_col
+    )

@@ -362,3 +362,40 @@ def test_banded_pairs_max_hamming_zero_exact_dups(spark):
     assert [(r["id_a"], r["id_b"], r["aligned_matches"]) for r in pairs] == [
         (0, 1, 2)
     ]
+
+
+def test_dedup_images_keep_best_and_phash_pairs(spark):
+    """keep='best' keeps the highest-quality cluster member (the
+    resolution-preserving rule); the pHash method drives the pair path
+    too."""
+    rng = np.random.default_rng(33)
+    base = rng.integers(30, 226, (36, 48, 3), dtype=np.int64)
+    near = base.copy()
+    near[2, 3:6] += 4
+    other = rng.integers(30, 226, (36, 48, 3), dtype=np.int64)
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(_ppm(base)), "image", "s://0"),
+            (1, bytearray(_ppm(near)), "image", "s://1"),
+            (2, bytearray(_ppm(other)), "image", "s://2"),
+        ],
+        "media_id LONG, content BINARY, media_type STRING, source_uri STRING",
+    )
+    scored = media.withColumn(
+        "quality", F.when(F.col("media_id") == 1, 9.0).otherwise(1.0)
+    )
+    kept = sorted(
+        r["media_id"]
+        for r in idd.dedup_images(
+            scored, max_hamming=7, keep="best", quality_col="quality"
+        ).collect()
+    )
+    assert kept == [1, 2]  # the higher-quality near-dup survives
+    # pHash end-to-end: the same near-dup pair surfaces
+    ppairs = {
+        (r["id_a"], r["id_b"])
+        for r in idd.image_near_pairs(
+            media, method="phash", max_hamming=10
+        ).collect()
+    }
+    assert (0, 1) in ppairs and not any(2 in p for p in ppairs)
