@@ -144,3 +144,42 @@ def test_audio_features_dispatch_flac(spark):
     inter[0::2], inter[1::2] = left, right
     want_rms = float(np.sqrt((inter ** 2).mean()))
     assert feats["rms"] == pytest.approx(want_rms, rel=1e-12)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    blocks=st.integers(1, 3),
+    block=st.sampled_from([192, 256]),
+    bps=st.sampled_from([8, 16, 24]),
+    kind=st.sampled_from(["fixed", "verbatim", "lpc"]),
+    order=st.integers(0, 2),
+    porder=st.integers(0, 2),
+    method=st.integers(0, 1),
+    wasted=st.integers(0, 2),
+    seed=st.integers(0, 10_000),
+)
+def test_flac_roundtrip_property(
+    blocks, block, bps, kind, order, porder, method, wasted, seed
+):
+    """FLAC is lossless: ANY signal through ANY (subframe type, rice
+    partitioning, parameter width, wasted bits, sample width) must
+    round-trip bit-exactly, with CRCs and MD5 all verifying."""
+    rng = np.random.default_rng(seed)
+    lim = 1 << (bps - 1 - wasted)
+    sig = [int(x) << wasted for x in rng.integers(-lim, lim, blocks * block)]
+    kw = dict(
+        bps=bps, block_size=block, subframe=kind, order=max(order, 1),
+        partition_order=porder, method=method, wasted=wasted,
+    )
+    if kind == "fixed":
+        kw["order"] = order
+    elif kind == "lpc":
+        kw.update(lpc_coefs=[3, -2][: max(order, 1)], lpc_shift=1)
+    blob = write_flac([sig], **kw)
+    _rate, _ch, out, n = decode_flac_samples(blob)
+    assert n == len(sig)
+    assert list(out) == sig
