@@ -50,68 +50,16 @@ N_BANDS = 33  # 33 band energies -> 32 sign bits per frame
 
 
 def mono_samples(content: bytes) -> tuple[int, np.ndarray]:
-    """(sample_rate, mono float64 signal) through the REAL decoders:
-    WAV PCM 8/16/24/32, IEEE float32, G.711 A-law/µ-law, IMA ADPCM, and
-    FLAC. Multi-channel audio averages to mono (the fingerprint's
-    standard front end)."""
+    """(sample_rate, mono float64 signal) through the REAL decoders —
+    the shared :func:`multimodal.decode_audio_samples` dispatch (WAV PCM
+    8/16/24/32, IEEE float32, G.711 A-law/µ-law, IMA ADPCM, FLAC), with
+    multi-channel audio averaged to mono (the fingerprint's standard
+    front end)."""
     from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
-        _g711_tables,
-        decode_audio,
-        decode_wav_adpcm_samples,
+        decode_audio_samples,
     )
 
-    if content[:4] == b"fLaC":
-        from sample_dms_kinesis_rds_mariadb_spark.operators.flac import (
-            decode_flac_samples,
-        )
-
-        rate, ch, out, _n = decode_flac_samples(content)
-        sig = out.astype(np.float64)
-    else:
-        rate, ch, bits, n_frames, off, kind = decode_audio(content)
-        if kind == "wav-adpcm":
-            _r, _c, out, _n = decode_wav_adpcm_samples(content)
-            sig = out.astype(np.float64)
-        elif kind == "wav-float":
-            sig = np.frombuffer(
-                content, dtype="<f4", count=n_frames * ch, offset=off
-            ).astype(np.float64)
-        elif kind in ("wav-alaw", "wav-ulaw"):
-            ulaw, alaw = _g711_tables()
-            codes = np.frombuffer(
-                content, dtype=np.uint8, count=n_frames * ch, offset=off
-            )
-            sig = (ulaw if kind == "wav-ulaw" else alaw)[codes].astype(
-                np.float64
-            )
-        elif kind == "wav":
-            if bits == 16:
-                sig = np.frombuffer(
-                    content, dtype="<i2", count=n_frames * ch, offset=off
-                ).astype(np.float64)
-            elif bits == 8:  # WAV convention: 8-bit PCM is unsigned
-                sig = (
-                    np.frombuffer(
-                        content, dtype=np.uint8, count=n_frames * ch,
-                        offset=off,
-                    ).astype(np.float64)
-                    - 128.0
-                )
-            elif bits in (24, 32):
-                width = bits // 8
-                raw = np.frombuffer(
-                    content, dtype=np.uint8, count=n_frames * ch * width,
-                    offset=off,
-                ).reshape(-1, width)
-                acc = np.zeros(len(raw), dtype=np.int64)
-                for i in range(width):
-                    acc |= raw[:, i].astype(np.int64) << (8 * i)
-                sign = 1 << (bits - 1)
-                sig = (acc ^ sign).astype(np.float64) - float(sign)
-            else:
-                raise ValueError(f"unsupported PCM width {bits}")
-        else:
-            raise ValueError(f"unsupported audio kind {kind!r}")
+    rate, ch, sig = decode_audio_samples(content)
     if ch > 1:
         n = (len(sig) // ch) * ch
         sig = sig[:n].reshape(-1, ch).mean(axis=1)

@@ -617,7 +617,14 @@ class MinHashIndex:
         """Candidate collisions of the batch against the store: distinct
         (new_id, stored_id) sharing a signature in >= 1 band. A pruned
         equi-join on (band, signature); the store side is filtered by the
-        join itself — no corpus-wide recompute."""
+        join itself — no corpus-wide recompute.
+
+        Self-matches (new_id == stored_id) are excluded: a document is
+        never its own duplicate. This makes a CRASH-REPLAYED
+        ``dedup_batch`` (a foreachBatch micro-batch re-run after its
+        signatures were already appended) produce the same verdicts as
+        the first run instead of dropping the whole batch against its
+        own stored signatures."""
         new_sigs = self._sigs(batch, text_col).withColumnRenamed(
             self.id_col, "new_id"
         )
@@ -626,6 +633,7 @@ class MinHashIndex:
         )
         return (
             new_sigs.join(store, ["band", "signature"])
+            .filter(F.col("new_id") != F.col("stored_id"))
             .select("new_id", "stored_id")
             .distinct()
         )
@@ -644,9 +652,23 @@ class MinHashIndex:
         rides on cache retention, and no cached frame outlives the call
         (ContextCleaner reclaims the checkpoint with the result; the
         previous .cache() formulation leaked one entry per micro-batch).
+
+        CRASH-REPLAY idempotence (a foreachBatch micro-batch re-run after
+        its signatures were already appended): collisions against stored
+        ids that belong to THIS batch are ignored — the store rows are the
+        replayed batch's own first-run append, and the in-batch rule below
+        re-derives the identical verdicts. In normal operation arriving
+        ids are new, so the exclusion is a no-op; it is what makes
+        replay == first run instead of the whole batch losing against its
+        own stored signatures (tested).
         """
-        vs_store = self.probe(batch, text_col).select(
-            F.col("new_id").alias(self.id_col)
+        batch_ids = batch.select(
+            F.col(self.id_col).alias("stored_id")
+        ).distinct()
+        vs_store = (
+            self.probe(batch, text_col)
+            .join(batch_ids, "stored_id", "left_anti")
+            .select(F.col("new_id").alias(self.id_col))
         )
         sigs = self._sigs(batch, text_col)
         a = sigs.select("band", "signature", F.col(self.id_col).alias("id_a"))

@@ -134,11 +134,21 @@ IMAGE_FP_SCHEMA = T.StructType(
 )
 
 
-def image_fingerprints(df: DataFrame, fake_decode: bool = False) -> DataFrame:
+def image_fingerprints(
+    df: DataFrame,
+    fake_decode: bool = False,
+    methods: tuple[str, ...] = ("dhash", "phash"),
+) -> DataFrame:
     """(media_id, dhash, phash) via one Arrow ``mapInPandas`` pass — the
     canonical multimodal plumbing (``extract_image_features`` shape):
     partition-parallel, one decode feeds both hashes, the binary column
-    never shuffles. Undecodable payloads raise unless ``fake_decode``."""
+    never shuffles. ``methods`` limits which hashes compute (mapInPandas
+    is opaque to column pruning, so a dhash-only caller would otherwise
+    pay pHash's 32×32 DCT per payload for a column it drops); the
+    unrequested column comes back NULL with the schema unchanged.
+    Undecodable payloads raise unless ``fake_decode``."""
+    if not methods or any(m not in ("dhash", "phash") for m in methods):
+        raise ValueError(f"methods must be among dhash/phash, got {methods}")
 
     def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -148,8 +158,10 @@ def image_fingerprints(df: DataFrame, fake_decode: bool = False) -> DataFrame:
                 rows.append(
                     {
                         "media_id": media_id,
-                        "dhash": dhash64(blob, fake=fake_decode),
-                        "phash": phash64(blob, fake=fake_decode),
+                        "dhash": dhash64(blob, fake=fake_decode)
+                        if "dhash" in methods else None,
+                        "phash": phash64(blob, fake=fake_decode)
+                        if "phash" in methods else None,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -273,9 +285,9 @@ def image_near_pairs(
     banded hamming self-join. (id_a, id_b, hamming)."""
     if method not in ("dhash", "phash"):
         raise ValueError(f"method must be 'dhash' or 'phash', got {method!r}")
-    fps = image_fingerprints(df, fake_decode=fake_decode).select(
-        "media_id", method
-    )
+    fps = image_fingerprints(
+        df, fake_decode=fake_decode, methods=(method,)
+    ).select("media_id", method)
     return banded_hamming_pairs(
         fps, id_col="media_id", fp_col=method,
         max_hamming=max_hamming, bands=bands,

@@ -1057,6 +1057,66 @@ def decode_audio(content: bytes, fake: bool = False) -> tuple[int, int, int, int
     return sample_rate, channels, 16, n_frames, 0, "fake"
 
 
+def decode_audio_samples(content: bytes):
+    """(sample_rate, channels, interleaved float64 samples in the
+    format's NATIVE domain) through the REAL decoders — ONE dispatch
+    shared by the rms features leg and the audio-fingerprint front end
+    (``audio_dedup.mono_samples``): WAV PCM 8/16/24/32, IEEE float32,
+    G.711 A-law/µ-law, IMA ADPCM, and FLAC. 8-bit PCM is unsigned per
+    the WAV convention (re-centered to ±128); 24/32-bit reconstruct via
+    little-endian sign extension."""
+    import numpy as np
+
+    if content[:4] == b"fLaC":
+        from sample_dms_kinesis_rds_mariadb_spark.operators.flac import (
+            decode_flac_samples,
+        )
+
+        rate, ch, out, _n = decode_flac_samples(content)
+        return rate, ch, out.astype(np.float64)
+    rate, ch, bits, n_frames, off, kind = decode_audio(content)
+    if kind == "wav-adpcm":
+        _r, _c, out, _n = decode_wav_adpcm_samples(content)
+        return rate, ch, out.astype(np.float64)
+    if kind == "wav-float":
+        return rate, ch, np.frombuffer(
+            content, dtype="<f4", count=n_frames * ch, offset=off
+        ).astype(np.float64)
+    if kind in ("wav-alaw", "wav-ulaw"):
+        ulaw, alaw = _g711_tables()
+        codes = np.frombuffer(
+            content, dtype=np.uint8, count=n_frames * ch, offset=off
+        )
+        return rate, ch, (
+            ulaw if kind == "wav-ulaw" else alaw
+        )[codes].astype(np.float64)
+    if kind == "wav":
+        if bits == 16:
+            return rate, ch, np.frombuffer(
+                content, dtype="<i2", count=n_frames * ch, offset=off
+            ).astype(np.float64)
+        if bits == 8:  # WAV convention: 8-bit PCM is unsigned
+            return rate, ch, (
+                np.frombuffer(
+                    content, dtype=np.uint8, count=n_frames * ch, offset=off
+                ).astype(np.float64)
+                - 128.0
+            )
+        if bits in (24, 32):
+            width = bits // 8
+            raw = np.frombuffer(
+                content, dtype=np.uint8, count=n_frames * ch * width,
+                offset=off,
+            ).reshape(-1, width)
+            acc = np.zeros(len(raw), dtype=np.int64)
+            for i in range(width):
+                acc |= raw[:, i].astype(np.int64) << (8 * i)
+            sign = 1 << (bits - 1)
+            return rate, ch, (acc ^ sign).astype(np.float64) - float(sign)
+        raise ValueError(f"unsupported PCM width {bits}")
+    raise ValueError(f"unsupported audio kind {kind!r}")
+
+
 def extract_audio_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
     """Arrow-batched audio feature extraction via ``mapInPandas`` — the audio
     twin of ``extract_image_features``. duration/rms compute vectorized
@@ -1073,35 +1133,16 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = False) -> DataFram
                 )
                 rms = None
                 if n_frames:
-                    # rms in each format's NATIVE sample domain: 16-bit
-                    # integer units for PCM and (expanded) G.711, nominal
-                    # [-1, 1] for IEEE float
-                    vals = None
-                    if fmt == "wav" and bits == 16:
-                        vals = np.frombuffer(
-                            blob, dtype="<i2", count=n_frames * ch, offset=off
-                        )
-                    elif fmt == "wav-float" and bits == 32:
-                        vals = np.frombuffer(
-                            blob, dtype="<f4", count=n_frames * ch, offset=off
-                        )
-                    elif fmt in ("wav-ulaw", "wav-alaw") and bits == 8:
-                        codes = np.frombuffer(
-                            blob, dtype=np.uint8, count=n_frames * ch, offset=off
-                        )
-                        ulaw, alaw = _g711_tables()
-                        vals = (ulaw if fmt == "wav-ulaw" else alaw)[codes]
-                    elif fmt == "wav-adpcm":
-                        _r, _c, vals, _n = decode_wav_adpcm_samples(blob)
-                    elif fmt == "flac":
-                        from sample_dms_kinesis_rds_mariadb_spark.operators.flac import (  # noqa: E501
-                            decode_flac_samples,
-                        )
-
-                        _r, _c, vals, _n = decode_flac_samples(blob)
-                    if vals is not None:
-                        v = vals.astype(np.float64)
-                        rms = float(np.sqrt(np.mean(v * v)))
+                    # rms in each format's NATIVE sample domain (integer
+                    # units for PCM/G.711/ADPCM/FLAC, nominal [-1, 1] for
+                    # IEEE float) — ONE shared sample dispatch with the
+                    # audio-fingerprint front end
+                    try:
+                        _r, _c, vals = decode_audio_samples(blob)
+                    except (ValueError, NotImplementedError):
+                        vals = None  # e.g. the fake-decode double
+                    if vals is not None and len(vals):
+                        rms = float(np.sqrt(np.mean(vals * vals)))
                 rows.append(
                     {
                         "media_id": media_id,

@@ -133,7 +133,11 @@ def curate_media(
         keep = keep & (F.col("width") >= min_width)
     if min_height is not None:
         keep = keep & (F.col("height") >= min_height)
-    kept_feats = feats.filter(keep)
+    # pin the decode pass: the funnel counts and the sha/dhash stages all
+    # consume this frame, and mapInPandas is opaque to plan reuse — an
+    # unpinned lineage re-decodes every payload per downstream action.
+    # Bounded: one narrow row per payload.
+    kept_feats = feats.filter(keep).localCheckpoint(eager=True)
     cur = cur.join(kept_feats.select(id_col), id_col, "left_semi")
     if report:
         funnel.append(("decodable", cur.count()))
@@ -245,6 +249,24 @@ def curate_stream(
         )
 
     def _curate_batch(batch_df, batch_id) -> None:
+        # replay guard: Structured Streaming re-runs a micro-batch whose
+        # checkpoint didn't commit (crash between our writes and the
+        # commit). The funnel log records completed (checkpoint, batch_id)
+        # pairs — skip a batch already processed, so output rows and
+        # funnel lines never duplicate. Scoped to THIS checkpoint: batch
+        # ids restart per checkpoint, and a later stream appending to the
+        # same output path legitimately reuses them. (A crash BETWEEN the
+        # parquet append and the funnel append re-appends that one batch:
+        # at-least-once, bounded to the in-flight micro-batch; the index
+        # probe's self-exclusion keeps replayed verdicts identical.)
+        if os.path.exists(funnel_path):
+            with open(funnel_path) as f:
+                done = {
+                    (d.get("checkpoint"), d["batch_id"])
+                    for d in (json.loads(ln) for ln in f if ln.strip())
+                }
+            if (checkpoint, int(batch_id)) in done:
+                return
         # pin the micro-batch ONCE: every action below would otherwise
         # re-execute the observed gate scan (foreachBatch frames re-run
         # their lineage per action), multiplying the per-trigger observed
@@ -271,6 +293,7 @@ def curate_stream(
                 json.dumps(
                     {
                         "batch_id": int(batch_id),
+                        "checkpoint": checkpoint,
                         "input": int(n_in),
                         "decontaminated": int(n_clean),
                         "kept": int(n_kept),

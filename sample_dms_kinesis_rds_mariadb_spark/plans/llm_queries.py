@@ -1861,7 +1861,9 @@ def q_image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     media = multimodal.attach_ppm_column(docs, "text", "doc_id")
-    fps = image_dedup.image_fingerprints(media, fake_decode=False)
+    fps = image_dedup.image_fingerprints(
+        media, fake_decode=False, methods=("dhash",)
+    )
     # split the signed-64 fingerprint into two unsigned 32-bit halves so
     # the SQL oracle never needs 64-bit overflow arithmetic
     return fps.select(

@@ -655,9 +655,12 @@ class NetworkBinlogCapture:
                         # file the resume landed in — open the fresh spool
                         # file under that name (not written: it is not part
                         # of any log file). Checksummed iff we negotiated
-                        # checksums on this connection.
+                        # CRC32 on this connection (a truthy stmt setting
+                        # 'NONE' must NOT strip 4 real name characters).
                         self.first_file = _pseudo_rotate_name(
-                            event, checksummed=bool(self.checksum_stmt)
+                            event,
+                            checksummed="CRC32"
+                            in (self.checksum_stmt or "").upper(),
                         )
                         self._spool.open_file(self.first_file)
                         self._awaiting_name = False

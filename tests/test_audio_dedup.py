@@ -183,3 +183,36 @@ def test_audio_fingerprints_plan_shape(spark):
     pplan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in pplan
     assert "BroadcastNestedLoopJoin" not in pplan
+
+
+def test_decode_audio_samples_24_bit_and_features_rms(spark):
+    """The shared sample dispatch handles 24-bit PCM (sign extension) and
+    the features leg now reports rms for it (it was silently None
+    before the dispatch was unified)."""
+    import struct
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        decode_audio_samples,
+        extract_audio_features,
+    )
+
+    samples = [0, 1, -1, 8_388_607, -8_388_608, 123_456, -654_321]
+    pcm = b"".join(
+        int(s).to_bytes(3, "little", signed=True) for s in samples
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rate, ch, sig = decode_audio_samples(blob)
+    assert (rate, ch) == (8000, 1)
+    assert [int(x) for x in sig] == samples
+    media = spark.createDataFrame(
+        [(0, bytearray(blob))], "media_id LONG, content BINARY"
+    )
+    feats = extract_audio_features(media).collect()[0]
+    want = float(np.sqrt(np.mean(np.array(samples, dtype=np.float64) ** 2)))
+    assert feats["rms"] == pytest.approx(want, rel=1e-12)
+    assert feats["bits_per_sample"] == 24 and feats["n_frames"] == 7

@@ -402,11 +402,20 @@ def test_minhash_index_compact_bounds_files_and_preserves_probes(spark, tmp_path
         for r in reloaded.probe(probe_batch, "text").collect()
     )
     assert after == before
-    # appends continue on the compacted layout
+    # appends continue on the compacted layout; probe with a DIFFERENT id
+    # (self-matches are excluded by design — a doc is never its own dup)
     reloaded.append(probe_batch, "text")
     assert (999, 999) not in after
-    again = reloaded.probe(probe_batch, "text").collect()
+    other_probe = spark.createDataFrame(
+        [(1000, probe_batch.first()["text"])], schema
+    )
+    again = reloaded.probe(other_probe, "text").collect()
     assert any(r["stored_id"] == 999 for r in again)
+    # and the replay case: re-probing 999 itself must NOT self-collide
+    assert all(
+        r["stored_id"] != 999
+        for r in reloaded.probe(probe_batch, "text").collect()
+    )
 
 
 def test_minhash_index_compact_survives_stale_dirs(spark, tmp_path):
@@ -465,15 +474,19 @@ def test_crashed_compact_heals_on_next_access(spark, tmp_path):
     assert not os.path.exists(path + ".compact")
     assert MinHashIndex.exists(path)            # sidecar promoted too
 
-    # append path heals as well (would otherwise re-create an empty store)
+    # append path heals as well (would otherwise re-create an empty store).
+    # Probe with a DIFFERENT id: self-matches are excluded by design.
     shutil.copytree(path, path + ".compact")
     os.rename(path, path + ".old")
     idx.append(probe_batch, "text")
-    again = idx.probe(probe_batch, "text").collect()
+    other_probe = spark.createDataFrame(
+        [(1000, probe_batch.first()["text"])], schema
+    )
+    again = idx.probe(other_probe, "text").collect()
     assert any(r["stored_id"] == 999 for r in again)   # new data present
     assert sorted(
         (r["new_id"], r["stored_id"]) for r in again if r["stored_id"] != 999
-    ) == before                                        # old data survived
+    ) == [(1000, sid) for _nid, sid in before]         # old data survived
 
 
 def test_dedup_connected_keep_best_quality(spark):
@@ -522,3 +535,32 @@ def test_dedup_connected_keep_best_quality(spark):
         dedup_connected(df, pairs, "doc_id", keep="nope")
     with pytest.raises(ValueError, match="quality_col"):
         dedup_connected(df, pairs, "doc_id", keep="best")
+
+
+def test_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """The foreachBatch crash-replay scenario (review finding): a batch
+    whose signatures were already appended re-runs. Self-exclusion keeps
+    the replayed verdicts IDENTICAL to the first run instead of the
+    whole batch losing against its own stored signatures."""
+    path = str(tmp_path / "mh-replay")
+    schema = "doc_id long, text string"
+    idx = MinHashIndex.build(
+        spark.createDataFrame([], schema), path, "doc_id", "text"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog by the river"),
+            (2, "the quick brown fox jumps over the lazy dog by the shore"),
+            (3, "an entirely different document about glaciers and basalt"),
+        ],
+        schema,
+    )
+    first = sorted(r["doc_id"] for r in idx.dedup_batch(batch, "text").collect())
+    replay = sorted(r["doc_id"] for r in idx.dedup_batch(batch, "text").collect())
+    assert replay == first  # NOT [] — the data-loss mode the fix removes
+    # later batches still dedup against the stored docs as before
+    later = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog by the river!")],
+        schema,
+    )
+    assert idx.dedup_batch(later, "text").count() == 0

@@ -168,8 +168,12 @@ def test_pq_adc_batch_single_scan_plan(spark, pq_setup):
     probes = {i: [float(x) for x in vecs[i]] for i in range(20)}
     out = pqm.pq_adc_batch_topk(codes, books, probes, k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the corpus relation appears exactly once (one scan feeds all probes)
-    assert plan.count("ExistingRDD") + plan.count("LocalTableScan") >= 1
+    # EXACTLY two leaf scans regardless of probe count: the codes corpus
+    # (one scan feeds all 20 probes — the whole point of the batch dual)
+    # and the broadcast LUT frame. A regression to per-probe subplans
+    # (20+ scans) must fail here.
+    n_scans = plan.count("ExistingRDD") + plan.count("LocalTableScan")
+    assert n_scans == 2, f"expected 2 leaf scans, plan has {n_scans}"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
