@@ -473,3 +473,227 @@ def dedup_images(
     return dedup_connected(
         df, pairs, "media_id", keep=keep, quality_col=quality_col
     )
+
+
+class ImageDedupIndex:
+    """Incremental PERCEPTUAL image-dedup index — the image dual of
+    ``dedup.MinHashIndex``: dedupe NEW image batches against every image
+    seen so far without recomputing anything over the corpus.
+
+    The store persists each seen image's dHash banded into
+    ``bands = max_hamming + 1`` pigeonhole buckets, parquet-PARTITIONED
+    BY band (the build-once/probe-many split shared by all the index
+    stores): probing a batch fingerprints the NEW payloads only and
+    equi-joins their (band, key) rows against the store — candidates are
+    bucket-bounded, the exact ``bit_count(xor)`` verify runs on
+    candidates only, and precedence is arrival order (a new image within
+    ``max_hamming`` bits of ANY stored image loses).
+
+    ``dedup_batch`` appends ALL of the batch's fingerprints (survivors
+    and losers alike — later near-dups of a dropped image still dedup),
+    is CRASH-REPLAY idempotent (self-matches and same-batch stored ids
+    are excluded, the ``MinHashIndex`` contract), and the store carries
+    the shared maintenance surface: ``compact()`` rename-swap folding,
+    crash healing, opt-in ``auto_compact_files``.
+    """
+
+    META_FILE = "_imagededup_meta.json"
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        max_hamming: int,
+        bands: int,
+        auto_compact_files: int | None = None,
+    ) -> None:
+        if auto_compact_files is not None and auto_compact_files <= 2 * bands:
+            raise ValueError(
+                f"auto_compact_files ({auto_compact_files}) must exceed "
+                f"2 x bands ({2 * bands}) or every append re-triggers a "
+                "full store rewrite"
+            )
+        self.spark = spark
+        self.path = path
+        self.max_hamming = max_hamming
+        self.bands = bands
+        self.auto_compact_files = auto_compact_files
+        self._schema_ddl = "band INT, key BIGINT, media_id BIGINT, fp BIGINT"
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        path: str,
+        max_hamming: int = 7,
+        bands: int | None = None,
+        fake_decode: bool = False,
+        auto_compact_files: int | None = None,
+    ) -> "ImageDedupIndex":
+        import json
+        import os
+
+        bands = _validate_bands(bands, max_hamming, 64)
+        idx = cls(
+            df.sparkSession, path, max_hamming, bands,
+            auto_compact_files=auto_compact_files,
+        )
+        idx._banded_fps(df, fake_decode).write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(path)
+        with open(os.path.join(path, cls.META_FILE), "w") as f:
+            json.dump(
+                {
+                    "max_hamming": max_hamming,
+                    "bands": bands,
+                    "schema": idx._schema_ddl,
+                },
+                f,
+            )
+        return idx
+
+    @classmethod
+    def load(
+        cls, spark, path: str, auto_compact_files: int | None = None
+    ) -> "ImageDedupIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, cls.META_FILE)) as f:
+            meta = json.load(f)
+        return cls(
+            spark, path, meta["max_hamming"], meta["bands"],
+            auto_compact_files=auto_compact_files,
+        )
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        import os
+
+        return os.path.exists(os.path.join(path, cls.META_FILE))
+
+    # -- internals -----------------------------------------------------------
+
+    def _banded_fps(self, media: DataFrame, fake_decode: bool) -> DataFrame:
+        fps = image_fingerprints(
+            media, fake_decode=fake_decode, methods=("dhash",)
+        ).select("media_id", F.col("dhash").alias("fp"))
+        return _banded(fps, ["media_id", "fp"], "fp", self.bands, 64).select(
+            "band", "key", "media_id", "fp"
+        )
+
+    def _store(self) -> DataFrame:
+        """Snapshot-pinned store frame (the MinHashIndex `_store` rule: a
+        later append must never leak into an already-built probe)."""
+        import glob
+        import os
+
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            heal_partitioned_store,
+        )
+
+        heal_partitioned_store(self.path)
+        files = sorted(
+            glob.glob(os.path.join(self.path, "band=*", "*.parquet"))
+        )
+        if not files:
+            return self.spark.createDataFrame([], self._schema_ddl)
+        return self.spark.read.option("basePath", self.path).parquet(*files)
+
+    # -- operations ----------------------------------------------------------
+
+    def probe(
+        self, media: DataFrame, fake_decode: bool = False
+    ) -> DataFrame:
+        """(new_id, stored_id, hamming) for every batch image within
+        ``max_hamming`` bits of a stored image. Bucket-bounded equi-join
+        + exact verify; self-matches excluded."""
+        new = self._banded_fps(media, fake_decode).select(
+            "band", "key",
+            F.col("media_id").alias("new_id"), F.col("fp").alias("new_fp"),
+        )
+        store = self._store().select(
+            "band", "key",
+            F.col("media_id").alias("stored_id"), F.col("fp").alias("st_fp"),
+        )
+        return (
+            new.join(store, ["band", "key"])
+            .filter(F.col("new_id") != F.col("stored_id"))
+            .select(
+                "new_id",
+                "stored_id",
+                F.bit_count(
+                    F.col("new_fp").bitwiseXOR(F.col("st_fp"))
+                ).alias("hamming"),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= F.lit(int(self.max_hamming)))
+        )
+
+    def append(self, media: DataFrame, fake_decode: bool = False) -> None:
+        import glob
+        import os
+
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            heal_partitioned_store,
+        )
+
+        heal_partitioned_store(self.path)
+        self._banded_fps(media, fake_decode).write.mode("append").partitionBy(
+            "band"
+        ).parquet(self.path)
+        if self.auto_compact_files is not None:
+            n = len(glob.glob(os.path.join(self.path, "band=*", "*.parquet")))
+            if n >= self.auto_compact_files:
+                self.compact(min_files=self.auto_compact_files)
+
+    def compact(self, min_files: int = 64) -> int:
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            compact_partitioned_store,
+        )
+
+        return compact_partitioned_store(
+            self.spark, self.path, "band", min_files=min_files
+        )
+
+    def dedup_batch(
+        self, media: DataFrame, fake_decode: bool = False
+    ) -> DataFrame:
+        """Survivors of the batch: drop images within ``max_hamming`` of
+        the store or of a LOWER-id image in the same batch, then append
+        the batch's fingerprints. The MinHashIndex ``dedup_batch``
+        discipline verbatim: losers pinned before the append, same-batch
+        stored ids excluded for crash-replay idempotence."""
+        batch_ids = media.select(
+            F.col("media_id").alias("stored_id")
+        ).distinct()
+        vs_store = (
+            self.probe(media, fake_decode)
+            .join(batch_ids, "stored_id", "left_anti")
+            .select(F.col("new_id").alias("media_id"))
+        )
+        banded = self._banded_fps(media, fake_decode)
+        a = banded.select(
+            "band", "key", F.col("media_id").alias("id_a"),
+            F.col("fp").alias("fp_a"),
+        )
+        b = banded.select(
+            "band", "key", F.col("media_id").alias("id_b"),
+            F.col("fp").alias("fp_b"),
+        )
+        in_batch = (
+            a.join(b, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+                <= F.lit(int(self.max_hamming))
+            )
+            .select(F.col("id_b").alias("media_id"))
+        )
+        losers = (
+            vs_store.union(in_batch).distinct().localCheckpoint(eager=True)
+        )
+        self.append(media, fake_decode)
+        return media.join(losers, "media_id", "left_anti")

@@ -399,3 +399,120 @@ def test_dedup_images_keep_best_and_phash_pairs(spark):
         ).collect()
     }
     assert (0, 1) in ppairs and not any(2 in p for p in ppairs)
+
+
+# -- incremental perceptual index (r9) ---------------------------------------
+
+
+def _ppm_family(rng, n, base=None):
+    """n images; if base given, each is base with a tiny local edit
+    (near-dups), else independent randoms."""
+    out = []
+    for i in range(n):
+        if base is None:
+            out.append(rng.integers(30, 226, (30, 40, 3), dtype=np.int64))
+        else:
+            px = base.copy()
+            px[1 + i, 2:5] += 3
+            out.append(px)
+    return out
+
+
+def test_image_index_incremental_equals_sequential_reference(spark, tmp_path):
+    """Arrival-order dedup across 3 batches equals an independent Python
+    reference (a new image loses iff within max_hamming of ANY previously
+    seen fingerprint, or of a lower-id batch-mate)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.image_dedup import (
+        ImageDedupIndex,
+        dhash64,
+    )
+
+    rng = np.random.default_rng(77)
+    base_a = rng.integers(30, 226, (30, 40, 3), dtype=np.int64)
+    base_b = rng.integers(30, 226, (30, 40, 3), dtype=np.int64)
+    fam_a = _ppm_family(rng, 3, base_a)        # near-dup family A
+    fam_b = _ppm_family(rng, 2, base_b)        # near-dup family B
+    uniq = _ppm_family(rng, 3)                 # singletons
+    blobs = {
+        1: _ppm(fam_a[0]), 2: _ppm(uniq[0]), 3: _ppm(fam_b[0]),
+        101: _ppm(fam_a[1]), 102: _ppm(uniq[1]),
+        201: _ppm(fam_a[2]), 202: _ppm(fam_b[1]), 203: _ppm(uniq[2]),
+    }
+    batches = ([1, 2, 3], [101, 102], [201, 202, 203])
+
+    idx = ImageDedupIndex.build(
+        _media_df(spark, []), str(tmp_path / "img-idx"), max_hamming=10
+    )
+    survivors = []
+    for ids in batches:
+        media = spark.createDataFrame(
+            [(i, bytearray(blobs[i]), "image", f"s://{i}") for i in ids],
+            "media_id LONG, content BINARY, media_type STRING, source_uri STRING",
+        )
+        kept = idx.dedup_batch(media)
+        survivors.extend(r["media_id"] for r in kept.collect())
+
+    # independent arrival-order reference over the same fingerprints
+    fps = {i: dhash64(b) & ((1 << 64) - 1) for i, b in blobs.items()}
+    seen: list[int] = []
+    want = []
+    for ids in batches:
+        for i in sorted(ids):
+            if all(bin(fps[i] ^ s).count("1") > 10 for s in seen):
+                want.append(i)
+            seen.append(fps[i])
+    assert sorted(survivors) == sorted(want)
+    assert 101 not in survivors and 201 not in survivors  # family A dups
+    assert 202 not in survivors                           # family B dup
+    assert {2, 102, 203} <= set(survivors)                # singletons live
+
+
+def test_image_index_replay_reload_and_compact(spark, tmp_path):
+    """Crash-replay idempotence, reload-from-meta, and compaction with
+    probe results preserved."""
+    import glob
+    import os
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.image_dedup import (
+        ImageDedupIndex,
+    )
+
+    rng = np.random.default_rng(88)
+    base = rng.integers(30, 226, (30, 40, 3), dtype=np.int64)
+    near = base.copy()
+    near[3, 4:7] += 3
+    other = rng.integers(30, 226, (30, 40, 3), dtype=np.int64)
+    path = str(tmp_path / "img-idx")
+    idx = ImageDedupIndex.build(_media_df(spark, []), path, max_hamming=10)
+    batch = _media_df(spark, [_ppm(base), _ppm(near), _ppm(other)])
+    first = sorted(r["media_id"] for r in idx.dedup_batch(batch).collect())
+    assert first == [0, 2]  # 1 loses to 0 in-batch
+    # replay (foreachBatch crash re-run): verdicts identical, not []
+    replay = sorted(r["media_id"] for r in idx.dedup_batch(batch).collect())
+    assert replay == first
+    # a later near-dup of a DROPPED image still dedups (signatures of
+    # losers were appended)
+    near2 = near.copy()
+    near2[5, 6:8] += 3
+    later = spark.createDataFrame(
+        [(9, bytearray(_ppm(near2)), "image", "s://9")],
+        "media_id LONG, content BINARY, media_type STRING, source_uri STRING",
+    )
+    reloaded = ImageDedupIndex.load(spark, path)
+    assert (reloaded.max_hamming, reloaded.bands) == (10, 11)
+    assert reloaded.dedup_batch(later).count() == 0
+    # compaction folds files; probes unchanged
+    probe_media = _media_df(spark, [_ppm(base)])
+    probe_df = reloaded.probe(probe_media)
+    before = sorted(
+        (r["new_id"], r["stored_id"]) for r in probe_df.collect()
+    )
+    n_before = len(glob.glob(os.path.join(path, "band=*", "*.parquet")))
+    assert reloaded.compact(min_files=1) > 0
+    assert len(glob.glob(os.path.join(path, "band=*", "*.parquet"))) < n_before
+    after = sorted(
+        (r["new_id"], r["stored_id"])
+        for r in reloaded.probe(probe_media).collect()
+    )
+    assert after == before and before  # base collides with its stored self? no:
+    # media_id 0 probing: self-match with stored 0 excluded; matches 1 and 9
