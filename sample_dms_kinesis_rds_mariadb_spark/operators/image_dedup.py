@@ -38,6 +38,8 @@ Transitive clustering / survivor choice reuses
 
 from __future__ import annotations
 
+import itertools
+from math import comb
 from typing import Iterator
 
 import numpy as np
@@ -164,7 +166,9 @@ def image_fingerprints(
                         if "phash" in methods else None,
                     }
                 )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FP_SCHEMA.fields]
+            )
 
     return df.select("media_id", "content").mapInPandas(
         _fp, schema=IMAGE_FP_SCHEMA
@@ -190,17 +194,65 @@ def _signed64(mask: int) -> int:
     return mask - (1 << 64) if mask >= (1 << 63) else mask
 
 
-def _validate_bands(bands: int | None, max_hamming: int, fp_bits: int) -> int:
+def _ball_size(width: int, radius: int) -> int:
+    """Number of XOR masks within hamming ``radius`` of 0 over ``width``
+    bits: Σ_{j≤radius} C(width, j)."""
+    return sum(comb(width, j) for j in range(min(radius, width) + 1))
+
+
+def _ball_masks(width: int, radius: int) -> list[int]:
+    """Every XOR mask of popcount ≤ ``radius`` within ``width`` bits, in a
+    deterministic (popcount, then combination) order — the radius ball a
+    multi-index-hashing probe enumerates per band."""
+    out = []
+    for j in range(min(radius, width) + 1):
+        for combo in itertools.combinations(range(width), j):
+            m = 0
+            for bit in combo:
+                m |= 1 << bit
+            out.append(m)
+    return out
+
+
+def _mih_bands(max_hamming: int, fp_bits: int, max_ball: int = 128) -> int:
+    """Default band count for multi-index hashing (Norouzi, Punjani &
+    Fleet, "Fast Search in Hamming Space with Multi-Index Hashing", CVPR
+    2012): splitting ``fp_bits`` into ``b`` bands with per-band probe
+    radius ⌊r/b⌋ keeps the pigeonhole guarantee for ANY ``b`` — if every
+    band differed by more than ⌊r/b⌋ bits the total would exceed
+    b·(⌊r/b⌋+1) − 1 ≥ r.  Wider bands (smaller ``b``) mean exponentially
+    more buckets (fewer candidate collisions) at the price of a bigger
+    per-band probe ball, so pick the ``b`` minimizing the expected
+    candidate cost ``b · ball / 2^(fp_bits/b)`` subject to the ball
+    staying enumerable (≤ ``max_ball`` masks).  For 64-bit/r=7 this
+    lands on 4 bands of 16-bit keys × 17 masks (65,536 buckets/band vs
+    the naive r+1-banding's 256); for 32-bit/r=6 on 3 bands of ~11-bit
+    keys × 67 masks (2,048 buckets vs 16-32)."""
+    best, best_cost = None, None
+    for b in range(1, min(max_hamming + 1, fp_bits) + 1):
+        width = -(-fp_bits // b)  # widest band of an uneven split
+        ball = _ball_size(width, max_hamming // b)
+        if ball > max_ball:
+            continue
+        cost = b * ball / 2.0 ** (fp_bits / b)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = b, cost
+    return best if best is not None else min(max_hamming + 1, fp_bits)
+
+
+def _resolve_bands(
+    bands: int | None, max_hamming: int, fp_bits: int
+) -> tuple[int, int]:
+    """(bands, per-band probe radius). ``bands=None`` picks the MIH
+    default; any explicit ``bands`` in [1, fp_bits] is exact — with
+    ``bands > max_hamming`` the radius is 0 (the classic r+1-band
+    pigeonhole, identical keys only), with fewer-but-wider bands the
+    probe enumerates the ⌊r/b⌋ ball per band."""
     if bands is None:
-        bands = max_hamming + 1
-    if bands <= max_hamming:
-        raise ValueError(
-            f"bands={bands} must exceed max_hamming={max_hamming} for the "
-            "pigeonhole guarantee"
-        )
+        bands = _mih_bands(max_hamming, fp_bits)
     if not 1 <= bands <= fp_bits:
         raise ValueError(f"bands must be in [1, {fp_bits}], got {bands}")
-    return bands
+    return bands, max_hamming // bands
 
 
 def _banded(
@@ -230,6 +282,53 @@ def _banded(
     ).select(*keep_cols, "bk.band", "bk.key")
 
 
+def _banded_probe(
+    fps: DataFrame, keep_cols: list[str], fp_col: str, bands: int,
+    fp_bits: int, radius: int,
+) -> DataFrame:
+    """The PROBE side of a multi-index-hashing join: each fingerprint row
+    explodes into (band, key ⊕ mask) for every XOR mask of popcount ≤
+    ``radius`` in that band — so a probe row lands in the bucket of every
+    stored key within ``radius`` bits of its own band key.  ``radius=0``
+    degenerates to :func:`_banded` (exact keys, one row per band).  The
+    masks are literals (Σ ball sizes per fingerprint, e.g. 4×17=68 for
+    64-bit/r=7); the band key computes once per output row — shift, and,
+    xor, all codegen."""
+    if radius <= 0:
+        return _banded(fps, keep_cols, fp_col, bands, fp_bits)
+    bounds = _band_bounds(bands, width=fp_bits)
+    per_band = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col(fp_col), off)
+                .bitwiseAND(F.lit(_signed64((1 << size) - 1)))
+                .alias("base"),
+                F.array(
+                    *[F.lit(m) for m in _ball_masks(size, radius)]
+                ).alias("masks"),
+            )
+            for i, (off, size) in enumerate(bounds)
+        ]
+    )
+    return (
+        fps.select(
+            *[F.col(c) for c in keep_cols], F.explode(per_band).alias("bv")
+        )
+        .select(
+            *keep_cols,
+            F.col("bv.band").alias("band"),
+            F.col("bv.base").alias("_base"),
+            F.explode("bv.masks").alias("_mask"),
+        )
+        .select(
+            *keep_cols,
+            "band",
+            F.col("_base").bitwiseXOR(F.col("_mask")).alias("key"),
+        )
+    )
+
+
 def banded_hamming_pairs(
     fps: DataFrame,
     id_col: str = "media_id",
@@ -239,24 +338,31 @@ def banded_hamming_pairs(
     materialize: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, hamming) for every pair within ``max_hamming`` bits —
-    EXACT (not approximate): with ``bands > max_hamming`` (the default
-    ``max_hamming + 1``), a qualifying pair differs in fewer bits than
-    there are bands, so at least one band is bit-identical (pigeonhole)
-    and the (band, key) equi-join is guaranteed to surface it; exact
-    ``bit_count(xor)`` then verifies. Same shape as
-    ``dedup.simhash_near_pairs`` but over an arbitrary 64-bit BIGINT
-    fingerprint column with uneven band widths.
+    EXACT (not approximate), via multi-index hashing (Norouzi et al.
+    2012): the fingerprint splits into ``bands`` chunks and a pair
+    within ``max_hamming`` total bits must agree within ⌊r/b⌋ bits on at
+    least one chunk (generalized pigeonhole — see :func:`_mih_bands`),
+    so the probe side enumerates the per-band ⌊r/b⌋ radius ball and
+    candidates meet in a (band, key) equi-join; exact ``bit_count(xor)``
+    then verifies.  The default band count (4 wide 16-bit bands for
+    r=7) keeps ~2^16 buckets per band where the naive ``max_hamming+1``
+    banding (8 bands of 8-bit keys) had 256 — candidate pairs scale
+    ~n²·ball/2^width per band, ~256× fewer at the same exactness.
+    Passing an explicit ``bands > max_hamming`` reproduces the classic
+    identical-key banding (probe radius 0). Same downstream shape as
+    ``dedup.simhash_near_pairs``.
 
     Scale shape: candidates meet only inside equal (band, key) buckets —
     never all-pairs; ``materialize`` pins the fingerprint frame so the
     self-join's two sides are computed once."""
-    bands = _validate_bands(bands, max_hamming, 64)
+    bands, radius = _resolve_bands(bands, max_hamming, 64)
     pinned = _pin(fps.select(id_col, fp_col), materialize)
-    banded = _banded(pinned, [id_col, fp_col], fp_col, bands, 64)
-    a = banded.select(
+    a = _banded_probe(
+        pinned, [id_col, fp_col], fp_col, bands, 64, radius
+    ).select(
         "band", "key", F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a")
     )
-    b = banded.select(
+    b = _banded(pinned, [id_col, fp_col], fp_col, bands, 64).select(
         "band", "key", F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b")
     )
     return (
@@ -358,20 +464,24 @@ def sequence_near_pairs(
     frame_b − frame_a (genuine duplicates align; coincidental hits
     scatter) and ``match_frac`` = aligned_matches / min(n_frames).
 
-    Scale shape: pigeonhole banding over the fingerprint (exact for
-    ``max_hamming`` — bands > max_hamming chunks), (band, key) equi-join
-    candidates only, per-pair aggregation bounded by matched pairs —
-    never all-pairs on sequences or frames."""
-    bands = _validate_bands(bands, max_hamming, fp_bits)
+    Scale shape: multi-index-hashing banding over the fingerprint (exact
+    for ``max_hamming`` — per-band ⌊r/b⌋ probe ball, see
+    :func:`banded_hamming_pairs`), (band, key) equi-join candidates only,
+    per-pair aggregation bounded by matched pairs — never all-pairs on
+    sequences or frames."""
+    bands, radius = _resolve_bands(bands, max_hamming, fp_bits)
     n_frames = fps.groupBy(id_col).agg(F.count("*").alias("n_frames"))
-    banded = _banded(fps, [id_col, frame_col, fp_col], fp_col, bands, fp_bits)
-    a = banded.select(
+    a = _banded_probe(
+        fps, [id_col, frame_col, fp_col], fp_col, bands, fp_bits, radius
+    ).select(
         "band", "key",
         F.col(id_col).alias("id_a"),
         F.col(frame_col).alias("frame_a"),
         F.col(fp_col).alias("fp_a"),
     )
-    b = banded.select(
+    b = _banded(
+        fps, [id_col, frame_col, fp_col], fp_col, bands, fp_bits
+    ).select(
         "band", "key",
         F.col(id_col).alias("id_b"),
         F.col(frame_col).alias("frame_b"),
@@ -535,14 +645,14 @@ class ImageDedupIndex:
         import json
         import os
 
-        bands = _validate_bands(bands, max_hamming, 64)
+        bands, _radius = _resolve_bands(bands, max_hamming, 64)
         idx = cls(
             df.sparkSession, path, max_hamming, bands,
             auto_compact_files=auto_compact_files,
         )
-        idx._banded_fps(df, fake_decode).write.mode("overwrite").partitionBy(
-            "band"
-        ).parquet(path)
+        idx._banded(idx._fps(df, fake_decode)).write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(path)
         with open(os.path.join(path, cls.META_FILE), "w") as f:
             json.dump(
                 {
@@ -576,13 +686,28 @@ class ImageDedupIndex:
 
     # -- internals -----------------------------------------------------------
 
-    def _banded_fps(self, media: DataFrame, fake_decode: bool) -> DataFrame:
-        fps = image_fingerprints(
+    def _fps(self, media: DataFrame, fake_decode: bool) -> DataFrame:
+        """(media_id, fp) — the ONE decode+hash pass; every banded view
+        (store keys, probe ball) derives from this frame so callers that
+        need both pin it once and never decode twice."""
+        return image_fingerprints(
             media, fake_decode=fake_decode, methods=("dhash",)
         ).select("media_id", F.col("dhash").alias("fp"))
+
+    def _banded(self, fps: DataFrame) -> DataFrame:
+        """Exact (band, key) rows — the STORE layout."""
         return _banded(fps, ["media_id", "fp"], "fp", self.bands, 64).select(
             "band", "key", "media_id", "fp"
         )
+
+    def _probe_banded(self, fps: DataFrame) -> DataFrame:
+        """(band, key ⊕ mask) rows over the per-band ⌊r/b⌋ ball — the
+        multi-index-hashing PROBE layout (radius 0 when the store was
+        built with classic ``max_hamming+1`` banding)."""
+        radius = self.max_hamming // self.bands
+        return _banded_probe(
+            fps, ["media_id", "fp"], "fp", self.bands, 64, radius
+        ).select("band", "key", "media_id", "fp")
 
     def _store(self) -> DataFrame:
         """Snapshot-pinned store frame (the MinHashIndex `_store` rule: a
@@ -610,7 +735,10 @@ class ImageDedupIndex:
         """(new_id, stored_id, hamming) for every batch image within
         ``max_hamming`` bits of a stored image. Bucket-bounded equi-join
         + exact verify; self-matches excluded."""
-        new = self._banded_fps(media, fake_decode).select(
+        return self._probe_fps(self._fps(media, fake_decode))
+
+    def _probe_fps(self, fps: DataFrame) -> DataFrame:
+        new = self._probe_banded(fps).select(
             "band", "key",
             F.col("media_id").alias("new_id"), F.col("fp").alias("new_fp"),
         )
@@ -633,6 +761,9 @@ class ImageDedupIndex:
         )
 
     def append(self, media: DataFrame, fake_decode: bool = False) -> None:
+        self._append_banded(self._banded(self._fps(media, fake_decode)))
+
+    def _append_banded(self, banded: DataFrame) -> None:
         import glob
         import os
 
@@ -641,9 +772,7 @@ class ImageDedupIndex:
         )
 
         heal_partitioned_store(self.path)
-        self._banded_fps(media, fake_decode).write.mode("append").partitionBy(
-            "band"
-        ).parquet(self.path)
+        banded.write.mode("append").partitionBy("band").parquet(self.path)
         if self.auto_compact_files is not None:
             n = len(glob.glob(os.path.join(self.path, "band=*", "*.parquet")))
             if n >= self.auto_compact_files:
@@ -665,21 +794,24 @@ class ImageDedupIndex:
         the store or of a LOWER-id image in the same batch, then append
         the batch's fingerprints. The MinHashIndex ``dedup_batch``
         discipline verbatim: losers pinned before the append, same-batch
-        stored ids excluded for crash-replay idempotence."""
+        stored ids excluded for crash-replay idempotence.  The expensive
+        decode+hash runs ONCE: the fingerprint frame is pinned and feeds
+        the store probe, the in-batch self-join (probe-ball side a vs
+        exact side b), and the parquet append."""
         batch_ids = media.select(
             F.col("media_id").alias("stored_id")
         ).distinct()
+        fps = self._fps(media, fake_decode).localCheckpoint(eager=True)
         vs_store = (
-            self.probe(media, fake_decode)
+            self._probe_fps(fps)
             .join(batch_ids, "stored_id", "left_anti")
             .select(F.col("new_id").alias("media_id"))
         )
-        banded = self._banded_fps(media, fake_decode)
-        a = banded.select(
+        a = self._probe_banded(fps).select(
             "band", "key", F.col("media_id").alias("id_a"),
             F.col("fp").alias("fp_a"),
         )
-        b = banded.select(
+        b = self._banded(fps).select(
             "band", "key", F.col("media_id").alias("id_b"),
             F.col("fp").alias("fp_b"),
         )
@@ -695,5 +827,5 @@ class ImageDedupIndex:
         losers = (
             vs_store.union(in_batch).distinct().localCheckpoint(eager=True)
         )
-        self.append(media, fake_decode)
+        self._append_banded(self._banded(fps))
         return media.join(losers, "media_id", "left_anti")

@@ -972,10 +972,27 @@ def decode_audio(content: bytes, fake: bool = False) -> tuple[int, int, int, int
     (chunked header walk, little-endian fields, no audio library needed;
     WAVE_FORMAT_EXTENSIBLE resolves through its SubFormat GUID). Formats:
     ``wav`` (PCM) / ``wav-float`` / ``wav-alaw`` / ``wav-ulaw``.
-    Compressed codecs (mp3/ogg/aac) keep the same honest boundary as
+    Compressed codecs (ogg/aac) keep the same honest boundary as
     ``decode_image``: NotImplementedError, or a deterministic content-hash
-    fake with ``fake=True``.
+    fake with ``fake=True``. Like ``decode_image``, under ``fake=True`` a
+    corrupt/truncated payload of a REAL format (bad fLaC STREAMINFO,
+    malformed WAV chunk walk) also falls back to the fake instead of
+    raising — any bytes produce a row, so a dry-run over a dirty corpus
+    stays exercisable.
     """
+    if fake:
+        try:
+            return _decode_audio_real(content)
+        except (ValueError, NotImplementedError, IndexError):
+            h = hashlib.sha256(content).digest()
+            sample_rate = 8000 * (1 + h[0] % 6)
+            channels = 1 + h[1] % 2
+            n_frames = 1 + int.from_bytes(h[2:5], "big") % 480000
+            return sample_rate, channels, 16, n_frames, 0, "fake"
+    return _decode_audio_real(content)
+
+
+def _decode_audio_real(content: bytes) -> tuple[int, int, int, int, int, str]:
     if content[:4] == b"fLaC":
         # FLAC decodes for real (operators/flac.py, r9): STREAMINFO gives
         # the stream geometry; data_offset 0 (samples are frame-coded, not
@@ -1044,17 +1061,11 @@ def decode_audio(content: bytes, fake: bool = False) -> tuple[int, int, int, int
             # chunks are word-aligned: odd sizes carry a pad byte
             pos = body + size + (size & 1)
         raise ValueError("truncated WAV: no data chunk")
-    if not fake:
-        raise NotImplementedError(
-            "compressed audio decode requires a codec library — not "
-            "available in this environment; PCM WAV decodes for real, or "
-            "pass fake=True for the deterministic test double"
-        )
-    h = hashlib.sha256(content).digest()
-    sample_rate = 8000 * (1 + h[0] % 6)
-    channels = 1 + h[1] % 2
-    n_frames = 1 + int.from_bytes(h[2:5], "big") % 480000
-    return sample_rate, channels, 16, n_frames, 0, "fake"
+    raise NotImplementedError(
+        "compressed audio decode requires a codec library — not "
+        "available in this environment; PCM WAV decodes for real, or "
+        "pass fake=True for the deterministic test double"
+    )
 
 
 def decode_audio_samples(content: bytes):

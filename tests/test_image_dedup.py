@@ -168,7 +168,15 @@ def test_banded_pairs_exact_vs_bruteforce(spark):
     df = spark.createDataFrame(
         [(i, fp) for i, fp in enumerate(fps)], "media_id LONG, dhash LONG"
     )
-    for max_h, bands in ((7, None), (4, 5), (3, 11)):
+    # None = the MIH default (wide bands + radius-ball probe); explicit
+    # bands <= max_hamming exercises every per-band radius from the
+    # classic identical-key banding (radius 0) down to 2 wide bands
+    # (radius 3 over 32-bit keys)
+    for max_h, bands in (
+        (7, None), (4, 5), (3, 11),   # radius 0 (classic pigeonhole)
+        (7, 4), (7, 2), (6, 3),       # MIH: radius 1, 3, 2
+        (5, 4), (4, 2),               # uneven splits with radius 1, 2
+    ):
         got = {
             (r["id_a"], r["id_b"], r["hamming"])
             for r in idd.banded_hamming_pairs(
@@ -182,8 +190,27 @@ def test_banded_pairs_exact_vs_bruteforce(spark):
                 if h <= max_h:
                     want.add((i, j, h))
         assert got == want, f"max_hamming={max_h}, bands={bands}"
-    with pytest.raises(ValueError, match="pigeonhole"):
-        idd.banded_hamming_pairs(df, max_hamming=5, bands=4)
+    with pytest.raises(ValueError, match="bands must be"):
+        idd.banded_hamming_pairs(df, max_hamming=5, bands=0)
+
+
+def test_mih_band_selection_and_ball():
+    """The MIH default picks wide bands: 64-bit/r=7 -> 4 bands of 16-bit
+    keys x 17 masks (vs the naive 8 bands of 8-bit keys); 32-bit/r=6 ->
+    3 bands; radius-0 splits keep one exact key per band."""
+    assert idd._mih_bands(7, 64) == 4
+    assert idd._resolve_bands(None, 7, 64) == (4, 1)
+    assert idd._mih_bands(6, 32) == 3
+    assert idd._resolve_bands(None, 6, 32) == (3, 2)
+    assert idd._resolve_bands(None, 0, 64) == (1, 0)
+    assert idd._resolve_bands(8, 7, 64) == (8, 0)  # classic banding
+    # ball enumeration: all masks within radius, exactly once
+    masks = idd._ball_masks(16, 1)
+    assert len(masks) == 17 and len(set(masks)) == 17
+    assert all(bin(m).count("1") <= 1 for m in masks)
+    masks2 = idd._ball_masks(11, 2)
+    assert len(masks2) == 1 + 11 + 55 == idd._ball_size(11, 2)
+    assert all(0 <= m < (1 << 11) for m in masks2)
 
 
 def _media_df(spark, blobs):
@@ -499,7 +526,8 @@ def test_image_index_replay_reload_and_compact(spark, tmp_path):
         "media_id LONG, content BINARY, media_type STRING, source_uri STRING",
     )
     reloaded = ImageDedupIndex.load(spark, path)
-    assert (reloaded.max_hamming, reloaded.bands) == (10, 11)
+    # bands round-trips through the meta file (the MIH default for r=10)
+    assert (reloaded.max_hamming, reloaded.bands) == (10, idd._mih_bands(10, 64))
     assert reloaded.dedup_batch(later).count() == 0
     # compaction folds files; probes unchanged
     probe_media = _media_df(spark, [_ppm(base)])

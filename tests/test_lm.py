@@ -250,12 +250,20 @@ def _ref_kn3_bits(tokens: list[str], corpus: list[str], d: float,
             )
         return p_cont(w)
 
+    # top-order denominator: the trigram CONTEXT total sum_w c(uvw) —
+    # the Chen-Goodman count-of-the-table-being-discounted, NOT the raw
+    # bigram count (which over-counts document-final (u,v) occurrences
+    # that have no successor, leaking mass)
+    ctx3 = Counter()
+    for (u, v, _w), n in tri.items():
+        ctx3[(u, v)] += n
+
     def p3(u, v, w):
-        cuv = bi.get((u, v), 0)
-        if cuv > 0 and fan3.get((u, v), 0) > 0:
+        tuv = ctx3.get((u, v), 0)
+        if tuv > 0 and fan3.get((u, v), 0) > 0:
             return (
-                max(tri.get((u, v, w), 0) - d3, 0.0) / cuv
-                + d3 * fan3[(u, v)] / cuv * p2(v, w)
+                max(tri.get((u, v, w), 0) - d3, 0.0) / tuv
+                + d3 * fan3[(u, v)] / tuv * p2(v, w)
             )
         return p2(v, w)
 
@@ -280,13 +288,18 @@ def test_kn3_matches_independent_reference(spark, corpus_df):
 
 
 def test_kn3_probabilities_normalize(spark, corpus_df):
-    """For a mid-document context (u, v) — one never ending a document,
-    so every raw occurrence of (u, v) has a successor — summing
-    P_KN(w|u,v) over the vocab plus the shared OOV bucket must be exactly
-    1: both discount levels redistribute their mass completely."""
+    """Summing P_KN(w|u,v) over the vocab plus the shared OOV bucket must
+    be exactly 1 for EVERY context — including document-final ones like
+    ('the', 'mat') whose raw bigram count exceeds their trigram successor
+    total (the r9 mass-leak fix: the top-order denominator is the
+    retained trigram context total, not c(u,v))."""
     model = lm.train_kn_trigram_model(corpus_df, "text")
     uni = model["unigrams"]
-    for ctx in ((lm.BOS, "the"), ("the", "cat"), ("cat", "sat")):
+    for ctx in (
+        (lm.BOS, "the"), ("the", "cat"), ("cat", "sat"),
+        ("the", "mat"),   # document-final: c(the,mat)=1, no trigram successor
+        ("are", "pets"),  # document-final
+    ):
         total = sum(lm._kn3_prob(ctx[0], ctx[1], w, model) for w in uni)
         # the OOV bucket: zero trigram/cont2 counts everywhere, so its
         # probability is the fully-backed-off chain evaluated at an
@@ -325,3 +338,156 @@ def test_kn3_spark_parity_and_plan(spark, corpus_df):
         lm.make_kn3_perplexity_scorer(
             spark, lm.train_kn_model(corpus_df, "text")
         )
+
+
+# --- order-n interpolated Kneser-Ney (r10: the 5-gram CCNet setup) -----------
+
+
+def _ref_knn_bits(tokens: list[str], corpus: list[str], order: int,
+                  ds: dict[int, float]) -> float:
+    """INDEPENDENT order-n Kneser-Ney straight from the published
+    recursion (Chen & Goodman 1999 eq. 18): raw counts at the top order
+    over retained-context totals, continuation counts in the middle
+    orders, add-one unigram continuation floor — raw Python Counters, no
+    code shared with functions/lm.py beyond the token convention."""
+    import math
+
+    grams: dict[int, Counter] = {k: Counter() for k in range(1, order + 1)}
+    for text in corpus:
+        toks = _py_tokens(text)
+        if not toks:
+            continue
+        seq = [lm.BOS] + toks
+        for k in range(1, order + 1):
+            grams[k].update(
+                tuple(seq[i : i + k]) for i in range(len(seq) - k + 1)
+            )
+    uni = {g[0]: n for g, n in grams[1].items()}
+    cont1 = Counter(g[1] for g in grams[2])
+    v_buckets = len(uni) + 1
+    nbi = len(grams[2])
+    # middle-order continuation tables from the (k+1)-gram sets
+    cont = {k: Counter(g[1:] for g in grams[k + 1]) for k in range(2, order)}
+    cont_ctx = {
+        k: sum_by_prefix(cont[k]) for k in range(2, order)
+    }
+    cont_fan = {
+        k: Counter(g[:-1] for g in cont[k]) for k in range(2, order)
+    }
+    top_ctx = sum_by_prefix(grams[order])
+    top_fan = Counter(g[:-1] for g in grams[order])
+
+    def p(ctx: tuple, w: str) -> float:
+        prob = (cont1.get(w, 0) + 1.0) / (nbi + v_buckets)
+        for k in range(2, order):
+            c = ctx[-(k - 1):]
+            t = cont_ctx[k].get(c, 0)
+            if t > 0:
+                d = ds[k]
+                prob = (
+                    max(cont[k].get(c + (w,), 0) - d, 0.0) / t
+                    + d * cont_fan[k].get(c, 0) / t * prob
+                )
+        c = ctx[-(order - 1):]
+        t = top_ctx.get(c, 0)
+        if t > 0:
+            d = ds[order]
+            prob = (
+                max(grams[order].get(c + (w,), 0) - d, 0.0) / t
+                + d * top_fan.get(c, 0) / t * prob
+            )
+        return prob
+
+    ctx = (lm.BOS,) * (order - 1)
+    bits = 0.0
+    for tok in tokens:
+        bits -= math.log2(p(ctx, tok))
+        ctx = ctx[1:] + (tok,)
+    return bits / len(tokens)
+
+
+def sum_by_prefix(counter: Counter) -> Counter:
+    out: Counter = Counter()
+    for g, n in counter.items():
+        out[g[:-1]] += n
+    return out
+
+
+def test_kn5_matches_independent_reference(spark, corpus_df):
+    ds = {2: 0.75, 3: 0.75, 4: 0.7, 5: 0.6}
+    model = lm.train_kn_ngram_model(
+        corpus_df, "text", order=5, discount=0.75,
+        discounts={4: 0.7, 5: 0.6},
+    )
+    for text in CORPUS + [
+        "the cat", "zebra quux flurble", "dogs chased rugs",
+        "the cat sat on the rug", "the cat sat on the mat today", "a",
+    ]:
+        got = lm.reference_knn_bits_per_token(text, model)
+        want = _ref_knn_bits(_py_tokens(text), CORPUS, 5, ds)
+        assert got == pytest.approx(want, rel=1e-12), text
+
+
+def test_knn_order3_cross_validates_trigram_model(spark, corpus_df):
+    """The general order-n trainer at order=3 must score IDENTICALLY to
+    the dedicated trigram model (same discounts) — two independently
+    written trainers, one published recursion."""
+    m3 = lm.train_kn_trigram_model(corpus_df, "text", discount=0.75,
+                                   discount3=0.6)
+    mn = lm.train_kn_ngram_model(corpus_df, "text", order=3,
+                                 discount=0.75, discounts={3: 0.6})
+    for text in CORPUS + ["the cat sat", "zebra quux", "a dog and a cat"]:
+        assert lm.reference_knn_bits_per_token(text, mn) == pytest.approx(
+            lm.reference_kn3_bits_per_token(text, m3), rel=1e-12
+        ), text
+
+
+def test_kn5_probabilities_normalize_every_level(spark, corpus_df):
+    """Σ_w P(w|ctx) over vocab + OOV bucket == 1 exactly, for contexts
+    hitting every backoff depth: fully-trained, document-final (top order
+    empty), and gibberish (every order empty — pure floor)."""
+    model = lm.train_kn_ngram_model(corpus_df, "text", order=5)
+    uni = model["unigrams"]
+    for ctx in (
+        (lm.BOS, "the", "cat", "sat"),        # trained top context
+        ("cat", "sat", "on", "the"),          # trained, mid-document
+        ("sat", "on", "the", "mat"),          # document-final
+        ("zz", "qq", "on", "the"),            # only low orders trained
+        ("zz", "qq", "ww", "ee"),             # pure floor
+    ):
+        total = sum(lm._knn_prob(ctx, w, model) for w in uni)
+        total += lm._knn_prob(ctx, "\x00oov\x00", model)
+        assert total == pytest.approx(1.0, abs=1e-9), ctx
+
+
+def test_kn5_spark_parity_plan_and_validation(spark, corpus_df):
+    model = lm.train_kn_ngram_model(corpus_df, "text", order=5)
+    scorer = lm.make_knn_perplexity_scorer(spark, model)
+    out = corpus_df.select(
+        "text", scorer(lm.doc_tokens_column(F.col("text"))).alias("bpt")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    for r in out.collect():
+        assert r["bpt"] == pytest.approx(
+            lm.reference_knn_bits_per_token(r["text"], model), rel=1e-12
+        )
+    with pytest.raises(ValueError, match="order-n KN"):
+        lm.make_knn_perplexity_scorer(spark, lm.train_kn_model(corpus_df, "text"))
+    with pytest.raises(ValueError, match="order must be"):
+        lm.train_kn_ngram_model(corpus_df, "text", order=1)
+    with pytest.raises(ValueError, match="discount for order"):
+        lm.train_kn_ngram_model(corpus_df, "text", order=3, discounts={3: 1.5})
+
+
+def test_kn5_beats_lower_orders_on_long_structure(spark, corpus_df):
+    """A probe whose 5-grams are all in-corpus scores at least as well
+    under the 5-gram model as its scramble — long-range structure only
+    the top order sees."""
+    m5 = lm.train_kn_ngram_model(corpus_df, "text", order=5)
+    fluent = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"
+    assert lm.reference_knn_bits_per_token(fluent, m5) < (
+        lm.reference_knn_bits_per_token(scrambled, m5)
+    )

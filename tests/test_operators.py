@@ -444,6 +444,19 @@ def test_decode_audio_real_wav():
         multimodal.decode_audio(nonpcm)
     assert math.isclose(4 / 8000, 0.0005)
 
+    # fake=True is the ANY-bytes dry-run contract: corrupt payloads of a
+    # REAL format (truncated fLaC magic, truncated WAV chunk walk) fall
+    # back to the deterministic fake instead of raising — mirroring
+    # decode_image; without fake they stay honest errors
+    for corrupt in (b"fLaC\x00\x01", blob[:20], nonpcm):
+        with _pytest.raises((ValueError, NotImplementedError)):
+            multimodal.decode_audio(corrupt)
+        f1 = multimodal.decode_audio(corrupt, fake=True)
+        assert f1 == multimodal.decode_audio(corrupt, fake=True)
+        assert f1[5] == "fake"
+    # a VALID payload under fake=True still decodes for real
+    assert multimodal.decode_audio(blob, fake=True)[5] == "wav"
+
 
 def test_extract_audio_features_spark(spark):
     """Audio twin of the image plumbing: real RIFF parse + vectorized rms
