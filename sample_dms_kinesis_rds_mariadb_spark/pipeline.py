@@ -160,6 +160,38 @@ def curate_media(
     return CurationResult(corpus=cur, heldout=None, funnel=funnel)
 
 
+def _exactly_once_batch_write(
+    kept: DataFrame, output_path: str, checkpoint: str, batch_id: int
+) -> None:
+    """Idempotent micro-batch parquet write: the batch's rows land under
+    deterministic file names ``batch-<ckpt8>-<batch_id>-NNN.parquet``
+    directly in ``output_path`` (flat — ``spark.read.parquet(output_path)``
+    keeps working), via a hidden scratch dir on the same filesystem. A
+    replayed batch first DELETES its own prefix, so the crash window
+    between this write and the funnel commit yields exactly-once rows,
+    not at-least-once (r9 ADVICE). The recompute is verdict-identical on
+    replay (the index probe's same-batch self-exclusion), so deleting and
+    rewriting is safe."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    ckpt8 = hashlib.sha256(checkpoint.encode()).hexdigest()[:8]
+    prefix = f"batch-{ckpt8}-{int(batch_id)}-"
+    # dot-prefixed scratch inside output_path: same FS (os.replace is a
+    # rename, never a copy) and invisible to Spark's file listing
+    scratch = os.path.join(output_path, f".tmp-{prefix.rstrip('-')}")
+    kept.write.mode("overwrite").parquet(scratch)
+    for old in glob.glob(os.path.join(output_path, prefix + "*")):
+        os.remove(old)
+    for i, src in enumerate(
+        sorted(glob.glob(os.path.join(scratch, "*.parquet")))
+    ):
+        os.replace(src, os.path.join(output_path, f"{prefix}{i:05d}.parquet"))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def curate_stream(
     stream: DataFrame,
     *,
@@ -200,11 +232,17 @@ def curate_stream(
        probes the store on (band, signature) and appends its own
        signatures — batch-shuffle-sized, never corpus-sized, with
        ``auto_compact_files`` bounding store file counts on long runs.
-    4. survivors append to ``output_path`` (parquet) and the per-batch
-       stage counts append to ``funnel_path`` (JSONL) — multi-batch
-       arrival is row-equal to running the batch stages sequentially per
-       arrival (tested), and family-equal to the one-shot batch
-       :func:`curate` (first-arrival vs lowest-id survivor).
+    4. survivors land in ``output_path`` under BATCH-SCOPED deterministic
+       file names (``batch-<ckpt>-<id>-NNN.parquet`` via
+       :func:`_exactly_once_batch_write`) and the per-batch stage counts
+       append to ``funnel_path`` (JSONL) — multi-batch arrival is
+       row-equal to running the batch stages sequentially per arrival
+       (tested), and family-equal to the one-shot batch :func:`curate`
+       (first-arrival vs lowest-id survivor). A replayed micro-batch
+       OVERWRITES its own files, so consumers of ``output_path`` see
+       exactly-once rows even for a crash between the parquet write and
+       the funnel commit (r9 ADVICE: plain append was at-least-once
+       across that window).
     """
     import json
     import os
@@ -256,9 +294,10 @@ def curate_stream(
         # funnel lines never duplicate. Scoped to THIS checkpoint: batch
         # ids restart per checkpoint, and a later stream appending to the
         # same output path legitimately reuses them. (A crash BETWEEN the
-        # parquet append and the funnel append re-appends that one batch:
-        # at-least-once, bounded to the in-flight micro-batch; the index
-        # probe's self-exclusion keeps replayed verdicts identical.)
+        # parquet write and the funnel append replays the batch, and
+        # _exactly_once_batch_write overwrites that batch's own files —
+        # exactly-once output; the index probe's self-exclusion keeps the
+        # replayed verdicts identical.)
         if os.path.exists(funnel_path):
             with open(funnel_path) as f:
                 done = {
@@ -267,6 +306,9 @@ def curate_stream(
                 }
             if (checkpoint, int(batch_id)) in done:
                 return
+        # (a batch NOT in the funnel may still have written parquet —
+        # crash between the two; _exactly_once_batch_write overwrites
+        # that batch's own files below, so no duplicate rows survive)
         # pin the micro-batch ONCE: every action below would otherwise
         # re-execute the observed gate scan (foreachBatch frames re-run
         # their lineage per action), multiplying the per-trigger observed
@@ -284,7 +326,7 @@ def curate_stream(
             ).localCheckpoint(eager=True)
         n_clean = clean.count() if bloom is not None else n_in
         kept = index.dedup_batch(clean, text_col)
-        kept.write.mode("append").parquet(output_path)
+        _exactly_once_batch_write(kept, output_path, checkpoint, batch_id)
         # count what THIS batch kept from its own written files (never a
         # full re-read of the accumulated output)
         n_kept = kept.count()

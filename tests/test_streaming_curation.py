@@ -357,3 +357,112 @@ def test_curate_stream_resumes_existing_index(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
     }
     assert got == {1, 51}  # 50 deduped against the RESUMED index
+
+
+def test_exactly_once_batch_write_overwrites_on_replay(spark, tmp_path):
+    """_exactly_once_batch_write (r10, ADVICE fix): batch-scoped
+    deterministic file names in a FLAT output dir — a replayed batch
+    replaces its own files (no duplicate rows for the crash window
+    between the parquet write and the funnel commit), different batches
+    and different checkpoints never collide, and plain
+    spark.read.parquet(output_path) keeps working."""
+    import glob
+
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import (
+        _exactly_once_batch_write,
+    )
+
+    out = str(tmp_path / "corpus")
+    os.makedirs(out, exist_ok=True)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA)
+    _exactly_once_batch_write(b0, out, "ckpt-x", 0)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2}
+    # replay of batch 0 (possibly with identical content): no duplicates
+    _exactly_once_batch_write(b0, out, "ckpt-x", 0)
+    got = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert sorted(got) == [1, 2]
+    # a second batch unions in
+    _exactly_once_batch_write(
+        spark.createDataFrame([(3, "c")], SCHEMA), out, "ckpt-x", 1
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 3]
+    # a different checkpoint reusing batch id 0 does NOT clobber ckpt-x's
+    _exactly_once_batch_write(
+        spark.createDataFrame([(9, "z")], SCHEMA), out, "ckpt-y", 0
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 3, 9]
+    # flat layout: every data file is a prefixed sibling, no subdirs left
+    assert not [
+        p for p in glob.glob(os.path.join(out, "*")) if os.path.isdir(p)
+    ]
+    assert all(
+        os.path.basename(p).startswith("batch-")
+        for p in glob.glob(os.path.join(out, "*.parquet"))
+    )
+
+
+def test_curate_stream_crash_between_write_and_funnel_is_exactly_once(
+    spark, tmp_path
+):
+    """The r9 ADVICE crash window: parquet written, funnel line NOT
+    committed, micro-batch replays. Simulated by deleting the last
+    batch's funnel line and its checkpoint commit file, then restarting
+    the stream — the replay must OVERWRITE that batch's parquet (same
+    verdicts, no duplicate rows), not append a second copy."""
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import curate_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(_batches()):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            f.write(
+                "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows)
+            )
+    kwargs = dict(
+        index_path=str(tmp_path / "idx"),
+        output_path=str(tmp_path / "corpus"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    run = curate_stream(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src),
+        **kwargs,
+    )
+    await_finished(run.query)
+    before = sorted(
+        r["doc_id"] for r in spark.read.parquet(kwargs["output_path"]).collect()
+    )
+    funnel_lines = open(run.funnel_path).read().strip().splitlines()
+    n_batches = len(funnel_lines)
+    assert n_batches == 3
+    last_id = max(json.loads(ln)["batch_id"] for ln in funnel_lines)
+    # simulate the crash: the batch's parquet files exist, but neither
+    # the funnel line nor the checkpoint commit made it to disk
+    with open(run.funnel_path, "w") as f:
+        for ln in funnel_lines:
+            if json.loads(ln)["batch_id"] != last_id:
+                f.write(ln + "\n")
+    os.remove(os.path.join(kwargs["checkpoint"], "commits", str(last_id)))
+    crc = os.path.join(kwargs["checkpoint"], "commits", f".{last_id}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar blocks the re-commit
+        os.remove(crc)
+    run2 = curate_stream(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src),
+        **kwargs,
+    )
+    await_finished(run2.query)
+    after = sorted(
+        r["doc_id"] for r in spark.read.parquet(kwargs["output_path"]).collect()
+    )
+    assert after == before  # identical verdicts, zero duplicates
+    replayed = [
+        json.loads(ln) for ln in open(run2.funnel_path) if ln.strip()
+    ]
+    assert len(replayed) == n_batches  # the funnel line was re-committed
