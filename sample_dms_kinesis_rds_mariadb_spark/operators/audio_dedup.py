@@ -180,3 +180,312 @@ def audio_near_pairs(
         fps, "afp", fp_bits=32,
         max_hamming=max_hamming, bands=bands, min_frac=min_frac,
     )
+
+
+class AudioDedupIndex:
+    """Incremental PERCEPTUAL audio-dedup index — the audio dual of
+    ``image_dedup.ImageDedupIndex`` (VERDICT r9 missing #3): dedupe NEW
+    audio batches against every clip seen so far without re-fingerprinting
+    the corpus.
+
+    The store persists each seen clip's per-frame 32-bit sub-fingerprints
+    banded into multi-index-hashing buckets, parquet-PARTITIONED BY band
+    (the shared build-once/probe-many split): probing a batch decodes and
+    fingerprints the NEW payloads only, expands THEIR band keys into the
+    per-band ⌊r/b⌋ radius ball (``image_dedup._banded_probe``), equi-joins
+    against the store's exact keys, hamming-verifies candidates, and runs
+    the shared temporal-alignment aggregate
+    (``image_dedup._sequence_alignment``) — a new clip whose aligned match
+    fraction against ANY stored clip reaches ``min_frac`` loses (arrival
+    order precedence).
+
+    ``dedup_batch`` appends ALL of the batch's fingerprints (survivors and
+    losers alike — later near-dups of a dropped clip still dedup), is
+    CRASH-REPLAY idempotent (same-batch stored ids excluded; duplicate
+    store rows from a replayed append collapse in the match ``distinct``
+    and the ``max(n_frames)`` aggregate), and carries the shared
+    maintenance surface: ``compact()`` rename-swap folding, crash healing,
+    opt-in ``auto_compact_files``. Each clip's frame count is denormalized
+    onto its store rows so match fractions never need the payload again.
+    """
+
+    META_FILE = "_audiodedup_meta.json"
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        max_hamming: int,
+        bands: int,
+        min_frac: float,
+        frame: int = 2048,
+        hop: int = 1024,
+        auto_compact_files: int | None = None,
+    ) -> None:
+        if auto_compact_files is not None and auto_compact_files <= 2 * bands:
+            raise ValueError(
+                f"auto_compact_files ({auto_compact_files}) must exceed "
+                f"2 x bands ({2 * bands}) or every append re-triggers a "
+                "full store rewrite"
+            )
+        self.spark = spark
+        self.path = path
+        self.max_hamming = max_hamming
+        self.bands = bands
+        self.min_frac = min_frac
+        self.frame = frame
+        self.hop = hop
+        self.auto_compact_files = auto_compact_files
+        self._schema_ddl = (
+            "band INT, key BIGINT, media_id BIGINT, frame_no INT, "
+            "fp BIGINT, n_frames BIGINT"
+        )
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        path: str,
+        max_hamming: int = 6,
+        bands: int | None = None,
+        min_frac: float = 0.5,
+        frame: int = 2048,
+        hop: int = 1024,
+        auto_compact_files: int | None = None,
+    ) -> "AudioDedupIndex":
+        import json
+        import os
+
+        from sample_dms_kinesis_rds_mariadb_spark.operators.image_dedup import (
+            _resolve_bands,
+        )
+
+        bands, _radius = _resolve_bands(bands, max_hamming, 32)
+        idx = cls(
+            df.sparkSession, path, max_hamming, bands, min_frac,
+            frame=frame, hop=hop, auto_compact_files=auto_compact_files,
+        )
+        idx._banded(idx._fps(df)).write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(path)
+        with open(os.path.join(path, cls.META_FILE), "w") as f:
+            json.dump(
+                {
+                    "max_hamming": max_hamming,
+                    "bands": bands,
+                    "min_frac": min_frac,
+                    "frame": frame,
+                    "hop": hop,
+                    "schema": idx._schema_ddl,
+                },
+                f,
+            )
+        return idx
+
+    @classmethod
+    def load(
+        cls, spark, path: str, auto_compact_files: int | None = None
+    ) -> "AudioDedupIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, cls.META_FILE)) as f:
+            meta = json.load(f)
+        return cls(
+            spark, path, meta["max_hamming"], meta["bands"],
+            meta["min_frac"], frame=meta["frame"], hop=meta["hop"],
+            auto_compact_files=auto_compact_files,
+        )
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        import os
+
+        return os.path.exists(os.path.join(path, cls.META_FILE))
+
+    # -- internals -----------------------------------------------------------
+
+    def _fps(self, media: DataFrame) -> DataFrame:
+        """(media_id, frame_no, fp, n_frames) — the ONE decode+fingerprint
+        pass; every banded view derives from this frame so ``dedup_batch``
+        pins it once and never decodes twice."""
+        from pyspark.sql import Window
+
+        fps = audio_fingerprints(
+            media, frame=self.frame, hop=self.hop
+        ).select("media_id", "frame_no", F.col("afp").alias("fp"))
+        w = Window.partitionBy("media_id")
+        return fps.withColumn("n_frames", F.count("*").over(w))
+
+    def _banded(self, fps: DataFrame) -> DataFrame:
+        from sample_dms_kinesis_rds_mariadb_spark.operators.image_dedup import (
+            _banded,
+        )
+
+        return _banded(
+            fps, ["media_id", "frame_no", "fp", "n_frames"], "fp",
+            self.bands, 32,
+        ).select("band", "key", "media_id", "frame_no", "fp", "n_frames")
+
+    def _probe_banded(self, fps: DataFrame) -> DataFrame:
+        from sample_dms_kinesis_rds_mariadb_spark.operators.image_dedup import (
+            _banded_probe,
+        )
+
+        radius = self.max_hamming // self.bands
+        return _banded_probe(
+            fps, ["media_id", "frame_no", "fp", "n_frames"], "fp",
+            self.bands, 32, radius,
+        ).select("band", "key", "media_id", "frame_no", "fp", "n_frames")
+
+    def _store(self) -> DataFrame:
+        import glob
+        import os
+
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            heal_partitioned_store,
+        )
+
+        heal_partitioned_store(self.path)
+        files = sorted(
+            glob.glob(os.path.join(self.path, "band=*", "*.parquet"))
+        )
+        if not files:
+            return self.spark.createDataFrame([], self._schema_ddl)
+        return self.spark.read.option("basePath", self.path).parquet(*files)
+
+    # -- operations ----------------------------------------------------------
+
+    def probe(self, media: DataFrame) -> DataFrame:
+        """(new_id, stored_id, matched_frames, aligned_matches, match_frac)
+        for every batch clip whose aligned match fraction against a stored
+        clip reaches ``min_frac``. Bucket-bounded equi-join + exact verify
+        + alignment aggregate; self-matches excluded."""
+        return self._probe_fps(self._fps(media))
+
+    def _probe_fps(self, fps: DataFrame) -> DataFrame:
+        from sample_dms_kinesis_rds_mariadb_spark.operators.image_dedup import (
+            _sequence_alignment,
+        )
+
+        new = self._probe_banded(fps).select(
+            "band", "key",
+            F.col("media_id").alias("id_a"),
+            F.col("frame_no").alias("frame_a"),
+            F.col("fp").alias("fp_a"),
+        )
+        store = self._store().select(
+            "band", "key",
+            F.col("media_id").alias("id_b"),
+            F.col("frame_no").alias("frame_b"),
+            F.col("fp").alias("fp_b"),
+        )
+        matches = (
+            new.join(store, ["band", "key"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .filter(
+                F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+                <= F.lit(int(self.max_hamming))
+            )
+            .select("id_a", "frame_a", "id_b", "frame_b")
+            .distinct()
+        )
+        na = fps.groupBy("media_id").agg(
+            F.max("n_frames").alias("_na")
+        ).select(F.col("media_id").alias("id_a"), "_na")
+        nb = self._store().groupBy("media_id").agg(
+            F.max("n_frames").alias("_nb")
+        ).select(F.col("media_id").alias("id_b"), "_nb")
+        return _sequence_alignment(matches, na, nb, self.min_frac).select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("stored_id"),
+            "matched_frames", "aligned_matches", "match_frac",
+        )
+
+    def append(self, media: DataFrame) -> None:
+        self._append_banded(self._banded(self._fps(media)))
+
+    def _append_banded(self, banded: DataFrame) -> None:
+        import glob
+        import os
+
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            heal_partitioned_store,
+        )
+
+        heal_partitioned_store(self.path)
+        banded.write.mode("append").partitionBy("band").parquet(self.path)
+        if self.auto_compact_files is not None:
+            n = len(glob.glob(os.path.join(self.path, "band=*", "*.parquet")))
+            if n >= self.auto_compact_files:
+                self.compact(min_files=self.auto_compact_files)
+
+    def compact(self, min_files: int = 64) -> int:
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            compact_partitioned_store,
+        )
+
+        return compact_partitioned_store(
+            self.spark, self.path, "band", min_files=min_files
+        )
+
+    def dedup_batch(self, media: DataFrame) -> DataFrame:
+        """Survivors of the batch: drop clips aligned-matching the store
+        or a LOWER-id clip in the same batch, then append the batch's
+        fingerprints. The ImageDedupIndex ``dedup_batch`` discipline:
+        ONE decode (pinned fingerprint frame feeds store probe, in-batch
+        self-join, and append), losers pinned before the append,
+        same-batch stored ids excluded for crash-replay idempotence.
+        Clips too short to fingerprint (< 2 frames) have no rows anywhere
+        and survive untouched."""
+        from sample_dms_kinesis_rds_mariadb_spark.operators.image_dedup import (
+            _sequence_alignment,
+        )
+
+        batch_ids = media.select(
+            F.col("media_id").alias("stored_id")
+        ).distinct()
+        fps = self._fps(media).localCheckpoint(eager=True)
+        vs_store = (
+            self._probe_fps(fps)
+            .join(batch_ids, "stored_id", "left_anti")
+            .select(F.col("new_id").alias("media_id"))
+        )
+        a = self._probe_banded(fps).select(
+            "band", "key",
+            F.col("media_id").alias("id_a"),
+            F.col("frame_no").alias("frame_a"),
+            F.col("fp").alias("fp_a"),
+        )
+        b = self._banded(fps).select(
+            "band", "key",
+            F.col("media_id").alias("id_b"),
+            F.col("frame_no").alias("frame_b"),
+            F.col("fp").alias("fp_b"),
+        )
+        in_matches = (
+            a.join(b, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+                <= F.lit(int(self.max_hamming))
+            )
+            .select("id_a", "frame_a", "id_b", "frame_b")
+            .distinct()
+        )
+        counts = fps.groupBy("media_id").agg(F.max("n_frames").alias("_n"))
+        in_batch = _sequence_alignment(
+            in_matches,
+            counts.select(F.col("media_id").alias("id_a"),
+                          F.col("_n").alias("_na")),
+            counts.select(F.col("media_id").alias("id_b"),
+                          F.col("_n").alias("_nb")),
+            self.min_frac,
+        ).select(F.col("id_b").alias("media_id"))
+        losers = (
+            vs_store.union(in_batch).distinct().localCheckpoint(eager=True)
+        )
+        self._append_banded(self._banded(fps))
+        return media.join(losers, "media_id", "left_anti")

@@ -1403,3 +1403,168 @@ def remove_repeated_spans(
         ),
     )
     return joined.withColumn(out, F.array_join(kept, " ")).drop("_starts")
+
+
+class ExactDigestIndex:
+    """Incremental EXACT-duplicate index — the byte-identity dual of
+    :class:`MinHashIndex` for long-lived ingest loops: dedupe new batches
+    against every digest seen so far without re-hashing the corpus.
+
+    The store persists (pfx, digest, doc_id) rows parquet-PARTITIONED BY
+    the digest's first two hex chars (256 partitions): probing a batch
+    equi-joins its digests against the store with partition pruning on
+    the prefix — shuffle volume is batch-sized plus matched store rows,
+    never corpus-sized. Precedence is arrival order (a new row whose
+    digest is already stored loses; in-batch ties keep the lowest id).
+
+    ``dedup_batch`` appends ALL of the batch's digests (survivors and
+    losers), is CRASH-REPLAY idempotent (same-batch stored ids excluded;
+    duplicate store rows collapse in the distinct), and carries the
+    shared maintenance surface (``compact`` rename-swap folding, crash
+    healing, opt-in ``auto_compact_files``)."""
+
+    META_FILE = "_digest_meta.json"
+
+    def __init__(
+        self, spark, path: str, digest_col: str,
+        auto_compact_files: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.digest_col = digest_col
+        self.auto_compact_files = auto_compact_files
+        self._schema_ddl = "pfx STRING, digest STRING, doc_id BIGINT"
+
+    @classmethod
+    def build(
+        cls, df: DataFrame, path: str, id_col: str, digest_col: str,
+        auto_compact_files: int | None = None,
+    ) -> "ExactDigestIndex":
+        import json
+        import os
+
+        idx = cls(
+            df.sparkSession, path, digest_col,
+            auto_compact_files=auto_compact_files,
+        )
+        idx._rows(df, id_col).write.mode("overwrite").partitionBy(
+            "pfx"
+        ).parquet(path)
+        with open(os.path.join(path, cls.META_FILE), "w") as f:
+            json.dump(
+                {"digest_col": digest_col, "schema": idx._schema_ddl}, f
+            )
+        return idx
+
+    @classmethod
+    def load(
+        cls, spark, path: str, auto_compact_files: int | None = None
+    ) -> "ExactDigestIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, cls.META_FILE)) as f:
+            meta = json.load(f)
+        return cls(
+            spark, path, meta["digest_col"],
+            auto_compact_files=auto_compact_files,
+        )
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        import os
+
+        return os.path.exists(os.path.join(path, cls.META_FILE))
+
+    def _rows(self, df: DataFrame, id_col: str) -> DataFrame:
+        return df.select(
+            F.lower(F.substring(F.col(self.digest_col), 1, 2)).alias("pfx"),
+            F.lower(F.col(self.digest_col)).alias("digest"),
+            F.col(id_col).cast("bigint").alias("doc_id"),
+        )
+
+    def _store(self) -> DataFrame:
+        """Snapshot-pinned store frame (the MinHashIndex `_store` rule)."""
+        import glob
+        import os
+
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            heal_partitioned_store,
+        )
+
+        heal_partitioned_store(self.path)
+        files = sorted(glob.glob(os.path.join(self.path, "pfx=*", "*.parquet")))
+        if not files:
+            return self.spark.createDataFrame([], self._schema_ddl)
+        # explicit schema: partition-type inference would read an
+        # all-numeric prefix population (pfx=11, pfx=42 ...) as INT and
+        # the probe join's string pfx would then cast-crash on 'df'
+        return (
+            self.spark.read.schema(self._schema_ddl)
+            .option("basePath", self.path)
+            .parquet(*files)
+        )
+
+    def probe(self, df: DataFrame, id_col: str) -> DataFrame:
+        """(new_id, stored_id) for every batch row whose digest is already
+        stored. Prefix-pruned equi-join; self-matches excluded."""
+        new = self._rows(df, id_col).select(
+            "pfx", "digest", F.col("doc_id").alias("new_id")
+        )
+        store = self._store().select(
+            "pfx", "digest", F.col("doc_id").alias("stored_id")
+        )
+        return (
+            new.join(store, ["pfx", "digest"])
+            .filter(F.col("new_id") != F.col("stored_id"))
+            .select("new_id", "stored_id")
+            .distinct()
+        )
+
+    def append(self, df: DataFrame, id_col: str) -> None:
+        import glob
+        import os
+
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            heal_partitioned_store,
+        )
+
+        heal_partitioned_store(self.path)
+        self._rows(df, id_col).write.mode("append").partitionBy(
+            "pfx"
+        ).parquet(self.path)
+        if self.auto_compact_files is not None:
+            n = len(glob.glob(os.path.join(self.path, "pfx=*", "*.parquet")))
+            if n >= self.auto_compact_files:
+                self.compact(min_files=self.auto_compact_files)
+
+    def compact(self, min_files: int = 64) -> int:
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (
+            compact_partitioned_store,
+        )
+
+        return compact_partitioned_store(
+            self.spark, self.path, "pfx", min_files=min_files
+        )
+
+    def dedup_batch(self, df: DataFrame, id_col: str) -> DataFrame:
+        """Survivors: drop rows whose digest is stored (excluding this
+        batch's own ids — crash-replay idempotence) or duplicated by a
+        LOWER id in the same batch; then append the batch's digests."""
+        batch_ids = df.select(F.col(id_col).alias("stored_id")).distinct()
+        vs_store = (
+            self.probe(df, id_col)
+            .join(batch_ids, "stored_id", "left_anti")
+            .select(F.col("new_id").alias(id_col))
+        )
+        rows = self._rows(df, id_col)
+        in_batch = (
+            rows.groupBy("digest")
+            .agg(F.min("doc_id").alias("_keep"), F.collect_set("doc_id").alias("_ids"))
+            .select(F.explode("_ids").alias(id_col), "_keep")
+            .filter(F.col(id_col) != F.col("_keep"))
+            .select(id_col)
+        )
+        losers = vs_store.union(in_batch).distinct().localCheckpoint(eager=True)
+        self.append(df, id_col)
+        return df.join(losers, id_col, "left_anti")

@@ -497,6 +497,25 @@ def sequence_near_pairs(
         .select("id_a", "frame_a", "id_b", "frame_b")
         .distinct()
     )
+    na = n_frames.select(
+        F.col(id_col).alias("id_a"), F.col("n_frames").alias("_na")
+    )
+    nb = n_frames.select(
+        F.col(id_col).alias("id_b"), F.col("n_frames").alias("_nb")
+    )
+    return _sequence_alignment(matches, na, nb, min_frac)
+
+
+def _sequence_alignment(
+    matches: DataFrame, na: DataFrame, nb: DataFrame, min_frac: float
+) -> DataFrame:
+    """The temporal-alignment aggregate shared by
+    :func:`sequence_near_pairs` and ``AudioDedupIndex.probe``: from
+    verified frame matches (id_a, frame_a, id_b, frame_b), per pair the
+    largest match subset sharing ONE offset frame_b − frame_a (genuine
+    duplicates align, coincidental hits scatter), fractioned by the
+    shorter sequence (``na``/``nb``: (id_a|id_b, _na|_nb) frame counts).
+    Aggregation is bounded by matched pairs — never all-pairs."""
     per_offset = matches.groupBy(
         "id_a", "id_b", (F.col("frame_b") - F.col("frame_a")).alias("_off")
     ).agg(F.count_distinct("frame_a").alias("_n"))
@@ -508,10 +527,8 @@ def sequence_near_pairs(
     )
     return (
         matched.join(aligned, ["id_a", "id_b"])
-        .join(n_frames.select(F.col(id_col).alias("id_a"),
-                              F.col("n_frames").alias("_na")), "id_a")
-        .join(n_frames.select(F.col(id_col).alias("id_b"),
-                              F.col("n_frames").alias("_nb")), "id_b")
+        .join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn(
             "match_frac",
             F.col("aligned_matches") / F.least("_na", "_nb"),

@@ -358,6 +358,233 @@ def curate_stream(
 
 
 @dataclass
+class StreamingMediaCuration:
+    """Handle for a running :func:`curate_media_stream`: the
+    StreamingQuery, the incremental indexes, and the per-trigger funnel
+    log (same accessors as :class:`StreamingCuration`)."""
+
+    query: object  # pyspark.sql.streaming.StreamingQuery
+    image_index: object | None  # operators.image_dedup.ImageDedupIndex
+    sha_index: object | None    # operators.dedup.ExactDigestIndex
+    audio_index: object | None  # operators.audio_dedup.AudioDedupIndex
+    funnel_path: str
+
+    def funnel(self) -> list[dict]:
+        import json
+        import os
+
+        if not os.path.exists(self.funnel_path):
+            return []
+        with open(self.funnel_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
+def curate_media_stream(
+    stream: DataFrame,
+    *,
+    index_path: str,
+    output_path: str,
+    checkpoint: str,
+    id_col: str = "media_id",
+    min_width: int | None = None,
+    min_height: int | None = None,
+    dedup: tuple[str, ...] = ("sha256", "dhash"),
+    dhash_max_hamming: int = 7,
+    audio_index_path: str | None = None,
+    audio_max_hamming: int = 6,
+    audio_min_frac: float = 0.5,
+    auto_compact_files: int | None = None,
+    funnel_path: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingMediaCuration:
+    """The STREAMING dual of :func:`curate_media` (VERDICT r9 #6): decode
+    gate → incremental exact byte dedup → incremental perceptual dedup,
+    composed as one ``foreachBatch`` stage with :func:`curate_stream`'s
+    replay-skip + exactly-once-write machinery.
+
+    Stage shapes (each the library's audited incremental form):
+
+    1. **decode gate** — one Arrow metadata pass per batch
+       (``extract_image_features(fake_decode=True)``); payloads whose
+       REAL decode fails drop, as do images under ``min_width``/
+       ``min_height``.
+    2. **sha256** — :class:`operators.dedup.ExactDigestIndex` at
+       ``index_path + "-sha"``: prefix-partitioned digest store, batch
+       probes never re-hash the corpus.
+    3. **dhash** — :class:`operators.image_dedup.ImageDedupIndex` at
+       ``index_path``: multi-index-hashed perceptual store; a new image
+       within ``dhash_max_hamming`` bits of ANY stored image loses
+       (arrival-order precedence — the streaming analog of the batch
+       façade's lowest-id rule).
+    4. **audio** (opt-in via ``audio_index_path``) — rows with
+       ``media_type = 'audio'`` bypass the image stages and dedup through
+       :class:`operators.audio_dedup.AudioDedupIndex` (decode gate:
+       clips whose real decode fails drop via the same any-bytes Arrow
+       features pass).
+
+    Survivors land under batch-scoped exactly-once file names
+    (:func:`_exactly_once_batch_write`); the per-batch funnel appends to
+    ``funnel_path`` JSONL. Multi-batch arrival is family-equal to the
+    one-shot :func:`curate_media` (first-arrival vs lowest-id survivor)
+    and a replayed batch reproduces identical verdicts (tested)."""
+    import json
+    import os
+
+    from .operators.audio_dedup import AudioDedupIndex
+    from .operators.dedup import ExactDigestIndex
+    from .operators.image_dedup import ImageDedupIndex
+    from .operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    for d in dedup:
+        if d not in ("sha256", "dhash"):
+            raise ValueError(f"unknown media dedup stage {d!r}")
+    spark = stream.sparkSession
+    if funnel_path is None:
+        funnel_path = output_path.rstrip("/") + ".funnel.jsonl"
+    empty = spark.createDataFrame([], stream.schema)
+
+    sha_index = None
+    if "sha256" in dedup:
+        sha_path = index_path.rstrip("/") + "-sha"
+        sha_index = (
+            ExactDigestIndex.load(
+                spark, sha_path, auto_compact_files=auto_compact_files
+            )
+            if ExactDigestIndex.exists(sha_path)
+            else ExactDigestIndex.build(
+                spark.createDataFrame([], f"{id_col} long, sha256 string"),
+                sha_path, id_col, "sha256",
+                auto_compact_files=auto_compact_files,
+            )
+        )
+    image_index = None
+    if "dhash" in dedup:
+        image_index = (
+            ImageDedupIndex.load(
+                spark, index_path, auto_compact_files=auto_compact_files
+            )
+            if ImageDedupIndex.exists(index_path)
+            else ImageDedupIndex.build(
+                empty, index_path, max_hamming=dhash_max_hamming,
+                auto_compact_files=auto_compact_files,
+            )
+        )
+    audio_index = None
+    if audio_index_path is not None:
+        audio_index = (
+            AudioDedupIndex.load(
+                spark, audio_index_path,
+                auto_compact_files=auto_compact_files,
+            )
+            if AudioDedupIndex.exists(audio_index_path)
+            else AudioDedupIndex.build(
+                empty, audio_index_path, max_hamming=audio_max_hamming,
+                min_frac=audio_min_frac,
+                auto_compact_files=auto_compact_files,
+            )
+        )
+
+    def _curate_batch(batch_df, batch_id) -> None:
+        # the curate_stream replay guard verbatim: a batch whose funnel
+        # line committed is skipped; one that crashed mid-write replays
+        # with identical verdicts (index same-batch self-exclusion) and
+        # overwrites its own output files
+        if os.path.exists(funnel_path):
+            with open(funnel_path) as f:
+                done = {
+                    (d.get("checkpoint"), d["batch_id"])
+                    for d in (json.loads(ln) for ln in f if ln.strip())
+                }
+            if (checkpoint, int(batch_id)) in done:
+                return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        n_in = batch_df.count()
+        counts: dict[str, int] = {"input": n_in}
+
+        is_audio = F.col("media_type") == F.lit("audio")
+        images = (
+            batch_df.filter(~is_audio)
+            if audio_index is not None else batch_df
+        )
+        audio = (
+            batch_df.filter(is_audio)
+            if audio_index is not None else None
+        )
+
+        # decode gate (the curate_media stage 1, pinned once per batch)
+        feats = extract_image_features(
+            images.select(id_col, "content"), fake_decode=True
+        ).select(id_col, "format", "width", "height", "sha256")
+        keep = F.col("format") != "fake"
+        if min_width is not None:
+            keep = keep & (F.col("width") >= min_width)
+        if min_height is not None:
+            keep = keep & (F.col("height") >= min_height)
+        kept_feats = feats.filter(keep).localCheckpoint(eager=True)
+        cur = images.join(kept_feats.select(id_col), id_col, "left_semi")
+        counts["decodable"] = cur.count()
+
+        if sha_index is not None:
+            kept_ids = sha_index.dedup_batch(
+                kept_feats.select(id_col, "sha256"), id_col
+            ).select(id_col)
+            cur = cur.join(kept_ids, id_col, "left_semi")
+            counts["dedup_sha256"] = cur.count()
+        if image_index is not None:
+            cur = image_index.dedup_batch(
+                cur.localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True)
+            counts["dedup_dhash"] = cur.count()
+
+        if audio is not None:
+            counts["audio_in"] = audio.count()
+            afeats = extract_audio_features(
+                audio.select(id_col, "content"), fake_decode=True
+            ).select(id_col, "format")
+            decodable = audio.join(
+                afeats.filter(F.col("format") != "fake").select(id_col),
+                id_col, "left_semi",
+            )
+            akept = audio_index.dedup_batch(
+                decodable.localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True)
+            counts["audio_kept"] = akept.count()
+            cur = cur.unionByName(akept)
+
+        _exactly_once_batch_write(cur, output_path, checkpoint, batch_id)
+        counts["kept"] = (
+            counts.get("dedup_dhash", counts.get("dedup_sha256",
+                       counts["decodable"]))
+            + counts.get("audio_kept", 0)
+        )
+        with open(funnel_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {"batch_id": int(batch_id), "checkpoint": checkpoint,
+                     **{k: int(v) for k, v in counts.items()}}
+                )
+                + "\n"
+            )
+
+    writer = stream.writeStream.foreachBatch(_curate_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    os.makedirs(os.path.dirname(funnel_path) or ".", exist_ok=True)
+    return StreamingMediaCuration(
+        query=writer.start(), image_index=image_index, sha_index=sha_index,
+        audio_index=audio_index, funnel_path=funnel_path,
+    )
+
+
+@dataclass
 class CurationResult:
     corpus: DataFrame
     heldout: DataFrame | None

@@ -216,3 +216,139 @@ def test_decode_audio_samples_24_bit_and_features_rms(spark):
     want = float(np.sqrt(np.mean(np.array(samples, dtype=np.float64) ** 2)))
     assert feats["rms"] == pytest.approx(want, rel=1e-12)
     assert feats["bits_per_sample"] == 24 and feats["n_frames"] == 7
+
+
+# -- incremental perceptual audio index (r10) ---------------------------------
+
+
+def _audio_media_df(spark, blobs: dict[int, bytes]):
+    return spark.createDataFrame(
+        [
+            (i, bytearray(b), "audio", f"s://{i}")
+            for i, b in sorted(blobs.items())
+        ],
+        "media_id LONG, content BINARY, media_type STRING, source_uri STRING",
+    )
+
+
+def _clip_family(seed: int, n_samples: int = 26000, rate: int = 8000):
+    """(original WAV, µ-law transcode, 2-hop trim) — the duplicate classes
+    the near-pair engine is proven to catch."""
+    a = _signal(n_samples, rate=rate, seed=seed)
+    orig = _wav([int(x) for x in a], rate=rate)
+    transcode = _wav_tagged(
+        bytes(_ulaw_compress(int(x)) for x in a), 7, rate, 1, 8
+    )
+    trim = _wav([int(x) for x in a[2 * 1024 :]], rate=rate)
+    return orig, transcode, trim
+
+
+def test_audio_index_incremental_equals_one_shot(spark, tmp_path):
+    """AudioDedupIndex (VERDICT r9 #3): arrival-order dedup across 3
+    batches equals the one-shot pair relation applied greedily (a clip
+    loses iff it aligned-matches ANY lower-id clip — ids encode arrival;
+    losers' fingerprints stay in the store so later dups of a dropped
+    clip still dedup)."""
+    fam_a = _clip_family(11)
+    fam_b = _clip_family(31)
+    rng = np.random.default_rng(99)
+    noise = _wav(
+        [int(x) for x in np.clip(rng.normal(0, 8000, 26000), -32000, 32000)],
+        rate=8000,
+    )
+    blobs = {
+        1: fam_a[0], 2: fam_b[0],          # batch 1: two originals
+        101: fam_a[1], 102: noise,          # batch 2: A-transcode + noise
+        201: fam_a[2], 202: fam_b[1],       # batch 3: A-trim + B-transcode
+    }
+    batches = ([1, 2], [101, 102], [201, 202])
+
+    # ground truth: the one-shot pair relation over ALL clips
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ad.audio_near_pairs(
+            _audio_media_df(spark, blobs), max_hamming=6, min_frac=0.5
+        ).collect()
+    }
+    want = [
+        i for i in sorted(blobs)
+        if not any((j, i) in pairs for j in sorted(blobs) if j < i)
+    ]
+
+    idx = ad.AudioDedupIndex.build(
+        _audio_media_df(spark, {}), str(tmp_path / "aud-idx"),
+        max_hamming=6, min_frac=0.5,
+    )
+    survivors = []
+    for ids in batches:
+        kept = idx.dedup_batch(
+            _audio_media_df(spark, {i: blobs[i] for i in ids})
+        )
+        survivors.extend(r["media_id"] for r in kept.collect())
+    assert sorted(survivors) == want
+    assert 101 not in survivors and 201 not in survivors  # A dups dropped
+    assert 202 not in survivors                           # B transcode dropped
+    assert {1, 2, 102} <= set(survivors)
+
+
+def test_audio_index_replay_reload_compact_and_short_clips(spark, tmp_path):
+    """Crash-replay idempotence (same-batch stored ids excluded; duplicate
+    store rows collapse), reload-from-meta, compaction preserving probes,
+    and the too-short-to-fingerprint survivor rule."""
+    import glob
+    import os
+
+    fam = _clip_family(17)
+    path = str(tmp_path / "aud-idx")
+    idx = ad.AudioDedupIndex.build(
+        _audio_media_df(spark, {}), path, max_hamming=6, min_frac=0.5,
+        bands=3,
+    )
+    batch = _audio_media_df(
+        spark, {0: fam[0], 1: fam[1], 2: _wav([5, -5, 5, -5], rate=8000)}
+    )
+    first = sorted(r["media_id"] for r in idx.dedup_batch(batch).collect())
+    # 1 (transcode) loses to 0 in-batch; 2 is too short to fingerprint
+    # (no frames -> no pairs) and survives
+    assert first == [0, 2]
+    replay = sorted(r["media_id"] for r in idx.dedup_batch(batch).collect())
+    assert replay == first  # crash-replay: identical verdicts, not []
+
+    # a later near-dup of the DROPPED clip still dedups (loser signatures
+    # were appended)
+    later = _audio_media_df(spark, {9: fam[2]})
+    reloaded = ad.AudioDedupIndex.load(spark, path)
+    assert (reloaded.max_hamming, reloaded.bands, reloaded.min_frac) == (
+        6, 3, 0.5
+    )
+    probe = reloaded.probe(later).collect()
+    assert {r["stored_id"] for r in probe} >= {0, 1}
+    assert reloaded.dedup_batch(later).count() == 0
+
+    # compaction folds files; probes unchanged
+    probe_before = sorted(
+        (r["new_id"], r["stored_id"])
+        for r in reloaded.probe(_audio_media_df(spark, {7: fam[0]})).collect()
+    )
+    n_before = len(glob.glob(os.path.join(path, "band=*", "*.parquet")))
+    assert reloaded.compact(min_files=1) > 0
+    assert len(glob.glob(os.path.join(path, "band=*", "*.parquet"))) < n_before
+    probe_after = sorted(
+        (r["new_id"], r["stored_id"])
+        for r in reloaded.probe(_audio_media_df(spark, {7: fam[0]})).collect()
+    )
+    assert probe_after == probe_before and probe_before
+
+
+def test_audio_index_probe_plan_shape(spark, tmp_path):
+    """The probe is a bucket-bounded equi-join: no cartesian product, no
+    Python beyond the Arrow fingerprint pass."""
+    fam = _clip_family(23)
+    path = str(tmp_path / "aud-idx")
+    idx = ad.AudioDedupIndex.build(
+        _audio_media_df(spark, {0: fam[0]}), path, max_hamming=6
+    )
+    probe = idx.probe(_audio_media_df(spark, {5: fam[1]}))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -564,3 +564,71 @@ def test_dedup_batch_replay_is_idempotent(spark, tmp_path):
         schema,
     )
     assert idx.dedup_batch(later, "text").count() == 0
+
+
+# -- incremental exact-digest index (r10) -------------------------------------
+
+
+def test_exact_digest_index_incremental_and_replay(spark, tmp_path):
+    """ExactDigestIndex: arrival-order exact dedup across batches (a new
+    row whose digest was EVER seen loses; in-batch ties keep the lowest
+    id), crash-replay idempotent, reload + compact preserve probes."""
+    import glob
+    import os
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        ExactDigestIndex,
+    )
+
+    schema = "doc_id long, sha256 string"
+    path = str(tmp_path / "sha-idx")
+    idx = ExactDigestIndex.build(
+        spark.createDataFrame([], schema), path, "doc_id", "sha256"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "aa11"), (2, "bb22"), (3, "aa11")], schema  # 3 ties 1 in-batch
+    )
+    kept1 = sorted(r["doc_id"] for r in idx.dedup_batch(b1, "doc_id").collect())
+    assert kept1 == [1, 2]
+    # replay: same verdicts, not [] (same-batch stored ids excluded)
+    assert sorted(
+        r["doc_id"] for r in idx.dedup_batch(b1, "doc_id").collect()
+    ) == [1, 2]
+    # batch 2: digest of a DROPPED row still dedups; case-insensitive
+    b2 = spark.createDataFrame([(10, "AA11"), (11, "cc33")], schema)
+    assert sorted(
+        r["doc_id"] for r in idx.dedup_batch(b2, "doc_id").collect()
+    ) == [11]
+    # probe surfaces cross-batch collisions, prefix-partitioned store
+    reloaded = ExactDigestIndex.load(spark, path)
+    probe = reloaded.probe(
+        spark.createDataFrame([(99, "bb22")], schema), "doc_id"
+    ).collect()
+    assert {(r["new_id"], r["stored_id"]) for r in probe} == {(99, 2)}
+    assert glob.glob(os.path.join(path, "pfx=aa", "*.parquet"))
+    n_before = len(glob.glob(os.path.join(path, "pfx=*", "*.parquet")))
+    assert reloaded.compact(min_files=1) > 0
+    assert len(glob.glob(os.path.join(path, "pfx=*", "*.parquet"))) < n_before
+    probe2 = reloaded.probe(
+        spark.createDataFrame([(99, "bb22")], schema), "doc_id"
+    ).collect()
+    assert {(r["new_id"], r["stored_id"]) for r in probe2} == {(99, 2)}
+
+
+def test_exact_digest_index_probe_plan_prunes_partitions(spark, tmp_path):
+    """The probe equi-joins on (pfx, digest): no cartesian product and the
+    store scan carries the pfx partition column."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        ExactDigestIndex,
+    )
+
+    schema = "doc_id long, sha256 string"
+    path = str(tmp_path / "sha-idx")
+    idx = ExactDigestIndex.build(
+        spark.createDataFrame([(1, "ab01"), (2, "cd02")], schema),
+        path, "doc_id", "sha256",
+    )
+    probe = idx.probe(spark.createDataFrame([(9, "ab01")], schema), "doc_id")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -466,3 +466,177 @@ def test_curate_stream_crash_between_write_and_funnel_is_exactly_once(
         json.loads(ln) for ln in open(run2.funnel_path) if ln.strip()
     ]
     assert len(replayed) == n_batches  # the funnel line was re-committed
+
+
+# -- streaming MEDIA curation (r10: VERDICT item 6) ---------------------------
+
+MEDIA_SCHEMA = (
+    "media_id LONG, content BINARY, media_type STRING, source_uri STRING"
+)
+
+
+def _media_batch_file(spark, src_dir: str, name: str, rows) -> None:
+    """Write one parquet FILE into the streaming source dir (one trigger
+    with maxFilesPerTrigger=1)."""
+    import glob
+    import shutil
+
+    tmp = os.path.join(src_dir, f".stage-{name}")
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+    os.replace(part, os.path.join(src_dir, f"{name}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _media_blobs():
+    """Image families + audio family + a corrupt payload, ids encoding
+    arrival order across 3 batches."""
+    import numpy as np
+
+    from tests.gif_writer import write_gif
+    from tests.test_audio_dedup import _clip_family
+    from tests.test_operators import _wav  # noqa: F401 (via _clip_family)
+
+    rng = np.random.default_rng(9)
+
+    def ppm(px):
+        h, w, _ = px.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+    palette = rng.integers(0, 256, (16, 3), dtype=np.int64)
+    idx = rng.integers(0, 16, (24, 32))
+    base_px = palette[idx]
+    gif_blob = write_gif(
+        [{"indices": idx.astype(np.uint8).tobytes()}],
+        32, 24, palette.astype(np.uint8).tobytes(),
+    )
+    u1 = ppm(rng.integers(0, 256, (24, 32, 3), dtype=np.int64))
+    u2 = ppm(rng.integers(0, 256, (24, 32, 3), dtype=np.int64))
+    audio_orig, audio_transcode, _ = _clip_family(11)
+    blobs = {
+        1: ("image", ppm(base_px)),          # batch 1: original
+        2: ("audio", audio_orig),            # batch 1: audio original
+        3: ("image", u1),                    # batch 1: unrelated
+        101: ("image", ppm(base_px)),        # batch 2: exact byte dup of 1
+        102: ("image", b"\x00\x01not-an-image"),  # batch 2: decode-gate drop
+        103: ("image", gif_blob),            # batch 2: GIF re-encode of 1
+        201: ("audio", audio_transcode),     # batch 3: transcode of 2
+        202: ("image", u2),                  # batch 3: unrelated
+    }
+    return blobs, ([1, 2, 3], [101, 102, 103], [201, 202])
+
+
+def test_curate_media_stream_family_equal_and_audio(spark, tmp_path):
+    """curate_media_stream: 3-batch arrival must equal the one-shot
+    curate_media over the image rows (ids encode arrival, so survivors
+    match exactly: sha dup, perceptual GIF re-encode, and the corrupt
+    payload all drop) and the opt-in audio branch drops the µ-law
+    transcode of a batch-1 clip via AudioDedupIndex."""
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import (
+        curate_media,
+        curate_media_stream,
+    )
+
+    blobs, batches = _media_blobs()
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    for i, ids in enumerate(batches):
+        _media_batch_file(
+            spark, src, f"b{i}",
+            [(j, bytearray(blobs[j][1]), blobs[j][0], f"s://{j}")
+             for j in ids],
+        )
+    run = curate_media_stream(
+        spark.readStream.schema(MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        index_path=str(tmp_path / "img-idx"),
+        output_path=str(tmp_path / "media-out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        audio_index_path=str(tmp_path / "aud-idx"),
+    )
+    await_finished(run.query)
+    got = sorted(
+        r["media_id"]
+        for r in spark.read.parquet(str(tmp_path / "media-out")).collect()
+    )
+
+    # one-shot image reference: same rows, batch façade
+    image_rows = [
+        (j, bytearray(b), t, f"s://{j}")
+        for j, (t, b) in sorted(blobs.items()) if t == "image"
+    ]
+    res = curate_media(
+        spark.createDataFrame(image_rows, MEDIA_SCHEMA), report=False
+    )
+    want_images = sorted(r["media_id"] for r in res.corpus.collect())
+    assert [i for i in got if blobs[i][0] == "image"] == want_images
+    assert want_images == [1, 3, 202]   # 101 sha, 103 dhash, 102 gated
+    assert [i for i in got if blobs[i][0] == "audio"] == [2]  # 201 transcode
+
+    funnel = run.funnel()
+    assert [f["batch_id"] for f in funnel] == [0, 1, 2]
+    assert funnel[1]["input"] == 3 and funnel[1]["decodable"] == 2
+    assert funnel[1]["dedup_sha256"] == 1    # 101 dropped vs stored digest
+    assert funnel[1]["dedup_dhash"] == 0     # 103 dropped vs stored dhash
+    assert funnel[2]["audio_in"] == 1 and funnel[2]["audio_kept"] == 0
+    assert sum(f["kept"] for f in funnel) == len(got)
+
+
+def test_curate_media_stream_replay_is_exactly_once(spark, tmp_path):
+    """A replayed media micro-batch (crash between the parquet write and
+    the funnel commit) reproduces identical verdicts and OVERWRITES its
+    own files — no duplicate survivors."""
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import (
+        curate_media_stream,
+    )
+
+    blobs, batches = _media_blobs()
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    for i, ids in enumerate(batches):
+        _media_batch_file(
+            spark, src, f"b{i}",
+            [(j, bytearray(blobs[j][1]), blobs[j][0], f"s://{j}")
+             for j in ids],
+        )
+    kwargs = dict(
+        index_path=str(tmp_path / "img-idx"),
+        output_path=str(tmp_path / "media-out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        audio_index_path=str(tmp_path / "aud-idx"),
+    )
+
+    def _stream():
+        return (
+            spark.readStream.schema(MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    run = curate_media_stream(_stream(), **kwargs)
+    await_finished(run.query)
+    before = sorted(
+        r["media_id"]
+        for r in spark.read.parquet(kwargs["output_path"]).collect()
+    )
+    lines = open(run.funnel_path).read().strip().splitlines()
+    last_id = max(json.loads(ln)["batch_id"] for ln in lines)
+    with open(run.funnel_path, "w") as f:
+        for ln in lines:
+            if json.loads(ln)["batch_id"] != last_id:
+                f.write(ln + "\n")
+    os.remove(os.path.join(kwargs["checkpoint"], "commits", str(last_id)))
+    crc = os.path.join(kwargs["checkpoint"], "commits", f".{last_id}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run2 = curate_media_stream(_stream(), **kwargs)
+    await_finished(run2.query)
+    after = sorted(
+        r["media_id"]
+        for r in spark.read.parquet(kwargs["output_path"]).collect()
+    )
+    assert after == before
+    assert len(run2.funnel()) == len(lines)
