@@ -463,6 +463,69 @@ def main() -> None:
     ).format("noop").save()
     timings["image_dhash_near_dups"] = round(time.perf_counter() - t0, 3)
 
+    # 9b') MIH hamming join at a hostile radius (VERDICT r9 item 7): 50k+
+    # synthetic 64-bit fingerprints (md5 of doc ids — SQL-rebuildable, a
+    # planted near-dup every 8th row) joined at max_hamming=7 through the
+    # r10 multi-index-hashing default (4 wide 16-bit bands × 17-mask
+    # radius ball) — the configuration where the old 8×8-bit banding's
+    # n²/256 candidate explosion lived. Candidate counts for the A/B go
+    # to the bench sidecar (mih_candidates).
+    from pyspark.sql import functions as _F
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators import (
+        image_dedup as _idd,
+    )
+
+    _n_fp = max(int(500_000 * _sf_num), 50_000)
+    # 15 hex chars = 60 bits: stays under 2^63 so the string->long cast
+    # never overflows to null
+    _base_fp = _F.conv(
+        _F.substring(_F.md5((_F.col("id") / 8).cast("long").cast("string")),
+                     1, 15), 16, 10,
+    ).cast("long")
+    # every 8th row flips one planted bit of its group's base fingerprint
+    # (a hamming-1 near-dup; the other 7 are exact dups of each other)
+    _fps_df = (
+        spark.range(_n_fp)
+        .select(
+            _F.col("id").alias("media_id"),
+            _F.when(
+                _F.col("id") % 8 == 0,
+                _base_fp.bitwiseXOR(
+                    _F.expr("shiftleft(1L, cast(id % 61 AS INT))")
+                ),
+            ).otherwise(_base_fp).alias("dhash"),
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)  # fixture synthesis untimed
+    )
+    t0 = time.perf_counter()
+    _idd.banded_hamming_pairs(
+        _fps_df, max_hamming=7
+    ).write.mode("overwrite").format("noop").save()
+    timings["mih_hamming_r7_50k"] = round(time.perf_counter() - t0, 3)
+    # candidate-count A/B (untimed diagnostics for BASELINE.md): rows
+    # meeting in (band, key) buckets before the hamming verify
+    def _candidates(bands: int) -> int:
+        b, radius = _idd._resolve_bands(bands, 7, 64)
+        probe = _idd._banded_probe(
+            _fps_df, ["media_id"], "dhash", b, 64, radius
+        ).select("band", "key", _F.col("media_id").alias("id_a"))
+        build = _idd._banded(
+            _fps_df, ["media_id"], "dhash", b, 64
+        ).select("band", "key", _F.col("media_id").alias("id_b"))
+        return (
+            probe.join(build, ["band", "key"])
+            .filter(_F.col("id_a") < _F.col("id_b"))
+            .count()
+        )
+
+    mih_candidates = {
+        "n_fingerprints": _n_fp,
+        "naive_bands8": _candidates(8),
+        "mih_bands4": _candidates(None),
+    }
+
     # 9c) perceptual audio dedup (r9): synthesized WAV payloads (tone
     # mixtures; every 4th is its predecessor time-shifted by two hops —
     # a planted near-dup family) → real PCM decode → Haitsma-Kalker
@@ -697,6 +760,7 @@ def main() -> None:
         "calibration_prev": calibration_prev,
         "contaminated": contaminated,
         "quiet_wait_sec": waited_sec,
+        "mih_candidates": mih_candidates,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json")
