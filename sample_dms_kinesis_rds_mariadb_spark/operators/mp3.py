@@ -5,10 +5,10 @@ Covers the curation-relevant surface of an MP3 payload without decoding
 audio: ID3v1 / ID3v2.2-2.4 tags, the MPEG audio frame-header walk
 (version, layer, bitrate, sample rate, channel mode, per-frame length
 arithmetic from ISO/IEC 11172-3 §2.4.2.3 / 13818-3), and the Xing/Info
-and VBRI VBR headers for exact VBR durations. Full PCM decode (Huffman +
-IMDCT + synthesis filterbank) needs a codec library this container
-doesn't have and raises ``NotImplementedError`` — same honest boundary
-as ``decode_audio``.
+and VBRI VBR headers for exact VBR durations. PCM SAMPLE decode (r10)
+lives in ``operators/mp3_layer3.py`` — real for MPEG-1 Layer III, with
+the Huffman-table-subset and MPEG-2/2.5 boundaries documented there —
+and is re-exported here as :func:`decode_mp3_audio`.
 
 Reference behavior parity: the reference pipeline treats media as opaque
 payloads with typed metadata (SURVEY.md multimodal mandate); this module
@@ -286,12 +286,15 @@ def mp3_metadata(content: bytes) -> dict:
     }
 
 
-def decode_mp3_audio(content: bytes) -> bytes:
-    """PCM decode is out of scope — Layer III needs Huffman tables, IMDCT
-    and the polyphase synthesis filterbank (a codec library this
-    environment doesn't have). Metadata (``mp3_metadata``) is the real,
-    tested surface."""
-    raise NotImplementedError(
-        "MP3 PCM decode requires a codec library — mp3_metadata() extracts "
-        "the container metadata for real"
+def decode_mp3_audio(content: bytes):
+    """(sample_rate, channels, interleaved float64 PCM-domain samples) —
+    REAL MPEG-1 Layer III sample decode (r10): Huffman spectrum,
+    requantization, stereo, alias butterflies, IMDCT, and the polyphase
+    synthesis live in ``operators/mp3_layer3.py`` (see its docstring for
+    the two documented boundaries: the verified Huffman-table subset and
+    MPEG-2/2.5)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp3_layer3 import (
+        decode_mp3_samples,
     )
+
+    return decode_mp3_samples(content)

@@ -1006,6 +1006,23 @@ def _decode_audio_real(content: bytes) -> tuple[int, int, int, int, int, str]:
             meta["sample_rate"], meta["channels"], meta["bits_per_sample"],
             meta["total_samples"], 0, "flac",
         )
+    if content[:3] == b"ID3" or (
+        len(content) >= 4
+        and content[0] == 0xFF
+        and (content[1] & 0xE0) == 0xE0
+    ):
+        # MPEG audio (r10): frame-walk metadata is real for all layers;
+        # sample decode (decode_audio_samples) covers MPEG-1 Layer III
+        from sample_dms_kinesis_rds_mariadb_spark.operators.mp3 import (
+            mp3_metadata,
+        )
+
+        meta = mp3_metadata(content)
+        return (
+            meta["sample_rate"], meta["channels"], 16,
+            int(round(meta["duration_sec"] * meta["sample_rate"])), 0,
+            "mp3",
+        )
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         pos = 12
         fmt = None
@@ -1085,6 +1102,18 @@ def decode_audio_samples(content: bytes):
 
         rate, ch, out, _n = decode_flac_samples(content)
         return rate, ch, out.astype(np.float64)
+    if content[:3] == b"ID3" or (
+        len(content) >= 4
+        and content[0] == 0xFF
+        and (content[1] & 0xE0) == 0xE0
+    ):
+        # MPEG-1 Layer III decodes for real (operators/mp3_layer3.py,
+        # r10); samples come back in the ±32768 PCM domain like WAV16
+        from sample_dms_kinesis_rds_mariadb_spark.operators.mp3_layer3 import (
+            decode_mp3_samples,
+        )
+
+        return decode_mp3_samples(content)
     rate, ch, bits, n_frames, off, kind = decode_audio(content)
     if kind == "wav-adpcm":
         _r, _c, out, _n = decode_wav_adpcm_samples(content)

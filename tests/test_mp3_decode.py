@@ -1,0 +1,290 @@
+"""MPEG-1 Layer III sample decode vs the independent spec-derived
+encoder (tests/mp3_writer.py — the flac_writer/jpeg_writer adversarial
+pattern): structural completeness of every shipped Huffman table,
+filterbank and MDCT stage exactness, full encode→decode distortion
+bounds (mono, LR stereo, MS stereo, bit reservoir), the documented
+boundaries, and the transcode-detection class through
+audio_dedup.audio_near_pairs (WAV original vs MP3 re-encode)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sample_dms_kinesis_rds_mariadb_spark.operators import mp3_layer3 as L3
+from tests.mp3_writer import analyze_subbands, write_mp3
+
+
+def _tone(n, rate=44100, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    return (
+        9000 * np.sin(2 * np.pi * 440 * t)
+        + 4000 * np.sin(2 * np.pi * 1200 * t + 0.6)
+        + 1500 * np.sin(2 * np.pi * 3300 * t + 1.1)
+        + 40 * rng.normal(size=n)
+    )
+
+
+def _snr(ref, got):
+    err = ref - got
+    return 10 * np.log10((ref @ ref) / (err @ err + 1e-30))
+
+
+_DELAY = 1087  # 511 (polyphase pair) + 576 (MDCT granule TDAC)
+
+
+# --- structural table validation ---------------------------------------------
+
+
+def test_huffman_tables_are_complete_prefix_codes():
+    """Every shipped code table is a COMPLETE prefix code (Kraft sum
+    exactly 1, unique codewords, no codeword prefixing another) — the
+    property that makes the decoder total on any bit pattern."""
+    tables = {f"big{tid}": (l, c) for tid, (_d, l, c) in L3.HUFF_BIG.items()}
+    tables["count1A"] = L3.HUFF_COUNT1A
+    for name, (lens, codes) in tables.items():
+        kraft = sum(2.0 ** -l for l in lens)
+        assert kraft == 1.0, f"{name}: Kraft sum {kraft}"
+        bits = [format(c, f"0{l}b") for l, c in zip(lens, codes)]
+        assert all(len(b) == ln for b, ln in zip(bits, lens)), name
+        assert len(set(bits)) == len(bits), f"{name}: duplicate codeword"
+        for a in bits:
+            for b in bits:
+                assert a == b or not b.startswith(a), (
+                    f"{name}: {a} prefixes {b}"
+                )
+    for tid, (dim, lens, _c) in L3.HUFF_BIG.items():
+        assert len(lens) == dim * dim, f"table {tid} shape"
+
+
+def test_huffman_roundtrip_every_symbol():
+    """Encode every symbol of every table with its own codeword and
+    decode it back — the tree builder and the bit-at-a-time decoder
+    agree on the whole alphabet."""
+    for tid, (dim, lens, codes) in L3.HUFF_BIG.items():
+        bw_bits = []
+        for ln, cd in zip(lens, codes):
+            bw_bits.extend((cd >> (ln - 1 - i)) & 1 for i in range(ln))
+        data = bytearray()
+        acc = list(bw_bits) + [0] * 7
+        for i in range(0, len(bw_bits), 8):
+            data.append(int("".join(map(str, acc[i : i + 8])), 2))
+        br = L3.BitReader(bytes(data))
+        for sym in range(dim * dim):
+            got = L3._huff_decode(br, L3._BIG_TREES[tid], L3._MAXLEN_BIG[tid])
+            assert got == sym, (tid, sym)
+
+
+# --- stage exactness ---------------------------------------------------------
+
+
+def test_polyphase_pair_snr():
+    """Analysis (independent encoder direction) → PolyphaseSynth must
+    reconstruct at ≥ 55 dB with unit gain and 511-sample delay — the
+    computed near-PR prototype's frozen contract."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=8192)
+    S = analyze_subbands(x)
+    y = L3.PolyphaseSynth().run(S)
+    a = x[2000:7000]
+    b = y[2000 + 511 : 7000 + 511]
+    g = (a @ b) / (b @ b)
+    assert abs(g - 1.0) < 0.01
+    assert _snr(a, b) > 55.0
+
+
+def test_alias_butterflies_are_exact_inverses():
+    from tests.mp3_writer import _alias_encode
+
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=576)
+    assert np.max(np.abs(L3.alias_reduce(_alias_encode(v)) - v)) < 1e-12
+    # and the decoder-side inverse flag round-trips too
+    assert np.max(
+        np.abs(L3.alias_reduce(L3.alias_reduce(v, inverse=True)) - v)
+    ) < 1e-12
+
+
+def test_mdct_tdac_chain_is_lossless():
+    """Encoder spectrum → alias_reduce → IMDCT → overlap-add reproduces
+    the subband stream exactly (one-granule TDAC delay, > 200 dB)."""
+    from tests.mp3_writer import _granule_spectrum
+
+    rng = np.random.default_rng(5)
+    x = 1000 * rng.normal(size=18 * 32 * 12)
+    S = analyze_subbands(x)
+    ov = np.zeros((32, 18))
+    recs = []
+    for gr in range(10):
+        spec = _granule_spectrum(S, gr)
+        ss, ov = L3.imdct_granule(L3.alias_reduce(spec), 0, ov)
+        recs.append(ss)
+    rec = np.concatenate(recs, axis=0)
+    a = S[18 * 1 : 18 * 8].reshape(-1)
+    b = rec[18 * 1 + 18 : 18 * 8 + 18].reshape(-1)
+    assert _snr(a, b) > 200.0
+
+
+# --- full round trips --------------------------------------------------------
+
+
+def test_mono_roundtrip_distortion_bound():
+    rate = 44100
+    x = _tone(rate // 2, rate)
+    sr, ch, y = L3.decode_mp3_samples(write_mp3(x, rate, 1))
+    assert (sr, ch) == (rate, 1)
+    a = x[3000:18000]
+    b = y[3000 + _DELAY : 18000 + _DELAY]
+    assert _snr(a, b) > 18.0                       # stated distortion bound
+    assert abs(np.sqrt((b * b).mean()) / np.sqrt((a * a).mean()) - 1) < 0.1
+
+
+def test_stereo_lr_and_ms_roundtrip():
+    rate = 44100
+    base = _tone(rate // 2, rate, seed=7)
+    left, right = base, np.roll(base, 11) * 0.6
+    inter = np.empty(2 * len(base))
+    inter[0::2], inter[1::2] = left, right
+    for mode in ("lr", "ms"):
+        sr, ch, y = L3.decode_mp3_samples(
+            write_mp3(inter, rate, 2, mode=mode)
+        )
+        assert (sr, ch) == (rate, 2)
+        for ref, got in ((left, y[0::2]), (right, y[1::2])):
+            a = ref[3000:15000]
+            b = got[3000 + _DELAY : 15000 + _DELAY]
+            assert _snr(a, b) > 16.0, mode
+
+
+def test_bit_reservoir_roundtrip_and_truncated_start():
+    """main_data_begin back-pointers: a stream whose frames each donate
+    their first 40 main-data bytes to the previous frame decodes
+    byte-identically to the no-reservoir stream; a stream cut mid-
+    reservoir skips cleanly to the first self-contained frame."""
+    rate = 44100
+    x = _tone(rate // 2, rate, seed=9)
+    plain = write_mp3(x, rate, 1)
+    res = write_mp3(x, rate, 1, reservoir_shift=40)
+    assert plain != res
+    _sr, _ch, y0 = L3.decode_mp3_samples(plain)
+    _sr, _ch, y1 = L3.decode_mp3_samples(res)
+    assert np.array_equal(y0, y1)
+    frame_len = 144 * 320000 // rate
+    _sr, _ch, y2 = L3.decode_mp3_samples(res[frame_len:])
+    # frame 1 is consumed as reservoir priming (begin > available), the
+    # rest decodes: 2 frames' worth shorter than the full stream
+    assert len(y2) == len(y1) - 2 * 1152
+
+
+def test_documented_boundaries_raise():
+    from tests.test_media_containers import mp3_frame
+
+    with pytest.raises(NotImplementedError, match="MPEG-2"):
+        L3.decode_mp3_samples(mp3_frame(mpeg1=False, bitrate_idx=4))
+    with pytest.raises(NotImplementedError, match="Layer"):
+        L3.decode_mp3_samples(mp3_frame(layer3=False))
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        L3.decode_mp3_samples(b"\x00" * 64)
+    # a frame whose side info selects an unverified Huffman table: build
+    # a zero frame and set granule-0 table_select[0]=16 with nonzero
+    # big_values (bit layout: side info starts at byte 4; granule fields
+    # begin after 9+5+4=18 bits; big_values at +12, table_select[0] at
+    # +12+9+8+4+1 = +34 bits -> bit 52 overall)
+    frame = bytearray(mp3_frame(mono=True))
+    base = 4 * 8 + 18
+    for i, bit in enumerate(f"{3:09b}"):        # big_values = 3
+        if bit == "1":
+            pos = base + 12 + i
+            frame[pos // 8] |= 0x80 >> (pos % 8)
+    for i, bit in enumerate(f"{16:05b}"):       # table_select[0] = 16
+        if bit == "1":
+            pos = base + 34 + i
+            frame[pos // 8] |= 0x80 >> (pos % 8)
+    # part2_3_length must cover the spectrum bits: set to 200
+    for i, bit in enumerate(f"{200:012b}"):
+        if bit == "1":
+            pos = base + i
+            frame[pos // 8] |= 0x80 >> (pos % 8)
+    with pytest.raises(NotImplementedError, match="table 16"):
+        L3.decode_mp3_samples(bytes(frame))
+
+
+# --- dispatch + perceptual-dedup integration ---------------------------------
+
+
+def test_decode_audio_samples_dispatch_and_features(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        decode_audio,
+        decode_audio_samples,
+        extract_audio_features,
+    )
+
+    rate = 44100
+    x = _tone(rate // 2, rate)
+    blob = write_mp3(x, rate, 1)
+    meta = decode_audio(blob)
+    assert meta[0] == rate and meta[1] == 1 and meta[5] == "mp3"
+    sr, ch, samples = decode_audio_samples(blob)
+    assert sr == rate and ch == 1 and len(samples) > len(x)
+    df = spark.createDataFrame(
+        [(0, bytearray(blob))], "media_id LONG, content BINARY"
+    )
+    row = extract_audio_features(df).collect()[0]
+    assert row["format"] == "mp3" and row["rms"] is not None
+    # rms within 12% of the source signal's (quantization + delay pads)
+    assert row["rms"] == pytest.approx(float(np.sqrt((x * x).mean())),
+                                       rel=0.12)
+
+
+def _signal_fm(n, rate, seed=0):
+    """Tones + FM sweep + noise — the audio_dedup test-signal family:
+    band energies vary over time, which is what the Haitsma-Kalker
+    second-difference bits encode."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    sig = (
+        6000 * np.sin(2 * np.pi * 440 * t)
+        + 3500 * np.sin(2 * np.pi * 880 * t + 0.7)
+        + 2000 * np.sin(2 * np.pi * 1760 * t + 1.3)
+        + 900 * np.sin(2 * np.pi * (500 + 300 * np.sin(2 * np.pi * 0.7 * t)) * t)
+        + 150 * rng.normal(size=n)
+    )
+    return np.clip(sig, -32000, 32000)
+
+
+def test_wav_vs_mp3_transcode_detected_by_audio_near_pairs(spark):
+    """The crawl-dedup class that motivated the decoder: the SAME audio
+    as WAV PCM16 and as an MP3 re-encode must pair via the perceptual
+    fingerprints; unrelated audio must not. Operating point: the test
+    encoder's verified-Huffman-subset quantizer distorts at ~21 dB —
+    HARSHER than any real 128-320 kbps encoder (-35..-45 dB) — so the
+    matcher runs at max_hamming=10 / min_frac=0.3, i.e. the published
+    Haitsma-Kalker BER threshold (0.35 ≈ 11 of 32 bits), where the
+    measured separation is transcode 0.46 vs unrelated 0.06."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.audio_dedup import (
+        audio_near_pairs,
+    )
+    from tests.test_operators import _wav
+
+    rate = 44100
+    x = _signal_fm(2 * rate, rate, seed=5)
+    wav_blob = _wav([int(v) for v in x], rate=rate)
+    mp3_blob = write_mp3(x, rate, 1)
+    rng = np.random.default_rng(13)
+    noise = _wav(
+        [int(v) for v in np.clip(rng.normal(0, 8000, 2 * rate), -32000,
+                                 32000)],
+        rate=rate,
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(wav_blob)), (1, bytearray(mp3_blob)),
+         (2, bytearray(noise))],
+        "media_id LONG, content BINARY",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["match_frac"]
+        for r in audio_near_pairs(df, max_hamming=10, min_frac=0.3).collect()
+    }
+    assert (0, 1) in pairs, "WAV->MP3 transcode not detected"
+    assert not any(2 in p for p in pairs), "unrelated audio matched"

@@ -426,10 +426,15 @@ def test_decode_audio_real_wav():
     rate, ch, bits, n_frames, _, _ = multimodal.decode_audio(stereo)
     assert (rate, ch, n_frames) == (44100, 2, 3)
 
+    # r10: MPEG frames are no longer a boundary — a sync-valid payload
+    # surfaces real container metadata (format 'mp3')
+    assert multimodal.decode_audio(b"\xff\xfb\x90\x00 mp3 frame")[5] == "mp3"
+    # a codec with no decoder (Ogg) keeps the honest boundary
+    ogg = b"OggS" + b"\x00" * 24
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"\xff\xfb\x90\x00 mp3 frame")
-    fake = multimodal.decode_audio(b"\xff\xfb\x90\x00 mp3 frame", fake=True)
-    assert fake == multimodal.decode_audio(b"\xff\xfb\x90\x00 mp3 frame", fake=True)
+        multimodal.decode_audio(ogg)
+    fake = multimodal.decode_audio(ogg, fake=True)
+    assert fake == multimodal.decode_audio(ogg, fake=True)
     assert fake[5] == "fake"
 
     # non-PCM WAV is a codec boundary, not silent garbage
