@@ -1874,6 +1874,70 @@ def q_image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mih_hamming_near_pairs",
+    "Multi-index-hashing hamming self-join (operators/image_dedup.py "
+    "banded_hamming_pairs, r10): synthetic 60-bit fingerprints derived "
+    "from md5 (SQL-rebuildable, a planted 1-bit near-dup every 8th row) "
+    "joined at max_hamming=7 through the MIH default (4 wide 16-bit "
+    "bands x 17-mask radius ball) must reproduce the brute-force "
+    "all-pairs SQL EXACTLY — the generalized-pigeonhole exactness "
+    "guarantee, proven against the oracle. EXTRA: oracle-checked by the "
+    "pytest parity harness outside the 50-cap catalog",
+    oracle="""
+        WITH fp AS (
+          SELECT doc_id,
+                 xor(('0x' || substr(md5(CAST(doc_id // 8 AS VARCHAR)),
+                                     1, 15))::BIGINT,
+                     CASE WHEN doc_id % 8 = 0
+                          THEN (CAST(1 AS BIGINT)
+                                << CAST(doc_id % 61 AS INT))
+                          ELSE CAST(0 AS BIGINT) END) AS f
+          FROM documents WHERE doc_id < 1500
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 7
+        ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "multimodal"),
+    extra=True,
+)
+def q_mih_hamming_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.operators.image_dedup import (
+        banded_hamming_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 1500
+    )
+    base = F.conv(
+        F.substring(
+            F.md5(F.floor(F.col("doc_id") / 8).cast("long").cast("string")),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    fps = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            base.bitwiseXOR(
+                F.expr("shiftleft(1L, cast(doc_id % 61 AS INT))")
+            ),
+        ).otherwise(base).alias("dhash"),
+    )
+    return (
+        banded_hamming_pairs(fps, max_hamming=7)  # MIH default banding
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.col("hamming").cast("bigint").alias("hamming"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
     "sequence_alignment_near_dups",
     "Frame-sequence near-dup matching engine (operators/image_dedup.py "
     "sequence_near_pairs — the shared core behind video AND audio "
