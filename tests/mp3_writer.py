@@ -128,27 +128,90 @@ def _alias_encode(spec: np.ndarray) -> np.ndarray:
     return out
 
 
-def _granule_spectrum(S: np.ndarray, g: int) -> np.ndarray:
-    """576 spectral lines of granule g (subband steps [18g-18, 18g+18),
-    zero history at stream start), encoder order: freq-inversion →
-    windowed MDCT per subband → inverse alias butterflies."""
+_C12 = np.cos(
+    np.pi / 24 * (2 * np.arange(12).reshape(-1, 1) + 1 + 6)
+    * (2 * np.arange(6) + 1)
+)
+_WSHORT = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+
+
+def _mdct12_scale() -> float:
+    """TDAC constant of the 12-point short-window chain (50%-overlap
+    windows at offsets 6/12/18 within each 36-frame) — measured."""
+    rng = np.random.default_rng(8)
+    z = rng.normal(size=12 * 60)
+    # continuous chain of 12-sample sine-windowed MDCTs every 6 samples
+    spec = []
+    for s in range(0, len(z) - 12, 6):
+        spec.append(_C12.T @ (z[s : s + 12] * _WSHORT))
+    rec = np.zeros(len(z) + 12)
+    for i, X in enumerate(spec):
+        rec[6 * i : 6 * i + 12] += (_C12 @ X) * _WSHORT
+    a = z[60:300]
+    b = rec[60:300]
+    return float((a @ b) / (a @ a))
+
+
+_MDCT12_GAIN = _mdct12_scale()
+
+
+def _granule_zs(S: np.ndarray, g: int) -> np.ndarray:
+    """(32, 36) windowed-input frame of granule g: subband steps
+    [18g-18, 18g+18) (zero history at stream start), frequency inversion
+    applied on odd subbands."""
     n_steps = S.shape[0]
-
-    def step(t: int) -> np.ndarray:
+    zs = np.zeros((32, 36))
+    lo = 18 * (g - 1)
+    for i in range(36):
+        t = lo + i
         if 0 <= t < n_steps:
-            return S[t]
-        return np.zeros(32)
+            zs[:, i] = S[t]
+    zs[1::2, 1::2] *= -1.0  # odd subbands, odd samples (18 | granule)
+    return zs
 
+
+def _granule_spectrum(S: np.ndarray, g: int) -> np.ndarray:
+    """576 LONG-block spectral lines of granule g, encoder order:
+    freq-inversion → windowed MDCT per subband → inverse alias
+    butterflies."""
+    zs = _granule_zs(S, g)
     spec = np.empty(576)
     for sb in range(32):
-        z = np.array([step(18 * (g - 1) + i)[sb] for i in range(36)])
-        if sb & 1:  # frequency inversion (odd subbands, odd samples)
-            for blk in range(2):
-                z[blk * 18 + 1 : blk * 18 + 18 : 2] *= -1
         spec[18 * sb : 18 * sb + 18] = (
-            _C36.T @ (z * _WLONG)
+            _C36.T @ (zs[sb] * _WLONG)
         ) / _MDCT_GAIN
     return _alias_encode(spec)
+
+
+def _granule_spectrum_short(
+    S: np.ndarray, g: int, sample_rate: int
+) -> np.ndarray:
+    """576 SHORT-block (block_type 2, non-mixed) spectral lines of
+    granule g in HUFFMAN order (sfb-major, each sfb's 3 windows
+    contiguous — the order the decoder's requantize consumes before
+    reorder_short). Three 12-point sine-windowed MDCTs per subband at
+    offsets 6/12/18 of the 36-frame; no alias butterflies (the decoder
+    skips them for short blocks)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp3_layer3 import (
+        SFB_SHORT,
+    )
+
+    zs = _granule_zs(S, g)
+    xw = np.zeros((3, 192))  # per-window spectra, line = 6*sb + k
+    for sb in range(32):
+        for w in range(3):
+            seg = zs[sb, 6 + 6 * w : 18 + 6 * w] * _WSHORT
+            xw[w, 6 * sb : 6 * sb + 6] = (_C12.T @ seg) / _MDCT12_GAIN
+    sfbs = SFB_SHORT[sample_rate]
+    spec = np.zeros(576)
+    for sfb in range(12):
+        lo, hi = sfbs[sfb], sfbs[sfb + 1]
+        width = hi - lo
+        for w in range(3):
+            spec[3 * lo + w * width : 3 * lo + (w + 1) * width] = (
+                xw[w, lo:hi]
+            )
+    return spec
 
 
 # --- quantization + Huffman -------------------------------------------------
@@ -191,6 +254,42 @@ def _quantize(spec: np.ndarray, sample_rate: int):
     return ix, gg, scalefacs
 
 
+def _quantize_short(spec: np.ndarray, sample_rate: int):
+    """(ix, global_gain, scalefacs[12][3]) over Huffman-order short-block
+    lines — per-(sfb, window) scalefactors under |ix| <= 7."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp3_layer3 import (
+        SFB_SHORT,
+    )
+
+    sfbs = SFB_SHORT[sample_rate]
+    peak = float(np.max(np.abs(spec)))
+    if peak == 0.0:
+        return np.zeros(576, dtype=np.int64), 210, [[0] * 3 for _ in range(12)]
+    limit = 7.0 ** (4.0 / 3.0) * 0.999
+    gg = 210 + int(np.ceil(4 * np.log2(peak / limit)))
+    gg = min(max(gg, 0), 255)
+    g_step = 2.0 ** (0.25 * (gg - 210))
+    ix = np.zeros(576, dtype=np.int64)
+    sfs = [[0] * 3 for _ in range(12)]
+    for sfb in range(12):
+        lo, hi = sfbs[sfb], sfbs[sfb + 1]
+        width = hi - lo
+        sf_max = 15 if sfb <= 5 else 7
+        for w in range(3):
+            base = 3 * lo + w * width
+            band = spec[base : base + width]
+            bpeak = float(np.max(np.abs(band)))
+            sf = 0
+            if bpeak > 0 and bpeak >= peak * 2.0 ** -9:
+                sf = int(np.floor(np.log2(limit * g_step / bpeak)))
+                sf = min(max(sf, 0), sf_max)
+            sfs[sfb][w] = sf
+            t = np.abs(band) * (2.0 ** sf) / g_step
+            q = np.minimum(np.round(t ** 0.75), 7).astype(np.int64)
+            ix[base : base + width] = q * np.sign(band).astype(np.int64)
+    return ix, gg, sfs
+
+
 def _huff_encode(bw: BitWriter, ix: np.ndarray) -> int:
     """Big-values pairs with table 10 for every region; returns
     big_values (pair count). count1 region unused (rzero covers the
@@ -211,20 +310,33 @@ def _huff_encode(bw: BitWriter, ix: np.ndarray) -> int:
     return big_values
 
 
-def _encode_granule(S: np.ndarray, g: int, sample_rate: int) -> dict:
-    spec = _granule_spectrum(S, g)
-    ix, gg, sfs = _quantize(spec, sample_rate)
+def _encode_granule(
+    S: np.ndarray, g: int, sample_rate: int, block_type: int = 0
+) -> dict:
     bw = BitWriter()
-    for sfb in range(11):
-        bw.write(sfs[sfb], SLEN1[_SCALEFAC_COMPRESS])
-    for sfb in range(11, 21):
-        bw.write(sfs[sfb], SLEN2[_SCALEFAC_COMPRESS])
+    if block_type == 2:
+        spec = _granule_spectrum_short(S, g, sample_rate)
+        ix, gg, sfs = _quantize_short(spec, sample_rate)
+        for sfb in range(6):
+            for w in range(3):
+                bw.write(sfs[sfb][w], SLEN1[_SCALEFAC_COMPRESS])
+        for sfb in range(6, 12):
+            for w in range(3):
+                bw.write(sfs[sfb][w], SLEN2[_SCALEFAC_COMPRESS])
+    else:
+        spec = _granule_spectrum(S, g)
+        ix, gg, sfs = _quantize(spec, sample_rate)
+        for sfb in range(11):
+            bw.write(sfs[sfb], SLEN1[_SCALEFAC_COMPRESS])
+        for sfb in range(11, 21):
+            bw.write(sfs[sfb], SLEN2[_SCALEFAC_COMPRESS])
     big_values = _huff_encode(bw, ix)
     return {
         "bits": bw.bits,
         "part2_3_length": len(bw.bits),
         "big_values": big_values,
         "global_gain": gg,
+        "block_type": block_type,
     }
 
 
@@ -235,7 +347,7 @@ _BR_IDX = {320: 14}
 
 def write_mp3(
     pcm, sample_rate: int = 44100, channels: int = 1, mode: str = "lr",
-    reservoir_shift: int = 0,
+    reservoir_shift: int = 0, block_type: int = 0,
 ) -> bytes:
     """Encode PCM (list/array of samples; interleaved when stereo) as an
     MPEG-1 Layer III CBR-320 stream (long blocks). ``mode='ms'`` encodes
@@ -263,7 +375,8 @@ def write_mp3(
     frames = []
     for f in range(n_gran // 2):
         grs = [
-            [_encode_granule(subs[c], 2 * f + g, sample_rate)
+            [_encode_granule(subs[c], 2 * f + g, sample_rate,
+                             block_type=block_type)
              for c in range(channels)]
             for g in range(2)
         ]
@@ -291,11 +404,20 @@ def write_mp3(
                 si.write(e["big_values"], 9)
                 si.write(e["global_gain"], 8)
                 si.write(_SCALEFAC_COMPRESS, 4)
-                si.write(0, 1)               # no window switching
-                for _r in range(3):
-                    si.write(_TABLE, 5)
-                si.write(7, 4)               # region0_count
-                si.write(7, 3)               # region1_count
+                if e["block_type"] == 2:
+                    si.write(1, 1)           # window switching
+                    si.write(2, 2)           # block_type = short
+                    si.write(0, 1)           # not mixed
+                    for _r in range(2):
+                        si.write(_TABLE, 5)
+                    for _w in range(3):
+                        si.write(0, 3)       # subblock_gain
+                else:
+                    si.write(0, 1)           # no window switching
+                    for _r in range(3):
+                        si.write(_TABLE, 5)
+                    si.write(7, 4)           # region0_count
+                    si.write(7, 3)           # region1_count
                 si.write(0, 1)               # preflag
                 si.write(1, 1)               # scalefac_scale
                 si.write(0, 1)               # count1table_select

@@ -157,6 +157,22 @@ def test_stereo_lr_and_ms_roundtrip():
             assert _snr(a, b) > 16.0, mode
 
 
+def test_short_block_roundtrip_distortion_bound():
+    """block_type 2 end to end: the writer's three 12-point MDCTs per
+    subband in Huffman (sfb-major, window-contiguous) order drive the
+    decoder's windowed side info, short scalefactors, reorder_short,
+    12×3 IMDCT and overlap-add — distortion at the same bound as long
+    blocks."""
+    rate = 44100
+    x = _signal_fm(rate // 2, rate, seed=5)
+    sr, ch, y = L3.decode_mp3_samples(write_mp3(x, rate, 1, block_type=2))
+    assert (sr, ch) == (rate, 1)
+    a = x[3000:18000]
+    b = y[3000 + _DELAY : 18000 + _DELAY]
+    assert _snr(a, b) > 18.0
+    assert abs(np.sqrt((b * b).mean()) / np.sqrt((a * a).mean()) - 1) < 0.1
+
+
 def test_bit_reservoir_roundtrip_and_truncated_start():
     """main_data_begin back-pointers: a stream whose frames each donate
     their first 40 main-data bytes to the previous frame decodes
