@@ -94,6 +94,9 @@ def curate_media(
     dedup: tuple[str, ...] = ("sha256", "dhash"),
     dhash_max_hamming: int = 7,
     report: bool = True,
+    audio: bool = False,
+    audio_max_hamming: int = 6,
+    audio_min_frac: float = 0.5,
 ) -> CurationResult:
     """The MEDIA dual of :func:`curate`: decode gate → exact byte dedup →
     perceptual near-dup dedup over a binary media table (the
@@ -109,6 +112,15 @@ def curate_media(
        (:func:`operators.image_dedup.dedup_images`): re-encodes, format
        conversions and mild edits of the same image collapse to one
        survivor (keep-lowest-id).
+    4. **audio** (r10, opt-in ``audio=True`` — the batch twin of
+       :func:`curate_media_stream`'s branch): rows with
+       ``media_type = 'audio'`` bypass the image stages and run their own
+       decode gate (``extract_audio_features`` any-bytes pass) → sha256
+       byte dedup → perceptual near-dup dedup
+       (``audio_dedup.audio_near_pairs`` + transitive keep-lowest-id).
+       Without the flag, audio rows fall to the IMAGE decode gate and
+       drop — the pre-r10 behavior, kept as the default for façade
+       stability.
 
     Stages are skipped when absent from ``dedup`` / gates are None.
     Returns the surviving media rows plus the funnel."""
@@ -119,7 +131,12 @@ def curate_media(
         if d not in ("sha256", "dhash"):
             raise ValueError(f"unknown media dedup stage {d!r}")
     funnel: list[tuple[str, int]] = []
+    audio_rows = None
     cur = media
+    if audio:
+        is_audio = F.col("media_type") == F.lit("audio")
+        audio_rows = media.filter(is_audio)
+        cur = media.filter(~is_audio)
     if report:
         funnel.append(("input", cur.count()))
 
@@ -156,6 +173,42 @@ def curate_media(
         cur = dedup_images(cur, max_hamming=dhash_max_hamming)
         if report:
             funnel.append(("dedup_dhash", cur.count()))
+
+    if audio_rows is not None:
+        from .operators.audio_dedup import audio_near_pairs
+        from .operators.dedup import dedup_connected
+        from .operators.multimodal import extract_audio_features
+
+        if report:
+            funnel.append(("audio_in", audio_rows.count()))
+        afeats = extract_audio_features(
+            audio_rows.select(id_col, "content"), fake_decode=True
+        ).filter(F.col("format") != "fake")
+        akept = audio_rows.join(
+            afeats.select(id_col), id_col, "left_semi"
+        )
+        if report:
+            funnel.append(("audio_decodable", akept.count()))
+        if "sha256" in dedup:
+            keepers = (
+                akept.select(id_col, F.sha2(F.col("content"), 256).alias("_d"))
+                .groupBy("_d")
+                .agg(F.min(id_col).alias(id_col))
+                .select(id_col)
+            )
+            akept = akept.join(keepers, id_col, "left_semi")
+            if report:
+                funnel.append(("audio_dedup_sha256", akept.count()))
+        # pin before the self-join pair engine: the decode gate's Arrow
+        # pass would otherwise re-run per join side
+        akept = akept.localCheckpoint(eager=True)
+        pairs = audio_near_pairs(
+            akept, max_hamming=audio_max_hamming, min_frac=audio_min_frac
+        )
+        akept = dedup_connected(akept, pairs, id_col, keep="min_id")
+        if report:
+            funnel.append(("audio_dedup_perceptual", akept.count()))
+        cur = cur.unionByName(akept)
 
     return CurationResult(corpus=cur, heldout=None, funnel=funnel)
 

@@ -201,3 +201,55 @@ def test_curate_media_facade(spark):
 
     with _pytest.raises(ValueError, match="unknown media dedup"):
         curate_media(media, dedup=("phash-typo",))
+
+
+def test_curate_media_audio_branch(spark):
+    """r10: audio=True routes media_type='audio' rows through their own
+    decode gate -> sha256 -> perceptual near-dup chain (the batch twin of
+    curate_media_stream's branch) instead of dying at the image gate;
+    byte dups and µ-law transcodes collapse to the first id, unrelated
+    audio and all image verdicts are untouched."""
+    import numpy as np
+
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import curate_media
+    from tests.test_audio_dedup import _signal
+    from tests.test_operators import _ulaw_compress, _wav, _wav_tagged
+
+    rng = np.random.default_rng(3)
+
+    def ppm(px):
+        h, w, _ = px.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+    img = ppm(rng.integers(0, 256, (16, 16, 3), dtype=np.int64))
+    a = _signal(26000, seed=21)
+    wav = _wav([int(v) for v in a], rate=8000)
+    transcode = _wav_tagged(
+        bytes(_ulaw_compress(int(v)) for v in a), 7, 8000, 1, 8
+    )
+    noise = _wav(
+        [int(v) for v in np.clip(rng.normal(0, 8000, 26000), -32000, 32000)],
+        rate=8000,
+    )
+    rows = [
+        (0, img, "image"),
+        (1, wav, "audio"),           # original
+        (2, wav, "audio"),           # byte dup -> sha256
+        (3, transcode, "audio"),     # perceptual dup -> near pairs
+        (4, noise, "audio"),         # unrelated survivor
+        (5, b"\x00junk-audio", "audio"),  # decode-gate drop
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(b), t, f"s://{i}") for i, b, t in rows],
+        "media_id LONG, content BINARY, media_type STRING, source_uri STRING",
+    )
+    res = curate_media(media, audio=True)
+    kept = sorted(r["media_id"] for r in res.corpus.collect())
+    assert kept == [0, 1, 4]
+    stages = dict(res.funnel)
+    assert stages["audio_in"] == 5 and stages["audio_decodable"] == 4
+    assert stages["audio_dedup_sha256"] == 3
+    assert stages["audio_dedup_perceptual"] == 2
+    # default (audio=False): pre-r10 behavior — audio dies at the image gate
+    res2 = curate_media(media, report=False)
+    assert sorted(r["media_id"] for r in res2.corpus.collect()) == [0]
