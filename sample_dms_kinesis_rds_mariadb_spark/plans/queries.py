@@ -341,15 +341,18 @@ def count_star_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wildcard applied as a row predicate)",
     oracle="""
         SELECT p_brand, COUNT(*) AS n_parts
-        FROM part WHERE p_name LIKE 'a%'
+        FROM part WHERE p_name LIKE 's%'
         GROUP BY p_brand ORDER BY p_brand
     """,
     tags=("filter", "agg"),
 )
 def like_filter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 's%' matches a real slice of the testdata part names (the 'a%' the
+    # reference mapping rule uses matches NOTHING in this corpus — a
+    # 0-row-vs-0-row oracle comparison is vacuously green, r10 review)
     p = load_table(spark, sf_dir, "part")
     return (
-        p.filter(F.col("p_name").like("a%"))
+        p.filter(F.col("p_name").like("s%"))
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_parts"))
         .orderBy("p_brand")
@@ -406,17 +409,25 @@ def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "anti_join_not_exists",
-    "Left-anti join (SURVEY §2.5: NOT EXISTS — customers with no orders)",
+    "Left-anti join (SURVEY §2.5: NOT EXISTS — customers with no "
+    "large order)",
     oracle="""
         SELECT c_custkey, c_name FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
         ORDER BY c_custkey
     """,
     tags=("join",),
 )
 def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every testdata customer HAS an order, so the bare no-orders form
+    # returned 0 rows on both engines — vacuously green (r10 review);
+    # the large-order predicate keeps a real survivor/dropped split
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
