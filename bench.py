@@ -596,6 +596,26 @@ def main() -> None:
     warc_dir = tempfile.mkdtemp(prefix="bench-warc-")
     try:
         warc_stats = synthesize_warc_corpus(warc_dir, warc_mb)
+        # untimed warm-up on ONE file: first-touch costs (JIT of the long
+        # regexp_replace chain, Python-worker import of the WARC parser,
+        # Catalyst compile of this UDF pipeline) otherwise land inside the
+        # timed pass and swing the leg 2x+ with worker-state luck across
+        # rounds (r10: 21 s in-bench vs 9.4 s steady-state on a box whose
+        # calibration leg was FASTER than r9). Same hygiene as the sink
+        # legs' median-of-3 — the leg measures throughput, not fork luck.
+        one_file = sorted(glob.glob(os.path.join(warc_dir, "*")))[0]
+        warm_bin = (
+            spark.read.format("binaryFile")
+            .load(one_file)
+            .select(F.col("path").alias("file_id"), "content")
+        )
+        with_gopher_quality_flags(
+            warc_records(warm_bin).select(
+                "file_id", "record_no",
+                html_to_text(F.col("html")).alias("text"),
+            ),
+            "text",
+        ).drop("text").write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
         warc_bin = (
             spark.read.format("binaryFile")
