@@ -8,7 +8,9 @@ side information (both granules, mono and stereo), the bit reservoir
 (``main_data_begin`` back-pointers across frames), scalefactors with
 scfsi sharing, Huffman-coded spectrum (big_values regions + count1
 quads with the overrun-rewind rule), requantization (global gain,
-scalefac_scale multiplier, preflag/pretab), MS stereo, alias-reduction
+scalefac_scale multiplier, preflag/pretab), MS stereo, long-block
+intensity stereo (is_pos direction coding from the right channel's
+rzero bound, combined MS+intensity frames included), alias-reduction
 butterflies, the 36-point IMDCT with sine/start/stop windows and the
 12-point×3 short-block IMDCT with reordering, frequency inversion,
 overlap-add, and the 32-band polyphase synthesis filterbank.
@@ -25,7 +27,8 @@ Two HONEST BOUNDARIES, each raising with a precise message (the
   unverifiable code table would produce silently-corrupt audio — worse
   than an honest raise for a curation pipeline.
 - **MPEG-2 / 2.5 Layer III** (different side-info and scalefactor
-  layout) and **intensity stereo** raise; MPEG-1 MS/LR stereo decode
+  layout) and **short-block intensity stereo** (per-window is_pos)
+  raise; MPEG-1 MS/LR stereo and long-block intensity stereo decode
   for real.
 
 Synthesis-window note: ISO's 512-coefficient window (Table B.3) is a
@@ -328,11 +331,14 @@ def read_scalefactors(br: BitReader, g: dict, gr: int, scfsi: list[int],
 
 
 def read_spectrum(br: BitReader, g: dict, sample_rate: int,
-                  part_end: int) -> np.ndarray:
+                  part_end: int) -> tuple[np.ndarray, int]:
     """Huffman-decode the 576 quantized lines of one (granule, channel):
     big_values pairs across the three region tables, then count1 quads
     until the side-info bit budget is exhausted (a quad overrunning the
-    budget is discarded — the ISO rewind rule), then rzero."""
+    budget is discarded — the ISO rewind rule), then rzero. Returns
+    ``(ix, pos)`` where ``pos`` is the decoded-line count (the start of
+    the rzero region) — the intensity-stereo bound when this is the
+    right channel of a joint-stereo frame."""
     ix = np.zeros(576, dtype=np.int64)
     sfbl = SFB_LONG[sample_rate]
     if g["block_type"] == 2 and not g["mixed_block_flag"]:
@@ -394,7 +400,7 @@ def read_spectrum(br: BitReader, g: dict, sample_rate: int,
         ix[pos : pos + 4] = vals
         pos += 4
     br.pos = part_end
-    return ix
+    return ix, pos
 
 
 # --------------------------------------------------------------------------
@@ -522,6 +528,50 @@ def imdct_granule(xr: np.ndarray, block_type: int,
     return ss, new_ov
 
 
+def intensity_stereo_long(ch0: np.ndarray, ch1: np.ndarray, sf_r: dict,
+                          rzero: int, sample_rate: int,
+                          ms_on: bool) -> list[np.ndarray]:
+    """MPEG-1 long-block intensity stereo (ISO 11172-3 §2.4.3.4.9.3):
+    scalefactor bands at/above the right channel's rzero are
+    direction-coded — the left channel carries the transmitted signal,
+    the right channel's scalefactor field in those bands is ``is_pos``
+    (0..6, 7 = intensity off for the band) with
+
+        ratio = tan(is_pos * pi / 12)
+        L = transmitted * ratio / (1 + ratio)
+        R = transmitted * 1 / (1 + ratio)
+
+    (``is_pos`` = 6 sends everything left; 0 sends everything right).
+    Bands BELOW rzero — and is_pos==7 bands — fall back to MS when
+    ``ms_on`` (mode_extension bit 1) else pass through as L/R. The tail
+    region above the last scalefactor band reuses sfb 20's ``is_pos``
+    (the dist10 convention). Operates on requantized spectra BEFORE
+    alias reduction, exactly where the decode loop applies MS."""
+    sfbl = SFB_LONG[sample_rate]
+    L, R = ch0.copy(), ch1.copy()
+    sq2 = np.sqrt(2.0)
+    bands = [(sfbl[s], sfbl[s + 1], s) for s in range(21)]
+    bands.append((sfbl[21], 576, 20))  # tail reuses sfb 20's is_pos
+    for lo, hi, s in bands:
+        intensity = lo >= rzero
+        is_pos = sf_r["l"][s] if intensity else 7
+        if intensity and is_pos != 7:
+            if is_pos == 6:
+                kl, kr = 1.0, 0.0
+            else:
+                ratio = np.tan(is_pos * np.pi / 12.0)
+                kl = ratio / (1.0 + ratio)
+                kr = 1.0 / (1.0 + ratio)
+            t = ch0[lo:hi]
+            L[lo:hi] = t * kl
+            R[lo:hi] = t * kr
+        elif ms_on:
+            m, sd = ch0[lo:hi], ch1[lo:hi]
+            L[lo:hi] = (m + sd) / sq2
+            R[lo:hi] = (m - sd) / sq2
+    return [L, R]
+
+
 # --------------------------------------------------------------------------
 # frame walk + top-level decode
 # --------------------------------------------------------------------------
@@ -553,7 +603,8 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
     """(sample_rate, channels, interleaved float64 samples in ±32768
     PCM domain) — the full MPEG-1 Layer III decode chain. Raises
     NotImplementedError at the documented boundaries (MPEG-2/2.5,
-    intensity stereo, unverified Huffman tables, mixed blocks)."""
+    short-block intensity stereo, unverified Huffman tables, mixed
+    blocks)."""
     reservoir = b""
     pcm_chunks = []
     sample_rate = None
@@ -576,15 +627,12 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
             channels = h["channels"]
             overlap = [np.zeros((32, 18)) for _ in range(channels)]
             synths = [PolyphaseSynth() for _ in range(channels)]
-        mode = None
         mode_bits = (frame[3] >> 6) & 0b11
         mode_ext = (frame[3] >> 4) & 0b11
+        ms_on = is_on = False
         if mode_bits == 0b01:  # joint stereo
-            if mode_ext & 1:
-                raise NotImplementedError(
-                    "intensity stereo is a documented boundary"
-                )
-            mode = "ms" if mode_ext & 2 else "lr"
+            ms_on = bool(mode_ext & 2)
+            is_on = bool(mode_ext & 1)
         hdr_len = 4 + (2 if h["crc"] else 0)
         si_len = _side_info_len("1", channels)
         si = parse_side_info(frame[hdr_len : hdr_len + si_len], channels)
@@ -604,6 +652,8 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
         br = BitReader(data)
         gr_xr = [[None] * channels, [None] * channels]
         gr_bt = [[0] * channels, [0] * channels]
+        gr_sf = [[None] * channels, [None] * channels]
+        gr_rz = [[0] * channels, [0] * channels]
         sf_prev = [None] * channels
         for gr in range(2):
             for ch in range(channels):
@@ -614,13 +664,25 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
                 if gr == 0:
                     sf_prev[ch] = sf
                 part_end = part_start + g["part2_3_length"]
-                ix = read_spectrum(br, g, sample_rate, part_end)
+                ix, rzero = read_spectrum(br, g, sample_rate, part_end)
                 xr = requantize(ix, g, sf, sample_rate)
                 gr_xr[gr][ch] = xr
                 gr_bt[gr][ch] = g["block_type"]
+                gr_sf[gr][ch] = sf
+                gr_rz[gr][ch] = rzero
         for gr in range(2):
             xs = gr_xr[gr]
-            if mode == "ms" and channels == 2:
+            if is_on and channels == 2:
+                if gr_bt[gr][0] == 2 or gr_bt[gr][1] == 2:
+                    raise NotImplementedError(
+                        "short-block intensity stereo is a documented "
+                        "boundary (long-block intensity decodes for real)"
+                    )
+                xs = intensity_stereo_long(
+                    xs[0], xs[1], gr_sf[gr][1], gr_rz[gr][1],
+                    sample_rate, ms_on,
+                )
+            elif ms_on and channels == 2:
                 m, s = xs[0], xs[1]
                 xs = [(m + s) / np.sqrt(2.0), (m - s) / np.sqrt(2.0)]
             outs = []

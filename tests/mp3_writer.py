@@ -7,7 +7,8 @@ and the PQMF prototype parameters — the bitstream contract itself); the
 analysis filterbank, MDCT, quantizer, and bit packer are written here
 from the spec equations in encoder direction.
 
-Scope: MPEG-1 Layer III, long blocks (block_type 0), mono or LR stereo,
+Scope: MPEG-1 Layer III, long blocks (block_type 0) or non-mixed short
+blocks, mono / LR / MS / intensity ("is", "ms_is") stereo,
 CBR 320 kbps, no bit reservoir (main_data_begin = 0), scalefac_scale=1
 with per-band scalefactors chosen so every quantized line fits Huffman
 table 10 (|ix| <= 7). That is a VALID Layer III bitstream exercising
@@ -290,14 +291,17 @@ def _quantize_short(spec: np.ndarray, sample_rate: int):
     return ix, gg, sfs
 
 
-def _huff_encode(bw: BitWriter, ix: np.ndarray) -> int:
+def _huff_encode(bw: BitWriter, ix: np.ndarray, min_lines: int = 0) -> int:
     """Big-values pairs with table 10 for every region; returns
     big_values (pair count). count1 region unused (rzero covers the
-    tail)."""
+    tail). ``min_lines`` forces big_values to cover at least that many
+    lines (zero pairs are valid table-10 symbols) — the intensity modes
+    use it to pin the right channel's rzero EXACTLY at the intensity
+    bound, since the decoder derives the intensity region from it."""
     dim, lens, codes = HUFF_BIG[_TABLE]
     nz = np.nonzero(ix)[0]
     last = int(nz[-1]) if len(nz) else -1
-    big_values = (last + 2) // 2
+    big_values = max((last + 2) // 2, (min_lines + 1) // 2)
     for p in range(big_values):
         x = int(ix[2 * p])
         y = int(ix[2 * p + 1])
@@ -340,6 +344,80 @@ def _encode_granule(
     }
 
 
+def _encode_granule_is(
+    SL: np.ndarray, SR: np.ndarray, g: int, sample_rate: int,
+    ms_on: bool, bound_sfb: int, is_pos7_sfb: int | None = None,
+) -> list[dict]:
+    """Encode one granule of BOTH channels in an intensity-stereo frame
+    (long blocks). Works in the ALIASED spectral domain — the alias
+    butterflies are linear in the spectrum, so per-band mixing after
+    ``_granule_spectrum`` is exactly what the decoder's
+    requantize → intensity → alias_reduce chain inverts, and the
+    transmitted right channel is EXACTLY zero above the bound (no
+    butterfly smear to disturb rzero).
+
+    Below ``bound_sfb``: MS (``ms_on``) or plain L/R. At/above: the
+    left channel carries L+R, the right channel's scalefactor field
+    carries is_pos = round(atan2(sum|L|, sum|R|) * 12/pi) — exact for a
+    constant-panned source (L = tan(is_pos*pi/12) * R). An
+    ``is_pos7_sfb`` band (ms_is only) transmits (L+R)/sqrt(2) with
+    is_pos=7 — the decoder's MS fallback, faithful for mono content."""
+    sfbl = SFB_LONG[sample_rate]
+    bound = sfbl[bound_sfb]
+    aL = _granule_spectrum(SL, g)
+    aR = _granule_spectrum(SR, g)
+    sq2 = np.sqrt(2.0)
+    ch0 = np.empty(576)
+    ch1 = np.zeros(576)
+    if ms_on:
+        ch0[:bound] = (aL[:bound] + aR[:bound]) / sq2
+        ch1[:bound] = (aL[:bound] - aR[:bound]) / sq2
+    else:
+        ch0[:bound] = aL[:bound]
+        ch1[:bound] = aR[:bound]
+    is_pos = [7] * 21
+    for sfb in range(bound_sfb, 21):
+        lo, hi = sfbl[sfb], sfbl[sfb + 1]
+        if sfb == is_pos7_sfb:
+            if not ms_on:
+                raise ValueError("is_pos==7 bands need mode='ms_is'")
+            ch0[lo:hi] = (aL[lo:hi] + aR[lo:hi]) / sq2
+            continue  # is_pos stays 7 -> decoder MS fallback
+        sl = float(np.abs(aL[lo:hi]).sum())
+        sr_ = float(np.abs(aR[lo:hi]).sum())
+        if sl + sr_ == 0.0:
+            is_pos[sfb] = 6  # silent band: direction irrelevant
+        else:
+            is_pos[sfb] = int(
+                np.clip(round(np.arctan2(sl, sr_) * 12.0 / np.pi), 0, 6)
+            )
+        ch0[lo:hi] = aL[lo:hi] + aR[lo:hi]
+    ch0[sfbl[21]:] = 0.0  # tail has no is_pos of its own (reuses sfb 20)
+    encs = []
+    for c, spec in enumerate((ch0, ch1)):
+        ix, gg, sfs = _quantize(spec, sample_rate)
+        if c == 1:
+            ix[bound:] = 0  # intensity region rides ch0 only
+            for sfb in range(bound_sfb, 21):
+                sfs[sfb] = is_pos[sfb]
+        bw = BitWriter()
+        for sfb in range(11):
+            bw.write(sfs[sfb], SLEN1[_SCALEFAC_COMPRESS])
+        for sfb in range(11, 21):
+            bw.write(sfs[sfb], SLEN2[_SCALEFAC_COMPRESS])
+        big_values = _huff_encode(
+            bw, ix, min_lines=bound if c == 1 else 0
+        )
+        encs.append({
+            "bits": bw.bits,
+            "part2_3_length": len(bw.bits),
+            "big_values": big_values,
+            "global_gain": gg,
+            "block_type": 0,
+        })
+    return encs
+
+
 # --- frame packing ----------------------------------------------------------
 
 _BR_IDX = {320: 14}
@@ -348,15 +426,22 @@ _BR_IDX = {320: 14}
 def write_mp3(
     pcm, sample_rate: int = 44100, channels: int = 1, mode: str = "lr",
     reservoir_shift: int = 0, block_type: int = 0,
+    is_bound_sfb: int = 13, is_pos7_sfb: int | None = None,
 ) -> bytes:
     """Encode PCM (list/array of samples; interleaved when stereo) as an
     MPEG-1 Layer III CBR-320 stream (long blocks). ``mode='ms'`` encodes
-    mid/side (joint stereo, mode_extension MS). ``reservoir_shift=k``
-    exercises the bit reservoir: every frame after the first donates its
-    first k main-data bytes into the previous frame's padding and sets
-    main_data_begin=k — byte-identical main data through the reservoir
-    path."""
+    mid/side (joint stereo, mode_extension MS); ``mode='is'`` /
+    ``mode='ms_is'`` encode long-block intensity stereo above scalefactor
+    band ``is_bound_sfb`` (mode_extension IS / MS+IS), with an optional
+    ``is_pos7_sfb`` band transmitted as the decoder's is_pos==7 MS
+    fallback. ``reservoir_shift=k`` exercises the bit reservoir: every
+    frame after the first donates its first k main-data bytes into the
+    previous frame's padding and sets main_data_begin=k — byte-identical
+    main data through the reservoir path."""
     sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    intensity = mode in ("is", "ms_is")
+    if intensity and (channels != 2 or block_type):
+        raise ValueError("intensity modes need stereo long blocks")
     x = np.asarray(pcm, dtype=np.float64)
     if channels == 2:
         left, right = x[0::2], x[1::2]
@@ -364,7 +449,7 @@ def write_mp3(
             chans = [(left + right) / np.sqrt(2.0),
                      (left - right) / np.sqrt(2.0)]
         else:
-            chans = [left, right]
+            chans = [left, right]  # is/ms_is mix per band, spectrally
     else:
         chans = [x]
     subs = [analyze_subbands(c) for c in chans]
@@ -374,16 +459,29 @@ def write_mp3(
     frame_len = 144 * 320000 // sample_rate  # padding bit 0
     frames = []
     for f in range(n_gran // 2):
-        grs = [
-            [_encode_granule(subs[c], 2 * f + g, sample_rate,
-                             block_type=block_type)
-             for c in range(channels)]
-            for g in range(2)
-        ]
+        if intensity:
+            grs = [
+                _encode_granule_is(
+                    subs[0], subs[1], 2 * f + g, sample_rate,
+                    mode == "ms_is", is_bound_sfb, is_pos7_sfb,
+                )
+                for g in range(2)
+            ]
+        else:
+            grs = [
+                [_encode_granule(subs[c], 2 * f + g, sample_rate,
+                                 block_type=block_type)
+                 for c in range(channels)]
+                for g in range(2)
+            ]
         if channels == 1:
             mode_byte = 0xC0                       # single channel
         elif mode == "ms":
             mode_byte = (0b01 << 6) | (0b10 << 4)  # joint stereo, MS on
+        elif mode == "is":
+            mode_byte = (0b01 << 6) | (0b01 << 4)  # joint stereo, IS on
+        elif mode == "ms_is":
+            mode_byte = (0b01 << 6) | (0b11 << 4)  # joint, MS+IS on
         else:
             mode_byte = 0x00                       # LR stereo
         hdr = bytes([

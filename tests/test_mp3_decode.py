@@ -157,6 +157,91 @@ def test_stereo_lr_and_ms_roundtrip():
             assert _snr(a, b) > 16.0, mode
 
 
+def _is_fixture(rate, n, ratio, seed=3, mono_hz=None):
+    """Stereo pair for the intensity tests: independent L/R tones below
+    the bound (sfb 13 = line 90 ≈ 3.4 kHz at 44.1k), a constant-panned
+    complex above it with L = ratio * R, and an optional MONO tone at
+    ``mono_hz`` (for the is_pos==7 band test)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    low_l = 8000 * np.sin(2 * np.pi * 440 * t) + 3000 * np.sin(
+        2 * np.pi * 1100 * t + 0.4
+    )
+    low_r = 7000 * np.sin(2 * np.pi * 620 * t + 0.2) + 2500 * np.sin(
+        2 * np.pi * 1500 * t
+    )
+    high = 4000 * np.sin(2 * np.pi * 5000 * t + 0.9) + 2000 * np.sin(
+        2 * np.pi * 6100 * t
+    ) + 30 * rng.normal(size=n)
+    left = low_l + ratio * high
+    right = low_r + high
+    if mono_hz is not None:
+        mono = 3500 * np.sin(2 * np.pi * mono_hz * t + 0.3)
+        left = left + mono
+        right = right + mono
+    inter = np.empty(2 * n)
+    inter[0::2], inter[1::2] = left, right
+    return left, right, inter
+
+
+def test_intensity_stereo_roundtrip():
+    """Long-block intensity stereo end to end: the writer transmits L+R
+    above sfb 13 with per-band is_pos in the right channel's scalefactor
+    field and rzero pinned at the bound; the decoder reconstructs the
+    panning exactly for a constant-panned source (is_pos=4 ⇒
+    L = tan(60°)·R). Both pure-IS and combined MS+IS frames."""
+    rate = 44100
+    ratio = np.tan(4 * np.pi / 12)  # is_pos = 4, recovered exactly
+    left, right, inter = _is_fixture(rate, rate // 2, ratio)
+    for mode in ("is", "ms_is"):
+        out = write_mp3(inter, rate, 2, mode=mode)
+        # header really flags intensity (mode_extension bit 0)
+        assert (out[3] >> 6) == 0b01 and (out[3] >> 4) & 1, mode
+        sr, ch, y = L3.decode_mp3_samples(out)
+        assert (sr, ch) == (rate, 2)
+        for ref, got in ((left, y[0::2]), (right, y[1::2])):
+            a = ref[3000:15000]
+            b = got[3000 + _DELAY : 15000 + _DELAY]
+            assert _snr(a, b) > 16.0, mode
+
+
+def test_intensity_is_pos7_band_falls_back_to_ms():
+    """An is_pos==7 band inside the intensity region is NOT intensity
+    decoded — the decoder falls back to MS for it (mode_ext = MS+IS).
+    The fixture makes that band's content mono (L == R), which the MS
+    fallback carries faithfully while the surrounding bands ride
+    intensity."""
+    rate = 44100
+    ratio = np.tan(2 * np.pi / 12)
+    # 6800 Hz -> line ~178: scalefactor band 16 (lines 162-196)
+    left, right, inter = _is_fixture(rate, rate // 2, ratio, mono_hz=6800)
+    out = write_mp3(inter, rate, 2, mode="ms_is", is_pos7_sfb=16)
+    sr, ch, y = L3.decode_mp3_samples(out)
+    assert (sr, ch) == (rate, 2)
+    for ref, got in ((left, y[0::2]), (right, y[1::2])):
+        a = ref[3000:15000]
+        b = got[3000 + _DELAY : 15000 + _DELAY]
+        assert _snr(a, b) > 16.0
+    # and without the fallback band the same fixture still decodes (the
+    # mono tone is intensity-representable at is_pos=3) — guard that the
+    # is_pos7 path actually changed the bitstream
+    assert out != write_mp3(inter, rate, 2, mode="ms_is")
+
+
+def test_short_block_intensity_raises():
+    """Short-block intensity stereo (per-window is_pos) is a documented
+    boundary: a block_type-2 stereo stream whose first header is patched
+    to joint-stereo+IS raises precisely."""
+    rate = 44100
+    base = _tone(rate // 4, rate, seed=11)
+    inter = np.empty(2 * len(base))
+    inter[0::2], inter[1::2] = base, np.roll(base, 7) * 0.8
+    stream = bytearray(write_mp3(inter, rate, 2, mode="lr", block_type=2))
+    stream[3] = (0b01 << 6) | (0b01 << 4)  # joint stereo, IS on
+    with pytest.raises(NotImplementedError, match="short-block intensity"):
+        L3.decode_mp3_samples(bytes(stream))
+
+
 def test_short_block_roundtrip_distortion_bound():
     """block_type 2 end to end: the writer's three 12-point MDCTs per
     subband in Huffman (sfb-major, window-contiguous) order drive the
