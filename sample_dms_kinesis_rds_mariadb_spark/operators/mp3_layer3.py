@@ -8,12 +8,17 @@ side information (both granules, mono and stereo), the bit reservoir
 (``main_data_begin`` back-pointers across frames), scalefactors with
 scfsi sharing, Huffman-coded spectrum (big_values regions + count1
 quads with the overrun-rewind rule), requantization (global gain,
-scalefac_scale multiplier, preflag/pretab), MS stereo, long-block
-intensity stereo (is_pos direction coding from the right channel's
-rzero bound, combined MS+intensity frames included), alias-reduction
-butterflies, the 36-point IMDCT with sine/start/stop windows and the
-12-point×3 short-block IMDCT with reordering, frequency inversion,
-overlap-add, and the 32-band polyphase synthesis filterbank.
+scalefac_scale multiplier, preflag/pretab, the unscaled tail band of
+both long and short blocks), MS stereo, long-block intensity stereo
+(is_pos direction coding from the right channel's rzero bound,
+combined MS+intensity frames included), SHORT-block intensity stereo
+(per-window bounds from the right channel's zero pattern), MIXED
+blocks (long sfbs 0-7 over the two lower subbands + short sfbs 3-11,
+long-border-only alias reduction, per-subband hybrid windowing),
+alias-reduction butterflies, the 36-point IMDCT with sine/start/stop
+windows and the 12-point×3 short-block IMDCT with reordering,
+frequency inversion, overlap-add, and the 32-band polyphase synthesis
+filterbank.
 
 Two HONEST BOUNDARIES, each raising with a precise message (the
 ``decode_image``/JPEG-progressive precedent — never silent garbage):
@@ -27,8 +32,9 @@ Two HONEST BOUNDARIES, each raising with a precise message (the
   unverifiable code table would produce silently-corrupt audio — worse
   than an honest raise for a curation pipeline.
 - **MPEG-2 / 2.5 Layer III** (different side-info and scalefactor
-  layout) and **short-block intensity stereo** (per-window is_pos)
-  raise; MPEG-1 MS/LR stereo and long-block intensity stereo decode
+  layout) and **mixed-block intensity stereo** (the rare×rare
+  intersection of two per-real features) raise; MPEG-1 MS/LR stereo,
+  long- and short-block intensity stereo, and mixed blocks decode
   for real.
 
 Synthesis-window note: ISO's 512-coefficient window (Table B.3) is a
@@ -309,9 +315,17 @@ def read_scalefactors(br: BitReader, g: dict, gr: int, scfsi: list[int],
     sf = {"l": [0] * 22, "s": [[0, 0, 0] for _ in range(13)]}
     if g["block_type"] == 2:
         if g["mixed_block_flag"]:
-            raise NotImplementedError(
-                "mixed blocks are a documented boundary (rare in practice)"
-            )
+            # mixed blocks: long sfbs 0-7 (lines 0-35), then short sfbs
+            # 3-11 (ISO part2 = 17*slen1 + 18*slen2)
+            for sfb in range(8):
+                sf["l"][sfb] = br.read(slen1)
+            for sfb in range(3, 6):
+                for w in range(3):
+                    sf["s"][sfb][w] = br.read(slen1)
+            for sfb in range(6, 12):
+                for w in range(3):
+                    sf["s"][sfb][w] = br.read(slen2)
+            return sf
         for sfb in range(6):
             for w in range(3):
                 sf["s"][sfb][w] = br.read(slen1)
@@ -416,11 +430,26 @@ def requantize(ix: np.ndarray, g: dict, sf: dict,
     out = np.zeros(576)
     if g["block_type"] == 2:
         sfbs = SFB_SHORT[sample_rate]
+        sfbl = SFB_LONG[sample_rate]
+        first_short = 3 if g["mixed_block_flag"] else 0
+        if g["mixed_block_flag"]:
+            # long region (lines 0-35 = long sfbs 0-7) of a mixed block
+            gain_l = 2.0 ** (0.25 * (g["global_gain"] - 210))
+            for sfb in range(8):
+                fac = gain_l * 2.0 ** (
+                    -mult * (sf["l"][sfb] + g["preflag"] * PRETAB[sfb])
+                )
+                out[sfbl[sfb] : sfbl[sfb + 1]] = (
+                    mag[sfbl[sfb] : sfbl[sfb + 1]] * fac
+                )
         for w in range(3):
             gain = 2.0 ** (
                 0.25 * (g["global_gain"] - 210 - 8 * g["subblock_gain"][w])
             )
-            for sfb in range(12):
+            # band 12 (the tail above the last scalefactor band) has no
+            # scalefactor — sf["s"][12] stays 0, so it requantizes at
+            # the window gain alone, mirroring the long-block tail
+            for sfb in range(first_short, 13):
                 width = sfbs[sfb + 1] - sfbs[sfb]
                 # Huffman order: per sfb, the 3 windows' lines contiguous
                 base = 3 * sfbs[sfb] + w * width
@@ -438,12 +467,19 @@ def requantize(ix: np.ndarray, g: dict, sf: dict,
     return out
 
 
-def reorder_short(xr: np.ndarray, sample_rate: int) -> np.ndarray:
+def reorder_short(xr: np.ndarray, sample_rate: int,
+                  mixed: bool = False) -> np.ndarray:
     """Map the Huffman (sfb-major, window-contiguous) order to the
-    window-major (subband, window, line) order the IMDCT consumes."""
+    window-major (subband, window, line) order the IMDCT consumes.
+    Band 12 — the tail above the last scalefactor band — reorders like
+    any other band. For mixed blocks the long region (lines 0-35)
+    passes through and only short sfbs 3+ reorder."""
     sfbs = SFB_SHORT[sample_rate]
     out = np.zeros(576)
-    for sfb in range(12):
+    first = 3 if mixed else 0
+    if mixed:
+        out[:36] = xr[:36]
+    for sfb in range(first, 13):
         lo, hi = sfbs[sfb], sfbs[sfb + 1]
         width = hi - lo
         for w in range(3):
@@ -454,12 +490,15 @@ def reorder_short(xr: np.ndarray, sample_rate: int) -> np.ndarray:
     return out
 
 
-def alias_reduce(xr: np.ndarray, inverse: bool = False) -> np.ndarray:
+def alias_reduce(xr: np.ndarray, inverse: bool = False,
+                 borders: int = 31) -> np.ndarray:
     """The 8 anti-alias butterflies across each adjacent subband border
-    (long blocks). ``inverse=True`` is the encoder-side transform."""
+    (long blocks; ``borders=1`` for mixed blocks, where ISO applies them
+    to the two lower — long-windowed — subbands only). ``inverse=True``
+    is the encoder-side transform."""
     out = xr.copy()
     ca = -CA if inverse else CA
-    for sb in range(1, 32):
+    for sb in range(1, 1 + borders):
         lo = 18 * sb
         for i in range(8):
             a = out[lo - 1 - i]
@@ -503,22 +542,25 @@ _IMDCT12 = np.cos(
 _WINDOWS = {0: _win_long(), 1: _win_start(), 3: _win_stop()}
 
 
-def imdct_granule(xr: np.ndarray, block_type: int,
-                  overlap: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def imdct_granule(xr: np.ndarray, block_type: int, overlap: np.ndarray,
+                  mixed: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Per-subband IMDCT + window + overlap-add for one granule/channel:
     xr (576 lines, window-major for short blocks), overlap (32, 18) state
-    → (subband samples (18, 32), new overlap)."""
+    → (subband samples (18, 32), new overlap). ``mixed``: the two lower
+    subbands take the normal long window (block_type 0) while the rest
+    stay short — the ISO mixed-block hybrid."""
     ss = np.empty((18, 32))
     new_ov = np.empty((32, 18))
     for sb in range(32):
         X = xr[18 * sb : 18 * sb + 18]
-        if block_type == 2:
+        if block_type == 2 and not (mixed and sb < 2):
             x = np.zeros(36)
             for w in range(3):
                 seg = _IMDCT12 @ X[w * 6 : w * 6 + 6]
                 x[6 + 6 * w : 18 + 6 * w] += seg * _win_short()
         else:
-            x = (_IMDCT36 @ X) * _WINDOWS[block_type]
+            wt = 0 if (mixed and block_type == 2) else block_type
+            x = (_IMDCT36 @ X) * _WINDOWS[wt]
         out = x[:18] + overlap[sb]
         new_ov[sb] = x[18:]
         if sb & 1:  # frequency inversion: odd subbands, odd samples
@@ -572,6 +614,53 @@ def intensity_stereo_long(ch0: np.ndarray, ch1: np.ndarray, sf_r: dict,
     return [L, R]
 
 
+def intensity_stereo_short(ch0: np.ndarray, ch1: np.ndarray, sf_r: dict,
+                           sample_rate: int, ms_on: bool) -> list[np.ndarray]:
+    """MPEG-1 SHORT-block (block_type 2, non-mixed) intensity stereo:
+    the intensity bound is found PER WINDOW — for each of the three
+    windows, scalefactor bands strictly above the highest band holding a
+    nonzero right-channel line are direction-coded, with ``is_pos`` read
+    from the right channel's short scalefactor field of that (band,
+    window). The tan(is_pos·π/12) split, the is_pos==7 off-switch, and
+    the MS/LR fallback below the bound match the long-block operator;
+    the tail band 12 (no scalefactor of its own) reuses band 11's
+    ``is_pos`` per window — the analog of the long-block tail
+    convention. Operates on requantized spectra in HUFFMAN order
+    (sfb-major, window-contiguous), BEFORE reorder_short — the same
+    point in the chain where the decode loop applies MS."""
+    sfbs = SFB_SHORT[sample_rate]
+    L, R = ch0.copy(), ch1.copy()
+    sq2 = np.sqrt(2.0)
+    for w in range(3):
+        bound = 0
+        for sfb in range(12, -1, -1):
+            width = sfbs[sfb + 1] - sfbs[sfb]
+            base = 3 * sfbs[sfb] + w * width
+            if np.any(ch1[base : base + width] != 0.0):
+                bound = sfb + 1
+                break
+        for sfb in range(13):
+            width = sfbs[sfb + 1] - sfbs[sfb]
+            base = 3 * sfbs[sfb] + w * width
+            is_pos = sf_r["s"][min(sfb, 11)][w] if sfb >= bound else 7
+            if sfb >= bound and is_pos != 7:
+                if is_pos == 6:
+                    kl, kr = 1.0, 0.0
+                else:
+                    ratio = np.tan(is_pos * np.pi / 12.0)
+                    kl = ratio / (1.0 + ratio)
+                    kr = 1.0 / (1.0 + ratio)
+                t = ch0[base : base + width]
+                L[base : base + width] = t * kl
+                R[base : base + width] = t * kr
+            elif ms_on:
+                m = ch0[base : base + width]
+                sd = ch1[base : base + width]
+                L[base : base + width] = (m + sd) / sq2
+                R[base : base + width] = (m - sd) / sq2
+    return [L, R]
+
+
 # --------------------------------------------------------------------------
 # frame walk + top-level decode
 # --------------------------------------------------------------------------
@@ -603,8 +692,7 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
     """(sample_rate, channels, interleaved float64 samples in ±32768
     PCM domain) — the full MPEG-1 Layer III decode chain. Raises
     NotImplementedError at the documented boundaries (MPEG-2/2.5,
-    short-block intensity stereo, unverified Huffman tables, mixed
-    blocks)."""
+    unverified Huffman tables, mixed-block intensity stereo)."""
     reservoir = b""
     pcm_chunks = []
     sample_rate = None
@@ -652,6 +740,7 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
         br = BitReader(data)
         gr_xr = [[None] * channels, [None] * channels]
         gr_bt = [[0] * channels, [0] * channels]
+        gr_mx = [[0] * channels, [0] * channels]
         gr_sf = [[None] * channels, [None] * channels]
         gr_rz = [[0] * channels, [0] * channels]
         sf_prev = [None] * channels
@@ -668,32 +757,48 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
                 xr = requantize(ix, g, sf, sample_rate)
                 gr_xr[gr][ch] = xr
                 gr_bt[gr][ch] = g["block_type"]
+                gr_mx[gr][ch] = g["mixed_block_flag"]
                 gr_sf[gr][ch] = sf
                 gr_rz[gr][ch] = rzero
         for gr in range(2):
             xs = gr_xr[gr]
             if is_on and channels == 2:
-                if gr_bt[gr][0] == 2 or gr_bt[gr][1] == 2:
-                    raise NotImplementedError(
-                        "short-block intensity stereo is a documented "
-                        "boundary (long-block intensity decodes for real)"
+                if (gr_bt[gr][0] == 2) != (gr_bt[gr][1] == 2):
+                    raise ValueError(
+                        "joint-stereo channels disagree on block type"
                     )
-                xs = intensity_stereo_long(
-                    xs[0], xs[1], gr_sf[gr][1], gr_rz[gr][1],
-                    sample_rate, ms_on,
-                )
+                if gr_bt[gr][0] == 2:
+                    if gr_mx[gr][0] or gr_mx[gr][1]:
+                        raise NotImplementedError(
+                            "mixed-block intensity stereo is a documented "
+                            "boundary (long- and short-block intensity "
+                            "decode for real)"
+                        )
+                    xs = intensity_stereo_short(
+                        xs[0], xs[1], gr_sf[gr][1], sample_rate, ms_on,
+                    )
+                else:
+                    xs = intensity_stereo_long(
+                        xs[0], xs[1], gr_sf[gr][1], gr_rz[gr][1],
+                        sample_rate, ms_on,
+                    )
             elif ms_on and channels == 2:
                 m, s = xs[0], xs[1]
                 xs = [(m + s) / np.sqrt(2.0), (m - s) / np.sqrt(2.0)]
             outs = []
             for ch in range(channels):
                 bt = gr_bt[gr][ch]
+                mixed = bool(gr_mx[gr][ch])
                 xr = xs[ch]
                 if bt == 2:
-                    xr = reorder_short(xr, sample_rate)
+                    xr = reorder_short(xr, sample_rate, mixed=mixed)
+                    if mixed:
+                        # alias butterflies apply to the long border only
+                        xr = alias_reduce(xr, borders=1)
                 else:
                     xr = alias_reduce(xr)
-                ss, overlap[ch] = imdct_granule(xr, bt, overlap[ch])
+                ss, overlap[ch] = imdct_granule(xr, bt, overlap[ch],
+                                                mixed=mixed)
                 outs.append(synths[ch].run(ss))
             if channels == 1:
                 pcm_chunks.append(outs[0])

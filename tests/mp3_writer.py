@@ -7,8 +7,9 @@ and the PQMF prototype parameters — the bitstream contract itself); the
 analysis filterbank, MDCT, quantizer, and bit packer are written here
 from the spec equations in encoder direction.
 
-Scope: MPEG-1 Layer III, long blocks (block_type 0) or non-mixed short
-blocks, mono / LR / MS / intensity ("is", "ms_is") stereo,
+Scope: MPEG-1 Layer III, long blocks (block_type 0), short blocks
+(non-mixed or mixed), mono / LR / MS / intensity ("is", "ms_is";
+long- or short-block) stereo,
 CBR 320 kbps, no bit reservoir (main_data_begin = 0), scalefac_scale=1
 with per-band scalefactors chosen so every quantized line fits Huffman
 table 10 (|ix| <= 7). That is a VALID Layer III bitstream exercising
@@ -111,15 +112,16 @@ def _mdct_scale() -> float:
 _MDCT_GAIN = _mdct_scale()
 
 
-def _alias_encode(spec: np.ndarray) -> np.ndarray:
+def _alias_encode(spec: np.ndarray, borders: int = 31) -> np.ndarray:
     """Encoder-side (inverse) anti-alias butterflies — independently
-    written from the butterfly matrix inverse."""
+    written from the butterfly matrix inverse. ``borders=1`` for mixed
+    blocks (ISO applies them to the long border only)."""
     ci = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
                    -0.0037])
     cs = 1.0 / np.sqrt(1.0 + ci * ci)
     ca = ci / np.sqrt(1.0 + ci * ci)
     out = spec.copy()
-    for sb in range(1, 32):
+    for sb in range(1, 1 + borders):
         lo = 18 * sb
         for i in range(8):
             a = out[lo - 1 - i]
@@ -205,7 +207,7 @@ def _granule_spectrum_short(
             xw[w, 6 * sb : 6 * sb + 6] = (_C12.T @ seg) / _MDCT12_GAIN
     sfbs = SFB_SHORT[sample_rate]
     spec = np.zeros(576)
-    for sfb in range(12):
+    for sfb in range(13):  # band 12 = the unscaled tail (lines 408-575)
         lo, hi = sfbs[sfb], sfbs[sfb + 1]
         width = hi - lo
         for w in range(3):
@@ -213,6 +215,40 @@ def _granule_spectrum_short(
                 xw[w, lo:hi]
             )
     return spec
+
+
+def _granule_spectrum_mixed(
+    S: np.ndarray, g: int, sample_rate: int
+) -> np.ndarray:
+    """576 MIXED-block spectral lines of granule g in Huffman order:
+    subbands 0-1 carry sine-windowed 36-point MDCTs (the long region,
+    lines 0-35 = long sfbs 0-7), subbands 2-31 carry three 12-point
+    MDCTs each, placed sfb-major/window-contiguous from short sfb 3.
+    The inverse alias butterfly applies to the long border only
+    (``borders=1``) — the encoder direction of the decoder's
+    mixed-block alias rule."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp3_layer3 import (
+        SFB_SHORT,
+    )
+
+    zs = _granule_zs(S, g)
+    spec = np.zeros(576)
+    for sb in (0, 1):
+        spec[18 * sb : 18 * sb + 18] = (
+            _C36.T @ (zs[sb] * _WLONG)
+        ) / _MDCT_GAIN
+    xw = np.zeros((3, 192))
+    for sb in range(2, 32):
+        for w in range(3):
+            seg = zs[sb, 6 + 6 * w : 18 + 6 * w] * _WSHORT
+            xw[w, 6 * sb : 6 * sb + 6] = (_C12.T @ seg) / _MDCT12_GAIN
+    sfbs = SFB_SHORT[sample_rate]
+    for sfb in range(3, 13):
+        lo, hi = sfbs[sfb], sfbs[sfb + 1]
+        width = hi - lo
+        for w in range(3):
+            spec[3 * lo + w * width : 3 * lo + (w + 1) * width] = xw[w, lo:hi]
+    return _alias_encode(spec, borders=1)
 
 
 # --- quantization + Huffman -------------------------------------------------
@@ -255,9 +291,13 @@ def _quantize(spec: np.ndarray, sample_rate: int):
     return ix, gg, scalefacs
 
 
-def _quantize_short(spec: np.ndarray, sample_rate: int):
+def _quantize_short(spec: np.ndarray, sample_rate: int, first_sfb: int = 0):
     """(ix, global_gain, scalefacs[12][3]) over Huffman-order short-block
-    lines — per-(sfb, window) scalefactors under |ix| <= 7."""
+    lines — per-(sfb, window) scalefactors under |ix| <= 7. Band 12
+    (the tail above the last scalefactor band) has no scalefactor and
+    quantizes at the global step alone — the decoder requantizes it the
+    same way. ``first_sfb=3`` restricts to the short region of a mixed
+    block."""
     from sample_dms_kinesis_rds_mariadb_spark.operators.mp3_layer3 import (
         SFB_SHORT,
     )
@@ -272,10 +312,10 @@ def _quantize_short(spec: np.ndarray, sample_rate: int):
     g_step = 2.0 ** (0.25 * (gg - 210))
     ix = np.zeros(576, dtype=np.int64)
     sfs = [[0] * 3 for _ in range(12)]
-    for sfb in range(12):
+    for sfb in range(first_sfb, 13):
         lo, hi = sfbs[sfb], sfbs[sfb + 1]
         width = hi - lo
-        sf_max = 15 if sfb <= 5 else 7
+        sf_max = 0 if sfb == 12 else (15 if sfb <= 5 else 7)
         for w in range(3):
             base = 3 * lo + w * width
             band = spec[base : base + width]
@@ -284,11 +324,58 @@ def _quantize_short(spec: np.ndarray, sample_rate: int):
             if bpeak > 0 and bpeak >= peak * 2.0 ** -9:
                 sf = int(np.floor(np.log2(limit * g_step / bpeak)))
                 sf = min(max(sf, 0), sf_max)
-            sfs[sfb][w] = sf
+            if sfb < 12:
+                sfs[sfb][w] = sf
             t = np.abs(band) * (2.0 ** sf) / g_step
             q = np.minimum(np.round(t ** 0.75), 7).astype(np.int64)
             ix[base : base + width] = q * np.sign(band).astype(np.int64)
     return ix, gg, sfs
+
+
+def _quantize_mixed(spec: np.ndarray, sample_rate: int):
+    """(ix, global_gain, long scalefacs[8], short scalefacs[12][3]) for a
+    mixed block: long sfbs 0-7 over lines 0-35, short sfbs 3-12 beyond
+    (band 12 unscaled, like _quantize_short)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp3_layer3 import (
+        SFB_SHORT,
+    )
+
+    sfbl = SFB_LONG[sample_rate]
+    sfbs = SFB_SHORT[sample_rate]
+    peak = float(np.max(np.abs(spec)))
+    if peak == 0.0:
+        return (np.zeros(576, dtype=np.int64), 210, [0] * 8,
+                [[0] * 3 for _ in range(12)])
+    limit = 7.0 ** (4.0 / 3.0) * 0.999
+    gg = 210 + int(np.ceil(4 * np.log2(peak / limit)))
+    gg = min(max(gg, 0), 255)
+    g_step = 2.0 ** (0.25 * (gg - 210))
+    ix = np.zeros(576, dtype=np.int64)
+
+    def _band(lo, hi, sf_max):
+        band = spec[lo:hi]
+        bpeak = float(np.max(np.abs(band)))
+        sf = 0
+        if bpeak > 0 and bpeak >= peak * 2.0 ** -9:
+            sf = int(np.floor(np.log2(limit * g_step / bpeak)))
+            sf = min(max(sf, 0), sf_max)
+        t = np.abs(band) * (2.0 ** sf) / g_step
+        q = np.minimum(np.round(t ** 0.75), 7).astype(np.int64)
+        ix[lo:hi] = q * np.sign(band).astype(np.int64)
+        return sf
+
+    sfl = [_band(sfbl[sfb], sfbl[sfb + 1], 15) for sfb in range(8)]
+    sfs = [[0] * 3 for _ in range(12)]
+    for sfb in range(3, 13):
+        lo, hi = sfbs[sfb], sfbs[sfb + 1]
+        width = hi - lo
+        sf_max = 0 if sfb == 12 else (15 if sfb <= 5 else 7)
+        for w in range(3):
+            base = 3 * lo + w * width
+            sf = _band(base, base + width, sf_max)
+            if sfb < 12:
+                sfs[sfb][w] = sf
+    return ix, gg, sfl, sfs
 
 
 def _huff_encode(bw: BitWriter, ix: np.ndarray, min_lines: int = 0) -> int:
@@ -315,10 +402,22 @@ def _huff_encode(bw: BitWriter, ix: np.ndarray, min_lines: int = 0) -> int:
 
 
 def _encode_granule(
-    S: np.ndarray, g: int, sample_rate: int, block_type: int = 0
+    S: np.ndarray, g: int, sample_rate: int, block_type: int = 0,
+    mixed: bool = False,
 ) -> dict:
     bw = BitWriter()
-    if block_type == 2:
+    if block_type == 2 and mixed:
+        spec = _granule_spectrum_mixed(S, g, sample_rate)
+        ix, gg, sfl, sfs = _quantize_mixed(spec, sample_rate)
+        for sfb in range(8):
+            bw.write(sfl[sfb], SLEN1[_SCALEFAC_COMPRESS])
+        for sfb in range(3, 6):
+            for w in range(3):
+                bw.write(sfs[sfb][w], SLEN1[_SCALEFAC_COMPRESS])
+        for sfb in range(6, 12):
+            for w in range(3):
+                bw.write(sfs[sfb][w], SLEN2[_SCALEFAC_COMPRESS])
+    elif block_type == 2:
         spec = _granule_spectrum_short(S, g, sample_rate)
         ix, gg, sfs = _quantize_short(spec, sample_rate)
         for sfb in range(6):
@@ -341,6 +440,7 @@ def _encode_granule(
         "big_values": big_values,
         "global_gain": gg,
         "block_type": block_type,
+        "mixed": int(mixed),
     }
 
 
@@ -418,6 +518,110 @@ def _encode_granule_is(
     return encs
 
 
+def _encode_granule_is_short(
+    SL: np.ndarray, SR: np.ndarray, g: int, sample_rate: int,
+    ms_on: bool, bound_sfb: int,
+) -> list[dict]:
+    """Encode one granule of BOTH channels of a SHORT-block (block_type
+    2, non-mixed) intensity-stereo frame. The decoder finds the
+    intensity bound PER WINDOW from the right channel's zero pattern,
+    so after quantization this writer VERIFIES that every window's
+    detected bound equals ``bound_sfb`` (a SHORT sfb index — the
+    fixture signal must keep band bound_sfb-1 nonzero in all three
+    windows) and raises otherwise, keeping the round-trip tests honest.
+    At/above the bound the left channel transmits L+R with per-(band,
+    window) is_pos in the right channel's scalefactor field; below it
+    MS (``ms_on``) or plain L/R. The unscaled tail band 12 carries no
+    energy (it has no is_pos of its own)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp3_layer3 import (
+        SFB_SHORT,
+    )
+
+    sfbs = SFB_SHORT[sample_rate]
+    aL = _granule_spectrum_short(SL, g, sample_rate)
+    aR = _granule_spectrum_short(SR, g, sample_rate)
+    sq2 = np.sqrt(2.0)
+    ch0 = np.zeros(576)
+    ch1 = np.zeros(576)
+    is_pos = [[7] * 3 for _ in range(12)]
+    for sfb in range(13):
+        lo, hi = sfbs[sfb], sfbs[sfb + 1]
+        width = hi - lo
+        for w in range(3):
+            base = 3 * lo + w * width
+            lv = aL[base : base + width]
+            rv = aR[base : base + width]
+            if sfb >= bound_sfb:
+                if sfb == 12:
+                    continue  # tail stays silent — no is_pos field
+                sl = float(np.abs(lv).sum())
+                sr_ = float(np.abs(rv).sum())
+                if sl + sr_ == 0.0:
+                    is_pos[sfb][w] = 6
+                else:
+                    is_pos[sfb][w] = int(np.clip(
+                        round(np.arctan2(sl, sr_) * 12.0 / np.pi), 0, 6
+                    ))
+                ch0[base : base + width] = lv + rv
+            elif ms_on:
+                ch0[base : base + width] = (lv + rv) / sq2
+                ch1[base : base + width] = (lv - rv) / sq2
+            else:
+                ch0[base : base + width] = lv
+                ch1[base : base + width] = rv
+    encs = []
+    ix0 = None
+    for c, spec in enumerate((ch0, ch1)):
+        ix, gg, sfs = _quantize_short(spec, sample_rate)
+        if c == 0:
+            ix0 = ix
+        else:
+            for w in range(3):
+                det = 0
+                for sfb in range(12, -1, -1):
+                    width = sfbs[sfb + 1] - sfbs[sfb]
+                    base = 3 * sfbs[sfb] + w * width
+                    if np.any(ix[base : base + width] != 0):
+                        det = sfb + 1
+                        break
+                if det == bound_sfb:
+                    continue
+                # a lower detected bound is harmless iff ch0 is also
+                # zero across the gap bands [det, bound): the decoder
+                # intensity-decodes zeros to zeros there (e.g. granule
+                # 0's leading windows, which cover zero history)
+                for sfb in range(det, bound_sfb):
+                    width = sfbs[sfb + 1] - sfbs[sfb]
+                    base = 3 * sfbs[sfb] + w * width
+                    if np.any(ix0[base : base + width] != 0):
+                        raise ValueError(
+                            f"window {w}: detected intensity bound {det} "
+                            f"!= {bound_sfb} with live ch0 content in band "
+                            f"{sfb} — fixture signal too sparse below the "
+                            "bound"
+                        )
+            for sfb in range(bound_sfb, 12):
+                for w in range(3):
+                    sfs[sfb][w] = is_pos[sfb][w]
+        bw = BitWriter()
+        for sfb in range(6):
+            for w in range(3):
+                bw.write(sfs[sfb][w], SLEN1[_SCALEFAC_COMPRESS])
+        for sfb in range(6, 12):
+            for w in range(3):
+                bw.write(sfs[sfb][w], SLEN2[_SCALEFAC_COMPRESS])
+        big_values = _huff_encode(bw, ix)
+        encs.append({
+            "bits": bw.bits,
+            "part2_3_length": len(bw.bits),
+            "big_values": big_values,
+            "global_gain": gg,
+            "block_type": 2,
+            "mixed": 0,
+        })
+    return encs
+
+
 # --- frame packing ----------------------------------------------------------
 
 _BR_IDX = {320: 14}
@@ -425,7 +629,7 @@ _BR_IDX = {320: 14}
 
 def write_mp3(
     pcm, sample_rate: int = 44100, channels: int = 1, mode: str = "lr",
-    reservoir_shift: int = 0, block_type: int = 0,
+    reservoir_shift: int = 0, block_type: int = 0, mixed: bool = False,
     is_bound_sfb: int = 13, is_pos7_sfb: int | None = None,
 ) -> bytes:
     """Encode PCM (list/array of samples; interleaved when stereo) as an
@@ -437,11 +641,21 @@ def write_mp3(
     fallback. ``reservoir_shift=k`` exercises the bit reservoir: every
     frame after the first donates its first k main-data bytes into the
     previous frame's padding and sets main_data_begin=k — byte-identical
-    main data through the reservoir path."""
+    main data through the reservoir path. ``block_type=2`` with
+    ``mixed=True`` emits mixed blocks; intensity modes with
+    ``block_type=2`` emit SHORT-block intensity stereo (``is_bound_sfb``
+    is then a SHORT sfb index; ``is_pos7_sfb`` is long-block only)."""
     sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
     intensity = mode in ("is", "ms_is")
-    if intensity and (channels != 2 or block_type):
-        raise ValueError("intensity modes need stereo long blocks")
+    if intensity and channels != 2:
+        raise ValueError("intensity modes need stereo")
+    if intensity and block_type == 2 and (mixed or is_pos7_sfb is not None):
+        raise ValueError(
+            "short-block intensity supports neither mixed blocks nor "
+            "is_pos7_sfb"
+        )
+    if mixed and block_type != 2:
+        raise ValueError("mixed needs block_type=2")
     x = np.asarray(pcm, dtype=np.float64)
     if channels == 2:
         left, right = x[0::2], x[1::2]
@@ -459,7 +673,15 @@ def write_mp3(
     frame_len = 144 * 320000 // sample_rate  # padding bit 0
     frames = []
     for f in range(n_gran // 2):
-        if intensity:
+        if intensity and block_type == 2:
+            grs = [
+                _encode_granule_is_short(
+                    subs[0], subs[1], 2 * f + g, sample_rate,
+                    mode == "ms_is", is_bound_sfb,
+                )
+                for g in range(2)
+            ]
+        elif intensity:
             grs = [
                 _encode_granule_is(
                     subs[0], subs[1], 2 * f + g, sample_rate,
@@ -470,7 +692,7 @@ def write_mp3(
         else:
             grs = [
                 [_encode_granule(subs[c], 2 * f + g, sample_rate,
-                                 block_type=block_type)
+                                 block_type=block_type, mixed=mixed)
                  for c in range(channels)]
                 for g in range(2)
             ]
@@ -505,7 +727,7 @@ def write_mp3(
                 if e["block_type"] == 2:
                     si.write(1, 1)           # window switching
                     si.write(2, 2)           # block_type = short
-                    si.write(0, 1)           # not mixed
+                    si.write(e.get("mixed", 0), 1)
                     for _r in range(2):
                         si.write(_TABLE, 5)
                     for _w in range(3):

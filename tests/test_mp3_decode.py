@@ -2,8 +2,9 @@
 encoder (tests/mp3_writer.py — the flac_writer/jpeg_writer adversarial
 pattern): structural completeness of every shipped Huffman table,
 filterbank and MDCT stage exactness, full encode→decode distortion
-bounds (mono, LR stereo, MS stereo, bit reservoir), the documented
-boundaries, and the transcode-detection class through
+bounds (mono, LR stereo, MS stereo, long- and short-block intensity
+stereo, mixed blocks, the unscaled short tail band, bit reservoir),
+the documented boundaries, and the transcode-detection class through
 audio_dedup.audio_near_pairs (WAV original vs MP3 re-encode)."""
 
 from __future__ import annotations
@@ -228,17 +229,71 @@ def test_intensity_is_pos7_band_falls_back_to_ms():
     assert out != write_mp3(inter, rate, 2, mode="ms_is")
 
 
-def test_short_block_intensity_raises():
-    """Short-block intensity stereo (per-window is_pos) is a documented
-    boundary: a block_type-2 stereo stream whose first header is patched
-    to joint-stereo+IS raises precisely."""
+def _is_short_fixture(rate, n, ratio, seed=17):
+    """Stereo pair for the SHORT-block intensity tests: dense
+    independent L/R tone stacks below the bound (short sfb 6 = line 30 ≈
+    3.4 kHz) — every band 0-5 carries energy in every window, so the
+    decoder's per-window zero-pattern bound lands exactly at 6 — and a
+    constant-panned pair of tones above it with L = ratio * R."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    low_l = sum(
+        a * np.sin(2 * np.pi * f * t + p)
+        for a, f, p in [(7000, 300, 0.0), (5000, 700, 0.4), (4000, 1150, 0.9),
+                        (3500, 1700, 1.3), (3000, 2300, 0.2),
+                        (2800, 3000, 0.7)]
+    )
+    low_r = sum(
+        a * np.sin(2 * np.pi * f * t + p)
+        for a, f, p in [(6500, 380, 0.5), (5200, 820, 0.1), (4200, 1300, 1.1),
+                        (3600, 1900, 0.8), (3100, 2500, 1.5),
+                        (2900, 3200, 0.3)]
+    )
+    high = 4000 * np.sin(2 * np.pi * 5000 * t + 0.9) + 2200 * np.sin(
+        2 * np.pi * 6100 * t
+    ) + 25 * rng.normal(size=n)
+    left = low_l + ratio * high
+    right = low_r + high
+    inter = np.empty(2 * n)
+    inter[0::2], inter[1::2] = left, right
+    return left, right, inter
+
+
+def test_short_block_intensity_roundtrip():
+    """SHORT-block intensity stereo end to end: the writer transmits
+    L+R above short sfb 6 with per-(band, window) is_pos in the right
+    channel's scalefactor field (and VERIFIES the decoder's per-window
+    zero-pattern bound detection lands exactly at 6); the decoder
+    reconstructs the panning for a constant-panned source. Both pure-IS
+    and combined MS+IS frames."""
+    rate = 44100
+    ratio = np.tan(4 * np.pi / 12)  # is_pos = 4, recovered exactly
+    left, right, inter = _is_short_fixture(rate, rate // 2, ratio)
+    for mode in ("is", "ms_is"):
+        out = write_mp3(inter, rate, 2, mode=mode, block_type=2,
+                        is_bound_sfb=6)
+        assert (out[3] >> 6) == 0b01 and (out[3] >> 4) & 1, mode
+        sr, ch, y = L3.decode_mp3_samples(out)
+        assert (sr, ch) == (rate, 2)
+        for ref, got in ((left, y[0::2]), (right, y[1::2])):
+            a = ref[3000:15000]
+            b = got[3000 + _DELAY : 15000 + _DELAY]
+            assert _snr(a, b) > 15.0, mode
+
+
+def test_mixed_block_intensity_raises():
+    """Mixed-block intensity stereo stays a documented boundary: a
+    mixed-block stereo stream whose first header is patched to
+    joint-stereo+IS raises precisely."""
     rate = 44100
     base = _tone(rate // 4, rate, seed=11)
     inter = np.empty(2 * len(base))
     inter[0::2], inter[1::2] = base, np.roll(base, 7) * 0.8
-    stream = bytearray(write_mp3(inter, rate, 2, mode="lr", block_type=2))
+    stream = bytearray(
+        write_mp3(inter, rate, 2, mode="lr", block_type=2, mixed=True)
+    )
     stream[3] = (0b01 << 6) | (0b01 << 4)  # joint stereo, IS on
-    with pytest.raises(NotImplementedError, match="short-block intensity"):
+    with pytest.raises(NotImplementedError, match="mixed-block intensity"):
         L3.decode_mp3_samples(bytes(stream))
 
 
@@ -256,6 +311,52 @@ def test_short_block_roundtrip_distortion_bound():
     b = y[3000 + _DELAY : 18000 + _DELAY]
     assert _snr(a, b) > 18.0
     assert abs(np.sqrt((b * b).mean()) / np.sqrt((a * a).mean()) - 1) < 0.1
+
+
+def test_mixed_block_roundtrip_distortion_bound():
+    """Mixed blocks end to end: long sfbs 0-7 over the two lower
+    subbands (36-point MDCT, normal long window, long-border-only alias
+    butterflies) + short sfbs 3-11 over subbands 2-31, the mixed
+    scalefactor layout (17·slen1 + 18·slen2 bits), and the per-subband
+    hybrid IMDCT — distortion at the established bound."""
+    rate = 44100
+    x = _signal_fm(rate // 2, rate, seed=21)
+    sr, ch, y = L3.decode_mp3_samples(
+        write_mp3(x, rate, 1, block_type=2, mixed=True)
+    )
+    assert (sr, ch) == (rate, 1)
+    a = x[3000:18000]
+    b = y[3000 + _DELAY : 18000 + _DELAY]
+    assert _snr(a, b) > 18.0
+    assert abs(np.sqrt((b * b).mean()) / np.sqrt((a * a).mean()) - 1) < 0.1
+    # and a mixed stream really differs from the non-mixed short stream
+    assert write_mp3(x, rate, 1, block_type=2, mixed=True) != write_mp3(
+        x, rate, 1, block_type=2
+    )
+
+
+def test_short_block_tail_band_requantizes():
+    """Lines above the last short scalefactor band (band 12, ≥15.6 kHz
+    at 44.1 kHz) requantize at the window gain and reorder like any
+    band — a 16.5 kHz tone survives a short-block round trip instead of
+    being silently zeroed."""
+    rate = 44100
+    t = np.arange(rate // 2) / rate
+    x = 8000 * np.sin(2 * np.pi * 16500 * t) + 3000 * np.sin(
+        2 * np.pi * 440 * t
+    )
+    sr, ch, y = L3.decode_mp3_samples(write_mp3(x, rate, 1, block_type=2))
+    assert (sr, ch) == (rate, 1)
+    a = x[3000:18000]
+    b = y[3000 + _DELAY : 18000 + _DELAY]
+    assert _snr(a, b) > 14.0
+    # the tone is really there: energy at 16.5 kHz within 12% of source
+    win = np.hanning(8192)
+    f = np.fft.rfftfreq(8192, 1 / rate)
+    bin_ = np.argmin(np.abs(f - 16500))
+    pa = np.abs(np.fft.rfft(a[:8192] * win))[bin_]
+    pb = np.abs(np.fft.rfft(b[:8192] * win))[bin_]
+    assert pb == pytest.approx(pa, rel=0.12)
 
 
 def test_bit_reservoir_roundtrip_and_truncated_start():
