@@ -1,7 +1,7 @@
-"""MP3 (MPEG-1 Layer III) PCM sample decode — spec-derived, pure
-numpy, no codec library (the compressed-audio long tail named in the r9
-verdict: crawl audio is overwhelmingly MP3, and without sample decode
-``audio_dedup`` can only fingerprint WAV/FLAC).
+"""MPEG audio (Layer III "MP3" + Layer I) PCM sample decode —
+spec-derived, pure numpy, no codec library (the compressed-audio long
+tail named in the r9 verdict: crawl audio is overwhelmingly MP3, and
+without sample decode ``audio_dedup`` can only fingerprint WAV/FLAC).
 
 What decodes FOR REAL (ISO/IEC 11172-3 §2.4.3.4 structure, end to end):
 side information (both granules, mono and stereo), the bit reservoir
@@ -32,10 +32,17 @@ Two HONEST BOUNDARIES, each raising with a precise message (the
   unverifiable code table would produce silently-corrupt audio — worse
   than an honest raise for a curation pipeline.
 - **MPEG-2 / 2.5 Layer III** (different side-info and scalefactor
-  layout) and **mixed-block intensity stereo** (the rare×rare
+  layout), **Layer II** (its allocation tables are outside the
+  verified set), and **mixed-block intensity stereo** (the rare×rare
   intersection of two per-real features) raise; MPEG-1 MS/LR stereo,
   long- and short-block intensity stereo, and mixed blocks decode
   for real.
+
+LAYER I also decodes for real (ISO 11172-3 §2.4.2.4: 4-bit subband
+allocations, 6-bit scalefactor indices, midtread requantization to
+2^nb − 1 levels, intensity joint stereo above the mode_extension
+bound) — its frame layout is version-independent, so MPEG-2 Layer I
+decodes too. Both layers share the polyphase synthesis bank below.
 
 Synthesis-window note: ISO's 512-coefficient window (Table B.3) is a
 printed numeric table with no closed form; this module instead uses a
@@ -662,6 +669,107 @@ def intensity_stereo_short(ch0: np.ndarray, ch1: np.ndarray, sf_r: dict,
 
 
 # --------------------------------------------------------------------------
+# Layer I (ISO 11172-3 §2.4.2.4) — bit allocation + linear requantization
+# into the same polyphase synthesis bank. The frame layout is version-
+# independent, so MPEG-1 and MPEG-2 Layer I both decode.
+# --------------------------------------------------------------------------
+
+# scalefactor table (ISO Table B.1): 2 · 2^(-idx/3), idx 0..62 (63 invalid)
+_L1_SF = 2.0 * (2.0 ** (-np.arange(63) / 3.0))
+
+
+def _l1_requant(raw: int, nb: int) -> float:
+    """Layer I/II midtread dequantization (ISO §2.4.3.2.1): 2^nb − 1
+    symmetric levels; s'' = C·(s''' + D) with C = 2^nb/(2^nb−1),
+    D = 2^(1−nb), s''' = raw/2^(nb−1) − 1 (the MSB-inverted
+    two's-complement fraction). The all-ones code is forbidden."""
+    half = 1 << (nb - 1)
+    return (2.0 * half / (2.0 * half - 1.0)) * (
+        raw / half - 1.0 + 1.0 / half
+    )
+
+
+def _decode_l1_frame(h: dict, frame: bytes) -> np.ndarray:
+    """One Layer I frame → (channels, 12, 32) subband fractions ×
+    scalefactors. Joint stereo (intensity) shares allocation and sample
+    codes above the mode_extension bound while keeping per-channel
+    scalefactors — the ISO Layer I intensity mode."""
+    channels = h["channels"]
+    mode_bits = (frame[3] >> 6) & 0b11
+    joint = mode_bits == 0b01
+    bound = 4 * (((frame[3] >> 4) & 0b11) + 1) if joint else 32
+    hdr_len = 4 + (2 if h["crc"] else 0)
+    br = BitReader(frame[hdr_len:])
+    alloc = [[0] * 32 for _ in range(channels)]
+    for sb in range(bound):
+        for ch in range(channels):
+            a = br.read(4)
+            if a == 15:
+                raise ValueError("forbidden Layer I allocation code 15")
+            alloc[ch][sb] = a
+    for sb in range(bound, 32):
+        a = br.read(4)
+        if a == 15:
+            raise ValueError("forbidden Layer I allocation code 15")
+        for ch in range(channels):
+            alloc[ch][sb] = a
+    sf = [[0.0] * 32 for _ in range(channels)]
+    for sb in range(32):
+        for ch in range(channels):
+            if alloc[ch][sb]:
+                idx = br.read(6)
+                if idx == 63:
+                    raise ValueError("invalid Layer I scalefactor index 63")
+                sf[ch][sb] = float(_L1_SF[idx])
+    S = np.zeros((channels, 12, 32))
+    for s in range(12):
+        for sb in range(32):
+            if sb < bound:
+                for ch in range(channels):
+                    a = alloc[ch][sb]
+                    if a:
+                        nb = a + 1
+                        S[ch, s, sb] = (
+                            _l1_requant(br.read(nb), nb) * sf[ch][sb]
+                        )
+            else:
+                a = alloc[0][sb]
+                if a:
+                    nb = a + 1
+                    frac = _l1_requant(br.read(nb), nb)
+                    for ch in range(channels):
+                        S[ch, s, sb] = frac * sf[ch][sb]
+    return S
+
+
+def _decode_layer1(frames) -> tuple[int, int, np.ndarray]:
+    """Decode a Layer I frame stream (first frame already known to be
+    Layer I). Fractions are in ±1; output rescales to the module's
+    ±32768 PCM-domain convention."""
+    sample_rate = None
+    channels = None
+    synths = None
+    pcm_chunks = []
+    for h, frame in frames:
+        if h["layer"] != 1:
+            raise ValueError("mixed-layer MPEG audio stream")
+        if sample_rate is None:
+            sample_rate = h["sample_rate"]
+            channels = h["channels"]
+            synths = [PolyphaseSynth() for _ in range(channels)]
+        S = _decode_l1_frame(h, frame)
+        outs = [synths[ch].run(S[ch]) for ch in range(channels)]
+        if channels == 1:
+            pcm_chunks.append(outs[0])
+        else:
+            inter = np.empty(outs[0].size * 2)
+            inter[0::2] = outs[0]
+            inter[1::2] = outs[1]
+            pcm_chunks.append(inter)
+    return sample_rate, channels, np.concatenate(pcm_chunks) * 32768.0
+
+
+# --------------------------------------------------------------------------
 # frame walk + top-level decode
 # --------------------------------------------------------------------------
 
@@ -693,18 +801,30 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
     PCM domain) — the full MPEG-1 Layer III decode chain. Raises
     NotImplementedError at the documented boundaries (MPEG-2/2.5,
     unverified Huffman tables, mixed-block intensity stereo)."""
+    import itertools
+
+    frames = _frames(content)
+    head = next(frames, None)
+    if head is None:
+        raise ValueError("no MPEG audio frames found")
+    frames = itertools.chain([head], frames)
+    if head[0]["layer"] == 1:
+        return _decode_layer1(frames)
     reservoir = b""
     pcm_chunks = []
     sample_rate = None
     channels = None
     overlap = None
     first = True
-    for h, frame in _frames(content):
-        if h["layer"] != 3:
+    for h, frame in frames:
+        if h["layer"] == 2:
             raise NotImplementedError(
-                f"Layer {h['layer']} sample decode not implemented "
-                "(Layer III decodes for real)"
+                "Layer II sample decode not implemented — its allocation "
+                "tables are outside the verified set (Layers I and III "
+                "decode for real)"
             )
+        if h["layer"] != 3:
+            raise ValueError("mixed-layer MPEG audio stream")
         if h["version"] != "1":
             raise NotImplementedError(
                 "MPEG-2/2.5 Layer III uses a different side-info layout — "

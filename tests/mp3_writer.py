@@ -622,6 +622,116 @@ def _encode_granule_is_short(
     return encs
 
 
+# --- Layer I encoder ---------------------------------------------------------
+
+_L1_SF = 2.0 * (2.0 ** (-np.arange(63) / 3.0))
+
+
+def write_mp1(
+    pcm, sample_rate: int = 44100, channels: int = 1, mode: str = "lr",
+    nb: int = 12, bound_band: int = 8,
+) -> bytes:
+    """INDEPENDENT MPEG-1 Layer I encoder (CBR 448): per-subband 4-bit
+    allocation (``nb`` sample bits where a subband carries energy, 0
+    elsewhere — the noise-gate keeps tonal fixtures inside the frame
+    budget), 6-bit scalefactor indices chosen as the smallest table
+    level covering the band peak, midtread quantization to 2^nb − 1
+    levels (all-ones code never emitted). ``mode='intensity'`` encodes
+    joint stereo: above subband ``bound_band`` (4·(ext+1) — must be a
+    multiple of 4) allocation and sample codes are shared (ch0's
+    fraction; the direction rides the per-channel scalefactor ratio)
+    while scalefactors stay per-channel. Raises if a frame's bits
+    exceed the CBR budget — fixtures must stay tonal."""
+    if mode == "intensity" and (channels != 2 or bound_band % 4):
+        raise ValueError("intensity needs stereo and a bound multiple of 4")
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    x = np.asarray(pcm, dtype=np.float64) / 32768.0
+    chans = [x[0::2], x[1::2]] if channels == 2 else [x]
+    subs = [analyze_subbands(c) for c in chans]
+    n_frames = -(-subs[0].shape[0] // 12)
+    frame_len = (12 * 448000 // sample_rate) * 4  # padding bit 0
+    joint = mode == "intensity"
+    bound = bound_band if joint else 32
+    if channels == 1:
+        mode_byte = 0xC0
+    elif joint:
+        mode_byte = (0b01 << 6) | ((bound_band // 4 - 1) << 4)
+    else:
+        mode_byte = 0x00
+    hdr = bytes([0xFF, 0xFF, (14 << 4) | (sr_idx << 2), mode_byte])
+    out = bytearray()
+    for f in range(n_frames):
+        S = np.zeros((channels, 12, 32))
+        for ch in range(channels):
+            seg = subs[ch][12 * f : 12 * f + 12]
+            S[ch, : seg.shape[0]] = seg
+        alloc = np.zeros((channels, 32), dtype=int)
+        sfi = np.zeros((channels, 32), dtype=int)
+        # budget-aware allocation (the fixture stand-in for a real
+        # psychoacoustic bit allocator): activate bands greedily by peak
+        # until the CBR frame is full — any allocation is a valid stream
+        budget = (frame_len - 4) * 8 - (bound * 4 * channels
+                                        + (32 - bound) * 4)
+        units = []  # (-peak, members, cost)
+        for sb in range(32):
+            if joint and sb >= bound:
+                p = float(np.max(np.abs(S[:, :, sb])))
+                if p > 0.0:
+                    units.append((-p, [(ch, sb) for ch in range(channels)],
+                                  6 * channels + 12 * nb))
+            else:
+                for ch in range(channels):
+                    p = float(np.max(np.abs(S[ch][:, sb])))
+                    if p > 0.0:
+                        units.append((-p, [(ch, sb)], 6 + 12 * nb))
+        units.sort(key=lambda u: u[0])
+        for _p, members, cost in units:
+            if budget < cost:
+                continue
+            budget -= cost
+            for ch, sb in members:
+                alloc[ch][sb] = nb - 1
+                own = float(np.max(np.abs(S[ch][:, sb])))
+                idx = int(np.floor(-3.0 * np.log2(max(own, 1e-12) / 2.0)))
+                sfi[ch][sb] = min(max(idx, 0), 62)
+        bw = BitWriter()
+        for sb in range(bound):
+            for ch in range(channels):
+                bw.write(alloc[ch][sb], 4)
+        for sb in range(bound, 32):
+            bw.write(alloc[0][sb], 4)
+        for sb in range(32):
+            for ch in range(channels):
+                if alloc[ch][sb]:
+                    bw.write(sfi[ch][sb], 6)
+
+        def _q(v, sf, bits):
+            c = (1 << bits) / ((1 << bits) - 1.0)
+            d = 2.0 ** (1 - bits)
+            raw = int(round((v / (sf * c) - d + 1.0) * (1 << (bits - 1))))
+            return min(max(raw, 0), (1 << bits) - 2)
+
+        for s in range(12):
+            for sb in range(32):
+                if sb < bound:
+                    for ch in range(channels):
+                        if alloc[ch][sb]:
+                            bits = alloc[ch][sb] + 1
+                            bw.write(
+                                _q(S[ch, s, sb], _L1_SF[sfi[ch][sb]], bits),
+                                bits,
+                            )
+                elif alloc[0][sb]:
+                    bits = alloc[0][sb] + 1
+                    # shared code: ch0's fraction against ch0's
+                    # scalefactor — the decoder rebuilds each channel as
+                    # frac·sf[ch], so the DIRECTION rides the per-channel
+                    # scalefactor ratio (intensity semantics)
+                    bw.write(_q(S[0, s, sb], _L1_SF[sfi[0][sb]], bits), bits)
+        out += hdr + bw.to_bytes(frame_len - 4)
+    return bytes(out)
+
+
 # --- frame packing ----------------------------------------------------------
 
 _BR_IDX = {320: 14}

@@ -412,6 +412,81 @@ def test_documented_boundaries_raise():
         L3.decode_mp3_samples(bytes(frame))
 
 
+# --- Layer I -----------------------------------------------------------------
+
+
+def _l1_tone(n, rate=44100):
+    t = np.arange(n) / rate
+    return (
+        9000 * np.sin(2 * np.pi * 440 * t)
+        + 4000 * np.sin(2 * np.pi * 1200 * t + 0.6)
+        + 1500 * np.sin(2 * np.pi * 3300 * t + 1.1)
+    )
+
+
+def test_layer1_mono_and_stereo_roundtrip():
+    """MPEG-1 Layer I end to end vs the independent encoder: 4-bit
+    allocations, 6-bit scalefactor indices, midtread requantization,
+    polyphase synthesis — only the 511-sample filterbank delay, no MDCT
+    stage, so the bound is far above Layer III's."""
+    from tests.mp3_writer import write_mp1
+
+    rate = 44100
+    x = _l1_tone(rate // 2, rate)
+    sr, ch, y = L3.decode_mp3_samples(write_mp1(x, rate, 1))
+    assert (sr, ch) == (rate, 1)
+    assert _snr(x[3000:18000], y[3000 + 511 : 18000 + 511]) > 40.0
+    left, right = x, np.roll(x, 11) * 0.6
+    inter = np.empty(2 * len(x))
+    inter[0::2], inter[1::2] = left, right
+    sr, ch, y = L3.decode_mp3_samples(write_mp1(inter, rate, 2))
+    assert (sr, ch) == (rate, 2)
+    for ref, got in ((left, y[0::2]), (right, y[1::2])):
+        assert _snr(ref[3000:18000], got[3000 + 511 : 18000 + 511]) > 40.0
+
+
+def test_layer1_intensity_joint_stereo():
+    """Layer I joint (intensity) stereo: above the mode_extension bound
+    the sample codes are shared and each channel rebuilds via its OWN
+    scalefactor — a source panned at an exact scalefactor-table ratio
+    (0.5 = one 2^(-1/3) triple-step) reconstructs both channels."""
+    from tests.mp3_writer import write_mp1
+
+    rate = 44100
+    t = np.arange(rate // 2) / rate
+    low_l = 8000 * np.sin(2 * np.pi * 440 * t)
+    low_r = 7000 * np.sin(2 * np.pi * 620 * t + 0.2)
+    m = 4000 * np.sin(2 * np.pi * 6000 * t + 0.9) + 2000 * np.sin(
+        2 * np.pi * 7100 * t
+    )
+    left, right = low_l + m, low_r + 0.5 * m
+    inter = np.empty(2 * len(t))
+    inter[0::2], inter[1::2] = left, right
+    blob = write_mp1(inter, rate, 2, mode="intensity", bound_band=8)
+    assert (blob[3] >> 6) == 0b01  # joint stereo flagged
+    sr, ch, y = L3.decode_mp3_samples(blob)
+    assert (sr, ch) == (rate, 2)
+    assert _snr(left[3000:18000], y[0::2][3000 + 511 : 18000 + 511]) > 40.0
+    assert _snr(right[3000:18000], y[1::2][3000 + 511 : 18000 + 511]) > 40.0
+
+
+def test_layer1_forbidden_codes_raise():
+    """The all-ones allocation code (15) and scalefactor index 63 are
+    forbidden by ISO — both raise instead of decoding garbage."""
+    from tests.mp3_writer import write_mp1
+
+    rate = 44100
+    blob = bytearray(write_mp1(_l1_tone(1200, rate), rate, 1))
+    blob[4] |= 0xF0  # first allocation nibble -> 15
+    with pytest.raises(ValueError, match="allocation code 15"):
+        L3.decode_mp3_samples(bytes(blob))
+    blob = bytearray(write_mp1(_l1_tone(1200, rate), rate, 1))
+    # scalefactors start right after 32 allocation nibbles (= 16 bytes)
+    blob[4 + 16] |= 0xFC  # first 6-bit scalefactor index -> 63
+    with pytest.raises(ValueError, match="scalefactor index 63"):
+        L3.decode_mp3_samples(bytes(blob))
+
+
 # --- dispatch + perceptual-dedup integration ---------------------------------
 
 
