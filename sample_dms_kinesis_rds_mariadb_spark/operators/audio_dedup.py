@@ -136,14 +136,22 @@ def audio_fingerprints(
 ) -> DataFrame:
     """(media_id, frame_no, afp) via one Arrow ``mapInPandas`` pass —
     real decode + spectral fingerprint per payload, partition-parallel,
-    the binary column never shuffles."""
+    the binary column never shuffles. A payload the decoders can't
+    handle (a codec boundary such as an unverified MP3 Huffman table,
+    Layer II, MPEG-2/2.5 side info, or corrupt main data) contributes
+    ZERO fingerprint frames instead of failing the task: it can never
+    match anything, so it passes downstream dedup as unique — one bad
+    crawl payload must not abort a curation job."""
 
     def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                rate, sig = mono_samples(blob)
+                try:
+                    rate, sig = mono_samples(blob)
+                except (ValueError, NotImplementedError, IndexError):
+                    continue  # undecodable: no frames, stays unique
                 for i, v in enumerate(
                     audio_fingerprint_frames(sig, rate, frame, hop)
                 ):
@@ -376,7 +384,8 @@ class AudioDedupIndex:
             F.col("frame_no").alias("frame_a"),
             F.col("fp").alias("fp_a"),
         )
-        store = self._store().select(
+        stored = self._store()  # one heal + glob, reused for both reads
+        store = stored.select(
             "band", "key",
             F.col("media_id").alias("id_b"),
             F.col("frame_no").alias("frame_b"),
@@ -395,7 +404,7 @@ class AudioDedupIndex:
         na = fps.groupBy("media_id").agg(
             F.max("n_frames").alias("_na")
         ).select(F.col("media_id").alias("id_a"), "_na")
-        nb = self._store().groupBy("media_id").agg(
+        nb = stored.groupBy("media_id").agg(
             F.max("n_frames").alias("_nb")
         ).select(F.col("media_id").alias("id_b"), "_nb")
         return _sequence_alignment(matches, na, nb, self.min_frac).select(

@@ -1477,6 +1477,21 @@ class ExactDigestIndex:
         return os.path.exists(os.path.join(path, cls.META_FILE))
 
     def _rows(self, df: DataFrame, id_col: str) -> DataFrame:
+        from pyspark.sql import types as _T
+
+        # the store schema pins doc_id to BIGINT; a silent cast would turn
+        # string/UUID ids into NULLs and quietly stop deduplicating
+        # (new_id != stored_id is NULL for every candidate) — refuse
+        # instead
+        dt = df.schema[id_col].dataType
+        if not isinstance(
+            dt, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+        ):
+            raise ValueError(
+                f"ExactDigestIndex needs an integral id column; "
+                f"{id_col!r} is {dt.simpleString()} — map ids to BIGINT "
+                "(e.g. xxhash64) before indexing"
+            )
         return df.select(
             F.lower(F.substring(F.col(self.digest_col), 1, 2)).alias("pfx"),
             F.lower(F.col(self.digest_col)).alias("digest"),

@@ -252,7 +252,20 @@ def _resolve_bands(
         bands = _mih_bands(max_hamming, fp_bits)
     if not 1 <= bands <= fp_bits:
         raise ValueError(f"bands must be in [1, {fp_bits}], got {bands}")
-    return bands, max_hamming // bands
+    radius = max_hamming // bands
+    # an explicit low band count must still be ENUMERABLE: the probe
+    # ball is Σ_{j≤⌊r/b⌋} C(width, j) literal masks per band — bands=1
+    # with r=7 over 64 bits would be ~6.2e8 masks (a driver blowup), so
+    # refuse anything past a generous literal budget instead
+    width = -(-fp_bits // bands)
+    ball = _ball_size(width, radius)
+    if ball > 65536:
+        raise ValueError(
+            f"bands={bands} needs a per-band probe ball of {ball} masks "
+            f"(width {width}, radius {radius}) — raise bands (or pass "
+            "bands=None for the MIH default)"
+        )
+    return bands, radius
 
 
 def _banded(
@@ -305,7 +318,7 @@ def _banded_probe(
                 .bitwiseAND(F.lit(_signed64((1 << size) - 1)))
                 .alias("base"),
                 F.array(
-                    *[F.lit(m) for m in _ball_masks(size, radius)]
+                    *[F.lit(_signed64(m)) for m in _ball_masks(size, radius)]
                 ).alias("masks"),
             )
             for i, (off, size) in enumerate(bounds)

@@ -1179,8 +1179,12 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = False) -> DataFram
                     # audio-fingerprint front end
                     try:
                         _r, _c, vals = decode_audio_samples(blob)
-                    except (ValueError, NotImplementedError):
-                        vals = None  # e.g. the fake-decode double
+                    except (ValueError, NotImplementedError, IndexError):
+                        # e.g. the fake-decode double, or corrupt MP3
+                        # side info driving the bit reader past the
+                        # frame (IndexError) — same honesty boundary as
+                        # decode_audio's own fake fallback
+                        vals = None
                     if vals is not None and len(vals):
                         rms = float(np.sqrt(np.mean(vals * vals)))
                 rows.append(

@@ -116,11 +116,13 @@ def curate_media(
        :func:`curate_media_stream`'s branch): rows with
        ``media_type = 'audio'`` bypass the image stages and run their own
        decode gate (``extract_audio_features`` any-bytes pass) → sha256
-       byte dedup → perceptual near-dup dedup
-       (``audio_dedup.audio_near_pairs`` + transitive keep-lowest-id).
-       Without the flag, audio rows fall to the IMAGE decode gate and
-       drop — the pre-r10 behavior, kept as the default for façade
-       stability.
+       byte dedup (when ``'sha256' in dedup``) → perceptual near-dup
+       dedup (``audio_dedup.audio_near_pairs`` + transitive
+       keep-lowest-id, when ``'dhash' in dedup`` — the same toggle as
+       the image perceptual stage). Rows with NULL ``media_type`` fall
+       to the image branch. Without the flag, audio rows fall to the
+       IMAGE decode gate and drop — the pre-r10 behavior, kept as the
+       default for façade stability.
 
     Stages are skipped when absent from ``dedup`` / gates are None.
     Returns the surviving media rows plus the funnel."""
@@ -130,11 +132,27 @@ def curate_media(
     for d in dedup:
         if d not in ("sha256", "dhash"):
             raise ValueError(f"unknown media dedup stage {d!r}")
+    # the Arrow feature passes and the dedup operators address the id
+    # column as media_id — normalize a custom id_col at the boundary and
+    # restore it on the way out
+    rename = id_col != "media_id"
+    if rename:
+        if "media_id" in media.columns:
+            raise ValueError(
+                f"id_col={id_col!r} conflicts with an existing media_id "
+                "column"
+            )
+        media = media.withColumnRenamed(id_col, "media_id")
+    orig_id_col, id_col = id_col, "media_id"
     funnel: list[tuple[str, int]] = []
     audio_rows = None
     cur = media
     if audio:
-        is_audio = F.col("media_type") == F.lit("audio")
+        # coalesce: a NULL media_type must fall to the image branch, not
+        # vanish from both (NULL == 'audio' and NOT NULL are both NULL)
+        is_audio = F.coalesce(
+            F.col("media_type") == F.lit("audio"), F.lit(False)
+        )
         audio_rows = media.filter(is_audio)
         cur = media.filter(~is_audio)
     if report:
@@ -199,17 +217,23 @@ def curate_media(
             akept = akept.join(keepers, id_col, "left_semi")
             if report:
                 funnel.append(("audio_dedup_sha256", akept.count()))
-        # pin before the self-join pair engine: the decode gate's Arrow
-        # pass would otherwise re-run per join side
-        akept = akept.localCheckpoint(eager=True)
-        pairs = audio_near_pairs(
-            akept, max_hamming=audio_max_hamming, min_frac=audio_min_frac
-        )
-        akept = dedup_connected(akept, pairs, id_col, keep="min_id")
-        if report:
-            funnel.append(("audio_dedup_perceptual", akept.count()))
+        if "dhash" in dedup:
+            # the perceptual stage obeys the same dedup toggle as the
+            # image branch ('dhash' = perceptual near-dup on/off)
+            # pin before the self-join pair engine: the decode gate's
+            # Arrow pass would otherwise re-run per join side
+            akept = akept.localCheckpoint(eager=True)
+            pairs = audio_near_pairs(
+                akept, max_hamming=audio_max_hamming,
+                min_frac=audio_min_frac,
+            )
+            akept = dedup_connected(akept, pairs, id_col, keep="min_id")
+            if report:
+                funnel.append(("audio_dedup_perceptual", akept.count()))
         cur = cur.unionByName(akept)
 
+    if rename:
+        cur = cur.withColumnRenamed("media_id", orig_id_col)
     return CurationResult(corpus=cur, heldout=None, funnel=funnel)
 
 
@@ -496,9 +520,19 @@ def curate_media_stream(
         if d not in ("sha256", "dhash"):
             raise ValueError(f"unknown media dedup stage {d!r}")
     spark = stream.sparkSession
+    # the index classes and Arrow passes address the id column as
+    # media_id — normalize a custom id_col per batch and restore it on
+    # the output files (same boundary rule as curate_media)
+    rename = id_col != "media_id"
+    if rename and "media_id" in stream.columns:
+        raise ValueError(
+            f"id_col={id_col!r} conflicts with an existing media_id column"
+        )
     if funnel_path is None:
         funnel_path = output_path.rstrip("/") + ".funnel.jsonl"
     empty = spark.createDataFrame([], stream.schema)
+    if rename:
+        empty = empty.withColumnRenamed(id_col, "media_id")
 
     sha_index = None
     if "sha256" in dedup:
@@ -509,8 +543,8 @@ def curate_media_stream(
             )
             if ExactDigestIndex.exists(sha_path)
             else ExactDigestIndex.build(
-                spark.createDataFrame([], f"{id_col} long, sha256 string"),
-                sha_path, id_col, "sha256",
+                spark.createDataFrame([], "media_id long, sha256 string"),
+                sha_path, "media_id", "sha256",
                 auto_compact_files=auto_compact_files,
             )
         )
@@ -554,11 +588,17 @@ def curate_media_stream(
                 }
             if (checkpoint, int(batch_id)) in done:
                 return
+        if rename:
+            batch_df = batch_df.withColumnRenamed(id_col, "media_id")
         batch_df = batch_df.localCheckpoint(eager=True)
         n_in = batch_df.count()
         counts: dict[str, int] = {"input": n_in}
 
-        is_audio = F.col("media_type") == F.lit("audio")
+        # coalesce: a NULL media_type falls to the image branch instead
+        # of vanishing from both filters
+        is_audio = F.coalesce(
+            F.col("media_type") == F.lit("audio"), F.lit(False)
+        )
         images = (
             batch_df.filter(~is_audio)
             if audio_index is not None else batch_df
@@ -568,24 +608,27 @@ def curate_media_stream(
             if audio_index is not None else None
         )
 
-        # decode gate (the curate_media stage 1, pinned once per batch)
+        # decode gate (the curate_media stage 1, pinned once per batch);
+        # the batch frame's id column is media_id here (renamed above)
         feats = extract_image_features(
-            images.select(id_col, "content"), fake_decode=True
-        ).select(id_col, "format", "width", "height", "sha256")
+            images.select("media_id", "content"), fake_decode=True
+        ).select("media_id", "format", "width", "height", "sha256")
         keep = F.col("format") != "fake"
         if min_width is not None:
             keep = keep & (F.col("width") >= min_width)
         if min_height is not None:
             keep = keep & (F.col("height") >= min_height)
         kept_feats = feats.filter(keep).localCheckpoint(eager=True)
-        cur = images.join(kept_feats.select(id_col), id_col, "left_semi")
+        cur = images.join(
+            kept_feats.select("media_id"), "media_id", "left_semi"
+        )
         counts["decodable"] = cur.count()
 
         if sha_index is not None:
             kept_ids = sha_index.dedup_batch(
-                kept_feats.select(id_col, "sha256"), id_col
-            ).select(id_col)
-            cur = cur.join(kept_ids, id_col, "left_semi")
+                kept_feats.select("media_id", "sha256"), "media_id"
+            ).select("media_id")
+            cur = cur.join(kept_ids, "media_id", "left_semi")
             counts["dedup_sha256"] = cur.count()
         if image_index is not None:
             cur = image_index.dedup_batch(
@@ -596,11 +639,11 @@ def curate_media_stream(
         if audio is not None:
             counts["audio_in"] = audio.count()
             afeats = extract_audio_features(
-                audio.select(id_col, "content"), fake_decode=True
-            ).select(id_col, "format")
+                audio.select("media_id", "content"), fake_decode=True
+            ).select("media_id", "format")
             decodable = audio.join(
-                afeats.filter(F.col("format") != "fake").select(id_col),
-                id_col, "left_semi",
+                afeats.filter(F.col("format") != "fake").select("media_id"),
+                "media_id", "left_semi",
             )
             akept = audio_index.dedup_batch(
                 decodable.localCheckpoint(eager=True)
@@ -608,6 +651,8 @@ def curate_media_stream(
             counts["audio_kept"] = akept.count()
             cur = cur.unionByName(akept)
 
+        if rename:
+            cur = cur.withColumnRenamed("media_id", id_col)
         _exactly_once_batch_write(cur, output_path, checkpoint, batch_id)
         counts["kept"] = (
             counts.get("dedup_dhash", counts.get("dedup_sha256",

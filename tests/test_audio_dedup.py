@@ -352,3 +352,42 @@ def test_audio_index_probe_plan_shape(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_undecodable_payload_yields_no_fingerprints(spark):
+    """Review fix: a gate-passing payload the sample decoders can't
+    handle (here an MP3 selecting a Huffman table outside the verified
+    subset — the shape of every LAME-encoded file) contributes ZERO
+    fingerprint frames instead of failing the Arrow task, so
+    audio_near_pairs still completes and the clip passes as unique."""
+    import numpy as np
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.audio_dedup import (
+        audio_fingerprints,
+        audio_near_pairs,
+    )
+    from tests.test_media_containers import mp3_frame
+    from tests.test_operators import _wav
+
+    # a Layer III frame whose side info selects table 16 (unverified):
+    # same construction as the decoder boundary test
+    frame = bytearray(mp3_frame(mono=True))
+    base = 4 * 8 + 18
+    for val, off, width in ((3, 12, 9), (16, 34, 5), (200, 0, 12)):
+        for i, bit in enumerate(format(val, f"0{width}b")):
+            if bit == "1":
+                pos = base + off + i
+                frame[pos // 8] |= 0x80 >> (pos % 8)
+    bad_mp3 = bytes(frame)
+    a = _signal(26000, seed=9)
+    wav = _wav([int(v) for v in a], rate=8000)
+    df = spark.createDataFrame(
+        [(0, bytearray(wav)), (1, bytearray(wav)), (2, bytearray(bad_mp3))],
+        "media_id LONG, content BINARY",
+    )
+    fps = audio_fingerprints(df)
+    assert fps.filter(fps.media_id == 2).count() == 0
+    assert fps.filter(fps.media_id == 0).count() > 0
+    pairs = audio_near_pairs(df, max_hamming=6, min_frac=0.5).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in ids and not any(2 in p for p in ids)

@@ -632,3 +632,20 @@ def test_exact_digest_index_probe_plan_prunes_partitions(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_digest_index_refuses_non_integral_ids(spark, tmp_path):
+    """Review fix: a string/UUID id column raises instead of silently
+    casting to NULL (which would disable dedup entirely — every
+    new_id != stored_id comparison is NULL)."""
+    import pytest as _pytest
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        ExactDigestIndex,
+    )
+
+    df = spark.createDataFrame(
+        [("a-1", "ff" * 32)], "uuid STRING, sha256 STRING"
+    )
+    with _pytest.raises(ValueError, match="integral id column"):
+        ExactDigestIndex.build(df, str(tmp_path / "idx"), "uuid", "sha256")

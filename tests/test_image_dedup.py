@@ -544,3 +544,43 @@ def test_image_index_replay_reload_and_compact(spark, tmp_path):
     )
     assert after == before and before  # base collides with its stored self? no:
     # media_id 0 probing: self-match with stored 0 excluded; matches 1 and 9
+
+
+def test_resolve_bands_ball_cap_and_bit63_masks(spark):
+    """Review fixes: (a) an explicit band count whose per-band probe
+    ball is not enumerable raises instead of building ~6e8 driver-side
+    masks (bands=1 at r=7 over 64 bits); (b) a legal wide band whose
+    masks reach bit 63 goes through Spark literals as SIGNED 64-bit
+    values — bands=1/r=1 over the full 64-bit key matches brute force."""
+    import itertools as _it
+
+    import pytest as _pytest
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.image_dedup import (
+        _resolve_bands,
+        banded_hamming_pairs,
+    )
+
+    with _pytest.raises(ValueError, match="probe ball"):
+        _resolve_bands(1, 7, 64)
+
+    base = -(1 << 62)  # top bits set: the ball's bit-63 mask must fire
+    # base ^ -(1 << 63) flips exactly bit 63 within the 64-bit domain
+    # (the sign bits above cancel in two's complement)
+    fps = spark.createDataFrame(
+        [(0, base), (1, base ^ -(1 << 63)), (2, base ^ 1), (3, 12345)],
+        "media_id LONG, dhash LONG",
+    )
+    got = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in banded_hamming_pairs(
+            fps, max_hamming=1, bands=1
+        ).collect()
+    }
+    rows = {r["media_id"]: r["dhash"] for r in fps.collect()}
+    want = {
+        tuple(sorted(p))
+        for p in _it.combinations(rows, 2)
+        if bin((rows[p[0]] ^ rows[p[1]]) & ((1 << 64) - 1)).count("1") <= 1
+    }
+    assert got == want and len(want) == 2  # (0,1) via bit 63, (0,2) via bit 0

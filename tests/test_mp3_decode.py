@@ -565,3 +565,29 @@ def test_wav_vs_mp3_transcode_detected_by_audio_near_pairs(spark):
     }
     assert (0, 1) in pairs, "WAV->MP3 transcode not detected"
     assert not any(2 in p for p in pairs), "unrelated audio matched"
+
+
+def test_audio_features_survive_corrupt_mp3_side_info(spark):
+    """Review fix: an MP3 whose side info drives the bit reader past the
+    frame (IndexError, not ValueError) must not kill the Arrow feature
+    pass — the rms column comes back NULL and the row survives the
+    fake_decode gate contract."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+    from tests.test_media_containers import mp3_frame
+
+    frame = bytearray(mp3_frame(mono=True))
+    base = 4 * 8 + 18
+    # big_values=400 with table 10 but a tiny zero-filled frame: the
+    # spectrum read runs off the end of main data
+    for val, off, width in ((4000, 0, 12), (400, 12, 9), (10, 34, 5)):
+        for i, bit in enumerate(format(val, f"0{width}b")):
+            if bit == "1":
+                pos = base + off + i
+                frame[pos // 8] |= 0x80 >> (pos % 8)
+    df = spark.createDataFrame(
+        [(0, bytearray(bytes(frame) * 3))], "media_id LONG, content BINARY"
+    )
+    row = extract_audio_features(df, fake_decode=True).collect()[0]
+    assert row["format"] == "mp3" and row["rms"] is None

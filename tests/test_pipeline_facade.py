@@ -253,3 +253,79 @@ def test_curate_media_audio_branch(spark):
     # default (audio=False): pre-r10 behavior — audio dies at the image gate
     res2 = curate_media(media, report=False)
     assert sorted(r["media_id"] for r in res2.corpus.collect()) == [0]
+
+
+def test_curate_media_null_media_type_and_dedup_toggle(spark):
+    """Review fixes: (a) a NULL media_type row falls to the IMAGE branch
+    under audio=True instead of vanishing from both filters; (b) the
+    audio perceptual stage obeys the dedup toggle — dedup=('sha256',)
+    skips it (no audio_dedup_perceptual stage, transcodes survive)."""
+    import numpy as np
+
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import curate_media
+    from tests.test_audio_dedup import _signal
+    from tests.test_operators import _ulaw_compress, _wav, _wav_tagged
+
+    rng = np.random.default_rng(7)
+
+    def ppm(px):
+        h, w, _ = px.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+    img = ppm(rng.integers(0, 256, (16, 16, 3), dtype=np.int64))
+    img2 = ppm(rng.integers(0, 256, (16, 16, 3), dtype=np.int64))
+    a = _signal(26000, seed=5)
+    wav = _wav([int(v) for v in a], rate=8000)
+    transcode = _wav_tagged(
+        bytes(_ulaw_compress(int(v)) for v in a), 7, 8000, 1, 8
+    )
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(img), "image", "s://0"),
+            (1, bytearray(img2), None, "s://1"),  # NULL type -> image branch
+            (2, bytearray(wav), "audio", "s://2"),
+            (3, bytearray(transcode), "audio", "s://3"),
+        ],
+        "media_id LONG, content BINARY, media_type STRING, source_uri STRING",
+    )
+    res = curate_media(media, audio=True)
+    kept = sorted(r["media_id"] for r in res.corpus.collect())
+    assert kept == [0, 1, 2]  # NULL-typed image survives; transcode deduped
+    # sha-only: the perceptual audio stage is OFF -> transcode survives
+    res2 = curate_media(media, audio=True, dedup=("sha256",))
+    kept2 = sorted(r["media_id"] for r in res2.corpus.collect())
+    assert kept2 == [0, 1, 2, 3]
+    assert "audio_dedup_perceptual" not in dict(res2.funnel)
+
+
+def test_curate_media_custom_id_col(spark):
+    """Review fix: id_col other than media_id works end to end — the
+    façade normalizes at the boundary (the Arrow passes and dedup
+    operators address media_id) and restores the caller's column name
+    on the output."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import curate_media
+
+    rng = np.random.default_rng(11)
+
+    def ppm(px):
+        h, w, _ = px.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+    img_a = ppm(rng.integers(0, 256, (16, 16, 3), dtype=np.int64))
+    img_b = ppm(rng.integers(0, 256, (16, 16, 3), dtype=np.int64))
+    media = spark.createDataFrame(
+        [(10, bytearray(img_a), "image", "s://a"),
+         (11, bytearray(img_a), "image", "s://dup"),
+         (12, bytearray(img_b), "image", "s://b")],
+        "img_id LONG, content BINARY, media_type STRING, source_uri STRING",
+    )
+    res = curate_media(media, id_col="img_id")
+    assert "img_id" in res.corpus.columns
+    assert sorted(r["img_id"] for r in res.corpus.collect()) == [10, 12]
+    # a conflicting pre-existing media_id column is refused, not shadowed
+    conflicted = media.withColumn("media_id", media["img_id"])
+    with _pytest.raises(ValueError, match="conflicts"):
+        curate_media(conflicted, id_col="img_id")

@@ -640,3 +640,57 @@ def test_curate_media_stream_replay_is_exactly_once(spark, tmp_path):
     )
     assert after == before
     assert len(run2.funnel()) == len(lines)
+
+
+def test_curate_media_stream_custom_id_col_and_null_type(spark, tmp_path):
+    """Review fixes at the streaming façade: (a) id_col other than
+    media_id works — the batch body normalizes per micro-batch and the
+    output files carry the caller's column name; (b) a NULL media_type
+    row flows through the IMAGE branch under an active audio index
+    instead of vanishing from both filters."""
+    import numpy as np
+
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import (
+        curate_media_stream,
+    )
+
+    rng = np.random.default_rng(23)
+
+    def ppm(px):
+        h, w, _ = px.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+    schema = "img_id LONG, content BINARY, media_type STRING, source_uri STRING"
+    rows = [
+        (1, bytearray(ppm(rng.integers(0, 256, (16, 16, 3), dtype=np.int64))),
+         "image", "s://1"),
+        (2, bytearray(ppm(rng.integers(0, 256, (16, 16, 3), dtype=np.int64))),
+         None, "s://2"),  # NULL type -> image branch
+    ]
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    import glob
+    import shutil
+
+    tmp = os.path.join(src, ".stage-b0")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.replace(
+        glob.glob(os.path.join(tmp, "*.parquet"))[0],
+        os.path.join(src, "b0.parquet"),
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    run = curate_media_stream(
+        spark.readStream.schema(schema).parquet(src),
+        index_path=str(tmp_path / "img-idx"),
+        output_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        id_col="img_id",
+        audio_index_path=str(tmp_path / "aud-idx"),
+    )
+    await_finished(run.query)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert "img_id" in out.columns
+    assert sorted(r["img_id"] for r in out.collect()) == [1, 2]
