@@ -591,3 +591,69 @@ def test_audio_features_survive_corrupt_mp3_side_info(spark):
     )
     row = extract_audio_features(df, fake_decode=True).collect()[0]
     assert row["format"] == "mp3" and row["rms"] is None
+
+
+# --- property fuzz (the test_flac_roundtrip_property precedent) ----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    mode=st.sampled_from(["mono", "lr", "ms"]),
+    block=st.sampled_from([("long", False), ("short", False),
+                           ("short", True)]),
+    rate=st.sampled_from([44100, 48000, 32000]),
+    seed=st.integers(0, 10_000),
+    n_tones=st.integers(2, 5),
+)
+def test_mp3_roundtrip_property(mode, block, rate, seed, n_tones):
+    """ANY tonal signal through ANY (stereo mode × block shape × sample
+    rate) must decode within the codec's distortion bound and preserve
+    rms — the structural paths (side info, scalefactor layouts incl.
+    mixed, requantize, reorder, hybrid IMDCT, polyphase) hold across the
+    whole parameter grid, not just the hand-picked fixtures."""
+    from hypothesis import assume
+
+    kind, mixed = block
+    rng = np.random.default_rng(seed)
+    n = rate // 4
+    t = np.arange(n) / rate
+    freqs = rng.uniform(120, 9000, n_tones)
+    amps = rng.uniform(1500, 9000, n_tones)
+    phases = rng.uniform(0, 2 * np.pi, n_tones)
+    x = sum(a * np.sin(2 * np.pi * f * t + p)
+            for a, f, p in zip(amps, freqs, phases))
+    x = np.clip(x, -32000, 32000)
+    bt = 2 if kind == "short" else 0
+    try:
+        if mode == "mono":
+            blob = write_mp3(x, rate, 1, block_type=bt, mixed=mixed)
+        else:
+            left, right = x, np.roll(x, 13) * 0.7
+            inter = np.empty(2 * n)
+            inter[0::2], inter[1::2] = left, right
+            blob = write_mp3(inter, rate, 2, mode=mode, block_type=bt,
+                             mixed=mixed)
+    except ValueError as exc:
+        # the fixture encoder's simplistic CBR rate loop can't always fit
+        # a dense random tone stack — an encoder capacity limit, not a
+        # decoder property
+        assert "bitstream overflow" in str(exc)
+        assume(False)
+    sr, ch, y = L3.decode_mp3_samples(blob)
+    if mode == "mono":
+        assert (sr, ch) == (rate, 1)
+        got = [(x, y)]
+    else:
+        assert (sr, ch) == (rate, 2)
+        got = [(left, y[0::2]), (right, y[1::2])]
+    lo = 3000
+    hi = min(9000, n - 1000, len(got[0][1]) - _DELAY)
+    for ref, out in got:
+        a = ref[lo:hi]
+        b = out[lo + _DELAY : hi + _DELAY]
+        assert _snr(a, b) > 13.0, (mode, kind, mixed, rate)
+        assert abs(np.sqrt((b * b).mean()) /
+                   (np.sqrt((a * a).mean()) + 1e-9) - 1) < 0.15
