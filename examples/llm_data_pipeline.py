@@ -428,6 +428,59 @@ def main() -> None:
         "(dHash over real decoded pixels, banded hamming join)"
     )
 
+    # 9''. r10 stages: MPEG audio decodes for real (Layer III incl. mixed
+    # blocks and short-block intensity stereo, Layer I), so an MP3
+    # re-encode of a WAV clip pairs perceptually — the crawl-audio
+    # transcode class — and curate_media's opt-in audio branch composes
+    # decode gate -> sha256 -> perceptual dedup for mixed media tables
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    try:
+        from tests.mp3_writer import write_mp3  # the independent encoder
+    except ImportError:
+        write_mp3 = None
+    if write_mp3 is not None:
+        import numpy as np
+
+        from sample_dms_kinesis_rds_mariadb_spark.operators import (
+            audio_dedup,
+        )
+
+        rate = 44100
+        tt = np.arange(2 * rate) / rate
+        rng = np.random.default_rng(5)
+        sig = np.clip(
+            6000 * np.sin(2 * np.pi * 440 * tt)
+            + 3500 * np.sin(2 * np.pi * 880 * tt + 0.7)
+            + 2000 * np.sin(2 * np.pi * 1760 * tt + 1.3)
+            + 900 * np.sin(
+                2 * np.pi * (500 + 300 * np.sin(2 * np.pi * 0.7 * tt)) * tt
+            )
+            + 150 * rng.normal(size=tt.size),
+            -32000, 32000,
+        )
+        pcm = b"".join(
+            int(v).to_bytes(2, "little", signed=True) for v in sig
+        )
+        wav_blob = (
+            b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVEfmt "
+            + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little") + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little") + (2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little") + b"data"
+            + len(pcm).to_bytes(4, "little") + pcm
+        )
+        clips = spark.createDataFrame(
+            [(0, bytearray(wav_blob)), (1, bytearray(write_mp3(sig, rate, 1)))],
+            "media_id LONG, content BINARY",
+        )
+        transcodes = audio_dedup.audio_near_pairs(
+            clips, max_hamming=10, min_frac=0.3
+        )
+        print(
+            f"audio transcode dedup: {transcodes.count()} WAV<->MP3 pair(s) "
+            "(real Layer III sample decode feeding spectral fingerprints)"
+        )
+
     # 10. ship the data card with the curated corpus — the JSON artifact
     # downstream consumers read instead of scanning 100 TB
     from sample_dms_kinesis_rds_mariadb_spark.operators.profile import (
