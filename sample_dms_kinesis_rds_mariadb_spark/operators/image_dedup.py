@@ -429,7 +429,11 @@ def video_fingerprints(
     REAL frame of each MJPEG AVI (the in-repo container + JPEG decoders)
     reduced to a 64-bit dHash — ONE Arrow ``mapInPandas`` pass, container
     → frames → pixels → bits without the binary column ever shuffling.
-    Output (media_id, frame_no, frame_dhash)."""
+    Output (media_id, frame_no, frame_dhash). A payload whose container
+    walk fails (non-AVI bytes, a non-MJPEG codec) raises unless
+    ``fake_decode`` — with it, the payload contributes ZERO frames
+    (stays unique downstream), the image/audio any-bytes dry-run
+    contract."""
     from sample_dms_kinesis_rds_mariadb_spark.operators.avi import (
         video_frames,
     )
@@ -439,7 +443,13 @@ def video_fingerprints(
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                for frame_no, frame in video_frames(blob, every_k=every_k):
+                try:
+                    frames = list(video_frames(blob, every_k=every_k))
+                except (ValueError, NotImplementedError, IndexError):
+                    if not fake_decode:
+                        raise
+                    frames = []
+                for frame_no, frame in frames:
                     rows.append(
                         {
                             "media_id": media_id,
@@ -560,6 +570,7 @@ def video_near_pairs(
     bands: int | None = None,
     min_frac: float = 0.5,
     materialize: bool = True,
+    fake_decode: bool = False,
 ) -> DataFrame:
     """Near-duplicate VIDEO pairs: two videos are near-dups when a large
     fraction of their sampled frames match perceptually (per-frame dHash
@@ -579,8 +590,13 @@ def video_near_pairs(
     Scale shape: the frame-hash table is (videos × frames/k) narrow rows;
     the matching itself is :func:`sequence_near_pairs` (pigeonhole
     banding, alignment aggregate — never all-pairs on videos or
-    frames)."""
-    fps = _pin(video_fingerprints(df, every_k=every_k), materialize)
+    frames). ``fake_decode=True`` lets a dirty corpus through: payloads
+    whose container walk fails contribute zero frames (stay unique)
+    instead of failing the task."""
+    fps = _pin(
+        video_fingerprints(df, every_k=every_k, fake_decode=fake_decode),
+        materialize,
+    )
     return sequence_near_pairs(
         fps, "frame_dhash", fp_bits=64,
         max_hamming=max_hamming, bands=bands, min_frac=min_frac,

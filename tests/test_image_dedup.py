@@ -584,3 +584,32 @@ def test_resolve_bands_ball_cap_and_bit63_masks(spark):
         if bin((rows[p[0]] ^ rows[p[1]]) & ((1 << 64) - 1)).count("1") <= 1
     }
     assert got == want and len(want) == 2  # (0,1) via bit 63, (0,2) via bit 0
+
+
+def test_video_fingerprints_fake_decode_skips_bad_container(spark):
+    """A payload whose container walk fails (junk bytes, or an AVI with
+    a non-MJPEG codec) raises by default, but with fake_decode=True it
+    contributes ZERO frames — the dry-run never kills the Arrow task."""
+    import pytest as _pytest
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.image_dedup import (
+        video_fingerprints,
+    )
+    from tests.avi_writer import write_avi
+    from tests.jpeg_writer import encode_jpeg
+
+    rng = np.random.default_rng(4)
+    frames = [
+        encode_jpeg(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8))
+        for _ in range(3)
+    ]
+    good = write_avi(frames, 16, 16)
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(b"\x00junk-not-avi" * 4))],
+        "media_id LONG, content BINARY",
+    )
+    with _pytest.raises(Exception):
+        video_fingerprints(df).collect()
+    fps = video_fingerprints(df, fake_decode=True)
+    assert fps.filter(fps.media_id == 1).count() == 0
+    assert fps.filter(fps.media_id == 0).count() == 3
