@@ -2737,3 +2737,58 @@ def q_extracted_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "href")
     )
+
+
+@register(
+    "pdf_text_extraction",
+    "Document front door: VALID single-page PDFs synthesized from the text "
+    "column (pure string ops — the reader's broken-xref object-scan "
+    "fallback makes offset tables unnecessary), text pulled back through "
+    "the REAL ISO 32000 reader (sources/pdf.py) via Arrow mapInPandas — "
+    "FULLY oracle-checked: the oracle computes the identical sanitized "
+    "text straight from the source column",
+    oracle="""
+        WITH safe AS (
+          SELECT doc_id,
+                 substr(regexp_replace(text, '[\\()]|[^ -~]', ' ', 'g'),
+                        1, 120) AS t
+          FROM documents WHERE doc_id < 150
+        )
+        SELECT doc_id,
+               'pdf' AS format,
+               t AS text,
+               CAST(length(t) AS INT) AS n_chars
+        FROM safe ORDER BY doc_id
+    """,
+    tags=("documents",),
+)
+def q_pdf_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        extract_document_texts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # ASCII-only, PDF-string-safe slice: the blob builds in codegen and
+    # the char count equals the byte count (the /Length field)
+    safe = F.substring(
+        F.regexp_replace(F.col("text"), "[\\\\()]|[^ -~]", " "), 1, 120
+    )
+    content = F.concat(safe, F.lit(") Tj ET"))
+    blob = F.concat(
+        F.lit("%PDF-1.5\n"
+              "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+              "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+              "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+              "endobj\n"
+              "4 0 obj\n<< /Length "),
+        (F.length(content) + F.lit(4)).cast("string"),
+        F.lit(" >>\nstream\nBT ("),
+        content,
+        F.lit("\nendstream\nendobj\n%%EOF"),
+    ).cast("binary")
+    media = docs.select("doc_id", blob.alias("content"))
+    return (
+        extract_document_texts(media)
+        .select("doc_id", "format", "text", "n_chars")
+        .orderBy("doc_id")
+    )

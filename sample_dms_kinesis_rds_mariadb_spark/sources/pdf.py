@@ -1,0 +1,832 @@
+"""Spec-derived PDF text extraction (ISO 32000-1) — pure Python +
+stdlib zlib, no PDF library.
+
+Why it exists: a large-scale training-data pipeline's crawl intake is
+not just HTML — PDFs are the next-largest text carrier, and the repo's
+front door (WARC → html_to_text → curate) had no way to read them. This
+module gives the same honest-decode treatment the media formats got
+(operators/jpeg.py, operators/flac.py, operators/mp3_layer3.py): the
+container and content-stream layers parse FOR REAL, with precise raise
+boundaries instead of silent garbage.
+
+What parses for real:
+
+- object syntax: dictionaries, arrays, names (with ``#xx`` escapes),
+  literal strings (all escape forms incl. octal and line continuation),
+  hex strings, numerics, booleans/null, indirect references;
+- cross-reference: CLASSIC xref tables and XREF STREAMS (/W field
+  widths, /Index subsections, /Prev chains, PNG predictors 10-15 on the
+  stream rows), plus OBJECT STREAMS (/Type /ObjStm) for compressed
+  objects — i.e. both pre- and post-PDF-1.5 file layouts;
+- stream filters: FlateDecode (with /DecodeParms PNG predictors),
+  ASCIIHexDecode, LZWDecode (EarlyChange=1 — the TIFF-flavor decoder
+  from ``operators/tiff.py`` is the same code variant) and filter
+  chains;
+- the page tree (/Root → /Pages → /Kids, inherited /Resources), page
+  /Contents (single stream or array);
+- the text layer: BT/ET blocks, Tj / TJ / ' / " show operators, the
+  Td/TD/T*/TL/Tm positioning family (newline on a vertical move — the
+  deterministic layout heuristic, documented below), TJ kern
+  adjustments re-expanded to spaces past ``-SPACE_KERN`` thousandths of
+  an em, /ToUnicode CMaps (bfchar + bfrange, 1- and 2-byte codes) for
+  Type0/CID text.
+
+HONEST BOUNDARIES (raise, never garble):
+
+- encrypted documents (/Encrypt in the trailer) raise
+  ``NotImplementedError`` — decryption needs RC4/AES key derivation
+  that is out of scope;
+- stream filters outside {Flate, ASCIIHex, LZW} (DCT, JBIG2, CCITT…
+  are image filters and never carry text; RunLength/ASCII85 just
+  haven't shipped) raise naming the filter;
+- simple fonts WITHOUT /ToUnicode decode their string bytes as
+  Latin-1 — exact for the ASCII range of the Standard/WinAnsi
+  encodings, deterministic (never wrong-but-plausible Unicode) beyond
+  it. This is a documented lossy fallback, not a boundary raise,
+  because it is what every crawl-scale extractor does.
+
+Layout heuristics are deliberately minimal and DETERMINISTIC (an
+independent implementation can replay them — the oracle property the
+repo's decoders keep): vertical moves emit exactly one ``\\n``, TJ
+kerns below ``-SPACE_KERN`` emit exactly one space, pages join with
+``\\f``. No font-metric spacing model.
+
+At scale: extraction runs per-row inside Arrow ``mapInPandas``
+(``sources/docformats.py``) — bounded work per payload, nothing
+collected, the binary column never shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass
+
+SPACE_KERN = 180.0  # TJ adjustment (thousandths of em) that reads as a space
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class PdfError(ValueError):
+    """Malformed PDF structure (syntax, xref, stream framing)."""
+
+
+@dataclass(frozen=True)
+class Ref:
+    num: int
+    gen: int
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes) -> None:
+        self.dict = d
+        self.raw = raw
+
+
+# --------------------------------------------------------------------------
+# object-syntax lexer/parser (ISO 32000-1 §7.3)
+# --------------------------------------------------------------------------
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # % comment to end of line
+            while pos < n and data[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    return pos
+
+
+def _parse_name(data: bytes, pos: int) -> tuple[str, int]:
+    # pos at '/'
+    pos += 1
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS or c in _DELIM:
+            break
+        if c == 0x23 and pos + 2 < n:  # #xx
+            out.append(int(data[pos + 1 : pos + 3], 16))
+            pos += 3
+        else:
+            out.append(c)
+            pos += 1
+    return out.decode("latin-1"), pos
+
+
+def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    # pos at '('
+    pos += 1
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            if pos >= n:
+                break
+            e = data[pos]
+            if e in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8,
+                            0x66: 12}[e])
+                pos += 1
+            elif e in b"()\\":
+                out.append(e)
+                pos += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = bytearray([e])
+                pos += 1
+                while (len(oct_digits) < 3 and pos < n
+                       and 0x30 <= data[pos] <= 0x37):
+                    oct_digits.append(data[pos])
+                    pos += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                pos += 1
+                if e == 0x0D and pos < n and data[pos] == 0x0A:
+                    pos += 1
+            else:  # unknown escape: the char stands for itself
+                out.append(e)
+                pos += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                pos += 1
+                return bytes(out), pos
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    raise PdfError("unterminated literal string")
+
+
+def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    # pos at '<' (single)
+    end = data.find(b">", pos)
+    if end < 0:
+        raise PdfError("unterminated hex string")
+    digits = re.sub(rb"[^0-9A-Fa-f]", b"", data[pos + 1 : end])
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")), end + 1
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+def parse_object(data: bytes, pos: int):
+    """Parse one PDF object at ``pos`` → (object, next_pos). Indirect
+    references come back as :class:`Ref`; streams are handled by the
+    document layer (this parses the syntax layer only)."""
+    pos = _skip_ws(data, pos)
+    if pos >= len(data):
+        raise PdfError("unexpected end of data")
+    c = data[pos]
+    if c == 0x2F:  # /Name
+        return _parse_name(data, pos)
+    if c == 0x28:  # (string)
+        return _parse_literal_string(data, pos)
+    if c == 0x3C:  # << dict >> or <hex>
+        if data[pos : pos + 2] == b"<<":
+            pos += 2
+            d = {}
+            while True:
+                pos = _skip_ws(data, pos)
+                if data[pos : pos + 2] == b">>":
+                    return d, pos + 2
+                if data[pos] != 0x2F:
+                    raise PdfError(f"dict key must be a name at {pos}")
+                key, pos = _parse_name(data, pos)
+                val, pos = parse_object(data, pos)
+                d[key] = val
+        return _parse_hex_string(data, pos)
+    if c == 0x5B:  # [ array ]
+        pos += 1
+        arr = []
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos] == 0x5D:
+                return arr, pos + 1
+            val, pos = parse_object(data, pos)
+            arr.append(val)
+    if data[pos : pos + 4] == b"true":
+        return True, pos + 4
+    if data[pos : pos + 5] == b"false":
+        return False, pos + 5
+    if data[pos : pos + 4] == b"null":
+        return None, pos + 4
+    m = _NUM_RE.match(data, pos)
+    if m:
+        tok = m.group()
+        end = m.end()
+        # "N G R" → indirect reference
+        if b"." not in tok and not tok.startswith((b"+", b"-")):
+            look = _skip_ws(data, end)
+            m2 = re.match(rb"(\d+)", data[look:look + 16] or b"")
+            if m2:
+                after = _skip_ws(data, look + m2.end())
+                if data[after : after + 1] == b"R" and (
+                    after + 1 >= len(data)
+                    or data[after + 1] in _WS
+                    or data[after + 1] in _DELIM
+                ):
+                    return Ref(int(tok), int(m2.group(1))), after + 1
+        return (float(tok) if b"." in tok else int(tok)), end
+    raise PdfError(f"cannot parse object at byte {pos}")
+
+
+# --------------------------------------------------------------------------
+# filters
+# --------------------------------------------------------------------------
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    """Reverse PNG row predictors (the /DecodeParms Predictor >= 10
+    family) — the same five filter types the repo's PNG decoder handles,
+    specialized to the byte-aligned case xref streams use."""
+    bpp = max(1, colors * bpc // 8)
+    row_len = columns * bpp
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos + 1 + row_len <= len(data) + row_len:
+        if pos >= len(data):
+            break
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_len])
+        if len(row) < row_len:
+            raise PdfError("predictor row truncated")
+        pos += 1 + row_len
+        if ft == 1:  # sub
+            for i in range(bpp, row_len):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # average
+            for i in range(row_len):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # paeth
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else cc
+                )
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise PdfError(f"unknown PNG predictor filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _lzw_decode_pdf(data: bytes) -> bytes:
+    """PDF LZWDecode with the default EarlyChange=1 — code-for-code the
+    TIFF-flavor variant (``operators/tiff.py``), run to the EOI marker."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.tiff import (
+        _lzw_decode_tiff,
+    )
+
+    return _lzw_decode_tiff(data, 1 << 40)
+
+
+def decode_stream(stream: Stream, resolve) -> bytes:
+    """Apply the stream's /Filter chain to its raw bytes. ``resolve``
+    maps a Ref to its object (filters/params may be indirect)."""
+    data = stream.raw
+    filt = resolve(stream.dict.get("Filter"))
+    if filt is None:
+        return data
+    filters = filt if isinstance(filt, list) else [filt]
+    parms = resolve(stream.dict.get("DecodeParms"))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    for f, p in zip(filters, parms):
+        f = resolve(f)
+        p = resolve(p) or {}
+        if f == "FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise PdfError(f"bad Flate stream: {exc}") from exc
+        elif f == "ASCIIHexDecode":
+            digits = re.sub(rb"[^0-9A-Fa-f>]", b"", data)
+            digits = digits.split(b">")[0]
+            if len(digits) % 2:
+                digits += b"0"
+            data = bytes.fromhex(digits.decode("ascii"))
+        elif f == "LZWDecode":
+            if resolve(p.get("EarlyChange", 1)) != 1:
+                raise NotImplementedError(
+                    "LZWDecode EarlyChange=0 not supported"
+                )
+            data = _lzw_decode_pdf(data)
+        else:
+            raise NotImplementedError(f"PDF stream filter {f} not supported")
+        pred = resolve(p.get("Predictor", 1))
+        if pred and pred >= 10:
+            data = _png_unpredict(
+                data,
+                resolve(p.get("Columns", 1)),
+                resolve(p.get("Colors", 1)),
+                resolve(p.get("BitsPerComponent", 8)),
+            )
+        elif pred and pred != 1:
+            raise NotImplementedError(f"stream Predictor {pred}")
+    return data
+
+
+# --------------------------------------------------------------------------
+# ToUnicode CMaps (§9.10.3)
+# --------------------------------------------------------------------------
+
+
+def parse_tounicode(cmap_bytes: bytes) -> tuple[dict[int, str], int]:
+    """(code → text, code byte length) from a ToUnicode CMap: bfchar and
+    bfrange sections; the code length comes from the codespacerange (1
+    or 2 bytes — the lengths Type0/simple fonts emit)."""
+    text = cmap_bytes.decode("latin-1", errors="replace")
+    nbytes = 1
+    m = re.search(
+        r"begincodespacerange\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+        text,
+    )
+    if m:
+        nbytes = max(1, len(m.group(1)) // 2)
+    out: dict[int, str] = {}
+
+    def _uni(hexs: str) -> str:
+        raw = bytes.fromhex(hexs)
+        return raw.decode("utf-16-be", errors="replace")
+
+    for sec in re.findall(
+        r"beginbfchar(.*?)endbfchar", text, flags=re.S
+    ):
+        for src, dst in re.findall(
+            r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", sec
+        ):
+            out[int(src, 16)] = _uni(dst)
+    for sec in re.findall(
+        r"beginbfrange(.*?)endbfrange", text, flags=re.S
+    ):
+        # <lo> <hi> <dst>  |  <lo> <hi> [<d1> <d2> ...]
+        for lo, hi, body in re.findall(
+            r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            r"(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+            sec,
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if body.startswith("["):
+                dsts = re.findall(r"<([0-9A-Fa-f]+)>", body)
+                for i, d in enumerate(dsts):
+                    if lo_i + i <= hi_i:
+                        out[lo_i + i] = _uni(d)
+            else:
+                base = body.strip("<>")
+                raw = bytes.fromhex(base)
+                # increment the LAST code unit, per spec
+                head, last = raw[:-2], int.from_bytes(raw[-2:], "big")
+                for i in range(hi_i - lo_i + 1):
+                    out[lo_i + i] = (
+                        head + (last + i & 0xFFFF).to_bytes(2, "big")
+                    ).decode("utf-16-be", errors="replace")
+    return out, nbytes
+
+
+def _decode_text(raw: bytes, font: tuple[dict[int, str], int] | None) -> str:
+    if font is None:
+        return raw.decode("latin-1")
+    cmap, nbytes = font
+    out = []
+    for i in range(0, len(raw) - (nbytes - 1), nbytes):
+        code = int.from_bytes(raw[i : i + nbytes], "big")
+        out.append(cmap.get(code, ""))
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# content-stream text interpreter (§9.4)
+# --------------------------------------------------------------------------
+
+_OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+def _content_tokens(data: bytes):
+    """Yield (kind, value) tokens from a content stream: 'obj' for
+    operands (via parse_object), 'op' for operator keywords."""
+    pos = 0
+    n = len(data)
+    while True:
+        pos = _skip_ws(data, pos)
+        if pos >= n:
+            return
+        c = data[pos]
+        if c in b"/([<" or c == 0x3C or (
+            0x30 <= c <= 0x39 or c in b"+-."
+        ):
+            try:
+                obj, pos = parse_object(data, pos)
+            except PdfError:
+                pos += 1  # garbage byte inside content: skip it
+                continue
+            yield "obj", obj
+            continue
+        m = _OP_RE.match(data, pos)
+        if m:
+            yield "op", m.group().decode("latin-1")
+            pos = m.end()
+            continue
+        pos += 1  # unknown delimiter: skip
+
+
+def extract_text_from_content(
+    content: bytes, fonts: dict[str, tuple[dict[int, str], int] | None],
+) -> str:
+    """Run the text-showing subset of the content-stream machine:
+    deterministic newline on vertical moves (Td/TD with ty≠0, T*, a Tm
+    whose f changed, the ' and " operators), one space per TJ kern below
+    ``-SPACE_KERN``."""
+    out: list[str] = []
+    operands: list = []
+    cur_font: tuple[dict[int, str], int] | None = None
+    last_tm_f: float | None = None
+
+    def _newline() -> None:
+        if out and not out[-1].endswith("\n"):
+            out.append("\n")
+
+    for kind, val in _content_tokens(content):
+        if kind == "obj":
+            operands.append(val)
+            continue
+        op = val
+        if op == "Tf" and len(operands) >= 2:
+            name = operands[-2]
+            cur_font = fonts.get(name) if isinstance(name, str) else None
+        elif op == "Tj" and operands:
+            if isinstance(operands[-1], bytes):
+                out.append(_decode_text(operands[-1], cur_font))
+        elif op == "TJ" and operands and isinstance(operands[-1], list):
+            for item in operands[-1]:
+                if isinstance(item, bytes):
+                    out.append(_decode_text(item, cur_font))
+                elif isinstance(item, (int, float)):
+                    if item <= -SPACE_KERN and out and (
+                        not out[-1].endswith((" ", "\n"))
+                    ):
+                        out.append(" ")
+        elif op in ("'", '"'):
+            _newline()
+            if operands and isinstance(operands[-1], bytes):
+                out.append(_decode_text(operands[-1], cur_font))
+        elif op in ("Td", "TD") and len(operands) >= 2:
+            ty = operands[-1]
+            if isinstance(ty, (int, float)) and ty != 0:
+                _newline()
+        elif op == "T*":
+            _newline()
+        elif op == "Tm" and len(operands) >= 6:
+            f = operands[-1]
+            if isinstance(f, (int, float)):
+                if last_tm_f is not None and f != last_tm_f:
+                    _newline()
+                last_tm_f = float(f)
+        elif op == "BT":
+            last_tm_f = None
+        operands = []
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# document layer: xref (classic + stream), object streams, page tree
+# --------------------------------------------------------------------------
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class PdfDocument:
+    """Random-access reader over one PDF payload."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data.lstrip()[:5].startswith(b"%PDF-"):
+            raise PdfError("not a PDF (missing %PDF- header)")
+        self.data = data
+        self._cache: dict[int, object] = {}
+        self._offsets: dict[int, int] = {}
+        self._in_objstm: dict[int, tuple[int, int]] = {}
+        self.trailer: dict = {}
+        try:
+            self._load_xref()
+        except PdfError:
+            self._scan_objects()  # dirty-corpus fallback: brute scan
+        if not self._offsets and not self._in_objstm:
+            self._scan_objects()
+        if "Root" not in self.trailer:
+            self._find_root_by_scan()
+        if self.resolve(self.trailer.get("Encrypt")) is not None:
+            raise NotImplementedError(
+                "encrypted PDF (RC4/AES) not supported"
+            )
+
+    # -- xref ---------------------------------------------------------------
+
+    def _load_xref(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise PdfError("no startxref")
+        offset = int(m.group(1))
+        seen = set()
+        while offset and offset not in seen:
+            seen.add(offset)
+            offset = self._load_xref_section(offset)
+
+    def _load_xref_section(self, offset: int) -> int:
+        data = self.data
+        pos = _skip_ws(data, offset)
+        if data[pos : pos + 4] == b"xref":
+            return self._load_xref_classic(pos + 4)
+        return self._load_xref_stream(pos)
+
+    def _load_xref_classic(self, pos: int) -> int:
+        data = self.data
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos : pos + 7] == b"trailer":
+                pos = _skip_ws(data, pos + 7)
+                trailer, _ = parse_object(data, pos)
+                for k, v in trailer.items():
+                    self.trailer.setdefault(k, v)
+                prev = trailer.get("Prev")
+                return int(prev) if isinstance(prev, (int, float)) else 0
+            m = re.match(rb"(\d+)\s+(\d+)", data[pos : pos + 40])
+            if not m:
+                raise PdfError(f"bad xref subsection header at {pos}")
+            start, count = int(m.group(1)), int(m.group(2))
+            pos += m.end()
+            pos = _skip_ws(data, pos)
+            entry_re = re.compile(rb"(\d{10})\s(\d{5})\s([nf])\s{0,2}")
+            for i in range(count):
+                em = entry_re.match(data, pos)
+                if not em:
+                    raise PdfError(f"bad xref entry at {pos}")
+                if em.group(3) == b"n":
+                    num = start + i
+                    if num not in self._offsets and (
+                        num not in self._in_objstm
+                    ):
+                        self._offsets[num] = int(em.group(1))
+                pos = em.end()
+
+    def _load_xref_stream(self, pos: int) -> int:
+        data = self.data
+        m = _OBJ_HEAD_RE.match(data, pos)
+        if not m:
+            raise PdfError(f"no xref stream at {pos}")
+        d, body_pos = parse_object(data, m.end())
+        stream = self._read_stream_body(d, body_pos)
+        if stream is None:
+            raise PdfError("xref object has no stream")
+        if self.resolve(d.get("Type")) != "XRef":
+            raise PdfError("xref stream /Type mismatch")
+        decoded = decode_stream(stream, self.resolve)
+        w = [int(x) for x in d["W"]]
+        size = int(d["Size"])
+        index = d.get("Index", [0, size])
+        rw = sum(w)
+        rows = [decoded[i : i + rw] for i in range(0, len(decoded), rw)]
+        ri = 0
+        for s in range(0, len(index), 2):
+            start, count = int(index[s]), int(index[s + 1])
+            for i in range(count):
+                if ri >= len(rows) or len(rows[ri]) < rw:
+                    break
+                row = rows[ri]
+                ri += 1
+                p = 0
+                ftype = (
+                    int.from_bytes(row[p : p + w[0]], "big") if w[0] else 1
+                )
+                p += w[0]
+                f2 = int.from_bytes(row[p : p + w[1]], "big")
+                p += w[1]
+                f3 = int.from_bytes(row[p : p + w[2]], "big")
+                num = start + i
+                if num in self._offsets or num in self._in_objstm:
+                    continue
+                if ftype == 1:
+                    self._offsets[num] = f2
+                elif ftype == 2:
+                    self._in_objstm[num] = (f2, f3)
+        for k, v in d.items():
+            if k not in ("W", "Index", "Type", "Length", "Filter",
+                         "DecodeParms"):
+                self.trailer.setdefault(k, v)
+        prev = d.get("Prev")
+        return int(prev) if isinstance(prev, (int, float)) else 0
+
+    def _scan_objects(self) -> None:
+        """Fallback for broken xref: scan every ``N G obj`` in the file
+        (later definitions win — incremental-update order)."""
+        for m in _OBJ_HEAD_RE.finditer(self.data):
+            # only at a plausible boundary (start of file or after ws/EOL)
+            if m.start() and self.data[m.start() - 1] not in _WS:
+                continue
+            self._offsets[int(m.group(1))] = m.start()
+
+    def _find_root_by_scan(self) -> None:
+        for num in list(self._offsets) + list(self._in_objstm):
+            try:
+                obj = self.get(num)
+            except (PdfError, NotImplementedError):
+                continue
+            if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                self.trailer["Root"] = Ref(num, 0)
+                return
+        raise PdfError("no document catalog found")
+
+    # -- objects ------------------------------------------------------------
+
+    def _read_stream_body(self, d: dict, pos: int):
+        data = self.data
+        pos = _skip_ws(data, pos)
+        if data[pos : pos + 6] != b"stream":
+            return None
+        pos += 6
+        if data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif data[pos : pos + 1] in (b"\n", b"\r"):
+            pos += 1
+        length = self.resolve(d.get("Length"))
+        if isinstance(length, (int, float)) and length >= 0:
+            raw = data[pos : pos + int(length)]
+            after = _skip_ws(data, pos + int(length))
+            if data[after : after + 9] not in (b"endstream",):
+                # wrong /Length: fall through to the delimiter scan
+                raw = None
+        else:
+            raw = None
+        if raw is None:
+            end = data.find(b"endstream", pos)
+            if end < 0:
+                raise PdfError("unterminated stream")
+            raw = data[pos:end].rstrip(b"\r\n")
+        return Stream(d, raw)
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        if num in self._offsets:
+            pos = self._offsets[num]
+            m = _OBJ_HEAD_RE.match(self.data, _skip_ws(self.data, pos))
+            if not m or int(m.group(1)) != num:
+                raise PdfError(f"object {num} not at recorded offset")
+            obj, after = parse_object(self.data, m.end())
+            if isinstance(obj, dict):
+                stream = self._read_stream_body(obj, after)
+                if stream is not None:
+                    obj = stream
+        elif num in self._in_objstm:
+            stm_num, idx = self._in_objstm[num]
+            obj = self._objstm_member(stm_num, idx)
+        else:
+            raise PdfError(f"object {num} not in xref")
+        self._cache[num] = obj
+        return obj
+
+    def _objstm_member(self, stm_num: int, idx: int):
+        stm = self.get(stm_num)
+        if not isinstance(stm, Stream) or (
+            self.resolve(stm.dict.get("Type")) != "ObjStm"
+        ):
+            raise PdfError(f"object stream {stm_num} invalid")
+        decoded = decode_stream(stm, self.resolve)
+        n = int(self.resolve(stm.dict["N"]))
+        first = int(self.resolve(stm.dict["First"]))
+        header = decoded[:first].split()
+        if idx >= n or 2 * idx + 1 >= len(header):
+            raise PdfError(f"object stream index {idx} out of range")
+        off = int(header[2 * idx + 1])
+        obj, _ = parse_object(decoded, first + off)
+        return obj
+
+    def resolve(self, obj):
+        """Follow indirect references (cycles guarded)."""
+        hops = 0
+        while isinstance(obj, Ref):
+            obj = self.get(obj.num)
+            hops += 1
+            if hops > 64:
+                raise PdfError("reference cycle")
+        return obj
+
+    # -- pages + text ---------------------------------------------------------
+
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PdfError("missing /Root catalog")
+        out: list[dict] = []
+
+        def walk(node, inherited_res, depth=0):
+            if depth > 64:
+                raise PdfError("page tree too deep")
+            node = self.resolve(node)
+            if not isinstance(node, dict):
+                return
+            res = node.get("Resources", inherited_res)
+            if node.get("Type") == "Page":
+                if "Resources" not in node and res is not None:
+                    node = dict(node)
+                    node["Resources"] = res
+                out.append(node)
+                return
+            for kid in self.resolve(node.get("Kids", [])) or []:
+                walk(kid, res, depth + 1)
+
+        walk(root.get("Pages"), None)
+        return out
+
+    def _page_fonts(self, page: dict):
+        fonts: dict[str, tuple[dict[int, str], int] | None] = {}
+        res = self.resolve(page.get("Resources")) or {}
+        fdict = self.resolve(res.get("Font")) or {}
+        for name, fref in fdict.items():
+            font = self.resolve(fref)
+            cmap = None
+            if isinstance(font, dict):
+                tu = self.resolve(font.get("ToUnicode"))
+                if isinstance(tu, Stream):
+                    cmap = parse_tounicode(
+                        decode_stream(tu, self.resolve)
+                    )
+            fonts[name] = cmap
+        return fonts
+
+    def page_text(self, page: dict) -> str:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return ""
+        parts = contents if isinstance(contents, list) else [contents]
+        blob = b"\n".join(
+            decode_stream(self.resolve(p), self.resolve)
+            for p in parts
+            if isinstance(self.resolve(p), Stream)
+        )
+        return extract_text_from_content(blob, self._page_fonts(page))
+
+    def text(self) -> str:
+        """Full document text, pages joined with form-feed."""
+        return "\f".join(self.page_text(p) for p in self.pages())
+
+
+def pdf_text(content: bytes) -> str:
+    """One-call text extraction. Raises :class:`PdfError` on structural
+    corruption and ``NotImplementedError`` at the documented boundaries
+    (encryption, unsupported filters)."""
+    return PdfDocument(content).text()
+
+
+def pdf_metadata(content: bytes) -> dict:
+    """Container metadata without touching page content: page count,
+    PDF version, /Info fields (Title/Author/Subject/Producer) when
+    present and string-valued."""
+    doc = PdfDocument(content)
+    head = content.lstrip()[:16]
+    m = re.match(rb"%PDF-(\d+\.\d+)", head)
+    info = doc.resolve(doc.trailer.get("Info")) or {}
+    out = {
+        "version": m.group(1).decode("ascii") if m else None,
+        "n_pages": len(doc.pages()),
+    }
+    for k in ("Title", "Author", "Subject", "Producer"):
+        v = info.get(k) if isinstance(info, dict) else None
+        v = doc.resolve(v)
+        if isinstance(v, bytes):
+            if v[:2] == b"\xfe\xff":
+                out[k.lower()] = v[2:].decode("utf-16-be", "replace")
+            else:
+                out[k.lower()] = v.decode("latin-1")
+    return out

@@ -1,0 +1,261 @@
+"""Document-format text extraction vs the independent spec-derived PDF
+writer (tests/pdf_writer.py) and zipfile-built EPUB/DOCX fixtures: the
+same text must come back through every PDF file layout (classic xref,
+xref streams, object streams, PNG-predicted xref rows, wrong /Length,
+Flate/ASCIIHex/plain), ToUnicode CMaps must map CID text, boundaries
+must raise precisely, and the Spark leg must survive corrupt payloads
+with per-row errors instead of task failures."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from sample_dms_kinesis_rds_mariadb_spark.sources import pdf as P
+from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+    docx_text,
+    epub_text,
+    extract_document_texts,
+    sniff_document_format,
+)
+from tests.pdf_writer import text_content, write_pdf
+
+_LAYOUTS = (
+    dict(),
+    dict(compress="none"),
+    dict(compress="hex"),
+    dict(xref_stream=True),
+    dict(xref_stream=True, objstm=True),
+    dict(xref_stream=True, objstm=True, predictor=True),
+    dict(wrong_length=True),
+)
+
+
+def _two_pages():
+    return [
+        text_content(["Hello PDF world.", "Second line here."]),
+        text_content([["Kerned", -250, "words", -50, "x"]]),
+    ]
+
+
+def test_pdf_text_identical_across_every_file_layout():
+    """Classic xref, xref streams, object streams, predicted xref rows,
+    hex/plain/Flate content, and a lying /Length must all produce the
+    IDENTICAL text — layout is transport, not content."""
+    texts = set()
+    for kw in _LAYOUTS:
+        blob = write_pdf(_two_pages(), info={"Title": "Fixture Doc"}, **kw)
+        texts.add(P.pdf_text(blob))
+    assert len(texts) == 1
+    t = texts.pop()
+    assert "Hello PDF world.\nSecond line here." in t
+    assert "Kerned wordsx" in t  # -250 kern spaces, -50 does not
+    assert "\f" in t             # pages join with form-feed
+
+
+def test_pdf_metadata_and_escapes():
+    blob = write_pdf(
+        [text_content(["A (parenthetical) line with \\ backslash."])],
+        info={"Title": "T (x)", "Author": "A"},
+    )
+    assert "A (parenthetical) line with \\ backslash." in P.pdf_text(blob)
+    m = P.pdf_metadata(blob)
+    assert m["n_pages"] == 1 and m["title"] == "T (x)" and m["author"] == "A"
+    assert m["version"] == "1.5"
+
+
+def test_pdf_tounicode_cid_text():
+    """Type0 text through a /ToUnicode CMap: 2-byte codes map through
+    bfchar AND bfrange sections."""
+    cmap = {0x0041: "H", 0x0042: "i", 0x0100: "a", 0x0101: "b",
+            0x0102: "c"}
+    rev = {v: k for k, v in cmap.items()}
+
+    def enc(s):
+        return b"".join(rev[ch].to_bytes(2, "big") for ch in s)
+
+    blob = write_pdf(
+        [text_content(["Hi", "abc"], encode=enc, hex_strings=True)],
+        tounicode=cmap,
+    )
+    assert P.pdf_text(blob) == "Hi\nabc"
+
+
+def test_pdf_boundaries_raise_precisely():
+    # encryption
+    blob = write_pdf([text_content(["secret"])])
+    enc = blob.replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt << /V 2 >>"
+    )
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        P.pdf_text(enc)
+    # unsupported filter
+    bad = blob.replace(b"/Filter /FlateDecode", b"/Filter /DCTDecode")
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        P.pdf_text(bad)
+    # not a PDF at all
+    with pytest.raises(P.PdfError, match="missing %PDF-"):
+        P.pdf_text(b"\x00\x01junk")
+
+
+def test_pdf_broken_xref_falls_back_to_object_scan():
+    """A corrupt startxref offset must not lose the document — the
+    reader scans every 'N G obj' and finds the catalog."""
+    blob = bytearray(write_pdf(_two_pages()))
+    i = bytes(blob).rfind(b"startxref")
+    j = bytes(blob).find(b"\n", i + 10)
+    digits = bytes(blob)[i + 10 : j].strip()
+    blob[i + 10 : i + 10 + len(digits)] = b"9" * len(digits)
+    t = P.pdf_text(bytes(blob))
+    assert "Hello PDF world." in t and "Kerned wordsx" in t
+
+
+def test_pdf_lzw_filter_roundtrip():
+    """LZWDecode (EarlyChange=1): compress a content stream with an
+    independent TIFF-flavor LZW compressor and swap it in."""
+    from tests.tiff_writer import _TiffLZW
+
+    content = text_content(["LZW filtered text line."])
+    import zlib
+
+    flate = zlib.compress(content)
+    blob = write_pdf([content])
+    lzw = _TiffLZW().compress(content)
+    swapped = blob.replace(
+        b"/Filter /FlateDecode /Length %d" % len(flate),
+        b"/Filter /LZWDecode /Length %d" % len(lzw),
+    ).replace(flate, lzw)
+    assert "LZW filtered text line." in P.pdf_text(swapped)
+
+
+# --- EPUB / DOCX ---------------------------------------------------------
+
+
+def _epub(chapters: list[tuple[str, str]], drm: bool = False,
+          spine_order: list[str] | None = None) -> bytes:
+    """Minimal OCF/OPF EPUB from (name, xhtml) chapters."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr(
+            "META-INF/container.xml",
+            '<?xml version="1.0"?>'
+            '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:'
+            'container" version="1.0"><rootfiles>'
+            '<rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/>'
+            "</rootfiles></container>",
+        )
+        if drm:
+            zf.writestr("META-INF/encryption.xml", "<encryption/>")
+        items = "".join(
+            f'<item id="c{i}" href="{name}" '
+            'media-type="application/xhtml+xml"/>'
+            for i, (name, _) in enumerate(chapters)
+        )
+        order = spine_order or [f"c{i}" for i in range(len(chapters))]
+        refs = "".join(f'<itemref idref="{r}"/>' for r in order)
+        zf.writestr(
+            "OEBPS/content.opf",
+            '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+            f"<manifest>{items}</manifest><spine>{refs}</spine></package>",
+        )
+        for name, xhtml in chapters:
+            zf.writestr(f"OEBPS/{name}", xhtml)
+    return buf.getvalue()
+
+
+def test_epub_spine_order_and_html_rules():
+    from sample_dms_kinesis_rds_mariadb_spark.functions.html import (
+        py_html_to_text,
+    )
+
+    ch1 = "<html><body><h1>One</h1><p>First &amp; chapter.</p></body></html>"
+    ch2 = "<html><body><p>Second chapter.</p></body></html>"
+    # zip order ch2-first is irrelevant: the SPINE orders chapters
+    blob = _epub([("b.xhtml", ch2), ("a.xhtml", ch1)],
+                 spine_order=["c1", "c0"])
+    t = epub_text(blob)
+    want = py_html_to_text(ch1) + "\f" + py_html_to_text(ch2)
+    assert t == want
+    assert "First & chapter." in t
+
+
+def test_epub_drm_raises():
+    blob = _epub([("a.xhtml", "<p>x</p>")], drm=True)
+    with pytest.raises(NotImplementedError, match="DRM"):
+        epub_text(blob)
+
+
+def _docx(paragraphs: list[list[tuple[str, str]]]) -> bytes:
+    """Minimal OOXML: paragraphs of (kind, value) runs, kind in
+    t/tab/br."""
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = ""
+    for para in paragraphs:
+        runs = ""
+        for kind, val in para:
+            if kind == "t":
+                runs += f"<w:r><w:t>{val}</w:t></w:r>"
+            elif kind == "tab":
+                runs += "<w:r><w:tab/></w:r>"
+            elif kind == "br":
+                runs += "<w:r><w:br/></w:r>"
+        body += f"<w:p>{runs}</w:p>"
+    xml = (
+        f'<w:document xmlns:w="{w}"><w:body>{body}</w:body></w:document>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", xml)
+    return buf.getvalue()
+
+
+def test_docx_runs_tabs_breaks():
+    blob = _docx(
+        [
+            [("t", "Name"), ("tab", ""), ("t", "Value")],
+            [("t", "Line one"), ("br", ""), ("t", "line two")],
+        ]
+    )
+    assert docx_text(blob) == "Name\tValue\nLine one\nline two"
+
+
+def test_sniffing():
+    assert sniff_document_format(write_pdf(_two_pages())) == "pdf"
+    assert sniff_document_format(_epub([("a.xhtml", "<p>x</p>")])) == "epub"
+    assert sniff_document_format(_docx([[("t", "x")]])) == "docx"
+    assert sniff_document_format(b"PK\x03\x04garbage") is None
+    assert sniff_document_format(b"plain text") is None
+
+
+# --- Spark leg -------------------------------------------------------------
+
+
+def test_extract_document_texts_spark_leg(spark):
+    """Mixed batch through the Arrow pass: every format extracts, a
+    corrupt payload sets error instead of killing the task, and the
+    plan runs Arrow-side (MapInPandas), never row-at-a-time Python."""
+    rows = [
+        (0, write_pdf(_two_pages())),
+        (1, _epub([("a.xhtml", "<p>Chapter text.</p>")])),
+        (2, _docx([[("t", "Doc text.")]])),
+        (3, b"%PDF-1.5 then total garbage"),
+        (4, b"not a document at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "doc_id LONG, content BINARY"
+    )
+    out = extract_document_texts(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["format"] == "pdf" and "Hello PDF" in got[0]["text"]
+    assert got[1]["format"] == "epub" and got[1]["text"] == "Chapter text."
+    assert got[2]["format"] == "docx" and got[2]["text"] == "Doc text."
+    assert got[3]["error"] is not None and got[3]["text"] is None
+    assert got[4]["error"] is not None
+    assert got[0]["n_chars"] == len(got[0]["text"])
