@@ -169,6 +169,7 @@ def warc_records(
     content_col: str = "content",
     id_col: str = "file_id",
     types: tuple[str, ...] = ("response",),
+    include_body: bool = False,
 ) -> DataFrame:
     """Explode binary WARC payloads (one file per input row — the
     ``binaryFile`` source shape) into one row per record of the selected
@@ -178,10 +179,17 @@ def warc_records(
 
     ``file_id`` keeps the INPUT column's type — a long for synthetic ids,
     a string when the id is the ``binaryFile`` source's ``path`` column
-    (the production shape)."""
+    (the production shape). ``include_body=True`` appends the RAW
+    response-body bytes as a ``body`` BINARY column — the feed for
+    non-HTML payloads (e.g. application/pdf →
+    ``sources/docformats.extract_document_texts``), which the charset
+    decode into ``html`` would mangle."""
+    fields = WARC_RECORDS_SCHEMA.fields[1:]
+    if include_body:
+        fields = fields + [T.StructField("body", T.BinaryType())]
     schema = T.StructType(
         [T.StructField(id_col, df.schema[id_col].dataType, False)]
-        + WARC_RECORDS_SCHEMA.fields[1:]
+        + fields
     )
 
     def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -212,6 +220,7 @@ def warc_records(
                                 if body is not None
                                 else None
                             ),
+                            **({"body": body} if include_body else {}),
                         }
                     )
             yield pd.DataFrame(

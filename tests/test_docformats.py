@@ -259,3 +259,56 @@ def test_extract_document_texts_spark_leg(spark):
     assert got[3]["error"] is not None and got[3]["text"] is None
     assert got[4]["error"] is not None
     assert got[0]["n_chars"] == len(got[0]["text"])
+
+
+def test_pdf_inside_warc_composition(spark):
+    """Crawl reality: PDFs arrive inside WARC responses. warc_records
+    with include_body=True keeps the RAW body bytes (the charset decode
+    into `html` would mangle them); filtering on the HTTP content type
+    and feeding `body` to extract_document_texts completes the document
+    front door end to end."""
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.warc import (
+        warc_records,
+    )
+
+    def record(body: bytes, ctype: str, uri: str) -> bytes:
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("latin-1") + body
+        head = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:1>\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        )
+        return head + http + b"\r\n\r\n"
+
+    pdf_blob = write_pdf([text_content(["PDF inside a WARC record."])])
+    warc = record(pdf_blob, "application/pdf", "https://x.example/a.pdf") \
+        + record(b"<p>HTML record.</p>", "text/html; charset=utf-8",
+                 "https://x.example/b.html")
+    df = spark.createDataFrame(
+        [(0, bytearray(warc))], "file_id LONG, content BINARY"
+    )
+    recs = warc_records(df, include_body=True)
+    pdfs = recs.filter(
+        F.col("http_content_type").startswith("application/pdf")
+    ).select(
+        F.col("record_no").cast("long").alias("doc_id"),
+        F.col("body").alias("content"),
+    )
+    out = extract_document_texts(pdfs).collect()
+    assert len(out) == 1
+    assert out[0]["format"] == "pdf"
+    assert "PDF inside a WARC record." in out[0]["text"]
+    # the html leg is untouched: the html column still decodes
+    html_rows = recs.filter(F.col("http_content_type").startswith(
+        "text/html")).collect()
+    assert html_rows[0]["html"] == "<p>HTML record.</p>"
+    # default schema (no include_body) is unchanged
+    assert "body" not in warc_records(df).columns
