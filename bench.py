@@ -443,6 +443,54 @@ def main() -> None:
         "payloads_per_sec": round(_n_media / media_sec, 1),
     }
 
+    # 9a') document front door (r10): one VALID single-page Flate PDF
+    # per documents row (built via the independent writer's layout in a
+    # quick driver loop over the text column — real xref table, real
+    # FlateDecode), text pulled back through the REAL ISO 32000 reader
+    # via Arrow mapInPandas. Measures reader throughput at SF scale.
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        extract_document_texts,
+    )
+
+    _n_pdf = max(int(2000 * _sf_num), 150)
+    _doc_rows = (
+        _lt(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _n_pdf)
+        .select("doc_id", F.substring("text", 1, 400).alias("t"))
+        .collect()
+    )
+    import zlib as _zlib
+
+    def _mini_pdf(txt: str) -> bytes:
+        safe = "".join(
+            ch if " " <= ch <= "~" and ch not in "\\()" else " "
+            for ch in txt
+        ).encode("ascii")
+        content = b"BT (" + safe + b") Tj ET"
+        body = _zlib.compress(content)
+        return (
+            b"%%PDF-1.5\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+            b"endobj\n"
+            b"4 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n"
+            % len(body) + body + b"\nendstream\nendobj\n%%EOF"
+        )
+
+    _pdf_df = spark.createDataFrame(
+        [(int(r["doc_id"]), bytearray(_mini_pdf(r["t"] or "")))
+         for r in _doc_rows],
+        "doc_id LONG, content BINARY",
+    ).repartition(32)
+    t0 = time.perf_counter()
+    extract_document_texts(_pdf_df).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    pdf_sec = time.perf_counter() - t0
+    timings["pdf_text_extraction"] = round(pdf_sec, 3)
+    media_pipeline["pdf_docs_per_sec"] = round(len(_doc_rows) / pdf_sec, 1)
+
     # 9b) perceptual image dedup (r9): synthesized-but-REAL PPM payloads
     # from the documents table → real decode + dHash via Arrow mapInPandas
     # → pigeonhole-banded hamming self-join (never all-pairs) → exact
