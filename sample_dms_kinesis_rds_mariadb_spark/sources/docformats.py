@@ -17,7 +17,13 @@ web corpus. Each reader is spec-derived and stdlib-only:
   raises;
 - **DOCX** — OOXML zip (``word/document.xml``), ``w:t`` runs joined
   with paragraph breaks per ``w:p``, tabs per ``w:tab`` (ECMA-376
-  §17.3). Password-protected OLE containers are not zips and raise.
+  §17.3). Password-protected OLE containers are not zips and raise;
+- **ODT** — OpenDocument zip (``content.xml``): ``text:p``/``text:h``
+  lines, ``text:tab``/``text:line-break``/``text:s`` whitespace
+  elements (ODF 1.2 §6.1);
+- **RTF** — control-word parser (group nesting, ``\\par``/``\\line``/
+  ``\\tab``, ``\\'hh`` cp1252 escapes, ``\\uN`` with the ``\\uc``
+  skip protocol, ``{\\*`` and table/style/info destinations skipped).
 
 ``extract_document_texts`` is the Spark leg: one Arrow ``mapInPandas``
 pass sniffing each payload (%PDF-, zip magic + member names), returning
@@ -34,6 +40,7 @@ lands as a plain string column ready for the text operators
 from __future__ import annotations
 
 import io
+import re
 import zipfile
 from typing import Iterator
 from xml.etree import ElementTree
@@ -109,11 +116,134 @@ def docx_text(content: bytes) -> str:
     return "\n".join(paras)
 
 
+_RTF_DEST_SKIP = {
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
+    "header", "footer", "headerl", "headerr", "footerl", "footerr",
+    "themedata", "xmlnstbl", "listtable", "listoverridetable",
+    "generator", "filetbl", "revtbl",
+}
+
+
+def rtf_text(content: bytes) -> str:
+    """Plain text of an RTF payload (Word 97-2003 RTF spec): control
+    words with optional numeric parameters, group nesting, ``\\par`` /
+    ``\\line`` → newline, ``\\tab`` → tab, ``\\'hh`` cp1252 escapes,
+    ``\\uN`` Unicode with the ``\\uc`` skip-count protocol, ``{\\*``
+    and table/style/info destinations skipped."""
+    if not content.startswith(b"{\\rtf"):
+        raise ValueError("not an RTF payload (missing {\\rtf)")
+    out: list[str] = []
+    pos = 0
+    n = len(content)
+    # group state stack: (skipping?, uc skip count)
+    stack: list[tuple[bool, int]] = []
+    skipping = False
+    uc = 1
+    pending_uc_skip = 0
+    while pos < n:
+        c = content[pos]
+        if c == 0x7B:  # {
+            stack.append((skipping, uc))
+            pos += 1
+            # {\* ...} = optional destination: skip unless known
+            if content[pos : pos + 2] == b"\\*":
+                skipping = True
+                pos += 2
+        elif c == 0x7D:  # }
+            if stack:
+                skipping, uc = stack.pop()
+            pos += 1
+        elif c == 0x5C:  # backslash
+            pos += 1
+            if pos >= n:
+                break
+            e = content[pos]
+            if e == 0x27:  # \'hh
+                byte = int(content[pos + 1 : pos + 3], 16)
+                pos += 3
+                if pending_uc_skip:
+                    pending_uc_skip -= 1
+                elif not skipping:
+                    out.append(bytes([byte]).decode("cp1252", "replace"))
+            elif chr(e).isalpha():
+                m = re.match(rb"[a-zA-Z]+(-?\d+)? ?", content[pos:])
+                word = re.match(rb"[a-zA-Z]+", content[pos:]).group()
+                param_m = re.match(rb"[a-zA-Z]+(-?\d+)", content[pos:])
+                param = int(param_m.group(1)) if param_m else None
+                pos += m.end()
+                w = word.decode("ascii")
+                if w in _RTF_DEST_SKIP:
+                    skipping = True
+                elif w == "uc":
+                    uc = param if param is not None else 1
+                elif w == "u" and param is not None:
+                    if not skipping:
+                        out.append(chr(param & 0xFFFF))
+                    pending_uc_skip = uc
+                elif not skipping:
+                    if w in ("par", "line"):
+                        out.append("\n")
+                    elif w == "tab":
+                        out.append("\t")
+            else:
+                # control symbol: \{ \} \\ literal; \~ nbsp; \- ignored
+                if not skipping:
+                    if e in b"{}\\":
+                        out.append(chr(e))
+                    elif e == 0x7E:
+                        out.append(" ")
+                pos += 1
+        elif c in b"\r\n":
+            pos += 1
+        else:
+            if pending_uc_skip:
+                pending_uc_skip -= 1
+            elif not skipping:
+                out.append(chr(c) if c < 0x80 else
+                           bytes([c]).decode("cp1252", "replace"))
+            pos += 1
+    return "".join(out).strip()
+
+
+_ODT_NS = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+
+
+def odt_text(content: bytes) -> str:
+    """Paragraph text of an OpenDocument Text payload
+    (``content.xml``): ``text:p``/``text:h`` → one line each,
+    ``text:tab`` → tab, ``text:line-break`` → newline, ``text:s`` →
+    ``text:c`` spaces (ODF 1.2 §6.1)."""
+    zf = zipfile.ZipFile(io.BytesIO(content))
+    root = ElementTree.fromstring(zf.read("content.xml"))
+    lines = []
+    for p in root.iter():
+        if p.tag not in (_ODT_NS + "p", _ODT_NS + "h"):
+            continue
+        parts = [p.text or ""]
+        for node in p:
+            if node.tag == _ODT_NS + "tab":
+                parts.append("\t")
+            elif node.tag == _ODT_NS + "line-break":
+                parts.append("\n")
+            elif node.tag == _ODT_NS + "s":
+                parts.append(" " * int(node.get(_ODT_NS + "c", "1")))
+            if node.text and node.tag not in (_ODT_NS + "tab",
+                                              _ODT_NS + "line-break"):
+                parts.append(node.text)
+            if node.tail:
+                parts.append(node.tail)
+        lines.append("".join(parts))
+    return "\n".join(lines)
+
+
 def sniff_document_format(content: bytes) -> str | None:
-    """'pdf' | 'epub' | 'docx' | 'zip' | None from the payload bytes
-    (zip flavors by member names, per their specs' media-type rules)."""
+    """'pdf' | 'epub' | 'docx' | 'odt' | 'rtf' | 'zip' | None from the
+    payload bytes (zip flavors by member names, per their specs'
+    media-type rules)."""
     if content.lstrip()[:5].startswith(b"%PDF-"):
         return "pdf"
+    if content.startswith(b"{\\rtf"):
+        return "rtf"
     if content[:2] == b"PK":
         try:
             names = set(
@@ -125,6 +255,8 @@ def sniff_document_format(content: bytes) -> str | None:
             return "epub"
         if "word/document.xml" in names:
             return "docx"
+        if "content.xml" in names:
+            return "odt"
         return "zip"
     return None
 
@@ -139,6 +271,10 @@ def document_text(content: bytes) -> tuple[str, str]:
         return "epub", epub_text(content)
     if fmt == "docx":
         return "docx", docx_text(content)
+    if fmt == "odt":
+        return "odt", odt_text(content)
+    if fmt == "rtf":
+        return "rtf", rtf_text(content)
     raise ValueError(f"not a supported document format ({fmt})")
 
 

@@ -19,11 +19,14 @@ What parses for real:
   stream rows), plus OBJECT STREAMS (/Type /ObjStm) for compressed
   objects — i.e. both pre- and post-PDF-1.5 file layouts;
 - stream filters: FlateDecode (with /DecodeParms PNG predictors),
-  ASCIIHexDecode, LZWDecode (EarlyChange=1 — the TIFF-flavor decoder
-  from ``operators/tiff.py`` is the same code variant) and filter
-  chains;
+  ASCIIHexDecode, ASCII85Decode, RunLengthDecode, LZWDecode
+  (EarlyChange=1 — the TIFF-flavor decoder from ``operators/tiff.py``
+  is the same code variant) and filter chains;
 - the page tree (/Root → /Pages → /Kids, inherited /Resources), page
-  /Contents (single stream or array);
+  /Contents (single stream or array), and Form XObjects — the ``Do``
+  operator splices a form's own text in (with its own /Resources,
+  recursion depth-capped), where real-world generators routinely put
+  body text;
 - the text layer: BT/ET blocks, Tj / TJ / ' / " show operators, the
   Td/TD/T*/TL/Tm positioning family (newline on a vertical move — the
   deterministic layout heuristic, documented below), TJ kern
@@ -36,9 +39,9 @@ HONEST BOUNDARIES (raise, never garble):
 - encrypted documents (/Encrypt in the trailer) raise
   ``NotImplementedError`` — decryption needs RC4/AES key derivation
   that is out of scope;
-- stream filters outside {Flate, ASCIIHex, LZW} (DCT, JBIG2, CCITT…
-  are image filters and never carry text; RunLength/ASCII85 just
-  haven't shipped) raise naming the filter;
+- stream filters outside {Flate, ASCIIHex, ASCII85, RunLength, LZW}
+  (DCT, JBIG2, CCITT… are image filters and never carry text) raise
+  naming the filter;
 - simple fonts WITHOUT /ToUnicode decode their string bytes as
   Latin-1 — exact for the ASCII range of the Standard/WinAnsi
   encodings, deterministic (never wrong-but-plausible Unicode) beyond
@@ -264,9 +267,7 @@ def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     out = bytearray()
     prev = bytearray(row_len)
     pos = 0
-    while pos + 1 + row_len <= len(data) + row_len:
-        if pos >= len(data):
-            break
+    while pos < len(data):
         ft = data[pos]
         row = bytearray(data[pos + 1 : pos + 1 + row_len])
         if len(row) < row_len:
@@ -310,6 +311,67 @@ def _lzw_decode_pdf(data: bytes) -> bytes:
     return _lzw_decode_tiff(data, 1 << 40)
 
 
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): 5 chars '!'..'u' → 4 bytes base-85
+    big-endian; 'z' → four zero bytes; a partial final group of n chars
+    yields n−1 bytes (pad with 'u', truncate); '~>' terminates."""
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    data = re.sub(rb"[\x00\t\n\x0c\r ]", b"", data)
+    out = bytearray()
+    group: list[int] = []
+    for c in data:
+        if c == 0x7A:  # 'z'
+            if group:
+                raise PdfError("ASCII85: z inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise PdfError(f"ASCII85: invalid character {c}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise PdfError("ASCII85: lone trailing character")
+        n = len(group)
+        v = 0
+        for g in group + [84] * (5 - n):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): length byte L — 0..127 copies the next
+    L+1 bytes, 129..255 repeats the next byte 257−L times, 128 ends."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        length = data[pos]
+        pos += 1
+        if length == 128:
+            break
+        if length < 128:
+            chunk = data[pos : pos + length + 1]
+            if len(chunk) != length + 1:
+                raise PdfError("RunLength: literal run truncated")
+            out += chunk
+            pos += length + 1
+        else:
+            if pos >= n:
+                raise PdfError("RunLength: repeat run truncated")
+            out += bytes([data[pos]]) * (257 - length)
+            pos += 1
+    return bytes(out)
+
+
 def decode_stream(stream: Stream, resolve) -> bytes:
     """Apply the stream's /Filter chain to its raw bytes. ``resolve``
     maps a Ref to its object (filters/params may be indirect)."""
@@ -341,6 +403,10 @@ def decode_stream(stream: Stream, resolve) -> bytes:
                     "LZWDecode EarlyChange=0 not supported"
                 )
             data = _lzw_decode_pdf(data)
+        elif f == "ASCII85Decode":
+            data = _ascii85_decode(data)
+        elif f == "RunLengthDecode":
+            data = _runlength_decode(data)
         else:
             raise NotImplementedError(f"PDF stream filter {f} not supported")
         pred = resolve(p.get("Predictor", 1))
@@ -461,11 +527,15 @@ def _content_tokens(data: bytes):
 
 def extract_text_from_content(
     content: bytes, fonts: dict[str, tuple[dict[int, str], int] | None],
+    xobjects: dict | None = None,
 ) -> str:
     """Run the text-showing subset of the content-stream machine:
     deterministic newline on vertical moves (Td/TD with ty≠0, T*, a Tm
     whose f changed, the ' and " operators), one space per TJ kern below
-    ``-SPACE_KERN``."""
+    ``-SPACE_KERN``. ``xobjects`` maps /XObject resource names to
+    zero-arg callables returning that Form XObject's text — the ``Do``
+    operator splices it in (real-world PDFs routinely put body text in
+    form XObjects)."""
     out: list[str] = []
     operands: list = []
     cur_font: tuple[dict[int, str], int] | None = None
@@ -513,6 +583,14 @@ def extract_text_from_content(
                 last_tm_f = float(f)
         elif op == "BT":
             last_tm_f = None
+        elif op == "Do" and operands and xobjects:
+            name = operands[-1]
+            sub = xobjects.get(name) if isinstance(name, str) else None
+            if sub is not None:
+                t = sub()
+                if t:
+                    _newline()
+                    out.append(t)
         operands = []
     return "".join(out)
 
@@ -769,9 +847,8 @@ class PdfDocument:
         walk(root.get("Pages"), None)
         return out
 
-    def _page_fonts(self, page: dict):
+    def _fonts_of(self, res: dict):
         fonts: dict[str, tuple[dict[int, str], int] | None] = {}
-        res = self.resolve(page.get("Resources")) or {}
         fdict = self.resolve(res.get("Font")) or {}
         for name, fref in fdict.items():
             font = self.resolve(fref)
@@ -785,6 +862,33 @@ class PdfDocument:
             fonts[name] = cmap
         return fonts
 
+    def _xobjects_of(self, res: dict, depth: int):
+        """Form-XObject text closures for the ``Do`` operator: each form
+        extracts lazily with ITS OWN /Resources (falling back to the
+        caller's), recursion depth-capped against self-referential
+        forms."""
+        out: dict = {}
+        if depth >= 16:
+            return out
+        xdict = self.resolve(res.get("XObject")) or {}
+        for name, xref in xdict.items():
+            xobj = self.resolve(xref)
+            if not isinstance(xobj, Stream):
+                continue
+            if self.resolve(xobj.dict.get("Subtype")) != "Form":
+                continue  # images have no text layer
+
+            def _run(xobj=xobj):
+                own = self.resolve(xobj.dict.get("Resources")) or res
+                return extract_text_from_content(
+                    decode_stream(xobj, self.resolve),
+                    self._fonts_of(own),
+                    self._xobjects_of(own, depth + 1),
+                )
+
+            out[name] = _run
+        return out
+
     def page_text(self, page: dict) -> str:
         contents = self.resolve(page.get("Contents"))
         if contents is None:
@@ -795,7 +899,10 @@ class PdfDocument:
             for p in parts
             if isinstance(self.resolve(p), Stream)
         )
-        return extract_text_from_content(blob, self._page_fonts(page))
+        res = self.resolve(page.get("Resources")) or {}
+        return extract_text_from_content(
+            blob, self._fonts_of(res), self._xobjects_of(res, 0)
+        )
 
     def text(self) -> str:
         """Full document text, pages joined with form-feed."""

@@ -104,15 +104,59 @@ def tounicode_cmap(mapping: dict[int, str], nbytes: int = 2) -> bytes:
     return b"\n".join(lines)
 
 
+def _a85_encode(data: bytes) -> bytes:
+    """Independent ASCII85 encoder (write direction of §7.4.3)."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        n = len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * (4 - n), "big")
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        group = bytes(33 + d for d in reversed(digits))
+        if n == 4 and group == b"!!!!!":
+            out += b"z"
+        else:
+            out += group[: n + 1]
+    return bytes(out) + b"~>"
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Independent RunLengthDecode encoder (write direction of §7.4.5):
+    repeat runs of >= 3 as (257-n, byte), literals otherwise."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out) + b"\x80"
+
+
 def write_pdf(
     page_contents: list[bytes],
-    compress: str = "flate",        # "flate" | "hex" | "none"
+    compress: str = "flate",        # "flate" | "hex" | "a85" | "rle" | "none"
     xref_stream: bool = False,
     objstm: bool = False,
     predictor: bool = False,
     info: dict[str, str] | None = None,
     tounicode: dict[int, str] | None = None,
     wrong_length: bool = False,
+    form_xobject: bool = False,
 ) -> bytes:
     """Assemble a complete PDF around the given per-page content
     streams. ``objstm`` packs the non-stream objects into a /Type
@@ -120,7 +164,9 @@ def write_pdf(
     ``up`` predictor to the xref stream rows; ``wrong_length`` writes a
     /Length one byte short (readers must fall back to the endstream
     delimiter scan); ``tounicode`` attaches a /ToUnicode CMap to the
-    font."""
+    font; ``form_xobject`` routes each page's content through a /Form
+    XObject invoked by ``Do`` (the form carries its OWN /Resources —
+    the layout office-suite exporters emit)."""
     if objstm and not xref_stream:
         raise ValueError("object streams need the xref-stream layout")
     objects: dict[int, bytes] = {}
@@ -137,20 +183,48 @@ def write_pdf(
     objects[2] = (
         b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
     )
+    form_base = next_num
+    if form_xobject:
+        next_num += n_pages
     for i, content in enumerate(page_contents):
         page_num = 3 + 2 * i
         cont_num = 4 + 2 * i
-        objects[page_num] = (
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 %d 0 R >> >> "
-            b"/Contents %d 0 R >>" % (font_num, cont_num)
-        )
+        if form_xobject:
+            # the page's own content only invokes the form; the form
+            # carries the text and its OWN font resources
+            form_num = form_base + i
+            objects[page_num] = (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /XObject << /Fx1 %d 0 R >> >> "
+                b"/Contents %d 0 R >>" % (form_num, cont_num)
+            )
+            fbody = zlib.compress(content)
+            objects[form_num] = (
+                b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                % (font_num, len(fbody)) + fbody + b"\nendstream"
+            )
+            stream_objs.add(form_num)
+            content = b"/Fx1 Do"
+        else:
+            objects[page_num] = (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> "
+                b"/Contents %d 0 R >>" % (font_num, cont_num)
+            )
         if compress == "flate":
             body = zlib.compress(content)
             filt = b"/Filter /FlateDecode "
         elif compress == "hex":
             body = content.hex().encode("ascii") + b">"
             filt = b"/Filter /ASCIIHexDecode "
+        elif compress == "a85":
+            body = _a85_encode(content)
+            filt = b"/Filter /ASCII85Decode "
+        elif compress == "rle":
+            body = _rle_encode(content)
+            filt = b"/Filter /RunLengthDecode "
         else:
             body = content
             filt = b""

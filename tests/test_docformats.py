@@ -312,3 +312,121 @@ def test_pdf_inside_warc_composition(spark):
     assert html_rows[0]["html"] == "<p>HTML record.</p>"
     # default schema (no include_body) is unchanged
     assert "body" not in warc_records(df).columns
+
+
+def test_pdf_ascii85_and_runlength_filters():
+    """ASCII85Decode and RunLengthDecode round-trip through independent
+    encoders in the writer (incl. the z shortcut and repeat runs)."""
+    content = text_content(
+        ["A85 text with zeros", "and a looooooooooooooong repeat run"]
+    )
+    for compress in ("a85", "rle"):
+        blob = write_pdf([content], compress=compress)
+        t = P.pdf_text(blob)
+        assert "A85 text with zeros" in t, compress
+        assert "looooooooooooooong" in t, compress
+    # unit vectors for the decoders themselves
+    from tests.pdf_writer import _a85_encode, _rle_encode
+
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    for n in (0, 1, 2, 3, 4, 5, 63, 200):
+        raw = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert P._ascii85_decode(_a85_encode(raw)) == raw, n
+        assert P._runlength_decode(_rle_encode(raw)) == raw, n
+    assert P._ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+
+
+def test_pdf_form_xobject_text():
+    """Body text inside a /Form XObject (the office-exporter layout):
+    the page content is just '/Fx1 Do' — the reader must splice the
+    form's text in, using the FORM's own /Resources fonts."""
+    pages = [
+        text_content(["Form one text."]),
+        text_content(["Form two text."]),
+    ]
+    blob = write_pdf(pages, form_xobject=True)
+    t = P.pdf_text(blob)
+    assert "Form one text." in t and "Form two text." in t
+    assert t.count("\f") == 1
+    # a form with a ToUnicode font keeps CID decode inside the form
+    cmap = {0x0041: "O", 0x0042: "k"}
+    rev = {v: k for k, v in cmap.items()}
+    blob = write_pdf(
+        [text_content(["Ok"], hex_strings=True,
+                      encode=lambda s: b"".join(
+                          rev[c].to_bytes(2, "big") for c in s))],
+        form_xobject=True, tounicode=cmap,
+    )
+    assert P.pdf_text(blob) == "Ok"
+
+
+def test_rtf_control_words_escapes_and_destinations():
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        rtf_text,
+    )
+
+    blob = (
+        rb"{\rtf1\ansi{\fonttbl{\f0 Times New Roman;}}"
+        rb"{\colortbl;\red0\green0\blue0;}"
+        rb"{\*\generator FixtureWriter 1.0;}"
+        rb"\f0 Hello\par World \'e9 caf\'e9 \u8212?dash"
+        rb"\tab tabbed \{brace\} \\slash}"
+    )
+    t = rtf_text(blob)
+    assert t.splitlines()[0] == "Hello"
+    assert "World é café —dash\ttabbed {brace} \\slash" in t
+    assert "Times" not in t and "generator" not in t  # destinations skipped
+    # \uc2 skips TWO fallback chars after \u
+    t2 = rtf_text(rb"{\rtf1 \uc2 a\u233??b}")
+    assert t2 == "aéb"
+    with pytest.raises(ValueError, match="rtf"):
+        rtf_text(b"plain text")
+
+
+def _odt(paragraphs: list[str]) -> bytes:
+    t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    body = "".join(f'<text:p>{p}</text:p>' for p in paragraphs)
+    xml = (
+        f'<office:document-content xmlns:office="urn:x" xmlns:text="{t}">'
+        f"<office:body><office:text>{body}</office:text></office:body>"
+        "</office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", xml)
+    return buf.getvalue()
+
+
+def test_odt_paragraphs_and_whitespace_elements():
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        odt_text,
+    )
+
+    blob = _odt(
+        ["First paragraph.",
+         'Col1<text:tab/>Col2',
+         'Three<text:s text:c="3"/>spaces',
+         'Break<text:line-break/>here']
+    )
+    assert odt_text(blob) == (
+        "First paragraph.\nCol1\tCol2\nThree   spaces\nBreak\nhere"
+    )
+    assert sniff_document_format(blob) == "odt"
+
+
+def test_rtf_odt_through_spark_leg(spark):
+    rows = [
+        (0, rb"{\rtf1 RTF body text\par here}"),
+        (1, _odt(["ODT body text."])),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "doc_id LONG, content BINARY"
+    )
+    got = {r["doc_id"]: r for r in extract_document_texts(df).collect()}
+    assert got[0]["format"] == "rtf" and got[0]["text"] == (
+        "RTF body text\nhere"
+    )
+    assert got[1]["format"] == "odt" and got[1]["text"] == "ODT body text."
