@@ -444,15 +444,16 @@ def main() -> None:
     }
 
     # 9a') document front door (r10): one VALID single-page Flate PDF
-    # per documents row (built via the independent writer's layout in a
-    # quick driver loop over the text column — real xref table, real
-    # FlateDecode), text pulled back through the REAL ISO 32000 reader
-    # via Arrow mapInPandas. Measures reader throughput at SF scale.
+    # per documents row (built in a quick driver loop over the text
+    # column — REAL classic xref table with computed offsets, so the
+    # leg measures the normal xref path, not the broken-xref fallback),
+    # text pulled back through the REAL ISO 32000 reader via Arrow
+    # mapInPandas. Measures reader throughput at SF scale.
     from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
         extract_document_texts,
     )
 
-    _n_pdf = max(int(2000 * _sf_num), 150)
+    _n_pdf = max(int(20000 * _sf_num), 150)
     _doc_rows = (
         _lt(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _n_pdf)
@@ -468,15 +469,27 @@ def main() -> None:
         ).encode("ascii")
         content = b"BT (" + safe + b") Tj ET"
         body = _zlib.compress(content)
-        return (
-            b"%%PDF-1.5\n"
-            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
-            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
-            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
-            b"endobj\n"
-            b"4 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n"
-            % len(body) + body + b"\nendstream\nendobj\n%%EOF"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(body)
+            + body + b"\nendstream",
+        ]
+        out = bytearray(b"%PDF-1.5\n")
+        offsets = []
+        for i, o in enumerate(objs):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % (i + 1) + o + b"\nendobj\n"
+        xref_pos = len(out)
+        out += b"xref\n0 5\n0000000000 65535 f \n"
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xref_pos
         )
+        return bytes(out)
 
     _pdf_df = spark.createDataFrame(
         [(int(r["doc_id"]), bytearray(_mini_pdf(r["t"] or "")))

@@ -116,6 +116,8 @@ def docx_text(content: bytes) -> str:
     return "\n".join(paras)
 
 
+_RTF_CW = re.compile(rb"([a-zA-Z]+)(-?\d+)? ?")
+
 _RTF_DEST_SKIP = {
     "fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
     "header", "footer", "headerl", "headerr", "footerl", "footerr",
@@ -165,13 +167,11 @@ def rtf_text(content: bytes) -> str:
                     pending_uc_skip -= 1
                 elif not skipping:
                     out.append(bytes([byte]).decode("cp1252", "replace"))
-            elif chr(e).isalpha():
-                m = re.match(rb"[a-zA-Z]+(-?\d+)? ?", content[pos:])
-                word = re.match(rb"[a-zA-Z]+", content[pos:]).group()
-                param_m = re.match(rb"[a-zA-Z]+(-?\d+)", content[pos:])
-                param = int(param_m.group(1)) if param_m else None
-                pos += m.end()
-                w = word.decode("ascii")
+            elif 0x41 <= e <= 0x5A or 0x61 <= e <= 0x7A:
+                m = _RTF_CW.match(content, pos)
+                param = int(m.group(2)) if m.group(2) else None
+                pos = m.end()
+                w = m.group(1).decode("ascii")
                 if w in _RTF_DEST_SKIP:
                     skipping = True
                 elif w == "uc":
@@ -202,7 +202,14 @@ def rtf_text(content: bytes) -> str:
                 out.append(chr(c) if c < 0x80 else
                            bytes([c]).decode("cp1252", "replace"))
             pos += 1
-    return "".join(out).strip()
+    text = "".join(out).strip()
+    if any(0xD800 <= ord(ch) < 0xE000 for ch in text):
+        # Word encodes non-BMP chars as \uN surrogate PAIRS: combine
+        # them; replace lone surrogates (Arrow strings reject both)
+        text = text.encode("utf-16", "surrogatepass").decode(
+            "utf-16", "replace"
+        )
+    return text
 
 
 _ODT_NS = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
@@ -215,24 +222,29 @@ def odt_text(content: bytes) -> str:
     ``text:c`` spaces (ODF 1.2 §6.1)."""
     zf = zipfile.ZipFile(io.BytesIO(content))
     root = ElementTree.fromstring(zf.read("content.xml"))
+
+    def _para(el) -> str:
+        # recursive: LibreOffice wraps every styled run in text:span
+        # (and links in text:a) — direct-children-only walks lose most
+        # of the body text
+        parts = [el.text or ""]
+        for child in el:
+            tag = child.tag
+            if tag == _ODT_NS + "tab":
+                parts.append("\t")
+            elif tag == _ODT_NS + "line-break":
+                parts.append("\n")
+            elif tag == _ODT_NS + "s":
+                parts.append(" " * int(child.get(_ODT_NS + "c", "1")))
+            else:
+                parts.append(_para(child))
+            parts.append(child.tail or "")
+        return "".join(parts)
+
     lines = []
     for p in root.iter():
-        if p.tag not in (_ODT_NS + "p", _ODT_NS + "h"):
-            continue
-        parts = [p.text or ""]
-        for node in p:
-            if node.tag == _ODT_NS + "tab":
-                parts.append("\t")
-            elif node.tag == _ODT_NS + "line-break":
-                parts.append("\n")
-            elif node.tag == _ODT_NS + "s":
-                parts.append(" " * int(node.get(_ODT_NS + "c", "1")))
-            if node.text and node.tag not in (_ODT_NS + "tab",
-                                              _ODT_NS + "line-break"):
-                parts.append(node.text)
-            if node.tail:
-                parts.append(node.tail)
-        lines.append("".join(parts))
+        if p.tag in (_ODT_NS + "p", _ODT_NS + "h"):
+            lines.append(_para(p))
     return "\n".join(lines)
 
 
@@ -256,15 +268,37 @@ def sniff_document_format(content: bytes) -> str | None:
         if "word/document.xml" in names:
             return "docx"
         if "content.xml" in names:
+            # ODF's rule: the 'mimetype' first member names the flavor —
+            # only text documents are odt (ods/odp/odg mislabeled as odt
+            # would run the text reader over spreadsheets/slides)
+            if "mimetype" in names:
+                try:
+                    mt = zipfile.ZipFile(io.BytesIO(content)).read(
+                        "mimetype"
+                    ).decode("ascii", "replace").strip()
+                except (zipfile.BadZipFile, KeyError):
+                    mt = ""
+                flavor = {
+                    "application/vnd.oasis.opendocument.text": "odt",
+                    "application/vnd.oasis.opendocument.spreadsheet": "ods",
+                    "application/vnd.oasis.opendocument.presentation": "odp",
+                    "application/vnd.oasis.opendocument.graphics": "odg",
+                }.get(mt)
+                if flavor:
+                    return flavor
             return "odt"
         return "zip"
     return None
 
 
-def document_text(content: bytes) -> tuple[str, str]:
+def document_text(
+    content: bytes, fmt: str | None = None
+) -> tuple[str, str]:
     """(format, text) for one payload; raises on unknown formats and at
-    each reader's documented boundaries."""
-    fmt = sniff_document_format(content)
+    each reader's documented boundaries. ``fmt`` skips the sniff when
+    the caller already ran it (the Arrow leg)."""
+    if fmt is None:
+        fmt = sniff_document_format(content)
     if fmt == "pdf":
         return "pdf", pdf_text(content)
     if fmt == "epub":
@@ -306,7 +340,7 @@ def extract_document_texts(df: DataFrame) -> DataFrame:
                 text = None
                 err = None
                 try:
-                    fmt, text = document_text(blob)
+                    fmt, text = document_text(blob, fmt)
                 except (ValueError, NotImplementedError, KeyError,
                         ElementTree.ParseError, zipfile.BadZipFile,
                         IndexError) as exc:

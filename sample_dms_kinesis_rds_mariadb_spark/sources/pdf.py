@@ -334,6 +334,8 @@ def _ascii85_decode(data: bytes) -> bytes:
             v = 0
             for g in group:
                 v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise PdfError("ASCII85: group exceeds 32 bits")
             out += v.to_bytes(4, "big")
             group = []
     if group:
@@ -343,6 +345,8 @@ def _ascii85_decode(data: bytes) -> bytes:
         v = 0
         for g in group + [84] * (5 - n):
             v = v * 85 + g
+        if v > 0xFFFFFFFF:
+            raise PdfError("ASCII85: group exceeds 32 bits")
         out += v.to_bytes(4, "big")[: n - 1]
     return bytes(out)
 
@@ -610,6 +614,7 @@ class PdfDocument:
             raise PdfError("not a PDF (missing %PDF- header)")
         self.data = data
         self._cache: dict[int, object] = {}
+        self._form_text: dict[tuple[int, int], str] = {}
         self._offsets: dict[int, int] = {}
         self._in_objstm: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
@@ -877,14 +882,22 @@ class PdfDocument:
                 continue
             if self.resolve(xobj.dict.get("Subtype")) != "Form":
                 continue  # images have no text layer
+            key = (xref.num, xref.gen) if isinstance(xref, Ref) else None
 
-            def _run(xobj=xobj):
+            def _run(xobj=xobj, key=key):
+                # memoize per object: headers/watermarks shared across
+                # pages (or invoked k times) decode and extract ONCE
+                if key is not None and key in self._form_text:
+                    return self._form_text[key]
                 own = self.resolve(xobj.dict.get("Resources")) or res
-                return extract_text_from_content(
+                text = extract_text_from_content(
                     decode_stream(xobj, self.resolve),
                     self._fonts_of(own),
                     self._xobjects_of(own, depth + 1),
                 )
+                if key is not None:
+                    self._form_text[key] = text
+                return text
 
             out[name] = _run
         return out

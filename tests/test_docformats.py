@@ -430,3 +430,67 @@ def test_rtf_odt_through_spark_leg(spark):
         "RTF body text\nhere"
     )
     assert got[1]["format"] == "odt" and got[1]["text"] == "ODT body text."
+
+
+def test_review_fixes_rtf_odt_sniff_a85():
+    """Second-pass review fixes: (a) a backslash before a non-ASCII
+    byte must not crash rtf_text; (b) surrogate-pair \\uN sequences
+    (how Word writes emoji) combine into real code points — never lone
+    surrogates (which Arrow strings reject); (c) ODT text nested in
+    text:span/text:a (the LibreOffice shape) is kept; (d) ODF
+    spreadsheets sniff as ods, not odt; (e) a corrupt ASCII85 group
+    raises PdfError (the documented contract), not OverflowError."""
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        odt_text,
+        rtf_text,
+    )
+
+    # (a) stray high byte after backslash: char stands for itself
+    assert "abc" in rtf_text(b"{\\rtf1 \\\xe9abc}")
+    # (b) U+1F600 as the surrogate pair Word emits
+    t = rtf_text(rb"{\rtf1 ok \u-10179?\u-8704? done}")
+    assert "\U0001f600" in t and not any(
+        0xD800 <= ord(c) < 0xE000 for c in t
+    )
+    # a LONE surrogate is replaced, not emitted
+    t2 = rtf_text(rb"{\rtf1 x\u-10179?y}")
+    assert not any(0xD800 <= ord(c) < 0xE000 for c in t2)
+    # (c) nested spans
+    tns = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    xml = (
+        f'<d xmlns:text="{tns}"><text:p><text:span>Hello '
+        "<text:span>nested</text:span> world</text:span></text:p>"
+        "<text:p><text:span>A<text:tab/>B</text:span></text:p></d>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", xml)
+    assert odt_text(buf.getvalue()) == "Hello nested world\nA\tB"
+    # (d) spreadsheet flavor
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as zf:
+        zf.writestr(
+            "mimetype", "application/vnd.oasis.opendocument.spreadsheet"
+        )
+        zf.writestr("content.xml", "<x/>")
+    assert sniff_document_format(buf2.getvalue()) == "ods"
+    # (e) ASCII85 overflow
+    blob = write_pdf([text_content(["x"])], compress="a85")
+    import re as _re
+
+    broken = _re.sub(rb"stream\n[^~]*~>", b"stream\nuuuuu~>", blob)
+    with pytest.raises(P.PdfError, match="32 bits"):
+        P.pdf_text(broken)
+    # job-survival: both crashers flow to the error column
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        df = spark.createDataFrame(
+            [(0, bytearray(broken)), (1, bytearray(rb"{\rtf1 fine}"))],
+            "doc_id LONG, content BINARY",
+        )
+        got = {r["doc_id"]: r for r in extract_document_texts(df).collect()}
+        assert got[0]["error"] is not None
+        assert got[1]["text"] == "fine"
