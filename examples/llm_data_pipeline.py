@@ -481,6 +481,35 @@ def main() -> None:
             "(real Layer III sample decode feeding spectral fingerprints)"
         )
 
+    # 9'''. r10: the document FRONT DOOR — crawl corpora are not just
+    # HTML; PDFs/EPUB/DOCX/ODT/RTF extract through one Arrow pass with
+    # a per-row error column (a bad payload never aborts the job)
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        extract_document_texts,
+    )
+
+    try:
+        from tests.pdf_writer import text_content, write_pdf
+    except ImportError:
+        write_pdf = None
+    if write_pdf is not None:
+        payloads = [
+            (0, write_pdf([text_content(["A PDF document body."])])),
+            (1, rb"{\rtf1 An RTF document body.\par }"),
+            (2, b"%PDF-1.5 corrupt payload"),
+        ]
+        doc_df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in payloads],
+            "doc_id LONG, content BINARY",
+        )
+        extracted = extract_document_texts(doc_df)
+        ok = extracted.filter(F.col("text").isNotNull())
+        print(
+            f"document front door: {ok.count()} extracted, "
+            f"{extracted.filter(F.col('error').isNotNull()).count()} "
+            "error-rowed (job survives)"
+        )
+
     # 10. ship the data card with the curated corpus — the JSON artifact
     # downstream consumers read instead of scanning 100 TB
     from sample_dms_kinesis_rds_mariadb_spark.operators.profile import (

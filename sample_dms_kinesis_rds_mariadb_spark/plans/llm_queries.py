@@ -2761,6 +2761,7 @@ def q_extracted_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM safe ORDER BY doc_id
     """,
     tags=("documents",),
+    extra=True,
 )
 def q_pdf_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
