@@ -52,7 +52,23 @@ from pyspark.sql import types as T
 from sample_dms_kinesis_rds_mariadb_spark.functions.html import (
     py_html_to_text,
 )
-from sample_dms_kinesis_rds_mariadb_spark.sources.pdf import pdf_text
+from sample_dms_kinesis_rds_mariadb_spark.sources.pdf import (
+    MAX_STREAM_BYTES,
+    pdf_text,
+)
+
+
+def _zip_read(zf: zipfile.ZipFile, name: str) -> bytes:
+    """Bounded zip-member read — the zip-bomb analog of the PDF
+    stream guard: one crafted member must never OOM an executor (the
+    payload becomes that row's error instead)."""
+    info = zf.getinfo(name)
+    if info.file_size > MAX_STREAM_BYTES:
+        raise ValueError(
+            f"zip member {name!r} inflates to {info.file_size} bytes "
+            f"(> {MAX_STREAM_BYTES} bomb guard)"
+        )
+    return zf.read(name)
 
 
 def epub_text(content: bytes) -> str:
@@ -63,13 +79,13 @@ def epub_text(content: bytes) -> str:
     names = set(zf.namelist())
     if "META-INF/encryption.xml" in names:
         raise NotImplementedError("DRM-protected EPUB not supported")
-    container = ElementTree.fromstring(zf.read("META-INF/container.xml"))
+    container = ElementTree.fromstring(_zip_read(zf, "META-INF/container.xml"))
     ns = {"c": "urn:oasis:names:tc:opendocument:xmlns:container"}
     rootfile = container.find(".//c:rootfile", ns)
     if rootfile is None:
         raise ValueError("EPUB container has no rootfile")
     opf_path = rootfile.get("full-path")
-    opf = ElementTree.fromstring(zf.read(opf_path))
+    opf = ElementTree.fromstring(_zip_read(zf, opf_path))
     opf_ns = {"o": "http://www.idpf.org/2007/opf"}
     base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
     hrefs = {
@@ -84,7 +100,7 @@ def epub_text(content: bytes) -> str:
         path = base + href
         if path not in names:
             continue
-        html = zf.read(path).decode("utf-8", errors="replace")
+        html = _zip_read(zf, path).decode("utf-8", errors="replace")
         chapters.append(py_html_to_text(html))
     return "\f".join(chapters)
 
@@ -99,7 +115,7 @@ def docx_text(content: bytes) -> str:
     ``w:tab`` → tab, ``w:br``/``w:cr`` → newline, one newline per
     ``w:p`` (ECMA-376 Part 1 §17.3)."""
     zf = zipfile.ZipFile(io.BytesIO(content))
-    xml = zf.read("word/document.xml")
+    xml = _zip_read(zf, "word/document.xml")
     root = ElementTree.fromstring(xml)
     paras = []
     for p in root.iter(_W_NS + "p"):
@@ -221,7 +237,7 @@ def odt_text(content: bytes) -> str:
     ``text:tab`` → tab, ``text:line-break`` → newline, ``text:s`` →
     ``text:c`` spaces (ODF 1.2 §6.1)."""
     zf = zipfile.ZipFile(io.BytesIO(content))
-    root = ElementTree.fromstring(zf.read("content.xml"))
+    root = ElementTree.fromstring(_zip_read(zf, "content.xml"))
 
     def _para(el) -> str:
         # recursive: LibreOffice wraps every styled run in text:span

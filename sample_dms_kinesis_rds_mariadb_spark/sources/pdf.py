@@ -67,6 +67,11 @@ from dataclasses import dataclass
 
 SPACE_KERN = 180.0  # TJ adjustment (thousandths of em) that reads as a space
 
+# decompression-bomb guard: no single PDF stream may inflate past this
+# (a crafted 1 KB Flate stream can expand ~1000:1 per pass; one payload
+# must never OOM an executor — it becomes that row's error instead)
+MAX_STREAM_BYTES = 64 * 1024 * 1024
+
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -308,7 +313,13 @@ def _lzw_decode_pdf(data: bytes) -> bytes:
         _lzw_decode_tiff,
     )
 
-    return _lzw_decode_tiff(data, 1 << 40)
+    out = _lzw_decode_tiff(data, MAX_STREAM_BYTES)
+    if len(out) >= MAX_STREAM_BYTES:
+        raise PdfError(
+            f"LZW stream inflates past {MAX_STREAM_BYTES} bytes "
+            "(decompression bomb guard)"
+        )
+    return out
 
 
 def _ascii85_decode(data: bytes) -> bytes:
@@ -392,7 +403,13 @@ def decode_stream(stream: Stream, resolve) -> bytes:
         p = resolve(p) or {}
         if f == "FlateDecode":
             try:
-                data = zlib.decompress(data)
+                dobj = zlib.decompressobj()
+                data = dobj.decompress(data, MAX_STREAM_BYTES)
+                if dobj.unconsumed_tail:
+                    raise PdfError(
+                        f"Flate stream inflates past {MAX_STREAM_BYTES} "
+                        "bytes (decompression bomb guard)"
+                    )
             except zlib.error as exc:
                 raise PdfError(f"bad Flate stream: {exc}") from exc
         elif f == "ASCIIHexDecode":

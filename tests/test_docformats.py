@@ -494,3 +494,35 @@ def test_review_fixes_rtf_odt_sniff_a85():
         got = {r["doc_id"]: r for r in extract_document_texts(df).collect()}
         assert got[0]["error"] is not None
         assert got[1]["text"] == "fine"
+
+
+def test_decompression_bomb_guards():
+    """A crafted Flate stream (or zip member) that inflates past the
+    64 MiB guard becomes a precise raise — never an executor OOM."""
+    import zlib as _z
+
+    bomb = _z.compress(b"\x00" * (80 * 1024 * 1024), 9)  # ~80 KB compressed
+    pdf = (
+        b"%%PDF-1.5\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n"
+        % len(bomb) + bomb + b"\nendstream\nendobj\n%%EOF"
+    )
+    with pytest.raises(P.PdfError, match="bomb guard"):
+        P.pdf_text(pdf)
+    # zip-member analog: an oversized content.xml raises before reading
+    import zlib
+
+    big = b"<x>" + b"a" * (70 * 1024 * 1024) + b"</x>"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", big)
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        odt_text,
+    )
+
+    with pytest.raises(ValueError, match="bomb guard"):
+        odt_text(buf.getvalue())
