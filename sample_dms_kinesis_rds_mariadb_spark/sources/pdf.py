@@ -502,6 +502,10 @@ def parse_tounicode(cmap_bytes: bytes) -> tuple[dict[int, str], int]:
 
 def _decode_text(raw: bytes, font: tuple[dict[int, str], int] | None) -> str:
     if font is None:
+        if raw[:2] == b"\xfe\xff":
+            # BOM-prefixed UTF-16BE show string (some generators emit
+            # these without a ToUnicode map — §7.9.2.2 text-string form)
+            return raw[2:].decode("utf-16-be", errors="replace")
         return raw.decode("latin-1")
     cmap, nbytes = font
     out = []

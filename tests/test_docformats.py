@@ -526,3 +526,18 @@ def test_decompression_bomb_guards():
 
     with pytest.raises(ValueError, match="bomb guard"):
         odt_text(buf.getvalue())
+
+
+def test_pdf_utf16be_show_strings():
+    """BOM-prefixed UTF-16BE literal show strings (the §7.9.2.2 text
+    string form some generators emit without ToUnicode) decode to real
+    Unicode; plain strings stay Latin-1."""
+    def enc(s):
+        return b"\xfe\xff" + s.encode("utf-16-be")
+
+    blob = write_pdf(
+        [text_content(["Ünïcodé — em-dash", "plain ascii"],
+                      hex_strings=True, encode=enc)],
+    )
+    t = P.pdf_text(blob)
+    assert "Ünïcodé — em-dash" in t and "plain ascii" in t
