@@ -239,10 +239,13 @@ def odt_text(content: bytes) -> str:
     zf = zipfile.ZipFile(io.BytesIO(content))
     root = ElementTree.fromstring(_zip_read(zf, "content.xml"))
 
-    def _para(el) -> str:
+    def _para(el, depth: int = 0) -> str:
         # recursive: LibreOffice wraps every styled run in text:span
         # (and links in text:a) — direct-children-only walks lose most
-        # of the body text
+        # of the body text. Depth-capped: hostile crawl payloads nest
+        # spans thousands deep to trip RecursionError.
+        if depth > 128:
+            raise ValueError("ODT span nesting exceeds depth 128")
         parts = [el.text or ""]
         for child in el:
             tag = child.tag
@@ -253,7 +256,7 @@ def odt_text(content: bytes) -> str:
             elif tag == _ODT_NS + "s":
                 parts.append(" " * int(child.get(_ODT_NS + "c", "1")))
             else:
-                parts.append(_para(child))
+                parts.append(_para(child, depth + 1))
             parts.append(child.tail or "")
         return "".join(parts)
 
@@ -357,9 +360,13 @@ def extract_document_texts(df: DataFrame) -> DataFrame:
                 err = None
                 try:
                     fmt, text = document_text(blob, fmt)
-                except (ValueError, NotImplementedError, KeyError,
-                        ElementTree.ParseError, zipfile.BadZipFile,
-                        IndexError) as exc:
+                except Exception as exc:  # noqa: BLE001
+                    # Per-row error contract: ANY reader failure becomes an
+                    # error row, never a task abort. Crawl payloads raise
+                    # well beyond the obvious types — RuntimeError from
+                    # encrypted zip members, RecursionError from
+                    # self-referential structures, TypeError from malformed
+                    # value types — so catch broadly here at the boundary.
                     err = f"{type(exc).__name__}: {exc}"[:500]
                 rows.append(
                     {

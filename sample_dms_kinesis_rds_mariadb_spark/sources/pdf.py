@@ -384,6 +384,11 @@ def _runlength_decode(data: bytes) -> bytes:
                 raise PdfError("RunLength: repeat run truncated")
             out += bytes([data[pos]]) * (257 - length)
             pos += 1
+        if len(out) > MAX_STREAM_BYTES:
+            raise PdfError(
+                f"RunLength stream inflates past {MAX_STREAM_BYTES} bytes "
+                "(decompression bomb guard)"
+            )
     return bytes(out)
 
 
@@ -440,6 +445,16 @@ def decode_stream(stream: Stream, resolve) -> bytes:
             )
         elif pred and pred != 1:
             raise NotImplementedError(f"stream Predictor {pred}")
+        # Per-stage bomb guard: a chained [/FlateDecode /RunLengthDecode]
+        # stream could otherwise legally inflate 64 MiB of Flate output by
+        # another 64:1, and stacked filters multiply further. Enforce the
+        # cap after EVERY stage (including post-predictor), not only
+        # inside the individual decoders.
+        if len(data) > MAX_STREAM_BYTES:
+            raise PdfError(
+                f"stream filter chain inflates past {MAX_STREAM_BYTES} "
+                "bytes (decompression bomb guard)"
+            )
     return data
 
 
@@ -683,6 +698,19 @@ class PdfDocument:
                 trailer, _ = parse_object(data, pos)
                 for k, v in trailer.items():
                     self.trailer.setdefault(k, v)
+                # Hybrid-reference file (§7.5.8.4): a classic table whose
+                # trailer carries /XRefStm marks object-stream members free
+                # in the classic entries; the companion xref STREAM at that
+                # offset holds their real (type-2) locations. Follow it
+                # before /Prev or those objects are unreachable.
+                xstm = trailer.get("XRefStm")
+                if isinstance(xstm, (int, float)):
+                    try:
+                        self._load_xref_stream(
+                            _skip_ws(data, int(xstm))
+                        )
+                    except (PdfError, NotImplementedError):
+                        pass  # malformed hybrid stream: classic wins
                 prev = trailer.get("Prev")
                 return int(prev) if isinstance(prev, (int, float)) else 0
             m = re.match(rb"(\d+)\s+(\d+)", data[pos : pos + 40])
@@ -821,6 +849,20 @@ class PdfDocument:
         return obj
 
     def _objstm_member(self, stm_num: int, idx: int):
+        # A self-referential /ObjStm (its own entry marked type-2 inside
+        # itself) would recurse get→_objstm_member→get forever.
+        active = getattr(self, "_objstm_active", None)
+        if active is None:
+            active = self._objstm_active = set()
+        if stm_num in active:
+            raise PdfError(f"object stream {stm_num} references itself")
+        active.add(stm_num)
+        try:
+            return self._objstm_member_inner(stm_num, idx)
+        finally:
+            active.discard(stm_num)
+
+    def _objstm_member_inner(self, stm_num: int, idx: int):
         stm = self.get(stm_num)
         if not isinstance(stm, Stream) or (
             self.resolve(stm.dict.get("Type")) != "ObjStm"
@@ -853,15 +895,34 @@ class PdfDocument:
         if not isinstance(root, dict):
             raise PdfError("missing /Root catalog")
         out: list[dict] = []
+        # Visited-node guard: a /Pages DAG that lists the same kid twice at
+        # every level stays under any depth cap yet explodes exponentially
+        # (2^depth leaf visits). Page-tree nodes are indirect objects, so the
+        # Ref number identifies each node; revisiting one is malformed input.
+        seen: set[int] = set()
+        # Hard cap on collected pages: the trailer /Size bounds how many
+        # objects (hence pages) a well-formed file can hold.
+        try:
+            max_pages = min(
+                int(self.resolve(self.trailer.get("Size", 0))) or 65536, 65536
+            )
+        except (TypeError, ValueError):
+            max_pages = 65536
 
         def walk(node, inherited_res, depth=0):
             if depth > 64:
                 raise PdfError("page tree too deep")
+            if isinstance(node, Ref):
+                if node.num in seen:
+                    raise PdfError("page tree node revisited (cycle or DAG)")
+                seen.add(node.num)
             node = self.resolve(node)
             if not isinstance(node, dict):
                 return
             res = node.get("Resources", inherited_res)
             if node.get("Type") == "Page":
+                if len(out) >= max_pages:
+                    raise PdfError("page count exceeds trailer /Size bound")
                 if "Resources" not in node and res is not None:
                     node = dict(node)
                     node["Resources"] = res

@@ -157,6 +157,7 @@ def write_pdf(
     tounicode: dict[int, str] | None = None,
     wrong_length: bool = False,
     form_xobject: bool = False,
+    hybrid: bool = False,
 ) -> bytes:
     """Assemble a complete PDF around the given per-page content
     streams. ``objstm`` packs the non-stream objects into a /Type
@@ -166,9 +167,15 @@ def write_pdf(
     delimiter scan); ``tounicode`` attaches a /ToUnicode CMap to the
     font; ``form_xobject`` routes each page's content through a /Form
     XObject invoked by ``Do`` (the form carries its OWN /Resources —
-    the layout office-suite exporters emit)."""
+    the layout office-suite exporters emit). ``hybrid`` emits the
+    §7.5.8.4 hybrid-reference layout (Acrobat "optimized save"): a
+    CLASSIC xref table that marks object-stream members free, whose
+    trailer /XRefStm points at the companion xref stream holding their
+    real type-2 locations — startxref targets the classic table."""
     if objstm and not xref_stream:
         raise ValueError("object streams need the xref-stream layout")
+    if hybrid and not objstm:
+        raise ValueError("the hybrid layout needs object streams")
     objects: dict[int, bytes] = {}
     stream_objs: set[int] = set()
     n_pages = len(page_contents)
@@ -353,5 +360,23 @@ def write_pdf(
     )
     out += b"%d 0 obj\n" % xref_num + d + b"\nstream\n" + payload \
         + b"\nendstream\nendobj\n"
+    if hybrid:
+        classic_pos = len(out)
+        out += b"xref\n0 %d\n" % size
+        out += b"0000000000 65535 f \n"
+        for num in range(1, size):
+            if num in in_stm:
+                out += b"0000000000 00001 f \n"
+            elif num == xref_num:
+                out += b"%010d 00000 n \n" % xref_pos
+            else:
+                out += b"%010d 00000 n \n" % offsets.get(num, 0)
+        trailer = b"<< /Size %d /Root 1 0 R /XRefStm %d" % (size, xref_pos)
+        if info:
+            trailer += b" /Info %d 0 R" % info_num
+        trailer += b" >>"
+        out += b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n" \
+            % classic_pos
+        return bytes(out)
     out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)

@@ -541,3 +541,141 @@ def test_pdf_utf16be_show_strings():
     )
     t = P.pdf_text(blob)
     assert "Ünïcodé — em-dash" in t and "plain ascii" in t
+
+
+def test_pdf_hybrid_reference_layout():
+    """Hybrid-reference files (§7.5.8.4, Acrobat optimized saves):
+    classic table marks ObjStm members free, trailer /XRefStm points
+    at the companion xref stream — the reader must follow it."""
+    blob = write_pdf(
+        _two_pages(), xref_stream=True, objstm=True, hybrid=True
+    )
+    assert b"/XRefStm" in blob and b"trailer" in blob
+    t = P.pdf_text(blob)
+    assert "Hello PDF world." in t and "Kerned wordsx" in t
+
+
+def test_pdf_duplicate_kid_dag_bomb_rejected():
+    """A /Pages DAG listing the same kid twice at 40 levels stays under
+    any depth cap but explodes to 2^40 leaf visits — the visited-node
+    guard must reject it fast instead of hanging the executor."""
+    import time
+
+    depth = 40
+    objs = [b"<< /Type /Catalog /Pages 2 0 R >>"]
+    for i in range(depth):
+        num = 2 + i
+        kid = num + 1
+        objs.append(
+            b"<< /Type /Pages /Kids [%d 0 R %d 0 R] /Count 2 >>"
+            % (kid, kid)
+        )
+    leaf = 2 + depth
+    objs.append(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] >>"
+        % (leaf - 1)
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs):
+        out += b"%d 0 obj\n" % (i + 1) + body + b"\nendobj\n"
+    out += b"startxref\n999999999\n%%EOF\n"  # broken: forces object scan
+    t0 = time.monotonic()
+    with pytest.raises(P.PdfError, match="revisit"):
+        P.PdfDocument(bytes(out)).pages()
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_pdf_page_count_capped_by_trailer_size():
+    """pages() must refuse to collect more pages than the trailer /Size
+    can account for (inconsistent or hostile page trees)."""
+    blob = write_pdf(_two_pages())
+    # shrink /Size so the 2-page collection overruns it
+    doc = P.PdfDocument(blob)
+    doc.trailer["Size"] = 1
+    with pytest.raises(P.PdfError, match="/Size bound"):
+        doc.pages()
+
+
+def test_pdf_chained_filter_bomb_guard():
+    """[/FlateDecode /RunLengthDecode] chains may legally inflate past
+    the per-decoder caps; the per-stage guard must stop them."""
+    import zlib
+
+    # 600k repeat runs x 128 bytes = ~76.8 MB RunLength output
+    rle = b"\x81\x41" * 600_000 + b"\x80"
+    flated = zlib.compress(rle)
+    stream = P.Stream(
+        {"Filter": ["FlateDecode", "RunLengthDecode"]}, flated
+    )
+    with pytest.raises(P.PdfError, match="bomb guard"):
+        P.decode_stream(stream, lambda x: x)
+    # a bare oversized RunLength stream trips the in-decoder cap too
+    stream2 = P.Stream({"Filter": "RunLengthDecode"}, rle)
+    with pytest.raises(P.PdfError, match="bomb guard"):
+        P.decode_stream(stream2, lambda x: x)
+
+
+def _set_zip_encrypted_flag(blob: bytes) -> bytes:
+    """Flip the general-purpose bit 0 (encrypted) on every local and
+    central-directory header — the shape of password-protected members
+    in crawled DOCX/EPUB files."""
+    out = bytearray(blob)
+    i = 0
+    while True:
+        i = out.find(b"PK\x03\x04", i)
+        if i < 0:
+            break
+        out[i + 6] |= 0x01
+        i += 4
+    i = 0
+    while True:
+        i = out.find(b"PK\x01\x02", i)
+        if i < 0:
+            break
+        out[i + 8] |= 0x01
+        i += 4
+    return bytes(out)
+
+
+def test_extract_document_texts_survives_hostile_rows(spark):
+    """Per-row error contract under the exception types crawl payloads
+    actually raise: RuntimeError (encrypted zip member), ValueError
+    (ODT nesting bomb), plus a good row — the task never aborts."""
+    import xml.etree.ElementTree as _ET  # noqa: F401
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        extract_document_texts,
+    )
+
+    # encrypted DOCX: zipfile raises RuntimeError on member read
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", "<w:document/>")
+    encrypted = _set_zip_encrypted_flag(buf.getvalue())
+
+    # ODT span-nesting bomb: ValueError from the depth cap
+    t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    deep = "<text:span>" * 300 + "x" + "</text:span>" * 300
+    xml = (
+        f'<office:document-content xmlns:office="urn:x" xmlns:text="{t}">'
+        f"<office:body><office:text><text:p>{deep}</text:p>"
+        "</office:text></office:body></office:document-content>"
+    )
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", xml)
+
+    good = write_pdf([text_content(["ok doc"])])
+    df = spark.createDataFrame(
+        [(1, bytearray(encrypted)), (2, bytearray(buf2.getvalue())),
+         (3, bytearray(good))],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in extract_document_texts(df).collect()}
+    assert rows[1].text is None and "RuntimeError" in rows[1].error
+    assert rows[2].text is None and (
+        "ValueError" in rows[2].error or "depth" in rows[2].error
+    )
+    assert rows[3].error is None and "ok doc" in rows[3].text
