@@ -135,14 +135,42 @@ def main() -> None:
     _lt(spark, sf_dir, "region").count()
 
     timings: dict[str, float] = {}
+
+    # r11 methodology (VERDICT r10 item 1): the r10 noise mode was an
+    # erratic co-tenant burst hitting ONE victim leg per run with 2-5x
+    # spikes (decontaminate_bloom 5.7->27.8 s with no code change), which a
+    # single point-sample calibration cannot normalize away. Every leg now
+    # runs SPARK_GRAFT_LEG_RUNS times (default 3) and its number of record
+    # is the per-leg MEDIAN — one spiked run can no longer own the
+    # artifact. The first (cold) run of each leg is kept in the sidecar as
+    # queries_cold, and value_core stays computed FROM THE COLD RUNS so it
+    # remains comparable back to BENCH_r01.
+    leg_runs_n = max(int(os.environ.get("SPARK_GRAFT_LEG_RUNS", "3")), 1)
+    timings_cold: dict[str, float] = {}
+    leg_samples: dict[str, list[float]] = {}
+
+    def _robust(name: str, fn):
+        samples = []
+        out = None
+        for _ in range(leg_runs_n):
+            t0 = time.perf_counter()
+            out = fn()
+            samples.append(time.perf_counter() - t0)
+        timings_cold[name] = round(samples[0], 3)
+        leg_samples[name] = [round(s, 3) for s in samples]
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        return out
+
     for name in HEADLINE:
         spec = _q.QUERIES[name]
-        t0 = time.perf_counter()
-        df = spec.spark_fn(spark, sf_dir)
-        # noop sink: forces full computation of every column without
-        # count()-style column pruning or driver-side collect cost
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+
+        def _leg(spec=spec):
+            df = spec.spark_fn(spark, sf_dir)
+            # noop sink: forces full computation of every column without
+            # count()-style column pruning or driver-side collect cost
+            df.write.mode("overwrite").format("noop").save()
+
+        _robust(name, _leg)
 
     # transitive-dedup leg: hash-min label propagation over the MinHash LSH
     # candidate pairs (iterative operator — driver-paced rounds, so it is
@@ -152,15 +180,15 @@ def main() -> None:
         minhash_lsh_candidate_pairs,
     )
 
-    t0 = time.perf_counter()
     # widen: testdata "documents" is one single-row-group parquet file, so
     # every tokenize/explode stage below would otherwise run on one task
     _docs = widen_small_input(_lt(spark, sf_dir, "documents"))
-    _cc = connected_components(
-        minhash_lsh_candidate_pairs(_docs, "doc_id", "text")
+    _robust(
+        "connected_components_minhash",
+        lambda: connected_components(
+            minhash_lsh_candidate_pairs(_docs, "doc_id", "text")
+        ).write.mode("overwrite").format("noop").save(),
     )
-    _cc.write.mode("overwrite").format("noop").save()
-    timings["connected_components_minhash"] = round(time.perf_counter() - t0, 3)
 
     # r5 operator-wave legs (library ops, not catalog queries — timed like
     # the connected-components leg so the new families get round-over-round
@@ -170,11 +198,12 @@ def main() -> None:
         remove_boilerplate_lines,
     )
 
-    t0 = time.perf_counter()
-    remove_boilerplate_lines(_docs, "text", "source").write.mode(
-        "overwrite"
-    ).format("noop").save()
-    timings["boilerplate_removal"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "boilerplate_removal",
+        lambda: remove_boilerplate_lines(_docs, "text", "source").write.mode(
+            "overwrite"
+        ).format("noop").save(),
+    )
 
     # 1b) ExactSubstr repeated-span removal: (id,pos,hash) shuffle +
     # array-space masking
@@ -182,11 +211,11 @@ def main() -> None:
         remove_repeated_spans,
     )
 
-    t0 = time.perf_counter()
-    remove_repeated_spans(_docs, "doc_id", "text", span=8).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    timings["repeated_span_removal"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "repeated_span_removal",
+        lambda: remove_repeated_spans(_docs, "doc_id", "text", span=8)
+        .write.mode("overwrite").format("noop").save(),
+    )
 
     # 2) batch BM25: 32 eval queries answered in one corpus scan
     from sample_dms_kinesis_rds_mariadb_spark.operators.search import (
@@ -202,11 +231,11 @@ def main() -> None:
             "read write".split()
         )
     }
-    t0 = time.perf_counter()
-    bm25_batch_search(_docs, "doc_id", "text", _qs, k=10).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    timings["bm25_batch_search"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "bm25_batch_search",
+        lambda: bm25_batch_search(_docs, "doc_id", "text", _qs, k=10)
+        .write.mode("overwrite").format("noop").save(),
+    )
 
     # 3) int8 coarse + exact rerank ANN over the embeddings table
     from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import (
@@ -216,12 +245,14 @@ def main() -> None:
 
     _emb = _lt(spark, sf_dir, "embeddings")
     _probe = [float(x) for x in _emb.limit(1).collect()[0]["embedding"]]
-    t0 = time.perf_counter()
-    _q8 = quantize_embeddings(_emb)
-    quantized_topk_rerank(_q8, _probe, k=20, id_col="vec_id").write.mode(
-        "overwrite"
-    ).format("noop").save()
-    timings["quantized_topk_rerank"] = round(time.perf_counter() - t0, 3)
+
+    def _qtr_leg():
+        _q8 = quantize_embeddings(_emb)
+        quantized_topk_rerank(_q8, _probe, k=20, id_col="vec_id").write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    _robust("quantized_topk_rerank", _qtr_leg)
 
     # r6 additions: the r5 operator families that had no bench leg
     # (VERDICT r6 item 4) — all library legs like the ones above; CORE
@@ -236,20 +267,22 @@ def main() -> None:
     )
 
     _lab = _docs.withColumn("label", (F.length("text") % 2).cast("int"))
-    t0 = time.perf_counter()
     # bounded work: per-iteration cost is plan-compile + one corpus scan
     # (dim-independent), inference cost tracks the weight-literal size —
     # 2 iterations x 4k dims exercises the full train/serve path without
     # letting a constant-cost leg dominate the bench
-    _w, _b, _ = train_classifier(
-        _lab, "text", "label", dim=2**12, iterations=2
+    _w, _b, _ = _robust(
+        "classifier_train",
+        lambda: train_classifier(
+            _lab, "text", "label", dim=2**12, iterations=2
+        ),
     )
-    timings["classifier_train"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _docs.select(
-        "doc_id", classifier_probability(F.col("text"), _w, _b).alias("p")
-    ).write.mode("overwrite").format("noop").save()
-    timings["classifier_inference"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "classifier_inference",
+        lambda: _docs.select(
+            "doc_id", classifier_probability(F.col("text"), _w, _b).alias("p")
+        ).write.mode("overwrite").format("noop").save(),
+    )
 
     # 6) n-gram LM: corpus-trained counts + Arrow-batched perplexity scores
     from sample_dms_kinesis_rds_mariadb_spark.functions.lm import (
@@ -258,13 +291,14 @@ def main() -> None:
         train_ngram_counts,
     )
 
-    t0 = time.perf_counter()
-    _model = train_ngram_counts(_docs, "text", vocab_size=32_768)
-    _scorer = make_perplexity_scorer(spark, _model)
-    _docs.select(
-        "doc_id", _scorer(doc_tokens_column(F.col("text"))).alias("bpt")
-    ).write.mode("overwrite").format("noop").save()
-    timings["lm_perplexity_scoring"] = round(time.perf_counter() - t0, 3)
+    def _lm_leg():
+        _model = train_ngram_counts(_docs, "text", vocab_size=32_768)
+        _scorer = make_perplexity_scorer(spark, _model)
+        _docs.select(
+            "doc_id", _scorer(doc_tokens_column(F.col("text"))).alias("bpt")
+        ).write.mode("overwrite").format("noop").save()
+
+    _robust("lm_perplexity_scoring", _lm_leg)
 
     # 7) graded contamination scores against a 64-doc benchmark set
     from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
@@ -274,12 +308,13 @@ def main() -> None:
     _bench_docs = _docs.select(
         F.col("doc_id").alias("bench_id"), F.col("text").alias("btext")
     ).limit(64)
-    t0 = time.perf_counter()
-    contamination_scores(
-        _docs, _bench_docs, "doc_id", "text",
-        bench_id_col="bench_id", bench_text_col="btext",
-    ).write.mode("overwrite").format("noop").save()
-    timings["contamination_scores"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "contamination_scores",
+        lambda: contamination_scores(
+            _docs, _bench_docs, "doc_id", "text",
+            bench_id_col="bench_id", bench_text_col="btext",
+        ).write.mode("overwrite").format("noop").save(),
+    )
 
     # 7b) Bloom-prefiltered decontamination (same benchmark set): Bloom
     # build + flag pass + exact verify on the flagged slice
@@ -287,24 +322,26 @@ def main() -> None:
         decontaminate_bloom,
     )
 
-    t0 = time.perf_counter()
-    decontaminate_bloom(
-        _docs, _bench_docs, "doc_id", "text",
-        bench_id_col="bench_id", bench_text_col="btext",
-    ).write.mode("overwrite").format("noop").save()
-    timings["decontaminate_bloom"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "decontaminate_bloom",
+        lambda: decontaminate_bloom(
+            _docs, _bench_docs, "doc_id", "text",
+            bench_id_col="bench_id", bench_text_col="btext",
+        ).write.mode("overwrite").format("noop").save(),
+    )
 
     # 7c) Gopher quality gate: one pure-codegen corpus scan
     from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
         gopher_quality_flags,
     )
 
-    t0 = time.perf_counter()
     _fl = gopher_quality_flags(F.col("text"))
-    _docs.select(
-        "doc_id", *[c.alias(k) for k, c in _fl.items()]
-    ).write.mode("overwrite").format("noop").save()
-    timings["gopher_quality_flags"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "gopher_quality_flags",
+        lambda: _docs.select(
+            "doc_id", *[c.alias(k) for k, c in _fl.items()]
+        ).write.mode("overwrite").format("noop").save(),
+    )
 
     # 7d) C4 line cleaning + page gate: one pure-codegen corpus scan
     from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
@@ -312,53 +349,59 @@ def main() -> None:
         c4_quality_flags,
     )
 
-    t0 = time.perf_counter()
     _c4 = c4_quality_flags(F.col("text"))
-    _docs.select(
-        "doc_id",
-        F.length(c4_clean_text(F.col("text"))).alias("clean_len"),
-        *[c.alias(k) for k, c in _c4.items()],
-    ).write.mode("overwrite").format("noop").save()
-    timings["c4_quality_flags"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "c4_quality_flags",
+        lambda: _docs.select(
+            "doc_id",
+            F.length(c4_clean_text(F.col("text"))).alias("clean_len"),
+            *[c.alias(k) for k, c in _c4.items()],
+        ).write.mode("overwrite").format("noop").save(),
+    )
 
     # 7e) full Gopher repetition table: per-doc array sorts + folds, one scan
     from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
         gopher_repetition_flags,
     )
 
-    t0 = time.perf_counter()
     _rep = gopher_repetition_flags(F.col("text"))
-    _docs.select(
-        "doc_id", *[c.alias(k) for k, c in _rep.items()]
-    ).write.mode("overwrite").format("noop").save()
-    timings["gopher_repetition_flags"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "gopher_repetition_flags",
+        lambda: _docs.select(
+            "doc_id", *[c.alias(k) for k, c in _rep.items()]
+        ).write.mode("overwrite").format("noop").save(),
+    )
 
     # 8) token-budget shard assignment (two-pass distributed prefix sum)
     from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
         budget_shard_column,
     )
 
-    t0 = time.perf_counter()
-    budget_shard_column(
-        _docs.withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+"))),
-        "n_tokens",
-        budget=100_000,
-        order_col="doc_id",
-    ).write.mode("overwrite").format("noop").save()
-    timings["budget_shard_column"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "budget_shard_column",
+        lambda: budget_shard_column(
+            _docs.withColumn(
+                "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+            ),
+            "n_tokens",
+            budget=100_000,
+            order_col="doc_id",
+        ).write.mode("overwrite").format("noop").save(),
+    )
 
     # 9) LSH-bucketed hard-negative mining over the embeddings table
     from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import (
         hard_negatives,
     )
 
-    t0 = time.perf_counter()
-    hard_negatives(
-        _emb.withColumn("label", (F.col("vec_id") % 2).cast("int")),
-        k=5,
-        id_col="vec_id",
-    ).write.mode("overwrite").format("noop").save()
-    timings["hard_negatives"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "hard_negatives",
+        lambda: hard_negatives(
+            _emb.withColumn("label", (F.col("vec_id") % 2).cast("int")),
+            k=5,
+            id_col="vec_id",
+        ).write.mode("overwrite").format("noop").save(),
+    )
 
     # 11) PQ ANN (r8): seed-medoid codebooks (bounded driver read) →
     # pure-JVM per-subspace encode → ADC cosine over 8-byte codes →
@@ -369,12 +412,15 @@ def main() -> None:
 
     _n_emb = _emb.count()  # vec_id is 0..n-1 in the testdata tables
     _pq_medoids = [(i * max(_n_emb // 16, 1) + 7) % _n_emb for i in range(16)]
-    t0 = time.perf_counter()
-    _books = _pqm.medoid_pq_codebooks(_emb, _pq_medoids, m=8)
-    _pqm.pq_topk_rerank(
-        _emb, _books, _probe, k=20, coarse_factor=4
-    ).write.mode("overwrite").format("noop").save()
-    timings["pq_adc_rerank"] = round(time.perf_counter() - t0, 3)
+
+    def _pq_leg():
+        books = _pqm.medoid_pq_codebooks(_emb, _pq_medoids, m=8)
+        _pqm.pq_topk_rerank(
+            _emb, books, _probe, k=20, coarse_factor=4
+        ).write.mode("overwrite").format("noop").save()
+        return books
+
+    _books = _robust("pq_adc_rerank", _pq_leg)
 
     # 11b) batch ADC (r9): a 32-probe eval set answered in ONE codes scan
     # + ONE plan compile — vs 32 Catalyst compiles + 32 jobs through the
@@ -386,11 +432,12 @@ def main() -> None:
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in _probe_rows
     }
-    t0 = time.perf_counter()
-    _pqm.pq_batch_topk_rerank(
-        _emb, _books, _probes, k=20, coarse_factor=4
-    ).write.mode("overwrite").format("noop").save()
-    timings["pq_adc_batch32"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "pq_adc_batch32",
+        lambda: _pqm.pq_batch_topk_rerank(
+            _emb, _books, _probes, k=20, coarse_factor=4
+        ).write.mode("overwrite").format("noop").save(),
+    )
 
     # 12) WordPiece tokenizer: training is ONE distributed piece-count
     # scan + driver merge loop; inference is the Arrow-batched greedy
@@ -403,15 +450,19 @@ def main() -> None:
         train_wordpiece,
     )
 
-    t0 = time.perf_counter()
-    _wp_vocab = train_wordpiece(_docs, "text", vocab_size=512)
-    timings["wordpiece_train"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _wp_tok = make_wordpiece_tokenizer(spark, _wp_vocab)
-    _docs.select(
-        "doc_id", F.size(_wp_tok(bpe_pretokenize(F.col("text")))).alias("n")
-    ).write.mode("overwrite").format("noop").save()
-    timings["wordpiece_tokenize"] = round(time.perf_counter() - t0, 3)
+    _wp_vocab = _robust(
+        "wordpiece_train",
+        lambda: train_wordpiece(_docs, "text", vocab_size=512),
+    )
+
+    def _wp_leg():
+        _wp_tok = make_wordpiece_tokenizer(spark, _wp_vocab)
+        _docs.select(
+            "doc_id",
+            F.size(_wp_tok(bpe_pretokenize(F.col("text")))).alias("n"),
+        ).write.mode("overwrite").format("noop").save()
+
+    _robust("wordpiece_tokenize", _wp_leg)
 
     # 13) media-container metadata sweep (r8): synthesized CBR MP3 payloads
     # (spec-composed frames — header + zero payload, Layer III 128 kbps
@@ -434,13 +485,16 @@ def main() -> None:
     _media = spark.createDataFrame(
         _media_rows, "media_id LONG, content BINARY"
     ).repartition(32)
-    t0 = time.perf_counter()
-    extract_media_metadata(_media).write.mode("overwrite").format("noop").save()
-    media_sec = time.perf_counter() - t0
-    timings["media_metadata_sweep"] = round(media_sec, 3)
+    _robust(
+        "media_metadata_sweep",
+        lambda: extract_media_metadata(_media).write.mode("overwrite")
+        .format("noop").save(),
+    )
     media_pipeline = {
         "payloads": _n_media,
-        "payloads_per_sec": round(_n_media / media_sec, 1),
+        "payloads_per_sec": round(
+            _n_media / timings["media_metadata_sweep"], 1
+        ),
     }
 
     # 9a') document front door (r10): one VALID single-page Flate PDF
@@ -496,13 +550,14 @@ def main() -> None:
          for r in _doc_rows],
         "doc_id LONG, content BINARY",
     ).repartition(32)
-    t0 = time.perf_counter()
-    extract_document_texts(_pdf_df).write.mode("overwrite").format(
-        "noop"
-    ).save()
-    pdf_sec = time.perf_counter() - t0
-    timings["pdf_text_extraction"] = round(pdf_sec, 3)
-    media_pipeline["pdf_docs_per_sec"] = round(len(_doc_rows) / pdf_sec, 1)
+    _robust(
+        "pdf_text_extraction",
+        lambda: extract_document_texts(_pdf_df).write.mode("overwrite")
+        .format("noop").save(),
+    )
+    media_pipeline["pdf_docs_per_sec"] = round(
+        len(_doc_rows) / timings["pdf_text_extraction"], 1
+    )
 
     # 9b) perceptual image dedup (r9): synthesized-but-REAL PPM payloads
     # from the documents table → real decode + dHash via Arrow mapInPandas
@@ -518,11 +573,11 @@ def main() -> None:
     _docs_img = attach_ppm_column(
         _lt(spark, sf_dir, "documents"), "text", "doc_id"
     )
-    t0 = time.perf_counter()
-    image_near_pairs(_docs_img, method="dhash", max_hamming=7).write.mode(
-        "overwrite"
-    ).format("noop").save()
-    timings["image_dhash_near_dups"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "image_dhash_near_dups",
+        lambda: image_near_pairs(_docs_img, method="dhash", max_hamming=7)
+        .write.mode("overwrite").format("noop").save(),
+    )
 
     # 9b') MIH hamming join at a hostile radius (VERDICT r9 item 7): 50k+
     # synthetic 64-bit fingerprints (md5 of doc ids — SQL-rebuildable, a
@@ -560,11 +615,12 @@ def main() -> None:
         .repartition(32)
         .localCheckpoint(eager=True)  # fixture synthesis untimed
     )
-    t0 = time.perf_counter()
-    _idd.banded_hamming_pairs(
-        _fps_df, max_hamming=7
-    ).write.mode("overwrite").format("noop").save()
-    timings["mih_hamming_r7_50k"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "mih_hamming_r7_50k",
+        lambda: _idd.banded_hamming_pairs(
+            _fps_df, max_hamming=7
+        ).write.mode("overwrite").format("noop").save(),
+    )
     # candidate-count A/B (untimed diagnostics for BASELINE.md): rows
     # meeting in (band, key) buckets before the hamming verify
     def _candidates(bands: int) -> int:
@@ -629,11 +685,12 @@ def main() -> None:
     _audio_df = spark.createDataFrame(
         _payloads, "media_id LONG, content BINARY"
     ).repartition(32)
-    t0 = time.perf_counter()
-    audio_near_pairs(
-        _audio_df, max_hamming=6, min_frac=0.5
-    ).write.mode("overwrite").format("noop").save()
-    timings["audio_fp_near_dups"] = round(time.perf_counter() - t0, 3)
+    _robust(
+        "audio_fp_near_dups",
+        lambda: audio_near_pairs(
+            _audio_df, max_hamming=6, min_frac=0.5
+        ).write.mode("overwrite").format("noop").save(),
+    )
 
     # 10) WARC→curation front door (VERDICT r7 item 5): multi-member-gzip
     # WARC corpus → warc_records (Arrow mapInPandas) → html_to_text →
@@ -677,25 +734,26 @@ def main() -> None:
             ),
             "text",
         ).drop("text").write.mode("overwrite").format("noop").save()
-        t0 = time.perf_counter()
-        warc_bin = (
-            spark.read.format("binaryFile")
-            .load(warc_dir)
-            .select(F.col("path").alias("file_id"), "content")
-        )
-        _wrec = warc_records(warc_bin)
-        _wtext = _wrec.select(
-            "file_id",
-            "record_no",
-            html_to_text(F.col("html")).alias("text"),
-        )
-        # staged gate (with_*): tokenization materialized once per row
-        # instead of once per flag column — the corpus-scan form
-        with_gopher_quality_flags(_wtext, "text").drop("text").write.mode(
-            "overwrite"
-        ).format("noop").save()
-        warc_sec = time.perf_counter() - t0
-        timings["warc_curation_pipeline"] = round(warc_sec, 3)
+        def _warc_leg():
+            warc_bin = (
+                spark.read.format("binaryFile")
+                .load(warc_dir)
+                .select(F.col("path").alias("file_id"), "content")
+            )
+            _wrec = warc_records(warc_bin)
+            _wtext = _wrec.select(
+                "file_id",
+                "record_no",
+                html_to_text(F.col("html")).alias("text"),
+            )
+            # staged gate (with_*): tokenization materialized once per row
+            # instead of once per flag column — the corpus-scan form
+            with_gopher_quality_flags(_wtext, "text").drop(
+                "text"
+            ).write.mode("overwrite").format("noop").save()
+
+        _robust("warc_curation_pipeline", _warc_leg)
+        warc_sec = timings["warc_curation_pipeline"]
         warc_pipeline = {
             "records": warc_stats["records"],
             "compressed_bytes": warc_stats["bytes"],
@@ -784,29 +842,19 @@ def main() -> None:
     timings["cdc_apply_sink"] = round(cdc_sec, 3)
     cdc_events_per_sec = round(n_rows / cdc_sec, 1)
 
-    # warm-run medians (VERDICT r6 item 8): first execution of a leg costs
-    # 2-3x steady state (BASELINE.md:100-104 — plan compile, codegen,
-    # first-scan FS init), which is most of the remaining bench noise.
-    # value_core stays FROZEN as the single-shot sum (comparable back to
-    # BENCH_r01); value_core_warm re-runs each CORE query leg 3x now that
-    # the single-shot pass warmed it and sums per-leg medians plus the
-    # sink medians (already median-of-3 by construction).
-    warm: dict[str, float] = {}
-    for name in CORE:
-        spec = _q.QUERIES[name]
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spec.spark_fn(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            runs.append(time.perf_counter() - t0)
-        warm[name] = round(sorted(runs)[1], 3)
+    # r11: per-leg timings are already medians over leg_runs_n executions
+    # (the first of which is cold), so the old separate CORE warm loop is
+    # redundant — value_core_warm keeps its r7+ semantic (per-leg medians
+    # with first-execution cost absorbed, plus sink medians) computed from
+    # the same samples; value_core stays the FROZEN cold single-shot sum
+    # (computed from each leg's FIRST run), comparable back to BENCH_r01.
+    warm = {name: timings[name] for name in CORE}
     value_core_warm = round(sum(warm.values()) + fl_sec + cdc_sec, 3)
 
     total = round(sum(timings.values()), 3)
-    core_legs = CORE + ["full_load_envelope_sink", "cdc_apply_sink"]
-    value_core = round(sum(timings[k] for k in core_legs), 3)
+    value_core = round(
+        sum(timings_cold[k] for k in CORE) + fl_sec + cdc_sec, 3
+    )
     # the PRINTED line must fit the driver's 2000-char tail capture
     # (VERDICT r9 item 2: BENCH_r08/r09 came back "parsed": null because
     # the full payload outgrew it) — so the line keeps only the contract
@@ -820,6 +868,9 @@ def main() -> None:
         "value_core_warm": value_core_warm,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": timings_cold,
+        "leg_samples": leg_samples,
+        "leg_runs_n": leg_runs_n,
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "full_load_rows_per_sec": fl_rows_per_sec,
@@ -839,6 +890,11 @@ def main() -> None:
         },
         "calibration_sec": calibration_sec,
         "calibration_prev": calibration_prev,
+        # cross-round normalization of record (VERDICT r10 item 1: the
+        # close-out must always carry the normalized figure, not only the
+        # raw seconds): value_core / calibration_sec and the warm variant
+        "core_per_calib": round(value_core / calibration_sec, 1),
+        "core_warm_per_calib": round(value_core_warm / calibration_sec, 1),
         "contaminated": contaminated,
         "quiet_wait_sec": waited_sec,
         "mih_candidates": mih_candidates,
@@ -859,6 +915,9 @@ def main() -> None:
         "cdc_events_per_sec": cdc_events_per_sec,
         "warc_records_per_sec": warc_pipeline.get("records_per_sec"),
         "calibration_sec": calibration_sec,
+        "core_per_calib": full_payload["core_per_calib"],
+        "core_warm_per_calib": full_payload["core_warm_per_calib"],
+        "leg_runs_n": leg_runs_n,
         "contaminated": contaminated,
         "full_payload": "bench_full.json",
     }
