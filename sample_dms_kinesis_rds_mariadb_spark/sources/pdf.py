@@ -34,11 +34,16 @@ What parses for real:
   an em, /ToUnicode CMaps (bfchar + bfrange, 1- and 2-byte codes) for
   Type0/CID text.
 
+Encryption (§7.6.3, via ``sources/pdf_crypto.py``): the standard
+security handler with the EMPTY user password — RC4 40/128 (V1/V2/V4
+/V2 filters), AES-128-CBC (/AESV2), AES-256-CBC (V5 R5/R6) — covers
+owner-locked-but-readable documents, the common crawl shape.
+
 HONEST BOUNDARIES (raise, never garble):
 
-- encrypted documents (/Encrypt in the trailer) raise
-  ``NotImplementedError`` — decryption needs RC4/AES key derivation
-  that is out of scope;
+- encrypted documents that genuinely REQUIRE a password (non-empty
+  user password, non-Standard handlers, unknown crypt filters) raise
+  ``NotImplementedError`` naming the reason;
 - stream filters outside {Flate, ASCIIHex, ASCII85, RunLength, LZW}
   (DCT, JBIG2, CCITT… are image filters and never carry text) raise
   naming the filter;
@@ -653,6 +658,8 @@ class PdfDocument:
         self._form_text: dict[tuple[int, int], str] = {}
         self._offsets: dict[int, int] = {}
         self._in_objstm: dict[int, tuple[int, int]] = {}
+        self._crypt = None
+        self._encrypt_num = None
         self.trailer: dict = {}
         try:
             self._load_xref()
@@ -660,12 +667,31 @@ class PdfDocument:
             self._scan_objects()  # dirty-corpus fallback: brute scan
         if not self._offsets and not self._in_objstm:
             self._scan_objects()
+        # Encryption (§7.6.3): the standard security handler covers the
+        # owner-locked-but-readable case (EMPTY user password — the
+        # common crawl shape). It must be set up BEFORE any object walk
+        # (_find_root_by_scan) so nothing caches undecrypted. Documents
+        # that genuinely need a password keep a precise raise.
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is not None:
+            from .pdf_crypto import PdfCryptoError, StandardSecurityHandler
+
+            if isinstance(enc_ref, Ref):
+                self._encrypt_num = enc_ref.num
+            enc = self.resolve(enc_ref)
+            if not isinstance(enc, dict):
+                raise PdfError("/Encrypt is not a dictionary")
+            ids = self.resolve(self.trailer.get("ID")) or []
+            id0 = ids[0] if ids and isinstance(ids[0], bytes) else b""
+            try:
+                self._crypt = StandardSecurityHandler(
+                    enc, id0, resolve=self.resolve
+                )
+            except PdfCryptoError as exc:
+                raise NotImplementedError(f"encrypted PDF: {exc}") from exc
+            self._cache.clear()  # evict anything fetched pre-handler
         if "Root" not in self.trailer:
             self._find_root_by_scan()
-        if self.resolve(self.trailer.get("Encrypt")) is not None:
-            raise NotImplementedError(
-                "encrypted PDF (RC4/AES) not supported"
-            )
 
     # -- xref ---------------------------------------------------------------
 
@@ -840,12 +866,39 @@ class PdfDocument:
                 stream = self._read_stream_body(obj, after)
                 if stream is not None:
                     obj = stream
+            # §7.6.2: strings and stream data of every TOP-LEVEL object
+            # are encrypted with the (num, gen) object key — except the
+            # /Encrypt dictionary itself and cross-reference streams.
+            # ObjStm MEMBERS are exempt (their container was decrypted);
+            # they come through the elif branch below and are skipped.
+            if self._crypt is not None and num != self._encrypt_num:
+                obj = self._decrypt_obj(obj, num, int(m.group(2)))
         elif num in self._in_objstm:
             stm_num, idx = self._in_objstm[num]
             obj = self._objstm_member(stm_num, idx)
         else:
             raise PdfError(f"object {num} not in xref")
         self._cache[num] = obj
+        return obj
+
+    def _decrypt_obj(self, obj, num: int, gen: int):
+        """Recursively decrypt the strings (and stream bytes) of one
+        indirect object with its object key."""
+        if isinstance(obj, bytes):
+            return self._crypt.decrypt_string(obj, num, gen)
+        if isinstance(obj, list):
+            return [self._decrypt_obj(v, num, gen) for v in obj]
+        if isinstance(obj, Stream):
+            d = self._decrypt_obj(obj.dict, num, gen)
+            if d.get("Type") == "XRef":
+                return Stream(d, obj.raw)  # xref streams never encrypted
+            return Stream(
+                d, self._crypt.decrypt_stream(obj.raw, num, gen)
+            )
+        if isinstance(obj, dict):
+            return {
+                k: self._decrypt_obj(v, num, gen) for k, v in obj.items()
+            }
         return obj
 
     def _objstm_member(self, stm_num: int, idx: int):
