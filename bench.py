@@ -559,6 +559,41 @@ def main() -> None:
         len(_doc_rows) / timings["pdf_text_extraction"], 1
     )
 
+    # 9a'') routed binary intake (r11): the document front door as the
+    # curation facades consume it — HTML payloads stay on the codegen
+    # html_to_text path, PDF payloads take the Arrow reader pass, one
+    # partition-local union. Measures facade docs/s over a mixed corpus
+    # (every documents row: the first _n_pdf as PDFs, the rest as HTML).
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        route_document_texts,
+    )
+
+    _html_df = (
+        _lt(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= _n_pdf)
+        .select(
+            "doc_id",
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>"),
+                    F.substring("text", 1, 400),
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            ).alias("content"),
+        )
+    )
+    _mixed_df = _pdf_df.unionByName(_html_df).repartition(32)
+    _n_mixed = _mixed_df.count()
+    _robust(
+        "routed_intake_front_door",
+        lambda: route_document_texts(_mixed_df).write.mode("overwrite")
+        .format("noop").save(),
+    )
+    media_pipeline["routed_docs_per_sec"] = round(
+        _n_mixed / timings["routed_intake_front_door"], 1
+    )
+
     # 9b) perceptual image dedup (r9): synthesized-but-REAL PPM payloads
     # from the documents table → real decode + dHash via Arrow mapInPandas
     # → pigeonhole-banded hamming self-join (never all-pairs) → exact

@@ -277,6 +277,7 @@ def curate_stream(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    content_col: str | None = None,
     gates: dict[str, Column] | None = None,
     decontaminate_against: DataFrame | None = None,
     bench_id_col: str | None = None,
@@ -290,9 +291,14 @@ def curate_stream(
     available_now: bool = True,
     processing_time: str | None = None,
 ) -> StreamingCuration:
-    """The STREAMING dual of :func:`curate`: gates → Bloom benchmark
-    decontamination → incremental MinHash near-dup dedup → parquet append,
-    composed as one ``foreachBatch`` stage over an arriving stream.
+    """The STREAMING dual of :func:`curate`: (optional binary intake →)
+    gates → Bloom benchmark decontamination → incremental MinHash
+    near-dup dedup → parquet append, composed as one ``foreachBatch``
+    stage over an arriving stream. With ``content_col`` the stream
+    carries raw crawl payloads; they route through
+    :func:`sources.docformats.route_document_texts` and extraction
+    failures drop through an implicit ``extracted`` gate counted in the
+    same observed-metrics channel as the user gates.
 
     Stage shapes (each the library's audited streaming form):
 
@@ -336,8 +342,23 @@ def curate_stream(
         funnel_path = output_path.rstrip("/") + ".funnel.jsonl"
 
     cur = stream
+    if content_col is not None:
+        # binary intake (the streaming dual of curate()'s stage 0):
+        # route raw payloads through the document front door; extraction
+        # failures drop through an implicit first GATE whose count rides
+        # the same observed-metrics channel as the user gates
+        from .sources.docformats import route_document_texts
+
+        cur = route_document_texts(
+            cur, id_col=id_col, content_col=content_col
+        )
+        if text_col != "text":
+            cur = cur.withColumnRenamed("text", text_col)
+        gates = {"extracted": F.col("error").isNull(), **(gates or {})}
     if gates:
         cur = observed_gates(cur, gates, name="curate_gates")
+    if content_col is not None:
+        cur = cur.drop("error")
 
     bloom = None
     if decontaminate_against is not None:
@@ -354,9 +375,16 @@ def curate_stream(
             spark, index_path, auto_compact_files=auto_compact_files
         )
     else:
-        empty = spark.createDataFrame(
-            [], stream.select(id_col, text_col).schema
-        )
+        if content_col is not None:
+            from pyspark.sql import types as _T
+
+            sig_schema = _T.StructType(
+                [stream.schema[id_col],
+                 _T.StructField(text_col, _T.StringType())]
+            )
+        else:
+            sig_schema = stream.select(id_col, text_col).schema
+        empty = spark.createDataFrame([], sig_schema)
         index = MinHashIndex.build(
             empty, index_path, id_col, text_col,
             n=minhash_n, bands=minhash_bands,
@@ -696,6 +724,7 @@ def curate(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    content_col: str | None = None,
     gates: dict[str, Column] | None = None,
     dedup: tuple[str, ...] = ("exact",),
     minhash_jaccard: tuple[int, int] = (2, 3),
@@ -714,6 +743,14 @@ def curate(
 ) -> CurationResult:
     """Compose the standard curation funnel over ``docs``:
 
+    0. **binary intake** — when ``content_col`` is given, ``docs``
+       carries raw crawl payloads (HTML bytes, PDFs, EPUB/DOCX/ODT/RTF)
+       instead of text: they route through
+       :func:`sources.docformats.route_document_texts` (HTML on the
+       pure-codegen column path, binary document formats through the
+       Arrow reader pass), extraction failures become counted
+       ``extract_errors`` funnel rows, and survivors' text feeds the
+       stages below as ``text_col``.
     1. **gates** — named keep-conditions applied as ONE audited filter
        (:func:`operators.audit.audited_filter`); their per-gate counts
        ride the next action's scan for free.
@@ -749,6 +786,25 @@ def curate(
     gate_obs = None
     if report:
         funnel.append(("input", cur.count()))
+
+    if content_col is not None:
+        from .sources.docformats import route_document_texts
+
+        routed = route_document_texts(
+            cur, id_col=id_col, content_col=content_col
+        )
+        if report:
+            # one count on the error slice; the extracted count rides
+            # the next stage's "input"-successor entry below
+            funnel.append(
+                ("extract_errors",
+                 routed.filter(F.col("error").isNotNull()).count())
+            )
+        cur = routed.filter(F.col("error").isNull()).drop("error")
+        if text_col != "text":
+            cur = cur.withColumnRenamed("text", text_col)
+        if report:
+            funnel.append(("extracted", cur.count()))
 
     if gates:
         cur, gate_obs = audited_filter(cur, gates)

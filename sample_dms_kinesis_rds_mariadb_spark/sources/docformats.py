@@ -390,3 +390,90 @@ def extract_document_texts(df: DataFrame) -> DataFrame:
 # sources/warc.py records on content-type application/pdf and feed the
 # payload column here; HTML records keep their html_to_text leg. Both
 # produce the same (doc_id, text) shape the curation facade consumes.
+
+
+def route_document_texts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Mixed crawl payloads → text, Spark-first: payloads whose first
+    bytes carry a binary document magic (``%PDF-``, zip ``PK``,
+    ``{\\rtf``) take the Arrow reader pass (:func:`document_text`);
+    everything else — the overwhelming majority of a crawl — is treated
+    as HTML/markup and decoded through the pure-codegen
+    ``functions.html.html_to_text`` column, so the common case never
+    leaves the JVM. Output: ``(id, format, text, n_chars, error,
+    *passthrough)`` — extraction failures are error ROWS, the gate
+    contract of :func:`extract_document_texts`.
+
+    At scale: the magic sniff is one codegen predicate over a 64-byte
+    substring (no Python, no shuffle); each branch scans its slice
+    once; the union is partition-local. Passthrough columns ride both
+    branches, so no join-back is needed.
+    """
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.html import (
+        html_to_text,
+    )
+
+    keep = [c for c in df.columns if c not in (id_col, content_col)]
+    head = F.decode(F.substring(F.col(content_col), 1, 64), "ISO-8859-1")
+    is_doc = (
+        F.ltrim(head).startswith("%PDF-")
+        | head.startswith("PK")
+        | head.startswith("{\\rtf")
+    )
+
+    text = html_to_text(F.decode(F.col(content_col), "UTF-8"))
+    html_rows = df.filter(~is_doc).select(
+        F.col(id_col),
+        F.lit("html").alias("format"),
+        text.alias("text"),
+        F.length(text).cast("int").alias("n_chars"),
+        F.lit(None).cast("string").alias("error"),
+        *keep,
+    )
+
+    out_fields = [
+        df.schema[id_col],
+        T.StructField("format", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ] + [df.schema[c] for c in keep]
+    out_schema = T.StructType(out_fields)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                content = pdf[content_col].iloc[i]
+                blob = bytes(content) if content is not None else b""
+                fmt = sniff_document_format(blob)
+                text = None
+                err = None
+                try:
+                    fmt, text = document_text(blob, fmt)
+                except Exception as exc:  # noqa: BLE001 — per-row contract
+                    err = f"{type(exc).__name__}: {exc}"[:500]
+                row = {
+                    id_col: pdf[id_col].iloc[i],
+                    "format": fmt,
+                    "text": text,
+                    "n_chars": len(text) if text is not None else None,
+                    "error": err,
+                }
+                for k in keep:
+                    row[k] = pdf[k].iloc[i]
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_fields]
+            )
+
+    doc_rows = df.filter(is_doc).select(
+        id_col, content_col, *keep
+    ).mapInPandas(_extract, schema=out_schema)
+
+    return html_rows.unionByName(doc_rows)
