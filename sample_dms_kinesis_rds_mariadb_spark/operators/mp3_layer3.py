@@ -31,12 +31,18 @@ Two HONEST BOUNDARIES, each raising with a precise message (the
   ``NotImplementedError`` naming the table id. Decoding with an
   unverifiable code table would produce silently-corrupt audio — worse
   than an honest raise for a curation pipeline.
-- **MPEG-2 / 2.5 Layer III** (different side-info and scalefactor
-  layout), **Layer II** (its allocation tables are outside the
-  verified set), and **mixed-block intensity stereo** (the rare×rare
-  intersection of two per-real features) raise; MPEG-1 MS/LR stereo,
-  long- and short-block intensity stereo, and mixed blocks decode
-  for real.
+- **Layer II** (its allocation tables are outside the verified set),
+  **mixed-block intensity stereo**, and **LSF intensity stereo** (the
+  MPEG-2 intensity scalefac_compress layout) raise; MPEG-1 MS/LR
+  stereo, long- and short-block intensity stereo, and mixed blocks
+  decode for real.
+
+MPEG-2 / 2.5 LSF Layer III (r11) also decodes for real — ONE granule
+per frame, 8-bit main_data_begin, no scfsi, the 9-bit
+scalefac_compress with its three (slen, nr_of_sfb) partition layouts
+incl. the implied preflag (ISO 13818-3 §2.4.3.2), and the LSF
+scalefactor-band tables for all six sample rates (22.05/24/16 and
+11.025/12/8 kHz) — the low-bitrate/speech half of crawl MP3s.
 
 LAYER I also decodes for real (ISO 11172-3 §2.4.2.4: 4-bit subband
 allocations, 6-bit scalefactor indices, midtread requantization to
@@ -132,12 +138,36 @@ SFB_LONG = {
             128, 156, 190, 230, 276, 330, 384, 576],
     32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
             156, 194, 240, 296, 364, 448, 550, 576],
+    # LSF (ISO 13818-3 Table B.2; MPEG-2.5 11.025/12 kHz share the
+    # MPEG-2 22.05/24 kHz band layouts — the 8 kHz table is its own,
+    # with the degenerate 2-line tail bands)
+    22050: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    24000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+            162, 194, 232, 278, 330, 394, 464, 540, 576],
+    16000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    11025: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    12000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+            162, 194, 232, 278, 330, 394, 464, 540, 576],
+    8000: [0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232,
+           280, 336, 400, 476, 566, 568, 570, 572, 574, 576],
 }
 SFB_SHORT = {
     44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
     48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
     32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+    22050: [0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192],
+    24000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192],
+    16000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192],
+    11025: [0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192],
+    12000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192],
+    8000: [0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166, 192],
 }
+# LSF sample rates (MPEG-2 + MPEG-2.5): one granule per frame, 8-bit
+# main_data_begin, no scfsi, 9-bit scalefac_compress
+LSF_RATES = frozenset({22050, 24000, 16000, 11025, 12000, 8000})
 PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
 # scalefac_compress -> (slen1, slen2)
 SLEN1 = [0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4]
@@ -312,6 +342,107 @@ def parse_side_info(data: bytes, channels: int) -> dict:
     return si
 
 
+def parse_side_info_lsf(data: bytes, channels: int) -> dict:
+    """MPEG-2/2.5 Layer III side information (ISO 13818-3 §2.4.1.7:
+    9 bytes mono / 17 stereo): ONE granule per frame, 8-bit
+    main_data_begin, no scfsi, 9-bit scalefac_compress, and NO preflag
+    bit (preflag is implied by scalefac_compress >= 500)."""
+    br = BitReader(data)
+    si = {"main_data_begin": br.read(8)}
+    br.read(1 if channels == 1 else 2)  # private_bits
+    si["scfsi"] = [[0, 0, 0, 0] for _ in range(channels)]
+    chs = []
+    for _c in range(channels):
+        g = {
+            "part2_3_length": br.read(12),
+            "big_values": br.read(9),
+            "global_gain": br.read(8),
+            "scalefac_compress": br.read(9),
+        }
+        if br.read1():  # window switching
+            g["block_type"] = br.read(2)
+            g["mixed_block_flag"] = br.read1()
+            g["table_select"] = [br.read(5), br.read(5), 0]
+            g["subblock_gain"] = [br.read(3) for _ in range(3)]
+            if g["block_type"] == 0:
+                raise ValueError("block_type 0 with window switching")
+            g["region0_count"] = (
+                8 if (g["block_type"] == 2 and not g["mixed_block_flag"])
+                else 7
+            )
+            g["region1_count"] = 20
+        else:
+            g["block_type"] = 0
+            g["mixed_block_flag"] = 0
+            g["table_select"] = [br.read(5), br.read(5), br.read(5)]
+            g["subblock_gain"] = [0, 0, 0]
+            g["region0_count"] = br.read(4)
+            g["region1_count"] = br.read(3)
+        g["preflag"] = 0  # may be raised by the LSF scalefactor decode
+        g["scalefac_scale"] = br.read1()
+        g["count1table_select"] = br.read1()
+        chs.append(g)
+    si["granules"] = [chs]
+    return si
+
+
+# LSF scalefactor partitions (ISO 13818-3 §2.4.3.2): the 9-bit
+# scalefac_compress selects one of three (slen, nr_of_sfb) layouts per
+# block shape. Partition COUNTS per layout row (sums: long 21 sfbs,
+# short 36 (sfb, window) pairs, mixed 6 long + 27 short slots).
+_LSF_NR = {
+    "long": [(6, 5, 5, 5), (6, 5, 7, 3), (11, 10, 0, 0)],
+    "short": [(9, 9, 9, 9), (9, 9, 12, 6), (18, 18, 0, 0)],
+    "mixed": [(6, 9, 9, 9), (6, 9, 12, 6), (15, 18, 0, 0)],
+}
+
+
+def _lsf_slen(sfc: int) -> tuple[tuple[int, int, int, int], int, int]:
+    """(slen[4], layout_row, preflag) from a 9-bit scalefac_compress
+    (non-intensity channel — the intensity variant is a documented
+    boundary)."""
+    if sfc < 400:
+        return (((sfc >> 4) // 5, (sfc >> 4) % 5, (sfc % 16) >> 2,
+                 sfc % 4), 0, 0)
+    if sfc < 500:
+        s = sfc - 400
+        return (((s >> 2) // 5, (s >> 2) % 5, s % 4, 0), 1, 0)
+    s = sfc - 500
+    return ((s // 3, s % 3, 0, 0), 2, 1)
+
+
+def read_scalefactors_lsf(br: BitReader, g: dict) -> dict:
+    """LSF scalefactors for one (granule, channel): four slen groups
+    over the layout row's partition counts. Sets ``g['preflag']`` when
+    scalefac_compress selects the preflag layout (>= 500)."""
+    slen, row, pre = _lsf_slen(g["scalefac_compress"])
+    g["preflag"] = pre
+    sf = {"l": [0] * 22, "s": [[0, 0, 0] for _ in range(13)]}
+    if g["block_type"] == 2 and g["mixed_block_flag"]:
+        shape = "mixed"
+    elif g["block_type"] == 2:
+        shape = "short"
+    else:
+        shape = "long"
+    nr = _LSF_NR[shape][row]
+    slot = 0
+    for part in range(4):
+        for _ in range(nr[part]):
+            v = br.read(slen[part]) if slen[part] else 0
+            if shape == "long":
+                sf["l"][slot] = v
+            elif shape == "short":
+                sf["s"][slot // 3][slot % 3] = v
+            else:  # mixed: 6 long sfbs, then short sfbs from 3
+                if slot < 6:
+                    sf["l"][slot] = v
+                else:
+                    k = slot - 6
+                    sf["s"][3 + k // 3][k % 3] = v
+            slot += 1
+    return sf
+
+
 def read_scalefactors(br: BitReader, g: dict, gr: int, scfsi: list[int],
                       prev: dict | None) -> dict:
     """Scalefactors for one (granule, channel); ``prev`` is granule 0's
@@ -440,9 +571,11 @@ def requantize(ix: np.ndarray, g: dict, sf: dict,
         sfbl = SFB_LONG[sample_rate]
         first_short = 3 if g["mixed_block_flag"] else 0
         if g["mixed_block_flag"]:
-            # long region (lines 0-35 = long sfbs 0-7) of a mixed block
+            # long region (lines 0-35) of a mixed block: 8 long sfbs in
+            # MPEG-1 (widths 4..6), 6 in LSF (uniform width 6)
+            n_long = 6 if sample_rate in LSF_RATES else 8
             gain_l = 2.0 ** (0.25 * (g["global_gain"] - 210))
-            for sfb in range(8):
+            for sfb in range(n_long):
                 fac = gain_l * 2.0 ** (
                     -mult * (sf["l"][sfb] + g["preflag"] * PRETAB[sfb])
                 )
@@ -798,9 +931,10 @@ def _frames(content: bytes):
 
 def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
     """(sample_rate, channels, interleaved float64 samples in ±32768
-    PCM domain) — the full MPEG-1 Layer III decode chain. Raises
-    NotImplementedError at the documented boundaries (MPEG-2/2.5,
-    unverified Huffman tables, mixed-block intensity stereo)."""
+    PCM domain) — the full Layer III decode chain, MPEG-1 AND MPEG-2/
+    2.5 (LSF). Raises NotImplementedError at the documented boundaries
+    (unverified Huffman tables, mixed-block intensity stereo, LSF
+    intensity stereo, Layer II)."""
     import itertools
 
     frames = _frames(content)
@@ -825,11 +959,7 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
             )
         if h["layer"] != 3:
             raise ValueError("mixed-layer MPEG audio stream")
-        if h["version"] != "1":
-            raise NotImplementedError(
-                "MPEG-2/2.5 Layer III uses a different side-info layout — "
-                "a documented boundary; MPEG-1 decodes for real"
-            )
+        lsf = h["version"] != "1"
         if sample_rate is None:
             sample_rate = h["sample_rate"]
             channels = h["channels"]
@@ -841,9 +971,22 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
         if mode_bits == 0b01:  # joint stereo
             ms_on = bool(mode_ext & 2)
             is_on = bool(mode_ext & 1)
+        if lsf and is_on:
+            raise NotImplementedError(
+                "LSF (MPEG-2/2.5) intensity stereo uses the intensity "
+                "scalefac_compress layout — a documented boundary; LSF "
+                "mono/LR/MS and all MPEG-1 modes decode for real"
+            )
         hdr_len = 4 + (2 if h["crc"] else 0)
-        si_len = _side_info_len("1", channels)
-        si = parse_side_info(frame[hdr_len : hdr_len + si_len], channels)
+        si_len = _side_info_len(h["version"], channels)
+        if lsf:
+            si = parse_side_info_lsf(
+                frame[hdr_len : hdr_len + si_len], channels
+            )
+        else:
+            si = parse_side_info(
+                frame[hdr_len : hdr_len + si_len], channels
+            )
         main = frame[hdr_len + si_len :]
         # bit reservoir: this frame's main data starts main_data_begin
         # bytes BACK into the accumulated reservoir
@@ -858,18 +1001,22 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
         reservoir = (reservoir + main)[-511:]
         first = False
         br = BitReader(data)
-        gr_xr = [[None] * channels, [None] * channels]
-        gr_bt = [[0] * channels, [0] * channels]
-        gr_mx = [[0] * channels, [0] * channels]
-        gr_sf = [[None] * channels, [None] * channels]
-        gr_rz = [[0] * channels, [0] * channels]
+        n_gran = 1 if lsf else 2
+        gr_xr = [[None] * channels for _ in range(n_gran)]
+        gr_bt = [[0] * channels for _ in range(n_gran)]
+        gr_mx = [[0] * channels for _ in range(n_gran)]
+        gr_sf = [[None] * channels for _ in range(n_gran)]
+        gr_rz = [[0] * channels for _ in range(n_gran)]
         sf_prev = [None] * channels
-        for gr in range(2):
+        for gr in range(n_gran):
             for ch in range(channels):
                 g = si["granules"][gr][ch]
                 part_start = br.pos
-                sf = read_scalefactors(br, g, gr, si["scfsi"][ch],
-                                       sf_prev[ch])
+                if lsf:
+                    sf = read_scalefactors_lsf(br, g)
+                else:
+                    sf = read_scalefactors(br, g, gr, si["scfsi"][ch],
+                                           sf_prev[ch])
                 if gr == 0:
                     sf_prev[ch] = sf
                 part_end = part_start + g["part2_3_length"]
@@ -880,7 +1027,7 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
                 gr_mx[gr][ch] = g["mixed_block_flag"]
                 gr_sf[gr][ch] = sf
                 gr_rz[gr][ch] = rzero
-        for gr in range(2):
+        for gr in range(n_gran):
             xs = gr_xr[gr]
             if is_on and channels == 2:
                 if (gr_bt[gr][0] == 2) != (gr_bt[gr][1] == 2):

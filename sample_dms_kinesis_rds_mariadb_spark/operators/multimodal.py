@@ -1107,8 +1107,9 @@ def decode_audio_samples(content: bytes):
         and content[0] == 0xFF
         and (content[1] & 0xE0) == 0xE0
     ):
-        # MPEG-1 Layer III decodes for real (operators/mp3_layer3.py,
-        # r10); samples come back in the ±32768 PCM domain like WAV16
+        # Layer III decodes for real — MPEG-1 (r10) and MPEG-2/2.5 LSF
+        # (r11) — plus Layer I (operators/mp3_layer3.py); samples come
+        # back in the ±32768 PCM domain like WAV16
         from sample_dms_kinesis_rds_mariadb_spark.operators.mp3_layer3 import (
             decode_mp3_samples,
         )

@@ -868,3 +868,99 @@ def write_mp3(
             prev[2] = prev[2][: len(prev[2]) - k] + cur[2][:k]
             cur[2] = cur[2][k:] + b"\x00" * k
     return b"".join(h + s + b for h, s, b, _u in frames)
+
+
+# --- LSF (MPEG-2 / 2.5) Layer III write direction --------------------------
+
+_LSF_SR_IDX = {
+    22050: ("2", 0), 24000: ("2", 1), 16000: ("2", 2),
+    11025: ("2.5", 0), 12000: ("2.5", 1), 8000: ("2.5", 2),
+}
+# 9-bit LSF scalefac_compress 399: slens (4,4,3,3) over the (6,5,5,5)
+# long / (9,9,9,9) short partitions — bit-identical scalefactor packing
+# to the MPEG-1 _SCALEFAC_COMPRESS=15 layout (4 bits through sfb 10 /
+# pair 17, 3 bits after), so the granule encoders above are reused
+# verbatim; only the frame assembly differs.
+_LSF_SFC = 399
+
+
+def write_mp3_lsf(
+    pcm, sample_rate: int = 22050, channels: int = 1, mode: str = "lr",
+    block_type: int = 0, reservoir_shift: int = 0,
+) -> bytes:
+    """Encode PCM as an MPEG-2 / MPEG-2.5 (LSF) Layer III CBR-160
+    stream: ONE granule per frame, 9-byte mono / 17-byte stereo side
+    info with 8-bit main_data_begin and 9-bit scalefac_compress, no
+    scfsi, no preflag bit. ``mode='ms'`` emits mid/side joint stereo;
+    ``block_type=2`` emits short blocks; ``reservoir_shift`` exercises
+    the LSF bit reservoir exactly like :func:`write_mp3`."""
+    version, sr_idx = _LSF_SR_IDX[sample_rate]
+    x = np.asarray(pcm, dtype=np.float64)
+    if channels == 2:
+        left, right = x[0::2], x[1::2]
+        if mode == "ms":
+            chans = [(left + right) / np.sqrt(2.0),
+                     (left - right) / np.sqrt(2.0)]
+        else:
+            chans = [left, right]
+    else:
+        chans = [x]
+    subs = [analyze_subbands(c) for c in chans]
+    n_gran = max(1, -(-subs[0].shape[0] // 18))
+    frame_len = 72 * 160000 // sample_rate  # CBR-160, padding bit 0
+    hdr2 = 0xE0 | ({"2": 0b10, "2.5": 0b00}[version] << 3) | (0b01 << 1) | 1
+    frames = []
+    for f in range(n_gran):
+        grs = [
+            _encode_granule(subs[c], f, sample_rate, block_type=block_type)
+            for c in range(channels)
+        ]
+        if channels == 1:
+            mode_byte = 0xC0
+        elif mode == "ms":
+            mode_byte = (0b01 << 6) | (0b10 << 4)
+        else:
+            mode_byte = 0x00
+        hdr = bytes([0xFF, hdr2, (14 << 4) | (sr_idx << 2), mode_byte])
+        si = BitWriter()
+        si.write(reservoir_shift if f > 0 else 0, 8)  # main_data_begin
+        si.write(0, 1 if channels == 1 else 2)        # private_bits
+        for c in range(channels):
+            e = grs[c]
+            si.write(e["part2_3_length"], 12)
+            si.write(e["big_values"], 9)
+            si.write(e["global_gain"], 8)
+            si.write(_LSF_SFC, 9)
+            if e["block_type"] == 2:
+                si.write(1, 1)            # window switching
+                si.write(2, 2)            # block_type = short
+                si.write(0, 1)            # not mixed
+                for _r in range(2):
+                    si.write(_TABLE, 5)
+                for _w in range(3):
+                    si.write(0, 3)        # subblock_gain
+            else:
+                si.write(0, 1)
+                for _r in range(3):
+                    si.write(_TABLE, 5)
+                si.write(7, 4)            # region0_count
+                si.write(7, 3)            # region1_count
+            # NO preflag bit in LSF side info
+            si.write(1, 1)                # scalefac_scale
+            si.write(0, 1)                # count1table_select
+        side = si.to_bytes(9 if channels == 1 else 17)
+        main = BitWriter()
+        for c in range(channels):
+            main.bits.extend(grs[c]["bits"])
+        used = (len(main.bits) + 7) // 8
+        body = main.to_bytes(frame_len - 4 - len(side))
+        frames.append([hdr, side, body, used])
+    if reservoir_shift:
+        k = reservoir_shift
+        for f in range(1, len(frames)):
+            prev, cur = frames[f - 1], frames[f]
+            if prev[3] > len(prev[2]) - k:
+                raise ValueError("no padding room for reservoir donation")
+            prev[2] = prev[2][: len(prev[2]) - k] + cur[2][:k]
+            cur[2] = cur[2][k:] + b"\x00" * k
+    return b"".join(h + s + b for h, s, b, _u in frames)

@@ -382,8 +382,9 @@ def test_bit_reservoir_roundtrip_and_truncated_start():
 def test_documented_boundaries_raise():
     from tests.test_media_containers import mp3_frame
 
-    with pytest.raises(NotImplementedError, match="MPEG-2"):
-        L3.decode_mp3_samples(mp3_frame(mpeg1=False, bitrate_idx=4))
+    # MPEG-2 LSF Layer III DECODES as of r11 (the zero frame → silence)
+    sr, ch, y = L3.decode_mp3_samples(mp3_frame(mpeg1=False, bitrate_idx=4))
+    assert sr == 22050 and len(y) % 576 == 0 and not np.any(y)
     with pytest.raises(NotImplementedError, match="Layer"):
         L3.decode_mp3_samples(mp3_frame(layer3=False))
     with pytest.raises(ValueError, match="no MPEG audio frames"):
@@ -657,3 +658,234 @@ def test_mp3_roundtrip_property(mode, block, rate, seed, n_tones):
         assert _snr(a, b) > 13.0, (mode, kind, mixed, rate)
         assert abs(np.sqrt((b * b).mean()) /
                    (np.sqrt((a * a).mean()) + 1e-9) - 1) < 0.15
+
+
+# --- MPEG-2 / 2.5 LSF Layer III (r11) -----------------------------------------
+
+
+def test_lsf_mono_roundtrip_all_six_rates():
+    """MPEG-2 (22.05/24/16 kHz) and MPEG-2.5 (11.025/12/8 kHz) mono
+    long-block streams from the independent LSF writer decode within
+    the stated distortion bound. One granule per frame: sample count is
+    a multiple of 576."""
+    from tests.mp3_writer import write_mp3_lsf
+
+    for rate in (22050, 24000, 16000, 11025, 12000, 8000):
+        x = _tone(rate, rate, seed=3)  # one second at every rate
+        sr, ch, y = L3.decode_mp3_samples(write_mp3_lsf(x, rate, 1))
+        assert (sr, ch) == (rate, 1)
+        assert len(y) % 576 == 0
+        a = x[3000 : rate - 2000]
+        b = y[3000 + _DELAY : rate - 2000 + _DELAY]
+        assert _snr(a, b) > 17.0, rate
+
+
+def test_lsf_stereo_lr_and_ms_roundtrip():
+    rate = 22050
+    # noise-free fixture: the LSF stereo frame budget (501 main-data
+    # bytes at CBR-160 for BOTH channels of the single granule) cannot
+    # carry _tone()'s noise floor once it passes the quantizer's gate
+    t = np.arange(rate // 2) / rate
+    env = np.minimum(t / 0.05, 1.0)  # fade-in: no broadband attack
+    base = (9000 * np.sin(2 * np.pi * 440 * t)
+            + 4000 * np.sin(2 * np.pi * 1200 * t + 0.6)) * env
+    right = (9000 * np.sin(2 * np.pi * 440 * t + 0.4)
+             + 4000 * np.sin(2 * np.pi * 1200 * t + 1.0)) * 0.6 * env
+    left = base
+    inter = np.empty(2 * len(base))
+    inter[0::2], inter[1::2] = left, right
+    from tests.mp3_writer import write_mp3_lsf
+
+    for mode in ("lr", "ms"):
+        sr, ch, y = L3.decode_mp3_samples(
+            write_mp3_lsf(inter, rate, 2, mode=mode)
+        )
+        assert (sr, ch) == (rate, 2)
+        for ref, got in ((left, y[0::2]), (right, y[1::2])):
+            a = ref[3000:9000]
+            b = got[3000 + _DELAY : 9000 + _DELAY]
+            assert _snr(a, b) > 15.0, mode
+
+
+def test_lsf_short_block_roundtrip():
+    rate = 16000
+    x = _tone(rate // 2, rate, seed=13)
+    from tests.mp3_writer import write_mp3_lsf
+
+    sr, ch, y = L3.decode_mp3_samples(
+        write_mp3_lsf(x, rate, 1, block_type=2)
+    )
+    assert (sr, ch) == (rate, 1)
+    a = x[3000:6000]
+    b = y[3000 + _DELAY : 6000 + _DELAY]
+    assert _snr(a, b) > 15.0
+
+
+def test_lsf_bit_reservoir_roundtrip():
+    """The 8-bit LSF main_data_begin: frames donating their first 40
+    main-data bytes to the previous frame decode byte-identically."""
+    rate = 24000
+    x = _tone(rate // 2, rate, seed=9)
+    from tests.mp3_writer import write_mp3_lsf
+
+    plain = write_mp3_lsf(x, rate, 1)
+    res = write_mp3_lsf(x, rate, 1, reservoir_shift=40)
+    assert plain != res
+    _sr, _ch, y0 = L3.decode_mp3_samples(plain)
+    _sr, _ch, y1 = L3.decode_mp3_samples(res)
+    assert np.array_equal(y0, y1)
+
+
+def test_lsf_scalefac_compress_layouts():
+    """The three LSF (slen, nr_of_sfb) rows of ISO 13818-3 §2.4.3.2,
+    including the implied preflag (no preflag bit exists in LSF side
+    info) and exact bit consumption per row."""
+    assert L3._lsf_slen(399) == ((4, 4, 3, 3), 0, 0)
+    assert L3._lsf_slen(0) == ((0, 0, 0, 0), 0, 0)
+    # row 1: sfc 400..499
+    s = 450 - 400
+    assert L3._lsf_slen(450) == (((s >> 2) // 5, (s >> 2) % 5, s % 4, 0),
+                                 1, 0)
+    # row 2: sfc >= 500 implies preflag
+    assert L3._lsf_slen(517) == ((5, 2, 0, 0), 2, 1)
+
+    # bit-exact read: row-2 long layout = 11 sfbs at slen0 + 10 at slen1
+    g = {"scalefac_compress": 500 + 2 * 3 + 1, "block_type": 0,
+         "mixed_block_flag": 0}  # slen (2, 1)
+    vals = [3, 2, 1, 0, 3, 2, 1, 0, 3, 2, 1] + [1, 0, 1, 0, 1, 0, 1, 0, 1, 0]
+    bw_bits = "".join(f"{v:02b}" for v in vals[:11]) + "".join(
+        f"{v:01b}" for v in vals[11:]
+    )
+    data = bytes(
+        int(bw_bits[i : i + 8].ljust(8, "0"), 2)
+        for i in range(0, len(bw_bits), 8)
+    )
+    br = L3.BitReader(data)
+    sf = L3.read_scalefactors_lsf(br, g)
+    assert g["preflag"] == 1
+    assert sf["l"][:21] == vals
+    assert br.pos == 11 * 2 + 10 * 1
+
+
+def test_lsf_intensity_stereo_raises():
+    from tests.mp3_writer import write_mp3_lsf
+
+    rate = 22050
+    t = np.arange(rate // 4) / rate
+    base = 9000 * np.sin(2 * np.pi * 440 * t)
+    inter = np.empty(2 * len(base))
+    inter[0::2], inter[1::2] = base, base * 0.5
+    blob = bytearray(write_mp3_lsf(inter, rate, 2, mode="lr"))
+    blob[3] = (0b01 << 6) | (0b01 << 4)  # joint stereo, IS on
+    with pytest.raises(NotImplementedError, match="LSF.*intensity"):
+        L3.decode_mp3_samples(bytes(blob))
+
+
+def test_lsf_sfb_tables_are_structurally_valid():
+    """Every LSF band table: strictly increasing, correct entry count,
+    correct endpoint — plus the cross-version invariant that the mixed
+    long region (lines 0-35) spans exactly 6 LSF long sfbs (vs 8 in
+    MPEG-1)."""
+    for rate in L3.LSF_RATES:
+        lo = L3.SFB_LONG[rate]
+        sh = L3.SFB_SHORT[rate]
+        assert len(lo) == 23 and lo[0] == 0 and lo[-1] == 576
+        assert len(sh) == 14 and sh[0] == 0 and sh[-1] == 192
+        assert all(a < b for a, b in zip(lo, lo[1:]))
+        assert all(a < b for a, b in zip(sh, sh[1:]))
+        if rate != 8000:
+            assert lo[6] == 36  # mixed-block long region = 6 sfbs
+    for rate in (44100, 48000, 32000):
+        assert L3.SFB_LONG[rate][8] == 36  # MPEG-1: 8 sfbs
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    mode=st.sampled_from(["mono", "lr", "ms"]),
+    block=st.sampled_from(["long", "short"]),
+    rate=st.sampled_from([22050, 24000, 16000, 11025, 12000, 8000]),
+    seed=st.integers(0, 10_000),
+    n_tones=st.integers(2, 4),
+)
+def test_lsf_roundtrip_property(mode, block, rate, seed, n_tones):
+    """The LSF grid dual of test_mp3_roundtrip_property: ANY tonal
+    signal through ANY (stereo mode × block shape × LSF sample rate)
+    decodes within the distortion bound — the single-granule frames,
+    LSF side info, 9-bit scalefac_compress partitions, and LSF band
+    tables hold across the parameter space."""
+    from hypothesis import assume
+
+    from tests.mp3_writer import write_mp3_lsf
+
+    rng = np.random.default_rng(seed)
+    n = rate // 2
+    t = np.arange(n) / rate
+    top = 0.42 * rate  # stay under Nyquist at the low LSF rates
+    freqs = rng.uniform(120, top, n_tones)
+    amps = rng.uniform(1500, 9000, n_tones)
+    phases = rng.uniform(0, 2 * np.pi, n_tones)
+    env = np.minimum(t / 0.05, 1.0)
+    x = sum(a * np.sin(2 * np.pi * f * t + p)
+            for a, f, p in zip(amps, freqs, phases)) * env
+    x = np.clip(x, -32000, 32000)
+    bt = 2 if block == "short" else 0
+    try:
+        if mode == "mono":
+            blob = write_mp3_lsf(x, rate, 1, block_type=bt)
+        else:
+            left, right = x, np.roll(x, 13) * 0.7
+            inter = np.empty(2 * n)
+            inter[0::2], inter[1::2] = left, right
+            blob = write_mp3_lsf(inter, rate, 2, mode=mode, block_type=bt)
+    except ValueError as exc:
+        assert "bitstream overflow" in str(exc)
+        assume(False)
+    sr, ch, y = L3.decode_mp3_samples(blob)
+    if mode == "mono":
+        assert (sr, ch) == (rate, 1)
+        got = [(x, y)]
+    else:
+        assert (sr, ch) == (rate, 2)
+        got = [(left, y[0::2]), (right, y[1::2])]
+    lo = 2000
+    hi = min(n - 500, len(got[0][1]) - _DELAY)
+    for ref, out in got:
+        a = ref[lo:hi]
+        b = out[lo + _DELAY : hi + _DELAY]
+        assert _snr(a, b) > 12.0, (mode, block, rate)
+        assert abs(np.sqrt((b * b).mean()) /
+                   (np.sqrt((a * a).mean()) + 1e-9) - 1) < 0.15
+
+
+def test_lsf_mp3_transcode_dup_detected(spark):
+    """Cross-version transcode duplicates: the SAME 16 kHz signal as a
+    WAV original and as its MPEG-2 LSF MP3 transcode must pair through
+    audio_near_pairs — the speech/low-bitrate class the LSF decoder
+    exists for (before r11 these payloads were error rows)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.audio_dedup import (
+        audio_near_pairs,
+    )
+    from tests.mp3_writer import write_mp3_lsf
+    from tests.test_operators import _wav
+
+    rate = 16000
+    x = _signal_fm(2 * rate, rate, seed=5)
+    wav_blob = _wav([int(v) for v in x], rate=rate)
+    mp3_blob = write_mp3_lsf(x, rate, 1)
+    rng = np.random.default_rng(13)
+    noise = _wav(
+        [int(v) for v in np.clip(rng.normal(0, 8000, 2 * rate), -32000,
+                                 32000)],
+        rate=rate,
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(wav_blob)), (1, bytearray(mp3_blob)),
+         (2, bytearray(noise))],
+        "media_id LONG, content BINARY",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["match_frac"]
+        for r in audio_near_pairs(df, max_hamming=10, min_frac=0.3).collect()
+    }
+    assert (0, 1) in pairs, "WAV->LSF-MP3 transcode not detected"
+    assert not any(2 in p for p in pairs), "unrelated audio matched"
