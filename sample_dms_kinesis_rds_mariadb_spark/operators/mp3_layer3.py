@@ -31,11 +31,17 @@ Two HONEST BOUNDARIES, each raising with a precise message (the
   ``NotImplementedError`` naming the table id. Decoding with an
   unverifiable code table would produce silently-corrupt audio — worse
   than an honest raise for a curation pipeline.
-- **Layer II** (its allocation tables are outside the verified set),
-  **mixed-block intensity stereo**, and **LSF intensity stereo** (the
-  MPEG-2 intensity scalefac_compress layout) raise; MPEG-1 MS/LR
-  stereo, long- and short-block intensity stereo, and mixed blocks
-  decode for real.
+- **LSF Layer II** (the ISO 13818-3 allocation table is outside the
+  verified set), **mixed-block intensity stereo**, and **LSF intensity
+  stereo** (the MPEG-2 intensity scalefac_compress layout) raise;
+  MPEG-1 MS/LR stereo, long- and short-block intensity stereo, and
+  mixed blocks decode for real.
+
+MPEG-1 LAYER II (r11) decodes for real — the Table B.2a-d allocation
+tables with the per-channel-bitrate selection rule, grouped (3/5/9
+level) triplet codes, scfsi scalefactor sharing (all four modes), and
+the shared-allocation joint-stereo bound — over the same polyphase
+bank as Layers I/III.
 
 MPEG-2 / 2.5 LSF Layer III (r11) also decodes for real — ONE granule
 per frame, 8-bit main_data_begin, no scfsi, the 9-bit
@@ -875,6 +881,187 @@ def _decode_l1_frame(h: dict, frame: bytes) -> np.ndarray:
     return S
 
 
+# --------------------------------------------------------------------------
+# Layer II (ISO 11172-3 §2.4.2.4, Tables B.2a-d) — r11
+# --------------------------------------------------------------------------
+# Class lists map allocation CODES 1.. to quantization LEVEL counts.
+# Classes with 3/5/9 levels are GROUPED: one 5/7/10-bit code carries
+# three consecutive samples (v % levels, then integer-divide).
+
+_L2_A0 = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+          16383, 32767, 65535)
+_L2_A1 = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+          8191, 65535)
+_L2_A2 = (3, 5, 7, 9, 15, 31, 65535)
+_L2_A3 = (3, 5, 65535)
+_L2_C0 = (5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+          16383, 32767)
+_L2_C1 = (5, 7, 9, 15, 31, 63, 127)
+
+_L2_GROUPED = {3: (5, 2), 5: (7, 3), 9: (10, 4)}  # levels → (code bits, nb)
+
+
+def _l2_layout(sample_rate: int, bitrate_kbps: int,
+               channels: int) -> tuple[int, list]:
+    """(sblimit, per-subband (nbal, classes)) — the Table B.2 selection
+    rule: per-channel bitrate ≤ 48 kbps → B.2c (B.2d at 32 kHz);
+    48 kHz otherwise always B.2a; 56-80 kbps/ch → B.2a; 96+ → B.2b."""
+    bpc = bitrate_kbps / channels
+    if bpc <= 48:
+        if sample_rate == 32000:
+            groups = [(4, _L2_C0, 2), (3, _L2_C1, 12)]
+        else:
+            groups = [(4, _L2_C0, 2), (3, _L2_C1, 8)]
+    elif sample_rate == 48000 or bpc <= 80:
+        groups = [(4, _L2_A0, 3), (4, _L2_A1, 11), (3, _L2_A2, 23),
+                  (2, _L2_A3, 27)]
+    else:
+        groups = [(4, _L2_A0, 3), (4, _L2_A1, 11), (3, _L2_A2, 23),
+                  (2, _L2_A3, 30)]
+    per_sb = []
+    start = 0
+    for nbal, classes, upto in groups:
+        per_sb.extend([(nbal, classes)] * (upto - start))
+        start = upto
+    return len(per_sb), per_sb
+
+
+def _l2_requant(v: int, levels: int) -> float:
+    """Layer II dequantization: grouped classes (3/5/9 levels) use
+    C = 2^nb/levels with D = 1/2; the 2^nb−1 classes share the Layer I
+    midtread formula."""
+    if levels in _L2_GROUPED:
+        nb = _L2_GROUPED[levels][1]
+        half = 1 << (nb - 1)
+        return ((1 << nb) / levels) * (v / half - 0.5)
+    return _l1_requant(v, levels.bit_length())
+
+
+def _decode_l2_frame(h: dict, frame: bytes) -> np.ndarray:
+    """One Layer II frame → (channels, 36, 32) subband fractions ×
+    scalefactors: allocation (shared above the joint-stereo bound) →
+    scfsi → scalefactors (1-3 per subband by scfsi) → 12 granules of
+    3 samples each, grouped or per-sample codes."""
+    channels = h["channels"]
+    mode_bits = (frame[3] >> 6) & 0b11
+    joint = mode_bits == 0b01
+    sblimit, per_sb = _l2_layout(
+        h["sample_rate"], h["bitrate_kbps"], channels
+    )
+    bound = min(4 * (((frame[3] >> 4) & 0b11) + 1), sblimit) \
+        if joint else sblimit
+    hdr_len = 4 + (2 if h["crc"] else 0)
+    br = BitReader(frame[hdr_len:])
+    alloc = [[0] * sblimit for _ in range(channels)]
+    for sb in range(bound):
+        for ch in range(channels):
+            alloc[ch][sb] = br.read(per_sb[sb][0])
+    for sb in range(bound, sblimit):
+        a = br.read(per_sb[sb][0])
+        for ch in range(channels):
+            alloc[ch][sb] = a
+    scfsi = [[0] * sblimit for _ in range(channels)]
+    for sb in range(sblimit):
+        for ch in range(channels):
+            if alloc[ch][sb]:
+                scfsi[ch][sb] = br.read(2)
+    sf = [[(0.0, 0.0, 0.0)] * sblimit for _ in range(channels)]
+    for sb in range(sblimit):
+        for ch in range(channels):
+            if not alloc[ch][sb]:
+                continue
+
+            def _sf() -> float:
+                idx = br.read(6)
+                if idx == 63:
+                    raise ValueError("invalid Layer II scalefactor 63")
+                return float(_L1_SF[idx])
+
+            mode = scfsi[ch][sb]
+            if mode == 0:
+                sf[ch][sb] = (_sf(), _sf(), _sf())
+            elif mode == 1:
+                a, b = _sf(), _sf()
+                sf[ch][sb] = (a, a, b)
+            elif mode == 2:
+                a = _sf()
+                sf[ch][sb] = (a, a, a)
+            else:
+                a, b = _sf(), _sf()
+                sf[ch][sb] = (a, b, b)
+    S = np.zeros((channels, 36, 32))
+    for gr in range(12):
+        part = gr // 4
+        for sb in range(sblimit):
+            shared = sb >= bound
+            vals: dict[int, tuple[float, float, float]] = {}
+            for ch in range(1 if shared else channels):
+                a = alloc[ch][sb]
+                if not a:
+                    continue
+                levels = per_sb[sb][1][a - 1]
+                if levels in _L2_GROUPED:
+                    code = br.read(_L2_GROUPED[levels][0])
+                    if code >= levels ** 3:
+                        raise ValueError(
+                            "Layer II grouped code out of range"
+                        )
+                    trip = []
+                    for _ in range(3):
+                        trip.append(_l2_requant(code % levels, levels))
+                        code //= levels
+                else:
+                    nb = levels.bit_length()
+                    trip = []
+                    for _ in range(3):
+                        raw = br.read(nb)
+                        if raw == (1 << nb) - 1:
+                            raise ValueError(
+                                "forbidden Layer II all-ones code"
+                            )
+                        trip.append(_l2_requant(raw, levels))
+                vals[ch] = trip
+            for ch in range(channels):
+                src = vals.get(0 if shared else ch)
+                if src is None or not alloc[ch][sb]:
+                    continue
+                for k in range(3):
+                    S[ch, 3 * gr + k, sb] = src[k] * sf[ch][sb][part]
+    return S
+
+
+def _decode_layer2(frames) -> tuple[int, int, np.ndarray]:
+    """Decode a Layer II frame stream — the Layer I loop over the
+    36-sample Layer II frame grid."""
+    sample_rate = None
+    channels = None
+    synths = None
+    pcm_chunks = []
+    for h, frame in frames:
+        if h["layer"] != 2:
+            raise ValueError("mixed-layer MPEG audio stream")
+        if h["version"] != "1":
+            raise NotImplementedError(
+                "LSF (MPEG-2/2.5) Layer II uses the 13818-3 allocation "
+                "table outside the verified set — a documented boundary; "
+                "MPEG-1 Layer II decodes for real"
+            )
+        if sample_rate is None:
+            sample_rate = h["sample_rate"]
+            channels = h["channels"]
+            synths = [PolyphaseSynth() for _ in range(channels)]
+        S = _decode_l2_frame(h, frame)
+        outs = [synths[ch].run(S[ch]) for ch in range(channels)]
+        if channels == 1:
+            pcm_chunks.append(outs[0])
+        else:
+            inter = np.empty(outs[0].size * 2)
+            inter[0::2] = outs[0]
+            inter[1::2] = outs[1]
+            pcm_chunks.append(inter)
+    return sample_rate, channels, np.concatenate(pcm_chunks) * 32768.0
+
+
 def _decode_layer1(frames) -> tuple[int, int, np.ndarray]:
     """Decode a Layer I frame stream (first frame already known to be
     Layer I). Fractions are in ±1; output rescales to the module's
@@ -944,6 +1131,8 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
     frames = itertools.chain([head], frames)
     if head[0]["layer"] == 1:
         return _decode_layer1(frames)
+    if head[0]["layer"] == 2:
+        return _decode_layer2(frames)
     reservoir = b""
     pcm_chunks = []
     sample_rate = None
@@ -951,12 +1140,6 @@ def decode_mp3_samples(content: bytes) -> tuple[int, int, np.ndarray]:
     overlap = None
     first = True
     for h, frame in frames:
-        if h["layer"] == 2:
-            raise NotImplementedError(
-                "Layer II sample decode not implemented — its allocation "
-                "tables are outside the verified set (Layers I and III "
-                "decode for real)"
-            )
         if h["layer"] != 3:
             raise ValueError("mixed-layer MPEG audio stream")
         lsf = h["version"] != "1"

@@ -964,3 +964,177 @@ def write_mp3_lsf(
             prev[2] = prev[2][: len(prev[2]) - k] + cur[2][:k]
             cur[2] = cur[2][k:] + b"\x00" * k
     return b"".join(h + s + b for h, s, b, _u in frames)
+
+
+# --- Layer II write direction (ISO 11172-3 §2.4.2.4, Tables B.2a-d) --------
+# The allocation tables are restated here in WRITE direction (the
+# bitstream contract itself, like the Huffman tables above); all
+# packing/quantization code is this writer's own.
+
+_W2_A0 = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+          16383, 32767, 65535)
+_W2_A1 = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+          8191, 65535)
+_W2_A2 = (3, 5, 7, 9, 15, 31, 65535)
+_W2_A3 = (3, 5, 65535)
+_W2_C0 = (5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+          16383, 32767)
+_W2_C1 = (5, 7, 9, 15, 31, 63, 127)
+_W2_GROUP_BITS = {3: 5, 5: 7, 9: 10}
+_W2_NB = {3: 2, 5: 3, 9: 4}
+_BR_IDX_L2 = {32: 1, 48: 2, 56: 3, 64: 4, 80: 5, 96: 6, 112: 7,
+              128: 8, 160: 9, 192: 10, 224: 11, 256: 12, 320: 13,
+              384: 14}
+
+
+def _w2_layout(sample_rate: int, bitrate: int, channels: int):
+    bpc = bitrate / channels
+    if bpc <= 48:
+        if sample_rate == 32000:
+            groups = [(4, _W2_C0, 2), (3, _W2_C1, 12)]
+        else:
+            groups = [(4, _W2_C0, 2), (3, _W2_C1, 8)]
+    elif sample_rate == 48000 or bpc <= 80:
+        groups = [(4, _W2_A0, 3), (4, _W2_A1, 11), (3, _W2_A2, 23),
+                  (2, _W2_A3, 27)]
+    else:
+        groups = [(4, _W2_A0, 3), (4, _W2_A1, 11), (3, _W2_A2, 23),
+                  (2, _W2_A3, 30)]
+    per_sb = []
+    start = 0
+    for nbal, classes, upto in groups:
+        per_sb.extend([(nbal, classes)] * (upto - start))
+        start = upto
+    return len(per_sb), per_sb
+
+
+def write_mp2(
+    pcm, sample_rate: int = 44100, channels: int = 1,
+    bitrate: int = 192, grouped_bands: bool = True,
+) -> bytes:
+    """INDEPENDENT MPEG-1 Layer II encoder: per-subband allocation from
+    the Table B.2 class lists (alternating a grouped class — 9 or 5
+    levels — with an ungrouped one across active subbands when
+    ``grouped_bands``), scfsi cycling through all four sharing modes,
+    per-part scalefactors, and grouped triplet / per-sample midtread
+    codes. CBR at ``bitrate`` kbps; raises on frame overflow."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    sblimit, per_sb = _w2_layout(sample_rate, bitrate, channels)
+    x = np.asarray(pcm, dtype=np.float64) / 32768.0
+    chans = [x[0::2], x[1::2]] if channels == 2 else [x]
+    subs = [analyze_subbands(c) for c in chans]
+    n_frames = -(-subs[0].shape[0] // 36)
+    frame_len = 144 * (bitrate * 1000) // sample_rate  # padding bit 0
+    mode_byte = 0xC0 if channels == 1 else 0x00
+    hdr = bytes([0xFF, 0xFD, (_BR_IDX_L2[bitrate] << 4) | (sr_idx << 2),
+                 mode_byte])
+    out = bytearray()
+    for f in range(n_frames):
+        S = np.zeros((channels, 36, 32))
+        for ch in range(channels):
+            seg = subs[ch][36 * f : 36 * f + 36]
+            S[ch, : seg.shape[0]] = seg
+        alloc = np.zeros((channels, sblimit), dtype=int)
+        levels_of = np.zeros((channels, sblimit), dtype=int)
+        # noise gate (the write_mp1 precedent): only bands within 60 dB
+        # of the frame peak get bits, or filterbank leakage activates
+        # every band and blows the low-bitrate CBR budget
+        fpeak = float(np.max(np.abs(S))) if S.size else 0.0
+        # pick a class per active subband: alternate grouped/ungrouped
+        for ch in range(channels):
+            for sb in range(sblimit):
+                bpk = float(np.max(np.abs(S[ch][:, sb])))
+                if bpk <= max(1e-9, fpeak * 2.0 ** -10):
+                    continue
+                classes = per_sb[sb][1]
+                want_group = grouped_bands and (sb % 2 == 1)
+                pick = None
+                if want_group:
+                    for lv in (9, 5, 3):
+                        if lv in classes:
+                            pick = lv
+                            break
+                if pick is None:
+                    for lv in (15, 7, 5, 3):
+                        if lv in classes:
+                            pick = lv
+                            break
+                alloc[ch][sb] = classes.index(pick) + 1
+                levels_of[ch][sb] = pick
+        scfsi = np.zeros((channels, sblimit), dtype=int)
+        sfi = np.zeros((channels, sblimit, 3), dtype=int)
+        for ch in range(channels):
+            for sb in range(sblimit):
+                if not alloc[ch][sb]:
+                    continue
+                scfsi[ch][sb] = sb % 4
+                peaks = [
+                    float(np.max(np.abs(S[ch][12 * p : 12 * p + 12, sb])))
+                    for p in range(3)
+                ]
+                # sharing modes cover parts with the SHARED max so the
+                # quantizer never clips: 1=(01):(a,a,b) 2:(a,a,a) 3:(a,b,b)
+                m = scfsi[ch][sb]
+                if m == 1:
+                    peaks = [max(peaks[0], peaks[1])] * 2 + [peaks[2]]
+                elif m == 2:
+                    peaks = [max(peaks)] * 3
+                elif m == 3:
+                    peaks = [peaks[0]] + [max(peaks[1], peaks[2])] * 2
+                for p in range(3):
+                    idx = int(np.floor(
+                        -3.0 * np.log2(max(peaks[p], 1e-12) / 2.0)
+                    ))
+                    sfi[ch][sb][p] = min(max(idx, 0), 62)
+        bw = BitWriter()
+        for sb in range(sblimit):
+            for ch in range(channels):
+                bw.write(alloc[ch][sb], per_sb[sb][0])
+        for sb in range(sblimit):
+            for ch in range(channels):
+                if alloc[ch][sb]:
+                    bw.write(scfsi[ch][sb], 2)
+        for sb in range(sblimit):
+            for ch in range(channels):
+                if not alloc[ch][sb]:
+                    continue
+                m = scfsi[ch][sb]
+                parts = {0: (0, 1, 2), 1: (0, 2), 2: (0,), 3: (0, 1)}[m]
+                for p in parts:
+                    bw.write(sfi[ch][sb][p], 6)
+
+        def _q2(v: float, sf: float, levels: int) -> int:
+            if levels in _W2_NB:
+                nb = _W2_NB[levels]
+                half = 1 << (nb - 1)
+                c = (1 << nb) / levels
+                raw = int(round((v / (sf * c) + 0.5) * half))
+                return min(max(raw, 0), levels - 1)
+            nb = levels.bit_length()
+            c = (1 << nb) / ((1 << nb) - 1.0)
+            d = 2.0 ** (1 - nb)
+            raw = int(round((v / (sf * c) - d + 1.0) * (1 << (nb - 1))))
+            return min(max(raw, 0), (1 << nb) - 2)
+
+        for gr in range(12):
+            part = gr // 4
+            for sb in range(sblimit):
+                for ch in range(channels):
+                    a = alloc[ch][sb]
+                    if not a:
+                        continue
+                    lv = int(levels_of[ch][sb])
+                    sfv = float(_L1_SF[sfi[ch][sb][part]])
+                    trip = [
+                        _q2(S[ch, 3 * gr + k, sb], sfv, lv)
+                        for k in range(3)
+                    ]
+                    if lv in _W2_GROUP_BITS:
+                        code = trip[0] + trip[1] * lv + trip[2] * lv * lv
+                        bw.write(code, _W2_GROUP_BITS[lv])
+                    else:
+                        nb = lv.bit_length()
+                        for v in trip:
+                            bw.write(v, nb)
+        out += hdr + bw.to_bytes(frame_len - 4)
+    return bytes(out)

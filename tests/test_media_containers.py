@@ -170,15 +170,16 @@ def test_id3v2_unsync_and_id3v1_merge():
 def test_mp3_decode_boundary():
     """r10: MPEG-1 Layer III sample decode is REAL (a zero-filled frame
     is all-silence: side info zeros = empty spectrum); r11 extends that
-    to MPEG-2/2.5 LSF — the remaining honest boundary here is Layer II."""
+    to MPEG-2/2.5 LSF Layer III and MPEG-1 Layer II — the remaining
+    honest boundary in the family is LSF Layer II."""
     rate, ch, samples = decode_mp3_audio(mp3_frame())
     assert (rate, ch) == (44100, 2)
     assert len(samples) == 2 * 1152 and not samples.any()
     rate, ch, samples = decode_mp3_audio(mp3_frame(mpeg1=False,
                                                    bitrate_idx=4))
     assert rate == 22050 and len(samples) == 2 * 576 and not samples.any()
-    with pytest.raises(NotImplementedError, match="Layer"):
-        decode_mp3_audio(mp3_frame(layer3=False))
+    rate, ch, samples = decode_mp3_audio(mp3_frame(layer3=False))
+    assert rate == 44100 and len(samples) == 2 * 1152 and not samples.any()
 
 
 # --- MP4 ------------------------------------------------------------------

@@ -385,8 +385,9 @@ def test_documented_boundaries_raise():
     # MPEG-2 LSF Layer III DECODES as of r11 (the zero frame → silence)
     sr, ch, y = L3.decode_mp3_samples(mp3_frame(mpeg1=False, bitrate_idx=4))
     assert sr == 22050 and len(y) % 576 == 0 and not np.any(y)
-    with pytest.raises(NotImplementedError, match="Layer"):
-        L3.decode_mp3_samples(mp3_frame(layer3=False))
+    # ... and so does MPEG-1 Layer II (r11)
+    sr, ch, y = L3.decode_mp3_samples(mp3_frame(layer3=False))
+    assert sr == 44100 and len(y) % 1152 == 0 and not np.any(y)
     with pytest.raises(ValueError, match="no MPEG audio frames"):
         L3.decode_mp3_samples(b"\x00" * 64)
     # a frame whose side info selects an unverified Huffman table: build
@@ -889,3 +890,103 @@ def test_lsf_mp3_transcode_dup_detected(spark):
     }
     assert (0, 1) in pairs, "WAV->LSF-MP3 transcode not detected"
     assert not any(2 in p for p in pairs), "unrelated audio matched"
+
+
+# --- Layer II (r11) ------------------------------------------------------------
+
+
+def _l2_fixture(rate, n, stereo=False, seed=4):
+    """Fade-in tone mixture (no broadband onset: low-bitrate Layer II
+    CBR frames can't carry an attack transient's allocation)."""
+    t = np.arange(n) / rate
+    env = np.minimum(t / 0.05, 1.0)
+    a = (9000 * np.sin(2 * np.pi * 440 * t)
+         + 4000 * np.sin(2 * np.pi * 1200 * t + 0.6)) * env
+    if not stereo:
+        return a
+    b = 7000 * np.sin(2 * np.pi * 600 * t + 0.2) * env
+    inter = np.empty(2 * n)
+    inter[0::2], inter[1::2] = a, b
+    return a, b, inter
+
+
+def test_layer2_mono_roundtrip_all_tables():
+    """Layer II across all four allocation tables: B.2a (48 kHz / 192),
+    B.2b (44.1 kHz / 192), B.2c (44.1 kHz / 48), B.2d (32 kHz / 48) —
+    grouped (9/5-level triplet codes) and ungrouped classes both on the
+    path, scfsi cycling all four sharing modes."""
+    from tests.mp3_writer import write_mp2
+
+    for rate, br in ((48000, 192), (44100, 192), (44100, 48),
+                     (32000, 48), (32000, 192)):
+        n = rate // 2
+        x = _l2_fixture(rate, n)
+        sr, ch, y = L3.decode_mp3_samples(write_mp2(x, rate, 1,
+                                                    bitrate=br))
+        assert (sr, ch) == (rate, 1)
+        assert len(y) % 1152 == 0
+        a = x[3000 : n - 2000]
+        b = y[3000 + 511 : n - 2000 + 511]
+        assert _snr(a, b) > 16.0, (rate, br)
+        assert abs(np.sqrt((b * b).mean()) /
+                   np.sqrt((a * a).mean()) - 1) < 0.1, (rate, br)
+
+
+def test_layer2_stereo_roundtrip():
+    from tests.mp3_writer import write_mp2
+
+    rate = 44100
+    n = rate // 2
+    left, right, inter = _l2_fixture(rate, n, stereo=True)
+    sr, ch, y = L3.decode_mp3_samples(write_mp2(inter, rate, 2,
+                                                bitrate=384))
+    assert (sr, ch) == (rate, 2)
+    for ref, got in ((left, y[0::2]), (right, y[1::2])):
+        a = ref[3000 : n - 2000]
+        b = got[3000 + 511 : n - 2000 + 511]
+        assert _snr(a, b) > 16.0
+
+
+def test_layer2_requant_classes():
+    """Grouped-class dequantization is symmetric and midtread-exact:
+    the code for 0 decodes to 0, extremes are ±(levels-1)/levels-ish
+    and mirror-symmetric; ungrouped classes share the Layer I formula."""
+    for levels in (3, 5, 9):
+        vals = [L3._l2_requant(v, levels) for v in range(levels)]
+        assert abs(vals[levels // 2]) < 1e-12          # midtread zero
+        for i in range(levels):
+            assert abs(vals[i] + vals[levels - 1 - i]) < 1e-12
+        assert max(vals) < 1.0
+    assert L3._l2_requant(7, 15) == L3._l1_requant(7, 4)
+
+
+def test_layer2_layout_selection():
+    """The Table B.2 selection rule: per-channel bitrate <= 48 -> C/D
+    tables; 48 kHz otherwise always B.2a; 96+ kbps/ch at 44.1/32 ->
+    B.2b."""
+    assert L3._l2_layout(44100, 48, 1)[0] == 8    # B.2c
+    assert L3._l2_layout(32000, 48, 1)[0] == 12   # B.2d
+    assert L3._l2_layout(48000, 192, 1)[0] == 27  # B.2a (48k: always)
+    assert L3._l2_layout(48000, 384, 2)[0] == 27
+    assert L3._l2_layout(44100, 80, 1)[0] == 27   # B.2a
+    assert L3._l2_layout(44100, 192, 1)[0] == 30  # B.2b
+    assert L3._l2_layout(32000, 384, 2)[0] == 30
+    # nbal pattern of B.2a: 4,4,3,2 over the group boundaries
+    _sbl, per_sb = L3._l2_layout(44100, 80, 1)
+    assert [per_sb[i][0] for i in (0, 3, 11, 23)] == [4, 4, 3, 2]
+
+
+def test_layer2_lsf_still_raises():
+    """MPEG-2 Layer II (the 13818-3 single allocation table) stays a
+    documented boundary."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp3 import (
+        parse_frame_header,
+    )
+
+    # MPEG-2 (version bits 10), Layer II (10), no CRC, 32 kbps, 22.05 kHz
+    hdr = bytes([0xFF, 0xF5, (4 << 4) | (0 << 2), 0xC0])
+    h = parse_frame_header(hdr)
+    assert h["version"] == "2" and h["layer"] == 2
+    blob = hdr + b"\x00" * (h["frame_len"] - 4)
+    with pytest.raises(NotImplementedError, match="Layer II"):
+        L3.decode_mp3_samples(blob)
