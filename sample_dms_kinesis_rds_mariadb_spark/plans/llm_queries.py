@@ -2793,3 +2793,128 @@ def q_pdf_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "format", "text", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "rtf_text_extraction",
+    "Document front door #2 under the cross-engine hash gate: RTF payloads "
+    "synthesized from the text column in pure codegen string ops, text "
+    "pulled back through the REAL control-word parser "
+    "(sources/docformats.rtf_text) via Arrow mapInPandas — the oracle "
+    "computes the identical expected text (incl. the \\par newline and "
+    "\\tab) straight from the source column",
+    oracle="""
+        WITH safe AS (
+          SELECT doc_id,
+                 substr(regexp_replace(text, '[\\{}]|[^ -~]', ' ', 'g'),
+                        1, 120) AS t
+          FROM documents WHERE doc_id < 150
+        )
+        SELECT doc_id,
+               'rtf' AS format,
+               t || chr(10) || 'tail' || chr(9) || 'end' AS text,
+               CAST(length(t) + 9 AS INT) AS n_chars
+        FROM safe ORDER BY doc_id
+    """,
+    tags=("documents",),
+    extra=True,
+)
+def q_rtf_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        extract_document_texts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # ASCII-only, RTF-safe slice (no backslashes or braces); the tail
+    # exercises \par -> newline, \tab -> tab, and the one-space
+    # control-word delimiter rule
+    safe = F.substring(
+        F.regexp_replace(F.col("text"), "[\\\\{}]|[^ -~]", " "), 1, 120
+    )
+    blob = F.concat(
+        F.lit("{\\rtf1\\ansi "), safe, F.lit("\\par tail\\tab end}")
+    ).cast("binary")
+    media = docs.select("doc_id", blob.alias("content"))
+    return (
+        extract_document_texts(media)
+        .select("doc_id", "format", "text", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docx_text_extraction",
+    "Document front door #3 under the cross-engine hash gate: VALID "
+    "stored (uncompressed) OOXML zips built per row in pure codegen — "
+    "F.crc32 supplies the zip CRC, byte-swapped to little-endian via "
+    "hex/unhex; fixed-width text keeps every offset constant — read back "
+    "through the REAL zipfile+XML reader (sources/docformats.docx_text) "
+    "via Arrow mapInPandas; the oracle computes the identical padded "
+    "text straight from the source column",
+    oracle="""
+        SELECT doc_id,
+               'docx' AS format,
+               rpad(substr(regexp_replace(text, '[&<>]|[^ -~]', ' ', 'g'),
+                           1, 120), 120, ' ') AS text,
+               120 AS n_chars
+        FROM documents WHERE doc_id < 150 ORDER BY doc_id
+    """,
+    tags=("documents",),
+    extra=True,
+)
+def q_docx_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        extract_document_texts,
+    )
+
+    NAME = b"word/document.xml"
+    PRE = (b'<?xml version="1.0"?><w:document xmlns:w='
+           b'"http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+           b'<w:body><w:p><w:r><w:t xml:space="preserve">')
+    SUF = b"</w:t></w:r></w:p></w:body></w:document>"
+    TLEN = 120
+    clen = len(PRE) + TLEN + len(SUF)
+    # zip record skeletons (PKWARE APPNOTE): store method, zero
+    # timestamps, sizes constant because the text is padded fixed-width
+    lfh_pre = b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0, 0, 0, 0)
+    lfh_post = struct.pack("<IIHH", clen, clen, len(NAME), 0) + NAME
+    cd_pre = b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)
+    cd_post = (
+        struct.pack("<IIHHHHHII", clen, clen, len(NAME), 0, 0, 0, 0, 0, 0)
+        + NAME
+    )
+    cd_off = 30 + len(NAME) + clen
+    cd_size = 46 + len(NAME)
+    eocd = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, 1, 1, cd_size, cd_off, 0
+    )
+
+    def le32(col):
+        h = F.lpad(F.hex(col), 8, "0")
+        return F.unhex(F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        ))
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    t = F.rpad(
+        F.substring(F.regexp_replace(F.col("text"), "[&<>]|[^ -~]", " "),
+                    1, TLEN),
+        TLEN, " ",
+    )
+    content = F.concat(F.lit(PRE), F.encode(t, "UTF-8"), F.lit(SUF))
+    crc = le32(F.crc32(content))
+    blob = F.concat(
+        F.lit(lfh_pre), crc, F.lit(lfh_post),
+        content,
+        F.lit(cd_pre), crc, F.lit(cd_post),
+        F.lit(eocd),
+    )
+    media = docs.select("doc_id", blob.alias("content"))
+    return (
+        extract_document_texts(media)
+        .select("doc_id", "format", "text", "n_chars")
+        .orderBy("doc_id")
+    )
