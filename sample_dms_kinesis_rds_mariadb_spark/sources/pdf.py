@@ -520,13 +520,30 @@ def parse_tounicode(cmap_bytes: bytes) -> tuple[dict[int, str], int]:
     return out, nbytes
 
 
-def _decode_text(raw: bytes, font: tuple[dict[int, str], int] | None) -> str:
+def _decode_text(
+    raw: bytes, font: tuple[dict[int, str], int] | str | None
+) -> str:
     if font is None:
         if raw[:2] == b"\xfe\xff":
             # BOM-prefixed UTF-16BE show string (some generators emit
             # these without a ToUnicode map — §7.9.2.2 text-string form)
             return raw[2:].decode("utf-16-be", errors="replace")
         return raw.decode("latin-1")
+    if font == "identity-cid":
+        # Type0 /Identity-H(-V) WITHOUT /ToUnicode: show strings carry
+        # 2-byte glyph CIDs whose Unicode mapping lives only in the font
+        # program. Documented DETERMINISTIC policy (not a raise, not
+        # U+FFFD soup): each CID becomes the codepoint of its own value
+        # when that is a valid non-control scalar, else it is skipped —
+        # lossless for fonts whose CIDs are codepoints (common for
+        # subset-embedded Latin text), replayable by an independent
+        # implementation, and never wrong-but-plausible mojibake.
+        out = []
+        for i in range(0, len(raw) - 1, 2):
+            cid = int.from_bytes(raw[i : i + 2], "big")
+            if 0x20 <= cid < 0xD800 or 0xE000 <= cid <= 0xFFFD:
+                out.append(chr(cid))
+        return "".join(out)
     cmap, nbytes = font
     out = []
     for i in range(0, len(raw) - (nbytes - 1), nbytes):
@@ -999,6 +1016,14 @@ class PdfDocument:
                     cmap = parse_tounicode(
                         decode_stream(tu, self.resolve)
                     )
+                elif (
+                    self.resolve(font.get("Subtype")) == "Type0"
+                    and self.resolve(font.get("Encoding"))
+                    in ("Identity-H", "Identity-V")
+                ):
+                    # predefined-CMap Type0 without ToUnicode: the
+                    # deterministic CID policy (see _decode_text)
+                    cmap = "identity-cid"
             fonts[name] = cmap
         return fonts
 

@@ -679,3 +679,46 @@ def test_extract_document_texts_survives_hostile_rows(spark):
         "ValueError" in rows[2].error or "depth" in rows[2].error
     )
     assert rows[3].error is None and "ok doc" in rows[3].text
+
+
+def test_pdf_identity_h_without_tounicode_policy():
+    """Type0 /Identity-H with NO /ToUnicode: the documented
+    deterministic CID policy — each 2-byte CID becomes its own
+    codepoint when that is a valid non-control scalar (lossless for
+    fonts whose CIDs are codepoints), never U+FFFD, never Latin-1
+    mojibake of the byte stream."""
+    def enc(s):
+        return s.encode("utf-16-be")  # CIDs = codepoints
+
+    cmap = {ord(c): c for c in set("Identity text!")}
+    blob = write_pdf(
+        [text_content(["Identity text!"], hex_strings=True, encode=enc)],
+        tounicode=cmap,
+    )
+    # length-preserving font-object swap: drop the /ToUnicode ref for
+    # /Encoding /Identity-H so the classic-xref offsets stay valid
+    old = None
+    m = __import__("re").search(
+        rb"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+        rb"/ToUnicode \d+ 0 R >>", blob)
+    assert m
+    old = m.group()
+    base = b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H"
+    new = base + b" " * (len(old) - len(base) - 2) + b">>"
+    assert len(new) == len(old)
+    patched = blob.replace(old, new)
+    t = P.pdf_text(patched)
+    assert "Identity text!" in t
+    assert "�" not in t
+    # CIDs outside the valid scalar range are SKIPPED, not garbled:
+    # control codes and surrogate-range CIDs vanish deterministically
+    def enc2(_s):
+        return b"\x00H\x00i\x00\x01\xd8\x00\x00!"  # H, i, ctrl, surrogate, !
+
+    blob2 = write_pdf(
+        [text_content(["xx"], hex_strings=True, encode=enc2)],
+        tounicode=cmap,
+    )
+    patched2 = blob2.replace(old, new)
+    t2 = P.pdf_text(patched2)
+    assert "Hi!" in t2 and "�" not in t2
