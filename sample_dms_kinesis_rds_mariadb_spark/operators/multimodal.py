@@ -1102,14 +1102,22 @@ def decode_audio_samples(content: bytes):
 
         rate, ch, out, _n = decode_flac_samples(content)
         return rate, ch, out.astype(np.float64)
+    if content[:3] != b"ID3" and len(content) >= 7:
+        from sample_dms_kinesis_rds_mariadb_spark.operators.adts import (
+            decode_aac_samples,
+            is_adts,
+        )
+
+        if is_adts(content):
+            decode_aac_samples(content)  # precise documented boundary
     if content[:3] == b"ID3" or (
         len(content) >= 4
         and content[0] == 0xFF
         and (content[1] & 0xE0) == 0xE0
     ):
         # Layer III decodes for real — MPEG-1 (r10) and MPEG-2/2.5 LSF
-        # (r11) — plus Layer I (operators/mp3_layer3.py); samples come
-        # back in the ±32768 PCM domain like WAV16
+        # (r11) — plus Layers I and II (operators/mp3_layer3.py);
+        # samples come back in the ±32768 PCM domain like WAV16
         from sample_dms_kinesis_rds_mariadb_spark.operators.mp3_layer3 import (
             decode_mp3_samples,
         )
@@ -1233,7 +1241,7 @@ MEDIA_METADATA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("container", T.StringType()),  # mp3|mp4|flac|ogg|wav|unknown
+        T.StructField("container", T.StringType()),  # mp3|mp4|flac|ogg|wav|adts|unknown
         T.StructField("duration_sec", T.DoubleType()),
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
@@ -1260,7 +1268,24 @@ def media_container_metadata(content: bytes) -> dict:
         "video_codec": None, "audio_codec": None, "title": None, "artist": None,
     }
     try:
-        if content[:3] == b"ID3" or (
+        from sample_dms_kinesis_rds_mariadb_spark.operators.adts import (
+            adts_metadata,
+            is_adts,
+        )
+
+        if is_adts(content):
+            # MUST sniff before MPEG audio: ADTS shares the 0xFFFx sync
+            # byte pattern (its layer bits 00 are reserved in MPEG audio)
+            m = adts_metadata(content)
+            out.update(
+                container="adts",
+                duration_sec=m["duration_sec"],
+                sample_rate=m["sample_rate"],
+                channels=m["channels"],
+                bitrate_kbps=m["bitrate_kbps"],
+                audio_codec=m["codec"],
+            )
+        elif content[:3] == b"ID3" or (
             len(content) > 1 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0
         ):
             from sample_dms_kinesis_rds_mariadb_spark.operators.mp3 import (

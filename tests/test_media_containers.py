@@ -618,3 +618,94 @@ def test_ima_adpcm_stereo_and_features(spark):
 
     want_rms = float(np.sqrt((np.asarray(out, dtype=np.float64) ** 2).mean()))
     assert feats["rms"] == pytest.approx(want_rms, rel=1e-9)
+
+
+# --- ADTS (r11) -------------------------------------------------------------
+
+
+def adts_frame(
+    payload_len=100, profile=1, sf_idx=4, channels=2, crc=False,
+    rdbs=1, mpeg2=False,
+) -> bytes:
+    """INDEPENDENT ADTS frame packer (13818-7 §6.2 write direction):
+    header bits assembled by hand, zero-filled raw data block."""
+    hdr_len = 9 if crc else 7
+    frame_len = hdr_len + payload_len
+    bits = (
+        "1" * 12                              # syncword
+        + ("1" if mpeg2 else "0")             # ID
+        + "00"                                # layer
+        + ("0" if crc else "1")               # protection_absent
+        + format(profile, "02b")
+        + format(sf_idx, "04b")
+        + "0"                                 # private
+        + format(channels, "03b")
+        + "00"                                # original/home
+        + "00"                                # copyright id bit/start
+        + format(frame_len, "013b")
+        + format(0x7FF, "011b")               # buffer fullness (VBR)
+        + format(rdbs - 1, "02b")
+    )
+    out = bytearray(int(bits[i : i + 8], 2) for i in range(0, 56, 8))
+    if crc:
+        out += b"\x00\x00"
+    out += b"\x00" * payload_len
+    return bytes(out)
+
+
+def test_adts_metadata_and_walking():
+    from sample_dms_kinesis_rds_mariadb_spark.operators import adts as A
+
+    blob = adts_frame() * 10
+    m = A.adts_metadata(blob)
+    assert m["container"] == "adts" and m["codec"] == "aac-lc"
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["n_frames"] == 10
+    assert abs(m["duration_sec"] - 10 * 1024 / 44100) < 1e-9
+    assert abs(m["bitrate_kbps"]
+               - 8 * len(blob) / m["duration_sec"] / 1000) < 1e-9
+    # truncated tail: the walk stops cleanly
+    m2 = A.adts_metadata(blob + blob[:40])
+    assert m2["n_frames"] == 10
+    # CRC variant, MPEG-2 ID, multi-rdb duration accounting
+    blob3 = adts_frame(crc=True, mpeg2=True, rdbs=2, sf_idx=8) * 4
+    m3 = A.adts_metadata(blob3)
+    assert m3["crc"] and m3["mpeg_version"] == 2
+    assert m3["sample_rate"] == 16000
+    assert abs(m3["duration_sec"] - 8 * 1024 / 16000) < 1e-9
+
+
+def test_adts_sniff_is_two_frame_confirmed_and_mp3_safe():
+    from sample_dms_kinesis_rds_mariadb_spark.operators import adts as A
+
+    assert A.is_adts(adts_frame() * 2)
+    assert A.is_adts(adts_frame())  # single frame ending exactly at EOF
+    # one valid header followed by garbage is NOT confirmed
+    assert not A.is_adts(adts_frame()[:7] + b"\x00" * 200)
+    # MPEG audio never sniffs as ADTS (layer bits are nonzero there)
+    assert not A.is_adts(mp3_frame())
+    assert not A.is_adts(mp3_frame(layer3=False))
+
+
+def test_adts_in_media_metadata_sweep(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        extract_media_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [(0, bytearray(adts_frame() * 5)), (1, bytearray(mp3_frame()))],
+        "media_id LONG, content BINARY",
+    )
+    rows = {r.media_id: r for r in extract_media_metadata(df).collect()}
+    assert rows[0].container == "adts" and rows[0].audio_codec == "aac-lc"
+    assert rows[0].sample_rate == 44100 and rows[0].channels == 2
+    assert rows[1].container == "mp3"  # the mp3 leg is untouched
+
+
+def test_aac_sample_decode_is_precise_boundary():
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        decode_audio_samples,
+    )
+
+    with pytest.raises(NotImplementedError, match="Huffman codebooks"):
+        decode_audio_samples(adts_frame() * 2)
