@@ -148,18 +148,35 @@ def main() -> None:
     leg_runs_n = max(int(os.environ.get("SPARK_GRAFT_LEG_RUNS", "3")), 1)
     timings_cold: dict[str, float] = {}
     leg_samples: dict[str, list[float]] = {}
+    _deferred: list[tuple[str, object]] = []
 
     def _robust(name: str, fn):
-        samples = []
-        out = None
-        for _ in range(leg_runs_n):
-            t0 = time.perf_counter()
-            out = fn()
-            samples.append(time.perf_counter() - t0)
-        timings_cold[name] = round(samples[0], 3)
-        leg_samples[name] = [round(s, 3) for s in samples]
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        # cold run NOW (legs feed each other values: classifier weights,
+        # PQ codebooks, WordPiece vocab), repeats DEFERRED into full
+        # interleaved sweeps (see _run_deferred_sweeps): back-to-back
+        # samples all land inside one co-tenant burst, which is exactly
+        # the r10 noise mode — sweep-interleaved samples sit minutes
+        # apart, so the median sees at most one burst-contaminated run
+        t0 = time.perf_counter()
+        out = fn()
+        cold = time.perf_counter() - t0
+        timings_cold[name] = round(cold, 3)
+        leg_samples[name] = [round(cold, 3)]
+        timings[name] = round(cold, 3)  # provisional until the sweeps
+        _deferred.append((name, fn))
         return out
+
+    def _run_deferred_sweeps() -> None:
+        for _ in range(leg_runs_n - 1):
+            for name, fn in _deferred:
+                t0 = time.perf_counter()
+                fn()
+                leg_samples[name].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+        for name, _fn in _deferred:
+            s = sorted(leg_samples[name])
+            timings[name] = round(s[len(s) // 2], 3)
 
     for name in HEADLINE:
         spec = _q.QUERIES[name]
@@ -788,6 +805,10 @@ def main() -> None:
             ).write.mode("overwrite").format("noop").save()
 
         _robust("warc_curation_pipeline", _warc_leg)
+        # every query/library leg is registered: run the interleaved
+        # repeat sweeps while the WARC corpus is still on disk, then
+        # finalize the per-leg medians
+        _run_deferred_sweeps()
         warc_sec = timings["warc_curation_pipeline"]
         warc_pipeline = {
             "records": warc_stats["records"],
@@ -797,6 +818,18 @@ def main() -> None:
         }
     finally:
         shutil.rmtree(warc_dir, ignore_errors=True)
+
+    # refresh the throughput figures with the finalized medians (their
+    # provisional values were computed from the cold runs)
+    media_pipeline["payloads_per_sec"] = round(
+        _n_media / timings["media_metadata_sweep"], 1
+    )
+    media_pipeline["pdf_docs_per_sec"] = round(
+        len(_doc_rows) / timings["pdf_text_extraction"], 1
+    )
+    media_pipeline["routed_docs_per_sec"] = round(
+        _n_mixed / timings["routed_intake_front_door"], 1
+    )
 
     # full-load replication throughput: lineitem → envelope encode → ordered
     # sink write (the engine's S1→K1 path), measured as rows/sec
