@@ -212,12 +212,13 @@ def _rand(seed: int, label: bytes, n: int) -> bytes:
 
 def write_encrypted_pdf(
     lines: list[str],
-    variant: str = "rc4-128",      # rc4-40 | rc4-128 | aes-128 |
-                                   # aes-256 | aes-256-r5
+    variant: str = "rc4-128",      # rc4-40 | rc4-128 | rc4-128-v4 |
+                                   # aes-128 | aes-256 | aes-256-r5
     user_pw: bytes = b"",
     owner_pw: bytes = b"fixture-owner",
     seed: int = 7,
     info_title: str | None = None,
+    strf_identity: bool = False,
 ) -> bytes:
     """A single-page encrypted PDF: Flate content stream + optional
     /Info /Title string, classic xref, /Encrypt as an indirect object
@@ -229,6 +230,8 @@ def write_encrypted_pdf(
         v, r, n, length = 1, 2, 5, 40
     elif variant == "rc4-128":
         v, r, n, length = 2, 3, 16, 128
+    elif variant == "rc4-128-v4":
+        v, r, n, length = 4, 4, 16, 128  # V4 crypt filter, /CFM /V2
     elif variant == "aes-128":
         v, r, n, length = 4, 4, 16, 128
     elif variant == "aes-256":
@@ -279,6 +282,8 @@ def write_encrypted_pdf(
         return rc4(objkey(num), data)
 
     def enc_str(num: int, s: bytes) -> bytes:
+        if strf_identity and v in (4, 5):
+            return b"<" + s.hex().encode() + b">"  # /StrF /Identity
         return b"<" + enc_bytes(num, s).hex().encode() + b">"
 
     content = b"BT /F1 12 Tf 72 720 Td " + b" 0 -14 Td ".join(
@@ -301,13 +306,15 @@ def write_encrypted_pdf(
         encd = (b"<< /Filter /Standard /V %d /R %d /Length %d "
                 b"/P %d " % (v, r, length, p - (1 << 32)))
         if v == 4:
+            strf = b"/Identity" if strf_identity else b"/StdCF"
             encd += (b"/CF << /StdCF << /CFM /%s /Length %d >> >> "
-                     b"/StmF /StdCF /StrF /StdCF "
-                     % (b"AESV2" if aes else b"V2", n))
+                     b"/StmF /StdCF /StrF " % (b"AESV2" if aes else b"V2", n)
+                     + strf + b" ")
     else:
+        strf = b"/Identity" if strf_identity else b"/StdCF"
         encd = (b"<< /Filter /Standard /V 5 /R %d /Length 256 /P %d "
                 b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
-                b"/StmF /StdCF /StrF /StdCF " % (r, p - (1 << 32)))
+                b"/StmF /StdCF /StrF " % (r, p - (1 << 32)) + strf + b" ")
     encd += (b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
              + b"> " + extra + b">>")
     objects[6] = encd

@@ -113,3 +113,31 @@ def test_encrypted_pdf_through_document_front_door(spark):
     out = {r.doc_id: r for r in extract_document_texts(df).collect()}
     assert "open one" in out[1].text and out[1].error is None
     assert out[2].text is None and "user password" in out[2].error
+
+
+def test_v4_rc4_crypt_filter_roundtrip():
+    """V4 with /CFM /V2 (RC4 routed through the crypt-filter layer —
+    distinct from plain V2): text and Info strings decrypt."""
+    blob = W.write_encrypted_pdf(
+        ["V4 rc4 body."], variant="rc4-128-v4", info_title="T4"
+    )
+    assert b"/CFM /V2" in blob
+    assert "V4 rc4 body." in P.pdf_text(blob)
+    doc = P.PdfDocument(blob)
+    assert doc.resolve(doc.trailer["Info"])["Title"] == b"T4"
+
+
+def test_strf_identity_leaves_strings_plaintext():
+    """/StrF /Identity: streams decrypt, strings pass through raw —
+    the reader must not 'decrypt' what was never encrypted."""
+    for variant in ("aes-128", "aes-256"):
+        blob = W.write_encrypted_pdf(
+            ["Identity strings."], variant=variant,
+            info_title="Plain Title", strf_identity=True,
+        )
+        assert b"/StrF /Identity" in blob
+        # genuinely unencrypted in the file (hex-string form)
+        assert b"Plain Title".hex().encode() in blob
+        assert "Identity strings." in P.pdf_text(blob)
+        doc = P.PdfDocument(blob)
+        assert doc.resolve(doc.trailer["Info"])["Title"] == b"Plain Title"
