@@ -2918,3 +2918,119 @@ def q_docx_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "format", "text", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "epub_text_extraction",
+    "Document front door #4 under the cross-engine hash gate: VALID "
+    "stored EPUB containers (mimetype + OCF container.xml + OPF spine + "
+    "one XHTML chapter) built per row in pure codegen — constant members "
+    "carry precomputed CRCs, the chapter's CRC/sizes/EOCD offset are "
+    "per-row columns via F.crc32 + hex/unhex little-endian byte swaps — "
+    "read back through the REAL OCF/OPF/XHTML chain "
+    "(sources/docformats.epub_text -> py_html_to_text); the oracle folds "
+    "the IDENTICAL html_to_text rule list over the same chapter markup",
+    oracle=f"""
+        WITH safe AS (
+          SELECT doc_id,
+                 substr(regexp_replace(text, '[&<>]|[^ -~]', ' ', 'g'),
+                        1, 120) AS t
+          FROM documents WHERE doc_id < 150
+        )
+        SELECT doc_id,
+               'epub' AS format,
+               {_duck_html_chain(
+                   "'<html><body><p>' || t || '</p></body></html>'"
+               )} AS text
+        FROM safe ORDER BY doc_id
+    """,
+    tags=("documents",),
+    extra=True,
+)
+def q_epub_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+    import zlib as _zlib
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        extract_document_texts,
+    )
+
+    def lfh(name: bytes, data: bytes) -> bytes:
+        return (b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0, 0, 0, 0)
+                + struct.pack("<IIIHH", _zlib.crc32(data), len(data),
+                              len(data), len(name), 0)
+                + name + data)
+
+    def cde(name: bytes, data: bytes, off: int) -> bytes:
+        return (b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)
+                + struct.pack("<IIIHHHHHII", _zlib.crc32(data), len(data),
+                              len(data), len(name), 0, 0, 0, 0, 0, off)
+                + name)
+
+    container = (
+        b'<container xmlns='
+        b'"urn:oasis:names:tc:opendocument:xmlns:container">'
+        b'<rootfiles><rootfile full-path="content.opf" '
+        b'media-type="application/oebps-package+xml"/></rootfiles>'
+        b"</container>"
+    )
+    opf = (
+        b'<package xmlns="http://www.idpf.org/2007/opf"><manifest>'
+        b'<item id="c0" href="c0.xhtml" '
+        b'media-type="application/xhtml+xml"/></manifest>'
+        b'<spine><itemref idref="c0"/></spine></package>'
+    )
+    members = [
+        (b"mimetype", b"application/epub+zip"),
+        (b"META-INF/container.xml", container),
+        (b"content.opf", opf),
+    ]
+    head = bytearray()
+    offs = []
+    for name, data in members:
+        offs.append(len(head))
+        head += lfh(name, data)
+    # chapter member: everything before the variable fields is constant
+    NAME4 = b"c0.xhtml"
+    PRE = b"<html><body><p>"
+    SUF = b"</p></body></html>"
+    off4 = len(head)
+    lfh4_pre = (bytes(head) + b"PK\x03\x04"
+                + struct.pack("<HHHHH", 20, 0, 0, 0, 0))
+    cd_fixed = b"".join(cde(n, d, o) for (n, d), o in zip(members, offs))
+    cd4_pre = b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)
+    cd4_post = (struct.pack("<HHHHH", len(NAME4), 0, 0, 0, 0)
+                + struct.pack("<II", 0, off4) + NAME4)
+    cd_size = len(cd_fixed) + 46 + len(NAME4)
+    eocd_pre = b"PK\x05\x06" + struct.pack("<HHHHI", 0, 0, 4, 4, cd_size)
+
+    def le32(col):
+        h = F.lpad(F.hex(col), 8, "0")
+        return F.unhex(F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        ))
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    t = F.substring(
+        F.regexp_replace(F.col("text"), "[&<>]|[^ -~]", " "), 1, 120
+    )
+    data4 = F.concat(F.lit(PRE), F.encode(t, "UTF-8"), F.lit(SUF))
+    l4 = F.length(data4).cast("bigint")
+    crc4 = le32(F.crc32(data4))
+    size4 = le32(l4)
+    cd_off = le32(l4 + F.lit(off4 + 30 + len(NAME4)))
+    blob = F.concat(
+        F.lit(lfh4_pre), crc4, size4, size4,
+        F.lit(struct.pack("<HH", len(NAME4), 0) + NAME4),
+        data4,
+        F.lit(cd_fixed),
+        F.lit(cd4_pre), crc4, size4, size4, F.lit(cd4_post),
+        F.lit(eocd_pre), cd_off, F.lit(struct.pack("<H", 0)),
+    )
+    media = docs.select("doc_id", blob.alias("content"))
+    return (
+        extract_document_texts(media)
+        .select("doc_id", "format", "text")
+        .orderBy("doc_id")
+    )
