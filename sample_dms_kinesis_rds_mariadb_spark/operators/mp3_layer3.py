@@ -577,6 +577,22 @@ def requantize(ix: np.ndarray, g: dict, sf: dict,
         sfbl = SFB_LONG[sample_rate]
         first_short = 3 if g["mixed_block_flag"] else 0
         if g["mixed_block_flag"]:
+            if sample_rate == 8000:
+                # At 8 kHz the long bands are 12 lines wide (boundary at
+                # band 3, not 6) and NO short band edge lands on line 12,
+                # so the 36-line mixed split does not align with the
+                # short-band table at all — the ISO 13818-3 layout is
+                # ambiguous here (reference decoders disagree; libmad's
+                # own table carries a "probably wrong" note). Decoding
+                # with the 6-band assumption scales lines 36-71 with
+                # long-block gains while the reorder treats them as short
+                # windows: silently wrong samples. Documented boundary,
+                # per the no-silent-garble policy.
+                raise NotImplementedError(
+                    "8 kHz MPEG-2.5 mixed blocks: the 36-line mixed-block "
+                    "boundary does not align with the 8 kHz scalefactor "
+                    "band tables (documented boundary)"
+                )
             # long region (lines 0-35) of a mixed block: 8 long sfbs in
             # MPEG-1 (widths 4..6), 6 in LSF (uniform width 6)
             n_long = 6 if sample_rate in LSF_RATES else 8

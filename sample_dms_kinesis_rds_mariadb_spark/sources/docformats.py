@@ -424,6 +424,11 @@ def route_document_texts(
         F.ltrim(head).startswith("%PDF-")
         | head.startswith("PK")
         | head.startswith("{\\rtf")
+        # NULL payloads: the startswith predicates evaluate to NULL, which
+        # both filter(is_doc) and filter(~is_doc) would drop — a silent row
+        # loss. Route NULL to the doc branch so it becomes an error row
+        # (None -> b'' -> raise), the extract_document_texts gate contract.
+        | F.col(content_col).isNull()
     )
 
     text = html_to_text(F.decode(F.col(content_col), "UTF-8"))

@@ -25,8 +25,11 @@ The AES block cipher is implemented HERE, from FIPS-197 first
 principles, vectorized with numpy across blocks: CBC *decryption*
 parallelizes (each plaintext block = InvCipher(ct_i) XOR ct_{i-1}),
 so a whole stream decrypts as one (N, 16) array pass — no per-block
-Python loop on the hot path. GF(2^8) multiplication tables are
-computed at import, not pasted.
+Python loop on the AES hot path. GF(2^8) multiplication tables are
+computed at import, not pasted. RC4 is the exception: its keystream is
+a strict sequential dependence that cannot vectorize (only the final
+XOR does) — a known few-MB/s-per-core bound confined to legacy
+pre-2008 PDFs.
 
 Scale: runs per-row inside the same Arrow ``mapInPandas`` pass as the
 rest of the PDF reader; a wrong or non-empty password is a precise
@@ -51,20 +54,30 @@ class PdfCryptoError(Exception):
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 PRGA is a strict sequential dependence (each swap feeds the
+    next index), so unlike the AES path below the keystream CANNOT be
+    numpy-vectorized; only the final XOR is. Known cost bound: a few
+    MB/s per core inside the Arrow pass — acceptable because RC4 PDFs
+    are legacy (pre-2008) and their streams are small; AES carries the
+    modern crawl share on the vectorized path."""
     s = list(range(256))
     j = 0
     klen = len(key)
     for i in range(256):
         j = (j + s[i] + key[i % klen]) & 0xFF
         s[i], s[j] = s[j], s[i]
-    out = bytearray(len(data))
+    n = len(data)
+    ks = bytearray(n)
     i = j = 0
-    for k, c in enumerate(data):
+    for k in range(n):
         i = (i + 1) & 0xFF
         j = (j + s[i]) & 0xFF
         s[i], s[j] = s[j], s[i]
-        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
-    return bytes(out)
+        ks[k] = s[(s[i] + s[j]) & 0xFF]
+    return (
+        np.frombuffer(data, dtype=np.uint8)
+        ^ np.frombuffer(ks, dtype=np.uint8)
+    ).tobytes()
 
 
 # --------------------------------------------------------------------------
@@ -313,15 +326,26 @@ class StandardSecurityHandler:
 
             def _cfm(name):
                 if name == "Identity":
-                    return "Identity"
+                    return "Identity", None
                 d = res(cf.get(name)) or {}
-                return res(d.get("CFM", "None"))
+                return res(d.get("CFM", "None")), d.get("Length")
 
-            self._stream_cfm = _cfm(stmf)
-            self._string_cfm = _cfm(strf)
+            self._stream_cfm, stm_len = _cfm(stmf)
+            self._string_cfm, str_len = _cfm(strf)
             for m in (self._stream_cfm, self._string_cfm):
                 if m not in ("Identity", "V2", "AESV2", "AESV3"):
                     raise PdfCryptoError(f"crypt filter method {m}")
+            # §7.6.5: the per-crypt-filter /Length (spec says bytes, but
+            # many producers write bits — accept either: a value >= 40
+            # can only be bits, since keys are 5..16 bytes) overrides the
+            # top-level /Length for the file-key size. A V4 /V2 file
+            # carrying 16 only here would otherwise derive a 5-byte RC4
+            # key and garble silently (RC4 has no integrity check beyond
+            # the /U password verification).
+            cf_len = stm_len if stm_len is not None else str_len
+            if v == 4 and cf_len is not None:
+                cf_len = int(res(cf_len))
+                length_bits = cf_len if cf_len >= 40 else cf_len * 8
 
         if v in (1, 2) or (v == 4):
             n = 5 if v == 1 else max(5, min(16, length_bits // 8))

@@ -219,6 +219,7 @@ def write_encrypted_pdf(
     seed: int = 7,
     info_title: str | None = None,
     strf_identity: bool = False,
+    declared_length_bits: int | None = None,
 ) -> bytes:
     """A single-page encrypted PDF: Flate content stream + optional
     /Info /Title string, classic xref, /Encrypt as an indirect object
@@ -303,8 +304,12 @@ def write_encrypted_pdf(
         5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     }
     if v < 5:
+        # declared_length_bits lets a test write a V4 file whose real key
+        # size lives ONLY in the crypt filter's /Length (a shape real
+        # producers emit); derivation above still uses the true n.
+        decl = declared_length_bits if declared_length_bits else length
         encd = (b"<< /Filter /Standard /V %d /R %d /Length %d "
-                b"/P %d " % (v, r, length, p - (1 << 32)))
+                b"/P %d " % (v, r, decl, p - (1 << 32)))
         if v == 4:
             strf = b"/Identity" if strf_identity else b"/StdCF"
             encd += (b"/CF << /StdCF << /CFM /%s /Length %d >> >> "

@@ -78,6 +78,21 @@ def test_route_document_texts_mixed(spark):
     assert all(r.origin == "web" for r in rows.values())
 
 
+def test_route_document_texts_null_payload_is_error_row(spark):
+    """A NULL content payload must NOT be silently dropped (the sniff
+    predicate evaluates to NULL, excluding the row from BOTH branches
+    unless routed explicitly) — it becomes an error row, the
+    extract_document_texts gate contract."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"<html><p>ok page</p></html>")), (2, None)],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in route_document_texts(df).collect()}
+    assert len(rows) == 2
+    assert rows[1].format == "html" and "ok page" in rows[1].text
+    assert rows[2].text is None and rows[2].error is not None
+
+
 def test_curate_binary_intake_matches_manual_compose(spark):
     docs = spark.createDataFrame(
         [(i, bytearray(c)) for i, c, _ in _mixed_payloads()],

@@ -782,6 +782,23 @@ def test_lsf_intensity_stereo_raises():
         L3.decode_mp3_samples(bytes(blob))
 
 
+def test_lsf_8khz_mixed_block_raises():
+    """8 kHz MPEG-2.5 mixed blocks: no short-band edge lands on line 12
+    and the long bands are 12 lines wide, so the 36-line mixed split
+    does not align with the 8 kHz band tables — decoding with the
+    6-band LSF assumption would emit silently wrong samples for lines
+    36-71. Documented boundary: a precise raise, never garble."""
+    g = {"block_type": 2, "mixed_block_flag": 1, "scalefac_scale": 0,
+         "global_gain": 210, "subblock_gain": [0, 0, 0], "preflag": 0}
+    sf = {"l": [0] * 22, "s": [[0, 0, 0] for _ in range(13)]}
+    ix = np.zeros(576)
+    with pytest.raises(NotImplementedError, match="8 kHz.*mixed"):
+        L3.requantize(ix, g, sf, 8000)
+    # every other LSF rate still takes the 6-band mixed path
+    for rate in (22050, 24000, 16000, 11025, 12000):
+        assert L3.requantize(ix, g, sf, rate).shape == (576,)
+
+
 def test_lsf_sfb_tables_are_structurally_valid():
     """Every LSF band table: strictly increasing, correct entry count,
     correct endpoint — plus the cross-version invariant that the mixed

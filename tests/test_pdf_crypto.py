@@ -127,6 +127,21 @@ def test_v4_rc4_crypt_filter_roundtrip():
     assert doc.resolve(doc.trailer["Info"])["Title"] == b"T4"
 
 
+def test_v4_cf_length_overrides_top_level_length():
+    """§7.6.5: a V4 /V2 file can carry its real key size ONLY in the
+    crypt filter's /Length (bytes) while the top-level /Length says 40.
+    Deriving 5-byte keys from the top-level value would fail the /U
+    check (or, worse, garble RC4 output silently); the CF value wins."""
+    blob = W.write_encrypted_pdf(
+        ["CF length body."], variant="rc4-128-v4",
+        info_title="CFLen", declared_length_bits=40,
+    )
+    assert b"/Length 40" in blob and b"/Length 16" in blob
+    assert "CF length body." in P.pdf_text(blob)
+    doc = P.PdfDocument(blob)
+    assert doc.resolve(doc.trailer["Info"])["Title"] == b"CFLen"
+
+
 def test_strf_identity_leaves_strings_plaintext():
     """/StrF /Identity: streams decrypt, strings pass through raw —
     the reader must not 'decrypt' what was never encrypted."""
