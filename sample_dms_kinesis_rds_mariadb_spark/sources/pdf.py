@@ -520,8 +520,50 @@ def parse_tounicode(cmap_bytes: bytes) -> tuple[dict[int, str], int]:
     return out, nbytes
 
 
+# Adobe's predefined CJK CMaps (ISO 32000-1 §9.7.5.2, the public CMap
+# registry for Adobe-GB1/CNS1/Japan1/Korea1/KR): the -H/-V suffix is
+# writing mode only; what matters for TEXT is the code space. Two
+# classes, both decodable deterministically and CORRECTLY:
+#  * Uni<R>-UCS2 / Uni<R>-UTF16 CMaps map UNICODE code values to CIDs —
+#    the show-string bytes ARE UTF-16BE text, so decoding them as
+#    UTF-16BE recovers the exact original text (no font data needed);
+#  * the legacy CMaps use the named national charset as the code space
+#    (EUC-CN/GBK/GB18030, Big5, Shift-JIS/EUC-JP, EUC-KR/UHC), all of
+#    which the stdlib codecs decode exactly.
+_PREDEFINED_CMAPS = {
+    # Adobe-GB1 (Simplified Chinese)
+    "UniGB-UCS2": "utf-16-be", "UniGB-UTF16": "utf-16-be",
+    "GB-EUC": "gb2312", "GBpc-EUC": "gb2312",
+    "GBK-EUC": "gbk", "GBKp-EUC": "gbk", "GBK2K": "gb18030",
+    "UniGB-UTF8": "utf-8",
+    # Adobe-CNS1 (Traditional Chinese)
+    "UniCNS-UCS2": "utf-16-be", "UniCNS-UTF16": "utf-16-be",
+    "B5pc": "big5", "ETen-B5": "big5", "ETenms-B5": "big5",
+    "HKscs-B5": "big5hkscs", "UniCNS-UTF8": "utf-8",
+    # Adobe-Japan1
+    "UniJIS-UCS2": "utf-16-be", "UniJIS-UCS2-HW": "utf-16-be",
+    "UniJIS-UTF16": "utf-16-be", "UniJIS-UTF8": "utf-8",
+    "90ms-RKSJ": "cp932", "90msp-RKSJ": "cp932", "90pv-RKSJ": "cp932",
+    "Ext-RKSJ": "cp932", "Add-RKSJ": "cp932", "EUC": "euc_jp",
+    # Adobe-Korea1 / Adobe-KR
+    "UniKS-UCS2": "utf-16-be", "UniKS-UTF16": "utf-16-be",
+    "UniKS-UTF8": "utf-8",
+    "KSC-EUC": "euc_kr", "KSCms-UHC": "cp949", "KSCms-UHC-HW": "cp949",
+    "KSCpc-EUC": "euc_kr",
+}
+
+
+def predefined_cmap_codec(encoding: str) -> str | None:
+    """stdlib codec name for a predefined CMap /Encoding name, or None
+    when the CMap is outside the registry above."""
+    base = encoding
+    if base.endswith(("-H", "-V")):
+        base = base[:-2]
+    return _PREDEFINED_CMAPS.get(base)
+
+
 def _decode_text(
-    raw: bytes, font: tuple[dict[int, str], int] | str | None
+    raw: bytes, font: tuple | str | None
 ) -> str:
     if font is None:
         if raw[:2] == b"\xfe\xff":
@@ -544,6 +586,19 @@ def _decode_text(
             if 0x20 <= cid < 0xD800 or 0xE000 <= cid <= 0xFFFD:
                 out.append(chr(cid))
         return "".join(out)
+    if isinstance(font, tuple) and font[0] == "charset":
+        # predefined CJK CMap without /ToUnicode: the CMap's code space
+        # is a known charset (see _PREDEFINED_CMAPS) — decode it with
+        # the matching codec; invalid sequences surface as U+FFFD
+        # (visible), never as plausible Latin-1 mojibake.
+        return raw.decode(font[1], errors="replace")
+    if isinstance(font, tuple) and font[0] == "type0-unknown":
+        raise NotImplementedError(
+            f"Type0 font with predefined CMap /{font[1]} and no "
+            "/ToUnicode is outside the supported CMap registry "
+            "(documented boundary — a Latin-1 fallback would be "
+            "wrong-but-plausible mojibake)"
+        )
     cmap, nbytes = font
     out = []
     for i in range(0, len(raw) - (nbytes - 1), nbytes):
@@ -1016,14 +1071,21 @@ class PdfDocument:
                     cmap = parse_tounicode(
                         decode_stream(tu, self.resolve)
                     )
-                elif (
-                    self.resolve(font.get("Subtype")) == "Type0"
-                    and self.resolve(font.get("Encoding"))
-                    in ("Identity-H", "Identity-V")
-                ):
+                elif self.resolve(font.get("Subtype")) == "Type0":
                     # predefined-CMap Type0 without ToUnicode: the
-                    # deterministic CID policy (see _decode_text)
-                    cmap = "identity-cid"
+                    # deterministic policies (see _decode_text) —
+                    # Identity → own-codepoint CIDs; registered CJK
+                    # CMaps → exact charset decode; anything else → a
+                    # precise raise instead of Latin-1 mojibake
+                    enc = self.resolve(font.get("Encoding"))
+                    if enc in ("Identity-H", "Identity-V"):
+                        cmap = "identity-cid"
+                    elif isinstance(enc, str):
+                        codec = predefined_cmap_codec(enc)
+                        cmap = (
+                            ("charset", codec) if codec
+                            else ("type0-unknown", enc)
+                        )
             fonts[name] = cmap
         return fonts
 

@@ -158,6 +158,7 @@ def write_pdf(
     wrong_length: bool = False,
     form_xobject: bool = False,
     hybrid: bool = False,
+    type0_encoding: str | None = None,
 ) -> bytes:
     """Assemble a complete PDF around the given per-page content
     streams. ``objstm`` packs the non-stream objects into a /Type
@@ -252,6 +253,13 @@ def write_pdf(
             + b"\nendstream"
         )
         stream_objs.add(font_num + 1)
+    elif type0_encoding:
+        # a Type0 CID font using a predefined CMap, NO /ToUnicode — the
+        # CJK-export shape whose text policy pdf.py documents
+        objects[font_num] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            b"/Encoding /" + type0_encoding.encode("ascii") + b" >>"
+        )
     else:
         objects[font_num] = (
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"

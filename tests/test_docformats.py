@@ -722,3 +722,44 @@ def test_pdf_identity_h_without_tounicode_policy():
     patched2 = blob2.replace(old, new)
     t2 = P.pdf_text(patched2)
     assert "Hi!" in t2 and "�" not in t2
+
+
+def test_pdf_predefined_cjk_cmaps_decode_exactly():
+    """Type0 fonts with predefined CJK CMaps and NO /ToUnicode (the
+    common CJK-export shape): the Uni* CMaps' code values ARE Unicode
+    (UTF-16BE show strings), the legacy CMaps' code space is the named
+    national charset — both decode to the EXACT original text, ending
+    the Latin-1 mojibake fallback for this class."""
+    cases = [
+        ("UniGB-UCS2-H", "utf-16-be", "简体中文测试。"),
+        ("UniJIS-UCS2-HW-V", "utf-16-be", "日本語のテスト。"),
+        ("UniKS-UTF16-H", "utf-16-be", "한국어 시험."),
+        ("UniCNS-UCS2-H", "utf-16-be", "繁體中文測試。"),
+        ("GBK-EUC-H", "gbk", "简体中文测试。"),
+        ("90ms-RKSJ-H", "cp932", "日本語のテスト。"),
+        ("KSC-EUC-H", "euc_kr", "한국어 시험."),
+        ("B5pc-H", "big5", "繁體中文測試。"),
+        ("GBK2K-H", "gb18030", "简体中文测试。"),
+    ]
+    for enc_name, codec, text in cases:
+        blob = write_pdf(
+            [text_content([text], hex_strings=True,
+                          encode=lambda s, c=codec: s.encode(c))],
+            type0_encoding=enc_name,
+        )
+        out = P.pdf_text(blob)
+        assert text in out, (enc_name, out)
+        assert "�" not in out, enc_name
+
+
+def test_pdf_unknown_predefined_cmap_raises():
+    """A Type0 font whose predefined CMap is OUTSIDE the registry must
+    raise precisely (error row upstream), never emit Latin-1 mojibake
+    of multi-byte code values."""
+    blob = write_pdf(
+        [text_content(["opaque"], hex_strings=True,
+                      encode=lambda s: s.encode("utf-16-be"))],
+        type0_encoding="Kanji-Custom-H",
+    )
+    with pytest.raises(NotImplementedError, match="Kanji-Custom-H"):
+        P.pdf_text(blob)
