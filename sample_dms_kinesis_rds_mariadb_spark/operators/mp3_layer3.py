@@ -31,17 +31,18 @@ Two HONEST BOUNDARIES, each raising with a precise message (the
   ``NotImplementedError`` naming the table id. Decoding with an
   unverifiable code table would produce silently-corrupt audio — worse
   than an honest raise for a curation pipeline.
-- **LSF Layer II** (the ISO 13818-3 allocation table is outside the
-  verified set), **mixed-block intensity stereo**, and **LSF intensity
-  stereo** (the MPEG-2 intensity scalefac_compress layout) raise;
-  MPEG-1 MS/LR stereo, long- and short-block intensity stereo, and
-  mixed blocks decode for real.
+- **mixed-block intensity stereo**, **LSF intensity stereo** (the
+  MPEG-2 intensity scalefac_compress layout), and **8 kHz MPEG-2.5
+  mixed blocks** (the 36-line mixed split does not align with the
+  8 kHz band tables) raise; MPEG-1 MS/LR stereo, long- and short-block
+  intensity stereo, and mixed blocks decode for real.
 
-MPEG-1 LAYER II (r11) decodes for real — the Table B.2a-d allocation
-tables with the per-channel-bitrate selection rule, grouped (3/5/9
-level) triplet codes, scfsi scalefactor sharing (all four modes), and
-the shared-allocation joint-stereo bound — over the same polyphase
-bank as Layers I/III.
+LAYER II decodes for real at EVERY version — MPEG-1 (r11: the Table
+B.2a-d allocation tables with the per-channel-bitrate selection rule,
+grouped 3/5/9-level triplet codes, scfsi scalefactor sharing, the
+shared-allocation joint-stereo bound) and MPEG-2/2.5 LSF (r12: the
+single ISO 13818-3 Table B.1 allocation layout, all six LSF rates) —
+over the same polyphase bank as Layers I/III.
 
 MPEG-2 / 2.5 LSF Layer III (r11) also decodes for real — ONE granule
 per frame, 8-bit main_data_begin, no scfsi, the 9-bit
@@ -914,14 +915,32 @@ _L2_C0 = (5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
           16383, 32767)
 _L2_C1 = (5, 7, 9, 15, 31, 63, 127)
 
+# LSF Layer II (ISO 13818-3 Table B.1): ONE allocation table for every
+# MPEG-2/2.5 rate and bitrate — 30 subbands, grouped classes reaching
+# higher into the table (3/5/9 available everywhere) for the
+# low-bitrate operating points LSF exists for.
+_L2_D0 = (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+          16383, 32767)
+_L2_D1 = (3, 5, 9, 15, 31, 63, 127)
+_L2_D2 = (3, 5, 9)
+
 _L2_GROUPED = {3: (5, 2), 5: (7, 3), 9: (10, 4)}  # levels → (code bits, nb)
 
 
 def _l2_layout(sample_rate: int, bitrate_kbps: int,
-               channels: int) -> tuple[int, list]:
+               channels: int, lsf: bool = False) -> tuple[int, list]:
     """(sblimit, per-subband (nbal, classes)) — the Table B.2 selection
     rule: per-channel bitrate ≤ 48 kbps → B.2c (B.2d at 32 kHz);
-    48 kHz otherwise always B.2a; 56-80 kbps/ch → B.2a; 96+ → B.2b."""
+    48 kHz otherwise always B.2a; 56-80 kbps/ch → B.2a; 96+ → B.2b.
+    LSF ignores rate/bitrate entirely: always Table B.1."""
+    if lsf:
+        groups = [(4, _L2_D0, 4), (3, _L2_D1, 11), (2, _L2_D2, 30)]
+        per_sb = []
+        start = 0
+        for nbal, classes, upto in groups:
+            per_sb.extend([(nbal, classes)] * (upto - start))
+            start = upto
+        return len(per_sb), per_sb
     bpc = bitrate_kbps / channels
     if bpc <= 48:
         if sample_rate == 32000:
@@ -962,7 +981,8 @@ def _decode_l2_frame(h: dict, frame: bytes) -> np.ndarray:
     mode_bits = (frame[3] >> 6) & 0b11
     joint = mode_bits == 0b01
     sblimit, per_sb = _l2_layout(
-        h["sample_rate"], h["bitrate_kbps"], channels
+        h["sample_rate"], h["bitrate_kbps"], channels,
+        lsf=h["version"] != "1",
     )
     bound = min(4 * (((frame[3] >> 4) & 0b11) + 1), sblimit) \
         if joint else sblimit
@@ -1056,12 +1076,6 @@ def _decode_layer2(frames) -> tuple[int, int, np.ndarray]:
     for h, frame in frames:
         if h["layer"] != 2:
             raise ValueError("mixed-layer MPEG audio stream")
-        if h["version"] != "1":
-            raise NotImplementedError(
-                "LSF (MPEG-2/2.5) Layer II uses the 13818-3 allocation "
-                "table outside the verified set — a documented boundary; "
-                "MPEG-1 Layer II decodes for real"
-            )
         if sample_rate is None:
             sample_rate = h["sample_rate"]
             channels = h["channels"]

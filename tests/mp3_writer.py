@@ -980,14 +980,27 @@ _W2_A3 = (3, 5, 65535)
 _W2_C0 = (5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
           16383, 32767)
 _W2_C1 = (5, 7, 9, 15, 31, 63, 127)
+# LSF (ISO 13818-3 Table B.1), write direction — one table, all rates
+_W2_D0 = (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+          16383, 32767)
+_W2_D1 = (3, 5, 9, 15, 31, 63, 127)
+_W2_D2 = (3, 5, 9)
 _W2_GROUP_BITS = {3: 5, 5: 7, 9: 10}
 _W2_NB = {3: 2, 5: 3, 9: 4}
 _BR_IDX_L2 = {32: 1, 48: 2, 56: 3, 64: 4, 80: 5, 96: 6, 112: 7,
               128: 8, 160: 9, 192: 10, 224: 11, 256: 12, 320: 13,
               384: 14}
+_BR_IDX_L2_LSF = {8: 1, 16: 2, 24: 3, 32: 4, 40: 5, 48: 6, 56: 7,
+                  64: 8, 80: 9, 96: 10, 112: 11, 128: 12, 144: 13,
+                  160: 14}
 
 
-def _w2_layout(sample_rate: int, bitrate: int, channels: int):
+def _w2_layout(sample_rate: int, bitrate: int, channels: int,
+               lsf: bool = False):
+    if lsf:
+        per_sb = ([(4, _W2_D0)] * 4 + [(3, _W2_D1)] * 7
+                  + [(2, _W2_D2)] * 19)
+        return len(per_sb), per_sb
     bpc = bitrate / channels
     if bpc <= 48:
         if sample_rate == 32000:
@@ -1017,17 +1030,30 @@ def write_mp2(
     levels — with an ungrouped one across active subbands when
     ``grouped_bands``), scfsi cycling through all four sharing modes,
     per-part scalefactors, and grouped triplet / per-sample midtread
-    codes. CBR at ``bitrate`` kbps; raises on frame overflow."""
-    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
-    sblimit, per_sb = _w2_layout(sample_rate, bitrate, channels)
+    codes. CBR at ``bitrate`` kbps; raises on frame overflow. LSF
+    (MPEG-2 22.05/24/16 kHz, MPEG-2.5 11.025/12/8 kHz — the sample
+    rate implies the version for Layer II) switches to the single
+    ISO 13818-3 Table B.1 allocation layout and the LSF bitrate row;
+    everything else (scfsi, scalefactors, grouped codes, 1152-sample
+    frames) is version-identical."""
+    version = {44100: "1", 48000: "1", 32000: "1",
+               22050: "2", 24000: "2", 16000: "2",
+               11025: "2.5", 12000: "2.5", 8000: "2.5"}[sample_rate]
+    sr_idx = {44100: 0, 48000: 1, 32000: 2,
+              22050: 0, 24000: 1, 16000: 2,
+              11025: 0, 12000: 1, 8000: 2}[sample_rate]
+    lsf = version != "1"
+    sblimit, per_sb = _w2_layout(sample_rate, bitrate, channels, lsf=lsf)
     x = np.asarray(pcm, dtype=np.float64) / 32768.0
     chans = [x[0::2], x[1::2]] if channels == 2 else [x]
     subs = [analyze_subbands(c) for c in chans]
     n_frames = -(-subs[0].shape[0] // 36)
     frame_len = 144 * (bitrate * 1000) // sample_rate  # padding bit 0
     mode_byte = 0xC0 if channels == 1 else 0x00
-    hdr = bytes([0xFF, 0xFD, (_BR_IDX_L2[bitrate] << 4) | (sr_idx << 2),
-                 mode_byte])
+    vbits = {"1": 0b11, "2": 0b10, "2.5": 0b00}[version]
+    br_idx = (_BR_IDX_L2_LSF if lsf else _BR_IDX_L2)[bitrate]
+    hdr = bytes([0xFF, 0xE0 | (vbits << 3) | (0b10 << 1) | 1,
+                 (br_idx << 4) | (sr_idx << 2), mode_byte])
     out = bytearray()
     for f in range(n_frames):
         S = np.zeros((channels, 36, 32))

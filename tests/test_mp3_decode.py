@@ -993,17 +993,55 @@ def test_layer2_layout_selection():
     assert [per_sb[i][0] for i in (0, 3, 11, 23)] == [4, 4, 3, 2]
 
 
-def test_layer2_lsf_still_raises():
-    """MPEG-2 Layer II (the 13818-3 single allocation table) stays a
-    documented boundary."""
-    from sample_dms_kinesis_rds_mariadb_spark.operators.mp3 import (
-        parse_frame_header,
-    )
+def test_layer2_lsf_layout():
+    """ISO 13818-3 Table B.1 is ONE layout for every LSF rate/bitrate:
+    30 subbands, nbal 4/3/2 over the 4/7/19 groups, the grouped 3/5/9
+    classes available in EVERY subband (the low-bitrate design point),
+    and no 7-level or 65535-level classes anywhere."""
+    for rate in (22050, 24000, 16000, 11025, 12000, 8000):
+        for br in (8, 64, 160):
+            sbl, per_sb = L3._l2_layout(rate, br, 1, lsf=True)
+            assert sbl == 30
+            assert [per_sb[i][0] for i in (0, 3, 4, 10, 11, 29)] == \
+                [4, 4, 3, 3, 2, 2]
+            for _nbal, classes in per_sb:
+                assert classes[:3] == (3, 5, 9)
+                assert 7 not in classes and 65535 not in classes
+    # MPEG-1 selection unaffected
+    assert L3._l2_layout(44100, 192, 1)[0] == 30
 
-    # MPEG-2 (version bits 10), Layer II (10), no CRC, 32 kbps, 22.05 kHz
-    hdr = bytes([0xFF, 0xF5, (4 << 4) | (0 << 2), 0xC0])
-    h = parse_frame_header(hdr)
-    assert h["version"] == "2" and h["layer"] == 2
-    blob = hdr + b"\x00" * (h["frame_len"] - 4)
-    with pytest.raises(NotImplementedError, match="Layer II"):
-        L3.decode_mp3_samples(blob)
+
+def test_layer2_lsf_mono_roundtrip_all_six_rates():
+    """MPEG-2 and MPEG-2.5 Layer II (r12): the single Table B.1
+    allocation layout decodes within the distortion bound at every LSF
+    rate, from the independent encoder's write direction."""
+    from tests.mp3_writer import write_mp2
+
+    for rate, br in ((22050, 96), (24000, 96), (16000, 64),
+                     (11025, 48), (12000, 48), (8000, 32)):
+        n = max(rate // 2, 8000)  # keep the steady-state window non-empty
+        x = _l2_fixture(rate, n)
+        sr, ch, y = L3.decode_mp3_samples(write_mp2(x, rate, 1,
+                                                    bitrate=br))
+        assert (sr, ch) == (rate, 1)
+        assert len(y) % 1152 == 0
+        a = x[3000 : n - 2000]
+        b = y[3000 + 511 : n - 2000 + 511]
+        assert _snr(a, b) > 15.0, (rate, br)
+        assert abs(np.sqrt((b * b).mean()) /
+                   np.sqrt((a * a).mean()) - 1) < 0.1, (rate, br)
+
+
+def test_layer2_lsf_stereo_roundtrip():
+    from tests.mp3_writer import write_mp2
+
+    rate = 22050
+    n = rate // 2
+    left, right, inter = _l2_fixture(rate, n, stereo=True)
+    sr, ch, y = L3.decode_mp3_samples(write_mp2(inter, rate, 2,
+                                                bitrate=160))
+    assert (sr, ch) == (rate, 2)
+    for ref, got in ((left, y[0::2]), (right, y[1::2])):
+        a = ref[3000 : n - 2000]
+        b = got[3000 + 511 : n - 2000 + 511]
+        assert _snr(a, b) > 15.0
