@@ -585,22 +585,137 @@ def main() -> None:
         route_document_texts,
     )
 
-    _html_df = (
-        _lt(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") >= _n_pdf)
-        .select(
-            "doc_id",
-            F.encode(
-                F.concat(
-                    F.lit("<html><body><p>"),
-                    F.substring("text", 1, 400),
-                    F.lit("</p></body></html>"),
-                ),
-                "UTF-8",
-            ).alias("content"),
+    # r12 (VERDICT r11 item 8): the corpus carries EVERY front-door
+    # format — PDF + EPUB/DOCX/ODT (stored zips, same driver-loop build
+    # as _mini_pdf) + RTF (pure column ops) + HTML. The combined leg
+    # stays the cross-round currency; per-format docs/s are ONE-SHOT
+    # diagnostics recorded under media_pipeline.routed_per_format.
+    import io as _io
+    import zipfile as _zipfile
+
+    def _stored_zip(members) -> bytes:
+        buf = _io.BytesIO()
+        with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_STORED) as zf:
+            for n, d in members:
+                zf.writestr(n, d)
+        return buf.getvalue()
+
+    def _xml_safe(txt: str) -> str:
+        return "".join(
+            ch if " " <= ch <= "~" and ch not in "&<>" else " "
+            for ch in txt
         )
+
+    _EPUB_CONTAINER = (
+        '<container xmlns='
+        '"urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
     )
-    _mixed_df = _pdf_df.unionByName(_html_df).repartition(32)
+    _EPUB_OPF = (
+        '<package xmlns="http://www.idpf.org/2007/opf"><manifest>'
+        '<item id="c0" href="c0.xhtml" '
+        'media-type="application/xhtml+xml"/></manifest>'
+        '<spine><itemref idref="c0"/></spine></package>'
+    )
+
+    def _mini_epub(txt: str) -> bytes:
+        return _stored_zip([
+            ("mimetype", "application/epub+zip"),
+            ("META-INF/container.xml", _EPUB_CONTAINER),
+            ("content.opf", _EPUB_OPF),
+            ("c0.xhtml",
+             f"<html><body><p>{_xml_safe(txt)}</p></body></html>"),
+        ])
+
+    def _mini_docx(txt: str) -> bytes:
+        return _stored_zip([(
+            "word/document.xml",
+            '<?xml version="1.0"?><w:document xmlns:w="http://schemas.'
+            'openxmlformats.org/wordprocessingml/2006/main"><w:body>'
+            f'<w:p><w:r><w:t xml:space="preserve">{_xml_safe(txt)}'
+            "</w:t></w:r></w:p></w:body></w:document>",
+        )])
+
+    def _mini_odt(txt: str) -> bytes:
+        return _stored_zip([
+            ("mimetype", "application/vnd.oasis.opendocument.text"),
+            ("content.xml",
+             '<?xml version="1.0"?><office:document-content xmlns:office='
+             '"urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+             'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+             f"<office:body><office:text><text:p>{_xml_safe(txt)}"
+             "</text:p></office:text></office:body>"
+             "</office:document-content>"),
+        ])
+
+    _n_zipfmt = max(int(2000 * _sf_num), 40)
+    _zip_rows = (
+        _lt(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= _n_pdf)
+                & (F.col("doc_id") < _n_pdf + 3 * _n_zipfmt))
+        .select("doc_id", F.substring("text", 1, 300).alias("t"))
+        .collect()
+    )
+    _builders = (_mini_epub, _mini_docx, _mini_odt)
+    _zip_payloads = [
+        (int(r["doc_id"]),
+         bytearray(_builders[(int(r["doc_id"]) - _n_pdf) // _n_zipfmt](
+             r["t"] or "")))
+        for r in _zip_rows
+    ]
+    _fmt_dfs = {
+        "pdf": _pdf_df,
+        "epub": spark.createDataFrame(
+            _zip_payloads[:_n_zipfmt], "doc_id LONG, content BINARY"
+        ).repartition(32),
+        "docx": spark.createDataFrame(
+            _zip_payloads[_n_zipfmt:2 * _n_zipfmt],
+            "doc_id LONG, content BINARY",
+        ).repartition(32),
+        "odt": spark.createDataFrame(
+            _zip_payloads[2 * _n_zipfmt:], "doc_id LONG, content BINARY"
+        ).repartition(32),
+        "rtf": (
+            _lt(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") >= _n_pdf + 3 * _n_zipfmt)
+                    & (F.col("doc_id") < _n_pdf + 4 * _n_zipfmt))
+            .select(
+                "doc_id",
+                F.encode(
+                    F.concat(
+                        F.lit("{\\rtf1\\ansi "),
+                        F.regexp_replace(
+                            F.substring("text", 1, 300),
+                            "[\\\\{}]|[^ -~]", " "
+                        ),
+                        F.lit("\\par}"),
+                    ),
+                    "UTF-8",
+                ).alias("content"),
+            )
+        ),
+        "html": (
+            _lt(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") >= _n_pdf + 4 * _n_zipfmt)
+            .select(
+                "doc_id",
+                F.encode(
+                    F.concat(
+                        F.lit("<html><body><p>"),
+                        F.substring("text", 1, 400),
+                        F.lit("</p></body></html>"),
+                    ),
+                    "UTF-8",
+                ).alias("content"),
+            )
+        ),
+    }
+    _mixed_df = _fmt_dfs["pdf"]
+    for _k in ("epub", "docx", "odt", "rtf", "html"):
+        _mixed_df = _mixed_df.unionByName(_fmt_dfs[_k])
+    _mixed_df = _mixed_df.repartition(32)
     _n_mixed = _mixed_df.count()
     _robust(
         "routed_intake_front_door",
@@ -610,6 +725,17 @@ def main() -> None:
     media_pipeline["routed_docs_per_sec"] = round(
         _n_mixed / timings["routed_intake_front_door"], 1
     )
+    _per_fmt = {}
+    for _k, _df in _fmt_dfs.items():
+        _cnt = _df.count()
+        _t0 = time.perf_counter()
+        route_document_texts(_df).write.mode("overwrite").format(
+            "noop").save()
+        _per_fmt[_k] = {
+            "docs": _cnt,
+            "docs_per_sec": round(_cnt / (time.perf_counter() - _t0), 1),
+        }
+    media_pipeline["routed_per_format"] = _per_fmt
 
     # 9b) perceptual image dedup (r9): synthesized-but-REAL PPM payloads
     # from the documents table → real decode + dHash via Arrow mapInPandas
