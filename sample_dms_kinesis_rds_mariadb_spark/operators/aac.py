@@ -1,0 +1,795 @@
+"""AAC-LC decode machinery (ISO/IEC 13818-7 syntax + filterbank) with
+the spectral Huffman codebooks as the SINGLE remaining, demonstrated
+boundary.
+
+What is implemented FOR REAL, from the public spec's algorithms:
+raw_data_block element walk (SCE/CPE/LFE/DSE/FIL/END), ics_info with
+all four window sequences (ONLY_LONG, LONG_START, EIGHT_SHORT with
+scale_factor_grouping, LONG_STOP), section data (5/3-bit lengths with
+escapes), DPCM scalefactor decode, pulse data, TNS (coefficient
+dequant via the spec's sin() mapping, lattice-to-direct-form LPC, and
+the all-pole synthesis filter over the band range, both directions),
+M/S stereo for common-window CPEs, dequantization
+(sign·|q|^(4/3)·2^(0.25·(sf−100))), the IMDCT filterbank with sine and
+Kaiser–Bessel-derived windows (KBD computed from the Kaiser kernel,
+numpy ``i0`` — alpha 4 long / 6 short) and window-sequence
+overlap-add, and ADTS integration via :mod:`operators.adts`.
+
+THE BOUNDARY — spectral/scalefactor Huffman codebooks: the exact
+(length, codeword) pairs of 13818-7 Tables A.2-A.12 (~1,360 entries)
+could not be restated in this environment. The attempt is COMMITTED as
+`tools/aac_table_restatement.py`: best-effort recall of all 11 books
+fails the same complete-prefix-tree validation the shipped MP3 tables
+pass (collisions, prefix violations, Kraft sums 0.92-1.12), and no
+offline source exists here (no spec text, no codec library; network
+verified unreachable in-round). Shipping "repaired" tables would
+decode real streams to silently-wrong PCM — the one failure mode this
+repo's decoders categorically refuse.
+
+So the codebooks are INJECTED: :func:`decode_aac_samples` raises the
+precise boundary unless given a codebook set, and the test suite
+injects :func:`canonical_codebooks` — a deterministic, Kraft-exact-
+by-construction Huffman set over the spec's exact alphabet structure
+(dims, LAVs, signedness, book-11 escape semantics) — to parity-verify
+every stage around the tables against the independent spec-derived
+encoder in ``tests/aac_writer.py``. When a verifiable copy of the ISO
+tables becomes available, they drop into the same ``SpectralBook``
+slots and real-stream decode lights up with zero machinery work.
+
+At scale: one payload per row inside the same Arrow ``mapInPandas``
+media pass as MP3/FLAC/WAV; all per-frame math is numpy.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+
+from sample_dms_kinesis_rds_mariadb_spark.operators.adts import (
+    adts_frames,
+)
+from sample_dms_kinesis_rds_mariadb_spark.operators.mp3_layer3 import (
+    BitReader,
+)
+
+SF_OFFSET = 100
+
+# element ids (13818-7 Table 13)
+ID_SCE, ID_CPE, ID_CCE, ID_LFE, ID_DSE, ID_PCE, ID_FIL, ID_END = range(8)
+
+ONLY_LONG, LONG_START, EIGHT_SHORT, LONG_STOP = range(4)
+
+ZERO_HCB = 0
+ESC_HCB = 11
+NOISE_HCB = 13
+INTENSITY_HCB2 = 14
+INTENSITY_HCB = 15
+
+# --------------------------------------------------------------------------
+# scalefactor band tables — restated for the rates the machinery
+# supports; structurally validated in tests (strictly increasing,
+# multiples of 4, terminating exactly at 1024/128). Other rates raise.
+# --------------------------------------------------------------------------
+
+SWB_LONG_1024 = {
+    # 44.1/48 kHz share one long table (49 bands); 32 kHz uses it with
+    # an extended tail in the spec — the machinery maps it to the same
+    # partition (documented approximation, gated behind the injected-
+    # codebook path; real-stream decode raises earlier anyway).
+    48000: [0, 4, 8, 12, 16, 20, 24, 28, 32, 36, 40, 48, 56, 64, 72,
+            80, 88, 96, 108, 120, 132, 144, 160, 176, 196, 216, 240,
+            264, 292, 320, 352, 384, 416, 448, 480, 512, 544, 576,
+            608, 640, 672, 704, 736, 768, 800, 832, 864, 896, 928,
+            1024],
+}
+SWB_LONG_1024[44100] = SWB_LONG_1024[48000]
+SWB_LONG_1024[32000] = SWB_LONG_1024[48000]
+
+SWB_SHORT_128 = {
+    48000: [0, 4, 8, 12, 16, 20, 28, 36, 44, 56, 68, 80, 96, 112, 128],
+}
+SWB_SHORT_128[44100] = SWB_SHORT_128[48000]
+SWB_SHORT_128[32000] = SWB_SHORT_128[48000]
+
+
+# --------------------------------------------------------------------------
+# injected codebooks
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SpectralBook:
+    """One Huffman codebook: the spec's alphabet structure plus the
+    (length, code) pairs, whatever their provenance."""
+
+    dim: int
+    lav: int
+    signed: bool
+    escape: bool
+    lens: tuple
+    codes: tuple
+
+    def tree(self) -> dict:
+        return {
+            (ln, cd): i
+            for i, (ln, cd) in enumerate(zip(self.lens, self.codes))
+        }
+
+    def maxlen(self) -> int:
+        return max(self.lens)
+
+
+# the spec's book structure (13818-7 Table 7.1): dim, LAV, signed, esc
+BOOK_STRUCTURE = {
+    1: (4, 1, True, False),
+    2: (4, 1, True, False),
+    3: (4, 2, False, False),
+    4: (4, 2, False, False),
+    5: (2, 4, True, False),
+    6: (2, 4, True, False),
+    7: (2, 7, False, False),
+    8: (2, 7, False, False),
+    9: (2, 12, False, False),
+    10: (2, 12, False, False),
+    11: (2, 16, False, True),
+}
+
+
+def _huffman_lengths(weights: list[float]) -> list[int]:
+    """Code lengths from a Huffman construction (heap of (w, id));
+    deterministic for a fixed weight list."""
+    n = len(weights)
+    if n == 1:
+        return [1]
+    heap = [(w, i, None) for i, w in enumerate(weights)]
+    heapq.heapify(heap)
+    nodes: list[tuple] = []
+    counter = n
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        nodes.append((a, b))
+        heapq.heappush(heap, (a[0] + b[0], counter, len(nodes) - 1))
+        counter += 1
+    depths = [0] * n
+
+    def walk(entry, depth):
+        stack = [(entry, depth)]
+        while stack:
+            (w, idx, node), d = stack.pop()
+            if node is None:
+                depths[idx] = max(d, 1)
+            else:
+                a, b = nodes[node]
+                stack.append(((a[0], a[1], a[2] if len(a) > 2 else None),
+                              d + 1))
+                stack.append(((b[0], b[1], b[2] if len(b) > 2 else None),
+                              d + 1))
+    root = heap[0]
+    walk((root[0], root[1], root[2]), 0)
+    return depths
+
+
+def _canonical_codes(lens: list[int]) -> list[int]:
+    """Canonical code assignment: symbols sorted by (length, index)
+    receive increasing code values."""
+    order = sorted(range(len(lens)), key=lambda i: (lens[i], i))
+    codes = [0] * len(lens)
+    code = 0
+    prev = lens[order[0]]
+    for i in order:
+        code <<= lens[i] - prev
+        prev = lens[i]
+        codes[i] = code
+        code += 1
+    return codes
+
+
+def _book_symbols(dim: int, lav: int, signed: bool):
+    lo = -lav if signed else 0
+    vals = range(lo, lav + 1)
+
+    def rec(d):
+        if d == 0:
+            yield ()
+            return
+        for head in rec(d - 1):
+            for v in vals:
+                yield head + (v,)
+    return list(rec(dim))
+
+
+def canonical_codebooks() -> dict:
+    """A deterministic, Kraft-exact-by-construction codebook set over
+    the spec's EXACT alphabet structure — NOT the ISO tables (see the
+    module docstring). Weights follow the spectral-statistics shape the
+    spec's books encode (probability geometric in Σ|v|), so the decode
+    paths exercised (short/long codewords, sign bits, book-11 escapes)
+    match real-table behavior."""
+    books = {}
+    for bid, (dim, lav, signed, escape) in BOOK_STRUCTURE.items():
+        syms = _book_symbols(dim, lav, signed)
+        weights = [2.0 ** (-sum(abs(v) for v in t)) + 1e-9 for t in syms]
+        lens = _huffman_lengths(weights)
+        books[bid] = SpectralBook(
+            dim, lav, signed, escape, tuple(lens),
+            tuple(_canonical_codes(lens)),
+        )
+    # scalefactor book: 121 symbols for DPCM −60..+60
+    weights = [2.0 ** (-abs(i - 60) / 2.0) + 1e-9 for i in range(121)]
+    lens = _huffman_lengths(weights)
+    books["sf"] = SpectralBook(
+        1, 60, True, False, tuple(lens), tuple(_canonical_codes(lens)),
+    )
+    return books
+
+
+# --------------------------------------------------------------------------
+# bit-level decode helpers
+# --------------------------------------------------------------------------
+
+
+def _huff_decode(br: BitReader, tree: dict, maxlen: int) -> int:
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code << 1) | br.read1()
+        sym = tree.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("AAC Huffman walk fell off the code tree")
+
+
+def _decode_escape(br: BitReader) -> int:
+    n = 0
+    while br.read1():
+        n += 1
+        if n > 16:
+            raise ValueError("AAC escape prefix exceeds 16")
+    return (1 << (n + 4)) | br.read(n + 4)
+
+
+# --------------------------------------------------------------------------
+# syntax: ics_info / sections / scalefactors / pulse / TNS / spectrum
+# --------------------------------------------------------------------------
+
+
+def _swb_tables(sample_rate: int):
+    if sample_rate not in SWB_LONG_1024:
+        raise NotImplementedError(
+            f"AAC swb tables for {sample_rate} Hz are not restated "
+            "(machinery supports 32/44.1/48 kHz; documented boundary)"
+        )
+    return SWB_LONG_1024[sample_rate], SWB_SHORT_128[sample_rate]
+
+
+def parse_ics_info(br: BitReader, sample_rate: int) -> dict:
+    if br.read1():
+        raise ValueError("ics_reserved_bit must be 0")
+    seq = br.read(2)
+    shape = br.read1()
+    info = {"window_sequence": seq, "window_shape": shape}
+    long_swb, short_swb = _swb_tables(sample_rate)
+    if seq == EIGHT_SHORT:
+        info["max_sfb"] = br.read(4)
+        grouping = br.read(7)
+        # group lengths from the 7 grouping bits (bit set → window
+        # joins the previous group)
+        groups = [1]
+        for w in range(1, 8):
+            if (grouping >> (7 - w)) & 1:
+                groups[-1] += 1
+            else:
+                groups.append(1)
+        info["groups"] = groups
+        info["swb"] = short_swb
+        if info["max_sfb"] > len(short_swb) - 1:
+            raise ValueError("max_sfb exceeds the short swb table")
+    else:
+        info["max_sfb"] = br.read(6)
+        if br.read1():  # predictor_data_present
+            raise NotImplementedError(
+                "MAIN-profile prediction is outside AAC-LC"
+            )
+        info["groups"] = [1]
+        info["swb"] = long_swb
+        if info["max_sfb"] > len(long_swb) - 1:
+            raise ValueError("max_sfb exceeds the long swb table")
+    return info
+
+
+def parse_section_data(br: BitReader, info: dict) -> list:
+    """[(group, sfb_start, sfb_end, codebook), ...]"""
+    short = info["window_sequence"] == EIGHT_SHORT
+    bits = 3 if short else 5
+    esc = (1 << bits) - 1
+    out = []
+    for g in range(len(info["groups"])):
+        k = 0
+        while k < info["max_sfb"]:
+            cb = br.read(4)
+            length = 0
+            while True:
+                inc = br.read(bits)
+                length += inc
+                if inc != esc:
+                    break
+            if k + length > info["max_sfb"]:
+                raise ValueError("section data overruns max_sfb")
+            out.append((g, k, k + length, cb))
+            k += length
+    return out
+
+
+def parse_scale_factors(br: BitReader, info: dict, sections: list,
+                        global_gain: int, books: dict) -> dict:
+    """{(group, sfb): scalefactor} for active (non-zero-book) bands."""
+    sf_book = books["sf"]
+    tree, maxlen = sf_book.tree(), sf_book.maxlen()
+    out = {}
+    sf = global_gain
+    for g, lo, hi, cb in sections:
+        for sfb in range(lo, hi):
+            if cb == ZERO_HCB:
+                continue
+            if cb in (INTENSITY_HCB, INTENSITY_HCB2):
+                raise NotImplementedError(
+                    "AAC intensity stereo is a documented boundary"
+                )
+            if cb == NOISE_HCB:
+                raise NotImplementedError(
+                    "AAC PNS is a documented boundary"
+                )
+            sf += _huff_decode(br, tree, maxlen) - 60
+            if not 0 <= sf < 256:
+                raise ValueError("AAC scalefactor out of range")
+            out[(g, sfb)] = sf
+    return out
+
+
+def parse_pulse_data(br: BitReader) -> dict:
+    n = br.read(2) + 1
+    start_sfb = br.read(6)
+    offsets, amps = [], []
+    for _ in range(n):
+        offsets.append(br.read(5))
+        amps.append(br.read(4))
+    return {"start_sfb": start_sfb, "offsets": offsets, "amps": amps}
+
+
+def parse_tns_data(br: BitReader, info: dict) -> list:
+    short = info["window_sequence"] == EIGHT_SHORT
+    n_windows = 8 if short else 1
+    filt_bits = 1 if short else 2
+    len_bits = 4 if short else 6
+    order_bits = 3 if short else 5
+    out = []
+    for _w in range(n_windows):
+        n_filt = br.read(filt_bits)
+        coef_res = br.read(1) if n_filt else 0
+        filts = []
+        for _ in range(n_filt):
+            length = br.read(len_bits)
+            order = br.read(order_bits)
+            if order > 12:
+                raise ValueError("TNS order exceeds the LC limit (12)")
+            direction = compress = 0
+            coefs = []
+            if order:
+                direction = br.read1()
+                compress = br.read1()
+                nbits = coef_res + 3 - compress
+                coefs = [br.read(nbits) for _ in range(order)]
+            filts.append({
+                "length": length, "order": order,
+                "direction": direction, "compress": compress,
+                "coef_res": coef_res, "coefs": coefs,
+            })
+        out.append(filts)
+    return out
+
+
+def tns_lpc(filt: dict) -> np.ndarray:
+    """Dequantize TNS reflection coefficients (the spec's sin mapping)
+    and convert lattice → direct-form LPC."""
+    bits = filt["coef_res"] + 3 - filt["compress"]
+    half = 1 << (bits - 1)
+    iqfac = (half - 0.5) / (np.pi / 2.0)
+    iqfac_m = (half + 0.5) / (np.pi / 2.0)
+    refl = []
+    for q in filt["coefs"]:
+        v = q - (1 << bits) if q >= half else q  # two's complement
+        refl.append(np.sin(v / (iqfac if v >= 0 else iqfac_m)))
+    a = np.zeros(filt["order"] + 1)
+    a[0] = 1.0
+    for m in range(1, filt["order"] + 1):
+        k = refl[m - 1]
+        b = a[:m].copy()
+        for i in range(1, m):
+            b[i] += k * a[m - i]
+        a[:m] = b
+        a[m] = k
+    return a
+
+
+def tns_apply(spec: np.ndarray, filts: list, info: dict,
+              sample_rate: int) -> None:
+    """In-place all-pole TNS synthesis over each filter's band range —
+    the decoder direction (the encoder ran the FIR analysis filter)."""
+    swb = info["swb"]
+    n_lines = 128 if info["window_sequence"] == EIGHT_SHORT else 1024
+    n_windows = spec.shape[0]
+    for w in range(n_windows):
+        bottom = len(swb) - 1
+        for filt in (filts[w] if w < len(filts) else []):
+            top = bottom
+            bottom = max(top - filt["length"], 0)
+            if not filt["order"]:
+                continue
+            a = tns_lpc(filt)
+            start = min(swb[bottom], n_lines)
+            end = min(swb[min(top, info["max_sfb"])], n_lines)
+            if end <= start:
+                continue
+            seg = spec[w, start:end]
+            idx = range(len(seg)) if not filt["direction"] else \
+                range(len(seg) - 1, -1, -1)
+            step = 1 if not filt["direction"] else -1
+            for n in idx:
+                acc = seg[n]
+                for k in range(1, filt["order"] + 1):
+                    j = n - step * k
+                    if 0 <= j < len(seg):
+                        acc -= a[k] * seg[j]
+                seg[n] = acc
+            spec[w, start:end] = seg
+
+
+def parse_spectral_data(br: BitReader, info: dict, sections: list,
+                        books: dict) -> np.ndarray:
+    """Quantized coefficients, window-major (n_windows, 128|1024)."""
+    short = info["window_sequence"] == EIGHT_SHORT
+    n_lines = 128 if short else 1024
+    groups = info["groups"]
+    n_windows = sum(groups) if short else 1
+    swb = info["swb"]
+    # decode into group-major storage, then deinterleave
+    gbuf = [np.zeros(n_lines * g, dtype=np.int32) for g in groups]
+    for g, lo, hi, cb in sections:
+        if cb == ZERO_HCB or cb >= NOISE_HCB:
+            continue
+        if cb == 12 or cb not in books:
+            raise NotImplementedError(f"AAC codebook {cb} unavailable")
+        book = books[cb]
+        tree, maxlen = book.tree(), book.maxlen()
+        symbols = _book_symbols(book.dim, book.lav, book.signed)
+        width = groups[g]
+        for sfb in range(lo, hi):
+            band_lo, band_hi = swb[sfb], swb[sfb + 1]
+            n = (band_hi - band_lo) * width
+            base = band_lo * width
+            pos = 0
+            while pos < n:
+                sym = symbols[_huff_decode(br, tree, maxlen)]
+                vals = list(sym)
+                if not book.signed:
+                    for i, v in enumerate(vals):
+                        if v and br.read1():
+                            vals[i] = -v
+                if book.escape:
+                    for i, v in enumerate(vals):
+                        if abs(v) == 16:
+                            mag = _decode_escape(br)
+                            vals[i] = -mag if v < 0 else mag
+                gbuf[g][base + pos: base + pos + len(vals)] = vals
+                pos += len(vals)
+    out = np.zeros((n_windows, n_lines), dtype=np.int32)
+    if not short:
+        out[0] = gbuf[0]
+        return out
+    w0 = 0
+    for g, width in enumerate(groups):
+        # group storage: per sfb, the group's windows' lines contiguous
+        for sfb in range(len(swb) - 1):
+            band_lo, band_hi = swb[sfb], swb[sfb + 1]
+            bw = band_hi - band_lo
+            base = band_lo * width
+            for wi in range(width):
+                out[w0 + wi, band_lo:band_hi] = \
+                    gbuf[g][base + wi * bw: base + (wi + 1) * bw]
+        w0 += width
+    return out
+
+
+def apply_pulse(quant: np.ndarray, pulse: dict, info: dict) -> None:
+    if info["window_sequence"] == EIGHT_SHORT:
+        raise ValueError("pulse data is long-window only")
+    swb = info["swb"]
+    k = swb[min(pulse["start_sfb"], len(swb) - 1)]
+    for off, amp in zip(pulse["offsets"], pulse["amps"]):
+        k += off
+        if k >= quant.shape[1]:
+            raise ValueError("pulse position beyond spectrum")
+        v = quant[0, k]
+        quant[0, k] = v + amp if v >= 0 else v - amp
+
+
+def dequantize(quant: np.ndarray, info: dict, sfs: dict) -> np.ndarray:
+    """sign(q)·|q|^(4/3)·2^(0.25(sf−SF_OFFSET)) per scalefactor band."""
+    spec = np.sign(quant) * np.abs(quant).astype(np.float64) ** (4.0 / 3.0)
+    swb = info["swb"]
+    groups = info["groups"]
+    w0 = 0
+    for g, width in enumerate(groups):
+        for sfb in range(info["max_sfb"]):
+            sf = sfs.get((g, sfb))
+            if sf is None:
+                spec[w0:w0 + width, swb[sfb]:swb[sfb + 1]] = 0.0
+                continue
+            gain = 2.0 ** (0.25 * (sf - SF_OFFSET))
+            spec[w0:w0 + width, swb[sfb]:swb[sfb + 1]] *= gain
+        spec[w0:w0 + width, swb[info["max_sfb"]]:] = 0.0
+        w0 += width
+    return spec
+
+
+# --------------------------------------------------------------------------
+# filterbank: IMDCT + windows + sequence overlap-add
+# --------------------------------------------------------------------------
+
+_IMDCT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _imdct_matrix(n_half: int) -> np.ndarray:
+    if n_half not in _IMDCT_CACHE:
+        N = 2 * n_half
+        n0 = (n_half + 1) / 2.0
+        n = np.arange(N)[:, None]
+        k = np.arange(n_half)[None, :]
+        _IMDCT_CACHE[n_half] = (2.0 / N) * np.cos(
+            (2.0 * np.pi / N) * (n + n0) * (k + 0.5)
+        )
+    return _IMDCT_CACHE[n_half]
+
+
+def imdct(spec: np.ndarray) -> np.ndarray:
+    """(..., n_half) spectra → (..., 2*n_half) time aliases."""
+    return spec @ _imdct_matrix(spec.shape[-1]).T
+
+
+def sine_window(n: int) -> np.ndarray:
+    return np.sin(np.pi / n * (np.arange(n) + 0.5))
+
+
+def kbd_window(n: int, alpha: float) -> np.ndarray:
+    """Kaiser–Bessel-derived window of length n (n even): cumulative
+    Kaiser kernel, square-rooted — the 13818-7 filterbank window."""
+    half = n // 2
+    k = np.arange(half + 1)
+    kern = np.i0(np.pi * alpha * np.sqrt(
+        np.clip(1.0 - (2.0 * k / half - 1.0) ** 2, 0.0, None)
+    ))
+    cum = np.cumsum(kern)
+    left = np.sqrt(cum[:half] / cum[half])
+    return np.concatenate([left, left[::-1]])
+
+
+def _half_window(shape: int, n: int, rising: bool) -> np.ndarray:
+    alpha = 4.0 if n == 2048 else 6.0
+    w = kbd_window(n, alpha) if shape else sine_window(n)
+    return w[: n // 2] if rising else w[n // 2:]
+
+
+def filterbank(spec: np.ndarray, info: dict, prev_shape: int,
+               overlap: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One channel-frame of IMDCT + windowing + overlap-add: returns
+    (1024 output samples, new 1024-sample overlap tail)."""
+    seq = info["window_sequence"]
+    shape = info["window_shape"]
+    if seq == EIGHT_SHORT:
+        frame = np.zeros(2048)
+        rising = _half_window(prev_shape, 256, True)
+        falling = _half_window(shape, 256, False)
+        rise_cur = _half_window(shape, 256, True)
+        pos = 448
+        for w in range(8):
+            t = imdct(spec[w])
+            t[:128] *= rising if w == 0 else rise_cur
+            t[128:] *= falling
+            frame[pos:pos + 256] += t
+            pos += 128
+    else:
+        t = imdct(spec[0])
+        if seq == ONLY_LONG:
+            t[:1024] *= _half_window(prev_shape, 2048, True)
+            t[1024:] *= _half_window(shape, 2048, False)
+        elif seq == LONG_START:
+            t[:1024] *= _half_window(prev_shape, 2048, True)
+            t[1024:1472] *= 1.0
+            t[1472:1600] *= _half_window(shape, 256, False)
+            t[1600:] = 0.0
+        elif seq == LONG_STOP:
+            t[:448] = 0.0
+            t[448:576] *= _half_window(prev_shape, 256, True)
+            t[576:1024] *= 1.0
+            t[1024:] *= _half_window(shape, 2048, False)
+        else:
+            raise ValueError(f"window sequence {seq}")
+        frame = t
+    out = overlap + frame[:1024]
+    return out, frame[1024:].copy()
+
+
+# --------------------------------------------------------------------------
+# element / frame decode
+# --------------------------------------------------------------------------
+
+
+def _decode_ics(br: BitReader, sample_rate: int, books: dict,
+                common_info: dict | None = None) -> tuple[dict, np.ndarray]:
+    global_gain = br.read(8)
+    info = common_info or parse_ics_info(br, sample_rate)
+    sections = parse_section_data(br, info)
+    sfs = parse_scale_factors(br, info, sections, global_gain, books)
+    pulse = parse_pulse_data(br) if br.read1() else None
+    tns = parse_tns_data(br, info) if br.read1() else None
+    if br.read1():
+        raise NotImplementedError(
+            "gain_control (SSR) is outside AAC-LC"
+        )
+    quant = parse_spectral_data(br, info, sections, books)
+    if pulse:
+        apply_pulse(quant, pulse, info)
+    spec = dequantize(quant, info, sfs)
+    if tns:
+        tns_apply(spec, tns, info, sample_rate)
+    return info, spec
+
+
+class _ChannelState:
+    __slots__ = ("overlap", "prev_shape")
+
+    def __init__(self) -> None:
+        self.overlap = np.zeros(1024)
+        self.prev_shape = 0
+
+
+def decode_aac_samples(
+    content: bytes, codebooks: dict | None = None
+) -> tuple[int, int, np.ndarray]:
+    """(sample_rate, channels, float64 PCM in ±32768, interleaved).
+
+    Without ``codebooks`` this raises the module's documented boundary:
+    the ISO spectral tables are unavailable (see the module docstring
+    and tools/aac_table_restatement.py), and decoding a real stream
+    with substitute tables would be silent garble.
+    """
+    if codebooks is None:
+        raise NotImplementedError(
+            "AAC-LC sample decode: the ISO 13818-7 spectral Huffman "
+            "codebooks are not restatable in this environment — the "
+            "committed attempt (tools/aac_table_restatement.py) fails "
+            "complete-prefix-tree validation on every book. All "
+            "machinery around the tables is implemented and "
+            "parity-verified with injected codebooks (operators/aac.py)"
+        )
+    sample_rate = None
+    channels = None
+    states: list[_ChannelState] = []
+    pcm_chunks: list[np.ndarray] = []
+    n_frames = 0
+    for h, frame in adts_frames(content):
+        if h["profile"] != "lc":
+            raise NotImplementedError(
+                f"AAC profile {h['profile']} is outside LC"
+            )
+        if sample_rate is None:
+            sample_rate = h["sample_rate"]
+            channels = h["channels"]
+            states = [_ChannelState() for _ in range(max(channels, 2))]
+        br = BitReader(frame[h["header_len"]:])
+        outs: list[np.ndarray] = []
+        while True:
+            ele = br.read(3)
+            if ele == ID_END:
+                break
+            if ele == ID_SCE or ele == ID_LFE:
+                br.read(4)  # element_instance_tag
+                info, spec = _decode_ics(br, sample_rate, codebooks)
+                st = states[len(outs)]
+                out, st.overlap = filterbank(
+                    spec, info, st.prev_shape, st.overlap
+                )
+                st.prev_shape = info["window_shape"]
+                outs.append(out)
+            elif ele == ID_CPE:
+                br.read(4)
+                common = br.read1()
+                if common:
+                    info = parse_ics_info(br, sample_rate)
+                    ms_present = br.read(2)
+                    ms_used = None
+                    if ms_present == 1:
+                        ms_used = [
+                            [br.read1() for _ in range(info["max_sfb"])]
+                            for _g in range(len(info["groups"]))
+                        ]
+                    _, spec_l = _decode_ics(
+                        br, sample_rate, codebooks, common_info=info
+                    )
+                    info_r, spec_r = _decode_ics(
+                        br, sample_rate, codebooks, common_info=info
+                    )
+                    if ms_present:
+                        _apply_ms(spec_l, spec_r, info, ms_present,
+                                  ms_used)
+                else:
+                    info, spec_l = _decode_ics(br, sample_rate, codebooks)
+                    info_r, spec_r = _decode_ics(br, sample_rate,
+                                                 codebooks)
+                for ch, (inf, spec) in enumerate(
+                    ((info, spec_l), (info if common else info_r, spec_r))
+                ):
+                    st = states[len(outs)]
+                    out, st.overlap = filterbank(
+                        spec, inf, st.prev_shape, st.overlap
+                    )
+                    st.prev_shape = inf["window_shape"]
+                    outs.append(out)
+            elif ele == ID_DSE:
+                br.read(4)
+                align = br.read1()
+                cnt = br.read(8)
+                if cnt == 255:
+                    cnt += br.read(8)
+                if align:
+                    br.pos = (br.pos + 7) // 8 * 8
+                br.pos += 8 * cnt
+            elif ele == ID_FIL:
+                cnt = br.read(4)
+                if cnt == 15:
+                    cnt += br.read(8) - 1
+                br.pos += 8 * cnt
+            elif ele == ID_PCE:
+                raise NotImplementedError(
+                    "program_config_element is a documented boundary "
+                    "(ADTS channel_config covers the crawl shapes)"
+                )
+            else:
+                raise NotImplementedError(
+                    f"AAC element id {ele} (CCE coupling) is a "
+                    "documented boundary"
+                )
+        if not outs:
+            raise ValueError("raw_data_block carried no audio element")
+        n_frames += 1
+        if len(outs) == 1:
+            pcm_chunks.append(outs[0])
+        else:
+            inter = np.empty(1024 * len(outs))
+            for ch, o in enumerate(outs):
+                inter[ch::len(outs)] = o
+            pcm_chunks.append(inter)
+    if not pcm_chunks:
+        raise ValueError("no decodable ADTS frames")
+    return sample_rate, channels, np.concatenate(pcm_chunks)
+
+
+def _apply_ms(spec_l: np.ndarray, spec_r: np.ndarray, info: dict,
+              ms_present: int, ms_used) -> None:
+    """M/S decode: l = m + s, r = m − s on flagged bands (in place)."""
+    swb = info["swb"]
+    groups = info["groups"]
+    w0 = 0
+    for g, width in enumerate(groups):
+        for sfb in range(info["max_sfb"]):
+            on = ms_present == 2 or (ms_used and ms_used[g][sfb])
+            if not on:
+                continue
+            sl = spec_l[w0:w0 + width, swb[sfb]:swb[sfb + 1]]
+            sr = spec_r[w0:w0 + width, swb[sfb]:swb[sfb + 1]]
+            m, s = sl.copy(), sr.copy()
+            sl[:] = m + s
+            sr[:] = m - s
+        w0 += width

@@ -8,15 +8,21 @@ for real — sync, header fields, per-frame walking, duration/bitrate —
 so ADTS payloads stop being ``container='unknown'`` rows in the media
 metadata sweep and are counted, typed, and measurable.
 
-HONEST BOUNDARY: AAC-LC *sample* decode raises ``NotImplementedError``.
-The blocker is stated precisely: the spectral Huffman codebooks
-(13818-7 Tables A.2-A.12, ~1500 printed codeword entries) cannot be
-restated here with the verified-completeness guarantee this repo's
-decoders require (the MP3 tables ship with Kraft-sum-exactly-1 tests;
-an unverifiable codebook would decode silently-corrupt audio, worse
-than an honest raise for a curation pipeline). The filterbank, TNS,
-and dequantization stages are mechanical once the tables can be
-verified — the boundary is the tables, not the math.
+HONEST BOUNDARY (narrowed in r12 to exactly the table constants):
+AAC-LC *sample* decode of real streams raises ``NotImplementedError``
+because the spectral Huffman codebooks (13818-7 Tables A.2-A.12,
+~1,360 printed (length, codeword) pairs) could not be restated here —
+the attempt is COMMITTED as ``tools/aac_table_restatement.py`` and
+fails the same complete-prefix-tree validation the shipped MP3 tables
+pass, on every book (this environment has no spec text, no codec
+library, and no network). EVERYTHING ELSE is now implemented for real
+in :mod:`operators.aac` — raw_data_block syntax, all four window
+sequences, section/scalefactor decode, pulse, TNS, M/S, dequant, the
+sine/KBD IMDCT filterbank — and parity-verified against the
+independent encoder in ``tests/aac_writer.py`` via an injected,
+Kraft-exact codebook set over the spec's exact alphabet structure.
+The ISO tables drop into the same ``SpectralBook`` slots when a
+verifiable source is available; zero machinery work remains.
 
 At scale: one linear header walk per payload inside the same Arrow
 ``mapInPandas`` metadata sweep as MP3/MP4/FLAC/Ogg/WAV.
@@ -138,15 +144,23 @@ def adts_metadata(content: bytes) -> dict:
     }
 
 
-def decode_aac_samples(content: bytes):
-    """HONEST BOUNDARY (see module docstring): AAC sample decode needs
-    the 13818-7 spectral Huffman codebooks, which cannot be restated
-    with the verified-completeness guarantee this repo's decoders
-    require."""
-    raise NotImplementedError(
-        "AAC-LC sample decode is a documented boundary: the spectral "
-        "Huffman codebooks (ISO 13818-7 Tables A.2-A.12) are printed "
-        "constants that cannot be restated here with the Kraft-sum "
-        "completeness guarantee the repo's decoders require — ADTS "
-        "container walking and metadata parse for real"
+def decode_aac_samples(content: bytes, codebooks: dict | None = None):
+    """AAC-LC sample decode: the FULL machinery (raw_data_block
+    syntax, section/scalefactor decode, pulse, TNS, M/S, dequant, the
+    IMDCT filterbank with sine/KBD windows and all four window
+    sequences) lives in :mod:`operators.aac` and is parity-verified
+    against the independent encoder in ``tests/aac_writer.py`` with an
+    injected codebook set.
+
+    Without ``codebooks`` this raises the documented boundary: the ISO
+    13818-7 spectral Huffman tables could not be restated here — the
+    attempt is COMMITTED as ``tools/aac_table_restatement.py`` (every
+    book fails complete-prefix-tree validation), and decoding real
+    streams with substitute tables would be silent garble. The tables
+    are the single remaining hole; they drop into the same
+    ``SpectralBook`` slots once a verifiable source exists."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.aac import (
+        decode_aac_samples as _decode,
     )
+
+    return _decode(content, codebooks=codebooks)

@@ -1,0 +1,253 @@
+"""AAC-LC machinery vs the independent spec-derived encoder
+(tests/aac_writer.py) with the injected Kraft-exact codebook set — and
+the honest real-stream gate (the ISO tables are the single remaining
+boundary; see tools/aac_table_restatement.py, the committed failed
+restatement attempt)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import sample_dms_kinesis_rds_mariadb_spark.operators.aac as A
+from sample_dms_kinesis_rds_mariadb_spark.operators import adts
+from tests.aac_writer import write_aac
+
+BOOKS = A.canonical_codebooks()
+
+
+def _snr(a: np.ndarray, b: np.ndarray) -> float:
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    return 10.0 * np.log10((a * a).sum() / max(((a - b) ** 2).sum(), 1e-12))
+
+
+def _tone(n: int, rate: int, seed: int = 4) -> np.ndarray:
+    t = np.arange(n) / rate
+    env = np.minimum(t / 0.05, 1.0)
+    return (9000 * np.sin(2 * np.pi * 440 * t)
+            + 4000 * np.sin(2 * np.pi * 1200 * t + 0.6)) * env
+
+
+# --- the boundary and its evidence -----------------------------------------
+
+
+def test_real_stream_gate_raises_precisely():
+    """Without injected codebooks the decode is a precise documented
+    raise — both at the aac module and the adts front."""
+    blob = write_aac(_tone(4096, 44100), 44100, 1, codebooks=BOOKS)
+    with pytest.raises(NotImplementedError, match="restat"):
+        A.decode_aac_samples(blob)
+    with pytest.raises(NotImplementedError, match="restat"):
+        adts.decode_aac_samples(blob)
+
+
+def test_restatement_attempt_is_committed_and_fails():
+    """The evidence artifact must keep demonstrating the boundary: the
+    best-effort recalled tables FAIL complete-prefix-tree validation
+    (if a future round lands verified tables, this test flips into the
+    reminder to wire them in)."""
+    import tools.aac_table_restatement as R
+
+    results = [
+        R.validate(R.BITS1, R.CODES1, "book1", 11),
+        R.validate(R.BITS2, R.CODES2, "book2", 9),
+        R.validate(R.BITS3, R.CODES3, "book3", 16),
+        R.validate(R.BITS4, R.CODES4, "book4", 12),
+    ]
+    assert not any(results), (
+        "a recalled ISO book passed validation — verify it for real "
+        "and wire it into operators/aac.py"
+    )
+
+
+def test_canonical_codebooks_structurally_valid():
+    """The injected set: spec alphabet sizes exactly, Kraft sum exactly
+    1, pairwise prefix-free, all codes distinct per book."""
+    sizes = {1: 81, 2: 81, 3: 81, 4: 81, 5: 81, 6: 81, 7: 64, 8: 64,
+             9: 169, 10: 169, 11: 289, "sf": 121}
+    for bid, book in BOOKS.items():
+        assert len(book.lens) == sizes[bid]
+        kraft = sum(2.0 ** -l for l in book.lens)
+        assert abs(kraft - 1.0) < 1e-12, (bid, kraft)
+        words = sorted(
+            (format(c, f"0{l}b") for l, c in zip(book.lens, book.codes)),
+            key=len,
+        )
+        assert len(set(words)) == len(words)
+        for i, w in enumerate(words):
+            for w2 in words[i + 1:]:
+                assert not (w2.startswith(w) and w2 != w), (bid, w, w2)
+
+
+def test_swb_tables_structurally_valid():
+    for rate, tab in A.SWB_LONG_1024.items():
+        assert tab[0] == 0 and tab[-1] == 1024
+        assert all(a < b for a, b in zip(tab, tab[1:]))
+        assert all(v % 4 == 0 for v in tab)
+    for rate, tab in A.SWB_SHORT_128.items():
+        assert tab[0] == 0 and tab[-1] == 128
+        assert all(a < b for a, b in zip(tab, tab[1:]))
+        assert all(v % 4 == 0 for v in tab)
+    with pytest.raises(NotImplementedError, match="swb"):
+        A._swb_tables(8000)
+
+
+# --- roundtrip parity -------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [0, 1])  # sine, KBD
+def test_aac_long_mono_roundtrip(shape):
+    rate = 44100
+    n = rate
+    x = _tone(n, rate)
+    blob = write_aac(x, rate, 1, window_shape=shape, codebooks=BOOKS)
+    sr, ch, y = A.decode_aac_samples(blob, codebooks=BOOKS)
+    assert (sr, ch) == (rate, 1)
+    assert len(y) % 1024 == 0
+    a, b = x[3000:n - 3000], y[3000:n - 3000]
+    assert _snr(a, b) > 35.0, shape
+    assert abs(np.sqrt((b * b).mean()) / np.sqrt((a * a).mean()) - 1) < 0.05
+
+
+def test_aac_window_sequence_cycle_roundtrip():
+    """block_type=2 cycles ONLY_LONG → LONG_START → EIGHT_SHORT →
+    LONG_STOP: every window sequence and both short-window halves are
+    on the decode path."""
+    rate = 48000
+    n = rate
+    x = _tone(n, rate, seed=7)
+    blob = write_aac(x, rate, 1, block_type=2, codebooks=BOOKS)
+    assert blob != write_aac(x, rate, 1, codebooks=BOOKS)
+    sr, ch, y = A.decode_aac_samples(blob, codebooks=BOOKS)
+    assert (sr, ch) == (rate, 1)
+    a, b = x[3000:n - 3000], y[3000:n - 3000]
+    assert _snr(a, b) > 30.0
+
+
+@pytest.mark.parametrize("mode", ["lr", "ms"])
+def test_aac_stereo_roundtrip(mode):
+    rate = 44100
+    n = rate // 2
+    x = _tone(n, rate)
+    left, right = x, np.roll(x, 13) * 0.7
+    inter = np.empty(2 * n)
+    inter[0::2], inter[1::2] = left, right
+    blob = write_aac(inter, rate, 2, mode=mode, codebooks=BOOKS)
+    sr, ch, y = A.decode_aac_samples(blob, codebooks=BOOKS)
+    assert (sr, ch) == (rate, 2)
+    for ref, got in ((left, y[0::2]), (right, y[1::2])):
+        assert _snr(ref[3000:n - 3000], got[3000:n - 3000]) > 30.0, mode
+
+
+def test_aac_tns_roundtrip_and_inversion():
+    """TNS: the stream differs, decodes within the bound, and the
+    decoder's all-pole synthesis inverts the writer's FIR analysis to
+    float precision on a raw spectrum."""
+    rate = 44100
+    n = rate // 2
+    x = _tone(n, rate)
+    plain = write_aac(x, rate, 1, codebooks=BOOKS)
+    tns = write_aac(x, rate, 1, codebooks=BOOKS, tns=True)
+    assert plain != tns
+    _sr, _ch, y = A.decode_aac_samples(tns, codebooks=BOOKS)
+    assert _snr(x[3000:n - 3000], y[3000:n - 3000]) > 35.0
+
+    from tests.aac_writer import _tns_fir
+
+    filt = {"coef_res": 1, "length": 20, "direction": 0,
+            "coefs": [3, 14, 2], "order": 3, "compress": 0}
+    rng = np.random.default_rng(3)
+    spec = rng.normal(size=(1, 1024))
+    filtered = _tns_fir(spec, filt, rate, 49)
+    assert not np.allclose(filtered, spec)
+    info = {"window_sequence": A.ONLY_LONG, "max_sfb": 49,
+            "swb": A.SWB_LONG_1024[rate], "groups": [1]}
+    rec = filtered.copy()
+    A.tns_apply(rec, [[filt]], info, rate)
+    assert np.allclose(rec, spec, atol=1e-9)
+
+
+def test_aac_escape_values_on_path():
+    """The loud band quantizes above every non-escape LAV, so book 11
+    escape sequences are genuinely exercised by the loud fixture."""
+    rate = 44100
+    n = 8192
+    x = 30000 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)
+    from tests.aac_writer import _pick_sf, _quantize
+
+    peak = float(np.max(np.abs(x))) * 2048  # MDCT gain order
+    blob = write_aac(x, rate, 1, codebooks=BOOKS)
+    _sr, _ch, y = A.decode_aac_samples(blob, codebooks=BOOKS)
+    assert _snr(x[3000:n - 2000], y[3000:n - 2000]) > 35.0
+    # independent confirmation that |q| > 16 occurred (escape range)
+    from tests.aac_writer import _analysis_frames
+
+    spec = _analysis_frames(x, [0] * (n // 1024), 0)[2][0]
+    q = _quantize(spec, _pick_sf(float(np.max(np.abs(spec)))))
+    assert int(np.max(np.abs(q))) > 16
+
+
+def test_aac_pulse_apply():
+    """apply_pulse adds amplitude at swb-anchored positions, sign-
+    aware, long windows only."""
+    rate = 44100
+    info = {"window_sequence": A.ONLY_LONG, "max_sfb": 49,
+            "swb": A.SWB_LONG_1024[rate], "groups": [1]}
+    q = np.zeros((1, 1024), dtype=np.int32)
+    q[0, 100] = -3
+    pulse = {"start_sfb": 18, "offsets": [0, 5], "amps": [4, 7]}
+    base = A.SWB_LONG_1024[rate][18]
+    A.apply_pulse(q, pulse, info)
+    assert q[0, base] == 4
+    assert q[0, base + 5] == 7
+    info_s = dict(info, window_sequence=A.EIGHT_SHORT)
+    with pytest.raises(ValueError, match="long-window"):
+        A.apply_pulse(q, pulse, info_s)
+
+
+def test_aac_mp3_transcode_dup_fingerprints():
+    """The verdict's MP3↔AAC transcode-duplicate check, at the
+    fingerprint level the pipeline uses (audio_near_pairs can't decode
+    AAC payloads internally until the ISO tables exist — the honest
+    gate): the SAME signal through the real MP3 decoder and through
+    the AAC machinery fingerprints as a near-duplicate; unrelated
+    noise does not."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators import (
+        mp3_layer3 as L3,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.operators.audio_dedup import (
+        audio_fingerprint_frames,
+    )
+    from tests.mp3_writer import write_mp3
+
+    rate = 44100
+    n = 2 * rate
+    t = np.arange(n) / rate
+    env = np.minimum(t / 0.05, 1.0)
+    x = (9000 * np.sin(2 * np.pi * (440 + 80 * np.sin(2 * np.pi * 2 * t))
+                       * t) + 3000 * np.sin(2 * np.pi * 930 * t)) * env
+    _sr, _ch, mp3_pcm = L3.decode_mp3_samples(write_mp3(x, rate, 1))
+    _sr, _ch, aac_pcm = A.decode_aac_samples(
+        write_aac(x, rate, 1, codebooks=BOOKS), codebooks=BOOKS
+    )
+    mp3_delay = 1087  # 511 (polyphase pair) + 576 (MDCT granule TDAC)
+    fp_ref = audio_fingerprint_frames(x, rate)
+    fp_mp3 = audio_fingerprint_frames(mp3_pcm[mp3_delay:], rate)
+    fp_aac = audio_fingerprint_frames(aac_pcm, rate)
+    rng = np.random.default_rng(11)
+    fp_noise = audio_fingerprint_frames(
+        rng.normal(0, 8000, n), rate
+    )
+
+    def frac(a, b, max_hamming=10):
+        m = min(len(a), len(b))
+        ok = sum(
+            1 for i in range(m)
+            if bin(a[i] ^ b[i]).count("1") <= max_hamming
+        )
+        return ok / m
+
+    assert frac(fp_ref, fp_aac) > 0.6
+    assert frac(fp_mp3, fp_aac) > 0.5, "MP3↔AAC transcode pair missed"
+    assert frac(fp_noise, fp_aac) < 0.3
