@@ -1102,6 +1102,15 @@ def decode_audio_samples(content: bytes):
 
         rate, ch, out, _n = decode_flac_samples(content)
         return rate, ch, out.astype(np.float64)
+    if content[:4] == b"OggS":
+        # Vorbis decodes for real (r12, operators/vorbis.py — the
+        # codebooks are stream-carried, so the decoder is complete);
+        # Opus keeps its documented boundary inside decode_ogg_audio
+        from sample_dms_kinesis_rds_mariadb_spark.operators.ogg import (
+            decode_ogg_audio,
+        )
+
+        return decode_ogg_audio(content)
     if content[:3] != b"ID3" and len(content) >= 7:
         from sample_dms_kinesis_rds_mariadb_spark.operators.adts import (
             decode_aac_samples,
