@@ -1078,6 +1078,21 @@ def _decode_audio_real(content: bytes) -> tuple[int, int, int, int, int, str]:
             # chunks are word-aligned: odd sizes carry a pad byte
             pos = body + size + (size & 1)
         raise ValueError("truncated WAV: no data chunk")
+    if content[:4] == b"OggS":
+        # Vorbis metadata AND samples are real as of r12
+        # (operators/ogg.py, operators/vorbis.py); Opus stays a
+        # precise boundary
+        from sample_dms_kinesis_rds_mariadb_spark.operators.ogg import (
+            ogg_metadata,
+        )
+
+        meta = ogg_metadata(content)
+        if meta["codec"] == "vorbis" and meta["sample_rate"]:
+            dur = meta["duration_sec"] or 0.0
+            return (
+                meta["sample_rate"], meta["channels"], 0,
+                int(round(dur * meta["sample_rate"])), 0, "vorbis",
+            )
     raise NotImplementedError(
         "compressed audio decode requires a codec library — not "
         "available in this environment; PCM WAV decodes for real, or "

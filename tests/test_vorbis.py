@@ -203,6 +203,25 @@ def test_opus_still_raises():
         decode_ogg_audio(blob)
 
 
+def test_vorbis_audio_features(spark):
+    """extract_audio_features yields real duration + rms for Ogg
+    Vorbis payloads (format 'vorbis'), through the shared dispatch."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rate = 16000
+    x = _tone(rate, rate)
+    df = spark.createDataFrame(
+        [(0, bytearray(write_vorbis(x, rate, 1)))],
+        "media_id LONG, content BINARY",
+    )
+    row = extract_audio_features(df).collect()[0]
+    assert row["format"] == "vorbis"
+    assert row["sample_rate"] == rate
+    assert row["rms"] is not None and row["rms"] > 1000.0
+
+
 # --- the pipeline e2e: Vorbis transcode duplicates ---------------------------
 
 
