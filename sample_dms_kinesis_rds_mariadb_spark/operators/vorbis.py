@@ -145,6 +145,13 @@ class Codebook:
             raise VorbisError("codebook sync pattern absent")
         self.dims = br.read(16)
         self.entries = br.read(24)
+        # hostile-input bombs: a 3-byte field can declare 16M entries;
+        # real books are a few thousand. Cost stays O(declared size)
+        # with a precise raise, never an OOM (the repo's crawl policy).
+        if self.dims < 1 or self.entries < 1:
+            raise VorbisError("degenerate codebook dims/entries")
+        if self.entries > (1 << 20) or self.entries * self.dims > (1 << 22):
+            raise VorbisError("codebook size exceeds the sanity cap")
         lengths: list[int] = []
         if br.read1():  # ordered
             cur_len = br.read(5) + 1
@@ -570,6 +577,14 @@ class VorbisStream:
         self.blocksizes = (1 << bs[0], 1 << bs[1])
         if not (64 <= self.blocksizes[0] <= self.blocksizes[1] <= 8192):
             raise VorbisError("invalid blocksizes")
+        if self.blocksizes[1] > 4096:
+            # the 8192 IMDCT basis is a 268 MB allocation per size; no
+            # mainstream encoder emits it — documented boundary, keeps
+            # the worst-case executor footprint bounded
+            raise NotImplementedError(
+                "Vorbis blocksize 8192 is a documented boundary "
+                "(64..4096 decode for real)"
+            )
         if not br.read1():
             raise VorbisError("id header framing bit unset")
         if self.channels == 0 or self.sample_rate == 0:
@@ -619,7 +634,9 @@ class VorbisStream:
             raise VorbisError("setup framing bit unset")
 
         self._win_cache: dict = {}
-        self._imdct_cache: dict = {}
+        self._imdct_cache = _IMDCT_BASES  # module-global: per-size
+        # cosine bases are shared across payloads, never re-allocated
+        # per row inside the Arrow pass
         self._prev_right: np.ndarray | None = None
         self._prev_n: int = 0
 
@@ -774,6 +791,9 @@ class VorbisStream:
             w[right_start + right_n:] = 0.0
             self._win_cache[key] = w
         return self._win_cache[key]
+
+
+_IMDCT_BASES: dict[int, np.ndarray] = {}
 
 
 # --------------------------------------------------------------------------

@@ -203,6 +203,39 @@ def test_opus_still_raises():
         decode_ogg_audio(blob)
 
 
+def test_vorbis_hostile_payloads_raise_never_hang():
+    """Crawl policy: corrupt/hostile payloads cost one precise raise —
+    truncated pages, bit-flipped setup headers, codebook size bombs,
+    and the 8192-blocksize boundary."""
+    rate = 16000
+    x = _tone(4096, rate)
+    good = write_vorbis(x, rate, 1)
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        blob = bytearray(good[: rng.integers(30, len(good))])
+        for _k in range(4):
+            blob[rng.integers(0, len(blob))] ^= 1 << rng.integers(0, 8)
+        try:
+            V.decode_vorbis_samples(bytes(blob))
+        except (ValueError, NotImplementedError):
+            pass  # VorbisError is a ValueError
+    # codebook entry-count bomb: sync + dims 2 + entries 2^24-1
+    bw_bits = []
+    def w(v, n):
+        for i in range(n):
+            bw_bits.append((v >> i) & 1)
+    w(0x564342, 24); w(2, 16); w((1 << 24) - 1, 24)
+    w(0, 1); w(0, 1)
+    data = bytearray()
+    for i in range(0, len(bw_bits), 8):
+        b = 0
+        for j, bit in enumerate(bw_bits[i:i + 8]):
+            b |= bit << j
+        data.append(b)
+    with pytest.raises(V.VorbisError, match="sanity cap"):
+        V.Codebook(V.LsbReader(bytes(data) + b"\x15" * 4096))
+
+
 def test_vorbis_audio_features(spark):
     """extract_audio_features yields real duration + rms for Ogg
     Vorbis payloads (format 'vorbis'), through the shared dispatch."""
