@@ -514,6 +514,40 @@ def main() -> None:
         ),
     }
 
+    # 13b) Vorbis sample decode (r12): a few distinct spec-built Ogg
+    # Vorbis payloads replicated across rows — measures the complete
+    # in-stream-codebook decode chain (floor1/residue/IMDCT) through
+    # the same features leg real crawl audio takes.
+    import numpy as np
+
+    from tests.vorbis_writer import write_vorbis
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    _vrate = 16000
+    _vblobs = []
+    for i in range(8):
+        _t = np.arange(_vrate // 2) / _vrate
+        _sig = (9000 * np.sin(2 * np.pi * (300 + 60 * i) * _t)
+                + 3000 * np.sin(2 * np.pi * (900 + 40 * i) * _t)) \
+            * np.minimum(_t / 0.05, 1.0)
+        _vblobs.append(bytearray(write_vorbis(_sig, _vrate, 1)))
+    _n_vorbis = max(int(1000 * _sf_num), 64)
+    _vdf = spark.createDataFrame(
+        [(i, _vblobs[i % len(_vblobs)]) for i in range(_n_vorbis)],
+        "media_id LONG, content BINARY",
+    ).repartition(32)
+    _robust(
+        "vorbis_decode_features",
+        lambda: extract_audio_features(_vdf).write.mode("overwrite")
+        .format("noop").save(),
+    )
+    media_pipeline["vorbis_payloads_per_sec"] = round(
+        _n_vorbis / timings["vorbis_decode_features"], 1
+    )
+
     # 9a') document front door (r10): one VALID single-page Flate PDF
     # per documents row (built in a quick driver loop over the text
     # column — REAL classic xref table with computed offsets, so the

@@ -133,6 +133,21 @@ def test_vorbis_short_block_roundtrip():
     assert _snr(x[2000:n - 2000], y[2000:n - 2000]) > 25.0
 
 
+def test_vorbis_blocksize_transitions_roundtrip():
+    """The mixed schedule (L→S, S→S, S→L, L→L every four blocks):
+    hybrid window slopes, long-block prev/next flags, and the
+    variable-lap center-to-center overlap-add all on the path."""
+    rate = 44100
+    n = rate // 2
+    x = _tone(n, rate)
+    long_blob = write_vorbis(x, rate, 1)
+    mixed_blob = write_vorbis(x, rate, 1, block="mixed")
+    assert mixed_blob != long_blob
+    sr, ch, y = V.decode_vorbis_samples(mixed_blob)
+    assert (sr, ch) == (rate, 1)
+    assert _snr(x[2000:n - 2000], y[2000:n - 2000]) > 25.0
+
+
 def test_vorbis_stereo_uncoupled_roundtrip():
     rate = 44100
     n = rate // 2

@@ -583,20 +583,64 @@ def write_vorbis(
 
     setup_pkt = _setup_packet(books, channels, couple=couple)
 
-    n = _BS1 if block == "long" else _BS0
-    n_half = n // 2
-    xs = _XS_LONG if block == "long" else _XS_SHORT
-    mode = 1 if block == "long" else 0
-    win = _window(n)
+    if block == "mixed":
+        # repeating L S S L covers every transition pair (L→S, S→S,
+        # S→L, L→L) — the hybrid window slopes and variable-lap OLA
+        def _size_at(f: int) -> int:
+            return (_BS1, _BS0, _BS0, _BS1)[f % 4]
+    else:
+        _fixed = _BS1 if block == "long" else _BS0
+
+        def _size_at(f: int) -> int:
+            return _fixed
+
+    # block start positions: s_{k+1} = s_k + 3n_k/4 − n_{k+1}/4 (the
+    # right slope of block k coincides with the left slope of k+1);
+    # s_0 = −n_0/2 primes the decoder's first junction at sample 0
     total = len(chans[0])
-    n_blocks = max(2, -(-(total + n_half) // n_half) + 1)
-    chans = [np.concatenate([np.zeros(n_half), c]) for c in chans]
+    sizes: list[int] = []
+    starts: list[int] = []
+    s = -(_size_at(0) // 2)
+    f = 0
+    while True:
+        nk = _size_at(f)
+        sizes.append(nk)
+        starts.append(s)
+        if s >= total:
+            break
+        s = s + 3 * nk // 4 - _size_at(f + 1) // 4
+        f += 1
+    pad = sizes[0] // 2
+    chans = [
+        np.concatenate([np.zeros(pad), c, np.zeros(_BS1)]) for c in chans
+    ]
+
+    def _hybrid(nk: int, prev_n: int, next_n: int) -> np.ndarray:
+        w = np.ones(nk)
+        ln = min(nk, prev_n) // 2
+        rn = min(nk, next_n) // 2
+        ls = _window(2 * ln)[:ln]
+        rs = _window(2 * rn)[:rn]
+        lstart = nk // 4 - ln // 2
+        w[:lstart] = 0.0
+        w[lstart:lstart + ln] = ls
+        rstart = 3 * nk // 4 - rn // 2
+        w[rstart:rstart + rn] = rs[::-1]
+        w[rstart + rn:] = 0.0
+        return w
 
     packets = []
-    for f in range(n_blocks):
+    for f, (nk, sk) in enumerate(zip(sizes, starts)):
+        n = nk
+        n_half = n // 2
+        mode = 1 if n == _BS1 else 0
+        xs = _XS_LONG if mode else _XS_SHORT
+        prev_n = sizes[f - 1] if f > 0 else n
+        next_n = sizes[f + 1] if f + 1 < len(sizes) else n
+        win = _hybrid(n, prev_n, next_n)
         specs = []
         for c in chans:
-            seg = c[f * n_half: f * n_half + n]
+            seg = c[pad + sk: pad + sk + n]
             if len(seg) < n:
                 seg = np.concatenate([seg, np.zeros(n - len(seg))])
             specs.append(_mdct(seg * win))
@@ -604,8 +648,8 @@ def write_vorbis(
         bw.write(0, 1)           # audio packet
         bw.write(mode, 1)        # ilog(2-1) = 1 bit
         if mode == 1:
-            bw.write(1, 1)       # prev long
-            bw.write(1, 1)       # next long
+            bw.write(1 if prev_n == _BS1 else 0, 1)
+            bw.write(1 if next_n == _BS1 else 0, 1)
         floors = [
             _encode_floor(bw, spec, xs, books) for spec in specs
         ]
@@ -627,7 +671,7 @@ def write_vorbis(
     ]
     granule = 0
     for i, pkt in enumerate(packets):
-        granule += n_half
+        granule += (sizes[i - 1] + sizes[i]) // 4 if i else sizes[0] // 4
         pages.append(_ogg_page(
             [pkt], serial, 2 + i, granule, eos=i == len(packets) - 1
         ))
