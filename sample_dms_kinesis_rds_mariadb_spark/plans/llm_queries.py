@@ -3125,3 +3125,65 @@ def q_odt_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "format", "text", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "cjk_pdf_text_extraction",
+    "The r12 predefined-CMap policy under the cross-engine hash gate: "
+    "single-page PDFs with a Type0 /UniGB-UCS2-H font and NO /ToUnicode "
+    "built per row in pure codegen — the show string is the UTF-16BE "
+    "hex of the sanitized text plus a fixed CJK suffix (F.hex over "
+    "F.encode(..., 'UTF-16BE')) — read back through the REAL ISO 32000 "
+    "reader, whose Uni*-CMap policy decodes the code values AS Unicode; "
+    "the oracle computes the identical text straight from the source "
+    "column (Latin-1 mojibake of the 2-byte codes would hash-mismatch "
+    "immediately)",
+    oracle="""
+        WITH safe AS (
+          SELECT doc_id,
+                 substr(regexp_replace(text, '[^ -~]', ' ', 'g'),
+                        1, 100) AS t
+          FROM documents WHERE doc_id < 150
+        )
+        SELECT doc_id,
+               'pdf' AS format,
+               t || '中文测试' AS text,
+               CAST(length(t) + 4 AS INT) AS n_chars
+        FROM safe ORDER BY doc_id
+    """,
+    tags=("documents",),
+    extra=True,
+)
+def q_cjk_pdf_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        extract_document_texts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    safe = F.substring(
+        F.regexp_replace(F.col("text"), "[^ -~]", " "), 1, 100
+    )
+    shown = F.concat(safe, F.lit("中文测试"))
+    hexstr = F.concat(F.lit("<"), F.hex(F.encode(shown, "UTF-16BE")),
+                      F.lit(">"))
+    content = F.concat(F.lit("BT /F1 12 Tf "), hexstr, F.lit(" Tj ET"))
+    blob = F.concat(
+        F.lit("%PDF-1.5\n"
+              "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+              "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+              "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+              "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+              "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+              "/Encoding /UniGB-UCS2-H >>\nendobj\n"
+              "4 0 obj\n<< /Length "),
+        F.length(content).cast("string"),
+        F.lit(" >>\nstream\n"),
+        content,
+        F.lit("\nendstream\nendobj\n%%EOF"),
+    ).cast("binary")
+    media = docs.select("doc_id", blob.alias("content"))
+    return (
+        extract_document_texts(media)
+        .select("doc_id", "format", "text", "n_chars")
+        .orderBy("doc_id")
+    )
