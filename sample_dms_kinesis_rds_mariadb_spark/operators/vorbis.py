@@ -49,30 +49,53 @@ class VorbisError(ValueError):
 
 
 class LsbReader:
-    __slots__ = ("data", "pos")
+    """Bit cursor over an unpacked little-endian bit array (numpy
+    ``unpackbits(bitorder='little')``): per-symbol costs one slice, not
+    one Python iteration per bit — the residue decode hot path."""
+
+    __slots__ = ("bits", "nbits", "pos")
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
+        # bytes of 0/1: plain-int indexing beats numpy scalar access
+        # on the per-symbol hot path
+        self.bits = np.unpackbits(
+            np.frombuffer(data, dtype=np.uint8), bitorder="little"
+        ).tobytes()
+        self.nbits = len(self.bits)
         self.pos = 0
 
     def read(self, n: int) -> int:
-        out = 0
         pos = self.pos
-        data = self.data
+        if pos + n > self.nbits:
+            raise VorbisError("bit reader ran past the packet end")
+        out = 0
+        bits = self.bits
         for i in range(n):
-            byte = pos >> 3
-            if byte >= len(data):
-                raise VorbisError("bit reader ran past the packet end")
-            out |= ((data[byte] >> (pos & 7)) & 1) << i
-            pos += 1
-        self.pos = pos
+            out |= bits[pos + i] << i
+        self.pos = pos + n
         return out
 
     def read1(self) -> int:
-        return self.read(1)
+        pos = self.pos
+        if pos >= self.nbits:
+            raise VorbisError("bit reader ran past the packet end")
+        self.pos = pos + 1
+        return self.bits[pos]
+
+    def peek_msb(self, n: int) -> int:
+        """The next n bits packed FIRST-BIT-AS-MSB (codeword
+        orientation), zero-padded past the packet end."""
+        pos = self.pos
+        end = min(pos + n, self.nbits)
+        out = 0
+        bits = self.bits
+        for i in range(end - pos):
+            out = (out << 1) | bits[pos + i]
+        out <<= n - (end - pos)
+        return out
 
     def eof(self) -> bool:
-        return self.pos >= 8 * len(self.data)
+        return self.pos >= self.nbits
 
 
 def ilog(x: int) -> int:
@@ -176,6 +199,18 @@ class Codebook:
         self._tree = _assign_codewords(lengths)
         self._single = bool(self._tree.pop("single", False))
         self._maxlen = max((ln for ln in lengths if ln > 0), default=0)
+        # one-peek decode table: peek K bits MSB-first, index directly
+        # to (entry, length); codewords longer than K (rare) fall back
+        # to the bitwise walk
+        K = min(self._maxlen, 10)
+        self._peek_k = K
+        fast = [None] * (1 << K)
+        for (ln, code), ent in self._tree.items():
+            if ln <= K:
+                base = code << (K - ln)
+                for suffix in range(1 << (K - ln)):
+                    fast[base | suffix] = (ent, ln)
+        self._fast = fast
 
         self.lookup_type = br.read(4)
         self.vq: np.ndarray | None = None
@@ -218,6 +253,14 @@ class Codebook:
         if self._single:
             br.read1()
             return self._tree[(1, 0)]
+        k = self._peek_k
+        hit = self._fast[br.peek_msb(k)]
+        if hit is not None:
+            ent, ln = hit
+            if br.pos + ln > br.nbits:
+                raise VorbisError("bit reader ran past the packet end")
+            br.pos += ln
+            return ent
         code = 0
         for ln in range(1, self._maxlen + 1):
             code = (code << 1) | br.read1()
@@ -392,25 +435,19 @@ def _render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:
 
 def _render_line(x0: int, y0: int, x1: int, y1: int,
                  v: np.ndarray, n: int) -> None:
+    """The spec's Bresenham render — vectorized via its exact closed
+    form y(x) = y0 + sign(dy)·⌊|dy|(x−x0)/adx⌋ (equality with the
+    accumulated-error loop is asserted over random lines in tests)."""
+    hi = min(x1, n)
+    if x0 >= hi:
+        if x0 < n:
+            v[x0] = min(max(y0, 0), 255)
+        return
     dy = y1 - y0
     adx = x1 - x0
-    ady = abs(dy)
-    # the spec's integer division truncates toward zero (C semantics)
-    base = dy // adx if dy >= 0 else -((-dy) // adx)
-    sy = base + 1 if dy >= 0 else base - 1
-    ady -= abs(base) * adx
-    if x0 < n:
-        v[x0] = min(max(y0, 0), 255)
-    y = y0
-    err = 0
-    for x in range(x0 + 1, min(x1, n)):
-        err += ady
-        if err >= adx:
-            err -= adx
-            y += sy
-        else:
-            y += base
-        v[x] = min(max(y, 0), 255)
+    xs = np.arange(x0, hi)
+    yy = y0 + (1 if dy >= 0 else -1) * ((abs(dy) * (xs - x0)) // adx)
+    v[x0:hi] = np.clip(yy, 0, 255)
 
 
 # --------------------------------------------------------------------------
@@ -506,17 +543,21 @@ class Residue:
     def _decode_partition(self, br: LsbReader, book: Codebook,
                           vec: np.ndarray, offset: int) -> None:
         psize = self.partition_size
+        vq = book.vq
+        if vq is None:
+            raise VorbisError("VQ decode from a scalar-only codebook")
         if self.rtype == 0:
             step = psize // book.dims
             for i in range(step):
-                v = book.decode_vq(br)
+                v = vq[book.decode_scalar(br)]
                 vec[offset + i: offset + i + step * book.dims: step] += v
-        else:  # types 1 and 2 share the sequential layout
-            i = 0
-            while i < psize:
-                v = book.decode_vq(br)
-                vec[offset + i: offset + i + book.dims] += v
-                i += book.dims
+        else:  # types 1 and 2 share the sequential layout: decode the
+            # partition's entry indices first, add in ONE numpy op
+            ents = [
+                book.decode_scalar(br)
+                for _ in range(psize // book.dims)
+            ]
+            vec[offset: offset + psize] += vq[ents].reshape(-1)
 
 
 # --------------------------------------------------------------------------

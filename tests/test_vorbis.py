@@ -59,6 +59,41 @@ def test_floor1_inverse_db_table_shape():
     assert np.allclose(ratios, 10.0 ** (7.0 / 256.0))
 
 
+def test_render_line_matches_bresenham_reference():
+    """The vectorized render_line's closed form y(x) = y0 +
+    sign(dy)·⌊|dy|(x−x0)/adx⌋ equals the spec's accumulated-error
+    Bresenham loop, re-implemented here as the reference."""
+    rng = np.random.default_rng(0)
+    for _ in range(500):
+        x0 = int(rng.integers(0, 50))
+        x1 = x0 + int(rng.integers(1, 200))
+        y0 = int(rng.integers(0, 256))
+        y1 = int(rng.integers(0, 256))
+        n = x1 + int(rng.integers(0, 5))
+        v = np.zeros(max(n, x0 + 1), dtype=np.int64)
+        V._render_line(x0, y0, x1, y1, v, n)
+        # reference: the spec's loop with C-truncating division
+        dy, adx = y1 - y0, x1 - x0
+        ady = abs(dy)
+        base = dy // adx if dy >= 0 else -((-dy) // adx)
+        sy = base + 1 if dy >= 0 else base - 1
+        ady -= abs(base) * adx
+        ref = np.zeros_like(v)
+        if x0 < n:
+            ref[x0] = min(max(y0, 0), 255)
+        y, err = y0, 0
+        for x in range(x0 + 1, min(x1, n)):
+            err += ady
+            if err >= adx:
+                err -= adx
+                y += sy
+            else:
+                y += base
+            ref[x] = min(max(y, 0), 255)
+        lo, hi = x0, min(x1, n)
+        assert np.array_equal(v[lo:hi], ref[lo:hi]), (x0, y0, x1, y1)
+
+
 def test_single_entry_codebook_reads_one_bit():
     tree = V._assign_codewords([0, 0, 3, 0])
     assert tree == {(1, 0): 2, "single": True}
