@@ -218,6 +218,25 @@ def test_vorbis_stereo_coupled_roundtrip():
     assert _snr(right[3000:n - 3000], y[1::2][3000:n - 3000]) > 18.0
 
 
+def test_vorbis_four_channel_roundtrip():
+    """N-channel streams (quad here — 5.1 Vorbis exists in crawls):
+    per-channel floors, the type-2 interleave across >2 channels, and
+    N-way PCM interleave all hold."""
+    rate = 16000
+    n = rate // 2
+    t = np.arange(n) / rate
+    env = np.minimum(t / 0.05, 1.0)
+    base = 9000 * np.sin(2 * np.pi * 440 * t) * env
+    chans = [np.roll(base, 7 * i) * (1.0 - 0.12 * i) for i in range(4)]
+    inter = np.empty(4 * n)
+    for i, c in enumerate(chans):
+        inter[i::4] = c
+    sr, ch, y = V.decode_vorbis_samples(write_vorbis(inter, rate, 4))
+    assert (sr, ch) == (rate, 4)
+    for i, c in enumerate(chans):
+        assert _snr(c[2000:n - 2000], y[i::4][2000:n - 2000]) > 22.0, i
+
+
 def test_vorbis_inverse_coupling_unit():
     """The §4.3.5 inverse against the writer's forward on every sign
     quadrant — exact for reals."""

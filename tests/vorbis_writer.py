@@ -556,7 +556,9 @@ def write_vorbis(
     ``'short'`` → all 256 blocks. Stereo uses square-polar coupling
     when ``couple`` (the common real-encoder shape)."""
     x = np.asarray(pcm, dtype=np.float64) / 32768.0
-    chans = [x[0::2], x[1::2]] if channels == 2 else [x]
+    chans = [x[i::channels] for i in range(channels)]
+    if channels > 2:
+        couple = False  # coupling steps pair exactly two channels here
     books = _books()
 
     idw = LsbWriter()
