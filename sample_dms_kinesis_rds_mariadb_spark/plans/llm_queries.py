@@ -3187,3 +3187,112 @@ def q_cjk_pdf_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "format", "text", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "routed_intake_mixed",
+    "The r11 binary-intake ROUTER itself under the cross-engine hash "
+    "gate: a mixed corpus built per row in pure codegen — doc_id%3 "
+    "picks HTML markup (stays on the pure-codegen html_to_text JVM "
+    "path), an RTF payload (Arrow control-word parser), or a VALID "
+    "stored OOXML zip (Arrow zipfile+XML reader, F.crc32 zip CRC) — "
+    "pushed through route_document_texts (the exact front door "
+    "curate() uses: codegen 64-byte magic sniff, per-branch scans, "
+    "partition-local union); the oracle reproduces each branch's text "
+    "with a CASE over the same three rules, so a sniff misroute, a "
+    "branch regression, or a union column drift hash-mismatches",
+    oracle=f"""
+        WITH safe AS (
+          SELECT doc_id,
+                 substr(regexp_replace(text, '[&<>{{}}\\\\()]|[^ -~]',
+                                       ' ', 'g'), 1, 100) AS t
+          FROM documents WHERE doc_id < 150
+        )
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'html'
+                               WHEN 1 THEN 'rtf' ELSE 'docx' END
+                   AS format,
+               CASE doc_id % 3
+                 WHEN 0 THEN {_duck_html_chain(
+                     "'<html><body><p>' || t || '</p></body></html>'")}
+                 WHEN 1 THEN t || chr(10) || 'tail' || chr(9) || 'end'
+                 ELSE rpad(t, 100, ' ')
+               END AS text
+        FROM safe ORDER BY doc_id
+    """,
+    tags=("documents",),
+    extra=True,
+)
+def q_routed_intake_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+    import zlib as _zlib
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        route_document_texts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # one sanitization across all three branches: no markup/RTF/paren
+    # metacharacters, ASCII only, fixed 100-char slice
+    t = F.substring(
+        F.regexp_replace(F.col("text"), "[&<>{}\\\\()]|[^ -~]", " "),
+        1, 100,
+    )
+
+    html_blob = F.encode(
+        F.concat(F.lit("<html><body><p>"), t, F.lit("</p></body></html>")),
+        "UTF-8",
+    )
+    rtf_blob = F.encode(
+        F.concat(F.lit("{\\rtf1\\ansi "), t, F.lit("\\par tail\\tab end}")),
+        "UTF-8",
+    )
+
+    # stored OOXML zip, fixed-width text keeps every offset constant
+    # (the q_docx_text_extraction skeleton at TLEN=100)
+    NAME = b"word/document.xml"
+    PRE = (b'<?xml version="1.0"?><w:document xmlns:w='
+           b'"http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+           b'<w:body><w:p><w:r><w:t xml:space="preserve">')
+    SUF = b"</w:t></w:r></w:p></w:body></w:document>"
+    TLEN = 100
+    clen = len(PRE) + TLEN + len(SUF)
+    lfh_pre = b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0, 0, 0, 0)
+    lfh_post = struct.pack("<IIHH", clen, clen, len(NAME), 0) + NAME
+    cd_pre = b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)
+    cd_post = (
+        struct.pack("<IIHHHHHII", clen, clen, len(NAME), 0, 0, 0, 0, 0, 0)
+        + NAME
+    )
+    cd_off = 30 + len(NAME) + clen
+    cd_size = 46 + len(NAME)
+    eocd = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, 1, 1, cd_size, cd_off, 0
+    )
+
+    def le32(col):
+        h = F.lpad(F.hex(col), 8, "0")
+        return F.unhex(F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        ))
+
+    padded = F.rpad(t, TLEN, " ")
+    xml = F.concat(F.lit(PRE), F.encode(padded, "UTF-8"), F.lit(SUF))
+    crc = le32(F.crc32(xml))
+    docx_blob = F.concat(
+        F.lit(lfh_pre), crc, F.lit(lfh_post), xml,
+        F.lit(cd_pre), crc, F.lit(cd_post), F.lit(eocd),
+    )
+
+    blob = (
+        F.when(F.col("doc_id") % 3 == 0, html_blob)
+        .when(F.col("doc_id") % 3 == 1, rtf_blob)
+        .otherwise(docx_blob)
+    ).cast("binary")
+    media = docs.select("doc_id", blob.alias("content"))
+    return (
+        route_document_texts(media)
+        .select("doc_id", "format", "text")
+        .orderBy("doc_id")
+    )
