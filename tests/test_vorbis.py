@@ -255,6 +255,62 @@ def test_vorbis_inverse_coupling_unit():
     assert np.allclose(new_a, r, atol=1e-12)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    mode=st.sampled_from(["mono", "lr", "coupled"]),
+    block=st.sampled_from(["long", "short", "mixed"]),
+    rate=st.sampled_from([44100, 48000, 22050, 16000, 8000]),
+    seed=st.integers(0, 10_000),
+    n_tones=st.integers(2, 4),
+)
+def test_vorbis_roundtrip_property(mode, block, rate, seed, n_tones):
+    """The Vorbis grid dual of test_mp3_roundtrip_property: ANY tonal
+    signal through ANY (stereo mode × block schedule × sample rate)
+    decodes within the fixture encoder's distortion bound and
+    preserves rms — the structural paths (setup parse, floor
+    prediction, residue cascades, coupling, hybrid windows, OLA) hold
+    across the parameter space, not just the hand-picked fixtures."""
+    rng = np.random.default_rng(seed)
+    n = max(rate // 2, 8192)
+    t = np.arange(n) / rate
+    top = 0.4 * rate
+    freqs = rng.uniform(120, top, n_tones)
+    amps = rng.uniform(1500, 9000, n_tones)
+    phases = rng.uniform(0, 2 * np.pi, n_tones)
+    env = np.minimum(t / 0.05, 1.0)
+    x = sum(a * np.sin(2 * np.pi * f * t + p)
+            for a, f, p in zip(amps, freqs, phases)) * env
+    x = np.clip(x, -32000, 32000)
+    if mode == "mono":
+        sr, ch, y = V.decode_vorbis_samples(
+            write_vorbis(x, rate, 1, block=block)
+        )
+        got = [(x, y)]
+        assert (sr, ch) == (rate, 1)
+    else:
+        left, right = x, np.roll(x, 13) * 0.7
+        inter = np.empty(2 * n)
+        inter[0::2], inter[1::2] = left, right
+        sr, ch, y = V.decode_vorbis_samples(write_vorbis(
+            inter, rate, 2, block=block, couple=mode == "coupled"
+        ))
+        got = [(left, y[0::2]), (right, y[1::2])]
+        assert (sr, ch) == (rate, 2)
+    lo, hi = 2500, n - 2500
+    bound = 14.0 if mode == "coupled" else 20.0
+    for ref, out in got:
+        a, b = ref[lo:hi], out[lo:hi]
+        m = min(len(a), len(b))
+        a, b = a[:m], b[:m]
+        assert _snr(a, b) > bound, (mode, block, rate)
+        assert abs(np.sqrt((b * b).mean())
+                   / (np.sqrt((a * a).mean()) + 1e-9) - 1) < 0.15
+
+
 # --- boundaries ---------------------------------------------------------------
 
 
