@@ -1093,6 +1093,23 @@ def _decode_audio_real(content: bytes) -> tuple[int, int, int, int, int, str]:
                 meta["sample_rate"], meta["channels"], 0,
                 int(round(dur * meta["sample_rate"])), 0, "vorbis",
             )
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import (
+            mp4_metadata,
+        )
+
+        meta = mp4_metadata(content)
+        if meta.get("audio_codec") == "mp4a":
+            # MP4-contained AAC routes to the SAME demonstrated
+            # boundary as ADTS (operators/aac.py): the machinery
+            # exists, the ISO spectral tables do not
+            raise NotImplementedError(
+                "MP4 'mp4a' (AAC) sample decode shares the AAC-LC "
+                "codebook boundary — see operators/aac.py and "
+                "tools/aac_table_restatement.py (machinery implemented "
+                "and parity-verified; the ISO spectral tables are the "
+                "single remaining hole)"
+            )
     raise NotImplementedError(
         "compressed audio decode requires a codec library — not "
         "available in this environment; PCM WAV decodes for real, or "

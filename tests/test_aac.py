@@ -42,6 +42,22 @@ def test_real_stream_gate_raises_precisely():
         adts.decode_aac_samples(blob)
 
 
+def test_mp4_aac_routes_to_the_same_boundary():
+    """MP4 'mp4a' payloads surface the AAC codebook boundary message
+    (not the generic compressed-audio raise) — the verdict's 'wired
+    for ADTS and MP4 mp4a' within the honest gate."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        decode_audio_samples,
+    )
+    from tests.test_media_containers import audio_trak, box, mvhd
+
+    moov = box(b"moov", mvhd(48000, 2 * 48000) + audio_trak(48000, 2))
+    blob = (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+            + box(b"mdat", b"\x00" * 64))
+    with pytest.raises(NotImplementedError, match="mp4a.*codebook"):
+        decode_audio_samples(blob)
+
+
 def test_restatement_attempt_is_committed_and_fails():
     """The evidence artifact must keep demonstrating the boundary: the
     best-effort recalled tables FAIL complete-prefix-tree validation
