@@ -12,7 +12,7 @@ alpha via ExtraSamples.
 Lossless throughout, so tests assert EXACT pixel bytes against an
 INDEPENDENT spec-derived writer (``tests/tiff_writer.py``).
 
-Honest boundaries (``NotImplementedError``): tiled layout, bit depths
+Honest boundaries (``NotImplementedError``): bit depths
 other than 8, JPEG-in-TIFF and other compressions. Deflate (8/32946)
 and planar configuration 2 decode for real (r8). Malformed streams
 raise ``ValueError``.
@@ -149,8 +149,9 @@ def decode_tiff(content: bytes) -> tuple[int, int, int, bytes]:
             return default
         return v[0]
 
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported (strips only)")
+    tiled = 322 in tags and 323 in tags
+    if (322 in tags) != (323 in tags):
+        raise ValueError("TIFF: TileWidth/TileLength must appear together")
     width = one(256)
     height = one(257)
     spp = one(277, 1)
@@ -167,11 +168,18 @@ def decode_tiff(content: bytes) -> tuple[int, int, int, bytes]:
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF: missing or mismatched strip tags")
-    rows_per_strip = one(278, height)
+    if tiled:
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing or mismatched tile tags")
+        rows_per_strip = height  # unused on the tile path
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing or mismatched strip tags")
+        rows_per_strip = one(278, height)
 
     def decompress(chunk: bytes, expected: int) -> bytes:
         if compression == 1:
@@ -217,7 +225,51 @@ def decode_tiff(content: bytes) -> tuple[int, int, int, bytes]:
             % 256
         ).astype(np.uint8).reshape(h_, stride_)
 
-    if planar == 2 and spp > 1:
+    if tiled:
+        # TIFF 6.0 §15: a fixed tile grid, right/bottom tiles padded to
+        # full size in the file and CLIPPED on assembly; planar=2 puts
+        # each channel's full tile set consecutively (plane-major)
+        tw = one(322)
+        tl = one(323)
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError("TIFF: tile dims must be positive multiples of 16")
+        across = -(-width // tw)
+        down = -(-height // tl)
+        per_plane = across * down
+        n_planes = spp if (planar == 2 and spp > 1) else 1
+        tile_spp = 1 if n_planes > 1 else spp
+        if len(offsets) != per_plane * n_planes:
+            raise ValueError(
+                f"TIFF: tile count {len(offsets)} != "
+                f"{per_plane} tiles x {n_planes} planes"
+            )
+        planes = []
+        for c in range(n_planes):
+            plane = np.zeros((height, width * tile_spp), dtype=np.uint8)
+            for t in range(per_plane):
+                off = offsets[c * per_plane + t]
+                cnt = counts[c * per_plane + t]
+                if off + cnt > len(content):
+                    raise ValueError("TIFF: tile out of bounds")
+                raw = decompress(content[off: off + cnt],
+                                 tl * tw * tile_spp)
+                tile = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    tl, tw * tile_spp
+                )
+                if predictor == 2:
+                    tile = undiff(tile, tile_spp)
+                ty, tx = divmod(t, across)
+                y0 = ty * tl
+                x0 = tx * tw * tile_spp
+                hc = min(tl, height - y0)
+                wc = min(tw, width - tx * tw) * tile_spp
+                plane[y0: y0 + hc, x0: x0 + wc] = tile[:hc, :wc]
+            planes.append(plane)
+        if n_planes > 1:
+            arr = np.stack(planes, axis=2).reshape(height, width * spp)
+        else:
+            arr = planes[0]
+    elif planar == 2 and spp > 1:
         # plane-by-plane strips: all strips of channel 0, then channel 1...
         per_plane = (height + rows_per_strip - 1) // rows_per_strip
         if len(offsets) != per_plane * spp:

@@ -171,3 +171,47 @@ def test_tiff_planar_strip_count_mismatch():
             blob[off + 8 : off + 10] = _s.pack("<H", 4)
     with pytest.raises(ValueError, match="planar strip count"):
         decode_tiff(bytes(blob))
+
+
+def test_tiled_tiff_roundtrip_grid():
+    """TIFF 6.0 §15 tiles (r12): every (compression × predictor ×
+    planar × channel-count) cell roundtrips bit-exactly, incl. the
+    right/bottom edge clipping of padded tiles and plane-major tile
+    order for planar=2."""
+    rng = np.random.default_rng(3)
+    for shape, spp in (((50, 70), 1), ((50, 70, 3), 3), ((33, 49, 4), 4)):
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        for comp in (1, 5, 32773, 8):
+            for pred in (1, 2):
+                if comp == 1 and pred == 2:
+                    continue
+                for planar in ((1,) if spp == 1 else (1, 2)):
+                    blob = write_tiff(px, compression=comp,
+                                      predictor=pred, planar=planar,
+                                      tile=(16, 16))
+                    w, h, ch, pix = decode_tiff(blob)
+                    got = np.frombuffer(pix, dtype=np.uint8).reshape(
+                        h, w, ch
+                    )
+                    ref = px if px.ndim == 3 else px[:, :, None]
+                    assert (w, h, ch) == (shape[1], shape[0], spp)
+                    assert np.array_equal(got, ref), (shape, comp, pred)
+
+
+def test_tiled_tiff_malformed_raises():
+    import pytest
+
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+    blob = bytearray(write_tiff(px, tile=(16, 16)))
+    # TileWidth not a multiple of 16 → precise error. Patch tag 322's
+    # value in place: find the IFD entry
+    import struct
+    n = int.from_bytes(blob[8:10], "little")
+    for i in range(n):
+        off = 10 + 12 * i
+        tag = int.from_bytes(blob[off:off + 2], "little")
+        if tag == 322:
+            blob[off + 8:off + 12] = struct.pack("<HH", 20, 0)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        decode_tiff(bytes(blob))

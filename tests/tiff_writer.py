@@ -96,11 +96,15 @@ def write_tiff(
     big_endian: bool = False,
     extra_entries: list | None = None,
     planar: int = 1,
+    tile: tuple | None = None,
 ) -> bytes:
     """Minimal single-IFD TIFF: ``pixels`` is (h, w) gray / palette
     indices or (h, w, c) with c in (3, 4). compression: 1 none,
     5 LZW, 32773 PackBits, 8 Deflate. planar=2 writes plane-by-plane
-    strips (all strips of channel 0, then 1, ...)."""
+    strips (all strips of channel 0, then 1, ...). ``tile=(tw, tl)``
+    writes the TIFF 6.0 §15 tiled layout instead of strips — tags
+    322/323/324/325, right/bottom tiles padded to full size,
+    plane-major tile order for planar=2."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     h, w = pixels.shape[:2]
     spp = 1 if pixels.ndim == 2 else pixels.shape[2]
@@ -135,7 +139,57 @@ def write_tiff(
             return zlib.compress(raw, 6)
         raise ValueError(compression)
 
-    if planar == 2 and spp > 1:
+    def enc_block(rows: np.ndarray, row_w: int, sppx: int) -> bytes:
+        data = rows
+        if predictor == 2:
+            r3 = rows.reshape(rows.shape[0], row_w, sppx).astype(np.int16)
+            diff = r3.copy()
+            diff[:, 1:, :] = (r3[:, 1:, :] - r3[:, :-1, :]) % 256
+            data = diff.astype(np.uint8).reshape(rows.shape[0],
+                                                 row_w * sppx)
+        raw = data.tobytes()
+        if compression == 1:
+            return raw
+        if compression == 32773:
+            stride = row_w * sppx
+            return b"".join(
+                _packbits(raw[i: i + stride])
+                for i in range(0, len(raw), stride)
+            )
+        if compression == 5:
+            return _TiffLZW().compress(raw)
+        if compression == 8:
+            import zlib
+
+            return zlib.compress(raw, 6)
+        raise ValueError(compression)
+
+    if tile is not None:
+        tw, tl = tile
+        across = -(-w // tw)
+        down = -(-h // tl)
+        n_planes = spp if (planar == 2 and spp > 1) else 1
+        tile_spp = 1 if n_planes > 1 else spp
+        strips = []
+        for c in range(n_planes):
+            src = pixels[:, :, c] if n_planes > 1 else flat.reshape(
+                h, w, spp
+            )
+            for t in range(across * down):
+                ty, tx = divmod(t, across)
+                blk = np.zeros((tl, tw * tile_spp), dtype=np.uint8)
+                ys = src[ty * tl: ty * tl + tl]
+                hc = ys.shape[0]
+                if n_planes > 1:
+                    seg = ys[:, tx * tw: tx * tw + tw]
+                    blk[:hc, : seg.shape[1]] = seg
+                else:
+                    seg = ys[:, tx * tw: tx * tw + tw, :]
+                    blk[:hc, : seg.shape[1] * spp] = seg.reshape(
+                        hc, seg.shape[1] * spp
+                    )
+                strips.append(enc_block(blk, tw, tile_spp))
+    elif planar == 2 and spp > 1:
         # per-plane strip sequences; predictor differencing is per plane
         # (single-sample rows), so reuse enc_strip with spp temporarily 1
         strips = []
@@ -178,7 +232,11 @@ def write_tiff(
     entries.append((259, 3, 1, [compression]))
     entries.append((262, 3, 1, [photometric]))
     entries.append((277, 3, 1, [spp]))
-    entries.append((278, 3, 1, [rps]))
+    if tile is not None:
+        entries.append((322, 3, 1, [tile[0]]))
+        entries.append((323, 3, 1, [tile[1]]))
+    else:
+        entries.append((278, 3, 1, [rps]))
     if planar != 1:
         entries.append((284, 3, 1, [planar]))
     if predictor != 1:
@@ -227,8 +285,10 @@ def write_tiff(
         strip_offsets.append(p)
         p += len(sdata)
 
-    pending.append((273, 4, len(strips), val_bytes(4, strip_offsets)))
-    pending.append((279, 4, len(strips), val_bytes(4, [len(s) for s in strips])))
+    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
+    pending.append((off_tag, 4, len(strips), val_bytes(4, strip_offsets)))
+    pending.append((cnt_tag, 4, len(strips),
+                    val_bytes(4, [len(s) for s in strips])))
     pending.sort(key=lambda e: e[0])
 
     out = bytearray()
