@@ -12,10 +12,12 @@ alpha via ExtraSamples.
 Lossless throughout, so tests assert EXACT pixel bytes against an
 INDEPENDENT spec-derived writer (``tests/tiff_writer.py``).
 
-Honest boundaries (``NotImplementedError``): bit depths
-other than 8, JPEG-in-TIFF and other compressions. Deflate (8/32946)
-and planar configuration 2 decode for real (r8). Malformed streams
-raise ``ValueError``.
+Tiled layout (TIFF 6.0 §15) and 16-bit samples (MSB reduction, the
+PNG-16 precedent) decode for real as of r12; Deflate (8/32946) and
+planar configuration 2 since r8. Honest boundaries
+(``NotImplementedError``): sub-8-bit depths, 16-bit palettes,
+JPEG-in-TIFF/CCITT and other compressions, predictor 3. Malformed
+streams raise ``ValueError``.
 """
 
 from __future__ import annotations
@@ -156,10 +158,15 @@ def decode_tiff(content: bytes) -> tuple[int, int, int, bytes]:
     height = one(257)
     spp = one(277, 1)
     bits = tags.get(258, [8] * spp)
-    if any(b != 8 for b in bits):
+    if not (all(b == 8 for b in bits) or all(b == 16 for b in bits)):
         raise NotImplementedError(
-            f"TIFF bit depths {bits} not supported (8-bit samples only)"
+            f"TIFF bit depths {bits} not supported (8- or 16-bit "
+            "samples, uniform)"
         )
+    sb = bits[0] // 8  # bytes per sample
+    dt = np.uint8 if sb == 1 else np.dtype(
+        "<u2" if bo == "little" else ">u2"
+    )
     planar = one(284, 1)
     if planar not in (1, 2):
         raise ValueError(f"TIFF: invalid PlanarConfiguration {planar}")
@@ -209,21 +216,24 @@ def decode_tiff(content: bytes) -> tuple[int, int, int, bytes]:
             if off + cnt > len(content):
                 raise ValueError("TIFF: strip out of bounds")
             strip_rows = min(rows_per_strip, remaining)
-            raw += decompress(content[off : off + cnt], strip_rows * sample_width)
+            raw += decompress(content[off : off + cnt],
+                              strip_rows * sample_width * sb)
             remaining -= strip_rows
         if remaining > 0:
             raise ValueError("TIFF: strips cover fewer rows than ImageLength")
         return bytes(raw)
 
     def undiff(a: np.ndarray, nchan: int) -> np.ndarray:
-        # horizontal differencing per sample: cumulative sum along the row
+        # horizontal differencing per sample: cumulative sum along the
+        # row, modulo the sample width
         h_, stride_ = a.shape
         return (
             np.cumsum(
-                a.reshape(h_, stride_ // nchan, nchan), axis=1, dtype=np.uint32
+                a.reshape(h_, stride_ // nchan, nchan), axis=1,
+                dtype=np.uint64,
             )
-            % 256
-        ).astype(np.uint8).reshape(h_, stride_)
+            % (1 << (8 * sb))
+        ).astype(dt).reshape(h_, stride_)
 
     if tiled:
         # TIFF 6.0 §15: a fixed tile grid, right/bottom tiles padded to
@@ -245,15 +255,15 @@ def decode_tiff(content: bytes) -> tuple[int, int, int, bytes]:
             )
         planes = []
         for c in range(n_planes):
-            plane = np.zeros((height, width * tile_spp), dtype=np.uint8)
+            plane = np.zeros((height, width * tile_spp), dtype=dt)
             for t in range(per_plane):
                 off = offsets[c * per_plane + t]
                 cnt = counts[c * per_plane + t]
                 if off + cnt > len(content):
                     raise ValueError("TIFF: tile out of bounds")
                 raw = decompress(content[off: off + cnt],
-                                 tl * tw * tile_spp)
-                tile = np.frombuffer(raw, dtype=np.uint8).reshape(
+                                 tl * tw * tile_spp * sb)
+                tile = np.frombuffer(raw, dtype=dt).reshape(
                     tl, tw * tile_spp
                 )
                 if predictor == 2:
@@ -285,7 +295,7 @@ def decode_tiff(content: bytes) -> tuple[int, int, int, bytes]:
                     counts[c * per_plane : (c + 1) * per_plane],
                 )
             )
-            p = np.frombuffer(read_strips(sl, width), dtype=np.uint8).reshape(
+            p = np.frombuffer(read_strips(sl, width), dtype=dt).reshape(
                 height, width
             )
             if predictor == 2:
@@ -295,10 +305,18 @@ def decode_tiff(content: bytes) -> tuple[int, int, int, bytes]:
     else:
         stride = width * spp
         arr = np.frombuffer(
-            read_strips(list(zip(offsets, counts)), stride), dtype=np.uint8
+            read_strips(list(zip(offsets, counts)), stride), dtype=dt
         ).reshape(height, stride)
         if predictor == 2:
             arr = undiff(arr, spp)
+    if sb == 2:
+        if photometric == 3:
+            raise NotImplementedError(
+                "16-bit palette TIFF not supported"
+            )
+        # the standard 8-bit reduction: keep the most-significant byte
+        # (the PNG-16 precedent in multimodal._png_row_samples)
+        arr = (arr.astype(np.uint16) >> 8).astype(np.uint8)
     arr = arr.reshape(height, width, spp)
 
     if photometric == 3:  # palette

@@ -215,3 +215,40 @@ def test_tiled_tiff_malformed_raises():
             blob[off + 8:off + 12] = struct.pack("<HH", 20, 0)
     with pytest.raises(ValueError, match="multiples of 16"):
         decode_tiff(bytes(blob))
+
+
+def test_16bit_tiff_msb_reduction_grid():
+    """16-bit samples (r12): both byte orders, strips and tiles,
+    every compression, predictor-2 differencing mod 65536 — reduced to
+    the most-significant byte (the PNG-16 precedent)."""
+    rng = np.random.default_rng(5)
+    for shape in ((40, 50), (40, 50, 3)):
+        px16 = rng.integers(0, 65536, shape).astype(np.uint16)
+        ref = (px16 >> 8).astype(np.uint8)
+        if ref.ndim == 2:
+            ref = ref[:, :, None]
+        for comp in (1, 5, 8, 32773):
+            for pred in (1, 2):
+                if comp == 1 and pred == 2:
+                    continue
+                for be in (False, True):
+                    for tile in (None, (16, 16)):
+                        blob = write_tiff(px16, compression=comp,
+                                          predictor=pred, big_endian=be,
+                                          tile=tile)
+                        w, h, ch, pix = decode_tiff(blob)
+                        got = np.frombuffer(pix, dtype=np.uint8).reshape(
+                            h, w, ch
+                        )
+                        assert np.array_equal(got, ref), (comp, pred, be)
+
+
+def test_16bit_palette_tiff_raises():
+    import pytest
+
+    rng = np.random.default_rng(2)
+    px16 = rng.integers(0, 256, (8, 8)).astype(np.uint16)
+    blob = write_tiff(px16, photometric=3,
+                      colormap=[0] * (3 * 256))
+    with pytest.raises(NotImplementedError, match="16-bit palette"):
+        decode_tiff(blob)

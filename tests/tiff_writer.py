@@ -105,28 +105,35 @@ def write_tiff(
     writes the TIFF 6.0 §15 tiled layout instead of strips — tags
     322/323/324/325, right/bottom tiles padded to full size,
     plane-major tile order for planar=2."""
-    pixels = np.asarray(pixels, dtype=np.uint8)
+    pixels = np.asarray(pixels)
+    wide = pixels.dtype == np.uint16
+    if not wide:
+        pixels = pixels.astype(np.uint8)
     h, w = pixels.shape[:2]
     spp = 1 if pixels.ndim == 2 else pixels.shape[2]
     if photometric is None:
         photometric = 1 if spp == 1 else 2
     bo = "big" if big_endian else "little"
+    sdt = np.dtype(("<u2" if bo == "little" else ">u2") if wide
+                   else "u1")
+    pixels = pixels.astype(sdt)
+    mod = 65536 if wide else 256
     rps = rows_per_strip or h
     flat = pixels.reshape(h, w * spp)
 
     def enc_strip(rows: np.ndarray) -> bytes:
         data = rows
         if predictor == 2:
-            r3 = rows.reshape(rows.shape[0], w, spp).astype(np.int16)
+            r3 = rows.reshape(rows.shape[0], w, spp).astype(np.int64)
             diff = r3.copy()
-            diff[:, 1:, :] = (r3[:, 1:, :] - r3[:, :-1, :]) % 256
-            data = diff.astype(np.uint8).reshape(rows.shape[0], w * spp)
+            diff[:, 1:, :] = (r3[:, 1:, :] - r3[:, :-1, :]) % mod
+            data = diff.astype(sdt).reshape(rows.shape[0], w * spp)
         raw = data.tobytes()
         if compression == 1:
             return raw
         if compression == 32773:
             # PackBits operates per ROW per spec
-            stride = w * spp
+            stride = w * spp * (2 if wide else 1)
             return b"".join(
                 _packbits(raw[i : i + stride])
                 for i in range(0, len(raw), stride)
@@ -142,16 +149,16 @@ def write_tiff(
     def enc_block(rows: np.ndarray, row_w: int, sppx: int) -> bytes:
         data = rows
         if predictor == 2:
-            r3 = rows.reshape(rows.shape[0], row_w, sppx).astype(np.int16)
+            r3 = rows.reshape(rows.shape[0], row_w, sppx).astype(np.int64)
             diff = r3.copy()
-            diff[:, 1:, :] = (r3[:, 1:, :] - r3[:, :-1, :]) % 256
-            data = diff.astype(np.uint8).reshape(rows.shape[0],
-                                                 row_w * sppx)
+            diff[:, 1:, :] = (r3[:, 1:, :] - r3[:, :-1, :]) % mod
+            data = diff.astype(sdt).reshape(rows.shape[0],
+                                            row_w * sppx)
         raw = data.tobytes()
         if compression == 1:
             return raw
         if compression == 32773:
-            stride = row_w * sppx
+            stride = row_w * sppx * (2 if wide else 1)
             return b"".join(
                 _packbits(raw[i: i + stride])
                 for i in range(0, len(raw), stride)
@@ -177,7 +184,7 @@ def write_tiff(
             )
             for t in range(across * down):
                 ty, tx = divmod(t, across)
-                blk = np.zeros((tl, tw * tile_spp), dtype=np.uint8)
+                blk = np.zeros((tl, tw * tile_spp), dtype=sdt)
                 ys = src[ty * tl: ty * tl + tl]
                 hc = ys.shape[0]
                 if n_planes > 1:
@@ -198,18 +205,20 @@ def write_tiff(
             for y in range(0, h, rps):
                 rows = plane[y : y + rps]
                 if predictor == 2:
-                    d = rows.astype(np.int16).copy()
-                    d[:, 1:] = (rows[:, 1:].astype(np.int16) - rows[:, :-1]) % 256
-                    raw = d.astype(np.uint8).tobytes()
+                    d = rows.astype(np.int64).copy()
+                    d[:, 1:] = (rows[:, 1:].astype(np.int64)
+                                - rows[:, :-1]) % mod
+                    raw = d.astype(sdt).tobytes()
                 else:
                     raw = rows.tobytes()
                 if compression == 1:
                     strips.append(raw)
                 elif compression == 32773:
+                    stride = w * (2 if wide else 1)
                     strips.append(
                         b"".join(
-                            _packbits(raw[i : i + w])
-                            for i in range(0, len(raw), w)
+                            _packbits(raw[i : i + stride])
+                            for i in range(0, len(raw), stride)
                         )
                     )
                 elif compression == 5:
@@ -228,7 +237,7 @@ def write_tiff(
     entries = []  # (tag, type, count, values)
     entries.append((256, 3, 1, [w]))
     entries.append((257, 3, 1, [h]))
-    entries.append((258, 3, spp, [8] * spp))
+    entries.append((258, 3, spp, [16 if wide else 8] * spp))
     entries.append((259, 3, 1, [compression]))
     entries.append((262, 3, 1, [photometric]))
     entries.append((277, 3, 1, [spp]))
