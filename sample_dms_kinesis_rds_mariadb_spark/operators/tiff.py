@@ -14,10 +14,12 @@ INDEPENDENT spec-derived writer (``tests/tiff_writer.py``).
 
 Tiled layout (TIFF 6.0 §15) and 16-bit samples (MSB reduction, the
 PNG-16 precedent) decode for real as of r12; Deflate (8/32946) and
-planar configuration 2 since r8. Honest boundaries
+planar configuration 2 since r8; new-style JPEG-in-TIFF
+(compression 7, incl. the shared-JPEGTables abbreviated-stream form)
+decodes through the repo's real JPEG decoder (r12). Honest boundaries
 (``NotImplementedError``): sub-8-bit depths, 16-bit palettes,
-JPEG-in-TIFF/CCITT and other compressions, predictor 3. Malformed
-streams raise ``ValueError``.
+old-style JPEG (6) and CCITT compressions, predictor 3, planar
+JPEG-in-TIFF. Malformed streams raise ``ValueError``.
 """
 
 from __future__ import annotations
@@ -187,6 +189,76 @@ def decode_tiff(content: bytes) -> tuple[int, int, int, bytes]:
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError("TIFF: missing or mismatched strip tags")
         rows_per_strip = one(278, height)
+
+    if compression == 7:
+        # new-style JPEG-in-TIFF (TIFF Technical Note 2): each strip or
+        # tile is a JPEG stream — interchange, or abbreviated with the
+        # shared tables in the JPEGTables tag (347), merged by splicing
+        # the tables body between the segment's SOI and its first marker
+        if planar == 2 and spp > 1:
+            raise NotImplementedError(
+                "planar JPEG-in-TIFF not supported (chunky only)"
+            )
+        from sample_dms_kinesis_rds_mariadb_spark.operators.jpeg import (
+            decode_jpeg,
+        )
+
+        jt = tags.get(347)
+        tables = bytes(jt) if jt else None
+        if tables is not None and (
+            tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9"
+        ):
+            raise ValueError("TIFF: malformed JPEGTables stream")
+
+        def jseg(chunk: bytes):
+            if chunk[:2] != b"\xff\xd8":
+                raise ValueError("TIFF: JPEG segment without SOI")
+            if tables is not None and len(tables) > 4:
+                chunk = chunk[:2] + tables[2:-2] + chunk[2:]
+            return decode_jpeg(chunk)
+
+        out_arr = None
+        if tiled:
+            tw = one(322)
+            tl = one(323)
+            across = -(-width // tw)
+            for t, (off, cnt) in enumerate(zip(offsets, counts)):
+                if off + cnt > len(content):
+                    raise ValueError("TIFF: tile out of bounds")
+                jw, jh, jch, pix = jseg(content[off: off + cnt])
+                if out_arr is None:
+                    out_arr = np.zeros((height, width, jch),
+                                       dtype=np.uint8)
+                tile = np.frombuffer(pix, dtype=np.uint8).reshape(
+                    jh, jw, jch
+                )
+                ty, tx = divmod(t, across)
+                y0, x0 = ty * tl, tx * tw
+                hc = min(jh, height - y0)
+                wc = min(jw, width - x0)
+                out_arr[y0: y0 + hc, x0: x0 + wc] = tile[:hc, :wc]
+        else:
+            y0 = 0
+            for off, cnt in zip(offsets, counts):
+                if off + cnt > len(content):
+                    raise ValueError("TIFF: strip out of bounds")
+                jw, jh, jch, pix = jseg(content[off: off + cnt])
+                if out_arr is None:
+                    out_arr = np.zeros((height, width, jch),
+                                       dtype=np.uint8)
+                strip = np.frombuffer(pix, dtype=np.uint8).reshape(
+                    jh, jw, jch
+                )
+                hc = min(jh, height - y0)
+                wc = min(jw, width)
+                out_arr[y0: y0 + hc, :wc] = strip[:hc, :wc]
+                y0 += hc
+            if y0 < height:
+                raise ValueError("TIFF: JPEG strips cover fewer rows "
+                                 "than ImageLength")
+        if out_arr is None:
+            raise ValueError("TIFF: no JPEG segments")
+        return width, height, out_arr.shape[2], out_arr.tobytes()
 
     def decompress(chunk: bytes, expected: int) -> bytes:
         if compression == 1:

