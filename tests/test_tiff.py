@@ -100,11 +100,21 @@ def test_tiff_boundaries_raise():
         decode_tiff(b"XX" + bytes(blob[2:]))
     with pytest.raises(ValueError):
         decode_tiff(bytes(blob[: len(blob) // 2]))
-    # unsupported compression tag (JPEG-in-TIFF = 7)
+    # unsupported compression tag (old-style JPEG = 6; new-style 7
+    # decodes for real as of r12)
     from tests.tiff_writer import write_tiff as _wt
 
     with pytest.raises(ValueError):
-        _wt(img, compression=7)  # the writer itself refuses
+        _wt(img, compression=6)  # the writer itself refuses
+    # decoder side: patch a valid file's compression tag to 6
+    blob6 = bytearray(write_tiff(img))
+    n = int.from_bytes(blob6[8:10], "little")
+    for i in range(n):
+        off = 10 + 12 * i
+        if int.from_bytes(blob6[off:off + 2], "little") == 259:
+            blob6[off + 8] = 6
+    with pytest.raises(NotImplementedError, match="compression 6"):
+        decode_tiff(bytes(blob6))
 
 
 def test_tiff_dispatch_and_features_e2e(spark):
