@@ -255,6 +255,43 @@ def test_curate_media_audio_branch(spark):
     assert sorted(r["media_id"] for r in res2.corpus.collect()) == [0]
 
 
+def test_curate_media_vorbis_transcode_collapses(spark):
+    """r12 e2e through the FULL user façade: an Ogg Vorbis transcode of
+    a WAV original collapses in curate_media's audio perceptual stage —
+    the complete in-stream-codebook decoder on the same path every
+    other codec takes."""
+    import numpy as np
+
+    from sample_dms_kinesis_rds_mariadb_spark.pipeline import curate_media
+    from tests.test_operators import _wav
+    from tests.vorbis_writer import write_vorbis
+
+    rate = 16000
+    n = 2 * rate
+    t = np.arange(n) / rate
+    env = np.minimum(t / 0.05, 1.0)
+    x = (9000 * np.sin(2 * np.pi * (440 + 60 * np.sin(2 * np.pi * 2 * t))
+                       * t) + 3000 * np.sin(2 * np.pi * 930 * t)) * env
+    rng = np.random.default_rng(13)
+    rows = [
+        (1, _wav([int(v) for v in x], rate=rate)),       # original
+        (2, write_vorbis(x, rate, 1)),                   # Vorbis transcode
+        (3, _wav([int(v) for v in np.clip(
+            rng.normal(0, 8000, n), -32000, 32000)], rate=rate)),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(b), "audio", f"s://{i}") for i, b in rows],
+        "media_id LONG, content BINARY, media_type STRING, source_uri STRING",
+    )
+    res = curate_media(media, audio=True, audio_min_frac=0.3,
+                       audio_max_hamming=10)
+    kept = sorted(r["media_id"] for r in res.corpus.collect())
+    assert kept == [1, 3], kept  # the Vorbis transcode collapsed into 1
+    stages = dict(res.funnel)
+    assert stages["audio_decodable"] == 3
+    assert stages["audio_dedup_perceptual"] == 2
+
+
 def test_curate_media_null_media_type_and_dedup_toggle(spark):
     """Review fixes: (a) a NULL media_type row falls to the IMAGE branch
     under audio=True instead of vanishing from both filters; (b) the
