@@ -1282,7 +1282,7 @@ MEDIA_METADATA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("container", T.StringType()),  # mp3|mp4|flac|ogg|wav|adts|unknown
+        T.StructField("container", T.StringType()),  # mp3|mp4|flac|ogg|wav|adts|webm|mkv|unknown
         T.StructField("duration_sec", T.DoubleType()),
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
@@ -1389,6 +1389,24 @@ def media_container_metadata(content: bytes) -> dict:
                 sample_rate=m["sample_rate"],
                 channels=m["channels"],
                 audio_codec=m["codec"],
+            )
+        elif content[:4] == b"\x1aE\xdf\xa3":
+            # Matroska / WebM (r12): EBML walk — the dominant open
+            # video container in a crawl
+            from sample_dms_kinesis_rds_mariadb_spark.operators.mkv import (
+                mkv_metadata,
+            )
+
+            m = mkv_metadata(content)
+            out.update(
+                container=m["container"],
+                duration_sec=m["duration_sec"],
+                sample_rate=m["sample_rate"],
+                channels=m["channels"],
+                width=m["width"],
+                height=m["height"],
+                video_codec=m["video_codec"],
+                audio_codec=m["audio_codec"],
             )
         elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             rate, ch, bits, n_frames, _off, kind = decode_audio(content)

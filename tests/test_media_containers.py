@@ -709,3 +709,101 @@ def test_aac_sample_decode_is_precise_boundary():
 
     with pytest.raises(NotImplementedError, match="Huffman codebooks"):
         decode_audio_samples(adts_frame() * 2)
+
+
+# --- Matroska / WebM (r12) ------------------------------------------------------
+
+
+def _ebml_elem(eid: int, body: bytes) -> bytes:
+    """INDEPENDENT EBML serializer: ID as-is (marker included), size as
+    a minimal-length VINT with the length marker."""
+    out = bytearray()
+    idlen = (eid.bit_length() + 7) // 8
+    out += eid.to_bytes(idlen, "big")
+    n = len(body)
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            out += ((1 << (7 * ln)) | n).to_bytes(ln, "big")
+            break
+    out += body
+    return bytes(out)
+
+
+def _ebml_uint(eid: int, v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return _ebml_elem(eid, v.to_bytes(n, "big"))
+
+
+def _mkv_blob(doctype=b"webm", duration=12.5, tscale=1_000_000,
+              unknown_segment_size=False) -> bytes:
+    header = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, doctype))
+    info = _ebml_elem(0x1549A966,
+                      _ebml_uint(0x2AD7B1, tscale)
+                      + _ebml_elem(0x4489, struct.pack(
+                          ">d", duration * 1e9 / tscale)))
+    video_track = _ebml_elem(0xAE,
+                             _ebml_uint(0x83, 1)
+                             + _ebml_elem(0x86, b"V_VP9")
+                             + _ebml_elem(0xE0,
+                                          _ebml_uint(0xB0, 640)
+                                          + _ebml_uint(0xBA, 360)))
+    audio_track = _ebml_elem(0xAE,
+                             _ebml_uint(0x83, 2)
+                             + _ebml_elem(0x86, b"A_OPUS")
+                             + _ebml_elem(0xE1,
+                                          _ebml_elem(0xB5, struct.pack(
+                                              ">f", 48000.0))
+                                          + _ebml_uint(0x9F, 2)))
+    tracks = _ebml_elem(0x1654AE6B, video_track + audio_track)
+    seg_body = info + tracks
+    if unknown_segment_size:
+        seg = (0x18538067).to_bytes(4, "big") + b"\xff" + seg_body
+    else:
+        seg = _ebml_elem(0x18538067, seg_body)
+    return header + seg
+
+
+def test_mkv_webm_metadata():
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mkv import (
+        mkv_metadata,
+    )
+
+    m = mkv_metadata(_mkv_blob())
+    assert m["container"] == "webm"
+    assert abs(m["duration_sec"] - 12.5) < 1e-6
+    assert (m["width"], m["height"], m["video_codec"]) == (640, 360,
+                                                           "V_VP9")
+    assert (m["sample_rate"], m["channels"], m["audio_codec"]) == (
+        48000, 2, "A_OPUS")
+    # matroska doctype + the streamed unknown-size segment form
+    m2 = mkv_metadata(_mkv_blob(doctype=b"matroska",
+                                unknown_segment_size=True))
+    assert m2["container"] == "mkv" and m2["width"] == 640
+    # non-default timestamp scale
+    m3 = mkv_metadata(_mkv_blob(duration=3.0, tscale=500_000))
+    assert abs(m3["duration_sec"] - 3.0) < 1e-6
+
+
+def test_mkv_malformed_and_sweep(spark):
+    import pytest
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mkv import (
+        MkvError,
+        mkv_metadata,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        extract_media_metadata,
+    )
+
+    with pytest.raises(MkvError):
+        mkv_metadata(b"\x1aE\xdf\xa3\x00\x00")  # invalid vint
+    with pytest.raises(MkvError):
+        mkv_metadata(b"not ebml")
+    df = spark.createDataFrame(
+        [(0, bytearray(_mkv_blob())), (1, bytearray(b"\x1aE\xdf\xa3xx"))],
+        "media_id LONG, content BINARY",
+    )
+    rows = {r["media_id"]: r for r in extract_media_metadata(df).collect()}
+    assert rows[0]["container"] == "webm"
+    assert rows[0]["video_codec"] == "V_VP9" and rows[0]["width"] == 640
+    assert rows[1]["container"] == "unknown"  # malformed -> typed unknown
