@@ -36,6 +36,7 @@ TRACKS = 0x1654AE6B
 TRACK_ENTRY = 0xAE
 TRACK_TYPE = 0x83
 CODEC_ID = 0x86
+CODEC_PRIVATE = 0x63A2
 VIDEO = 0xE0
 PIXEL_WIDTH = 0xB0
 PIXEL_HEIGHT = 0xBA
@@ -48,6 +49,54 @@ _NESTED = {EBML_HEADER, SEGMENT, INFO, TRACKS, TRACK_ENTRY, VIDEO, AUDIO}
 
 class MkvError(ValueError):
     """Not a Matroska/WebM stream, or a malformed one."""
+
+
+# Matroska CodecPrivate per codec-id (the public codec mappings):
+# AVC/HEVC/AV1 carry the same ISOBMFF decoder-configuration records as
+# MP4; VP9 uses the "VP9 Codec Feature Metadata" (id,len,value) list.
+def _vp9_features(private: bytes) -> dict:
+    info = {"codec": "vp9", "profile": None, "level": None, "width": None,
+            "height": None, "bit_depth": None, "chroma": None,
+            "interlaced": False}
+    pos = 0
+    while pos + 2 <= len(private):
+        fid, ln = private[pos], private[pos + 1]
+        val = int.from_bytes(private[pos + 2 : pos + 2 + ln], "big")
+        if fid == 1:
+            info["profile"] = f"profile{val}"
+        elif fid == 2:
+            info["level"] = f"{val / 10:g}"
+        elif fid == 3:
+            info["bit_depth"] = val
+        pos += 2 + ln
+    return info
+
+
+def _codec_profile(codec_id: str | None, private: bytes | None) -> str | None:
+    """CodecPrivate -> normalized profile string; degrades to None on
+    any parse failure (a metadata pass, never a throw)."""
+    if not codec_id or private is None:
+        return None
+    from sample_dms_kinesis_rds_mariadb_spark.operators.video_codecs import (
+        parse_av1c,
+        parse_avcc,
+        parse_hvcc,
+        profile_string,
+    )
+
+    parsers = {
+        "V_MPEG4/ISO/AVC": parse_avcc,
+        "V_MPEGH/ISO/HEVC": parse_hvcc,
+        "V_AV1": parse_av1c,
+        "V_VP9": _vp9_features,
+    }
+    fn = parsers.get(codec_id)
+    if fn is None:
+        return None
+    try:
+        return profile_string(fn(private))
+    except ValueError:
+        return None
 
 
 def _read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
@@ -129,6 +178,7 @@ def mkv_metadata(content: bytes) -> dict:
     def handle_track(a: int, b: int) -> None:
         ttype = None
         codec = None
+        private = None
         vdims: dict = {}
         adims: dict = {}
         for eid, x, y in _walk(content, a, b, 3):
@@ -136,6 +186,8 @@ def mkv_metadata(content: bytes) -> dict:
                 ttype = _uint(content, x, y)
             elif eid == CODEC_ID:
                 codec = content[x:y].decode("ascii", "replace")
+            elif eid == CODEC_PRIVATE:
+                private = content[x:y]
             elif eid == VIDEO:
                 for e2, p, q in _walk(content, x, y, 4):
                     if e2 == PIXEL_WIDTH:
@@ -151,7 +203,8 @@ def mkv_metadata(content: bytes) -> dict:
                     elif e2 == CHANNELS:
                         adims["channels"] = _uint(content, p, q)
         if ttype == 1 and not video:
-            video.update(vdims, codec=codec)
+            video.update(vdims, codec=codec,
+                         profile=_codec_profile(codec, private))
         elif ttype == 2 and not audio:
             audio.update(adims, codec=codec)
 
@@ -184,6 +237,7 @@ def mkv_metadata(content: bytes) -> dict:
         "width": video.get("width"),
         "height": video.get("height"),
         "video_codec": video.get("codec"),
+        "video_profile": video.get("profile"),
         "sample_rate": audio.get("sample_rate"),
         "channels": audio.get("channels"),
         "audio_codec": audio.get("codec"),

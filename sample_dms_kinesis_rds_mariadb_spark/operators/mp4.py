@@ -50,6 +50,32 @@ def _find(data: bytes, start: int, end: int, typ: bytes):
 _ITUNES_KEYS = {b"\xa9nam": "title", b"\xa9ART": "artist", b"\xa9alb": "album"}
 
 
+def _video_config(data: bytes, start: int, end: int) -> str | None:
+    """Parse the decoder-configuration child box of a video sample
+    entry (avcC/hvcC/vpcC/av1C) into the normalized profile string, or
+    None when absent/unparseable — the container walk must stay a
+    metadata pass, never a throw (``video_codecs`` raises precisely;
+    here a bad config degrades to a null field)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.video_codecs import (
+        parse_av1c,
+        parse_avcc,
+        parse_hvcc,
+        parse_vpcc,
+        profile_string,
+    )
+
+    parsers = {b"avcC": parse_avcc, b"hvcC": parse_hvcc,
+               b"vpcC": parse_vpcc, b"av1C": parse_av1c}
+    try:
+        for t, a, b in _boxes(data, start, end):
+            fn = parsers.get(t)
+            if fn is not None:
+                return profile_string(fn(data[a:b]))
+    except ValueError:
+        return None
+    return None
+
+
 def _parse_tracks(data: bytes, moov_a: int, moov_b: int) -> list[dict]:
     tracks = []
     for t, a, b in _boxes(data, moov_a, moov_b):
@@ -57,7 +83,7 @@ def _parse_tracks(data: bytes, moov_a: int, moov_b: int) -> list[dict]:
             continue
         track: dict = {"kind": None, "codec": None, "width": None,
                        "height": None, "sample_rate": None, "channels": None,
-                       "duration_sec": None}
+                       "duration_sec": None, "profile": None}
         mdia = _find(data, a, b, b"mdia")
         if mdia is None:
             continue
@@ -100,6 +126,9 @@ def _parse_tracks(data: bytes, moov_a: int, moov_b: int) -> list[dict]:
                         track["height"] = int.from_bytes(
                             data[ea + 26 : ea + 28], "big"
                         )
+                        # decoder configuration children follow the
+                        # 78-byte VisualSampleEntry fields (14496-15)
+                        track["profile"] = _video_config(data, ea + 78, eb)
                     elif track["kind"] == "audio" and eb - ea >= 28:
                         # AudioSampleEntry: 6+2 then 8 reserved, channelcount
                         # uint16, samplesize, predefined, reserved, then
@@ -187,6 +216,7 @@ def mp4_metadata(content: bytes) -> dict:
         "width": video["width"] if video else None,
         "height": video["height"] if video else None,
         "video_codec": video["codec"] if video else None,
+        "video_profile": video["profile"] if video else None,
         "audio_codec": audio["codec"] if audio else None,
         "sample_rate": audio["sample_rate"] if audio else None,
         "channels": audio["channels"] if audio else None,

@@ -1282,7 +1282,7 @@ MEDIA_METADATA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("container", T.StringType()),  # mp3|mp4|flac|ogg|wav|adts|webm|mkv|unknown
+        T.StructField("container", T.StringType()),  # mp3|mp4|flac|ogg|wav|adts|webm|mkv|ivf|h264|hevc|unknown
         T.StructField("duration_sec", T.DoubleType()),
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
@@ -1290,6 +1290,7 @@ MEDIA_METADATA_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("video_codec", T.StringType()),
+        T.StructField("video_profile", T.StringType()),
         T.StructField("audio_codec", T.StringType()),
         T.StructField("title", T.StringType()),
         T.StructField("artist", T.StringType()),
@@ -1306,7 +1307,8 @@ def media_container_metadata(content: bytes) -> dict:
     out = {
         "container": "unknown", "duration_sec": None, "sample_rate": None,
         "channels": None, "bitrate_kbps": None, "width": None, "height": None,
-        "video_codec": None, "audio_codec": None, "title": None, "artist": None,
+        "video_codec": None, "video_profile": None, "audio_codec": None,
+        "title": None, "artist": None,
     }
     try:
         from sample_dms_kinesis_rds_mariadb_spark.operators.adts import (
@@ -1358,6 +1360,7 @@ def media_container_metadata(content: bytes) -> dict:
                 width=m["width"],
                 height=m["height"],
                 video_codec=m["video_codec"],
+                video_profile=m["video_profile"],
                 audio_codec=m["audio_codec"],
                 title=m["tags"].get("title"),
                 artist=m["tags"].get("artist"),
@@ -1406,7 +1409,40 @@ def media_container_metadata(content: bytes) -> dict:
                 width=m["width"],
                 height=m["height"],
                 video_codec=m["video_codec"],
+                video_profile=m["video_profile"],
                 audio_codec=m["audio_codec"],
+            )
+        elif content[:4] == b"DKIF":
+            # IVF — the raw VP8/VP9/AV1 elementary-stream container
+            from sample_dms_kinesis_rds_mariadb_spark.operators.video_codecs import (
+                ivf_metadata,
+                profile_string,
+            )
+
+            m = ivf_metadata(content)
+            out.update(
+                container="ivf",
+                duration_sec=m["duration_sec"],
+                width=m["width"],
+                height=m["height"],
+                video_codec=m["codec"],
+                video_profile=profile_string(m["stream"]) if m["stream"] else None,
+            )
+        elif content[:4] == b"\x00\x00\x00\x01" or content[:3] == b"\x00\x00\x01":
+            # Annex B H.264/HEVC elementary stream: geometry from the
+            # first SPS (the only metadata a raw ES carries)
+            from sample_dms_kinesis_rds_mariadb_spark.operators.video_codecs import (
+                annexb_metadata,
+                profile_string,
+            )
+
+            m = annexb_metadata(content)
+            out.update(
+                container=m["codec"],
+                width=m["width"],
+                height=m["height"],
+                video_codec=m["codec"],
+                video_profile=profile_string(m),
             )
         elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             rate, ch, bits, n_frames, _off, kind = decode_audio(content)
