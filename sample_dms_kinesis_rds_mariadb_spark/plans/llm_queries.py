@@ -3296,3 +3296,94 @@ def q_routed_intake_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "format", "text")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "archive_member_expansion",
+    "The r12 archive front door under the cross-engine hash gate: "
+    "VALID stored two-member zips (a constant meta.txt + a per-row "
+    "fixed-width doc.txt whose CRC rides F.crc32 + the hex/unhex "
+    "little-endian swap) built per document row in pure codegen, "
+    "expanded through the REAL sources/archives.expand_archives Arrow "
+    "pass (stdlib zipfile behind the three-cap bomb posture) into one "
+    "row per member; the oracle emits the two expected member rows per "
+    "document straight from the source column — a wrong member name, "
+    "order, byte count, or payload hash-mismatches immediately",
+    oracle="""
+        WITH safe AS (
+          SELECT doc_id,
+                 rpad(substr(regexp_replace(text, '[^ -~]', ' ', 'g'),
+                             1, 120), 120, ' ') AS t
+          FROM documents WHERE doc_id < 200
+        )
+        SELECT * FROM (
+          SELECT doc_id, 'zip' AS archive_format, 'doc.txt' AS member_name,
+                 CAST(120 AS BIGINT) AS n_bytes, t AS member_text
+          FROM safe
+          UNION ALL
+          SELECT doc_id, 'zip', 'meta.txt', CAST(4 AS BIGINT), 'meta'
+          FROM safe
+        ) ORDER BY doc_id, member_name
+    """,
+    tags=("documents",),
+    extra=True,
+)
+def q_archive_member_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+    import zlib as _zlib
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.archives import (
+        expand_archives,
+    )
+
+    # member 1 (constant): meta.txt -> b"meta"; CRC is compile-time
+    NAME1, DATA1 = b"meta.txt", b"meta"
+    lfh1 = (b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0, 0, 0, 0)
+            + struct.pack("<IIIHH", _zlib.crc32(DATA1), len(DATA1),
+                          len(DATA1), len(NAME1), 0)
+            + NAME1 + DATA1)
+    # member 2 (per-row): doc.txt, fixed 120-byte payload so every
+    # offset in the container is a constant
+    NAME2, TLEN = b"doc.txt", 120
+    off2 = len(lfh1)
+    lfh2_pre = (lfh1 + b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0, 0, 0, 0))
+    lfh2_post = struct.pack("<IIHH", TLEN, TLEN, len(NAME2), 0) + NAME2
+    cd1 = (b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)
+           + struct.pack("<IIIHHHHHII", _zlib.crc32(DATA1), len(DATA1),
+                         len(DATA1), len(NAME1), 0, 0, 0, 0, 0, 0)
+           + NAME1)
+    cd2_pre = b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)
+    cd2_post = (struct.pack("<IIHHHHHII", TLEN, TLEN, len(NAME2),
+                            0, 0, 0, 0, 0, off2) + NAME2)
+    cd_off = off2 + 30 + len(NAME2) + TLEN
+    cd_size = len(cd1) + 46 + len(NAME2)
+    eocd = b"PK\x05\x06" + struct.pack("<HHHHIIH", 0, 0, 2, 2,
+                                       cd_size, cd_off, 0)
+
+    def le32(col):
+        h = F.lpad(F.hex(col), 8, "0")
+        return F.unhex(F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        ))
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.rpad(
+        F.substring(F.regexp_replace(F.col("text"), "[^ -~]", " "), 1, TLEN),
+        TLEN, " ",
+    )
+    data2 = F.encode(t, "UTF-8")
+    crc2 = le32(F.crc32(data2))
+    blob = F.concat(
+        F.lit(lfh2_pre), crc2, F.lit(lfh2_post), data2,
+        F.lit(cd1), F.lit(cd2_pre), crc2, F.lit(cd2_post), F.lit(eocd),
+    )
+    media = docs.select("doc_id", blob.alias("content"))
+    return (
+        expand_archives(media)
+        .select(
+            "doc_id", "archive_format", "member_name", "n_bytes",
+            F.decode(F.col("member_bytes"), "UTF-8").alias("member_text"),
+        )
+        .orderBy("doc_id", "member_name")
+    )

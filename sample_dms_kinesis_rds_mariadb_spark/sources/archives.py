@@ -154,40 +154,38 @@ def _gzip_member_name(content: bytes) -> str | None:
 
 
 def _decompress_capped(content: bytes, kind: str, caps: dict) -> bytes:
-    """Streamed single-stream decompression against the total cap —
-    the cap must bind on OUTPUT bytes, the quantity a bomb inflates."""
-    if kind == "gzip":
-        obj = zlib.decompressobj(wbits=31)
-    elif kind == "bzip2":
-        obj = bz2.BZ2Decompressor()
-    else:
-        obj = lzma.LZMADecompressor()
+    """Single-stream decompression with the cap binding on OUTPUT
+    bytes — the quantity a bomb inflates. All input is handed over at
+    once with ``max_length`` set just past the cap, so a bomb does at
+    most cap+1 bytes of work before the raise; concatenated members
+    (valid in all three formats) are followed via ``unused_data``."""
+
+    def make():
+        if kind == "gzip":
+            return zlib.decompressobj(wbits=31)
+        if kind == "bzip2":
+            return bz2.BZ2Decompressor()
+        return lzma.LZMADecompressor()
+
     cap = min(caps["max_member_bytes"], caps["max_total_bytes"])
     out = bytearray()
     data = content
+    obj = make()
     try:
-        while data:
+        while True:
             out += obj.decompress(data, cap + 1 - len(out))
             if len(out) > cap:
                 raise ArchiveError(f"{kind} stream exceeds cap {cap}")
-            if obj.eof:
-                # concatenated members (valid in all three formats)
-                data = obj.unused_data
-                if not data.strip(b"\x00"):
-                    break
-                if kind == "gzip":
-                    obj = zlib.decompressobj(wbits=31)
-                elif kind == "bzip2":
-                    obj = bz2.BZ2Decompressor()
-                else:
-                    obj = lzma.LZMADecompressor()
-            elif obj.needs_input if hasattr(obj, "needs_input") else True:
-                break
-            else:
-                data = b""
+            if not obj.eof:
+                # all input consumed (or output budget hit exactly)
+                # without reaching end-of-stream: a truncated payload
+                raise ArchiveError(f"truncated {kind} stream")
+            data = obj.unused_data
+            if not data.strip(b"\x00"):
+                return bytes(out)
+            obj = make()
     except (zlib.error, OSError, EOFError, lzma.LZMAError) as exc:
         raise ArchiveError(f"bad {kind} stream: {exc}") from exc
-    return bytes(out)
 
 
 def expand_archive(
@@ -220,11 +218,7 @@ def expand_archive(
         return "tar", _expand_tar(content, caps)
     # compressed single stream
     inner = _decompress_capped(content, fmt, caps)
-    if inner[257:262] == b"ustar" or (
-        len(inner) >= 1024 and not inner[:512].strip(b"\x00") == b""
-        and tarfile.TarInfo
-        and _looks_like_tar(inner)
-    ):
+    if inner[257:262] == b"ustar" or _looks_like_tar(inner):
         return f"tar.{_EXT[fmt]}", _expand_tar(inner, caps)
     name = _gzip_member_name(content) if fmt == "gzip" else None
     return fmt, [(name or f"<{fmt}>", inner)]

@@ -1,0 +1,212 @@
+"""Archive front door: zip/tar/gz/bz2/xz expansion — member parity
+with stdlib-built fixtures, the three-cap bomb posture, the one-error-
+row funnel contract, and composition with the document front door."""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import lzma
+import tarfile
+import zipfile
+
+import pytest
+
+from sample_dms_kinesis_rds_mariadb_spark.sources.archives import (
+    ArchiveError,
+    expand_archive,
+    expand_archives,
+    sniff_archive_format,
+)
+
+
+def make_zip(members: dict[str, bytes], compress=zipfile.ZIP_DEFLATED) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=compress) as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def make_tar(members: dict[str, bytes], with_dir: bool = False) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        if with_dir:
+            d = tarfile.TarInfo("subdir/")
+            d.type = tarfile.DIRTYPE
+            tf.addfile(d)
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+MEMBERS = {"a.txt": b"alpha " * 10, "docs/b.txt": b"bravo", "c.bin": bytes(range(256))}
+
+
+def test_sniff_archive_format():
+    assert sniff_archive_format(make_zip(MEMBERS)) == "zip"
+    assert sniff_archive_format(make_tar(MEMBERS)) == "tar"
+    assert sniff_archive_format(gzip.compress(b"x")) == "gzip"
+    assert sniff_archive_format(bz2.compress(b"x")) == "bzip2"
+    assert sniff_archive_format(lzma.compress(b"x")) == "xz"
+    assert sniff_archive_format(b"7z\xbc\xaf\x27\x1cjunk") == "7z"
+    assert sniff_archive_format(b"Rar!\x1a\x07") == "rar"
+    assert sniff_archive_format(b"\x28\xb5\x2f\xfdzst") == "zstd"
+    assert sniff_archive_format(b"plain text") is None
+    assert sniff_archive_format(b"") is None
+
+
+@pytest.mark.parametrize("compress", [zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED])
+def test_zip_member_parity(compress):
+    fmt, members = expand_archive(make_zip(MEMBERS, compress))
+    assert fmt == "zip"
+    assert dict(members) == MEMBERS
+
+
+def test_tar_member_parity_skips_dirs():
+    fmt, members = expand_archive(make_tar(MEMBERS, with_dir=True))
+    assert fmt == "tar"
+    assert dict(members) == MEMBERS
+
+
+def test_targz_tbz2_txz_one_container_step():
+    tar = make_tar(MEMBERS)
+    for blob, fmt in ((gzip.compress(tar), "tar.gz"),
+                      (bz2.compress(tar), "tar.bz2"),
+                      (lzma.compress(tar), "tar.xz")):
+        got_fmt, members = expand_archive(blob)
+        assert got_fmt == fmt
+        assert dict(members) == MEMBERS
+
+
+def test_plain_gzip_single_member_with_fname():
+    buf = io.BytesIO()
+    with gzip.GzipFile(filename="report.csv", fileobj=buf, mode="wb",
+                       mtime=0) as gz:
+        gz.write(b"x,y\n1,2\n")
+    fmt, members = expand_archive(buf.getvalue())
+    assert fmt == "gzip"
+    assert members == [("report.csv", b"x,y\n1,2\n")]
+    # no FNAME -> placeholder name
+    fmt, members = expand_archive(gzip.compress(b"payload"))
+    assert members == [("<gzip>", b"payload")]
+
+
+def test_concatenated_gzip_members_are_followed():
+    blob = gzip.compress(b"first|") + gzip.compress(b"second")
+    fmt, members = expand_archive(blob)
+    assert members[0][1] == b"first|second"
+
+
+def test_nested_archives_are_not_recursed():
+    inner_zip = make_zip({"deep.txt": b"deep"})
+    fmt, members = expand_archive(make_zip({"inner.zip": inner_zip}))
+    assert members == [("inner.zip", inner_zip)]
+    # ... and the member itself expands on a second composition step
+    fmt2, inner_members = expand_archive(members[0][1])
+    assert (fmt2, dict(inner_members)) == ("zip", {"deep.txt": b"deep"})
+
+
+def test_member_count_cap():
+    blob = make_zip({f"f{i}.txt": b"x" for i in range(20)})
+    with pytest.raises(ArchiveError, match="member count"):
+        expand_archive(blob, max_members=10)
+
+
+def test_member_size_cap_binds_on_inflated_bytes():
+    bomb = make_zip({"bomb.bin": b"\x00" * 1_000_000})  # ~1 KB compressed
+    assert len(bomb) < 5000
+    with pytest.raises(ArchiveError, match="cap"):
+        expand_archive(bomb, max_member_bytes=64 * 1024)
+
+
+def test_lying_zip_header_is_caught_during_inflation():
+    blob = bytearray(make_zip({"a.bin": b"\x00" * 100_000}, zipfile.ZIP_DEFLATED))
+    # forge the central-directory + local uncompressed-size fields to a
+    # tiny claim so the pre-inflation gate passes
+    import struct
+
+    for sig in (b"PK\x03\x04", b"PK\x01\x02"):
+        at = blob.find(sig)
+        off = at + (22 if sig == b"PK\x03\x04" else 24)
+        blob[off : off + 4] = struct.pack("<I", 10)
+    with pytest.raises(ArchiveError):
+        expand_archive(bytes(blob), max_member_bytes=64 * 1024)
+
+
+def test_total_cap_across_members():
+    blob = make_zip({f"m{i}": b"y" * 600 for i in range(4)})
+    with pytest.raises(ArchiveError, match="total cap"):
+        expand_archive(blob, max_total_bytes=2000)
+
+
+def test_gzip_bomb_capped():
+    bomb = gzip.compress(b"\x00" * 5_000_000)
+    with pytest.raises(ArchiveError, match="exceeds cap"):
+        expand_archive(bomb, max_member_bytes=1024, max_total_bytes=1024)
+
+
+def test_truncated_and_unsupported_raise_precisely():
+    with pytest.raises(ArchiveError, match="truncated gzip"):
+        expand_archive(gzip.compress(b"hello world" * 100)[:-8])
+    with pytest.raises(ArchiveError, match="7z archives not supported"):
+        expand_archive(b"7z\xbc\xaf\x27\x1c" + b"\x00" * 40)
+    with pytest.raises(ArchiveError, match="not a recognized archive"):
+        expand_archive(b"just some text, definitely not an archive")
+    with pytest.raises(ArchiveError, match="bad zip"):
+        expand_archive(b"PK\x03\x04" + b"\xff" * 40)
+
+
+def test_expand_archives_dataframe_contract(spark):
+    rows = [
+        (1, bytearray(make_zip(MEMBERS))),
+        (2, bytearray(make_tar({"t.txt": b"tar member"}))),
+        (3, bytearray(gzip.compress(make_tar({"g.txt": b"gz tar"})))),
+        (4, bytearray(b"not an archive at all")),
+        (5, None),
+        (6, bytearray(make_zip({}))),  # empty archive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = expand_archives(df).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    # funnel contract: every input id appears
+    assert set(by_id) == {1, 2, 3, 4, 5, 6}
+    assert {r["member_name"]: bytes(r["member_bytes"]) for r in by_id[1]} == MEMBERS
+    assert all(r["error"] is None for r in by_id[1])
+    assert by_id[2][0]["archive_format"] == "tar"
+    assert by_id[3][0]["archive_format"] == "tar.gz"
+    assert by_id[3][0]["n_bytes"] == len(b"gz tar")
+    for bad in (4, 5):
+        (row,) = by_id[bad]
+        assert row["error"] is not None and row["member_bytes"] is None
+    (empty,) = by_id[6]
+    assert empty["error"] == "empty archive" and empty["archive_format"] == "zip"
+
+
+def test_archive_members_compose_with_document_front_door(spark):
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        route_document_texts,
+    )
+
+    zip_blob = make_zip({
+        "page.html": b"<html><body><p>hello from the archive</p></body></html>",
+        "note.rtf": b"{\\rtf1\\ansi archived rtf text}",
+    })
+    df = spark.createDataFrame([(7, bytearray(zip_blob))],
+                               "doc_id long, content binary")
+    members = expand_archives(df).filter("error IS NULL").select(
+        "doc_id", "member_name", "member_bytes"
+    )
+    texts = route_document_texts(
+        members.withColumnRenamed("member_bytes", "content"),
+        id_col="member_name",
+    )
+    got = {r["member_name"]: (r["format"], r["text"]) for r in texts.collect()}
+    assert got["page.html"][0] == "html"
+    assert "hello from the archive" in got["page.html"][1]
+    assert got["note.rtf"] == ("rtf", "archived rtf text")
