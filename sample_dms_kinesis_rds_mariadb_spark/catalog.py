@@ -14,6 +14,10 @@ DataFrame providers:
   reference's MySQL source endpoint (S3).
 - ``orc``: same layout with ``<table>.orc`` — Spark-builtin columnar
   alternative; pushdown/pruning behave like parquet.
+- ``avro``: a directory of ``<table>.avro`` Object Container Files read
+  by the spec-derived pure-Python reader (``sources/avro.py``) — this
+  environment ships no avro jar; schema from one bounded header peek or
+  ``options["schemas"]``, decode is a per-file Arrow ``mapInPandas``.
 - ``jsonl`` / ``csv``: a directory of ``<table>.jsonl`` / ``<table>.csv``
   files — the wire formats raw corpora actually arrive in. Pass explicit
   per-table DDL via ``options["schemas"]`` (``{table: "col TYPE, ..."}``):
@@ -44,7 +48,9 @@ class SourceCatalog:
         self.credential_provider: Callable[[str], dict] | None = None
 
     def register_endpoint(self, spec: EndpointSpec) -> None:
-        if spec.engine not in ("parquet", "orc", "memory", "jdbc", "jsonl", "csv"):
+        if spec.engine not in (
+            "parquet", "orc", "memory", "jdbc", "jsonl", "csv", "avro"
+        ):
             raise ValueError(f"unsupported endpoint engine: {spec.engine!r}")
         self._endpoints[spec.name] = spec
 
@@ -62,7 +68,7 @@ class SourceCatalog:
             return sorted(
                 (s, t) for (e, s, t) in self._memory if e == endpoint
             )
-        if spec.engine in ("parquet", "orc", "jsonl", "csv"):
+        if spec.engine in ("parquet", "orc", "jsonl", "csv", "avro"):
             suffix = f".{spec.engine}"
             schema = spec.options.get("schema_name", "main")
             path = spec.options["path"]
@@ -99,6 +105,19 @@ class SourceCatalog:
             # characteristics either way
             return self.spark.read.orc(
                 os.path.join(spec.options["path"], f"{table}.orc")
+            )
+        if spec.engine == "avro":
+            # no avro jar in this environment: the spec-derived OCF
+            # reader (sources/avro.py) — binaryFile scan + Arrow decode,
+            # schema from one header peek or options["schemas"][table]
+            from sample_dms_kinesis_rds_mariadb_spark.sources.avro import (
+                read_avro,
+            )
+
+            return read_avro(
+                self.spark,
+                os.path.join(spec.options["path"], f"{table}.avro"),
+                schema_json=spec.options.get("schemas", {}).get(table),
             )
         if spec.engine in ("jsonl", "csv"):
             path = os.path.join(
