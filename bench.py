@@ -771,6 +771,102 @@ def main() -> None:
         }
     media_pipeline["routed_per_format"] = _per_fmt
 
+    # 9a'') archive front door (r12): ~2k three-member zips (html + rtf +
+    # txt per archive, from documents text) expanded through the REAL
+    # sources/archives.expand_archives Arrow pass — the pre-pass cost a
+    # crawl pays per archive payload
+    import io as _io
+    import zipfile as _zf
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.archives import (
+        expand_archives,
+    )
+
+    _arc_rows = (
+        _lt(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", F.substring("text", 1, 400).alias("t"))
+        .collect()
+    )
+
+    def _mini_zip(txt: str) -> bytes:
+        safe = "".join(c if " " <= c <= "~" else " " for c in txt)
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w", compression=_zf.ZIP_DEFLATED) as z:
+            z.writestr("page.html",
+                       f"<html><body><p>{safe}</p></body></html>")
+            z.writestr("note.rtf", "{\\rtf1\\ansi " + safe[:200] + "\\par}")
+            z.writestr("raw.txt", safe)
+        return buf.getvalue()
+
+    _arc_df = spark.createDataFrame(
+        [(int(r["doc_id"]), bytearray(_mini_zip(r["t"] or "")))
+         for r in _arc_rows],
+        "doc_id LONG, content BINARY",
+    ).repartition(32)
+    _n_arc = _arc_df.count()
+    _robust(
+        "archive_expansion",
+        lambda: expand_archives(_arc_df).write.mode("overwrite")
+        .format("noop").save(),
+    )
+    media_pipeline["archives_per_sec"] = round(
+        _n_arc / timings["archive_expansion"], 1
+    )
+    media_pipeline["archive_members_per_sec"] = round(
+        3 * _n_arc / timings["archive_expansion"], 1
+    )
+
+    # 9a''') avro OCF scan (r12): 32 container files (~2k rows each,
+    # deflate blocks) from documents columns, read back through the
+    # spec-derived pure-Python reader (binaryFile -> Arrow decode) — the
+    # per-file-parallel source-endpoint path
+    try:
+        from tests.avro_writer import write_ocf as _write_ocf
+    except ImportError:
+        _write_ocf = None
+    if _write_ocf is not None:
+        import tempfile as _tf
+
+        _avro_schema = {
+            "type": "record", "name": "Doc",
+            "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "text", "type": ["null", "string"]},
+                {"name": "lang", "type": ["null", "string"]},
+            ],
+        }
+        _avro_rows = (
+            _lt(spark, sf_dir, "documents")
+            .select("doc_id", F.substring("text", 1, 500).alias("text"),
+                    "lang")
+            .limit(64_000)
+            .collect()
+        )
+        _avro_dir = _tf.mkdtemp(prefix="bench_avro_")
+        _per_file = max(len(_avro_rows) // 32, 1)
+        for _i in range(0, len(_avro_rows), _per_file):
+            chunk = [
+                {"doc_id": int(r["doc_id"]), "text": r["text"],
+                 "lang": r["lang"]}
+                for r in _avro_rows[_i : _i + _per_file]
+            ]
+            with open(os.path.join(_avro_dir, f"p{_i}.avro"), "wb") as fh:
+                fh.write(_write_ocf(_avro_schema, chunk, codec="deflate",
+                                    block_size=500))
+        from sample_dms_kinesis_rds_mariadb_spark.sources.avro import (
+            read_avro,
+        )
+
+        _robust(
+            "avro_scan",
+            lambda: read_avro(spark, _avro_dir).write.mode("overwrite")
+            .format("noop").save(),
+        )
+        media_pipeline["avro_rows_per_sec"] = round(
+            len(_avro_rows) / timings["avro_scan"], 1
+        )
+
     # 9b) perceptual image dedup (r9): synthesized-but-REAL PPM payloads
     # from the documents table → real decode + dHash via Arrow mapInPandas
     # → pigeonhole-banded hamming self-join (never all-pairs) → exact

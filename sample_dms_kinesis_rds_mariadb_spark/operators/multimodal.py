@@ -1444,6 +1444,20 @@ def media_container_metadata(content: bytes) -> dict:
                 video_codec=m["codec"],
                 video_profile=profile_string(m),
             )
+        elif content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            from sample_dms_kinesis_rds_mariadb_spark.operators.avi import (
+                parse_avi,
+            )
+
+            m = parse_avi(content)
+            out.update(
+                container="avi",
+                duration_sec=(m["n_frames"] / m["fps"]
+                              if m.get("fps") and m.get("n_frames") else None),
+                width=m["width"],
+                height=m["height"],
+                video_codec=m.get("codec"),
+            )
         elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             rate, ch, bits, n_frames, _off, kind = decode_audio(content)
             out.update(

@@ -807,3 +807,24 @@ def test_mkv_malformed_and_sweep(spark):
     assert rows[0]["container"] == "webm"
     assert rows[0]["video_codec"] == "V_VP9" and rows[0]["width"] == 640
     assert rows[1]["container"] == "unknown"  # malformed -> typed unknown
+
+
+def test_avi_in_media_metadata_dispatch():
+    """RIFF/AVI payloads route through parse_avi in the unified sweep
+    (r12) — previously they fell to container='unknown'."""
+    from tests.test_avi import _mjpeg_avi
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        media_container_metadata,
+    )
+
+    blob, _imgs, _frames = _mjpeg_avi(n_frames=20, h=24, w=32, fps=10)
+    m = media_container_metadata(blob)
+    assert m["container"] == "avi"
+    assert (m["width"], m["height"]) == (32, 24)
+    assert m["video_codec"] == "MJPG"
+    assert m["duration_sec"] == pytest.approx(2.0)
+    # a WAV is still a WAV (both are RIFF)
+    assert media_container_metadata(
+        b"RIFF\x24\x00\x00\x00WAVE" + b"\x00" * 16
+    )["container"] != "avi"
