@@ -1468,6 +1468,30 @@ def media_container_metadata(content: bytes) -> dict:
                 bitrate_kbps=rate * ch * bits / 1000 if rate else None,
                 audio_codec=kind,
             )
+        else:
+            # MPEG-TS (HLS segments, r12) has no leading magic — probe
+            # for three stride-aligned 0x47 sync bytes as the fallback
+            from sample_dms_kinesis_rds_mariadb_spark.operators.mpegts import (
+                is_mpegts,
+                ts_metadata,
+            )
+
+            if is_mpegts(content):
+                from sample_dms_kinesis_rds_mariadb_spark.operators.video_codecs import (
+                    profile_string,
+                )
+
+                m = ts_metadata(content)
+                out.update(
+                    container="mpegts",
+                    duration_sec=m["duration_sec"],
+                    width=m["width"],
+                    height=m["height"],
+                    video_codec=m["video_codec"],
+                    video_profile=(profile_string(m["stream"])
+                                   if m["stream"] else None),
+                    audio_codec=m["audio_codec"],
+                )
     except (ValueError, NotImplementedError, IndexError):
         pass
     return out
