@@ -210,3 +210,41 @@ def test_archive_members_compose_with_document_front_door(spark):
     assert got["page.html"][0] == "html"
     assert "hello from the archive" in got["page.html"][1]
     assert got["note.rtf"] == ("rtf", "archived rtf text")
+
+
+def test_expand_archives_streaming_duality(spark, tmp_path):
+    """expand_archives is a stateless Arrow pass, so it must run
+    unchanged on a streaming DataFrame — one member row per archive
+    member per micro-batch, errors funneled identically."""
+    import gzip as _gz
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    blob1 = make_zip({"a.txt": b"alpha", "b.txt": b"bravo"})
+    blob2 = _gz.compress(make_tar({"c.txt": b"charlie"}))
+    df = spark.createDataFrame(
+        [(1, bytearray(blob1)), (2, bytearray(blob2)), (3, bytearray(b"junk"))],
+        "doc_id long, content binary",
+    )
+    df.write.mode("overwrite").parquet(str(src))
+    out_dir = tmp_path / "out"
+    stream = (
+        spark.readStream.schema("doc_id long, content binary")
+        .parquet(str(src))
+    )
+    q = (
+        expand_archives(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out_dir)).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert {r["member_name"] for r in by_id[1]} == {"a.txt", "b.txt"}
+    assert by_id[2][0]["archive_format"] == "tar.gz"
+    assert by_id[3][0]["error"] is not None
