@@ -173,26 +173,127 @@ def _parse_ilst(data: bytes, moov_a: int, moov_b: int) -> dict:
     return out
 
 
+def _parse_heif_meta(content: bytes, meta_a: int, meta_b: int,
+                     brand: str | None) -> dict:
+    """Image ISOBMFF (HEIF/AVIF, the ISO 23008-12 'meta' layout): the
+    largest ispe in iprp/ipco carries the primary image's dimensions
+    (thumbnails get smaller ones); the codec config box names the
+    coding — av1C → av1 (AVIF), hvcC → hevc (HEIC)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.video_codecs import (
+        parse_av1c,
+        parse_hvcc,
+        profile_string,
+    )
+
+    config_parsers = {b"av1C": parse_av1c, b"hvcC": parse_hvcc}
+    width = height = None
+    codec = None
+    profile = None
+    iprp = _find(content, meta_a + 4, meta_b, b"iprp")  # meta is a FullBox
+    if iprp is not None:
+        ipco = _find(content, iprp[0], iprp[1], b"ipco")
+        if ipco is not None:
+            best = 0
+            for t, a, b in _boxes(content, ipco[0], ipco[1]):
+                if t == b"ispe" and b - a >= 12:
+                    w = int.from_bytes(content[a + 4 : a + 8], "big")
+                    h = int.from_bytes(content[a + 8 : a + 12], "big")
+                    if w * h > best:
+                        best, width, height = w * h, w, h
+                elif t in config_parsers and codec is None:
+                    codec = "av1" if t == b"av1C" else "hevc"
+                    try:
+                        # ispe stays authoritative for dimensions; the
+                        # config record supplies profile/depth/chroma
+                        profile = profile_string(config_parsers[t](content[a:b]))
+                    except ValueError:
+                        profile = None
+    if width is None:
+        raise ValueError("HEIF meta carries no ispe item")
+    return {
+        "container": "heif",
+        "brand": brand,
+        "duration_sec": None,
+        "tracks": [],
+        "width": width,
+        "height": height,
+        "video_codec": codec,
+        "video_profile": profile,
+        "audio_codec": None,
+        "sample_rate": None,
+        "channels": None,
+        "tags": {},
+    }
+
+
+def _parse_fragment(content: bytes, brand: str | None) -> dict:
+    """DASH/CMAF media segment (styp/moof/mdat, no moov): duration from
+    the sidx subsegment table when present, fragment count always."""
+    duration = None
+    n_moof = 0
+    for typ, a, b in _boxes(content, 0, len(content)):
+        if typ == b"moof":
+            n_moof += 1
+        elif typ == b"sidx" and duration is None and b - a >= 12:
+            ver = content[a]
+            timescale = int.from_bytes(content[a + 8 : a + 12], "big")
+            pos = a + 12 + (8 if ver == 0 else 16)
+            if pos + 4 <= b and timescale:
+                count = int.from_bytes(content[pos + 2 : pos + 4], "big")
+                pos += 4
+                total = 0
+                for _ in range(count):
+                    if pos + 12 > b:
+                        break
+                    total += int.from_bytes(content[pos + 4 : pos + 8], "big")
+                    pos += 12
+                duration = total / timescale
+    if n_moof == 0 and duration is None:
+        raise ValueError("not an ISO-BMFF file: no moov, moof, or sidx")
+    return {
+        "container": "mp4-fragment",
+        "brand": brand,
+        "duration_sec": duration,
+        "tracks": [],
+        "width": None,
+        "height": None,
+        "video_codec": None,
+        "video_profile": None,
+        "audio_codec": None,
+        "sample_rate": None,
+        "channels": None,
+        "tags": {},
+        "n_fragments": n_moof,
+    }
+
+
 def mp4_metadata(content: bytes) -> dict:
     """Walk an MP4/MOV container.
 
     Returns: container='mp4', brand, duration_sec (mvhd), tracks (list of
     per-track dicts), width/height/codec of the first video track,
     sample_rate/channels of the first audio track, tags (ilst
-    title/artist/album). Raises ValueError if there is no ftyp/moov
-    structure.
+    title/artist/album). Image ISOBMFF (AVIF/HEIC) returns
+    container='heif' with ispe dimensions; moov-less DASH/CMAF media
+    segments return container='mp4-fragment' with the sidx duration.
+    Raises ValueError when none of those structures exist.
     """
     brand = None
     moov = None
+    meta_box = None
     for typ, a, b in _boxes(content, 0, len(content)):
-        if typ == b"ftyp":
+        if typ in (b"ftyp", b"styp") and brand is None:
             brand = content[a : a + 4].decode("latin-1").strip()
         elif typ == b"moov":
             moov = (a, b)
+        elif typ == b"meta":
+            meta_box = (a, b)
     if moov is None:
-        # QuickTime allows moov-before-mdat and no ftyp; require moov at
-        # least — without it there is no container to describe
-        raise ValueError("not an ISO-BMFF file: no moov box")
+        if meta_box is not None and brand in (
+            "avif", "avis", "heic", "heix", "mif1", "msf1"
+        ):
+            return _parse_heif_meta(content, meta_box[0], meta_box[1], brand)
+        return _parse_fragment(content, brand)
     mvhd = _find(content, moov[0], moov[1], b"mvhd")
     duration = None
     if mvhd is not None:

@@ -1346,14 +1346,17 @@ def media_container_metadata(content: bytes) -> dict:
                 title=m["tags"].get("title"),
                 artist=m["tags"].get("artist"),
             )
-        elif content[4:8] in (b"ftyp", b"moov", b"mdat", b"wide", b"free"):
+        elif content[4:8] in (b"ftyp", b"styp", b"sidx", b"moov", b"mdat",
+                              b"wide", b"free"):
             from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import (
                 mp4_metadata,
             )
 
             m = mp4_metadata(content)
             out.update(
-                container="mp4",
+                # 'mp4', or 'heif' (AVIF/HEIC images), or 'mp4-fragment'
+                # (moov-less DASH/CMAF media segments) — all r12
+                container=m.get("container", "mp4"),
                 duration_sec=m["duration_sec"],
                 sample_rate=m["sample_rate"],
                 channels=m["channels"],

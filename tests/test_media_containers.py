@@ -828,3 +828,71 @@ def test_avi_in_media_metadata_dispatch():
     assert media_container_metadata(
         b"RIFF\x24\x00\x00\x00WAVE" + b"\x00" * 16
     )["container"] != "avi"
+
+
+def test_heif_avif_image_isobmff():
+    """AVIF/HEIC (ISO 23008-12 'meta' layout): dimensions from the
+    largest ispe, codec + profile from the av1C/hvcC property (r12)."""
+    from tests.video_writer import av1_sequence_header, av1c, hevc_sps, hvcc, obu
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import mp4_metadata
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        media_container_metadata,
+    )
+
+    def ispe(w, h):
+        return box(b"ispe", full(0, struct.pack(">II", w, h)))
+
+    def heif(brand: bytes, cfg: bytes, dims, thumb=(160, 90)):
+        ipco = box(b"ipco", ispe(*dims) + ispe(*thumb) + cfg)
+        meta = box(b"meta", full(0, box(b"hdlr", full(0, b"\x00" * 4 + b"pict"
+                                                      + b"\x00" * 14))
+                                 + box(b"iprp", ipco)))
+        return box(b"ftyp", brand + b"\x00" * 4 + brand) + meta + box(
+            b"mdat", b"\x00" * 32)
+
+    avif = heif(b"avif", box(b"av1C", av1c(obu(1, av1_sequence_header(
+        width=800, height=600)))), (800, 600))
+    m = mp4_metadata(avif)
+    assert m["container"] == "heif" and m["brand"] == "avif"
+    assert (m["width"], m["height"]) == (800, 600)  # largest ispe wins
+    assert m["video_codec"] == "av1"
+    assert m["video_profile"].startswith("av1 main@4.0")
+    heic = heif(b"heic", box(b"hvcC", hvcc(hevc_sps(width=1024, height=768))),
+                (1024, 768))
+    m2 = mp4_metadata(heic)
+    assert m2["video_codec"] == "hevc" and m2["width"] == 1024
+    # the unified sweep routes them too
+    assert media_container_metadata(avif)["container"] == "heif"
+    assert media_container_metadata(heic)["video_codec"] == "hevc"
+
+
+def test_mp4_fragment_sidx_duration():
+    """moov-less DASH/CMAF media segments: duration from sidx, fragment
+    count from moof boxes (r12) — previously a 'no moov' raise."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import mp4_metadata
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        media_container_metadata,
+    )
+
+    # sidx v0: refID, timescale, earliest_pt, first_offset, reserved,
+    # count, then (type|size, subsegment_duration, SAP) per reference
+    refs = b"".join(
+        struct.pack(">III", 1000, 90000 * 2, 0x90000000) for _ in range(3)
+    )
+    sidx = box(b"sidx", full(0, struct.pack(">IIIIHH", 1, 90000, 0, 0, 0, 3)
+                             + refs))
+    moof = box(b"moof", box(b"mfhd", full(0, struct.pack(">I", 1))))
+    seg = (box(b"styp", b"msdh\x00\x00\x00\x00msdh") + sidx
+           + moof + box(b"mdat", b"\x00" * 64)
+           + moof + box(b"mdat", b"\x00" * 64))
+    m = mp4_metadata(seg)
+    assert m["container"] == "mp4-fragment" and m["brand"] == "msdh"
+    assert m["duration_sec"] == pytest.approx(6.0)
+    assert m["n_fragments"] == 2
+    sweep = media_container_metadata(seg)
+    assert sweep["container"] == "mp4-fragment"
+    assert sweep["duration_sec"] == pytest.approx(6.0)
+    # a bare mdat-only blob still raises -> unknown in the sweep
+    assert media_container_metadata(
+        box(b"mdat", b"\x00" * 32))["container"] == "unknown"
