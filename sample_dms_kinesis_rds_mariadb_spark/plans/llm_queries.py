@@ -3387,3 +3387,60 @@ def q_archive_member_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "member_name")
     )
+
+
+@register(
+    "sitemap_loc_extraction",
+    "Sitemap XML parsing under the cross-engine hash gate: urlset AND "
+    "sitemapindex documents synthesized per documents row in pure "
+    "codegen (one loc carrying an &amp; entity plus whitespace padding, "
+    "one plain), parsed back through the REAL pure-codegen operator "
+    "(operators/robots.sitemap_locs — regexp_extract_all + the XML "
+    "named-entity unescape chain, &amp; last — and is_sitemap_index); "
+    "the oracle computes the expected URLs directly from the source "
+    "columns, so a wrong trim, a missed entity, or a double-decode "
+    "hash-mismatches immediately",
+    oracle="""
+        SELECT doc_id,
+               (doc_id % 10 = 0) AS is_index,
+               UNNEST([
+                 'https://' || lower(source) || '.example/p/' || doc_id
+                   || '?a=1&b=2',
+                 'https://' || lower(source) || '.example/q/' || doc_id
+               ]) AS loc
+        FROM documents
+        ORDER BY doc_id, loc
+    """,
+    tags=("documents",),
+    extra=True,
+)
+def q_sitemap_loc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.operators.robots import (
+        is_sitemap_index,
+        sitemap_locs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = F.when(F.col("doc_id") % 10 == 0, F.lit("sitemapindex")).otherwise(
+        F.lit("urlset")
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?><'), root,
+        F.lit(' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>\n  https://"),
+        F.lower("source"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        F.lit("?a=1&amp;b=2  </loc><lastmod>2024-01-01</lastmod></url>"
+              "<url><loc>https://"),
+        F.lower("source"),
+        F.lit(".example/q/"), F.col("doc_id").cast("string"),
+        F.lit("</loc></url></"), root, F.lit(">"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            is_sitemap_index(xml).alias("is_index"),
+            F.explode(sitemap_locs(xml)).alias("loc"),
+        )
+        .orderBy("doc_id", "loc")
+    )

@@ -195,3 +195,48 @@ def test_distributed_rule_compile_matches_driver_compile(spark):
     )
     got = {r["path"]: r["allowed"] for r in robots_filter(urls, dist).collect()}
     assert got == {"/public/x": True, "/no/1": False}
+
+
+def test_sitemap_locs_and_index_detection(spark):
+    """sitemap_locs: <loc> extraction with the named-entity unescape
+    chain (&amp; LAST — double-escaped text never double-decodes),
+    whitespace trimming, numeric refs untouched; is_sitemap_index on
+    the root tag only (r12)."""
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.robots import (
+        is_sitemap_index,
+        sitemap_locs,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="x">'
+        "<url><loc>  https://a.example/?x=1&amp;y=2 </loc></url>"
+        "<url><loc>https://a.example/%20p?q=&amp;amp;z</loc></url>"
+        "<url><loc>https://a.example/&#47;num</loc></url>"
+        "</urlset>"
+    )
+    index = ('<sitemapIndex xmlns="x"><sitemap>'
+             "<loc>https://a.example/sitemap-1.xml.gz</loc>"
+             "</sitemap></sitemapIndex>")
+    df = spark.createDataFrame([(1, urlset), (2, index), (3, "not xml")],
+                               "id long, xml string")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            sitemap_locs(F.col("xml")).alias("locs"),
+            is_sitemap_index(F.col("xml")).alias("idx"),
+        ).collect()
+    }
+    assert rows[1]["locs"] == [
+        "https://a.example/?x=1&y=2",
+        # &amp;amp; decodes ONCE -> &amp;
+        "https://a.example/%20p?q=&amp;z",
+        # numeric character references pass through untouched
+        "https://a.example/&#47;num",
+    ]
+    assert rows[1]["idx"] is False
+    assert rows[2]["locs"] == ["https://a.example/sitemap-1.xml.gz"]
+    assert rows[2]["idx"] is True
+    assert rows[3]["locs"] == [] and rows[3]["idx"] is False
