@@ -383,9 +383,10 @@ def test_jsonl_and_csv_endpoints(spark, tmp_path):
 
 def test_unsupported_endpoint_engine_rejected(spark):
     cat = SourceCatalog(spark)
-    # avro needs the external spark-avro package — not a supported engine
+    # (avro graduated to a supported engine in r12 via the spec-derived
+    # pure-Python OCF reader — sources/avro.py)
     with pytest.raises(ValueError, match="unsupported"):
-        cat.register_endpoint(EndpointSpec("x", "avro", {}))
+        cat.register_endpoint(EndpointSpec("x", "xml", {}))
 
 
 def test_orc_endpoint(spark, tmp_path):
