@@ -133,11 +133,15 @@ def sitemap_urls(col: Column) -> Column:
     XML column — with :func:`html_links` and ``operators/robots.py``
     this completes the crawl-frontier toolkit (robots ``Sitemap:``
     lines → sitemap fetch → URL list → robots_filter → frontier).
-    Pure codegen; CDATA-wrapped and plain text both match."""
-    locs = F.regexp_extract_all(
-        col, F.lit(r"(?is)<loc\s*>\s*(?:<!\[CDATA\[)?([^<\]]+)"), 1
+    Back-compat name: delegates to the one implementation,
+    ``operators/robots.py::sitemap_locs`` (r12 — adds the XML
+    named-entity unescape the sitemap spec requires plus
+    attribute-bearing tags; CDATA still literal)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.robots import (
+        sitemap_locs,
     )
-    return F.transform(locs, lambda s: F.trim(s))
+
+    return sitemap_locs(col)
 
 
 # href + anchor-text in one pattern (groups 1/2); extracting each group

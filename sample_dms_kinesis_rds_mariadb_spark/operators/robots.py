@@ -173,23 +173,32 @@ def parse_sitemaps(content: str) -> list[str]:
 def sitemap_locs(col):
     """``<loc>`` URLs from a sitemaps.org XML document (urlset OR
     sitemapindex — the caller tells them apart with
-    :func:`is_sitemap_index`) as an ARRAY<STRING> column. Pure codegen:
-    one ``regexp_extract_all`` plus the XML named-entity unescape chain
-    (sitemap URLs must entity-escape ``&``; ``&amp;`` is replaced LAST
-    so double-escaped text never double-decodes). Numeric character
-    references are left as-is — the sitemap spec requires only the five
-    named entities. No Python, no shuffle: at 100 TB this is a scan."""
+    :func:`is_sitemap_index`) as an ARRAY<STRING> column. The ONE
+    sitemap-parsing implementation (``functions/html.py::sitemap_urls``
+    delegates here): plain and ``<![CDATA[...]]>``-wrapped values,
+    attribute-bearing ``<loc>`` tags, trimming, and the XML
+    named-entity unescape chain the sitemap spec REQUIRES for URLs
+    (``&amp;`` replaced LAST so double-escaped text never
+    double-decodes; CDATA values are literal and skip the unescape).
+    Numeric character references pass through — the spec requires only
+    the five named entities. Pure codegen: no Python, no shuffle — at
+    100 TB this is a scan."""
     raw = F.regexp_extract_all(
-        col, F.lit(r"(?is)<loc[^>]*>\s*([^<]*?)\s*</loc>"), 1
+        col,
+        F.lit(r"(?is)<loc(?:\s[^>]*)?>\s*(<!\[CDATA\[.*?\]\]>|[^<]*?)\s*</loc\s*>"),
+        1,
     )
 
-    def _unescape(u):
+    def _clean(u):
+        is_cdata = u.startswith("<![CDATA[")
+        literal = F.trim(u.substr(F.lit(10), F.length(u) - F.lit(12)))
+        unescaped = u
         for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                         ("&apos;", "'"), ("&amp;", "&")):
-            u = F.replace(u, F.lit(ent), F.lit(ch))
-        return u
+            unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
+        return F.when(is_cdata, literal).otherwise(unescaped)
 
-    return F.transform(raw, _unescape)
+    return F.filter(F.transform(raw, _clean), lambda u: u != "")
 
 
 def is_sitemap_index(col):
