@@ -185,3 +185,92 @@ def py_html_link_anchors(html: str) -> list[tuple[str, str]]:
         t = re.sub(r"\s+", " ", re.sub(r"(?s)<[^>]*>", " ", text)).strip()
         out.append((href, t))
     return out
+
+
+# --------------------------------------------------------------------------
+# page metadata (r12): title / meta / OpenGraph / canonical / JSON-LD
+# --------------------------------------------------------------------------
+
+_Q = "[\"']"
+
+
+def _decode_entities(col: Column) -> Column:
+    for pat, rep in HTML_ENTITY_RULES:
+        col = F.regexp_replace(col, pat, rep)
+    return col
+
+
+def _nullif_blank(col: Column) -> Column:
+    return F.nullif(F.trim(col), F.lit(""))
+
+
+def _meta_content(col: Column, key: str) -> Column:
+    """content= of a <meta name=...> / <meta property=...> tag, both
+    attribute orders and both quote styles — four anchored
+    ``regexp_extract`` passes coalesced; '' (no match) becomes NULL."""
+    pats = [
+        f"(?is)<meta\\s[^>]*?(?:name|property)\\s*=\\s*{_Q}{key}{_Q}"
+        "[^>]*?content\\s*=\\s*\"([^\"]*)\"",
+        f"(?is)<meta\\s[^>]*?(?:name|property)\\s*=\\s*{_Q}{key}{_Q}"
+        "[^>]*?content\\s*=\\s*'([^']*)'",
+        "(?is)<meta\\s[^>]*?content\\s*=\\s*\"([^\"]*)\""
+        f"[^>]*?(?:name|property)\\s*=\\s*{_Q}{key}{_Q}",
+        "(?is)<meta\\s[^>]*?content\\s*=\\s*'([^']*)'"
+        f"[^>]*?(?:name|property)\\s*=\\s*{_Q}{key}{_Q}",
+    ]
+    return F.coalesce(
+        *[_nullif_blank(F.regexp_extract(col, p, 1)) for p in pats]
+    )
+
+
+def html_page_metadata(col: Column) -> Column:
+    """STRUCT<title, description, og_title, og_description, og_image,
+    canonical, lang, robots_meta> — the page-level curation signals a
+    crawl pipeline routes and filters on, extracted as pure codegen
+    ``regexp_extract`` passes (both meta attribute orders, both quote
+    styles; title/description entity-decoded with the module's
+    published chain; absent fields are NULL, never ''). At 100 TB this
+    is a scan: no Python, no shuffle, no parse tree."""
+    title = _nullif_blank(_decode_entities(F.regexp_extract(
+        col, r"(?is)<title[^>]*>\s*(.*?)\s*</title", 1
+    )))
+    canonical = F.coalesce(
+        _nullif_blank(F.regexp_extract(
+            col,
+            f"(?is)<link\\s[^>]*?rel\\s*=\\s*{_Q}canonical{_Q}"
+            "[^>]*?href\\s*=\\s*[\"']([^\"']*)", 1)),
+        _nullif_blank(F.regexp_extract(
+            col,
+            "(?is)<link\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"
+            f"[^>]*?rel\\s*=\\s*{_Q}canonical{_Q}", 1)),
+    )
+    lang = _nullif_blank(F.regexp_extract(
+        col, r"(?is)<html\s[^>]*?lang\s*=\s*[\"']([^\"']*)", 1
+    ))
+    return F.struct(
+        title.alias("title"),
+        _decode_entities(_meta_content(col, "description"))
+        .alias("description"),
+        _decode_entities(_meta_content(col, "og:title")).alias("og_title"),
+        _decode_entities(_meta_content(col, "og:description"))
+        .alias("og_description"),
+        _meta_content(col, "og:image").alias("og_image"),
+        canonical.alias("canonical"),
+        lang.alias("lang"),
+        _meta_content(col, "robots").alias("robots_meta"),
+    )
+
+
+def jsonld_blocks(col: Column) -> Column:
+    """ARRAY<STRING> of ``<script type="application/ld+json">`` bodies —
+    the schema.org structured data riding most commercial pages. Raw
+    JSON strings (trimmed), ready for ``F.get_json_object`` /
+    ``F.from_json`` downstream with whatever schema the caller expects;
+    this function deliberately does NOT parse them (schemas vary
+    per site). Pure codegen."""
+    return F.regexp_extract_all(
+        col,
+        F.lit(r"(?is)<script\s[^>]*?type\s*=\s*[\"']application/ld\+json[\"']"
+              r"[^>]*>\s*(.*?)\s*</script"),
+        1,
+    )

@@ -3444,3 +3444,83 @@ def q_sitemap_loc_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "loc")
     )
+
+
+@register(
+    "html_page_meta",
+    "Page-metadata extraction under the cross-engine hash gate: HTML "
+    "heads synthesized per documents row in pure codegen exercising "
+    "BOTH meta attribute orders (name-then-content AND content-then-"
+    "name), both quote styles, an entity-bearing title, a canonical "
+    "link, html@lang, robots, and a JSON-LD block; parsed back through "
+    "the REAL pure-codegen extractor (functions/html.py::"
+    "html_page_metadata + jsonld_blocks); the oracle computes every "
+    "expected field directly from the source columns — a missed "
+    "attribute order, quote style, or entity decode hash-mismatches",
+    oracle="""
+        WITH safe AS (
+          SELECT doc_id, lower(source) AS src,
+                 substr(regexp_replace(text, '[&<>"'']|[^ -~]', ' ', 'g'),
+                        1, 60) AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               trim(t || ' & co') AS title,
+               trim('desc ' || t) AS description,
+               trim('og ' || t) AS og_title,
+               'https://' || src || '.example/c/' || doc_id AS canonical,
+               CASE WHEN doc_id % 3 = 0 THEN 'en' ELSE 'de-DE' END AS lang,
+               'noindex' AS robots_meta,
+               1 AS n_jsonld,
+               '{"@type":"Article","id":' || doc_id || '}' AS jsonld
+        FROM safe ORDER BY doc_id
+    """,
+    tags=("documents",),
+    extra=True,
+)
+def q_html_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.html import (
+        html_page_metadata,
+        jsonld_blocks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.substring(
+        F.regexp_replace(F.col("text"), "[&<>\"']|[^ -~]", " "), 1, 60
+    )
+    lang = F.when(F.col("doc_id") % 3 == 0, F.lit("en")).otherwise(
+        F.lit("de-DE")
+    )
+    html = F.concat(
+        F.lit("<html lang=\""), lang, F.lit("\"><head><title> "),
+        t, F.lit(" &amp; co </title>"
+                 # reversed order, single-quoted content
+                 "<meta content='desc "), t,
+        F.lit("' name=\"description\">"
+              # normal order, double-quoted
+              "<meta property=\"og:title\" content=\"og "), t,
+        F.lit("\"/><meta name=\"robots\" content=\"noindex\">"
+              "<link rel=\"canonical\" href=\"https://"),
+        F.lower("source"),
+        F.lit(".example/c/"), F.col("doc_id").cast("string"),
+        F.lit("\"/><script type=\"application/ld+json\"> "
+              "{\"@type\":\"Article\",\"id\":"),
+        F.col("doc_id").cast("string"),
+        F.lit("} </script></head><body><p>body</p></body></html>"),
+    )
+    meta = html_page_metadata(html)
+    blocks = jsonld_blocks(html)
+    return (
+        docs.select(
+            "doc_id",
+            meta["title"].alias("title"),
+            meta["description"].alias("description"),
+            meta["og_title"].alias("og_title"),
+            meta["canonical"].alias("canonical"),
+            meta["lang"].alias("lang"),
+            meta["robots_meta"].alias("robots_meta"),
+            F.size(blocks).alias("n_jsonld"),
+            F.element_at(blocks, 1).alias("jsonld"),
+        )
+        .orderBy("doc_id")
+    )

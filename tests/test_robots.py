@@ -240,3 +240,37 @@ def test_sitemap_locs_and_index_detection(spark):
     assert rows[2]["locs"] == ["https://a.example/sitemap-1.xml.gz"]
     assert rows[2]["idx"] is True
     assert rows[3]["locs"] == [] and rows[3]["idx"] is False
+
+
+def test_html_page_metadata_edge_cases(spark):
+    """html_page_metadata: missing fields NULL (never ''), both quote
+    styles, entity decode in title/description, first-match-wins for
+    duplicated tags, jsonld_blocks multiple scripts (r12)."""
+    from pyspark.sql import functions as F
+
+    from sample_dms_kinesis_rds_mariadb_spark.functions.html import (
+        html_page_metadata,
+        jsonld_blocks,
+    )
+
+    html = (
+        "<html><head><title>T &lt;1&gt; &amp;amp;</title>"
+        "<meta name='description' content=''>"  # blank -> NULL
+        "<meta property='og:image' content='https://i.example/a.png'>"
+        "<link href='https://c.example/x' rel='canonical'>"
+        '<script type="application/ld+json">{"a":1}</script>'
+        "<script type='application/ld+json'>{\"b\":2}</script>"
+        "<script>var notLd = 1;</script>"
+        "</head></html>"
+    )
+    row = spark.createDataFrame([(html,)], "html string").select(
+        html_page_metadata(F.col("html")).alias("m"),
+        jsonld_blocks(F.col("html")).alias("j"),
+    ).collect()[0]
+    m = row["m"]
+    assert m["title"] == "T <1> &amp;"  # &amp;amp; decodes ONCE
+    assert m["description"] is None  # blank content is NULL
+    assert m["og_image"] == "https://i.example/a.png"
+    assert m["canonical"] == "https://c.example/x"  # reversed attr order
+    assert m["lang"] is None and m["robots_meta"] is None
+    assert list(row["j"]) == ['{"a":1}', '{"b":2}']
