@@ -61,6 +61,10 @@ def _vp9_features(private: bytes) -> dict:
     pos = 0
     while pos + 2 <= len(private):
         fid, ln = private[pos], private[pos + 1]
+        if pos + 2 + ln > len(private):
+            # a partial value would int.from_bytes into a plausible
+            # wrong number — degrade to None via the caller's contract
+            raise ValueError("truncated VP9 codec feature metadata")
         val = int.from_bytes(private[pos + 2 : pos + 2 + ln], "big")
         if fid == 1:
             info["profile"] = f"profile{val}"

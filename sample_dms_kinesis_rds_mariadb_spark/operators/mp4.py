@@ -188,7 +188,7 @@ def _parse_heif_meta(content: bytes, meta_a: int, meta_b: int,
     config_parsers = {b"av1C": parse_av1c, b"hvcC": parse_hvcc}
     width = height = None
     codec = None
-    profile = None
+    profiles: set[str | None] = set()
     iprp = _find(content, meta_a + 4, meta_b, b"iprp")  # meta is a FullBox
     if iprp is not None:
         ipco = _find(content, iprp[0], iprp[1], b"ipco")
@@ -200,14 +200,22 @@ def _parse_heif_meta(content: bytes, meta_a: int, meta_b: int,
                     h = int.from_bytes(content[a + 8 : a + 12], "big")
                     if w * h > best:
                         best, width, height = w * h, w, h
-                elif t in config_parsers and codec is None:
-                    codec = "av1" if t == b"av1C" else "hevc"
+                elif t in config_parsers:
+                    if codec is None:
+                        codec = "av1" if t == b"av1C" else "hevc"
                     try:
                         # ispe stays authoritative for dimensions; the
                         # config record supplies profile/depth/chroma
-                        profile = profile_string(config_parsers[t](content[a:b]))
+                        profiles.add(
+                            profile_string(config_parsers[t](content[a:b]))
+                        )
                     except ValueError:
-                        profile = None
+                        profiles.add(None)
+    # without walking pitm/ipma item associations we cannot tell WHICH
+    # config belongs to the primary image, so a profile is reported
+    # only when every config in ipco agrees (thumbnail != primary →
+    # ambiguous → NULL, never the wrong-but-plausible pick)
+    profile = next(iter(profiles)) if len(profiles) == 1 else None
     if width is None:
         raise ValueError("HEIF meta carries no ispe item")
     return {

@@ -124,7 +124,10 @@ def ts_metadata(content: bytes) -> dict:
     pmt_pids: set[int] = set()
     pcr_pid = None
     streams: list[tuple[int, int]] = []
-    pcr_first = pcr_last = None
+    # PCR span tracked PER PID: in a multi-program mux each program has
+    # its own clock, and the PMT naming the PCR PID may arrive after
+    # the first PCR — mixing two clocks would fabricate a duration
+    pcr_span: dict[int, list[int]] = {}
     pts_first = pts_last = None
     video_pid = None
     video_es = bytearray()
@@ -150,10 +153,8 @@ def ts_metadata(content: bytes) -> dict:
                 b = pkt[6:12]
                 base = (b[0] << 25) | (b[1] << 17) | (b[2] << 9) \
                     | (b[3] << 1) | (b[4] >> 7)
-                if pid == pcr_pid or pcr_pid is None:
-                    if pcr_first is None:
-                        pcr_first = base
-                    pcr_last = base
+                span = pcr_span.setdefault(pid, [base, base])
+                span[1] = base
             body = 5 + af_len
         if not afc & 0x1:
             continue  # no payload
@@ -194,8 +195,13 @@ def ts_metadata(content: bytes) -> dict:
         elif stype in _AUDIO_TYPES and audio_codec is None:
             audio_codec = name
     duration = None
-    if pcr_first is not None and pcr_last is not None and pcr_last > pcr_first:
-        duration = (pcr_last - pcr_first) / 90_000.0
+    # one program clock only: the PMT-named PCR PID, or the single PID
+    # that carried PCRs; several PCR PIDs with no PMT → PTS fallback
+    span = pcr_span.get(pcr_pid) if pcr_pid is not None else (
+        next(iter(pcr_span.values())) if len(pcr_span) == 1 else None
+    )
+    if span is not None and span[1] > span[0]:
+        duration = (span[1] - span[0]) / 90_000.0
     elif pts_first is not None and pts_last is not None and pts_last > pts_first:
         duration = (pts_last - pts_first) / 90_000.0
     stream_info: dict = {}

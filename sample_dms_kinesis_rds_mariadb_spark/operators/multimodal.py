@@ -1346,8 +1346,8 @@ def media_container_metadata(content: bytes) -> dict:
                 title=m["tags"].get("title"),
                 artist=m["tags"].get("artist"),
             )
-        elif content[4:8] in (b"ftyp", b"styp", b"sidx", b"moov", b"mdat",
-                              b"wide", b"free"):
+        elif content[4:8] in (b"ftyp", b"styp", b"sidx", b"moof", b"moov",
+                              b"mdat", b"wide", b"free"):
             from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import (
                 mp4_metadata,
             )

@@ -190,7 +190,9 @@ def sitemap_locs(col):
     )
 
     def _clean(u):
-        is_cdata = u.startswith("<![CDATA[")
+        # the (?i) pattern matched the wrapper case-insensitively, so
+        # the unwrap check must be case-insensitive too
+        is_cdata = F.lower(u).startswith("<![cdata[")
         literal = F.trim(u.substr(F.lit(10), F.length(u) - F.lit(12)))
         unescaped = u
         for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),

@@ -167,7 +167,12 @@ def _decompress_capped(content: bytes, kind: str, caps: dict) -> bytes:
             return bz2.BZ2Decompressor()
         return lzma.LZMADecompressor()
 
-    cap = min(caps["max_member_bytes"], caps["max_total_bytes"])
+    # the inflated stream may be a tar CONTAINER (headers + padding on
+    # top of member bytes), so the stream cap is the TOTAL cap — the
+    # per-member cap is applied after the container question is settled
+    # (by _expand_tar per member, or by expand_archive for the
+    # single-member gzip/bz2/xz form)
+    cap = caps["max_total_bytes"]
     out = bytearray()
     data = content
     obj = make()
@@ -220,6 +225,12 @@ def expand_archive(
     inner = _decompress_capped(content, fmt, caps)
     if inner[257:262] == b"ustar" or _looks_like_tar(inner):
         return f"tar.{_EXT[fmt]}", _expand_tar(inner, caps)
+    # not a container: the whole stream is ONE member, so the
+    # per-member cap now binds
+    if len(inner) > caps["max_member_bytes"]:
+        raise ArchiveError(
+            f"member exceeds per-member cap {caps['max_member_bytes']}"
+        )
     name = _gzip_member_name(content) if fmt == "gzip" else None
     return fmt, [(name or f"<{fmt}>", inner)]
 

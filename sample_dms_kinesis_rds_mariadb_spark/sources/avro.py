@@ -399,6 +399,11 @@ def _read_local_header(path: str) -> str:
         except AvroError as exc:
             if "truncated" not in str(exc):
                 raise
+            if len(head) < size:
+                # the WHOLE file fit in the buffer and the header still
+                # ran out of bytes: the file itself is truncated — a
+                # bigger read cannot change that diagnosis
+                raise AvroError(f"truncated OCF file: {path}") from exc
     raise AvroError(f"OCF header larger than 8 MiB in {path}")
 
 
@@ -420,13 +425,24 @@ def read_avro(
     if schema_json is None:
         if os.path.isdir(path):
             candidates = sorted(
-                f for f in os.listdir(path) if f.endswith(".avro")
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".avro")
             )
-            if not candidates:
-                raise AvroError(f"no .avro files under {path}")
-            schema_json = _read_local_header(os.path.join(path, candidates[0]))
+        elif any(ch in os.path.basename(path) for ch in "*?["):
+            import glob as _glob
+
+            candidates = sorted(_glob.glob(path))
         else:
-            schema_json = _read_local_header(path)
+            candidates = [path]
+        first = next((c for c in candidates if os.path.isfile(c)), None)
+        if first is None:
+            raise AvroError(
+                f"cannot peek an OCF header at {path!r} (no local .avro "
+                "file matches — non-POSIX paths need schema_json passed "
+                "explicitly)"
+            )
+        schema_json = _read_local_header(first)
     out_schema = avro_schema_to_spark(schema_json)
     field_names = [f.name for f in out_schema.fields]
     expected = json.dumps(json.loads(schema_json), sort_keys=True)

@@ -248,3 +248,25 @@ def test_expand_archives_streaming_duality(spark, tmp_path):
     assert {r["member_name"] for r in by_id[1]} == {"a.txt", "b.txt"}
     assert by_id[2][0]["archive_format"] == "tar.gz"
     assert by_id[3][0]["error"] is not None
+
+
+def test_targz_mid_size_container_not_bound_by_member_cap():
+    """Review fix: the inflated stream of a .tar.gz is a CONTAINER, so
+    the per-member cap must bind per member AFTER tar expansion, not on
+    the whole stream — a tar.gz whose members each fit the member cap
+    expands even when the container exceeds it."""
+    import gzip as _gz
+
+    members = {f"m{i}.bin": bytes([i]) * 200_000 for i in range(8)}
+    tar = make_tar(members)  # ~1.6 MB container
+    fmt, got = expand_archive(_gz.compress(tar), max_member_bytes=300_000,
+                              max_total_bytes=4_000_000)
+    assert fmt == "tar.gz" and len(got) == 8
+    # ... while a plain-gzip single member that size still raises
+    with pytest.raises(ArchiveError, match="per-member cap"):
+        expand_archive(_gz.compress(b"\x01" * 500_000),
+                       max_member_bytes=300_000, max_total_bytes=4_000_000)
+    # and the TOTAL cap still binds the container itself
+    with pytest.raises(ArchiveError, match="exceeds cap"):
+        expand_archive(_gz.compress(tar), max_member_bytes=300_000,
+                       max_total_bytes=1_000_000)

@@ -222,3 +222,29 @@ def test_zigzag_against_spec_examples():
     assert zigzag(2) == b"\x04"
     assert zigzag(-64) == b"\x7f"
     assert zigzag(64) == b"\x80\x01"
+
+
+def test_header_peek_glob_and_truncation_diagnosis(spark, tmp_path):
+    """Review fixes: a glob path resolves locally for the header peek;
+    a non-matching path raises AvroError (not FileNotFoundError)
+    telling the caller to pass schema_json; a truncated small file is
+    diagnosed as truncated, not 'header larger than 8 MiB'."""
+    from sample_dms_kinesis_rds_mariadb_spark.sources.avro import (
+        _read_local_header,
+    )
+
+    d = tmp_path / "g"
+    d.mkdir()
+    (d / "part-0.avro").write_bytes(write_ocf(SIMPLE, ROWS[:2]))
+    (d / "part-1.avro").write_bytes(write_ocf(SIMPLE, ROWS[2:]))
+    # the documented glob form works end-to-end without schema_json
+    df = read_avro(spark, str(d / "part-*.avro"))
+    assert df.count() == 4
+    # no match -> a precise AvroError, not a driver FileNotFoundError
+    with pytest.raises(AvroError, match="schema_json"):
+        read_avro(spark, str(d / "nope-*.avro"))
+    # truncated small file: diagnosed as truncated, never 'header > 8 MiB'
+    truncated = d / "cut.avro"
+    truncated.write_bytes(write_ocf(SIMPLE, ROWS[:1])[:30])
+    with pytest.raises(AvroError, match="truncated OCF file"):
+        _read_local_header(str(truncated))

@@ -896,3 +896,54 @@ def test_mp4_fragment_sidx_duration():
     # a bare mdat-only blob still raises -> unknown in the sweep
     assert media_container_metadata(
         box(b"mdat", b"\x00" * 32))["container"] == "unknown"
+
+
+def test_review_fixes_moof_dispatch_heif_ambiguity_vp9_truncation():
+    """Review fixes: moof-leading CMAF chunks reach mp4_metadata from
+    the sweep; conflicting ipco codec configs yield profile=None (never
+    the thumbnail's); truncated V_VP9 CodecPrivate degrades to None."""
+    from tests.video_writer import hevc_sps, hvcc
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mkv import mkv_metadata
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import mp4_metadata
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        media_container_metadata,
+    )
+
+    # 1) moof-leading chunk (no styp/sidx) dispatches in the sweep
+    chunk = (box(b"moof", box(b"mfhd", full(0, struct.pack(">I", 1))))
+             + box(b"mdat", b"\x00" * 32))
+    assert mp4_metadata(chunk)["container"] == "mp4-fragment"
+    assert media_container_metadata(chunk)["container"] == "mp4-fragment"
+
+    # 2) two DIFFERENT hvcC configs in ipco -> ambiguous -> None
+    def ispe(w, h):
+        return box(b"ispe", full(0, struct.pack(">II", w, h)))
+
+    cfg_thumb = box(b"hvcC", hvcc(hevc_sps(profile=1, width=160, height=90)))
+    cfg_main = box(b"hvcC", hvcc(hevc_sps(profile=2, bit_depth=10,
+                                          width=4000, height=3000)))
+    ipco = box(b"ipco", cfg_thumb + ispe(160, 90) + cfg_main
+               + ispe(4000, 3000))
+    meta = box(b"meta", full(0, box(b"iprp", ipco)))
+    blob = box(b"ftyp", b"heic\x00\x00\x00\x00heic") + meta
+    m = mp4_metadata(blob)
+    assert (m["width"], m["height"]) == (4000, 3000)
+    assert m["video_codec"] == "hevc" and m["video_profile"] is None
+    # agreeing configs still report the profile
+    ipco2 = box(b"ipco", cfg_main + ispe(4000, 3000))
+    blob2 = box(b"ftyp", b"heic\x00\x00\x00\x00heic") + box(
+        b"meta", full(0, box(b"iprp", ipco2)))
+    assert mp4_metadata(blob2)["video_profile"] == "hevc main10@4 10bit 4:2:0"
+
+    # 3) truncated VP9 feature metadata -> profile None, never partial
+    header = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, b"webm"))
+    track = _ebml_elem(
+        0xAE,
+        _ebml_uint(0x83, 1) + _ebml_elem(0x86, b"V_VP9")
+        + _ebml_elem(0x63A2, bytes([1, 2, 0x01]))  # declares 2, has 1
+        + _ebml_elem(0xE0, _ebml_uint(0xB0, 640) + _ebml_uint(0xBA, 360)),
+    )
+    blob3 = header + _ebml_elem(0x18538067, _ebml_elem(0x1654AE6B, track))
+    m3 = mkv_metadata(blob3)
+    assert m3["video_profile"] is None and m3["width"] == 640

@@ -198,3 +198,19 @@ def test_media_sweep_dispatches_mpegts(spark):
     assert rows[1]["container"] == "mpegts"
     assert rows[1]["width"] == 1280
     assert rows[2]["container"] == "unknown"
+
+
+def test_multi_program_pcr_clocks_not_mixed():
+    """Review fix: a PCR seen on another program's PID before the PMT
+    names the real PCR PID must not seed the duration span."""
+    w = TsWriter()
+    # program 2's clock ticks FIRST, huge offset
+    w.pes(0x201, 0xE0, 5_000_000, b"\x00" * 40, pcr=5_000_000)
+    w.pat(1, 0x100)
+    w.pmt(0x100, 0x101, [(0x1B, 0x101)])
+    for i in range(4):
+        w.pes(0x101, 0xE0, 900_000 + i * 90_000, b"\x00" * 40,
+              pcr=900_000 + i * 90_000)
+    m = ts_metadata(bytes(w.out))
+    # the named PCR PID's own span: 3 s — never (900k..5M)/90k
+    assert m["duration_sec"] == pytest.approx(3.0)
