@@ -1471,6 +1471,29 @@ def media_container_metadata(content: bytes) -> dict:
                 bitrate_kbps=rate * ch * bits / 1000 if rate else None,
                 audio_codec=kind,
             )
+        elif content.lstrip()[:7] == b"#EXTM3U":
+            # HLS playlist (r12): the text index of the .ts segments
+            from sample_dms_kinesis_rds_mariadb_spark.operators.hls import (
+                parse_m3u8,
+            )
+
+            m = parse_m3u8(content)
+            video_codec = audio_codec = None
+            for c in (m.get("codecs") or "").split(","):
+                c = c.strip()
+                if c.split(".")[0] in ("avc1", "avc3", "hvc1", "hev1",
+                                       "vp09", "av01") and not video_codec:
+                    video_codec = c
+                elif c and not audio_codec:
+                    audio_codec = c
+            out.update(
+                container="m3u8",
+                duration_sec=m.get("duration_sec"),
+                width=m.get("width"),
+                height=m.get("height"),
+                video_codec=video_codec,
+                audio_codec=audio_codec,
+            )
         else:
             # MPEG-TS (HLS segments, r12) has no leading magic — probe
             # for three stride-aligned 0x47 sync bytes as the fallback

@@ -89,3 +89,22 @@ def test_not_a_playlist_raises_and_unknown_tags_skip():
     assert not is_m3u8(b"plain text")
     m = parse_m3u8(b"#EXTM3U\n#EXT-X-FUTURE-TAG:x=1\n#EXTINF:2.0,\na.ts\n")
     assert m["n_segments"] == 1  # unknown tag ignored per RFC
+
+
+def test_media_sweep_dispatches_m3u8():
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        media_container_metadata,
+    )
+
+    master = (b"#EXTM3U\n"
+              b'#EXT-X-STREAM-INF:BANDWIDTH=2800000,RESOLUTION=1280x720,'
+              b'CODECS="avc1.640028,mp4a.40.2"\nhigh.m3u8\n')
+    m = media_container_metadata(master)
+    assert m["container"] == "m3u8"
+    assert (m["width"], m["height"]) == (1280, 720)
+    assert m["video_codec"] == "avc1.640028"
+    assert m["audio_codec"] == "mp4a.40.2"
+    media = b"#EXTM3U\n#EXTINF:6.0,\na.ts\n#EXTINF:4.5,\nb.ts\n#EXT-X-ENDLIST\n"
+    m2 = media_container_metadata(media)
+    assert m2["container"] == "m3u8"
+    assert m2["duration_sec"] == 10.5 and m2["width"] is None
