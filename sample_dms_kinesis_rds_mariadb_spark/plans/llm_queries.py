@@ -3524,3 +3524,141 @@ def q_html_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _duck_subtitle_chain(expr: str) -> str:
+    """Fold the published subtitle rule list into nested DuckDB
+    regexp_replace calls — identical patterns cross-engine (pinned by
+    the hypothesis RE2-vs-Python property in tests/test_subtitles.py)."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions.subtitles import (
+        SUBTITLE_RULES,
+    )
+
+    out = expr
+    for pat, rep in SUBTITLE_RULES:
+        pat_sql = pat.replace("'", "''")
+        rep_sql = "'" + rep.replace("\\", "\\\\").replace("'", "''") + "'"
+        out = f"regexp_replace({out}, '{pat_sql}', {rep_sql}, 'g')"
+    return out
+
+
+_SRT_ORACLE_EXPR = _duck_subtitle_chain(
+    "'1' || chr(10) || '00:00:01,000 --> 00:00:04,000' || chr(10)\n"
+    "            || t || chr(10) || chr(10) || '2' || chr(10)\n"
+    "            || '00:00:05,000 --> 00:00:06,500' || chr(10)\n"
+    "            || '<i>' || t || '</i> tail'"
+)
+
+
+@register(
+    "subtitle_text_extract",
+    "Subtitle extraction under the cross-engine hash gate: two-cue SRT "
+    "documents synthesized per documents row in pure codegen (counter "
+    "lines, comma-millisecond timestamps, an inline <i> tag), cleaned "
+    "through the REAL published rule chain "
+    "(functions/subtitles.subtitle_text); the oracle folds the "
+    "IDENTICAL rule list through DuckDB's RE2 — the hypothesis "
+    "property in tests/test_subtitles.py pins RE2 to the Python "
+    "mirror, and this entry pins the Java side at corpus scale",
+    oracle=f"""
+        WITH safe AS (
+          SELECT doc_id,
+                 substr(regexp_replace(text, '[<>&{{\\\\]|[^ -~]', ' ', 'g'),
+                        1, 80) AS t
+          FROM documents WHERE doc_id < 300
+        )
+        SELECT doc_id,
+               {_SRT_ORACLE_EXPR} AS text
+        FROM safe ORDER BY doc_id
+    """,
+    tags=("documents",),
+    extra=True,
+)
+def q_subtitle_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.subtitles import (
+        subtitle_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    t = F.substring(
+        F.regexp_replace(F.col("text"), "[<>&{\\\\]|[^ -~]", " "), 1, 80
+    )
+    srt = F.concat(
+        F.lit("1\n00:00:01,000 --> 00:00:04,000\n"), t,
+        F.lit("\n\n2\n00:00:05,000 --> 00:00:06,500\n<i>"), t,
+        F.lit("</i> tail"),
+    )
+    return docs.select(
+        "doc_id", subtitle_text(srt).alias("text")
+    ).orderBy("doc_id")
+
+
+@register(
+    "feed_entry_extraction",
+    "RSS parsing under the cross-engine hash gate: two-item RSS "
+    "channels synthesized per documents row in pure codegen (item one "
+    "carries a CDATA title — literal, never entity-decoded — and an "
+    "&amp;-escaped link; item two is plain with no pubDate), exploded "
+    "through the REAL functions/feeds.feed_entries pass; the oracle "
+    "emits the expected entry rows computed directly from the source "
+    "columns",
+    oracle="""
+        WITH safe AS (
+          SELECT doc_id, lower(source) AS src,
+                 substr(regexp_replace(text, '[<>&]|[^ -~]', ' ', 'g'),
+                        1, 60) AS t
+          FROM documents WHERE doc_id < 300
+        )
+        SELECT doc_id, kind, title, link, published
+        FROM (
+          SELECT doc_id, 'rss' AS kind,
+                 trim(t) || ' [cdata]' AS title,
+                 'https://' || src || '.example/a/' || doc_id
+                   || '?x=1&y=2' AS link,
+                 'Mon, 01 Jan 2024 10:00:00 GMT' AS published,
+                 0 AS ord
+          FROM safe
+          UNION ALL
+          SELECT doc_id, 'rss', trim('plain ' || t),
+                 'https://' || src || '.example/b/' || doc_id,
+                 NULL, 1
+          FROM safe
+        ) ORDER BY doc_id, link
+    """,
+    tags=("documents",),
+    extra=True,
+)
+def q_feed_entry_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.functions.feeds import (
+        feed_entries,
+        feed_kind,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    t = F.substring(
+        F.regexp_replace(F.col("text"), "[<>&]|[^ -~]", " "), 1, 60
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'
+              "<title>chan</title><item><title><![CDATA["),
+        F.trim(t), F.lit(" [cdata]]]></title><link>https://"),
+        F.lower("source"),
+        F.lit(".example/a/"), F.col("doc_id").cast("string"),
+        F.lit("?x=1&amp;y=2</link>"
+              "<pubDate>Mon, 01 Jan 2024 10:00:00 GMT</pubDate></item>"
+              "<item><title>plain "),
+        t, F.lit("</title><link>https://"), F.lower("source"),
+        F.lit(".example/b/"), F.col("doc_id").cast("string"),
+        F.lit("</link></item></channel></rss>"),
+    )
+    entry = F.explode(feed_entries(xml)).alias("e")
+    return (
+        docs.select("doc_id", feed_kind(xml).alias("kind"), entry)
+        .select(
+            "doc_id", "kind",
+            F.col("e.title").alias("title"),
+            F.col("e.link").alias("link"),
+            F.col("e.published").alias("published"),
+        )
+        .orderBy("doc_id", "link")
+    )

@@ -400,22 +400,28 @@ def route_document_texts(
     """Mixed crawl payloads → text, Spark-first: payloads whose first
     bytes carry a binary document magic (``%PDF-``, zip ``PK``,
     ``{\\rtf``) take the Arrow reader pass (:func:`document_text`);
-    everything else — the overwhelming majority of a crawl — is treated
-    as HTML/markup and decoded through the pure-codegen
-    ``functions.html.html_to_text`` column, so the common case never
-    leaves the JVM. Output: ``(id, format, text, n_chars, error,
-    *passthrough)`` — extraction failures are error ROWS, the gate
-    contract of :func:`extract_document_texts`.
+    subtitle payloads (``WEBVTT`` magic, or the SRT counter+timestamp
+    opening) take the pure-codegen ``functions.subtitles.subtitle_text``
+    column (r12); everything else — the overwhelming majority of a
+    crawl — is treated as HTML/markup and decoded through the
+    pure-codegen ``functions.html.html_to_text`` column, so the common
+    case never leaves the JVM. Output: ``(id, format, text, n_chars,
+    error, *passthrough)`` — extraction failures are error ROWS, the
+    gate contract of :func:`extract_document_texts`.
 
     At scale: the magic sniff is one codegen predicate over a 64-byte
-    substring (no Python, no shuffle); each branch scans its slice
-    once; the union is partition-local. Passthrough columns ride both
-    branches, so no join-back is needed.
+    substring (plus a 256-byte probe for the SRT shape — no Python, no
+    shuffle); each branch scans its slice once; the union is
+    partition-local. Passthrough columns ride every branch, so no
+    join-back is needed.
     """
     from pyspark.sql import functions as F
 
     from sample_dms_kinesis_rds_mariadb_spark.functions.html import (
         html_to_text,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.functions.subtitles import (
+        subtitle_text,
     )
 
     keep = [c for c in df.columns if c not in (id_col, content_col)]
@@ -430,9 +436,31 @@ def route_document_texts(
         # (None -> b'' -> raise), the extract_document_texts gate contract.
         | F.col(content_col).isNull()
     )
+    # subtitles: WEBVTT magic, or the SRT shape AT DOCUMENT START (a
+    # counter line then a comma-millisecond timestamp) — anchored to
+    # the payload head so HTML that merely QUOTES a cue can't reroute.
+    # The probe decodes ISO-8859-1 (total, never throws — the sniffed
+    # openings are ASCII); only the routed slice takes the UTF-8 decode
+    sub_head = F.decode(F.substring(F.col(content_col), 1, 256), "ISO-8859-1")
+    is_vtt = F.ltrim(sub_head).startswith("WEBVTT")
+    # a UTF-8 BOM reads as 'ï»¿' through the latin-1 probe
+    is_srt = sub_head.rlike(
+        "^(?:ï»¿)?\\s*\\d+\\s*\\r?\\n\\d{2}:\\d{2}:\\d{2},\\d{3}\\s*-->"
+    )
+    is_sub = (is_vtt | is_srt) & ~is_doc
+
+    sub_text = subtitle_text(F.decode(F.col(content_col), "UTF-8"))
+    sub_rows = df.filter(is_sub).select(
+        F.col(id_col),
+        F.when(is_vtt, F.lit("vtt")).otherwise(F.lit("srt")).alias("format"),
+        sub_text.alias("text"),
+        F.length(sub_text).cast("int").alias("n_chars"),
+        F.lit(None).cast("string").alias("error"),
+        *keep,
+    )
 
     text = html_to_text(F.decode(F.col(content_col), "UTF-8"))
-    html_rows = df.filter(~is_doc).select(
+    html_rows = df.filter(~is_doc & ~is_sub).select(
         F.col(id_col),
         F.lit("html").alias("format"),
         text.alias("text"),
@@ -440,6 +468,7 @@ def route_document_texts(
         F.lit(None).cast("string").alias("error"),
         *keep,
     )
+    html_rows = html_rows.unionByName(sub_rows)
 
     out_fields = [
         df.schema[id_col],

@@ -207,3 +207,31 @@ def test_curate_stream_binary_intake(spark, tmp_path):
     with open(run.funnel_path) as f:
         lines = [json.loads(ln) for ln in f if ln.strip()]
     assert lines and lines[0]["input"] == 5  # post-gate micro-batch rows
+
+
+def test_subtitle_routing_in_front_door(spark):
+    """r12: WEBVTT/SRT payloads route to the pure-codegen subtitle
+    branch (format vtt/srt), anchored at document start so HTML that
+    merely quotes a cue stays HTML; BOM-prefixed SRT still routes."""
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        route_document_texts,
+    )
+
+    srt = b"1\n00:00:01,000 --> 00:00:02,000\nHello <i>cue</i>\n"
+    bom_srt = b"\xef\xbb\xbf" + srt
+    vtt = (b"WEBVTT\n\n00:00:01.000 --> 00:00:02.000\n"
+           b"<v Ann>Salut</v>\n")
+    html_quoting_cue = (b"<html><body><p>example:</p><pre>1\n"
+                        b"00:00:01,000 --> 00:00:02,000\nquoted</pre>"
+                        b"</body></html>")
+    df = spark.createDataFrame(
+        [(1, bytearray(srt)), (2, bytearray(vtt)),
+         (3, bytearray(html_quoting_cue)), (4, bytearray(bom_srt))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in route_document_texts(df).collect()}
+    assert rows[1]["format"] == "srt" and rows[1]["text"] == "Hello cue"
+    assert rows[2]["format"] == "vtt" and rows[2]["text"] == "Salut"
+    assert rows[3]["format"] == "html" and "quoted" in rows[3]["text"]
+    assert rows[4]["format"] == "srt" and "Hello cue" in rows[4]["text"]
+    assert all(r["error"] is None for r in rows.values())
