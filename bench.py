@@ -730,9 +730,29 @@ def main() -> None:
                 ).alias("content"),
             )
         ),
+        "srt": (
+            # r12: the subtitle branch of the front door
+            _lt(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") >= _n_pdf + 4 * _n_zipfmt)
+                    & (F.col("doc_id") < _n_pdf + 5 * _n_zipfmt))
+            .select(
+                "doc_id",
+                F.encode(
+                    F.concat(
+                        F.lit("1\n00:00:01,000 --> 00:00:04,000\n"),
+                        F.regexp_replace(
+                            F.substring("text", 1, 200), "[^ -~]", " "
+                        ),
+                        F.lit("\n\n2\n00:00:05,000 --> 00:00:07,000\n"
+                              "<i>cue two</i>\n"),
+                    ),
+                    "UTF-8",
+                ).alias("content"),
+            )
+        ),
         "html": (
             _lt(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") >= _n_pdf + 4 * _n_zipfmt)
+            .filter(F.col("doc_id") >= _n_pdf + 5 * _n_zipfmt)
             .select(
                 "doc_id",
                 F.encode(
@@ -747,7 +767,7 @@ def main() -> None:
         ),
     }
     _mixed_df = _fmt_dfs["pdf"]
-    for _k in ("epub", "docx", "odt", "rtf", "html"):
+    for _k in ("epub", "docx", "odt", "rtf", "srt", "html"):
         _mixed_df = _mixed_df.unionByName(_fmt_dfs[_k])
     _mixed_df = _mixed_df.repartition(32)
     _n_mixed = _mixed_df.count()
