@@ -42,7 +42,9 @@ def _field(block: Column, tag: str) -> Column:
         1,
     )
     is_cdata = F.lower(raw).startswith("<![cdata[")
-    literal = F.trim(raw.substr(F.lit(10), F.length(raw) - F.lit(12)))
+    # CDATA content is LITERAL: no trim, no entity decode (the module
+    # contract — only the wrapper goes)
+    literal = raw.substr(F.lit(10), F.length(raw) - F.lit(12))
     return F.nullif(
         F.when(is_cdata, literal).otherwise(_decode(raw)), F.lit("")
     )
@@ -58,11 +60,13 @@ def feed_kind(col: Column) -> Column:
 
 
 def feed_title(col: Column) -> Column:
-    """The channel/feed-level title (the FIRST title before any
-    item/entry block)."""
+    """The channel/feed-level title: the first title BEFORE any
+    item/entry block. A document with items but nothing before them
+    (a headless fragment) has no channel title — NULL, never the first
+    item's; a feed with no items at all searches the whole document."""
+    has_items = col.rlike(r"(?is)<\s*(item|entry)[\s>]")
     head = F.regexp_extract(col, r"(?is)^(.*?)<\s*(item|entry)[\s>]", 1)
-    head = F.when(F.nullif(head, F.lit("")).isNull(), col).otherwise(head)
-    return _field(head, "title")
+    return _field(F.when(has_items, head).otherwise(col), "title")
 
 
 def feed_entries(col: Column) -> Column:
@@ -74,10 +78,24 @@ def feed_entries(col: Column) -> Column:
     )
 
     def _entry(b: Column) -> Column:
-        # Atom: <link href="..."/> attribute; RSS: <link>text</link>
-        link_attr = F.nullif(F.regexp_extract(
+        # Atom: <link href="..."/> attribute — prefer rel="alternate"
+        # (the article URL) over whatever rel="self"/"replies"/"edit"
+        # link happens to be listed first; fall back to the first href
+        alt = F.coalesce(
+            F.nullif(F.regexp_extract(
+                b,
+                r"(?is)<link\s[^>]*?rel\s*=\s*[\"']alternate[\"']"
+                r"[^>]*?href\s*=\s*[\"']([^\"']*)", 1
+            ), F.lit("")),
+            F.nullif(F.regexp_extract(
+                b,
+                r"(?is)<link\s[^>]*?href\s*=\s*[\"']([^\"']*)[\"']"
+                r"[^>]*?rel\s*=\s*[\"']alternate[\"']", 1
+            ), F.lit("")),
+        )
+        link_attr = F.coalesce(alt, F.nullif(F.regexp_extract(
             b, r"(?is)<link\s[^>]*?href\s*=\s*[\"']([^\"']*)", 1
-        ), F.lit(""))
+        ), F.lit("")))
         published = F.coalesce(
             _field(b, "pubDate"), _field(b, "published"), _field(b, "updated"),
             _field(b, "dc:date"),

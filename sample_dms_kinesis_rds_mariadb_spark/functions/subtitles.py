@@ -28,9 +28,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 SUBTITLE_RULES: tuple[tuple[str, str], ...] = (
+    (r"^﻿", ""),  # optional BOM (the WebVTT spec allows it)
     # VTT comment/style/region blocks: the tag line plus following
-    # non-empty lines
-    (r"(?m)^(?:NOTE|STYLE|REGION)[^\n]*\n?(?:[^\n]+\n?)*", ""),
+    # non-empty lines. Per spec NOTE is followed by space/newline and
+    # STYLE/REGION stand alone — 'NOTEBOOK was...' cue text is NOT a
+    # comment block and must survive
+    (r"(?m)^(?:NOTE[ \t][^\n]*|NOTE|STYLE|REGION)$\n?(?:[^\n]+\n?)*", ""),
     (r"(?m)^WEBVTT[^\n]*$", ""),
     # a timestamp line TOGETHER with the line before it: that line is
     # only ever an SRT counter, a VTT cue identifier, or blank — never
@@ -39,7 +42,11 @@ SUBTITLE_RULES: tuple[tuple[str, str], ...] = (
     # legitimate numeric cue text
     (r"(?m)^[^\n]*\n[^\n]*-->[^\n]*$", ""),
     (r"(?m)^[^\n]*-->[^\n]*$", ""),  # timestamp at document start
-    (r"(?s)<[^>]*>", ""),  # inline tags
+    # inline tags: must LOOK like a tag (letter-initial, or a VTT
+    # karaoke timestamp, or a close tag) and stay on one line — a
+    # stray '<' in cue text ('i <3 subs', '5 < 6') must never swallow
+    # text to the next '>' lines or cues away
+    (r"</?[A-Za-z][^<>\n]*>|<[0-9:.]+>", ""),
     (r"\{\\[^}]*\}", ""),  # ASS override blocks
     (r"&lt;", "<"),
     (r"&gt;", ">"),
@@ -58,8 +65,9 @@ SUBTITLE_RULES: tuple[tuple[str, str], ...] = (
 def subtitle_kind(col: Column) -> Column:
     """'vtt' | 'srt' | NULL — WEBVTT magic, else the SRT cue shape
     (a counter line followed by a comma-millisecond timestamp)."""
+    stripped = F.ltrim(F.regexp_replace(col, "^﻿", ""))
     return (
-        F.when(F.ltrim(col).startswith("WEBVTT"), F.lit("vtt"))
+        F.when(stripped.startswith("WEBVTT"), F.lit("vtt"))
         .when(
             col.rlike(r"(?m)^\d+\s*\n\d{2}:\d{2}:\d{2},\d{3}\s*-->"),
             F.lit("srt"),

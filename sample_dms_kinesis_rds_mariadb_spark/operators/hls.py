@@ -26,7 +26,8 @@ from __future__ import annotations
 
 
 def is_m3u8(content: bytes) -> bool:
-    return content.lstrip()[:7] == b"#EXTM3U"
+    head = content.removeprefix(b"\xef\xbb\xbf").lstrip()
+    return head[:7] == b"#EXTM3U"
 
 
 def parse_attribute_list(s: str) -> dict[str, str]:
@@ -70,7 +71,11 @@ def parse_m3u8(content: bytes) -> dict:
     except AttributeError:  # already str
         text = content
     lines = [line.strip() for line in text.splitlines()]
-    if not lines or not lines[0].startswith("#EXTM3U"):
+    # leading blank lines are tolerated, matching is_m3u8's lstrip —
+    # the sniff and the parse must accept the same documents
+    while lines and not lines[0]:
+        lines.pop(0)
+    if not lines or not lines[0].lstrip("﻿").startswith("#EXTM3U"):
         raise ValueError("not an M3U8 playlist (no #EXTM3U)")
 
     variants: list[dict] = []

@@ -1298,6 +1298,28 @@ MEDIA_METADATA_SCHEMA = T.StructType(
 )
 
 
+_HLS_VIDEO_PREFIXES = {"avc1", "avc3", "hvc1", "hev1", "dvh1", "dvhe",
+                       "vp09", "vp8", "av01", "mp4v"}
+_HLS_AUDIO_PREFIXES = {"mp4a", "ac-3", "ec-3", "ac-4", "opus", "flac",
+                       "alac", "mp3"}
+
+
+def _classify_hls_codecs(codecs: str | None) -> dict:
+    """RFC 6381 codec strings from an HLS CODECS attribute → the first
+    video and first audio entry by KNOWN prefix; text/subtitle codecs
+    (wvtt, stpp) and unknowns classify as neither — never dumped into
+    the audio column."""
+    video = audio = None
+    for c in (codecs or "").split(","):
+        c = c.strip()
+        prefix = c.split(".")[0].lower()
+        if prefix in _HLS_VIDEO_PREFIXES and video is None:
+            video = c
+        elif prefix in _HLS_AUDIO_PREFIXES and audio is None:
+            audio = c
+    return {"video_codec": video, "audio_codec": audio}
+
+
 def media_container_metadata(content: bytes) -> dict:
     """Dispatch a payload to the matching container parser (MP3 / MP4 /
     FLAC / Ogg / WAV) and normalize to the MEDIA_METADATA_SCHEMA field
@@ -1471,38 +1493,29 @@ def media_container_metadata(content: bytes) -> dict:
                 bitrate_kbps=rate * ch * bits / 1000 if rate else None,
                 audio_codec=kind,
             )
-        elif content.lstrip()[:7] == b"#EXTM3U":
-            # HLS playlist (r12): the text index of the .ts segments
+        else:
+            # no leading-magic formats (r12): HLS playlists (optional
+            # BOM before #EXTM3U — the ONE sniff lives in operators/
+            # hls.is_m3u8) and MPEG-TS (three stride-aligned 0x47 syncs)
             from sample_dms_kinesis_rds_mariadb_spark.operators.hls import (
+                is_m3u8,
                 parse_m3u8,
             )
-
-            m = parse_m3u8(content)
-            video_codec = audio_codec = None
-            for c in (m.get("codecs") or "").split(","):
-                c = c.strip()
-                if c.split(".")[0] in ("avc1", "avc3", "hvc1", "hev1",
-                                       "vp09", "av01") and not video_codec:
-                    video_codec = c
-                elif c and not audio_codec:
-                    audio_codec = c
-            out.update(
-                container="m3u8",
-                duration_sec=m.get("duration_sec"),
-                width=m.get("width"),
-                height=m.get("height"),
-                video_codec=video_codec,
-                audio_codec=audio_codec,
-            )
-        else:
-            # MPEG-TS (HLS segments, r12) has no leading magic — probe
-            # for three stride-aligned 0x47 sync bytes as the fallback
             from sample_dms_kinesis_rds_mariadb_spark.operators.mpegts import (
                 is_mpegts,
                 ts_metadata,
             )
 
-            if is_mpegts(content):
+            if is_m3u8(content):
+                m = parse_m3u8(content)
+                out.update(
+                    container="m3u8",
+                    duration_sec=m.get("duration_sec"),
+                    width=m.get("width"),
+                    height=m.get("height"),
+                    **_classify_hls_codecs(m.get("codecs")),
+                )
+            elif is_mpegts(content):
                 from sample_dms_kinesis_rds_mariadb_spark.operators.video_codecs import (
                     profile_string,
                 )

@@ -442,7 +442,11 @@ def route_document_texts(
     # The probe decodes ISO-8859-1 (total, never throws — the sniffed
     # openings are ASCII); only the routed slice takes the UTF-8 decode
     sub_head = F.decode(F.substring(F.col(content_col), 1, 256), "ISO-8859-1")
-    is_vtt = F.ltrim(sub_head).startswith("WEBVTT")
+    # a UTF-8 BOM (which the WebVTT spec allows before 'WEBVTT')
+    # renders as 'ï»¿' through the latin-1 probe — strip it first
+    is_vtt = F.ltrim(
+        F.regexp_replace(sub_head, "^ï»¿", "")
+    ).startswith("WEBVTT")
     # a UTF-8 BOM reads as 'ï»¿' through the latin-1 probe
     is_srt = sub_head.rlike(
         "^(?:ï»¿)?\\s*\\d+\\s*\\r?\\n\\d{2}:\\d{2}:\\d{2},\\d{3}\\s*-->"

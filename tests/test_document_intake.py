@@ -235,3 +235,17 @@ def test_subtitle_routing_in_front_door(spark):
     assert rows[3]["format"] == "html" and "quoted" in rows[3]["text"]
     assert rows[4]["format"] == "srt" and "Hello cue" in rows[4]["text"]
     assert all(r["error"] is None for r in rows.values())
+
+
+def test_bom_webvtt_routes_as_subtitle(spark):
+    """Review fix: the WebVTT spec allows a BOM before 'WEBVTT' — the
+    latin-1 probe sees it as 'ï»¿' and must still route."""
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        route_document_texts,
+    )
+
+    vtt = (b"\xef\xbb\xbfWEBVTT\n\n00:00:01.000 --> 00:00:02.000\nHi\n")
+    df = spark.createDataFrame([(1, bytearray(vtt))],
+                               "doc_id long, content binary")
+    (row,) = route_document_texts(df).collect()
+    assert row["format"] == "vtt" and row["text"] == "Hi"

@@ -84,3 +84,26 @@ def test_not_a_feed_and_empty(spark):
                          "</channel></rss>")
     assert row2["kind"] == "rss" and row2["entries"] == []
     assert row2["ftitle"] == "T"  # no items: the head IS the document
+
+
+def test_review_fixes_rel_alternate_cdata_literal_headless(spark):
+    """Review fixes: Atom rel='alternate' beats earlier self/replies
+    links; CDATA content is literal (no inner trim); a headless
+    fragment has NO channel title (never the first item's)."""
+    atom = """<feed xmlns="http://www.w3.org/2005/Atom"><title>F</title>
+<entry><title>E</title>
+<link rel="replies" href="https://b.example/comments"/>
+<link href="https://b.example/edit" rel="edit"/>
+<link rel="alternate" href="https://b.example/post"/>
+</entry></feed>"""
+    row = _parse(spark, atom)
+    assert row["entries"][0]["link"] == "https://b.example/post"
+    cdata = ("<rss><channel><title>C</title><item>"
+             "<title><![CDATA[  padded  ]]></title></item>"
+             "</channel></rss>")
+    row2 = _parse(spark, cdata)
+    assert row2["entries"][0]["title"] == "  padded  "  # literal
+    headless = "<item><title>Item One</title></item>"
+    row3 = _parse(spark, headless)
+    assert row3["ftitle"] is None  # no channel title, never the item's
+    assert row3["entries"][0]["title"] == "Item One"

@@ -108,3 +108,26 @@ def test_media_sweep_dispatches_m3u8():
     m2 = media_container_metadata(media)
     assert m2["container"] == "m3u8"
     assert m2["duration_sec"] == 10.5 and m2["width"] is None
+
+
+def test_review_fixes_bom_blank_lines_codec_classes():
+    """Review fixes: BOM/blank-line-tolerant sniff AND parse agree;
+    Dolby Vision classifies as video; text codecs (wvtt) classify as
+    neither; the sniff is the single implementation."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        _classify_hls_codecs,
+        media_container_metadata,
+    )
+
+    blank_led = b"\n\n#EXTM3U\n#EXTINF:2.0,\na.ts\n#EXT-X-ENDLIST\n"
+    assert is_m3u8(blank_led)
+    assert parse_m3u8(blank_led)["n_segments"] == 1
+    bom = b"\xef\xbb\xbf#EXTM3U\n#EXTINF:2.0,\na.ts\n"
+    assert is_m3u8(bom) and parse_m3u8(bom)["n_segments"] == 1
+    assert media_container_metadata(blank_led)["container"] == "m3u8"
+    got = _classify_hls_codecs("dvh1.05.06,ec-3")
+    assert got == {"video_codec": "dvh1.05.06", "audio_codec": "ec-3"}
+    got = _classify_hls_codecs("wvtt,mp4a.40.2")
+    assert got == {"video_codec": None, "audio_codec": "mp4a.40.2"}
+    assert _classify_hls_codecs(None) == {"video_codec": None,
+                                          "audio_codec": None}

@@ -94,3 +94,35 @@ def test_rule_parity_duckdb_vs_python(s):
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
     got = con.execute(f"SELECT {expr} FROM (SELECT ? AS s)", [s]).fetchone()[0]
     assert got == py_subtitle_text(s)
+
+
+def test_review_fixes_stray_angle_note_words_bom(spark):
+    """Review fixes: a stray '<' in cue text never swallows text to a
+    later '>;' NOTE-prefixed words are not comment blocks; a BOM'd
+    WEBVTT still detects and cleans."""
+    srt = ("1\n00:00:01,000 --> 00:00:02,000\ni <3 subs\n\n"
+           "2\n00:00:03,000 --> 00:00:04,000\nx > y wins\n\n"
+           "3\n00:00:05,000 --> 00:00:06,000\n"
+           "NOTEBOOK sales rose\n")
+    assert py_subtitle_text(srt) == (
+        "i <3 subs\nx > y wins\nNOTEBOOK sales rose"
+    )
+    # ... while a true 'NOTE ' line IS the WebVTT comment form and
+    # drops — the documented cross-dialect contract
+    assert "wording" not in py_subtitle_text(
+        srt + "\n4\n00:00:07,000 --> 00:00:08,000\nNOTE the wording\n"
+    )
+    # VTT karaoke timestamps and voice tags still strip
+    vtt = ("WEBVTT\n\n00:00:01.000 --> 00:00:04.000\n"
+           "<v Ann>One<00:00:02.000> two</v>\n")
+    assert py_subtitle_text(vtt) == "One two"
+    bom_vtt = "﻿" + vtt
+    df = spark.createDataFrame([(bom_vtt,)], "s string")
+    got = df.select(subtitle_text(F.col("s")).alias("t"),
+                    subtitle_kind(F.col("s")).alias("k")).collect()[0]
+    assert got["k"] == "vtt" and got["t"] == "One two"
+    # real VTT NOTE blocks (NOTE + space, NOTE alone) still drop
+    noted = ("WEBVTT\n\nNOTE a comment\nmore comment\n\n"
+             "NOTE\nbare-form comment\n\n"
+             "00:00:01.000 --> 00:00:02.000\ncue text\n")
+    assert py_subtitle_text(noted) == "cue text"
