@@ -545,6 +545,22 @@ def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         width, height, channels = webp_header(content)
         return width, height, channels, "webp"
+    if content[4:8] == b"ftyp" and content[8:12] in (
+        b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1"
+    ):
+        # image ISOBMFF (r12): dimensions from the largest ispe via the
+        # same meta walk the media sweep uses; pixel decode stays the
+        # AV1/HEVC codec boundary, so channels reports 3 (the sweep's
+        # profile string carries mono/bit-depth truth when known)
+        from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import (
+            mp4_metadata,
+        )
+
+        m = mp4_metadata(content)
+        if m.get("container") != "heif" or not m.get("width"):
+            raise ValueError("image ISOBMFF without ispe dimensions")
+        fmt = "avif" if content[8:12] in (b"avif", b"avis") else "heic"
+        return m["width"], m["height"], 3, fmt
     raise NotImplementedError(
         "unrecognized compressed image format — PPM/PGM/BMP/PNG/JPEG "
         "decode for real (stdlib + numpy), other formats need an image "

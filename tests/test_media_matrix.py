@@ -101,3 +101,25 @@ def test_every_container_family_lands(spark):
     assert by_name["avi"]["video_codec"] == "MJPG"
     assert by_name["wav"]["sample_rate"] == 8000
     assert by_name["adts"]["audio_codec"] == "aac-lc"
+
+
+def test_image_features_cover_avif_heic(spark):
+    """r12: the IMAGE sweep reports AVIF/HEIC dimensions (largest
+    ispe) with pixel decode staying the codec boundary."""
+    from tests.test_media_containers import box, full
+    from tests.video_writer import av1_sequence_header, av1c, obu
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        decode_image,
+        extract_image_features,
+    )
+
+    ispe = box(b"ispe", full(0, struct.pack(">II", 640, 480)))
+    cfg = box(b"av1C", av1c(obu(1, av1_sequence_header(width=640, height=480))))
+    blob = (box(b"ftyp", b"avif\x00\x00\x00\x00avif")
+            + box(b"meta", full(0, box(b"iprp", box(b"ipco", ispe + cfg)))))
+    assert decode_image(blob) == (640, 480, 3, "avif")
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "media_id long, content binary")
+    (row,) = extract_image_features(df).collect()
+    assert (row["width"], row["height"], row["format"]) == (640, 480, "avif")
