@@ -562,9 +562,10 @@ def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
         fmt = "avif" if content[8:12] in (b"avif", b"avis") else "heic"
         return m["width"], m["height"], 3, fmt
     raise NotImplementedError(
-        "unrecognized compressed image format — PPM/PGM/BMP/PNG/JPEG "
-        "decode for real (stdlib + numpy), other formats need an image "
-        "library this environment doesn't have; pass fake=True for the "
+        "unrecognized compressed image format — PPM/PGM/BMP/PNG/JPEG/"
+        "GIF/TIFF/WebP decode for real (stdlib + numpy) and AVIF/HEIC "
+        "report header dimensions; other formats need an image library "
+        "this environment doesn't have; pass fake=True for the "
         "deterministic test double"
     )
 
