@@ -105,6 +105,12 @@ def _expand_zip(content: bytes, caps: dict) -> list[tuple[str, bytes]]:
         try:
             with zf.open(info) as fh:
                 data = fh.read(caps["max_member_bytes"] + 1)
+        except RuntimeError as exc:
+            # stdlib zipfile signals encrypted members this way — keep
+            # the operator's single documented exception type
+            raise ArchiveError(
+                f"encrypted zip member {info.filename!r}: {exc}"
+            ) from exc
         except (zipfile.BadZipFile, NotImplementedError, zlib.error) as exc:
             raise ArchiveError(f"bad zip member {info.filename!r}: {exc}") from exc
         _check_caps(len(out) + 1, total + len(data), len(data), caps)

@@ -270,3 +270,39 @@ def test_targz_mid_size_container_not_bound_by_member_cap():
     with pytest.raises(ArchiveError, match="exceeds cap"):
         expand_archive(_gz.compress(tar), max_member_bytes=300_000,
                        max_total_bytes=1_000_000)
+
+
+def test_encrypted_zip_member_is_archive_error():
+    """stdlib zipfile raises RuntimeError for encrypted members — the
+    operator's contract is ONE exception type (ArchiveError)."""
+    import struct
+
+    data = b"secret"
+    name = b"locked.txt"
+    # a stored member with the encryption general-purpose bit set
+    lfh = (b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0x0001, 0, 0, 0)
+           + struct.pack("<IIIHH", 0, len(data), len(data), len(name), 0)
+           + name + data)
+    cd = (b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0x0001, 0, 0, 0)
+          + struct.pack("<IIIHHHHHII", 0, len(data), len(data), len(name),
+                        0, 0, 0, 0, 0, 0) + name)
+    eocd = b"PK\x05\x06" + struct.pack("<HHHHIIH", 0, 0, 1, 1, len(cd),
+                                       len(lfh), 0)
+    with pytest.raises(ArchiveError, match="encrypted zip member"):
+        expand_archive(lfh + cd + eocd)
+
+
+def test_zip64_and_long_tar_names():
+    """zip64 members and GNU/PAX long tar names expand transparently
+    (stdlib handles both; this pins the behavior)."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        info = zipfile.ZipInfo("big.bin")
+        with zf.open(info, "w", force_zip64=True) as fh:
+            fh.write(b"z" * 1000)
+    fmt, members = expand_archive(buf.getvalue())
+    assert members == [("big.bin", b"z" * 1000)]
+    long_name = "deep/" * 40 + "leaf.txt"  # > 100 chars: needs PAX/GNU
+    assert len(long_name) > 100
+    fmt, members = expand_archive(make_tar({long_name: b"x"}))
+    assert members == [(long_name, b"x")]
