@@ -51,8 +51,7 @@ def main() -> None:
     rows = docs.select("doc_id", F.substring("text", 1, 300).alias("t")).collect()
 
     # --- synthesize a mixed crawl: every third payload is an archive
-    def zip_of(txt: str) -> bytes:
-        safe = "".join(c if " " <= c <= "~" else " " for c in txt)
+    def zip_of(safe: str) -> bytes:
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w") as z:
             z.writestr("page.html", f"<html><body><p>{safe}</p></body></html>")
@@ -64,7 +63,7 @@ def main() -> None:
         i, t = int(r["doc_id"]), (r["t"] or "")
         safe = "".join(c if " " <= c <= "~" else " " for c in t)
         if i % 3 == 0:
-            payloads.append((i, bytearray(zip_of(t))))
+            payloads.append((i, bytearray(zip_of(safe))))
         elif i % 3 == 1:
             payloads.append((i, bytearray(
                 f"<html><head><title>{safe[:40]}</title>"
@@ -99,7 +98,10 @@ def main() -> None:
         "doc_id", F.decode("content", "UTF-8").alias("html"))
     meta = html_rows.select("doc_id", html_page_metadata(F.col("html")).alias("m"))
     got = meta.select("doc_id", "m.title", "m.og_title").orderBy("doc_id").first()
-    print("page meta sample:", got["title"], "|", got["og_title"])
+    if got is not None:
+        print("page meta sample:", got["title"], "|", got["og_title"])
+    else:
+        print("page meta sample: (no HTML payloads in this corpus slice)")
 
     # --- stage 4: a feed
     feed = spark.createDataFrame([(1, (

@@ -548,8 +548,9 @@ def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
     if content[4:8] == b"ftyp" and content[8:12] in (
         b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1"
     ):
-        # image ISOBMFF (r12): dimensions from the largest ispe via the
-        # same meta walk the media sweep uses; pixel decode stays the
+        # image ISOBMFF (r12): dimensions from the largest ispe (still
+        # images, via the meta walk) or from the video track (animated
+        # avis/msf1 sequences store a moov); pixel decode stays the
         # AV1/HEVC codec boundary, so channels reports 3 (the sweep's
         # profile string carries mono/bit-depth truth when known)
         from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import (
@@ -557,10 +558,19 @@ def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
         )
 
         m = mp4_metadata(content)
-        if m.get("container") != "heif" or not m.get("width"):
-            raise ValueError("image ISOBMFF without ispe dimensions")
-        fmt = "avif" if content[8:12] in (b"avif", b"avis") else "heic"
-        return m["width"], m["height"], 3, fmt
+        width, height = m.get("width"), m.get("height")
+        if not width or not height:
+            raise ValueError("image ISOBMFF without dimensions")
+        # the codec config is the format truth (an AVIF whose MAJOR
+        # brand is mif1 is still AVIF); brand is the fallback
+        codec = (m.get("video_codec") or "").lower()
+        if codec == "av1" or codec.startswith("av01") or content[8:12] in (
+            b"avif", b"avis"
+        ):
+            fmt = "avif"
+        else:
+            fmt = "heic"
+        return width, height, 3, fmt
     raise NotImplementedError(
         "unrecognized compressed image format — PPM/PGM/BMP/PNG/JPEG/"
         "GIF/TIFF/WebP decode for real (stdlib + numpy) and AVIF/HEIC "

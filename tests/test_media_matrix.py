@@ -123,3 +123,26 @@ def test_image_features_cover_avif_heic(spark):
                                "media_id long, content binary")
     (row,) = extract_image_features(df).collect()
     assert (row["width"], row["height"], row["format"]) == (640, 480, "avif")
+
+
+def test_avif_brand_and_sequence_edge_cases():
+    """Review fixes: a mif1-MAJOR-brand still AVIF reports format
+    'avif' (the codec config is the truth, not the brand); an animated
+    avis sequence (moov layout) reports its track dimensions."""
+    from tests.test_media_containers import box, full, mvhd, video_trak
+    from tests.video_writer import av1_sequence_header, av1c, obu
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    ispe = box(b"ispe", full(0, struct.pack(">II", 320, 240)))
+    cfg = box(b"av1C", av1c(obu(1, av1_sequence_header(width=320, height=240))))
+    mif1_avif = (box(b"ftyp", b"mif1\x00\x00\x00\x00avif")
+                 + box(b"meta", full(0, box(b"iprp", box(b"ipco",
+                                                         ispe + cfg)))))
+    assert decode_image(mif1_avif) == (320, 240, 3, "avif")
+    animated = (box(b"ftyp", b"avis\x00\x00\x00\x00avif")
+                + box(b"moov", mvhd(600, 1200) + video_trak(256, 128,
+                                                            b"av01")))
+    assert decode_image(animated) == (256, 128, 3, "avif")
