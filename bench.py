@@ -58,6 +58,52 @@ HEADLINE = CORE + [
     "semantic_dedup",
 ]
 
+# In-run contention sentinel (VERDICT r12 item 1b): the committed quiet
+# per-leg medians from the r12 close-out run D (commit e8c4471,
+# bench_full.json — the best exclusive-box reading of that round,
+# calibration 0.511). A leg whose in-run median AND minimum sample both
+# exceed SENTINEL_RATIO x its quiet median is suspected contended: the
+# bench auto-appends extra interleaved samples for the suspect set and,
+# if the condition still holds, stamps the leg in `contaminated_legs`
+# so the official artifact self-adjudicates host noise per leg instead
+# of needing a next-round forensic A/B. Legs added after r12 have no
+# quiet reference yet and are exempt until the next close-out refresh.
+QUIET_MEDIANS = {
+    "envelope_full_load": 0.681, "q1_pricing_summary": 0.839,
+    "q3_shipping_priority": 0.835, "q5_region_volume": 1.031,
+    "cdc_apply_latest": 0.405, "per_key_operation_counts": 0.317,
+    "window_topk_per_group": 0.312, "distinct_count": 0.697,
+    "dedup_exact": 0.352, "dedup_minhash_lsh": 1.315,
+    "embedding_topk_cosine": 0.414, "text_quality": 0.499,
+    "token_counts": 0.308, "doc_fingerprints": 0.417,
+    "asof_join_enrich": 0.886, "range_join_incidents": 0.736,
+    "session_windows": 0.837, "simhash_dedup": 2.851,
+    "winnowing_near_dups": 1.679, "semantic_dedup": 3.102,
+    "connected_components_minhash": 4.031, "boilerplate_removal": 1.188,
+    "repeated_span_removal": 1.959, "bm25_batch_search": 3.644,
+    "quantized_topk_rerank": 0.681, "classifier_train": 5.821,
+    "classifier_inference": 2.362, "lm_perplexity_scoring": 1.643,
+    "contamination_scores": 1.018, "decontaminate_bloom": 4.75,
+    "gopher_quality_flags": 0.316, "c4_quality_flags": 0.292,
+    "gopher_repetition_flags": 2.336, "budget_shard_column": 1.236,
+    "hard_negatives": 1.238, "pq_adc_rerank": 3.909,
+    "pq_adc_batch32": 4.445, "wordpiece_train": 0.667,
+    "wordpiece_tokenize": 0.464, "media_metadata_sweep": 0.604,
+    "vorbis_decode_features": 1.217, "pdf_text_extraction": 0.76,
+    "routed_intake_front_door": 3.745, "archive_expansion": 0.726,
+    "avro_scan": 0.264, "image_dhash_near_dups": 1.223,
+    "mih_hamming_r7_50k": 2.843, "audio_fp_near_dups": 2.612,
+    "warc_curation_pipeline": 10.442,
+}
+SENTINEL_RATIO = 1.5
+
+# test/refresh seam: a JSON object in $SPARK_GRAFT_QUIET_MEDIANS_JSON
+# replaces the committed table (used by the sentinel's own smoke test;
+# also lets a close-out refresh trial a new quiet table before commit)
+_env_quiet = os.environ.get("SPARK_GRAFT_QUIET_MEDIANS_JSON")
+if _env_quiet:
+    QUIET_MEDIANS = json.loads(_env_quiet)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -166,6 +212,19 @@ def main() -> None:
         _deferred.append((name, fn))
         return out
 
+    contaminated_legs: dict[str, dict] = {}
+
+    def _median(name: str) -> float:
+        s = sorted(leg_samples[name])
+        return round(s[len(s) // 2], 3)
+
+    def _suspect(name: str) -> bool:
+        quiet = QUIET_MEDIANS.get(name)
+        if not quiet:  # post-r12 leg: no quiet reference yet
+            return False
+        bar = SENTINEL_RATIO * quiet
+        return _median(name) > bar and min(leg_samples[name]) > bar
+
     def _run_deferred_sweeps() -> None:
         for _ in range(leg_runs_n - 1):
             for name, fn in _deferred:
@@ -174,9 +233,44 @@ def main() -> None:
                 leg_samples[name].append(
                     round(time.perf_counter() - t0, 3)
                 )
+        # contention sentinel (VERDICT r12 item 1b): a leg whose median
+        # AND min both sit >SENTINEL_RATIO x its committed quiet median
+        # gets extra interleaved samples — a genuine regression stays
+        # high (min never drops), a co-tenant burst decays. Legs still
+        # over the bar after the extra sweeps are stamped per-leg so
+        # the artifact distinguishes "this leg never ran quiet" from
+        # "this leg is slow".
+        extra_sweeps = max(
+            int(os.environ.get("SPARK_GRAFT_SENTINEL_SWEEPS", "2")), 0
+        )
+        suspects = [
+            (name, fn) for name, fn in _deferred if _suspect(name)
+        ]
+        for sweep in range(extra_sweeps):
+            if not suspects:
+                break
+            print(
+                f"sentinel sweep {sweep + 1}/{extra_sweeps}: "
+                f"{[n for n, _ in suspects]}",
+                file=sys.stderr,
+            )
+            for name, fn in suspects:
+                t0 = time.perf_counter()
+                fn()
+                leg_samples[name].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+            suspects = [nf for nf in suspects if _suspect(nf[0])]
         for name, _fn in _deferred:
-            s = sorted(leg_samples[name])
-            timings[name] = round(s[len(s) // 2], 3)
+            timings[name] = _median(name)
+            if _suspect(name):
+                quiet = QUIET_MEDIANS[name]
+                contaminated_legs[name] = {
+                    "quiet_median": quiet,
+                    "median": _median(name),
+                    "min": min(leg_samples[name]),
+                    "ratio": round(_median(name) / quiet, 2),
+                }
 
     for name in HEADLINE:
         spec = _q.QUERIES[name]
@@ -1240,6 +1334,9 @@ def main() -> None:
         "core_per_calib": round(value_core / calibration_sec, 1),
         "core_warm_per_calib": round(value_core_warm / calibration_sec, 1),
         "contaminated": contaminated,
+        # per-leg sentinel verdicts (empty = every leg ran within
+        # 1.5x its committed quiet median at least once)
+        "contaminated_legs": contaminated_legs,
         "quiet_wait_sec": waited_sec,
         "mih_candidates": mih_candidates,
     }
@@ -1263,6 +1360,7 @@ def main() -> None:
         "core_warm_per_calib": full_payload["core_warm_per_calib"],
         "leg_runs_n": leg_runs_n,
         "contaminated": contaminated,
+        "contaminated_legs": sorted(contaminated_legs),
         "full_payload": "bench_full.json",
     }
     line = json.dumps(headline, separators=(",", ":"))
