@@ -128,7 +128,10 @@ def ts_metadata(content: bytes) -> dict:
     # its own clock, and the PMT naming the PCR PID may arrive after
     # the first PCR — mixing two clocks would fabricate a duration
     pcr_span: dict[int, list[int]] = {}
-    pts_first = pts_last = None
+    # PTS fallback tracked PER PID like the PCR span: a multi-program or
+    # multi-stream mux without usable PCR must not mix timelines from
+    # unrelated elementary streams into one duration (r12 ADVICE)
+    pts_span: dict[int, list[int]] = {}
     video_pid = None
     video_es = bytearray()
     n_packets = 0
@@ -176,9 +179,8 @@ def ts_metadata(content: bytes) -> dict:
             if pusi:
                 pts = _pes_pts(payload)
                 if pts is not None:
-                    if pts_first is None:
-                        pts_first = pts
-                    pts_last = pts
+                    span = pts_span.setdefault(pid, [pts, pts])
+                    span[1] = pts
             if pid == video_pid and len(video_es) < 262144:
                 if pusi and payload[:3] == b"\x00\x00\x01" and len(payload) > 8:
                     hdr = 9 + payload[8]  # PES header_data_length
@@ -202,8 +204,20 @@ def ts_metadata(content: bytes) -> dict:
     )
     if span is not None and span[1] > span[0]:
         duration = (span[1] - span[0]) / 90_000.0
-    elif pts_first is not None and pts_last is not None and pts_last > pts_first:
-        duration = (pts_last - pts_first) / 90_000.0
+    else:
+        # single-stream PTS fallback: the detected video PID's span,
+        # else the only PID that carried PTS, else the first PMT-listed
+        # elementary PID with a span — never a cross-PID mix
+        pspan = pts_span.get(video_pid)
+        if pspan is None and len(pts_span) == 1:
+            pspan = next(iter(pts_span.values()))
+        if pspan is None:
+            pspan = next(
+                (pts_span[epid] for _st, epid in streams
+                 if epid in pts_span), None
+            )
+        if pspan is not None and pspan[1] > pspan[0]:
+            duration = (pspan[1] - pspan[0]) / 90_000.0
     stream_info: dict = {}
     if video_codec in ("h264", "hevc") and video_es:
         from sample_dms_kinesis_rds_mariadb_spark.operators.video_codecs import (

@@ -88,7 +88,14 @@ class _Reader:
             shift += 7
             if shift > 63:
                 raise AvroError("varint too long")
-        return (acc >> 1) ^ -(acc & 1)
+        val = (acc >> 1) ^ -(acc & 1)
+        # a 10-byte varint carries up to 70 bits; reject values outside
+        # int64 HERE with the module's precise error instead of letting
+        # a big Python int fail later in the Arrow conversion (r12
+        # ADVICE)
+        if not -(1 << 63) <= val < (1 << 63):
+            raise AvroError("long outside int64 range")
+        return val
 
     def bytes_(self) -> bytes:
         n = self.long()
@@ -114,6 +121,48 @@ _PRIMITIVES: dict[str, T.DataType] = {
     "bytes": T.BinaryType(),
     "string": T.StringType(),
 }
+
+
+_TYPE_KEYWORDS = frozenset(
+    ("record", "enum", "array", "map", "fixed", "union")
+) | frozenset(_PRIMITIVES)
+
+
+def canonical_form(schema, namespace: str = ""):
+    """Structural normal form for schema equality (r12 ADVICE): strip
+    decode-irrelevant attributes (doc, aliases, default, order), resolve
+    short names against the enclosing namespace, and keep only the
+    fields that change what a reader decodes — the spirit of Avro
+    Parsing Canonical Form, except ``logicalType``/``precision``/
+    ``scale`` are KEPT because this reader materializes logical types
+    into Python values (two schemas differing there decode to different
+    columns and must not compare equal)."""
+    if isinstance(schema, str):
+        if schema in _TYPE_KEYWORDS or "." in schema or not namespace:
+            return schema
+        return f"{namespace}.{schema}"
+    if isinstance(schema, list):
+        return [canonical_form(s, namespace) for s in schema]
+    ns = schema.get("namespace", namespace)
+    out = {}
+    for k in ("type", "name", "fields", "items", "values", "size",
+              "symbols", "logicalType", "precision", "scale"):
+        if k not in schema:
+            continue
+        v = schema[k]
+        if k == "name":
+            out[k] = v if "." in v else (f"{ns}.{v}" if ns else v)
+        elif k == "fields":
+            out[k] = [
+                {"name": f["name"],
+                 "type": canonical_form(f["type"], ns)}
+                for f in v
+            ]
+        elif k in ("type", "items", "values"):
+            out[k] = canonical_form(v, ns)
+        else:
+            out[k] = v
+    return out
 
 
 def _normalize(schema, names: dict):
@@ -239,18 +288,20 @@ def _decode_value(r: _Reader, schema, names: dict):
             import datetime
 
             return datetime.date(1970, 1, 1) + datetime.timedelta(days=base)
+        # integer-exact epoch arithmetic (r12 ADVICE): the float64
+        # fromtimestamp path can be off by 1 µs far from the epoch
         if logical == "timestamp-millis":
             import datetime
 
-            return datetime.datetime.fromtimestamp(
-                base / 1e3, tz=datetime.timezone.utc
-            ).replace(tzinfo=None)
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                milliseconds=base
+            )
         if logical == "timestamp-micros":
             import datetime
 
-            return datetime.datetime.fromtimestamp(
-                base / 1e6, tz=datetime.timezone.utc
-            ).replace(tzinfo=None)
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=base
+            )
         if logical == "decimal":
             import decimal
 
@@ -445,7 +496,9 @@ def read_avro(
         schema_json = _read_local_header(first)
     out_schema = avro_schema_to_spark(schema_json)
     field_names = [f.name for f in out_schema.fields]
-    expected = json.dumps(json.loads(schema_json), sort_keys=True)
+    expected = json.dumps(
+        canonical_form(json.loads(schema_json)), sort_keys=True
+    )
 
     files = (
         spark.read.format("binaryFile")
@@ -458,7 +511,10 @@ def read_avro(
         for pdf in batches:
             for blob in pdf["content"]:
                 got_schema, rows = decode_ocf(bytes(blob))
-                if json.dumps(json.loads(got_schema), sort_keys=True) != expected:
+                got = json.dumps(
+                    canonical_form(json.loads(got_schema)), sort_keys=True
+                )
+                if got != expected:
                     raise AvroError(
                         "file schema differs from the table schema — "
                         "re-shard or pass schema_json explicitly"

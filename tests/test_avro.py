@@ -248,3 +248,88 @@ def test_header_peek_glob_and_truncation_diagnosis(spark, tmp_path):
     truncated.write_bytes(write_ocf(SIMPLE, ROWS[:1])[:30])
     with pytest.raises(AvroError, match="truncated OCF file"):
         _read_local_header(str(truncated))
+
+
+def test_timestamp_integer_exact_far_from_epoch():
+    """r12 ADVICE: the float64 fromtimestamp path can be off by 1 us
+    for timestamps far from the epoch; the decoder must be
+    integer-exact, including pre-1970 negatives."""
+    schema = {
+        "type": "record", "name": "T",
+        "fields": [
+            {"name": "us", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+            {"name": "ms", "type": {"type": "long",
+                                    "logicalType": "timestamp-millis"}},
+        ],
+    }
+    cases = [
+        4102444800_000_001,      # 2100-01-01T00:00:00.000001
+        -1,                      # 1969-12-31T23:59:59.999999
+        253402300799_999_999,    # 9999-12-31T23:59:59.999999
+    ]
+    blob = write_ocf(schema, [
+        {"us": v, "ms": v // 1_000_000} for v in cases
+    ])
+    _, rows = decode_ocf(blob)
+    epoch = datetime.datetime(1970, 1, 1)
+    for (us, ms), v in zip(rows, cases):
+        assert us == epoch + datetime.timedelta(microseconds=v)
+        assert ms == epoch + datetime.timedelta(milliseconds=v // 1_000_000)
+
+
+def test_schema_equality_is_canonical(spark, tmp_path):
+    """r12 ADVICE: files written with the same logical schema but
+    different doc/aliases/default/namespace spellings must NOT fail
+    the per-file schema check — while a logicalType difference (which
+    changes decoded values) still must."""
+    from sample_dms_kinesis_rds_mariadb_spark.sources.avro import canonical_form
+
+    a = {
+        "type": "record", "name": "R", "namespace": "com.example",
+        "doc": "first writer",
+        "fields": [
+            {"name": "id", "type": "long", "doc": "pk"},
+            {"name": "note", "type": ["null", "string"], "default": None,
+             "aliases": ["comment"]},
+        ],
+    }
+    b = {
+        "type": "record", "name": "com.example.R",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    assert canonical_form(a) == canonical_form(b)
+    c = {
+        "type": "record", "name": "com.example.R",
+        "fields": [
+            {"name": "id", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    assert canonical_form(a) != canonical_form(c)
+
+    d = tmp_path / "canon_avro"
+    d.mkdir()
+    (d / "a.avro").write_bytes(write_ocf(a, [{"id": 1, "note": "x"}]))
+    (d / "b.avro").write_bytes(write_ocf(b, [{"id": 2, "note": None}]))
+    got = read_avro(spark, str(d)).orderBy("id").collect()
+    assert [r["id"] for r in got] == [1, 2]
+
+
+def test_long_outside_int64_raises_precisely():
+    """r12 ADVICE: a 10-byte varint can carry 70 bits; values outside
+    int64 must raise the module's AvroError, not a downstream Arrow
+    conversion error."""
+    from sample_dms_kinesis_rds_mariadb_spark.sources.avro import _Reader
+
+    # zigzag(2^63) = 2^64: nine continuation bytes + 0x02
+    data = b"\x80" * 9 + b"\x02"
+    with pytest.raises(AvroError, match="int64"):
+        _Reader(data).long()
+    # int64 extremes still decode: zigzag(-2^63) = 2^64 - 1
+    data = b"\xff" * 9 + b"\x01"
+    assert _Reader(data).long() == -(1 << 63)

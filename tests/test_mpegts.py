@@ -214,3 +214,29 @@ def test_multi_program_pcr_clocks_not_mixed():
     m = ts_metadata(bytes(w.out))
     # the named PCR PID's own span: 3 s — never (900k..5M)/90k
     assert m["duration_sec"] == pytest.approx(3.0)
+
+
+def test_pts_fallback_per_pid_not_mixed():
+    """r12 ADVICE: in a no-PCR mux the PTS duration fallback must come
+    from a single elementary stream (the video PID), never a cross-PID
+    mix of unrelated timelines."""
+    w = TsWriter()
+    w.pat(1, 0x100)
+    w.pmt(0x100, 0x101, [(0x1B, 0x101), (0x0F, 0x102)])
+    for i in range(4):
+        # video spans 2 s; audio sits on a timeline 550 s away
+        w.pes(0x101, 0xE0, 900_000 + i * 60_000, b"\x00" * 40)
+        w.pes(0x102, 0xC0, 50_000_000 + i * 15_000, b"\xff\xf1" + b"\x00" * 40)
+    m = ts_metadata(bytes(w.out))
+    assert m["duration_sec"] == pytest.approx(2.0)
+
+
+def test_pts_fallback_ambiguous_pids_yield_no_duration():
+    """No PMT, no PCR, two PIDs on unrelated timelines: refusing a
+    duration beats inventing one from a cross-PID span."""
+    w = TsWriter()
+    for i in range(3):
+        w.pes(0x201, 0xE0, 1_000_000 + i * 90_000, b"\x00" * 40)
+        w.pes(0x202, 0xC0, 99_000_000 + i * 90_000, b"\x00" * 40)
+    m = ts_metadata(bytes(w.out))
+    assert m["duration_sec"] is None
