@@ -3190,6 +3190,74 @@ def q_cjk_pdf_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "legacy_cjk_pdf_text_extraction",
+    "The LEGACY half of the predefined-CMap registry under the "
+    "cross-engine hash gate (r13; the r12 entry covers the Uni* half): "
+    "single-page PDFs with a Type0 /GBK-EUC-H font and NO /ToUnicode "
+    "built per row in pure codegen. The show string is GBK bytes — "
+    "ASCII code points are single-byte-identical in GBK, so the hex is "
+    "F.hex(F.encode(ascii_text, 'UTF-8')) concatenated with the FIXED "
+    "precomputed GBK hex of the CJK suffix (D6D0CEC4B2E2CAD4 = "
+    "中文测试) — read back through the REAL ISO 32000 "
+    "reader, whose legacy-CMap policy decodes the code space as the "
+    "named national charset via the stdlib codec; a Latin-1 or UTF-16 "
+    "misdecode of the two-byte GBK codes would hash-mismatch "
+    "immediately",
+    oracle="""
+        WITH safe AS (
+          SELECT doc_id,
+                 substr(regexp_replace(text, '[^ -~]', ' ', 'g'),
+                        1, 100) AS t
+          FROM documents WHERE doc_id < 150
+        )
+        SELECT doc_id,
+               'pdf' AS format,
+               t || '中文测试' AS text,
+               CAST(length(t) + 4 AS INT) AS n_chars
+        FROM safe ORDER BY doc_id
+    """,
+    tags=("documents",),
+    extra=True,
+)
+def q_legacy_cjk_pdf_text_extraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        extract_document_texts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    safe = F.substring(
+        F.regexp_replace(F.col("text"), "[^ -~]", " "), 1, 100
+    )
+    # ASCII is byte-identical in GBK; the CJK suffix's GBK bytes are a
+    # fixed literal — together an EXACT GBK encoding in pure codegen
+    hexstr = F.concat(F.lit("<"), F.hex(F.encode(safe, "UTF-8")),
+                      F.lit("D6D0CEC4B2E2CAD4"), F.lit(">"))
+    content = F.concat(F.lit("BT /F1 12 Tf "), hexstr, F.lit(" Tj ET"))
+    blob = F.concat(
+        F.lit("%PDF-1.5\n"
+              "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+              "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+              "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+              "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+              "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+              "/Encoding /GBK-EUC-H >>\nendobj\n"
+              "4 0 obj\n<< /Length "),
+        F.length(content).cast("string"),
+        F.lit(" >>\nstream\n"),
+        content,
+        F.lit("\nendstream\nendobj\n%%EOF"),
+    ).cast("binary")
+    media = docs.select("doc_id", blob.alias("content"))
+    return (
+        extract_document_texts(media)
+        .select("doc_id", "format", "text", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "routed_intake_mixed",
     "The r11 binary-intake ROUTER itself under the cross-engine hash "
     "gate: a mixed corpus built per row in pure codegen — doc_id%3 "
