@@ -267,3 +267,122 @@ def test_aac_mp3_transcode_dup_fingerprints():
     assert frac(fp_ref, fp_aac) > 0.6
     assert frac(fp_mp3, fp_aac) > 0.5, "MP3↔AAC transcode pair missed"
     assert frac(fp_noise, fp_aac) < 0.3
+
+
+# --- the r13 file-based injection seam --------------------------------------
+
+
+def test_codebook_json_roundtrip_and_validation(tmp_path):
+    p = str(tmp_path / "books.json")
+    A.dump_codebooks(BOOKS, p)
+    loaded = A.load_codebooks(p)
+    assert loaded == BOOKS
+
+
+def test_codebook_csv_load(tmp_path):
+    rows = ["book,index,len,code"]
+    for bid, b in BOOKS.items():
+        for i, (ln, cd) in enumerate(zip(b.lens, b.codes)):
+            rows.append(f"{bid},{i},{ln},0x{cd:x}")
+    p = tmp_path / "books.csv"
+    p.write_text("\n".join(rows))
+    assert A.load_codebooks(str(p)) == BOOKS
+
+
+def test_codebook_validation_rejects_precisely(tmp_path):
+    # missing book
+    partial = {k: v for k, v in BOOKS.items() if k != 7}
+    with pytest.raises(ValueError, match="missing \\['7'\\]"):
+        A.validate_codebooks(partial)
+    # wrong alphabet size
+    b = BOOKS[5]
+    bad = dict(BOOKS)
+    bad[5] = A.SpectralBook(b.dim, b.lav, b.signed, b.escape,
+                            b.lens[:-1], b.codes[:-1])
+    with pytest.raises(ValueError, match="expected 81 codewords"):
+        A.validate_codebooks(bad)
+    # one-entry length misrecall: Kraft leaves 1 (the AAC-attempt mode)
+    lens = list(b.lens)
+    lens[3] += 1
+    bad[5] = A.SpectralBook(b.dim, b.lav, b.signed, b.escape,
+                            tuple(lens), b.codes)
+    with pytest.raises(ValueError, match="Kraft"):
+        A.validate_codebooks(bad)
+    # code collision at equal Kraft: duplicate one codeword
+    codes = list(b.codes)
+    lens = list(b.lens)
+    # make entries 0 and 1 identical (lens too) -> prefix collision
+    lens[1] = lens[0]
+    codes[1] = codes[0]
+    kraft_fix = A.SpectralBook(b.dim, b.lav, b.signed, b.escape,
+                               tuple(lens), tuple(codes))
+    bad[5] = kraft_fix
+    with pytest.raises(ValueError, match="Kraft|collide"):
+        A.validate_codebooks(bad)
+    # codeword wider than its length
+    bad[5] = A.SpectralBook(b.dim, b.lav, b.signed, b.escape,
+                            b.lens, (1 << b.lens[0],) + b.codes[1:])
+    with pytest.raises(ValueError, match="does not fit"):
+        A.validate_codebooks(bad)
+
+
+def test_env_seam_lights_up_decode(tmp_path, monkeypatch):
+    """The documented no-code-change path: dump books to a file, set
+    $SPARK_GRAFT_AAC_CODEBOOKS, and the SAME call that raises the
+    boundary decodes for real — at the aac module, the adts front, and
+    with parity against the programmatic injection."""
+    pcm = _tone(4096, 44100)
+    blob = write_aac(pcm, 44100, 1, codebooks=BOOKS)
+    p = str(tmp_path / "books.json")
+    A.dump_codebooks(BOOKS, p)
+    monkeypatch.delenv(A.CODEBOOKS_ENV, raising=False)
+    with pytest.raises(NotImplementedError):
+        A.decode_aac_samples(blob)
+    monkeypatch.setenv(A.CODEBOOKS_ENV, p)
+    try:
+        rate, ch, via_env = A.decode_aac_samples(blob)
+        rate2, ch2, via_arg = A.decode_aac_samples(blob, codebooks=BOOKS)
+        assert (rate, ch) == (rate2, ch2) == (44100, 1)
+        np.testing.assert_array_equal(via_env, via_arg)
+        rate3, _ch3, via_adts = adts.decode_aac_samples(blob)
+        assert rate3 == 44100
+        np.testing.assert_array_equal(via_adts, via_arg)
+    finally:
+        A._env_books_cache.clear()
+
+
+def test_env_seam_rejects_invalid_file(tmp_path, monkeypatch):
+    p = tmp_path / "bad.json"
+    p.write_text('{"books": {"1": {"lens": [1], "codes": [0]}}}')
+    monkeypatch.setenv(A.CODEBOOKS_ENV, str(p))
+    blob = write_aac(_tone(2048, 44100), 44100, 1, codebooks=BOOKS)
+    try:
+        with pytest.raises(ValueError, match="missing"):
+            A.decode_aac_samples(blob)
+    finally:
+        A._env_books_cache.clear()
+
+
+def test_codebook_validate_cli(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    tpl = str(tmp_path / "tpl.json")
+    r = subprocess.run(
+        [_sys.executable, "tools/aac_codebook_validate.py",
+         "--template", tpl],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [_sys.executable, "tools/aac_codebook_validate.py", tpl],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0 and "VALID" in r.stdout
+    bad = tmp_path / "bad.csv"
+    bad.write_text("book,index,len,code\n1,0,1,0\n")
+    r = subprocess.run(
+        [_sys.executable, "tools/aac_codebook_validate.py", str(bad)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 1 and "INVALID" in r.stdout
