@@ -219,6 +219,11 @@ def main() -> None:
         return round(s[len(s) // 2], 3)
 
     def _suspect(name: str) -> bool:
+        # the committed quiet table is sf0.1-specific: at other SFs
+        # (unless an env table was supplied) fixed per-job overhead
+        # dominates and the ratios are meaningless — sentinel off
+        if sf != "0.1" and not _env_quiet:
+            return False
         quiet = QUIET_MEDIANS.get(name)
         if not quiet:  # post-r12 leg: no quiet reference yet
             return False
@@ -931,6 +936,24 @@ def main() -> None:
         3 * _n_arc / timings["archive_expansion"], 1
     )
 
+    # 9a''-b) COMPOSED archive→member→document chain (r13, VERDICT r12
+    # item 5): the same zip corpus expanded AND every member routed
+    # through the document front door — the full pre-pass a crawl pays
+    # for archive payloads, timed end-to-end so the sidecar carries a
+    # members/s figure through the composed path
+    _robust(
+        "archive_to_document_route",
+        lambda: route_document_texts(
+            expand_archives(_arc_df)
+            .filter(F.col("error").isNull())
+            .select("doc_id", "member_name",
+                    F.col("member_bytes").alias("content")),
+        ).write.mode("overwrite").format("noop").save(),
+    )
+    media_pipeline["archive_routed_members_per_sec"] = round(
+        3 * _n_arc / timings["archive_to_document_route"], 1
+    )
+
     # 9a''') avro OCF scan (r12): 32 container files (~2k rows each,
     # deflate blocks) from documents columns, read back through the
     # spec-derived pure-Python reader (binaryFile -> Arrow decode) — the
@@ -1199,6 +1222,15 @@ def main() -> None:
     )
     media_pipeline["routed_docs_per_sec"] = round(
         _n_mixed / timings["routed_intake_front_door"], 1
+    )
+    media_pipeline["archives_per_sec"] = round(
+        _n_arc / timings["archive_expansion"], 1
+    )
+    media_pipeline["archive_members_per_sec"] = round(
+        3 * _n_arc / timings["archive_expansion"], 1
+    )
+    media_pipeline["archive_routed_members_per_sec"] = round(
+        3 * _n_arc / timings["archive_to_document_route"], 1
     )
 
     # full-load replication throughput: lineitem → envelope encode → ordered

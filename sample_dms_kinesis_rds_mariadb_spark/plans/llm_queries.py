@@ -3458,6 +3458,183 @@ def q_archive_member_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "archive_document_extraction",
+    "The COMPOSED archive→member→document chain under the cross-engine "
+    "hash gate (r13; the r12 entries prove each stage alone): per row a "
+    "VALID stored OUTER zip whose two members are themselves full "
+    "codegen binary documents — report.docx (the fixed-width stored "
+    "OOXML container) and notes.odt (the variable-length ODF container, "
+    "mimetype member first) — built entirely in pure codegen: inner "
+    "CRCs ride F.crc32 over the member XML, OUTER member CRCs ride "
+    "F.crc32 over the complete inner zip bytes, and the outer central "
+    "directory offset is a per-row column because the ODT member's "
+    "length varies. Expanded through the REAL expand_archives Arrow "
+    "pass, then each member routed through the REAL "
+    "route_document_texts front door (PK magic → zipfile reader → "
+    "docx/odt dispatch); the oracle emits both expected member texts "
+    "straight from the source column — a wrong member boundary, CRC, "
+    "route, or reader regression at EITHER level hash-mismatches",
+    oracle="""
+        WITH safe AS (
+          SELECT doc_id,
+                 substr(regexp_replace(text, '[&<>]|[^ -~]', ' ', 'g'),
+                        1, 100) AS t
+          FROM documents WHERE doc_id < 150
+        )
+        SELECT doc_id, member_name, format, text FROM (
+          SELECT doc_id, 'report.docx' AS member_name, 'docx' AS format,
+                 rpad(t, 100, ' ') AS text
+          FROM safe
+          UNION ALL
+          SELECT doc_id, 'notes.odt', 'odt', t FROM safe
+        ) ORDER BY doc_id, member_name
+    """,
+    tags=("documents",),
+    extra=True,
+)
+def q_archive_document_extraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import struct
+    import zlib as _zlib
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources.archives import (
+        expand_archives,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.sources.docformats import (
+        route_document_texts,
+    )
+
+    def le32(col):
+        h = F.lpad(F.hex(col), 8, "0")
+        return F.unhex(F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        ))
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    t = F.substring(
+        F.regexp_replace(F.col("text"), "[&<>]|[^ -~]", " "), 1, 100
+    )
+
+    # ----- inner member 1: report.docx (fixed width => fixed length)
+    NAME_D = b"word/document.xml"
+    PRE_D = (b'<?xml version="1.0"?><w:document xmlns:w='
+             b'"http://schemas.openxmlformats.org/wordprocessingml/2006/'
+             b'main"><w:body><w:p><w:r><w:t xml:space="preserve">')
+    SUF_D = b"</w:t></w:r></w:p></w:body></w:document>"
+    TLEN = 100
+    clen = len(PRE_D) + TLEN + len(SUF_D)
+    xml_d = F.concat(
+        F.lit(PRE_D), F.encode(F.rpad(t, TLEN, " "), "UTF-8"), F.lit(SUF_D)
+    )
+    crc_d = le32(F.crc32(xml_d))
+    d_cd_off = 30 + len(NAME_D) + clen
+    d_cd_size = 46 + len(NAME_D)
+    docx_blob = F.concat(
+        F.lit(b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0, 0, 0, 0)),
+        crc_d,
+        F.lit(struct.pack("<IIHH", clen, clen, len(NAME_D), 0) + NAME_D),
+        xml_d,
+        F.lit(b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)),
+        crc_d,
+        F.lit(struct.pack("<IIHHHHHII", clen, clen, len(NAME_D),
+                          0, 0, 0, 0, 0, 0) + NAME_D),
+        F.lit(b"PK\x05\x06" + struct.pack("<HHHHIIH", 0, 0, 1, 1,
+                                          d_cd_size, d_cd_off, 0)),
+    )
+    docx_len = d_cd_off + d_cd_size + 22
+
+    # ----- inner member 2: notes.odt (variable length — q_odt shape)
+    MIME = b"application/vnd.oasis.opendocument.text"
+    o_lfh1 = (b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0, 0, 0, 0)
+              + struct.pack("<IIIHH", _zlib.crc32(MIME), len(MIME),
+                            len(MIME), len(b"mimetype"), 0)
+              + b"mimetype" + MIME)
+    NAME_O = b"content.xml"
+    PRE_O = (b'<?xml version="1.0"?><office:document-content xmlns:office='
+             b'"urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+             b'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+             b"<office:body><office:text><text:p>")
+    SUF_O = (b"</text:p></office:text></office:body>"
+             b"</office:document-content>")
+    o_off2 = len(o_lfh1)
+    o_cd1 = (b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)
+             + struct.pack("<IIIHHHHHII", _zlib.crc32(MIME), len(MIME),
+                           len(MIME), len(b"mimetype"), 0, 0, 0, 0, 0, 0)
+             + b"mimetype")
+    o_cd_size = len(o_cd1) + 46 + len(NAME_O)
+    data_o = F.concat(F.lit(PRE_O), F.encode(t, "UTF-8"), F.lit(SUF_O))
+    lo = F.length(data_o).cast("bigint")
+    crc_o = le32(F.crc32(data_o))
+    size_o = le32(lo)
+    odt_blob = F.concat(
+        F.lit(o_lfh1
+              + b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0, 0, 0, 0)),
+        crc_o, size_o, size_o,
+        F.lit(struct.pack("<HH", len(NAME_O), 0) + NAME_O),
+        data_o,
+        F.lit(o_cd1),
+        F.lit(b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)),
+        crc_o, size_o, size_o,
+        F.lit(struct.pack("<HHHHH", len(NAME_O), 0, 0, 0, 0)
+              + struct.pack("<II", 0, o_off2) + NAME_O),
+        F.lit(b"PK\x05\x06" + struct.pack("<HHHHI", 0, 0, 2, 2,
+                                          o_cd_size)),
+        le32(lo + F.lit(o_off2 + 30 + len(NAME_O))),
+        F.lit(struct.pack("<H", 0)),
+    )
+
+    # ----- outer stored zip: the two inner containers as members
+    M1, M2 = b"report.docx", b"notes.odt"
+    crc_m1 = le32(F.crc32(docx_blob))
+    crc_m2 = le32(F.crc32(odt_blob))
+    l_odt = F.length(odt_blob).cast("bigint")
+    size_m2 = le32(l_odt)
+    off2_out = 30 + len(M1) + docx_len
+    out_cd_size = (46 + len(M1)) + (46 + len(M2))
+    outer = F.concat(
+        # LFH 1 + docx bytes (fixed sizes)
+        F.lit(b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0, 0, 0, 0)),
+        crc_m1,
+        F.lit(struct.pack("<IIHH", docx_len, docx_len, len(M1), 0) + M1),
+        docx_blob,
+        # LFH 2 + odt bytes (per-row sizes)
+        F.lit(b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0, 0, 0, 0)),
+        crc_m2, size_m2, size_m2,
+        F.lit(struct.pack("<HH", len(M2), 0) + M2),
+        odt_blob,
+        # central directory
+        F.lit(b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)),
+        crc_m1,
+        F.lit(struct.pack("<IIHHHHHII", docx_len, docx_len, len(M1),
+                          0, 0, 0, 0, 0, 0) + M1),
+        F.lit(b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)),
+        crc_m2, size_m2, size_m2,
+        F.lit(struct.pack("<HHHHH", len(M2), 0, 0, 0, 0)
+              + struct.pack("<II", 0, off2_out) + M2),
+        # EOCD: the CD offset is a per-row column (odt length varies)
+        F.lit(b"PK\x05\x06" + struct.pack("<HHHHI", 0, 0, 2, 2,
+                                          out_cd_size)),
+        le32(l_odt + F.lit(off2_out + 30 + len(M2))),
+        F.lit(struct.pack("<H", 0)),
+    )
+
+    media = docs.select("doc_id", outer.cast("binary").alias("content"))
+    members = expand_archives(media).filter(F.col("error").isNull())
+    routed = route_document_texts(
+        members.select(
+            "doc_id", "member_name",
+            F.col("member_bytes").alias("content"),
+        )
+    )
+    return (
+        routed.select("doc_id", "member_name", "format", "text")
+        .orderBy("doc_id", "member_name")
+    )
+
+
+@register(
     "sitemap_loc_extraction",
     "Sitemap XML parsing under the cross-engine hash gate: urlset AND "
     "sitemapindex documents synthesized per documents row in pure "
