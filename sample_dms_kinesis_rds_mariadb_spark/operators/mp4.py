@@ -234,19 +234,97 @@ def _parse_heif_meta(content: bytes, meta_a: int, meta_b: int,
     }
 
 
+def _walk_traf(data: bytes, a: int, b: int, per_track: dict) -> None:
+    """One traf box: fold its tfhd defaults and trun sample tables into
+    the per-track accumulator (14496-12 §8.8.7/8.8.8). Sample counts are
+    clamped to the trun box's actual byte extent, so a forged count
+    cannot make the walk quadratic in anything but real payload."""
+    track_id = None
+    default_dur = default_size = None
+    for typ, ba, bb in _boxes(data, a, b):
+        if typ == b"tfhd" and bb - ba >= 8:
+            flags = int.from_bytes(data[ba + 1 : ba + 4], "big")
+            track_id = int.from_bytes(data[ba + 4 : ba + 8], "big")
+            pos = ba + 8
+            if flags & 0x1:  # base-data-offset
+                pos += 8
+            if flags & 0x2:  # sample-description-index
+                pos += 4
+            if flags & 0x8 and pos + 4 <= bb:
+                default_dur = int.from_bytes(data[pos : pos + 4], "big")
+                pos += 4
+            if flags & 0x10 and pos + 4 <= bb:
+                default_size = int.from_bytes(data[pos : pos + 4], "big")
+        elif typ == b"trun" and bb - ba >= 8:
+            flags = int.from_bytes(data[ba + 1 : ba + 4], "big")
+            count = int.from_bytes(data[ba + 4 : ba + 8], "big")
+            pos = ba + 8
+            if flags & 0x1:  # data-offset
+                pos += 4
+            if flags & 0x4:  # first-sample-flags
+                pos += 4
+            per = sum(4 for f in (0x100, 0x200, 0x400, 0x800) if flags & f)
+            if per:
+                count = min(count, max((bb - pos) // per, 0))
+            st = per_track.setdefault(track_id, {
+                "n_samples": 0, "total_bytes": 0, "dur_units": 0,
+                "dur_known": True, "bytes_known": True,
+            })
+            st["n_samples"] += count
+            has_dur = bool(flags & 0x100)
+            has_size = bool(flags & 0x200)
+            if not has_dur:
+                if default_dur is not None:
+                    st["dur_units"] += count * default_dur
+                else:  # per-track default lives in the init segment's trex
+                    st["dur_known"] = False
+            if not has_size:
+                if default_size is not None:
+                    st["total_bytes"] += count * default_size
+                else:
+                    st["bytes_known"] = False
+            if has_dur or has_size:
+                size_off = 4 if has_dur else 0
+                for i in range(count):
+                    o = pos + i * per
+                    if has_dur:
+                        st["dur_units"] += int.from_bytes(
+                            data[o : o + 4], "big"
+                        )
+                    if has_size:
+                        st["total_bytes"] += int.from_bytes(
+                            data[o + size_off : o + size_off + 4], "big"
+                        )
+
+
 def _parse_fragment(content: bytes, brand: str | None) -> dict:
-    """DASH/CMAF media segment (styp/moof/mdat, no moov): duration from
-    the sidx subsegment table when present, fragment count always."""
+    """DASH/CMAF media segment (styp/moof/mdat, no moov; r13 full
+    fragmented walk): the headline duration comes from the first sidx
+    subsegment table when present; per-track sample counts, byte
+    totals, durations, and average bitrates come from the
+    moof→traf→tfhd/trun sample tables, with each sidx's reference_ID
+    supplying the timescale for the matching track. Tracks carry the
+    progressive-MP4 row shape (kind/codec/geometry stay None — those
+    live in the init segment) plus track_id/n_samples/total_bytes/
+    avg_bitrate_bps."""
     duration = None
     n_moof = 0
+    timescales: dict[int, int] = {}
+    per_track: dict = {}
     for typ, a, b in _boxes(content, 0, len(content)):
         if typ == b"moof":
             n_moof += 1
-        elif typ == b"sidx" and duration is None and b - a >= 12:
+            for t2, a2, b2 in _boxes(content, a, b):
+                if t2 == b"traf":
+                    _walk_traf(content, a2, b2, per_track)
+        elif typ == b"sidx" and b - a >= 12:
             ver = content[a]
+            ref_id = int.from_bytes(content[a + 4 : a + 8], "big")
             timescale = int.from_bytes(content[a + 8 : a + 12], "big")
+            if timescale:
+                timescales.setdefault(ref_id, timescale)
             pos = a + 12 + (8 if ver == 0 else 16)
-            if pos + 4 <= b and timescale:
+            if duration is None and pos + 4 <= b and timescale:
                 count = int.from_bytes(content[pos + 2 : pos + 4], "big")
                 pos += 4
                 total = 0
@@ -258,11 +336,31 @@ def _parse_fragment(content: bytes, brand: str | None) -> dict:
                 duration = total / timescale
     if n_moof == 0 and duration is None:
         raise ValueError("not an ISO-BMFF file: no moov, moof, or sidx")
+    tracks = []
+    for tid, st in sorted(per_track.items(), key=lambda kv: kv[0] or 0):
+        ts = timescales.get(tid)
+        dur = (
+            st["dur_units"] / ts
+            if ts and st["dur_known"] and st["dur_units"] else None
+        )
+        total_bytes = st["total_bytes"] if st["bytes_known"] else None
+        tracks.append({
+            "kind": None, "codec": None, "width": None, "height": None,
+            "sample_rate": None, "channels": None, "profile": None,
+            "duration_sec": dur,
+            "track_id": tid,
+            "n_samples": st["n_samples"],
+            "total_bytes": total_bytes,
+            "avg_bitrate_bps": (
+                round(8 * total_bytes / dur)
+                if dur and total_bytes is not None else None
+            ),
+        })
     return {
         "container": "mp4-fragment",
         "brand": brand,
         "duration_sec": duration,
-        "tracks": [],
+        "tracks": tracks,
         "width": None,
         "height": None,
         "video_codec": None,

@@ -947,3 +947,84 @@ def test_review_fixes_moof_dispatch_heif_ambiguity_vp9_truncation():
     blob3 = header + _ebml_elem(0x18538067, _ebml_elem(0x1654AE6B, track))
     m3 = mkv_metadata(blob3)
     assert m3["video_profile"] is None and m3["width"] == 640
+
+
+def test_mp4_fragment_trun_sample_walk():
+    """r13 full fragmented walk: per-track sample counts, byte totals,
+    durations, and bitrates from moof→traf→tfhd/trun, timescales from
+    the per-track sidx reference_IDs — DASH/CMAF segments report the
+    progressive row shape plus the fragment sample statistics."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import mp4_metadata
+
+    def fullf(version: int, flags: int, payload: bytes) -> bytes:
+        return bytes([version]) + flags.to_bytes(3, "big") + payload
+
+    def sidx(ref_id: int, timescale: int, refs: list[int]) -> bytes:
+        body = struct.pack(">IIIIHH", ref_id, timescale, 0, 0, 0, len(refs))
+        for d in refs:
+            body += struct.pack(">III", 1000, d, 0x90000000)
+        return box(b"sidx", fullf(0, 0, body))
+
+    # track 1 (video-like): tfhd default duration, trun per-sample sizes
+    # (flag 0x200) — 30 samples x 3000 ticks @ 90000 = 1 s per fragment
+    tfhd1 = box(b"tfhd", fullf(0, 0x8, struct.pack(">II", 1, 3000)))
+    sizes1 = b"".join(struct.pack(">I", 500 + i) for i in range(30))
+    trun1 = box(b"trun", fullf(0, 0x200, struct.pack(">I", 30) + sizes1))
+    # track 2 (audio-like): tfhd default size AND duration, empty-field
+    # trun (pure arithmetic path) — 48 samples x 1024 ticks @ 48000
+    tfhd2 = box(b"tfhd", fullf(0, 0x8 | 0x10,
+                               struct.pack(">III", 2, 1024, 200)))
+    trun2 = box(b"trun", fullf(0, 0x0, struct.pack(">I", 48)))
+    moof = box(b"moof",
+               box(b"mfhd", fullf(0, 0, struct.pack(">I", 1)))
+               + box(b"traf", tfhd1 + trun1)
+               + box(b"traf", tfhd2 + trun2))
+    seg = (box(b"styp", b"msdh\x00\x00\x00\x00msdh")
+           + sidx(1, 90000, [90000, 90000])
+           + sidx(2, 48000, [48 * 1024, 48 * 1024])
+           + moof + box(b"mdat", b"\x00" * 64)
+           + moof + box(b"mdat", b"\x00" * 64))
+    m = mp4_metadata(seg)
+    assert m["container"] == "mp4-fragment" and m["n_fragments"] == 2
+    # headline duration: FIRST sidx (the reference stream)
+    assert m["duration_sec"] == pytest.approx(2.0)
+    t1, t2 = m["tracks"]
+    assert (t1["track_id"], t1["n_samples"]) == (1, 60)
+    assert t1["total_bytes"] == 2 * sum(500 + i for i in range(30))
+    assert t1["duration_sec"] == pytest.approx(2.0)
+    assert t1["avg_bitrate_bps"] == round(8 * t1["total_bytes"] / 2.0)
+    assert (t2["track_id"], t2["n_samples"]) == (2, 96)
+    assert t2["total_bytes"] == 96 * 200
+    assert t2["duration_sec"] == pytest.approx(96 * 1024 / 48000)
+    # progressive row shape preserved
+    assert t1["kind"] is None and t1["codec"] is None
+
+
+def test_mp4_fragment_trun_unknown_defaults_and_forged_count():
+    """Without tfhd defaults (they live in the init segment's trex) the
+    walk reports duration/bytes as unknown instead of zero — and a
+    forged trun sample_count is clamped to the box's real extent."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import mp4_metadata
+
+    def fullf(version: int, flags: int, payload: bytes) -> bytes:
+        return bytes([version]) + flags.to_bytes(3, "big") + payload
+
+    tfhd = box(b"tfhd", fullf(0, 0, struct.pack(">I", 7)))
+    # claims 1M samples, carries 4: per-sample duration+size (8 bytes)
+    fields = b"".join(struct.pack(">II", 100, 50) for _ in range(4))
+    trun = box(b"trun", fullf(0, 0x300,
+                              struct.pack(">I", 1_000_000) + fields))
+    moof = box(b"moof", box(b"traf", tfhd + trun))
+    m = mp4_metadata(box(b"styp", b"cmfc\x00\x00\x00\x00cmfc") + moof
+                     + box(b"mdat", b"\x00" * 16))
+    (t,) = m["tracks"]
+    assert t["n_samples"] == 4 and t["total_bytes"] == 200
+    assert t["duration_sec"] is None  # no sidx -> no timescale
+    # and a defaults-free empty trun: nothing knowable
+    trun0 = box(b"trun", fullf(0, 0x0, struct.pack(">I", 10)))
+    moof0 = box(b"moof", box(b"traf", tfhd + trun0))
+    m0 = mp4_metadata(box(b"styp", b"cmfc\x00\x00\x00\x00cmfc") + moof0
+                      + box(b"mdat", b""))
+    (t0,) = m0["tracks"]
+    assert t0["n_samples"] == 10
+    assert t0["total_bytes"] is None and t0["duration_sec"] is None

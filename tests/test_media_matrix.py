@@ -69,9 +69,20 @@ def _payloads() -> dict[str, bytes]:
     out["heif"] = (box(b"ftyp", b"avif\x00\x00\x00\x00avif")
                    + box(b"meta", full(0, box(b"iprp", box(b"ipco",
                                                            ispe + cfg)))))
-    moof = box(b"moof", box(b"mfhd", full(0, struct.pack(">I", 1))))
+    # r13: a real CMAF shape — sidx (timescale) + moof with a
+    # traf/tfhd/trun sample table, so the matrix exercises the full
+    # fragmented walk, not just moof counting
+    sidx = box(b"sidx", full(0, struct.pack(">IIIIHH", 1, 90000, 0, 0, 0, 1)
+                             + struct.pack(">III", 1000, 270000,
+                                           0x90000000)))
+    tfhd = (bytes([0]) + (0x8).to_bytes(3, "big")
+            + struct.pack(">II", 1, 3000))
+    trun = (bytes([0]) + (0x200).to_bytes(3, "big") + struct.pack(">I", 90)
+            + b"".join(struct.pack(">I", 400) for _ in range(90)))
+    moof = box(b"moof", box(b"mfhd", full(0, struct.pack(">I", 1)))
+               + box(b"traf", box(b"tfhd", tfhd) + box(b"trun", trun)))
     out["mp4-fragment"] = (box(b"styp", b"msdh\x00\x00\x00\x00msdh")
-                           + moof + box(b"mdat", b"\x00" * 32))
+                           + sidx + moof + box(b"mdat", b"\x00" * 32))
     out["unknown"] = b"just some plain text, no container at all" * 4
     return out
 
@@ -101,6 +112,8 @@ def test_every_container_family_lands(spark):
     assert by_name["avi"]["video_codec"] == "MJPG"
     assert by_name["wav"]["sample_rate"] == 8000
     assert by_name["adts"]["audio_codec"] == "aac-lc"
+    # r13 fragmented walk: sidx duration (90 x 3000 ticks @ 90000)
+    assert by_name["mp4-fragment"]["duration_sec"] == pytest.approx(3.0)
 
 
 def test_image_features_cover_avif_heic(spark):
