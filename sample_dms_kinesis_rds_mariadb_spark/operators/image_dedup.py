@@ -63,7 +63,8 @@ def small_gray(
     """Decode + nearest-neighbor resize to ``height×width`` and reduce to
     the integer luma plane (int64 ``299R+587G+114B``; ``1000·v`` for
     grayscale sources). All real formats ``resize_image`` handles
-    (PNM/BMP/PNG/JPEG/GIF/TIFF) decode for real; ``fake=True`` keeps the
+    (PNM/BMP/PNG/JPEG/GIF/TIFF/lossless-WebP) decode for real;
+    ``fake=True`` keeps the
     any-bytes-produce-a-row dry-run contract."""
     blob = resize_image(content, width, height, fake=fake)
     channels = 3 if blob[:2] == b"P6" else 1

@@ -543,6 +543,17 @@ def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
         width, height, channels = tiff_header(content)
         return width, height, channels, "tiff"
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        try:
+            # lossless (VP8L) decodes for REAL (r13) — its prefix codes
+            # travel in-stream; channels then reflect actual alpha use
+            from sample_dms_kinesis_rds_mariadb_spark.operators import (
+                webp_lossless,
+            )
+
+            width, height, channels, _px = webp_lossless.decode_vp8l(content)
+            return width, height, channels, "webp"
+        except NotImplementedError:
+            pass  # lossy VP8: header-only below
         width, height, channels = webp_header(content)
         return width, height, channels, "webp"
     if content[4:8] == b"ftyp" and content[8:12] in (
@@ -573,10 +584,10 @@ def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
         return width, height, 3, fmt
     raise NotImplementedError(
         "unrecognized compressed image format — PPM/PGM/BMP/PNG/JPEG/"
-        "GIF/TIFF/WebP decode for real (stdlib + numpy) and AVIF/HEIC "
-        "report header dimensions; other formats need an image library "
-        "this environment doesn't have; pass fake=True for the "
-        "deterministic test double"
+        "GIF/TIFF/lossless-WebP decode for real (stdlib + numpy); "
+        "lossy WebP and AVIF/HEIC report header dimensions; other "
+        "formats need an image library this environment doesn't have; "
+        "pass fake=True for the deterministic test double"
     )
 
 
@@ -712,10 +723,24 @@ def resize_image(
             out_magic = b"P6" if out.shape[2] == 3 else b"P5"
             header = out_magic + b"\n%d %d\n255\n" % (width, height)
             return header + out.tobytes()
+        if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+            # lossless WebP decodes for real (r13); lossy VP8 raises the
+            # codec boundary inside decode_vp8l
+            from sample_dms_kinesis_rds_mariadb_spark.operators.webp_lossless import (  # noqa: E501
+                decode_vp8l,
+            )
+
+            w, h, channels, pixels = decode_vp8l(content)
+            arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
+            arr = arr[:, :, :3]  # alpha dropped for PNM
+            out = _nn(arr, h, w)
+            header = b"P6" + b"\n%d %d\n255\n" % (width, height)
+            return header + out.tobytes()
         raise NotImplementedError(
-            "resize beyond binary PNM/BMP/PNG/JPEG/GIF/TIFF requires an image "
-            "library (PIL/opencv) — not available in this environment; "
-            "pass fake=True for the deterministic test double"
+            "resize beyond binary PNM/BMP/PNG/JPEG/GIF/TIFF/lossless-WebP "
+            "requires an image library (PIL/opencv) — not available in "
+            "this environment; pass fake=True for the deterministic test "
+            "double"
         )
 
     if not fake:
