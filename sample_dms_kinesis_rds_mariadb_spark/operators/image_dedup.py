@@ -367,31 +367,68 @@ def banded_hamming_pairs(
     ``dedup.simhash_near_pairs``.
 
     Scale shape: candidates meet only inside equal (band, key) buckets —
-    never all-pairs; ``materialize`` pins the fingerprint frame so the
-    self-join's two sides are computed once."""
+    never all-pairs — and (r13) the banded self-join runs over DISTINCT
+    fingerprints, expanded back to id pairs afterwards: the r13 scaling
+    harness measured the candidate term ∝ n²·ball/2^width turning
+    superlinear past ~100k rows, and on dup-heavy corpora (image
+    dedup's whole premise) the distinct count n' ≪ n cuts that term by
+    (n/n')² while the output stays bit-identical (exact-dup groups
+    rejoin through the fingerprint). ``materialize`` pins both frames
+    so fingerprints compute once."""
     bands, radius = _resolve_bands(bands, max_hamming, 64)
     pinned = _pin(fps.select(id_col, fp_col), materialize)
-    a = _banded_probe(
-        pinned, [id_col, fp_col], fp_col, bands, 64, radius
-    ).select(
-        "band", "key", F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a")
+    uniq = _pin(pinned.select(fp_col).distinct(), materialize)
+    a = _banded_probe(uniq, [fp_col], fp_col, bands, 64, radius).select(
+        "band", "key", F.col(fp_col).alias("fp_a")
     )
-    b = _banded(pinned, [id_col, fp_col], fp_col, bands, 64).select(
-        "band", "key", F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b")
+    b = _banded(uniq, [fp_col], fp_col, bands, 64).select(
+        "band", "key", F.col(fp_col).alias("fp_b")
     )
-    return (
+    # fingerprint-level pairs: fp_a < fp_b for cross pairs, fp_a == fp_b
+    # kept so exact-duplicate groups (>=2 ids on one fingerprint) expand
+    fp_pairs = (
         a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("fp_a") <= F.col("fp_b"))
         .select(
-            "id_a",
-            "id_b",
+            "fp_a",
+            "fp_b",
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias(
                 "hamming"
             ),
         )
-        .distinct()
+        .distinct()  # a pair can meet in several bands
         .filter(F.col("hamming") <= max_hamming)
     )
+    mem_a = pinned.select(
+        F.col(fp_col).alias("fp_a"), F.col(id_col).alias("_ida")
+    )
+    mem_b = pinned.select(
+        F.col(fp_col).alias("fp_b"), F.col(id_col).alias("_idb")
+    )
+    # each id carries exactly one fingerprint, so a cross id pair arises
+    # from exactly one fingerprint pair — no final distinct needed
+    cross = (
+        fp_pairs.filter(F.col("fp_a") != F.col("fp_b"))
+        .join(mem_a, "fp_a")
+        .join(mem_b, "fp_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        fp_pairs.filter(F.col("fp_a") == F.col("fp_b"))
+        .join(mem_a, "fp_a")
+        .join(mem_b, "fp_b")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return cross.unionByName(same)
 
 
 def image_near_pairs(
