@@ -59,41 +59,42 @@ HEADLINE = CORE + [
 ]
 
 # In-run contention sentinel (VERDICT r12 item 1b): the committed quiet
-# per-leg medians from the r12 close-out run D (commit e8c4471,
-# bench_full.json — the best exclusive-box reading of that round,
-# calibration 0.511). A leg whose in-run median AND minimum sample both
+# per-leg medians, refreshed each close-out — currently the r13 run A
+# reading (calibration 0.557, per-leg sentinel empty; BASELINE.md r13
+# section), which also prices the r13 MIH collapse fix and the new
+# composed-archive leg into the baseline. A leg whose in-run median AND minimum sample both
 # exceed SENTINEL_RATIO x its quiet median is suspected contended: the
 # bench auto-appends extra interleaved samples for the suspect set and,
 # if the condition still holds, stamps the leg in `contaminated_legs`
 # so the official artifact self-adjudicates host noise per leg instead
-# of needing a next-round forensic A/B. Legs added after r12 have no
-# quiet reference yet and are exempt until the next close-out refresh.
+# of needing a next-round forensic A/B. Legs added after the last
+# refresh have no quiet reference and are exempt until the next one.
 QUIET_MEDIANS = {
-    "envelope_full_load": 0.681, "q1_pricing_summary": 0.839,
-    "q3_shipping_priority": 0.835, "q5_region_volume": 1.031,
-    "cdc_apply_latest": 0.405, "per_key_operation_counts": 0.317,
-    "window_topk_per_group": 0.312, "distinct_count": 0.697,
-    "dedup_exact": 0.352, "dedup_minhash_lsh": 1.315,
-    "embedding_topk_cosine": 0.414, "text_quality": 0.499,
-    "token_counts": 0.308, "doc_fingerprints": 0.417,
-    "asof_join_enrich": 0.886, "range_join_incidents": 0.736,
-    "session_windows": 0.837, "simhash_dedup": 2.851,
-    "winnowing_near_dups": 1.679, "semantic_dedup": 3.102,
-    "connected_components_minhash": 4.031, "boilerplate_removal": 1.188,
-    "repeated_span_removal": 1.959, "bm25_batch_search": 3.644,
-    "quantized_topk_rerank": 0.681, "classifier_train": 5.821,
-    "classifier_inference": 2.362, "lm_perplexity_scoring": 1.643,
-    "contamination_scores": 1.018, "decontaminate_bloom": 4.75,
-    "gopher_quality_flags": 0.316, "c4_quality_flags": 0.292,
-    "gopher_repetition_flags": 2.336, "budget_shard_column": 1.236,
-    "hard_negatives": 1.238, "pq_adc_rerank": 3.909,
-    "pq_adc_batch32": 4.445, "wordpiece_train": 0.667,
-    "wordpiece_tokenize": 0.464, "media_metadata_sweep": 0.604,
-    "vorbis_decode_features": 1.217, "pdf_text_extraction": 0.76,
-    "routed_intake_front_door": 3.745, "archive_expansion": 0.726,
-    "avro_scan": 0.264, "image_dhash_near_dups": 1.223,
-    "mih_hamming_r7_50k": 2.843, "audio_fp_near_dups": 2.612,
-    "warc_curation_pipeline": 10.442,
+    "archive_expansion": 0.685, "archive_to_document_route": 1.74,
+    "asof_join_enrich": 1.045, "audio_fp_near_dups": 1.981,
+    "avro_scan": 0.294, "bm25_batch_search": 2.9,
+    "boilerplate_removal": 1.153, "budget_shard_column": 1.169,
+    "c4_quality_flags": 0.248, "cdc_apply_latest": 0.517,
+    "classifier_inference": 2.453, "classifier_train": 6.0,
+    "connected_components_minhash": 4.599, "contamination_scores": 1.05,
+    "decontaminate_bloom": 4.791, "dedup_exact": 0.479,
+    "dedup_minhash_lsh": 1.181, "distinct_count": 0.747,
+    "doc_fingerprints": 0.508, "embedding_topk_cosine": 0.621,
+    "envelope_full_load": 0.824, "gopher_quality_flags": 0.283,
+    "gopher_repetition_flags": 1.969, "hard_negatives": 1.293,
+    "image_dhash_near_dups": 1.279, "lm_perplexity_scoring": 2.84,
+    "media_metadata_sweep": 0.612, "mih_hamming_r7_50k": 1.662,
+    "pdf_text_extraction": 0.716, "per_key_operation_counts": 0.387,
+    "pq_adc_batch32": 4.91, "pq_adc_rerank": 3.783,
+    "q1_pricing_summary": 1.062, "q3_shipping_priority": 1.473,
+    "q5_region_volume": 1.507, "quantized_topk_rerank": 0.619,
+    "range_join_incidents": 0.854, "repeated_span_removal": 1.807,
+    "routed_intake_front_door": 3.616, "semantic_dedup": 3.708,
+    "session_windows": 0.89, "simhash_dedup": 2.893,
+    "text_quality": 0.583, "token_counts": 0.419,
+    "vorbis_decode_features": 0.947, "warc_curation_pipeline": 8.848,
+    "window_topk_per_group": 0.323, "winnowing_near_dups": 1.336,
+    "wordpiece_tokenize": 0.425, "wordpiece_train": 0.493,
 }
 SENTINEL_RATIO = 1.5
 
@@ -126,14 +127,18 @@ def main() -> None:
         time.sleep(30)
         waited_sec += 30
 
-    spark = get_session(app_name="bench")
-
     # host-load context (VERDICT r5: cross-round comparisons needed
     # forensic A/Bs to separate host drift from code — stamp the run so
     # they don't): loadavg at start, and a fixed-work CALIBRATION timing
     # (pure-JVM arithmetic, no IO, no repo code) whose round-over-round
-    # ratio estimates the host speed delta independent of any code change
+    # ratio estimates the host speed delta independent of any code change.
+    # Read BEFORE the JVM starts (r13): the exclusive-runs question is
+    # "is anything ELSE running" — two r13 close-out runs were
+    # false-stamped by the bench's own JVM spin-up landing in the 1-min
+    # average when the sample was taken after get_session
     loadavg_start = list(os.getloadavg())
+
+    spark = get_session(app_name="bench")
 
     # exclusive-runs protocol guard (VERDICT r7 item 2: BENCH_r07 was taken
     # under concurrent load and was unusable for cross-round deltas). A

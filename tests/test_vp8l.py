@@ -167,8 +167,6 @@ def test_simple_code_stream_order_not_canonical():
     from tests.vp8l_writer import BitWriter
 
     bw = BitWriter()
-    bw.write(1, 14 - 14 + 13)  # width-1 = 1 -> width 2 (14 bits)
-    bw = BitWriter()
     bw.write(1, 14)   # width 2
     bw.write(0, 14)   # height 1
     bw.write(0, 1)    # alpha
@@ -257,3 +255,29 @@ def test_image_features_sweep_webp(spark):
     row = extract_image_features(df).collect()[0]
     assert row["format"] == "webp"
     assert (row["width"], row["height"]) == (25, 15)
+
+
+def test_cross_format_transcode_dup_png_webp(spark):
+    """The transcode-duplicate story for images (the Vorbis/MP3 audio
+    dual): the SAME pixels saved as PNG and as lossless WebP must meet
+    in image_near_pairs at hamming 0 — lossless transcoding cannot
+    hide an image from the dedup path."""
+    from tests.test_png import encode_png
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.image_dedup import (
+        image_near_pairs,
+    )
+
+    img = _img(32, 24, colors=12, seed=77)
+    png = encode_png(32, 24, 3, img[:, :, :3].tobytes())
+    webp = write_vp8l(img, palette=True, backrefs=True)
+    other = _img(32, 24, seed=1234)  # unrelated noise image
+    png_other = encode_png(32, 24, 3, other[:, :, :3].tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(webp)), (3, bytearray(png_other))],
+        "media_id long, content binary",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
