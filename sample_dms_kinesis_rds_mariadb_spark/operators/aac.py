@@ -246,7 +246,8 @@ def canonical_codebooks() -> dict:
 # CSV schema:   header  book,index,len,code  — one codeword per row,
 #               index in the spec's flattened order (see the module
 #               docstring), code decimal or 0x-hex.
-# Codes in JSON may be ints or hex strings ("0x7f8" / "7f8").
+# Codes in JSON may be ints, decimal strings, or 0x-prefixed hex
+# ("0x7f8"); bare hex without the prefix is rejected as ambiguous.
 # --------------------------------------------------------------------------
 
 CODEBOOKS_ENV = "SPARK_GRAFT_AAC_CODEBOOKS"
@@ -310,7 +311,12 @@ def validate_codebooks(books: dict) -> None:
 
 
 def _parse_code(v) -> int:
-    """Codeword value: int, '0x'-hex, decimal digits, or bare hex."""
+    """Codeword value: int, '0x'-prefixed hex, or decimal digits.
+    Bare hex WITHOUT the 0x prefix is rejected (r13 self-review fix):
+    digit-only strings like "122" are ambiguous between radixes, and a
+    misparse changes only code VALUES — which the Kraft check (lengths
+    only) cannot catch — so the loader refuses the convention outright
+    and the first a-f codeword in a bare-hex file fails loudly."""
     if isinstance(v, int):
         return v
     s = str(v).strip().lower()
@@ -318,7 +324,10 @@ def _parse_code(v) -> int:
         return int(s, 16)
     if s.isdigit():
         return int(s, 10)
-    return int(s, 16)
+    raise ValueError(
+        f"codeword {v!r}: write hex with the 0x prefix (bare hex is "
+        "ambiguous against decimal and cannot be validated)"
+    )
 
 
 def _make_book(bid, lens, codes) -> SpectralBook:

@@ -376,7 +376,9 @@ def banded_hamming_pairs(
     rejoin through the fingerprint). ``materialize`` pins both frames
     so fingerprints compute once."""
     bands, radius = _resolve_bands(bands, max_hamming, 64)
-    pinned = _pin(fps.select(id_col, fp_col), materialize)
+    # (id, fp) distinct keeps the function idempotent to duplicate
+    # input rows, which the pre-r13 terminal .distinct() absorbed
+    pinned = _pin(fps.select(id_col, fp_col).distinct(), materialize)
     uniq = _pin(pinned.select(fp_col).distinct(), materialize)
     a = _banded_probe(uniq, [fp_col], fp_col, bands, 64, radius).select(
         "band", "key", F.col(fp_col).alias("fp_a")

@@ -552,8 +552,12 @@ def _decode_image_real(content: bytes) -> tuple[int, int, int, str]:
 
             width, height, channels, _px = webp_lossless.decode_vp8l(content)
             return width, height, channels, "webp"
-        except NotImplementedError:
-            pass  # lossy VP8: header-only below
+        except (NotImplementedError, ValueError):
+            # lossy VP8, extended/animated VP8X, or a corrupt VP8L
+            # stream: header-only metadata below, the r12 behavior
+            # (r13 self-review fix — VP8LError must not turn an
+            # animated WebP's previously-valid row into an error row)
+            pass
         width, height, channels = webp_header(content)
         return width, height, channels, "webp"
     if content[4:8] == b"ftyp" and content[8:12] in (

@@ -23,14 +23,17 @@ public "WebP Lossless Bitstream Specification" (RFC 9649 §3-§5):
 
 One recalled-constant caveat, stated honestly: the short-distance
 neighbor map is printed in the spec as a 120-entry (dx, dy) list. It
-is GENERATED here from the recalled ordering rule (ascending
-dx²+dy², then |dx|, positive dx before negative) — and the first 34
-entries are pinned against an independently recalled prefix of the
-printed table in tests/test_vp8l.py, so a misremembered rule fails
-loudly rather than decoding real files to shifted pixels. Unlike the
-AAC tables the rule is a one-liner over a tiny, highly structured
-list, and the roundtrip property suite drives both the short (mapped)
-and long (linear) distance paths.
+is GENERATED here — the DOMAIN is exact (the printed byte packing
+(dy << 4) | (8 - dx) bounds the rectangle to dx ∈ [-7, 8], dy ∈
+[0, 7], whose causal subset has exactly 120 members, so only the
+ORDERING rests on the recalled rule: ascending dx²+dy², then |dx|,
+positive dx before negative) — and the first 34 entries are pinned
+against an independently recalled prefix of the printed table in
+tests/test_vp8l.py, so a misremembered rule fails loudly rather than
+decoding real files to shifted pixels. Unlike the AAC tables the rule
+is a one-liner over a tiny, highly structured list, and the roundtrip
+property suite drives both the short (mapped) and long (linear)
+distance paths.
 
 At scale: pure per-payload numpy/Python inside the same Arrow
 ``mapInPandas`` image pass as PNG/JPEG/GIF/TIFF — cost scales with
@@ -221,16 +224,27 @@ def vp8l_distance_map() -> list[tuple[int, int]]:
     """The 120-entry short-distance neighbor list: (dx, dy) offsets of
     causal pixels ordered by ascending dx²+dy², ties by |dx| then
     positive-dx-first (the printed table's ordering rule — the first
-    34 entries are pinned against independent recall in the tests)."""
+    34 entries are pinned against independent recall in the tests).
+
+    The DOMAIN is exact, not truncated (r13 self-review fix): the
+    printed table packs each entry into a byte as (dy << 4) | (8 - dx),
+    which bounds dx to [-7, 8] and dy to [0, 7] — and the causal
+    subset of exactly that rectangle has exactly 120 members, so the
+    table is the WHOLE neighborhood and only the ordering rests on the
+    recalled ordering rule. The first generator drew from a symmetric
+    dx range and let truncation pick the tail, which provably admitted
+    entries ((-8, 1) ...) the real encoding cannot represent."""
     cands = [
         (dx, dy)
-        for dy in range(0, 12)
-        for dx in range(-11, 12)
+        for dy in range(0, 8)
+        for dx in range(-7, 9)
         if dy > 0 or dx > 0
     ]
     cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]),
                               0 if p[0] >= 0 else 1))
-    return cands[:120]
+    if len(cands) != 120:
+        raise AssertionError("VP8L neighbor domain must have 120 entries")
+    return cands
 
 
 _DISTANCE_MAP = vp8l_distance_map()
@@ -359,13 +373,15 @@ def _add_px(p: int, q: int) -> int:
 
 
 def _select(l: int, t: int, tl: int) -> int:
-    pa = 0
+    pt = 0
     pl = 0
     for sh in (24, 16, 8, 0):
         pred = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
-        pa += abs(pred - ((t >> sh) & 0xFF))
+        pt += abs(pred - ((t >> sh) & 0xFF))
         pl += abs(pred - ((l >> sh) & 0xFF))
-    return l if pl <= pa else t
+    # spec: strictly closer LEFT wins; ties go to TOP (r13 self-review
+    # fix — the writer shares this function, so only spec parity moved)
+    return l if pl < pt else t
 
 
 def _clamp_add_full(l: int, t: int, tl: int) -> int:

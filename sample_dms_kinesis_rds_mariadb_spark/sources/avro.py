@@ -162,6 +162,12 @@ def canonical_form(schema, namespace: str = ""):
             out[k] = canonical_form(v, ns)
         else:
             out[k] = v
+    # Parsing Canonical Form's first rule: the single-attribute dict
+    # spelling {"type": "string"} reduces to the bare name "string"
+    # (r13 self-review fix — the verbose spelling must not
+    # hash-mismatch the terse one)
+    if set(out) == {"type"} and isinstance(out["type"], str):
+        return out["type"]
     return out
 
 

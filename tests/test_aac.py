@@ -386,3 +386,13 @@ def test_codebook_validate_cli(tmp_path):
         capture_output=True, text=True,
     )
     assert r.returncode == 1 and "INVALID" in r.stdout
+
+
+def test_codebook_bare_hex_rejected(tmp_path):
+    """r13 self-review fix: digit-only bare-hex codes are radix-
+    ambiguous and a misparse changes only VALUES (invisible to the
+    Kraft check) — the loader refuses un-prefixed hex outright."""
+    p = tmp_path / "bare.json"
+    p.write_text('{"books": {"1": {"lens": [1], "codes": ["7f8"]}}}')
+    with pytest.raises(ValueError, match="0x prefix"):
+        A.load_codebooks(str(p))

@@ -333,3 +333,23 @@ def test_long_outside_int64_raises_precisely():
     # int64 extremes still decode: zigzag(-2^63) = 2^64 - 1
     data = b"\xff" * 9 + b"\x01"
     assert _Reader(data).long() == -(1 << 63)
+
+
+def test_canonical_form_unwraps_single_attribute_types():
+    """r13 self-review fix: {"type": "string"} and "string" are the
+    same schema — the verbose spelling must not hash-mismatch."""
+    from sample_dms_kinesis_rds_mariadb_spark.sources.avro import canonical_form
+
+    a = {"type": "record", "name": "R",
+         "fields": [{"name": "s", "type": {"type": "string"}}]}
+    b = {"type": "record", "name": "R",
+         "fields": [{"name": "s", "type": "string"}]}
+    assert canonical_form(a) == canonical_form(b)
+    # but a dict that carries MORE than the type (logicalType) stays
+    c = {"type": "record", "name": "R",
+         "fields": [{"name": "s",
+                     "type": {"type": "long",
+                              "logicalType": "timestamp-micros"}}]}
+    d = {"type": "record", "name": "R",
+         "fields": [{"name": "s", "type": "long"}]}
+    assert canonical_form(c) != canonical_form(d)

@@ -613,3 +613,13 @@ def test_video_fingerprints_fake_decode_skips_bad_container(spark):
     fps = video_fingerprints(df, fake_decode=True)
     assert fps.filter(fps.media_id == 1).count() == 0
     assert fps.filter(fps.media_id == 0).count() == 3
+
+
+def test_banded_hamming_pairs_idempotent_to_duplicate_rows(spark):
+    """r13 self-review fix: duplicate (id, fp) input rows must not
+    duplicate output pairs (the pre-r13 terminal distinct's behavior,
+    preserved by an input-level distinct)."""
+    rows = [(1, 0b1010), (2, 0b1010), (1, 0b1010), (2, 0b1010)]
+    fps = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = idd.banded_hamming_pairs(fps, max_hamming=7).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 0)]

@@ -65,6 +65,17 @@ def test_distance_map_pins_recalled_prefix():
     assert table[: len(want_prefix)] == want_prefix
     # every entry is a causal offset
     assert all(dy > 0 or (dy == 0 and dx > 0) for dx, dy in table)
+    # r13 self-review fix: the printed table's byte packing
+    # (dy << 4) | (8 - dx) bounds the domain to dx in [-7, 8],
+    # dy in [0, 7] — whose causal subset is EXACTLY the 120 entries,
+    # so every offset must be representable (the first generator
+    # admitted (-8, 1)/(-8, 2)/(-8, 3) via truncation)
+    assert all(-7 <= dx <= 8 and 0 <= dy <= 7 for dx, dy in table)
+    assert set(table) == {
+        (dx, dy)
+        for dy in range(0, 8) for dx in range(-7, 9)
+        if dy > 0 or dx > 0
+    }
 
 
 # --- roundtrips across the feature grid ------------------------------------
@@ -281,3 +292,38 @@ def test_cross_format_transcode_dup_png_webp(spark):
              for r in image_near_pairs(df).collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_select_predictor_tie_goes_to_top():
+    """§4.2: Select returns LEFT only when strictly closer; ties go to
+    TOP (r13 self-review fix — the roundtrip suite shares _select with
+    the writer, so this pins the spec side independently)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.webp_lossless import (
+        _select,
+    )
+
+    def px(v):
+        return (0xFF << 24) | (v << 16) | (v << 8) | v
+
+    # pL == pT (exact tie) -> TOP
+    assert _select(px(10), px(20), px(15)) == px(20)
+    # strictly closer LEFT (pL = sum|T-TL| < pT = sum|L-TL|) -> LEFT
+    assert _select(px(10), px(16), px(15)) == px(10)
+
+
+def test_animated_webp_falls_back_to_header_metadata():
+    """r13 self-review fix: an extended (VP8X) WebP with no top-level
+    VP8L chunk must keep reporting header metadata through
+    decode_image, never an error row."""
+    import struct
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    vp8x = (b"VP8X" + struct.pack("<I", 10)
+            + bytes([0x10, 0, 0, 0])           # alpha flag
+            + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
+    blob = (b"RIFF" + struct.pack("<I", 4 + len(vp8x)) + b"WEBP" + vp8x)
+    w, h, channels, fmt = decode_image(blob)
+    assert (w, h, channels, fmt) == (640, 480, 4, "webp")
