@@ -851,6 +851,265 @@ def semantic_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+class SemanticDedupIndex:
+    """Incremental SEMANTIC dedup index (r13) — the embedding member of
+    the index-store family (``dedup.ExactDigestIndex`` /
+    ``dedup.MinHashIndex`` / ``image_dedup.ImageDedupIndex`` /
+    ``audio_dedup.AudioDedupIndex``): dedupe NEW embedding batches
+    against every vector seen so far without recomputing anything over
+    the corpus — the streaming form of :func:`semantic_dedup`.
+
+    The store persists (ivf_list, vec_id, v, n) parquet-PARTITIONED BY
+    ``ivf_list`` against FIXED centroids carried in the meta sidecar
+    (the IvfIndex rule: re-clustering is an explicit rebuild, never an
+    ingest side effect — centroid drift would invalidate every stored
+    assignment). Probing a batch assigns its vectors with the same
+    pure-JVM :func:`assign_to_centroids` expression, collects the
+    batch's touched list ids (driver-bounded by n_lists), and filters
+    the store to those partitions — a PRUNED scan (PartitionFilters in
+    the plan, tested) joined list-local against the batch; cosine >=
+    ``threshold`` marks the NEW vector a loser (arrival-order
+    precedence, the streaming analog of the batch façade's lowest-id
+    rule). SemDeDup's stated approximation carries over verbatim:
+    pairs crossing a list boundary are missed BY DESIGN.
+
+    ``dedup_batch`` follows the family discipline exactly: the batch's
+    assignment is pinned once and feeds the store probe, the in-batch
+    lowest-id pass (:func:`semantic_dedup_pairs` over the precomputed
+    ``list_col``), and the append; ALL batch vectors are appended
+    (later near-dups of a dropped vector still dedup); same-batch
+    stored ids are excluded from the store probe, so a crash-replayed
+    batch reproduces identical verdicts.
+
+    At 100 TB: per-list occupancy is the quantity to bound (raise
+    n_lists at build, exactly as :func:`semantic_dedup_pairs`
+    documents); a probe costs |batch| x n_lists assignment distance
+    folds plus a join bounded by the touched lists' occupancy."""
+
+    META_FILE = "_semantic_meta.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        centroids: list[list[float]],
+        threshold: float,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        auto_compact_files: int | None = None,
+    ) -> None:
+        n_lists = len(centroids)
+        if auto_compact_files is not None and auto_compact_files <= 2 * n_lists:
+            raise ValueError(
+                f"auto_compact_files ({auto_compact_files}) must exceed "
+                f"2 x n_lists ({2 * n_lists}) or every append re-triggers "
+                "a full store rewrite"
+            )
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids
+        self.threshold = float(threshold)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.auto_compact_files = auto_compact_files
+        self._schema_ddl = (
+            "ivf_list INT, vec_id BIGINT, v ARRAY<DOUBLE>, n DOUBLE"
+        )
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        path: str,
+        threshold: float = 0.95,
+        n_lists: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+        sample_fraction: float = 1.0,
+        centroids: list[list[float]] | None = None,
+        auto_compact_files: int | None = None,
+    ) -> "SemanticDedupIndex":
+        """Seed the store from an initial corpus (vectors only — no
+        dedup verdicts; run ``dedup_batch`` for arrivals). Centroids:
+        pass a fixed list (medoids — cross-engine reproducible) or let
+        seeded KMeans fit them once here."""
+        if centroids is None:
+            _assigned, centroids = ivf_assignments(
+                df, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
+                seed=seed, sample_fraction=sample_fraction,
+            )
+        idx = cls(
+            df.sparkSession, path, centroids, threshold, id_col, vec_col,
+            auto_compact_files=auto_compact_files,
+        )
+        idx._assigned(df).write.mode("overwrite").partitionBy(
+            "ivf_list"
+        ).parquet(path)
+        with open(os.path.join(path, cls.META_FILE), "w") as f:
+            json.dump(
+                {
+                    "centroids": centroids,
+                    "threshold": idx.threshold,
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                    "schema": idx._schema_ddl,
+                },
+                f,
+            )
+        return idx
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, path: str,
+        auto_compact_files: int | None = None,
+    ) -> "SemanticDedupIndex":
+        with open(os.path.join(path, cls.META_FILE)) as f:
+            meta = json.load(f)
+        return cls(
+            spark, path, meta["centroids"], meta["threshold"],
+            meta["id_col"], meta["vec_col"],
+            auto_compact_files=auto_compact_files,
+        )
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, cls.META_FILE))
+
+    # -- internals -----------------------------------------------------------
+
+    def _assigned(self, df: DataFrame) -> DataFrame:
+        """(ivf_list, vec_id, v, n) — the ONE assignment+norm pass; the
+        store layout, the probe side, and the in-batch pass all derive
+        from this frame so callers pin it once."""
+        v = to_double_array(F.col(self.vec_col))
+        return df.select(
+            assign_to_centroids(F.col(self.vec_col), self.centroids)
+            .alias("ivf_list"),
+            F.col(self.id_col).cast("bigint").alias("vec_id"),
+            v.alias("v"),
+            F.sqrt(dot(v, v)).alias("n"),
+        )
+
+    def _store(self) -> DataFrame:
+        """Snapshot-pinned store frame (the MinHashIndex `_store` rule:
+        a later append must never leak into an already-built probe)."""
+        import glob as _glob
+
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (  # noqa: E501
+            heal_partitioned_store,
+        )
+
+        heal_partitioned_store(self.path)
+        files = sorted(
+            _glob.glob(os.path.join(self.path, "ivf_list=*", "*.parquet"))
+        )
+        if not files:
+            return self.spark.createDataFrame([], self._schema_ddl)
+        return self.spark.read.option("basePath", self.path).parquet(*files)
+
+    # -- operations ----------------------------------------------------------
+
+    def probe(self, df: DataFrame) -> DataFrame:
+        """(new_id, stored_id, cosine_sim) for every batch vector with
+        cosine >= threshold to a stored vector in the same list.
+        Self-matches excluded; the store scan is pruned to the batch's
+        touched lists."""
+        return self._probe_assigned(
+            self._assigned(df).localCheckpoint(eager=True)
+        )
+
+    def _probe_assigned(self, assigned: DataFrame) -> DataFrame:
+        touched = [
+            int(r[0])
+            for r in assigned.select("ivf_list").distinct().collect()
+        ]
+        store = self._store().filter(F.col("ivf_list").isin(touched))
+        new = assigned.select(
+            "ivf_list", F.col("vec_id").alias("new_id"),
+            F.col("v").alias("_nv"), F.col("n").alias("_nn"),
+        )
+        st = store.select(
+            "ivf_list", F.col("vec_id").alias("stored_id"),
+            F.col("v").alias("_sv"), F.col("n").alias("_sn"),
+        )
+        sim = F.when(
+            (F.col("_nn") > 0) & (F.col("_sn") > 0),
+            dot(F.col("_nv"), F.col("_sv")) / (F.col("_nn") * F.col("_sn")),
+        )
+        return (
+            new.join(st, "ivf_list")
+            .filter(F.col("new_id") != F.col("stored_id"))
+            .select("new_id", "stored_id", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= F.lit(self.threshold))
+        )
+
+    def append(self, df: DataFrame) -> None:
+        self._append_assigned(self._assigned(df))
+
+    def _append_assigned(self, assigned: DataFrame) -> None:
+        import glob as _glob
+
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (  # noqa: E501
+            heal_partitioned_store,
+        )
+
+        heal_partitioned_store(self.path)
+        assigned.write.mode("append").partitionBy("ivf_list").parquet(
+            self.path
+        )
+        if self.auto_compact_files is not None:
+            n = len(_glob.glob(
+                os.path.join(self.path, "ivf_list=*", "*.parquet")
+            ))
+            if n >= self.auto_compact_files:
+                self.compact(min_files=self.auto_compact_files)
+
+    def compact(self, min_files: int = 64) -> int:
+        from sample_dms_kinesis_rds_mariadb_spark.operators.store_maint import (  # noqa: E501
+            compact_partitioned_store,
+        )
+
+        return compact_partitioned_store(
+            self.spark, self.path, "ivf_list", min_files=min_files
+        )
+
+    def dedup_batch(self, df: DataFrame) -> DataFrame:
+        """Survivors of the batch: drop vectors with cosine >= threshold
+        to the store or to a LOWER-id vector in the same batch, then
+        append the batch's vectors. The family's ``dedup_batch``
+        discipline verbatim (losers pinned before the append,
+        same-batch stored ids excluded for crash-replay idempotence);
+        the assignment pass runs ONCE for probe, in-batch pairs, and
+        the append."""
+        batch_ids = df.select(
+            F.col(self.id_col).cast("bigint").alias("stored_id")
+        ).distinct()
+        assigned = self._assigned(df).localCheckpoint(eager=True)
+        vs_store = (
+            self._probe_assigned(assigned)
+            .join(batch_ids, "stored_id", "left_anti")
+            .select(F.col("new_id").alias(self.id_col))
+        )
+        in_batch = (
+            semantic_dedup_pairs(
+                assigned.select("vec_id", "ivf_list", "v"),
+                threshold=self.threshold, id_col="vec_id", vec_col="v",
+                list_col="ivf_list",
+            )
+            .select(F.col("id_b").alias(self.id_col))
+        )
+        losers = (
+            vs_store.unionByName(in_batch).distinct()
+            .localCheckpoint(eager=True)
+        )
+        survivors = df.join(losers, self.id_col, "left_anti")
+        self._append_assigned(assigned)
+        return survivors
+
+
 def knn_join(
     corpus: DataFrame,
     probes: DataFrame,
