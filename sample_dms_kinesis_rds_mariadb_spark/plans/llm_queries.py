@@ -879,6 +879,49 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_incremental",
+    "The r13 SemanticDedupIndex under the cross-engine hash gate: the "
+    "embeddings table arrives as TWO id-ordered batches through the "
+    "incremental store (build with the same seed-medoid centroids, "
+    "dedup_batch per batch — store probe with pruned list scans + "
+    "in-batch lowest-id + append). Because batches arrive in id order, "
+    "arrival-order precedence composes to exactly the one-shot "
+    "lowest-id façade, so the oracle is the SAME DuckDB SemDeDup SQL "
+    "as the batch entry — a drift between the incremental and batch "
+    "paths (probe miss, replay leak, wrong precedence) hash-mismatches",
+    oracle=_semdedup_oracle_sql(_SEMDEDUP_MEDOID_IDS, _SEMDEDUP_THRESHOLD),
+    tags=("dedup",),
+    extra=True,
+)
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = widen_small_input(load_table(spark, sf_dir, "embeddings"))
+    cents = similarity.medoid_centroids(emb, _SEMDEDUP_MEDOID_IDS)
+    path = tempfile.mkdtemp(prefix="semdedup-idx-") + "/store"
+    idx = similarity.SemanticDedupIndex.build(
+        emb.limit(0), path, threshold=_SEMDEDUP_THRESHOLD, centroids=cents
+    )
+    cut = emb.agg(F.max("vec_id")).collect()[0][0] // 2  # bounded driver agg
+    parts = []
+    for batch in (
+        emb.filter(F.col("vec_id") <= cut),
+        emb.filter(F.col("vec_id") > cut),
+    ):
+        parts.append(idx.dedup_batch(batch))
+    out = parts[0].unionByName(parts[1])
+    return (
+        out.select(
+            "vec_id",
+            similarity.assign_to_centroids(F.col("embedding"), cents)
+            .cast("int")
+            .alias("ivf_list"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "corpus_split",
     "Deterministic train/heldout split (operators/sampling.py "
     "split_column): a doc lands on exactly one side as a pure function of "
