@@ -241,8 +241,14 @@ def _walk_traf(data: bytes, a: int, b: int, per_track: dict) -> None:
     cannot make the walk quadratic in anything but real payload."""
     track_id = None
     default_dur = default_size = None
+    tfdt_base = None
     for typ, ba, bb in _boxes(data, a, b):
-        if typ == b"tfhd" and bb - ba >= 8:
+        if typ == b"tfdt" and bb - ba >= 8:
+            ver = data[ba]
+            tfdt_base = int.from_bytes(
+                data[ba + 4 : ba + 12 if ver else ba + 8], "big"
+            )
+        elif typ == b"tfhd" and bb - ba >= 8:
             flags = int.from_bytes(data[ba + 1 : ba + 4], "big")
             track_id = int.from_bytes(data[ba + 4 : ba + 8], "big")
             pos = ba + 8
@@ -268,8 +274,12 @@ def _walk_traf(data: bytes, a: int, b: int, per_track: dict) -> None:
                 count = min(count, max((bb - pos) // per, 0))
             st = per_track.setdefault(track_id, {
                 "n_samples": 0, "total_bytes": 0, "dur_units": 0,
-                "dur_known": True, "bytes_known": True,
+                "dur_known": True, "bytes_known": True, "tfdt_first": None,
             })
+            # earliest decode time across the segment's fragments (tfdt
+            # precedes trun inside a traf, so the local is populated)
+            if st["tfdt_first"] is None and tfdt_base is not None:
+                st["tfdt_first"] = tfdt_base
             st["n_samples"] += count
             has_dur = bool(flags & 0x100)
             has_size = bool(flags & 0x200)
@@ -308,6 +318,7 @@ def _parse_fragment(content: bytes, brand: str | None) -> dict:
     live in the init segment) plus track_id/n_samples/total_bytes/
     avg_bitrate_bps."""
     duration = None
+    start_sec = None  # sidx earliest_presentation_time (segment align)
     n_moof = 0
     timescales: dict[int, int] = {}
     per_track: dict = {}
@@ -325,6 +336,10 @@ def _parse_fragment(content: bytes, brand: str | None) -> dict:
                 timescales.setdefault(ref_id, timescale)
             pos = a + 12 + (8 if ver == 0 else 16)
             if duration is None and pos + 4 <= b and timescale:
+                ept = int.from_bytes(
+                    content[a + 12 : a + 16 if ver == 0 else a + 20], "big"
+                )
+                start_sec = ept / timescale
                 count = int.from_bytes(content[pos + 2 : pos + 4], "big")
                 pos += 4
                 total = 0
@@ -355,6 +370,11 @@ def _parse_fragment(content: bytes, brand: str | None) -> dict:
                 round(8 * total_bytes / dur)
                 if dur and total_bytes is not None else None
             ),
+            # tfdt decode-time offset of the segment's first fragment
+            "start_sec": (
+                st["tfdt_first"] / ts
+                if ts and st["tfdt_first"] is not None else None
+            ),
         })
     return {
         "container": "mp4-fragment",
@@ -370,6 +390,7 @@ def _parse_fragment(content: bytes, brand: str | None) -> dict:
         "channels": None,
         "tags": {},
         "n_fragments": n_moof,
+        "start_sec": start_sec,
     }
 
 

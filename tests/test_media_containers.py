@@ -1028,3 +1028,38 @@ def test_mp4_fragment_trun_unknown_defaults_and_forged_count():
     (t0,) = m0["tracks"]
     assert t0["n_samples"] == 10
     assert t0["total_bytes"] is None and t0["duration_sec"] is None
+
+
+def test_mp4_fragment_start_times():
+    """r13: segment alignment offsets — sidx earliest_presentation_time
+    at top level, per-track tfdt baseMediaDecodeTime (both versions)."""
+    from sample_dms_kinesis_rds_mariadb_spark.operators.mp4 import mp4_metadata
+
+    def fullf(version: int, flags: int, payload: bytes) -> bytes:
+        return bytes([version]) + flags.to_bytes(3, "big") + payload
+
+    # sidx v1 (64-bit ept): segment starts at t=10s on a 90kHz clock
+    sidx = box(b"sidx", fullf(1, 0,
+                              struct.pack(">II", 1, 90000)
+                              + struct.pack(">QQ", 900_000, 0)
+                              + struct.pack(">HH", 0, 1)
+                              + struct.pack(">III", 1000, 90000, 0x90000000)))
+    tfhd = box(b"tfhd", fullf(0, 0x8, struct.pack(">II", 1, 3000)))
+    tfdt = box(b"tfdt", fullf(1, 0, struct.pack(">Q", 900_000)))
+    trun = box(b"trun", fullf(0, 0x0, struct.pack(">I", 30)))
+    moof = box(b"moof", box(b"traf", tfhd + tfdt + trun))
+    seg = (box(b"styp", b"msdh\x00\x00\x00\x00msdh") + sidx
+           + moof + box(b"mdat", b""))
+    m = mp4_metadata(seg)
+    assert m["start_sec"] == pytest.approx(10.0)
+    (t,) = m["tracks"]
+    assert t["start_sec"] == pytest.approx(10.0)
+    assert t["duration_sec"] == pytest.approx(1.0)
+    # v0 tfdt (32-bit) and no sidx: track start known only if a
+    # timescale exists -> None here, honest
+    tfdt0 = box(b"tfdt", fullf(0, 0, struct.pack(">I", 45_000)))
+    moof0 = box(b"moof", box(b"traf", tfhd + tfdt0 + trun))
+    m0 = mp4_metadata(box(b"styp", b"cmfc\x00\x00\x00\x00cmfc") + moof0
+                      + box(b"mdat", b""))
+    assert m0["start_sec"] is None
+    assert m0["tracks"][0]["start_sec"] is None
