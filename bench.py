@@ -208,9 +208,11 @@ def main() -> None:
         # samples all land inside one co-tenant burst, which is exactly
         # the r10 noise mode — sweep-interleaved samples sit minutes
         # apart, so the median sees at most one burst-contaminated run
+        spark.sparkContext.setJobDescription(f"leg:{name}:cold")
         t0 = time.perf_counter()
         out = fn()
         cold = time.perf_counter() - t0
+        spark.sparkContext.setJobDescription(None)
         timings_cold[name] = round(cold, 3)
         leg_samples[name] = [round(cold, 3)]
         timings[name] = round(cold, 3)  # provisional until the sweeps
@@ -236,13 +238,17 @@ def main() -> None:
         return _median(name) > bar and min(leg_samples[name]) > bar
 
     def _run_deferred_sweeps() -> None:
-        for _ in range(leg_runs_n - 1):
+        for sweep_no in range(leg_runs_n - 1):
             for name, fn in _deferred:
+                spark.sparkContext.setJobDescription(
+                    f"leg:{name}:sweep{sweep_no + 1}"
+                )
                 t0 = time.perf_counter()
                 fn()
                 leg_samples[name].append(
                     round(time.perf_counter() - t0, 3)
                 )
+            spark.sparkContext.setJobDescription(None)
         # contention sentinel (VERDICT r12 item 1b): a leg whose median
         # AND min both sit >SENTINEL_RATIO x its committed quiet median
         # gets extra interleaved samples — a genuine regression stays
@@ -1256,15 +1262,17 @@ def main() -> None:
     # >2× with host noise (GC/IO bursts), and best-of-N would let the
     # methodology flatter the number — the median is outlier-robust without
     # cherry-picking; per-run times are recorded so the spread is auditable
-    def _median_of(n: int, leg) -> tuple[float, list[float]]:
+    def _median_of(n: int, leg, label: str = "sink") -> tuple[float, list[float]]:
         runs: list[float] = []
-        for _ in range(n):
+        for run_no in range(n):
             tmp = tempfile.mkdtemp(prefix="bench-sink-")
             try:
+                spark.sparkContext.setJobDescription(f"leg:{label}:run{run_no}")
                 t0 = time.perf_counter()
                 leg(tmp)
                 runs.append(time.perf_counter() - t0)
             finally:
+                spark.sparkContext.setJobDescription(None)
                 shutil.rmtree(tmp, ignore_errors=True)
         return sorted(runs)[len(runs) // 2], [round(r, 3) for r in runs]
 
@@ -1280,7 +1288,7 @@ def main() -> None:
         )
         store.append(to_json_records(env))
 
-    fl_sec, fl_runs = _median_of(3, _full_load_leg)
+    fl_sec, fl_runs = _median_of(3, _full_load_leg, "full_load_envelope_sink")
     timings["full_load_envelope_sink"] = round(fl_sec, 3)
     fl_rows_per_sec = round(n_rows / fl_sec, 1)
 
@@ -1313,7 +1321,7 @@ def main() -> None:
         env = encode_change_batch(feed, settings, {("main", "lineitem"): "l_orderkey"})
         store2.append(to_json_records(env))
 
-    cdc_sec, cdc_runs = _median_of(3, _cdc_leg)
+    cdc_sec, cdc_runs = _median_of(3, _cdc_leg, "cdc_apply_sink")
     timings["cdc_apply_sink"] = round(cdc_sec, 3)
     cdc_events_per_sec = round(n_rows / cdc_sec, 1)
 

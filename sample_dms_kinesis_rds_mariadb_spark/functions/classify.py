@@ -65,6 +65,19 @@ def feature_indices(features: Column, dim: int) -> Column:
     )
 
 
+# Dim at which the serve path switches from the plan-literal fold to the
+# broadcast + Arrow kernel (r13 optimization round, guide §4.2): the
+# literal path's cost is DRIVER-side and grows linearly with dim —
+# Catalyst analysis/optimization of the fold over an ever-larger literal
+# (measured at sf0.1, 5k docs, whole-leg wall: dim 512 → 1.28 s, 1024 →
+# 1.49 s, 2048 → 2.82 s, 4096 → 4.00 s) — while the broadcast+Arrow path
+# is flat (~0.7-0.8 s at every dim, margins bit-identical by the
+# sequential-cumsum fold). Crossover sits between 512 and 1024; above it
+# the literal path is pure per-query plan-compile overhead that no
+# executor count can parallelize.
+BROADCAST_DIM = 1024
+
+
 def linear_score(
     text: Column,
     weights: list[float],
@@ -81,8 +94,21 @@ def linear_score(
     inside the fold is an O(1) ``element_at`` on a plan constant. The fold is
     left-to-right over features in document order (unigrams then bigrams),
     making the double sum bit-deterministic — the same order the Python
-    reference uses."""
+    reference uses.
+
+    At ``len(weights) >= BROADCAST_DIM`` this auto-dispatches to
+    :func:`linear_score_broadcast` (bit-identical margins — sequential
+    cumsum fold; see BROADCAST_DIM above for the measured crossover)
+    whenever an active SparkSession is available to own the broadcast."""
     dim = len(weights)
+    if dim >= BROADCAST_DIM:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            return linear_score_broadcast(
+                text, weights, bias, spark=spark, bigrams=bigrams
+            )
     wlit = F.lit([float(w) for w in weights])
     idx = feature_indices(classifier_features(text, bigrams=bigrams), dim)
     n = F.size(idx)
@@ -220,7 +246,7 @@ def train_classifier(
     learning_rate: float = 1.0,
     l2: float = 0.0,
     materialize: bool = True,
-    broadcast_threshold: int = 2**16,
+    broadcast_threshold: int = BROADCAST_DIM,
 ) -> tuple[list[float], float, list[float]]:
     """Train the hashed linear classifier DISTRIBUTED, closing the loop
     with :func:`linear_score`: logistic regression by full-batch gradient
@@ -240,23 +266,38 @@ def train_classifier(
 
     Above ``broadcast_threshold`` the per-iteration margin swaps the plan
     literal for a broadcast weight vector + Arrow kernel
-    (:func:`linear_score_broadcast`'s shape): at fastText-scale dims
-    (2^20+) the literal costs megabytes of serialized plan PER ITERATION
-    and defeats constant folding, while the broadcast ships once per
-    executor. The two paths produce bit-identical MARGINS (sequential
-    cumsum fold); end-to-end trajectories agree up to the per-index
-    gradient-sum reduction order noted above, so the threshold is a pure
-    performance knob.
+    (:func:`linear_score_broadcast`'s shape): the literal path's cost is
+    driver-side plan analysis growing linearly with dim (see
+    ``BROADCAST_DIM`` for the measured crossover — the default here), and
+    at fastText-scale dims (2^20+) it additionally costs megabytes of
+    serialized plan PER ITERATION and defeats constant folding, while the
+    broadcast ships once per executor. The two paths produce bit-identical
+    MARGINS (sequential cumsum fold); end-to-end trajectories agree up to
+    the per-index gradient-sum reduction order noted above, so the
+    threshold is a pure performance knob.
     """
     if dim < 1 or iterations < 1:
         raise ValueError("dim and iterations must be >= 1")
     from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import _pin
 
-    feats = df.select(
+    # stage the token array before deriving features (r13): the inline
+    # classifier_features(text) references clean_tokens(text) from both the
+    # unigram arm and inside word_ngrams, and lambda-bearing trees get no
+    # subexpression elimination — the corpus tokenized ~3x per row at pin
+    # time. Staged, the normalize+split+filter chain runs once and the
+    # feature concat consumes the column. Bit-identical feature arrays.
+    toks_src = df.select(
         F.col(label_col).cast("double").alias("_y"),
-        feature_indices(
-            classifier_features(F.col(text_col), bigrams=bigrams), dim
-        ).alias("_idx"),
+        clean_tokens(F.col(text_col)).alias("_toks"),
+    )
+    features = (
+        F.concat(F.col("_toks"), word_ngrams(F.col("_toks"), 2))
+        if bigrams
+        else F.col("_toks")
+    )
+    feats = toks_src.select(
+        "_y",
+        feature_indices(features, dim).alias("_idx"),
     ).withColumn("_n", F.size("_idx"))
     feats = _pin(feats, materialize)
     n_docs = feats.count()
@@ -292,7 +333,6 @@ def train_classifier(
                 )
                 + F.lit(bias)
             )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
         from pyspark.sql import Observation
 
         # ONE corpus scan per iteration: the bias-gradient/loss averages
@@ -301,7 +341,22 @@ def train_classifier(
         # out of the averages) instead of a second scan-and-aggregate job —
         # at 100 TB that halves the per-iteration IO
         obs = Observation()
-        scored = feats.select(
+        # STAGE the probability as a produced column (r13): referencing the
+        # margin expression from both _err and _loss re-evaluates the whole
+        # fold per reference on the literal path (lambda-bearing trees get
+        # no subexpression elimination — the staged-gates finding), i.e.
+        # twice the per-row work of the iteration's dominant stage.
+        # CollapseProject keeps the staging (non-cheap producer, multiply
+        # referenced); results are bit-identical — same expression, same
+        # fold, evaluated once.
+        staged = feats.select(
+            "_idx",
+            "_n",
+            "_y",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("_prob"),
+        )
+        p = F.col("_prob")
+        scored = staged.select(
             "_idx",
             "_n",
             (p - F.col("_y")).alias("_err"),

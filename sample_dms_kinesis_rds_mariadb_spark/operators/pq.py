@@ -102,17 +102,95 @@ def medoid_pq_codebooks(
     ]
 
 
+def _pq_encode_arrow_udf(spark, codebooks: list[list[list[float]]]):
+    """ONE Arrow kernel computing all ``m`` subspace codes per vector —
+    bit-identical to the per-subspace ``assign_to_centroids`` folds (the
+    shared ``_np_assign`` cumsum/argmin kernel) with the slice semantics
+    of the literal path: a subspace whose slice is shorter than ``dsub``
+    (vector too short / NULL) folds to NULL d2 on the JVM and lands on
+    cid 0. One vector transfer, one Python node, flat plan — vs m
+    interpreted fold trees whose Catalyst analysis + per-element
+    evaluation dominated the encode (guide §4.2)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import (
+        _np_assign,
+    )
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    mats = []
+    for book in codebooks:
+        C = np.asarray(
+            [[float(x) for x in c] for c in book], dtype=np.float64
+        )
+        ccs = []
+        for c in book:
+            acc = 0.0
+            for x in c:
+                acc = acc + float(x) * float(x)
+            ccs.append(acc)
+        mats.append((C, np.asarray(ccs, dtype=np.float64)))
+    bc = spark.sparkContext.broadcast((m, dsub, mats))
+
+    def encode(vecs):
+        import numpy as np
+
+        m_, dsub_, mats_ = bc.value
+        n = len(vecs)
+        codes = np.zeros((n, m_), dtype=np.int32)
+        lens = np.fromiter(
+            (0 if v is None else len(v) for v in vecs), dtype=np.int64, count=n
+        )
+        for s in range(0, n, 4096):
+            sel = np.arange(s, min(s + 4096, n))
+            for j in range(m_):
+                need = (j + 1) * dsub_
+                ok = sel[lens[sel] >= need]
+                if ok.size == 0:
+                    continue
+                V = np.stack(
+                    [
+                        np.asarray(
+                            vecs[i][j * dsub_ : need], dtype=np.float64
+                        )
+                        for i in ok
+                    ]
+                )
+                Cb, ccb = mats_[j]
+                codes[ok, j] = _np_assign(V, Cb, ccb)
+        return pd.Series(list(codes))
+
+    encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf("array<int>")(encode)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     code_col: str = "pq_code",
 ) -> DataFrame:
-    """Attach the m-entry PQ code array — a pure JVM projection: each
-    subspace code is ``assign_to_centroids`` (bit-reproducible seq-fold
-    d2 argmin, ties to lowest id) over the vector slice. No UDF, no
+    """Attach the m-entry PQ code array. With an active SparkSession the
+    codes come from ONE combined Arrow kernel over the full vector
+    (:func:`_pq_encode_arrow_udf` — bit-identical to the fold path,
+    asserted in tests); otherwise each subspace code is
+    ``assign_to_centroids`` (bit-reproducible seq-fold d2 argmin, ties to
+    lowest id) over the vector slice as a JVM expression. Either way: no
     shuffle; at scale this is the write-side pass that persists alongside
     (or instead of) the raw vectors."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        return df.withColumn(
+            code_col,
+            _pq_encode_arrow_udf(spark, codebooks)(
+                to_double_array(F.col(vec_col))
+            ),
+        )
     dsub = len(codebooks[0][0])
     v = to_double_array(F.col(vec_col))
     codes = [

@@ -297,11 +297,109 @@ def medoid_centroids(
     return [by_id[i] for i in medoid_ids]
 
 
+# Work size (n_centroids × dim) at which assign_to_centroids swaps the
+# interpreted JVM fold for the broadcast + Arrow kernel (r13 optimization
+# round, guide §4.2). The JVM transform/fold is evaluated INTERPRETED per
+# element: at 32 centroids × 64 dims it burns ~4 ms/row of executor CPU
+# (8.4 s task time for 2 000 rows measured in the semantic_dedup leg),
+# while the numpy kernel — bit-identical by sequential cumsum folds — is
+# ~100x cheaper and keeps the plan tiny. Tiny codebooks stay on the
+# literal path (no Python worker round-trip for work that small).
+ASSIGN_ARROW_MIN_WORK = 256
+
+
+def _np_assign(V, Cb, ccb):
+    """Shared numpy argmin-assign over a (rows, dim) float64 matrix —
+    bit-identical to the JVM fold (cumsum dots, argmin ties to lowest
+    cid, NaN d2 ordered last). Used by the assign kernel here and the
+    combined PQ-encode kernel (operators/pq.py)."""
+    import numpy as np
+
+    k, dim = Cb.shape
+    vv = (
+        np.cumsum(V * V, axis=1)[:, -1]
+        if dim
+        else np.zeros(V.shape[0], dtype=np.float64)
+    )
+    prods = V[:, None, :] * Cb[None, :, :]
+    vc = (
+        np.cumsum(prods, axis=2)[:, :, -1]
+        if dim
+        else np.zeros((V.shape[0], k), dtype=np.float64)
+    )
+    d2 = vv[:, None] - 2.0 * vc + ccb[None, :]
+    nan_mask = np.isnan(d2)
+    if nan_mask.any():
+        d2 = np.where(nan_mask, np.inf, d2)
+    codes = np.argmin(d2, axis=1)
+    if nan_mask.any():
+        # a NaN masked to +inf can out-argmin a GENUINE +inf at a higher
+        # cid; the JVM orders NaN strictly after +inf — re-resolve those
+        # rows among non-NaN entries
+        bad = nan_mask[np.arange(len(codes)), codes]
+        for r in np.nonzero(bad)[0]:
+            nn = np.nonzero(~nan_mask[r])[0]
+            if nn.size:
+                codes[r] = nn[np.argmin(d2[r, nn])]
+    return codes
+
+
+def _assign_arrow_udf(spark, centroids: list[list[float]]):
+    """Arrow-batched twin of the JVM assign fold — bit-identical:
+    d2 = <v,v> - 2<v,c> + <c,c> with every dot an np.cumsum (strictly
+    left-to-right, the same IEEE-754 op sequence as the F.aggregate fold
+    — the established repo pattern, see classify._arrow_margin), <c,c>
+    pre-folded in Python exactly as the literal path does, argmin ties to
+    the lowest centroid id (np.argmin first-min). NaN d2 entries sort
+    LAST (the SQL struct-ordering contract): they are masked to +inf and,
+    on the (non-finite-embedding) tie against a genuine +inf, re-resolved
+    among non-NaN entries only."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    ccs = []
+    for c in centroids:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        ccs.append(acc)
+    cc = np.asarray(ccs, dtype=np.float64)
+    bc = spark.sparkContext.broadcast((C, cc))
+
+    def assign(vecs):
+        import numpy as np
+
+        Cb, ccb = bc.value
+        k, dim = Cb.shape
+        n = len(vecs)
+        out = np.zeros(n, dtype=np.int32)
+        # rows arrive as variable np arrays (None for NULL vectors) — stack
+        # the non-null fixed-dim rows, chunked to bound the (rows, k, dim)
+        # intermediate
+        valid = np.fromiter(
+            (v is not None and len(v) == dim for v in vecs), dtype=bool, count=n
+        )
+        idxs = np.nonzero(valid)[0]
+        # NULL / wrong-width rows: the JVM fold yields NULL d2 for every
+        # candidate and array_min's struct ordering puts NULL first → cid 0.
+        # (Asserted against the literal path in tests.)
+        for s in range(0, idxs.size, 4096):
+            sel = idxs[s : s + 4096]
+            V = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in sel])
+            out[sel] = _np_assign(V, Cb, ccb)
+        return pd.Series(out)
+
+    assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf("int")(assign)
+
+
 def assign_to_centroids(
     vec: Column, centroids: list[list[float]]
 ) -> Column:
-    """Nearest-centroid list id as a pure JVM expression, cross-engine
-    bit-reproducible: d2 = <v,v> - 2<v,c> + <c,c> with every dot a
+    """Nearest-centroid list id, cross-engine bit-reproducible:
+    d2 = <v,v> - 2<v,c> + <c,c> with every dot a
     sequential left fold, argmin via array_min over (d2, cid) structs so
     ties break to the LOWEST centroid id (matches the oracle's
     row_number() OVER (ORDER BY d2, cid)).
@@ -311,7 +409,20 @@ def assign_to_centroids(
     formulation inlined 2 fold-dots per centroid into the plan, and past a
     few dozen centroids Catalyst analysis + codegen of that tree dominated
     the whole job (seconds of driver time per query). The folds themselves
-    are unchanged — same sequential order, bit-identical result."""
+    are unchanged — same sequential order, bit-identical result.
+
+    At ``len(centroids) * dim >= ASSIGN_ARROW_MIN_WORK`` (and with an
+    active SparkSession to own the broadcast) this auto-dispatches to the
+    Arrow kernel (:func:`_assign_arrow_udf`) — bit-identical assignments,
+    ~100x less per-row CPU than the interpreted fold, flat plan size."""
+    if centroids and len(centroids) * len(centroids[0]) >= ASSIGN_ARROW_MIN_WORK:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            return _assign_arrow_udf(spark, centroids)(
+                to_double_array(vec)
+            )
     v = to_double_array(vec)
     vv = dot(v, v)
     cents = F.lit([[float(x) for x in c] for c in centroids]).cast(

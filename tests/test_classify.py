@@ -98,19 +98,37 @@ def test_keep_threshold_semantics(spark):
 
 
 def test_classifier_plan_is_narrow_jvm_only(spark, weights):
-    """Inference must be a narrow map on the scan: no Exchange (shuffle), no
-    Python workers (BatchEvalPython / ArrowEvalPython), weights folded into
-    the plan as a constant — the shape that runs at 100 TB scan speed."""
+    """Inference must be a narrow map on the scan — no Exchange (shuffle)
+    at ANY dim. Below BROADCAST_DIM the plan is pure JVM (no Python
+    workers, weights folded into the plan as a constant); at or above it
+    linear_score auto-dispatches to the broadcast + Arrow kernel (r13:
+    the literal path's driver-side plan analysis grows linearly with dim
+    while the Arrow path is flat), so the plan carries exactly an
+    ArrowEvalPython node and still no shuffle."""
     df = spark.range(10).withColumn("text", F.concat(F.lit("doc "), F.col("id")))
-    scored = df.select(
-        "id", classify.classifier_probability(F.col("text"), weights).alias("p")
-    )
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        scored.explain("formatted")
-    plan = buf.getvalue()
+
+    def plan_of(w):
+        scored = df.select(
+            "id", classify.classifier_probability(F.col("text"), w).alias("p")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            scored.explain("formatted")
+        return scored, buf.getvalue()
+
+    # literal path: dim below the crossover stays JVM-only
+    small = weights[: classify.BROADCAST_DIM // 2]
+    scored, plan = plan_of(small)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert scored.count() == 10
+
+    # broadcast path: dim >= BROADCAST_DIM rides the Arrow kernel — still
+    # narrow, still shuffle-free
+    assert len(weights) >= classify.BROADCAST_DIM
+    scored, plan = plan_of(weights)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
     assert scored.count() == 10
 
 

@@ -123,9 +123,52 @@ def test_pq_medoid_codebooks_and_plan_shape(spark, pq_setup):
     out = pqm.pq_adc_topk(codes, books, [float(x) for x in vecs[1]], k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # r13: the encode is ONE combined Arrow kernel (all m subspace codes
+    # in a single node); scoring stays codegen — no row-pickle Python
+    # anywhere, exactly one Arrow node, still no cartesian
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
     assert "CartesianProduct" not in plan
     assert out.count() == 5
+
+
+def test_pq_encode_arrow_matches_literal_fold(spark):
+    """The combined Arrow encode kernel must be BIT-identical to the
+    per-subspace JVM fold path, including the degenerate rows the fold
+    resolves through NULL-d2 ordering (NULL vector, short vector, NaN)."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    rows += [
+        (100, None),
+        (101, []),
+        (102, [0.5] * 3),            # shorter than one subspace
+        (103, [0.5] * 6),            # covers subspace 0 only (m=2, dsub=4)
+        (104, [float("nan")] * 8),   # NaN d2 in every subspace
+        (105, [0.1] * 12),           # longer than m*dsub
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = [
+        [[rnd.uniform(-1, 1) for _ in range(4)] for _ in range(5)]
+        for _ in range(2)
+    ]
+    arrow = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pqm.pq_encode(df, books).collect()
+    }
+    # force the literal fold path by hiding the active session from the
+    # dispatcher
+    from unittest import mock
+
+    with mock.patch(
+        "pyspark.sql.SparkSession.getActiveSession", return_value=None
+    ):
+        lit_df = pqm.pq_encode(df, books)
+    lit = {r["vec_id"]: list(r["pq_code"]) for r in lit_df.collect()}
+    assert arrow == lit
 
 
 def test_pq_adc_batch_matches_per_probe_bitwise(spark, pq_setup):
@@ -174,7 +217,10 @@ def test_pq_adc_batch_single_scan_plan(spark, pq_setup):
     # (20+ scans) must fail here.
     n_scans = plan.count("ExistingRDD") + plan.count("LocalTableScan")
     assert n_scans == 2, f"expected 2 leaf scans, plan has {n_scans}"
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # r13: the encode upstream is one combined Arrow kernel; the batch
+    # ADC scoring itself stays codegen (no per-probe Python, no pickle)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") <= 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     rows = out.collect()
