@@ -906,10 +906,16 @@ def contamination_pairs(
     b_text = bench_text_col or text_col
 
     def grams(df: DataFrame, idc: str, txt: str, out_id: str) -> DataFrame:
-        toks = tokenize(normalize_text(F.col(txt)))
+        # tokens staged first (r13): word_ngrams slices its input n (=13)
+        # times — inline, the tokenize chain would re-run per slice
         return df.select(
             F.col(idc).alias(out_id),
-            F.explode(F.array_distinct(word_ngrams(toks, n))).alias("_g"),
+            tokenize(normalize_text(F.col(txt))).alias("_t"),
+        ).select(
+            out_id,
+            F.explode(F.array_distinct(word_ngrams(F.col("_t"), n))).alias(
+                "_g"
+            ),
         ).select(out_id, F.md5("_g").alias("gram"))
 
     c = grams(corpus, id_col, text_col, "corpus_id")
@@ -999,17 +1005,26 @@ def build_decontamination_bloom(
     if not 0.0 < fpp < 1.0:
         raise ValueError(f"fpp must be in (0,1), got {fpp}")
 
-    def gram_md5s(txt_col):
+    def gram_md5s(toks_col):
         return F.transform(
-            F.array_distinct(word_ngrams(tokenize(normalize_text(txt_col)), n)),
+            F.array_distinct(word_ngrams(toks_col, n)),
             F.md5,
         )
 
+    # tokens staged before the n-gram expansion (r13): word_ngrams slices
+    # its input once per gram position, so an inline tokenize chain is
+    # re-evaluated n (=13) times per row — see decontaminate_bloom's
+    # staging note
     bench_grams = _pin(
         benchmark.select(
             F.col(bench_id_col).alias("bench_id"),
-            F.explode(gram_md5s(F.col(bench_text_col))).alias("gram"),
-        ).distinct(),
+            tokenize(normalize_text(F.col(bench_text_col))).alias("_bt"),
+        )
+        .select(
+            "bench_id",
+            F.explode(gram_md5s(F.col("_bt"))).alias("gram"),
+        )
+        .distinct(),
         materialize,
     )
     n_grams = bench_grams.select("gram").distinct().count()
@@ -1109,9 +1124,15 @@ def decontaminate_bloom(
     bench_grams = prebuilt.bench_grams
     m, k, n = prebuilt.m, prebuilt.k, prebuilt.n
 
-    def gram_md5s(txt_col):
+    def gram_md5s(toks_col):
+        # takes a TOKEN-ARRAY column, not text: word_ngrams slices its
+        # input n times, so an inline tokenize chain would re-run
+        # normalize+split once PER SLICE (13x at the default n — the r13
+        # stage profile caught the flag pass's Python-input projection
+        # evaluating the tokenize chain 13x per row). Callers stage the
+        # tokens into a produced column first.
         return F.transform(
-            F.array_distinct(word_ngrams(tokenize(normalize_text(txt_col)), n)),
+            F.array_distinct(word_ngrams(toks_col, n)),
             F.md5,
         )
 
@@ -1166,32 +1187,65 @@ def decontaminate_bloom(
         return pd.Series(out)
 
     bloom_hits.__annotations__ = {"hs": pd.Series, "return": pd.Series}
-    bloom_udf = pandas_udf("int")(bloom_hits)
+    # non-deterministic marking (guide §4.4, r13): the probe is a pure
+    # function, but left deterministic the optimizer pushes the
+    # filter-with-UDF below whatever exchange the caller's input carries
+    # (a widen repartition, a just-shuffled upstream op), collapsing the
+    # whole gram+probe pass onto the input's pre-exchange task layout —
+    # measured as the flag pass running on ONE task over a single-split
+    # corpus. Marked, the expensive Python pass stays where the input's
+    # parallelism is.
+    bloom_udf = pandas_udf("int")(bloom_hits).asNondeterministic()
 
-    # a SINGLE transform over the gram array, producing interleaved
-    # [h1, h2] pairs: the gram expansion is referenced exactly once in
-    # the UDF's input (two separate hash-array arguments would each
-    # inline it — Catalyst substitutes projection aliases back into the
-    # ArrowEvalPython inputs, so aliasing does not deduplicate it), and
-    # no named intermediate columns means no collision with id_col
+    # token array STAGED into a produced column (r13): word_ngrams slices
+    # its input once per gram position, so the inline tokenize chain was
+    # re-evaluated 13x per row inside the ArrowEvalPython input
+    # projection (no subexpression elimination there). The staged column
+    # is non-cheap and multiply referenced, so CollapseProject keeps the
+    # staging. The [h1, h2] pair flattening stays a SINGLE expression
+    # over it (two separate hash-array arguments would each inline the
+    # gram expansion).
+    toks_c = "_bloom_toks"
+    if toks_c in corpus.columns:
+        raise ValueError(f"column collision: input already has '{toks_c}'")
+    staged = corpus.withColumn(
+        toks_c, tokenize(normalize_text(F.col(text_col)))
+    )
     pairs_expr = F.flatten(
         F.transform(
-            gram_md5s(F.col(text_col)),
+            gram_md5s(F.col(toks_c)),
             lambda h: F.array(_bloom_h1(h), _bloom_h2(h)),
         )
     )
-    flagged = corpus.where(
-        bloom_udf(pairs_expr) >= F.lit(int(min_shared))
-    ).select(id_col)
+    # hit count lands in a COLUMN and the threshold filters the column:
+    # filtering on the UDF expression directly lets predicate pushdown
+    # rewrite the condition through the token projection (alias
+    # substitution — it re-inlines the tokenize chain into every slice of
+    # the UDF input, undoing the staging); a filter on a column produced
+    # by a non-deterministic projection cannot be pushed, so both the
+    # staging and the post-exchange placement survive to the physical plan
+    flagged = (
+        staged.withColumn(
+            "_bloom_hits", bloom_udf(pairs_expr)
+        )
+        .where(F.col("_bloom_hits") >= F.lit(int(min_shared)))
+        .select(id_col)
+    )
     flagged = _pin(flagged, materialize)
 
     # exact verify on the flagged slice: decontaminate's per-(corpus,
-    # bench) n_shared rule via a DISTRIBUTED hash join — no broadcast
+    # bench) n_shared rule via a DISTRIBUTED hash join — no broadcast.
+    # Join FIRST, stage the tokens after: tokenization happens only for
+    # the flagged rows (and once each, same staging rationale as above).
     c_grams = (
         corpus.join(flagged, id_col, "left_semi")
         .select(
             F.col(id_col).alias("corpus_id"),
-            F.explode(gram_md5s(F.col(text_col))).alias("gram"),
+            tokenize(normalize_text(F.col(text_col))).alias(toks_c),
+        )
+        .select(
+            "corpus_id",
+            F.explode(gram_md5s(F.col(toks_c))).alias("gram"),
         )
     )
     dirty = (
@@ -1247,30 +1301,42 @@ def contamination_scores(
     b_id = bench_id_col or id_col
     b_text = bench_text_col or text_col
 
-    grams = F.transform(
-        F.array_distinct(
-            word_ngrams(tokenize(normalize_text(F.col(text_col))), n)
-        ),
+    # two-level staging (r13): tokens first (word_ngrams slices its input
+    # n=13 times — inline, the tokenize chain re-runs per slice), then the
+    # gram array ONCE (it was referenced from both size() and the array
+    # column — two full expansions per row; lambda-bearing trees get no
+    # subexpression elimination)
+    grams_of = lambda toks_col: F.transform(  # noqa: E731
+        F.array_distinct(word_ngrams(toks_col, n)),
         F.md5,  # hash INSIDE the pinned frame: 32-hex cells, never raw text
     )
     totals = _pin(
         corpus.select(
             F.col(id_col),
+            tokenize(normalize_text(F.col(text_col))).alias("_t"),
+        )
+        .select(
+            F.col(id_col),
+            grams_of(F.col("_t")).alias("_grams"),
+        )
+        .select(
+            F.col(id_col),
             # NULL text ⇒ grams is NULL ⇒ ANSI size() is NULL — coalesce to 0
             # so the documented 1:1 contract (n_grams for EVERY corpus row)
             # holds for NULL-text rows too, matching score's 0.0
-            F.coalesce(F.size(grams), F.lit(0)).alias("n_grams"),
-            grams.alias("_grams"),
+            F.coalesce(F.size("_grams"), F.lit(0)).alias("n_grams"),
+            F.col("_grams"),
         ),
         materialize,
     )
     c = totals.select(id_col, F.explode("_grams").alias("gram"))
     bench_grams = (
         benchmark.select(
+            tokenize(normalize_text(F.col(b_text))).alias("_bt")
+        )
+        .select(
             F.explode(
-                F.array_distinct(
-                    word_ngrams(tokenize(normalize_text(F.col(b_text))), n)
-                )
+                F.array_distinct(word_ngrams(F.col("_bt"), n))
             ).alias("_g")
         )
         .select(F.md5("_g").alias("gram"))
