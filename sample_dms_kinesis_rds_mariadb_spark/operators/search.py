@@ -79,6 +79,52 @@ def term_document_frequencies(
     return {r["term"]: int(r["df"]) for r in rows}
 
 
+def _stats_and_dfs(
+    df: DataFrame, text_col: str, terms: list[str]
+) -> tuple[int, float, dict[str, int]]:
+    """(n_docs, avgdl, per-term document frequency) in ONE corpus scan —
+    the corpus stats ride the document-frequency job as ``observe()``
+    metrics (r13, guide §1.2 fewer passes: the separate
+    :func:`corpus_stats` + :func:`term_document_frequencies` jobs each
+    tokenized the corpus — at 100 TB that is a whole extra read+tokenize
+    pass for two scalars). The token array is STAGED into a column so the
+    lambda-bearing clean_tokens chain is evaluated once per row (no CSE
+    on lambda trees). Values identical to the two-job form."""
+    from pyspark.sql import Observation
+
+    if not terms:
+        n_docs, avgdl = corpus_stats(df, text_col)
+        return n_docs, avgdl, {}
+    obs = Observation()
+    staged = df.select(_toks(F.col(text_col)).alias("_t")).observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("_t")).alias("avgdl"),
+    )
+    hits = staged.select(
+        F.explode(
+            F.array_intersect(F.array_distinct(F.col("_t")), F.lit(terms))
+        ).alias("term")
+    )
+    rows = hits.groupBy("term").agg(F.count("*").alias("df")).collect()
+    try:
+        # an EMPTY hit set can elide the CollectMetrics node entirely
+        # (empty-stage propagation — observed metrics come back {}), in
+        # which case .get raises; fall back to the dedicated stats job.
+        # Only ever pays when NO query term matches the corpus.
+        if not rows:
+            raise ValueError("empty hit set: metrics not guaranteed")
+        head = obs.get
+        return (
+            int(head["n"]),
+            float(head["avgdl"] or 0.0),
+            {r["term"]: int(r["df"]) for r in rows},
+        )
+    except Exception:
+        n_docs, avgdl = corpus_stats(df, text_col)
+        return n_docs, avgdl, {r["term"]: int(r["df"]) for r in rows}
+
+
 def bm25_scores(
     df: DataFrame,
     text_col: str,
@@ -87,11 +133,11 @@ def bm25_scores(
     b: float = 0.75,
 ) -> DataFrame:
     """Append a ``bm25`` column scoring every document against ``query``
-    (0.0 for documents matching no term). Two control-plane stat jobs,
+    (0.0 for documents matching no term). One control-plane stat job
+    (stats + document frequencies share a scan via ``observe()``),
     then one narrow scoring expression — no shuffle, no UDF."""
     terms = _query_terms(query)
-    n_docs, avgdl = corpus_stats(df, text_col)
-    dfs = term_document_frequencies(df, text_col, terms)
+    n_docs, avgdl, dfs = _stats_and_dfs(df, text_col, terms)
     # BIND the token array to a column once: referencing the raw expression
     # per term would re-run normalize+tokenize |terms|+1 times per row (the
     # re-evaluation class the winnowing rewrite measured at 20x)
@@ -170,8 +216,7 @@ def bm25_batch_search(
     """
     qterms = {qid: _query_terms(q) for qid, q in queries.items()}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
-    n_docs, avgdl = corpus_stats(df, text_col)
-    dfs = term_document_frequencies(df, text_col, all_terms)
+    n_docs, avgdl, dfs = _stats_and_dfs(df, text_col, all_terms)
     spark = df.sparkSession
     qrows = [
         (qid, t, math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
