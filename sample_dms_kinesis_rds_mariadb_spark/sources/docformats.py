@@ -453,26 +453,41 @@ def route_document_texts(
     )
     is_sub = (is_vtt | is_srt) & ~is_doc
 
-    sub_text = subtitle_text(F.decode(F.col(content_col), "UTF-8"))
-    sub_rows = df.filter(is_sub).select(
-        F.col(id_col),
-        F.when(is_vtt, F.lit("vtt")).otherwise(F.lit("srt")).alias("format"),
-        sub_text.alias("text"),
-        F.length(sub_text).cast("int").alias("n_chars"),
-        F.lit(None).cast("string").alias("error"),
-        *keep,
+    # ONE pass for every non-doc payload (r13): the html and subtitle
+    # branches used to be separate filters over the input, so an opaque or
+    # expensive source was evaluated once per branch (3 scans of the input
+    # counting the doc branch — real read amplification at crawl scale).
+    # Merged: one filter, per-row `when` picks the subtitle or html text
+    # chain; rows and values are identical, the input is now evaluated
+    # exactly twice overall (JVM branch + Arrow doc branch). The text is
+    # STAGED into a column before n_chars so the lambda-bearing subtitle
+    # chain is not re-evaluated for the length (no CSE on lambda trees).
+    utf8 = F.decode(F.col(content_col), "UTF-8")
+    merged_text = F.when(is_sub, subtitle_text(utf8)).otherwise(
+        html_to_text(utf8)
     )
-
-    text = html_to_text(F.decode(F.col(content_col), "UTF-8"))
-    html_rows = df.filter(~is_doc & ~is_sub).select(
-        F.col(id_col),
-        F.lit("html").alias("format"),
-        text.alias("text"),
-        F.length(text).cast("int").alias("n_chars"),
-        F.lit(None).cast("string").alias("error"),
-        *keep,
+    merged_fmt = (
+        F.when(is_vtt & is_sub, F.lit("vtt"))
+        .when(is_sub, F.lit("srt"))
+        .otherwise(F.lit("html"))
     )
-    html_rows = html_rows.unionByName(sub_rows)
+    html_rows = (
+        df.filter(~is_doc)
+        .select(
+            F.col(id_col),
+            merged_fmt.alias("format"),
+            merged_text.alias("text"),
+            *keep,
+        )
+        .select(
+            F.col(id_col),
+            "format",
+            "text",
+            F.length("text").cast("int").alias("n_chars"),
+            F.lit(None).cast("string").alias("error"),
+            *keep,
+        )
+    )
 
     out_fields = [
         df.schema[id_col],
