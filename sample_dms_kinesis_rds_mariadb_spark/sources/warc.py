@@ -193,8 +193,15 @@ def warc_records(
     )
 
     def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar accumulation (r13): one list per OUTPUT COLUMN instead
+        # of one dict per record — pd.DataFrame from a dict of lists skips
+        # the per-row dict allocation and pandas' row-wise dict
+        # normalization (the parse pass's dominant non-zlib cost at ~2.4k
+        # records per input file). Same rows, same schema.
+        col_names = [f.name for f in schema.fields]
         for pdf in batches:
-            rows = []
+            cols: dict[str, list] = {name: [] for name in col_names}
+            ap = {name: cols[name].append for name in col_names}
             for fid, blob in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(blob) if blob is not None else b""
                 for i, rec in enumerate(iter_warc_records(data)):
@@ -204,28 +211,21 @@ def warc_records(
                     http_headers = rec.get("http_headers") or {}
                     ctype = http_headers.get("content-type")
                     body = rec.get("body")
-                    rows.append(
-                        {
-                            id_col: fid,
-                            "record_no": i,
-                            "warc_type": h.get("warc-type"),
-                            "record_id": h.get("warc-record-id"),
-                            "target_uri": h.get("warc-target-uri"),
-                            "warc_date": h.get("warc-date"),
-                            "http_status": rec.get("http_status"),
-                            "http_content_type": ctype,
-                            "content_length": len(rec["payload"]),
-                            "html": (
-                                decode_body(body, ctype)
-                                if body is not None
-                                else None
-                            ),
-                            **({"body": body} if include_body else {}),
-                        }
+                    ap[id_col](fid)
+                    ap["record_no"](i)
+                    ap["warc_type"](h.get("warc-type"))
+                    ap["record_id"](h.get("warc-record-id"))
+                    ap["target_uri"](h.get("warc-target-uri"))
+                    ap["warc_date"](h.get("warc-date"))
+                    ap["http_status"](rec.get("http_status"))
+                    ap["http_content_type"](ctype)
+                    ap["content_length"](len(rec["payload"]))
+                    ap["html"](
+                        decode_body(body, ctype) if body is not None else None
                     )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in schema.fields]
-            )
+                    if include_body:
+                        ap["body"](body)
+            yield pd.DataFrame(cols, columns=col_names)
 
     return df.select(id_col, content_col).mapInPandas(_explode, schema=schema)
 
