@@ -122,6 +122,79 @@ def simhash16_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col("_id").alias(id_col), fp.cast("int").alias("simhash16"))
 
 
+#: Arrow dispatch for the SimHash bit fold (r13): the zip_with fold is a
+#: lambda-bearing tree, so it is evaluated INTERPRETED — ~2*nbits element
+#: ops per token per row with per-op dispatch overhead. Above this many
+#: (tokens unknown at plan time, so the gate is just "a real session
+#: exists"), the fold runs as a numpy kernel over the staged hash array —
+#: pure integer math, bit-identical by construction. False = always use
+#: the JVM fold (the A/B lever; also the no-session fallback).
+SIMHASH_ARROW = True
+
+
+def _simhash_fp_arrow_udf(masks: list[int]):
+    """Arrow twin of :func:`_simhash_fp` — exact integer math, so
+    bit-identical (no float order-of-operations question at all): per
+    row, bit b's count is ``2*popcount_b - n_hashes`` (each hash adds +1
+    if ``h & masks[b] != 0`` else -1, exactly the fold's
+    ``when().otherwise(-1)``, which also maps a NULL hash element to -1 —
+    mirrored by substituting 0 for NULL elements, since ``0 & m == 0``);
+    the fingerprint is the int64 wrap-sum of the masks whose count is
+    positive. NULL hash ARRAY (NULL text) → NULL fingerprint, matching
+    the fold-over-NULL-array result the callers filter on."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Mu = np.asarray([m & 0xFFFFFFFFFFFFFFFF for m in masks], dtype=np.uint64)
+    Mi = Mu.view(np.int64)
+
+    def fp(harrs):
+        out = []
+        for a in harrs:
+            if a is None:
+                out.append(None)
+                continue
+            arr = np.asarray(
+                [0 if h is None else h for h in a], dtype=np.int64
+            )
+            if arr.size == 0:
+                out.append(0)
+                continue
+            bits = (arr.view(np.uint64)[:, None] & Mu[None, :]) != 0
+            counts = 2 * bits.sum(axis=0, dtype=np.int64) - arr.size
+            out.append(int(Mi[counts > 0].sum()))
+        return pd.Series(out, dtype="object")
+
+    fp.__annotations__ = {"harrs": pd.Series, "return": pd.Series}
+    return pandas_udf("long")(fp)
+
+
+def _simhash_fp_df(
+    df: DataFrame, id_col: str, hashes, masks: list[int], out_col: str
+) -> DataFrame:
+    """(id, fingerprint) with the fold auto-dispatched: the md5/xxhash64
+    hash computation ALWAYS stays a JVM codegen projection (staged into a
+    column so the Arrow input is just the array); only the bit fold
+    crosses to numpy when :data:`SIMHASH_ARROW` and a session is active.
+    NULL fingerprints (NULL text) are filtered — both the fold and the
+    kernel preserve that contract."""
+    use_arrow = SIMHASH_ARROW
+    if use_arrow:
+        from pyspark.sql import SparkSession
+
+        use_arrow = SparkSession.getActiveSession() is not None
+    if use_arrow:
+        staged = df.select(F.col(id_col), hashes.alias("_sh_hashes"))
+        fp = _simhash_fp_arrow_udf(masks)(F.col("_sh_hashes"))
+        return staged.select(F.col(id_col), fp.alias(out_col)).filter(
+            F.col(out_col).isNotNull()
+        )
+    return df.select(F.col(id_col), _simhash_fp(hashes, masks).alias(out_col)).filter(
+        F.col(out_col).isNotNull()
+    )
+
+
 def _simhash_fp(hashes, masks: list[int]):
     """SimHash fingerprint from a per-doc hash ARRAY, entirely in array
     space: fold the hashes into per-bit +1/-1 counts (one zip_with against
@@ -163,11 +236,10 @@ def simhash60_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.array_distinct(tokenize(normalize_text(F.col(text_col)))),
         lambda tk: F.conv(F.substring(F.md5(tk), 1, 15), 16, 10).cast("long"),
     )
-    fp = _simhash_fp(hashes, [1 << b for b in range(60)])
     # NULL text folds to a NULL fingerprint; the explode formulation
     # emitted NO row for such docs — keep that output contract
-    return df.select(F.col(id_col), fp.alias("simhash60")).filter(
-        F.col("simhash60").isNotNull()
+    return _simhash_fp_df(
+        df, id_col, hashes, [1 << b for b in range(60)], "simhash60"
     )
 
 
@@ -185,11 +257,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         tokenize(normalize_text(F.col(text_col))), lambda tk: F.xxhash64(tk)
     )
     masks = [1 << b for b in range(63)] + [-(1 << 63)]
-    fp = _simhash_fp(hashes, masks)
     # NULL text -> no row, matching the explode formulation (see simhash60)
-    return df.select(F.col(id_col), fp.alias("simhash")).filter(
-        F.col("simhash").isNotNull()
-    )
+    return _simhash_fp_df(df, id_col, hashes, masks, "simhash")
 
 
 def hamming64(a: Column, b: Column) -> Column:

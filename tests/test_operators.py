@@ -1584,6 +1584,34 @@ def test_simhash_null_text_emits_no_row(spark):
         assert all(r[col] is not None for r in rows)
 
 
+def test_simhash_arrow_fold_parity(spark, monkeypatch):
+    """The Arrow bit-fold kernel (r13) must be bit-identical to the JVM
+    zip_with fold on every edge the fold defines: plain text, empty
+    string, single token, long repetitive docs, non-ASCII, whitespace
+    runs — and the NULL-text no-row contract."""
+    from sample_dms_kinesis_rds_mariadb_spark.functions import hashing as hh
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, ""),
+            (2, None),
+            (3, "one"),
+            (4, "a b c d e f g h i j " * 30),
+            (5, "Ünïcode tökens ünïcode"),
+            (6, "  spaces   and\ttabs\nnewlines "),
+        ],
+        "doc_id long, text string",
+    )
+    for fn, col in ((hh.simhash60_md5, "simhash60"), (hh.simhash64, "simhash")):
+        monkeypatch.setattr(hh, "SIMHASH_ARROW", True)
+        arrow = {r["doc_id"]: r[col] for r in fn(df, "doc_id", "text").collect()}
+        monkeypatch.setattr(hh, "SIMHASH_ARROW", False)
+        jvm = {r["doc_id"]: r[col] for r in fn(df, "doc_id", "text").collect()}
+        assert arrow == jvm
+        assert 2 not in arrow  # NULL text emits no row on BOTH paths
+
+
 def test_temperature_rates_upsample_math():
     from sample_dms_kinesis_rds_mariadb_spark.operators.sampling import (
         temperature_rates,
