@@ -758,27 +758,36 @@ def connected_components(
     both = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
-    edges = both.distinct().localCheckpoint(eager=True)
+    plain = both.distinct().localCheckpoint(eager=True)
     labels = (
-        edges.select(F.col("u").alias("node"))
+        plain.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # r13 (guide §2.4): add a SELF-LOOP per node to the edge set, once at
+    # setup. The neighbor-min join then sees every node's OWN label as one
+    # of the joined rows, so min(label) over the group is already
+    # least(own, neighbor-min) — the separate labels-to-propagated left
+    # join (one join + its exchanges, PER ROUND) disappears, and the old
+    # label rides the same aggregate as max(label where v = u) for the
+    # convergence observe. Labels per round are pointwise identical to
+    # the two-join form: same trajectory, same round count, same result.
+    edges = plain.union(
+        labels.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    ).localCheckpoint(eager=True)
     for _ in range(max_iterations):
-        propagated = (
+        stepped = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy(F.col("u").alias("node"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        # neighbor-min step (label only ever decreases; NULL nbr_min for
-        # isolated nodes keeps the old label)
-        stepped = labels.join(propagated, "node", "left").select(
-            "node",
-            F.col("label").alias("_old"),
-            F.least(
-                F.col("label"), F.coalesce("nbr_min", F.col("label"))
-            ).alias("_mid"),
+            .agg(
+                F.min("label").alias("_mid"),
+                # exactly one self-loop row per group carries v = u, i.e.
+                # the node's own current label (max over {label, NULL...})
+                F.max(
+                    F.when(F.col("v") == F.col("u"), F.col("label"))
+                ).alias("_old"),
+            )
         )
         # pointer jump: adopt label(label(node)) — labels are node ids of
         # the same component, so the jump stays in-component and only
