@@ -298,11 +298,22 @@ def expand_archives(
     cols = [f.name for f in out_schema.fields]
 
     def _expand(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # columnar accumulation (r13): one list per output column, the
+        # warc.py exploder idiom — same rows, same schema
         for pdf in batches:
-            rows = []
-            for i in range(len(pdf)):
-                rid = pdf[id_col].iloc[i]
-                raw = pdf[content_col].iloc[i]
+            out: dict[str, list] = {name: [] for name in cols}
+            ap = {name: out[name].append for name in cols}
+
+            def _row(rid, fmt, idx, name, data, nb, err):
+                ap[id_col](rid)
+                ap["archive_format"](fmt)
+                ap["member_index"](idx)
+                ap["member_name"](name)
+                ap["member_bytes"](data)
+                ap["n_bytes"](nb)
+                ap["error"](err)
+
+            for rid, raw in zip(pdf[id_col], pdf[content_col]):
                 blob = bytes(raw) if raw is not None else b""
                 try:
                     fmt, members = expand_archive(
@@ -312,26 +323,13 @@ def expand_archives(
                         max_total_bytes=max_total_bytes,
                     )
                     for idx, (name, data) in enumerate(members):
-                        rows.append({
-                            id_col: rid, "archive_format": fmt,
-                            "member_index": idx, "member_name": name,
-                            "member_bytes": data, "n_bytes": len(data),
-                            "error": None,
-                        })
+                        _row(rid, fmt, idx, name, data, len(data), None)
                     if not members:
-                        rows.append({
-                            id_col: rid, "archive_format": fmt,
-                            "member_index": None, "member_name": None,
-                            "member_bytes": None, "n_bytes": None,
-                            "error": "empty archive",
-                        })
+                        _row(rid, fmt, None, None, None, None,
+                             "empty archive")
                 except Exception as exc:  # noqa: BLE001 — per-row contract
-                    rows.append({
-                        id_col: rid, "archive_format": None,
-                        "member_index": None, "member_name": None,
-                        "member_bytes": None, "n_bytes": None,
-                        "error": f"{type(exc).__name__}: {exc}"[:500],
-                    })
-            yield pd.DataFrame(rows, columns=cols)
+                    _row(rid, None, None, None, None, None,
+                         f"{type(exc).__name__}: {exc}"[:500])
+            yield pd.DataFrame(out, columns=cols)
 
     return df.select(id_col, content_col).mapInPandas(_expand, schema=out_schema)

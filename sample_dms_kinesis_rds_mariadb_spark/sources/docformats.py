@@ -351,9 +351,12 @@ def extract_document_texts(df: DataFrame) -> DataFrame:
     row survives, the job never aborts."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar accumulation (r13): one list per output column, the
+        # warc.py exploder idiom — same rows, same schema
+        col_names = [f.name for f in DOC_TEXT_SCHEMA.fields]
         for pdf in batches:
-            rows = []
-            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            fmts, texts, lens, errs = [], [], [], []
+            for content in pdf["content"]:
                 blob = bytes(content) if content is not None else b""
                 fmt = sniff_document_format(blob)
                 text = None
@@ -368,17 +371,19 @@ def extract_document_texts(df: DataFrame) -> DataFrame:
                     # self-referential structures, TypeError from malformed
                     # value types — so catch broadly here at the boundary.
                     err = f"{type(exc).__name__}: {exc}"[:500]
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "format": fmt,
-                        "text": text,
-                        "n_chars": len(text) if text is not None else None,
-                        "error": err,
-                    }
-                )
+                fmts.append(fmt)
+                texts.append(text)
+                lens.append(len(text) if text is not None else None)
+                errs.append(err)
             yield pd.DataFrame(
-                rows, columns=[f.name for f in DOC_TEXT_SCHEMA.fields]
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": fmts,
+                    "text": texts,
+                    "n_chars": lens,
+                    "error": errs,
+                },
+                columns=col_names,
             )
 
     return df.select("doc_id", "content").mapInPandas(
@@ -499,10 +504,14 @@ def route_document_texts(
     out_schema = T.StructType(out_fields)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar accumulation (r13): one list per output column instead
+        # of one dict per row — the warc.py exploder idiom; same rows,
+        # same schema, skips per-row dict allocation and pandas' row-wise
+        # normalization
+        col_names = [f.name for f in out_fields]
         for pdf in batches:
-            rows = []
-            for i in range(len(pdf)):
-                content = pdf[content_col].iloc[i]
+            fmts, texts, lens, errs = [], [], [], []
+            for content in pdf[content_col]:
                 blob = bytes(content) if content is not None else b""
                 fmt = sniff_document_format(blob)
                 text = None
@@ -511,19 +520,20 @@ def route_document_texts(
                     fmt, text = document_text(blob, fmt)
                 except Exception as exc:  # noqa: BLE001 — per-row contract
                     err = f"{type(exc).__name__}: {exc}"[:500]
-                row = {
-                    id_col: pdf[id_col].iloc[i],
-                    "format": fmt,
-                    "text": text,
-                    "n_chars": len(text) if text is not None else None,
-                    "error": err,
-                }
-                for k in keep:
-                    row[k] = pdf[k].iloc[i]
-                rows.append(row)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in out_fields]
-            )
+                fmts.append(fmt)
+                texts.append(text)
+                lens.append(len(text) if text is not None else None)
+                errs.append(err)
+            cols = {
+                id_col: pdf[id_col],
+                "format": fmts,
+                "text": texts,
+                "n_chars": lens,
+                "error": errs,
+            }
+            for k in keep:
+                cols[k] = pdf[k]
+            yield pd.DataFrame(cols, columns=col_names)
 
     doc_rows = df.filter(is_doc).select(
         id_col, content_col, *keep
