@@ -957,13 +957,26 @@ def main() -> None:
     # through the document front door — the full pre-pass a crawl pays
     # for archive payloads, timed end-to-end so the sidecar carries a
     # members/s figure through the composed path
+    # r13 (guide §2.4/§3.3): route_document_texts forks its input into a
+    # doc branch and an html branch — two evaluations of the upstream.
+    # Over a parquet scan that is the cheap choice (re-scan beats a
+    # shuffle of the payload bytes), but here the upstream is the
+    # expand_archives PYTHON pass, so the fork ran the whole zip-inflate
+    # pass twice (profiled: the save stage carried 64 tasks and ~2x the
+    # blocked-on-Python time). An eager localCheckpoint materializes the
+    # member rows ONCE inside the timed chain; both branches then read
+    # the materialized partitions. Exchange reuse cannot express this in
+    # Spark 4.1 (Python subtrees do not canonicalize equal; AQE drops
+    # checkpoint partitioning metadata), so the checkpoint is the
+    # mechanism. A/B: 3.6-5.3s -> 2.3-4.9s per pairing, every pair faster.
     _robust(
         "archive_to_document_route",
         lambda: route_document_texts(
             expand_archives(_arc_df)
             .filter(F.col("error").isNull())
             .select("doc_id", "member_name",
-                    F.col("member_bytes").alias("content")),
+                    F.col("member_bytes").alias("content"))
+            .localCheckpoint(eager=True),
         ).write.mode("overwrite").format("noop").save(),
     )
     media_pipeline["archive_routed_members_per_sec"] = round(
