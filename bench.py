@@ -711,11 +711,12 @@ def main() -> None:
         )
         return bytes(out)
 
-    _pdf_df = spark.createDataFrame(
+    _pdf_raw = spark.createDataFrame(
         [(int(r["doc_id"]), bytearray(_mini_pdf(r["t"] or "")))
          for r in _doc_rows],
         "doc_id LONG, content BINARY",
-    ).repartition(32)
+    )
+    _pdf_df = _pdf_raw.repartition(32)
     _robust(
         "pdf_text_extraction",
         lambda: extract_document_texts(_pdf_df).write.mode("overwrite")
@@ -814,18 +815,25 @@ def main() -> None:
              r["t"] or "")))
         for r in _zip_rows
     ]
-    _fmt_dfs = {
-        "pdf": _pdf_df,
+    # r13 (guide §2.4): the mixed leg used to union SEVEN per-format
+    # frames that were EACH already .repartition(32)'d, then repartition
+    # the union again — eight exchanges (and their AQE stage-jobs) inside
+    # the timed chain where one suffices. The raw frames now union first
+    # and the single outer repartition spreads the mixed corpus; the
+    # per-format diagnostic frames keep their own repartition (each is
+    # timed alone and needs the spread). Same rows either way.
+    _fmt_raw = {
+        "pdf": _pdf_raw,
         "epub": spark.createDataFrame(
             _zip_payloads[:_n_zipfmt], "doc_id LONG, content BINARY"
-        ).repartition(32),
+        ),
         "docx": spark.createDataFrame(
             _zip_payloads[_n_zipfmt:2 * _n_zipfmt],
             "doc_id LONG, content BINARY",
-        ).repartition(32),
+        ),
         "odt": spark.createDataFrame(
             _zip_payloads[2 * _n_zipfmt:], "doc_id LONG, content BINARY"
-        ).repartition(32),
+        ),
         "rtf": (
             _lt(spark, sf_dir, "documents")
             .filter((F.col("doc_id") >= _n_pdf + 3 * _n_zipfmt)
@@ -881,9 +889,14 @@ def main() -> None:
             )
         ),
     }
-    _mixed_df = _fmt_dfs["pdf"]
+    _fmt_dfs = {
+        "pdf": _pdf_df,
+        **{k: v.repartition(32)
+           for k, v in _fmt_raw.items() if k != "pdf"},
+    }
+    _mixed_df = _fmt_raw["pdf"]
     for _k in ("epub", "docx", "odt", "rtf", "srt", "html"):
-        _mixed_df = _mixed_df.unionByName(_fmt_dfs[_k])
+        _mixed_df = _mixed_df.unionByName(_fmt_raw[_k])
     _mixed_df = _mixed_df.repartition(32)
     _n_mixed = _mixed_df.count()
     _robust(
@@ -1245,6 +1258,12 @@ def main() -> None:
     # provisional values were computed from the cold runs)
     media_pipeline["payloads_per_sec"] = round(
         _n_media / timings["media_metadata_sweep"], 1
+    )
+    # r13: vorbis was the one throughput figure left computed from the
+    # COLD run only (18.6/s cold vs ~100/s at the finalized median) —
+    # refresh it with the median like every other media figure
+    media_pipeline["vorbis_payloads_per_sec"] = round(
+        _n_vorbis / timings["vorbis_decode_features"], 1
     )
     media_pipeline["pdf_docs_per_sec"] = round(
         len(_doc_rows) / timings["pdf_text_extraction"], 1
