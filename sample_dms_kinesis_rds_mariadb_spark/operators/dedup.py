@@ -731,6 +731,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    broadcast_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of an undirected pair graph: (node, component)
     with ``component`` = the smallest node id in the component.
@@ -776,9 +777,24 @@ def connected_components(
     edges = plain.union(
         labels.select(F.col("node").alias("u"), F.col("node").alias("v"))
     ).localCheckpoint(eager=True)
+    # r13 (guide §3.1): pick the per-round join strategy DELIBERATELY.
+    # The labels frame is checkpointed, so the planner sees no size
+    # estimate and falls back to sort-merge — two exchanges of the edge
+    # set's join per round even when labels would comfortably broadcast.
+    # The node set is fixed across rounds, so one count at setup decides:
+    # below ``broadcast_nodes`` rows (default 1M ≈ tens of MB built) the
+    # labels/parent sides ship as broadcast hash relations and the rounds
+    # run exchange-free except the min-aggregate; above it the sort-merge
+    # path stands (labels at corpus scale must never be collected).
+    _small = labels.count() <= int(broadcast_nodes)
+
+    def _maybe_bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if _small else df
+
     for _ in range(max_iterations):
+        lab = _maybe_bc(labels)
         stepped = (
-            edges.join(labels, edges["v"] == labels["node"])
+            edges.join(lab, edges["v"] == lab["node"])
             .groupBy(F.col("u").alias("node"))
             .agg(
                 F.min("label").alias("_mid"),
@@ -797,9 +813,10 @@ def connected_components(
             F.col("node").alias("_p_node"), F.col("_mid").alias("_p_label")
         )
         obs = Observation()
+        par = _maybe_bc(parent)
         new_labels = (
             stepped.join(
-                parent, stepped["_mid"] == parent["_p_node"], "left"
+                par, stepped["_mid"] == par["_p_node"], "left"
             )
             .select(
                 "node",

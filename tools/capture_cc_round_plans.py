@@ -75,13 +75,17 @@ def main() -> None:
         .select("node", "label")
     )
 
-    # ---- AFTER (HEAD dedup.py:776-820): self-loop edges, ONE join + agg
-    # carries both _mid and _old, then the jump self-join
+    # ---- AFTER (HEAD dedup.py): self-loop edges, ONE join + agg
+    # carries both _mid and _old, then the jump self-join; on the
+    # small-graph path (node count <= broadcast_nodes) the labels and
+    # parent sides ship as broadcast relations, so the round is
+    # exchange-free except the min-aggregate
     edges_a = plain.union(
         labels.select(F.col("node").alias("u"), F.col("node").alias("v"))
     ).localCheckpoint(eager=True)
+    lab_a = F.broadcast(labels)
     stepped_a = (
-        edges_a.join(labels, edges_a["v"] == labels["node"])
+        edges_a.join(lab_a, edges_a["v"] == lab_a["node"])
         .groupBy(F.col("u").alias("node"))
         .agg(
             F.min("label").alias("_mid"),
@@ -90,9 +94,9 @@ def main() -> None:
             ).alias("_old"),
         )
     )
-    parent_a = stepped_a.select(
+    parent_a = F.broadcast(stepped_a.select(
         F.col("node").alias("_p_node"), F.col("_mid").alias("_p_label")
-    )
+    ))
     round_after = (
         stepped_a.join(parent_a, stepped_a["_mid"] == parent_a["_p_node"],
                        "left")
