@@ -754,6 +754,13 @@ def connected_components(
     Convergence detection rides the SAME job as the label update via
     ``observe()`` (changed iff a neighbor min or the jump undercuts the
     node's label), so each round is exactly one Spark job.
+
+    ``broadcast_nodes`` picks the per-round join strategy (guide-§3.1
+    deliberately, since the checkpointed labels frame carries no size
+    estimate for the planner): at or below this node count the labels /
+    jump sides ship as broadcast hash relations (rounds exchange-free
+    except the min-aggregate); above it every round stays sort-merge and
+    nothing is ever collected.
     """
     from pyspark.sql import Observation
     both = pairs.select(
