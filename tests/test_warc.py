@@ -209,3 +209,64 @@ def test_html_link_anchors_parity(spark):
         ("https://c.ex/z", "spaced out"),
     ]
     assert got[1] == [] and got[2] == []
+
+
+def test_gunzip_members_chunked_walk():
+    """The bounded-feed gzip walk (r13 optimization: O(chunk) copies per
+    member instead of O(remaining file)) across the shapes the chunking
+    can get wrong: a member BIGGER than the feed chunk, a member ending
+    exactly on a chunk boundary, and many tiny members."""
+    import gzip
+    import io
+    import zlib
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources import warc as warc_mod
+
+    def gz(data: bytes) -> bytes:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(data)
+        return buf.getvalue()
+
+    chunk = warc_mod._GZ_CHUNK
+    rng = random.Random(7)
+    # incompressible payload so the COMPRESSED member exceeds the chunk
+    big = bytes(rng.randrange(256) for _ in range(3 * chunk))
+    small = [f"member {i}".encode() for i in range(50)]
+    members = [gz(big)] + [gz(s) for s in small] + [gz(b"")]
+    blob = b"".join(members)
+    assert len(members[0]) > chunk  # the multi-chunk member really is one
+    out = warc_mod._gunzip_members(blob)
+    assert out == big + b"".join(small)
+
+    # member boundary exactly at a chunk boundary: pad the first member
+    # with a second one sized so the pair ends at k*chunk, then append a
+    # third — the walk must restart cleanly at the boundary
+    first = gz(b"A" * 100)
+    pad_target = 2 * chunk - len(first)
+    # binary search a payload length whose gzipped size lands on target
+    lo, hi = pad_target // 2, 4 * pad_target
+    payload = None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        cand = bytes(rng.randrange(256) for _ in range(mid))
+        size = len(gz(cand))
+        if size == pad_target:
+            payload = cand
+            break
+        if size < pad_target:
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    if payload is not None:  # exact landing is rng-dependent; skip if not
+        aligned = first + gz(payload) + gz(b"tail")
+        assert len(first + gz(payload)) == 2 * chunk
+        assert warc_mod._gunzip_members(aligned) == b"A" * 100 + payload + b"tail"
+
+    # corrupt member mid-stream still raises with the member's offset
+    corrupt = gz(b"ok") + b"\x1f\x8b" + b"\x00" * 40
+    try:
+        warc_mod._gunzip_members(corrupt)
+        raise AssertionError("corrupt member did not raise")
+    except ValueError as exc:
+        assert "corrupt gzip member" in str(exc)
