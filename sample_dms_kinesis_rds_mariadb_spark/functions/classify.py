@@ -77,6 +77,12 @@ def feature_indices(features: Column, dim: int) -> Column:
 # executor count can parallelize.
 BROADCAST_DIM = 1024
 
+#: Master toggle for the broadcast+Arrow dispatch in :func:`linear_score`
+#: (r14, the SIMHASH_ARROW idiom — the r13 review asked for an explicit
+#: opt-out lever): False pins every call to the plan-literal JVM path
+#: regardless of dim. Per-call override: the ``use_arrow`` keyword.
+LINEAR_SCORE_ARROW = True
+
 
 def linear_score(
     text: Column,
@@ -84,6 +90,7 @@ def linear_score(
     bias: float = 0.0,
     *,
     bigrams: bool = True,
+    use_arrow: bool | None = None,
 ) -> Column:
     """Raw classifier margin: ``bias + mean(weights[h(f)] for f in features)``
     — the fastText shallow-classifier shape (mean, not sum, so long documents
@@ -99,9 +106,18 @@ def linear_score(
     At ``len(weights) >= BROADCAST_DIM`` this auto-dispatches to
     :func:`linear_score_broadcast` (bit-identical margins — sequential
     cumsum fold; see BROADCAST_DIM above for the measured crossover)
-    whenever an active SparkSession is available to own the broadcast."""
+    whenever an active SparkSession is available to own the broadcast.
+    NOTE: on that path the returned Column carries an Arrow pandas UDF,
+    not a pure JVM expression — callers that REQUIRE the JVM contract
+    (e.g. nesting the score inside a higher-order-function lambda, where
+    Python UDFs are rejected at analysis, or building Columns on a
+    thread with no active session) must pass ``use_arrow=False`` (or
+    clear :data:`LINEAR_SCORE_ARROW`) to pin the literal path; the
+    session consulted is thread-local (``getActiveSession``), so the
+    dispatch is per-calling-thread by construction."""
     dim = len(weights)
-    if dim >= BROADCAST_DIM:
+    arrow_wanted = LINEAR_SCORE_ARROW if use_arrow is None else use_arrow
+    if arrow_wanted and dim >= BROADCAST_DIM:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
@@ -126,10 +142,12 @@ def classifier_probability(
     bias: float = 0.0,
     *,
     bigrams: bool = True,
+    use_arrow: bool | None = None,
 ) -> Column:
     """Sigmoid of :func:`linear_score` — P(label=1), e.g. "looks like
-    curated text" for a quality classifier trained wiki-vs-crawl."""
-    z = linear_score(text, weights, bias, bigrams=bigrams)
+    curated text" for a quality classifier trained wiki-vs-crawl.
+    ``use_arrow`` passes through (see :func:`linear_score`)."""
+    z = linear_score(text, weights, bias, bigrams=bigrams, use_arrow=use_arrow)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
@@ -140,15 +158,16 @@ def classifier_keep(
     threshold: float = 0.5,
     *,
     bigrams: bool = True,
+    use_arrow: bool | None = None,
 ) -> Column:
     """Boolean keep verdict at ``probability >= threshold`` — drop straight
     into ``df.filter(...)`` or an ``audited_filter`` gate. Thresholding the
     margin directly (``score >= logit(threshold)``) would be equivalent;
     the probability form keeps the threshold in the unit the model card
     quotes."""
-    return classifier_probability(text, weights, bias, bigrams=bigrams) >= F.lit(
-        float(threshold)
-    )
+    return classifier_probability(
+        text, weights, bias, bigrams=bigrams, use_arrow=use_arrow
+    ) >= F.lit(float(threshold))
 
 
 def _arrow_margin(bweights):

@@ -185,6 +185,13 @@ def _simhash_fp_df(
 
         use_arrow = SparkSession.getActiveSession() is not None
     if use_arrow:
+        # staged-column collision guard (the decontaminate_bloom
+        # '_bloom_toks' rule): fail precisely, not with an ambiguous-
+        # reference analysis error downstream
+        if "_sh_hashes" in df.columns:
+            raise ValueError(
+                "column collision: input already has '_sh_hashes'"
+            )
         staged = df.select(F.col(id_col), hashes.alias("_sh_hashes"))
         fp = _simhash_fp_arrow_udf(masks)(F.col("_sh_hashes"))
         return staged.select(F.col(id_col), fp.alias(out_col)).filter(

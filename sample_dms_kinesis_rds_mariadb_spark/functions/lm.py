@@ -55,14 +55,55 @@ def _doc_tokens(col):
 
 
 def train_ngram_counts(
-    df: DataFrame, text_col: str, vocab_size: int = 65_536
+    df: DataFrame, text_col: str, vocab_size: int = 65_536,
+    single_scan: bool = True,
 ) -> dict:
     """Train the bigram model: unigram and bigram counts over the corpus,
     truncated to the ``vocab_size`` most frequent of each (Zipf's head
     carries the mass; the tail backs off). Two aggregates, both
     TakeOrdered-bounded — the returned dict is the bounded model:
-    ``{"unigrams": {tok: n}, "bigrams": {(a, b): n}, "total": N}``."""
+    ``{"unigrams": {tok: n}, "bigrams": {(a, b): n}, "total": N}``.
+
+    ``single_scan`` (default): ONE corpus read for both orders, with the
+    aggregated (key, n) frame eagerly checkpointed so the two TakeOrdered
+    cuts read it — the storage trade is that DISTINCT bigrams grow
+    roughly with corpus tokens, so the checkpoint can occupy real
+    executor storage at extreme corpus scale. Pass ``single_scan=False``
+    to fall back to the two-scan streaming form (each order is one
+    explode → aggregate → TakeOrdered job, nothing materialized) when
+    the corpus is big enough that a second read is cheaper than holding
+    the distinct-bigram aggregate on disk (r13 review note)."""
     toks = _doc_tokens(F.col(text_col))
+    if not single_scan:
+        staged = df.select(toks.alias("_t"))
+        uni_rows = (
+            staged.select(F.explode(F.col("_t")).alias("g"))
+            .groupBy("g")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "g")
+            .limit(vocab_size)
+            .collect()
+        )
+        bi_rows = (
+            staged.select(
+                F.explode(word_ngrams(F.col("_t"), 2)).alias("g")
+            )
+            .groupBy("g")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "g")
+            .limit(vocab_size)
+            .collect()
+        )
+        unigrams = {r["g"]: int(r["n"]) for r in uni_rows}
+        bigrams = {}
+        for r in bi_rows:
+            a, _, b = r["g"].partition(" ")
+            bigrams[(a, b)] = int(r["n"])
+        return {
+            "unigrams": unigrams,
+            "bigrams": bigrams,
+            "total": sum(unigrams.values()),
+        }
     # ONE corpus scan for both orders (r13, guide §1.2 — fewer passes):
     # unigram and bigram keys are DISJOINT string spaces (clean_tokens
     # splits on whitespace, so no token contains a space; every bigram

@@ -732,6 +732,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 25,
     broadcast_nodes: int = 1_000_000,
+    broadcast_max_bytes: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """Connected components of an undirected pair graph: (node, component)
     with ``component`` = the smallest node id in the component.
@@ -755,11 +756,13 @@ def connected_components(
     ``observe()`` (changed iff a neighbor min or the jump undercuts the
     node's label), so each round is exactly one Spark job.
 
-    ``broadcast_nodes`` picks the per-round join strategy (guide-§3.1
-    deliberately, since the checkpointed labels frame carries no size
-    estimate for the planner): at or below this node count the labels /
-    jump sides ship as broadcast hash relations (rounds exchange-free
-    except the min-aggregate); above it every round stays sort-merge and
+    ``broadcast_nodes`` / ``broadcast_max_bytes`` pick the per-round join
+    strategy (guide-§3.1 deliberately, since the checkpointed labels frame
+    carries no size estimate for the planner): at or below BOTH the node
+    count and the estimated built size (node count × id width — wide
+    string ids stop broadcasting long before 1M rows) the labels / jump
+    sides ship as broadcast hash relations (rounds exchange-free except
+    the min-aggregate); above either bar every round stays sort-merge and
     nothing is ever collected.
     """
     from pyspark.sql import Observation
@@ -788,12 +791,28 @@ def connected_components(
     # The labels frame is checkpointed, so the planner sees no size
     # estimate and falls back to sort-merge — two exchanges of the edge
     # set's join per round even when labels would comfortably broadcast.
-    # The node set is fixed across rounds, so one count at setup decides:
-    # below ``broadcast_nodes`` rows (default 1M ≈ tens of MB built) the
-    # labels/parent sides ship as broadcast hash relations and the rounds
-    # run exchange-free except the min-aggregate; above it the sort-merge
-    # path stands (labels at corpus scale must never be collected).
-    _small = labels.count() <= int(broadcast_nodes)
+    # The node set is fixed across rounds, so one setup aggregate decides:
+    # below ``broadcast_nodes`` rows AND below ``broadcast_max_bytes``
+    # ESTIMATED built size (r14, review note: a bare row count lets wide
+    # string ids — URLs, hex digests — push the per-round broadcast to
+    # hundreds of MB; rows x avg id width + hash-relation overhead is the
+    # quantity that actually hits driver/executor memory) the labels /
+    # parent sides ship as broadcast hash relations and the rounds run
+    # exchange-free except the min-aggregate; above either bar the
+    # sort-merge path stands (labels at corpus scale are never collected).
+    # The width ride the SAME setup job as the count — no extra pass.
+    _stats = labels.agg(
+        F.count("*").alias("n"),
+        F.avg(F.octet_length(F.col("node").cast("string"))).alias("w"),
+    ).collect()[0]
+    _n_nodes = int(_stats["n"] or 0)
+    # ~48 bytes/row of UnsafeRow + hash-relation overhead per side (two
+    # columns, both the id type); label column costs another id width
+    _est_bytes = _n_nodes * (2 * float(_stats["w"] or 8.0) + 48.0)
+    _small = (
+        _n_nodes <= int(broadcast_nodes)
+        and _est_bytes <= float(broadcast_max_bytes)
+    )
 
     def _maybe_bc(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if _small else df
@@ -857,6 +876,8 @@ def dedup_connected(
     id_col: str,
     keep: str = "min_id",
     quality_col: str | None = None,
+    broadcast_nodes: int = 1_000_000,
+    broadcast_max_bytes: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """Transitive near-dup removal: keep exactly ONE document per connected
     component of the candidate-pair graph; documents in no pair survive
@@ -876,8 +897,17 @@ def dedup_connected(
     ``"best"`` window runs on the labeled slice only (docs that appear in
     a pair — candidate-generator-bounded, never the corpus), partitioned
     by component, and the final anti-join is id-keyed.
+
+    ``broadcast_nodes`` / ``broadcast_max_bytes`` pass through to
+    :func:`connected_components`' per-round join-strategy gate (r14,
+    review note: callers with wide ids or huge pair graphs need the lever
+    without calling the label-propagation layer directly).
     """
-    comps = connected_components(pairs)
+    comps = connected_components(
+        pairs,
+        broadcast_nodes=broadcast_nodes,
+        broadcast_max_bytes=broadcast_max_bytes,
+    )
     if keep == "min_id":
         losers = comps.filter(F.col("node") != F.col("component")).select(
             F.col("node").alias(id_col)

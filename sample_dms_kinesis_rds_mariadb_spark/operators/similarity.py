@@ -24,6 +24,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sample_dms_kinesis_rds_mariadb_spark.functions import vectors as _vec
 from sample_dms_kinesis_rds_mariadb_spark.functions.vectors import (
     cosine_similarity,
     dot,
@@ -32,6 +33,37 @@ from sample_dms_kinesis_rds_mariadb_spark.functions.vectors import (
     quantized_cosine,
     to_double_array,
 )
+
+
+def _cosine_arrow_ok(spark, dim: int | None = None) -> bool:
+    """Arrow-kernel dispatch gate for the cosine folds (r14, guide §4.2):
+    the module toggle (``vectors.COSINE_ARROW`` — the A/B lever and
+    opt-out), a live session to own broadcasts/UDF registration, and —
+    where the dimension is knowable at plan time — a dim worth the Python
+    boundary round-trip. Callers pass the DATAFRAME's session (not
+    thread-local ambient state) wherever one exists."""
+    if not _vec.COSINE_ARROW or spark is None:
+        return False
+    return dim is None or dim >= _vec.COSINE_ARROW_MIN_DIM
+
+
+def _probe_sim(df: DataFrame, vec_col: str, probe: list[float]):
+    """cosine vs a probe literal, auto-dispatched: the Arrow kernel
+    (broadcast probe + cumsum folds — bit-identical, see vectors.py)
+    above the dim gate, the interpreted JVM fold otherwise."""
+    if _cosine_arrow_ok(df.sparkSession, len(probe)):
+        return _vec.probe_cosine_arrow_udf(df.sparkSession, probe)(
+            to_double_array(F.col(vec_col))
+        )
+    return cosine_similarity(to_double_array(F.col(vec_col)), _probe_lit(probe))
+
+
+def _pair_dot(va, vb, spark):
+    """dot(va, vb) for pair operators (norms staged separately),
+    auto-dispatched to the cumsum kernel — the guard/division stay JVM."""
+    if _cosine_arrow_ok(spark):
+        return _vec.pair_dot_arrow_udf()(va, vb)
+    return dot(va, vb)
 
 
 def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
@@ -54,8 +86,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine vs a probe vector. orderBy+limit compiles to
     TakeOrdered (per-partition heap + driver merge of k·P rows), never a
-    global sort."""
-    sim = cosine_similarity(to_double_array(F.col(vec_col)), _probe_lit(probe))
+    global sort. The per-row cosine auto-dispatches to the Arrow cumsum
+    kernel (bit-identical; r14, guide §4.2)."""
+    sim = _probe_sim(df, vec_col, probe)
     return (
         df.select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
@@ -107,11 +140,21 @@ def quantized_topk_rerank(
     if k < 1 or oversample < 1:
         raise ValueError("k and oversample must be >= 1")
     q_probe, _scale = _py_quantize(probe)
-    qp = F.array(*[F.lit(int(x)) for x in q_probe]).cast("array<tinyint>")
+    # corpus-wide coarse pass: auto-dispatch the interpreted int8 fold to
+    # the Arrow cumsum kernel (bit-identical — pure integer inputs widened
+    # exactly to float64; r14, guide §4.2). The oversample·k-row exact
+    # rerank below stays on the JVM fold (not worth a Python round-trip).
+    if _cosine_arrow_ok(df.sparkSession, len(q_probe)):
+        qsim = _vec.quantized_probe_cosine_arrow_udf(df.sparkSession, q_probe)(
+            F.col(q_col)
+        )
+    else:
+        qp = F.array(*[F.lit(int(x)) for x in q_probe]).cast("array<tinyint>")
+        qsim = quantized_cosine(F.col(q_col), qp)
     coarse = (
         df.select(
             F.col(id_col),
-            quantized_cosine(F.col(q_col), qp).alias("_qsim"),
+            qsim.alias("_qsim"),
         )
         .orderBy(F.col("_qsim").desc_nulls_last(), F.col(id_col))
         .limit(int(oversample) * int(k))
@@ -206,7 +249,7 @@ def lsh_bucketed_topk(
         buckets += [probe_bucket ^ (1 << i) for i in range(n_planes)]
 
     bucketed = with_lsh_buckets(df, vec_col, n_planes, seed, dim=dim)
-    sim = cosine_similarity(to_double_array(F.col(vec_col)), _probe_lit(probe))
+    sim = _probe_sim(df, vec_col, probe)
     return (
         bucketed.filter(F.col("lsh_bucket").isin(buckets))
         .select(F.col(id_col), sim.alias("cosine_sim"))
@@ -652,9 +695,7 @@ class IvfIndex:
             )
         if coarse != "exact":
             raise ValueError(f"coarse must be 'exact' or 'int8', got {coarse!r}")
-        sim = cosine_similarity(
-            to_double_array(F.col(self.vec_col)), _probe_lit(probe)
-        )
+        sim = _probe_sim(scan, self.vec_col, probe)
         return (
             scan.select(F.col(self.id_col), sim.alias("cosine_sim"))
             .orderBy(F.col("cosine_sim").desc(), F.col(self.id_col))
@@ -680,7 +721,7 @@ def ivf_topk(
     )
     probe_lists = _nearest_lists(centroids, probe, n_probe)
 
-    sim = cosine_similarity(to_double_array(F.col(vec_col)), _probe_lit(probe))
+    sim = _probe_sim(assigned, vec_col, probe)
     return (
         assigned.filter(F.col("ivf_list").isin(probe_lists))
         .select(F.col(id_col), sim.alias("cosine_sim"))
@@ -733,9 +774,13 @@ def cosine_self_join_topk(
         F.col("_v").alias("vb"),
         F.col("_n").alias("nb"),
     )
+    # per-pair dot auto-dispatches to the Arrow cumsum kernel (r14, guide
+    # §4.2); guard + division stay JVM, so the zero/NULL-norm contract is
+    # untouched
     sim = F.when(
         (F.col("na") > 0) & (F.col("nb") > 0),
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        _pair_dot(F.col("va"), F.col("vb"), df.sparkSession)
+        / (F.col("na") * F.col("nb")),
     )
     return (
         a.join(c, "lsh_bucket")
@@ -803,7 +848,8 @@ def hard_negatives(
     )
     sim = F.when(
         (F.col("na") > 0) & (F.col("nb") > 0),
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        _pair_dot(F.col("va"), F.col("vb"), df.sparkSession)
+        / (F.col("na") * F.col("nb")),
     )
     pairs = (
         a.join(c, "lsh_bucket")
@@ -926,8 +972,12 @@ def semantic_dedup_pairs(
         F.expr("slice(_ms, _i + 2, size(_ms))").alias("_rest"),
     )
     na, nb = F.col("_a.n"), F.col("_b.n")
+    # per-pair dot auto-dispatches to the Arrow cumsum kernel (r14): the
+    # pair count is quadratic in list occupancy, so this is the corpus-
+    # scaling cost of SemDeDup; guard + division stay JVM
     sim = F.when(
-        (na > 0) & (nb > 0), dot(F.col("_a.v"), F.col("_b.v")) / (na * nb)
+        (na > 0) & (nb > 0),
+        _pair_dot(F.col("_a.v"), F.col("_b.v"), df.sparkSession) / (na * nb),
     )
     return (
         lhs.select(
@@ -1148,7 +1198,8 @@ class SemanticDedupIndex:
         )
         sim = F.when(
             (F.col("_nn") > 0) & (F.col("_sn") > 0),
-            dot(F.col("_nv"), F.col("_sv")) / (F.col("_nn") * F.col("_sn")),
+            _pair_dot(F.col("_nv"), F.col("_sv"), self.spark)
+            / (F.col("_nn") * F.col("_sn")),
         )
         return (
             new.join(st, "ivf_list")
@@ -1248,10 +1299,15 @@ def knn_join(
     c = corpus.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("_v")
     )
+    sim = (
+        _vec.pair_cosine_arrow_udf()(F.col("_v"), F.col("_p"))
+        if _cosine_arrow_ok(corpus.sparkSession)
+        else cosine_similarity(F.col("_v"), F.col("_p"))
+    )
     scored = c.join(F.broadcast(p)).select(
         "probe_id",
         id_col,
-        cosine_similarity(F.col("_v"), F.col("_p")).alias("cosine_sim"),
+        sim.alias("cosine_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
@@ -1325,10 +1381,15 @@ def lsh_knn_join(
         to_double_array(F.col("_pvec")).alias("_p"),
         F.explode(expansion).alias("lsh_bucket"),
     )
+    sim = (
+        _vec.pair_cosine_arrow_udf()(F.col("_v"), F.col("_p"))
+        if _cosine_arrow_ok(corpus.sparkSession, dim)
+        else cosine_similarity(F.col("_v"), F.col("_p"))
+    )
     scored = c.join(F.broadcast(p), "lsh_bucket").select(
         "probe_id",
         id_col,
-        cosine_similarity(F.col("_v"), F.col("_p")).alias("cosine_sim"),
+        sim.alias("cosine_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
@@ -1445,10 +1506,17 @@ def ivf_knn_join(
             nearest_lists_expr(F.col(probe_vec_col), centroids, n_probe)
         ).alias("ivf_list"),
     )
+    sim = (
+        _vec.pair_cosine_arrow_udf()(F.col("_v"), F.col("_p"))
+        if _cosine_arrow_ok(
+            corpus.sparkSession, len(centroids[0]) if centroids else None
+        )
+        else cosine_similarity(F.col("_v"), F.col("_p"))
+    )
     scored = assigned.join(F.broadcast(p), "ivf_list").select(
         "probe_id",
         id_col,
-        cosine_similarity(F.col("_v"), F.col("_p")).alias("cosine_sim"),
+        sim.alias("cosine_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)

@@ -159,12 +159,23 @@ def _gzip_member_name(content: bytes) -> str | None:
     return None
 
 
+#: feed size for the member walk — the warc.py ``_GZ_CHUNK`` treatment
+#: (r13/r14): handing the decompressor the WHOLE remaining payload per
+#: member materializes the tail again per member (the input slice +
+#: ``unused_data``) — O(members × payload) memcpy on multi-member
+#: streams. Bounded feeding caps the per-member copy at one chunk;
+#: members larger than a chunk just keep streaming.
+_FEED_CHUNK = 1 << 16
+
+
 def _decompress_capped(content: bytes, kind: str, caps: dict) -> bytes:
     """Single-stream decompression with the cap binding on OUTPUT
-    bytes — the quantity a bomb inflates. All input is handed over at
-    once with ``max_length`` set just past the cap, so a bomb does at
-    most cap+1 bytes of work before the raise; concatenated members
-    (valid in all three formats) are followed via ``unused_data``."""
+    bytes — the quantity a bomb inflates. Input is fed in bounded
+    ``_FEED_CHUNK`` slices with ``max_length`` set just past the cap, so
+    a bomb does at most cap+1 bytes of work before the raise AND a
+    multi-member stream costs O(chunk), not O(remaining), of input copy
+    per member; concatenated members (valid in all three formats) are
+    followed via ``unused_data``."""
 
     def make():
         if kind == "gzip":
@@ -180,21 +191,41 @@ def _decompress_capped(content: bytes, kind: str, caps: dict) -> bytes:
     # single-member gzip/bz2/xz form)
     cap = caps["max_total_bytes"]
     out = bytearray()
-    data = content
-    obj = make()
+    mv = memoryview(content)
+    n = len(content)
+    pos = 0
     try:
-        while True:
-            out += obj.decompress(data, cap + 1 - len(out))
-            if len(out) > cap:
-                raise ArchiveError(f"{kind} stream exceeds cap {cap}")
-            if not obj.eof:
-                # all input consumed (or output budget hit exactly)
-                # without reaching end-of-stream: a truncated payload
-                raise ArchiveError(f"truncated {kind} stream")
-            data = obj.unused_data
-            if not data.strip(b"\x00"):
-                return bytes(out)
+        while pos < n:
+            if content[pos] == 0:
+                # all-zero tail = padding after the last member (the
+                # historical strip(b"\x00") contract — C-speed count, no
+                # tail copy); zeros followed by garbage fall through to
+                # the decompressor, which raises exactly as before
+                if content.count(0, pos) == n - pos:
+                    break
             obj = make()
+            member_start = pos
+            while True:
+                end = min(pos + _FEED_CHUNK, n)
+                out += obj.decompress(mv[pos:end], cap + 1 - len(out))
+                if len(out) > cap:
+                    raise ArchiveError(f"{kind} stream exceeds cap {cap}")
+                # zlib parks input it did not reach in unconsumed_tail
+                # (max_length) or unused_data (past end-of-stream);
+                # bz2/lzma keep pre-eof input internally and expose only
+                # unused_data
+                leftover = len(obj.unused_data)
+                if kind == "gzip":
+                    leftover += len(obj.unconsumed_tail)
+                pos = end - leftover
+                if obj.eof:
+                    break
+                if end == n:
+                    # input exhausted without end-of-stream
+                    raise ArchiveError(f"truncated {kind} stream")
+            if pos <= member_start:
+                raise ArchiveError(f"{kind} member consumed no bytes")
+        return bytes(out)
     except (zlib.error, OSError, EOFError, lzma.LZMAError) as exc:
         raise ArchiveError(f"bad {kind} stream: {exc}") from exc
 

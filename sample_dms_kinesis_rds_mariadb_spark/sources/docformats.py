@@ -377,7 +377,11 @@ def extract_document_texts(df: DataFrame) -> DataFrame:
                 errs.append(err)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    # .to_numpy(): positional alignment by construction —
+                    # mixing an indexed Series with positional lists would
+                    # silently row-misalign if a batch ever carried a
+                    # non-default index (r13 review note)
+                    "doc_id": pdf["doc_id"].to_numpy(),
                     "format": fmts,
                     "text": texts,
                     "n_chars": lens,
@@ -525,14 +529,16 @@ def route_document_texts(
                 lens.append(len(text) if text is not None else None)
                 errs.append(err)
             cols = {
-                id_col: pdf[id_col],
+                # .to_numpy(): positional alignment with the list columns
+                # by construction (r13 review note)
+                id_col: pdf[id_col].to_numpy(),
                 "format": fmts,
                 "text": texts,
                 "n_chars": lens,
                 "error": errs,
             }
             for k in keep:
-                cols[k] = pdf[k]
+                cols[k] = pdf[k].to_numpy()
             yield pd.DataFrame(cols, columns=col_names)
 
     doc_rows = df.filter(is_doc).select(

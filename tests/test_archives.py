@@ -306,3 +306,57 @@ def test_zip64_and_long_tar_names():
     assert len(long_name) > 100
     fmt, members = expand_archive(make_tar({long_name: b"x"}))
     assert members == [(long_name, b"x")]
+
+
+def test_decompress_capped_chunked_walk():
+    """The bounded-feed member walk (r14 — the warc _GZ_CHUNK treatment,
+    O(chunk) input copies per member instead of O(remaining payload))
+    across the shapes the chunking can get wrong: a member whose
+    COMPRESSED size exceeds the feed chunk, many tiny members, an
+    all-zero padding tail, zeros-then-garbage, and mid-member
+    truncation. Output bytes and error contracts must match the
+    pre-chunking behavior exactly."""
+    import random
+
+    from sample_dms_kinesis_rds_mariadb_spark.sources import archives as am
+
+    caps = {
+        "max_members": 10_000,
+        "max_member_bytes": 64 * 1024 * 1024,
+        "max_total_bytes": 256 * 1024 * 1024,
+    }
+    chunk = am._FEED_CHUNK
+    rng = random.Random(13)
+    big = bytes(rng.randrange(256) for _ in range(3 * chunk))  # incompressible
+    small = [f"member {i}".encode() for i in range(40)]
+    members = [gzip.compress(big)] + [gzip.compress(s) for s in small]
+    assert len(members[0]) > chunk  # really multi-chunk
+    blob = b"".join(members)
+    assert am._decompress_capped(blob, "gzip", caps) == big + b"".join(small)
+
+    # all-zero padding tail after the last member (the strip contract)
+    assert (
+        am._decompress_capped(blob + b"\x00" * (2 * chunk + 17), "gzip", caps)
+        == big + b"".join(small)
+    )
+    # zeros followed by garbage still raise a bad-stream error
+    with pytest.raises(ArchiveError, match="bad gzip"):
+        am._decompress_capped(blob + b"\x00" * 100 + b"junk", "gzip", caps)
+    # nonzero trailing garbage raises as before
+    with pytest.raises(ArchiveError, match="bad gzip"):
+        am._decompress_capped(blob + b"garbage", "gzip", caps)
+    # truncation mid-member (inside a late chunk of the big member)
+    with pytest.raises(ArchiveError, match="truncated gzip"):
+        am._decompress_capped(members[0][: chunk + 100], "gzip", caps)
+
+    # bz2 and xz take the same walk (internal pending-input path)
+    big2 = bytes(rng.randrange(256) for _ in range(2 * chunk))
+    bz = bz2.compress(big2) + bz2.compress(b"tail-bz")
+    assert am._decompress_capped(bz, "bzip2", caps) == big2 + b"tail-bz"
+    xz = lzma.compress(big2) + lzma.compress(b"tail-xz")
+    assert am._decompress_capped(xz, "xz", caps) == big2 + b"tail-xz"
+
+    # the output cap still binds mid-walk
+    tight = dict(caps, max_total_bytes=1024)
+    with pytest.raises(ArchiveError, match="exceeds cap"):
+        am._decompress_capped(blob, "gzip", tight)
