@@ -504,6 +504,34 @@ def main() -> None:
         ).write.mode("overwrite").format("noop").save(),
     )
 
+    # 7e') long-document repetition gate (r14, VERDICT r13 item 5): the
+    # staged with_gopher_repetition_flags form is the production default
+    # for long documents (the inline form re-tokenizes per rule — parity
+    # at the ~50-token bench docs, ~1.5-3x at 1000-token docs, r13/r14
+    # A/Bs). This leg carries the long-document corpus shape the headline
+    # leg cannot: every documents row replicated to ~20x token length.
+    # Corpus synthesis is untimed fixture work (the _fps_df rule).
+    from sample_dms_kinesis_rds_mariadb_spark.functions.text import (
+        with_gopher_repetition_flags,
+    )
+
+    _longdocs = (
+        _docs.select(
+            "doc_id",
+            F.concat_ws("\n", F.array_repeat(F.col("text"), 20)).alias(
+                "text"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _rep_keys = list(_rep.keys())
+    _robust(
+        "gopher_rep_longdoc",
+        lambda: with_gopher_repetition_flags(_longdocs, "text").select(
+            "doc_id", *_rep_keys
+        ).write.mode("overwrite").format("noop").save(),
+    )
+
     # 8) token-budget shard assignment (two-pass distributed prefix sum)
     from sample_dms_kinesis_rds_mariadb_spark.operators.export import (
         budget_shard_column,
@@ -1179,6 +1207,115 @@ def main() -> None:
         ).write.mode("overwrite").format("noop").save(),
     )
 
+    # --- scale-gate sidecar legs (r14, VERDICT r13 item 4) ------------------
+    # At sf0.1 the catalog legs are per-job-overhead-bound: the r13 scaling
+    # block showed 8 cores BEATING 32 on total, i.e. the bench could not
+    # falsify a scale-killer outside warc (the one leg with real volume,
+    # which scales 2.07x). These xl_* legs give the heaviest non-warc
+    # families — bm25, classifier train, minhash dedup, connected
+    # components, envelope encode — enough volume that the driver's
+    # low-core/high-core ratio measures COMPUTE scaling. Inputs derive
+    # deterministically from the sf corpus (so they scale with sf);
+    # replication/synthesis is untimed fixture work (the _fps_df rule);
+    # every timed chain computes from those inputs per the bench contract.
+    _par = spark.sparkContext.defaultParallelism
+    _rep_k = 16
+    _docs_xl = (
+        _docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), F.lit(_rep_k - 1))).alias("_r"),
+        )
+        .select(
+            (F.col("doc_id") * _rep_k + F.col("_r")).alias("doc_id"),
+            # per-replica salt token: exact clones would clique every
+            # dedup band bucket into a pathological all-pairs join
+            F.concat(
+                F.col("text"), F.lit(" rep"), F.col("_r").cast("string")
+            ).alias("text"),
+        )
+        .repartition(_par)
+        .localCheckpoint(eager=True)
+    )
+    _robust(
+        "xl_bm25",
+        lambda: bm25_batch_search(_docs_xl, "doc_id", "text", _qs, k=10)
+        .write.mode("overwrite").format("noop").save(),
+    )
+    _robust(
+        "xl_clf",
+        lambda: train_classifier(
+            _docs_xl.withColumn("label", (F.length("text") % 2).cast("int")),
+            "text",
+            "label",
+            dim=2**12,
+            iterations=1,
+        ),
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import (
+        minhash_lsh_candidate_pairs as _mh_pairs,
+    )
+
+    _robust(
+        "xl_minhash",
+        lambda: _mh_pairs(_docs_xl, "doc_id", "text")
+        .write.mode("overwrite").format("noop").save(),
+    )
+    # synthetic ring graph (200-node cycles): enough per-round join volume
+    # that the label-propagation rounds stop being pure driver pacing
+    _n_cc_xl = max(int(2_000_000 * _sf_num), 20_000)
+    _cc_chain = 200
+    _cc_edges_xl = (
+        spark.range(_n_cc_xl)
+        .select(
+            F.col("id").alias("id_a"),
+            F.when(
+                F.col("id") % _cc_chain == _cc_chain - 1,
+                F.col("id") - (_cc_chain - 1),
+            )
+            .otherwise(F.col("id") + 1)
+            .alias("id_b"),
+        )
+        .repartition(_par)
+        .localCheckpoint(eager=True)
+    )
+    _robust(
+        "xl_cc",
+        lambda: connected_components(_cc_edges_xl)
+        .write.mode("overwrite").format("noop").save(),
+    )
+    # sink-family compute half at 2x volume: the envelope encode chain to
+    # a noop sink (guide §1.4) — the store write is IO the sink legs
+    # already time; this isolates the encode's CPU scaling
+    from sample_dms_kinesis_rds_mariadb_spark.envelope import (
+        encode_data_events as _ede,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.envelope import (
+        to_json_records as _tjr,
+    )
+    from sample_dms_kinesis_rds_mariadb_spark.spec import (
+        TaskSettings as _TS,
+    )
+
+    _li_xl = (
+        widen_small_input(_lt(spark, sf_dir, "lineitem"))
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("_r")
+        )
+        .drop("_r")
+        .localCheckpoint(eager=True)
+    )
+    _xl_settings = _TS(partition_key_type="primary-key")
+    _robust(
+        "xl_envelope",
+        lambda: _tjr(
+            _ede(
+                _li_xl, "main", "lineitem", "load", _xl_settings,
+                pk_column="l_orderkey",
+            )
+        ).write.mode("overwrite").format("noop").save(),
+    )
+
     # 10) WARC→curation front door (VERDICT r7 item 5): multi-member-gzip
     # WARC corpus → warc_records (Arrow mapInPandas) → html_to_text →
     # Gopher quality gate, measured as records/s and compressed bytes/s.
@@ -1451,7 +1588,12 @@ def main() -> None:
         "value_core": value_core,
         "value_core_warm": value_core_warm,
         "unit": "sec",
-        "queries": timings,
+        # r14: the r13 line measured 1810 of the driver's ~1900-char tail
+        # budget and this round ADDS legs (scale-gate sidecars + the
+        # long-doc gate). Print per-leg seconds at 2 decimals — a pure
+        # display precision choice (10 ms, well under host noise); the
+        # sidecar keeps the 3-decimal values and every sample.
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": full_payload["sf"],
         "full_load_rows_per_sec": fl_rows_per_sec,
         "cdc_events_per_sec": cdc_events_per_sec,
@@ -1465,6 +1607,19 @@ def main() -> None:
         "full_payload": "bench_full.json",
     }
     line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:
+        # shed sidecar-duplicated detail BEFORE ever touching the queries
+        # dict (dropping a leg from the line reads as a dropped leg to the
+        # driver): the per-leg contamination verdicts live in the sidecar
+        headline["contaminated_legs"] = len(contaminated_legs)
+        line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:
+        # still over: every one of these fields is carried verbatim in
+        # bench_full.json — the queries dict is the one thing that must
+        # survive intact
+        for k in ("core_per_calib", "core_warm_per_calib", "full_payload"):
+            headline.pop(k, None)
+        line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1900:
         # last-ditch: shed per-leg detail before shedding parseability
         headline["queries"] = {

@@ -733,6 +733,7 @@ def connected_components(
     max_iterations: int = 25,
     broadcast_nodes: int = 1_000_000,
     broadcast_max_bytes: int = 128 * 1024 * 1024,
+    checkpoint_rounds: bool | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph: (node, component)
     with ``component`` = the smallest node id in the component.
@@ -813,6 +814,18 @@ def connected_components(
         _n_nodes <= int(broadcast_nodes)
         and _est_bytes <= float(broadcast_max_bytes)
     )
+    # r14 (VERDICT r13 item 6): the pointer-jump self-join references the
+    # stepped frame TWICE, duplicating the neighbor-min join+aggregate
+    # subtree in the physical plan (runtime exchange reuse bounds the
+    # recompute to the post-exchange aggregate, but the broadcast-path
+    # rounds have no exchange to reuse). ``checkpoint_rounds=True``
+    # materializes `stepped` once per round (one extra job) so the jump
+    # side reads it instead of recomputing. Measured on the 200k-node ring
+    # synthetic (plans/r14/ab_r14.jsonl, `cc_ckpt`): the recompute is
+    # CHEAPER than the extra job on both the broadcast and sort-merge
+    # paths at that shape, so auto stays OFF; the lever exists for graphs
+    # whose per-round aggregate dominates driver pacing.
+    _ckpt = bool(checkpoint_rounds) if checkpoint_rounds is not None else False
 
     def _maybe_bc(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if _small else df
@@ -831,6 +844,8 @@ def connected_components(
                 ).alias("_old"),
             )
         )
+        if _ckpt:
+            stepped = stepped.localCheckpoint(eager=True)
         # pointer jump: adopt label(label(node)) — labels are node ids of
         # the same component, so the jump stays in-component and only
         # shortens chains. Self-join on the stepped frame (fresh aliases
