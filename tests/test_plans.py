@@ -177,16 +177,20 @@ def test_widen_small_input(spark, tmp_path):
 
 def test_semantic_dedup_plan_shape(spark):
     """The SemDeDup catalog query must stay join-free in its pair stage:
-    no nested-loop/cartesian anywhere, no Python workers, and the only
-    joins are the id-keyed anti/inner joins of the keeper stage."""
+    no nested-loop/cartesian anywhere, and no ROW-AT-A-TIME Python. The
+    r14 pair-dot cumsum kernel is the one sanctioned Python node: exactly
+    ONE ArrowEvalPython (the nondeterministic marking must keep the
+    threshold filter from duplicating it — guide §4.4), vectorized, never
+    BatchEvalPython/MapInPandas."""
     from sample_dms_kinesis_rds_mariadb_spark.plans.queries import QUERIES
 
     df = QUERIES["semantic_dedup"].spark_fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+    for node in ("BatchEvalPython", "MapInPandas"):
         assert node not in plan, node
+    assert plan.count("ArrowEvalPython") == 1, plan
 
 
 def test_decontaminate_bloom_plan_shape(spark):

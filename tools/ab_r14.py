@@ -137,10 +137,70 @@ def main() -> None:
             ).select("doc_id", *rep_keys)
         )
 
+    # 16x-replicated embeddings (deterministic per-replica perturbation,
+    # untimed fixture synthesis): the shape where per-row fold CPU
+    # dominates per-job overhead — the at-scale question
+    _emb_xl = None
+
+    def _get_emb_xl():
+        nonlocal _emb_xl
+        if _emb_xl is None:
+            _emb_xl = (
+                _emb.select(
+                    "vec_id",
+                    "embedding",
+                    F.explode(F.sequence(F.lit(0), F.lit(15))).alias("_r"),
+                )
+                .select(
+                    (F.col("vec_id") * 16 + F.col("_r")).alias("vec_id"),
+                    F.transform(
+                        F.col("embedding").cast("array<double>"),
+                        lambda x: x
+                        * (F.lit(1.0) + F.col("_r") * F.lit(1e-6)),
+                    ).alias("embedding"),
+                )
+                .repartition(spark.sparkContext.defaultParallelism)
+                .localCheckpoint(eager=True)
+            )
+        return _emb_xl
+
+    def leg_topk_xl() -> None:
+        from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        _noop(brute_force_topk(_get_emb_xl(), _probe, k=20))
+
+    def leg_semantic_pairs_xl() -> None:
+        from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import (
+            medoid_centroids,
+            semantic_dedup_pairs,
+        )
+
+        cents = medoid_centroids(_emb, list(range(0, 320, 10)))
+        _noop(
+            semantic_dedup_pairs(
+                _get_emb_xl(), threshold=0.4, centroids=cents
+            )
+        )
+
+    def leg_knn_join_xl() -> None:
+        from sample_dms_kinesis_rds_mariadb_spark.operators.similarity import (
+            knn_join,
+        )
+
+        probes = _emb.limit(32).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        _noop(knn_join(_get_emb_xl(), probes, k=10))
+
     library = {
         "quantized_topk_rerank": leg_quantized_topk_rerank,
         "hard_negatives": leg_hard_negatives,
         "knn_join_b32": leg_knn_join_b32,
+        "topk_xl": leg_topk_xl,
+        "semantic_pairs_xl": leg_semantic_pairs_xl,
+        "knn_join_xl": leg_knn_join_xl,
         "gopher_repetition_flags": leg_gopher_repetition_flags,
         "gopher_repetition_staged": leg_gopher_repetition_staged,
         "gopher_repetition_long_inline": leg_gopher_repetition_long_inline,
