@@ -56,7 +56,7 @@ def drain_memory_sink(spark, q, table: str, n_rows: int, timeout: float = 120.0)
 # tests_ok:false with nothing actually failing). Default runs therefore
 # DESELECT the priced slow tail: tests whose measured wall time (committed
 # manifest tests/slow_manifest.json, refreshed from a full run's
-# --durations output) exceeds SPARK_GRAFT_SLOW_CUTOFF seconds (default 5).
+# --durations output) exceeds SPARK_GRAFT_SLOW_CUTOFF seconds (default 3).
 # The FULL suite remains one env var away and is run at every round close:
 #
 #     SPARK_GRAFT_FULL_SUITE=1 python -m pytest tests/ -q
@@ -69,7 +69,7 @@ import json as _json
 def pytest_collection_modifyitems(config, items):
     if os.environ.get("SPARK_GRAFT_FULL_SUITE"):
         return
-    cutoff = float(os.environ.get("SPARK_GRAFT_SLOW_CUTOFF", "5"))
+    cutoff = float(os.environ.get("SPARK_GRAFT_SLOW_CUTOFF", "3"))
     manifest_path = os.path.join(os.path.dirname(__file__), "slow_manifest.json")
     try:
         with open(manifest_path) as f:

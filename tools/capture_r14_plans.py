@@ -153,6 +153,16 @@ def main() -> None:
         "knn_join_b32": leg_knn_join_b32,
         "classifier_inference": leg_classifier_inference,
         "pq_adc_rerank": leg_pq_adc_rerank,
+        # UNPINNED assign frame (the r13 captures put a localCheckpoint
+        # above the kernel, so the before/after files showed no diff —
+        # VERDICT r13 item 8); this one shows the dispatch itself
+        "centroid_assign": lambda: _emb.select(
+            "vec_id",
+            _sim.assign_to_centroids(
+                F.col("embedding"),
+                _sim.medoid_centroids(_emb, list(range(0, 320, 10))),
+            ).alias("ivf_list"),
+        ),
     }
 
     def capture(df, path: str) -> None:
