@@ -184,6 +184,26 @@ def main() -> None:
     from sample_dms_kinesis_rds_mariadb_spark.plans.queries import load_table as _lt
 
     _lt(spark, sf_dir, "region").count()
+    # Python-worker pre-warm (r14, VERDICT r13 item 7 + warm-up hygiene):
+    # the FIRST Arrow leg of a session otherwise pays the one-time worker
+    # forks + numpy/pandas imports inside its timed cold run (~2-3 s at 32
+    # workers — measured in tools/worker_attach_probe.py: cold_32 vs
+    # warm_32). One tiny pandas-UDF job here forks the pool untimed — the
+    # same class of fixture hygiene as the warc first-touch warm-up; no
+    # leg's data or results are touched.
+    import pandas as _pd
+    from pyspark.sql.functions import col as _col
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    def _ident(s):
+        return s
+
+    _ident.__annotations__ = {"s": _pd.Series, "return": _pd.Series}
+    _warm_udf = _pudf("long")(_ident)
+    _n_warm = spark.sparkContext.defaultParallelism * 2
+    spark.range(_n_warm).repartition(_n_warm).select(
+        _warm_udf(_col("id"))
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
 

@@ -149,6 +149,22 @@ def quantized_cosine(qa: Column, qb: Column) -> Column:
 COSINE_ARROW = True
 COSINE_ARROW_MIN_DIM = 16
 
+#: Dim gate for the PAIR kernels (pair_dot/pair_cosine) — MEASURED OFF
+#: by default. The premise that every higher-order-function fold is slow
+#: does NOT hold for a single dot per pair row: the JVM fold is one
+#: in-place pass over primitive arrays (~0.5 µs per 64-dim row measured),
+#: while a bit-exact kernel must ship BOTH vectors across the Arrow
+#: boundary and materialize the full cumsum matrix (memory-bound, ~3x
+#: the data in traffic). Isolated interleaved micro-A/B (one session,
+#: noop sink, plans/r14 `pair_dim_sweep` + the round log): 124k pairs x
+#: 64 dims — fold 0.13-0.22 s vs kernel 0.81-1.23 s; 62k pairs x 768
+#: dims — fold 0.34-0.47 s vs kernel 1.9 s; the operator-level sweep
+#: agrees at every dim (sem/hn ratios 0.72→0.05 AGAINST the kernel,
+#: worsening with dim). The kernels and this gate remain as the A/B
+#: instrument (lower it to re-measure); unknown-dim callers always stay
+#: on the fold.
+PAIR_ARROW_MIN_DIM = 1 << 30
+
 
 def _seq_fold_dot(a) -> float:
     """Driver-side sequential self-dot — the exact fold order."""

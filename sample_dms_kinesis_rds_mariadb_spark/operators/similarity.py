@@ -50,18 +50,41 @@ def _cosine_arrow_ok(spark, dim: int | None = None) -> bool:
 def _probe_sim(df: DataFrame, vec_col: str, probe: list[float]):
     """cosine vs a probe literal, auto-dispatched: the Arrow kernel
     (broadcast probe + cumsum folds — bit-identical, see vectors.py)
-    above the dim gate, the interpreted JVM fold otherwise."""
+    above the dim gate; otherwise the JVM folds with the PROBE's norm
+    pre-folded driver-side (r14): ``cosine_similarity(a, lit(probe))``
+    re-evaluated the probe's own norm fold PER ROW — a third of the
+    per-row fold work for a constant. The Python sequential fold is the
+    identical IEEE-754 op sequence, so the literal is bit-equal to the
+    fold it replaces (the assign_to_centroids <c,c> precedent)."""
     if _cosine_arrow_ok(df.sparkSession, len(probe)):
         return _vec.probe_cosine_arrow_udf(df.sparkSession, probe)(
             to_double_array(F.col(vec_col))
         )
-    return cosine_similarity(to_double_array(F.col(vec_col)), _probe_lit(probe))
+    import math
+
+    v = to_double_array(F.col(vec_col))
+    na = F.sqrt(dot(v, v))
+    nb = F.lit(math.sqrt(_vec._seq_fold_dot(probe)))
+    return F.when(
+        (na > 0) & (nb > 0), dot(v, _probe_lit(probe)) / (na * nb)
+    )
 
 
-def _pair_dot(va, vb, spark):
+def _pair_arrow_ok(spark, dim: int | None) -> bool:
+    """PAIR-kernel gate: pair rows ship two vectors per row, so the
+    crossover sits much higher than the probe kernels' — dim must be
+    KNOWN and >= vectors.PAIR_ARROW_MIN_DIM (see the measured sweep
+    documented there). Unknown dim = stay on the JVM fold."""
+    if not _vec.COSINE_ARROW or spark is None or dim is None:
+        return False
+    return dim >= _vec.PAIR_ARROW_MIN_DIM
+
+
+def _pair_dot(va, vb, spark, dim: int | None = None):
     """dot(va, vb) for pair operators (norms staged separately),
-    auto-dispatched to the cumsum kernel — the guard/division stay JVM."""
-    if _cosine_arrow_ok(spark):
+    auto-dispatched to the cumsum kernel above the PAIR dim gate — the
+    guard/division stay JVM."""
+    if _pair_arrow_ok(spark, dim):
         return _vec.pair_dot_arrow_udf()(va, vb)
     return dot(va, vb)
 
@@ -749,6 +772,11 @@ def cosine_self_join_topk(
     ``materialize=False`` keeps the plan fully lazy."""
     from sample_dms_kinesis_rds_mariadb_spark.operators.dedup import _pin
 
+    # dim hoisted (r14): with_lsh_buckets would compute it anyway when
+    # None — same single driver action, and the pair-dot dispatch below
+    # needs it for the PAIR dim gate
+    if dim is None:
+        dim = embedding_dim(df, vec_col)
     # the L2 norm folds ONCE per row inside the pinned frame, not per pair:
     # the pair similarity below is a single fold + divide with the exact
     # float sequence cosine_similarity produces (dot/(sqrt(aa)*sqrt(bb))).
@@ -774,12 +802,12 @@ def cosine_self_join_topk(
         F.col("_v").alias("vb"),
         F.col("_n").alias("nb"),
     )
-    # per-pair dot auto-dispatches to the Arrow cumsum kernel (r14, guide
-    # §4.2); guard + division stay JVM, so the zero/NULL-norm contract is
-    # untouched
+    # per-pair dot auto-dispatches to the Arrow cumsum kernel above the
+    # PAIR dim gate (r14, guide §4.2); guard + division stay JVM, so the
+    # zero/NULL-norm contract is untouched
     sim = F.when(
         (F.col("na") > 0) & (F.col("nb") > 0),
-        _pair_dot(F.col("va"), F.col("vb"), df.sparkSession)
+        _pair_dot(F.col("va"), F.col("vb"), df.sparkSession, dim)
         / (F.col("na") * F.col("nb")),
     )
     return (
@@ -823,6 +851,10 @@ def hard_negatives(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # dim hoisted (r14): same single driver action with_lsh_buckets would
+    # pay; feeds the PAIR dim gate below
+    if dim is None:
+        dim = embedding_dim(df, vec_col)
     # per-row norm folded once in the pinned, column-pruned frame (see
     # cosine_self_join_topk): pair cost drops to one fold + divide
     b = _pin(
@@ -848,7 +880,7 @@ def hard_negatives(
     )
     sim = F.when(
         (F.col("na") > 0) & (F.col("nb") > 0),
-        _pair_dot(F.col("va"), F.col("vb"), df.sparkSession)
+        _pair_dot(F.col("va"), F.col("vb"), df.sparkSession, dim)
         / (F.col("na") * F.col("nb")),
     )
     pairs = (
@@ -877,6 +909,7 @@ def semantic_dedup_pairs(
     sample_fraction: float = 1.0,
     materialize: bool = True,
     list_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -904,7 +937,13 @@ def semantic_dedup_pairs(
 
     ``materialize`` is retained for API compatibility; the join-free shape
     consumes the assignment exactly once, so there is nothing to pin.
+
+    ``dim`` feeds the r14 PAIR-kernel dispatch gate (see
+    ``vectors.PAIR_ARROW_MIN_DIM``); when ``centroids`` are given it is
+    derived from them, otherwise unknown dims stay on the JVM fold.
     """
+    if dim is None and centroids:
+        dim = len(centroids[0])
     if list_col is not None:
         # reuse a precomputed assignment (a pinned frame, or an IvfIndex's
         # stored layout) — assignment is the expensive half when centroids
@@ -972,12 +1011,14 @@ def semantic_dedup_pairs(
         F.expr("slice(_ms, _i + 2, size(_ms))").alias("_rest"),
     )
     na, nb = F.col("_a.n"), F.col("_b.n")
-    # per-pair dot auto-dispatches to the Arrow cumsum kernel (r14): the
-    # pair count is quadratic in list occupancy, so this is the corpus-
-    # scaling cost of SemDeDup; guard + division stay JVM
+    # per-pair dot auto-dispatches to the Arrow cumsum kernel above the
+    # PAIR dim gate (r14): the pair count is quadratic in list occupancy,
+    # so this is the corpus-scaling cost of SemDeDup; guard + division
+    # stay JVM
     sim = F.when(
         (na > 0) & (nb > 0),
-        _pair_dot(F.col("_a.v"), F.col("_b.v"), df.sparkSession) / (na * nb),
+        _pair_dot(F.col("_a.v"), F.col("_b.v"), df.sparkSession, dim)
+        / (na * nb),
     )
     return (
         lhs.select(
@@ -1198,7 +1239,10 @@ class SemanticDedupIndex:
         )
         sim = F.when(
             (F.col("_nn") > 0) & (F.col("_sn") > 0),
-            _pair_dot(F.col("_nv"), F.col("_sv"), self.spark)
+            _pair_dot(
+                F.col("_nv"), F.col("_sv"), self.spark,
+                len(self.centroids[0]) if self.centroids else None,
+            )
             / (F.col("_nn") * F.col("_sn")),
         )
         return (
@@ -1260,6 +1304,7 @@ class SemanticDedupIndex:
                 assigned.select("vec_id", "ivf_list", "v"),
                 threshold=self.threshold, id_col="vec_id", vec_col="v",
                 list_col="ivf_list",
+                dim=len(self.centroids[0]) if self.centroids else None,
             )
             .select(F.col("id_b").alias(self.id_col))
         )
@@ -1299,9 +1344,14 @@ def knn_join(
     c = corpus.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("_v")
     )
+    # PAIR gate (r14): the probe side is a handful of broadcast rows but
+    # each scored row still ships two vectors to Python — kernel only at
+    # dims where the fold loses; dim is unknowable here without a driver
+    # action, so knn_join stays on the JVM fold unless callers use the
+    # dim-aware siblings (lsh_knn_join / ivf_knn_join)
     sim = (
         _vec.pair_cosine_arrow_udf()(F.col("_v"), F.col("_p"))
-        if _cosine_arrow_ok(corpus.sparkSession)
+        if _pair_arrow_ok(corpus.sparkSession, None)
         else cosine_similarity(F.col("_v"), F.col("_p"))
     )
     scored = c.join(F.broadcast(p)).select(
@@ -1383,7 +1433,7 @@ def lsh_knn_join(
     )
     sim = (
         _vec.pair_cosine_arrow_udf()(F.col("_v"), F.col("_p"))
-        if _cosine_arrow_ok(corpus.sparkSession, dim)
+        if _pair_arrow_ok(corpus.sparkSession, dim)
         else cosine_similarity(F.col("_v"), F.col("_p"))
     )
     scored = c.join(F.broadcast(p), "lsh_bucket").select(
@@ -1508,7 +1558,7 @@ def ivf_knn_join(
     )
     sim = (
         _vec.pair_cosine_arrow_udf()(F.col("_v"), F.col("_p"))
-        if _cosine_arrow_ok(
+        if _pair_arrow_ok(
             corpus.sparkSession, len(centroids[0]) if centroids else None
         )
         else cosine_similarity(F.col("_v"), F.col("_p"))

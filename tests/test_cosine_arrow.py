@@ -102,6 +102,7 @@ def test_pair_dot_kernel_parity_semantic_dedup(spark, monkeypatch):
         )
 
     monkeypatch.setattr(vec, "COSINE_ARROW", True)
+    monkeypatch.setattr(vec, "PAIR_ARROW_MIN_DIM", 1)  # force the kernel
     arrow = run()
     monkeypatch.setattr(vec, "COSINE_ARROW", False)
     jvm = run()
@@ -109,10 +110,10 @@ def test_pair_dot_kernel_parity_semantic_dedup(spark, monkeypatch):
     assert len(jvm) > 0
 
 
-def test_pair_cosine_kernel_parity_knn_join(spark, monkeypatch):
-    """knn_join with the in-kernel-norm pair cosine on/off: identical
-    ranks and bit-identical cosine_sim, incl. NULL/zero/mismatch corners
-    on the corpus side."""
+def test_pair_cosine_kernel_parity_lsh_knn_join(spark, monkeypatch):
+    """lsh_knn_join (the dim-aware batched kNN) with the in-kernel-norm
+    pair cosine on/off: identical ranks and bit-identical cosine_sim,
+    incl. NULL/zero/mismatch corners on the corpus side."""
     corpus = _corner_df(spark)
     probes = spark.createDataFrame(
         [(100, PROBE), (101, [1.0] * DIM)],
@@ -122,14 +123,18 @@ def test_pair_cosine_kernel_parity_knn_join(spark, monkeypatch):
     def run():
         return sorted(
             (r["probe_id"], r["vec_id"], r["rank"], _bits(r["cosine_sim"]))
-            for r in similarity.knn_join(corpus, probes, k=5).collect()
+            for r in similarity.lsh_knn_join(
+                corpus, probes, k=5, n_planes=2, dim=DIM
+            ).collect()
         )
 
     monkeypatch.setattr(vec, "COSINE_ARROW", True)
+    monkeypatch.setattr(vec, "PAIR_ARROW_MIN_DIM", 1)  # force the kernel
     arrow = run()
     monkeypatch.setattr(vec, "COSINE_ARROW", False)
     jvm = run()
     assert arrow == jvm
+    assert len(jvm) > 0
 
 
 def test_quantized_probe_kernel_parity(spark, monkeypatch):
@@ -179,6 +184,29 @@ def test_dispatch_gate_dim_and_toggle(spark, monkeypatch):
         similarity._probe_sim(df, "embedding", PROBE).alias("s")
     )._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan_off
+
+
+def test_pair_gate_stays_jvm_below_min_dim(spark, monkeypatch):
+    """The PAIR kernels have a higher dim gate than the probe kernels
+    (two vectors per row cross the boundary): below PAIR_ARROW_MIN_DIM —
+    including every unknown-dim call — the pair plan must stay pure JVM;
+    forcing the gate brings exactly one ArrowEvalPython."""
+    rows = [(i, [float(i + j) for j in range(DIM)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [rows[j][1] for j in (3, 21)]
+    monkeypatch.setattr(vec, "COSINE_ARROW", True)
+    assert DIM < vec.PAIR_ARROW_MIN_DIM  # the shipped gate
+    plan = (
+        similarity.semantic_dedup_pairs(df, threshold=0.1, centroids=cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    monkeypatch.setattr(vec, "PAIR_ARROW_MIN_DIM", 1)
+    plan_forced = (
+        similarity.semantic_dedup_pairs(df, threshold=0.1, centroids=cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_forced.count("ArrowEvalPython") == 1
 
 
 def test_probe_kernel_single_evaluation_under_filter(spark, monkeypatch):
