@@ -820,11 +820,13 @@ def connected_components(
     # recompute to the post-exchange aggregate, but the broadcast-path
     # rounds have no exchange to reuse). ``checkpoint_rounds=True``
     # materializes `stepped` once per round (one extra job) so the jump
-    # side reads it instead of recomputing. Measured on the 200k-node ring
-    # synthetic (plans/r14/ab_r14.jsonl, `cc_ckpt`): the recompute is
-    # CHEAPER than the extra job on both the broadcast and sort-merge
-    # paths at that shape, so auto stays OFF; the lever exists for graphs
-    # whose per-round aggregate dominates driver pacing.
+    # side reads it instead of recomputing. Measured on the 200k-node
+    # ring synthetic (plans/r14/ab_r14.jsonl, `cc_ckpt`, interleaved):
+    # broadcast path ckpt 8.4 vs recompute 9.3 s median (within the run's
+    # noise band), sort-merge path ckpt 11.3 vs recompute 9.2 s (the
+    # extra job + materialization LOSES) — so auto stays OFF; the lever
+    # exists for graphs whose per-round aggregate dominates driver
+    # pacing.
     _ckpt = bool(checkpoint_rounds) if checkpoint_rounds is not None else False
 
     def _maybe_bc(df: DataFrame) -> DataFrame:
