@@ -535,10 +535,16 @@ def main() -> None:
         with_gopher_repetition_flags,
     )
 
+    # 8x replication ≈ 400-token docs over a 2/5 slice of the corpus:
+    # long enough that the staged form's win is visible, small enough
+    # that one sidecar leg doesn't own the bench (the 20x/full-corpus
+    # shape read 10-23 s a sweep; this shape ~4 s warm)
+    _ld_sf = float(sf) if sf.replace(".", "").isdigit() else 0.1
     _longdocs = (
-        _docs.select(
+        _docs.filter(F.col("doc_id") < max(int(20_000 * _ld_sf), 200))
+        .select(
             "doc_id",
-            F.concat_ws("\n", F.array_repeat(F.col("text"), 20)).alias(
+            F.concat_ws("\n", F.array_repeat(F.col("text"), 8)).alias(
                 "text"
             ),
         )
