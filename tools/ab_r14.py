@@ -218,6 +218,11 @@ def main() -> None:
     def set_arm(on: bool) -> None:
         if toggle == "cosine":
             _vec.COSINE_ARROW = on
+            # the PAIR kernels are measured-off by default
+            # (PAIR_ARROW_MIN_DIM disabled); the "on" arm of this
+            # instrument forces them so the A/B keeps measuring
+            # kernel-vs-fold, not fold-vs-fold
+            _vec.PAIR_ARROW_MIN_DIM = 0 if on else 1 << 30
         elif toggle == "gopher_staged":
             pass  # arm is expressed by the leg pair, not a module toggle
         else:
